@@ -1,0 +1,505 @@
+"""GraphBLAS operator registry compiled to Spark Column expressions.
+
+The reference delegates its operator vocabulary to the grblas registry
+(imports at /root/reference/dask_grblas/vector.py:6, base.py:5): ~75 unary
+ops, ~90 binary ops (incl. positional firsti/firstj/secondi/secondj),
+monoids, and ~1000 named semirings (SURVEY.md section 2.2). Here every op is
+a factory producing JVM-side Column expressions (whole-stage codegen — no
+Python UDFs in the hot path):
+
+- ``UnaryOp``   : Column -> Column
+- ``BinaryOp``  : (Column, Column[, PositionalContext]) -> Column
+- ``Monoid``    : BinaryOp + identity + a Spark *aggregate* expression, so
+                  groupBy gets map-side partial aggregation for free
+- ``Semiring``  : (Monoid, BinaryOp) pair — matmul compiles to
+                  join(mult) + groupBy(monoid-agg)
+- ``Aggregator``: composite reductions (count/mean/argmin/...), reference
+                  dispatch at /root/reference/dask_grblas/expr.py:242-245
+
+Namespaces mirror the grblas API: ``unary.abs``, ``binary.plus``,
+``monoid.min``, ``semiring.plus_times`` (semirings resolved lazily by
+name composition, like grblas' generated registry), ``agg.count``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..dtypes import BOOL, FP32, FP64, INT64, GbType, lookup_dtype, unify
+
+__all__ = ["unary", "binary", "monoid", "semiring", "agg",
+           "UnaryOp", "BinaryOp", "Monoid", "Semiring", "Aggregator",
+           "PositionalContext", "get_typed_op"]
+
+
+class PositionalContext:
+    """Join-key columns for positional ops (firsti/firstj/secondi/secondj).
+
+    In ``C[i,k] = A[i,j] op B[j,k]`` the first operand's indices are
+    (ai=i, aj=j) and the second's are (bi=j, bj=k). For element-wise ops on
+    vectors/matrices all positions coincide with the output key.
+    """
+
+    __slots__ = ("ai", "aj", "bi", "bj")
+
+    def __init__(self, ai=None, aj=None, bi=None, bj=None):
+        self.ai, self.aj, self.bi, self.bj = ai, aj, bi, bj
+
+
+class _Op:
+    __slots__ = ("name",)
+
+    def __repr__(self):  # pragma: no cover
+        return f"{type(self).__name__}<{self.name}>"
+
+
+class UnaryOp(_Op):
+    __slots__ = ("_build", "_out_dtype")
+
+    def __init__(self, name, build, out_dtype=None):
+        self.name = name
+        self._build = build
+        self._out_dtype = out_dtype
+
+    def __call__(self, col: Column, dtype: GbType = FP64) -> Column:
+        return self._build(col, dtype)
+
+    def out_dtype(self, dtype: GbType) -> GbType:
+        if self._out_dtype is None:
+            return dtype
+        if callable(self._out_dtype):
+            return self._out_dtype(dtype)
+        return self._out_dtype
+
+
+class BinaryOp(_Op):
+    __slots__ = ("_build", "_out_dtype", "positional")
+
+    def __init__(self, name, build, out_dtype=None, positional=False):
+        self.name = name
+        self._build = build
+        self._out_dtype = out_dtype
+        self.positional = positional
+
+    def __call__(self, x: Column, y: Column, dtype: GbType = FP64,
+                 ctx: PositionalContext | None = None) -> Column:
+        if self.positional:
+            if ctx is None:
+                raise ValueError(
+                    f"binary.{self.name} is positional and needs index context")
+            return self._build(x, y, dtype, ctx)
+        return self._build(x, y, dtype)
+
+    def out_dtype(self, a: GbType, b: GbType) -> GbType:
+        if self._out_dtype is None:
+            return unify(a, b)
+        if callable(self._out_dtype):
+            return self._out_dtype(a, b)
+        return self._out_dtype
+
+
+class Monoid(_Op):
+    __slots__ = ("binaryop", "identity", "_agg")
+
+    def __init__(self, name, binaryop: BinaryOp, identity, agg):
+        self.name = name
+        self.binaryop = binaryop
+        self.identity = identity
+        self._agg = agg
+
+    def __call__(self, x, y, dtype=FP64, ctx=None):
+        return self.binaryop(x, y, dtype, ctx)
+
+    def agg(self, col: Column, dtype: GbType) -> Column:
+        """Spark aggregate expression folding `col` with this monoid."""
+        return self._agg(col, dtype)
+
+    def out_dtype(self, a: GbType, b: GbType = None) -> GbType:
+        return self.binaryop.out_dtype(a, b if b is not None else a)
+
+
+class Semiring(_Op):
+    __slots__ = ("monoid", "binaryop")
+
+    def __init__(self, name, monoid_: Monoid, binaryop: BinaryOp):
+        self.name = name
+        self.monoid = monoid_
+        self.binaryop = binaryop
+
+    def out_dtype(self, a: GbType, b: GbType) -> GbType:
+        mult_out = self.binaryop.out_dtype(a, b)
+        return self.monoid.out_dtype(mult_out, mult_out)
+
+
+class Aggregator(_Op):
+    """Composite reduction that may need the value AND its index
+    (argmin/argmax/first/last) — reference dispatches these separately
+    (/root/reference/dask_grblas/expr.py:208-229, 287-291)."""
+
+    __slots__ = ("_agg", "_out_dtype", "needs_index")
+
+    def __init__(self, name, agg, out_dtype=None, needs_index=False):
+        self.name = name
+        self._agg = agg
+        self._out_dtype = out_dtype
+        self.needs_index = needs_index
+
+    def agg(self, vcol: Column, dtype: GbType, icol: Column | None = None) -> Column:
+        if self.needs_index:
+            return self._agg(vcol, icol, dtype)
+        return self._agg(vcol, dtype)
+
+    def out_dtype(self, dtype: GbType) -> GbType:
+        if self._out_dtype is None:
+            return dtype
+        if callable(self._out_dtype):
+            return self._out_dtype(dtype)
+        return self._out_dtype
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _truthy(col: Column, dtype: GbType) -> Column:
+    """GraphBLAS logical semantics on non-bool values: nonzero == true."""
+    if dtype.is_bool:
+        return col
+    return col != F.lit(0)
+
+
+def _cast(col: Column, dtype: GbType) -> Column:
+    return col.cast(dtype.spark_type)
+
+
+def _bool_out(_a, _b=None):
+    return BOOL
+
+
+def _float_out(a, b=None):
+    u = unify(a, b) if b is not None else a
+    return u if u.is_float else FP64
+
+
+class _Namespace:
+    def __init__(self, name, registry):
+        self._name = name
+        self._registry = registry
+
+    def __getattr__(self, item):
+        try:
+            return self._registry[item]
+        except KeyError:
+            raise AttributeError(f"{self._name} has no operator {item!r}") from None
+
+    def __getitem__(self, item):
+        return getattr(self, item)
+
+    def __contains__(self, item):
+        return item in self._registry
+
+    def __iter__(self):
+        return iter(sorted(self._registry))
+
+
+# --------------------------------------------------------------------------
+# unary ops
+# --------------------------------------------------------------------------
+
+_UNARY = {}
+
+
+def _u(name, fn, out_dtype=None):
+    _UNARY[name] = UnaryOp(name, fn, out_dtype)
+
+
+_u("identity", lambda c, d: c)
+_u("ainv", lambda c, d: _cast(-c, d))
+_u("minv", lambda c, d: _cast(F.lit(1) / c, d))
+_u("abs", lambda c, d: F.abs(c))
+_u("one", lambda c, d: F.lit(1).cast(d.spark_type))
+_u("lnot", lambda c, d: _cast(~_truthy(c, d), d) if not d.is_bool else ~c)
+_u("bnot", lambda c, d: _cast(F.bitwise_not(c), d))
+_u("sqrt", lambda c, d: F.sqrt(c), _float_out)
+_u("exp", lambda c, d: F.exp(c), _float_out)
+_u("exp2", lambda c, d: F.pow(F.lit(2.0), c), _float_out)
+_u("expm1", lambda c, d: F.expm1(c), _float_out)
+_u("log", lambda c, d: F.log(c), _float_out)
+_u("log2", lambda c, d: F.log2(c), _float_out)
+_u("log10", lambda c, d: F.log10(c), _float_out)
+_u("log1p", lambda c, d: F.log1p(c), _float_out)
+for _name, _fn in [("sin", F.sin), ("cos", F.cos), ("tan", F.tan),
+                   ("asin", F.asin), ("acos", F.acos), ("atan", F.atan),
+                   ("sinh", F.sinh), ("cosh", F.cosh), ("tanh", F.tanh),
+                   ("asinh", F.asinh), ("acosh", F.acosh), ("atanh", F.atanh),
+                   ("cbrt", F.cbrt)]:
+    _u(_name, (lambda f: lambda c, d: f(c))(_fn), _float_out)
+_u("ceil", lambda c, d: _cast(F.ceil(c), d))
+_u("floor", lambda c, d: _cast(F.floor(c), d))
+_u("round", lambda c, d: _cast(F.round(c), d))
+_u("trunc", lambda c, d: _cast(c.cast("bigint"), d) if d.is_float else c)
+_u("signum", lambda c, d: _cast(F.signum(c), d))
+_u("isinf", lambda c, d: (F.abs(c) == F.lit(float("inf"))) if d.is_float
+   else F.lit(False), _bool_out)
+_u("isnan", lambda c, d: F.isnan(c) if d.is_float else F.lit(False), _bool_out)
+_u("isfinite", lambda c, d: (~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))))
+   if d.is_float else F.lit(True), _bool_out)
+
+unary = _Namespace("unary", _UNARY)
+
+
+# --------------------------------------------------------------------------
+# binary ops
+# --------------------------------------------------------------------------
+
+_BINARY = {}
+
+
+def _b(name, fn, out_dtype=None, positional=False):
+    _BINARY[name] = BinaryOp(name, fn, out_dtype, positional)
+
+
+def _logical(py_name):
+    def build(x, y, d):
+        bx, by = _truthy(x, d), _truthy(y, d)
+        if py_name == "land":
+            r = bx & by
+        elif py_name == "lor":
+            r = bx | by
+        elif py_name == "lxor":
+            r = bx != by
+        else:  # lxnor
+            r = bx == by
+        return r if d.is_bool else _cast(r, d)
+    return build
+
+
+_b("first", lambda x, y, d: x, lambda a, b: a)
+_b("second", lambda x, y, d: y, lambda a, b: b)
+_b("any", lambda x, y, d: x)
+_b("pair", lambda x, y, d: F.lit(1).cast(d.spark_type))
+_b("plus", lambda x, y, d: _cast(x + y, d))
+_b("minus", lambda x, y, d: _cast(x - y, d))
+_b("rminus", lambda x, y, d: _cast(y - x, d))
+_b("times", lambda x, y, d: _cast(x * y, d))
+_b("truediv", lambda x, y, d: x.cast("double") / y.cast("double"), _float_out)
+_b("rtruediv", lambda x, y, d: y.cast("double") / x.cast("double"), _float_out)
+# cdiv: C integer division (truncate toward zero) on ints, / on floats
+_b("div", lambda x, y, d: (x / y) if d.is_float else _cast((x.cast("bigint") -
+    (x.cast("bigint") % y.cast("bigint"))) / y.cast("bigint"), d))
+_b("rdiv", lambda x, y, d: (y / x) if d.is_float else _cast((y.cast("bigint") -
+    (y.cast("bigint") % x.cast("bigint"))) / x.cast("bigint"), d))
+_b("pow", lambda x, y, d: _cast(F.pow(x, y), d) if not d.is_float else F.pow(x, y))
+_b("min", lambda x, y, d: F.least(x, y))
+_b("max", lambda x, y, d: F.greatest(x, y))
+_b("land", _logical("land"))
+_b("lor", _logical("lor"))
+_b("lxor", _logical("lxor"))
+_b("lxnor", _logical("lxnor"))
+_b("eq", lambda x, y, d: x == y, _bool_out)
+_b("ne", lambda x, y, d: x != y, _bool_out)
+_b("gt", lambda x, y, d: x > y, _bool_out)
+_b("lt", lambda x, y, d: x < y, _bool_out)
+_b("ge", lambda x, y, d: x >= y, _bool_out)
+_b("le", lambda x, y, d: x <= y, _bool_out)
+_b("iseq", lambda x, y, d: _cast(x == y, d))
+_b("isne", lambda x, y, d: _cast(x != y, d))
+_b("isgt", lambda x, y, d: _cast(x > y, d))
+_b("islt", lambda x, y, d: _cast(x < y, d))
+_b("isge", lambda x, y, d: _cast(x >= y, d))
+_b("isle", lambda x, y, d: _cast(x <= y, d))
+_b("atan2", lambda x, y, d: F.atan2(x, y), _float_out)
+_b("hypot", lambda x, y, d: F.hypot(x, y), _float_out)
+_b("fmod", lambda x, y, d: x % y)
+_b("remainder", lambda x, y, d: x - F.round(x / y) * y, _float_out)
+_b("copysign", lambda x, y, d: F.abs(x) * F.when(y < 0, -1.0).otherwise(1.0), _float_out)
+_b("ldexp", lambda x, y, d: x * F.pow(F.lit(2.0), y), _float_out)
+_b("band", lambda x, y, d: _cast(x.bitwiseAND(y), d))
+_b("bor", lambda x, y, d: _cast(x.bitwiseOR(y), d))
+_b("bxor", lambda x, y, d: _cast(x.bitwiseXOR(y), d))
+_b("bxnor", lambda x, y, d: _cast(F.bitwise_not(x.bitwiseXOR(y)), d))
+# positional ops read join-key columns (reference: grblas firsti/firstj/...,
+# SURVEY.md section 2.2 "positional ops read the join-key columns")
+_b("firsti", lambda x, y, d, ctx: ctx.ai.cast("bigint"), INT64, positional=True)
+_b("firstj", lambda x, y, d, ctx: ctx.aj.cast("bigint"), INT64, positional=True)
+_b("secondi", lambda x, y, d, ctx: ctx.bi.cast("bigint"), INT64, positional=True)
+_b("secondj", lambda x, y, d, ctx: ctx.bj.cast("bigint"), INT64, positional=True)
+
+binary = _Namespace("binary", _BINARY)
+
+
+# --------------------------------------------------------------------------
+# monoids — each with a Spark aggregate expression (map-side combinable)
+# --------------------------------------------------------------------------
+
+_MONOID = {}
+
+
+def _m(name, binop_name, identity, agg):
+    _MONOID[name] = Monoid(name, _BINARY[binop_name], identity, agg)
+
+
+def _prod_agg(col: Column, dtype: GbType) -> Column:
+    """Product aggregate. Spark has no product(); for floats use the
+    sign/log decomposition (constant state — scales to any group size);
+    for ints fold a collected list exactly (group size = stored entries
+    contributing to one output cell; switch wide int products to the
+    float path at extreme scale)."""
+    if dtype.is_float:
+        any_zero = F.max(F.when(col == 0, 1).otherwise(0)) == 1
+        neg_parity = F.sum(F.when(col < 0, 1).otherwise(0)) % 2
+        mag = F.exp(F.sum(F.log(F.abs(F.when(col != 0, col)))))
+        signed = F.when(neg_parity == 1, -mag).otherwise(mag)
+        return F.when(any_zero, F.lit(0.0)).otherwise(signed).cast(dtype.spark_type)
+    one = F.lit(1).cast("bigint")
+    folded = F.aggregate(F.collect_list(col.cast("bigint")), one,
+                         lambda acc, x: acc * x)
+    return folded.cast(dtype.spark_type)
+
+
+def _parity_sum(col: Column, dtype: GbType) -> Column:
+    return F.sum(_truthy(col, dtype).cast("int"))
+
+
+def _lxor_agg(col, dtype):
+    r = (_parity_sum(col, dtype) % 2) == 1
+    return r if dtype.is_bool else r.cast(dtype.spark_type)
+
+
+def _lxnor_agg(col, dtype):
+    # n-fold xnor == xor(all) when n odd, ~xor(all) when n even
+    xor_all = (_parity_sum(col, dtype) % 2) == 1
+    r = F.when(F.count(col) % 2 == 1, xor_all).otherwise(~xor_all)
+    return r if dtype.is_bool else r.cast(dtype.spark_type)
+
+
+def _bool_agg(which):
+    def agg(col, dtype):
+        c = _truthy(col, dtype)
+        r = F.bool_and(c) if which == "and" else F.bool_or(c)
+        return r if dtype.is_bool else r.cast(dtype.spark_type)
+    return agg
+
+
+def _bxnor_agg(col, dtype):
+    xor_all = F.bit_xor(col)
+    r = F.when(F.count(col) % 2 == 0, F.bitwise_not(xor_all)).otherwise(xor_all)
+    return r.cast(dtype.spark_type)
+
+
+_m("plus", "plus", 0, lambda c, d: F.sum(c).cast(d.spark_type))
+_m("times", "times", 1, _prod_agg)
+_m("min", "min", float("inf"), lambda c, d: F.min(c))
+_m("max", "max", float("-inf"), lambda c, d: F.max(c))
+_m("any", "any", None, lambda c, d: F.first(c))
+_m("land", "land", True, _bool_agg("and"))
+_m("lor", "lor", False, _bool_agg("or"))
+_m("lxor", "lxor", False, _lxor_agg)
+_m("lxnor", "lxnor", True, _lxnor_agg)
+_m("band", "band", -1, lambda c, d: F.bit_and(c).cast(d.spark_type))
+_m("bor", "bor", 0, lambda c, d: F.bit_or(c).cast(d.spark_type))
+_m("bxor", "bxor", 0, lambda c, d: F.bit_xor(c).cast(d.spark_type))
+_m("bxnor", "bxnor", -1, _bxnor_agg)
+
+monoid = _Namespace("monoid", _MONOID)
+
+
+# --------------------------------------------------------------------------
+# semirings — resolved lazily by name: "<monoid>_<binaryop>"
+# (mirrors grblas' generated ~1000-name registry, SURVEY.md section 2.2)
+# --------------------------------------------------------------------------
+
+class _SemiringNamespace(_Namespace):
+    def __getattr__(self, item):
+        if item.startswith("_"):
+            raise AttributeError(item)
+        reg = object.__getattribute__(self, "_registry")
+        if item in reg:
+            return reg[item]
+        if "_" in item:
+            mon_name, bin_name = item.split("_", 1)
+            if mon_name in _MONOID and bin_name in _BINARY:
+                sr = Semiring(item, _MONOID[mon_name], _BINARY[bin_name])
+                reg[item] = sr
+                return sr
+        raise AttributeError(f"semiring has no operator {item!r}")
+
+
+semiring = _SemiringNamespace("semiring", {})
+
+
+def get_semiring(monoid_: Monoid, binaryop: BinaryOp) -> Semiring:
+    """Compose a semiring from parts (grblas get_semiring analogue;
+    reference test: tests/from_grblas2/test_op.py:794-828)."""
+    return getattr(semiring, f"{monoid_.name}_{binaryop.name}")
+
+
+# --------------------------------------------------------------------------
+# aggregators (reference: grblas agg.*, dispatched at expr.py:242-245)
+# --------------------------------------------------------------------------
+
+_AGG = {}
+
+
+def _a(name, fn, out_dtype=None, needs_index=False):
+    _AGG[name] = Aggregator(name, fn, out_dtype, needs_index)
+
+
+_a("count", lambda c, d: F.count(c), INT64)
+_a("count_nonzero", lambda c, d: F.count(F.when(_truthy(c, d), 1)), INT64)
+_a("count_zero", lambda c, d: F.count(F.when(~_truthy(c, d), 1)), INT64)
+_a("sum", lambda c, d: F.sum(c).cast(d.spark_type))
+_a("sum_of_squares", lambda c, d: F.sum(c * c).cast(d.spark_type))
+_a("mean", lambda c, d: F.avg(c), FP64)
+_a("peak_to_peak", lambda c, d: F.max(c) - F.min(c))
+_a("stdp", lambda c, d: F.stddev_pop(c), FP64)
+_a("stds", lambda c, d: F.stddev_samp(c), FP64)
+_a("varp", lambda c, d: F.var_pop(c), FP64)
+_a("vars", lambda c, d: F.var_samp(c), FP64)
+_a("logaddexp", lambda c, d: F.log(F.sum(F.exp(c))), FP64)
+_a("logaddexp2", lambda c, d: F.log2(F.sum(F.pow(F.lit(2.0), c))), FP64)
+_a("hypot", lambda c, d: F.sqrt(F.sum(c * c)), FP64)
+_a("L0norm", lambda c, d: F.count(F.when(_truthy(c, d), 1)), INT64)
+_a("L1norm", lambda c, d: F.sum(F.abs(c)))
+_a("L2norm", lambda c, d: F.sqrt(F.sum(c * c)), FP64)
+_a("Linfnorm", lambda c, d: F.max(F.abs(c)))
+_a("argmin", lambda c, i, d: F.min_by(i, c), INT64, needs_index=True)
+_a("argmax", lambda c, i, d: F.max_by(i, c), INT64, needs_index=True)
+_a("first", lambda c, i, d: F.min_by(c, i), needs_index=True)
+_a("last", lambda c, i, d: F.max_by(c, i), needs_index=True)
+_a("first_index", lambda c, i, d: F.min(i), INT64, needs_index=True)
+_a("last_index", lambda c, i, d: F.max(i), INT64, needs_index=True)
+_a("any_value", lambda c, d: F.first(c))
+
+agg = _Namespace("agg", _AGG)
+
+
+def get_typed_op(op, a: GbType, b: GbType | None = None):
+    """Resolve an op given operand dtypes -> (op, out_dtype).
+
+    Reference analogue: grblas get_typed_op via base.py:172-176. Accepts an
+    op object or a registry name string ('plus', 'binary.plus', ...).
+    """
+    if isinstance(op, str):
+        ns, _, name = op.rpartition(".")
+        if ns == "unary":
+            op = _UNARY[name]
+        elif ns == "binary":
+            op = _BINARY[name]
+        elif ns == "monoid":
+            op = _MONOID[name]
+        elif ns == "semiring":
+            op = getattr(semiring, name)
+        else:
+            for reg in (_BINARY, _MONOID, _UNARY):
+                if name in reg:
+                    op = reg[name]
+                    break
+            else:
+                op = getattr(semiring, name)
+    if isinstance(op, UnaryOp):
+        return op, op.out_dtype(a)
+    if isinstance(op, (Semiring,)):
+        return op, op.out_dtype(a, b if b is not None else a)
+    return op, op.out_dtype(a, b if b is not None else a)
