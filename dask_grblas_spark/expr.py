@@ -242,7 +242,10 @@ class Assigner:
         self.updater = updater
         parent = updater.parent
         self.parent = parent
-        self.resolved = (index if isinstance(index, list)
+        is_pre_resolved = (isinstance(index, list) and index
+                           and all(isinstance(r, extract_plans.ResolvedIndex)
+                                   for r in index))
+        self.resolved = (index if is_pre_resolved
                          else parent._resolve_indices(index))
         self.subassign = subassign
 

@@ -1,0 +1,180 @@
+"""Construction, bookkeeping, stacking, dtype, and partitioning-invariance
+tests (reference patterns: tests/test_vector.py:14-101, SURVEY section 5.2)."""
+
+import pytest
+
+import dask_grblas_spark as gb
+from dask_grblas_spark import binary, monoid, semiring
+
+from tests import model
+from tests.conftest import A_DATA, V_DATA, W_DATA, mat_from, vec_from
+
+
+def test_from_values_infers_size_and_dtype(spark):
+    v = gb.Vector.from_values([0, 3], [1.5, 2.5])
+    assert v.size == 4
+    assert v.dtype.name == "FP64"
+    m = gb.Matrix.from_values([0, 2], [5, 1], [True, False])
+    assert (m.nrows, m.ncols) == (3, 6)
+    assert m.dtype.name == "BOOL"
+
+
+def test_from_values_dup_op(spark):
+    v = gb.Vector.from_values([0, 0, 1], [1, 2, 3], dup_op=binary.plus)
+    assert v.to_dict() == {0: 3, 1: 3}
+    v = gb.Vector.from_values([0, 0, 1], [5, 2, 3], dup_op=monoid.min)
+    assert v.to_dict() == {0: 2, 1: 3}
+
+
+def test_from_values_bounds_check(spark):
+    with pytest.raises(gb.IndexOutOfBound):
+        gb.Vector.from_values([0, 9], [1, 2], size=5)
+    gb.Vector.from_values([0, 9], [1, 2], size=5, trust_size=True)  # no check
+
+
+def test_explicit_zero_is_an_entry(w):
+    # stored 0.0 at index 6 must survive everything (FIXTURES.md)
+    assert w.to_dict()[6] == 0.0
+    assert w.nvals == 5
+    d = w.dup()
+    assert d.to_dict()[6] == 0.0
+    # structural mask includes it, value mask excludes it
+    got = w.dup(mask=w.S)
+    assert 6 in got.to_dict()
+    got = w.dup(mask=w.V)
+    assert 6 not in got.to_dict()
+    assert 4 in got.to_dict()  # -4.0 is truthy
+
+
+def test_clear_dup_nvals(v):
+    d = v.dup()
+    assert d.nvals == 5
+    d.clear()
+    assert d.nvals == 0
+    assert d.size == 7  # shape kept
+    assert v.nvals == 5  # original untouched
+
+
+def test_dup_with_dtype_cast(v):
+    d = v.dup("FP64")
+    assert d.dtype.name == "FP64"
+    assert d.to_dict() == {k: float(x) for k, x in V_DATA.items()}
+
+
+def test_resize(v):
+    d = v.dup()
+    d.resize(3)
+    assert d.size == 3
+    assert d.to_dict() == {0: 0, 1: -20, 2: 30}
+    d.resize(100)  # grow = metadata only
+    assert d.size == 100
+    assert d.nvals == 3  # entries at 0,1,2 survive the grow
+    assert d.to_dict() == {0: 0, 1: -20, 2: 30}
+
+
+def test_build_requires_empty(v):
+    with pytest.raises(gb.OutputNotEmpty):
+        v.build([0], [1])
+    u = gb.Vector.new("INT64", 7)
+    u.build([1, 5], [10, 20])
+    assert u.to_dict() == {1: 10, 5: 20}
+    v.build([0], [1], clear=True)
+    assert v.to_dict() == {0: 1}
+
+
+def test_concat_and_stack(spark):
+    a = vec_from({0: 1, 2: 3}, size=3)
+    b = vec_from({1: 9}, size=2)
+    c = gb.concat_vectors([a, b])
+    assert c.size == 5
+    assert c.to_dict() == {0: 1, 2: 3, 4: 9}
+    M = gb.row_stack([a, a])
+    assert (M.nrows, M.ncols) == (2, 3)
+    assert M.to_dict() == {(0, 0): 1, (0, 2): 3, (1, 0): 1, (1, 2): 3}
+    N = gb.column_stack([a, a])
+    assert (N.nrows, N.ncols) == (3, 2)
+
+
+def test_as_matrix_as_vector(v, spark):
+    M = v._as_matrix()
+    assert (M.nrows, M.ncols) == (7, 1)
+    assert M.to_dict() == {(k, 0): x for k, x in V_DATA.items()}
+    s = gb.Scalar.from_value(5)
+    sv = s._as_vector()
+    assert sv.size == 1
+    assert sv.to_dict() == {0: 5}
+
+
+def test_scalar_basics(spark):
+    s = gb.Scalar.from_value(2.5)
+    assert s.dtype.name == "FP64"
+    assert s.value == 2.5
+    assert not s.is_empty
+    assert s.nvals == 1
+    e = gb.Scalar.new("INT32")
+    assert e.is_empty and e.nvals == 0
+    assert (-s).value == -2.5
+    b = gb.Scalar.from_value(True)
+    assert (~b).value is False
+
+
+def test_iteration_and_contains(v, A):
+    assert list(v) == sorted(V_DATA)
+    assert sorted(A) == sorted(A_DATA)
+    assert (1 in v) and (3 not in v)
+
+
+def test_to_values_sorted(A):
+    r, c, vals = A.to_values()
+    assert list(zip(r, c)) == sorted(A_DATA)
+    assert [A_DATA[k] for k in sorted(A_DATA)] == list(vals)
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 17])
+def test_partitioning_invariance(spark, nparts):
+    """Results must be identical under any partitioning (reference
+    multi-chunking fixtures dv0/dv1/dv2, tests/test_vector.py:14-35)."""
+    v = vec_from(V_DATA).rechunk(nparts)
+    w = vec_from(W_DATA).rechunk(nparts)
+    A = mat_from(A_DATA).rechunk(nparts)
+    assert v.ewise_add(w, binary.plus).new().to_dict() == \
+        model.ewise_add(V_DATA, W_DATA, lambda a, b: a + b)
+    assert A.mxv(v, semiring.plus_times).new().to_dict() == \
+        model.mxv(A_DATA, V_DATA, lambda a, b: a + b, lambda a, b: a * b)
+    u = w.dup()
+    u(mask=v.V, accum=binary.plus) << w
+    keys = model.mask_keys_of(V_DATA, True)
+    assert u.to_dict() == model.merge(W_DATA, W_DATA,
+                                      accum=lambda a, b: a + b,
+                                      mask_keys=keys, complement=False)
+
+
+def test_dtype_unify_rules(spark):
+    i32 = vec_from({0: 1}, dtype="INT32")
+    f32 = vec_from({0: 2.0}, dtype="FP32")
+    out = i32.ewise_add(f32, binary.plus).new()
+    assert out.dtype.name == "FP64"  # int32 x float32 -> float64 (numpy rule)
+    i8 = vec_from({0: 1}, dtype="INT8")
+    i16 = vec_from({0: 1}, dtype="INT16")
+    assert i8.ewise_mult(i16, binary.times).new().dtype.name == "INT16"
+
+
+def test_monoid_aggregates(spark):
+    vals = {0: 3, 1: 5, 2: 2}
+    v = vec_from(vals)
+    assert v.reduce(monoid.times).new().value == 30
+    assert v.reduce(monoid.band).new().value == 3 & 5 & 2
+    assert v.reduce(monoid.bor).new().value == 3 | 5 | 2
+    assert v.reduce(monoid.bxor).new().value == 3 ^ 5 ^ 2
+    b = vec_from({0: True, 1: False, 2: True}, dtype="BOOL")
+    assert b.reduce(monoid.lor).new().value is True
+    assert b.reduce(monoid.land).new().value is False
+    assert b.reduce(monoid.lxor).new().value is False  # two trues
+    assert b.reduce(monoid.lxnor).new().value is False  # xnor(xnor(t,f),t)=f
+
+
+def test_times_monoid_float_path(spark):
+    v = vec_from({0: 2.0, 1: -3.0, 2: 0.5}, dtype="FP64")
+    assert v.reduce(monoid.times).new().value == pytest.approx(-3.0)
+    vz = vec_from({0: 2.0, 1: 0.0}, dtype="FP64")
+    assert vz.reduce(monoid.times).new().value == 0.0

