@@ -1,0 +1,224 @@
+"""Graph algorithms as Pregel-style DataFrame iteration over the engine's
+semiring primitives.
+
+The reference expresses these as mxv loops in notebooks (FastSV connected
+components in notebooks/'Connected Components -- FastSV.ipynb', SSSP
+min_plus in notebooks/Examples.ipynb). BASELINE.json suggests GraphX
+Pregel; GraphX has NO Python API in Apache Spark, so the idiomatic PySpark
+equivalent is what GraphFrames does under the hood: DataFrame
+message-aggregation loops. Each iteration is
+
+    candidates = frontier (vxm) A          -- broadcast join when frontier
+                                              is small, shuffle join + AQE
+                                              otherwise
+    improved   = candidates better-than current  -- left join + filter
+    state      = merge improved                  -- union merge
+    frontier   = improved
+
+with persist + localCheckpoint per iteration to cut lineage growth
+(mandatory for loops — SURVEY.md section 4 'Checkpointing iterative
+algorithms'). The adjacency matrix is repartitioned ONCE on the join key
+and cached, so per-iteration work reuses the same partitioning.
+
+Scale design (100 TB): frontier-based algorithms ship only the CHANGED
+entries each round; the adjacency stays partitioned in place. Dense-state
+algorithms (PageRank, CC labels) keep state as a hash-partitioned
+DataFrame co-partitioned with the adjacency — each step is one co-located
+join + one aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .core import GrMatrix, GrVector, get_session
+from .dtypes import FP64, INT64
+from .operators import semiring
+from .plans import matmul as matmul_plans
+
+__all__ = ["bfs_level", "sssp", "connected_components", "pagerank",
+           "triangle_count", "symmetrize"]
+
+_CHECKPOINT_EVERY = 5
+
+
+def symmetrize(A: GrMatrix) -> GrMatrix:
+    """A | A.T with max combine (undirected view of a directed graph)."""
+    return A.ewise_add(A.T, "max").new()
+
+
+def _improved(cand_df: DataFrame, cur_df: DataFrame) -> DataFrame:
+    """Entries of cand that are new or strictly smaller than current —
+    the GraphBLAS `w(accum=min)` frontier trick as one left join."""
+    c = cand_df.alias("c")
+    o = cur_df.alias("o")
+    return (c.join(o, F.col("c.i") == F.col("o.i"), "left_outer")
+             .filter(F.col("o.v").isNull() | (F.col("c.v") < F.col("o.v")))
+             .select(F.col("c.i").alias("i"), F.col("c.v").alias("v")))
+
+
+def _merge_min(cur_df: DataFrame, imp_df: DataFrame) -> DataFrame:
+    """Overwrite current entries with improved ones (imp wins)."""
+    o = cur_df.alias("o")
+    keep = o.join(imp_df.select("i"), on="i", how="left_anti")
+    return keep.unionByName(imp_df)
+
+
+def _prep_adjacency(A: GrMatrix) -> DataFrame:
+    """Partition the adjacency by source vertex once; every iteration's
+    join then reuses the exchange."""
+    spark = get_session()
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return A.df.repartition(n, "i").persist()
+
+
+def bfs_level(A: GrMatrix, source: int) -> GrVector:
+    """Level-synchronous BFS: frontier vxm with the any_pair semiring,
+    complement-mask pushdown keeps visited vertices out of the join."""
+    n = A.nrows
+    adj = _prep_adjacency(A)
+    Aprep = GrMatrix(adj, A.dtype, A.nrows, A.ncols)
+    levels = GrVector.from_values([source], [0], size=n, dtype=INT64)
+    frontier = levels.dup()
+    level = 0
+    while frontier.nvals > 0:
+        level += 1
+        cand = frontier.vxm(Aprep, semiring.any_pair)
+        # mask pushdown: unvisited only (anti join BEFORE the aggregation)
+        new_frontier = cand.new(mask=~levels.S)
+        new_df = new_frontier.df.select(
+            "i", F.lit(level).cast("bigint").alias("v"))
+        levels = GrVector(levels.df.unionByName(new_df), INT64, n)
+        frontier = GrVector(new_df, INT64, n)
+        frontier.persist()
+        if level % _CHECKPOINT_EVERY == 0:
+            levels.checkpoint()
+    adj.unpersist()
+    return levels
+
+
+def sssp(A: GrMatrix, source: int) -> GrVector:
+    """Single-source shortest paths, min_plus to fixpoint (reference SSSP
+    loop in notebooks/Examples.ipynb). Frontier = vertices whose distance
+    improved last round (delta-relaxation)."""
+    n = A.nrows
+    adj = _prep_adjacency(A)
+    Aprep = GrMatrix(adj, A.dtype, A.nrows, A.ncols)
+    dist = GrVector.from_values([source], [0.0], size=n, dtype=FP64)
+    frontier = dist.dup()
+    it = 0
+    while frontier.nvals > 0:
+        it += 1
+        cand = frontier.vxm(Aprep, semiring.min_plus).new()
+        imp_df = _improved(cand.df, dist.df)
+        frontier = GrVector(imp_df, FP64, n)
+        frontier.persist()
+        if frontier.nvals == 0:
+            break
+        dist = GrVector(_merge_min(dist.df, frontier.df), FP64, n)
+        if it % _CHECKPOINT_EVERY == 0:
+            dist.checkpoint()
+    adj.unpersist()
+    return dist
+
+
+def connected_components(A: GrMatrix) -> GrVector:
+    """Min-label propagation (FastSV-style semantics: reference notebook
+    'Connected Components -- FastSV.ipynb' converges on min labels via
+    min_second mxv; here labels flow with the min_first semiring since the
+    moving value rides on the LEFT/vector side of vxm).
+
+    Labels start as vertex ids for ALL n vertices (isolated vertices are
+    their own component). Only changed labels are re-propagated."""
+    spark = get_session()
+    n = A.nrows
+    Asym = symmetrize(A)
+    adj = _prep_adjacency(Asym)
+    Aprep = GrMatrix(adj, Asym.dtype, n, n)
+    labels_df = spark.range(n).select(F.col("id").alias("i"),
+                                      F.col("id").cast("bigint").alias("v"))
+    labels = GrVector(labels_df, INT64, n)
+    labels.persist()
+    changed = labels
+    it = 0
+    while changed.nvals > 0:
+        it += 1
+        # candidate label for j = min over in-neighbors i of label[i]
+        cand = changed.vxm(Aprep, semiring.min_first).new()
+        imp_df = _improved(cand.df, labels.df)
+        changed = GrVector(imp_df, INT64, n)
+        changed.persist()
+        if changed.nvals == 0:
+            break
+        old = labels
+        labels = GrVector(_merge_min(labels.df, changed.df), INT64, n)
+        labels.persist()
+        if it % 2 == 0:
+            labels.checkpoint()
+        old.unpersist()
+    adj.unpersist()
+    return labels
+
+
+def pagerank(A: GrMatrix, damping: float = 0.85, max_iters: int = 20,
+             tol: float = 1e-6) -> GrVector:
+    """Power-iteration PageRank with dangling-mass redistribution.
+
+    State is a dense rank DataFrame (n rows); each step is one join+agg
+    against the degree-normalized adjacency — the same plan shape Spark
+    runs for any scale-out PageRank. Convergence check is a 1-row action
+    per iteration (L1 delta)."""
+    spark = get_session()
+    n = A.nrows
+    adj = A.df
+    outdeg = adj.groupBy("i").agg(F.count("*").alias("d"))
+    # P[i,j] = 1/outdeg(i) — degree-normalized transition matrix
+    P = (adj.join(outdeg, on="i")
+            .select("i", "j", (F.lit(1.0) / F.col("d")).alias("v")))
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    P = P.repartition(nparts, "i").persist()
+    nodes = spark.range(n).select(F.col("id").alias("i"))
+    has_out = outdeg.select("i")
+    r = nodes.select("i", F.lit(1.0 / n).alias("v")).persist()
+    base = (1.0 - damping) / n
+    for it in range(max_iters):
+        dangling = (r.join(has_out, on="i", how="left_anti")
+                     .agg(F.coalesce(F.sum("v"), F.lit(0.0))).collect()[0][0])
+        contrib = (P.alias("P").join(r.alias("r"), F.col("P.i") == F.col("r.i"))
+                    .select(F.col("P.j").alias("i"),
+                            (F.col("P.v") * F.col("r.v")).alias("c"))
+                    .groupBy("i").agg(F.sum("c").alias("s")))
+        r_new = (nodes.join(contrib, on="i", how="left_outer")
+                      .select("i",
+                              (F.lit(base)
+                               + F.lit(damping)
+                               * (F.coalesce(F.col("s"), F.lit(0.0))
+                                  + F.lit(dangling / n))).alias("v")))
+        r_new = r_new.localCheckpoint(eager=True)
+        delta = (r_new.alias("a").join(r.alias("b"), on="i")
+                      .agg(F.sum(F.abs(F.col("a.v") - F.col("b.v"))))
+                      .collect()[0][0])
+        r.unpersist()
+        r = r_new
+        if delta is not None and delta < tol:
+            break
+    P.unpersist()
+    return GrVector(r, FP64, n)
+
+
+def triangle_count(A: GrMatrix) -> int:
+    """Triangle counting via masked semiring matmul (the classic GraphBLAS
+    formulation): L = strict lower triangle of the symmetrized adjacency;
+    ntri = reduce(C) where C<L.S> = L * L.T over plus_pair. The structural
+    mask is PUSHED DOWN into the multiply (semi-join before aggregation),
+    so only wedge-closing pairs are aggregated."""
+    Asym = symmetrize(A)
+    L_df = Asym.df.filter(F.col("i") > F.col("j"))
+    L = GrMatrix(L_df, Asym.dtype, Asym.nrows, Asym.ncols)
+    L.persist()
+    C = GrMatrix.new("INT64", Asym.nrows, Asym.ncols)
+    C(mask=L.S) << L.mxm(L.T, semiring.plus_pair)
+    t = C.reduce_scalar("plus").new().value
+    L.unpersist()
+    return int(t) if t is not None else 0
