@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs a dask_grblas_spark engine operator pipeline
+(SURVEY.md section 2 inventory) over the TPC-H-ish testdata; the matching
+``oracle_sql()`` entry is the same computation in plain DuckDB SQL over
+the pre-registered views. Column names are aligned on both sides (the
+driver sorts columns by name before value-hashing). Float-producing
+queries round on BOTH sides; integer aggregates are CAST to BIGINT in the
+SQL (DuckDB SUM on integers yields HUGEINT otherwise).
+
+Queries without an oracle entry (minhash/simhash/LSH candidates, Pandas-
+UDF feature extraction) are probabilistic-candidate or stub-backed ops —
+the driver records the weaker rows-only check for them by design.
 """
 
 from __future__ import annotations
@@ -12,27 +18,697 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from dask_grblas_spark import Matrix, Vector, agg, binary, monoid, semiring
+from dask_grblas_spark import algorithms as alg
+from dask_grblas_spark.functions import dedup, multimodal, similarity, text
+from dask_grblas_spark.sources import tpch
+from dask_grblas_spark.streaming import event_window_agg, sessionize
+
+SF0001 = "/root/testdata/sf0.001"
+
+# SQL building block shared by the graph oracles
+NN_CTE = """
+nn AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS i,
+         CAST(s.s_nationkey AS BIGINT) AS j,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM orders o
+  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+)"""
+
+NN_SYM_CTE = NN_CTE + """,
+nn_sym AS (
+  SELECT i, j, MAX(v) AS v FROM (
+    SELECT i, j, v FROM nn
+    UNION ALL
+    SELECT j AS i, i AS j, v FROM nn
+  ) GROUP BY i, j
+)"""
+
+
+# ---------------------------------------------------------------------------
+# engine-side query helpers
+# ---------------------------------------------------------------------------
+
+def _doc(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir, as_double=True):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if as_double:
+        df = df.withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    return df
+
+
+def q01_outdegree(spark, sf_dir):
+    """C4/R3: reduce_rowwise(plus) on the customer->supplier matrix."""
+    cs = tpch.customer_supplier_matrix(spark, sf_dir)
+    deg = cs.reduce_rowwise(monoid.plus).new()
+    return deg.df.select(F.col("i"), F.col("v").alias("deg"))
+
+
+def q02_twohop(spark, sf_dir):
+    """M1: mxm plus_times — nation-level 2-hop path counts."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    two = nn.mxm(nn, semiring.plus_times).new()
+    return two.df.select("i", "j", F.col("v").alias("paths"))
+
+
+def q03_masked_mxv(spark, sf_dir):
+    """M2+M4: mxv with structural-mask pushdown (region-0 nations only)."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    sup = tpch.load_table(spark, sf_dir, "supplier")
+    v = Vector.from_dataframe(
+        sup.groupBy(F.col("s_nationkey").cast("bigint").alias("i"))
+           .agg(F.count("*").alias("v")), size=25, dtype="INT64")
+    nation = tpch.load_table(spark, sf_dir, "nation")
+    m = Vector.from_dataframe(
+        nation.filter(F.col("n_regionkey") == 0)
+              .select(F.col("n_nationkey").cast("bigint").alias("i"),
+                      F.lit(True).alias("v")), size=25, dtype="BOOL")
+    out = Vector.new("INT64", 25)
+    out(mask=m.S) << nn.mxv(v, semiring.plus_times)
+    return out.df.select("i", F.col("v").alias("score"))
+
+
+def q03b_complement_mask(spark, sf_dir):
+    """M4: complemented structural mask (anti-join pushdown)."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    sup = tpch.load_table(spark, sf_dir, "supplier")
+    v = Vector.from_dataframe(
+        sup.groupBy(F.col("s_nationkey").cast("bigint").alias("i"))
+           .agg(F.count("*").alias("v")), size=25, dtype="INT64")
+    nation = tpch.load_table(spark, sf_dir, "nation")
+    m = Vector.from_dataframe(
+        nation.filter(F.col("n_regionkey") == 0)
+              .select(F.col("n_nationkey").cast("bigint").alias("i"),
+                      F.lit(True).alias("v")), size=25, dtype="BOOL")
+    out = Vector.new("INT64", 25)
+    out(mask=~m.S) << nn.mxv(v, semiring.plus_times)
+    return out.df.select("i", F.col("v").alias("score"))
+
+
+def q04_ewise_add(spark, sf_dir):
+    """E1: union merge — acctbal vector (+) order-count vector."""
+    a = tpch.customer_acctbal_vector(spark, sf_dir)
+    b = tpch.customer_order_count_vector(spark, sf_dir)
+    out = a.ewise_add(b, binary.plus).new()
+    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def q04b_ewise_mult(spark, sf_dir):
+    """E2: intersection merge — acctbal (*) order count."""
+    a = tpch.customer_acctbal_vector(spark, sf_dir)
+    b = tpch.customer_order_count_vector(spark, sf_dir)
+    out = a.ewise_mult(b, binary.times).new()
+    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def q05_connected_components(spark, sf_dir):
+    """Iterative min-label propagation (FastSV semantics) on nation graph."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    comp = alg.connected_components(nn)
+    return comp.df.select("i", F.col("v").alias("comp"))
+
+
+def q06_sssp_dag(spark, sf_dir):
+    """min_plus SSSP to fixpoint on the (i<j)-DAG of the nation graph."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    dag = Matrix(nn.df.filter(F.col("i") < F.col("j")), nn.dtype, 25, 25)
+    dist = alg.sssp(dag, 0)
+    return dist.df.select("i", F.col("v").alias("dist"))
+
+
+def q07_triangles(spark, sf_dir):
+    """Masked matmul triangle count (plus_pair with L-mask pushdown)."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    t = alg.triangle_count(nn)
+    return spark.createDataFrame([(t,)], "n_triangles bigint")
+
+
+def q08_bfs(spark, sf_dir):
+    """BFS levels from nation 0 over the symmetrized nation graph."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    lv = alg.bfs_level(alg.symmetrize(nn), 0)
+    return lv.df.select("i", F.col("v").alias("level"))
+
+
+def q09_kronecker(spark, sf_dir):
+    """M6: kronecker product (the reference declares-but-cannot-run it)."""
+    region = tpch.load_table(spark, sf_dir, "region")
+    d = Vector.from_dataframe(
+        region.select(F.col("r_regionkey").cast("bigint").alias("i"),
+                      (F.col("r_regionkey") + 1).cast("bigint").alias("v")),
+        size=5, dtype="INT64")
+    D = d.diag()
+    K = D.kronecker(D, binary.times).new()
+    return K.df.select("i", "j", "v")
+
+
+def q10_extract_slice(spark, sf_dir):
+    """X1: slice extract — pure predicate + arithmetic, no join."""
+    v = tpch.customer_acctbal_vector(spark, sf_dir)
+    v.size = 1_000_000  # logical upper bound; custkeys are far below
+    out = v[0:1000].new()
+    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def q11_apply(spark, sf_dir):
+    """E3: apply with bound scalar (times 1.1)."""
+    v = tpch.customer_acctbal_vector(spark, sf_dir)
+    out = v.apply(binary.times, right=1.1).new()
+    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def q12_mask_semijoin(spark, sf_dir):
+    """Structural mask as dup filter: customers having orders."""
+    v = tpch.customer_acctbal_vector(spark, sf_dir)
+    m = tpch.customer_order_count_vector(spark, sf_dir)
+    out = v.dup(mask=m.S)
+    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def q13_mask_antijoin(spark, sf_dir):
+    """Complemented structural mask: acctbal of customers NOT in nation 0."""
+    v = tpch.customer_acctbal_vector(spark, sf_dir)
+    cust = tpch.load_table(spark, sf_dir, "customer")
+    m = Vector.from_dataframe(
+        cust.filter(F.col("c_nationkey") == 0)
+            .select(F.col("c_custkey").cast("bigint").alias("i"),
+                    F.lit(True).alias("v")), size=v.size, dtype="BOOL")
+    out = v.dup(mask=~m.S)
+    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def _cust_nation_matrix(spark, sf_dir):
+    cust = tpch.load_table(spark, sf_dir, "customer")
+    return Matrix.from_dataframe(
+        cust.select(F.col("c_custkey").alias("i"),
+                    F.col("c_nationkey").cast("bigint").alias("j"),
+                    F.col("c_acctbal").alias("v")), dtype="FP64")
+
+
+def q14_colwise_max(spark, sf_dir):
+    """R3: reduce_columnwise(max) — max acctbal per nation."""
+    M = _cust_nation_matrix(spark, sf_dir)
+    out = M.reduce_columnwise(monoid.max).new()
+    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def q15_colwise_count(spark, sf_dir):
+    """R5 aggregator: count per nation."""
+    M = _cust_nation_matrix(spark, sf_dir)
+    out = M.reduce_columnwise(agg.count).new()
+    return out.df.select("i", F.col("v").alias("n"))
+
+
+def q16_reduce_scalar(spark, sf_dir):
+    """R2: whole-matrix reduce -> scalar (total lineitem count)."""
+    cs = tpch.customer_supplier_matrix(spark, sf_dir)
+    s = cs.reduce_scalar(monoid.plus).new()
+    return s.df.select(F.col("v"))
+
+
+def q17_mat_ewise_min_transpose(spark, sf_dir):
+    """E2+M5: ewise_mult(min) of nn with its lazy transpose (reciprocity)."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    out = nn.ewise_mult(nn.T, binary.min).new()
+    return out.df.select("i", "j", "v")
+
+
+def q18_diag_extract(spark, sf_dir):
+    """C13: main-diagonal extract (intra-nation trade)."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    out = nn.diag(0)
+    return out.df.select("i", F.col("v").alias("selftrade"))
+
+
+# ---- text analysis --------------------------------------------------------
+
+def q20_token_count(spark, sf_dir):
+    out = text.token_count(_doc(spark, sf_dir))
+    return out.select("doc_id", "n_tokens")
+
+
+def q21_char_stats(spark, sf_dir):
+    out = text.char_stats(_doc(spark, sf_dir))
+    return out.select("doc_id", "n_chars_m", "space_ratio", "punct_ratio",
+                      "digit_ratio")
+
+
+def q22_quality(spark, sf_dir):
+    out = text.quality_score(_doc(spark, sf_dir))
+    return out.select("doc_id", "n_tokens", "stopword_ratio", "quality")
+
+
+def q23_lang_scores(spark, sf_dir):
+    """Marker-token language scores, long format (doc_id x lang)."""
+    doc = _doc(spark, sf_dir)
+    toks = text.tokens(F.col("text"))
+    parts = []
+    for lang, markers in sorted(text._LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        parts.append(doc.select("doc_id", F.lit(lang).alias("lang_cand"),
+                                score.cast("bigint").alias("score")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q24_fingerprint(spark, sf_dir):
+    out = text.fingerprint(_doc(spark, sf_dir))
+    return out.select("doc_id", "fingerprint")
+
+
+def q25_token_freq(spark, sf_dir):
+    return text.token_frequencies(_doc(spark, sf_dir)).select("token", "freq")
+
+
+# ---- dedup / similarity ---------------------------------------------------
+
+def q30_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_doc(spark, sf_dir)) \
+        .select("content_hash", "keep_id", "n_copies")
+
+
+def q31_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_doc(spark, sf_dir), n=3, threshold=0.2) \
+        .select("id_a", "id_b", "jaccard")
+
+
+def q32_minhash_lsh(spark, sf_dir):
+    """Probabilistic candidate recall -> rows-only driver check."""
+    return dedup.minhash_lsh_pairs(_doc(spark, sf_dir), n=3, threshold=0.2,
+                                   num_hashes=32, bands=16) \
+        .select("id_a", "id_b", "jaccard")
+
+
+def q33_simhash(spark, sf_dir):
+    """Murmur3-based signatures are Spark-internal -> rows-only check."""
+    return dedup.simhash_pairs(_doc(spark, sf_dir), max_hamming=6) \
+        .select("id_a", "id_b", "hamming")
+
+
+def q34_embedding_neardup(spark, sf_dir):
+    return dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.4) \
+        .select("id_a", "id_b", "cosine")
+
+
+def q35_cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(_emb(spark, sf_dir), k=5) \
+        .select("query_id", "neighbor_id", "rank")
+
+
+def q36_ivf_ann(spark, sf_dir):
+    """IVF-bucketed ANN (probabilistic recall) -> rows-only check."""
+    return similarity.ivf_topk(_emb(spark, sf_dir), k=5, n_cells=8, nprobe=3) \
+        .select("query_id", "neighbor_id", "rank")
+
+
+# ---- events / streaming ---------------------------------------------------
+
+def q40_stream_window(spark, sf_dir):
+    out = event_window_agg(spark, sf_dir, "1 hour")
+    return out.select(F.unix_timestamp("window_start").alias("ws"),
+                      "event_type", "n_events", "sum_value")
+
+
+def q41_sessionize(spark, sf_dir):
+    return sessionize(spark, sf_dir, gap_minutes=30) \
+        .select("user_id", "session_no", "n_events", "sum_value")
+
+
+# ---- multimodal -----------------------------------------------------------
+
+def q50_media_meta(spark, sf_dir):
+    media = multimodal.to_binary_table(_doc(spark, sf_dir))
+    return media.select("media_id", F.col("meta.n_bytes").alias("n_bytes"),
+                        F.col("meta.mime").alias("mime"))
+
+
+def q51_media_features(spark, sf_dir):
+    """mapInPandas feature extraction (deterministic fake decode) ->
+    rows-only check (Pandas-UDF path has no SQL equivalent)."""
+    media = multimodal.to_binary_table(_doc(spark, sf_dir))
+    feats = multimodal.decode_features(media, dim=16)
+    return feats.select("media_id", "n_bytes",
+                        F.size("feature").alias("feat_dim"))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
+    return q02_twohop(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_outdegree": q01_outdegree,
+        "q02_twohop": q02_twohop,
+        "q03_masked_mxv": q03_masked_mxv,
+        "q03b_complement_mask": q03b_complement_mask,
+        "q04_ewise_add": q04_ewise_add,
+        "q04b_ewise_mult": q04b_ewise_mult,
+        "q05_connected_components": q05_connected_components,
+        "q06_sssp_dag": q06_sssp_dag,
+        "q07_triangles": q07_triangles,
+        "q08_bfs": q08_bfs,
+        "q09_kronecker": q09_kronecker,
+        "q10_extract_slice": q10_extract_slice,
+        "q11_apply": q11_apply,
+        "q12_mask_semijoin": q12_mask_semijoin,
+        "q13_mask_antijoin": q13_mask_antijoin,
+        "q14_colwise_max": q14_colwise_max,
+        "q15_colwise_count": q15_colwise_count,
+        "q16_reduce_scalar": q16_reduce_scalar,
+        "q17_mat_ewise_min_transpose": q17_mat_ewise_min_transpose,
+        "q18_diag_extract": q18_diag_extract,
+        "q20_token_count": q20_token_count,
+        "q21_char_stats": q21_char_stats,
+        "q22_quality": q22_quality,
+        "q23_lang_scores": q23_lang_scores,
+        "q24_fingerprint": q24_fingerprint,
+        "q25_token_freq": q25_token_freq,
+        "q30_exact_dedup": q30_exact_dedup,
+        "q31_ngram_jaccard": q31_ngram_jaccard,
+        "q32_minhash_lsh": q32_minhash_lsh,
+        "q33_simhash": q33_simhash,
+        "q34_embedding_neardup": q34_embedding_neardup,
+        "q35_cosine_topk": q35_cosine_topk,
+        "q36_ivf_ann": q36_ivf_ann,
+        "q40_stream_window": q40_stream_window,
+        "q41_sessionize": q41_sessionize,
+        "q50_media_meta": q50_media_meta,
+        "q51_media_features": q51_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql = {}
+    sql["q01_outdegree"] = """
+        SELECT CAST(o.o_custkey AS BIGINT) AS i, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
     """
-    return {}
+    sql["q02_twohop"] = f"""
+        WITH {NN_CTE}
+        SELECT a.i, b.j, CAST(SUM(a.v * b.v) AS BIGINT) AS paths
+        FROM nn a JOIN nn b ON a.j = b.i
+        GROUP BY 1, 2
+    """
+    sql["q03_masked_mxv"] = f"""
+        WITH {NN_CTE},
+        sup AS (SELECT CAST(s_nationkey AS BIGINT) AS nk,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM supplier GROUP BY 1)
+        SELECT nn.i, CAST(SUM(nn.v * sup.cnt) AS BIGINT) AS score
+        FROM nn JOIN sup ON nn.j = sup.nk
+        WHERE nn.i IN (SELECT CAST(n_nationkey AS BIGINT) FROM nation
+                       WHERE n_regionkey = 0)
+        GROUP BY 1
+    """
+    sql["q03b_complement_mask"] = f"""
+        WITH {NN_CTE},
+        sup AS (SELECT CAST(s_nationkey AS BIGINT) AS nk,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM supplier GROUP BY 1)
+        SELECT nn.i, CAST(SUM(nn.v * sup.cnt) AS BIGINT) AS score
+        FROM nn JOIN sup ON nn.j = sup.nk
+        WHERE nn.i NOT IN (SELECT CAST(n_nationkey AS BIGINT) FROM nation
+                           WHERE n_regionkey = 0)
+        GROUP BY 1
+    """
+    sql["q04_ewise_add"] = """
+        WITH a AS (SELECT CAST(c_custkey AS BIGINT) AS i, c_acctbal AS v
+                   FROM customer),
+        b AS (SELECT CAST(o_custkey AS BIGINT) AS i,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM orders GROUP BY 1)
+        SELECT COALESCE(a.i, b.i) AS i,
+               ROUND(CASE WHEN a.i IS NOT NULL AND b.i IS NOT NULL
+                          THEN a.v + b.v
+                          WHEN a.i IS NOT NULL THEN a.v
+                          ELSE CAST(b.v AS DOUBLE) END, 2) AS v
+        FROM a FULL OUTER JOIN b ON a.i = b.i
+    """
+    sql["q04b_ewise_mult"] = """
+        WITH a AS (SELECT CAST(c_custkey AS BIGINT) AS i, c_acctbal AS v
+                   FROM customer),
+        b AS (SELECT CAST(o_custkey AS BIGINT) AS i,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM orders GROUP BY 1)
+        SELECT a.i AS i, ROUND(a.v * b.v, 2) AS v
+        FROM a JOIN b ON a.i = b.i
+    """
+    sql["q05_connected_components"] = f"""
+        WITH RECURSIVE {NN_SYM_CTE},
+        nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS n FROM nation),
+        reach(src, dst) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT r.src, e.j FROM reach r JOIN nn_sym e ON r.dst = e.i
+        )
+        SELECT src AS i, CAST(MIN(dst) AS BIGINT) AS comp
+        FROM reach GROUP BY 1
+    """
+    sql["q06_sssp_dag"] = f"""
+        WITH RECURSIVE {NN_CTE},
+        dag AS (SELECT i, j, CAST(v AS DOUBLE) AS v FROM nn WHERE i < j),
+        paths(dst, d) AS (
+            SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+            UNION
+            SELECT e.j, p.d + e.v FROM paths p JOIN dag e ON p.dst = e.i
+        )
+        SELECT dst AS i, MIN(d) AS dist FROM paths GROUP BY 1
+    """
+    sql["q07_triangles"] = f"""
+        WITH {NN_SYM_CTE},
+        und AS (SELECT i, j FROM nn_sym WHERE i > j)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM und e1 JOIN und e2 ON e1.j = e2.j AND e1.i > e2.i
+        JOIN und e3 ON e3.i = e1.i AND e3.j = e2.i
+    """
+    sql["q08_bfs"] = f"""
+        WITH RECURSIVE {NN_SYM_CTE},
+        reach(dst, lvl) AS (
+            SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+            UNION
+            SELECT e.j, r.lvl + 1 FROM reach r JOIN nn_sym e ON r.dst = e.i
+            WHERE r.lvl < 25
+        )
+        SELECT dst AS i, CAST(MIN(lvl) AS BIGINT) AS level
+        FROM reach GROUP BY 1
+    """
+    sql["q09_kronecker"] = """
+        SELECT CAST(a.r_regionkey * 5 + b.r_regionkey AS BIGINT) AS i,
+               CAST(a.r_regionkey * 5 + b.r_regionkey AS BIGINT) AS j,
+               CAST((a.r_regionkey + 1) * (b.r_regionkey + 1) AS BIGINT) AS v
+        FROM region a CROSS JOIN region b
+    """
+    sql["q10_extract_slice"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
+        FROM customer WHERE c_custkey < 1000
+    """
+    sql["q11_apply"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal * 1.1, 2) AS v
+        FROM customer
+    """
+    sql["q12_mask_semijoin"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """
+    sql["q13_mask_antijoin"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
+        FROM customer c
+        WHERE c_nationkey <> 0
+    """
+    sql["q14_colwise_max"] = """
+        SELECT CAST(c_nationkey AS BIGINT) AS i, ROUND(MAX(c_acctbal), 2) AS v
+        FROM customer GROUP BY 1
+    """
+    sql["q15_colwise_count"] = """
+        SELECT CAST(c_nationkey AS BIGINT) AS i, CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1
+    """
+    sql["q16_reduce_scalar"] = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS v
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """
+    sql["q17_mat_ewise_min_transpose"] = f"""
+        WITH {NN_CTE}
+        SELECT a.i, a.j, CAST(LEAST(a.v, b.v) AS BIGINT) AS v
+        FROM nn a JOIN nn b ON a.i = b.j AND a.j = b.i
+    """
+    sql["q18_diag_extract"] = f"""
+        WITH {NN_CTE}
+        SELECT i, v AS selftrade FROM nn WHERE i = j
+    """
+    sql["q20_token_count"] = r"""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents
+    """
+    sql["q21_char_stats"] = r"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_m,
+               ROUND((length(text) - length(regexp_replace(text, '\s', '', 'g')))
+                     / GREATEST(length(text), 1), 6) AS space_ratio,
+               ROUND((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                     / GREATEST(length(text), 1), 6) AS punct_ratio,
+               ROUND((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                     / GREATEST(length(text), 1), 6) AS digit_ratio
+        FROM documents
+    """
+    sql["q22_quality"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS toks,
+                 length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 len(list_filter(toks,
+                     t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+                 n_nonspace * 1.0 / GREATEST(len(toks), 1) AS mean_wlen
+          FROM t
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(n_stop * 1.0 / GREATEST(n_tokens, 1), 6) AS stopword_ratio,
+               ROUND((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                           THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0
+                             THEN 0.3 ELSE 0.0 END)
+                     + LEAST(n_stop * 3.0 / GREATEST(n_tokens, 1), 0.3), 6)
+                 AS quality
+        FROM s
+    """
+    lang_parts = []
+    for lang, markers in sorted(
+            {"en": ["the", "and", "of", "to", "a"],
+             "de": ["der", "die", "und", "das", "ist"],
+             "fr": ["le", "la", "et", "les", "des"],
+             "es": ["el", "los", "que", "de", "y"],
+             "zh": ["de", "shi", "bu", "le", "zai"]}.items()):
+        in_list = ", ".join(f"'{m}'" for m in markers)
+        lang_parts.append(f"""
+          SELECT doc_id, '{lang}' AS lang_cand,
+                 CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                      t -> t IN ({in_list}))) AS BIGINT) AS score
+          FROM documents""")
+    sql["q23_lang_scores"] = " UNION ALL ".join(lang_parts)
+    sql["q24_fingerprint"] = r"""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   regexp_split_to_array(trim(text), '\s+'))), ' '))
+                 AS fingerprint
+        FROM documents
+    """
+    sql["q25_token_freq"] = r"""
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+              FROM documents)
+        WHERE length(token) > 0
+        GROUP BY 1
+    """
+    sql["q30_exact_dedup"] = """
+        SELECT md5(text) AS content_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY 1
+    """
+    sql["q31_ngram_jaccard"] = r"""
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(
+                   list_transform(
+                     range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                     p -> array_to_string(
+                       regexp_split_to_array(trim(text), '\s+')[p+1:p+3], ' '))))
+                 AS shingle
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+        ), sizes AS (
+          SELECT id, COUNT(*) AS sz FROM sh GROUP BY 1
+        ), inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.2
+    """
+    sql["q34_embedding_neardup"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6)
+                 AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """
+    sql["q35_cosine_topk"] = """
+        WITH scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) AS c
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY c DESC, neighbor_id) AS INT) AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+    """
+    sql["q40_stream_window"] = """
+        SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+    sql["q41_sessionize"] = """
+        WITH g AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+                        OR LAG(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, value,
+                 CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+          FROM (SELECT *, ts FROM g)
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, session_no,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM s GROUP BY 1, 2
+    """
+    sql["q50_media_meta"] = """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               'application/x-fake-image' AS mime
+        FROM documents
+    """
+    return sql

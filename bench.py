@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per query: median of RUNS wall-clock timings; each run executes the full
+plan to a `noop` sink (materializes every row, no collect overhead).
+Config: local[$SPARK_GRAFT_CPUS], AQE on, shuffle.partitions = cpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+HEADLINE = [
+    "q01_outdegree",
+    "q02_twohop",
+    "q03_masked_mxv",
+    "q04_ewise_add",
+    "q05_connected_components",
+    "q06_sssp_dag",
+    "q07_triangles",
+    "q22_quality",
+    "q30_exact_dedup",
+    "q31_ngram_jaccard",
+    "q32_minhash_lsh",
+    "q35_cosine_topk",
+    "q41_sessionize",
+]
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
+             .config("spark.sql.shuffle.partitions", str(CPUS))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "48g")
+             .config("spark.ui.enabled", "false")
+             .appName("dgs-bench").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+
+    # warm the JVM + parquet footers once
+    qs["q01_outdegree"](spark, SF_DIR).write.mode("overwrite") \
+        .format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({"metric": "headline_total_median_sec", "value": total,
+                      "unit": "sec", "queries": timings, "sf": sf}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

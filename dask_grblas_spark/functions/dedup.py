@@ -1,0 +1,226 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design notes (100 TB):
+- exact: one hash-groupBy — the cheapest possible full-corpus pass.
+- ngram_jaccard: EXACT set similarity computed by the inverted-index join
+  (explode shingles -> self-join on shingle -> |intersection| per pair).
+  No O(n^2) cross join; cost is bounded by shingle-bucket sizes (drop
+  ultra-common shingles like stop-shingles with a document-frequency cap).
+- minhash_lsh: candidate generation via banded MinHash signatures (join on
+  (band_id, band_hash) buckets), then exact Jaccard verification of
+  candidates only — the standard sub-quadratic near-dup pipeline.
+- simhash: 32-bit simhash, banded for candidate pairs, Hamming-verified.
+- embedding near-dup: cosine over candidate pairs from random-hyperplane
+  LSH buckets (or brute-force below a size threshold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+__all__ = ["exact_dedup", "exact_dup_groups", "shingles", "ngram_jaccard_pairs",
+           "minhash_signatures", "minhash_lsh_pairs", "simhash", "simhash_pairs",
+           "embedding_neardup_pairs"]
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per exact content hash (md5)."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    return (df.select(F.col(id_col), h)
+              .groupBy("content_hash")
+              .agg(F.min(id_col).alias("keep_id"),
+                   F.count("*").alias("n_copies")))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Only the hash groups with >1 copy (the actual duplicates)."""
+    return exact_dedup(df, id_col, text_col).filter(F.col("n_copies") > 1)
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """Distinct token n-gram shingles per document: (id, shingle)."""
+    toks = tokens(F.col(text_col))
+    if n == 1:
+        sh = F.array_distinct(toks)
+    else:
+        # sliding window n-grams via transform over index positions
+        sh = F.array_distinct(F.expr(
+            f"transform(sequence(0, greatest(size(split(trim({text_col}), "
+            f"'\\\\s+')) - {n}, -1)), "
+            f"p -> array_join(slice(split(trim({text_col}), '\\\\s+'), "
+            f"p + 1, {n}), ' '))"))
+    return (df.select(F.col(id_col).alias("id"), F.explode(sh).alias("sh"))
+              .filter(F.length("sh") > 0))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """EXACT n-gram Jaccard similarity >= threshold, via inverted-index
+    self-join (no cross join). max_doc_freq drops shingles appearing in
+    more than that many docs (stop-shingle cap — at 100 TB this bounds the
+    worst join bucket; pass None for exact completeness)."""
+    sh = shingles(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    use = sh
+    if max_doc_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
+        use = sh.join(freq.filter(F.col("df_") <= max_doc_freq).select("sh"),
+                      on="sh", how="left_semi")
+    a = use.alias("a")
+    b = use.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+              .agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("id", "id_a")
+                      .withColumnRenamed("sz", "sz_a"), on="id_a")
+           .join(sizes.withColumnRenamed("id", "id_b")
+                      .withColumnRenamed("sz", "sz_b"), on="id_b")
+           .withColumn("jaccard",
+                       F.round(F.col("inter")
+                               / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                               6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3,
+                       num_hashes: int = 32) -> DataFrame:
+    """MinHash signatures: k independent hash functions realized as
+    Spark's Murmur3 hash with k seeds, min per (doc, seed). All JVM-side;
+    one explode + one groupBy."""
+    sh = shingles(df, id_col, text_col, n)
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(num_hashes)])).alias("seed")
+    hashed = sh.select("id", seeds, F.col("sh"))
+    hashed = hashed.withColumn("h", F.hash(F.col("sh"), F.col("seed")))
+    return (hashed.groupBy("id", "seed").agg(F.min("h").alias("minhash")))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      num_hashes: int = 32, bands: int = 8,
+                      threshold: float = 0.8) -> DataFrame:
+    """MinHash LSH near-dup: banded signatures -> bucket join for
+    candidates -> EXACT Jaccard verification of candidates only.
+    Output: (id_a, id_b, jaccard) pairs with verified jaccard >= threshold.
+    (Probabilistic recall from banding; precision exact via verification.)"""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    banded = (sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+                 .groupBy("id", "band")
+                 .agg(F.hash(F.concat_ws(",", F.collect_list(
+                     F.col("minhash").cast("string")))).alias("bandhash")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bandhash") == F.col("b.bandhash"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .distinct())
+    # exact verification of candidates
+    sh = shingles(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("sb_id"), F.col("sh").alias("sh_b"))
+    inter = (cand
+             .join(sa, on="id_a")
+             .join(sb, (F.col("id_b") == F.col("sb_id"))
+                   & (F.col("sh_a") == F.col("sh_b")))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("id", "id_a")
+                      .withColumnRenamed("sz", "sz_a"), on="id_a")
+           .join(sizes.withColumnRenamed("id", "id_b")
+                      .withColumnRenamed("sz", "sz_b"), on="id_b")
+           .withColumn("jaccard",
+                       F.round(F.col("inter")
+                               / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                               6))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "jaccard"))
+    return out
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over whitespace tokens: per bit position, sum of
+    +-1 votes from each token's Murmur3 hash; bit set where the vote is
+    positive. explode + single groupBy with 32 conditional-sum aggregates
+    (all map-side combinable)."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(tokens(F.col(text_col))).alias("t"))
+              .filter(F.length("t") > 0)
+              .withColumn("h", F.hash("t")))
+    aggs = []
+    for b in range(32):
+        bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{b}"))
+    votes = toks.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("bigint")
+    for b in range(32):
+        sig = sig + F.when(F.col(f"b{b}") > 0,
+                           F.lit(1 << b).cast("bigint")).otherwise(0)
+    return votes.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates by SimHash: band the 32 bits into 4 bytes
+    (pigeonhole: hamming<=3 pairs share at least one exact byte), join on
+    (band, byte), verify Hamming distance via bit_count(xor)."""
+    sig = simhash(df, id_col, text_col)
+    bands = []
+    for k in range(4):
+        bands.append(sig.select(
+            "id", "simhash", F.lit(k).alias("band"),
+            F.shiftright(F.col("simhash"), k * 8).bitwiseAND(F.lit(255))
+             .alias("chunk")))
+    banded = bands[0]
+    for p in bands[1:]:
+        banded = banded.unionByName(p)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.simhash").alias("sig_a"),
+                     F.col("b.simhash").alias("sig_b"))
+             .distinct())
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.withColumn("hamming", ham.cast("int"))
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
+
+
+def embedding_neardup_pairs(emb_df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95,
+                            brute_force: bool = True) -> DataFrame:
+    """Embedding-cosine near-duplicates. brute_force=True computes the
+    exact O(n^2) pairs (only sane below ~100k vectors — the oracle-able
+    path); False routes through random-hyperplane LSH buckets
+    (similarity.hyperplane_lsh_pairs) for the 100 TB path."""
+    from .similarity import cosine_expr, hyperplane_lsh_pairs
+
+    if not brute_force:
+        return hyperplane_lsh_pairs(emb_df, id_col, vec_col, threshold)
+    a = emb_df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb_df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return (pairs.withColumn("cosine", F.round(cos, 6))
+                 .filter(F.col("cosine") >= threshold)
+                 .select("id_a", "id_b", "cosine"))

@@ -1,0 +1,209 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine_topk: brute-force exact top-k (the correctness baseline; O(n*m)
+  pairs — use for moderate corpus sizes or as the verification oracle).
+- hyperplane_lsh_*: random-hyperplane (sign) LSH bucketing — the scale
+  path: candidates only form within matching buckets, turning the cross
+  join into an equi-join. Recall is probabilistic; precision exact (every
+  candidate is cosine-verified).
+- ivf_topk: IVF-style coarse quantization — k-means-lite centroids chosen
+  deterministically from the data, vectors assigned to nearest centroid,
+  queries probe nprobe cells. All DataFrame ops; centroid assignment is a
+  broadcast join.
+
+All dot products are JVM-side higher-order functions (zip_with +
+aggregate) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
+           "hyperplane_lsh_buckets", "hyperplane_lsh_pairs", "ivf_topk"]
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(emb_df: DataFrame, query_df: DataFrame | None = None,
+                k: int = 5, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector (defaults to
+    self-query, excluding self matches). Output: (query_id, neighbor_id,
+    cosine, rank); rank orders by (cosine DESC, neighbor_id).
+
+    Physical plan: the candidate matrix is L2-normalized and broadcast;
+    each Arrow batch of queries computes one BLAS GEMM (Qn @ Mn.T) inside
+    mapInPandas and emits only k rows per query — the n x m pair relation
+    is never materialized. This is the exact-search baseline; it holds
+    while the candidate side fits an executor (~1M x 64 f32 = 256 MB).
+    Past that, block the candidate side (outer union over candidate
+    blocks + re-rank of k*blocks rows) or switch to ivf_topk /
+    hyperplane_lsh_pairs — the sublinear scale paths."""
+    import pandas as pd
+
+    spark = emb_df.sparkSession
+    if query_df is None:
+        query_df = emb_df
+
+    cand = emb_df.select(F.col(id_col), F.col(vec_col)).toPandas()
+    c_ids = cand[id_col].to_numpy().astype("int64")
+    M = np.vstack(cand[vec_col].to_numpy()).astype("float64")
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    bc = spark.sparkContext.broadcast((c_ids, Mn))
+
+    kk = k
+
+    def topk_batches(batches):
+        ids_c, mn_c = bc.value
+        for pdf in batches:
+            qids = pdf[id_col].to_numpy().astype("int64")
+            Q = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True),
+                                1e-300)
+            S = Qn @ mn_c.T
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for r in range(len(qids)):
+                row = S[r]
+                self_mask = ids_c == qids[r]
+                row = np.where(self_mask, -np.inf, row)
+                # top-k by (cosine desc, neighbor_id asc); candidate set =
+                # everything >= the kth-largest value so ties resolve by id
+                if len(row) > kk:
+                    thresh = np.partition(row, len(row) - kk)[len(row) - kk]
+                    cand_idx = np.nonzero(row >= thresh)[0]
+                else:
+                    cand_idx = np.arange(len(row))
+                order = cand_idx[np.lexsort(
+                    (ids_c[cand_idx], -row[cand_idx]))][:kk]
+                out_q.append(np.full(len(order), qids[r]))
+                out_n.append(ids_c[order])
+                out_c.append(np.round(row[order], 6))
+                out_r.append(np.arange(1, len(order) + 1, dtype="int32"))
+            if out_q:
+                yield pd.DataFrame({
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                    "rank": np.concatenate(out_r),
+                })
+
+    q = query_df.select(F.col(id_col), F.col(vec_col))
+    return q.mapInPandas(
+        topk_batches,
+        schema="query_id bigint, neighbor_id bigint, cosine double, rank int")
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype("float64").tolist()
+
+
+def hyperplane_lsh_buckets(emb_df: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding", n_planes: int = 8,
+                           n_tables: int = 4, dim: int = 64,
+                           seed: int = 42) -> DataFrame:
+    """Sign-LSH bucket assignment: bucket = bit pattern of sign(v . h) for
+    n_planes random hyperplanes, repeated for n_tables independent tables.
+    Output: (id, table, bucket). The hyperplanes are deterministic
+    literals broadcast in the plan — no driver state at runtime."""
+    out = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        bucket = F.lit(0).cast("bigint")
+        for p_i, plane in enumerate(planes):
+            h = F.array(*[F.lit(float(x)) for x in plane])
+            bit = (dot_expr(F.col(vec_col), h) > 0).cast("bigint")
+            bucket = bucket + F.shiftleft(bit, p_i)
+        out.append(emb_df.select(F.col(id_col).alias("id"),
+                                 F.lit(t).alias("table"),
+                                 bucket.alias("bucket")))
+    res = out[0]
+    for p in out[1:]:
+        res = res.unionByName(p)
+    return res
+
+
+def hyperplane_lsh_pairs(emb_df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.95, n_planes: int = 8,
+                         n_tables: int = 4, dim: int = 64,
+                         seed: int = 42) -> DataFrame:
+    """Near-dup pairs via sign-LSH candidates + exact cosine verification."""
+    buckets = hyperplane_lsh_buckets(emb_df, id_col, vec_col, n_planes,
+                                     n_tables, dim, seed)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (a.join(b, (F.col("a.table") == F.col("b.table"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .distinct())
+    vecs = emb_df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    joined = (cand.join(vecs.withColumnRenamed("vid", "id_a")
+                            .withColumnRenamed("vec", "va"), on="id_a")
+                  .join(vecs.withColumnRenamed("vid", "id_b")
+                            .withColumnRenamed("vec", "vb"), on="id_b"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return (joined.withColumn("cosine", F.round(cos, 6))
+                  .filter(F.col("cosine") >= threshold)
+                  .select("id_a", "id_b", "cosine"))
+
+
+def ivf_topk(emb_df: DataFrame, k: int = 5, n_cells: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """IVF-flat ANN: centroids = deterministic sample of the corpus
+    (hash-based pick, no RNG at runtime); each vector assigned to its
+    nearest centroid cell (broadcast join over centroids); each query
+    probes its nprobe nearest cells and ranks only those candidates.
+
+    At 100 TB: the cell assignment is one broadcast join + argmin over
+    n_cells dot products; the search join hits ~nprobe/n_cells of the
+    corpus instead of all of it."""
+    # deterministic "training": pick n_cells vectors by hash of id
+    cents = (emb_df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+                   .withColumn("hk", F.abs(F.hash(F.col("cid").cast("string"),
+                                                  F.lit(seed))))
+                   .orderBy("hk").limit(n_cells)
+                   .withColumn("cell", F.monotonically_increasing_id())
+                   .select("cell", "cv"))
+    cents = F.broadcast(cents)
+
+    def nearest_cells(df, vcol, n):
+        scored = (df.crossJoin(cents)
+                    .withColumn("sim", cosine_expr(F.col(vcol), F.col("cv")))
+                    .drop("cv"))
+        w = Window.partitionBy(df.columns[0]).orderBy(F.col("sim").desc())
+        return (scored.withColumn("crank", F.row_number().over(w))
+                      .filter(F.col("crank") <= n))
+
+    base = emb_df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    assigned = nearest_cells(base, "nv", 1).select("nid", "nv", "cell")
+    queries = emb_df.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("qv"))
+    probes = nearest_cells(queries, "qv", nprobe).select("query_id", "qv", "cell")
+    cand = (probes.join(assigned, on="cell")
+                  .filter(F.col("query_id") != F.col("nid")))
+    scored = cand.withColumn("cosine",
+                             F.round(cosine_expr(F.col("qv"), F.col("nv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", F.col("nid").alias("neighbor_id"),
+                          "cosine", "rank"))

@@ -1,0 +1,118 @@
+"""Text analysis operators over a documents table.
+
+Everything is built from JVM-side Column expressions (split/regexp/length
+aggregations inside whole-stage codegen) — no Python UDFs — so each
+operator is a single scan with map-side work, embarrassingly parallel at
+100 TB. Formulas are deliberately SQL-replicable so the DuckDB oracle can
+verify them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["tokens", "token_count", "char_stats", "quality_score",
+           "language_id", "fingerprint", "token_frequencies"]
+
+# tiny marker vocabularies for the n-gram/marker language heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "de", "y"],
+    "zh": ["de", "shi", "bu", "le", "zai"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (the baseline tokenizer; a BPE-ish regex
+    variant is token_count(mode='bpe'))."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                mode: str = "whitespace") -> DataFrame:
+    """Token counting: whitespace tokens or a BPE-ish regex split that
+    separates words, digits and punctuation runs."""
+    c = F.col(text_col)
+    if mode == "whitespace":
+        n = F.size(tokens(c))
+    elif mode == "bpe":
+        # count maximal runs of word chars, digits, or single punctuation
+        n = F.size(F.expr(
+            f"regexp_extract_all({text_col}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return df.withColumn("n_tokens", n.cast("bigint"))
+
+
+def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / digit / whitespace ratios — the standard
+    quality-signal scan. One pass, all codegen'd expressions."""
+    c = F.col(text_col)
+    length = F.length(c)
+    n_space = length - F.length(F.regexp_replace(c, r"\s", ""))
+    n_punct = length - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_digit = length - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    safe_len = F.greatest(length, F.lit(1))
+    return (df.withColumn("n_chars_m", length.cast("bigint"))
+              .withColumn("space_ratio", F.round(n_space / safe_len, 6))
+              .withColumn("punct_ratio", F.round(n_punct / safe_len, 6))
+              .withColumn("digit_ratio", F.round(n_digit / safe_len, 6)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  stopwords=("the", "a", "of", "and", "to")) -> DataFrame:
+    """Composite quality score in [0,1]: length band + stopword presence +
+    mean word length band (a Gopher-rules-style filter, simplified to
+    exact SQL-replicable arithmetic)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    sw_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    mean_wlen = F.length(F.regexp_replace(c, r"\s", "")) / F.greatest(n_tok, F.lit(1))
+    len_ok = (n_tok >= 10) & (n_tok <= 100000)
+    wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    score = (F.when(len_ok, 0.4).otherwise(0.0)
+             + F.when(wlen_ok, 0.3).otherwise(0.0)
+             + F.least(stop_ratio * F.lit(3.0), F.lit(0.3)))
+    return (df.withColumn("n_tokens", n_tok.cast("bigint"))
+              .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+              .withColumn("quality", F.round(score, 6)))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language heuristic: score = marker hits per language,
+    argmax wins (ties broken by language code order). At 100 TB this is a
+    pure map — no shuffle."""
+    toks = tokens(F.col(text_col))
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct(score.alias("s"),
+                               F.lit(-ord(lang[0])).alias("tie"),
+                               F.lit(lang).alias("lang")))
+    best = F.greatest(*scores)
+    return df.withColumn("lang_pred", best["lang"]) \
+             .withColumn("lang_score", best["s"].cast("bigint"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    order-insensitive content hash for near-exact dedup (the rolling-hash
+    fingerprint variant is in dedup.simhash)."""
+    toks = F.array_sort(F.array_distinct(tokens(F.col(text_col))))
+    return df.withColumn("fingerprint", F.md5(F.array_join(toks, " ")))
+
+
+def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus token frequency table (the classic first pass of any corpus
+    study): explode + count. Shuffle is on the token key — skewed head
+    tokens are handled by AQE skew-join/partial aggregation."""
+    return (df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+              .filter(F.length("token") > 0)
+              .groupBy("token").agg(F.count("*").alias("freq")))

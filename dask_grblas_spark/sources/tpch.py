@@ -1,0 +1,70 @@
+"""Derived graph matrices over the driver testdata (FIXTURES.md section 4).
+
+These builders turn the TPC-H-ish star schema at /root/testdata/sf*/ into
+the engine's sparse matrices/vectors with ZERO eager work — each is a lazy
+DataFrame plan whose joins/aggregations Catalyst plans (broadcast for the
+small dimension tables, shuffle+AQE for the fact tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core import GrMatrix, GrVector
+
+__all__ = ["load_table", "customer_supplier_matrix", "nation_matrix",
+           "customer_acctbal_vector", "customer_order_count_vector"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def customer_supplier_matrix(spark: SparkSession, sf_dir: str) -> GrMatrix:
+    """mat_cs: customer -> supplier weighted edges via orders x lineitem.
+
+    orders⋈lineitem is the big join (both fact tables — shuffle on
+    orderkey, AQE-sized); the groupBy is a map-side-combinable count."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = (orders.join(lineitem,
+                         orders.o_orderkey == lineitem.l_orderkey)
+                   .groupBy(orders.o_custkey.alias("i"),
+                            lineitem.l_suppkey.alias("j"))
+                   .agg(F.count("*").alias("v")))
+    return GrMatrix.from_dataframe(edges, dtype="INT64")
+
+
+def nation_matrix(spark: SparkSession, sf_dir: str) -> GrMatrix:
+    """mat_nn: nation-level square adjacency (customer nation -> supplier
+    nation trade intensity). Dimension tables are broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    edges = (orders
+             .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+             .join(F.broadcast(customer),
+                   orders.o_custkey == customer.c_custkey)
+             .join(F.broadcast(supplier),
+                   lineitem.l_suppkey == supplier.s_suppkey)
+             .groupBy(customer.c_nationkey.cast("bigint").alias("i"),
+                      supplier.s_nationkey.cast("bigint").alias("j"))
+             .agg(F.count("*").alias("v")))
+    n = 25  # TPC-H nation cardinality is fixed
+    return GrMatrix.from_dataframe(edges, nrows=n, ncols=n, dtype="INT64")
+
+
+def customer_acctbal_vector(spark: SparkSession, sf_dir: str) -> GrVector:
+    customer = load_table(spark, sf_dir, "customer")
+    return GrVector.from_dataframe(
+        customer.select(F.col("c_custkey").alias("i"),
+                        F.col("c_acctbal").alias("v")), dtype="FP64")
+
+
+def customer_order_count_vector(spark: SparkSession, sf_dir: str) -> GrVector:
+    orders = load_table(spark, sf_dir, "orders")
+    return GrVector.from_dataframe(
+        orders.groupBy(F.col("o_custkey").alias("i"))
+              .agg(F.count("*").alias("v")), dtype="INT64")

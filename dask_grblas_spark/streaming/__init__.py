@@ -1,0 +1,7 @@
+"""Structured Streaming extension (the reference has NO streaming surface
+— SURVEY.md section 1.1 — so this is a post-parity extension for the
+events table): windowed aggregation and stateful sessionization."""
+
+from .windows import event_window_agg, load_events, sessionize
+
+__all__ = ["event_window_agg", "load_events", "sessionize"]

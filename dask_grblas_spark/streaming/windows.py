@@ -1,0 +1,107 @@
+"""Streaming windowed aggregation over the events table.
+
+For local verification the parquet files drive a real streaming query to
+completion via processAllAvailable + a memory sink (complete mode). The
+same plan runs unchanged against kafka/socket sources with
+outputMode('append') + watermark for production late-data handling.
+
+The driver's events.parquet stores timestamps as parquet
+TIMESTAMP(NANOS), which Spark's vectorized reader rejects; we read them
+via spark.sql.legacy.parquet.nanosAsLong (runtime-settable) and convert
+nanos -> microsecond timestamps JVM-side (timestamp_micros), keeping the
+whole pipeline codegen'd.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# schema as stored on disk (ts = nanos-as-long; see module docstring)
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _ts_from_nanos(col):
+    return F.timestamp_micros((col / 1000).cast("long"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read of events.parquet with nanos->timestamp conversion."""
+    spark.conf.set(_NANOS_CONF, "true")
+    df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", _ts_from_nanos(F.col("ts")))
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """File-stream sources need a DIRECTORY; expose the single parquet
+    file through a per-path cached symlink dir under /tmp."""
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"dgs_events_{key}")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.islink(link):
+        os.makedirs(d, exist_ok=True)
+        try:
+            os.symlink(f"{sf_dir}/events.parquet", link)
+        except FileExistsError:
+            pass
+    return d
+
+
+def event_window_agg(spark: SparkSession, sf_dir: str,
+                     window: str = "1 hour") -> DataFrame:
+    """Tumbling-window count+sum per event_type, executed as a REAL
+    Structured Streaming query (readStream -> window agg -> memory sink),
+    drained synchronously. Returns the final result table."""
+    spark.conf.set(_NANOS_CONF, "true")
+    stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+              .parquet(_events_stream_dir(sf_dir))
+              .withColumn("ts", _ts_from_nanos(F.col("ts"))))
+    agg = (stream
+           .withWatermark("ts", "1 minute")
+           .groupBy(F.window("ts", window), F.col("event_type"))
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value")))
+    qname = f"ewa_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(qname).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(qname)
+    return out.select(F.col("window.start").alias("window_start"),
+                      "event_type", "n_events", "sum_value")
+
+
+def sessionize(spark: SparkSession, sf_dir: str,
+               gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: batch formulation (lag + cumulative gap-count
+    window) — the streaming variant is session_window(ts, gap) which
+    shares the same semantics. Returns per-user session stats."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sess = (ev.withColumn("new_sess", new_sess)
+              .withColumn("session_no",
+                          F.sum("new_sess").over(
+                              w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_no")
+                .agg(F.count("*").alias("n_events"),
+                     F.round(F.sum("value"), 2).alias("sum_value")))

@@ -1,0 +1,106 @@
+"""Driver-mimicking differential checker: Spark queries vs DuckDB oracles.
+
+Runs every ``queries()`` entry at sf0.01 and, where an ``oracle_sql()``
+entry exists, compares row count, column names, and a value hash computed
+the way the driver does: sort columns by name, sort rows, hash rounded
+values. Exit non-zero on any mismatch.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    return hashlib.md5(
+        df.to_csv(index=False, float_format="%.6g").encode()).hexdigest()
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.driver.memory", "8g")
+             .config("spark.ui.enabled", "false")
+             .appName("oracle-check").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            spdf = sdf.toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(spdf)} rows (no oracle)")
+            continue
+        try:
+            opdf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
+            continue
+        s_cols, o_cols = sorted(spdf.columns), sorted(opdf.columns)
+        if s_cols != o_cols:
+            failures.append(name)
+            print(f"FAIL  {name}: columns {s_cols} != {o_cols}")
+            continue
+        sn, on = norm(spdf), norm(opdf)
+        if len(sn) != len(on):
+            failures.append(name)
+            print(f"FAIL  {name}: rows {len(sn)} != {len(on)}")
+            continue
+        hs, ho = value_hash(sn), value_hash(on)
+        if hs != ho:
+            failures.append(name)
+            print(f"FAIL  {name}: value hash mismatch ({len(sn)} rows)")
+            diff = sn.compare(on) if sn.shape == on.shape else None
+            if diff is not None and not diff.empty:
+                print(diff.head(8).to_string())
+        else:
+            print(f"OK    {name}: {len(sn)} rows")
+    print(f"\n{len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
