@@ -208,6 +208,127 @@ def q13_mask_antijoin(spark, sf_dir):
     return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
 
 
+def q19_extract_list(spark, sf_dir):
+    """X1: list extract with DUPLICATE indices (join fan-out, pos output)."""
+    v = tpch.customer_acctbal_vector(spark, sf_dir)
+    out = v[[10, 3, 10, 7, 1]].new()
+    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def q26_accum_update(spark, sf_dir):
+    """A2/R4: full-target accum merge — w(accum=plus) << order counts."""
+    w = tpch.customer_acctbal_vector(spark, sf_dir).dup()
+    b = tpch.customer_order_count_vector(spark, sf_dir)
+    w(accum=binary.plus) << b
+    return w.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def q26b_masked_replace(spark, sf_dir):
+    """A2: mask + replace=True — doubled acctbal kept ONLY for nation-0
+    customers; all other stored entries deleted by replace."""
+    a = tpch.customer_acctbal_vector(spark, sf_dir)
+    cust = tpch.load_table(spark, sf_dir, "customer")
+    m = Vector.from_dataframe(
+        cust.filter(F.col("c_nationkey") == 0)
+            .select(F.col("c_custkey").cast("bigint").alias("i"),
+                    F.lit(True).alias("v")), size=a.size, dtype="BOOL")
+    w = a.dup()
+    w(mask=m.S, replace=True) << a.apply(binary.times, right=2.0)
+    return w.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def q27_reduce_accum(spark, sf_dir):
+    """R4: scalar reduce with accum into an existing value."""
+    from dask_grblas_spark import Scalar
+
+    v = tpch.customer_acctbal_vector(spark, sf_dir)
+    s = Scalar.from_value(100.0, "FP64")
+    s(accum=binary.plus) << v.reduce(monoid.plus)
+    # export as integer cents so float summation-order noise can't flip
+    # the 2-decimal rounding against the oracle
+    return s.df.select(F.round(F.col("v") * 100, 0).cast("bigint")
+                       .alias("cents"))
+
+
+def q28_argmax(spark, sf_dir):
+    """R5: argmax aggregator (deterministic smallest-index tie-break)."""
+    M = _cust_nation_matrix(spark, sf_dir)
+    out = M.reduce_columnwise(agg.argmax).new()
+    return out.df.select("i", F.col("v").alias("argmax_cust"))
+
+
+def q28b_argmin(spark, sf_dir):
+    """R5: argmin aggregator."""
+    M = _cust_nation_matrix(spark, sf_dir)
+    out = M.reduce_columnwise(agg.argmin).new()
+    return out.df.select("i", F.col("v").alias("argmin_cust"))
+
+
+def q29_concat(spark, sf_dir):
+    """C12: concat_vectors with index offsetting."""
+    from dask_grblas_spark import concat_vectors
+
+    region = tpch.load_table(spark, sf_dir, "region")
+    d = Vector.from_dataframe(
+        region.select(F.col("r_regionkey").cast("bigint").alias("i"),
+                      (F.col("r_regionkey") + 1).cast("bigint").alias("v")),
+        size=5, dtype="INT64")
+    out = concat_vectors([d, d.apply(binary.times, right=10).new()])
+    return out.df.select("i", "v")
+
+
+def q37_pagerank(spark, sf_dir):
+    """PageRank to tol-convergence (iterative, no SQL oracle -> rows-only)."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    pr = alg.pagerank(alg.symmetrize(nn), max_iters=20)
+    return pr.df.select("i", F.round(F.col("v"), 6).alias("rank_score"))
+
+
+def q38_mm_roundtrip(spark, sf_dir):
+    """C15/C16: Matrix Market write + parallel re-read round-trip."""
+    import os
+
+    from dask_grblas_spark.sources import io as gio
+
+    nn = tpch.nation_matrix(spark, sf_dir)
+    path = f"/tmp/dgs_mm_{os.path.basename(sf_dir.rstrip('/'))}.mtx"
+    gio.to_mmfile(nn, path)
+    back = gio.from_mmfile(path, dtype="INT64")
+    return back.df.select("i", "j", "v")
+
+
+def q42_inner(spark, sf_dir):
+    """M7: vector inner product (the reference's stub, implemented)."""
+    a = tpch.customer_acctbal_vector(spark, sf_dir)
+    b = tpch.customer_order_count_vector(spark, sf_dir)
+    s = a.inner(b, semiring.plus_times).new()
+    return s.df.select(F.round(F.col("v") * 100, 0).cast("bigint")
+                       .alias("cents"))
+
+
+def q43_value_mask(spark, sf_dir):
+    """Value mask: keep entries where the mask VALUE is true (> 5000)."""
+    a = tpch.customer_acctbal_vector(spark, sf_dir)
+    m = a.apply(binary.gt, right=5000.0).new()
+    out = a.dup(mask=m.V)
+    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def q43b_complement_value_mask(spark, sf_dir):
+    """Complemented value mask: mask entry absent OR false (<= 5000)."""
+    a = tpch.customer_acctbal_vector(spark, sf_dir)
+    m = a.apply(binary.gt, right=5000.0).new()
+    out = a.dup(mask=~m.V)
+    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def q44_resize(spark, sf_dir):
+    """C10: resize drops out-of-range entries (pure filter + meta)."""
+    v = tpch.customer_acctbal_vector(spark, sf_dir)
+    v.resize(500)
+    return v.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
 def _cust_nation_matrix(spark, sf_dir):
     cust = tpch.load_table(spark, sf_dir, "customer")
     return Matrix.from_dataframe(
@@ -396,6 +517,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_reduce_scalar": q16_reduce_scalar,
         "q17_mat_ewise_min_transpose": q17_mat_ewise_min_transpose,
         "q18_diag_extract": q18_diag_extract,
+        "q19_extract_list": q19_extract_list,
+        "q26_accum_update": q26_accum_update,
+        "q26b_masked_replace": q26b_masked_replace,
+        "q27_reduce_accum": q27_reduce_accum,
+        "q28_argmax": q28_argmax,
+        "q28b_argmin": q28b_argmin,
+        "q29_concat": q29_concat,
+        "q37_pagerank": q37_pagerank,
+        "q38_mm_roundtrip": q38_mm_roundtrip,
+        "q42_inner": q42_inner,
+        "q43_value_mask": q43_value_mask,
+        "q43b_complement_value_mask": q43b_complement_value_mask,
+        "q44_resize": q44_resize,
         "q20_token_count": q20_token_count,
         "q21_char_stats": q21_char_stats,
         "q22_quality": q22_quality,
@@ -554,6 +688,79 @@ def oracle_sql() -> dict[str, str]:
     sql["q18_diag_extract"] = f"""
         WITH {NN_CTE}
         SELECT i, v AS selftrade FROM nn WHERE i = j
+    """
+    sql["q19_extract_list"] = """
+        SELECT t.pos AS i, ROUND(c.c_acctbal, 2) AS v
+        FROM (VALUES (0, 10), (1, 3), (2, 10), (3, 7), (4, 1)) AS t(pos, idx)
+        JOIN customer c ON c.c_custkey = t.idx
+    """
+    sql["q26_accum_update"] = """
+        WITH a AS (SELECT CAST(c_custkey AS BIGINT) AS i, c_acctbal AS v
+                   FROM customer),
+        b AS (SELECT CAST(o_custkey AS BIGINT) AS i,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM orders GROUP BY 1)
+        SELECT COALESCE(a.i, b.i) AS i,
+               ROUND(CASE WHEN a.i IS NOT NULL AND b.i IS NOT NULL
+                          THEN a.v + b.v
+                          WHEN a.i IS NOT NULL THEN a.v
+                          ELSE CAST(b.v AS DOUBLE) END, 2) AS v
+        FROM a FULL OUTER JOIN b ON a.i = b.i
+    """
+    sql["q26b_masked_replace"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal * 2.0, 2) AS v
+        FROM customer WHERE c_nationkey = 0
+    """
+    sql["q27_reduce_accum"] = """
+        SELECT CAST(ROUND((100.0 + SUM(c_acctbal)) * 100, 0) AS BIGINT)
+               AS cents
+        FROM customer
+    """
+    sql["q28_argmax"] = """
+        SELECT CAST(c_nationkey AS BIGINT) AS i,
+               CAST(c_custkey AS BIGINT) AS argmax_cust
+        FROM (SELECT c_nationkey, c_custkey,
+                     ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey) AS rn
+              FROM customer) WHERE rn = 1
+    """
+    sql["q28b_argmin"] = """
+        SELECT CAST(c_nationkey AS BIGINT) AS i,
+               CAST(c_custkey AS BIGINT) AS argmin_cust
+        FROM (SELECT c_nationkey, c_custkey,
+                     ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal ASC, c_custkey) AS rn
+              FROM customer) WHERE rn = 1
+    """
+    sql["q29_concat"] = """
+        SELECT CAST(r_regionkey AS BIGINT) AS i,
+               CAST(r_regionkey + 1 AS BIGINT) AS v FROM region
+        UNION ALL
+        SELECT CAST(r_regionkey + 5 AS BIGINT) AS i,
+               CAST((r_regionkey + 1) * 10 AS BIGINT) AS v FROM region
+    """
+    sql["q38_mm_roundtrip"] = f"""
+        WITH {NN_CTE}
+        SELECT i, j, v FROM nn
+    """
+    sql["q42_inner"] = """
+        SELECT CAST(ROUND(SUM(a.v * b.v) * 100, 0) AS BIGINT) AS cents
+        FROM (SELECT CAST(c_custkey AS BIGINT) AS i, c_acctbal AS v
+              FROM customer) a
+        JOIN (SELECT CAST(o_custkey AS BIGINT) AS i,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM orders GROUP BY 1) b
+          ON a.i = b.i
+    """
+    sql["q43_value_mask"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
+        FROM customer WHERE c_acctbal > 5000
+    """
+    sql["q43b_complement_value_mask"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
+        FROM customer WHERE c_acctbal <= 5000
+    """
+    sql["q44_resize"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
+        FROM customer WHERE c_custkey < 500
     """
     sql["q20_token_count"] = r"""
         SELECT doc_id,

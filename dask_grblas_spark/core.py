@@ -432,8 +432,9 @@ class GrVector(BaseType):
 
     def resize(self, size):
         """Grow = metadata-only; shrink drops out-of-range entries
-        (reference vector.py:236-270)."""
-        if self.size is not None and size < self.size:
+        (reference vector.py:236-270). Unknown current size (None) must
+        filter too — entries beyond the new bound may exist."""
+        if self.size is None or size < self.size:
             self._set_df(self._df.filter(F.col("i") < size))
         self.size = size
 
@@ -716,9 +717,9 @@ class GrMatrix(BaseType):
 
     def resize(self, nrows, ncols):
         cond = F.lit(True)
-        if self.nrows is not None and nrows < self.nrows:
+        if self.nrows is None or nrows < self.nrows:
             cond = cond & (F.col("i") < nrows)
-        if self.ncols is not None and ncols < self.ncols:
+        if self.ncols is None or ncols < self.ncols:
             cond = cond & (F.col("j") < ncols)
         self._set_df(self._df.filter(cond))
         self.nrows, self.ncols = nrows, ncols

@@ -30,7 +30,9 @@ from ..dtypes import BOOL, FP32, FP64, INT64, GbType, lookup_dtype, unify
 
 __all__ = ["unary", "binary", "monoid", "semiring", "agg",
            "UnaryOp", "BinaryOp", "Monoid", "Semiring", "Aggregator",
-           "PositionalContext", "get_typed_op"]
+           "PositionalContext", "get_typed_op", "get_semiring",
+           "register_unary", "register_binary", "register_monoid",
+           "register_semiring"]
 
 
 class PositionalContext:
@@ -464,8 +466,14 @@ _a("L0norm", lambda c, d: F.count(F.when(_truthy(c, d), 1)), INT64)
 _a("L1norm", lambda c, d: F.sum(F.abs(c)))
 _a("L2norm", lambda c, d: F.sqrt(F.sum(c * c)), FP64)
 _a("Linfnorm", lambda c, d: F.max(F.abs(c)))
-_a("argmin", lambda c, i, d: F.min_by(i, c), INT64, needs_index=True)
-_a("argmax", lambda c, i, d: F.max_by(i, c), INT64, needs_index=True)
+# deterministic tie-break: smallest index among equal extrema (struct
+# ordering is lexicographic, so (value, ±index) pins the winner; plain
+# min_by/max_by are nondeterministic under ties — a silent hash-mismatch
+# source on larger data)
+_a("argmin", lambda c, i, d: F.min_by(i, F.struct(c, i)), INT64,
+   needs_index=True)
+_a("argmax", lambda c, i, d: F.max_by(i, F.struct(c, -i)), INT64,
+   needs_index=True)
 _a("first", lambda c, i, d: F.min_by(c, i), needs_index=True)
 _a("last", lambda c, i, d: F.max_by(c, i), needs_index=True)
 _a("first_index", lambda c, i, d: F.min(i), INT64, needs_index=True)
@@ -473,6 +481,72 @@ _a("last_index", lambda c, i, d: F.max(i), INT64, needs_index=True)
 _a("any_value", lambda c, d: F.first(c))
 
 agg = _Namespace("agg", _AGG)
+
+
+# --------------------------------------------------------------------------
+# user-defined operators (reference section 2.7: grblas
+# UnaryOp.register_new / BinaryOp.register_new / Monoid.register_new,
+# exercised at /root/reference/tests/from_grblas2/test_op.py:107-537).
+# The numba-JIT path becomes "compose native Column expressions" — the
+# JVM fast path; true Python lambdas should be wrapped in pandas_udf by
+# the caller before registration.
+# --------------------------------------------------------------------------
+
+def _resolve_dtype_arg(out_dtype):
+    if out_dtype is None or callable(out_dtype):
+        return out_dtype
+    return lookup_dtype(out_dtype)
+
+
+def register_unary(name, func, *, out_dtype=None) -> UnaryOp:
+    """Register a user unary op: func(Column) -> Column."""
+    op = UnaryOp(name, lambda c, d: func(c), _resolve_dtype_arg(out_dtype))
+    _UNARY[name] = op
+    return op
+
+
+def register_binary(name, func, *, out_dtype=None) -> BinaryOp:
+    """Register a user binary op: func(Column, Column) -> Column."""
+    op = BinaryOp(name, lambda x, y, d: func(x, y),
+                  _resolve_dtype_arg(out_dtype))
+    _BINARY[name] = op
+    return op
+
+
+def register_monoid(name, binaryop, identity, *, agg_fn=None) -> Monoid:
+    """Register a user monoid (binary op + identity). Without a native
+    agg_fn(Column, GbType) -> Column aggregate, folding falls back to
+    F.aggregate over collect_list — correct for any associative op but a
+    slow path (materializes the group); supply agg_fn for scale."""
+    if isinstance(binaryop, str):
+        binaryop = _BINARY[binaryop]
+    if agg_fn is None:
+        def agg_fn(col, dtype, _b=binaryop):
+            return F.aggregate(
+                F.collect_list(col),
+                F.lit(identity).cast(dtype.spark_type),
+                lambda acc, x: _b(acc, x, dtype).cast(dtype.spark_type))
+    mon = Monoid(name, binaryop, identity, agg_fn)
+    _MONOID[name] = mon
+    return mon
+
+
+def register_semiring(name, monoid_, binaryop) -> Semiring:
+    """Register a user semiring from a monoid and a multiply op."""
+    if isinstance(monoid_, str):
+        monoid_ = _MONOID[monoid_]
+    if isinstance(binaryop, str):
+        binaryop = _BINARY[binaryop]
+    sr = Semiring(name, monoid_, binaryop)
+    semiring._registry[name] = sr
+    return sr
+
+
+# grblas-style spelling: unary.register_new("name", func)
+unary.register_new = register_unary
+binary.register_new = register_binary
+monoid.register_new = register_monoid
+semiring.register_new = register_semiring
 
 
 def get_typed_op(op, a: GbType, b: GbType | None = None):

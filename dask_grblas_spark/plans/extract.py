@@ -75,9 +75,16 @@ def resolve_index(idx, size: int, spark: SparkSession) -> ResolvedIndex:
     arr = np.asarray(idx)
     if arr.ndim != 1 or arr.dtype.kind not in "iu":
         raise TypeError(f"Invalid index: {idx!r}")
-    arr = np.where(arr < 0, arr + size, arr).astype("int64")
-    if arr.size and (arr.min() < 0 or arr.max() >= size):
-        raise IndexOutOfBound(f"index out of bounds for size {size}")
+    if size is None:
+        # unknown logical size (from_dataframe wrapper): no bounds check;
+        # negative indices need a known size to resolve
+        if arr.size and arr.min() < 0:
+            raise IndexOutOfBound("negative index requires a known size")
+        arr = arr.astype("int64")
+    else:
+        arr = np.where(arr < 0, arr + size, arr).astype("int64")
+        if arr.size and (arr.min() < 0 or arr.max() >= size):
+            raise IndexOutOfBound(f"index out of bounds for size {size}")
     schema = T.StructType([T.StructField("pos", T.LongType(), False),
                            T.StructField("idx", T.LongType(), False)])
     df = spark.createDataFrame(

@@ -178,3 +178,54 @@ def test_times_monoid_float_path(spark):
     assert v.reduce(monoid.times).new().value == pytest.approx(-3.0)
     vz = vec_from({0: 2.0, 1: 0.0}, dtype="FP64")
     assert vz.reduce(monoid.times).new().value == 0.0
+
+
+def test_argmin_argmax_deterministic_ties(spark):
+    # ties resolve to the SMALLEST index (SURVEY R5; plain min_by/max_by
+    # would be nondeterministic and break the differential oracle)
+    M = gb.Matrix.from_values([0, 1, 2, 3], [0, 0, 0, 0],
+                              [5.0, 5.0, 3.0, 5.0], 4, 1)
+    from dask_grblas_spark import agg
+    assert M.reduce_columnwise(agg.argmax).new().to_dict() == {0: 0}
+    assert M.reduce_columnwise(agg.argmin).new().to_dict() == {0: 2}
+
+
+def test_register_new_ops(spark):
+    from pyspark.sql import functions as F
+
+    from dask_grblas_spark import unary
+    from dask_grblas_spark.operators import (register_binary, register_monoid,
+                                             register_semiring)
+
+    unary.register_new("t_plus_one", lambda c: c + F.lit(1))
+    v = gb.Vector.from_values([0, 1], [1.0, 2.0], 2)
+    assert v.apply(unary.t_plus_one).new().to_dict() == {0: 2.0, 1: 3.0}
+
+    b = register_binary("t_absdiff", lambda x, y: F.abs(x - y))
+    w = gb.Vector.from_values([0, 1], [4.0, 1.0], 2)
+    assert v.ewise_mult(w, b).new().to_dict() == {0: 3.0, 1: 1.0}
+
+    m = register_monoid("t_min", "min", float("inf"))
+    assert v.reduce(m).new().value == 1.0
+
+    sr = register_semiring("t_min_absdiff", "t_min", "t_absdiff")
+    A = gb.Matrix.from_values([0, 0], [0, 1], [2.0, 5.0], 1, 2)
+    x = gb.Vector.from_values([0, 1], [1.0, 1.0], 2)
+    # min over |2-1|=1, |5-1|=4 -> 1
+    assert A.mxv(x, sr).new().to_dict() == {0: 1.0}
+
+
+def test_resize_unknown_size_filters(spark):
+    df = spark.createDataFrame([(0, 1.0), (7, 2.0)], "i long, v double")
+    v = gb.Vector.from_dataframe(df)   # size=None wrapper
+    v.resize(5)
+    assert v.to_dict() == {0: 1.0}
+    assert v.size == 5
+
+
+def test_extract_list_unknown_size(spark):
+    df = spark.createDataFrame([(1, 1.0), (3, 3.0), (9, 9.0)],
+                               "i long, v double")
+    v = gb.Vector.from_dataframe(df)
+    out = v[[3, 1, 3]].new()
+    assert out.to_dict() == {0: 3.0, 1: 1.0, 2: 3.0}
