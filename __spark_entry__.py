@@ -76,8 +76,13 @@ def q01_outdegree(spark, sf_dir):
 
 
 def q02_twohop(spark, sf_dir):
-    """M1: mxm plus_times — nation-level 2-hop path counts."""
+    """M1: mxm plus_times — nation-level 2-hop path counts.
+
+    nn is persisted: the self-join would otherwise recompute the full
+    orders⋈lineitem⋈customer⋈supplier pipeline for BOTH sides (visible
+    as two identical subtrees under the SortMergeJoin in .explain)."""
     nn = tpch.nation_matrix(spark, sf_dir)
+    nn.persist()
     two = nn.mxm(nn, semiring.plus_times).new()
     return two.df.select("i", "j", F.col("v").alias("paths"))
 
@@ -329,6 +334,54 @@ def q44_resize(spark, sf_dir):
     return v.df.select("i", F.round(F.col("v"), 2).alias("v"))
 
 
+def q45_subassign(spark, sf_dir):
+    """A3 subassign: w[0:500] << tripled slice — region replaced, rest
+    untouched."""
+    w = tpch.customer_acctbal_vector(spark, sf_dir).dup()
+    obj = w[0:500].new().apply(binary.times, right=3.0).new()
+    w[0:500] << obj
+    return w.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def q46_row_assign(spark, sf_dir):
+    """A4 row assign: M[1, :] << nation-region vector (band replace)."""
+    M = _cust_nation_matrix(spark, sf_dir)
+    nation = tpch.load_table(spark, sf_dir, "nation")
+    v = Vector.from_dataframe(
+        nation.select(F.col("n_nationkey").cast("bigint").alias("i"),
+                      F.col("n_regionkey").cast("double").alias("v")),
+        size=25, dtype="FP64")
+    M[1, :] << v
+    return M.df.select("i", "j", F.round(F.col("v"), 2).alias("v"))
+
+
+def q47_reduce_assign(spark, sf_dir):
+    """A6 reduce_assign: scatter per-customer order counts to nations,
+    combining duplicate targets with monoid.plus."""
+    cust = tpch.load_table(spark, sf_dir, "customer")
+    idx = cust.select(F.col("c_custkey").cast("bigint").alias("pos"),
+                      F.col("c_nationkey").cast("bigint").alias("idx"))
+    rhs = tpch.customer_order_count_vector(spark, sf_dir)
+    lhs = Vector.new("INT64", 25)
+    lhs.reduce_assign(idx, rhs, dup_op=monoid.plus)
+    return lhs.df.select("i", F.col("v").alias("total"))
+
+
+def q48_input_mask(spark, sf_dir):
+    """X3 input_mask: filter the SOURCE before extraction — acctbal slice
+    restricted to nation-0 customers."""
+    v = tpch.customer_acctbal_vector(spark, sf_dir)
+    v.size = 1_000_000
+    cust = tpch.load_table(spark, sf_dir, "customer")
+    m = Vector.from_dataframe(
+        cust.filter(F.col("c_nationkey") == 0)
+            .select(F.col("c_custkey").cast("bigint").alias("i"),
+                    F.lit(True).alias("v")), size=v.size, dtype="BOOL")
+    w = Vector.new("FP64", 1000)
+    w(input_mask=m.S) << v[0:1000]
+    return w.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
 def _cust_nation_matrix(spark, sf_dir):
     cust = tpch.load_table(spark, sf_dir, "customer")
     return Matrix.from_dataframe(
@@ -530,6 +583,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_value_mask": q43_value_mask,
         "q43b_complement_value_mask": q43b_complement_value_mask,
         "q44_resize": q44_resize,
+        "q45_subassign": q45_subassign,
+        "q46_row_assign": q46_row_assign,
+        "q47_reduce_assign": q47_reduce_assign,
+        "q48_input_mask": q48_input_mask,
         "q20_token_count": q20_token_count,
         "q21_char_stats": q21_char_stats,
         "q22_quality": q22_quality,
@@ -761,6 +818,32 @@ def oracle_sql() -> dict[str, str]:
     sql["q44_resize"] = """
         SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
         FROM customer WHERE c_custkey < 500
+    """
+    sql["q45_subassign"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS i,
+               ROUND(c_acctbal * CASE WHEN c_custkey < 500 THEN 3.0
+                                      ELSE 1.0 END, 2) AS v
+        FROM customer
+    """
+    sql["q46_row_assign"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS i,
+               CAST(c_nationkey AS BIGINT) AS j,
+               ROUND(c_acctbal, 2) AS v
+        FROM customer WHERE c_custkey <> 1
+        UNION ALL
+        SELECT 1, CAST(n_nationkey AS BIGINT),
+               ROUND(CAST(n_regionkey AS DOUBLE), 2)
+        FROM nation
+    """
+    sql["q47_reduce_assign"] = """
+        SELECT CAST(c.c_nationkey AS BIGINT) AS i,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    """
+    sql["q48_input_mask"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
+        FROM customer WHERE c_custkey < 1000 AND c_nationkey = 0
     """
     sql["q20_token_count"] = r"""
         SELECT doc_id,

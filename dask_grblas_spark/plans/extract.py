@@ -43,15 +43,46 @@ class ResolvedIndex:
         self.df = df                # (pos, idx) DataFrame for 'df'
 
 
-def resolve_index(idx, size: int, spark: SparkSession) -> ResolvedIndex:
+def resolve_index(idx, size: int | None, spark: SparkSession) -> ResolvedIndex:
+    """size may be None (from_dataframe wrappers carry no logical size):
+    bounds checks are skipped and negative/reversed indexing — which needs
+    a size to resolve — is rejected."""
     if isinstance(idx, (int, np.integer)):
         i = int(idx)
+        if size is None:
+            if i < 0:
+                raise IndexOutOfBound("negative index requires a known size")
+            return ResolvedIndex("int", value=i)
         if i < 0:
             i += size
         if not (0 <= i < size):
             raise IndexOutOfBound(f"index {idx} out of bounds for size {size}")
         return ResolvedIndex("int", value=i)
     if isinstance(idx, slice):
+        if size is None:
+            start, stop, step = idx.start, idx.stop, idx.step
+            step = 1 if step is None else step
+            start = 0 if start is None else start
+            if step <= 0 or start < 0 or (stop is not None and stop < 0):
+                raise IndexOutOfBound(
+                    "negative or reversed slice requires a known size")
+            if stop is None:
+                if start == 0 and step == 1:
+                    return ResolvedIndex("all", out_size=None,
+                                         pred=lambda c: F.lit(True),
+                                         pos_of=lambda c: c,
+                                         tgt_of=lambda p: p)
+                pred = lambda c: (c >= start) & ((c - start) % step == 0)  # noqa: E731
+                pos_of = lambda c: ((c - start) / step).cast("bigint")  # noqa: E731
+                tgt_of = lambda p: (p * step + start).cast("bigint")  # noqa: E731
+                return ResolvedIndex("pred", out_size=None, pred=pred,
+                                     pos_of=pos_of, tgt_of=tgt_of)
+            length = len(range(start, stop, step))
+            pred = lambda c: (c >= start) & (c < stop) & ((c - start) % step == 0)  # noqa: E731
+            pos_of = lambda c: ((c - start) / step).cast("bigint")  # noqa: E731
+            tgt_of = lambda p: (p * step + start).cast("bigint")  # noqa: E731
+            return ResolvedIndex("pred", out_size=length, pred=pred,
+                                 pos_of=pos_of, tgt_of=tgt_of)
         start, stop, step = idx.indices(size)
         length = len(range(start, stop, step))
         if start == 0 and stop == size and step == 1:
