@@ -522,6 +522,17 @@ def q41_sessionize(spark, sf_dir):
         .select("user_id", "session_no", "n_events", "sum_value")
 
 
+def q41b_streaming_sessionize(spark, sf_dir):
+    """Custom stateful streaming (applyInPandasWithState) — exact match
+    with the batch formulation (session_no re-based to 1)."""
+    from dask_grblas_spark.streaming import streaming_sessionize
+
+    out = streaming_sessionize(spark, sf_dir, gap_minutes=30)
+    return out.select("user_id",
+                      (F.col("session_no") + 1).alias("session_no"),
+                      "n_events", "sum_value")
+
+
 # ---- multimodal -----------------------------------------------------------
 
 def q50_media_meta(spark, sf_dir):
@@ -602,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_ivf_ann": q36_ivf_ann,
         "q40_stream_window": q40_stream_window,
         "q41_sessionize": q41_sessionize,
+        "q41b_streaming_sessionize": q41b_streaming_sessionize,
         "q50_media_meta": q50_media_meta,
         "q51_media_features": q51_media_features,
     }
@@ -995,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(value), 2) AS sum_value
         FROM s GROUP BY 1, 2
     """
+    sql["q41b_streaming_sessionize"] = sql["q41_sessionize"]
     sql["q50_media_meta"] = """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -2,6 +2,8 @@
 — SURVEY.md section 1.1 — so this is a post-parity extension for the
 events table): windowed aggregation and stateful sessionization."""
 
-from .windows import event_window_agg, load_events, sessionize
+from .windows import (event_window_agg, load_events, sessionize,
+                      streaming_sessionize)
 
-__all__ = ["event_window_agg", "load_events", "sessionize"]
+__all__ = ["event_window_agg", "load_events", "sessionize",
+           "streaming_sessionize"]

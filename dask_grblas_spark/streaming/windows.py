@@ -87,6 +87,106 @@ def event_window_agg(spark: SparkSession, sf_dir: str,
                       "event_type", "n_events", "sum_value")
 
 
+def streaming_sessionize(spark: SparkSession, sf_dir: str,
+                         gap_minutes: int = 30) -> DataFrame:
+    """Custom STATEFUL streaming operator: per-user sessionization via
+    applyInPandasWithState (the pattern for operators Structured
+    Streaming lacks natively). State = the open session per user; closed
+    sessions emit immediately, the final open session flushes on event-
+    time timeout once the watermark passes it (no-data micro-batches
+    handle the end-of-stream flush). Drained to completion via a memory
+    sink; same code runs unbounded against kafka sources.
+
+    End-of-stream flush: the watermark never passes the last open session
+    on a bounded input, so a sentinel event (dummy user -1, ts beyond
+    every timeout) is appended to the stream dir to advance the
+    watermark; the no-data micro-batch then fires all timeouts. The
+    sentinel's own group is filtered from the output."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_no", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("session_no", T.LongType()),
+    ])
+
+    def fold(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            last_ts, n, s, sno = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [user_id], "session_no": [sno],
+                                "n_events": [n],
+                                "sum_value": [round(s, 2)]})
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"])
+        if state.exists:
+            last_ts, n, s, sno = state.get
+        else:
+            last_ts, n, s, sno = None, 0, 0.0, 0
+        out = []
+        for ts, val in zip(rows["ts"], rows["value"]):
+            ts = ts.timestamp()
+            if last_ts is not None and ts - last_ts > gap_s:
+                out.append((user_id, sno, n, round(s, 2)))
+                n, s = 0, 0.0
+                sno += 1
+            last_ts = ts
+            n += 1
+            s += float(val)
+        state.update((last_ts, n, s, sno))
+        state.setTimeoutTimestamp(int(last_ts * 1000) + gap_s * 1000)
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "session_no",
+                                             "n_events", "sum_value"])
+
+    spark.conf.set(_NANOS_CONF, "true")
+    # dedicated stream dir: events symlink + watermark sentinel
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(),
+                     f"dgs_sess_{key}_g{gap_minutes}")
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        try:
+            os.symlink(f"{sf_dir}/events.parquet",
+                       os.path.join(d, "events.parquet"))
+        except FileExistsError:
+            pass
+        max_ns = (spark.read.schema(EVENTS_RAW_SCHEMA)
+                  .parquet(f"{sf_dir}/events.parquet")
+                  .agg(F.max("ts")).collect()[0][0])
+        sentinel_ns = max_ns + (2 * gap_s + 3600) * 1_000_000_000
+        pd.DataFrame({"event_id": [-1], "ts": [sentinel_ns],
+                      "user_id": [-1], "event_type": ["__sentinel__"],
+                      "value": [0.0], "props": [""]}).to_parquet(
+            os.path.join(d, "zz_sentinel.parquet"))
+    stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+              .parquet(d)
+              .withColumn("ts", _ts_from_nanos(F.col("ts")))
+              .withWatermark("ts", "1 second"))
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout)
+    qname = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (sessions.writeStream.outputMode("append")
+         .format("memory").queryName(qname).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).filter(F.col("user_id") >= 0)
+
+
 def sessionize(spark: SparkSession, sf_dir: str,
                gap_minutes: int = 30) -> DataFrame:
     """Sessionization: batch formulation (lag + cumulative gap-count

@@ -229,3 +229,19 @@ def test_extract_list_unknown_size(spark):
     v = gb.Vector.from_dataframe(df)
     out = v[[3, 1, 3]].new()
     assert out.to_dict() == {0: 3.0, 1: 1.0, 2: 3.0}
+
+
+def test_streaming_sessionize_matches_batch(spark):
+    # custom stateful streaming operator (applyInPandasWithState) must
+    # agree exactly with the batch window formulation, including the
+    # end-of-stream flush of open sessions (watermark sentinel)
+    from dask_grblas_spark.streaming import sessionize, streaming_sessionize
+
+    sf = "/root/testdata/sf0.001"
+    a = streaming_sessionize(spark, sf, 30).toPandas()
+    b = sessionize(spark, sf, 30).toPandas()
+    b["session_no"] = b["session_no"] - 1
+    key = ["user_id", "session_no", "n_events", "sum_value"]
+    a = a[key].sort_values(key).reset_index(drop=True)
+    b = b[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
