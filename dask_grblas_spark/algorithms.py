@@ -67,10 +67,11 @@ def _merge_min(cur_df: DataFrame, imp_df: DataFrame) -> DataFrame:
 
 def _prep_adjacency(A: GrMatrix) -> DataFrame:
     """Partition the adjacency by source vertex once; every iteration's
-    join then reuses the exchange."""
-    spark = get_session()
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return A.df.repartition(n, "i").persist()
+    join then reuses the exchange. No explicit partition count — with
+    AQE on, the shuffle coalesces to match the actual data size (32
+    scheduler-bound tasks per stage would dominate small graphs; huge
+    graphs still get the full parallelism)."""
+    return A.df.repartition("i").persist()
 
 
 def bfs_level(A: GrMatrix, source: int) -> GrVector:
@@ -176,8 +177,7 @@ def pagerank(A: GrMatrix, damping: float = 0.85, max_iters: int = 20,
     # P[i,j] = 1/outdeg(i) — degree-normalized transition matrix
     P = (adj.join(outdeg, on="i")
             .select("i", "j", (F.lit(1.0) / F.col("d")).alias("v")))
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    P = P.repartition(nparts, "i").persist()
+    P = P.repartition("i").persist()
     nodes = spark.range(n).select(F.col("id").alias("i"))
     has_out = outdeg.select("i")
     r = nodes.select("i", F.lit(1.0 / n).alias("v")).persist()
