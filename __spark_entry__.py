@@ -193,6 +193,15 @@ def q11_apply(spark, sf_dir):
     return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
 
 
+def q11b_apply_cast(spark, sf_dir):
+    """E3 + dtype cast: unary abs, result cast to INT64 (truncation)."""
+    from dask_grblas_spark import unary
+
+    v = tpch.customer_acctbal_vector(spark, sf_dir)
+    out = v.apply(unary.abs).new(dtype="INT64")
+    return out.df.select("i", F.col("v").alias("v"))
+
+
 def q12_mask_semijoin(spark, sf_dir):
     """Structural mask as dup filter: customers having orders."""
     v = tpch.customer_acctbal_vector(spark, sf_dir)
@@ -218,6 +227,13 @@ def q19_extract_list(spark, sf_dir):
     v = tpch.customer_acctbal_vector(spark, sf_dir)
     out = v[[10, 3, 10, 7, 1]].new()
     return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def q19b_extract_matrix_2d(spark, sf_dir):
+    """X1 2-D: A[row_list, col_list] — both axes reindexed to positions."""
+    M = _cust_nation_matrix(spark, sf_dir)
+    out = M[[10, 3, 7], [17, 13, 10]].new()
+    return out.df.select("i", "j", F.round(F.col("v"), 2).alias("v"))
 
 
 def q26_accum_update(spark, sf_dir):
@@ -541,6 +557,16 @@ def q50_media_meta(spark, sf_dir):
                         F.col("meta.mime").alias("mime"))
 
 
+def q52_frame_sample(spark, sf_dir):
+    """Frame sampling over binary content (byte-stride substring —
+    JVM-side; stands in for ffmpeg keyframe extraction)."""
+    media = multimodal.to_binary_table(_doc(spark, sf_dir))
+    frames = multimodal.sample_frames(media, every_n_bytes=64, max_frames=8)
+    return frames.select("media_id", "frame_no",
+                         F.octet_length("frame_bytes").cast("bigint")
+                          .alias("frame_len"))
+
+
 def q51_media_features(spark, sf_dir):
     """mapInPandas feature extraction (deterministic fake decode) ->
     rows-only check (Pandas-UDF path has no SQL equivalent)."""
@@ -574,6 +600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_kronecker": q09_kronecker,
         "q10_extract_slice": q10_extract_slice,
         "q11_apply": q11_apply,
+        "q11b_apply_cast": q11b_apply_cast,
+        "q19b_extract_matrix_2d": q19b_extract_matrix_2d,
+        "q52_frame_sample": q52_frame_sample,
         "q12_mask_semijoin": q12_mask_semijoin,
         "q13_mask_antijoin": q13_mask_antijoin,
         "q14_colwise_max": q14_colwise_max,
@@ -726,6 +755,30 @@ def oracle_sql() -> dict[str, str]:
     sql["q11_apply"] = """
         SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal * 1.1, 2) AS v
         FROM customer
+    """
+    sql["q11b_apply_cast"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS i,
+               CAST(TRUNC(ABS(c_acctbal)) AS BIGINT) AS v
+        FROM customer
+    """
+    sql["q19b_extract_matrix_2d"] = """
+        SELECT r.pos AS i, col.pos AS j, ROUND(c.c_acctbal, 2) AS v
+        FROM customer c
+        JOIN (VALUES (0, 10), (1, 3), (2, 7)) AS r(pos, idx)
+          ON c.c_custkey = r.idx
+        JOIN (VALUES (0, 17), (1, 13), (2, 10)) AS col(pos, idx)
+          ON c.c_nationkey = col.idx
+    """
+    sql["q52_frame_sample"] = """
+        -- docs are pure ASCII (verified), so char substring length ==
+        -- byte substring length; DuckDB lacks BLOB substring
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(f.frame_no AS BIGINT) AS frame_no,
+               CAST(length(substring(text, f.frame_no * 64 + 1, 64))
+                    AS BIGINT) AS frame_len
+        FROM documents
+        JOIN (SELECT unnest(range(8)) AS frame_no) f
+          ON f.frame_no * 64 < octet_length(encode(text))
     """
     sql["q12_mask_semijoin"] = """
         SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
