@@ -94,7 +94,11 @@ def bfs_level(A: GrMatrix, source: int) -> GrVector:
         frontier = GrVector(new_df, INT64, n)
         frontier.persist()
         if level % _CHECKPOINT_EVERY == 0:
-            levels.checkpoint()
+            # cut BOTH lineages: levels grows by union, and the frontier
+            # plan nests every previous level's plan — without this the
+            # driver spends minutes in generateTreeString on deep trees
+            levels.checkpoint(compact=True)
+            frontier.checkpoint()
     adj.unpersist()
     return levels
 
@@ -119,7 +123,8 @@ def sssp(A: GrMatrix, source: int) -> GrVector:
             break
         dist = GrVector(_merge_min(dist.df, frontier.df), FP64, n)
         if it % _CHECKPOINT_EVERY == 0:
-            dist.checkpoint()
+            dist.checkpoint(compact=True)
+            frontier.checkpoint()
     adj.unpersist()
     return dist
 
@@ -156,7 +161,8 @@ def connected_components(A: GrMatrix) -> GrVector:
         labels = GrVector(_merge_min(labels.df, changed.df), INT64, n)
         labels.persist()
         if it % 2 == 0:
-            labels.checkpoint()
+            labels.checkpoint(compact=True)
+            changed.checkpoint()
         old.unpersist()
     adj.unpersist()
     return labels

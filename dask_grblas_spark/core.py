@@ -42,7 +42,11 @@ __all__ = ["GrScalar", "GrVector", "GrMatrix", "TransposedMatrix",
            "Vector", "Matrix", "Scalar", "get_session",
            "concat_vectors", "row_stack", "column_stack", "diag"]
 
-_BROADCAST_NVALS_LIMIT = 5_000_000
+# Force-broadcast hint cap for mxv/vxm vector operands. Kept well under
+# typical executor memory (500k (i,v) rows ~ 12 MB); bigger sides get no
+# hint — AQE still converts to broadcast at runtime when the ACTUAL size
+# qualifies, and co-partitioned shuffle joins take over beyond that.
+_BROADCAST_NVALS_LIMIT = 500_000
 
 
 def get_session() -> SparkSession:
@@ -192,9 +196,17 @@ class BaseType:
         self._df.unpersist()
         return self
 
-    def checkpoint(self, eager: bool = True):
+    def checkpoint(self, eager: bool = True, compact: bool = False):
         """Cut lineage (mandatory inside iterative algorithms — reference
-        persists each iteration; SURVEY.md section 4)."""
+        persists each iteration; SURVEY.md section 4).
+
+        compact=True first repartitions by the entry keys: iterative
+        unions concatenate partitions (32 per iteration), so task counts
+        — and per-iteration wall clock — grow linearly without a
+        periodic collapse; the AQE-sized shuffle resets them."""
+        if compact:
+            keys = [c for c in self._df.columns if c != "v"]
+            self._df = self._df.repartition(*keys)
         self._df = self._df.localCheckpoint(eager=eager)
         return self
 
