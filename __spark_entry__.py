@@ -398,6 +398,55 @@ def q48_input_mask(spark, sf_dir):
     return w.df.select("i", F.round(F.col("v"), 2).alias("v"))
 
 
+def q49_from_values_dup(spark, sf_dir):
+    """C4 from_values with dup_op: duplicate customer indices from orders
+    collapse via binary.max over order totals (reference vector.py:100-160
+    dup_op combine + explicit size)."""
+    rows = (tpch.load_table(spark, sf_dir, "orders")
+            .select(F.col("o_custkey").cast("bigint"),
+                    F.col("o_totalprice").cast("double"))
+            .collect())
+    idx = [r[0] for r in rows]
+    vals = [r[1] for r in rows]
+    v = Vector.from_values(idx, vals, size=max(idx) + 1, dup_op=binary.max)
+    return v.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def q53_scalar_fill(spark, sf_dir):
+    """A5 masked scalar broadcast assign: nation-0 customers' balances
+    overwritten with a sentinel, all other entries untouched."""
+    w = tpch.customer_acctbal_vector(spark, sf_dir).dup()
+    cust = tpch.load_table(spark, sf_dir, "customer")
+    m = Vector.from_dataframe(
+        cust.filter(F.col("c_nationkey") == 0)
+            .select(F.col("c_custkey").cast("bigint").alias("i"),
+                    F.lit(True).alias("v")), size=w.size, dtype="BOOL")
+    w(mask=m.S)[:] << 99.0
+    return w.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def q54_delete_element(spark, sf_dir):
+    """A7 del v[i]: single-entry deletes survive alongside the rest."""
+    v = tpch.customer_acctbal_vector(spark, sf_dir).dup()
+    del v[5]
+    del v[17]
+    return v.df.select("i", F.round(F.col("v"), 2).alias("v"))
+
+
+def q55_isclose(spark, sf_dir):
+    """R7 isequal/isclose whole-object comparison as boolean scalars:
+    a 1e-9 relative perturbation breaks exact equality but stays inside
+    rel_tol=1e-7."""
+    v = tpch.customer_acctbal_vector(spark, sf_dir)
+    w = v.apply(binary.times, right=1.0 + 1e-9).new()
+    eq = v.isequal(w)
+    cl = v.isclose(w, rel_tol=1e-7)
+    return (eq.df.select(F.lit("isequal").alias("test"),
+                         F.col("v").alias("same"))
+              .unionByName(cl.df.select(F.lit("isclose").alias("test"),
+                                        F.col("v").alias("same"))))
+
+
 def _cust_nation_matrix(spark, sf_dir):
     cust = tpch.load_table(spark, sf_dir, "customer")
     return Matrix.from_dataframe(
@@ -627,6 +676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_row_assign": q46_row_assign,
         "q47_reduce_assign": q47_reduce_assign,
         "q48_input_mask": q48_input_mask,
+        "q49_from_values_dup": q49_from_values_dup,
+        "q53_scalar_fill": q53_scalar_fill,
+        "q54_delete_element": q54_delete_element,
+        "q55_isclose": q55_isclose,
         "q20_token_count": q20_token_count,
         "q21_char_stats": q21_char_stats,
         "q22_quality": q22_quality,
@@ -909,6 +962,26 @@ def oracle_sql() -> dict[str, str]:
     sql["q48_input_mask"] = """
         SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
         FROM customer WHERE c_custkey < 1000 AND c_nationkey = 0
+    """
+    sql["q49_from_values_dup"] = """
+        SELECT CAST(o_custkey AS BIGINT) AS i,
+               ROUND(MAX(o_totalprice), 2) AS v
+        FROM orders GROUP BY 1
+    """
+    sql["q53_scalar_fill"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS i,
+               CASE WHEN c_nationkey = 0 THEN 99.0
+                    ELSE ROUND(c_acctbal, 2) END AS v
+        FROM customer
+    """
+    sql["q54_delete_element"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
+        FROM customer WHERE c_custkey NOT IN (5, 17)
+    """
+    sql["q55_isclose"] = """
+        SELECT 'isequal' AS test, FALSE AS same
+        UNION ALL
+        SELECT 'isclose' AS test, TRUE AS same
     """
     sql["q20_token_count"] = r"""
         SELECT doc_id,

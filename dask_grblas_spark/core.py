@@ -1135,10 +1135,35 @@ def _generic_assign(parent, axes, obj, updater: Updater, subassign: bool):
                                    *new_df.columns)
         new_df = new_df.select(*parent._key_cols, "v")
     else:
-        # scalar broadcast fill (A5); full-fill densifies by design
-        new_df = assign_plans.scalar_fill(
-            spark, _py_value(obj, dtype), dtype,
-            [(rx, size, col) for col, rx, size in axes])
+        # scalar broadcast fill (A5)
+        mask_pre = resolve_mask(updater.mask)
+        if (mask_pre is not None and not mask_pre[1] and not subassign
+                and len(mask_pre[0].columns) == len(parent._key_cols)):
+            # A non-complemented target-coords mask bounds the fill set
+            # exactly: build rows from the mask keys restricted to the
+            # addressed region instead of densifying the axis. At scale a
+            # range(size)-then-semi-join fill is a catastrophic densify;
+            # this is also the only resolvable plan when the logical size
+            # is unknown (from_dataframe wrappers).
+            fill = mask_pre[0]
+            for col, rx, _size in axes:
+                if rx.kind == "int":
+                    fill = fill.filter(F.col(col) == rx.value)
+                elif rx.kind == "pred":
+                    fill = fill.filter(rx.pred(F.col(col)))
+                elif rx.kind == "df":
+                    tgt = assign_plans.dedup_last_wins(rx.df) \
+                        .select(F.col("idx").alias(col))
+                    fill = fill.join(tgt, on=col, how="left_semi")
+                # "all": no restriction
+            new_df = fill.select(
+                *parent._key_cols,
+                F.lit(_py_value(obj, dtype)).cast(dtype.spark_type).alias("v"))
+        else:
+            # unmasked / complement-masked: full-fill densifies by design
+            new_df = assign_plans.scalar_fill(
+                spark, _py_value(obj, dtype), dtype,
+                [(rx, size, col) for col, rx, size in axes])
 
     # ---- region spec ----
     region = ("axis", [(col, assign_plans.axis_region_spec(rx))

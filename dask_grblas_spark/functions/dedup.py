@@ -49,15 +49,18 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     toks = tokens(F.col(text_col))
     if n == 1:
         sh = F.array_distinct(toks)
-    else:
-        # sliding window n-grams via transform over index positions
-        sh = F.array_distinct(F.expr(
-            f"transform(sequence(0, greatest(size(split(trim({text_col}), "
-            f"'\\\\s+')) - {n}, -1)), "
-            f"p -> array_join(slice(split(trim({text_col}), '\\\\s+'), "
-            f"p + 1, {n}), ' '))"))
-    return (df.select(F.col(id_col).alias("id"), F.explode(sh).alias("sh"))
-              .filter(F.length("sh") > 0))
+        return (df.select(F.col(id_col).alias("id"), F.explode(sh).alias("sh"))
+                  .filter(F.length("sh") > 0))
+    # Materialize the token array once per row: a lambda body that repeats
+    # split() re-evaluates it per n-gram position (O(tokens^2) per doc);
+    # referencing the aliased column keeps CollapseProject from inlining
+    # the non-cheap split back into the lambda.
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    sh = F.array_distinct(F.expr(
+        f"transform(sequence(0, greatest(size(_toks) - {n}, -1)), "
+        f"p -> array_join(slice(_toks, p + 1, {n}), ' '))"))
+    return (base.select("id", F.explode(sh).alias("sh"))
+                .filter(F.length("sh") > 0))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",

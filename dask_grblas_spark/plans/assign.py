@@ -61,8 +61,17 @@ def axis_targets(rx: ResolvedIndex, spark: SparkSession, size: int,
     if rx.kind == "int":
         return spark.range(rx.value, rx.value + 1).select(F.col("id").alias(col))
     if rx.kind == "all":
+        if size is None:
+            raise ValueError(
+                "unmasked full-axis scalar fill needs a known logical size "
+                "(from_dataframe wrappers carry none); set .size/.nrows/"
+                ".ncols or supply a bounding mask")
         return spark.range(size).select(F.col("id").alias(col))
     if rx.kind == "pred":
+        if rx.out_size is None:
+            raise ValueError(
+                "unbounded slice scalar fill needs a known logical size; "
+                "set .size/.nrows/.ncols or supply a bounding mask")
         return (spark.range(rx.out_size)
                 .select(rx.tgt_of(F.col("id")).alias(col)))
     return dedup_last_wins(rx.df).select(F.col("idx").alias(col))
