@@ -1,0 +1,78 @@
+"""Physical/optimized plan assertions — the scale contract.
+
+Correctness tests prove WHAT is computed; these prove the plan is the one
+we would want on a 1000-executor cluster: broadcast joins for small
+operands, parquet filter pushdown + column pruning at the scan, the
+masked-matmul semi-join BELOW the aggregation (shuffle shrinks before it
+happens), and transpose as a zero-shuffle projection.
+"""
+
+import dask_grblas_spark as gb
+from dask_grblas_spark import semiring
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_mxv_broadcasts_small_vector(spark, A, v):
+    out = A.mxv(v.apply("abs").new(), semiring.plus_times).new()
+    plan = _physical(out.df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_masked_mxv_semi_join_below_aggregate(spark, A, v, sm):
+    w = gb.Vector.new("INT64", 7)
+    w(mask=sm.S) << A.mxv(v, semiring.plus_times)
+    plan = _optimized(w.df)
+    # tree prints parents first: a semi join printing AFTER the aggregate
+    # sits BELOW it (applied before aggregation). The merge pipeline has
+    # its own mask semi-join ABOVE the agg, so check the deepest one.
+    agg_pos = plan.index("Aggregate")
+    semi_pos = plan.rindex("LeftSemi")
+    assert semi_pos > agg_pos, plan
+
+
+def test_parquet_filter_pushdown_and_column_pruning(spark):
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    v = gb.Vector.from_dataframe(
+        cust.select(F.col("c_custkey").alias("i"),
+                    F.col("c_acctbal").alias("v")), dtype="FP64")
+    v.size = 10_000
+    out = v[0:50].new()
+    plan = _physical(out.df)
+    assert "PushedFilters: [" in plan
+    # the range-extract predicate must reach the parquet scan
+    assert "LessThan(c_custkey" in plan or "IsNotNull(c_custkey" in plan, plan
+    # scan must read only the two projected columns, not the whole table
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_custkey" in read_schema and "c_acctbal" in read_schema
+    assert "c_name" not in read_schema and "c_address" not in read_schema
+
+
+def test_transpose_adds_no_shuffle(spark, A):
+    plain = _physical(A.df)
+    t = _physical(A.T.new().df)
+    assert t.count("Exchange") == plain.count("Exchange")
+
+
+def test_ewise_mult_single_shuffle_pair(spark, v, w):
+    out = v.ewise_mult(w, "times").new()
+    plan = _physical(out.df)
+    # one equi-join: at most one exchange per side, no extra repartitions
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_reduce_rowwise_partial_aggregation(spark, A):
+    out = A.reduce_rowwise("plus").new()
+    plan = _physical(out.df)
+    # Catalyst splits the agg into partial (map-side) + final: two
+    # HashAggregate nodes around one exchange — map-side combine at scale
+    assert plan.count("HashAggregate") >= 2, plan
