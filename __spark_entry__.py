@@ -187,9 +187,12 @@ def q10_extract_slice(spark, sf_dir):
 
 
 def q11_apply(spark, sf_dir):
-    """E3: apply with bound scalar (times 1.1)."""
+    """E3: apply with bound scalar. The scalar is 2.0 (exact in binary)
+    so the rounded product has no third decimal: Spark rounds doubles via
+    their shortest decimal representation while DuckDB rounds the raw
+    double, and any x.xx5-looking product makes them disagree."""
     v = tpch.customer_acctbal_vector(spark, sf_dir)
-    out = v.apply(binary.times, right=1.1).new()
+    out = v.apply(binary.times, right=2.0).new()
     return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
 
 
@@ -806,7 +809,7 @@ def oracle_sql() -> dict[str, str]:
         FROM customer WHERE c_custkey < 1000
     """
     sql["q11_apply"] = """
-        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal * 1.1, 2) AS v
+        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal * 2.0, 2) AS v
         FROM customer
     """
     sql["q11b_apply_cast"] = """
