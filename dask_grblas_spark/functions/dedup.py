@@ -70,8 +70,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """EXACT n-gram Jaccard similarity >= threshold, via inverted-index
     self-join (no cross join). max_doc_freq drops shingles appearing in
     more than that many docs (stop-shingle cap — at 100 TB this bounds the
-    worst join bucket; pass None for exact completeness)."""
-    sh = shingles(df, id_col, text_col, n).persist()
+    worst join bucket; pass None for exact completeness).
+
+    The shingle relation is deliberately NOT persisted: it is an exploded
+    projection LARGER than its input, so caching it costs more memory
+    than recomputing the map-side scan per consumer (and leaked cache
+    entries compound across repeated invocations)."""
+    sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     use = sh
     if max_doc_freq is not None:
@@ -132,8 +137,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                    & (F.col("a.id") < F.col("b.id")))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .distinct())
-    # exact verification of candidates
-    sh = shingles(df, id_col, text_col, n).persist()
+    # exact verification of candidates (shingles recomputed, not cached —
+    # see ngram_jaccard_pairs)
+    sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("id").alias("sb_id"), F.col("sh").alias("sh_b"))
