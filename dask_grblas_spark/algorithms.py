@@ -174,8 +174,10 @@ def pagerank(A: GrMatrix, damping: float = 0.85, max_iters: int = 20,
 
     State is a dense rank DataFrame (n rows); each step is one join+agg
     against the degree-normalized adjacency — the same plan shape Spark
-    runs for any scale-out PageRank. Convergence check is a 1-row action
-    per iteration (L1 delta)."""
+    runs for any scale-out PageRank. The dangling-mass scalar stays
+    INSIDE the plan (1-row aggregate crossJoined in, broadcast by Spark)
+    so each iteration runs exactly one job; the only driver action is the
+    1-row L1-delta convergence check."""
     spark = get_session()
     n = A.nrows
     adj = A.df
@@ -189,18 +191,20 @@ def pagerank(A: GrMatrix, damping: float = 0.85, max_iters: int = 20,
     r = nodes.select("i", F.lit(1.0 / n).alias("v")).persist()
     base = (1.0 - damping) / n
     for it in range(max_iters):
-        dangling = (r.join(has_out, on="i", how="left_anti")
-                     .agg(F.coalesce(F.sum("v"), F.lit(0.0))).collect()[0][0])
+        dangling_df = (r.join(has_out, on="i", how="left_anti")
+                        .agg((F.coalesce(F.sum("v"), F.lit(0.0)) / n)
+                             .alias("_dang")))
         contrib = (P.alias("P").join(r.alias("r"), F.col("P.i") == F.col("r.i"))
                     .select(F.col("P.j").alias("i"),
                             (F.col("P.v") * F.col("r.v")).alias("c"))
                     .groupBy("i").agg(F.sum("c").alias("s")))
         r_new = (nodes.join(contrib, on="i", how="left_outer")
+                      .crossJoin(dangling_df)
                       .select("i",
                               (F.lit(base)
                                + F.lit(damping)
                                * (F.coalesce(F.col("s"), F.lit(0.0))
-                                  + F.lit(dangling / n))).alias("v")))
+                                  + F.col("_dang"))).alias("v")))
         r_new = r_new.localCheckpoint(eager=True)
         delta = (r_new.alias("a").join(r.alias("b"), on="i")
                       .agg(F.sum(F.abs(F.col("a.v") - F.col("b.v"))))
