@@ -88,8 +88,13 @@ def q02_twohop(spark, sf_dir):
 
 
 def q03_masked_mxv(spark, sf_dir):
-    """M2+M4: mxv with structural-mask pushdown (region-0 nations only)."""
+    """M2+M4: mxv with structural-mask pushdown, BOTH polarities — the
+    'mask' variant keeps region-0 nations (semi-join pushdown), the
+    'cmask' variant the complement (anti-join pushdown). One query, two
+    tagged result sets (the driver caps recorded queries, so paired
+    variants share one gate entry)."""
     nn = tpch.nation_matrix(spark, sf_dir)
+    nn.persist()
     sup = tpch.load_table(spark, sf_dir, "supplier")
     v = Vector.from_dataframe(
         sup.groupBy(F.col("s_nationkey").cast("bigint").alias("i"))
@@ -101,40 +106,25 @@ def q03_masked_mxv(spark, sf_dir):
                       F.lit(True).alias("v")), size=25, dtype="BOOL")
     out = Vector.new("INT64", 25)
     out(mask=m.S) << nn.mxv(v, semiring.plus_times)
-    return out.df.select("i", F.col("v").alias("score"))
+    outc = Vector.new("INT64", 25)
+    outc(mask=~m.S) << nn.mxv(v, semiring.plus_times)
+    return (out.df.select(F.lit("mask").alias("variant"), "i",
+                          F.col("v").alias("score"))
+            .unionByName(outc.df.select(F.lit("cmask").alias("variant"), "i",
+                                        F.col("v").alias("score"))))
 
 
-def q03b_complement_mask(spark, sf_dir):
-    """M4: complemented structural mask (anti-join pushdown)."""
-    nn = tpch.nation_matrix(spark, sf_dir)
-    sup = tpch.load_table(spark, sf_dir, "supplier")
-    v = Vector.from_dataframe(
-        sup.groupBy(F.col("s_nationkey").cast("bigint").alias("i"))
-           .agg(F.count("*").alias("v")), size=25, dtype="INT64")
-    nation = tpch.load_table(spark, sf_dir, "nation")
-    m = Vector.from_dataframe(
-        nation.filter(F.col("n_regionkey") == 0)
-              .select(F.col("n_nationkey").cast("bigint").alias("i"),
-                      F.lit(True).alias("v")), size=25, dtype="BOOL")
-    out = Vector.new("INT64", 25)
-    out(mask=~m.S) << nn.mxv(v, semiring.plus_times)
-    return out.df.select("i", F.col("v").alias("score"))
-
-
-def q04_ewise_add(spark, sf_dir):
-    """E1: union merge — acctbal vector (+) order-count vector."""
+def q04_ewise(spark, sf_dir):
+    """E1+E2: union merge (ewise_add plus) and intersection merge
+    (ewise_mult times) of the acctbal and order-count vectors, tagged."""
     a = tpch.customer_acctbal_vector(spark, sf_dir)
     b = tpch.customer_order_count_vector(spark, sf_dir)
-    out = a.ewise_add(b, binary.plus).new()
-    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
-
-
-def q04b_ewise_mult(spark, sf_dir):
-    """E2: intersection merge — acctbal (*) order count."""
-    a = tpch.customer_acctbal_vector(spark, sf_dir)
-    b = tpch.customer_order_count_vector(spark, sf_dir)
-    out = a.ewise_mult(b, binary.times).new()
-    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
+    out_add = a.ewise_add(b, binary.plus).new()
+    out_mul = a.ewise_mult(b, binary.times).new()
+    return (out_add.df.select(F.lit("add").alias("variant"), "i",
+                              F.round(F.col("v"), 2).alias("v"))
+            .unionByName(out_mul.df.select(F.lit("mult").alias("variant"), "i",
+                                           F.round(F.col("v"), 2).alias("v"))))
 
 
 def q05_connected_components(spark, sf_dir):
@@ -178,31 +168,25 @@ def q09_kronecker(spark, sf_dir):
     return K.df.select("i", "j", "v")
 
 
-def q10_extract_slice(spark, sf_dir):
-    """X1: slice extract — pure predicate + arithmetic, no join."""
-    v = tpch.customer_acctbal_vector(spark, sf_dir)
-    v.size = 1_000_000  # logical upper bound; custkeys are far below
-    out = v[0:1000].new()
-    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
-
-
 def q11_apply(spark, sf_dir):
     """E3: apply with bound scalar. The scalar is 2.0 (exact in binary)
     so the rounded product has no third decimal: Spark rounds doubles via
     their shortest decimal representation while DuckDB rounds the raw
-    double, and any x.xx5-looking product makes them disagree."""
-    v = tpch.customer_acctbal_vector(spark, sf_dir)
-    out = v.apply(binary.times, right=2.0).new()
-    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
+    double, and any x.xx5-looking product makes them disagree.
 
-
-def q11b_apply_cast(spark, sf_dir):
-    """E3 + dtype cast: unary abs, result cast to INT64 (truncation)."""
+    Merged variants: 'times2' (bound-scalar apply) and 'abs_int' (unary
+    apply with INT64 cast — truncation; exact ints survive the double
+    re-cast for the union)."""
     from dask_grblas_spark import unary
 
     v = tpch.customer_acctbal_vector(spark, sf_dir)
-    out = v.apply(unary.abs).new(dtype="INT64")
-    return out.df.select("i", F.col("v").alias("v"))
+    out = v.apply(binary.times, right=2.0).new()
+    out_c = v.apply(unary.abs).new(dtype="INT64")
+    return (out.df.select(F.lit("times2").alias("variant"), "i",
+                          F.round(F.col("v"), 2).alias("v"))
+            .unionByName(out_c.df.select(F.lit("abs_int").alias("variant"),
+                                         "i", F.col("v").cast("double")
+                                         .alias("v"))))
 
 
 def q12_mask_semijoin(spark, sf_dir):
@@ -226,66 +210,50 @@ def q13_mask_antijoin(spark, sf_dir):
 
 
 def q19_extract_list(spark, sf_dir):
-    """X1: list extract with DUPLICATE indices (join fan-out, pos output)."""
+    """X1: list extract with DUPLICATE indices (join fan-out, pos output)
+    plus the 2-D A[row_list, col_list] variant (both axes reindexed);
+    vector rows carry j = -1."""
     v = tpch.customer_acctbal_vector(spark, sf_dir)
     out = v[[10, 3, 10, 7, 1]].new()
-    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
-
-
-def q19b_extract_matrix_2d(spark, sf_dir):
-    """X1 2-D: A[row_list, col_list] — both axes reindexed to positions."""
     M = _cust_nation_matrix(spark, sf_dir)
-    out = M[[10, 3, 7], [17, 13, 10]].new()
-    return out.df.select("i", "j", F.round(F.col("v"), 2).alias("v"))
+    out2 = M[[10, 3, 7], [17, 13, 10]].new()
+    return (out.df.select("i", F.lit(-1).cast("bigint").alias("j"),
+                          F.round(F.col("v"), 2).alias("v"))
+            .unionByName(out2.df.select("i", "j",
+                                        F.round(F.col("v"), 2).alias("v"))))
 
 
 def q26_accum_update(spark, sf_dir):
-    """A2/R4: full-target accum merge — w(accum=plus) << order counts."""
-    w = tpch.customer_acctbal_vector(spark, sf_dir).dup()
+    """A2/R4: full-target accum merge ('accum' variant) and mask +
+    replace=True ('replace' variant: doubled acctbal kept ONLY for
+    nation-0 customers, everything else deleted by replace)."""
+    a = tpch.customer_acctbal_vector(spark, sf_dir)
+    w = a.dup()
     b = tpch.customer_order_count_vector(spark, sf_dir)
     w(accum=binary.plus) << b
-    return w.df.select("i", F.round(F.col("v"), 2).alias("v"))
-
-
-def q26b_masked_replace(spark, sf_dir):
-    """A2: mask + replace=True — doubled acctbal kept ONLY for nation-0
-    customers; all other stored entries deleted by replace."""
-    a = tpch.customer_acctbal_vector(spark, sf_dir)
     cust = tpch.load_table(spark, sf_dir, "customer")
     m = Vector.from_dataframe(
         cust.filter(F.col("c_nationkey") == 0)
             .select(F.col("c_custkey").cast("bigint").alias("i"),
                     F.lit(True).alias("v")), size=a.size, dtype="BOOL")
-    w = a.dup()
-    w(mask=m.S, replace=True) << a.apply(binary.times, right=2.0)
-    return w.df.select("i", F.round(F.col("v"), 2).alias("v"))
+    w2 = a.dup()
+    w2(mask=m.S, replace=True) << a.apply(binary.times, right=2.0)
+    return (w.df.select(F.lit("accum").alias("variant"), "i",
+                        F.round(F.col("v"), 2).alias("v"))
+            .unionByName(w2.df.select(F.lit("replace").alias("variant"), "i",
+                                      F.round(F.col("v"), 2).alias("v"))))
 
 
-def q27_reduce_accum(spark, sf_dir):
-    """R4: scalar reduce with accum into an existing value."""
-    from dask_grblas_spark import Scalar
-
-    v = tpch.customer_acctbal_vector(spark, sf_dir)
-    s = Scalar.from_value(100.0, "FP64")
-    s(accum=binary.plus) << v.reduce(monoid.plus)
-    # export as integer cents so float summation-order noise can't flip
-    # the 2-decimal rounding against the oracle
-    return s.df.select(F.round(F.col("v") * 100, 0).cast("bigint")
-                       .alias("cents"))
-
-
-def q28_argmax(spark, sf_dir):
-    """R5: argmax aggregator (deterministic smallest-index tie-break)."""
+def q28_argminmax(spark, sf_dir):
+    """R5: argmax + argmin aggregators (deterministic smallest-index
+    tie-break), tagged variants over the customer x nation matrix."""
     M = _cust_nation_matrix(spark, sf_dir)
-    out = M.reduce_columnwise(agg.argmax).new()
-    return out.df.select("i", F.col("v").alias("argmax_cust"))
-
-
-def q28b_argmin(spark, sf_dir):
-    """R5: argmin aggregator."""
-    M = _cust_nation_matrix(spark, sf_dir)
-    out = M.reduce_columnwise(agg.argmin).new()
-    return out.df.select("i", F.col("v").alias("argmin_cust"))
+    mx = M.reduce_columnwise(agg.argmax).new()
+    mn = M.reduce_columnwise(agg.argmin).new()
+    return (mx.df.select(F.lit("argmax").alias("variant"), "i",
+                         F.col("v").alias("cust"))
+            .unionByName(mn.df.select(F.lit("argmin").alias("variant"), "i",
+                                      F.col("v").alias("cust"))))
 
 
 def q29_concat(spark, sf_dir):
@@ -302,9 +270,11 @@ def q29_concat(spark, sf_dir):
 
 
 def q37_pagerank(spark, sf_dir):
-    """PageRank to tol-convergence (iterative, no SQL oracle -> rows-only)."""
+    """PageRank, FIXED 10 power iterations (tol=0 disables early exit) so
+    the trajectory is deterministic and a DuckDB iterated-CTE oracle can
+    replay it exactly; values rounded to 6 decimals on both sides."""
     nn = tpch.nation_matrix(spark, sf_dir)
-    pr = alg.pagerank(alg.symmetrize(nn), max_iters=20)
+    pr = alg.pagerank(alg.symmetrize(nn), max_iters=10, tol=0.0)
     return pr.df.select("i", F.round(F.col("v"), 6).alias("rank_score"))
 
 
@@ -321,35 +291,26 @@ def q38_mm_roundtrip(spark, sf_dir):
     return back.df.select("i", "j", "v")
 
 
-def q42_inner(spark, sf_dir):
-    """M7: vector inner product (the reference's stub, implemented)."""
-    a = tpch.customer_acctbal_vector(spark, sf_dir)
-    b = tpch.customer_order_count_vector(spark, sf_dir)
-    s = a.inner(b, semiring.plus_times).new()
-    return s.df.select(F.round(F.col("v") * 100, 0).cast("bigint")
-                       .alias("cents"))
-
-
 def q43_value_mask(spark, sf_dir):
-    """Value mask: keep entries where the mask VALUE is true (> 5000)."""
+    """Value mask both polarities: 'value' keeps entries where the mask
+    VALUE is true (> 5000), 'cvalue' where absent OR false (<= 5000)."""
     a = tpch.customer_acctbal_vector(spark, sf_dir)
     m = a.apply(binary.gt, right=5000.0).new()
     out = a.dup(mask=m.V)
-    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
+    outc = a.dup(mask=~m.V)
+    return (out.df.select(F.lit("value").alias("variant"), "i",
+                          F.round(F.col("v"), 2).alias("v"))
+            .unionByName(outc.df.select(F.lit("cvalue").alias("variant"), "i",
+                                        F.round(F.col("v"), 2).alias("v"))))
 
 
-def q43b_complement_value_mask(spark, sf_dir):
-    """Complemented value mask: mask entry absent OR false (<= 5000)."""
-    a = tpch.customer_acctbal_vector(spark, sf_dir)
-    m = a.apply(binary.gt, right=5000.0).new()
-    out = a.dup(mask=~m.V)
-    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
-
-
-def q44_resize(spark, sf_dir):
-    """C10: resize drops out-of-range entries (pure filter + meta)."""
-    v = tpch.customer_acctbal_vector(spark, sf_dir)
+def q44_resize_delete(spark, sf_dir):
+    """C10 resize (drops out-of-range entries) + A7 `del v[i]` single-entry
+    deletes, composed in one pipeline."""
+    v = tpch.customer_acctbal_vector(spark, sf_dir).dup()
     v.resize(500)
+    del v[5]
+    del v[17]
     return v.df.select("i", F.round(F.col("v"), 2).alias("v"))
 
 
@@ -387,10 +348,12 @@ def q47_reduce_assign(spark, sf_dir):
 
 
 def q48_input_mask(spark, sf_dir):
-    """X3 input_mask: filter the SOURCE before extraction — acctbal slice
-    restricted to nation-0 customers."""
+    """X1 slice extract ('slice' variant: pure predicate + arithmetic, no
+    join) and X3 input_mask ('input_mask' variant: SOURCE filtered before
+    extraction — acctbal slice restricted to nation-0 customers)."""
     v = tpch.customer_acctbal_vector(spark, sf_dir)
-    v.size = 1_000_000
+    v.size = 1_000_000  # logical upper bound; custkeys are far below
+    sl = v[0:1000].new()
     cust = tpch.load_table(spark, sf_dir, "customer")
     m = Vector.from_dataframe(
         cust.filter(F.col("c_nationkey") == 0)
@@ -398,7 +361,10 @@ def q48_input_mask(spark, sf_dir):
                     F.lit(True).alias("v")), size=v.size, dtype="BOOL")
     w = Vector.new("FP64", 1000)
     w(input_mask=m.S) << v[0:1000]
-    return w.df.select("i", F.round(F.col("v"), 2).alias("v"))
+    return (sl.df.select(F.lit("slice").alias("variant"), "i",
+                         F.round(F.col("v"), 2).alias("v"))
+            .unionByName(w.df.select(F.lit("input_mask").alias("variant"),
+                                     "i", F.round(F.col("v"), 2).alias("v"))))
 
 
 def q49_from_values_dup(spark, sf_dir):
@@ -428,14 +394,6 @@ def q53_scalar_fill(spark, sf_dir):
     return w.df.select("i", F.round(F.col("v"), 2).alias("v"))
 
 
-def q54_delete_element(spark, sf_dir):
-    """A7 del v[i]: single-entry deletes survive alongside the rest."""
-    v = tpch.customer_acctbal_vector(spark, sf_dir).dup()
-    del v[5]
-    del v[17]
-    return v.df.select("i", F.round(F.col("v"), 2).alias("v"))
-
-
 def q55_isclose(spark, sf_dir):
     """R7 isequal/isclose whole-object comparison as boolean scalars:
     a 1e-9 relative perturbation breaks exact equality but stays inside
@@ -458,25 +416,41 @@ def _cust_nation_matrix(spark, sf_dir):
                     F.col("c_acctbal").alias("v")), dtype="FP64")
 
 
-def q14_colwise_max(spark, sf_dir):
-    """R3: reduce_columnwise(max) — max acctbal per nation."""
+def q14_colwise_stats(spark, sf_dir):
+    """R3 reduce_columnwise(max) + R5 count aggregator, joined on the
+    column index: max acctbal and customer count per nation."""
     M = _cust_nation_matrix(spark, sf_dir)
-    out = M.reduce_columnwise(monoid.max).new()
-    return out.df.select("i", F.round(F.col("v"), 2).alias("v"))
+    mx = M.reduce_columnwise(monoid.max).new()
+    ct = M.reduce_columnwise(agg.count).new()
+    return (mx.df.select("i", F.round(F.col("v"), 2).alias("max_bal"))
+            .join(ct.df.select("i", F.col("v").alias("n_cust")), on="i"))
 
 
-def q15_colwise_count(spark, sf_dir):
-    """R5 aggregator: count per nation."""
-    M = _cust_nation_matrix(spark, sf_dir)
-    out = M.reduce_columnwise(agg.count).new()
-    return out.df.select("i", F.col("v").alias("n"))
+def q16_scalar_suite(spark, sf_dir):
+    """R2 whole-matrix reduce, R4 scalar reduce-with-accum, and M7 vector
+    inner product — three scalar results union'd with a stat tag. Money
+    scalars export as integer cents so float summation-order noise can't
+    flip the 2-decimal rounding against the oracle."""
+    from dask_grblas_spark import Scalar
 
-
-def q16_reduce_scalar(spark, sf_dir):
-    """R2: whole-matrix reduce -> scalar (total lineitem count)."""
     cs = tpch.customer_supplier_matrix(spark, sf_dir)
-    s = cs.reduce_scalar(monoid.plus).new()
-    return s.df.select(F.col("v"))
+    s1 = cs.reduce_scalar(monoid.plus).new()
+
+    v = tpch.customer_acctbal_vector(spark, sf_dir)
+    s2 = Scalar.from_value(100.0, "FP64")
+    s2(accum=binary.plus) << v.reduce(monoid.plus)
+
+    b = tpch.customer_order_count_vector(spark, sf_dir)
+    s3 = v.inner(b, semiring.plus_times).new()
+
+    return (s1.df.select(F.lit("matrix_reduce").alias("stat"),
+                         F.col("v").cast("bigint").alias("val"))
+            .unionByName(s2.df.select(
+                F.lit("reduce_accum_cents").alias("stat"),
+                F.round(F.col("v") * 100, 0).cast("bigint").alias("val")))
+            .unionByName(s3.df.select(
+                F.lit("inner_cents").alias("stat"),
+                F.round(F.col("v") * 100, 0).cast("bigint").alias("val"))))
 
 
 def q17_mat_ewise_min_transpose(spark, sf_dir):
@@ -495,15 +469,13 @@ def q18_diag_extract(spark, sf_dir):
 
 # ---- text analysis --------------------------------------------------------
 
-def q20_token_count(spark, sf_dir):
-    out = text.token_count(_doc(spark, sf_dir))
-    return out.select("doc_id", "n_tokens")
-
-
-def q21_char_stats(spark, sf_dir):
-    out = text.char_stats(_doc(spark, sf_dir))
-    return out.select("doc_id", "n_chars_m", "space_ratio", "punct_ratio",
-                      "digit_ratio")
+def q20_text_stats(spark, sf_dir):
+    """Token counting + character-class stats, one row per document."""
+    doc = _doc(spark, sf_dir)
+    tc = text.token_count(doc).select("doc_id", "n_tokens")
+    cs = text.char_stats(doc).select("doc_id", "n_chars_m", "space_ratio",
+                                     "punct_ratio", "digit_ratio")
+    return tc.join(cs, on="doc_id")
 
 
 def q22_quality(spark, sf_dir):
@@ -544,6 +516,10 @@ def q30_exact_dedup(spark, sf_dir):
 
 
 def q31_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard via inverted-index join. The default
+    max_doc_freq=1000 stop-shingle cap is active: far above this corpus's
+    max shingle doc-frequency (7 at sf0.01, 25 at sf0.1) so the result is
+    exact here, while bounding the worst join bucket at 100 TB."""
     return dedup.ngram_jaccard_pairs(_doc(spark, sf_dir), n=3, threshold=0.2) \
         .select("id_a", "id_b", "jaccard")
 
@@ -638,57 +614,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order matters: the driver records queries in dict order
+    # with a cap (r01 recorded exactly the first 50 of 62). The whole suite
+    # is consolidated to 48 entries (paired variants share one tagged
+    # query) and the pipeline/streaming/multimodal layer leads so every
+    # family lands inside any cap.
     return {
-        "q01_outdegree": q01_outdegree,
-        "q02_twohop": q02_twohop,
-        "q03_masked_mxv": q03_masked_mxv,
-        "q03b_complement_mask": q03b_complement_mask,
-        "q04_ewise_add": q04_ewise_add,
-        "q04b_ewise_mult": q04b_ewise_mult,
-        "q05_connected_components": q05_connected_components,
-        "q06_sssp_dag": q06_sssp_dag,
-        "q07_triangles": q07_triangles,
-        "q08_bfs": q08_bfs,
-        "q09_kronecker": q09_kronecker,
-        "q10_extract_slice": q10_extract_slice,
-        "q11_apply": q11_apply,
-        "q11b_apply_cast": q11b_apply_cast,
-        "q19b_extract_matrix_2d": q19b_extract_matrix_2d,
-        "q52_frame_sample": q52_frame_sample,
-        "q12_mask_semijoin": q12_mask_semijoin,
-        "q13_mask_antijoin": q13_mask_antijoin,
-        "q14_colwise_max": q14_colwise_max,
-        "q15_colwise_count": q15_colwise_count,
-        "q16_reduce_scalar": q16_reduce_scalar,
-        "q17_mat_ewise_min_transpose": q17_mat_ewise_min_transpose,
-        "q18_diag_extract": q18_diag_extract,
-        "q19_extract_list": q19_extract_list,
-        "q26_accum_update": q26_accum_update,
-        "q26b_masked_replace": q26b_masked_replace,
-        "q27_reduce_accum": q27_reduce_accum,
-        "q28_argmax": q28_argmax,
-        "q28b_argmin": q28b_argmin,
-        "q29_concat": q29_concat,
-        "q37_pagerank": q37_pagerank,
-        "q38_mm_roundtrip": q38_mm_roundtrip,
-        "q42_inner": q42_inner,
-        "q43_value_mask": q43_value_mask,
-        "q43b_complement_value_mask": q43b_complement_value_mask,
-        "q44_resize": q44_resize,
-        "q45_subassign": q45_subassign,
-        "q46_row_assign": q46_row_assign,
-        "q47_reduce_assign": q47_reduce_assign,
-        "q48_input_mask": q48_input_mask,
-        "q49_from_values_dup": q49_from_values_dup,
-        "q53_scalar_fill": q53_scalar_fill,
-        "q54_delete_element": q54_delete_element,
-        "q55_isclose": q55_isclose,
-        "q20_token_count": q20_token_count,
-        "q21_char_stats": q21_char_stats,
-        "q22_quality": q22_quality,
-        "q23_lang_scores": q23_lang_scores,
-        "q24_fingerprint": q24_fingerprint,
-        "q25_token_freq": q25_token_freq,
+        # LLM-data-pipeline / streaming / multimodal layer
         "q30_exact_dedup": q30_exact_dedup,
         "q31_ngram_jaccard": q31_ngram_jaccard,
         "q32_minhash_lsh": q32_minhash_lsh,
@@ -701,6 +633,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41b_streaming_sessionize": q41b_streaming_sessionize,
         "q50_media_meta": q50_media_meta,
         "q51_media_features": q51_media_features,
+        "q52_frame_sample": q52_frame_sample,
+        "q37_pagerank": q37_pagerank,
+        # core GraphBLAS operator suite
+        "q01_outdegree": q01_outdegree,
+        "q02_twohop": q02_twohop,
+        "q03_masked_mxv": q03_masked_mxv,
+        "q04_ewise": q04_ewise,
+        "q05_connected_components": q05_connected_components,
+        "q06_sssp_dag": q06_sssp_dag,
+        "q07_triangles": q07_triangles,
+        "q08_bfs": q08_bfs,
+        "q09_kronecker": q09_kronecker,
+        "q11_apply": q11_apply,
+        "q12_mask_semijoin": q12_mask_semijoin,
+        "q13_mask_antijoin": q13_mask_antijoin,
+        "q14_colwise_stats": q14_colwise_stats,
+        "q16_scalar_suite": q16_scalar_suite,
+        "q17_mat_ewise_min_transpose": q17_mat_ewise_min_transpose,
+        "q18_diag_extract": q18_diag_extract,
+        "q19_extract_list": q19_extract_list,
+        "q26_accum_update": q26_accum_update,
+        "q28_argminmax": q28_argminmax,
+        "q29_concat": q29_concat,
+        "q38_mm_roundtrip": q38_mm_roundtrip,
+        "q43_value_mask": q43_value_mask,
+        "q44_resize_delete": q44_resize_delete,
+        "q45_subassign": q45_subassign,
+        "q46_row_assign": q46_row_assign,
+        "q47_reduce_assign": q47_reduce_assign,
+        "q48_input_mask": q48_input_mask,
+        "q49_from_values_dup": q49_from_values_dup,
+        "q53_scalar_fill": q53_scalar_fill,
+        "q55_isclose": q55_isclose,
+        # text analysis layer
+        "q20_text_stats": q20_text_stats,
+        "q22_quality": q22_quality,
+        "q23_lang_scores": q23_lang_scores,
+        "q24_fingerprint": q24_fingerprint,
+        "q25_token_freq": q25_token_freq,
     }
 
 
@@ -721,42 +692,30 @@ def oracle_sql() -> dict[str, str]:
         WITH {NN_CTE},
         sup AS (SELECT CAST(s_nationkey AS BIGINT) AS nk,
                        CAST(COUNT(*) AS BIGINT) AS cnt
-                FROM supplier GROUP BY 1)
-        SELECT nn.i, CAST(SUM(nn.v * sup.cnt) AS BIGINT) AS score
-        FROM nn JOIN sup ON nn.j = sup.nk
-        WHERE nn.i IN (SELECT CAST(n_nationkey AS BIGINT) FROM nation
-                       WHERE n_regionkey = 0)
-        GROUP BY 1
+                FROM supplier GROUP BY 1),
+        mxv AS (SELECT nn.i, CAST(SUM(nn.v * sup.cnt) AS BIGINT) AS score
+                FROM nn JOIN sup ON nn.j = sup.nk GROUP BY 1),
+        r0 AS (SELECT CAST(n_nationkey AS BIGINT) AS i FROM nation
+               WHERE n_regionkey = 0)
+        SELECT 'mask' AS variant, i, score FROM mxv
+        WHERE i IN (SELECT i FROM r0)
+        UNION ALL
+        SELECT 'cmask' AS variant, i, score FROM mxv
+        WHERE i NOT IN (SELECT i FROM r0)
     """
-    sql["q03b_complement_mask"] = f"""
-        WITH {NN_CTE},
-        sup AS (SELECT CAST(s_nationkey AS BIGINT) AS nk,
-                       CAST(COUNT(*) AS BIGINT) AS cnt
-                FROM supplier GROUP BY 1)
-        SELECT nn.i, CAST(SUM(nn.v * sup.cnt) AS BIGINT) AS score
-        FROM nn JOIN sup ON nn.j = sup.nk
-        WHERE nn.i NOT IN (SELECT CAST(n_nationkey AS BIGINT) FROM nation
-                           WHERE n_regionkey = 0)
-        GROUP BY 1
-    """
-    sql["q04_ewise_add"] = """
+    sql["q04_ewise"] = """
         WITH a AS (SELECT CAST(c_custkey AS BIGINT) AS i, c_acctbal AS v
                    FROM customer),
         b AS (SELECT CAST(o_custkey AS BIGINT) AS i,
                      CAST(COUNT(*) AS BIGINT) AS v FROM orders GROUP BY 1)
-        SELECT COALESCE(a.i, b.i) AS i,
+        SELECT 'add' AS variant, COALESCE(a.i, b.i) AS i,
                ROUND(CASE WHEN a.i IS NOT NULL AND b.i IS NOT NULL
                           THEN a.v + b.v
                           WHEN a.i IS NOT NULL THEN a.v
                           ELSE CAST(b.v AS DOUBLE) END, 2) AS v
         FROM a FULL OUTER JOIN b ON a.i = b.i
-    """
-    sql["q04b_ewise_mult"] = """
-        WITH a AS (SELECT CAST(c_custkey AS BIGINT) AS i, c_acctbal AS v
-                   FROM customer),
-        b AS (SELECT CAST(o_custkey AS BIGINT) AS i,
-                     CAST(COUNT(*) AS BIGINT) AS v FROM orders GROUP BY 1)
-        SELECT a.i AS i, ROUND(a.v * b.v, 2) AS v
+        UNION ALL
+        SELECT 'mult' AS variant, a.i AS i, ROUND(a.v * b.v, 2) AS v
         FROM a JOIN b ON a.i = b.i
     """
     sql["q05_connected_components"] = f"""
@@ -804,26 +763,14 @@ def oracle_sql() -> dict[str, str]:
                CAST((a.r_regionkey + 1) * (b.r_regionkey + 1) AS BIGINT) AS v
         FROM region a CROSS JOIN region b
     """
-    sql["q10_extract_slice"] = """
-        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
-        FROM customer WHERE c_custkey < 1000
-    """
     sql["q11_apply"] = """
-        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal * 2.0, 2) AS v
+        SELECT 'times2' AS variant, CAST(c_custkey AS BIGINT) AS i,
+               ROUND(c_acctbal * 2.0, 2) AS v
         FROM customer
-    """
-    sql["q11b_apply_cast"] = """
-        SELECT CAST(c_custkey AS BIGINT) AS i,
-               CAST(TRUNC(ABS(c_acctbal)) AS BIGINT) AS v
+        UNION ALL
+        SELECT 'abs_int' AS variant, CAST(c_custkey AS BIGINT) AS i,
+               CAST(CAST(TRUNC(ABS(c_acctbal)) AS BIGINT) AS DOUBLE) AS v
         FROM customer
-    """
-    sql["q19b_extract_matrix_2d"] = """
-        SELECT r.pos AS i, col.pos AS j, ROUND(c.c_acctbal, 2) AS v
-        FROM customer c
-        JOIN (VALUES (0, 10), (1, 3), (2, 7)) AS r(pos, idx)
-          ON c.c_custkey = r.idx
-        JOIN (VALUES (0, 17), (1, 13), (2, 10)) AS col(pos, idx)
-          ON c.c_nationkey = col.idx
     """
     sql["q52_frame_sample"] = """
         -- docs are pure ASCII (verified), so char substring length ==
@@ -846,17 +793,27 @@ def oracle_sql() -> dict[str, str]:
         FROM customer c
         WHERE c_nationkey <> 0
     """
-    sql["q14_colwise_max"] = """
-        SELECT CAST(c_nationkey AS BIGINT) AS i, ROUND(MAX(c_acctbal), 2) AS v
+    sql["q14_colwise_stats"] = """
+        SELECT CAST(c_nationkey AS BIGINT) AS i,
+               ROUND(MAX(c_acctbal), 2) AS max_bal,
+               CAST(COUNT(*) AS BIGINT) AS n_cust
         FROM customer GROUP BY 1
     """
-    sql["q15_colwise_count"] = """
-        SELECT CAST(c_nationkey AS BIGINT) AS i, CAST(COUNT(*) AS BIGINT) AS n
-        FROM customer GROUP BY 1
-    """
-    sql["q16_reduce_scalar"] = """
-        SELECT CAST(COUNT(*) AS BIGINT) AS v
+    sql["q16_scalar_suite"] = """
+        SELECT 'matrix_reduce' AS stat, CAST(COUNT(*) AS BIGINT) AS val
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        UNION ALL
+        SELECT 'reduce_accum_cents' AS stat,
+               CAST(ROUND((100.0 + SUM(c_acctbal)) * 100, 0) AS BIGINT) AS val
+        FROM customer
+        UNION ALL
+        SELECT 'inner_cents' AS stat,
+               CAST(ROUND(SUM(a.v * b.v) * 100, 0) AS BIGINT) AS val
+        FROM (SELECT CAST(c_custkey AS BIGINT) AS i, c_acctbal AS v
+              FROM customer) a
+        JOIN (SELECT CAST(o_custkey AS BIGINT) AS i,
+                     CAST(COUNT(*) AS BIGINT) AS v FROM orders GROUP BY 1) b
+          ON a.i = b.i
     """
     sql["q17_mat_ewise_min_transpose"] = f"""
         WITH {NN_CTE}
@@ -868,42 +825,43 @@ def oracle_sql() -> dict[str, str]:
         SELECT i, v AS selftrade FROM nn WHERE i = j
     """
     sql["q19_extract_list"] = """
-        SELECT t.pos AS i, ROUND(c.c_acctbal, 2) AS v
+        SELECT t.pos AS i, CAST(-1 AS BIGINT) AS j, ROUND(c.c_acctbal, 2) AS v
         FROM (VALUES (0, 10), (1, 3), (2, 10), (3, 7), (4, 1)) AS t(pos, idx)
         JOIN customer c ON c.c_custkey = t.idx
+        UNION ALL
+        SELECT r.pos AS i, col.pos AS j, ROUND(c.c_acctbal, 2) AS v
+        FROM customer c
+        JOIN (VALUES (0, 10), (1, 3), (2, 7)) AS r(pos, idx)
+          ON c.c_custkey = r.idx
+        JOIN (VALUES (0, 17), (1, 13), (2, 10)) AS col(pos, idx)
+          ON c.c_nationkey = col.idx
     """
     sql["q26_accum_update"] = """
         WITH a AS (SELECT CAST(c_custkey AS BIGINT) AS i, c_acctbal AS v
                    FROM customer),
         b AS (SELECT CAST(o_custkey AS BIGINT) AS i,
                      CAST(COUNT(*) AS BIGINT) AS v FROM orders GROUP BY 1)
-        SELECT COALESCE(a.i, b.i) AS i,
+        SELECT 'accum' AS variant, COALESCE(a.i, b.i) AS i,
                ROUND(CASE WHEN a.i IS NOT NULL AND b.i IS NOT NULL
                           THEN a.v + b.v
                           WHEN a.i IS NOT NULL THEN a.v
                           ELSE CAST(b.v AS DOUBLE) END, 2) AS v
         FROM a FULL OUTER JOIN b ON a.i = b.i
-    """
-    sql["q26b_masked_replace"] = """
-        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal * 2.0, 2) AS v
+        UNION ALL
+        SELECT 'replace' AS variant, CAST(c_custkey AS BIGINT) AS i,
+               ROUND(c_acctbal * 2.0, 2) AS v
         FROM customer WHERE c_nationkey = 0
     """
-    sql["q27_reduce_accum"] = """
-        SELECT CAST(ROUND((100.0 + SUM(c_acctbal)) * 100, 0) AS BIGINT)
-               AS cents
-        FROM customer
-    """
-    sql["q28_argmax"] = """
-        SELECT CAST(c_nationkey AS BIGINT) AS i,
-               CAST(c_custkey AS BIGINT) AS argmax_cust
+    sql["q28_argminmax"] = """
+        SELECT 'argmax' AS variant, CAST(c_nationkey AS BIGINT) AS i,
+               CAST(c_custkey AS BIGINT) AS cust
         FROM (SELECT c_nationkey, c_custkey,
                      ROW_NUMBER() OVER (PARTITION BY c_nationkey
                          ORDER BY c_acctbal DESC, c_custkey) AS rn
               FROM customer) WHERE rn = 1
-    """
-    sql["q28b_argmin"] = """
-        SELECT CAST(c_nationkey AS BIGINT) AS i,
-               CAST(c_custkey AS BIGINT) AS argmin_cust
+        UNION ALL
+        SELECT 'argmin' AS variant, CAST(c_nationkey AS BIGINT) AS i,
+               CAST(c_custkey AS BIGINT) AS cust
         FROM (SELECT c_nationkey, c_custkey,
                      ROW_NUMBER() OVER (PARTITION BY c_nationkey
                          ORDER BY c_acctbal ASC, c_custkey) AS rn
@@ -920,25 +878,48 @@ def oracle_sql() -> dict[str, str]:
         WITH {NN_CTE}
         SELECT i, j, v FROM nn
     """
-    sql["q42_inner"] = """
-        SELECT CAST(ROUND(SUM(a.v * b.v) * 100, 0) AS BIGINT) AS cents
-        FROM (SELECT CAST(c_custkey AS BIGINT) AS i, c_acctbal AS v
-              FROM customer) a
-        JOIN (SELECT CAST(o_custkey AS BIGINT) AS i,
-                     CAST(COUNT(*) AS BIGINT) AS v FROM orders GROUP BY 1) b
-          ON a.i = b.i
+    # PageRank: replay EXACTLY the Spark power iteration (10 fixed steps,
+    # damping 0.85, degree-normalized transition, dangling-mass
+    # redistribution) as chained CTEs. Float expressions mirror the Spark
+    # plan op-for-op ((1.0 - 0.85)/25, 1.0/d * r, dangling-sum/25) so both
+    # sides compute the same IEEE trajectory modulo summation order, which
+    # the 6-decimal rounding absorbs.
+    pr_steps = []
+    for t in range(10):
+        pr_steps.append(f"""
+        r{t + 1} AS MATERIALIZED (
+          SELECT n.i,
+                 (1.0 - 0.85) / 25 + 0.85 * (COALESCE(c.s, 0.0) +
+                    (SELECT COALESCE(SUM(r.r), 0.0) / 25 FROM r{t} r
+                     WHERE r.i NOT IN (SELECT i FROM outdeg))) AS r
+          FROM nodes n
+          LEFT JOIN (SELECT e.j AS i, SUM((1.0 / od.d) * r.r) AS s
+                     FROM edges e JOIN r{t} r ON r.i = e.i
+                     JOIN outdeg od ON od.i = e.i
+                     GROUP BY 1) c ON c.i = n.i
+        )""")
+    sql["q37_pagerank"] = f"""
+        WITH {NN_SYM_CTE},
+        edges AS MATERIALIZED (SELECT i, j FROM nn_sym),
+        outdeg AS MATERIALIZED (SELECT i, CAST(COUNT(*) AS BIGINT) AS d
+                   FROM edges GROUP BY 1),
+        nodes AS MATERIALIZED (SELECT CAST(unnest(range(25)) AS BIGINT) AS i),
+        r0 AS MATERIALIZED (SELECT i, 1.0 / 25 AS r FROM nodes),
+        {','.join(pr_steps)}
+        SELECT i, ROUND(r, 6) AS rank_score FROM r10
     """
     sql["q43_value_mask"] = """
-        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
+        SELECT 'value' AS variant, CAST(c_custkey AS BIGINT) AS i,
+               ROUND(c_acctbal, 2) AS v
         FROM customer WHERE c_acctbal > 5000
-    """
-    sql["q43b_complement_value_mask"] = """
-        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
+        UNION ALL
+        SELECT 'cvalue' AS variant, CAST(c_custkey AS BIGINT) AS i,
+               ROUND(c_acctbal, 2) AS v
         FROM customer WHERE c_acctbal <= 5000
     """
-    sql["q44_resize"] = """
+    sql["q44_resize_delete"] = """
         SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
-        FROM customer WHERE c_custkey < 500
+        FROM customer WHERE c_custkey < 500 AND c_custkey NOT IN (5, 17)
     """
     sql["q45_subassign"] = """
         SELECT CAST(c_custkey AS BIGINT) AS i,
@@ -963,7 +944,12 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
     """
     sql["q48_input_mask"] = """
-        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
+        SELECT 'slice' AS variant, CAST(c_custkey AS BIGINT) AS i,
+               ROUND(c_acctbal, 2) AS v
+        FROM customer WHERE c_custkey < 1000
+        UNION ALL
+        SELECT 'input_mask' AS variant, CAST(c_custkey AS BIGINT) AS i,
+               ROUND(c_acctbal, 2) AS v
         FROM customer WHERE c_custkey < 1000 AND c_nationkey = 0
     """
     sql["q49_from_values_dup"] = """
@@ -977,23 +963,15 @@ def oracle_sql() -> dict[str, str]:
                     ELSE ROUND(c_acctbal, 2) END AS v
         FROM customer
     """
-    sql["q54_delete_element"] = """
-        SELECT CAST(c_custkey AS BIGINT) AS i, ROUND(c_acctbal, 2) AS v
-        FROM customer WHERE c_custkey NOT IN (5, 17)
-    """
     sql["q55_isclose"] = """
         SELECT 'isequal' AS test, FALSE AS same
         UNION ALL
         SELECT 'isclose' AS test, TRUE AS same
     """
-    sql["q20_token_count"] = r"""
+    sql["q20_text_stats"] = r"""
         SELECT doc_id,
                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-                 AS n_tokens
-        FROM documents
-    """
-    sql["q21_char_stats"] = r"""
-        SELECT doc_id,
+                 AS n_tokens,
                CAST(length(text) AS BIGINT) AS n_chars_m,
                ROUND((length(text) - length(regexp_replace(text, '\s', '', 'g')))
                      / GREATEST(length(text), 1), 6) AS space_ratio,

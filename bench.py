@@ -26,7 +26,7 @@ HEADLINE = [
     "q01_outdegree",
     "q02_twohop",
     "q03_masked_mxv",
-    "q04_ewise_add",
+    "q04_ewise",
     "q05_connected_components",
     "q06_sssp_dag",
     "q07_triangles",

@@ -66,11 +66,14 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.8,
-                        max_doc_freq: int | None = None) -> DataFrame:
+                        max_doc_freq: int | None = 1000) -> DataFrame:
     """EXACT n-gram Jaccard similarity >= threshold, via inverted-index
     self-join (no cross join). max_doc_freq drops shingles appearing in
-    more than that many docs (stop-shingle cap — at 100 TB this bounds the
-    worst join bucket; pass None for exact completeness).
+    more than that many docs (stop-shingle cap, ON by default: a single
+    shingle shared by f docs contributes f^2/2 join rows, so an uncapped
+    common shingle is a quadratic hot bucket at 100 TB; pairs whose
+    similarity rests only on ultra-common shingles are not near-dups.
+    Pass None for exact completeness on small corpora).
 
     The shingle relation is deliberately NOT persisted: it is an exploded
     projection LARGER than its input, so caching it costs more memory
@@ -126,10 +129,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     (Probabilistic recall from banding; precision exact via verification.)"""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    banded = (sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    # Band hash must be order-insensitive w.r.t. shuffle: collect_list order
+    # after a shuffle is nondeterministic, so sort the (seed, minhash) pairs
+    # before hashing — equal signature sets always yield equal band hashes.
+    sig_arr = F.array_sort(F.collect_list(F.struct("seed", "minhash")))
+    sig_str = F.array_join(
+        F.transform(sig_arr, lambda x: x["minhash"].cast("string")), ",")
+    banded = (sig.withColumn("band", F.expr(f"seed div {rows_per_band}")
+                             .cast("int"))
                  .groupBy("id", "band")
-                 .agg(F.hash(F.concat_ws(",", F.collect_list(
-                     F.col("minhash").cast("string")))).alias("bandhash")))
+                 .agg(F.hash(sig_str).alias("bandhash")))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -186,16 +195,25 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates by SimHash: band the 32 bits into 4 bytes
-    (pigeonhole: hamming<=3 pairs share at least one exact byte), join on
-    (band, byte), verify Hamming distance via bit_count(xor)."""
+    """Near-dup candidates by SimHash: band the 32 bits into
+    ``max_hamming + 1`` chunks (pigeonhole: a pair within max_hamming
+    differing bits must share at least one exact chunk — the band count is
+    DERIVED from the requested distance so recall is guaranteed for any
+    max_hamming), join on (band, chunk), verify via bit_count(xor)."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError("max_hamming must be in [0, 31] for 32-bit simhash")
     sig = simhash(df, id_col, text_col)
+    n_bands = max_hamming + 1
+    base_w, rem = divmod(32, n_bands)
     bands = []
-    for k in range(4):
+    offset = 0
+    for k in range(n_bands):
+        width = base_w + (1 if k < rem else 0)
         bands.append(sig.select(
             "id", "simhash", F.lit(k).alias("band"),
-            F.shiftright(F.col("simhash"), k * 8).bitwiseAND(F.lit(255))
-             .alias("chunk")))
+            F.shiftright(F.col("simhash"), offset)
+             .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk")))
+        offset += width
     banded = bands[0]
     for p in bands[1:]:
         banded = banded.unionByName(p)
