@@ -247,10 +247,11 @@ class BaseType:
                 return GrScalar.from_value(a is None and b is None, BOOL)
             if mode == "equal":
                 return GrScalar.from_value(bool(a == b), BOOL)
-            import math
-
+            # numpy-style closeness (|l-r| <= abs_tol + rel_tol*|r|), the
+            # same rule the distributed branch uses, so v.isclose(w) agrees
+            # with the scalar case (and with the reference's np.isclose).
             return GrScalar.from_value(
-                bool(math.isclose(a, b, rel_tol=rel_tol, abs_tol=abs_tol)), BOOL)
+                bool(abs(a - b) <= abs_tol + rel_tol * abs(b)), BOOL)
         l = self._df.alias("l")
         r = other._df.alias("r")
         cond = None
@@ -262,6 +263,8 @@ class BaseType:
         if mode == "equal":
             ok = lv.isNotNull() & rv.isNotNull() & (lv == rv)
         else:
+            # numpy-style: |l-r| <= abs_tol + rel_tol*|r| (r = other);
+            # mirrored exactly by the local-scalar branch above.
             ok = (lv.isNotNull() & rv.isNotNull()
                   & (F.abs(lv - rv)
                      <= F.lit(abs_tol) + F.lit(rel_tol) * F.abs(rv)))

@@ -41,71 +41,88 @@ def cosine_expr(a: Column, b: Column) -> Column:
 
 def cosine_topk(emb_df: DataFrame, query_df: DataFrame | None = None,
                 k: int = 5, id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
+                vec_col: str = "embedding",
+                query_blocks: int = 4, cand_blocks: int = 8) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector (defaults to
     self-query, excluding self matches). Output: (query_id, neighbor_id,
     cosine, rank); rank orders by (cosine DESC, neighbor_id).
 
-    Physical plan: the candidate matrix is L2-normalized and broadcast;
-    each Arrow batch of queries computes one BLAS GEMM (Qn @ Mn.T) inside
-    mapInPandas and emits only k rows per query — the n x m pair relation
-    is never materialized. This is the exact-search baseline; it holds
-    while the candidate side fits an executor (~1M x 64 f32 = 256 MB).
-    Past that, block the candidate side (outer union over candidate
-    blocks + re-rank of k*blocks rows) or switch to ivf_topk /
-    hyperplane_lsh_pairs — the sublinear scale paths."""
+    Physical plan: distributed BLOCKED GEMM — queries and candidates are
+    hash-assigned to query_blocks x cand_blocks tiles, each side is
+    replicated across the other's block axis (explode over a literal
+    sequence), and every (qb, cb) tile is one cogrouped applyInPandas
+    call computing a BLAS GEMM (Qn @ Mn.T) that emits only k partial
+    rows per query; a window re-rank of the k * cand_blocks partials
+    yields the exact global top-k. NOTHING touches the driver — both
+    sides stay executor-resident Arrow batches, so the corpus can exceed
+    any single machine (replication factor = the other side's block
+    count, the standard block-matmul tradeoff; tune the block counts to
+    executor memory). For sublinear search switch to ivf_topk /
+    hyperplane_lsh_pairs."""
     import pandas as pd
 
-    spark = emb_df.sparkSession
     if query_df is None:
         query_df = emb_df
-
-    cand = emb_df.select(F.col(id_col), F.col(vec_col)).toPandas()
-    c_ids = cand[id_col].to_numpy().astype("int64")
-    M = np.vstack(cand[vec_col].to_numpy()).astype("float64")
-    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
-    bc = spark.sparkContext.broadcast((c_ids, Mn))
-
     kk = k
 
-    def topk_batches(batches):
-        ids_c, mn_c = bc.value
-        for pdf in batches:
-            qids = pdf[id_col].to_numpy().astype("int64")
-            Q = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True),
-                                1e-300)
-            S = Qn @ mn_c.T
-            out_q, out_n, out_c, out_r = [], [], [], []
-            for r in range(len(qids)):
-                row = S[r]
-                self_mask = ids_c == qids[r]
-                row = np.where(self_mask, -np.inf, row)
-                # top-k by (cosine desc, neighbor_id asc); candidate set =
-                # everything >= the kth-largest value so ties resolve by id
-                if len(row) > kk:
-                    thresh = np.partition(row, len(row) - kk)[len(row) - kk]
-                    cand_idx = np.nonzero(row >= thresh)[0]
-                else:
-                    cand_idx = np.arange(len(row))
-                order = cand_idx[np.lexsort(
-                    (ids_c[cand_idx], -row[cand_idx]))][:kk]
-                out_q.append(np.full(len(order), qids[r]))
-                out_n.append(ids_c[order])
-                out_c.append(np.round(row[order], 6))
-                out_r.append(np.arange(1, len(order) + 1, dtype="int32"))
-            if out_q:
-                yield pd.DataFrame({
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "cosine": np.concatenate(out_c),
-                    "rank": np.concatenate(out_r),
-                })
+    q = (query_df.select(F.col(id_col).alias("qid"),
+                         F.col(vec_col).alias("qv"))
+         .withColumn("qb", F.pmod(F.hash(F.col("qid")),
+                                  F.lit(query_blocks)))
+         .withColumn("cb", F.explode(F.sequence(
+             F.lit(0), F.lit(cand_blocks - 1)))))
+    c = (emb_df.select(F.col(id_col).alias("cid"),
+                       F.col(vec_col).alias("cv"))
+         .withColumn("cb", F.pmod(F.hash(F.col("cid")),
+                                  F.lit(cand_blocks)))
+         .withColumn("qb", F.explode(F.sequence(
+             F.lit(0), F.lit(query_blocks - 1)))))
 
-    q = query_df.select(F.col(id_col), F.col(vec_col))
-    return q.mapInPandas(
-        topk_batches,
-        schema="query_id bigint, neighbor_id bigint, cosine double, rank int")
+    def tile_topk(qpdf: "pd.DataFrame", cpdf: "pd.DataFrame") -> "pd.DataFrame":
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        qids = qpdf["qid"].to_numpy().astype("int64")
+        Q = np.vstack(qpdf["qv"].to_numpy()).astype("float64")
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+        cids = cpdf["cid"].to_numpy().astype("int64")
+        M = np.vstack(cpdf["cv"].to_numpy()).astype("float64")
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        S = Qn @ Mn.T
+        out_q, out_n, out_c = [], [], []
+        for r in range(len(qids)):
+            row = np.where(cids == qids[r], -np.inf, S[r])
+            # partial top-k by (cosine desc, neighbor_id asc); keep every
+            # candidate >= the kth-largest value so ties resolve by id
+            if len(row) > kk:
+                thresh = np.partition(row, len(row) - kk)[len(row) - kk]
+                cand_idx = np.nonzero(row >= thresh)[0]
+            else:
+                cand_idx = np.arange(len(row))
+            order = cand_idx[np.lexsort(
+                (cids[cand_idx], -row[cand_idx]))][:kk]
+            order = order[np.isfinite(row[order])]
+            out_q.append(np.full(len(order), qids[r]))
+            out_n.append(cids[order])
+            out_c.append(row[order])
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "neighbor_id": np.concatenate(out_n),
+                             "cosine": np.concatenate(out_c)})
+
+    partial = (q.groupBy("qb", "cb")
+                .cogroup(c.groupBy("qb", "cb"))
+                .applyInPandas(
+                    tile_topk,
+                    schema="query_id bigint, neighbor_id bigint, "
+                           "cosine double"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (partial.withColumn("rank", F.row_number().over(w))
+                   .filter(F.col("rank") <= kk)
+                   .select("query_id", "neighbor_id",
+                           F.round(F.col("cosine"), 6).alias("cosine"),
+                           "rank"))
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

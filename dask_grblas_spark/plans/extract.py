@@ -24,6 +24,16 @@ from pyspark.sql.window import Window
 from ..exceptions import IndexOutOfBound
 
 
+def _exact_div(num: Column, den: int) -> Column:
+    """Integer-exact division of a LongType column by a literal (the
+    callers guarantee num % den == 0). Plain `/` is double division,
+    which rounds for |num| > 2^53 and silently corrupts positions at the
+    extreme index range; decimal(38,0) arithmetic stays exact over the
+    full int64 domain."""
+    return (num.cast("decimal(38,0)") / F.lit(den).cast("decimal(38,0)")) \
+        .cast("bigint")
+
+
 class ResolvedIndex:
     """Normalized single-axis index.
 
@@ -73,13 +83,13 @@ def resolve_index(idx, size: int | None, spark: SparkSession) -> ResolvedIndex:
                                          pos_of=lambda c: c,
                                          tgt_of=lambda p: p)
                 pred = lambda c: (c >= start) & ((c - start) % step == 0)  # noqa: E731
-                pos_of = lambda c: ((c - start) / step).cast("bigint")  # noqa: E731
+                pos_of = lambda c: _exact_div(c - start, step)  # noqa: E731
                 tgt_of = lambda p: (p * step + start).cast("bigint")  # noqa: E731
                 return ResolvedIndex("pred", out_size=None, pred=pred,
                                      pos_of=pos_of, tgt_of=tgt_of)
             length = len(range(start, stop, step))
             pred = lambda c: (c >= start) & (c < stop) & ((c - start) % step == 0)  # noqa: E731
-            pos_of = lambda c: ((c - start) / step).cast("bigint")  # noqa: E731
+            pos_of = lambda c: _exact_div(c - start, step)  # noqa: E731
             tgt_of = lambda p: (p * step + start).cast("bigint")  # noqa: E731
             return ResolvedIndex("pred", out_size=length, pred=pred,
                                  pos_of=pos_of, tgt_of=tgt_of)
@@ -91,10 +101,10 @@ def resolve_index(idx, size: int | None, spark: SparkSession) -> ResolvedIndex:
                                  pos_of=lambda c: c, tgt_of=lambda p: p)
         if step > 0:
             pred = lambda c: (c >= start) & (c < stop) & ((c - start) % step == 0)  # noqa: E731
-            pos_of = lambda c: ((c - start) / step).cast("bigint")  # noqa: E731
+            pos_of = lambda c: _exact_div(c - start, step)  # noqa: E731
         else:
             pred = lambda c: (c <= start) & (c > stop) & ((start - c) % (-step) == 0)  # noqa: E731
-            pos_of = lambda c: ((start - c) / (-step)).cast("bigint")  # noqa: E731
+            pos_of = lambda c: _exact_div(start - c, -step)  # noqa: E731
         tgt_of = lambda p: (p * step + start).cast("bigint")  # noqa: E731
         return ResolvedIndex("pred", out_size=length, pred=pred,
                              pos_of=pos_of, tgt_of=tgt_of)

@@ -223,3 +223,17 @@ def test_reduce_assign(v):
 def test_assign_empty_scalar_raises(v):
     with pytest.raises(gb.EmptyObject):
         v[[0]] = gb.Scalar.new("INT64")
+
+
+def test_extract_slice_huge_indices_exact(spark):
+    """Slice position arithmetic must stay exact beyond 2^53 (double
+    division rounds there); positions route through decimal division."""
+    base = 1 << 60
+    idx = [base + 3 * k for k in (0, 1, 2, 5, 7)]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, float(k)) for k, i in enumerate(idx)],
+                               "i long, v double")
+    u = gb.Vector.from_dataframe(df, size=(1 << 62), dtype="FP64")
+    got = u[base::3].new()
+    assert got.to_dict() == {0: 0.0, 1: 1.0, 2: 2.0, 5: 3.0, 7: 4.0}

@@ -76,3 +76,33 @@ def test_reduce_rowwise_partial_aggregation(spark, A):
     # Catalyst splits the agg into partial (map-side) + final: two
     # HashAggregate nodes around one exchange — map-side combine at scale
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_cosine_topk_executor_side_no_driver_collect(spark):
+    """cosine_topk must build a lazy, fully distributed plan: block-
+    replicated cogroup GEMM tiles, window re-rank — NO eager driver
+    materialization of the candidate matrix (the 100 TB contract)."""
+    from dask_grblas_spark.functions import similarity
+
+    calls = spark.sparkContext.accumulator(0)
+
+    @F.udf("array<double>")
+    def vec_of(i):
+        calls.add(1)
+        return [float(i), 1.0, float(i % 3)]
+
+    df = (spark.range(12)
+          .select(F.col("id").alias("vec_id"), vec_of("id").alias("embedding")))
+    out = similarity.cosine_topk(df, k=2, query_blocks=2, cand_blocks=3)
+    # constructing the result ran NO job (the old design did toPandas here)
+    assert calls.value == 0
+    assert "FlatMapCoGroupsInPandas" in _physical(out)
+    rows = out.collect()
+    assert calls.value > 0
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r)
+    assert set(per_query) == set(range(12))
+    for q, rs in per_query.items():
+        assert sorted(r.rank for r in rs) == [1, 2]
+        assert all(r.neighbor_id != q for r in rs)
