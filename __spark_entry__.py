@@ -408,6 +408,38 @@ def q55_isclose(spark, sf_dir):
                                         F.col("v").alias("same"))))
 
 
+def q56_op_grid(spark, sf_dir):
+    """Numpy-spillover operator grid (registry long tail): left_shift,
+    gcd, floor_divide, hypot, logaddexp — each exercised through the
+    engine's apply/ewise pipeline against DuckDB equivalents."""
+    cust = tpch.load_table(spark, sf_dir, "customer")
+    vk = Vector.from_dataframe(
+        cust.select(F.col("c_custkey").cast("bigint").alias("i"),
+                    F.col("c_custkey").cast("bigint").alias("v")),
+        size=1_000_000, dtype="INT64")
+    va = Vector.from_dataframe(
+        cust.select(F.col("c_custkey").cast("bigint").alias("i"),
+                    F.col("c_acctbal").cast("double").alias("v")),
+        size=1_000_000, dtype="FP64")
+    sh = vk.apply(binary.mod, right=16).new() \
+           .apply(binary.left_shift, right=2).new()
+    g = vk.apply(binary.gcd, right=36).new()
+    fd = va.apply(binary.floor_divide, right=100.0).new(dtype="INT64")
+    hyp = va.apply(binary.truediv, right=100.0).new() \
+            .ewise_mult(vk.apply(binary.mod, right=97).new(), binary.hypot) \
+            .new()
+    la = va.apply(binary.truediv, right=1000.0).new() \
+           .apply(binary.logaddexp, right=1.5).new()
+    out = (sh.df.select("i", F.col("v").alias("shifted"))
+           .join(g.df.select("i", F.col("v").alias("g36")), on="i")
+           .join(fd.df.select("i", F.col("v").alias("bal_div100")), on="i")
+           .join(hyp.df.select("i", F.round(F.col("v"), 6).alias("hyp")),
+                 on="i")
+           .join(la.df.select("i", F.round(F.col("v"), 6).alias("lae")),
+                 on="i"))
+    return out
+
+
 def _cust_nation_matrix(spark, sf_dir):
     cust = tpch.load_table(spark, sf_dir, "customer")
     return Matrix.from_dataframe(
@@ -672,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_lang_scores": q23_lang_scores,
         "q24_fingerprint": q24_fingerprint,
         "q25_token_freq": q25_token_freq,
+        "q56_op_grid": q56_op_grid,
     }
 
 
@@ -1032,6 +1065,17 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         WHERE length(token) > 0
         GROUP BY 1
+    """
+    sql["q56_op_grid"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS i,
+               CAST((c_custkey % 16) << 2 AS BIGINT) AS shifted,
+               CAST(gcd(c_custkey, 36) AS BIGINT) AS g36,
+               CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS bal_div100,
+               ROUND(sqrt((c_acctbal / 100.0) * (c_acctbal / 100.0)
+                          + (c_custkey % 97) * (c_custkey % 97)), 6) AS hyp,
+               ROUND(GREATEST(c_acctbal / 1000.0, 1.5)
+                     + LN(1 + EXP(-ABS(c_acctbal / 1000.0 - 1.5))), 6) AS lae
+        FROM customer
     """
     sql["q30_exact_dedup"] = """
         SELECT md5(text) AS content_hash,

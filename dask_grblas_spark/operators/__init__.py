@@ -57,14 +57,21 @@ class _Op:
 
 
 class UnaryOp(_Op):
-    __slots__ = ("_build", "_out_dtype")
+    __slots__ = ("_build", "_out_dtype", "positional")
 
-    def __init__(self, name, build, out_dtype=None):
+    def __init__(self, name, build, out_dtype=None, positional=False):
         self.name = name
         self._build = build
         self._out_dtype = out_dtype
+        self.positional = positional
 
-    def __call__(self, col: Column, dtype: GbType = FP64) -> Column:
+    def __call__(self, col: Column, dtype: GbType = FP64,
+                 ctx: "PositionalContext | None" = None) -> Column:
+        if self.positional:
+            if ctx is None:
+                raise ValueError(
+                    f"unary.{self.name} is positional and needs index context")
+            return self._build(col, dtype, ctx)
         return self._build(col, dtype)
 
     def out_dtype(self, dtype: GbType) -> GbType:
@@ -248,6 +255,78 @@ _u("isnan", lambda c, d: F.isnan(c) if d.is_float else F.lit(False), _bool_out)
 _u("isfinite", lambda c, d: (~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))))
    if d.is_float else F.lit(True), _bool_out)
 
+# ---- numpy-spillover unary ops (grblas.unary.numpy parity; the reference
+# inherits these from the grblas registry — tests/from_grblas2/
+# test_numpyops.py:46-98). Aliases compile to the same Column expression.
+for _alias, _base in [("absolute", "abs"), ("negative", "ainv"),
+                      ("reciprocal", "minv"), ("invert", "bnot"),
+                      ("logical_not", "lnot"), ("sign", "signum"),
+                      ("arccos", "acos"), ("arccosh", "acosh"),
+                      ("arcsin", "asin"), ("arcsinh", "asinh"),
+                      ("arctan", "atan"), ("arctanh", "atanh")]:
+    _UNARY[_alias] = UnaryOp(_alias, _UNARY[_base]._build,
+                             _UNARY[_base]._out_dtype)
+_u("positive", lambda c, d: c)
+_u("conj", lambda c, d: c)      # real dtypes only (no complex in Spark)
+_u("conjugate", lambda c, d: c)
+_u("fabs", lambda c, d: F.abs(c.cast("double")), _float_out)
+_u("square", lambda c, d: _cast(c * c, d))
+_u("deg2rad", lambda c, d: F.radians(c), _float_out)
+_u("radians", lambda c, d: F.radians(c), _float_out)
+_u("rad2deg", lambda c, d: F.degrees(c), _float_out)
+_u("degrees", lambda c, d: F.degrees(c), _float_out)
+# numpy rint rounds half-to-EVEN — Spark's `rint` (JVM Math.rint), not
+# F.round (half-up)
+_u("rint", lambda c, d: F.call_function("rint", c.cast("double")), _float_out)
+_u("signbit", lambda c, d: c < F.lit(0), _bool_out)
+# frexp decomposition: x = frexps(x) * 2**frexpe(x), significand in
+# [0.5, 1) — computed with log2/pow, no UDF (SuiteSparse GxB_FREXPE/S)
+_frexpe_expr = lambda c: F.when(c == 0, F.lit(0.0)).otherwise(  # noqa: E731
+    F.floor(F.log2(F.abs(c.cast("double")))) + 1)
+_u("frexpe", lambda c, d: _frexpe_expr(c), _float_out)
+_u("frexps", lambda c, d: F.when(c == 0, F.lit(0.0)).otherwise(
+    c.cast("double") / F.pow(F.lit(2.0), _frexpe_expr(c))), _float_out)
+
+
+def _np_unary_udf(np_name):
+    """Arrow-vectorized fallback for ops with no JVM-side equivalent
+    (same slow-path tradeoff the reference inherits: grblas implements
+    numpy-spillover ops as Python UDFs over SuiteSparse)."""
+    def build(c, d):
+        import numpy as np
+        import pandas as pd
+
+        def _fn(s):
+            import math
+            arr = s.to_numpy(dtype="float64")
+            if hasattr(np, np_name):
+                return pd.Series(getattr(np, np_name)(arr))
+            pyfn = getattr(math, np_name)
+            return pd.Series([pyfn(x) for x in arr], dtype="float64")
+
+        _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return F.pandas_udf(_fn, "double")(c.cast("double"))
+    return build
+
+
+for _name in ["erf", "erfc", "lgamma", "spacing"]:
+    _u(_name, _np_unary_udf(_name), _float_out)
+_u("gamma", _np_unary_udf("gamma"), _float_out)
+_u("tgamma", _np_unary_udf("gamma"), _float_out)
+# positional unary ops read the coordinate columns (grblas positioni/j)
+_UNARY["positioni"] = UnaryOp("positioni",
+                              lambda c, d, ctx: ctx.ai.cast("bigint"),
+                              INT64, positional=True)
+_UNARY["positioni1"] = UnaryOp("positioni1",
+                               lambda c, d, ctx: ctx.ai.cast("bigint") + 1,
+                               INT64, positional=True)
+_UNARY["positionj"] = UnaryOp("positionj",
+                              lambda c, d, ctx: ctx.aj.cast("bigint"),
+                              INT64, positional=True)
+_UNARY["positionj1"] = UnaryOp("positionj1",
+                               lambda c, d, ctx: ctx.aj.cast("bigint") + 1,
+                               INT64, positional=True)
+
 unary = _Namespace("unary", _UNARY)
 
 
@@ -321,12 +400,95 @@ _b("band", lambda x, y, d: _cast(x.bitwiseAND(y), d))
 _b("bor", lambda x, y, d: _cast(x.bitwiseOR(y), d))
 _b("bxor", lambda x, y, d: _cast(x.bitwiseXOR(y), d))
 _b("bxnor", lambda x, y, d: _cast(F.bitwise_not(x.bitwiseXOR(y)), d))
+# ---- bit-field ops (SuiteSparse GxB_BGET/BSET/BCLR/BSHIFT) ---------------
+_b("bget", lambda x, y, d: _cast(
+    (x.cast("bigint").bitwiseAND(
+        F.call_function("shiftleft", F.lit(1).cast("bigint"), y.cast("int"))) != 0)
+    .cast("bigint"), d))
+_b("bset", lambda x, y, d: _cast(
+    x.cast("bigint").bitwiseOR(
+        F.call_function("shiftleft", F.lit(1).cast("bigint"), y.cast("int"))), d))
+_b("bclr", lambda x, y, d: _cast(
+    x.cast("bigint").bitwiseAND(F.bitwise_not(
+        F.call_function("shiftleft", F.lit(1).cast("bigint"), y.cast("int")))), d))
+_b("bshift", lambda x, y, d: _cast(
+    F.when(y >= 0, F.call_function("shiftleft", x.cast("bigint"), y.cast("int")))
+     .otherwise(F.call_function("shiftrightunsigned", x.cast("bigint"), (-y).cast("int"))), d))
+
+# ---- numpy-spillover binary ops (grblas.binary.numpy parity; reference
+# tests/from_grblas2/test_numpyops.py:99-171). Aliases share builders.
+for _alias, _base in [("add", "plus"), ("subtract", "minus"),
+                      ("multiply", "times"), ("divide", "truediv"),
+                      ("true_divide", "truediv"), ("power", "pow"),
+                      ("maximum", "max"), ("minimum", "min"),
+                      ("greater", "gt"), ("greater_equal", "ge"),
+                      ("less", "lt"), ("less_equal", "le"),
+                      ("equal", "eq"), ("not_equal", "ne"),
+                      ("arctan2", "atan2"), ("bitwise_and", "band"),
+                      ("bitwise_or", "bor"), ("bitwise_xor", "bxor"),
+                      ("logical_and", "land"), ("logical_or", "lor"),
+                      ("logical_xor", "lxor")]:
+    _BINARY[_alias] = BinaryOp(_alias, _BINARY[_base]._build,
+                               _BINARY[_base]._out_dtype)
+_b("float_power", lambda x, y, d: F.pow(x.cast("double"), y.cast("double")),
+   _float_out)
+_b("floor_divide", lambda x, y, d: _cast(F.floor(x / y), d))
+# numpy mod: result takes the DIVISOR's sign (Spark % takes the dividend's)
+_b("mod", lambda x, y, d: F.pmod(x, y))
+_b("left_shift", lambda x, y, d: _cast(
+    F.call_function("shiftleft", x.cast("bigint"), y.cast("int")), d))
+_b("right_shift", lambda x, y, d: _cast(
+    F.call_function("shiftright", x.cast("bigint"), y.cast("int")), d))
+# NaN-ignoring extrema: Spark comparisons treat NaN as largest, so
+# greatest() would PROPAGATE NaN where numpy fmax ignores it
+_b("fmax", lambda x, y, d: F.when(F.isnan(x.cast("double")), y)
+   .when(F.isnan(y.cast("double")), x).otherwise(F.greatest(x, y)))
+_b("fmin", lambda x, y, d: F.when(F.isnan(x.cast("double")), y)
+   .when(F.isnan(y.cast("double")), x).otherwise(F.least(x, y)))
+# numerically stable log-sum-exp pair
+_b("logaddexp", lambda x, y, d: F.greatest(x, y) + F.log1p(
+    F.exp(-F.abs(x.cast("double") - y.cast("double")))), _float_out)
+_b("logaddexp2", lambda x, y, d: F.greatest(x, y) + F.log2(
+    F.lit(1.0) + F.pow(F.lit(2.0), -F.abs(x.cast("double")
+                                          - y.cast("double")))), _float_out)
+
+
+def _np_binary_udf(np_name, out_type="double"):
+    """Arrow-vectorized fallback — see _np_unary_udf."""
+    def build(x, y, d):
+        import numpy as np
+        import pandas as pd
+
+        def _fn(a, b):
+            return pd.Series(getattr(np, np_name)(a.to_numpy(), b.to_numpy()))
+
+        _fn.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                               "return": pd.Series}
+        if out_type == "bigint":
+            return F.pandas_udf(_fn, "bigint")(x.cast("bigint"),
+                                               y.cast("bigint"))
+        return F.pandas_udf(_fn, "double")(x.cast("double"), y.cast("double"))
+    return build
+
+
+_b("gcd", _np_binary_udf("gcd", "bigint"))
+_b("lcm", _np_binary_udf("lcm", "bigint"))
+_b("nextafter", _np_binary_udf("nextafter"), _float_out)
+
 # positional ops read join-key columns (reference: grblas firsti/firstj/...,
 # SURVEY.md section 2.2 "positional ops read the join-key columns")
 _b("firsti", lambda x, y, d, ctx: ctx.ai.cast("bigint"), INT64, positional=True)
+_b("firsti1", lambda x, y, d, ctx: ctx.ai.cast("bigint") + 1, INT64,
+   positional=True)
 _b("firstj", lambda x, y, d, ctx: ctx.aj.cast("bigint"), INT64, positional=True)
+_b("firstj1", lambda x, y, d, ctx: ctx.aj.cast("bigint") + 1, INT64,
+   positional=True)
 _b("secondi", lambda x, y, d, ctx: ctx.bi.cast("bigint"), INT64, positional=True)
+_b("secondi1", lambda x, y, d, ctx: ctx.bi.cast("bigint") + 1, INT64,
+   positional=True)
 _b("secondj", lambda x, y, d, ctx: ctx.bj.cast("bigint"), INT64, positional=True)
+_b("secondj1", lambda x, y, d, ctx: ctx.bj.cast("bigint") + 1, INT64,
+   positional=True)
 
 binary = _Namespace("binary", _BINARY)
 
@@ -403,6 +565,40 @@ _m("band", "band", -1, lambda c, d: F.bit_and(c).cast(d.spark_type))
 _m("bor", "bor", 0, lambda c, d: F.bit_or(c).cast(d.spark_type))
 _m("bxor", "bxor", 0, lambda c, d: F.bit_xor(c).cast(d.spark_type))
 _m("bxnor", "bxnor", -1, _bxnor_agg)
+
+# numpy-named monoids (grblas.monoid.numpy parity, reference
+# tests/from_grblas2/test_numpyops.py:219-256) — aliases reuse the native
+# aggregate of the core monoid; the NaN-ignoring / log-sum-exp ones get
+# their own aggregates.
+for _alias, _base in [("add", "plus"), ("multiply", "times"),
+                      ("maximum", "max"), ("minimum", "min"),
+                      ("logical_and", "land"), ("logical_or", "lor"),
+                      ("logical_xor", "lxor"), ("equal", "lxnor"),
+                      ("bitwise_and", "band"), ("bitwise_or", "bor"),
+                      ("bitwise_xor", "bxor")]:
+    _bm = _MONOID[_base]
+    _MONOID[_alias] = Monoid(_alias, _BINARY[_alias], _bm.identity, _bm._agg)
+
+
+def _nan_ignoring_extreme(which):
+    def agg(col, dtype):
+        clean = F.when(F.isnan(col.cast("double")), None).otherwise(col)
+        ext = F.max(clean) if which == "max" else F.min(clean)
+        # all-NaN group -> NaN (numpy fmax.reduce semantics)
+        return F.coalesce(ext, F.lit(float("nan")).cast(dtype.spark_type))
+    return agg
+
+
+_m("fmax", "fmax", float("nan"), _nan_ignoring_extreme("max"))
+_m("fmin", "fmin", float("nan"), _nan_ignoring_extreme("min"))
+_m("hypot", "hypot", 0.0,
+   lambda c, d: F.sqrt(F.sum(c.cast("double") * c.cast("double"))))
+# log-sum-exp monoids: single-pass form (no max-shift — a second agg pass
+# can't nest); fine for the value ranges GraphBLAS reductions see
+_m("logaddexp", "logaddexp", float("-inf"),
+   lambda c, d: F.log(F.sum(F.exp(c.cast("double")))))
+_m("logaddexp2", "logaddexp2", float("-inf"),
+   lambda c, d: F.log2(F.sum(F.pow(F.lit(2.0), c.cast("double")))))
 
 monoid = _Namespace("monoid", _MONOID)
 

@@ -56,7 +56,15 @@ def _ewise_positional(a_df, b_df, keys, op, out_dtype, how):
 
 def apply_unary(df: DataFrame, keys: list[str], op, out_dtype: GbType,
                 in_dtype: GbType) -> DataFrame:
-    val = op(F.col("v"), in_dtype)
+    if getattr(op, "positional", False):
+        # positioni/positionj read the coordinate columns; on a vector the
+        # single key serves as both axes (grblas semantics)
+        from ..operators import PositionalContext
+
+        ctx = PositionalContext(ai=F.col(keys[0]), aj=F.col(keys[-1]))
+        val = op(F.col("v"), in_dtype, ctx)
+    else:
+        val = op(F.col("v"), in_dtype)
     return df.select(*keys, val.cast(out_dtype.spark_type).alias("v"))
 
 
