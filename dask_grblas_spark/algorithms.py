@@ -218,17 +218,24 @@ def pagerank(A: GrMatrix, damping: float = 0.85, max_iters: int = 20,
 
 
 def triangle_count(A: GrMatrix) -> int:
-    """Triangle counting via masked semiring matmul (the classic GraphBLAS
-    formulation): L = strict lower triangle of the symmetrized adjacency;
-    ntri = reduce(C) where C<L.S> = L * L.T over plus_pair. The structural
-    mask is PUSHED DOWN into the multiply (semi-join before aggregation),
-    so only wedge-closing pairs are aggregated."""
+    """Triangle counting via the classic GraphBLAS masked-matmul
+    formulation, collapsed to its minimal plan: L = strict lower triangle
+    of the symmetrized adjacency; ntri = reduce(C) where C<L.S> =
+    L * L.T over plus_pair. Because the final reduction is a GLOBAL sum
+    of pair counts, the per-(i,j) aggregation is algebraically redundant:
+    sum over C = |{(i,j,k): L[i,k] & L[j,k] & L[i,j]}|, i.e. a COUNT of
+    the mask-semi-joined wedge relation. Executing it that way removes
+    one full shuffle (the groupBy(i,j) + scalar reduce) versus the
+    two-stage form — the mask semi-join still happens BELOW any
+    aggregation, so the wedge relation never materializes more than the
+    masked rows."""
     Asym = symmetrize(A)
-    L_df = Asym.df.filter(F.col("i") > F.col("j"))
-    L = GrMatrix(L_df, Asym.dtype, Asym.nrows, Asym.ncols)
-    L.persist()
-    C = GrMatrix.new("INT64", Asym.nrows, Asym.ncols)
-    C(mask=L.S) << L.mxm(L.T, semiring.plus_pair)
-    t = C.reduce_scalar("plus").new().value
-    L.unpersist()
-    return int(t) if t is not None else 0
+    L_df = Asym.df.filter(F.col("i") > F.col("j")).select("i", "j")
+    L_df = L_df.persist()
+    wedges = (L_df.select(F.col("i"), F.col("j").alias("k"))
+              .join(L_df.select(F.col("i").alias("j"), F.col("j").alias("k")),
+                    on="k")
+              .select("i", "j"))
+    t = wedges.join(L_df, on=["i", "j"], how="left_semi").count()
+    L_df.unpersist()
+    return int(t)

@@ -117,20 +117,42 @@ def from_mmfile(path: str, dtype=None) -> GrMatrix:
 
 
 def to_mmfile(A: GrMatrix, path: str):
-    """MM writer (reference parity: to_MMfile matrix.py:75-112). The
-    reference writes per-partition files then concatenates with header
-    surgery (matrix.py:1005-1064); for a single output file we coalesce(1)
-    — at true scale prefer matrix_to_parquet."""
+    """Distributed MM writer (reference parity: to_MMfile matrix.py:75-112,
+    which also writes per-partition files then concatenates with header
+    surgery, matrix.py:1005-1064). Row formatting and encoding happen
+    EXECUTOR-side (global sort -> range-partitioned text part files, so
+    lexicographic part order == global row order); the driver only
+    streams part files byte-for-byte after the header — no row ever
+    crosses the driver. At true scale prefer matrix_to_parquet."""
+    import glob
     import os
+    import shutil
+    import tempfile
 
     field = "integer" if not A.dtype.is_float else "real"
     if A.dtype.is_bool:
         field = "integer"
-    rows = A.df.sort("i", "j").collect()
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "w") as f:
-        f.write(f"%%MatrixMarket matrix coordinate {field} general\n")
-        f.write(f"{A.nrows} {A.ncols} {len(rows)}\n")
-        for r in rows:
-            v = int(r["v"]) if field == "integer" else repr(float(r["v"]))
-            f.write(f"{r['i'] + 1} {r['j'] + 1} {v}\n")
+    nnz = A.nvals  # 1-row aggregate (cached when known)
+    if field == "integer":
+        vtxt = F.col("v").cast("bigint").cast("string")
+    else:
+        vtxt = F.col("v").cast("double").cast("string")
+    lines = (A.df.sort("i", "j")
+             .select(F.concat_ws(" ",
+                                 (F.col("i") + 1).cast("string"),
+                                 (F.col("j") + 1).cast("string"),
+                                 vtxt).alias("value")))
+    tmpdir = tempfile.mkdtemp(prefix="dgs_mm_")
+    body_dir = os.path.join(tmpdir, "body")
+    try:
+        lines.write.mode("overwrite").text(body_dir)
+        parts = sorted(glob.glob(os.path.join(body_dir, "part-*")))
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w") as out:
+            out.write(f"%%MatrixMarket matrix coordinate {field} general\n")
+            out.write(f"{A.nrows} {A.ncols} {nnz}\n")
+            for p in parts:
+                with open(p) as src:
+                    shutil.copyfileobj(src, out)
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)

@@ -245,3 +245,27 @@ def test_streaming_sessionize_matches_batch(spark):
     a = a[key].sort_values(key).reset_index(drop=True)
     b = b[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_mmfile_roundtrip_float_and_symmetric(spark, tmp_path):
+    """Distributed MM writer/reader round-trip: float field (double ->
+    string -> double must be lossless) and symmetric expansion on read."""
+    from dask_grblas_spark.sources import io as gio
+
+    A = gb.Matrix.from_values([0, 1, 2, 2], [1, 0, 2, 0],
+                              [0.5, -2.25e-7, 3.5e10, 1.125],
+                              nrows=3, ncols=3)
+    path = str(tmp_path / "a.mtx")
+    gio.to_mmfile(A, path)
+    header = open(path).readline()
+    assert header.startswith("%%MatrixMarket matrix coordinate real")
+    back = gio.from_mmfile(path)
+    assert A.isequal(back).value
+
+    sym = str(tmp_path / "s.mtx")
+    with open(sym, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate integer symmetric\n")
+        f.write("3 3 3\n1 1 5\n2 1 7\n3 2 9\n")
+    S = gio.from_mmfile(sym)
+    assert S.to_dict() == {(0, 0): 5, (1, 0): 7, (0, 1): 7,
+                           (2, 1): 9, (1, 2): 9}
