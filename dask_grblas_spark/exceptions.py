@@ -22,3 +22,9 @@ class IndexOutOfBound(GrblasSparkException, IndexError):
 
 class EmptyObject(GrblasSparkException):
     pass
+
+
+class MonoidScaleWarning(UserWarning):
+    """A monoid was registered without a native Spark aggregate — its
+    reductions fall back to collect_list folding (O(group) memory per
+    output cell), which does not scale past small groups."""

@@ -27,6 +27,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..dtypes import BOOL, FP32, FP64, INT64, GbType, lookup_dtype, unify
+from ..exceptions import MonoidScaleWarning
 
 __all__ = ["unary", "binary", "monoid", "semiring", "agg",
            "UnaryOp", "BinaryOp", "Monoid", "Semiring", "Aggregator",
@@ -713,15 +714,28 @@ def register_monoid(name, binaryop, identity, *, agg_fn=None) -> Monoid:
     """Register a user monoid (binary op + identity). Without a native
     agg_fn(Column, GbType) -> Column aggregate, folding falls back to
     F.aggregate over collect_list — correct for any associative op but a
-    slow path (materializes the group); supply agg_fn for scale."""
+    slow path (materializes the whole group per output cell); a
+    MonoidScaleWarning is emitted so the fallback never ships silently.
+    Supply agg_fn for scale."""
+    import warnings
+
     if isinstance(binaryop, str):
         binaryop = _BINARY[binaryop]
     if agg_fn is None:
+        warnings.warn(
+            f"monoid {name!r} registered without a native agg_fn: "
+            "reductions will collect each group into an array and fold it "
+            "driver-style on the executor (O(group) memory per output "
+            "cell). Pass agg_fn=lambda col, dtype: <Spark aggregate "
+            "Column> for a map-side-combinable reduction.",
+            MonoidScaleWarning, stacklevel=2)
+
         def agg_fn(col, dtype, _b=binaryop):
             return F.aggregate(
                 F.collect_list(col),
                 F.lit(identity).cast(dtype.spark_type),
                 lambda acc, x: _b(acc, x, dtype).cast(dtype.spark_type))
+        agg_fn._is_fallback = True
     mon = Monoid(name, binaryop, identity, agg_fn)
     _MONOID[name] = mon
     return mon
