@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dask_grblas_spark import Matrix, Vector, agg, binary, monoid, semiring
+from dask_grblas_spark import Matrix, Vector, agg, binary, monoid, semiring, unary
 from dask_grblas_spark import algorithms as alg
 from dask_grblas_spark.functions import dedup, multimodal, similarity, text
 from dask_grblas_spark.sources import tpch
@@ -430,12 +430,37 @@ def q56_op_grid(spark, sf_dir):
             .new()
     la = va.apply(binary.truediv, right=1000.0).new() \
            .apply(binary.logaddexp, right=1.5).new()
+    # FC64 complex block: struct<re,im> storage, native complex multiply
+    # and magnitude (dask_grblas_spark/operators: _COMPLEX_BINARY/_UNARY)
+    zc = Vector.from_dataframe(
+        cust.select(
+            F.col("c_custkey").cast("bigint").alias("i"),
+            F.struct((F.col("c_acctbal") / 100.0).cast("double").alias("re"),
+                     (F.col("c_custkey") % 7).cast("double").alias("im"))
+            .alias("v")),
+        size=1_000_000, dtype="FC64")
+    wc = Vector.from_dataframe(
+        cust.select(
+            F.col("c_custkey").cast("bigint").alias("i"),
+            F.struct((F.col("c_custkey") % 5).cast("double").alias("re"),
+                     F.lit(1.0).alias("im")).alias("v")),
+        size=1_000_000, dtype="FC64")
+    prod = zc.ewise_mult(wc, binary.times).new()
+    zmag = zc.apply(unary.abs).new()
     out = (sh.df.select("i", F.col("v").alias("shifted"))
            .join(g.df.select("i", F.col("v").alias("g36")), on="i")
            .join(fd.df.select("i", F.col("v").alias("bal_div100")), on="i")
            .join(hyp.df.select("i", F.round(F.col("v"), 6).alias("hyp")),
                  on="i")
            .join(la.df.select("i", F.round(F.col("v"), 6).alias("lae")),
+                 on="i")
+           .join(prod.df.select("i",
+                                (F.round(F.col("v")["re"], 6) + 0.0)
+                                .alias("cp_re"),
+                                (F.round(F.col("v")["im"], 6) + 0.0)
+                                .alias("cp_im")),
+                 on="i")
+           .join(zmag.df.select("i", F.round(F.col("v"), 6).alias("zmag")),
                  on="i"))
     return out
 
@@ -1074,7 +1099,13 @@ def oracle_sql() -> dict[str, str]:
                ROUND(sqrt((c_acctbal / 100.0) * (c_acctbal / 100.0)
                           + (c_custkey % 97) * (c_custkey % 97)), 6) AS hyp,
                ROUND(GREATEST(c_acctbal / 1000.0, 1.5)
-                     + LN(1 + EXP(-ABS(c_acctbal / 1000.0 - 1.5))), 6) AS lae
+                     + LN(1 + EXP(-ABS(c_acctbal / 1000.0 - 1.5))), 6) AS lae,
+               ROUND((c_acctbal / 100.0) * (c_custkey % 5)
+                     - (c_custkey % 7) * 1.0, 6) + 0.0 AS cp_re,
+               ROUND((c_acctbal / 100.0) * 1.0
+                     + (c_custkey % 7) * (c_custkey % 5), 6) + 0.0 AS cp_im,
+               ROUND(sqrt((c_acctbal / 100.0) * (c_acctbal / 100.0)
+                          + (c_custkey % 7) * (c_custkey % 7)), 6) AS zmag
         FROM customer
     """
     sql["q30_exact_dedup"] = """

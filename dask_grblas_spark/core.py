@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dtypes import BOOL, FP64, INT64, GbType, infer_from_values, lookup_dtype
+from .dtypes import (BOOL, FP64, INT64, GbType, from_storage,
+                     infer_from_values, lit_storage, lookup_dtype, to_storage)
 from .exceptions import (DimensionMismatch, EmptyObject, IndexOutOfBound,
                          OutputNotEmpty)
 from .expr import (AmbiguousAssignOrExtract, Expr, Updater,
@@ -89,7 +90,8 @@ def _scalar_df_from_value(value, dtype: GbType) -> DataFrame:
     spark = get_session()
     if value is None:
         return spark.createDataFrame([], _scalar_schema(dtype))
-    return spark.createDataFrame([(value,)], _scalar_schema(dtype))
+    return spark.createDataFrame([(to_storage(value, dtype),)],
+                                 _scalar_schema(dtype))
 
 
 def _dup_agg(dup_op, col, dtype: GbType):
@@ -120,6 +122,11 @@ class BaseType:
         self.dtype: GbType = None
         self.name = None
         self._nvals_cache = None
+
+    def __array__(self, *args, **kwargs):
+        raise TypeError(
+            f"{type(self).__name__} cannot be converted to a numpy array "
+            "implicitly; use to_values() for an explicit (sorted) export")
 
     # -- plumbing ----------------------------------------------------------
     @property
@@ -262,6 +269,16 @@ class BaseType:
         lv, rv = F.col("l.v"), F.col("r.v")
         if mode == "equal":
             ok = lv.isNotNull() & rv.isNotNull() & (lv == rv)
+        elif self.dtype.is_complex or other.dtype.is_complex:
+            # complex closeness: |l-r| and |r| are vector magnitudes of the
+            # struct<re,im> encoding — same numpy rule, same tolerance.
+            dre = lv["re"].cast("double") - rv["re"].cast("double")
+            dim = lv["im"].cast("double") - rv["im"].cast("double")
+            rmag = F.sqrt(rv["re"].cast("double") * rv["re"].cast("double")
+                          + rv["im"].cast("double") * rv["im"].cast("double"))
+            ok = (lv.isNotNull() & rv.isNotNull()
+                  & (F.sqrt(dre * dre + dim * dim)
+                     <= F.lit(abs_tol) + F.lit(rel_tol) * rmag))
         else:
             # numpy-style: |l-r| <= abs_tol + rel_tol*|r| (r = other);
             # mirrored exactly by the local-scalar branch above.
@@ -306,12 +323,6 @@ class GrScalar(BaseType):
             dt = lookup_dtype(type(value))
         else:
             dt = lookup_dtype(dtype)
-        if dt.is_bool:
-            value = bool(value)
-        elif dt.is_float:
-            value = float(value)
-        else:
-            value = int(value)
         return cls(_scalar_df_from_value(value, dt), dt, name=name)
 
     @property
@@ -323,7 +334,35 @@ class GrScalar(BaseType):
         rows = self._df.take(1)
         if not rows:
             return None
-        return rows[0][0]
+        return from_storage(rows[0][0], self.dtype)
+
+    @value.setter
+    def value(self, val):
+        self._set_df(_scalar_df_from_value(val, self.dtype))
+
+    def __int__(self):
+        v = self.value
+        if v is None:
+            raise TypeError("cannot cast empty Scalar to int")
+        return int(v)
+
+    def __float__(self):
+        v = self.value
+        if v is None:
+            raise TypeError("cannot cast empty Scalar to float")
+        return float(v)
+
+    def __complex__(self):
+        v = self.value
+        if v is None:
+            raise TypeError("cannot cast empty Scalar to complex")
+        return complex(v)
+
+    def __index__(self):
+        if not (self.dtype.name.startswith("INT")
+                or self.dtype.name.startswith("UINT")):
+            raise TypeError("only integer Scalars support __index__")
+        return int(self)
 
     @property
     def is_empty(self) -> bool:
@@ -349,7 +388,13 @@ class GrScalar(BaseType):
         return id(self)
 
     def __neg__(self):
-        df = self._df.select((-F.col("v")).cast(self.dtype.spark_type).alias("v"))
+        if self.dtype.is_complex:
+            neg = F.struct((-F.col("v")["re"]).alias("re"),
+                           (-F.col("v")["im"]).alias("im"))
+            df = self._df.select(neg.cast(self.dtype.spark_type).alias("v"))
+        else:
+            df = self._df.select(
+                (-F.col("v")).cast(self.dtype.spark_type).alias("v"))
         return GrScalar(df, self.dtype)
 
     def __invert__(self):
@@ -589,12 +634,13 @@ class GrVector(BaseType):
         rows = self._df.sort("i").collect()
         dt = lookup_dtype(dtype) if dtype is not None else self.dtype
         idx = np.fromiter((r["i"] for r in rows), dtype="int64", count=len(rows))
-        vals = np.fromiter((r["v"] for r in rows), dtype=dt.np_name,
-                           count=len(rows))
+        vals = np.fromiter((from_storage(r["v"], self.dtype) for r in rows),
+                           dtype=dt.np_name, count=len(rows))
         return idx, vals
 
     def to_dict(self) -> dict:
-        return {r["i"]: r["v"] for r in self._df.collect()}
+        return {r["i"]: from_storage(r["v"], self.dtype)
+                for r in self._df.collect()}
 
     # -- reshapes ---------------------------------------------------------------
     def diag(self, k: int = 0) -> "GrMatrix":
@@ -924,11 +970,13 @@ class GrMatrix(BaseType):
         n = len(rows)
         ri = np.fromiter((r["i"] for r in rows), dtype="int64", count=n)
         ci = np.fromiter((r["j"] for r in rows), dtype="int64", count=n)
-        vals = np.fromiter((r["v"] for r in rows), dtype=dt.np_name, count=n)
+        vals = np.fromiter((from_storage(r["v"], self.dtype) for r in rows),
+                           dtype=dt.np_name, count=n)
         return ri, ci, vals
 
     def to_dict(self) -> dict:
-        return {(r["i"], r["j"]): r["v"] for r in self._df.collect()}
+        return {(r["i"], r["j"]): from_storage(r["v"], self.dtype)
+                for r in self._df.collect()}
 
     def diag(self, k: int = 0) -> "GrVector":
         """Extract the k-th diagonal as a Vector (reference matrix.py:314-373)."""
@@ -975,11 +1023,7 @@ Scalar = GrScalar
 # ===========================================================================
 
 def _py_value(v, dtype: GbType):
-    if dtype.is_bool:
-        return bool(v)
-    if dtype.is_float:
-        return float(v)
-    return int(v)
+    return to_storage(v, dtype)
 
 
 def _check_same_shape(a, b):
@@ -1160,8 +1204,7 @@ def _generic_assign(parent, axes, obj, updater: Updater, subassign: bool):
                     fill = fill.join(tgt, on=col, how="left_semi")
                 # "all": no restriction
             new_df = fill.select(
-                *parent._key_cols,
-                F.lit(_py_value(obj, dtype)).cast(dtype.spark_type).alias("v"))
+                *parent._key_cols, lit_storage(obj, dtype).alias("v"))
         else:
             # unmasked / complement-masked: full-fill densifies by design
             new_df = assign_plans.scalar_fill(

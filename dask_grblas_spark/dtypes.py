@@ -9,6 +9,14 @@ next-wider signed Spark type (UINT8 -> ShortType, ..., UINT64 -> LongType
 with documented wrap-around caveat) while the logical GraphBLAS dtype is
 kept on the wrapper metadata so coercion rules stay faithful (SURVEY.md
 section 1.2).
+
+Spark also has no complex number type, so the SuiteSparse extension dtypes
+FC32/FC64 (reference: grblas dtypes FC32/FC64 behind
+``dtypes._supports_complex``) are *stored* as ``struct<re,im>`` of the
+matching float width. Arithmetic on them is dispatched to complex-aware
+Column builders in ``operators`` (a bounded op set — see
+``operators._COMPLEX_BINARY`` / ``_COMPLEX_UNARY``); everything stays
+JVM-side native expressions.
 """
 
 from __future__ import annotations
@@ -18,13 +26,14 @@ from pyspark.sql import types as T
 
 __all__ = ["GbType", "lookup_dtype", "unify", "BOOL", "FP32", "FP64",
            "INT8", "INT16", "INT32", "INT64",
-           "UINT8", "UINT16", "UINT32", "UINT64"]
+           "UINT8", "UINT16", "UINT32", "UINT64", "FC32", "FC64"]
 
 
 class GbType:
     """A logical GraphBLAS dtype plus its physical Spark storage type."""
 
-    __slots__ = ("name", "np_name", "spark_type", "is_bool", "is_float", "is_signed")
+    __slots__ = ("name", "np_name", "spark_type", "is_bool", "is_float",
+                 "is_signed", "is_complex")
 
     def __init__(self, name: str, np_name: str, spark_type: T.DataType):
         self.name = name
@@ -32,7 +41,9 @@ class GbType:
         self.spark_type = spark_type
         self.is_bool = np_name == "bool"
         self.is_float = np_name in ("float32", "float64")
-        self.is_signed = np_name.startswith("int") or self.is_float
+        self.is_complex = np_name.startswith("complex")
+        self.is_signed = (np_name.startswith("int") or self.is_float
+                          or self.is_complex)
 
     @property
     def spark_name(self) -> str:
@@ -63,19 +74,34 @@ UINT64 = GbType("UINT64", "uint64", T.LongType())
 FP32 = GbType("FP32", "float32", T.FloatType())
 FP64 = GbType("FP64", "float64", T.DoubleType())
 
+
+def _complex_struct(float_type: T.DataType) -> T.StructType:
+    # fields stay nullable: computed struct columns are nullable in Spark,
+    # and casting nullable -> NOT NULL struct fields is rejected
+    return T.StructType([T.StructField("re", float_type, True),
+                         T.StructField("im", float_type, True)])
+
+
+FC32 = GbType("FC32", "complex64", _complex_struct(T.FloatType()))
+FC64 = GbType("FC64", "complex128", _complex_struct(T.DoubleType()))
+
 _REGISTRY = {
     t.name: t
-    for t in (BOOL, INT8, INT16, INT32, INT64, UINT8, UINT16, UINT32, UINT64, FP32, FP64)
+    for t in (BOOL, INT8, INT16, INT32, INT64, UINT8, UINT16, UINT32, UINT64,
+              FP32, FP64, FC32, FC64)
 }
 _NP_ALIASES = {
     "bool": BOOL, "bool_": BOOL,
     "int8": INT8, "int16": INT16, "int32": INT32, "int64": INT64, "int": INT64,
     "uint8": UINT8, "uint16": UINT16, "uint32": UINT32, "uint64": UINT64,
     "float32": FP32, "float64": FP64, "float": FP64, "double": FP64,
+    "complex64": FC32, "complex128": FC64, "complex": FC64,
 }
 _SPARK_ALIASES = {
     "boolean": BOOL, "tinyint": INT8, "smallint": INT16, "int": INT32,
     "bigint": INT64, "float": FP32, "double": FP64,
+    FC32.spark_type.simpleString(): FC32,
+    FC64.spark_type.simpleString(): FC64,
 }
 
 
@@ -93,6 +119,8 @@ def lookup_dtype(dtype) -> GbType:
         return INT64
     if dtype is float:
         return FP64
+    if dtype is complex:
+        return FC64
     if isinstance(dtype, str):
         key = dtype.strip()
         if key.upper() in _REGISTRY:
@@ -135,3 +163,36 @@ def infer_from_values(values) -> GbType:
     if arr.dtype.kind == "O":
         raise ValueError("Cannot infer GraphBLAS dtype from object array")
     return lookup_dtype(arr.dtype)
+
+
+def to_storage(v, dtype: GbType):
+    """Python value -> the row value stored in the Spark column (complex
+    becomes the (re, im) struct tuple)."""
+    if dtype.is_complex:
+        c = complex(*v) if isinstance(v, tuple) else complex(v)
+        return (c.real, c.imag)
+    if dtype.is_bool:
+        return bool(v)
+    if dtype.is_float:
+        return float(v)
+    return int(v)
+
+
+def from_storage(v, dtype: GbType):
+    """Row value read back from Spark -> python value (struct -> complex)."""
+    if v is not None and dtype.is_complex:
+        return complex(v[0], v[1])
+    return v
+
+
+def lit_storage(value, dtype: GbType):
+    """Literal Column of this dtype (complex -> struct literal). Only used
+    on paths that know the target dtype; real dtypes keep plain F.lit."""
+    from pyspark.sql import functions as F
+
+    if dtype.is_complex:
+        re, im = to_storage(value, dtype)
+        ft = "float" if dtype.name == "FC32" else "double"
+        return F.struct(F.lit(re).cast(ft).alias("re"),
+                        F.lit(im).cast(ft).alias("im"))
+    return F.lit(to_storage(value, dtype)).cast(dtype.spark_type)

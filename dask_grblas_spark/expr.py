@@ -138,6 +138,16 @@ class Updater:
         if isinstance(parent, core.GrScalar):
             return self._update_scalar(rhs)
 
+        if isinstance(rhs, core.GrScalar) or (
+                not isinstance(rhs, (Expr, core.BaseType))
+                and isinstance(rhs, (bool, int, float, complex))):
+            # masked/accum scalar broadcast: w(mask) << s == w[:](mask) << s
+            # (grblas semantics; reference test_vector.py test_assign_scalar_mask)
+            full = (slice(None) if isinstance(parent, core.GrVector)
+                    else (slice(None), slice(None)))
+            return Assigner(self, parent._resolve_indices(full),
+                            subassign=False).update(rhs)
+
         if isinstance(rhs, core.BaseType):
             rhs = rhs._as_expr()
         if not isinstance(rhs, Expr):

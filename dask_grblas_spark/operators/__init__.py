@@ -73,6 +73,15 @@ class UnaryOp(_Op):
                 raise ValueError(
                     f"unary.{self.name} is positional and needs index context")
             return self._build(col, dtype, ctx)
+        if dtype.is_complex:
+            impl = _COMPLEX_UNARY.get(self.name)
+            if impl is not None:
+                return impl(col, dtype)
+            if self.name not in _COMPLEX_NATIVE_UNARY:
+                raise TypeError(
+                    f"unary.{self.name} does not support complex dtype "
+                    f"{dtype.name} (supported: "
+                    f"{sorted(_COMPLEX_UNARY) + sorted(_COMPLEX_NATIVE_UNARY)})")
         return self._build(col, dtype)
 
     def out_dtype(self, dtype: GbType) -> GbType:
@@ -99,6 +108,15 @@ class BinaryOp(_Op):
                 raise ValueError(
                     f"binary.{self.name} is positional and needs index context")
             return self._build(x, y, dtype, ctx)
+        if dtype.is_complex:
+            impl = _COMPLEX_BINARY.get(self.name)
+            if impl is not None:
+                return impl(x, y, dtype)
+            if self.name not in _COMPLEX_NATIVE_BINARY:
+                raise TypeError(
+                    f"binary.{self.name} does not support complex dtype "
+                    f"{dtype.name} (supported: "
+                    f"{sorted(_COMPLEX_BINARY) + sorted(_COMPLEX_NATIVE_BINARY)})")
         return self._build(x, y, dtype)
 
     def out_dtype(self, a: GbType, b: GbType) -> GbType:
@@ -123,6 +141,13 @@ class Monoid(_Op):
 
     def agg(self, col: Column, dtype: GbType) -> Column:
         """Spark aggregate expression folding `col` with this monoid."""
+        if dtype.is_complex:
+            impl = _COMPLEX_MONOID_AGG.get(self.name)
+            if impl is None:
+                raise TypeError(
+                    f"monoid.{self.name} does not support complex dtype "
+                    f"{dtype.name} (supported: {sorted(_COMPLEX_MONOID_AGG)})")
+            return impl(col, dtype)
         return self._agg(col, dtype)
 
     def out_dtype(self, a: GbType, b: GbType = None) -> GbType:
@@ -189,7 +214,7 @@ def _bool_out(_a, _b=None):
 
 def _float_out(a, b=None):
     u = unify(a, b) if b is not None else a
-    return u if u.is_float else FP64
+    return u if (u.is_float or u.is_complex) else FP64
 
 
 class _Namespace:
@@ -227,7 +252,8 @@ def _u(name, fn, out_dtype=None):
 _u("identity", lambda c, d: c)
 _u("ainv", lambda c, d: _cast(-c, d))
 _u("minv", lambda c, d: _cast(F.lit(1) / c, d))
-_u("abs", lambda c, d: F.abs(c))
+_u("abs", lambda c, d: F.abs(c),
+   lambda d: _complex_to_float(d))  # complex magnitude -> float partner
 _u("one", lambda c, d: F.lit(1).cast(d.spark_type))
 _u("lnot", lambda c, d: _cast(~_truthy(c, d), d) if not d.is_bool else ~c)
 _u("bnot", lambda c, d: _cast(F.bitwise_not(c), d))
@@ -268,8 +294,16 @@ for _alias, _base in [("absolute", "abs"), ("negative", "ainv"),
     _UNARY[_alias] = UnaryOp(_alias, _UNARY[_base]._build,
                              _UNARY[_base]._out_dtype)
 _u("positive", lambda c, d: c)
-_u("conj", lambda c, d: c)      # real dtypes only (no complex in Spark)
+# conj/creal/cimag/carg: SuiteSparse FC ops (grblas unary registry); on
+# real dtypes conj/creal are identity, cimag is 0, carg is atan2(0, x).
+# Complex inputs dispatch to _COMPLEX_UNARY (struct<re,im> arithmetic).
+_u("conj", lambda c, d: c)
 _u("conjugate", lambda c, d: c)
+_u("creal", lambda c, d: c, lambda d: _complex_to_float(d))
+_u("cimag", lambda c, d: F.lit(0).cast(d.spark_type),
+   lambda d: _complex_to_float(d))
+_u("carg", lambda c, d: F.atan2(F.lit(0.0), c.cast("double")),
+   lambda d: _complex_to_float(d) if d.is_complex else FP64)
 _u("fabs", lambda c, d: F.abs(c.cast("double")), _float_out)
 _u("square", lambda c, d: _cast(c * c, d))
 _u("deg2rad", lambda c, d: F.radians(c), _float_out)
@@ -602,6 +636,129 @@ _m("logaddexp2", "logaddexp2", float("-inf"),
    lambda c, d: F.log2(F.sum(F.pow(F.lit(2.0), c.cast("double")))))
 
 monoid = _Namespace("monoid", _MONOID)
+
+
+# --------------------------------------------------------------------------
+# complex (FC32/FC64) op implementations — SuiteSparse extension dtypes
+# (reference: grblas FC32/FC64 behind dtypes._supports_complex, ops conj/
+# creal/cimag/carg exercised by tests/from_grblas2/test_op.py). Stored as
+# struct<re,im>; every implementation is a native Column expression, so
+# complex arithmetic stays inside whole-stage codegen.
+# --------------------------------------------------------------------------
+
+def _cfloat(d: GbType) -> str:
+    return "float" if d.name == "FC32" else "double"
+
+
+def _cpx(d: GbType, re: Column, im: Column) -> Column:
+    ft = _cfloat(d)
+    return F.struct(re.cast(ft).alias("re"), im.cast(ft).alias("im"))
+
+
+def _re(c: Column) -> Column:
+    return c["re"].cast("double")
+
+
+def _im(c: Column) -> Column:
+    return c["im"].cast("double")
+
+
+def _cmag(c: Column) -> Column:
+    return F.sqrt(_re(c) * _re(c) + _im(c) * _im(c))
+
+
+def _cplus(x, y, d):
+    return _cpx(d, _re(x) + _re(y), _im(x) + _im(y))
+
+
+def _cminus(x, y, d):
+    return _cpx(d, _re(x) - _re(y), _im(x) - _im(y))
+
+
+def _ctimes(x, y, d):
+    return _cpx(d, _re(x) * _re(y) - _im(x) * _im(y),
+                _re(x) * _im(y) + _im(x) * _re(y))
+
+
+def _cdiv(x, y, d):
+    den = _re(y) * _re(y) + _im(y) * _im(y)
+    return _cpx(d, (_re(x) * _re(y) + _im(x) * _im(y)) / den,
+                (_im(x) * _re(y) - _re(x) * _im(y)) / den)
+
+
+_COMPLEX_BINARY = {
+    "plus": _cplus,
+    "add": _cplus,
+    "minus": _cminus,
+    "subtract": _cminus,
+    "rminus": lambda x, y, d: _cminus(y, x, d),
+    "times": _ctimes,
+    "multiply": _ctimes,
+    "truediv": _cdiv,
+    "divide": _cdiv,
+    "rtruediv": lambda x, y, d: _cdiv(y, x, d),
+    "pair": lambda x, y, d: _cpx(d, F.lit(1.0), F.lit(0.0)),
+    "oneb": lambda x, y, d: _cpx(d, F.lit(1.0), F.lit(0.0)),
+    "iseq": lambda x, y, d: _cpx(d, (x == y).cast("double"), F.lit(0.0)),
+    "isne": lambda x, y, d: _cpx(d, (x != y).cast("double"), F.lit(0.0)),
+}
+# builders that already work on struct values unchanged (pass-through /
+# native struct equality); eq/ne land here implicitly because their output
+# dtype is BOOL, so the complex dispatch never triggers for them.
+_COMPLEX_NATIVE_BINARY = {"first", "second", "any"}
+
+
+_COMPLEX_UNARY = {
+    "ainv": lambda c, d: _cpx(d, -_re(c), -_im(c)),
+    "negative": lambda c, d: _cpx(d, -_re(c), -_im(c)),
+    "conj": lambda c, d: _cpx(d, _re(c), -_im(c)),
+    "conjugate": lambda c, d: _cpx(d, _re(c), -_im(c)),
+    "one": lambda c, d: _cpx(d, F.lit(1.0), F.lit(0.0)),
+    "minv": lambda c, d: _cdiv(_cpx(d, F.lit(1.0), F.lit(0.0)), c, d),
+    "abs": lambda c, d: _cmag(c).cast(_cfloat(d)),
+    "creal": lambda c, d: _re(c).cast(_cfloat(d)),
+    "cimag": lambda c, d: _im(c).cast(_cfloat(d)),
+    "carg": lambda c, d: F.atan2(_im(c), _re(c)).cast(_cfloat(d)),
+    "exp": lambda c, d: _cpx(d, F.exp(_re(c)) * F.cos(_im(c)),
+                             F.exp(_re(c)) * F.sin(_im(c))),
+    "log": lambda c, d: _cpx(d, F.log(_cmag(c)), F.atan2(_im(c), _re(c))),
+    "sqrt": lambda c, d: _cpx(
+        d, F.sqrt(_cmag(c)) * F.cos(F.atan2(_im(c), _re(c)) / 2),
+        F.sqrt(_cmag(c)) * F.sin(F.atan2(_im(c), _re(c)) / 2)),
+}
+_COMPLEX_NATIVE_UNARY = {"identity"}
+
+
+def _complex_to_float(d: GbType) -> GbType:
+    if not d.is_complex:
+        return d
+    return FP32 if d.name == "FC32" else FP64
+
+
+def _complex_monoid_plus(col, d):
+    return _cpx(d, F.sum(_re(col)), F.sum(_im(col)))
+
+
+def _complex_monoid_times(col, d):
+    """Complex product via the polar decomposition — constant aggregation
+    state (sum of log-magnitudes + sum of angles), same scale contract as
+    the float _prod_agg path."""
+    any_zero = F.max(F.when(_cmag(col) == 0, 1).otherwise(0)) == 1
+    logmag = F.sum(F.log(_cmag(col)))
+    angle = F.sum(F.atan2(_im(col), _re(col)))
+    mag = F.exp(logmag)
+    out = _cpx(d, mag * F.cos(angle), mag * F.sin(angle))
+    zero = _cpx(d, F.lit(0.0), F.lit(0.0))
+    return F.when(any_zero, zero).otherwise(out)
+
+
+_COMPLEX_MONOID_AGG = {
+    "plus": _complex_monoid_plus,
+    "add": _complex_monoid_plus,
+    "times": _complex_monoid_times,
+    "multiply": _complex_monoid_times,
+    "any": lambda col, d: F.first(col),
+}
 
 
 # --------------------------------------------------------------------------

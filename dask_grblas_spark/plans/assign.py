@@ -84,8 +84,9 @@ def scalar_fill(spark: SparkSession, value, dtype: GbType,
     for rx, size, col in axes:
         part = axis_targets(rx, spark, size, col)
         df = part if df is None else df.crossJoin(part)
+    from ..dtypes import lit_storage
     return df.select(*[c for _, _, c in axes],
-                     F.lit(value).cast(dtype.spark_type).alias("v"))
+                     lit_storage(value, dtype).alias("v"))
 
 
 def reduce_assign_build(rhs_df: DataFrame, rx: ResolvedIndex, dup_op,

@@ -77,6 +77,9 @@ def apply_bound(df: DataFrame, keys: list[str], op: BinaryOp, out_dtype: GbType,
     if scalar_df is not None:
         df = df.crossJoin(F.broadcast(scalar_df.select(F.col("v").alias("_s"))))
         s = F.col("_s")
+    elif out_dtype.is_complex:
+        from ..dtypes import lit_storage
+        s = lit_storage(scalar_lit, out_dtype)
     else:
         s = F.lit(scalar_lit)
     x, y = (s, F.col("v")) if scalar_on_left else (F.col("v"), s)

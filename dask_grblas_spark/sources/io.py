@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..core import GrMatrix, GrVector, get_session
-from ..dtypes import BOOL, FP64, INT64, lookup_dtype
+from ..dtypes import BOOL, FC64, FP64, INT64, lookup_dtype
 
 __all__ = ["matrix_from_parquet", "matrix_to_parquet", "vector_from_parquet",
            "vector_to_parquet", "matrix_from_csv", "from_mmfile", "to_mmfile"]
@@ -56,8 +56,8 @@ def matrix_from_csv(path: str, *, header=True, row_col="i", col_col="j",
 def from_mmfile(path: str, dtype=None) -> GrMatrix:
     """Parallel Matrix Market reader (reference parity: from_MMfile,
     matrix.py:67-73). Handles coordinate files with field real/integer/
-    pattern and symmetry general/symmetric/skew-symmetric (hermitian needs
-    complex — unsupported, as in Spark itself).
+    pattern/complex (complex -> FC64 struct<re,im>) and symmetry general/
+    symmetric/skew-symmetric/hermitian.
 
     spark.read.text already gives byte-range-split parallel reads — the
     reference's nreaders machinery (io.py:165-229) is built in.
@@ -78,7 +78,8 @@ def from_mmfile(path: str, dtype=None) -> GrMatrix:
         nrows, ncols, _nnz = (int(x) for x in line.split())
 
     if dtype is None:
-        dtype = {"real": FP64, "integer": INT64, "pattern": BOOL}.get(field)
+        dtype = {"real": FP64, "integer": INT64, "pattern": BOOL,
+                 "complex": FC64}.get(field)
         if dtype is None:
             raise ValueError(f"unsupported MM field {field!r}")
     else:
@@ -99,17 +100,38 @@ def from_mmfile(path: str, dtype=None) -> GrMatrix:
             (F.col("t")[0].cast("bigint") - 1).alias("i"),
             (F.col("t")[1].cast("bigint") - 1).alias("j"),
             F.lit(True).cast(dtype.spark_type).alias("v"))
+    elif field == "complex":
+        # MM complex lines are "i j re im"
+        data = parsed.filter(F.size("t") >= 4).select(
+            (F.col("t")[0].cast("bigint") - 1).alias("i"),
+            (F.col("t")[1].cast("bigint") - 1).alias("j"),
+            F.struct(F.col("t")[2].cast("double").alias("re"),
+                     F.col("t")[3].cast("double").alias("im"))
+            .cast(dtype.spark_type).alias("v"))
     else:
         data = parsed.filter(F.size("t") >= 3).select(
             (F.col("t")[0].cast("bigint") - 1).alias("i"),
             (F.col("t")[1].cast("bigint") - 1).alias("j"),
             F.col("t")[2].cast(dtype.spark_type).alias("v"))
 
-    if symmetry in ("symmetric", "skew-symmetric"):
+    if symmetry in ("symmetric", "skew-symmetric", "hermitian"):
         off = data.filter(F.col("i") != F.col("j"))
-        mirrored = off.select(F.col("j").alias("i"), F.col("i").alias("j"),
-                              (-F.col("v")).cast(dtype.spark_type).alias("v")
-                              if symmetry == "skew-symmetric" else F.col("v"))
+        if symmetry == "skew-symmetric":
+            if dtype.is_complex:
+                mv = (F.struct((-F.col("v")["re"]).alias("re"),
+                               (-F.col("v")["im"]).alias("im"))
+                      .cast(dtype.spark_type).alias("v"))
+            else:
+                mv = (-F.col("v")).cast(dtype.spark_type).alias("v")
+        elif symmetry == "hermitian":
+            if not dtype.is_complex:
+                raise ValueError("hermitian symmetry requires a complex field")
+            mv = (F.struct(F.col("v")["re"].alias("re"),
+                           (-F.col("v")["im"]).alias("im"))
+                  .cast(dtype.spark_type).alias("v"))
+        else:
+            mv = F.col("v")
+        mirrored = off.select(F.col("j").alias("i"), F.col("i").alias("j"), mv)
         data = data.unionByName(mirrored)
     elif symmetry != "general":
         raise ValueError(f"unsupported MM symmetry {symmetry!r}")
@@ -129,12 +151,19 @@ def to_mmfile(A: GrMatrix, path: str):
     import shutil
     import tempfile
 
-    field = "integer" if not A.dtype.is_float else "real"
-    if A.dtype.is_bool:
+    if A.dtype.is_complex:
+        field = "complex"
+    elif A.dtype.is_float:
+        field = "real"
+    else:
         field = "integer"
     nnz = A.nvals  # 1-row aggregate (cached when known)
     if field == "integer":
         vtxt = F.col("v").cast("bigint").cast("string")
+    elif field == "complex":
+        # MM complex lines are "i j re im"
+        vtxt = F.concat_ws(" ", F.col("v")["re"].cast("double").cast("string"),
+                           F.col("v")["im"].cast("double").cast("string"))
     else:
         vtxt = F.col("v").cast("double").cast("string")
     lines = (A.df.sort("i", "j")
