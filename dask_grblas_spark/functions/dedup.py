@@ -81,17 +81,29 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     entries compound across repeated invocations)."""
     sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    use = sh
     if max_doc_freq is not None:
-        freq = sh.groupBy("sh").agg(F.count("*").alias("df_"))
-        use = sh.join(freq.filter(F.col("df_") <= max_doc_freq).select("sh"),
-                      on="sh", how="left_semi")
-    a = use.alias("a")
-    b = use.alias("b")
-    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                    & (F.col("a.id") < F.col("b.id")))
-              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-              .agg(F.count("*").alias("inter")))
+        # capped path: ONE groupBy(sh) builds the (bounded) posting list
+        # per shingle AND enforces the cap; pair expansion then happens
+        # in-partition with two sequential explodes — no freq pre-pass, no
+        # semi-join, no shingle self-join (2 shuffles total vs 4). The
+        # collect_list is safe exactly because the cap bounds the bucket.
+        bucket = (sh.groupBy("sh")
+                    .agg(F.collect_list("id").alias("ids"))
+                    .filter(F.size("ids") <= max_doc_freq))
+        lhs = bucket.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        pairs = (lhs.select("id_a", F.explode("ids").alias("id_b"))
+                    .filter(F.col("id_a") < F.col("id_b")))
+        inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    else:
+        # exact-completeness path: inverted-index self-join (quadratic in
+        # the worst shingle bucket — caller opted out of the cap)
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                        & (F.col("a.id") < F.col("b.id")))
+                  .groupBy(F.col("a.id").alias("id_a"),
+                           F.col("b.id").alias("id_b"))
+                  .agg(F.count("*").alias("inter")))
     out = (inter
            .join(sizes.withColumnRenamed("id", "id_a")
                       .withColumnRenamed("sz", "sz_a"), on="id_a")

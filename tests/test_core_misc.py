@@ -247,6 +247,30 @@ def test_streaming_sessionize_matches_batch(spark):
     assert a.equals(b)
 
 
+def test_ngram_jaccard_capped_equals_exact_below_cap(spark):
+    """The bucketed capped path and the self-join exact path must agree
+    whenever every shingle's doc-frequency is under the cap."""
+    import pandas as pd
+
+    from dask_grblas_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w q r"),
+         (4, "a b c d e f"), (5, "completely different text here now ok")],
+        "doc_id bigint, text string")
+    capped = ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=1000) \
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    exact = ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=None) \
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(capped, exact)
+    assert len(capped) >= 2  # (1,4) identical, (1,2)/(2,4) overlap
+    row = capped[(capped.id_a == 1) & (capped.id_b == 4)]
+    assert row.jaccard.iloc[0] == 1.0
+    # a cap of 1 drops every shared shingle -> no pairs survive
+    none_left = ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=1)
+    assert none_left.count() == 0
+
+
 def test_mmfile_roundtrip_float_and_symmetric(spark, tmp_path):
     """Distributed MM writer/reader round-trip: float field (double ->
     string -> double must be lossless) and symmetric expansion on read."""
