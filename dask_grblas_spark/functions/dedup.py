@@ -118,17 +118,28 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return out
 
 
+def _minhash_wide(df: DataFrame, id_col: str, text_col: str, n: int,
+                  num_hashes: int) -> DataFrame:
+    """(id, m0..m{k-1}): k MinHash values as k min-of-hash COLUMN
+    aggregates over one groupBy(id). No row blowup (the k seeds become k
+    expressions per shingle row, not k rows), fully map-side combinable."""
+    sh = shingles(df, id_col, text_col, n)
+    mins = [F.min(F.hash(F.col("sh"), F.lit(s))).alias(f"m{s}")
+            for s in range(num_hashes)]
+    return sh.groupBy("id").agg(*mins)
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        num_hashes: int = 32) -> DataFrame:
-    """MinHash signatures: k independent hash functions realized as
-    Spark's Murmur3 hash with k seeds, min per (doc, seed). All JVM-side;
-    one explode + one groupBy."""
-    sh = shingles(df, id_col, text_col, n)
-    seeds = F.explode(F.array(*[F.lit(s) for s in range(num_hashes)])).alias("seed")
-    hashed = sh.select("id", seeds, F.col("sh"))
-    hashed = hashed.withColumn("h", F.hash(F.col("sh"), F.col("seed")))
-    return (hashed.groupBy("id", "seed").agg(F.min("h").alias("minhash")))
+    """MinHash signatures (id, seed, minhash): k independent hash
+    functions realized as Spark's Murmur3 hash with k seeds. Computed as
+    wide column aggregates then unpivoted — k× cheaper than exploding a
+    seed dimension through the shuffle."""
+    wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
+    arr = F.array(*[F.col(f"m{s}") for s in range(num_hashes)])
+    return wide.select(
+        "id", F.posexplode(arr).alias("seed", "minhash"))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -140,17 +151,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     Output: (id_a, id_b, jaccard) pairs with verified jaccard >= threshold.
     (Probabilistic recall from banding; precision exact via verification.)"""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    # Band hash must be order-insensitive w.r.t. shuffle: collect_list order
-    # after a shuffle is nondeterministic, so sort the (seed, minhash) pairs
-    # before hashing — equal signature sets always yield equal band hashes.
-    sig_arr = F.array_sort(F.collect_list(F.struct("seed", "minhash")))
-    sig_str = F.array_join(
-        F.transform(sig_arr, lambda x: x["minhash"].cast("string")), ",")
-    banded = (sig.withColumn("band", F.expr(f"seed div {rows_per_band}")
-                             .cast("int"))
-                 .groupBy("id", "band")
-                 .agg(F.hash(sig_str).alias("bandhash")))
+    # Band hashes straight off the wide (id, m0..m{k-1}) row: each band
+    # hashes its fixed slice of min columns — deterministic by
+    # construction (column order is static, no shuffle-order dependence),
+    # and the only explode is `bands` rows per doc.
+    wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
+    band_cols = []
+    b = 0
+    while b * rows_per_band < num_hashes:
+        lo = b * rows_per_band
+        hi = min(lo + rows_per_band, num_hashes)
+        band_cols.append(
+            F.hash(*[F.col(f"m{s}") for s in range(lo, hi)]).cast("bigint"))
+        b += 1
+    banded = wide.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band", "bandhash"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -271,6 +271,37 @@ def test_ngram_jaccard_capped_equals_exact_below_cap(spark):
     assert none_left.count() == 0
 
 
+def test_minhash_lsh_deterministic_and_finds_dups(spark):
+    """Band hashes must be shuffle-order-independent (exact duplicates
+    ALWAYS collide into the same bucket, under any partitioning), the
+    signature unpivot must match the wide aggregate, and verified pairs
+    must carry exact Jaccard."""
+    from pyspark.sql import functions as F
+
+    from dask_grblas_spark.functions.dedup import (minhash_lsh_pairs,
+                                                   minhash_signatures)
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog %d" % (i % 3))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sig = minhash_signatures(docs, num_hashes=16)
+    assert sig.groupBy("id").count().select(F.min("count")).first()[0] == 16
+
+    def pairs(df):
+        got = minhash_lsh_pairs(df, num_hashes=16, bands=4, threshold=0.9)
+        return sorted(map(tuple, got.collect()))
+
+    p1 = pairs(docs)
+    p2 = pairs(docs.repartition(7, "text"))  # different shuffle layout
+    assert p1 == p2
+    # docs with i % 3 equal are exact duplicates -> jaccard 1.0, and every
+    # such pair must be found (identical signatures cannot miss)
+    dup_pairs = {(a, b) for a in range(30) for b in range(a + 1, 30)
+                 if a % 3 == b % 3}
+    found = {(a, b) for a, b, j in p1 if j == 1.0}
+    assert found == dup_pairs
+
+
 def test_mmfile_roundtrip_float_and_symmetric(spark, tmp_path):
     """Distributed MM writer/reader round-trip: float field (double ->
     string -> double must be lossless) and symmetric expansion on read."""
