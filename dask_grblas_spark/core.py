@@ -133,7 +133,23 @@ class BaseType:
     def df(self) -> DataFrame:
         return self._df
 
+    # In-place updates compose merge plans that reference the previous plan
+    # several times (region split + mask keep/drop + accum union), so
+    # chained updates grow the Catalyst tree ~3-5x PER MUTATION — by depth
+    # ~5 task serialization OOMs the driver regardless of data size. Cut
+    # lineage whenever the logical plan's leaf count crosses a bound; the
+    # reference gets the same effect from dask's per-op materialization
+    # boundaries. Counting mutations is NOT enough — growth is
+    # multiplicative, so the bound must look at the actual plan.
+    _MAX_PLAN_LEAVES = 48
+
     def _set_df(self, df: DataFrame):
+        try:
+            n_leaves = df._jdf.queryExecution().logical().collectLeaves().size()
+        except Exception:
+            n_leaves = 0
+        if n_leaves > self._MAX_PLAN_LEAVES:
+            df = df.localCheckpoint(eager=True)
         self._df = df
         self._nvals_cache = None
 
@@ -1216,6 +1232,7 @@ def _generic_assign(parent, axes, obj, updater: Updater, subassign: bool):
                        for col, rx, _size in axes])
 
     # ---- mask: translate coords for subassign / band assigns ----
+    band_vector_mask = False
     mask_t = resolve_mask(updater.mask)
     if mask_t is not None:
         mk, comp = mask_t
@@ -1234,6 +1251,7 @@ def _generic_assign(parent, axes, obj, updater: Updater, subassign: bool):
         elif len(mk.columns) == 1 and len(axes) == 2:
             # GrB_Row/Col_assign: vector mask in TARGET coords of the open
             # axis, band-scoped (reference expr.py:1756-1765)
+            band_vector_mask = True
             open_col = open_axes[0][0]
             if open_col != "i":
                 mk = mk.withColumnRenamed("i", open_col)
@@ -1244,13 +1262,12 @@ def _generic_assign(parent, axes, obj, updater: Updater, subassign: bool):
         mask_t = (mk, comp)
 
     scope = "region" if subassign else "target"
-    if mask_t is not None and not subassign and len(mk.columns) == len(
-            parent._key_cols) and any(a[1].kind == "int" for a in axes) \
-            and isinstance(updater.mask, object):
-        pass
-    # Row/col band assign: replace prunes only inside the band even for
-    # GrB-style assign (reference tests/test_matrix.py:2201 semantics)
-    if int_axes and len(axes) == 2 and not subassign:
+    # GrB_Row/Col_assign with a VECTOR mask: mask and replace are
+    # band-scoped (the mask only covers the row/col, reference
+    # tests/test_matrix.py:2201 semantics). A full MATRIX outer mask on a
+    # row/col band is plain GrB_Matrix_assign — replace prunes mask
+    # failures across the whole target.
+    if band_vector_mask:
         scope = "region"
 
     merged = merge_into(parent.df, new_df, parent._key_cols,

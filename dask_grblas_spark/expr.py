@@ -141,6 +141,18 @@ class Updater:
         if isinstance(rhs, core.GrScalar) or (
                 not isinstance(rhs, (Expr, core.BaseType))
                 and isinstance(rhs, (bool, int, float, complex))):
+            # Bare `M << s` (no mask, no accum) densifies nrows x ncols —
+            # refuse like the reference (base.py:242-251): at scale an
+            # accidental dense fill is a catastrophe. `M(M.S) << s` and the
+            # explicit `M[:, :] = s` forms remain available.
+            if (parent.kind == "matrix" and self.mask is None
+                    and self.accum is None):
+                raise TypeError(
+                    "updating a Matrix with a scalar without a mask will "
+                    "make the Matrix dense. Perhaps you meant:"
+                    "\n\n    M(M.S) << s\n\n"
+                    "If you do wish to make a dense matrix, be explicit:"
+                    "\n\n    M[:, :] = s")
             # masked/accum scalar broadcast: w(mask) << s == w[:](mask) << s
             # (grblas semantics; reference test_vector.py test_assign_scalar_mask)
             full = (slice(None) if isinstance(parent, core.GrVector)

@@ -285,3 +285,296 @@ def test_incompatible_shapes(A, v):
         B.mxv(v)
     with pytest.raises(gb.DimensionMismatch):
         A.ewise_add(B)
+
+
+# -- assign family (reference test_matrix.py:754-1274) -----------------------
+
+
+def test_assign(A):
+    B = _mat([0, 0, 1], [0, 1, 0], [9, 8, 7])
+    result = _mat(
+        [0, 0, 2, 3, 0, 3, 5, 6, 0, 6, 1, 6, 4, 1],
+        [0, 5, 0, 0, 1, 2, 2, 2, 3, 3, 4, 4, 5, 6],
+        [9, 8, 7, 3, 2, 3, 1, 5, 3, 7, 8, 3, 7, 4])
+    C = A.dup()
+    C()[[0, 2], [0, 5]] = B
+    assert C.isequal(result).value
+    C = A.dup()
+    C[:3:2, :6:5]() << B
+    assert C.isequal(result).value
+    # bare scalar update of a Matrix densifies -> refused
+    with pytest.raises(TypeError, match="dense"):
+        C << 1
+    nvals = C.nvals
+    C(C.S) << 1
+    assert C.nvals == nvals
+    assert C.reduce_scalar().new().value == nvals
+    # transposed rhs
+    BT = B.T.new()
+    C = A.dup()
+    C()[[0, 2], [0, 5]] = BT.T
+    assert C.isequal(result).value
+    C = A.dup()
+    C[:3:2, :6:5]() << BT.T
+    assert C.isequal(result).value
+
+
+def test_assign_wrong_dims(A):
+    B = _mat([0, 0, 1], [0, 1, 0], [9, 8, 7])
+    with pytest.raises(gb.DimensionMismatch):
+        A[[0, 2, 4], [0, 5]] = B
+
+
+def test_subassign_row_col():
+    A0 = _mat([0, 0, 0, 1, 1, 1, 2, 2, 2],
+              [0, 1, 2, 0, 1, 2, 0, 1, 2],
+              [0, 1, 2, 3, 4, 5, 6, 7, 8])
+    m = gb.Vector.from_values([1], [True])
+    v = gb.Vector.from_values([0, 1], [10, 20])
+    A = A0.dup()
+
+    A[[0, 1], 0](m.S) << v
+    assert A.isequal(_mat([0, 0, 0, 1, 1, 1, 2, 2, 2],
+                          [0, 1, 2, 0, 1, 2, 0, 1, 2],
+                          [0, 1, 2, 20, 4, 5, 6, 7, 8])).value
+
+    A[1, [1, 2]](m.V, accum=binary.plus).update(v)
+    assert A.isequal(_mat([0, 0, 0, 1, 1, 1, 2, 2, 2],
+                          [0, 1, 2, 0, 1, 2, 0, 1, 2],
+                          [0, 1, 2, 20, 4, 25, 6, 7, 8])).value
+
+    A[[0, 1], 0](m.S, binary.plus, replace=True) << v
+    assert A.isequal(_mat([0, 0, 1, 1, 1, 2, 2, 2],
+                          [1, 2, 0, 1, 2, 0, 1, 2],
+                          [1, 2, 40, 4, 25, 6, 7, 8])).value
+
+    A[[0, 1], 0](m.S) << 99
+    assert A.isequal(_mat([0, 0, 1, 1, 1, 2, 2, 2],
+                          [1, 2, 0, 1, 2, 0, 1, 2],
+                          [1, 2, 99, 4, 25, 6, 7, 8])).value
+
+    A[[1, 2], 0](m.S, binary.plus, replace=True) << 100
+    assert A.isequal(_mat([0, 0, 1, 1, 2, 2, 2],
+                          [1, 2, 1, 2, 0, 1, 2],
+                          [1, 2, 4, 25, 106, 7, 8])).value
+
+    A[2, [0, 1]](m.S) << -1
+    assert A.isequal(_mat([0, 0, 1, 1, 2, 2, 2],
+                          [1, 2, 1, 2, 0, 1, 2],
+                          [1, 2, 4, 25, 106, -1, 8])).value
+
+
+def test_subassign_matrix():
+    A = _mat([0, 0, 0, 1, 1, 1, 2, 2, 2],
+             [0, 1, 2, 0, 1, 2, 0, 1, 2],
+             [0, 1, 2, 3, 4, 5, 6, 7, 8])
+    m = _mat([1], [0], [True])
+    v = _mat([0, 1], [0, 0], [10, 20])
+    mT = m.T.new()
+
+    A[[0, 1], [0]](m.S) << v
+    result1 = _mat([0, 0, 0, 1, 1, 1, 2, 2, 2],
+                   [0, 1, 2, 0, 1, 2, 0, 1, 2],
+                   [0, 1, 2, 20, 4, 5, 6, 7, 8])
+    assert A.isequal(result1).value
+
+    # all four row/col index spellings hit the same cells
+    result2 = _mat([0, 0, 0, 1, 1, 1, 2, 2, 2],
+                   [0, 1, 2, 0, 1, 2, 0, 1, 2],
+                   [0, 1, 2, 20, 4, 25, 6, 7, 8])
+    variants = [([1], [1, 2]), ([1], slice(1, 3)),
+                (slice(1, 2), [1, 2]), (slice(1, 2), slice(1, 3))]
+    for rows, cols in variants:
+        C = A.dup()
+        C[rows, cols](mT.V, accum=binary.plus) << v.T
+        assert C.isequal(result2).value
+    A = C  # continue from the (identical) last variant
+
+    A[[0, 1], [0]](m.S, binary.plus, replace=True) << v
+    assert A.isequal(_mat([0, 0, 1, 1, 1, 2, 2, 2],
+                          [1, 2, 0, 1, 2, 0, 1, 2],
+                          [1, 2, 40, 4, 25, 6, 7, 8])).value
+
+    A[[0, 1], [0]](m.S) << 99
+    assert A.isequal(_mat([0, 0, 1, 1, 1, 2, 2, 2],
+                          [1, 2, 0, 1, 2, 0, 1, 2],
+                          [1, 2, 99, 4, 25, 6, 7, 8])).value
+
+    A[[1, 2], [0]](m.S, binary.plus, replace=True) << 100
+    assert A.isequal(_mat([0, 0, 1, 1, 2, 2, 2],
+                          [1, 2, 1, 2, 0, 1, 2],
+                          [1, 2, 4, 25, 106, 7, 8])).value
+
+    A[[2], [0, 1]](mT.S) << -1
+    assert A.isequal(_mat([0, 0, 1, 1, 2, 2, 2],
+                          [1, 2, 1, 2, 0, 1, 2],
+                          [1, 2, 4, 25, 106, -1, 8])).value
+
+
+def test_assign_row_col_matrix_mask():
+    # A         B       v1      v2
+    # 0 1       4 _     100     10
+    # 2 _       0 5             20
+    A = _mat([0, 0, 1], [0, 1, 0], [0, 1, 2])
+    B = _mat([0, 1, 1], [0, 0, 1], [4, 0, 5])
+    v1 = gb.Vector.from_values([0], [100])
+    v2 = gb.Vector.from_values([0, 1], [10, 20])
+
+    # row assign, outer matrix mask
+    C = A.dup()
+    C(B.S)[0, :] << v2
+    assert C.isequal(_mat([0, 0, 1], [0, 1, 0], [10, 1, 2])).value
+
+    C = A.dup()
+    C(B.S, accum=binary.plus)[1, :] = v2
+    assert C.isequal(_mat([0, 0, 1, 1], [0, 1, 0, 1], [0, 1, 12, 20])).value
+
+    C = A.dup()
+    C(B.S, replace=True)[1, :] << v2
+    assert C.isequal(_mat([0, 1, 1], [0, 0, 1], [0, 10, 20])).value
+
+    # col assign, outer matrix mask
+    C = A.dup()
+    C(B.S)[:, 0] = v2
+    assert C.isequal(_mat([0, 0, 1], [0, 1, 0], [10, 1, 20])).value
+
+    C = A.dup()
+    C(B.S, accum=binary.plus)[:, 1] << v2
+    assert C.isequal(_mat([0, 0, 1, 1], [0, 1, 0, 1], [0, 1, 2, 20])).value
+
+    C = A.dup()
+    C(B.S, replace=True)[:, 1] = v2
+    assert C.isequal(_mat([0, 1, 1], [0, 0, 1], [0, 2, 20])).value
+
+    # row/col assign of a scalar under the matrix mask
+    C = A.dup()
+    C(B.S)[0, :] = 100
+    assert C.isequal(_mat([0, 0, 1], [0, 1, 0], [100, 1, 2])).value
+
+    C = A.dup()
+    C(B.S, accum=binary.plus)[1, :] << 100
+    assert C.isequal(_mat([0, 0, 1, 1], [0, 1, 0, 1], [0, 1, 102, 100])).value
+
+    C = A.dup()
+    C(B.S, replace=True)[1, :] = 100
+    assert C.isequal(_mat([0, 1, 1], [0, 0, 1], [0, 100, 100])).value
+
+    C = A.dup()
+    C(B.S)[:, 0] << 100
+    assert C.isequal(_mat([0, 0, 1], [0, 1, 0], [100, 1, 100])).value
+
+    C = A.dup()
+    C(B.S, accum=binary.plus)[:, 1] = 100
+    assert C.isequal(_mat([0, 0, 1, 1], [0, 1, 0, 1], [0, 1, 2, 100])).value
+
+    C = A.dup()
+    C(B.S, replace=True)[:, 1] << 100
+    assert C.isequal(_mat([0, 1, 1], [0, 0, 1], [0, 2, 100])).value
+
+    # row/col subassign (submask in subregion coordinates)
+    C = A.dup()
+    C[0, :](v2.S) << v2
+    assert C.isequal(_mat([0, 0, 1], [0, 1, 0], [10, 20, 2])).value
+
+    C = A.dup()
+    C[0, [0]](v1.S) << v1
+    assert C.isequal(_mat([0, 0, 1], [0, 1, 0], [100, 1, 2])).value
+
+    C = A.dup()
+    C[:, 0](v2.S) << v2
+    assert C.isequal(_mat([0, 0, 1], [0, 1, 0], [10, 1, 20])).value
+
+    C = A.dup()
+    C[[0], 0](v1.S) << v1
+    assert C.isequal(_mat([0, 0, 1], [0, 1, 0], [100, 1, 2])).value
+
+    # scalar subassign
+    C = A.dup()
+    C[0, :](v2.S) << 100
+    assert C.isequal(_mat([0, 0, 1], [0, 1, 0], [100, 100, 2])).value
+
+    C = A.dup()
+    C[:, 0](v2.S) << 100
+    assert C.isequal(_mat([0, 0, 1], [0, 1, 0], [100, 1, 100])).value
+
+
+def test_assign_row_scalar(A, v):
+    C = A.dup()
+    C[0, :](v.S) << v
+    D = A.dup()
+    D(v.S)[0, :] << v
+    assert C.isequal(D).value
+
+    C = A.dup()
+    C(v.S)[0, :] = 10
+    result = _mat(
+        [3, 0, 3, 5, 6, 0, 6, 1, 6, 2, 4, 1, 0, 0],
+        [0, 1, 2, 2, 2, 3, 3, 4, 4, 5, 5, 6, 4, 6],
+        [3, 10, 3, 1, 5, 10, 7, 8, 3, 1, 7, 4, 10, 10])
+    assert C.isequal(result).value
+
+
+def test_assign_column_scalar(A, v):
+    C = A.dup()
+    C[:, 0](v.S) << v
+    D = A.dup()
+    D(v.S)[:, 0] << v
+    assert C.isequal(D).value
+
+    C = A.dup()
+    C[:, 1] = v
+    C(v.S)[:, 1] = 10
+    result = _mat(
+        [3, 3, 5, 6, 0, 6, 1, 6, 2, 4, 1, 1, 3, 4, 6],
+        [0, 2, 2, 2, 3, 3, 4, 4, 5, 5, 6, 1, 1, 1, 1],
+        [3, 3, 1, 5, 3, 7, 8, 3, 1, 7, 4, 10, 10, 10, 10])
+    assert C.isequal(result).value
+
+    C(v.V, replace=True, accum=binary.plus)[:, 1] = 20
+    result = _mat(
+        [3, 3, 5, 6, 0, 6, 1, 6, 2, 4, 1, 1, 3, 4],
+        [0, 2, 2, 2, 3, 3, 4, 4, 5, 5, 6, 1, 1, 1],
+        [3, 3, 1, 5, 3, 7, 8, 3, 1, 7, 4, 30, 30, 30])
+    assert C.isequal(result).value
+
+
+def test_assign_scalar(A):
+    result_block = _mat(
+        [3, 0, 6, 0, 6, 6, 2, 4, 1, 1, 3, 5, 1, 3, 5],
+        [0, 1, 2, 3, 3, 4, 5, 5, 6, 2, 2, 2, 4, 4, 4],
+        [3, 2, 5, 3, 7, 3, 1, 7, 4, 0, 0, 0, 0, 0, 0])
+    C = A.dup()
+    C[[1, 3, 5], [2, 4]] = 0
+    assert C.isequal(result_block).value
+    C = A.dup()
+    C[[1, 3, 5], [2, 4]] = gb.Scalar.from_value(0)
+    assert C.isequal(result_block).value
+    C = A.dup()
+    C[1::2, 2:5:2] = 0
+    assert C.isequal(result_block).value
+
+    result_row = _mat(
+        [3, 0, 6, 0, 6, 6, 2, 4, 1, 3, 5, 1, 1],
+        [0, 1, 2, 3, 3, 4, 5, 5, 6, 2, 2, 2, 4],
+        [3, 2, 5, 3, 7, 3, 1, 7, 4, 3, 1, 0, 0])
+    C = A.dup()
+    C[1, [2, 4]] = 0
+    assert C.isequal(result_row).value
+    C = A.dup()
+    C[1, 2] = gb.Scalar.from_value(0)
+    C[1, 4] = gb.Scalar.from_value(0)
+    assert C.isequal(result_row).value
+    C = A.dup()
+    C[1, 2:5:2] = 0
+    assert C.isequal(result_row).value
+
+    result_column = _mat(
+        [3, 0, 6, 0, 6, 6, 2, 4, 1, 1, 1, 3, 5],
+        [0, 1, 2, 3, 3, 4, 5, 5, 6, 4, 2, 2, 2],
+        [3, 2, 5, 3, 7, 3, 1, 7, 4, 8, 0, 0, 0])
+    C = A.dup()
+    C[[1, 3, 5], 2] = 0
+    assert C.isequal(result_column).value
+    C = A.dup()
+    C[1::2, 2] = 0
+    assert C.isequal(result_column).value
