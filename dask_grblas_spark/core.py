@@ -494,6 +494,13 @@ class GrVector(BaseType):
     def shape(self):
         return (self.size,)
 
+    @property
+    def ss(self):
+        """SuiteSparse-extension surface (reference _ss/vector.py; the
+        upstream ops it XFAILs live in dask_grblas_spark/ss.py)."""
+        from .ss import VectorSS
+        return VectorSS(self)
+
     def build(self, indices, values, *, dup_op=None, clear=False, size=None,
               **_ignored):
         """Populate a must-be-empty vector (reference vector.py:448-504)."""
@@ -776,6 +783,11 @@ class GrMatrix(BaseType):
     @property
     def shape(self):
         return (self.nrows, self.ncols)
+
+    @property
+    def ss(self):
+        from .ss import MatrixSS
+        return MatrixSS(self)
 
     def build(self, rows, columns, values, *, dup_op=None, clear=False,
               nrows=None, ncols=None, **_ignored):
