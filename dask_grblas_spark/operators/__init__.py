@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..dtypes import BOOL, FP32, FP64, INT64, GbType, lookup_dtype, unify
+from ..dtypes import (BOOL, FC32, FC64, FP32, FP64, INT64, GbType,
+                      lookup_dtype, unify)
 from ..exceptions import MonoidScaleWarning
 
 __all__ = ["unary", "binary", "monoid", "semiring", "agg",
@@ -321,6 +322,8 @@ _frexpe_expr = lambda c: F.when(c == 0, F.lit(0.0)).otherwise(  # noqa: E731
 _u("frexpe", lambda c, d: _frexpe_expr(c), _float_out)
 _u("frexps", lambda c, d: F.when(c == 0, F.lit(0.0)).otherwise(
     c.cast("double") / F.pow(F.lit(2.0), _frexpe_expr(c))), _float_out)
+# grblas exposes the mantissa as `frexpx` (SuiteSparse GxB_FREXPX)
+_UNARY["frexpx"] = UnaryOp("frexpx", _UNARY["frexps"]._build, _float_out)
 
 
 def _np_unary_udf(np_name):
@@ -346,6 +349,45 @@ def _np_unary_udf(np_name):
 
 for _name in ["erf", "erfc", "lgamma", "spacing"]:
     _u(_name, _np_unary_udf(_name), _float_out)
+
+
+def _erfinv_scalar(y):
+    """erfinv via Newton on math.erf from a logarithmic initial guess
+    (same slow-path contract as the other math-module fallbacks)."""
+    import math
+    if y <= -1.0 or y >= 1.0:
+        return math.inf if y >= 1.0 else -math.inf
+    if y == 0.0:
+        return 0.0
+    # initial guess: inverse of the tail approximation erf(x) ~ sign *
+    # sqrt(1 - exp(-4x^2/pi * ...)) (Winitzki), then Newton to converge
+    a = 0.147
+    ln1my2 = math.log(1.0 - y * y)
+    t = 2.0 / (math.pi * a) + ln1my2 / 2.0
+    x = math.copysign(math.sqrt(math.sqrt(t * t - ln1my2 / a) - t), y)
+    for _ in range(3):
+        err = math.erf(x) - y
+        x -= err * math.sqrt(math.pi) / 2.0 * math.exp(x * x)
+    return x
+
+
+def _erfinv_udf(complement):
+    def build(c, d):
+        import pandas as pd
+
+        def _fn(s):
+            vals = s.to_numpy(dtype="float64")
+            if complement:
+                return pd.Series([_erfinv_scalar(1.0 - v) for v in vals])
+            return pd.Series([_erfinv_scalar(v) for v in vals])
+
+        _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+        return F.pandas_udf(_fn, "double")(c.cast("double"))
+    return build
+
+
+_u("erfinv", _erfinv_udf(False), _float_out)
+_u("erfcinv", _erfinv_udf(True), _float_out)
 _u("gamma", _np_unary_udf("gamma"), _float_out)
 _u("tgamma", _np_unary_udf("gamma"), _float_out)
 # positional unary ops read the coordinate columns (grblas positioni/j)
@@ -468,6 +510,17 @@ for _alias, _base in [("add", "plus"), ("subtract", "minus"),
 _b("float_power", lambda x, y, d: F.pow(x.cast("double"), y.cast("double")),
    _float_out)
 _b("floor_divide", lambda x, y, d: _cast(F.floor(x / y), d))
+_b("floordiv", lambda x, y, d: _cast(F.floor(x / y), d))
+_b("rfloordiv", lambda x, y, d: _cast(F.floor(y / x), d))
+_b("rpow", lambda x, y, d: _cast(F.pow(y, x), d) if not d.is_float
+   else F.pow(y, x))
+_b("absfirst", lambda x, y, d: F.abs(x))
+_b("abssecond", lambda x, y, d: F.abs(y))
+# cmplx(re, im) — SuiteSparse GxB_CMPLX: build a complex value from two
+# real operands; FP32 inputs yield FC32, anything else FC64. `_cpx` is
+# defined in the complex section below; builders run at call time.
+_b("cmplx", lambda x, y, d: _cpx(d, x.cast("double"), y.cast("double")),
+   lambda a, b: FC32 if (a.name == "FP32" and b.name == "FP32") else FC64)
 # numpy mod: result takes the DIVISOR's sign (Spark % takes the dividend's)
 _b("mod", lambda x, y, d: F.pmod(x, y))
 _b("left_shift", lambda x, y, d: _cast(
@@ -701,6 +754,9 @@ _COMPLEX_BINARY = {
     "oneb": lambda x, y, d: _cpx(d, F.lit(1.0), F.lit(0.0)),
     "iseq": lambda x, y, d: _cpx(d, (x == y).cast("double"), F.lit(0.0)),
     "isne": lambda x, y, d: _cpx(d, (x != y).cast("double"), F.lit(0.0)),
+    # cmplx takes REAL operands (re, im) and produces the complex value;
+    # it lands here because dispatch keys on the complex OUTPUT dtype.
+    "cmplx": lambda x, y, d: _cpx(d, x.cast("double"), y.cast("double")),
 }
 # builders that already work on struct values unchanged (pass-through /
 # native struct equality); eq/ne land here implicitly because their output

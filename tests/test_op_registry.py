@@ -13,8 +13,12 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+import statistics
+
 import dask_grblas_spark as gb
 from dask_grblas_spark import binary, monoid, unary
+
+_NORM = statistics.NormalDist()
 from dask_grblas_spark.dtypes import FP64, INT64
 from dask_grblas_spark.operators import _BINARY, _MONOID, _UNARY
 
@@ -28,7 +32,8 @@ UNARY_EXPECTED = [
     "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "cbrt",
     "ceil", "floor", "round", "trunc", "signum",
     "isinf", "isnan", "isfinite",
-    "erf", "erfc", "lgamma", "tgamma", "frexpe", "frexps",
+    "erf", "erfc", "lgamma", "tgamma", "frexpe", "frexps", "frexpx",
+    "erfinv", "erfcinv",
     "positioni", "positioni1", "positionj", "positionj1",
     # numpy spillover
     "absolute", "negative", "positive", "reciprocal", "invert",
@@ -54,7 +59,8 @@ BINARY_EXPECTED = [
     "maximum", "minimum", "greater", "greater_equal", "less", "less_equal",
     "equal", "not_equal", "arctan2", "bitwise_and", "bitwise_or",
     "bitwise_xor", "logical_and", "logical_or", "logical_xor",
-    "float_power", "floor_divide", "mod", "left_shift", "right_shift",
+    "float_power", "floor_divide", "floordiv", "rfloordiv", "rpow",
+    "absfirst", "abssecond", "cmplx", "mod", "left_shift", "right_shift",
     "fmax", "fmin", "logaddexp", "logaddexp2", "gcd", "lcm", "nextafter",
 ]
 
@@ -146,6 +152,12 @@ UNARY_NUMERIC = {
     "spacing": (lambda x: float(np.spacing(x)), _D_DEFAULT),
     "frexpe": (lambda x: float(math.frexp(x)[1]), _D_DEFAULT),
     "frexps": (lambda x: math.frexp(x)[0], _D_DEFAULT),
+    "frexpx": (lambda x: math.frexp(x)[0], _D_DEFAULT),
+    # independent stdlib reference: erfinv(y) = probit((1+y)/2)/sqrt(2)
+    "erfinv": (lambda y: _NORM.inv_cdf((1.0 + y) / 2.0) / math.sqrt(2.0),
+               _D_UNIT),
+    "erfcinv": (lambda y: _NORM.inv_cdf((2.0 - y) / 2.0) / math.sqrt(2.0),
+                [0.1, 0.5, 1.0, 1.9]),
 }
 
 BINARY_NUMERIC = {
