@@ -5,11 +5,10 @@ completion via processAllAvailable + a memory sink (complete mode). The
 same plan runs unchanged against kafka/socket sources with
 outputMode('append') + watermark for production late-data handling.
 
-The driver's events.parquet stores timestamps as parquet
-TIMESTAMP(NANOS), which Spark's vectorized reader rejects; we read them
-via spark.sql.legacy.parquet.nanosAsLong (runtime-settable) and convert
-nanos -> microsecond timestamps JVM-side (timestamp_micros), keeping the
-whole pipeline codegen'd.
+The driver's events.parquet stores timestamps as parquet TIMESTAMP(MICROS)
+(`ts: timestamp[us]` in every sf dir's footer), which maps 1:1 onto
+Spark's TimestampType — the scan stays fully vectorized with no
+conversion expression at all.
 """
 
 from __future__ import annotations
@@ -22,28 +21,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# schema as stored on disk (ts = nanos-as-long; see module docstring)
+# schema as stored on disk (ts = TIMESTAMP(MICROS); see module docstring)
 EVENTS_RAW_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
     T.StructField("props", T.StringType()),
 ])
 
-_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
-
-
-def _ts_from_nanos(col):
-    return F.timestamp_micros((col / 1000).cast("long"))
-
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch read of events.parquet with nanos->timestamp conversion."""
-    spark.conf.set(_NANOS_CONF, "true")
-    df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", _ts_from_nanos(F.col("ts")))
+    """Batch read of events.parquet (ts arrives as TimestampType)."""
+    return spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
+        f"{sf_dir}/events.parquet")
 
 
 def _events_stream_dir(sf_dir: str) -> str:
@@ -66,10 +58,8 @@ def event_window_agg(spark: SparkSession, sf_dir: str,
     """Tumbling-window count+sum per event_type, executed as a REAL
     Structured Streaming query (readStream -> window agg -> memory sink),
     drained synchronously. Returns the final result table."""
-    spark.conf.set(_NANOS_CONF, "true")
     stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
-              .parquet(_events_stream_dir(sf_dir))
-              .withColumn("ts", _ts_from_nanos(F.col("ts"))))
+              .parquet(_events_stream_dir(sf_dir)))
     agg = (stream
            .withWatermark("ts", "1 minute")
            .groupBy(F.window("ts", window), F.col("event_type"))
@@ -150,11 +140,12 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str,
             yield pd.DataFrame(out, columns=["user_id", "session_no",
                                              "n_events", "sum_value"])
 
-    spark.conf.set(_NANOS_CONF, "true")
     # dedicated stream dir: events symlink + watermark sentinel
+    # ("sessus" key: micros-era dirs, so stale nano-sentinel dirs from
+    # older builds in /tmp are never picked up)
     key = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(tempfile.gettempdir(),
-                     f"dgs_sess_{key}_g{gap_minutes}")
+                     f"dgs_sessus_{key}_g{gap_minutes}")
     if not os.path.isdir(d):
         os.makedirs(d, exist_ok=True)
         try:
@@ -162,17 +153,26 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str,
                        os.path.join(d, "events.parquet"))
         except FileExistsError:
             pass
-        max_ns = (spark.read.schema(EVENTS_RAW_SCHEMA)
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        max_ts = (spark.read.schema(EVENTS_RAW_SCHEMA)
                   .parquet(f"{sf_dir}/events.parquet")
                   .agg(F.max("ts")).collect()[0][0])
-        sentinel_ns = max_ns + (2 * gap_s + 3600) * 1_000_000_000
-        pd.DataFrame({"event_id": [-1], "ts": [sentinel_ns],
-                      "user_id": [-1], "event_type": ["__sentinel__"],
-                      "value": [0.0], "props": [""]}).to_parquet(
-            os.path.join(d, "zz_sentinel.parquet"))
+        sentinel_ts = max_ts + datetime.timedelta(seconds=2 * gap_s + 3600)
+        # write ts explicitly as timestamp[us] to match the events footer
+        tbl = pa.table({
+            "event_id": pa.array([-1], pa.int64()),
+            "ts": pa.array([sentinel_ts], pa.timestamp("us")),
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array(["__sentinel__"], pa.string()),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array([""], pa.string()),
+        })
+        pq.write_table(tbl, os.path.join(d, "zz_sentinel.parquet"))
     stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
               .parquet(d)
-              .withColumn("ts", _ts_from_nanos(F.col("ts")))
               .withWatermark("ts", "1 second"))
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         fold, out_schema, state_schema, "append",
