@@ -94,13 +94,40 @@ def _merge_min(cur_df: DataFrame, imp_df: DataFrame) -> DataFrame:
     return keep.unionByName(imp_df)
 
 
+_EDGE_ROWS_PER_PARTITION = 1_000_000
+
+
+def _ensure_cached(df: DataFrame) -> tuple[DataFrame, bool]:
+    """Materialize a DataFrame once at the session's FULL shuffle
+    parallelism if it is not already cached. Iterative algorithms consume
+    their input adjacency from multiple plan branches (A and A.T inside
+    symmetrize, P and outdeg in pagerank) and across dozens of loop
+    stages — an uncached heavy fact join (e.g. orders⋈lineitem in
+    sources/tpch.py) would otherwise be recomputed per branch, possibly
+    inside the `_state_partitions` scope whose tiny vertex-sized shuffles
+    are meant for loop state only."""
+    if df.is_cached:
+        return df, False
+    df = df.persist()
+    df.count()
+    return df, True
+
+
 def _prep_adjacency(A: GrMatrix) -> DataFrame:
-    """Partition the adjacency by source vertex once; every iteration's
-    join then reuses the exchange. No explicit partition count — with
-    AQE on, the shuffle coalesces to match the actual data size (32
-    scheduler-bound tasks per stage would dominate small graphs; huge
-    graphs still get the full parallelism)."""
-    return A.df.repartition("i").persist()
+    """Hash-partition the adjacency by source vertex ONCE, with the
+    partition count sized by the measured edge count (~1M edges/partition)
+    rather than the session's `shuffle.partitions`: a 625-edge graph gets
+    1 partition (32 near-empty task launches per stage would dominate a
+    fixpoint loop that runs dozens of stages), a 10^9-edge graph gets
+    1000. Every iteration's join then reuses this exchange."""
+    base, own_base = _ensure_cached(A.df)
+    nvals = base.count()
+    k = max(1, -(-nvals // _EDGE_ROWS_PER_PARTITION))
+    adj = base.repartition(k, "i").persist()
+    adj.count()
+    if own_base:
+        base.unpersist()
+    return adj
 
 
 def bfs_level(A: GrMatrix, source: int) -> GrVector:
@@ -175,8 +202,13 @@ def connected_components(A: GrMatrix) -> GrVector:
     their own component). Only changed labels are re-propagated."""
     spark = get_session()
     n = A.nrows
-    Asym = symmetrize(A)
+    # cache the raw adjacency BEFORE symmetrize: A | A.T reads A from two
+    # plan branches, and Spark does not dedupe the underlying fact join
+    raw, own_raw = _ensure_cached(A.df)
+    Asym = symmetrize(GrMatrix(raw, A.dtype, A.nrows, A.ncols))
     adj = _prep_adjacency(Asym)
+    if own_raw:
+        raw.unpersist()
     Aprep = GrMatrix(adj, Asym.dtype, n, n)
     with _state_partitions(n):
         labels_df = spark.range(n).select(F.col("id").alias("i"),
@@ -197,7 +229,7 @@ def connected_components(A: GrMatrix) -> GrVector:
             old = labels
             labels = GrVector(_merge_min(labels.df, changed.df), INT64, n)
             labels.persist()
-            if it % 2 == 0:
+            if it % _CHECKPOINT_EVERY == 0:
                 labels.checkpoint(compact=True)
                 changed.checkpoint()
             old.unpersist()
@@ -217,14 +249,20 @@ def pagerank(A: GrMatrix, damping: float = 0.85, max_iters: int = 20,
     1-row L1-delta convergence check."""
     spark = get_session()
     n = A.nrows
-    adj = A.df
+    adj, own_adj = _ensure_cached(A.df)
+    nvals = adj.count()
+    k = max(1, -(-nvals // _EDGE_ROWS_PER_PARTITION))
     outdeg = adj.groupBy("i").agg(F.count("*").alias("d"))
-    # P[i,j] = 1/outdeg(i) — degree-normalized transition matrix
+    # P[i,j] = 1/outdeg(i) — degree-normalized transition matrix,
+    # partitioned by source with data-sized partition count (see
+    # _prep_adjacency) so every iteration reuses one small exchange
     P = (adj.join(outdeg, on="i")
             .select("i", "j", (F.lit(1.0) / F.col("d")).alias("v")))
-    P = P.repartition("i").persist()
+    P = P.repartition(k, "i").persist()
+    P.count()
     nodes = spark.range(n).select(F.col("id").alias("i"))
-    has_out = outdeg.select("i")
+    has_out = outdeg.select("i").persist()
+    has_out.count()
     base = (1.0 - damping) / n
     with _state_partitions(n):
         r = nodes.select("i", F.lit(1.0 / n).alias("v")).persist()
@@ -245,14 +283,22 @@ def pagerank(A: GrMatrix, damping: float = 0.85, max_iters: int = 20,
                                    * (F.coalesce(F.col("s"), F.lit(0.0))
                                       + F.col("_dang"))).alias("v")))
             r_new = r_new.localCheckpoint(eager=True)
-            delta = (r_new.alias("a").join(r.alias("b"), on="i")
-                          .agg(F.sum(F.abs(F.col("a.v") - F.col("b.v"))))
-                          .collect()[0][0])
+            if tol > 0:
+                # convergence check = the ONLY per-iteration driver action;
+                # skipped entirely for fixed-iteration runs (tol=0)
+                delta = (r_new.alias("a").join(r.alias("b"), on="i")
+                              .agg(F.sum(F.abs(F.col("a.v") - F.col("b.v"))))
+                              .collect()[0][0])
+            else:
+                delta = None
             r.unpersist()
             r = r_new
-            if delta is not None and delta < tol:
+            if tol > 0 and delta is not None and delta < tol:
                 break
+    has_out.unpersist()
     P.unpersist()
+    if own_adj:
+        adj.unpersist()
     return GrVector(r, FP64, n)
 
 
@@ -268,7 +314,8 @@ def triangle_count(A: GrMatrix) -> int:
     two-stage form — the mask semi-join still happens BELOW any
     aggregation, so the wedge relation never materializes more than the
     masked rows."""
-    Asym = symmetrize(A)
+    raw, own_raw = _ensure_cached(A.df)
+    Asym = symmetrize(GrMatrix(raw, A.dtype, A.nrows, A.ncols))
     L_df = Asym.df.filter(F.col("i") > F.col("j")).select("i", "j")
     L_df = L_df.persist()
     wedges = (L_df.select(F.col("i"), F.col("j").alias("k"))
@@ -277,4 +324,6 @@ def triangle_count(A: GrMatrix) -> int:
               .select("i", "j"))
     t = wedges.join(L_df, on=["i", "j"], how="left_semi").count()
     L_df.unpersist()
+    if own_raw:
+        raw.unpersist()
     return int(t)
