@@ -75,10 +75,23 @@ _COMPLEMENT_MAP = {
 
 
 def resolve_mask(mask) -> tuple[DataFrame, bool] | None:
-    """Normalize a Mask (or None) to (passing-keys DataFrame, complement)."""
+    """Normalize a Mask (or None) to (passing-keys DataFrame, complement).
+
+    When the mask's parent is provably small (known nvals, or a vector
+    whose dimension bounds it, under `_BROADCAST_NVALS_LIMIT`), the keys
+    frame carries a broadcast hint so every downstream semi/anti join —
+    matmul pushdown and output merge alike — skips the shuffle. A mask of
+    unknown or large cardinality (e.g. a value mask over a billion-row
+    matrix) is NOT hinted: it joins as a plain shuffle semi-join, which is
+    the only safe plan at 100 TB."""
     if mask is None:
         return None
     if isinstance(mask, Mask):
-        return mask.keys_df(), mask.complement
+        from .core import _broadcastable
+
+        keys = mask.keys_df()
+        if _broadcastable(mask.parent):
+            keys = F.broadcast(keys)
+        return keys, mask.complement
     raise TypeError(
         f"Invalid mask: {mask!r}. Use .S / .V / ~x.S / ~x.V of a Vector or Matrix")

@@ -27,11 +27,16 @@ def _maybe_broadcast(df: DataFrame, hint: bool) -> DataFrame:
 
 
 def _pushdown(pairs: DataFrame, keys: list[str], mask) -> DataFrame:
+    """Mask pushdown below the aggregation. The broadcast decision is NOT
+    made here: resolve_mask() already attached a broadcast hint iff the
+    mask is provably small (core._BROADCAST_NVALS_LIMIT); a large/unknown
+    mask joins as a plain shuffle semi-join — force-broadcasting a
+    billion-key mask would be a 100x-scale driver OOM."""
     if mask is None:
         return pairs
     mask_keys, complement = mask
     how = "left_anti" if complement else "left_semi"
-    return pairs.join(_maybe_broadcast(mask_keys, True), on=keys, how=how)
+    return pairs.join(mask_keys, on=keys, how=how)
 
 
 def mxm(a_df: DataFrame, b_df: DataFrame, sr: Semiring,

@@ -40,6 +40,26 @@ def test_masked_mxv_semi_join_below_aggregate(spark, A, v, sm):
     assert semi_pos > agg_pos, plan
 
 
+def test_mask_broadcast_gated_by_size(spark, sm):
+    """resolve_mask attaches the broadcast hint ONLY when the mask parent
+    is provably small; a mask of unknown cardinality (matrix wrapped from
+    an arbitrary DataFrame) must join as a plain shuffle semi-join — at
+    100 TB a force-broadcast mask is a driver OOM."""
+    from dask_grblas_spark.mask import resolve_mask
+
+    hinted = resolve_mask(sm.S)[0]
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+    big = gb.Matrix.from_dataframe(
+        spark.range(0, 100).select(F.col("id").alias("i"),
+                                   (F.col("id") % 7).alias("j"),
+                                   F.lit(1).alias("v")),
+        nrows=1 << 40, ncols=1 << 40, dtype="INT64")
+    unhinted = resolve_mask(big.S)[0]
+    plan = unhinted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan, plan
+
+
 def test_parquet_filter_pushdown_and_column_pruning(spark):
     cust = spark.read.parquet(f"{SF}/customer.parquet")
     v = gb.Vector.from_dataframe(
