@@ -533,7 +533,9 @@ class GrVector(BaseType):
         op = op.binaryop if isinstance(op, Monoid) else op
         out_dt = op.out_dtype(self.dtype, other.dtype)
         a_df, b_df = self._df, other._df
-        build = lambda mask: ewise_plans.ewise_add(a_df, b_df, ["i"], op, out_dt)  # noqa: E731
+        a_dt, b_dt = self.dtype, other.dtype
+        build = lambda mask: ewise_plans.ewise_add(a_df, b_df, ["i"], op, out_dt,  # noqa: E731
+                                                   a_dt, b_dt)
         return Expr("vector", out_dt, build, size=self.size)
 
     def ewise_mult(self, other, op=None) -> Expr:
@@ -826,7 +828,9 @@ class GrMatrix(BaseType):
         op = op.binaryop if isinstance(op, Monoid) else op
         out_dt = op.out_dtype(self.dtype, other.dtype)
         a_df, b_df = self.df, other.df
-        build = lambda mask: ewise_plans.ewise_add(a_df, b_df, ["i", "j"], op, out_dt)  # noqa: E731
+        a_dt, b_dt = self.dtype, other.dtype
+        build = lambda mask: ewise_plans.ewise_add(a_df, b_df, ["i", "j"], op, out_dt,  # noqa: E731
+                                                   a_dt, b_dt)
         return Expr("matrix", out_dt, build, nrows=self.nrows, ncols=self.ncols)
 
     def ewise_mult(self, other, op=None) -> Expr:

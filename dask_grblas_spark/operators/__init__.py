@@ -94,13 +94,18 @@ class UnaryOp(_Op):
 
 
 class BinaryOp(_Op):
-    __slots__ = ("_build", "_out_dtype", "positional")
+    __slots__ = ("_build", "_out_dtype", "positional", "real_inputs")
 
-    def __init__(self, name, build, out_dtype=None, positional=False):
+    def __init__(self, name, build, out_dtype=None, positional=False,
+                 real_inputs=False):
         self.name = name
         self._build = build
         self._out_dtype = out_dtype
         self.positional = positional
+        # real_inputs: the op CONSUMES real operands even when its output
+        # dtype is complex (SuiteSparse GxB_CMPLX) — plans must not coerce
+        # the operands to complex storage
+        self.real_inputs = real_inputs
 
     def __call__(self, x: Column, y: Column, dtype: GbType = FP64,
                  ctx: PositionalContext | None = None) -> Column:
@@ -355,8 +360,10 @@ def _erfinv_scalar(y):
     """erfinv via Newton on math.erf from a logarithmic initial guess
     (same slow-path contract as the other math-module fallbacks)."""
     import math
-    if y <= -1.0 or y >= 1.0:
-        return math.inf if y >= 1.0 else -math.inf
+    if y != y or y < -1.0 or y > 1.0:
+        return math.nan  # out of domain (scipy.special.erfinv contract)
+    if y == 1.0 or y == -1.0:
+        return math.copysign(math.inf, y)
     if y == 0.0:
         return 0.0
     # initial guess: inverse of the tail approximation erf(x) ~ sign *
@@ -382,7 +389,10 @@ def _erfinv_udf(complement):
             return pd.Series([_erfinv_scalar(v) for v in vals])
 
         _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
-        return F.pandas_udf(_fn, "double")(c.cast("double"))
+        out = F.pandas_udf(_fn, "double")(c.cast("double"))
+        # pandas->Arrow turns NaN into null; inputs are never null here
+        # (sparse storage holds no null values), so map null back to NaN
+        return F.coalesce(out, F.lit(float("nan")))
     return build
 
 
@@ -519,8 +529,10 @@ _b("abssecond", lambda x, y, d: F.abs(y))
 # cmplx(re, im) — SuiteSparse GxB_CMPLX: build a complex value from two
 # real operands; FP32 inputs yield FC32, anything else FC64. `_cpx` is
 # defined in the complex section below; builders run at call time.
-_b("cmplx", lambda x, y, d: _cpx(d, x.cast("double"), y.cast("double")),
-   lambda a, b: FC32 if (a.name == "FP32" and b.name == "FP32") else FC64)
+_BINARY["cmplx"] = BinaryOp(
+    "cmplx", lambda x, y, d: _cpx(d, x.cast("double"), y.cast("double")),
+    lambda a, b: FC32 if (a.name == "FP32" and b.name == "FP32") else FC64,
+    real_inputs=True)
 # numpy mod: result takes the DIVISOR's sign (Spark % takes the dividend's)
 _b("mod", lambda x, y, d: F.pmod(x, y))
 _b("left_shift", lambda x, y, d: _cast(

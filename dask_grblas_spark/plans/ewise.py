@@ -15,16 +15,34 @@ from .merge import _join_cond, union_merge
 
 
 def ewise_add(a_df: DataFrame, b_df: DataFrame, keys: list[str],
-              op: BinaryOp, out_dtype: GbType) -> DataFrame:
+              op: BinaryOp, out_dtype: GbType,
+              a_dtype: GbType | None = None,
+              b_dtype: GbType | None = None) -> DataFrame:
     """UNION merge: both present -> op(a,b); single present -> value passes
-    through the op UNUSED (must still cast to the unified output dtype)."""
+    through the op UNUSED (must still cast to the unified output dtype).
+
+    Real-input / complex-output ops (binary.cmplx): the single-present
+    branch cannot `cast(double as struct)` — lift real pass-throughs to
+    complex storage as (v, 0) instead."""
     if op.positional:
         return _ewise_positional(a_df, b_df, keys, op, out_dtype, how="full_outer")
 
     def combine(lv, rv):
         return op(lv, rv, out_dtype)
 
-    merged = union_merge(a_df, b_df, keys, combine)
+    lift_l = lift_r = None
+    if out_dtype.is_complex:
+        from ..operators import _cpx
+
+        def _lift(c):
+            return _cpx(out_dtype, c.cast("double"), F.lit(0.0))
+
+        if a_dtype is not None and not a_dtype.is_complex:
+            lift_l = _lift
+        if b_dtype is not None and not b_dtype.is_complex:
+            lift_r = _lift
+
+    merged = union_merge(a_df, b_df, keys, combine, lift_l=lift_l, lift_r=lift_r)
     return merged.select(*keys, F.col("v").cast(out_dtype.spark_type).alias("v"))
 
 
@@ -77,10 +95,12 @@ def apply_bound(df: DataFrame, keys: list[str], op: BinaryOp, out_dtype: GbType,
     if scalar_df is not None:
         df = df.crossJoin(F.broadcast(scalar_df.select(F.col("v").alias("_s"))))
         s = F.col("_s")
-    elif out_dtype.is_complex:
+    elif out_dtype.is_complex and not getattr(op, "real_inputs", False):
         from ..dtypes import lit_storage
         s = lit_storage(scalar_lit, out_dtype)
     else:
+        # real_inputs ops (cmplx) take PLAIN real scalars even though the
+        # output dtype is complex storage
         s = F.lit(scalar_lit)
     x, y = (s, F.col("v")) if scalar_on_left else (F.col("v"), s)
     if op.positional:

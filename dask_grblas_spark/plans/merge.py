@@ -37,18 +37,24 @@ def _join_cond(keys, left="l", right="r") -> Column:
 
 
 def union_merge(a_df: DataFrame, b_df: DataFrame, keys: list[str],
-                combine, value_col: str = "v") -> DataFrame:
+                combine, value_col: str = "v",
+                lift_l=None, lift_r=None) -> DataFrame:
     """Set-UNION merge on keys: both present -> combine(a, b); single
     present -> pass value through UNCHANGED (the ewise_add / accum
-    semantics — NOT coalesce-to-zero; SURVEY.md section 7 'What's hard')."""
+    semantics — NOT coalesce-to-zero; SURVEY.md section 7 'What's hard').
+
+    lift_l / lift_r: optional Column transforms applied to SINGLE-present
+    values when the pass-through storage differs from combine's output
+    storage (real inputs + complex output, e.g. binary.cmplx) — a CASE
+    WHEN cannot mix double and struct branches."""
     a = a_df.alias("l")
     b = b_df.alias("r")
     j = a.join(b, _join_cond(keys), "full_outer")
     lv, rv = F.col(f"l.{value_col}"), F.col(f"r.{value_col}")
     out_keys = [F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k) for k in keys]
     val = (F.when(lv.isNotNull() & rv.isNotNull(), combine(lv, rv))
-            .when(lv.isNotNull(), lv)
-            .otherwise(rv))
+            .when(lv.isNotNull(), lift_l(lv) if lift_l is not None else lv)
+            .otherwise(lift_r(rv) if lift_r is not None else rv))
     return j.select(*out_keys, val.alias(value_col))
 
 

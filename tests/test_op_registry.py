@@ -8,19 +8,18 @@ implementation in ONE Spark job per family (all ops as columns of a
 single select)."""
 
 import math
+import statistics
 
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-import statistics
-
 import dask_grblas_spark as gb
 from dask_grblas_spark import binary, monoid, unary
-
-_NORM = statistics.NormalDist()
 from dask_grblas_spark.dtypes import FP64, INT64
 from dask_grblas_spark.operators import _BINARY, _MONOID, _UNARY
+
+_NORM = statistics.NormalDist()
 
 # ---- presence grids (the reference registry's vocabulary) -----------------
 
@@ -264,6 +263,38 @@ def test_binary_int_numeric_grid(spark):
     got = df.select("op", "want", F.coalesce(*exprs).alias("got")).collect()
     bad = [(r.op, r.want, r.got) for r in got if r.want != r.got]
     assert not bad, bad[:10]
+
+
+def test_cmplx_real_inputs_end_to_end(spark):
+    """binary.cmplx consumes REAL operands but emits complex values; the
+    plans must not coerce its real inputs to complex storage. Exercises
+    all three usage paths: ewise_mult, apply(right=scalar), ewise_add
+    (union with real pass-through -> lifted to (v, 0))."""
+    re_v = gb.Vector.from_values([0, 1, 2], [1.0, 2.0, 3.0], size=4)
+    im_v = gb.Vector.from_values([0, 1, 3], [10.0, 20.0, 40.0], size=4)
+
+    z = re_v.ewise_mult(im_v, binary.cmplx).new()
+    assert z.dtype.name == "FC64"
+    assert z.to_dict() == {0: complex(1, 10), 1: complex(2, 20)}
+
+    za = re_v.apply(binary.cmplx, right=5.0).new()
+    assert za.to_dict() == {0: complex(1, 5), 1: complex(2, 5),
+                            2: complex(3, 5)}
+
+    zu = re_v.ewise_add(im_v, binary.cmplx).new()
+    assert zu.to_dict() == {0: complex(1, 10), 1: complex(2, 20),
+                            2: complex(3, 0), 3: complex(40, 0)}
+
+
+def test_erfinv_domain(spark):
+    """erfinv: NaN strictly outside [-1, 1], +/-inf only at exactly +/-1
+    (scipy.special.erfinv contract)."""
+    v = gb.Vector.from_values(list(range(5)), [1.5, -2.0, 1.0, -1.0, 0.5])
+    got = v.apply(unary.erfinv).new().to_dict()
+    assert math.isnan(got[0]) and math.isnan(got[1])
+    assert got[2] == math.inf and got[3] == -math.inf
+    assert math.isclose(got[4], _NORM.inv_cdf(0.75) / math.sqrt(2.0),
+                        rel_tol=1e-6)
 
 
 def test_positional_unary_apply(v):
