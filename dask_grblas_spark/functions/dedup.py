@@ -63,70 +63,125 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 .filter(F.length("sh") > 0))
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the scan yields
+    fewer partitions than cores (tiny corpora arrive as one parquet
+    split, which would serialize the CPU-heavy tokenize/shingle
+    projection onto one task). At scale the scan already has >= cores
+    partitions and this is a no-op — no extra shuffle."""
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+    except Exception:
+        pass
+    return df
+
+
+def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str,
+                      n: int) -> DataFrame:
+    """(id, hs: array of distinct 64-bit shingle hashes, sz).
+
+    ZERO-shuffle: shingles are a per-document property, so the whole
+    shingle→dedup→hash pipeline is ONE whole-stage-codegen'd projection
+    over each document row (transform/array_distinct/xxhash64) — no
+    groupBy, no exchange, and crucially no ObjectHashAggregate
+    (collect_set/collect_list aggregates fall back to sort-based
+    aggregation beyond a small key threshold, which is the slow path a
+    full-corpus dedup pass cannot afford). Signatures, LSH bands, posting
+    lists and exact verification all derive from this compact
+    1-row-per-doc relation; re-evaluating it per consumer costs only the
+    map-side scan, never a shuffle.
+
+    64-bit hashing makes downstream set ops (array_intersect) exact up to
+    collision probability ~|union|^2/2^64 — negligible for real document
+    shingle counts."""
+    toks = tokens(F.col(text_col))
+    # token array as its own projection so the lambda below reads a plain
+    # row attribute, never an inlined split() re-evaluated per element
+    base = _spread_small_input(df).select(F.col(id_col).alias("id"),
+                                          toks.alias("_toks"))
+    if n == 1:
+        sh_arr = F.array_distinct(F.col("_toks"))
+    else:
+        sh_arr = F.array_distinct(F.expr(
+            f"transform(sequence(0, greatest(size(_toks) - {n}, -1)), "
+            f"p -> array_join(slice(_toks, p + 1, {n}), ' '))"))
+    hs = F.transform(F.filter(sh_arr, lambda x: F.length(x) > 0),
+                     lambda x: F.xxhash64(x))
+    # explode(array(.)) is a deliberate Generate BARRIER: `hs` becomes a
+    # generator-output attribute, so CollapseProject can never inline the
+    # whole tokenize+shingle+hash pipeline into each downstream consumer
+    # (q32 alone derives 32 minhash expressions from hs — inlining would
+    # re-run the pipeline 32x per row)
+    return (base.select("id", F.explode(F.array(hs)).alias("hs"))
+                .select("id", "hs", F.size("hs").alias("sz"))
+                .filter(F.col("sz") > 0))
+
+
+def _jaccard_from_sets(pairs: DataFrame, sets: DataFrame,
+                       threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs: two narrow joins
+    against the 1-row-per-doc hash-set relation, intersection via
+    array_intersect — no second pass over the exploded shingle relation."""
+    sa = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
+                     F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"),
+                     F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    return (pairs.join(sa, on="id_a").join(sb, on="id_b")
+                 .withColumn("_i", inter)
+                 .withColumn("jaccard",
+                             F.round(F.col("_i")
+                                     / (F.col("sz_a") + F.col("sz_b")
+                                        - F.col("_i")), 6))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", "jaccard"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.8,
                         max_doc_freq: int | None = 1000) -> DataFrame:
     """EXACT n-gram Jaccard similarity >= threshold, via inverted-index
-    self-join (no cross join). max_doc_freq drops shingles appearing in
-    more than that many docs (stop-shingle cap, ON by default: a single
+    posting lists (no cross join). max_doc_freq drops shingles appearing
+    in more than that many docs (stop-shingle cap, ON by default: a single
     shingle shared by f docs contributes f^2/2 join rows, so an uncapped
     common shingle is a quadratic hot bucket at 100 TB; pairs whose
     similarity rests only on ultra-common shingles are not near-dups.
-    Pass None for exact completeness on small corpora).
-
-    The shingle relation is deliberately NOT persisted: it is an exploded
-    projection LARGER than its input, so caching it costs more memory
-    than recomputing the map-side scan per consumer (and leaked cache
-    entries compound across repeated invocations)."""
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    Pass None for exact completeness on small corpora)."""
+    sets = _doc_shingle_sets(df, id_col, text_col, n)
+    sh2 = sets.select("id", F.explode("hs").alias("h"))
     if max_doc_freq is not None:
-        # capped path: ONE groupBy(sh) builds the (bounded) posting list
-        # per shingle AND enforces the cap; pair expansion then happens
-        # in-partition with two sequential explodes — no freq pre-pass, no
-        # semi-join, no shingle self-join (2 shuffles total vs 4). The
-        # collect_list is safe exactly because the cap bounds the bucket.
-        bucket = (sh.groupBy("sh")
-                    .agg(F.collect_list("id").alias("ids"))
-                    .filter(F.size("ids") <= max_doc_freq))
-        lhs = bucket.select(F.explode("ids").alias("id_a"), F.col("ids"))
-        pairs = (lhs.select("id_a", F.explode("ids").alias("id_b"))
-                    .filter(F.col("id_a") < F.col("id_b")))
-        inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
-    else:
-        # exact-completeness path: inverted-index self-join (quadratic in
-        # the worst shingle bucket — caller opted out of the cap)
-        a = sh.alias("a")
-        b = sh.alias("b")
-        inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                        & (F.col("a.id") < F.col("b.id")))
-                  .groupBy(F.col("a.id").alias("id_a"),
-                           F.col("b.id").alias("id_b"))
-                  .agg(F.count("*").alias("inter")))
-    out = (inter
-           .join(sizes.withColumnRenamed("id", "id_a")
-                      .withColumnRenamed("sz", "sz_a"), on="id_a")
-           .join(sizes.withColumnRenamed("id", "id_b")
-                      .withColumnRenamed("sz", "sz_b"), on="id_b")
-           .withColumn("jaccard",
-                       F.round(F.col("inter")
-                               / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                               6))
-           .filter(F.col("jaccard") >= threshold)
-           .select("id_a", "id_b", "jaccard"))
-    return out
+        # stop-shingle cap: keep only shingles appearing in <= cap docs
+        # (count agg + semi-join — both whole-stage-codegen'd; the
+        # self-join below is then bounded to cap^2/2 rows per shingle)
+        ok = (sh2.groupBy("h").agg(F.count("*").alias("_df"))
+                 .filter(F.col("_df") <= max_doc_freq).select("h"))
+        sh2 = sh2.join(ok, on="h", how="left_semi")
+    # inverted-index self-join for candidates; exact Jaccard verified
+    # against the per-doc hash sets (NOT from the capped join counts, so
+    # the reported similarity is exact even with the cap active)
+    a = sh2.alias("a")
+    b = sh2.alias("b")
+    pairs = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+              .distinct())
+    return _jaccard_from_sets(pairs, sets, threshold)
 
 
-def _minhash_wide(df: DataFrame, id_col: str, text_col: str, n: int,
-                  num_hashes: int) -> DataFrame:
-    """(id, m0..m{k-1}): k MinHash values as k min-of-hash COLUMN
-    aggregates over one groupBy(id). No row blowup (the k seeds become k
-    expressions per shingle row, not k rows), fully map-side combinable."""
-    sh = shingles(df, id_col, text_col, n)
-    mins = [F.min(F.hash(F.col("sh"), F.lit(s))).alias(f"m{s}")
-            for s in range(num_hashes)]
-    return sh.groupBy("id").agg(*mins)
+def _minhash_wide(sets: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, hs, sz, m0..m{k-1}): k MinHash values computed per document
+    from its compact shingle-hash array (_doc_shingle_sets) — k seeded
+    murmur3 re-hashes inside `transform` + `array_min`, all JVM-side on a
+    1-row-per-doc relation. No row blowup (the k seeds become k
+    expressions per doc row, not k rows), no extra pass over the exploded
+    shingle relation."""
+    mins = [F.expr(f"array_min(transform(hs, x -> hash(x, {s}L)))")
+            .alias(f"m{s}") for s in range(num_hashes)]
+    return sets.select("id", "hs", "sz", *mins)
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -134,9 +189,10 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = 32) -> DataFrame:
     """MinHash signatures (id, seed, minhash): k independent hash
     functions realized as Spark's Murmur3 hash with k seeds. Computed as
-    wide column aggregates then unpivoted — k× cheaper than exploding a
+    wide per-doc columns then unpivoted — k× cheaper than exploding a
     seed dimension through the shuffle."""
-    wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
+    wide = _minhash_wide(_doc_shingle_sets(df, id_col, text_col, n),
+                         num_hashes)
     arr = F.array(*[F.col(f"m{s}") for s in range(num_hashes)])
     return wide.select(
         "id", F.posexplode(arr).alias("seed", "minhash"))
@@ -155,7 +211,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # hashes its fixed slice of min columns — deterministic by
     # construction (column order is static, no shuffle-order dependence),
     # and the only explode is `bands` rows per doc.
-    wide = _minhash_wide(df, id_col, text_col, n, num_hashes)
+    sets = _doc_shingle_sets(df, id_col, text_col, n)
+    wide = _minhash_wide(sets, num_hashes)
     band_cols = []
     b = 0
     while b * rows_per_band < num_hashes:
@@ -173,29 +230,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                    & (F.col("a.id") < F.col("b.id")))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .distinct())
-    # exact verification of candidates (shingles recomputed, not cached —
-    # see ngram_jaccard_pairs)
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("id").alias("sb_id"), F.col("sh").alias("sh_b"))
-    inter = (cand
-             .join(sa, on="id_a")
-             .join(sb, (F.col("id_b") == F.col("sb_id"))
-                   & (F.col("sh_a") == F.col("sh_b")))
-             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
-    out = (inter
-           .join(sizes.withColumnRenamed("id", "id_a")
-                      .withColumnRenamed("sz", "sz_a"), on="id_a")
-           .join(sizes.withColumnRenamed("id", "id_b")
-                      .withColumnRenamed("sz", "sz_b"), on="id_b")
-           .withColumn("jaccard",
-                       F.round(F.col("inter")
-                               / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                               6))
-           .filter(F.col("jaccard") >= threshold)
-           .select("id_a", "id_b", "jaccard"))
-    return out
+    # exact verification of candidates against the same compact hash-set
+    # relation (shared exchange with the signature branch — no second
+    # tokenize pass)
+    return _jaccard_from_sets(cand, sets, threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
@@ -204,7 +242,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     +-1 votes from each token's Murmur3 hash; bit set where the vote is
     positive. explode + single groupBy with 32 conditional-sum aggregates
     (all map-side combinable)."""
-    toks = (df.select(F.col(id_col).alias("id"),
+    toks = (_spread_small_input(df)
+              .select(F.col(id_col).alias("id"),
                       F.explode(tokens(F.col(text_col))).alias("t"))
               .filter(F.length("t") > 0)
               .withColumn("h", F.hash("t")))
