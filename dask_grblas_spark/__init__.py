@@ -20,7 +20,9 @@ from .exceptions import (DimensionMismatch, EmptyObject, GrblasSparkException,
                          IndexOutOfBound, OutputNotEmpty)
 from .mask import (ComplementedStructuralMask, ComplementedValueMask,
                    StructuralMask, ValueMask)
-from .operators import (agg, binary, get_semiring, get_typed_op, monoid,
+from .operators import (agg, binary, from_string, get_semiring,
+                        get_typed_op, monoid, register_binary,
+                        register_monoid, register_semiring, register_unary,
                         semiring, unary)
 
 __version__ = "0.1.0"
@@ -30,7 +32,8 @@ __all__ = [
     "TransposedMatrix", "concat_vectors", "row_stack", "column_stack",
     "diag", "get_session", "lookup_dtype",
     "unary", "binary", "monoid", "semiring", "agg", "get_semiring",
-    "get_typed_op",
+    "get_typed_op", "from_string", "register_unary", "register_binary",
+    "register_monoid", "register_semiring",
     "StructuralMask", "ValueMask", "ComplementedStructuralMask",
     "ComplementedValueMask",
     "GrblasSparkException", "DimensionMismatch", "OutputNotEmpty",

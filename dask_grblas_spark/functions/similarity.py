@@ -39,10 +39,17 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+# per-side tile height for the blocked GEMM: 4096x4096 tiles bound the
+# per-tile score matrix to ~16.7M float64 entries (~134 MB), the real
+# memory constraint (inputs are only rows x dim)
+_TILE_ROWS = 4096
+
+
 def cosine_topk(emb_df: DataFrame, query_df: DataFrame | None = None,
                 k: int = 5, id_col: str = "vec_id",
                 vec_col: str = "embedding",
-                query_blocks: int = 4, cand_blocks: int = 8) -> DataFrame:
+                query_blocks: int | None = None,
+                cand_blocks: int | None = None) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector (defaults to
     self-query, excluding self matches). Output: (query_id, neighbor_id,
     cosine, rank); rank orders by (cosine DESC, neighbor_id).
@@ -56,13 +63,23 @@ def cosine_topk(emb_df: DataFrame, query_df: DataFrame | None = None,
     yields the exact global top-k. NOTHING touches the driver — both
     sides stay executor-resident Arrow batches, so the corpus can exceed
     any single machine (replication factor = the other side's block
-    count, the standard block-matmul tradeoff; tune the block counts to
-    executor memory). For sublinear search switch to ivf_topk /
-    hyperplane_lsh_pairs."""
+    count, the standard block-matmul tradeoff). For sublinear search
+    switch to ivf_topk / hyperplane_lsh_pairs.
+
+    Block counts default to AUTO: ceil(rows / 4096) per side, sizing each
+    tile's score matrix to ~16.7M entries — a 500-vector corpus runs one
+    tile (no replication, no fan-out overhead) while a 10M-row corpus
+    fans out proportionally. Pass explicit counts to override (e.g. to
+    fit smaller executors)."""
     import pandas as pd
 
     if query_df is None:
         query_df = emb_df
+    if cand_blocks is None:
+        cand_blocks = max(1, -(-emb_df.count() // _TILE_ROWS))
+    if query_blocks is None:
+        query_blocks = (cand_blocks if query_df is emb_df
+                        else max(1, -(-query_df.count() // _TILE_ROWS)))
     kk = k
 
     q = (query_df.select(F.col(id_col).alias("qid"),

@@ -33,8 +33,8 @@ from ..exceptions import MonoidScaleWarning
 __all__ = ["unary", "binary", "monoid", "semiring", "agg",
            "UnaryOp", "BinaryOp", "Monoid", "Semiring", "Aggregator",
            "PositionalContext", "get_typed_op", "get_semiring",
-           "register_unary", "register_binary", "register_monoid",
-           "register_semiring"]
+           "from_string", "register_unary", "register_binary",
+           "register_monoid", "register_semiring"]
 
 
 class PositionalContext:
@@ -53,13 +53,17 @@ class PositionalContext:
 
 class _Op:
     __slots__ = ("name",)
+    _ns = "op"
 
-    def __repr__(self):  # pragma: no cover
-        return f"{type(self).__name__}<{self.name}>"
+    def __repr__(self):
+        # grblas repr convention ("unary.ainv"), reference
+        # tests/from_grblas2/test_op.py:24-28
+        return f"{self._ns}.{self.name}"
 
 
 class UnaryOp(_Op):
     __slots__ = ("_build", "_out_dtype", "positional")
+    _ns = "unary"
 
     def __init__(self, name, build, out_dtype=None, positional=False):
         self.name = name
@@ -95,6 +99,7 @@ class UnaryOp(_Op):
 
 class BinaryOp(_Op):
     __slots__ = ("_build", "_out_dtype", "positional", "real_inputs")
+    _ns = "binary"
 
     def __init__(self, name, build, out_dtype=None, positional=False,
                  real_inputs=False):
@@ -135,6 +140,7 @@ class BinaryOp(_Op):
 
 class Monoid(_Op):
     __slots__ = ("binaryop", "identity", "_agg")
+    _ns = "monoid"
 
     def __init__(self, name, binaryop: BinaryOp, identity, agg):
         self.name = name
@@ -162,6 +168,7 @@ class Monoid(_Op):
 
 class Semiring(_Op):
     __slots__ = ("monoid", "binaryop")
+    _ns = "semiring"
 
     def __init__(self, name, monoid_: Monoid, binaryop: BinaryOp):
         self.name = name
@@ -179,6 +186,7 @@ class Aggregator(_Op):
     (/root/reference/dask_grblas/expr.py:208-229, 287-291)."""
 
     __slots__ = ("_agg", "_out_dtype", "needs_index")
+    _ns = "agg"
 
     def __init__(self, name, agg, out_dtype=None, needs_index=False):
         self.name = name
@@ -458,6 +466,11 @@ _b("div", lambda x, y, d: (x / y) if d.is_float else _cast((x.cast("bigint") -
     (x.cast("bigint") % y.cast("bigint"))) / y.cast("bigint"), d))
 _b("rdiv", lambda x, y, d: (y / x) if d.is_float else _cast((y.cast("bigint") -
     (y.cast("bigint") % x.cast("bigint"))) / x.cast("bigint"), d))
+# grblas names the C-division pair cdiv/rcdiv (GrB_DIV is C semantics)
+_BINARY["cdiv"] = BinaryOp("cdiv", _BINARY["div"]._build,
+                           _BINARY["div"]._out_dtype)
+_BINARY["rcdiv"] = BinaryOp("rcdiv", _BINARY["rdiv"]._build,
+                            _BINARY["rdiv"]._out_dtype)
 _b("pow", lambda x, y, d: _cast(F.pow(x, y), d) if not d.is_float else F.pow(x, y))
 _b("min", lambda x, y, d: F.least(x, y))
 _b("max", lambda x, y, d: F.greatest(x, y))
@@ -853,10 +866,148 @@ class _SemiringNamespace(_Namespace):
 semiring = _SemiringNamespace("semiring", {})
 
 
-def get_semiring(monoid_: Monoid, binaryop: BinaryOp) -> Semiring:
+def get_semiring(monoid_, binaryop) -> Semiring:
     """Compose a semiring from parts (grblas get_semiring analogue;
-    reference test: tests/from_grblas2/test_op.py:794-828)."""
+    reference test: tests/from_grblas2/test_op.py:794-828).
+
+    Forgiving like the reference: a BinaryOp whose name is also a monoid
+    is accepted in the monoid slot, and a Monoid in the binaryop slot
+    contributes its binaryop — but a plainly switched (BinaryOp, Monoid)
+    call is rejected."""
+    if isinstance(monoid_, BinaryOp) and isinstance(binaryop, Monoid):
+        raise TypeError(
+            "expected (Monoid, BinaryOp) — did you mean to switch the "
+            "arguments?")
+    if isinstance(monoid_, BinaryOp):
+        if monoid_.name not in _MONOID:
+            raise TypeError(
+                f"Monoid expected; binary.{monoid_.name} has no monoid")
+        monoid_ = _MONOID[monoid_.name]
+    if isinstance(binaryop, Monoid):
+        binaryop = binaryop.binaryop
+    if not isinstance(monoid_, Monoid):
+        raise TypeError(f"Monoid expected, got {monoid_!r}")
+    if not isinstance(binaryop, BinaryOp):
+        raise TypeError(f"BinaryOp expected, got {binaryop!r}")
     return getattr(semiring, f"{monoid_.name}_{binaryop.name}")
+
+
+# --------------------------------------------------------------------------
+# string forms (grblas from_string; reference test_op.py:905-940) and the
+# commutation table (grblas binary.*.commutes_to; test_op.py:845-903)
+# --------------------------------------------------------------------------
+
+_SYMBOL_UNARY = {"-": "ainv", "~": "lnot", "!": "lnot"}
+_SYMBOL_BINARY = {"+": "plus", "-": "minus", "*": "times", "/": "truediv",
+                  "//": "floordiv", "%": "mod", "**": "pow",
+                  "<": "lt", ">": "gt", "<=": "le", ">=": "ge",
+                  "==": "eq", "!=": "ne", "&": "land", "|": "lor",
+                  "^": "lxor"}
+
+
+def _split_dtype_suffix(string: str, kind: str) -> tuple[str, str | None]:
+    """Split 'name[dtype]' -> (name, dtype); grblas error contract."""
+    if "[" not in string:
+        if "]" in string:
+            raise ValueError(f'"]" in {string!r} not matched by "["')
+        return string, None
+    if string.count("[") > 1:
+        raise ValueError(f'too many "[" in {string!r}')
+    base, _, rest = string.partition("[")
+    if "]" in base:
+        raise ValueError(f'"]" in {string!r} not matched by "["')
+    if not string.endswith("]") or "]" not in rest:
+        raise ValueError(f'{string!r} does not end with "]"')
+    return base, rest[:-1]
+
+
+def _from_string(namespace_name: str, registry, symbols, string: str):
+    base, dt = _split_dtype_suffix(string, namespace_name)
+    name = symbols.get(base, base)
+    if name not in registry:
+        raise ValueError(f"Unknown {namespace_name} string: {string!r}")
+    if dt is not None:
+        lookup_dtype(dt)  # validate; typing happens at call time here
+    return registry[name]
+
+
+def _unary_from_string(string):
+    return _from_string("unary", _UNARY, _SYMBOL_UNARY, string)
+
+
+def _binary_from_string(string):
+    return _from_string("binary", _BINARY, _SYMBOL_BINARY, string)
+
+
+def _monoid_from_string(string):
+    return _from_string("monoid", _MONOID, _SYMBOL_BINARY, string)
+
+
+def _semiring_from_string(string):
+    base, dt = _split_dtype_suffix(string, "semiring")
+    if dt is not None:
+        lookup_dtype(dt)
+    parts = base.split(".")
+    try:
+        if len(parts) == 2:
+            mon = _SYMBOL_BINARY.get(parts[0], parts[0])
+            bop = _SYMBOL_BINARY.get(parts[1], parts[1])
+            return getattr(semiring, f"{mon}_{bop}")
+        if len(parts) == 1:
+            return getattr(semiring, base)
+    except AttributeError:
+        pass
+    raise ValueError(f"Bad semiring string: {string!r}")
+
+
+def from_string(string: str):
+    """Resolve any op string: unary symbol first, then binary, monoid,
+    semiring (grblas op.from_string)."""
+    for fn in (_unary_from_string, _binary_from_string,
+               _monoid_from_string, _semiring_from_string):
+        try:
+            return fn(string)
+        except ValueError:
+            continue
+    raise ValueError(f"Unknown op string: {string!r}")
+
+
+unary.from_string = _unary_from_string
+binary.from_string = _binary_from_string
+monoid.from_string = _monoid_from_string
+semiring.from_string = _semiring_from_string
+
+# commutation table: commutes_to(op)(x, y) == op(y, x). Symmetric ops map
+# to themselves; ordered pairs swap; position ops swap first<->second.
+_COMMUTES_TO = {
+    **{n: n for n in ("plus", "times", "pair", "any", "eq", "ne", "iseq",
+                      "isne", "min", "max", "land", "lor", "lxor", "lxnor",
+                      "fmax", "fmin", "band", "bor", "bxor", "bxnor",
+                      "hypot", "logaddexp", "logaddexp2", "gcd", "lcm")},
+    "minus": "rminus", "rminus": "minus",
+    "truediv": "rtruediv", "rtruediv": "truediv",
+    "div": "rdiv", "rdiv": "div", "cdiv": "rcdiv", "rcdiv": "cdiv",
+    "floordiv": "rfloordiv", "rfloordiv": "floordiv",
+    "pow": "rpow", "rpow": "pow",
+    "lt": "gt", "gt": "lt", "le": "ge", "ge": "le",
+    "islt": "isgt", "isgt": "islt", "isle": "isge", "isge": "isle",
+    "first": "second", "second": "first",
+    "firsti": "secondi", "secondi": "firsti",
+    "firsti1": "secondi1", "secondi1": "firsti1",
+    "firstj": "secondj", "secondj": "firstj",
+    "firstj1": "secondj1", "secondj1": "firstj1",
+    "absfirst": "abssecond", "abssecond": "absfirst",
+}
+
+
+def _commutes_to(self):
+    name = _COMMUTES_TO.get(self.name)
+    return _BINARY.get(name) if name is not None else None
+
+
+BinaryOp.commutes_to = property(_commutes_to)
+BinaryOp.is_commutative = property(
+    lambda self: _COMMUTES_TO.get(self.name) == self.name)
 
 
 # --------------------------------------------------------------------------

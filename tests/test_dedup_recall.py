@@ -1,0 +1,106 @@
+"""Planted-duplicate recall tests for the probabilistic dedup/ANN
+pipelines (q32 minhash, q33 simhash, q36 IVF) — the driver's rows-only
+check proves these RUN; these tests prove they FIND what they must find.
+
+All pipelines are deterministic given Spark's murmur3/xxhash64 (no RNG at
+runtime), so every assertion is reproducible:
+- simhash banding recall is GUARANTEED by pigeonhole (band count derived
+  from max_hamming) — the pipeline must return EXACTLY the brute-force
+  pair set within the Hamming bound.
+- minhash banding on an exact duplicate always collides (identical
+  signatures); the planted near-dup (jaccard ~0.95) collides with
+  probability 1 - (1 - 0.95^4)^8 ~ 1 - 1.4e-6 under fixed hashes, i.e.
+  the test outcome is a fixed function of the implementation.
+- IVF: an exact duplicate vector lands in the SAME cell as its twin and
+  the query always probes its own cell, so the twin must surface at
+  rank 1 with cosine 1.0.
+
+Reference analogue: the differential-oracle discipline of
+/root/reference/tests/utils.py:8-59 applied to operators whose output a
+row-count check cannot validate.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_grblas_spark.functions import dedup, similarity
+
+
+def _words(seed: int, n: int) -> list[str]:
+    # deterministic pseudo-words, no RNG state shared with the engine
+    return [f"w{(seed * 7919 + i * 104729) % 99991}" for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 distinct docs + planted exact dup + planted near-dups."""
+    docs = {i: " ".join(_words(i, 50)) for i in range(60)}
+    base = _words(1000, 50)
+    docs[100] = " ".join(base)
+    docs[101] = " ".join(base)                       # exact dup of 100
+    near = list(base)
+    near[25] = "CHANGED"                             # 1 token -> J ~ 0.94
+    docs[102] = " ".join(near)
+    rows = [(i, t) for i, t in sorted(docs.items())]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_planted_dups(spark, corpus):
+    got = dedup.minhash_lsh_pairs(corpus, threshold=0.8).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in got}
+    assert pairs.get((100, 101)) == 1.0
+    assert (100, 102) in pairs and pairs[(100, 102)] >= 0.8
+    assert (101, 102) in pairs
+    # precision is exact by construction: every reported pair is verified
+    assert all(j >= 0.8 for j in pairs.values())
+    # none of the unrelated docs should reach the threshold
+    assert all(a >= 100 and b >= 100 for (a, b) in pairs)
+
+
+def test_simhash_banding_is_exhaustive_within_bound(spark, corpus):
+    """Deterministic recall guarantee: pipeline output == brute force."""
+    max_h = 3
+    sigs = {r.id: r.simhash for r in dedup.simhash(corpus).collect()}
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        if bin(sigs[a] ^ sigs[b]).count("1") <= max_h:
+            want.add((a, b))
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.simhash_pairs(corpus, max_hamming=max_h).collect()}
+    assert set(got) == want
+    # the planted exact dup has identical tokens -> identical simhash
+    assert got.get((100, 101)) == 0
+    for (a, b), h in got.items():
+        assert h == bin(sigs[a] ^ sigs[b]).count("1") <= max_h
+
+
+def test_ivf_exact_duplicate_always_recalled(spark):
+    """A cloned vector shares its twin's cell; nprobe >= 1 probes the
+    query's own cell, so the twin must be the rank-1 neighbor."""
+    dim = 16
+    rows = []
+    for i in range(40):
+        rows.append((i, [float((i * 31 + j * 17 + i * j) % 997 - 498)
+                         for j in range(dim)]))
+    rows.append((900, list(rows[7][1])))  # exact clone of vec 7
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.ivf_topk(df, k=3, n_cells=8, nprobe=2)
+    top = {r.query_id: (r.neighbor_id, r.cosine)
+           for r in got.filter(F.col("rank") == 1).collect()}
+    assert top[900] == (7, 1.0)
+    assert top[7] == (900, 1.0)
+
+
+def test_hyperplane_lsh_identical_vectors_always_candidates(spark):
+    dim = 16
+    rows = [(i, [float((i * 13 + j * 7) % 19 - 9) for j in range(dim)])
+            for i in range(30)]
+    rows.append((500, list(rows[3][1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.hyperplane_lsh_pairs(df, threshold=0.999, dim=dim)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert (3, 500) in pairs
