@@ -236,49 +236,61 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     return _jaccard_from_sets(cand, sets, threshold)
 
 
+_SIMHASH_BITS = 64
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
-    """32-bit SimHash over whitespace tokens: per bit position, sum of
-    +-1 votes from each token's Murmur3 hash; bit set where the vote is
-    positive. explode + single groupBy with 32 conditional-sum aggregates
-    (all map-side combinable)."""
+    """64-bit SimHash over whitespace tokens: per bit position, sum of
+    +-1 votes from each token's xxhash64; bit set where the vote is
+    positive. explode + single groupBy with 64 conditional-sum aggregates
+    (all map-side combinable). 64 bits (not 32) so the banded candidate
+    join stays selective at corpus scale: with max_hamming=3 each band
+    carries 16 bits -> 65,536 bucket values, where a 32-bit signature's
+    8-bit bands (256 values) degrade toward all-pairs."""
     toks = (_spread_small_input(df)
               .select(F.col(id_col).alias("id"),
                       F.explode(tokens(F.col(text_col))).alias("t"))
               .filter(F.length("t") > 0)
-              .withColumn("h", F.hash("t")))
+              .withColumn("h", F.xxhash64("t")))
     aggs = []
-    for b in range(32):
-        bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+    for b in range(_SIMHASH_BITS):
+        bit = F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))
         aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{b}"))
     votes = toks.groupBy("id").agg(*aggs)
     sig = F.lit(0).cast("bigint")
-    for b in range(32):
-        sig = sig + F.when(F.col(f"b{b}") > 0,
-                           F.lit(1 << b).cast("bigint")).otherwise(0)
+    for b in range(_SIMHASH_BITS):
+        # shiftleft(1L, b) builds the bit-63 mask without literal overflow
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0,
+                   F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(0))
     return votes.select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates by SimHash: band the 32 bits into
+    """Near-dup candidates by SimHash: band the 64 bits into
     ``max_hamming + 1`` chunks (pigeonhole: a pair within max_hamming
     differing bits must share at least one exact chunk — the band count is
     DERIVED from the requested distance so recall is guaranteed for any
     max_hamming), join on (band, chunk), verify via bit_count(xor)."""
-    if not 0 <= max_hamming <= 31:
-        raise ValueError("max_hamming must be in [0, 31] for 32-bit simhash")
+    if not 0 <= max_hamming <= _SIMHASH_BITS - 1:
+        raise ValueError(
+            f"max_hamming must be in [0, {_SIMHASH_BITS - 1}] for "
+            f"{_SIMHASH_BITS}-bit simhash")
     sig = simhash(df, id_col, text_col)
     n_bands = max_hamming + 1
-    base_w, rem = divmod(32, n_bands)
+    base_w, rem = divmod(_SIMHASH_BITS, n_bands)
     bands = []
     offset = 0
     for k in range(n_bands):
         width = base_w + (1 if k < rem else 0)
+        mask = -1 if width >= 64 else (1 << width) - 1
+        # unsigned shift: the sign bit is data, not sign
         bands.append(sig.select(
             "id", "simhash", F.lit(k).alias("band"),
-            F.shiftright(F.col("simhash"), offset)
-             .bitwiseAND(F.lit((1 << width) - 1)).alias("chunk")))
+            F.shiftrightunsigned(F.col("simhash"), offset)
+             .bitwiseAND(F.lit(mask)).alias("chunk")))
         offset += width
     banded = bands[0]
     for p in bands[1:]:

@@ -64,10 +64,15 @@ def test_minhash_lsh_finds_planted_dups(spark, corpus):
 def test_simhash_banding_is_exhaustive_within_bound(spark, corpus):
     """Deterministic recall guarantee: pipeline output == brute force."""
     max_h = 3
+
+    def ham(x, y):
+        # signatures are signed 64-bit longs; mask to two's complement
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
     sigs = {r.id: r.simhash for r in dedup.simhash(corpus).collect()}
     want = set()
     for a, b in itertools.combinations(sorted(sigs), 2):
-        if bin(sigs[a] ^ sigs[b]).count("1") <= max_h:
+        if ham(sigs[a], sigs[b]) <= max_h:
             want.add((a, b))
     got = {(r.id_a, r.id_b): r.hamming
            for r in dedup.simhash_pairs(corpus, max_hamming=max_h).collect()}
@@ -75,7 +80,7 @@ def test_simhash_banding_is_exhaustive_within_bound(spark, corpus):
     # the planted exact dup has identical tokens -> identical simhash
     assert got.get((100, 101)) == 0
     for (a, b), h in got.items():
-        assert h == bin(sigs[a] ^ sigs[b]).count("1") <= max_h
+        assert h == ham(sigs[a], sigs[b]) <= max_h
 
 
 def test_ivf_exact_duplicate_always_recalled(spark):
