@@ -1,0 +1,81 @@
+"""Deterministic corpus sampling / splitting — the data-mixing layer of a
+training pipeline (train/val/test splits, per-source sampling rates,
+reproducible subsampling).
+
+Everything is keyed on md5 of the stable document key, NOT on RNG state:
+the assignment of a document is a pure function of (key, seed), so it is
+identical across runs, engines, partitionings and cluster sizes — the
+property that matters when a 100 TB corpus is re-materialized
+incrementally. Decisions are made by comparing a fixed-length md5-hex
+PREFIX against precomputed hex thresholds: hex strings compare
+lexicographically exactly like the numbers they encode, and md5 is
+bit-identical everywhere (verified against the DuckDB oracle), so every
+operator here is exactly SQL-replicable. Granularity: 4 hex chars =
+1/65536 resolution per split fraction.
+
+All operators are single-scan map-side Column expressions — no shuffle,
+no UDFs, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["split_key", "split_column", "deterministic_sample",
+           "hex_threshold"]
+
+_PREFIX_LEN = 4  # 16^4 = 65536 buckets
+
+
+def hex_threshold(fraction: float, prefix_len: int = _PREFIX_LEN) -> str:
+    """The hex string h such that P(md5_prefix < h) == round(fraction *
+    16^prefix_len) / 16^prefix_len under a uniform hash."""
+    space = 16 ** prefix_len
+    cut = min(space, max(0, round(fraction * space)))
+    return format(cut, f"0{prefix_len + 1}x")[-prefix_len:] \
+        if cut < space else "g" * prefix_len  # 'g' > 'f': always true
+
+
+def split_key(key_col: Column, seed: int = 0,
+              prefix_len: int = _PREFIX_LEN) -> Column:
+    """Uniform [0, 16^prefix_len) bucket id as a hex STRING — the
+    comparable unit all sampling decisions use."""
+    return F.substring(
+        F.md5(F.concat_ws("-", key_col.cast("string"),
+                          F.lit(str(seed)))), 1, prefix_len)
+
+
+def split_column(df: DataFrame, id_col: str = "doc_id",
+                 splits: dict[str, float] | None = None,
+                 seed: int = 0) -> DataFrame:
+    """Assign every row to one named split by consecutive hex ranges
+    (e.g. {'train': 0.9, 'val': 0.05, 'test': 0.05}). Fractions must sum
+    to 1 (+-rounding); resolution 1/65536."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    k = split_key(F.col(id_col), seed)
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = k < F.lit(hex_threshold(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Reproducible subsample: keeps exactly the rows whose hash bucket
+    falls below the fraction threshold — stable under reruns, unions and
+    repartitioning (unlike df.sample, whose output depends on partition
+    layout)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(split_key(F.col(id_col), seed)
+                     < F.lit(hex_threshold(fraction)))

@@ -13,7 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["tokens", "token_count", "char_stats", "quality_score",
-           "language_id", "fingerprint", "token_frequencies"]
+           "language_id", "fingerprint", "token_frequencies",
+           "repetition_stats"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -107,6 +108,39 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     fingerprint variant is in dedup.simhash)."""
     toks = F.array_sort(F.array_distinct(tokens(F.col(text_col))))
     return df.withColumn("fingerprint", F.md5(F.array_join(toks, " ")))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 3) -> DataFrame:
+    """Repetition signals (the Gopher/FineWeb-style repetitiveness
+    filters): duplicate n-gram fraction (1 - distinct/total n-grams) and
+    token Shannon entropy. Both are per-document map-side expressions —
+    one scan, no shuffle, exact SQL-replicable arithmetic.
+
+    The entropy inner loop is O(distinct_tokens * tokens) per doc via
+    filter-count inside an aggregate lambda — JVM-side and cache-friendly;
+    for pathological vocabularies switch to the explode+groupBy
+    formulation of token_frequencies."""
+    base = df.select(F.col(id_col), F.col(text_col),
+                     tokens(F.col(text_col)).alias("_toks"))
+    g = F.expr(
+        f"transform(sequence(0, greatest(size(_toks) - {n}, -1)), "
+        f"p -> array_join(slice(_toks, p + 1, {n}), ' '))")
+    base = base.select(id_col, "_toks", F.explode(F.array(g)).alias("_g"))
+    n_g = F.size(F.col("_g"))
+    dup_frac = F.when(n_g <= 0, F.lit(0.0)).otherwise(
+        (n_g - F.size(F.array_distinct(F.col("_g")))) / n_g)
+    tot = F.size(F.col("_toks"))
+    entropy = F.aggregate(
+        F.transform(F.array_distinct(F.col("_toks")),
+                    lambda t: F.size(F.filter(F.col("_toks"),
+                                              lambda x: x == t)) / tot),
+        F.lit(0.0),
+        lambda acc, p: acc - p * F.log(p))
+    return base.select(
+        id_col,
+        F.round(dup_frac, 6).alias("dup_ngram_frac"),
+        F.round(entropy, 6).alias("token_entropy"))
 
 
 def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1163,3 +1163,12 @@ def get_typed_op(op, a: GbType, b: GbType | None = None):
     if isinstance(op, (Semiring,)):
         return op, op.out_dtype(a, b if b is not None else a)
     return op, op.out_dtype(a, b if b is not None else a)
+
+
+# frozen snapshots of the BUILT-IN registries (taken at import, before any
+# user register_* call) — invariants like "every monoid name is a binary
+# name" are properties of the shipped vocabulary, not of whatever a user
+# session registers later
+BUILTIN_UNARY = frozenset(_UNARY)
+BUILTIN_BINARY = frozenset(_BINARY)
+BUILTIN_MONOIDS = frozenset(_MONOID)

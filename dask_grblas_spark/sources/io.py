@@ -17,7 +17,30 @@ from ..core import GrMatrix, GrVector, get_session
 from ..dtypes import BOOL, FC64, FP64, INT64, lookup_dtype
 
 __all__ = ["matrix_from_parquet", "matrix_to_parquet", "vector_from_parquet",
-           "vector_to_parquet", "matrix_from_csv", "from_mmfile", "to_mmfile"]
+           "vector_to_parquet", "matrix_from_csv", "from_mmfile", "to_mmfile",
+           "documents_to_jsonl", "documents_from_jsonl"]
+
+
+def documents_to_jsonl(df, path: str, mode: str = "overwrite",
+                       compression: str | None = None):
+    """Write a documents table as JSON-Lines — the interchange format of
+    LLM training-data pipelines (one JSON object per line, splittable,
+    append-friendly). Spark's native json writer: distributed, optionally
+    compressed (e.g. 'gzip'/'zstd'), no driver involvement."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def documents_from_jsonl(path: str, schema=None):
+    """Read a JSONL corpus. Pass an explicit schema at scale — schema
+    inference is a full extra pass over the data."""
+    spark = get_session()
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
 
 
 def matrix_from_parquet(path: str, *, row_col="i", col_col="j", value_col="v",

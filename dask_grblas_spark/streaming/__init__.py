@@ -3,7 +3,7 @@
 events table): windowed aggregation and stateful sessionization."""
 
 from .windows import (event_window_agg, load_events, sessionize,
-                      streaming_sessionize)
+                      stream_dedup_counts, streaming_sessionize)
 
 __all__ = ["event_window_agg", "load_events", "sessionize",
-           "streaming_sessionize"]
+           "stream_dedup_counts", "streaming_sessionize"]

@@ -187,6 +187,79 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str,
     return spark.table(qname).filter(F.col("user_id") >= 0)
 
 
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT dedup: the event stream is read through a dir that
+    exposes the events file TWICE (every event arrives duplicated —
+    simulating at-least-once delivery), dropDuplicatesWithinWatermark on
+    the event key removes the replays with watermark-bounded state, and a
+    downstream aggregation proves the dedup restored exactly-once counts.
+    This is the streaming half of the exact-dedup operator
+    (functions/dedup.py) — same semantics, unbounded input, state expiry
+    via watermark instead of a full-corpus groupBy."""
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"dgs_dedupus_{key}")
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        for copy in ("ev1.parquet", "ev2.parquet"):
+            try:
+                os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, copy))
+            except FileExistsError:
+                pass
+    stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+              .parquet(d)
+              .withWatermark("ts", "1 hour")
+              .dropDuplicatesWithinWatermark(["event_id"]))
+    agg = (stream.groupBy("event_type")
+                 .agg(F.count("*").alias("n_events"),
+                      F.round(F.sum("value"), 2).alias("sum_value")))
+    qname = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(qname).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str,
+                         window_minutes: int = 30) -> DataFrame:
+    """STREAM-STREAM interval join: per-user, every 'click' joined to the
+    'purchase' events landing within [click.ts, click.ts + window]. Both
+    sides are real unbounded streams with watermarks — exactly the state
+    Structured Streaming keeps bounded at scale (each side's buffer is
+    evicted once the other side's watermark passes the join window).
+    Returns (click_id, purchase_id, user_id)."""
+    def side(ev_type, alias_id):
+        return (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+                .parquet(_events_stream_dir(sf_dir))
+                .filter(F.col("event_type") == ev_type)
+                .withWatermark("ts", "1 hour")
+                .select(F.col("event_id").alias(alias_id),
+                        F.col("user_id").alias(f"{alias_id}_user"),
+                        F.col("ts").alias(f"{alias_id}_ts")))
+
+    clicks = side("click", "click_id")
+    purchases = side("purchase", "purchase_id")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_id_user") == F.col("purchase_id_user"))
+        & (F.col("purchase_id_ts") >= F.col("click_id_ts"))
+        & (F.col("purchase_id_ts")
+           <= F.col("click_id_ts")
+           + F.expr(f"INTERVAL {window_minutes} MINUTES")))
+    qname = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (joined.select("click_id", "purchase_id",
+                       F.col("click_id_user").alias("user_id"))
+         .writeStream.outputMode("append")
+         .format("memory").queryName(qname).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
 def sessionize(spark: SparkSession, sf_dir: str,
                gap_minutes: int = 30) -> DataFrame:
     """Sessionization: batch formulation (lag + cumulative gap-count

@@ -103,8 +103,12 @@ def test_div_semirings(spark):
 
 
 def test_binaryop_superset_monoids():
-    # reference test_op.py:768-774: every monoid name is a binary name
-    assert not set(_MONOID) - set(_BINARY)
+    # reference test_op.py:768-774: every BUILT-IN monoid name is a
+    # binary name (user registrations elsewhere in the suite may add
+    # monoid-only names — the invariant is about the shipped vocabulary)
+    from dask_grblas_spark.operators import BUILTIN_BINARY, BUILTIN_MONOIDS
+
+    assert not BUILTIN_MONOIDS - BUILTIN_BINARY
 
 
 def test_create_semiring_full_grid():
