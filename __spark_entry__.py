@@ -572,6 +572,83 @@ def q30_exact_dedup(spark, sf_dir):
         .select("content_hash", "keep_id", "n_copies")
 
 
+def q10_jsonl_roundtrip(spark, sf_dir):
+    """JSONL sink + source round-trip over the documents corpus — the
+    LLM-pipeline interchange format (sources/io.py). Distributed write,
+    schema-explicit read back, content re-verified by the oracle hash."""
+    import os
+
+    from dask_grblas_spark.sources import io as gio
+
+    docs = _doc(spark, sf_dir).select("doc_id", "text")
+    path = f"/tmp/dgs_jsonl_{os.path.basename(sf_dir.rstrip('/'))}"
+    gio.documents_to_jsonl(docs, path)
+    back = gio.documents_from_jsonl(path, schema="doc_id long, text string")
+    return back.select("doc_id", F.md5("text").alias("content_hash"))
+
+
+def q54_stream_join(spark, sf_dir):
+    """Stream-stream interval join: per-user click -> purchase within 30
+    minutes, both sides unbounded streams with watermark-bounded state."""
+    from dask_grblas_spark.streaming.windows import stream_interval_join
+
+    return stream_interval_join(spark, sf_dir, window_minutes=30) \
+        .select("click_id", "purchase_id", "user_id")
+
+
+def q27_stratified_split(spark, sf_dir):
+    """Deterministic train/val/test assignment + reproducible 25%
+    subsample flag (functions/sampling.py): md5-prefix range decisions,
+    bit-identical across engines/runs/partitionings."""
+    from dask_grblas_spark.functions import sampling
+
+    docs = sampling.split_column(_doc(spark, sf_dir), seed=0)
+    keep = sampling.split_key(F.col("doc_id"), seed=7) \
+        < F.lit(sampling.hex_threshold(0.25))
+    return docs.select("doc_id", "split", keep.alias("in_sample"))
+
+
+def q21_repetition(spark, sf_dir):
+    """Repetitiveness filter signals: duplicate-trigram fraction + token
+    Shannon entropy per document (text.repetition_stats)."""
+    return text.repetition_stats(_doc(spark, sf_dir)) \
+        .select("doc_id", "dup_ngram_frac", "token_entropy")
+
+
+def q39_dup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS: exact-dedup star edges (keep_id -> doc_id per
+    content-hash group) fed into the engine's connected-components loop —
+    the dedup pipeline composed with the graph engine. Cluster label =
+    min doc_id of the component, which the SQL oracle replays as a
+    window MIN over the content hash."""
+    docs = _doc(spark, sf_dir)
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    groups = dedup.exact_dedup(docs)
+    edges = (docs.select(F.col("doc_id").alias("j"),
+                         F.md5(F.col("text")).alias("content_hash"))
+                 .join(groups.select("content_hash",
+                                     F.col("keep_id").alias("i")),
+                       on="content_hash")
+                 .select("i", "j", F.lit(1).cast("bigint").alias("v")))
+    A = Matrix.from_dataframe(edges, nrows=n, ncols=n, dtype="INT64")
+    comp = alg.connected_components(A)
+    # CC labels every vertex in [0, n); restrict to actual doc ids
+    return (comp.df.join(docs.select(F.col("doc_id").alias("i")), on="i",
+                         how="left_semi")
+                .select(F.col("i").alias("doc_id"),
+                        F.col("v").alias("cluster")))
+
+
+def q42_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup: events delivered TWICE (at-least-once
+    simulation), dropDuplicatesWithinWatermark restores exactly-once
+    counts; oracle = plain per-type aggregate over the single copy."""
+    from dask_grblas_spark.streaming import stream_dedup_counts
+
+    return stream_dedup_counts(spark, sf_dir) \
+        .select("event_type", "n_events", "sum_value")
+
+
 def q31_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard via inverted-index join. The default
     max_doc_freq=1000 stop-shingle cap is active: far above this corpus's
@@ -685,7 +762,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_embedding_neardup": q34_embedding_neardup,
         "q35_cosine_topk": q35_cosine_topk,
         "q36_ivf_ann": q36_ivf_ann,
+        "q10_jsonl_roundtrip": q10_jsonl_roundtrip,
+        "q39_dup_clusters": q39_dup_clusters,
         "q40_stream_window": q40_stream_window,
+        "q42_stream_dedup": q42_stream_dedup,
+        "q54_stream_join": q54_stream_join,
         "q41_sessionize": q41_sessionize,
         "q41b_streaming_sessionize": q41b_streaming_sessionize,
         "q50_media_meta": q50_media_meta,
@@ -725,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_isclose": q55_isclose,
         # text analysis layer
         "q20_text_stats": q20_text_stats,
+        "q21_repetition": q21_repetition,
+        "q27_stratified_split": q27_stratified_split,
         "q22_quality": q22_quality,
         "q23_lang_scores": q23_lang_scores,
         "q24_fingerprint": q24_fingerprint,
@@ -1026,6 +1109,37 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'isclose' AS test, TRUE AS same
     """
+    sql["q21_repetition"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS tk
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(greatest(len(tk) - 2, 0)),
+                   p -> array_to_string(tk[p+1:p+3], ' ')) AS g
+          FROM toks
+        ), dupfrac AS (
+          SELECT doc_id,
+                 CASE WHEN len(g) <= 0 THEN 0.0
+                      ELSE (len(g) - len(list_distinct(g))) * 1.0 / len(g)
+                 END AS df_
+          FROM grams
+        ), tok_rows AS (
+          SELECT doc_id, unnest(tk) AS t, len(tk) AS tot FROM toks
+        ), ent AS (
+          SELECT doc_id,
+                 -SUM((cnt * 1.0 / tot) * LN(cnt * 1.0 / tot)) AS e
+          FROM (SELECT doc_id, t, tot, COUNT(*) AS cnt
+                FROM tok_rows GROUP BY doc_id, t, tot)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               ROUND(df_, 6) AS dup_ngram_frac,
+               ROUND(e, 6) AS token_entropy
+        FROM dupfrac d JOIN ent USING (doc_id)
+    """
     sql["q20_text_stats"] = r"""
         SELECT doc_id,
                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
@@ -1113,6 +1227,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(doc_id) AS BIGINT) AS keep_id,
                CAST(COUNT(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY 1
+    """
+    sql["q27_stratified_split"] = """
+        SELECT doc_id,
+               CASE WHEN substr(md5(CONCAT(CAST(doc_id AS VARCHAR), '-0')),
+                                1, 4) < 'e666' THEN 'train'
+                    WHEN substr(md5(CONCAT(CAST(doc_id AS VARCHAR), '-0')),
+                                1, 4) < 'f333' THEN 'val'
+                    ELSE 'test' END AS split,
+               substr(md5(CONCAT(CAST(doc_id AS VARCHAR), '-7')),
+                      1, 4) < '4000' AS in_sample
+        FROM documents
+    """
+    sql["q10_jsonl_roundtrip"] = """
+        SELECT doc_id, md5(text) AS content_hash FROM documents
+    """
+    sql["q54_stream_join"] = """
+        SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+               a.user_id AS user_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """
+    sql["q39_dup_clusters"] = """
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster
+        FROM documents
+    """
+    sql["q42_stream_dedup"] = """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1
     """
     sql["q31_ngram_jaccard"] = r"""
         WITH sh AS (
