@@ -29,8 +29,6 @@ join + one aggregation.
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -44,32 +42,13 @@ __all__ = ["bfs_level", "sssp", "connected_components", "pagerank",
 
 _CHECKPOINT_EVERY = 5
 
-# one shuffle partition per this many state rows inside iterative loops
-_STATE_ROWS_PER_PARTITION = 1_000_000
-
-
-@contextmanager
-def _state_partitions(n_state_rows: int):
-    """Scope `spark.sql.shuffle.partitions` to the loop body, sized by the
-    vertex dimension: iterative state (distances, labels, frontiers) holds
-    at most one row per vertex, so a 25-node graph needs 1-task shuffles,
-    not 32 — per-stage scheduling overhead dominates small graphs, and a
-    fixpoint loop runs dozens of stages. At scale the bound exceeds the
-    session default and this is a no-op (AQE keeps sizing the big
-    shuffles). Cached/checkpointed loop state is exactly what AQE's
-    runtime coalescing does NOT cover, hence the static dimension-derived
-    bound."""
-    sess = get_session()
-    cur = int(sess.conf.get("spark.sql.shuffle.partitions"))
-    k = max(1, int(n_state_rows) // _STATE_ROWS_PER_PARTITION + 1)
-    if k >= cur:
-        yield
-        return
-    sess.conf.set("spark.sql.shuffle.partitions", str(k))
-    try:
-        yield
-    finally:
-        sess.conf.set("spark.sql.shuffle.partitions", str(cur))
+# Loop-shuffle sizing: NO session-conf mutation. The adjacency is
+# repartitioned ONCE with a partition count derived from its measured
+# edge count (_prep_adjacency), the frontier side of each step broadcasts,
+# and AQE's runtime coalescing sizes the remaining state shuffles —
+# measured equal-or-faster than a scoped `spark.sql.shuffle.partitions`
+# override, without mutating state another concurrent query on the same
+# session would silently inherit.
 
 
 def symmetrize(A: GrMatrix) -> GrMatrix:
@@ -103,9 +82,8 @@ def _ensure_cached(df: DataFrame) -> tuple[DataFrame, bool]:
     their input adjacency from multiple plan branches (A and A.T inside
     symmetrize, P and outdeg in pagerank) and across dozens of loop
     stages — an uncached heavy fact join (e.g. orders⋈lineitem in
-    sources/tpch.py) would otherwise be recomputed per branch, possibly
-    inside the `_state_partitions` scope whose tiny vertex-sized shuffles
-    are meant for loop state only."""
+    sources/tpch.py) would otherwise be recomputed per branch on every
+    iteration."""
     if df.is_cached:
         return df, False
     df = df.persist()
@@ -136,27 +114,26 @@ def bfs_level(A: GrMatrix, source: int) -> GrVector:
     n = A.nrows
     adj = _prep_adjacency(A)
     Aprep = GrMatrix(adj, A.dtype, A.nrows, A.ncols)
-    with _state_partitions(n):
-        levels = GrVector.from_values([source], [0], size=n, dtype=INT64)
-        frontier = levels.dup()
-        level = 0
-        while frontier.nvals > 0:
-            level += 1
-            cand = frontier.vxm(Aprep, semiring.any_pair)
-            # mask pushdown: unvisited only (anti join BEFORE the agg)
-            new_frontier = cand.new(mask=~levels.S)
-            new_df = new_frontier.df.select(
-                "i", F.lit(level).cast("bigint").alias("v"))
-            levels = GrVector(levels.df.unionByName(new_df), INT64, n)
-            frontier = GrVector(new_df, INT64, n)
-            frontier.persist()
-            if level % _CHECKPOINT_EVERY == 0:
-                # cut BOTH lineages: levels grows by union, and the
-                # frontier plan nests every previous level's plan —
-                # without this the driver spends minutes in
-                # generateTreeString on deep trees
-                levels.checkpoint(compact=True)
-                frontier.checkpoint()
+    levels = GrVector.from_values([source], [0], size=n, dtype=INT64)
+    frontier = levels.dup()
+    level = 0
+    while frontier.nvals > 0:
+        level += 1
+        cand = frontier.vxm(Aprep, semiring.any_pair)
+        # mask pushdown: unvisited only (anti join BEFORE the agg)
+        new_frontier = cand.new(mask=~levels.S)
+        new_df = new_frontier.df.select(
+            "i", F.lit(level).cast("bigint").alias("v"))
+        levels = GrVector(levels.df.unionByName(new_df), INT64, n)
+        frontier = GrVector(new_df, INT64, n)
+        frontier.persist()
+        if level % _CHECKPOINT_EVERY == 0:
+            # cut BOTH lineages: levels grows by union, and the
+            # frontier plan nests every previous level's plan —
+            # without this the driver spends minutes in
+            # generateTreeString on deep trees
+            levels.checkpoint(compact=True)
+            frontier.checkpoint()
     adj.unpersist()
     return levels
 
@@ -164,30 +141,25 @@ def bfs_level(A: GrMatrix, source: int) -> GrVector:
 def sssp(A: GrMatrix, source: int) -> GrVector:
     """Single-source shortest paths, min_plus to fixpoint (reference SSSP
     loop in notebooks/Examples.ipynb). Frontier = vertices whose distance
-    improved last round (delta-relaxation).
-
-    Loop shuffles are sized by `_state_partitions` (see there) — the
-    per-iteration state is bounded by the vertex dimension, not the data
-    volume, and fixed-32-task stages dominate small/medium graphs."""
+    improved last round (delta-relaxation)."""
     n = A.nrows
     adj = _prep_adjacency(A)
     Aprep = GrMatrix(adj, A.dtype, A.nrows, A.ncols)
-    with _state_partitions(n):
-        dist = GrVector.from_values([source], [0.0], size=n, dtype=FP64)
-        frontier = dist.dup()
-        it = 0
-        while frontier.nvals > 0:
-            it += 1
-            cand = frontier.vxm(Aprep, semiring.min_plus).new()
-            imp_df = _improved(cand.df, dist.df)
-            frontier = GrVector(imp_df, FP64, n)
-            frontier.persist()
-            if frontier.nvals == 0:
-                break
-            dist = GrVector(_merge_min(dist.df, frontier.df), FP64, n)
-            if it % _CHECKPOINT_EVERY == 0:
-                dist.checkpoint(compact=True)
-                frontier.checkpoint()
+    dist = GrVector.from_values([source], [0.0], size=n, dtype=FP64)
+    frontier = dist.dup()
+    it = 0
+    while frontier.nvals > 0:
+        it += 1
+        cand = frontier.vxm(Aprep, semiring.min_plus).new()
+        imp_df = _improved(cand.df, dist.df)
+        frontier = GrVector(imp_df, FP64, n)
+        frontier.persist()
+        if frontier.nvals == 0:
+            break
+        dist = GrVector(_merge_min(dist.df, frontier.df), FP64, n)
+        if it % _CHECKPOINT_EVERY == 0:
+            dist.checkpoint(compact=True)
+            frontier.checkpoint()
     adj.unpersist()
     return dist
 
@@ -210,29 +182,28 @@ def connected_components(A: GrMatrix) -> GrVector:
     if own_raw:
         raw.unpersist()
     Aprep = GrMatrix(adj, Asym.dtype, n, n)
-    with _state_partitions(n):
-        labels_df = spark.range(n).select(F.col("id").alias("i"),
-                                          F.col("id").cast("bigint").alias("v"))
-        labels = GrVector(labels_df, INT64, n)
+    labels_df = spark.range(n).select(F.col("id").alias("i"),
+                                      F.col("id").cast("bigint").alias("v"))
+    labels = GrVector(labels_df, INT64, n)
+    labels.persist()
+    changed = labels
+    it = 0
+    while changed.nvals > 0:
+        it += 1
+        # candidate label for j = min over in-neighbors i of label[i]
+        cand = changed.vxm(Aprep, semiring.min_first).new()
+        imp_df = _improved(cand.df, labels.df)
+        changed = GrVector(imp_df, INT64, n)
+        changed.persist()
+        if changed.nvals == 0:
+            break
+        old = labels
+        labels = GrVector(_merge_min(labels.df, changed.df), INT64, n)
         labels.persist()
-        changed = labels
-        it = 0
-        while changed.nvals > 0:
-            it += 1
-            # candidate label for j = min over in-neighbors i of label[i]
-            cand = changed.vxm(Aprep, semiring.min_first).new()
-            imp_df = _improved(cand.df, labels.df)
-            changed = GrVector(imp_df, INT64, n)
-            changed.persist()
-            if changed.nvals == 0:
-                break
-            old = labels
-            labels = GrVector(_merge_min(labels.df, changed.df), INT64, n)
-            labels.persist()
-            if it % _CHECKPOINT_EVERY == 0:
-                labels.checkpoint(compact=True)
-                changed.checkpoint()
-            old.unpersist()
+        if it % _CHECKPOINT_EVERY == 0:
+            labels.checkpoint(compact=True)
+            changed.checkpoint()
+        old.unpersist()
     adj.unpersist()
     return labels
 
@@ -264,37 +235,36 @@ def pagerank(A: GrMatrix, damping: float = 0.85, max_iters: int = 20,
     has_out = outdeg.select("i").persist()
     has_out.count()
     base = (1.0 - damping) / n
-    with _state_partitions(n):
-        r = nodes.select("i", F.lit(1.0 / n).alias("v")).persist()
-        for it in range(max_iters):
-            dangling_df = (r.join(has_out, on="i", how="left_anti")
-                            .agg((F.coalesce(F.sum("v"), F.lit(0.0)) / n)
-                                 .alias("_dang")))
-            contrib = (P.alias("P")
-                        .join(r.alias("r"), F.col("P.i") == F.col("r.i"))
-                        .select(F.col("P.j").alias("i"),
-                                (F.col("P.v") * F.col("r.v")).alias("c"))
-                        .groupBy("i").agg(F.sum("c").alias("s")))
-            r_new = (nodes.join(contrib, on="i", how="left_outer")
-                          .crossJoin(dangling_df)
-                          .select("i",
-                                  (F.lit(base)
-                                   + F.lit(damping)
-                                   * (F.coalesce(F.col("s"), F.lit(0.0))
-                                      + F.col("_dang"))).alias("v")))
-            r_new = r_new.localCheckpoint(eager=True)
-            if tol > 0:
-                # convergence check = the ONLY per-iteration driver action;
-                # skipped entirely for fixed-iteration runs (tol=0)
-                delta = (r_new.alias("a").join(r.alias("b"), on="i")
-                              .agg(F.sum(F.abs(F.col("a.v") - F.col("b.v"))))
-                              .collect()[0][0])
-            else:
-                delta = None
-            r.unpersist()
-            r = r_new
-            if tol > 0 and delta is not None and delta < tol:
-                break
+    r = nodes.select("i", F.lit(1.0 / n).alias("v")).persist()
+    for it in range(max_iters):
+        dangling_df = (r.join(has_out, on="i", how="left_anti")
+                        .agg((F.coalesce(F.sum("v"), F.lit(0.0)) / n)
+                             .alias("_dang")))
+        contrib = (P.alias("P")
+                    .join(r.alias("r"), F.col("P.i") == F.col("r.i"))
+                    .select(F.col("P.j").alias("i"),
+                            (F.col("P.v") * F.col("r.v")).alias("c"))
+                    .groupBy("i").agg(F.sum("c").alias("s")))
+        r_new = (nodes.join(contrib, on="i", how="left_outer")
+                      .crossJoin(dangling_df)
+                      .select("i",
+                              (F.lit(base)
+                               + F.lit(damping)
+                               * (F.coalesce(F.col("s"), F.lit(0.0))
+                                  + F.col("_dang"))).alias("v")))
+        r_new = r_new.localCheckpoint(eager=True)
+        if tol > 0:
+            # convergence check = the ONLY per-iteration driver action;
+            # skipped entirely for fixed-iteration runs (tol=0)
+            delta = (r_new.alias("a").join(r.alias("b"), on="i")
+                          .agg(F.sum(F.abs(F.col("a.v") - F.col("b.v"))))
+                          .collect()[0][0])
+        else:
+            delta = None
+        r.unpersist()
+        r = r_new
+        if tol > 0 and delta is not None and delta < tol:
+            break
     has_out.unpersist()
     P.unpersist()
     if own_adj:
