@@ -18,6 +18,7 @@ from .core import (GrMatrix, GrScalar, GrVector, Matrix, Scalar,
 from .dtypes import lookup_dtype
 from .exceptions import (DimensionMismatch, EmptyObject, GrblasSparkException,
                          IndexOutOfBound, OutputNotEmpty)
+from .expr import replace
 from .mask import (ComplementedStructuralMask, ComplementedValueMask,
                    StructuralMask, ValueMask)
 from .operators import (agg, binary, from_string, get_semiring,
@@ -35,7 +36,7 @@ __all__ = [
     "get_typed_op", "from_string", "register_unary", "register_binary",
     "register_monoid", "register_semiring",
     "StructuralMask", "ValueMask", "ComplementedStructuralMask",
-    "ComplementedValueMask",
+    "ComplementedValueMask", "replace",
     "GrblasSparkException", "DimensionMismatch", "OutputNotEmpty",
     "IndexOutOfBound", "EmptyObject",
 ]

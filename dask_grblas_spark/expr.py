@@ -88,6 +88,22 @@ class Expr:
         raise TypeError("Cannot assign into an expression; use obj << expr")
 
 
+class _ReplaceSentinel:
+    """The grblas ``replace`` singleton: passable positionally to
+    ``obj(...)`` descriptors (reference test_resolving.py:83-86)."""
+
+    def __bool__(self):
+        return True
+
+    def __repr__(self):
+        return "replace"
+
+    __str__ = __repr__
+
+
+replace = _ReplaceSentinel()
+
+
 class Updater:
     """Carries the output descriptor (mask, accum, replace, input_mask)
     created by ``obj(...)`` call syntax (reference base.py:141-177)."""
@@ -103,15 +119,17 @@ class Updater:
                 accum = accum.binaryop
             if not isinstance(accum, BinaryOp):
                 raise TypeError(f"Invalid accum: {accum!r}")
+        if replace and mask is None and input_mask is None:
+            # grblas contract (reference test_resolving.py:71-80): replace
+            # is a mask-scoped deletion directive; without a mask it would
+            # silently wipe the target
+            raise TypeError(
+                "'replace' argument may only be True if a mask is provided")
         self.parent = parent
         self.mask = mask
         self.accum = accum
-        self.replace = replace
+        self.replace = bool(replace)
         self.input_mask = input_mask
-        if replace and mask is None and input_mask is None:
-            # GraphBLAS: replace without a mask is legal (clears first);
-            # semantically C becomes exactly the new result — handled below.
-            pass
 
     # -- plumbing ----------------------------------------------------------
     def _accum_fn(self):
@@ -278,18 +296,19 @@ class Assigner:
         self.update(obj)
 
 
-def _normalize_call_args(args, mask, accum, replace):
+def _normalize_call_args(args, mask, accum, replace_):
     """Positional mask/accum/replace normalization (reference
-    base.py:141-177 accepts them in flexible positions)."""
+    base.py:141-177 accepts them in flexible positions, including the
+    ``replace`` sentinel)."""
     for a in args:
         if isinstance(a, Mask):
             if mask is not None:
-                raise TypeError("mask given twice")
+                raise TypeError("got multiple values for argument 'mask'")
             mask = a
-        elif isinstance(a, bool):
-            replace = a
+        elif isinstance(a, (bool, _ReplaceSentinel)):
+            replace_ = bool(a)
         elif a is not None:
             if accum is not None:
-                raise TypeError("accum given twice")
+                raise TypeError("got multiple values for argument 'accum'")
             accum = a
-    return mask, accum, replace
+    return mask, accum, replace_

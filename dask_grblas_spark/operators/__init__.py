@@ -60,6 +60,15 @@ class _Op:
         # tests/from_grblas2/test_op.py:24-28
         return f"{self._ns}.{self.name}"
 
+    def __getitem__(self, dtype):
+        """grblas typed-op indexing (``binary.plus["INT64"]``). Here
+        typing happens when the op is compiled against its operand
+        columns, so indexing validates the dtype and returns the op —
+        every call path then resolves the same way the typed grblas op
+        would (reference test_resolving.py:117-123)."""
+        lookup_dtype(dtype)
+        return self
+
 
 class UnaryOp(_Op):
     __slots__ = ("_build", "_out_dtype", "positional")

@@ -34,7 +34,10 @@ def _pushdown(pairs: DataFrame, keys: list[str], mask) -> DataFrame:
     billion-key mask would be a 100x-scale driver OOM."""
     if mask is None:
         return pairs
+    from .merge import check_mask_keys
+
     mask_keys, complement = mask
+    check_mask_keys(mask_keys, keys)
     how = "left_anti" if complement else "left_semi"
     return pairs.join(mask_keys, on=keys, how=how)
 

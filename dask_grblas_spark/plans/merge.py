@@ -58,9 +58,20 @@ def union_merge(a_df: DataFrame, b_df: DataFrame, keys: list[str],
     return j.select(*out_keys, val.alias(value_col))
 
 
+def check_mask_keys(mask_keys: DataFrame, keys: list[str]):
+    """A mask's key columns must be exactly the target's keys — a Matrix
+    mask applied to a Vector output would otherwise semi-join on the row
+    key alone and silently pass wrong rows (grblas raises; reference
+    test_resolving.py:102-115)."""
+    if set(mask_keys.columns) != set(keys):
+        want = "Vector" if len(keys) == 1 else "Matrix"
+        raise TypeError(f"Mask object must be type {want}")
+
+
 def apply_mask(df: DataFrame, keys: list[str], mask_keys: DataFrame,
                complement: bool, keep_pass: bool = True) -> DataFrame:
     """Keep rows passing (keep_pass) or failing (not keep_pass) the mask."""
+    check_mask_keys(mask_keys, keys)
     semi = complement == (not keep_pass)  # XOR
     how = "left_semi" if semi else "left_anti"
     return df.join(mask_keys, on=keys, how=how)

@@ -125,6 +125,10 @@ def test_assign_descriptor_grid(v, vm, mask_idx, replace):
     idx = [0, 2, 4]
     obj_data = {0: 111, 2: 333}  # pos coords; pos1 (->tgt 2) empty
     u = v.dup()
+    if replace and engine_mask is None:
+        with pytest.raises(TypeError, match="only be True if a mask"):
+            u(mask=None, replace=True)
+        return
     u(mask=engine_mask, replace=replace)[idx] = \
         gb.Vector.from_values(list(obj_data), list(obj_data.values()), size=3)
     new_in_tgt = {idx[p]: x for p, x in obj_data.items()}
@@ -145,6 +149,10 @@ def test_subassign_descriptor_grid(v, mask_idx, replace):
     idx = [0, 2, 4]
     obj_data = {0: 111, 1: 222}
     u = v.dup()
+    if replace and engine_mask is None:
+        with pytest.raises(TypeError, match="only be True if a mask"):
+            u[idx](mask=None, replace=True)
+        return
     u[idx](mask=engine_mask, replace=replace) << \
         gb.Vector.from_values(list(obj_data), list(obj_data.values()), size=3)
     new_in_tgt = {idx[p]: x for p, x in obj_data.items()}

@@ -103,6 +103,11 @@ def test_masked_update_descriptor_grid(w, v, vm, accum, replace, mask_idx):
     """The full descriptor cross-product for plain update (SURVEY A2)."""
     engine_mask, model_keys, complement = mask_variants(vm, VM_DATA)[mask_idx]
     target = w.dup()
+    if replace and engine_mask is None:
+        # grblas contract: replace requires a mask (test_resolving port)
+        with pytest.raises(TypeError, match="only be True if a mask"):
+            target(mask=None, accum=accum, replace=True)
+        return
     target(mask=engine_mask, accum=accum, replace=replace) << v
     exp = model.merge(W_DATA, V_DATA,
                       accum=(lambda a, b: a + b) if accum else None,
