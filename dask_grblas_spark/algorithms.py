@@ -35,7 +35,6 @@ from pyspark.sql import functions as F
 from .core import GrMatrix, GrVector, get_session
 from .dtypes import FP64, INT64
 from .operators import semiring
-from .plans import matmul as matmul_plans
 
 __all__ = ["bfs_level", "sssp", "connected_components", "pagerank",
            "triangle_count", "symmetrize"]

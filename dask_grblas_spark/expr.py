@@ -20,9 +20,8 @@ from .dtypes import GbType, lookup_dtype
 from .exceptions import DimensionMismatch
 from .mask import Mask, resolve_mask
 from .operators import BinaryOp, Monoid, get_typed_op
-from .plans import assign as assign_plans
 from .plans import extract as extract_plans
-from .plans.merge import apply_mask, merge_into, union_merge
+from .plans.merge import apply_mask, merge_into
 
 
 def _scalar_merge(old_df, new_df, combine):
