@@ -90,28 +90,41 @@ def _ensure_cached(df: DataFrame) -> tuple[DataFrame, bool]:
     return df, True
 
 
-def _prep_adjacency(A: GrMatrix) -> DataFrame:
+def _prep_adjacency(A: GrMatrix) -> tuple[DataFrame, bool]:
     """Hash-partition the adjacency by source vertex ONCE, with the
     partition count sized by the measured edge count (~1M edges/partition)
     rather than the session's `shuffle.partitions`: a 625-edge graph gets
     1 partition (32 near-empty task launches per stage would dominate a
     fixpoint loop that runs dozens of stages), a 10^9-edge graph gets
-    1000. Every iteration's join then reuses this exchange."""
+    1000. Every iteration's join then reuses this exchange.
+
+    Returns (adjacency, owned): when the input is ALREADY a cached small
+    relation, it is reused as-is (owned=False — the caller must not
+    unpersist a cache it shares with others): frontier sides broadcast,
+    so source-vertex partitioning is only a locality optimization for the
+    huge-frontier shuffle-join path, worthless below one partition's
+    worth of edges."""
     base, own_base = _ensure_cached(A.df)
     nvals = base.count()
     k = max(1, -(-nvals // _EDGE_ROWS_PER_PARTITION))
+    try:
+        base_parts = base.rdd.getNumPartitions()
+    except Exception:
+        base_parts = None
+    if k == 1 and base_parts is not None and base_parts <= 4:
+        return base, own_base
     adj = base.repartition(k, "i").persist()
     adj.count()
     if own_base:
         base.unpersist()
-    return adj
+    return adj, True
 
 
 def bfs_level(A: GrMatrix, source: int) -> GrVector:
     """Level-synchronous BFS: frontier vxm with the any_pair semiring,
     complement-mask pushdown keeps visited vertices out of the join."""
     n = A.nrows
-    adj = _prep_adjacency(A)
+    adj, own_adj = _prep_adjacency(A)
     Aprep = GrMatrix(adj, A.dtype, A.nrows, A.ncols)
     levels = GrVector.from_values([source], [0], size=n, dtype=INT64)
     frontier = levels.dup()
@@ -133,7 +146,8 @@ def bfs_level(A: GrMatrix, source: int) -> GrVector:
             # generateTreeString on deep trees
             levels.checkpoint(compact=True)
             frontier.checkpoint()
-    adj.unpersist()
+    if own_adj:
+        adj.unpersist()
     return levels
 
 
@@ -142,7 +156,7 @@ def sssp(A: GrMatrix, source: int) -> GrVector:
     loop in notebooks/Examples.ipynb). Frontier = vertices whose distance
     improved last round (delta-relaxation)."""
     n = A.nrows
-    adj = _prep_adjacency(A)
+    adj, own_adj = _prep_adjacency(A)
     Aprep = GrMatrix(adj, A.dtype, A.nrows, A.ncols)
     dist = GrVector.from_values([source], [0.0], size=n, dtype=FP64)
     frontier = dist.dup()
@@ -159,7 +173,8 @@ def sssp(A: GrMatrix, source: int) -> GrVector:
         if it % _CHECKPOINT_EVERY == 0:
             dist.checkpoint(compact=True)
             frontier.checkpoint()
-    adj.unpersist()
+    if own_adj:
+        adj.unpersist()
     return dist
 
 
@@ -177,7 +192,7 @@ def connected_components(A: GrMatrix) -> GrVector:
     # plan branches, and Spark does not dedupe the underlying fact join
     raw, own_raw = _ensure_cached(A.df)
     Asym = symmetrize(GrMatrix(raw, A.dtype, A.nrows, A.ncols))
-    adj = _prep_adjacency(Asym)
+    adj, own_adj = _prep_adjacency(Asym)
     if own_raw:
         raw.unpersist()
     Aprep = GrMatrix(adj, Asym.dtype, n, n)
@@ -203,7 +218,8 @@ def connected_components(A: GrMatrix) -> GrVector:
             labels.checkpoint(compact=True)
             changed.checkpoint()
         old.unpersist()
-    adj.unpersist()
+    if own_adj:
+        adj.unpersist()
     return labels
 
 

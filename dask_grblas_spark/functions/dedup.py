@@ -114,6 +114,11 @@ def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str,
     # whole tokenize+shingle+hash pipeline into each downstream consumer
     # (q32 alone derives 32 minhash expressions from hs — inlining would
     # re-run the pipeline 32x per row)
+    # (A shared repartition("id") exchange for cross-branch reuse was
+    # tried and measured SLOWER: per-branch column pruning specializes
+    # each exchange's child schema, defeating ReuseExchange, so every
+    # branch paid the shuffle on top of the map work. Re-evaluating the
+    # map-side pipeline per branch is the cheaper plan.)
     return (base.select("id", F.explode(F.array(hs)).alias("hs"))
                 .select("id", "hs", F.size("hs").alias("sz"))
                 .filter(F.col("sz") > 0))
