@@ -1049,6 +1049,13 @@ Vector = GrVector
 Matrix = GrMatrix
 Scalar = GrScalar
 
+# python-graphblas (2022+) spellings of the COO constructors/exports —
+# the API the reference's grblas dependency later renamed to
+GrVector.from_coo = GrVector.from_values
+GrVector.to_coo = GrVector.to_values
+GrMatrix.from_coo = GrMatrix.from_values
+GrMatrix.to_coo = GrMatrix.to_values
+
 
 # ===========================================================================
 # shared helpers

@@ -1,5 +1,6 @@
 """Large-scale training-data pipeline operators (post-parity extensions):
 text analysis, deduplication (exact / n-gram Jaccard / MinHash-LSH /
-SimHash / embedding), similarity search, multimodal column plumbing."""
+SimHash / embedding), similarity search, multimodal column plumbing,
+deterministic sampling / train-val-test splits."""
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import dedup, multimodal, sampling, similarity, text  # noqa: F401
