@@ -299,6 +299,11 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
             f"max_hamming must be in [0, {_SIMHASH_BITS - 1}] for "
             f"{_SIMHASH_BITS}-bit simhash")
     sig = simhash(df, id_col, text_col)
+    if SHARE_SETS:
+        # both sides of the band self-join consume the signature
+        # relation; share one computed copy (64 aggregate expressions
+        # over every token — see _doc_shingle_sets for the trade-off)
+        sig = sig.localCheckpoint(eager=False)
     n_bands = max_hamming + 1
     base_w, rem = divmod(_SIMHASH_BITS, n_bands)
     bands = []
