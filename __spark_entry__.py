@@ -655,14 +655,18 @@ def q31_ngram_jaccard(spark, sf_dir):
 
 
 def q32_minhash_lsh(spark, sf_dir):
-    """Probabilistic candidate recall -> rows-only driver check."""
+    """MinHash LSH on cross-engine hashes (md5-derived + fixed LCG
+    family): the DuckDB oracle replays the exact banding, so candidate
+    generation AND verification are both hard-checked."""
     return dedup.minhash_lsh_pairs(_doc(spark, sf_dir), n=3, threshold=0.2,
                                    num_hashes=32, bands=16) \
         .select("id_a", "id_b", "jaccard")
 
 
 def q33_simhash(spark, sf_dir):
-    """Murmur3-based signatures are Spark-internal -> rows-only check."""
+    """SimHash on cross-engine md5-derived token hashes. The oracle is
+    the BRUTE-FORCE hamming ball, so a hash match also proves the
+    pigeonhole banding recalls every pair within max_hamming."""
     return dedup.simhash_pairs(_doc(spark, sf_dir), max_hamming=6) \
         .select("id_a", "id_b", "hamming")
 
@@ -1333,6 +1337,92 @@ def oracle_sql() -> dict[str, str]:
         FROM s GROUP BY 1, 2
     """
     sql["q41b_streaming_sessionize"] = sql["q41_sessionize"]
+    # q32/q33: MinHash-LSH and SimHash run on md5-derived hashes
+    # (dedup.cross_hash60 / the fixed LCG family), which DuckDB computes
+    # bit-identically — so even the PROBABILISTIC pipelines get hard
+    # differential oracles. q32's oracle replays the exact banding; q33's
+    # oracle is the BRUTE-FORCE hamming ball, so a pass also proves the
+    # pigeonhole banding loses no pair within max_hamming.
+    from dask_grblas_spark.functions.dedup import (MINHASH_AB, MINHASH_P,
+                                                   _SIMHASH_BITS)
+
+    num_hashes, bands_n, rows_per_band = 32, 16, 2
+    min_cols = ",\n                 ".join(
+        f"MIN(({a} * h32 + {b}) % {MINHASH_P}) AS m{s}"
+        for s, (a, b) in zip(range(num_hashes), MINHASH_AB))
+    band_joins = "\n          UNION ALL\n".join(
+        "          SELECT a.id AS id_a, b.id AS id_b FROM mins a "
+        "JOIN mins b ON a.id < b.id AND "
+        + " AND ".join(f"a.m{s} = b.m{s}"
+                       for s in range(bb * rows_per_band,
+                                      (bb + 1) * rows_per_band))
+        for bb in range(bands_n))
+    sql["q32_minhash_lsh"] = rf"""
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(
+                   list_transform(
+                     range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                     p -> array_to_string(
+                       regexp_split_to_array(trim(text), '\s+')[p+1:p+3], ' '))))
+                 AS shingle
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+        ), hashed AS (
+          SELECT id, ('0x' || substr(md5(shingle), 8, 8))::BIGINT AS h32,
+                 shingle
+          FROM sh
+        ), sizes AS (
+          SELECT id, COUNT(*) AS sz FROM sh GROUP BY 1
+        ), mins AS (
+          SELECT id,
+                 {min_cols}
+          FROM hashed GROUP BY id
+        ), cand AS (
+          SELECT DISTINCT id_a, id_b FROM (
+{band_joins}
+          )
+        ), inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) AS jaccard
+        FROM cand c
+        JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes sa ON sa.id = c.id_a
+        JOIN sizes sb ON sb.id = c.id_b
+        WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.2
+    """
+    vote_cols = ",\n                 ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SIMHASH_BITS))
+    sig_expr = "\n               + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(_SIMHASH_BITS))
+    sql["q33_simhash"] = rf"""
+        WITH tok AS (
+          SELECT doc_id AS id,
+                 ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                FROM documents)
+          WHERE len(t) > 0
+        ), votes AS (
+          SELECT id,
+                 {vote_cols}
+          FROM tok GROUP BY id
+        ), sig AS (
+          SELECT id,
+               CAST({sig_expr} AS BIGINT) AS s
+          FROM votes
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.id < b.id
+        WHERE bit_count(xor(a.s, b.s)) <= 6
+    """
     sql["q50_media_meta"] = """
         SELECT CAST(doc_id AS BIGINT) AS media_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

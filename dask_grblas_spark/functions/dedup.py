@@ -10,7 +10,7 @@ Scale design notes (100 TB):
 - minhash_lsh: candidate generation via banded MinHash signatures (join on
   (band_id, band_hash) buckets), then exact Jaccard verification of
   candidates only — the standard sub-quadratic near-dup pipeline.
-- simhash: 32-bit simhash, banded for candidate pairs, Hamming-verified.
+- simhash: 60-bit simhash, banded for candidate pairs, Hamming-verified.
 - embedding near-dup: cosine over candidate pairs from random-hyperplane
   LSH buckets (or brute-force below a size threshold).
 """
@@ -24,7 +24,45 @@ from .text import tokens
 
 __all__ = ["exact_dedup", "exact_dup_groups", "shingles", "ngram_jaccard_pairs",
            "minhash_signatures", "minhash_lsh_pairs", "simhash", "simhash_pairs",
-           "embedding_neardup_pairs"]
+           "embedding_neardup_pairs", "cross_hash60", "MINHASH_P",
+           "MINHASH_AB"]
+
+
+# ---- cross-engine hashing -------------------------------------------------
+#
+# All content hashing below is derived from md5, NOT Spark's internal
+# murmur3/xxhash64: md5 is bit-identical across engines (Spark, DuckDB,
+# Python), which makes every probabilistic pipeline (MinHash, SimHash)
+# DIFFERENTIALLY TESTABLE against an independent SQL oracle instead of
+# "rows-only" checked. The 60-bit truncation (15 hex chars) keeps the
+# value a positive BIGINT in every engine — no signed-overflow edge cases.
+
+def cross_hash60(col) -> F.Column:
+    """Cross-engine 60-bit content hash: first 15 hex chars of md5 as a
+    positive bigint. DuckDB equivalent:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+#: modulus for the MinHash LCG family (Mersenne prime 2^61-1): with
+#: multipliers < 2^29 and 32-bit inputs every intermediate stays < 2^62,
+#: inside signed-64 range for BOTH Spark and DuckDB (which raises on
+#: overflow rather than wrapping).
+MINHASH_P = (1 << 61) - 1
+
+
+def _minhash_constants(k: int = 64) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0x5EED)
+    return [(rng.randrange(1, 1 << 29), rng.randrange(0, MINHASH_P))
+            for _ in range(k)]
+
+
+#: (a_s, b_s) per MinHash function: h_s(x) = (a_s * x32 + b_s) mod P over
+#: the lower 32 bits of the shingle's cross_hash60. Fixed seed so the
+#: oracle SQL generated from the same table is deterministic.
+MINHASH_AB = _minhash_constants()
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -86,11 +124,11 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
 
 def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str,
                       n: int) -> DataFrame:
-    """(id, hs: array of distinct 64-bit shingle hashes, sz).
+    """(id, hs: array of distinct 60-bit shingle hashes, sz).
 
     ZERO-shuffle: shingles are a per-document property, so the whole
     shingle→dedup→hash pipeline is ONE whole-stage-codegen'd projection
-    over each document row (transform/array_distinct/xxhash64) — no
+    over each document row (transform/array_distinct/cross_hash60) — no
     groupBy, no exchange, and crucially no ObjectHashAggregate
     (collect_set/collect_list aggregates fall back to sort-based
     aggregation beyond a small key threshold, which is the slow path a
@@ -99,9 +137,10 @@ def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str,
     1-row-per-doc relation; re-evaluating it per consumer costs only the
     map-side scan, never a shuffle.
 
-    64-bit hashing makes downstream set ops (array_intersect) exact up to
-    collision probability ~|union|^2/2^64 — negligible for real document
-    shingle counts."""
+    60-bit hashing makes downstream set ops (array_intersect) exact up to
+    collision probability ~|union|^2/2^60 — negligible for real document
+    shingle counts — while staying reproducible in any engine with md5
+    (see cross_hash60)."""
     toks = tokens(F.col(text_col))
     # token array as its own projection so the lambda below reads a plain
     # row attribute, never an inlined split() re-evaluated per element
@@ -114,7 +153,7 @@ def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str,
             f"transform(sequence(0, greatest(size(_toks) - {n}, -1)), "
             f"p -> array_join(slice(_toks, p + 1, {n}), ' '))"))
     hs = F.transform(F.filter(sh_arr, lambda x: F.length(x) > 0),
-                     lambda x: F.xxhash64(x))
+                     cross_hash60)
     # explode(array(.)) is a deliberate Generate BARRIER: `hs` becomes a
     # generator-output attribute, so CollapseProject can never inline the
     # whole tokenize+shingle+hash pipeline into each downstream consumer
@@ -194,13 +233,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def _minhash_wide(sets: DataFrame, num_hashes: int) -> DataFrame:
     """(id, hs, sz, m0..m{k-1}): k MinHash values computed per document
-    from its compact shingle-hash array (_doc_shingle_sets) — k seeded
-    murmur3 re-hashes inside `transform` + `array_min`, all JVM-side on a
-    1-row-per-doc relation. No row blowup (the k seeds become k
+    from its compact shingle-hash array (_doc_shingle_sets) — k LCG
+    re-hashes ``(a_s * x32 + b_s) mod P`` over the lower 32 bits of each
+    shingle hash, inside `transform` + `array_min`, all JVM-side on a
+    1-row-per-doc relation. No row blowup (the k (a, b) pairs become k
     expressions per doc row, not k rows), no extra pass over the exploded
-    shingle relation."""
-    mins = [F.expr(f"array_min(transform(hs, x -> hash(x, {s}L)))")
-            .alias(f"m{s}") for s in range(num_hashes)]
+    shingle relation — and the LCG family (unlike seeded murmur3) is
+    reproducible in plain SQL, so the whole LSH pipeline oracles."""
+    if num_hashes > len(MINHASH_AB):
+        raise ValueError(f"num_hashes > {len(MINHASH_AB)} not provisioned")
+    mins = [F.expr(f"array_min(transform(hs, x -> "
+                   f"({a}L * (x % 4294967296L) + {b}L) % {MINHASH_P}L))")
+            .alias(f"m{s}") for s, (a, b) in
+            zip(range(num_hashes), MINHASH_AB)]
     return sets.select("id", "hs", "sz", *mins)
 
 
@@ -208,9 +253,9 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3,
                        num_hashes: int = 32) -> DataFrame:
     """MinHash signatures (id, seed, minhash): k independent hash
-    functions realized as Spark's Murmur3 hash with k seeds. Computed as
-    wide per-doc columns then unpivoted — k× cheaper than exploding a
-    seed dimension through the shuffle."""
+    functions realized as an LCG family over cross-engine 32-bit shingle
+    hashes. Computed as wide per-doc columns then unpivoted — k× cheaper
+    than exploding a seed dimension through the shuffle."""
     wide = _minhash_wide(_doc_shingle_sets(df, id_col, text_col, n),
                          num_hashes)
     arr = F.array(*[F.col(f"m{s}") for s in range(num_hashes)])
@@ -227,10 +272,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     Output: (id_a, id_b, jaccard) pairs with verified jaccard >= threshold.
     (Probabilistic recall from banding; precision exact via verification.)"""
     rows_per_band = num_hashes // bands
-    # Band hashes straight off the wide (id, m0..m{k-1}) row: each band
-    # hashes its fixed slice of min columns — deterministic by
-    # construction (column order is static, no shuffle-order dependence),
-    # and the only explode is `bands` rows per doc.
+    # Band keys straight off the wide (id, m0..m{k-1}) row: each band is
+    # the EXACT tuple (array) of its slice of min columns — deterministic
+    # by construction (column order is static, no shuffle-order
+    # dependence), joinable as an equality key (Spark hash-joins array
+    # keys), reproducible in the SQL oracle, and immune to band-hash
+    # collisions; the only explode is `bands` rows per doc.
     sets = _doc_shingle_sets(df, id_col, text_col, n)
     wide = _minhash_wide(sets, num_hashes)
     band_cols = []
@@ -238,15 +285,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     while b * rows_per_band < num_hashes:
         lo = b * rows_per_band
         hi = min(lo + rows_per_band, num_hashes)
-        band_cols.append(
-            F.hash(*[F.col(f"m{s}") for s in range(lo, hi)]).cast("bigint"))
+        band_cols.append(F.array(*[F.col(f"m{s}") for s in range(lo, hi)]))
         b += 1
     banded = wide.select(
-        "id", F.posexplode(F.array(*band_cols)).alias("band", "bandhash"))
+        "id", F.posexplode(F.array(*band_cols)).alias("band", "bandkey"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bandhash") == F.col("b.bandhash"))
+                   & (F.col("a.bandkey") == F.col("b.bandkey"))
                    & (F.col("a.id") < F.col("b.id")))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
              .distinct())
@@ -256,23 +302,25 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     return _jaccard_from_sets(cand, sets, threshold)
 
 
-_SIMHASH_BITS = 64
+_SIMHASH_BITS = 60
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per bit position, sum of
-    +-1 votes from each token's xxhash64; bit set where the vote is
-    positive. explode + single groupBy with 64 conditional-sum aggregates
-    (all map-side combinable). 64 bits (not 32) so the banded candidate
-    join stays selective at corpus scale: with max_hamming=3 each band
-    carries 16 bits -> 65,536 bucket values, where a 32-bit signature's
-    8-bit bands (256 values) degrade toward all-pairs."""
+    """60-bit SimHash over whitespace tokens: per bit position, sum of
+    +-1 votes from each token's cross_hash60; bit set where the vote is
+    positive. explode + single groupBy with 60 conditional-sum aggregates
+    (all map-side combinable). Wide signatures (not 32-bit) keep the
+    banded candidate join selective at corpus scale: with max_hamming=3
+    each band carries 15 bits -> 32,768 bucket values, where a 32-bit
+    signature's 8-bit bands (256 values) degrade toward all-pairs; 60
+    bits (vs 64) keeps the signature a positive bigint reproducible by
+    the md5-based SQL oracle with no signed-overflow edge."""
     toks = (_spread_small_input(df)
               .select(F.col(id_col).alias("id"),
                       F.explode(tokens(F.col(text_col))).alias("t"))
               .filter(F.length("t") > 0)
-              .withColumn("h", F.xxhash64("t")))
+              .withColumn("h", cross_hash60(F.col("t"))))
     aggs = []
     for b in range(_SIMHASH_BITS):
         bit = F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))
@@ -280,7 +328,6 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     votes = toks.groupBy("id").agg(*aggs)
     sig = F.lit(0).cast("bigint")
     for b in range(_SIMHASH_BITS):
-        # shiftleft(1L, b) builds the bit-63 mask without literal overflow
         sig = sig.bitwiseOR(
             F.when(F.col(f"b{b}") > 0,
                    F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(0))
@@ -289,7 +336,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup candidates by SimHash: band the 64 bits into
+    """Near-dup candidates by SimHash: band the 60 bits into
     ``max_hamming + 1`` chunks (pigeonhole: a pair within max_hamming
     differing bits must share at least one exact chunk — the band count is
     DERIVED from the requested distance so recall is guaranteed for any

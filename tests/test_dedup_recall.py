@@ -2,14 +2,16 @@
 pipelines (q32 minhash, q33 simhash, q36 IVF) — the driver's rows-only
 check proves these RUN; these tests prove they FIND what they must find.
 
-All pipelines are deterministic given Spark's murmur3/xxhash64 (no RNG at
-runtime), so every assertion is reproducible:
+All pipelines are deterministic given the cross-engine md5-derived hash
+family (dedup.cross_hash60 — no RNG at runtime), so every assertion is
+reproducible:
 - simhash banding recall is GUARANTEED by pigeonhole (band count derived
   from max_hamming) — the pipeline must return EXACTLY the brute-force
   pair set within the Hamming bound.
 - minhash banding on an exact duplicate always collides (identical
-  signatures); the planted near-dup (jaccard ~0.95) collides with
-  probability 1 - (1 - 0.95^4)^8 ~ 1 - 1.4e-6 under fixed hashes, i.e.
+  signatures); the planted near-dup (3 of 48 shingles changed, jaccard
+  ~0.88) collides under the q32 gate config (bands=16, r=2) with
+  probability 1 - (1 - 0.88^2)^16 ~ 1 - 4e-11 under fixed hashes, i.e.
   the test outcome is a fixed function of the implementation.
 - IVF: an exact duplicate vector lands in the SAME cell as its twin and
   the query always probes its own cell, so the twin must surface at
@@ -50,7 +52,7 @@ def corpus(spark):
 
 
 def test_minhash_lsh_finds_planted_dups(spark, corpus):
-    got = dedup.minhash_lsh_pairs(corpus, threshold=0.8).collect()
+    got = dedup.minhash_lsh_pairs(corpus, threshold=0.8, bands=16).collect()
     pairs = {(r.id_a, r.id_b): r.jaccard for r in got}
     assert pairs.get((100, 101)) == 1.0
     assert (100, 102) in pairs and pairs[(100, 102)] >= 0.8
