@@ -682,7 +682,10 @@ def q35_cosine_topk(spark, sf_dir):
 
 
 def q36_ivf_ann(spark, sf_dir):
-    """IVF-bucketed ANN (probabilistic recall) -> rows-only check."""
+    """IVF-bucketed ANN. Every choice point (md5-hash centroid pick,
+    cell numbering, rounded-sim probe ranking with tie-breaks) is
+    deterministic, so the DuckDB oracle replays the exact pipeline —
+    approximate recall, but hard-checked output."""
     return similarity.ivf_topk(_emb(spark, sf_dir), k=5, n_cells=8, nprobe=3) \
         .select("query_id", "neighbor_id", "rank")
 
@@ -730,8 +733,11 @@ def q52_frame_sample(spark, sf_dir):
 
 
 def q51_media_features(spark, sf_dir):
-    """mapInPandas feature extraction (deterministic fake decode) ->
-    rows-only check (Pandas-UDF path has no SQL equivalent)."""
+    """mapInPandas feature extraction (deterministic fake decode). The
+    oracle hash-checks the Arrow plumbing end-to-end (one row per media
+    item, byte counts, feature dimensionality); the md5-seeded feature
+    VALUES have no SQL equivalent and are covered by
+    tests/test_multimodal.py instead."""
     media = multimodal.to_binary_table(_doc(spark, sf_dir))
     feats = multimodal.decode_features(media, dim=16)
     return feats.select("media_id", "n_bytes",
@@ -1422,6 +1428,56 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
         FROM sig a JOIN sig b ON a.id < b.id
         WHERE bit_count(xor(a.s, b.s)) <= 6
+    """
+    # q36: replays the deterministic IVF pipeline — same md5 centroid
+    # pick, same cell numbering, same rounded-sim rankings + tie-breaks
+    # as similarity.ivf_topk(k=5, n_cells=8, nprobe=3, seed=42)
+    sql["q36_ivf_ann"] = """
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cents AS (
+          SELECT CAST(row_number() OVER (ORDER BY hk, cid) AS BIGINT) - 1
+                   AS cell, cv
+          FROM (SELECT vec_id AS cid, v AS cv,
+                       ('0x' || substr(md5('42:' || vec_id), 1, 15))::BIGINT
+                         AS hk
+                FROM emb
+                ORDER BY hk, cid LIMIT 8)
+        ), assigned AS (
+          SELECT nid, nv, cell FROM (
+            SELECT e.vec_id AS nid, e.v AS nv, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                     c.cell) AS crank
+            FROM emb e CROSS JOIN cents c)
+          WHERE crank = 1
+        ), probes AS (
+          SELECT query_id, qv, cell FROM (
+            SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     ROUND(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                     c.cell) AS crank
+            FROM emb e CROSS JOIN cents c)
+          WHERE crank <= 3
+        ), scored AS (
+          SELECT p.query_id, a.nid,
+                 ROUND(list_cosine_similarity(p.qv, a.nv), 6) AS cosine
+          FROM probes p JOIN assigned a USING (cell)
+          WHERE p.query_id <> a.nid
+        )
+        SELECT query_id, nid AS neighbor_id,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT query_id, nid,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, nid) AS rank
+              FROM scored)
+        WHERE rank <= 5
+    """
+    sql["q51_media_features"] = """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(16 AS INT) AS feat_dim
+        FROM documents
     """
     sql["q50_media_meta"] = """
         SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -202,27 +202,44 @@ def ivf_topk(emb_df: DataFrame, k: int = 5, n_cells: int = 16,
              nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 42) -> DataFrame:
     """IVF-flat ANN: centroids = deterministic sample of the corpus
-    (hash-based pick, no RNG at runtime); each vector assigned to its
-    nearest centroid cell (broadcast join over centroids); each query
-    probes its nprobe nearest cells and ranks only those candidates.
+    (cross-engine md5-hash pick, no RNG at runtime); each vector assigned
+    to its nearest centroid cell (broadcast join over centroids); each
+    query probes its nprobe nearest cells and ranks only those
+    candidates. Every choice point (centroid pick, cell numbering, probe
+    ranking) is deterministic with explicit tie-breaks, so the whole
+    pipeline is reproducible in plain SQL and hard-oracled by the driver.
 
     At 100 TB: the cell assignment is one broadcast join + argmin over
     n_cells dot products; the search join hits ~nprobe/n_cells of the
     corpus instead of all of it."""
-    # deterministic "training": pick n_cells vectors by hash of id
-    cents = (emb_df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-                   .withColumn("hk", F.abs(F.hash(F.col("cid").cast("string"),
-                                                  F.lit(seed))))
-                   .orderBy("hk").limit(n_cells)
-                   .withColumn("cell", F.monotonically_increasing_id())
+    from .dedup import cross_hash60
+
+    # deterministic "training": the n_cells vectors with the smallest
+    # cross-engine hash of (seed, id); cell number = rank in that order
+    # (NOT monotonically_increasing_id, which depends on partitioning)
+    hk = cross_hash60(F.concat(F.lit(f"{seed}:"),
+                               F.col("cid").cast("string")))
+    w0 = Window.orderBy("hk", "cid")
+    cents = (emb_df.select(F.col(id_col).alias("cid"),
+                           F.col(vec_col).alias("cv"))
+                   .withColumn("hk", hk)
+                   .orderBy("hk", "cid").limit(n_cells)
+                   .withColumn("cell", F.row_number().over(w0) - 1)
                    .select("cell", "cv"))
     cents = F.broadcast(cents)
 
     def nearest_cells(df, vcol, n):
+        # rank on ROUNDED similarity with the cell id as tie-break: the
+        # raw double is engine-arithmetic-sensitive at the last ulp,
+        # which would make probe choice (and thus the result set)
+        # unreproducible outside Spark
         scored = (df.crossJoin(cents)
-                    .withColumn("sim", cosine_expr(F.col(vcol), F.col("cv")))
+                    .withColumn("sim",
+                                F.round(cosine_expr(F.col(vcol),
+                                                    F.col("cv")), 6))
                     .drop("cv"))
-        w = Window.partitionBy(df.columns[0]).orderBy(F.col("sim").desc())
+        w = Window.partitionBy(df.columns[0]).orderBy(F.col("sim").desc(),
+                                                      F.col("cell"))
         return (scored.withColumn("crank", F.row_number().over(w))
                       .filter(F.col("crank") <= n))
 
