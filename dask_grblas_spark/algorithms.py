@@ -75,6 +75,32 @@ def _merge_min(cur_df: DataFrame, imp_df: DataFrame) -> DataFrame:
 _EDGE_ROWS_PER_PARTITION = 1_000_000
 
 
+class _PersistPool:
+    """Tracks every DataFrame an iterative loop persists so the
+    algorithm can release ALL of them on exit. Spark's CacheManager
+    keeps cache entries until explicitly unpersisted — per-iteration
+    frontier/state persists that merely fall out of Python scope
+    accumulate across runs and degrade the whole session. Release only
+    after the RESULT has been eagerly checkpointed: until then its plan
+    may still read these caches."""
+
+    def __init__(self):
+        self._dfs = []
+
+    def persist(self, obj):
+        obj.persist()
+        self._dfs.append(obj.df)
+        return obj
+
+    def release(self):
+        for df in self._dfs:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._dfs.clear()
+
+
 def _ensure_cached(df: DataFrame) -> tuple[DataFrame, bool]:
     """Materialize a DataFrame once at the session's FULL shuffle
     parallelism if it is not already cached. Iterative algorithms consume
@@ -129,6 +155,7 @@ def bfs_level(A: GrMatrix, source: int) -> GrVector:
     levels = GrVector.from_values([source], [0], size=n, dtype=INT64)
     frontier = levels.dup()
     level = 0
+    pool = _PersistPool()
     while frontier.nvals > 0:
         level += 1
         cand = frontier.vxm(Aprep, semiring.any_pair)
@@ -137,8 +164,7 @@ def bfs_level(A: GrMatrix, source: int) -> GrVector:
         new_df = new_frontier.df.select(
             "i", F.lit(level).cast("bigint").alias("v"))
         levels = GrVector(levels.df.unionByName(new_df), INT64, n)
-        frontier = GrVector(new_df, INT64, n)
-        frontier.persist()
+        frontier = pool.persist(GrVector(new_df, INT64, n))
         if level % _CHECKPOINT_EVERY == 0:
             # cut BOTH lineages: levels grows by union, and the
             # frontier plan nests every previous level's plan —
@@ -146,6 +172,8 @@ def bfs_level(A: GrMatrix, source: int) -> GrVector:
             # generateTreeString on deep trees
             levels.checkpoint(compact=True)
             frontier.checkpoint()
+    levels.checkpoint(compact=True)
+    pool.release()
     if own_adj:
         adj.unpersist()
     return levels
@@ -161,18 +189,20 @@ def sssp(A: GrMatrix, source: int) -> GrVector:
     dist = GrVector.from_values([source], [0.0], size=n, dtype=FP64)
     frontier = dist.dup()
     it = 0
+    pool = _PersistPool()
     while frontier.nvals > 0:
         it += 1
         cand = frontier.vxm(Aprep, semiring.min_plus).new()
         imp_df = _improved(cand.df, dist.df)
-        frontier = GrVector(imp_df, FP64, n)
-        frontier.persist()
+        frontier = pool.persist(GrVector(imp_df, FP64, n))
         if frontier.nvals == 0:
             break
         dist = GrVector(_merge_min(dist.df, frontier.df), FP64, n)
         if it % _CHECKPOINT_EVERY == 0:
             dist.checkpoint(compact=True)
             frontier.checkpoint()
+    dist.checkpoint(compact=True)
+    pool.release()
     if own_adj:
         adj.unpersist()
     return dist
@@ -199,7 +229,8 @@ def connected_components(A: GrMatrix) -> GrVector:
     labels_df = spark.range(n).select(F.col("id").alias("i"),
                                       F.col("id").cast("bigint").alias("v"))
     labels = GrVector(labels_df, INT64, n)
-    labels.persist()
+    pool = _PersistPool()
+    pool.persist(labels)
     changed = labels
     it = 0
     while changed.nvals > 0:
@@ -207,17 +238,18 @@ def connected_components(A: GrMatrix) -> GrVector:
         # candidate label for j = min over in-neighbors i of label[i]
         cand = changed.vxm(Aprep, semiring.min_first).new()
         imp_df = _improved(cand.df, labels.df)
-        changed = GrVector(imp_df, INT64, n)
-        changed.persist()
+        changed = pool.persist(GrVector(imp_df, INT64, n))
         if changed.nvals == 0:
             break
         old = labels
-        labels = GrVector(_merge_min(labels.df, changed.df), INT64, n)
-        labels.persist()
+        labels = pool.persist(
+            GrVector(_merge_min(labels.df, changed.df), INT64, n))
         if it % _CHECKPOINT_EVERY == 0:
             labels.checkpoint(compact=True)
             changed.checkpoint()
         old.unpersist()
+    labels.checkpoint(compact=True)
+    pool.release()
     if own_adj:
         adj.unpersist()
     return labels

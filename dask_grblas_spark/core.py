@@ -227,10 +227,23 @@ class BaseType:
         unions concatenate partitions (32 per iteration), so task counts
         — and per-iteration wall clock — grow linearly without a
         periodic collapse; the AQE-sized shuffle resets them."""
+        old_df = self._df
         if compact:
             keys = [c for c in self._df.columns if c != "v"]
             self._df = self._df.repartition(*keys)
         self._df = self._df.localCheckpoint(eager=eager)
+        # An eager checkpoint supersedes any cache entry on the old plan,
+        # but Spark's CacheManager holds superseded entries FOREVER (it
+        # is keyed by plan, not GC'd) — release it here or every loop
+        # iteration leaks storage memory and the session degrades
+        # run-over-run. Lazy checkpoints must keep the cache: the
+        # materialization hasn't happened yet.
+        if eager:
+            try:
+                if old_df.is_cached:
+                    old_df.unpersist()
+            except Exception:
+                pass
         return self
 
     def compute(self):

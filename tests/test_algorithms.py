@@ -74,3 +74,22 @@ def test_symmetrize(spark):
     A = gb.Matrix.from_values([0], [1], [5], nrows=2, ncols=2)
     S = alg.symmetrize(A)
     assert S.to_dict() == {(0, 1): 5, (1, 0): 5}
+
+
+def test_iterative_loops_release_their_caches(spark):
+    """Regression: each CC/SSSP/BFS run used to leave its per-iteration
+    frontier/state persists in Spark's SQL CacheManager (which never
+    evicts on its own), so repeated runs degraded the whole session.
+    Every persist made inside a loop must be released by the time it
+    returns. Checked via CacheManager emptiness (localCheckpoint blocks
+    are RDD-level, cleaned asynchronously, and NOT part of this leak)."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    if not cm.isEmpty():
+        pytest.skip("another test left session-level caches; emptiness "
+                    "delta would be meaningless")
+    A = fastsv_matrix(spark)
+    for _ in range(2):
+        alg.connected_components(A).to_dict()
+        alg.bfs_level(A, 0).to_dict()
+        alg.sssp(A, 0).to_dict()
+    assert cm.isEmpty(), "iterative algorithms leaked cache entries"
