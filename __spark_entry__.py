@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from dask_grblas_spark import Matrix, Vector, agg, binary, monoid, semiring, unary
 from dask_grblas_spark import algorithms as alg
-from dask_grblas_spark.functions import dedup, multimodal, similarity, text
+from dask_grblas_spark.functions import (dedup, multimodal, similarity,
+                                         text, timeseries)
 from dask_grblas_spark.sources import tpch
 from dask_grblas_spark.streaming import event_window_agg, sessionize
 
@@ -592,6 +593,38 @@ def q54_stream_join(spark, sf_dir):
         .select("click_id", "purchase_id", "user_id")
 
 
+def q57_asof_join(spark, sf_dir):
+    """Backward as-of join (functions/timeseries.py): every click picks
+    up the latest prior purchase of the same user — one shuffle + window
+    scan, NOT a per-key range join. The purchase side is deduplicated to
+    max(event_id) per (user, ts) so tie semantics are well-defined; the
+    oracle verifies with DuckDB's NATIVE ASOF JOIN (independent
+    algorithm, same semantics)."""
+    from dask_grblas_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ts",
+                        F.col("event_id").alias("click_id")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .groupBy("user_id", "ts")
+                   .agg(F.max("event_id").alias("purchase_id")))
+    out = timeseries.asof_join(clicks, purchases, on="user_id")
+    return out.select("click_id",
+                      F.col("asof_purchase_id").alias("purchase_id"),
+                      "user_id")
+
+
+def q58_rolling_window(spark, sf_dir):
+    """Trailing 1-hour per-user aggregate over every event via a RANGE
+    window frame (streaming in-partition scan, one shuffle)."""
+    from dask_grblas_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (timeseries.rolling_agg(ev, window_seconds=3600)
+            .select("event_id", "roll_n", "roll_sum"))
+
+
 def q27_stratified_split(spark, sf_dir):
     """Deterministic train/val/test assignment + reproducible 25%
     subsample flag (functions/sampling.py): md5-prefix range decisions,
@@ -773,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_stream_window": q40_stream_window,
         "q42_stream_dedup": q42_stream_dedup,
         "q54_stream_join": q54_stream_join,
+        "q57_asof_join": q57_asof_join,
+        "q58_rolling_window": q58_rolling_window,
         "q41_sessionize": q41_sessionize,
         "q41b_streaming_sessionize": q41b_streaming_sessionize,
         "q50_media_meta": q50_media_meta,
@@ -1260,6 +1295,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster
         FROM documents
+    """
+    sql["q57_asof_join"] = """
+        WITH p AS (
+          SELECT user_id, ts, MAX(event_id) AS purchase_id
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ), c AS (
+          SELECT user_id, ts, event_id AS click_id
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT c.click_id, p.purchase_id, c.user_id AS user_id
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND p.ts <= c.ts
+    """
+    sql["q58_rolling_window"] = """
+        SELECT event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+               ROUND(SUM(value) OVER w, 2) AS roll_sum
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """
     sql["q42_stream_dedup"] = """
         SELECT event_type,
