@@ -69,3 +69,55 @@ def test_rolling_agg_trailing_window(spark):
                    11: (2, 3.0),    # 0s row inside the 30s trailing frame
                    12: (2, 6.0),    # 0s row fell out; 30s row stays
                    13: (1, 8.0)}    # other user unaffected
+
+
+# ---- property-based: engine vs brute force --------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# (key, second, is_left): tiny keyspace forces heavy per-key collisions,
+# including equal-timestamp ties on both sides
+_events = st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50),
+                             st.booleans()), max_size=14)
+
+_PROP = dict(max_examples=10, deadline=None,
+             suppress_health_check=[HealthCheck.too_slow])
+
+
+class TestTimeseriesProperties:
+    @settings(**_PROP)
+    @given(rows=_events)
+    def test_asof_matches_bruteforce(self, spark, rows):
+        lrows, rrows = [], []
+        for i, (k, s, is_left) in enumerate(rows):
+            (lrows if is_left else rrows).append((k, _ts(s), 1000 + i))
+        if not lrows:
+            return
+        left = spark.createDataFrame(lrows, "k long, ts timestamp, lid long")
+        right = spark.createDataFrame(rrows or [],
+                                      "k long, ts timestamp, rid long")
+        got = {r.lid: r.asof_rid
+               for r in timeseries.asof_join(left, right, on="k").collect()}
+        for (k, ts, lid) in lrows:
+            cand = [(rts, rid) for (rk, rts, rid) in rrows
+                    if rk == k and rts <= ts]
+            want = max(cand)[1] if cand else None
+            assert got[lid] == want, (k, ts, lid)
+
+    @settings(**_PROP)
+    @given(rows=_events)
+    def test_rolling_matches_bruteforce(self, spark, rows):
+        evs = [(k, _ts(s), float(s % 7), 1000 + i)
+               for i, (k, s, _) in enumerate(rows)]
+        if not evs:
+            return
+        df = spark.createDataFrame(
+            evs, "user_id long, ts timestamp, value double, event_id long")
+        out = timeseries.rolling_agg(df, window_seconds=10)
+        got = {r.event_id: (r.roll_n, r.roll_sum) for r in out.collect()}
+        for (k, ts, v, eid) in evs:
+            sec = int(ts.timestamp())
+            peers = [pv for (pk, pts, pv, _) in evs
+                     if pk == k and sec - 10 <= int(pts.timestamp()) <= sec]
+            assert got[eid] == (len(peers), round(sum(peers), 2)), (k, eid)
