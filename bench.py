@@ -39,6 +39,8 @@ HEADLINE = [
     "q32_minhash_lsh",
     "q35_cosine_topk",
     "q41_sessionize",
+    "q57_asof_join",
+    "q58_rolling_window",
 ]
 
 
