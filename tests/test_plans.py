@@ -126,3 +126,52 @@ def test_cosine_topk_executor_side_no_driver_collect(spark):
     for q, rs in per_query.items():
         assert sorted(r.rank for r in rs) == [1, 2]
         assert all(r.neighbor_id != q for r in rs)
+
+
+def test_asof_join_single_exchange_no_range_join(spark):
+    """The as-of join must be the union + window formulation: exactly
+    one hash exchange on the key, a window scan, and NO join operator at
+    all — a BroadcastNestedLoopJoin / range join here would be the
+    quadratic-per-key plan that dies on a skewed 100 TB event log."""
+    from dask_grblas_spark.functions import timeseries
+
+    left = spark.createDataFrame(
+        [(1, 10, 1)], "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(1, 5, 2)], "k long, ts long, rid long")
+    out = timeseries.asof_join(left, right, on="k",
+                               left_ts="ts", right_ts="ts")
+    plan = _physical(out.df if hasattr(out, "df") else out)
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_rolling_agg_single_exchange_running_frame(spark):
+    from dask_grblas_spark.functions import timeseries
+
+    ev = spark.createDataFrame(
+        [(1, 10, 1.0, 1)],
+        "user_id long, ts long, value double, event_id long")
+    out = timeseries.rolling_agg(ev.withColumn(
+        "ts", F.col("ts").cast("timestamp")))
+    plan = _physical(out)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_minhash_band_join_uses_hash_join_on_exact_keys(spark):
+    """Band buckets join by EXACT key equality (band + array of min
+    values) — a hash/sort-merge join, never a nested-loop: band-key
+    equality is what keeps LSH candidate generation an equi-join at
+    corpus scale."""
+    from dask_grblas_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string")
+    out = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4,
+                                  threshold=0.1)
+    plan = _physical(out)
+    assert "NestedLoop" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan), plan
