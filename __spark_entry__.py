@@ -584,6 +584,22 @@ def q10_jsonl_roundtrip(spark, sf_dir):
     return back.select("doc_id", F.md5("text").alias("content_hash"))
 
 
+def q59_orc_roundtrip(spark, sf_dir):
+    """ORC sink + source round-trip over the documents corpus
+    (sources/io.py): distributed columnar write, schema-explicit read
+    back, content re-verified by the oracle hash against the original
+    parquet — proves the second columnar format end-to-end."""
+    import os
+
+    from dask_grblas_spark.sources import io as gio
+
+    docs = _doc(spark, sf_dir).select("doc_id", "text")
+    path = f"/tmp/dgs_orc_{os.path.basename(sf_dir.rstrip('/'))}"
+    gio.table_to_orc(docs, path)
+    back = gio.table_from_orc(path, schema="doc_id long, text string")
+    return back.select("doc_id", F.md5("text").alias("content_hash"))
+
+
 def q54_stream_join(spark, sf_dir):
     """Stream-stream interval join: per-user click -> purchase within 30
     minutes, both sides unbounded streams with watermark-bounded state."""
@@ -802,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_cosine_topk": q35_cosine_topk,
         "q36_ivf_ann": q36_ivf_ann,
         "q10_jsonl_roundtrip": q10_jsonl_roundtrip,
+        "q59_orc_roundtrip": q59_orc_roundtrip,
         "q39_dup_clusters": q39_dup_clusters,
         "q40_stream_window": q40_stream_window,
         "q42_stream_dedup": q42_stream_dedup,
@@ -1283,6 +1300,7 @@ def oracle_sql() -> dict[str, str]:
     sql["q10_jsonl_roundtrip"] = """
         SELECT doc_id, md5(text) AS content_hash FROM documents
     """
+    sql["q59_orc_roundtrip"] = sql["q10_jsonl_roundtrip"]
     sql["q54_stream_join"] = """
         SELECT a.event_id AS click_id, b.event_id AS purchase_id,
                a.user_id AS user_id

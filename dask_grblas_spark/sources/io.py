@@ -18,7 +18,25 @@ from ..dtypes import BOOL, FC64, FP64, INT64, lookup_dtype
 
 __all__ = ["matrix_from_parquet", "matrix_to_parquet", "vector_from_parquet",
            "vector_to_parquet", "matrix_from_csv", "from_mmfile", "to_mmfile",
-           "documents_to_jsonl", "documents_from_jsonl"]
+           "documents_to_jsonl", "documents_from_jsonl",
+           "table_to_orc", "table_from_orc"]
+
+
+def table_to_orc(df, path: str, mode: str = "overwrite"):
+    """Write any table as ORC (columnar alternative to parquet; same
+    distributed writer, predicate pushdown, and column pruning in the
+    reader). Useful when downstream consumers are Hive/Trino-centric."""
+    df.write.mode(mode).orc(path)
+
+
+def table_from_orc(path: str, schema=None):
+    """Read an ORC table; pass an explicit schema at scale to skip
+    footer-based inference."""
+    spark = get_session()
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
 
 
 def documents_to_jsonl(df, path: str, mode: str = "overwrite",
