@@ -39,7 +39,17 @@ from .operators import semiring
 __all__ = ["bfs_level", "sssp", "connected_components", "pagerank",
            "triangle_count", "symmetrize"]
 
-_CHECKPOINT_EVERY = 5
+# Lineage growth between checkpoints is GEOMETRIC for min-merge loops:
+# each iteration's state plan nests the previous state ~3x (improved
+# references labels, merge references labels + improved), so the plan
+# tree between checkpoints grows ~3^k nodes and the DRIVER starts
+# spending its time in generateTreeString (every job start stringifies
+# the executed plan for the SQL listener — InMemoryRelation innerChildren
+# included, so persist() does NOT cap it). Measured on a 100k-vertex /
+# 1M-edge graph: checkpoint-every-5 left the driver single-threaded in
+# TreeNode.generateTreeString for minutes; every-2 (GraphFrames' default
+# checkpointInterval) bounds the tree at ~9x base and removed the stall.
+_CHECKPOINT_EVERY = 2
 
 # Loop-shuffle sizing: NO session-conf mutation. The adjacency is
 # repartitioned ONCE with a partition count derived from its measured
@@ -73,6 +83,24 @@ def _merge_min(cur_df: DataFrame, imp_df: DataFrame) -> DataFrame:
 
 
 _EDGE_ROWS_PER_PARTITION = 1_000_000
+_MIN_EDGE_ROWS_PER_PARTITION = 65_536
+
+
+def _adjacency_partitions(nvals: int) -> int:
+    """Partition count for a measured edge count.
+
+    Three regimes: tiny graphs collapse to 1 partition (a fixpoint loop
+    runs dozens of stages, and 32 near-empty task launches per stage
+    would dominate); mid-size graphs fan out to every core as soon as
+    each task still gets >=64k edges (a 2M-edge graph on 32 cores must
+    NOT run as 2 tasks — measured 16x under-parallelized); huge graphs
+    are sized by ~1M edges/partition so per-task state stays bounded on
+    a 1000-executor cluster regardless of its core count."""
+    spark = get_session()
+    par = spark.sparkContext.defaultParallelism
+    by_rows = -(-nvals // _EDGE_ROWS_PER_PARTITION)
+    fill_cores = min(-(-nvals // _MIN_EDGE_ROWS_PER_PARTITION), par)
+    return max(1, fill_cores, by_rows)
 
 
 class _PersistPool:
@@ -132,7 +160,7 @@ def _prep_adjacency(A: GrMatrix) -> tuple[DataFrame, bool]:
     worth of edges."""
     base, own_base = _ensure_cached(A.df)
     nvals = base.count()
-    k = max(1, -(-nvals // _EDGE_ROWS_PER_PARTITION))
+    k = _adjacency_partitions(nvals)
     try:
         base_parts = base.rdd.getNumPartitions()
     except Exception:
@@ -269,7 +297,7 @@ def pagerank(A: GrMatrix, damping: float = 0.85, max_iters: int = 20,
     n = A.nrows
     adj, own_adj = _ensure_cached(A.df)
     nvals = adj.count()
-    k = max(1, -(-nvals // _EDGE_ROWS_PER_PARTITION))
+    k = _adjacency_partitions(nvals)
     outdeg = adj.groupBy("i").agg(F.count("*").alias("d"))
     # P[i,j] = 1/outdeg(i) — degree-normalized transition matrix,
     # partitioned by source with data-sized partition count (see

@@ -214,6 +214,15 @@ def ivf_topk(emb_df: DataFrame, k: int = 5, n_cells: int = 16,
     corpus instead of all of it."""
     from .dedup import cross_hash60
 
+    # the assignment crossJoin multiplies work by n_cells but PRESERVES
+    # the input partitioning — a small-file corpus (one parquet file =
+    # one partition) would score n_rows*n_cells cosines on one core.
+    # Fan the corpus out to the session's parallelism first; a real
+    # many-partition corpus skips this (no extra shuffle).
+    par = emb_df.sparkSession.sparkContext.defaultParallelism
+    if emb_df.rdd.getNumPartitions() < par:
+        emb_df = emb_df.repartition(par)
+
     # deterministic "training": the n_cells vectors with the smallest
     # cross-engine hash of (seed, id); cell number = rank in that order
     # (NOT monotonically_increasing_id, which depends on partitioning)

@@ -1,0 +1,141 @@
+"""Scale probe: run the core operators on synthetic data 100x-1000x the
+bench scale (tens of millions of rows) on local[32] and print one JSON
+line per op. This is the "would the plan survive a scale-up" evidence
+the sf0.1 bench cannot give: at these sizes a quadratic candidate
+bucket, an unbounded collect, or a driver-side loop becomes minutes or
+OOM instead of noise.
+
+All inputs are generated distributed (spark.range + hash arithmetic) —
+nothing materializes on the driver.
+
+Usage: python tools/scale_probe.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+QUICK = "--quick" in sys.argv
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "64")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "48g")
+             .config("spark.ui.enabled", "false")
+             .appName("dgs-scale-probe").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import dask_grblas_spark as gb
+    from dask_grblas_spark import algorithms as alg
+    from dask_grblas_spark import semiring
+    from dask_grblas_spark.functions import dedup, similarity, timeseries
+
+    results = []
+
+    def probe(name, rows, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        if hasattr(out, "df"):
+            out = out.df
+        if hasattr(out, "write"):
+            out.write.mode("overwrite").format("noop").save()
+        sec = round(time.perf_counter() - t0, 2)
+        rec = {"op": name, "input_rows": rows, "sec": sec,
+               "rows_per_sec": int(rows / sec) if sec else None}
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # ---- graph: N vertices, E uniform random edges --------------------
+    N = 2_000_000 if not QUICK else 100_000
+    E = 20_000_000 if not QUICK else 1_000_000
+    edges = (spark.range(E).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(N)).alias("i"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(N)).alias("j"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(100)) + 1)
+        .cast("double").alias("v"))
+        .filter(F.col("i") != F.col("j")))
+    A = gb.Matrix.from_dataframe(edges, N, N, dtype="FP64")
+    frontier = gb.Vector.from_values([0], [1.0], size=N, dtype="FP64")
+
+    probe("mxv_1step", E, lambda: frontier.vxm(A, semiring.plus_times).new())
+    probe("outdegree_reduce", E, lambda: A.reduce_rowwise("plus").new())
+    probe("connected_components", E, lambda: alg.connected_components(A))
+    probe("pagerank_5iter", E,
+          lambda: alg.pagerank(A, max_iters=5, tol=0.0))
+
+    # triangles are cubic-ish in density: probe on a smaller slice
+    Et = 2_000_000 if not QUICK else 200_000
+    Nt = 200_000 if not QUICK else 20_000
+    tedges = (spark.range(Et).select(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(Nt)).alias("i"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(Nt)).alias("j"),
+        F.lit(1.0).alias("v"))
+        .filter(F.col("i") != F.col("j")))
+    At = gb.Matrix.from_dataframe(tedges, Nt, Nt, dtype="FP64")
+    probe("triangle_count", Et, lambda: spark.createDataFrame(
+        [(alg.triangle_count(At),)], "n long"))
+
+    # ---- documents: replicate the sf0.1 corpus 20x --------------------
+    reps = 20 if not QUICK else 2
+    docs = (spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+            .crossJoin(spark.range(reps).select(F.col("id").alias("_r")))
+            .select((F.col("doc_id") * reps + F.col("_r")).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" r"),
+                             F.col("_r").cast("string")).alias("text")))
+    ndocs = 5000 * reps
+    probe("exact_dedup", ndocs, lambda: dedup.exact_dedup(docs))
+    probe("minhash_lsh", ndocs,
+          lambda: dedup.minhash_lsh_pairs(docs, threshold=0.8, bands=8))
+    probe("simhash_pairs", ndocs,
+          lambda: dedup.simhash_pairs(docs, max_hamming=3))
+
+    # ---- embeddings: tile the sf0.1 vectors 10x -----------------------
+    ereps = 10 if not QUICK else 2
+    emb = (spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+           .crossJoin(spark.range(ereps).select(F.col("id").alias("_r")))
+           .select((F.col("vec_id") * ereps + F.col("_r")).alias("vec_id"),
+                   F.transform("embedding",
+                               lambda x: x + F.col("_r") * 1e-4)
+                   .alias("embedding")))
+    nemb = 2000 * ereps
+    probe("ivf_ann_topk", nemb,
+          lambda: similarity.ivf_topk(emb, k=5, n_cells=64, nprobe=4))
+
+    # ---- events: 10M synthetic rows -----------------------------------
+    NEV = 10_000_000 if not QUICK else 500_000
+    ev = spark.range(NEV).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1700000000)
+                            + F.pmod(F.xxhash64("id"), F.lit(30 * 86400)))
+        .alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(200_000)).alias("user_id"),
+        F.when(F.pmod(F.xxhash64("id", F.lit(4)), F.lit(5)) == 0, "click")
+        .otherwise("view").alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(1000)) / 10.0)
+        .alias("value"))
+    probe("rolling_window", NEV,
+          lambda: timeseries.rolling_agg(ev, window_seconds=3600))
+
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    views = (ev.filter(F.col("event_type") == "view")
+               .select("user_id", "ts", F.col("event_id").alias("view_id")))
+    probe("asof_join", NEV,
+          lambda: timeseries.asof_join(clicks, views, on="user_id"))
+
+    total = round(sum(r["sec"] for r in results), 2)
+    print(json.dumps({"total_sec": total, "ops": len(results)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
