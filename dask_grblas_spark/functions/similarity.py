@@ -198,7 +198,7 @@ def hyperplane_lsh_pairs(emb_df: DataFrame, id_col: str = "vec_id",
                   .select("id_a", "id_b", "cosine"))
 
 
-def ivf_topk(emb_df: DataFrame, k: int = 5, n_cells: int = 16,
+def ivf_topk(emb_df: DataFrame, k: int = 5, n_cells: int | None = None,
              nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 42) -> DataFrame:
     """IVF-flat ANN: centroids = deterministic sample of the corpus
@@ -211,8 +211,18 @@ def ivf_topk(emb_df: DataFrame, k: int = 5, n_cells: int = 16,
 
     At 100 TB: the cell assignment is one broadcast join + argmin over
     n_cells dot products; the search join hits ~nprobe/n_cells of the
-    corpus instead of all of it."""
+    corpus instead of all of it. n_cells=None auto-sizes to ~sqrt(n)
+    (power of two, clamped to [16, 65536]) — the standard IVF balance
+    point where assignment work (n*cells) and probe work
+    (n*nprobe*n/cells) meet; a FIXED cell count degrades toward
+    brute-force as the corpus grows."""
     from .dedup import cross_hash60
+
+    if n_cells is None:
+        n = emb_df.count()
+        n_cells = 16
+        while n_cells * n_cells < n and n_cells < 65536:
+            n_cells *= 2
 
     # the assignment crossJoin multiplies work by n_cells but PRESERVES
     # the input partitioning — a small-file corpus (one parquet file =
@@ -222,6 +232,23 @@ def ivf_topk(emb_df: DataFrame, k: int = 5, n_cells: int = 16,
     par = emb_df.sparkSession.sparkContext.defaultParallelism
     if emb_df.rdd.getNumPartitions() < par:
         emb_df = emb_df.repartition(par)
+
+    # Normalize each vector ONCE so every pairwise similarity is a plain
+    # dot product — cosine_expr per pair would re-reduce both operands'
+    # norms, tripling the per-candidate array work. Then cache: the
+    # corpus feeds THREE plan branches (centroid pick, assignment,
+    # probing), and an uncached derived input would be recomputed per
+    # branch. The cache is left to LRU eviction (the returned plan reads
+    # it lazily, so the operator cannot scope an unpersist).
+    nrm = norm_expr(F.col(vec_col))
+    emb_df = (emb_df.select(id_col, vec_col)
+                    .withColumn("_nrm", nrm)
+                    .withColumn(vec_col,
+                                F.transform(vec_col,
+                                            lambda x: x / F.col("_nrm")))
+                    .drop("_nrm"))
+    if not emb_df.is_cached:
+        emb_df = emb_df.persist()
 
     # deterministic "training": the n_cells vectors with the smallest
     # cross-engine hash of (seed, id); cell number = rank in that order
@@ -244,8 +271,8 @@ def ivf_topk(emb_df: DataFrame, k: int = 5, n_cells: int = 16,
         # unreproducible outside Spark
         scored = (df.crossJoin(cents)
                     .withColumn("sim",
-                                F.round(cosine_expr(F.col(vcol),
-                                                    F.col("cv")), 6))
+                                F.round(dot_expr(F.col(vcol),
+                                                 F.col("cv")), 6))
                     .drop("cv"))
         w = Window.partitionBy(df.columns[0]).orderBy(F.col("sim").desc(),
                                                       F.col("cell"))
@@ -260,7 +287,7 @@ def ivf_topk(emb_df: DataFrame, k: int = 5, n_cells: int = 16,
     cand = (probes.join(assigned, on="cell")
                   .filter(F.col("query_id") != F.col("nid")))
     scored = cand.withColumn("cosine",
-                             F.round(cosine_expr(F.col("qv"), F.col("nv")), 6))
+                             F.round(dot_expr(F.col("qv"), F.col("nv")), 6))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -108,7 +108,7 @@ def main() -> int:
                    .alias("embedding")))
     nemb = 2000 * ereps
     probe("ivf_ann_topk", nemb,
-          lambda: similarity.ivf_topk(emb, k=5, n_cells=64, nprobe=4))
+          lambda: similarity.ivf_topk(emb, k=5, nprobe=4))
 
     # ---- events: 10M synthetic rows -----------------------------------
     NEV = 10_000_000 if not QUICK else 500_000
