@@ -38,18 +38,32 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sf_dir}/events.parquet")
 
 
+def _event_part_files(sf_dir: str) -> list[str]:
+    """Absolute paths of the parquet data files behind
+    ``{sf_dir}/events.parquet`` — which is either a single file (the
+    driver's testdata layout) or a directory of part files (the normal
+    data-lake layout a Spark writer produces)."""
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        return sorted(
+            os.path.join(src, f) for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith("."))
+    return [src]
+
+
 def _events_stream_dir(sf_dir: str) -> str:
-    """File-stream sources need a DIRECTORY; expose the single parquet
-    file through a per-path cached symlink dir under /tmp."""
+    """File-stream sources need a flat DIRECTORY of data files; expose
+    the events parquet (file or directory) through a per-path cached
+    symlink dir under /tmp."""
     key = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(tempfile.gettempdir(), f"dgs_events_{key}")
-    link = os.path.join(d, "events.parquet")
-    if not os.path.islink(link):
+    if not os.path.isdir(d):
         os.makedirs(d, exist_ok=True)
-        try:
-            os.symlink(f"{sf_dir}/events.parquet", link)
-        except FileExistsError:
-            pass
+        for i, part in enumerate(_event_part_files(sf_dir)):
+            try:
+                os.symlink(part, os.path.join(d, f"ev_{i:05d}.parquet"))
+            except FileExistsError:
+                pass
     return d
 
 
@@ -148,11 +162,11 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str,
                      f"dgs_sessus_{key}_g{gap_minutes}")
     if not os.path.isdir(d):
         os.makedirs(d, exist_ok=True)
-        try:
-            os.symlink(f"{sf_dir}/events.parquet",
-                       os.path.join(d, "events.parquet"))
-        except FileExistsError:
-            pass
+        for i, part in enumerate(_event_part_files(sf_dir)):
+            try:
+                os.symlink(part, os.path.join(d, f"ev_{i:05d}.parquet"))
+            except FileExistsError:
+                pass
         import datetime
 
         import pyarrow as pa
@@ -200,11 +214,13 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = os.path.join(tempfile.gettempdir(), f"dgs_dedupus_{key}")
     if not os.path.isdir(d):
         os.makedirs(d, exist_ok=True)
-        for copy in ("ev1.parquet", "ev2.parquet"):
-            try:
-                os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, copy))
-            except FileExistsError:
-                pass
+        for copy in ("ev1", "ev2"):
+            for i, part in enumerate(_event_part_files(sf_dir)):
+                try:
+                    os.symlink(part,
+                               os.path.join(d, f"{copy}_{i:05d}.parquet"))
+                except FileExistsError:
+                    pass
     stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
               .parquet(d)
               .withWatermark("ts", "1 hour")

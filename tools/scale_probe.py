@@ -132,6 +132,52 @@ def main() -> int:
     probe("asof_join", NEV,
           lambda: timeseries.asof_join(clicks, views, on="user_id"))
 
+    # ---- streaming: REAL Structured Streaming over a written-out
+    # events directory (the data-lake layout: parquet part files) -------
+    import os
+    import shutil
+    import tempfile
+
+    from dask_grblas_spark.streaming import windows as W
+
+    probe_sf = os.path.join(tempfile.gettempdir(), "dgs_probe_sf")
+    shutil.rmtree(probe_sf, ignore_errors=True)
+    for stale in os.listdir(tempfile.gettempdir()):
+        if stale.startswith(("dgs_events_tmp_dgs_probe_sf",
+                             "dgs_sessus_tmp_dgs_probe_sf",
+                             "dgs_dedupus_tmp_dgs_probe_sf")):
+            shutil.rmtree(os.path.join(tempfile.gettempdir(), stale),
+                          ignore_errors=True)
+    (ev.withColumn("props", F.lit(""))
+       .select("event_id", "ts", "user_id", "event_type", "value", "props")
+       .repartition(32)
+       .write.mode("overwrite").parquet(f"{probe_sf}/events.parquet"))
+    probe("stream_window_agg", NEV,
+          lambda: W.event_window_agg(spark, probe_sf))
+
+    # stateful sessionize + exact dedup carry PER-KEY state; probe at 2M
+    # events so the memory-sink result stays driver-reasonable
+    NSS = 2_000_000 if not QUICK else 200_000
+    probe_ss = os.path.join(tempfile.gettempdir(), "dgs_probe_ss")
+    shutil.rmtree(probe_ss, ignore_errors=True)
+    for stale in os.listdir(tempfile.gettempdir()):
+        if stale.startswith(("dgs_sessus_tmp_dgs_probe_ss",
+                             "dgs_dedupus_tmp_dgs_probe_ss")):
+            shutil.rmtree(os.path.join(tempfile.gettempdir(), stale),
+                          ignore_errors=True)
+    (ev.filter(F.col("event_id") < NSS)
+       .withColumn("user_id", F.pmod(F.xxhash64("event_id", F.lit(7)),
+                                     F.lit(20_000)))
+       .withColumn("props", F.lit(""))
+       .select("event_id", "ts", "user_id", "event_type", "value", "props")
+       .repartition(32)
+       .write.mode("overwrite").parquet(f"{probe_ss}/events.parquet"))
+    probe("stream_stateful_sessionize", NSS,
+          lambda: W.streaming_sessionize(spark, probe_ss,
+                                         gap_minutes=720))
+    probe("stream_exact_dedup", 2 * NSS,
+          lambda: W.stream_dedup_counts(spark, probe_ss))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
