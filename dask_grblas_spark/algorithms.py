@@ -50,6 +50,9 @@ __all__ = ["bfs_level", "sssp", "connected_components", "pagerank",
 # TreeNode.generateTreeString for minutes; every-2 (GraphFrames' default
 # checkpointInterval) bounds the tree at ~9x base and removed the stall.
 _CHECKPOINT_EVERY = 2
+# connected_components runs a FastSV pointer-jump round every _JUMP_EVERY
+# iterations (see the loop body for the cost/convergence trade)
+_JUMP_EVERY = 4
 
 # Loop-shuffle sizing: NO session-conf mutation. The adjacency is
 # repartitioned ONCE with a partition count derived from its measured
@@ -266,16 +269,54 @@ def connected_components(A: GrMatrix) -> GrVector:
         # candidate label for j = min over in-neighbors i of label[i]
         cand = changed.vxm(Aprep, semiring.min_first).new()
         imp_df = _improved(cand.df, labels.df)
-        changed = pool.persist(GrVector(imp_df, INT64, n))
-        if changed.nvals == 0:
-            break
+        if it % _JUMP_EVERY:
+            # cheap frontier round: only the improved entries move
+            changed = pool.persist(GrVector(imp_df, INT64, n))
+            if changed.nvals == 0:
+                break
+            old = labels
+            labels = pool.persist(
+                GrVector(_merge_min(labels.df, changed.df), INT64, n))
+            if it % _CHECKPOINT_EVERY == 0:
+                labels.checkpoint(compact=True)
+                changed.checkpoint()
+            old.unpersist()
+            continue
+        # FastSV shortcut round (pointer jumping): l[i] <- l[l[i]].
+        # Labels are vertex ids with the invariant l[v] <= v, so l is
+        # defined at every label value and jumping only decreases. Run
+        # every _JUMP_EVERY-th round: neighbor propagation alone is
+        # O(diameter) rounds — O(n) on a path-like graph (road networks,
+        # near-dup chains) — while a periodic shortcut halves pointer
+        # depth per jump, bounding the loop at O(log n) jump phases.
+        # Small-diameter graphs finish before paying for many jumps.
+        # Cost: two n-row self-joins, so not done every round.
+        merged = pool.persist(
+            GrVector(_merge_min(labels.df, imp_df), INT64, n))
+        m = merged.df.alias("m")
+        p = merged.df.alias("p")
+        jumped_df = (m.join(p, F.col("m.v") == F.col("p.i"), "left_outer")
+                      .select(F.col("m.i").alias("i"),
+                              F.least(F.col("m.v"),
+                                      F.coalesce(F.col("p.v"),
+                                                 F.col("m.v"))).alias("v")))
         old = labels
-        labels = pool.persist(
-            GrVector(_merge_min(labels.df, changed.df), INT64, n))
+        labels = pool.persist(GrVector(jumped_df, INT64, n))
+        # re-propagate every vertex whose label moved this round (by
+        # neighbor min OR by shortcut — a shortcut move must still be
+        # announced to neighbors)
+        chg_df = (labels.df.alias("nw")
+                  .join(old.df.alias("od"), F.col("nw.i") == F.col("od.i"))
+                  .filter(F.col("nw.v") < F.col("od.v"))
+                  .select(F.col("nw.i").alias("i"),
+                          F.col("nw.v").alias("v")))
+        changed = pool.persist(GrVector(chg_df, INT64, n))
+        changed.nvals  # materialize labels+changed BEFORE the unpersists
         if it % _CHECKPOINT_EVERY == 0:
             labels.checkpoint(compact=True)
             changed.checkpoint()
         old.unpersist()
+        merged.unpersist()
     labels.checkpoint(compact=True)
     pool.release()
     if own_adj:

@@ -25,6 +25,20 @@ def test_connected_components(spark):
                     **{i: 9 for i in (9, 10, 11)}}
 
 
+def test_connected_components_high_diameter(spark):
+    # a 64-vertex PATH (diameter 63): pure min-label propagation needs
+    # ~63 rounds; the FastSV pointer-jumping shortcut converges in
+    # O(log n). Correctness gate for the shortcut step — labels must
+    # still collapse to the component minimum, plus one isolated vertex.
+    n = 65
+    rows = list(range(63)) + list(range(1, 64))
+    cols = list(range(1, 64)) + list(range(63))
+    A = gb.Matrix.from_values(rows, cols, [1] * len(rows),
+                              nrows=n, ncols=n)
+    comp = alg.connected_components(A).to_dict()
+    assert comp == {**{i: 0 for i in range(64)}, 64: 64}
+
+
 def test_bfs_level(spark):
     A = fastsv_matrix(spark)
     levels = alg.bfs_level(A, 0).to_dict()
