@@ -19,7 +19,37 @@ from ..dtypes import BOOL, FC64, FP64, INT64, lookup_dtype
 __all__ = ["matrix_from_parquet", "matrix_to_parquet", "vector_from_parquet",
            "vector_to_parquet", "matrix_from_csv", "from_mmfile", "to_mmfile",
            "documents_to_jsonl", "documents_from_jsonl",
-           "table_to_orc", "table_from_orc"]
+           "table_to_orc", "table_from_orc",
+           "table_to_bucketed", "table_from_catalog"]
+
+
+def table_to_bucketed(df, name: str, keys: list[str] | str,
+                      n_buckets: int = 32, mode: str = "overwrite",
+                      sort: bool = True):
+    """Persist a table BUCKETED (and optionally sorted) by its join/agg
+    keys — Spark-native bucketing, no Hive needed. This is the
+    co-located-join primitive at 100 TB: two tables bucketed on the same
+    keys with the same bucket count join with NO Exchange on either side
+    (and no per-query sort when sort=True), so a fact⋈fact join that
+    would shuffle terabytes per query instead pays the shuffle ONCE at
+    write time. Aggregations on the bucket keys likewise skip the
+    exchange. Read back with table_from_catalog(name).
+
+    Size n_buckets for the TARGET cluster: ~1 task per bucket per join,
+    each bucket ideally 100-200 MB on disk."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = (df.write.mode(mode).format("parquet")
+           .bucketBy(n_buckets, *keys))
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(name)
+
+
+def table_from_catalog(name: str):
+    """Read a saved (possibly bucketed) table from the session catalog;
+    the scan exposes the bucketing to the planner, which is what makes
+    downstream joins/aggs on the bucket keys exchange-free."""
+    return get_session().table(name)
 
 
 def table_to_orc(df, path: str, mode: str = "overwrite"):

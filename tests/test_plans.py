@@ -175,3 +175,35 @@ def test_minhash_band_join_uses_hash_join_on_exact_keys(spark):
     assert "NestedLoop" not in plan, plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
         or ("BroadcastHashJoin" in plan), plan
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Two tables bucketed+sorted on the join key with the same bucket
+    count must join with ZERO Exchange (and no per-query Sort for the
+    merge) — the write-once-shuffle-never co-location contract that
+    makes repeated fact-to-fact joins affordable at 100 TB. The same
+    join on plain parquet relations is the shuffle-both-sides contrast."""
+    from dask_grblas_spark.sources.io import (table_from_catalog,
+                                              table_to_bucketed)
+
+    a = spark.range(10_000).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("x"))
+    b = spark.range(10_000).select(F.col("id").alias("k"),
+                                   (F.col("id") * 3).alias("y"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        table_to_bucketed(a, "t_bkt_a", "k", n_buckets=8)
+        table_to_bucketed(b, "t_bkt_b", "k", n_buckets=8)
+        joined = table_from_catalog("t_bkt_a").join(
+            table_from_catalog("t_bkt_b"), on="k")
+        plan = _physical(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 10_000
+        # contrast: the un-bucketed join shuffles both sides
+        plain = _physical(a.join(b, on="k"))
+        assert plain.count("Exchange") == 2, plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
