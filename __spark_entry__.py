@@ -600,6 +600,33 @@ def q59_orc_roundtrip(spark, sf_dir):
     return back.select("doc_id", F.md5("text").alias("content_hash"))
 
 
+def q60_bucketed_join(spark, sf_dir):
+    """Bucketed-table co-located join (sources/io.py table_to_bucketed):
+    customer and orders are persisted bucketed+sorted on the customer
+    key, then joined exchange-free and aggregated per market segment —
+    the pay-the-shuffle-once-at-write-time pattern for repeated
+    fact-to-fact joins at 100 TB. The oracle re-runs the same join+agg
+    on the raw tables, proving the bucketed write round-trips content."""
+    import os
+
+    from dask_grblas_spark.sources.io import (table_from_catalog,
+                                              table_to_bucketed)
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_custkey", "c_mktsegment"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_custkey").alias("c_custkey"),
+                      "o_totalprice"))
+    table_to_bucketed(cust, f"bkt_cust_{tag}", "c_custkey", n_buckets=8)
+    table_to_bucketed(orders, f"bkt_ord_{tag}", "c_custkey", n_buckets=8)
+    j = table_from_catalog(f"bkt_cust_{tag}").join(
+        table_from_catalog(f"bkt_ord_{tag}"), on="c_custkey")
+    return (j.groupBy("c_mktsegment")
+             .agg(F.count("*").alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
 def q54_stream_join(spark, sf_dir):
     """Stream-stream interval join: per-user click -> purchase within 30
     minutes, both sides unbounded streams with watermark-bounded state."""
@@ -819,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_ivf_ann": q36_ivf_ann,
         "q10_jsonl_roundtrip": q10_jsonl_roundtrip,
         "q59_orc_roundtrip": q59_orc_roundtrip,
+        "q60_bucketed_join": q60_bucketed_join,
         "q39_dup_clusters": q39_dup_clusters,
         "q40_stream_window": q40_stream_window,
         "q42_stream_dedup": q42_stream_dedup,
@@ -1301,6 +1329,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5(text) AS content_hash FROM documents
     """
     sql["q59_orc_roundtrip"] = sql["q10_jsonl_roundtrip"]
+    sql["q60_bucketed_join"] = """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    """
     sql["q54_stream_join"] = """
         SELECT a.event_id AS click_id, b.event_id AS purchase_id,
                a.user_id AS user_id
