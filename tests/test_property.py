@@ -146,3 +146,44 @@ class TestExtractAssignProperties:
             if p in o:
                 want[t] = o[p]
         assert w.to_dict() == want
+
+
+@pytest.mark.usefixtures("spark")
+class TestAlgorithmProperties:
+    @given(edges=st.sets(st.tuples(st.integers(0, 11), st.integers(0, 11)),
+                         max_size=16))
+    @settings(**SETTINGS)
+    def test_connected_components_vs_union_find(self, edges):
+        """FastSV hybrid CC (frontier rounds + periodic pointer jumps)
+        vs a driver-side union-find on random edge sets — including
+        self-loops, singletons, and multi-component topologies."""
+        from dask_grblas_spark import algorithms as alg
+
+        n = 12
+        es = [(i, j) for i, j in edges if i != j]
+        if es:
+            rows = [e[0] for e in es] + [e[1] for e in es]
+            cols = [e[1] for e in es] + [e[0] for e in es]
+            A = gb.Matrix.from_values(rows, cols, [1] * len(rows),
+                                      nrows=n, ncols=n)
+        else:
+            A = gb.Matrix.new("INT64", n, n)
+        got = alg.connected_components(A).to_dict()
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, j in es:
+            parent[find(i)] = find(j)
+        # expected label = component MINIMUM
+        comp_min = {}
+        for v in range(n):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expect = {v: comp_min[find(v)] for v in range(n)}
+        assert got == expect
