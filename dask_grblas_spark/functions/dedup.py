@@ -266,11 +266,23 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_hashes: int = 32, bands: int = 8,
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """MinHash LSH near-dup: banded signatures -> bucket join for
     candidates -> EXACT Jaccard verification of candidates only.
     Output: (id_a, id_b, jaccard) pairs with verified jaccard >= threshold.
-    (Probabilistic recall from banding; precision exact via verification.)"""
+    (Probabilistic recall from banding; precision exact via verification.)
+
+    max_bucket_size is the SKEW guard for web-scale corpora: a band
+    bucket holding f docs (boilerplate, templated pages) contributes
+    f^2/2 candidate rows landing in ONE join task — the quadratic hot
+    key that stalls a 1000-executor job. Buckets over the cap switch
+    from all-pairs to STAR expansion (every member vs the bucket's min
+    id): linear rows, and transitive connectivity within the bucket is
+    preserved, so downstream duplicate CLUSTERING (connected components
+    over the pairs) is unaffected; only exhaustive pairwise listing
+    inside over-cap buckets is given up. None (default) keeps exact
+    all-pairs semantics."""
     rows_per_band = num_hashes // bands
     # Band keys straight off the wide (id, m0..m{k-1}) row: each band is
     # the EXACT tuple (array) of its slice of min columns — deterministic
@@ -289,13 +301,28 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         b += 1
     banded = wide.select(
         "id", F.posexplode(F.array(*band_cols)).alias("band", "bandkey"))
+    if max_bucket_size is not None:
+        sizes = (banded.groupBy("band", "bandkey")
+                       .agg(F.count("*").alias("_f"),
+                            F.min("id").alias("_rep")))
+        tagged = banded.join(sizes, on=["band", "bandkey"])
+        banded = (tagged.filter(F.col("_f") <= max_bucket_size)
+                        .select("id", "band", "bandkey"))
+        star = (tagged.filter((F.col("_f") > max_bucket_size)
+                              & (F.col("id") != F.col("_rep")))
+                      .select(F.col("_rep").alias("id_a"),
+                              F.col("id").alias("id_b")))
+    else:
+        star = None
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bandkey") == F.col("b.bandkey"))
                    & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-             .distinct())
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     # exact verification of candidates against the same compact hash-set
     # relation (shared exchange with the signature branch — no second
     # tokenize pass)

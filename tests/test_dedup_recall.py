@@ -111,3 +111,31 @@ def test_hyperplane_lsh_identical_vectors_always_candidates(spark):
     got = similarity.hyperplane_lsh_pairs(df, threshold=0.999, dim=dim)
     pairs = {(r.id_a, r.id_b) for r in got.collect()}
     assert (3, 500) in pairs
+
+
+def test_minhash_hot_bucket_star_cap(spark):
+    """Skew guard: 30 identical docs form one hot band bucket. With
+    max_bucket_size=10 the bucket must expand as a STAR (linear rows,
+    every member joined to the min id) instead of all-pairs — the pair
+    list shrinks from C(30,2)=435 to 29 — while every member stays
+    TRANSITIVELY connected for clustering, and normal-size buckets keep
+    exact all-pairs semantics."""
+    boiler = " ".join(_words(123, 40))
+    pair_a = " ".join(_words(55, 40))
+    docs = ([(i, boiler) for i in range(30)]
+            + [(100, pair_a), (101, pair_a)])
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    capped = dedup.minhash_lsh_pairs(df, threshold=0.8,
+                                     max_bucket_size=10).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    # hot bucket -> star around min id 0: exactly 29 pairs, all (0, x)
+    hot = {p for p in got if p[1] < 100}
+    assert hot == {(0, i) for i in range(1, 30)}
+    # transitive connectivity: every boilerplate doc reachable from 0
+    assert {b for _, b in hot} == set(range(1, 30))
+    # the normal-size bucket keeps its all-pairs edge
+    assert (100, 101) in got
+    # uncapped contrast: full quadratic pair set for the hot bucket
+    full = dedup.minhash_lsh_pairs(df, threshold=0.8).collect()
+    assert len({(r.id_a, r.id_b) for r in full if r.id_a < 100}) == 435
