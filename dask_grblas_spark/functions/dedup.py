@@ -362,12 +362,20 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+                  text_col: str = "text", max_hamming: int = 3,
+                  max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup candidates by SimHash: band the 60 bits into
     ``max_hamming + 1`` chunks (pigeonhole: a pair within max_hamming
     differing bits must share at least one exact chunk — the band count is
     DERIVED from the requested distance so recall is guaranteed for any
-    max_hamming), join on (band, chunk), verify via bit_count(xor)."""
+    max_hamming), join on (band, chunk), verify via bit_count(xor).
+
+    max_bucket_size: same quadratic-hot-bucket skew guard as
+    minhash_lsh_pairs — (band, chunk) buckets over the cap expand as a
+    STAR around the bucket's min id instead of all-pairs. Star pairs
+    still pass the exact hamming verification, so precision is
+    unchanged; within an over-cap bucket only pairs involving the
+    representative are listed (transitive clustering unaffected)."""
     if not 0 <= max_hamming <= _SIMHASH_BITS - 1:
         raise ValueError(
             f"max_hamming must be in [0, {_SIMHASH_BITS - 1}] for "
@@ -394,6 +402,22 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     banded = bands[0]
     for p in bands[1:]:
         banded = banded.unionByName(p)
+    if max_bucket_size is not None:
+        sizes = (banded.groupBy("band", "chunk")
+                       .agg(F.count("*").alias("_f"),
+                            F.min_by(F.struct("id", "simhash"), "id")
+                             .alias("_rep")))
+        tagged = banded.join(sizes, on=["band", "chunk"])
+        banded = (tagged.filter(F.col("_f") <= max_bucket_size)
+                        .select("id", "simhash", "band", "chunk"))
+        star = (tagged.filter((F.col("_f") > max_bucket_size)
+                              & (F.col("id") != F.col("_rep.id")))
+                      .select(F.col("_rep.id").alias("id_a"),
+                              F.col("id").alias("id_b"),
+                              F.col("_rep.simhash").alias("sig_a"),
+                              F.col("simhash").alias("sig_b")))
+    else:
+        star = None
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -401,8 +425,10 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                    & (F.col("a.id") < F.col("b.id")))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                      F.col("a.simhash").alias("sig_a"),
-                     F.col("b.simhash").alias("sig_b"))
-             .distinct())
+                     F.col("b.simhash").alias("sig_b")))
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (cand.withColumn("hamming", ham.cast("int"))
                 .filter(F.col("hamming") <= max_hamming)

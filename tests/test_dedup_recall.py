@@ -139,3 +139,19 @@ def test_minhash_hot_bucket_star_cap(spark):
     # uncapped contrast: full quadratic pair set for the hot bucket
     full = dedup.minhash_lsh_pairs(df, threshold=0.8).collect()
     assert len({(r.id_a, r.id_b) for r in full if r.id_a < 100}) == 435
+
+
+def test_simhash_hot_bucket_star_cap(spark):
+    """Same skew guard on the simhash (band, chunk) join: 25 identical
+    docs collapse to a 24-edge star under the cap, stay transitively
+    connected, and the exact hamming verification still applies."""
+    boiler = " ".join(_words(321, 40))
+    docs = [(i, boiler) for i in range(25)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = dedup.simhash_pairs(df, max_hamming=3,
+                                 max_bucket_size=8).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    assert got == {(0, i) for i in range(1, 25)}
+    assert all(r.hamming == 0 for r in capped)
+    full = dedup.simhash_pairs(df, max_hamming=3).collect()
+    assert len(full) == 300  # C(25,2)
