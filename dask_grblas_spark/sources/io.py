@@ -20,7 +20,23 @@ __all__ = ["matrix_from_parquet", "matrix_to_parquet", "vector_from_parquet",
            "vector_to_parquet", "matrix_from_csv", "from_mmfile", "to_mmfile",
            "documents_to_jsonl", "documents_from_jsonl",
            "table_to_orc", "table_from_orc",
-           "table_to_bucketed", "table_from_catalog"]
+           "table_to_bucketed", "table_from_catalog",
+           "table_to_partitioned"]
+
+
+def table_to_partitioned(df, path: str, partition_cols: list[str] | str,
+                         mode: str = "overwrite"):
+    """Write a table hive-partitioned by the given columns (one
+    directory per value). This is the partition-PRUNING primitive at
+    100 TB: a filter on a partition column prunes whole directories at
+    planning time — the scan never lists, opens, or reads the excluded
+    files (vs predicate pushdown, which still opens every footer).
+    Partition by coarse, low-cardinality query axes (event date, source,
+    language); high-cardinality partitioning creates a small-file
+    explosion. Read back with spark.read.parquet(path)."""
+    cols = [partition_cols] if isinstance(partition_cols, str) \
+        else list(partition_cols)
+    df.write.mode(mode).partitionBy(*cols).parquet(path)
 
 
 def table_to_bucketed(df, name: str, keys: list[str] | str,

@@ -207,3 +207,30 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_bkt_a")
         spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_partitioned_write_prunes_directories(spark):
+    """A filter on the partition column must prune at PLANNING time: the
+    scan's file list only contains the matching partition directory —
+    the 100 TB contract that a one-day query over a year of events reads
+    1/365th of the files, not all footers."""
+    import tempfile
+
+    from dask_grblas_spark.sources.io import table_to_partitioned
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/events_by_day"
+        ev = spark.range(1000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 10).alias("day"),
+            (F.col("id") * 1.5).alias("value"))
+        table_to_partitioned(ev, path, "day")
+        back = spark.read.parquet(path)
+        one_day = back.filter(F.col("day") == 3)
+        plan = _physical(one_day)
+        import re
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert pf and "day" in pf.group(1) and "= 3" in pf.group(1), plan
+        # PushedFilters must NOT carry the partition predicate - it is
+        # resolved at planning time, not at the footer
+        assert one_day.count() == 100
