@@ -54,6 +54,21 @@ def table_to_bucketed(df, name: str, keys: list[str] | str,
     Size n_buckets for the TARGET cluster: ~1 task per bucket per join,
     each bucket ideally 100-200 MB on disk."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if mode == "overwrite":
+        # a managed-table LOCATION can outlive the catalog entry (fresh
+        # session + leftover warehouse dir) and saveAsTable then refuses
+        # with LOCATION_ALREADY_EXISTS; overwrite means overwrite
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            import os
+            import shutil
+
+            shutil.rmtree(os.path.join(wh.path, name.lower()),
+                          ignore_errors=True)
     w = (df.write.mode(mode).format("parquet")
            .bucketBy(n_buckets, *keys))
     if sort:
