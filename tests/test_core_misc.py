@@ -324,3 +324,23 @@ def test_mmfile_roundtrip_float_and_symmetric(spark, tmp_path):
     S = gio.from_mmfile(sym)
     assert S.to_dict() == {(0, 0): 5, (1, 0): 7, (0, 1): 7,
                            (2, 1): 9, (1, 2): 9}
+
+
+def test_stream_sources_accept_directory_events(spark, tmp_path):
+    """The streaming readers must accept events stored as a parquet
+    DIRECTORY of part files (the layout a Spark writer produces) and
+    return the same result as the driver's single-file layout."""
+    from dask_grblas_spark.streaming import windows as W
+
+    src_sf = "/root/testdata/sf0.001"
+    dir_sf = str(tmp_path / "sfdir")
+    (W.load_events(spark, src_sf)
+      .repartition(4)
+      .write.parquet(f"{dir_sf}/events.parquet"))
+
+    a = W.event_window_agg(spark, src_sf).toPandas()
+    b = W.event_window_agg(spark, dir_sf).toPandas()
+    key = ["window_start", "event_type", "n_events", "sum_value"]
+    a = a[key].sort_values(key).reset_index(drop=True)
+    b = b[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
