@@ -218,12 +218,6 @@ def ivf_topk(emb_df: DataFrame, k: int = 5, n_cells: int | None = None,
     brute-force as the corpus grows."""
     from .dedup import cross_hash60
 
-    if n_cells is None:
-        n = emb_df.count()
-        n_cells = 16
-        while n_cells * n_cells < n and n_cells < 65536:
-            n_cells *= 2
-
     # the assignment crossJoin multiplies work by n_cells but PRESERVES
     # the input partitioning — a small-file corpus (one parquet file =
     # one partition) would score n_rows*n_cells cosines on one core.
@@ -249,6 +243,14 @@ def ivf_topk(emb_df: DataFrame, k: int = 5, n_cells: int | None = None,
                     .drop("_nrm"))
     if not emb_df.is_cached:
         emb_df = emb_df.persist()
+
+    if n_cells is None:
+        # auto-size AFTER caching: the count doubles as the cache
+        # materialization instead of a second scan of the raw input
+        n = emb_df.count()
+        n_cells = 16
+        while n_cells * n_cells < n and n_cells < 65536:
+            n_cells *= 2
 
     # deterministic "training": the n_cells vectors with the smallest
     # cross-engine hash of (seed, id); cell number = rank in that order
