@@ -694,7 +694,6 @@ def q39_dup_clusters(spark, sf_dir):
     min doc_id of the component, which the SQL oracle replays as a
     window MIN over the content hash."""
     docs = _doc(spark, sf_dir)
-    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     groups = dedup.exact_dedup(docs)
     edges = (docs.select(F.col("doc_id").alias("j"),
                          F.md5(F.col("text")).alias("content_hash"))
@@ -702,13 +701,15 @@ def q39_dup_clusters(spark, sf_dir):
                                      F.col("keep_id").alias("i")),
                        on="content_hash")
                  .select("i", "j", F.lit(1).cast("bigint").alias("v")))
-    A = Matrix.from_dataframe(edges, nrows=n, ncols=n, dtype="INT64")
-    comp = alg.connected_components(A)
-    # CC labels every vertex in [0, n); restrict to actual doc ids
-    return (comp.df.join(docs.select(F.col("doc_id").alias("i")), on="i",
-                         how="left_semi")
-                .select(F.col("i").alias("doc_id"),
-                        F.col("v").alias("cluster")))
+    # dims stay unknown: vertices="edges" labels only the distinct edge
+    # endpoints, so this composition works unchanged when doc ids are
+    # 64-bit content hashes (range(max_id+1) would be impossible). Every
+    # doc carries at least its keep_id->doc_id (possibly self) edge, so
+    # the endpoint set covers all doc ids — no restriction join needed.
+    A = Matrix.from_dataframe(edges, dtype="INT64")
+    comp = alg.connected_components(A, vertices="edges")
+    return comp.df.select(F.col("i").alias("doc_id"),
+                          F.col("v").alias("cluster"))
 
 
 def q42_stream_dedup(spark, sf_dir):
@@ -831,10 +832,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver records queries in dict order
-    # with a cap (r01 recorded exactly the first 50 of 62). The whole suite
-    # is consolidated to 48 entries (paired variants share one tagged
-    # query) and the pipeline/streaming/multimodal layer leads so every
-    # family lands inside any cap.
+    # with a cap (each round records exactly the first 50 of 60). Round-4
+    # ROTATION: the 10 queries positions 50-59 left unsampled in r3
+    # (q53, q55, q20-q25, q27, q56 — q21/q27 had NEVER had a driver row)
+    # move into the recorded window; 10 triple-green rows (recorded and
+    # passing in r1+r2+r3: q01, q02, q09, q11, q12, q13, q18, q19, q29,
+    # q38) rotate out to the tail, so every query has at least one driver
+    # CORRECTNESS row across consecutive rounds.
     return {
         # LLM-data-pipeline / streaming / multimodal layer
         "q30_exact_dedup": q30_exact_dedup,
@@ -859,38 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_media_features": q51_media_features,
         "q52_frame_sample": q52_frame_sample,
         "q37_pagerank": q37_pagerank,
-        # core GraphBLAS operator suite
-        "q01_outdegree": q01_outdegree,
-        "q02_twohop": q02_twohop,
-        "q03_masked_mxv": q03_masked_mxv,
-        "q04_ewise": q04_ewise,
-        "q05_connected_components": q05_connected_components,
-        "q06_sssp_dag": q06_sssp_dag,
-        "q07_triangles": q07_triangles,
-        "q08_bfs": q08_bfs,
-        "q09_kronecker": q09_kronecker,
-        "q11_apply": q11_apply,
-        "q12_mask_semijoin": q12_mask_semijoin,
-        "q13_mask_antijoin": q13_mask_antijoin,
-        "q14_colwise_stats": q14_colwise_stats,
-        "q16_scalar_suite": q16_scalar_suite,
-        "q17_mat_ewise_min_transpose": q17_mat_ewise_min_transpose,
-        "q18_diag_extract": q18_diag_extract,
-        "q19_extract_list": q19_extract_list,
-        "q26_accum_update": q26_accum_update,
-        "q28_argminmax": q28_argminmax,
-        "q29_concat": q29_concat,
-        "q38_mm_roundtrip": q38_mm_roundtrip,
-        "q43_value_mask": q43_value_mask,
-        "q44_resize_delete": q44_resize_delete,
-        "q45_subassign": q45_subassign,
-        "q46_row_assign": q46_row_assign,
-        "q47_reduce_assign": q47_reduce_assign,
-        "q48_input_mask": q48_input_mask,
-        "q49_from_values_dup": q49_from_values_dup,
-        "q53_scalar_fill": q53_scalar_fill,
-        "q55_isclose": q55_isclose,
-        # text analysis layer
+        # text analysis layer (rotated into the recorded window)
         "q20_text_stats": q20_text_stats,
         "q21_repetition": q21_repetition,
         "q27_stratified_split": q27_stratified_split,
@@ -899,6 +872,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_fingerprint": q24_fingerprint,
         "q25_token_freq": q25_token_freq,
         "q56_op_grid": q56_op_grid,
+        "q53_scalar_fill": q53_scalar_fill,
+        "q55_isclose": q55_isclose,
+        # core GraphBLAS operator suite
+        "q03_masked_mxv": q03_masked_mxv,
+        "q04_ewise": q04_ewise,
+        "q05_connected_components": q05_connected_components,
+        "q06_sssp_dag": q06_sssp_dag,
+        "q07_triangles": q07_triangles,
+        "q08_bfs": q08_bfs,
+        "q14_colwise_stats": q14_colwise_stats,
+        "q16_scalar_suite": q16_scalar_suite,
+        "q17_mat_ewise_min_transpose": q17_mat_ewise_min_transpose,
+        "q26_accum_update": q26_accum_update,
+        "q28_argminmax": q28_argminmax,
+        "q43_value_mask": q43_value_mask,
+        "q44_resize_delete": q44_resize_delete,
+        "q45_subassign": q45_subassign,
+        "q46_row_assign": q46_row_assign,
+        "q47_reduce_assign": q47_reduce_assign,
+        "q48_input_mask": q48_input_mask,
+        "q49_from_values_dup": q49_from_values_dup,
+        # triple-green rotation tail (driver rows in r1+r2+r3; outside
+        # the 50-row cap this round so never-recorded queries get rows)
+        "q01_outdegree": q01_outdegree,
+        "q02_twohop": q02_twohop,
+        "q09_kronecker": q09_kronecker,
+        "q11_apply": q11_apply,
+        "q12_mask_semijoin": q12_mask_semijoin,
+        "q13_mask_antijoin": q13_mask_antijoin,
+        "q18_diag_extract": q18_diag_extract,
+        "q19_extract_list": q19_extract_list,
+        "q29_concat": q29_concat,
+        "q38_mm_roundtrip": q38_mm_roundtrip,
     }
 
 
@@ -1398,7 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         FROM inter
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
-        WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.2
+        WHERE ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) >= 0.2
     """
     sql["q34_embedding_neardup"] = """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1507,7 +1513,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
         JOIN sizes sa ON sa.id = c.id_a
         JOIN sizes sb ON sb.id = c.id_b
-        WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.2
+        WHERE ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) >= 0.2
     """
     vote_cols = ",\n                 ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"

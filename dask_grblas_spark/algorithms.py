@@ -239,14 +239,22 @@ def sssp(A: GrMatrix, source: int) -> GrVector:
     return dist
 
 
-def connected_components(A: GrMatrix) -> GrVector:
+def connected_components(A: GrMatrix, vertices: str = "all") -> GrVector:
     """Min-label propagation (FastSV-style semantics: reference notebook
     'Connected Components -- FastSV.ipynb' converges on min labels via
     min_second mxv; here labels flow with the min_first semiring since the
     moving value rides on the LEFT/vector side of vxm).
 
-    Labels start as vertex ids for ALL n vertices (isolated vertices are
-    their own component). Only changed labels are re-propagated."""
+    vertices="all" (GraphBLAS semantics): labels start as vertex ids for
+    ALL n vertices via ``spark.range(n)`` — isolated vertices are their
+    own component. vertices="edges" (the SPARSE-ID scale mode): the label
+    frame is the DISTINCT EDGE ENDPOINTS, so vertex ids may be arbitrary
+    64-bit values (hashed doc ids) where range(n) with n = max_id + 1
+    is impossible; vertices with no incident edge simply don't appear
+    (callers union them back as singletons if needed). Only changed
+    labels are re-propagated in either mode."""
+    if vertices not in ("all", "edges"):
+        raise ValueError("vertices must be 'all' or 'edges'")
     spark = get_session()
     n = A.nrows
     # cache the raw adjacency BEFORE symmetrize: A | A.T reads A from two
@@ -257,8 +265,14 @@ def connected_components(A: GrMatrix) -> GrVector:
     if own_raw:
         raw.unpersist()
     Aprep = GrMatrix(adj, Asym.dtype, n, n)
-    labels_df = spark.range(n).select(F.col("id").alias("i"),
-                                      F.col("id").cast("bigint").alias("v"))
+    if vertices == "edges":
+        # symmetrized adjacency: every endpoint appears as a row id, so
+        # the distinct i column IS the vertex set — no densification
+        labels_df = adj.select("i").distinct().select(
+            "i", F.col("i").cast("bigint").alias("v"))
+    else:
+        labels_df = spark.range(n).select(F.col("id").alias("i"),
+                                          F.col("id").cast("bigint").alias("v"))
     labels = GrVector(labels_df, INT64, n)
     pool = _PersistPool()
     pool.persist(labels)

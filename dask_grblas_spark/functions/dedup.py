@@ -166,15 +166,23 @@ def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str,
     out = (base.select("id", F.explode(F.array(hs)).alias("hs"))
                .select("id", "hs", F.size("hs").alias("sz"))
                .filter(F.col("sz") > 0))
-    # Lazy localCheckpoint: the LSH/Jaccard pipelines read this relation
+    # EAGER localCheckpoint: the LSH/Jaccard pipelines read this relation
     # from up to 4 plan branches; checkpointing computes the tokenize
     # pipeline once and shares the compact per-doc blocks (measured
     # 15-20% off q31/q32; the blocks are GC-cleaned when the plan dies,
-    # unlike a leaked persist). TRADE-OFF: localCheckpoint sacrifices
+    # unlike a leaked persist). Eager, not lazy: a LAZY checkpoint's
+    # deferred materialization job can outlive the SQL execution that
+    # triggered it, and its late task completions then post metric
+    # updates to already-unregistered accumulators — a burst of benign
+    # but alarming "Failed to update accumulator (Unknown class)"
+    # DAGScheduler ERRORs in any session that runs these pipelines
+    # repeatedly (reproduced: 1125 ERROR lines across 5 bench reps of
+    # q31+q32 with eager=False, 0 with eager=True; ~0.2 s extra on a
+    # 1.8 s sf0.1 q32 run). TRADE-OFF: localCheckpoint sacrifices
     # lineage-based recompute — on clusters with preemptible executors
     # set SHARE_SETS=False to keep the recompute-per-branch plan.
     if SHARE_SETS:
-        out = out.localCheckpoint(eager=False)
+        out = out.localCheckpoint(eager=True)
     return out
 
 
@@ -267,7 +275,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
                       num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.8,
-                      max_bucket_size: int | None = None) -> DataFrame:
+                      max_bucket_size: int | None = 1000) -> DataFrame:
     """MinHash LSH near-dup: banded signatures -> bucket join for
     candidates -> EXACT Jaccard verification of candidates only.
     Output: (id_a, id_b, jaccard) pairs with verified jaccard >= threshold.
@@ -278,11 +286,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     f^2/2 candidate rows landing in ONE join task — the quadratic hot
     key that stalls a 1000-executor job. Buckets over the cap switch
     from all-pairs to STAR expansion (every member vs the bucket's min
-    id): linear rows, and transitive connectivity within the bucket is
-    preserved, so downstream duplicate CLUSTERING (connected components
-    over the pairs) is unaffected; only exhaustive pairwise listing
-    inside over-cap buckets is given up. None (default) keeps exact
-    all-pairs semantics."""
+    id): linear rows. The cap defaults ON (1000, mirroring
+    max_doc_freq) because at 100 TB templated corpora routinely put
+    f >> 10^4 docs in one band bucket. Connectivity caveat: star pairs
+    still pass the exact-Jaccard verification, so within an over-cap
+    bucket a member survives ONLY if it verifies against the bucket's
+    min-id representative — true for the identical-boilerplate case the
+    cap targets, but members similar to each other yet below threshold
+    against the representative lose their edges, so duplicate
+    CLUSTERING over the pairs can differ from all-pairs mode for
+    heterogeneous over-cap buckets. Pass None for exact all-pairs
+    semantics."""
     rows_per_band = num_hashes // bands
     # Band keys straight off the wide (id, m0..m{k-1}) row: each band is
     # the EXACT tuple (array) of its slice of min columns — deterministic
@@ -363,7 +377,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3,
-                  max_bucket_size: int | None = None) -> DataFrame:
+                  max_bucket_size: int | None = 1000) -> DataFrame:
     """Near-dup candidates by SimHash: band the 60 bits into
     ``max_hamming + 1`` chunks (pigeonhole: a pair within max_hamming
     differing bits must share at least one exact chunk — the band count is
@@ -371,11 +385,14 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     max_hamming), join on (band, chunk), verify via bit_count(xor).
 
     max_bucket_size: same quadratic-hot-bucket skew guard as
-    minhash_lsh_pairs — (band, chunk) buckets over the cap expand as a
-    STAR around the bucket's min id instead of all-pairs. Star pairs
-    still pass the exact hamming verification, so precision is
-    unchanged; within an over-cap bucket only pairs involving the
-    representative are listed (transitive clustering unaffected)."""
+    minhash_lsh_pairs, default ON (1000). (band, chunk) buckets over the
+    cap expand as a STAR around the bucket's min id instead of
+    all-pairs. Star pairs still pass the exact hamming verification, so
+    precision is unchanged; within an over-cap bucket only pairs whose
+    member verifies against the representative are listed — clustering
+    matches all-pairs mode when members are within max_hamming of the
+    representative (the templated-corpus case), and can drop edges for
+    heterogeneous over-cap buckets. Pass None for exact all-pairs."""
     if not 0 <= max_hamming <= _SIMHASH_BITS - 1:
         raise ValueError(
             f"max_hamming must be in [0, {_SIMHASH_BITS - 1}] for "
@@ -384,8 +401,9 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     if SHARE_SETS:
         # both sides of the band self-join consume the signature
         # relation; share one computed copy (64 aggregate expressions
-        # over every token — see _doc_shingle_sets for the trade-off)
-        sig = sig.localCheckpoint(eager=False)
+        # over every token — see _doc_shingle_sets for the trade-off and
+        # why eager, not lazy)
+        sig = sig.localCheckpoint(eager=True)
     n_bands = max_hamming + 1
     base_w, rem = divmod(_SIMHASH_BITS, n_bands)
     bands = []

@@ -229,24 +229,29 @@ def ivf_topk(emb_df: DataFrame, k: int = 5, n_cells: int | None = None,
 
     # Normalize each vector ONCE so every pairwise similarity is a plain
     # dot product — cosine_expr per pair would re-reduce both operands'
-    # norms, tripling the per-candidate array work. Then cache: the
-    # corpus feeds THREE plan branches (centroid pick, assignment,
-    # probing), and an uncached derived input would be recomputed per
-    # branch. The cache is left to LRU eviction (the returned plan reads
-    # it lazily, so the operator cannot scope an unpersist).
+    # norms, tripling the per-candidate array work. Share one computed
+    # copy across the THREE consuming plan branches (centroid pick,
+    # assignment, probing) via an EAGER localCheckpoint rather than
+    # persist(): a persist here would be a session-lifetime CacheManager
+    # entry the operator can never unpersist (the returned plan reads it
+    # lazily), leaking one entry per distinct input; checkpoint blocks
+    # are instead released by the ContextCleaner as soon as the caller
+    # drops the result plan. Eager, not lazy — a lazy checkpoint's
+    # deferred materialization can outlive the triggering SQL execution
+    # and spam benign "Failed to update accumulator" DAGScheduler ERRORs
+    # (see dedup._doc_shingle_sets for the measured reproduction).
     nrm = norm_expr(F.col(vec_col))
     emb_df = (emb_df.select(id_col, vec_col)
                     .withColumn("_nrm", nrm)
                     .withColumn(vec_col,
                                 F.transform(vec_col,
                                             lambda x: x / F.col("_nrm")))
-                    .drop("_nrm"))
-    if not emb_df.is_cached:
-        emb_df = emb_df.persist()
+                    .drop("_nrm")
+                    .localCheckpoint(eager=True))
 
     if n_cells is None:
-        # auto-size AFTER caching: the count doubles as the cache
-        # materialization instead of a second scan of the raw input
+        # auto-size AFTER checkpointing: the count reads the
+        # just-materialized blocks, not the raw input
         n = emb_df.count()
         n_cells = 16
         while n_cells * n_cells < n and n_cells < 65536:
@@ -266,23 +271,39 @@ def ivf_topk(emb_df: DataFrame, k: int = 5, n_cells: int | None = None,
                    .select("cell", "cv"))
     cents = F.broadcast(cents)
 
-    def nearest_cells(df, vcol, n):
-        # rank on ROUNDED similarity with the cell id as tie-break: the
+    def scored_cells(df, vcol):
+        # score on ROUNDED similarity with the cell id as tie-break: the
         # raw double is engine-arithmetic-sensitive at the last ulp,
         # which would make probe choice (and thus the result set)
         # unreproducible outside Spark
-        scored = (df.crossJoin(cents)
-                    .withColumn("sim",
-                                F.round(dot_expr(F.col(vcol),
-                                                 F.col("cv")), 6))
-                    .drop("cv"))
+        return (df.crossJoin(cents)
+                  .withColumn("sim",
+                              F.round(dot_expr(F.col(vcol),
+                                               F.col("cv")), 6))
+                  .drop("cv"))
+
+    def nearest_cells(df, vcol, n):
+        scored = scored_cells(df, vcol)
         w = Window.partitionBy(df.columns[0]).orderBy(F.col("sim").desc(),
                                                       F.col("cell"))
         return (scored.withColumn("crank", F.row_number().over(w))
                       .filter(F.col("crank") <= n))
 
     base = emb_df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    assigned = nearest_cells(base, "nv", 1).select("nid", "nv", "cell")
+    # n=1 assignment is an ARGMIN, not a ranking: max_by over
+    # (sim, -cell) picks the best cell with the same deterministic
+    # tie-break but as a hash aggregate — map-side partial combine means
+    # only n rows shuffle (vs the window's n*n_cells row sort-shuffle).
+    # The window path below stays for the top-nprobe probe ranking,
+    # which genuinely needs n rows per key.
+    assigned = (scored_cells(base, "nv")
+                .groupBy("nid")
+                .agg(F.max_by(
+                    F.struct("cell", "nv"),
+                    F.struct(F.col("sim"),
+                             (-F.col("cell")).alias("_nc"))).alias("_a"))
+                .select("nid", F.col("_a.nv").alias("nv"),
+                        F.col("_a.cell").alias("cell")))
     queries = emb_df.select(F.col(id_col).alias("query_id"),
                             F.col(vec_col).alias("qv"))
     probes = nearest_cells(queries, "qv", nprobe).select("query_id", "qv", "cell")

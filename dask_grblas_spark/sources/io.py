@@ -57,18 +57,50 @@ def table_to_bucketed(df, name: str, keys: list[str] | str,
     if mode == "overwrite":
         # a managed-table LOCATION can outlive the catalog entry (fresh
         # session + leftover warehouse dir) and saveAsTable then refuses
-        # with LOCATION_ALREADY_EXISTS; overwrite means overwrite
-        spark = df.sparkSession
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # with LOCATION_ALREADY_EXISTS; overwrite means overwrite.
+        # Quote every dotted identifier part (db.tbl, reserved words) and
+        # resolve the REAL location from the catalog rather than
+        # reconstructing it from warehouse.dir + name.lower(), which is
+        # wrong for qualified names and custom LOCATIONs.
+        import os
+        import shutil
         from urllib.parse import urlparse
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-        if wh.scheme in ("", "file"):
-            import os
-            import shutil
-
-            shutil.rmtree(os.path.join(wh.path, name.lower()),
-                          ignore_errors=True)
+        spark = df.sparkSession
+        parts = name.split(".")
+        quoted = ".".join("`" + p.replace("`", "``") + "`" for p in parts)
+        loc = None
+        try:
+            if spark.catalog.tableExists(name):
+                for row in spark.sql(
+                        f"DESCRIBE TABLE EXTENDED {quoted}").collect():
+                    if row[0] == "Location":
+                        loc = row[1]
+                        break
+        except Exception:
+            loc = None
+        spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+        if loc is None:
+            # no catalog entry to ask: the orphan dir (if any) sits at
+            # the DEFAULT managed location for the name; only the
+            # layouts we can derive safely are cleaned
+            wh = spark.conf.get("spark.sql.warehouse.dir")
+            if len(parts) == 1:
+                loc = wh.rstrip("/") + "/" + parts[0].lower()
+            elif len(parts) == 2:
+                loc = (wh.rstrip("/") + "/" + parts[0].lower() + ".db/"
+                       + parts[1].lower())
+        if loc is not None:
+            u = urlparse(loc)
+            wh_u = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+            wh_path = wh_u.path if wh_u.scheme else wh_u.geturl()
+            lp = u.path if u.scheme else loc
+            # never touch data OUTSIDE the warehouse (external tables
+            # keep their files across DROP by contract)
+            if u.scheme in ("", "file") and \
+                    os.path.abspath(lp).startswith(
+                        os.path.abspath(wh_path) + os.sep):
+                shutil.rmtree(lp, ignore_errors=True)
     w = (df.write.mode(mode).format("parquet")
            .bucketBy(n_buckets, *keys))
     if sort:

@@ -14,6 +14,7 @@ conversion expression at all.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -54,12 +55,27 @@ def _event_part_files(sf_dir: str) -> list[str]:
 def _events_stream_dir(sf_dir: str) -> str:
     """File-stream sources need a flat DIRECTORY of data files; expose
     the events parquet (file or directory) through a per-path cached
-    symlink dir under /tmp."""
+    symlink dir under /tmp. The cache is VALIDATED, not trusted: if
+    {sf_dir}/events.parquet was rewritten since the dir was built, the
+    old links dangle (renamed part files) or go stale (same-name
+    rewrite mixed with leftover links), so the dir is rebuilt whenever
+    its links don't exactly mirror the current part-file listing."""
     key = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(tempfile.gettempdir(), f"dgs_events_{key}")
+    parts = _event_part_files(sf_dir)
+    if os.path.isdir(d):
+        links = sorted(os.path.join(d, f) for f in os.listdir(d))
+        want = [os.path.join(d, f"ev_{i:05d}.parquet")
+                for i in range(len(parts))]
+        fresh = links == want and all(
+            os.path.realpath(lk) == os.path.realpath(pt)
+            and os.path.exists(lk)
+            for lk, pt in zip(links, parts))
+        if not fresh:
+            shutil.rmtree(d, ignore_errors=True)
     if not os.path.isdir(d):
         os.makedirs(d, exist_ok=True)
-        for i, part in enumerate(_event_part_files(sf_dir)):
+        for i, part in enumerate(parts):
             try:
                 os.symlink(part, os.path.join(d, f"ev_{i:05d}.parquet"))
             except FileExistsError:

@@ -107,3 +107,52 @@ def test_iterative_loops_release_their_caches(spark):
         alg.bfs_level(A, 0).to_dict()
         alg.sssp(A, 0).to_dict()
     assert cm.isEmpty(), "iterative algorithms leaked cache entries"
+
+
+def test_connected_components_sparse_hashed_ids(spark):
+    """vertices="edges": the label frame is the distinct edge endpoints,
+    so CC works with arbitrary 64-bit ids (hashed doc ids — the 100 TB
+    dedup-clustering case) where vertices="all" would need
+    spark.range(max_id + 1) ~ 2^60 rows."""
+    import pyspark.sql.functions as F
+
+    base = 1 << 60  # ids around 2^60: densifying would OOM instantly
+    e = [(base + a, base + b) for a, b in FASTSV_EDGES]
+    df = spark.createDataFrame(
+        [(i, j, 1) for i, j in e], "i long, j long, v long")
+    A = gb.Matrix.from_dataframe(df, dtype="INT64")
+    comp = {r["i"] - base: r["v"] - base
+            for r in alg.connected_components(A, vertices="edges")
+            .df.collect()}
+    assert comp == {**{i: 0 for i in range(6)},
+                    **{i: 6 for i in (6, 7, 8)},
+                    **{i: 9 for i in (9, 10, 11)}}
+
+
+def test_connected_components_rejects_bad_vertices_mode(spark):
+    A = fastsv_matrix(spark)
+    with pytest.raises(ValueError):
+        alg.connected_components(A, vertices="nope")
+
+
+def test_ivf_topk_releases_session_caches(spark):
+    """Regression (round-4 advice): ivf_topk used to persist() its
+    normalized corpus with no way to unpersist — one session-lifetime
+    CacheManager entry PER DISTINCT INPUT. It now shares the corpus via
+    a lazy localCheckpoint (ContextCleaner-scoped), so the CacheManager
+    stays exactly as it was."""
+    import pyspark.sql.functions as F
+
+    from dask_grblas_spark.functions import similarity
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    if not cm.isEmpty():
+        pytest.skip("another test left session-level caches; emptiness "
+                    "delta would be meaningless")
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.pmod(F.xxhash64("id", F.lit(k)), F.lit(1000))
+                   / 500.0 - 1.0) for k in range(8)]).alias("embedding"))
+    out = similarity.ivf_topk(emb, k=3, n_cells=4, nprobe=2)
+    assert out.count() > 0
+    assert cm.isEmpty(), "ivf_topk leaked a CacheManager entry"

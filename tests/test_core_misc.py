@@ -344,3 +344,78 @@ def test_stream_sources_accept_directory_events(spark, tmp_path):
     a = a[key].sort_values(key).reset_index(drop=True)
     b = b[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_stream_dir_rebuilds_after_source_rewrite(spark, tmp_path):
+    """Regression (round-4 advice): _events_stream_dir cached its /tmp
+    symlink directory per sf_dir forever; rewriting events.parquet left
+    dangling or stale links (library users don't get scale_probe's
+    manual rmtree). The cache must self-validate and rebuild."""
+    from dask_grblas_spark.streaming import windows as W
+
+    src_sf = "/root/testdata/sf0.001"
+    dir_sf = str(tmp_path / "sfrw")
+    ev = W.load_events(spark, src_sf)
+    ev.repartition(3).write.parquet(f"{dir_sf}/events.parquet")
+    a = W.event_window_agg(spark, dir_sf).toPandas()
+
+    # rewrite with DIFFERENT part-file names AND different content
+    ev2 = ev.filter("event_type = 'click'").repartition(2)
+    ev2.write.mode("overwrite").parquet(f"{dir_sf}/events.parquet")
+    b = W.event_window_agg(spark, dir_sf).toPandas()
+
+    assert a["n_events"].sum() != b["n_events"].sum()
+    ref = W.event_window_agg(spark, src_sf).toPandas()
+    ref = ref[ref.event_type == "click"]
+    assert b["n_events"].sum() == ref["n_events"].sum()
+
+
+def test_repetition_stats_large_doc_linear(spark):
+    """Regression (round-4 verdict): the entropy expression was
+    O(distinct * tokens) PER DOCUMENT — a 100k-token doc was ~3e9
+    single-core comparisons. The sort+run-length formulation must chew a
+    100k-token / 30k-distinct-token doc in seconds, and agree with a
+    locally computed exact entropy."""
+    import math
+    import time
+
+    import pyspark.sql.functions as F
+
+    from dask_grblas_spark.functions import text
+
+    n_tok, n_distinct = 100_000, 30_000
+    words = [str((i * 2654435761) % n_distinct) for i in range(n_tok)]
+    doc = " ".join(words)
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    t0 = time.perf_counter()
+    row = text.repetition_stats(df).collect()[0]
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 30, f"large-doc repetition_stats took {elapsed:.1f}s"
+
+    from collections import Counter
+    cnt = Counter(words)
+    ent = -sum(c / n_tok * math.log(c / n_tok) for c in cnt.values())
+    assert row["token_entropy"] == pytest.approx(ent, abs=2e-6)
+
+
+def test_bucketed_overwrite_qualified_and_repeated(spark, tmp_path):
+    """Regression (round-4 advice): overwrite cleanup used to
+    interpolate the table name into SQL unquoted and guess the location
+    as <warehouse>/<name.lower()> — wrong for db-qualified names. A
+    db.tbl name must overwrite cleanly, twice, and read back bucketed."""
+    import pyspark.sql.functions as F
+
+    from dask_grblas_spark.sources.io import (table_from_catalog,
+                                              table_to_bucketed)
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS dgs_testdb")
+    df = spark.range(100).select(F.col("id").alias("k"),
+                                 (F.col("id") * 2).alias("v"))
+    try:
+        table_to_bucketed(df, "dgs_testdb.bkt_q", "k", n_buckets=4)
+        table_to_bucketed(df, "dgs_testdb.bkt_q", "k", n_buckets=4)
+        got = table_from_catalog("dgs_testdb.bkt_q")
+        assert got.count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dgs_testdb.bkt_q")
+        spark.sql("DROP DATABASE IF EXISTS dgs_testdb")

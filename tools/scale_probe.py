@@ -98,6 +98,38 @@ def main() -> int:
     probe("simhash_pairs", ndocs,
           lambda: dedup.simhash_pairs(docs, max_hamming=3))
 
+    # ---- SKEWED corpus: the boilerplate/template hot-bucket case ------
+    # 20% of a 100k-doc corpus is ONE template -> every LSH band puts
+    # those 20k docs in a single bucket. All-pairs expansion would be
+    # 20k^2/2 = 2e8 candidate rows in ONE join task; the default-on
+    # max_bucket_size=1000 star cap must keep candidates LINEAR in the
+    # bucket size (asserted, not just timed).
+    NSK = 100_000 if not QUICK else 10_000
+    NTPL = 20_000 if not QUICK else 2_000
+    template = " ".join(str((i * 2654435761) % 100000) for i in range(40))
+    skew_docs = spark.range(NSK).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < NTPL, F.lit(template)).otherwise(F.expr(
+            "concat_ws(' ', transform(sequence(1, 40), "
+            "p -> cast(pmod(xxhash64(id, p), 100000) as string)))"))
+        .alias("text"))
+
+    def _bounded(pairs_fn, bound):
+        n = pairs_fn().count()
+        assert n <= bound, (
+            f"skew cap failed: {n} candidate pairs > linear bound {bound}")
+        return spark.createDataFrame([(n,)], "pairs long")
+
+    probe("minhash_lsh_skewed", NSK,
+          lambda: _bounded(
+              lambda: dedup.minhash_lsh_pairs(skew_docs, threshold=0.8,
+                                              bands=8),
+              3 * NTPL))
+    probe("simhash_skewed", NSK,
+          lambda: _bounded(
+              lambda: dedup.simhash_pairs(skew_docs, max_hamming=3),
+              3 * NTPL))
+
     # ---- embeddings: tile the sf0.1 vectors 10x -----------------------
     ereps = 10 if not QUICK else 2
     emb = (spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
