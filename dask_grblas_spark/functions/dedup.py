@@ -17,7 +17,7 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -316,10 +316,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     banded = wide.select(
         "id", F.posexplode(F.array(*band_cols)).alias("band", "bandkey"))
     if max_bucket_size is not None:
-        sizes = (banded.groupBy("band", "bandkey")
-                       .agg(F.count("*").alias("_f"),
-                            F.min("id").alias("_rep")))
-        tagged = banded.join(sizes, on=["band", "bandkey"])
+        # bucket size + representative as WINDOW aggregates over the
+        # banded relation, not groupBy+join-back: one (band, bandkey)
+        # shuffle that the band self-join below then REUSES (its join
+        # keys match the window partitioning), where the agg+join shape
+        # paid three exchanges (agg, join probe, join build)
+        wb = Window.partitionBy("band", "bandkey")
+        tagged = (banded.withColumn("_f", F.count("*").over(wb))
+                        .withColumn("_rep", F.min("id").over(wb)))
         banded = (tagged.filter(F.col("_f") <= max_bucket_size)
                         .select("id", "band", "bandkey"))
         star = (tagged.filter((F.col("_f") > max_bucket_size)
@@ -421,11 +425,15 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     for p in bands[1:]:
         banded = banded.unionByName(p)
     if max_bucket_size is not None:
-        sizes = (banded.groupBy("band", "chunk")
-                       .agg(F.count("*").alias("_f"),
-                            F.min_by(F.struct("id", "simhash"), "id")
-                             .alias("_rep")))
-        tagged = banded.join(sizes, on=["band", "chunk"])
+        # same single-shuffle window shape as minhash_lsh_pairs; the
+        # representative is min(struct(id, simhash)) — ids are unique,
+        # so struct ordering picks the min-id member and carries its
+        # signature along for the star pairs' hamming verification
+        wb = Window.partitionBy("band", "chunk")
+        tagged = (banded.withColumn("_f", F.count("*").over(wb))
+                        .withColumn("_rep",
+                                    F.min(F.struct("id", "simhash"))
+                                     .over(wb)))
         banded = (tagged.filter(F.col("_f") <= max_bucket_size)
                         .select("id", "simhash", "band", "chunk"))
         star = (tagged.filter((F.col("_f") > max_bucket_size)
