@@ -22,8 +22,8 @@ from pyspark.sql import functions as F
 
 from dask_grblas_spark import Matrix, Vector, agg, binary, monoid, semiring, unary
 from dask_grblas_spark import algorithms as alg
-from dask_grblas_spark.functions import (dedup, multimodal, similarity,
-                                         text, timeseries)
+from dask_grblas_spark.functions import (dedup, multimodal, retrieval,
+                                         similarity, text, timeseries)
 from dask_grblas_spark.sources import tpch
 from dask_grblas_spark.streaming import event_window_agg, sessionize
 
@@ -758,6 +758,32 @@ def q35_cosine_topk(spark, sf_dir):
         .select("query_id", "neighbor_id", "rank")
 
 
+# fixed benchmark-style query set for the BM25 decontamination scan;
+# literal in both the Spark query and the SQL oracle
+_BM25_QUERIES = [(1, "spark join table"), (2, "window agg merge"),
+                 (3, "fast scan filter"), (4, "customer query value")]
+
+
+def q61_bm25(spark, sf_dir):
+    """Okapi BM25 top-5 documents per benchmark query — the
+    decontamination / eval-leak scan of a training pipeline. Postings
+    restricted to the query vocabulary before the tf shuffle; ranking on
+    the rounded score with doc_id tie-break, so the oracle replays it
+    exactly."""
+    return retrieval.bm25_topk(_doc(spark, sf_dir), _BM25_QUERIES, k=5) \
+        .select("query_id", "doc_id", "score", "rank")
+
+
+def q62_kmeans(spark, sf_dir):
+    """Three Lloyd iterations of k-means over the embeddings (k=8) —
+    the topic-bucketing / diversity-sampling primitive. Deterministic
+    hash init + rounded distances + rounded centroid means make the
+    whole ITERATIVE pipeline reproducible in SQL, so the driver
+    hash-checks every assignment."""
+    return similarity.kmeans_assign(_emb(spark, sf_dir), k=8, iters=3) \
+        .select("vec_id", "cluster")
+
+
 def q36_ivf_ann(spark, sf_dir):
     """IVF-bucketed ANN. Every choice point (md5-hash centroid pick,
     cell numbering, rounded-sim probe ranking with tie-breaks) is
@@ -905,6 +931,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_extract_list": q19_extract_list,
         "q29_concat": q29_concat,
         "q38_mm_roundtrip": q38_mm_roundtrip,
+        # round-4 additions (outside the 50-row cap this round; rotate
+        # into the recorded window next round)
+        "q61_bm25": q61_bm25,
+        "q62_kmeans": q62_kmeans,
     }
 
 
@@ -1599,4 +1629,102 @@ def oracle_sql() -> dict[str, str]:
                'application/x-fake-image' AS mime
         FROM documents
     """
+    qvals = ", ".join(f"({qid}, '{qtext}')" for qid, qtext in _BM25_QUERIES)
+    sql["q61_bm25"] = rf"""
+        WITH docs AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS toks
+          FROM documents
+        ), dls AS (
+          SELECT doc_id, len(toks) AS dl, toks FROM docs
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dls
+        ), qraw(query_id, qtext) AS (VALUES {qvals}),
+        qterms AS (
+          SELECT DISTINCT query_id,
+                 unnest(list_filter(regexp_split_to_array(trim(qtext), '\s+'),
+                                    t -> length(t) > 0)) AS term
+          FROM qraw
+        ), terms AS (SELECT DISTINCT term FROM qterms),
+        posting AS (
+          SELECT e.term, e.doc_id, e.dl, COUNT(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dls) e
+          JOIN terms t ON e.term = t.term
+          GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df_t FROM posting GROUP BY 1
+        ), scored AS (
+          SELECT p.term, p.doc_id,
+                 LN(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+                 * (p.tf * (1.2 + 1))
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)) AS w
+          FROM posting p JOIN dfreq d USING (term) CROSS JOIN stats s
+        ), perq AS (
+          SELECT q.query_id, sc.doc_id, ROUND(SUM(sc.w), 6) AS score
+          FROM scored sc JOIN qterms q USING (term)
+          GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+        FROM (SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS rank
+              FROM perq)
+        WHERE rank <= 5
+    """
+    # q62: the 3-iteration Lloyd loop macro-expanded into a CTE chain —
+    # init (hash-ranked pick) -> [assign, update] x 3 -> final assign;
+    # distances and centroid means rounded to 6 decimals in BOTH engines
+    # so cross-engine float drift cannot flip an argmin
+    _KM_K, _KM_ITERS = 8, 3
+    km = """
+        WITH emb AS (
+          SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ), ee AS (
+          SELECT vid, generate_subscripts(v, 1) AS d, unnest(v) AS val
+          FROM emb
+        ), c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY hk, vid) AS BIGINT) - 1
+                   AS c, v AS cv
+          FROM (SELECT vid, v,
+                       ('0x' || substr(md5('42:' || vid), 1, 15))::BIGINT
+                         AS hk
+                FROM emb ORDER BY hk, vid LIMIT {k})
+        )"""
+    for _i in range(1, _KM_ITERS + 1):
+        km += """, ec{p} AS (
+          SELECT c, generate_subscripts(cv, 1) AS d, unnest(cv) AS cval
+          FROM c{p}
+        ), a{i} AS (
+          SELECT vid, c FROM (
+            SELECT vid, c, row_number() OVER (PARTITION BY vid
+                     ORDER BY ROUND(dist, 6), c) AS rn
+            FROM (SELECT ee.vid, ec.c,
+                         SUM((ee.val - ec.cval) * (ee.val - ec.cval))
+                           AS dist
+                  FROM ee JOIN ec{p} ec USING (d)
+                  GROUP BY ee.vid, ec.c))
+          WHERE rn = 1
+        ), c{i} AS (
+          SELECT p.c, COALESCE(n.cv, p.cv) AS cv
+          FROM c{p} p LEFT JOIN (
+            SELECT c, list(ROUND(m, 6) ORDER BY d) AS cv
+            FROM (SELECT a.c, ee.d, AVG(ee.val) AS m
+                  FROM a{i} a JOIN ee USING (vid) GROUP BY a.c, ee.d)
+            GROUP BY c) n USING (c)
+        )""".format(p=_i - 1, i=_i)
+    km += """, ecf AS (
+          SELECT c, generate_subscripts(cv, 1) AS d, unnest(cv) AS cval
+          FROM c{n}
+        )
+        SELECT vid AS vec_id, CAST(c AS BIGINT) AS cluster FROM (
+          SELECT vid, c, row_number() OVER (PARTITION BY vid
+                   ORDER BY ROUND(dist, 6), c) AS rn
+          FROM (SELECT ee.vid, ec.c,
+                       SUM((ee.val - ec.cval) * (ee.val - ec.cval)) AS dist
+                FROM ee JOIN ecf ec USING (d)
+                GROUP BY ee.vid, ec.c))
+        WHERE rn = 1"""
+    sql["q62_kmeans"] = km.format(k=_KM_K, n=_KM_ITERS)
     return sql

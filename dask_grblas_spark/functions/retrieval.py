@@ -1,0 +1,103 @@
+"""Ranked text retrieval over the documents corpus — the
+decontamination / eval-leak-scan primitive of a training-data pipeline
+(score every training document against a benchmark's queries, drop the
+top hits).
+
+Everything is JVM Column arithmetic on one corpus scan:
+- doc lengths come from `size(filter(tokens(...)))` map-side (no
+  explode, no shuffle),
+- the posting list is RESTRICTED to the query vocabulary before the
+  term-frequency aggregation (broadcast semi-join on the handful of
+  query terms), so the shuffled relation is |matching doc-term pairs|,
+  not |corpus tokens|,
+- corpus-level scalars (N, avgdl) ride a broadcast 1-row aggregate.
+
+At 100 TB: one full scan + one shuffle keyed on (term, doc) for tf —
+bounded by the query-vocabulary postings; a hot query term is still
+aggregated map-side (per-partition partial counts) before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def bm25_topk(df: DataFrame, queries: list[tuple[int, str]],
+              id_col: str = "doc_id", text_col: str = "text",
+              k: int = 5, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 top-k documents per query.
+
+    queries: [(query_id, query_text)]. idf = ln(1 + (N - df + 0.5) /
+    (df + 0.5)) (the non-negative BM25+ style idf); score summed over
+    DISTINCT query terms; ranking on the 6-decimal-rounded score with
+    doc_id as the tie-break so the ordering is reproducible across
+    engines. Returns (query_id, doc_id, score, rank), rank <= k.
+    """
+    spark = df.sparkSession
+    toks_arr = F.filter(tokens(F.col(text_col)),
+                        lambda x: F.length(x) > 0)
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      toks_arr.alias("_toks"))
+              .withColumn("dl", F.size("_toks")))
+    stats = base.agg(F.count("*").alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+    qdf = spark.createDataFrame(list(queries),
+                                "query_id long, qtext string")
+    qterms = qdf.select(
+        "query_id",
+        F.explode(F.array_distinct(
+            F.filter(tokens(F.col("qtext")),
+                     lambda x: F.length(x) > 0))).alias("term"))
+    terms = qterms.select("term").distinct()
+    # postings restricted to the query vocabulary BEFORE the tf shuffle
+    posting = (base.select("doc_id", "dl", F.explode("_toks").alias("term"))
+                   .join(F.broadcast(terms), on="term")
+                   .groupBy("term", "doc_id", "dl")
+                   .agg(F.count("*").alias("tf")))
+    dfreq = posting.groupBy("term").agg(F.count("*").alias("df_t"))
+    scored = (posting.join(F.broadcast(dfreq), on="term")
+                     .crossJoin(F.broadcast(stats)))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5))
+    w = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    perq = (scored.withColumn("w", w)
+                  .join(F.broadcast(qterms), on="term")
+                  .groupBy("query_id", "doc_id")
+                  .agg(F.round(F.sum("w"), 6).alias("score")))
+    rk = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                                F.col("doc_id"))
+    return (perq.withColumn("rank", F.row_number().over(rk))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "doc_id", "score",
+                        F.col("rank").cast("int").alias("rank")))
+
+
+def tfidf_vectors(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  min_df: int = 1) -> DataFrame:
+    """Per-document TF-IDF term weights: (doc_id, term, tfidf) with
+    tf = raw count / doc length and idf = ln((N + 1) / (df + 1)) + 1
+    (smoothed, sklearn-style). min_df prunes the hapax tail — at corpus
+    scale the vocabulary's long tail dominates the posting list, and a
+    df cutoff bounds it the same way max_doc_freq bounds the dedup
+    inverted index."""
+    toks_arr = F.filter(tokens(F.col(text_col)),
+                        lambda x: F.length(x) > 0)
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      toks_arr.alias("_toks"))
+              .withColumn("dl", F.size("_toks")))
+    stats = base.agg(F.count("*").alias("n_docs"))
+    posting = (base.select("doc_id", "dl", F.explode("_toks").alias("term"))
+                   .groupBy("term", "doc_id", "dl")
+                   .agg(F.count("*").alias("tf")))
+    dfreq = (posting.groupBy("term").agg(F.count("*").alias("df_t"))
+                    .filter(F.col("df_t") >= min_df))
+    out = (posting.join(dfreq, on="term").crossJoin(F.broadcast(stats)))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df_t") + 1.0)) + 1.0
+    return out.select(
+        "doc_id", "term",
+        F.round((F.col("tf") / F.col("dl")) * idf, 6).alias("tfidf"))

@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
-           "hyperplane_lsh_buckets", "hyperplane_lsh_pairs", "ivf_topk"]
+           "hyperplane_lsh_buckets", "hyperplane_lsh_pairs", "ivf_topk",
+           "kmeans_assign"]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -317,3 +318,74 @@ def ivf_topk(emb_df: DataFrame, k: int = 5, n_cells: int | None = None,
                   .filter(F.col("rank") <= k)
                   .select("query_id", F.col("nid").alias("neighbor_id"),
                           "cosine", "rank"))
+
+
+def kmeans_assign(emb_df: DataFrame, k: int = 8, iters: int = 3,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  seed: int = 42) -> DataFrame:
+    """Lloyd k-means over the embedding column, returning the final
+    (vec_id, cluster) assignment — the corpus-curation clustering
+    primitive (topic bucketing, diversity sampling, per-cluster quota
+    mixing).
+
+    Deterministic and cross-engine reproducible by construction (so the
+    whole iterative pipeline hard-oracles in SQL):
+    - init: the k vectors with the smallest cross-engine md5 hash of
+      f"{seed}:{id}" (same idiom as ivf_topk's centroid pick), cluster
+      number = rank in that order;
+    - assignment: argmin squared-L2 on the 6-decimal-ROUNDED distance
+      with cluster id as tie-break (raw doubles differ at the last ulp
+      between engines);
+    - update: per-dimension mean, each component ROUNDED to 6 decimals
+      (quantizes away sum-order drift); an emptied cluster keeps its
+      previous centroid.
+
+    Scale shape (MLlib-style): centroids are DRIVER-held between
+    iterations — k*dim doubles, constant in corpus size — while every
+    data pass is one executor-side scan: assignment is k in-plan
+    literal-array distance expressions per row (no join, no shuffle);
+    the update is one posexplode + (cluster, dim) groupBy whose partial
+    aggregation reduces map-side to k*dim rows per partition."""
+    from .dedup import cross_hash60
+
+    emb = emb_df.select(F.col(id_col).alias("vid"),
+                        F.col(vec_col).cast("array<double>").alias("v"))
+    if emb.rdd.getNumPartitions() < (par := emb_df.sparkSession
+                                     .sparkContext.defaultParallelism):
+        emb = emb.repartition(par)
+    emb = emb.localCheckpoint(eager=True)  # consumed 2*iters + 1 times
+
+    hk = cross_hash60(F.concat(F.lit(f"{seed}:"),
+                               F.col("vid").cast("string")))
+    init = (emb.withColumn("hk", hk).orderBy("hk", "vid").limit(k)
+               .select("v").collect())
+    cents = [list(r["v"]) for r in init]
+
+    def assign(cents):
+        dists = []
+        for c, cv in enumerate(cents):
+            clit = F.array(*[F.lit(float(x)) for x in cv])
+            d = F.aggregate(F.zip_with(F.col("v"), clit,
+                                       lambda a, b: (a - b) * (a - b)),
+                            F.lit(0.0), lambda acc, x: acc + x)
+            dists.append(F.struct(F.round(d, 6).alias("d"),
+                                  F.lit(c).cast("bigint").alias("c")))
+        return emb.withColumn("cluster",
+                              F.array_min(F.array(*dists)).getField("c"))
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        means = (assigned.select("cluster",
+                                 F.posexplode("v").alias("d", "val"))
+                         .groupBy("cluster", "d")
+                         .agg(F.avg("val").alias("m"))
+                         .collect())
+        upd = {}
+        for r in means:
+            upd.setdefault(r["cluster"], {})[r["d"]] = round(r["m"], 6)
+        cents = [
+            [upd[c][d] for d in range(len(cents[c]))] if c in upd
+            else cents[c]
+            for c in range(k)]
+
+    return assign(cents).select(F.col("vid").alias(id_col), "cluster")

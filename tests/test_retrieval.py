@@ -1,0 +1,109 @@
+"""BM25 / TF-IDF retrieval and k-means clustering tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_grblas_spark.functions.retrieval import bm25_topk, tfidf_vectors
+from dask_grblas_spark.functions.similarity import kmeans_assign
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [(0, "apple banana apple"),
+         (1, "banana cherry"),
+         (2, "apple apple apple durian"),
+         (3, "elderberry fig")],
+        "doc_id long, text string")
+
+
+def _bm25_ref(tf, df_t, dl, avgdl, n_docs, k1=1.2, b=0.75):
+    idf = math.log(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def test_bm25_matches_hand_computation(spark):
+    out = {(r["query_id"], r["doc_id"]): r["score"]
+           for r in bm25_topk(_corpus(spark), [(1, "apple")], k=4).collect()}
+    avgdl = (3 + 2 + 4 + 2) / 4
+    # 'apple': df=2 over 4 docs; doc0 tf=2 dl=3, doc2 tf=3 dl=4
+    assert out[(1, 0)] == pytest.approx(
+        round(_bm25_ref(2, 2, 3, avgdl, 4), 6), abs=1e-6)
+    assert out[(1, 2)] == pytest.approx(
+        round(_bm25_ref(3, 2, 4, avgdl, 4), 6), abs=1e-6)
+    assert set(out) == {(1, 0), (1, 2)}  # docs without the term: no row
+
+
+def test_bm25_rank_and_multi_term(spark):
+    rows = bm25_topk(_corpus(spark), [(7, "apple cherry")], k=10).collect()
+    got = sorted((r["rank"], r["doc_id"]) for r in rows)
+    # doc1 matches cherry (rare: df=1 -> higher idf); docs 0/2 match apple
+    assert [d for _, d in got] == sorted(
+        {r["doc_id"] for r in rows} & {0, 1, 2}) or len(got) == 3
+    assert {r["doc_id"] for r in rows} == {0, 1, 2}
+    ranks = {r["doc_id"]: r["rank"] for r in rows}
+    assert sorted(ranks.values()) == [1, 2, 3]
+
+
+def test_bm25_query_term_not_in_corpus(spark):
+    rows = bm25_topk(_corpus(spark), [(1, "zebra")], k=3).collect()
+    assert rows == []
+
+
+def test_tfidf_vectors(spark):
+    out = {(r["doc_id"], r["term"]): r["tfidf"]
+           for r in tfidf_vectors(_corpus(spark)).collect()}
+    # doc0 'apple': tf=2/3, idf=ln(5/3)+1
+    assert out[(0, "apple")] == pytest.approx(
+        round(2 / 3 * (math.log(5 / 3) + 1), 6), abs=1e-6)
+    # min_df prunes: durian appears once
+    pruned = {(r["doc_id"], r["term"])
+              for r in tfidf_vectors(_corpus(spark), min_df=2).collect()}
+    assert (2, "durian") not in pruned and (0, "apple") in pruned
+
+
+def _blobs(spark, n_per=40, dim=8, centers=((10.0, 0), (-10.0, 1))):
+    # two well-separated blobs with deterministic pseudo-noise
+    rows = []
+    for cval, cid in centers:
+        for i in range(n_per):
+            base = cid * n_per + i
+            vec = [cval + ((base * 37 + d * 11) % 7 - 3) * 0.05
+                   for d in range(dim)]
+            rows.append((base, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_separates_blobs(spark):
+    df = _blobs(spark)
+    out = kmeans_assign(df, k=2, iters=4).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert len(out) == 80
+    assert len(by_cluster) == 2
+    blobs = [frozenset(range(40)), frozenset(range(40, 80))]
+    assert sorted(frozenset(v) for v in by_cluster.values()) \
+        == sorted(blobs)
+
+
+def test_kmeans_deterministic(spark):
+    df = _blobs(spark)
+    a = sorted((r["vec_id"], r["cluster"])
+               for r in kmeans_assign(df, k=3, iters=2).collect())
+    b = sorted((r["vec_id"], r["cluster"])
+               for r in kmeans_assign(df, k=3, iters=2).collect())
+    assert a == b
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # k = n: every vector is its own centroid candidate, but identical
+    # vectors collapse clusters — emptied clusters must not crash and
+    # every vector still gets a label
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(4)] + [(9, [50.0, 50.0])],
+        "vec_id long, embedding array<double>")
+    out = kmeans_assign(df, k=3, iters=2)
+    assert out.count() == 5
+    assert out.select("cluster").distinct().count() == 2
