@@ -130,6 +130,14 @@ def main() -> int:
               lambda: dedup.simhash_pairs(skew_docs, max_hamming=3),
               3 * NTPL))
 
+    # ---- retrieval: BM25 over the replicated corpus -------------------
+    from dask_grblas_spark.functions import retrieval
+
+    probe("bm25_topk", ndocs,
+          lambda: retrieval.bm25_topk(
+              docs, [(1, "spark join table"), (2, "window agg merge"),
+                     (3, "fast scan filter")], k=10))
+
     # ---- embeddings: tile the sf0.1 vectors 10x -----------------------
     ereps = 10 if not QUICK else 2
     emb = (spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
@@ -141,6 +149,8 @@ def main() -> int:
     nemb = 2000 * ereps
     probe("ivf_ann_topk", nemb,
           lambda: similarity.ivf_topk(emb, k=5, nprobe=4))
+    probe("kmeans_3iter", nemb,
+          lambda: similarity.kmeans_assign(emb, k=16, iters=3))
 
     # ---- events: 10M synthetic rows -----------------------------------
     NEV = 10_000_000 if not QUICK else 500_000
