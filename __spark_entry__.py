@@ -784,6 +784,39 @@ def q62_kmeans(spark, sf_dir):
         .select("vec_id", "cluster")
 
 
+def q63_chunking(spark, sf_dir):
+    """Sliding token-window chunking (128-token windows, 16 overlap) —
+    the context-window preparation step. Pure Column expressions; the
+    oracle replays the window arithmetic with generate_series +
+    list_slice."""
+    from dask_grblas_spark.functions import packing
+
+    return packing.chunk_documents(_doc(spark, sf_dir),
+                                   chunk_tokens=128, overlap=16) \
+        .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+
+
+def q64_packing(spark, sf_dir):
+    """Greedy first-fit sequence packing into 256-token bins within
+    md5-hash shards — the training-sequence binpacking step. The
+    per-shard reset-cumsum scan is applyInPandas (inherently
+    sequential per stream); the oracle replays it with a recursive
+    CTE."""
+    from dask_grblas_spark.functions import packing
+
+    return packing.pack_sequences(_doc(spark, sf_dir), budget=256,
+                                  n_shards=4) \
+        .select("doc_id", "shard", "pack_id", "pack_pos", "tok_len")
+
+
+def q65_perplexity(spark, sf_dir):
+    """Mean unigram negative log-likelihood per document against the
+    corpus's own unigram distribution — the perplexity-style quality
+    filter."""
+    return text.unigram_logprob(_doc(spark, sf_dir)) \
+        .select("doc_id", "n_tokens", "avg_nll")
+
+
 def q36_ivf_ann(spark, sf_dir):
     """IVF-bucketed ANN. Every choice point (md5-hash centroid pick,
     cell numbering, rounded-sim probe ranking with tie-breaks) is
@@ -935,6 +968,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # into the recorded window next round)
         "q61_bm25": q61_bm25,
         "q62_kmeans": q62_kmeans,
+        "q63_chunking": q63_chunking,
+        "q64_packing": q64_packing,
+        "q65_perplexity": q65_perplexity,
     }
 
 
@@ -1727,4 +1763,75 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY ee.vid, ec.c))
         WHERE rn = 1"""
     sql["q62_kmeans"] = km.format(k=_KM_K, n=_KM_ITERS)
+    sql["q63_chunking"] = r"""
+        WITH docs AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS toks
+          FROM documents
+        ), sized AS (
+          SELECT doc_id, toks,
+                 CASE WHEN len(toks) <= 128 THEN 1
+                      ELSE CAST(FLOOR((len(toks) - 16 - 1) / 112.0) + 1
+                                AS BIGINT) END AS n_chunks
+          FROM docs
+        )
+        SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+               CAST(len(sl) AS BIGINT) AS n_tokens,
+               array_to_string(sl, ' ') AS chunk_text
+        FROM (SELECT doc_id, c,
+                     list_slice(toks, c * 112 + 1, c * 112 + 128) AS sl
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(0, n_chunks - 1)) AS c
+                    FROM sized))
+    """
+    sql["q64_packing"] = r"""
+        WITH RECURSIVE docs AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(regexp_split_to_array(trim(text),
+                                                            '\s+'),
+                                      t -> length(t) > 0)) AS BIGINT)
+                   AS tok_len,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % 4 AS shard
+          FROM documents
+        ), ordered AS (
+          SELECT doc_id, tok_len, shard,
+                 row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                   AS rn
+          FROM docs
+        ), packed AS (
+          SELECT doc_id, tok_len, shard, rn,
+                 CAST(0 AS BIGINT) AS pack_id,
+                 CAST(0 AS BIGINT) AS pack_pos,
+                 tok_len AS acc
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.doc_id, o.tok_len, o.shard, o.rn,
+                 CASE WHEN p.acc > 0 AND p.acc + o.tok_len > 256
+                      THEN p.pack_id + 1 ELSE p.pack_id END,
+                 CASE WHEN p.acc > 0 AND p.acc + o.tok_len > 256
+                      THEN 0 ELSE p.pack_pos + 1 END,
+                 CASE WHEN p.acc > 0 AND p.acc + o.tok_len > 256
+                      THEN o.tok_len ELSE p.acc + o.tok_len END
+          FROM packed p JOIN ordered o
+            ON o.shard = p.shard AND o.rn = p.rn + 1
+        )
+        SELECT doc_id, shard, pack_id, pack_pos, tok_len FROM packed
+    """
+    sql["q65_perplexity"] = r"""
+        WITH tt AS (
+          SELECT doc_id, t FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+            FROM documents)
+          WHERE length(t) > 0
+        ), freqs AS (
+          SELECT t, COUNT(*) AS freq FROM tt GROUP BY 1
+        ), total AS (SELECT SUM(freq) AS total FROM freqs)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(-LN(freq * 1.0 / total)), 6) AS avg_nll
+        FROM tt JOIN freqs USING (t) CROSS JOIN total
+        GROUP BY doc_id
+    """
     return sql

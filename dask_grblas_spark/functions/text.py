@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "language_id", "fingerprint", "token_frequencies",
-           "repetition_stats"]
+           "repetition_stats", "unigram_logprob"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -158,3 +158,28 @@ def token_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df.select(F.explode(tokens(F.col(text_col))).alias("token"))
               .filter(F.length("token") > 0)
               .groupBy("token").agg(F.count("*").alias("freq")))
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram negative log-likelihood against the
+    corpus's own unigram distribution — the classic perplexity-style
+    quality signal (a doc of globally-rare tokens scores high, repeated
+    boilerplate scores low). avg_nll = mean over the doc's tokens of
+    -ln(freq(t) / total_tokens). Output: (doc_id, n_tokens, avg_nll).
+
+    Two shuffles total at any scale: the corpus-wide token frequency
+    aggregate (map-side combined) and the per-doc re-aggregation of the
+    token->freq join; the frequency table joins broadcast when small,
+    shuffle otherwise (AQE decides)."""
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(tokens(F.col(text_col))).alias("t"))
+              .filter(F.length("t") > 0))
+    freqs = toks.groupBy("t").agg(F.count("*").alias("freq"))
+    total = freqs.agg(F.sum("freq").alias("total"))
+    scored = (toks.join(freqs, on="t").crossJoin(F.broadcast(total))
+                  .withColumn("nll", -F.log(F.col("freq")
+                                            / F.col("total"))))
+    return (scored.groupBy("doc_id")
+                  .agg(F.count("*").cast("bigint").alias("n_tokens"),
+                       F.round(F.avg("nll"), 6).alias("avg_nll")))

@@ -37,7 +37,9 @@ def main() -> int:
     import dask_grblas_spark as gb
     from dask_grblas_spark import algorithms as alg
     from dask_grblas_spark import semiring
-    from dask_grblas_spark.functions import dedup, similarity, timeseries
+    from dask_grblas_spark.functions import (dedup, similarity,
+                                             timeseries)
+    from dask_grblas_spark.functions import text as text_fns
 
     results = []
 
@@ -137,6 +139,17 @@ def main() -> int:
           lambda: retrieval.bm25_topk(
               docs, [(1, "spark join table"), (2, "window agg merge"),
                      (3, "fast scan filter")], k=10))
+
+    # ---- context-window prep over the replicated corpus ---------------
+    from dask_grblas_spark.functions import packing
+
+    probe("chunk_documents", ndocs,
+          lambda: packing.chunk_documents(docs, chunk_tokens=64,
+                                          overlap=8))
+    probe("pack_sequences", ndocs,
+          lambda: packing.pack_sequences(docs, budget=512, n_shards=32))
+    probe("unigram_logprob", ndocs,
+          lambda: text_fns.unigram_logprob(docs))
 
     # ---- embeddings: tile the sf0.1 vectors 10x -----------------------
     ereps = 10 if not QUICK else 2
