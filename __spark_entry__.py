@@ -817,6 +817,47 @@ def q65_perplexity(spark, sf_dir):
         .select("doc_id", "n_tokens", "avg_nll")
 
 
+def q66_mixture(spark, sf_dir):
+    """Temperature-based multi-source mixture sampling (alpha=0.5,
+    target 25%): sources are a deterministically SKEWED md5 bucket
+    (sizes ~1:3:5:7) so the temperature actually reweights. Every
+    per-row decision is md5-pure, so the oracle replays the exact
+    sample."""
+    from dask_grblas_spark.functions import sampling
+
+    docs = _doc(spark, sf_dir).withColumn(
+        "source",
+        F.floor(F.sqrt(F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit("src:"),
+                                              F.col("doc_id")
+                                              .cast("string"))), 1, 15),
+                   16, 10).cast("long"),
+            F.lit(16)))).cast("bigint"))
+    return sampling.mixture_sample(docs, "source", alpha=0.5,
+                                   target_frac=0.25) \
+        .select("doc_id", "source", "p_keep", "mix_keep")
+
+
+def q67_redact(spark, sf_dir):
+    """PII scrub over documents AUGMENTED with deterministic synthetic
+    PII (the raw corpus has none): emails, IPv4s, long digit runs ->
+    placeholder tokens + per-pattern counts, replayed bit-for-bit by
+    the oracle's RE2 regexps."""
+    from dask_grblas_spark.functions import privacy
+
+    aug = _doc(spark, sf_dir).withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com from 10.0."),
+                 F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                 F.lit(".7 id 99887766"),
+                 F.pmod(F.col("doc_id"), F.lit(10)).cast("string")))
+    return privacy.redact_pii(aug) \
+        .select("doc_id", "clean_text", "n_emails", "n_ips",
+                "n_longnums")
+
+
 def q36_ivf_ann(spark, sf_dir):
     """IVF-bucketed ANN. Every choice point (md5-hash centroid pick,
     cell numbering, rounded-sim probe ranking with tie-breaks) is
@@ -971,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_chunking": q63_chunking,
         "q64_packing": q64_packing,
         "q65_perplexity": q65_perplexity,
+        "q66_mixture": q66_mixture,
+        "q67_redact": q67_redact,
     }
 
 
@@ -1818,6 +1861,62 @@ def oracle_sql() -> dict[str, str]:
             ON o.shard = p.shard AND o.rn = p.rn + 1
         )
         SELECT doc_id, shard, pack_id, pack_pos, tok_len FROM packed
+    """
+    sql["q66_mixture"] = """
+        WITH src AS (
+          SELECT doc_id,
+                 CAST(FLOOR(SQRT(
+                   ('0x' || substr(md5('src:' || doc_id), 1, 15))::BIGINT
+                   % 16)) AS BIGINT) AS source
+          FROM documents
+        ), counts AS (
+          SELECT source, COUNT(*) AS n_s FROM src GROUP BY 1
+        ), tot AS (
+          SELECT SUM(POWER(n_s, 0.5)) AS z, SUM(n_s) AS n FROM counts
+        ), rates AS (
+          SELECT source,
+                 ROUND(LEAST(1.0, 0.25 * t.n * POWER(c.n_s, 0.5)
+                             / (t.z * c.n_s)), 9) AS p_keep
+          FROM counts c CROSS JOIN tot t
+        )
+        SELECT s.doc_id, s.source, r.p_keep,
+               (('0x' || substr(md5(s.doc_id || '-mix0'), 1, 15))::BIGINT
+                / 1152921504606846976.0) < r.p_keep AS mix_keep
+        FROM src s JOIN rates r USING (source)
+    """
+    sql["q67_redact"] = r"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id
+                      || '@example.com from 10.0.' || (doc_id % 256)
+                      || '.7 id 99887766' || (doc_id % 10) AS text
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS BIGINT) AS n_emails,
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS t1
+          FROM aug
+        ), s2 AS (
+          SELECT doc_id, n_emails,
+                 CAST(len(regexp_extract_all(t1,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                   AS BIGINT) AS n_ips,
+                 regexp_replace(t1,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                   '<IP>', 'g') AS t2
+          FROM s1
+        )
+        SELECT doc_id,
+               regexp_replace(t2, '\b\d{7,}\b', '<NUM>', 'g')
+                 AS clean_text,
+               n_emails, n_ips,
+               CAST(len(regexp_extract_all(t2, '\b\d{7,}\b')) AS BIGINT)
+                 AS n_longnums
+        FROM s2
     """
     sql["q65_perplexity"] = r"""
         WITH tt AS (

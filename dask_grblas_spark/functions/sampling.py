@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["split_key", "split_column", "deterministic_sample",
-           "hex_threshold"]
+           "hex_threshold", "mixture_sample"]
 
 _PREFIX_LEN = 4  # 16^4 = 65536 buckets
 
@@ -79,3 +79,36 @@ def deterministic_sample(df: DataFrame, fraction: float,
         raise ValueError("fraction must be in [0, 1]")
     return df.filter(split_key(F.col(id_col), seed)
                      < F.lit(hex_threshold(fraction)))
+
+
+def mixture_sample(df: DataFrame, source_col: str, alpha: float = 0.5,
+                   target_frac: float = 0.25, id_col: str = "doc_id",
+                   seed: int = 0) -> DataFrame:
+    """Temperature-based mixture sampling: per-source keep rates chosen
+    so the SELECTED corpus has source proportions ~ n_s^alpha (alpha=1
+    preserves natural proportions, alpha->0 flattens toward uniform —
+    the standard multi-source training-mixture reweighting) with an
+    overall target of ``target_frac`` of all rows. The per-row decision
+    is a pure function of (id, seed) — md5-uniform u < p_s — so the
+    sample is identical across runs, engines, and partitionings.
+
+    Adds (p_keep, mix_keep); filter on mix_keep to materialize. Rates
+    ride a broadcast k-row relation; the scan stays single-pass.
+    p_s = min(1, target_frac * N * n_s^alpha / (sum_s n_s^alpha * n_s)),
+    rounded to 9 decimals in both engines (pow/div last-ulp drift)."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_s"))
+    tot = counts.agg(F.sum(F.pow(F.col("n_s"), alpha)).alias("z"),
+                     F.sum("n_s").alias("n"))
+    rates = (counts.crossJoin(F.broadcast(tot))
+                   .withColumn("p_keep", F.round(
+                       F.least(F.lit(1.0),
+                               F.lit(target_frac) * F.col("n")
+                               * F.pow(F.col("n_s"), alpha)
+                               / (F.col("z") * F.col("n_s"))), 9))
+                   .select(source_col, "p_keep"))
+    u = (F.conv(F.substring(
+            F.md5(F.concat_ws("-", F.col(id_col).cast("string"),
+                              F.lit(f"mix{seed}"))), 1, 15), 16, 10)
+          .cast("double") / float(1 << 60))
+    return (df.join(F.broadcast(rates), on=source_col)
+              .withColumn("mix_keep", u < F.col("p_keep")))
