@@ -858,6 +858,19 @@ def q67_redact(spark, sf_dir):
                 "n_longnums")
 
 
+def q68_decontaminate(spark, sf_dir):
+    """Exact 13-gram decontamination against a 'benchmark' of two
+    corpus documents (the oracle derives the same gram set from
+    doc_id IN (7, 23)): every doc sharing a 13-gram — itself and its
+    exact/near duplicates — is flagged."""
+    docs = _doc(spark, sf_dir)
+    bench = [r["text"]
+             for r in docs.filter(F.col("doc_id").isin(7, 23))
+                          .orderBy("doc_id").collect()]
+    return retrieval.ngram_decontaminate(docs, bench, n=13) \
+        .select("doc_id", "n_hits", "contaminated")
+
+
 def q36_ivf_ann(spark, sf_dir):
     """IVF-bucketed ANN. Every choice point (md5-hash centroid pick,
     cell numbering, rounded-sim probe ranking with tie-breaks) is
@@ -1014,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_perplexity": q65_perplexity,
         "q66_mixture": q66_mixture,
         "q67_redact": q67_redact,
+        "q68_decontaminate": q68_decontaminate,
     }
 
 
@@ -1861,6 +1875,31 @@ def oracle_sql() -> dict[str, str]:
             ON o.shard = p.shard AND o.rn = p.rn + 1
         )
         SELECT doc_id, shard, pack_id, pack_pos, tok_len FROM packed
+    """
+    sql["q68_decontaminate"] = r"""
+        WITH docs AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS _t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(_t) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(_t) <= 13 THEN [array_to_string(_t, ' ')]
+                 ELSE list_transform(generate_series(0, len(_t) - 13),
+                        p -> array_to_string(
+                               list_slice(_t, p + 1, p + 13), ' ')) END)
+            AS gram
+          FROM docs
+        ), bg AS (
+          SELECT DISTINCT gram FROM grams WHERE doc_id IN (7, 23)
+        ), hits AS (
+          SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM grams g JOIN bg USING (gram) GROUP BY 1
+        )
+        SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+               COALESCE(h.n_hits, 0) > 0 AS contaminated
+        FROM docs d LEFT JOIN hits h USING (doc_id)
     """
     sql["q66_mixture"] = """
         WITH src AS (

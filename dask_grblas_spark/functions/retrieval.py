@@ -76,6 +76,52 @@ def bm25_topk(df: DataFrame, queries: list[tuple[int, str]],
                         F.col("rank").cast("int").alias("rank")))
 
 
+def ngram_decontaminate(df: DataFrame, benchmark: list[str], n: int = 13,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Exact n-gram decontamination (the GPT-3/Llama-style eval-leak
+    filter): flag every training document sharing at least one n-token
+    gram with any benchmark text. Returns (doc_id, n_hits,
+    contaminated) for ALL documents — callers drop or audit the flagged
+    rows.
+
+    The benchmark gram set is tiny (eval suites are KBs, the corpus is
+    TBs): it becomes a broadcast relation, so the whole scan is one
+    pass over the corpus with a map-side semi-join — no corpus-keyed
+    shuffle at any scale. Grams shorter than n tokens only arise for
+    benchmark texts shorter than n, which then match as their full
+    token sequence (standard practice so short eval items still
+    screen)."""
+    spark = df.sparkSession
+
+    def grams_of(col):
+        toks = F.filter(tokens(col), lambda x: F.length(x) > 0)
+        # one gram per start when len >= n, else the whole text as one
+        return F.expr(
+            f"CASE WHEN size(_t) = 0 THEN array() "
+            f"WHEN size(_t) <= {n} THEN array(array_join(_t, ' ')) "
+            f"ELSE transform(sequence(0, size(_t) - {n}), "
+            f"p -> array_join(slice(_t, p + 1, {n}), ' ')) END"
+        ), toks
+
+    bench = spark.createDataFrame([(t,) for t in benchmark], "btext string")
+    bexpr, btoks = grams_of(F.col("btext"))
+    bgrams = (bench.select(btoks.alias("_t"))
+                   .select(F.explode(bexpr).alias("gram")).distinct())
+    dexpr, dtoks = grams_of(F.col(text_col))
+    dgrams = (df.select(F.col(id_col).alias("doc_id"), dtoks.alias("_t"))
+                .select("doc_id", F.explode(dexpr).alias("gram")))
+    hits = (dgrams.join(F.broadcast(bgrams), on="gram")
+                  .groupBy("doc_id")
+                  .agg(F.count("*").cast("bigint").alias("n_hits")))
+    return (df.select(F.col(id_col).alias("doc_id"))
+              .join(hits, on="doc_id", how="left")
+              .select("doc_id",
+                      F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                      (F.coalesce("n_hits", F.lit(0)) > 0)
+                      .alias("contaminated")))
+
+
 def tfidf_vectors(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text",
                   min_df: int = 1) -> DataFrame:

@@ -107,3 +107,34 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     out = kmeans_assign(df, k=3, iters=2)
     assert out.count() == 5
     assert out.select("cluster").distinct().count() == 2
+
+
+def test_ngram_decontaminate(spark):
+    from dask_grblas_spark.functions.retrieval import ngram_decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, "one two three four five six seven"),
+         (1, "zero one two three four five six seven eight"),  # contains bench gram
+         (2, "totally different words entirely here now"),
+         (3, "three four five unrelated tail words")],
+        "doc_id long, text string")
+    bench = ["one two three four five six seven"]
+    out = {r["doc_id"]: r for r in
+           ngram_decontaminate(docs, bench, n=7).collect()}
+    assert out[0]["contaminated"] and out[0]["n_hits"] == 1
+    assert out[1]["contaminated"]  # the 7-gram appears inside doc 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert not out[3]["contaminated"]  # shares tokens but no full 7-gram
+    assert len(out) == 4  # every doc gets a row
+
+
+def test_ngram_decontaminate_short_benchmark(spark):
+    from dask_grblas_spark.functions.retrieval import ngram_decontaminate
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta gamma delta")],
+        "doc_id long, text string")
+    # benchmark shorter than n screens as its full token sequence
+    out = {r["doc_id"]: r["contaminated"] for r in
+           ngram_decontaminate(docs, ["alpha beta gamma"], n=13).collect()}
+    assert out[0] and not out[1]
