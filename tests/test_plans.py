@@ -234,3 +234,59 @@ def test_partitioned_write_prunes_directories(spark):
         # PushedFilters must NOT carry the partition predicate - it is
         # resolved at planning time, not at the footer
         assert one_day.count() == 100
+
+
+def test_chunking_is_pure_map(spark):
+    """chunk_documents must be a single scan — no Exchange anywhere."""
+    from dask_grblas_spark.functions.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(chunk_documents(docs, 128, 16))
+    assert "Exchange" not in plan, plan
+
+
+def test_packing_single_shard_exchange(spark):
+    """pack_sequences pays exactly one exchange (the shard groupBy)
+    feeding the per-shard Arrow scan."""
+    from dask_grblas_spark.functions.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(pack_sequences(docs, budget=256, n_shards=4))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast — the corpus gram relation
+    is never shuffled on the gram key."""
+    from dask_grblas_spark.functions.retrieval import ngram_decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(ngram_decontaminate(docs, ["some benchmark text"]))
+    # the gram join itself must be a broadcast join (corpus grams are
+    # never sort-merged); the single gram-keyed exchange allowed is the
+    # benchmark set's own distinct INSIDE the broadcast build side
+    assert "BroadcastHashJoin [gram" in plan, plan
+    gram_exchanges = [line for line in plan.splitlines()
+                      if "Exchange hashpartitioning(gram" in line]
+    assert len(gram_exchanges) <= 1, plan
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    from dask_grblas_spark.functions.sampling import mixture_sample
+    from pyspark.sql import functions as F
+
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .withColumn("source", F.pmod(F.col("doc_id"), F.lit(4))))
+    plan = _physical(mixture_sample(docs, "source"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bm25_broadcasts_query_vocabulary(spark):
+    """Postings must be restricted via broadcast of the tiny query-term
+    set — the corpus token explosion is never shuffled to meet it."""
+    from dask_grblas_spark.functions.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _physical(bm25_topk(docs, [(1, "spark join")], k=5))
+    assert "BroadcastHashJoin" in plan, plan
