@@ -187,3 +187,86 @@ class TestAlgorithmProperties:
             comp_min[r] = min(comp_min.get(r, v), v)
         expect = {v: comp_min[find(v)] for v in range(n)}
         assert got == expect
+
+
+# ---- pipeline-layer properties (round 4 ops) ----------------------------
+
+_doc_text = st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+                     min_size=0, max_size=40).map(" ".join)
+_corpus = st.dictionaries(st.integers(0, 30), _doc_text,
+                          min_size=1, max_size=12)
+
+
+@given(docs=_corpus, chunk=st.integers(2, 12), overlap=st.integers(0, 4))
+@settings(**SETTINGS)
+def test_chunking_covers_every_token_exactly(spark, docs, chunk, overlap):
+    """Dropping each chunk's leading `overlap` tokens (except chunk 0)
+    and concatenating reconstructs the original token stream — i.e.
+    windows tile the document exactly, no token lost or duplicated
+    beyond the declared overlap."""
+    from dask_grblas_spark.functions.packing import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, text string")
+    rows = chunk_documents(df, chunk, overlap).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = \
+            r["chunk_text"].split()
+    for doc_id, text in docs.items():
+        want = text.split()
+        got = by_doc[doc_id]
+        assert sorted(got) == list(range(len(got)))
+        rebuilt = []
+        for cid in sorted(got):
+            toks = got[cid]
+            rebuilt.extend(toks if cid == 0 else toks[overlap:])
+        assert rebuilt == want, (doc_id, chunk, overlap)
+
+
+@given(docs=_corpus, budget=st.integers(1, 30),
+       shards=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_packing_respects_budget_and_partitions_rows(spark, docs, budget,
+                                                     shards):
+    from dask_grblas_spark.functions.packing import pack_sequences
+
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, text string")
+    rows = pack_sequences(df, budget=budget, n_shards=shards).collect()
+    assert len(rows) == len(docs)  # every doc assigned exactly once
+    sums = {}
+    singles = {}
+    for r in rows:
+        key = (r["shard"], r["pack_id"])
+        sums[key] = sums.get(key, 0) + r["tok_len"]
+        singles.setdefault(key, []).append(r["tok_len"])
+    for key, s in sums.items():
+        # a pack either fits the budget or is a single oversize doc
+        assert s <= budget or len(singles[key]) == 1, (key, s)
+
+
+@given(docs=_corpus)
+@settings(**SETTINGS)
+def test_unigram_logprob_bounds(spark, docs):
+    """avg_nll is within [ -ln(max_p), -ln(min_p) ] of the corpus
+    distribution and n_tokens matches the tokenization."""
+    import math
+
+    from dask_grblas_spark.functions.text import unigram_logprob
+
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, text string")
+    all_toks = [t for text in docs.values() for t in text.split()]
+    if not all_toks:
+        return
+    from collections import Counter
+    cnt = Counter(all_toks)
+    total = len(all_toks)
+    lo = -math.log(max(cnt.values()) / total)
+    hi = -math.log(min(cnt.values()) / total)
+    for r in unigram_logprob(df).collect():
+        assert lo - 1e-6 <= r["avg_nll"] <= hi + 1e-6
+        assert r["n_tokens"] == len(docs[r["doc_id"]].split())
