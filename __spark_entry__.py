@@ -1867,11 +1867,11 @@ def oracle_sql() -> dict[str, str]:
           FROM ordered WHERE rn = 1
           UNION ALL
           SELECT o.doc_id, o.tok_len, o.shard, o.rn,
-                 CASE WHEN p.acc > 0 AND p.acc + o.tok_len > 256
+                 CASE WHEN p.acc + o.tok_len > 256
                       THEN p.pack_id + 1 ELSE p.pack_id END,
-                 CASE WHEN p.acc > 0 AND p.acc + o.tok_len > 256
+                 CASE WHEN p.acc + o.tok_len > 256
                       THEN 0 ELSE p.pack_pos + 1 END,
-                 CASE WHEN p.acc > 0 AND p.acc + o.tok_len > 256
+                 CASE WHEN p.acc + o.tok_len > 256
                       THEN o.tok_len ELSE p.acc + o.tok_len END
           FROM packed p JOIN ordered o
             ON o.shard = p.shard AND o.rn = p.rn + 1

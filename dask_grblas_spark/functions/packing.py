@@ -89,7 +89,12 @@ def pack_sequences(df: DataFrame, budget: int = 1024,
         pack_pos = [0] * len(lens)
         cur, acc, pos = 0, 0, 0
         for i, ln in enumerate(lens):
-            if acc > 0 and acc + ln > budget:
+            # the current pack is nonempty for every doc after the
+            # first (it holds at least the previous doc) — membership,
+            # not token count, guards the overflow check, so an
+            # oversize doc never shares a pack even behind zero-length
+            # members
+            if i > 0 and acc + ln > budget:
                 cur += 1
                 acc, pos = 0, 0
             pack_id[i] = cur

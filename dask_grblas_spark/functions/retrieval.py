@@ -104,14 +104,25 @@ def ngram_decontaminate(df: DataFrame, benchmark: list[str], n: int = 13,
             f"p -> array_join(slice(_t, p + 1, {n}), ' ')) END"
         ), toks
 
+    from .dedup import cross_hash60
+
+    # join on the 60-bit md5 hash of each gram, not the ~100-char gram
+    # string: the corpus-side explode is 13x the text volume as strings
+    # but only 8 bytes/row as hashes, and a bigint broadcast probe beats
+    # string equality. Deterministic in both engines, so the oracle is
+    # unaffected (collision odds ~n^2 / 2^60 — irrelevant for a flag
+    # whose false-positive cost is one extra audited doc).
     bench = spark.createDataFrame([(t,) for t in benchmark], "btext string")
     bexpr, btoks = grams_of(F.col("btext"))
     bgrams = (bench.select(btoks.alias("_t"))
-                   .select(F.explode(bexpr).alias("gram")).distinct())
+                   .select(F.explode(bexpr).alias("gram"))
+                   .select(cross_hash60(F.col("gram")).alias("gh"))
+                   .distinct())
     dexpr, dtoks = grams_of(F.col(text_col))
     dgrams = (df.select(F.col(id_col).alias("doc_id"), dtoks.alias("_t"))
-                .select("doc_id", F.explode(dexpr).alias("gram")))
-    hits = (dgrams.join(F.broadcast(bgrams), on="gram")
+                .select("doc_id", F.explode(dexpr).alias("gram"))
+                .select("doc_id", cross_hash60(F.col("gram")).alias("gh")))
+    hits = (dgrams.join(F.broadcast(bgrams), on="gh")
                   .groupBy("doc_id")
                   .agg(F.count("*").cast("bigint").alias("n_hits")))
     return (df.select(F.col(id_col).alias("doc_id"))

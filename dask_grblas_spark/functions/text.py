@@ -168,18 +168,23 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
     boilerplate scores low). avg_nll = mean over the doc's tokens of
     -ln(freq(t) / total_tokens). Output: (doc_id, n_tokens, avg_nll).
 
-    Two shuffles total at any scale: the corpus-wide token frequency
-    aggregate (map-side combined) and the per-doc re-aggregation of the
-    token->freq join; the frequency table joins broadcast when small,
-    shuffle otherwise (AQE decides)."""
+    Shuffle shape at scale: the frequency lookup joins DISTINCT
+    (doc, token) pairs — per-doc term frequencies are pre-aggregated
+    (map-side combined) before the join, so a head token contributes
+    one row per document containing it, not one per occurrence, and
+    the residual head-token skew is the SMJ case AQE's skew-join
+    splitting handles (the dictionary side replicates). The per-doc
+    mean is then the tf-weighted average."""
     toks = (df.select(F.col(id_col).alias("doc_id"),
                       F.explode(tokens(F.col(text_col))).alias("t"))
               .filter(F.length("t") > 0))
-    freqs = toks.groupBy("t").agg(F.count("*").alias("freq"))
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    freqs = tf.groupBy("t").agg(F.sum("tf").alias("freq"))
     total = freqs.agg(F.sum("freq").alias("total"))
-    scored = (toks.join(freqs, on="t").crossJoin(F.broadcast(total))
-                  .withColumn("nll", -F.log(F.col("freq")
-                                            / F.col("total"))))
+    scored = (tf.join(freqs, on="t").crossJoin(F.broadcast(total))
+                .withColumn("nll", -F.log(F.col("freq")
+                                          / F.col("total"))))
     return (scored.groupBy("doc_id")
-                  .agg(F.count("*").cast("bigint").alias("n_tokens"),
-                       F.round(F.avg("nll"), 6).alias("avg_nll")))
+                  .agg(F.sum("tf").cast("bigint").alias("n_tokens"),
+                       F.round(F.sum(F.col("tf") * F.col("nll"))
+                               / F.sum("tf"), 6).alias("avg_nll")))

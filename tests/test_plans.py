@@ -263,12 +263,12 @@ def test_decontaminate_broadcasts_benchmark(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _physical(ngram_decontaminate(docs, ["some benchmark text"]))
-    # the gram join itself must be a broadcast join (corpus grams are
-    # never sort-merged); the single gram-keyed exchange allowed is the
-    # benchmark set's own distinct INSIDE the broadcast build side
-    assert "BroadcastHashJoin [gram" in plan, plan
+    # the gram-hash join itself must be a broadcast join (corpus grams
+    # are never sort-merged); the single gram-keyed exchange allowed is
+    # the benchmark set's own distinct INSIDE the broadcast build side
+    assert "BroadcastHashJoin [gh" in plan, plan
     gram_exchanges = [line for line in plan.splitlines()
-                      if "Exchange hashpartitioning(gram" in line]
+                      if "Exchange hashpartitioning(gh" in line]
     assert len(gram_exchanges) <= 1, plan
 
 
