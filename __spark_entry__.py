@@ -944,14 +944,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registration order matters: the driver records queries in dict order
-    # with a cap (each round records exactly the first 50 of 60). Round-4
-    # ROTATION: the 10 queries positions 50-59 left unsampled in r3
-    # (q53, q55, q20-q25, q27, q56 — q21/q27 had NEVER had a driver row)
-    # move into the recorded window; 10 triple-green rows (recorded and
-    # passing in r1+r2+r3: q01, q02, q09, q11, q12, q13, q18, q19, q29,
-    # q38) rotate out to the tail, so every query has at least one driver
-    # CORRECTNESS row across consecutive rounds.
+    # Registration order matters: the driver records queries in dict
+    # order with a 50-row cap. Round-4 ROTATION POLICY: every query that
+    # has NEVER had a driver CORRECTNESS row sits inside the first 50 —
+    # the 10 rows r3 left unsampled (q53, q55, q20-q25, q27, q56;
+    # q21/q27 had never been recorded) plus the 8 brand-new round-4
+    # operators (q61-q68). The 18 rows pushed past the cap all carry
+    # r1+r2+r3 driver rows; rotate a different tail next round so rows
+    # keep accumulating across every query.
     return {
         # LLM-data-pipeline / streaming / multimodal layer
         "q30_exact_dedup": q30_exact_dedup,
@@ -987,6 +987,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_op_grid": q56_op_grid,
         "q53_scalar_fill": q53_scalar_fill,
         "q55_isclose": q55_isclose,
+        # round-4 NEW operators — inside the recorded window so each
+        # gets its first driver CORRECTNESS row this round (they are
+        # also verified by tools/check_oracle.py at sf0.001 + sf0.01)
+        "q61_bm25": q61_bm25,
+        "q62_kmeans": q62_kmeans,
+        "q63_chunking": q63_chunking,
+        "q64_packing": q64_packing,
+        "q65_perplexity": q65_perplexity,
+        "q66_mixture": q66_mixture,
+        "q67_redact": q67_redact,
+        "q68_decontaminate": q68_decontaminate,
         # core GraphBLAS operator suite
         "q03_masked_mxv": q03_masked_mxv,
         "q04_ewise": q04_ewise,
@@ -996,18 +1007,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_bfs": q08_bfs,
         "q14_colwise_stats": q14_colwise_stats,
         "q16_scalar_suite": q16_scalar_suite,
+        "q28_argminmax": q28_argminmax,
+        "q44_resize_delete": q44_resize_delete,
+        # triple-green rotation tail (driver rows in r1+r2+r3; outside
+        # the 50-row cap this round so never-recorded queries get rows
+        # — rotate a different 18 out next round)
         "q17_mat_ewise_min_transpose": q17_mat_ewise_min_transpose,
         "q26_accum_update": q26_accum_update,
-        "q28_argminmax": q28_argminmax,
         "q43_value_mask": q43_value_mask,
-        "q44_resize_delete": q44_resize_delete,
         "q45_subassign": q45_subassign,
         "q46_row_assign": q46_row_assign,
         "q47_reduce_assign": q47_reduce_assign,
         "q48_input_mask": q48_input_mask,
         "q49_from_values_dup": q49_from_values_dup,
-        # triple-green rotation tail (driver rows in r1+r2+r3; outside
-        # the 50-row cap this round so never-recorded queries get rows)
         "q01_outdegree": q01_outdegree,
         "q02_twohop": q02_twohop,
         "q09_kronecker": q09_kronecker,
@@ -1018,18 +1030,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_extract_list": q19_extract_list,
         "q29_concat": q29_concat,
         "q38_mm_roundtrip": q38_mm_roundtrip,
-        # round-4 additions (registered after the cap this round — all
-        # verified by tools/check_oracle.py at sf0.001 + sf0.01; ROTATE
-        # q61-q68 into the first 50 in round 5, swapping out eight more
-        # multi-green core rows, so every query accumulates driver rows)
-        "q61_bm25": q61_bm25,
-        "q62_kmeans": q62_kmeans,
-        "q63_chunking": q63_chunking,
-        "q64_packing": q64_packing,
-        "q65_perplexity": q65_perplexity,
-        "q66_mixture": q66_mixture,
-        "q67_redact": q67_redact,
-        "q68_decontaminate": q68_decontaminate,
     }
 
 
