@@ -360,6 +360,12 @@ def kmeans_assign(emb_df: DataFrame, k: int = 8, iters: int = 3,
     init = (emb.withColumn("hk", hk).orderBy("hk", "vid").limit(k)
                .select("v").collect())
     cents = [list(r["v"]) for r in init]
+    # a corpus smaller than k seeds fewer centroids; the loop and the
+    # SQL oracle both operate on the actual count
+    k = len(cents)
+    if k == 0:
+        return emb.select(F.col("vid").alias(id_col),
+                          F.lit(None).cast("bigint").alias("cluster"))
 
     def assign(cents):
         dists = []

@@ -138,3 +138,13 @@ def test_ngram_decontaminate_short_benchmark(spark):
     out = {r["doc_id"]: r["contaminated"] for r in
            ngram_decontaminate(docs, ["alpha beta gamma"], n=13).collect()}
     assert out[0] and not out[1]
+
+
+def test_kmeans_k_exceeds_corpus(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [20.0, 20.0])],
+        "vec_id long, embedding array<double>")
+    out = kmeans_assign(df, k=10, iters=2).collect()
+    assert len(out) == 3
+    # 3 seeds for 3 well-separated points: every point its own cluster
+    assert len({r["cluster"] for r in out}) == 3
