@@ -871,6 +871,13 @@ def q68_decontaminate(spark, sf_dir):
         .select("doc_id", "n_hits", "contaminated")
 
 
+def q69_tfidf(spark, sf_dir):
+    """Smoothed TF-IDF weights per (doc, term) with the min_df=2 tail
+    cutoff active (hapax terms pruned)."""
+    return retrieval.tfidf_vectors(_doc(spark, sf_dir), min_df=2) \
+        .select("doc_id", "term", "tfidf")
+
+
 def q36_ivf_ann(spark, sf_dir):
     """IVF-bucketed ANN. Every choice point (md5-hash centroid pick,
     cell numbering, rounded-sim probe ranking with tie-breaks) is
@@ -998,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_mixture": q66_mixture,
         "q67_redact": q67_redact,
         "q68_decontaminate": q68_decontaminate,
+        "q69_tfidf": q69_tfidf,
         # core GraphBLAS operator suite
         "q03_masked_mxv": q03_masked_mxv,
         "q04_ewise": q04_ewise,
@@ -1902,6 +1910,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
                COALESCE(h.n_hits, 0) > 0 AS contaminated
         FROM docs d LEFT JOIN hits h USING (doc_id)
+    """
+    sql["q69_tfidf"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS toks
+          FROM documents
+        ), dls AS (
+          SELECT doc_id, len(toks) AS dl, toks FROM base
+        ), stats AS (SELECT COUNT(*) AS n_docs FROM dls),
+        posting AS (
+          SELECT term, doc_id, dl, COUNT(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dls)
+          GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df_t FROM posting
+          GROUP BY 1 HAVING COUNT(*) >= 2
+        )
+        SELECT p.doc_id, p.term,
+               ROUND((p.tf * 1.0 / p.dl)
+                     * (LN((s.n_docs + 1.0) / (d.df_t + 1.0)) + 1), 6)
+                 AS tfidf
+        FROM posting p JOIN dfreq d USING (term) CROSS JOIN stats s
     """
     sql["q66_mixture"] = """
         WITH src AS (
