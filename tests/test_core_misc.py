@@ -419,3 +419,46 @@ def test_bucketed_overwrite_qualified_and_repeated(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS dgs_testdb.bkt_q")
         spark.sql("DROP DATABASE IF EXISTS dgs_testdb")
+
+
+def test_parquet_csv_matrix_vector_roundtrips(spark, tmp_path):
+    """sources/io.py's typed parquet/CSV loaders were exercised only
+    indirectly; round-trip them explicitly."""
+    from dask_grblas_spark.sources import io as gio
+
+    A = gb.Matrix.from_values([0, 1, 2], [1, 2, 0], [1.5, 2.5, 3.5],
+                              nrows=3, ncols=3)
+    mp = str(tmp_path / "m.parquet")
+    gio.matrix_to_parquet(A, mp)
+    back = gio.matrix_from_parquet(mp, nrows=3, ncols=3)
+    assert back.to_dict() == A.to_dict()
+
+    v = gb.Vector.from_values([0, 2, 5], [7, 8, 9], size=6)
+    vp = str(tmp_path / "v.parquet")
+    gio.vector_to_parquet(v, vp)
+    vb = gio.vector_from_parquet(vp, size=6)
+    assert vb.to_dict() == v.to_dict()
+
+    cp = str(tmp_path / "m.csv")
+    A.df.write.mode("overwrite").option("header", True).csv(cp)
+    cb = gio.matrix_from_csv(cp, nrows=3, ncols=3)
+    assert cb.to_dict() == A.to_dict()
+
+
+def test_exact_dup_groups_and_language_id(spark):
+    import pyspark.sql.functions as F
+
+    from dask_grblas_spark.functions.dedup import exact_dup_groups
+    from dask_grblas_spark.functions.text import language_id
+
+    docs = spark.createDataFrame(
+        [(0, "same text"), (1, "same text"), (2, "unique text"),
+         (3, "der hund und die katze ist da"),
+         (4, "the cat and the dog of the town")],
+        "doc_id long, text string")
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["n_copies"] == 2
+
+    langs = {r["doc_id"]: r["lang_pred"]
+             for r in language_id(docs).collect()}
+    assert langs[3] == "de" and langs[4] == "en"
