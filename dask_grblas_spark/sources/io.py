@@ -21,7 +21,7 @@ __all__ = ["matrix_from_parquet", "matrix_to_parquet", "vector_from_parquet",
            "documents_to_jsonl", "documents_from_jsonl",
            "table_to_orc", "table_from_orc",
            "table_to_bucketed", "table_from_catalog",
-           "table_to_partitioned"]
+           "table_to_partitioned", "compact_parquet"]
 
 
 def table_to_partitioned(df, path: str, partition_cols: list[str] | str,
@@ -319,3 +319,38 @@ def to_mmfile(A: GrMatrix, path: str):
                     shutil.copyfileobj(src, out)
     finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def compact_parquet(path: str, target_file_mb: int = 256,
+                    out_path: str | None = None) -> int:
+    """Compact a small-file parquet dataset into ~target_file_mb files
+    — the routine maintenance pass of any long-lived lake table
+    (streaming sinks and incremental jobs leave thousands of KB-sized
+    files whose open/footer costs dominate scans). File count is sized
+    from the dataset's actual on-disk bytes; rewrite uses coalesce (no
+    shuffle — existing partitions are merged, not redistributed).
+    Returns the output file count. In-place compaction (out_path=None)
+    writes to a sibling temp dir then atomically swaps, so a crashed
+    compaction never leaves the table half-written."""
+    import math
+    import os
+    import shutil
+    import uuid
+
+    spark = get_session()
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith("."):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    swap = out_path is None
+    dest = out_path or f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
+    df.coalesce(n_files).write.mode("overwrite").parquet(dest)
+    if swap:
+        old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(dest, path)
+        shutil.rmtree(old, ignore_errors=True)
+    return n_files

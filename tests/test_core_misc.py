@@ -462,3 +462,24 @@ def test_exact_dup_groups_and_language_id(spark):
     langs = {r["doc_id"]: r["lang_pred"]
              for r in language_id(docs).collect()}
     assert langs[3] == "de" and langs[4] == "en"
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    import os
+
+    from dask_grblas_spark.sources.io import compact_parquet
+
+    p = str(tmp_path / "frag")
+    spark.range(10000).repartition(64).write.parquet(p)
+    before = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    assert before == 64
+    n = compact_parquet(p, target_file_mb=256)
+    after = sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+    assert n == 1 and after == 1
+    assert spark.read.parquet(p).count() == 10000
+
+    # explicit out_path leaves the source untouched
+    out = str(tmp_path / "compacted")
+    compact_parquet(p, target_file_mb=256, out_path=out)
+    assert spark.read.parquet(out).count() == 10000
+    assert os.path.isdir(p)
