@@ -878,6 +878,15 @@ def q69_tfidf(spark, sf_dir):
         .select("doc_id", "term", "tfidf")
 
 
+def q70_corpus_profile(spark, sf_dir):
+    """One-row corpus profile: doc/token totals, vocabulary size, and
+    exact interpolated doc-length percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`)."""
+    return text.corpus_profile(_doc(spark, sf_dir)) \
+        .select("n_docs", "total_tokens", "avg_tokens", "p50_tokens",
+                "p90_tokens", "p99_tokens", "vocab_size")
+
+
 def q36_ivf_ann(spark, sf_dir):
     """IVF-bucketed ANN. Every choice point (md5-hash centroid pick,
     cell numbering, rounded-sim probe ranking with tie-breaks) is
@@ -1006,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_redact": q67_redact,
         "q68_decontaminate": q68_decontaminate,
         "q69_tfidf": q69_tfidf,
+        "q70_corpus_profile": q70_corpus_profile,
         # core GraphBLAS operator suite
         "q03_masked_mxv": q03_masked_mxv,
         "q04_ewise": q04_ewise,
@@ -1933,6 +1943,29 @@ def oracle_sql() -> dict[str, str]:
                      * (LN((s.n_docs + 1.0) / (d.df_t + 1.0)) + 1), 6)
                  AS tfidf
         FROM posting p JOIN dfreq d USING (term) CROSS JOIN stats s
+    """
+    sql["q70_corpus_profile"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS toks
+          FROM documents
+        ), sized AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM base),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 ROUND(AVG(n_tokens), 6) AS avg_tokens,
+                 ROUND(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+                 ROUND(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+                 ROUND(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens
+          FROM sized
+        ), v AS (
+          SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab_size
+          FROM (SELECT unnest(toks) AS t FROM sized)
+        )
+        SELECT n_docs, total_tokens, avg_tokens, p50_tokens, p90_tokens,
+               p99_tokens, vocab_size
+        FROM a CROSS JOIN v
     """
     sql["q66_mixture"] = """
         WITH src AS (

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "language_id", "fingerprint", "token_frequencies",
-           "repetition_stats", "unigram_logprob"]
+           "repetition_stats", "unigram_logprob", "corpus_profile"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -188,3 +188,31 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
                   .agg(F.sum("tf").cast("bigint").alias("n_tokens"),
                        F.round(F.sum(F.col("tf") * F.col("nll"))
                                / F.sum("tf"), 6).alias("avg_nll")))
+
+
+def corpus_profile(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """One-row corpus profile — the pre-flight stats pass before any
+    pipeline decision (split sizing, dedup thresholds, packing budget):
+    document count, token totals, vocabulary size, and exact
+    interpolated doc-length percentiles. Two scans at any scale: the
+    per-doc length aggregate and the vocabulary countDistinct (both
+    map-side combined); the two 1-row branches cross-join for free."""
+    toks = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     toks.alias("_toks")) \
+             .withColumn("n_tokens", F.size("_toks"))
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.percentile(F.col("n_tokens"), F.lit(0.5)), 6)
+         .alias("p50_tokens"),
+        F.round(F.percentile(F.col("n_tokens"), F.lit(0.9)), 6)
+         .alias("p90_tokens"),
+        F.round(F.percentile(F.col("n_tokens"), F.lit(0.99)), 6)
+         .alias("p99_tokens"))
+    vocab = (base.select(F.explode("_toks").alias("t"))
+                 .agg(F.count_distinct("t").cast("bigint")
+                      .alias("vocab_size")))
+    return stats.crossJoin(F.broadcast(vocab))

@@ -93,3 +93,16 @@ def test_unigram_logprob_hand_check(spark):
     assert out[1]["avg_nll"] == pytest.approx(round(exp1, 6), abs=1e-6)
     assert out[2]["avg_nll"] == pytest.approx(round(exp2, 6), abs=1e-6)
     assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+
+
+def test_corpus_profile(spark):
+    from dask_grblas_spark.functions.text import corpus_profile
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a"), (3, "x y z w q")],
+        "doc_id long, text string")
+    r = corpus_profile(df).collect()[0]
+    assert r["n_docs"] == 3 and r["total_tokens"] == 10
+    assert r["vocab_size"] == 8  # a b c x y z w q
+    assert r["p50_tokens"] == pytest.approx(3.0)
+    assert r["avg_tokens"] == pytest.approx(round(10 / 3, 6))
