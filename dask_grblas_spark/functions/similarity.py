@@ -342,8 +342,11 @@ def kmeans_assign(emb_df: DataFrame, k: int = 8, iters: int = 3,
 
     Scale shape (MLlib-style): centroids are DRIVER-held between
     iterations — k*dim doubles, constant in corpus size — while every
-    data pass is one executor-side scan: assignment is k in-plan
-    literal-array distance expressions per row (no join, no shuffle);
+    data pass is one executor-side scan. Assignment picks its physical
+    form by k*dim: small codebooks become k in-plan literal-array
+    distance expressions per row (no join, no shuffle, whole-stage
+    codegen), large ones a BROADCAST-joined centroid relation with a
+    max_by argmin (a 65k x 64 literal plan would blow up analysis);
     the update is one posexplode + (cluster, dim) groupBy whose partial
     aggregation reduces map-side to k*dim rows per partition."""
     from .dedup import cross_hash60
@@ -367,17 +370,41 @@ def kmeans_assign(emb_df: DataFrame, k: int = 8, iters: int = 3,
         return emb.select(F.col("vid").alias(id_col),
                           F.lit(None).cast("bigint").alias("cluster"))
 
+    # in-plan literals up to ~16k scalar constants; beyond that the
+    # expression tree itself becomes the bottleneck (analyzer/codegen
+    # cost per query), so large codebooks ride a broadcast join instead
+    literal_ok = k * len(cents[0]) <= 16384 if cents[0] else True
+    spark = emb.sparkSession
+
     def assign(cents):
-        dists = []
-        for c, cv in enumerate(cents):
-            clit = F.array(*[F.lit(float(x)) for x in cv])
-            d = F.aggregate(F.zip_with(F.col("v"), clit,
-                                       lambda a, b: (a - b) * (a - b)),
-                            F.lit(0.0), lambda acc, x: acc + x)
-            dists.append(F.struct(F.round(d, 6).alias("d"),
-                                  F.lit(c).cast("bigint").alias("c")))
-        return emb.withColumn("cluster",
-                              F.array_min(F.array(*dists)).getField("c"))
+        if literal_ok:
+            dists = []
+            for c, cv in enumerate(cents):
+                clit = F.array(*[F.lit(float(x)) for x in cv])
+                d = F.aggregate(F.zip_with(F.col("v"), clit,
+                                           lambda a, b: (a - b) * (a - b)),
+                                F.lit(0.0), lambda acc, x: acc + x)
+                dists.append(F.struct(F.round(d, 6).alias("d"),
+                                      F.lit(c).cast("bigint").alias("c")))
+            return emb.withColumn("cluster",
+                                  F.array_min(F.array(*dists)).getField("c"))
+        cdf = spark.createDataFrame(
+            [(c, cv) for c, cv in enumerate(cents)],
+            "_c bigint, _cv array<double>")
+        d = F.aggregate(F.zip_with(F.col("v"), F.col("_cv"),
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        scored = (emb.crossJoin(F.broadcast(cdf))
+                     .withColumn("_d", F.round(d, 6)))
+        # argmin with the same (rounded dist, cluster) tie-break as the
+        # literal path: max_by over the NEGATED struct ordering
+        return (scored.groupBy("vid")
+                      .agg(F.min_by(F.struct(F.col("_c").alias("cluster"),
+                                             F.col("v").alias("v")),
+                                    F.struct(F.col("_d"), F.col("_c")))
+                           .alias("_a"))
+                      .select("vid", F.col("_a.v").alias("v"),
+                              F.col("_a.cluster").alias("cluster")))
 
     for _ in range(iters):
         assigned = assign(cents)

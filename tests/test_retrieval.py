@@ -148,3 +148,23 @@ def test_kmeans_k_exceeds_corpus(spark):
     assert len(out) == 3
     # 3 seeds for 3 well-separated points: every point its own cluster
     assert len({r["cluster"] for r in out}) == 3
+
+
+def test_kmeans_broadcast_path_matches_literal_path(spark):
+    """The large-codebook broadcast-join assignment must agree with the
+    in-plan-literal assignment (same rounded-distance + cluster-id
+    tie-break). Tiling each vector (dim 6 -> 4800, so k*dim crosses the
+    16384 literal budget) forces the broadcast path without changing
+    which centroid is nearest — distances scale uniformly by the tile
+    count."""
+    import pyspark.sql.functions as F
+
+    df = _blobs(spark, n_per=25, dim=6,
+                centers=((8.0, 0), (-8.0, 1), (0.0, 2)))
+    lit = sorted((r["vec_id"], r["cluster"])
+                 for r in kmeans_assign(df, k=4, iters=2).collect())
+    wide = df.withColumn(
+        "embedding", F.flatten(F.array_repeat(F.col("embedding"), 800)))
+    big = sorted((r["vec_id"], r["cluster"])
+                 for r in kmeans_assign(wide, k=4, iters=2).collect())
+    assert lit == big
