@@ -749,7 +749,25 @@ def q33_simhash(spark, sf_dir):
 
 
 def q34_embedding_neardup(spark, sf_dir):
+    """Brute-force O(n^2) cosine near-dup — the VERIFICATION ORACLE path
+    only (its plan deliberately contains the cartesian). The scale path
+    (hyperplane sign-LSH, cartesian-free) is gated separately as
+    q71_hyperplane_neardup."""
     return dedup.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.4) \
+        .select("id_a", "id_b", "cosine")
+
+
+def q71_hyperplane_neardup(spark, sf_dir):
+    """Embedding near-dup via random-hyperplane sign-LSH — the 100 TB
+    scale path (equi-join on (table, bucket); NO cartesian in the plan).
+    The hyperplanes are seeded numpy literals inlined into the plan, so
+    the DuckDB oracle replays the exact bucketing with unrolled
+    left-associated dot sums (bit-identical IEEE folds) and the exact
+    cosine verification. Recall vs brute force is covered by
+    tests/test_dedup_recall.py; this gate hard-checks determinism of the
+    candidates + verification."""
+    return similarity.hyperplane_lsh_pairs(_emb(spark, sf_dir),
+                                           threshold=0.4) \
         .select("id_a", "id_b", "cosine")
 
 
@@ -961,75 +979,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver records queries in dict
-    # order with a 50-row cap. Round-4 ROTATION POLICY: every query that
-    # has NEVER had a driver CORRECTNESS row sits inside the first 50 —
-    # the 10 rows r3 left unsampled (q53, q55, q20-q25, q27, q56;
-    # q21/q27 had never been recorded) plus the 8 brand-new round-4
-    # operators (q61-q68). The 18 rows pushed past the cap all carry
-    # r1+r2+r3 driver rows; rotate a different tail next round so rows
-    # keep accumulating across every query.
+    # order with a 50-row cap. Round-5 ROTATION POLICY (per the r4
+    # verdict): the brand-new q71, the two rows the r4 cap cut off
+    # (q28, q44), and the 18-query tail r4 pushed out (q17, q26, q43,
+    # q45-q49, q01, q02, q09, q11-q13, q18, q19, q29, q38) all sit
+    # inside the first 50, followed by the single-row r4 newcomers
+    # (q61-q70), the text block and the core block. The 21 rows pushed
+    # past the cap this round (q30-q33, q35-q37, q10, q39-q42, q41b,
+    # q50-q52, q54, q57-q60) all carry r1-r4 driver rows — rotate them
+    # back next round.
     return {
-        # LLM-data-pipeline / streaming / multimodal layer
-        "q30_exact_dedup": q30_exact_dedup,
-        "q31_ngram_jaccard": q31_ngram_jaccard,
-        "q32_minhash_lsh": q32_minhash_lsh,
-        "q33_simhash": q33_simhash,
-        "q34_embedding_neardup": q34_embedding_neardup,
-        "q35_cosine_topk": q35_cosine_topk,
-        "q36_ivf_ann": q36_ivf_ann,
-        "q10_jsonl_roundtrip": q10_jsonl_roundtrip,
-        "q59_orc_roundtrip": q59_orc_roundtrip,
-        "q60_bucketed_join": q60_bucketed_join,
-        "q39_dup_clusters": q39_dup_clusters,
-        "q40_stream_window": q40_stream_window,
-        "q42_stream_dedup": q42_stream_dedup,
-        "q54_stream_join": q54_stream_join,
-        "q57_asof_join": q57_asof_join,
-        "q58_rolling_window": q58_rolling_window,
-        "q41_sessionize": q41_sessionize,
-        "q41b_streaming_sessionize": q41b_streaming_sessionize,
-        "q50_media_meta": q50_media_meta,
-        "q51_media_features": q51_media_features,
-        "q52_frame_sample": q52_frame_sample,
-        "q37_pagerank": q37_pagerank,
-        # text analysis layer (rotated into the recorded window)
-        "q20_text_stats": q20_text_stats,
-        "q21_repetition": q21_repetition,
-        "q27_stratified_split": q27_stratified_split,
-        "q22_quality": q22_quality,
-        "q23_lang_scores": q23_lang_scores,
-        "q24_fingerprint": q24_fingerprint,
-        "q25_token_freq": q25_token_freq,
-        "q56_op_grid": q56_op_grid,
-        "q53_scalar_fill": q53_scalar_fill,
-        "q55_isclose": q55_isclose,
-        # round-4 NEW operators — inside the recorded window so each
-        # gets its first driver CORRECTNESS row this round (they are
-        # also verified by tools/check_oracle.py at sf0.001 + sf0.01)
-        "q61_bm25": q61_bm25,
-        "q62_kmeans": q62_kmeans,
-        "q63_chunking": q63_chunking,
-        "q64_packing": q64_packing,
-        "q65_perplexity": q65_perplexity,
-        "q66_mixture": q66_mixture,
-        "q67_redact": q67_redact,
-        "q68_decontaminate": q68_decontaminate,
-        "q69_tfidf": q69_tfidf,
-        "q70_corpus_profile": q70_corpus_profile,
-        # core GraphBLAS operator suite
-        "q03_masked_mxv": q03_masked_mxv,
-        "q04_ewise": q04_ewise,
-        "q05_connected_components": q05_connected_components,
-        "q06_sssp_dag": q06_sssp_dag,
-        "q07_triangles": q07_triangles,
-        "q08_bfs": q08_bfs,
-        "q14_colwise_stats": q14_colwise_stats,
-        "q16_scalar_suite": q16_scalar_suite,
+        # new this round — first driver row needed
+        "q71_hyperplane_neardup": q71_hyperplane_neardup,
+        # cut off by the r4 cap — rows resume here
         "q28_argminmax": q28_argminmax,
         "q44_resize_delete": q44_resize_delete,
-        # triple-green rotation tail (driver rows in r1+r2+r3; outside
-        # the 50-row cap this round so never-recorded queries get rows
-        # — rotate a different 18 out next round)
+        # the 18-query tail r4 pushed out (last rows: r3)
         "q17_mat_ewise_min_transpose": q17_mat_ewise_min_transpose,
         "q26_accum_update": q26_accum_update,
         "q43_value_mask": q43_value_mask,
@@ -1048,6 +1013,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_extract_list": q19_extract_list,
         "q29_concat": q29_concat,
         "q38_mm_roundtrip": q38_mm_roundtrip,
+        # round-4 newcomers (one driver row each so far)
+        "q61_bm25": q61_bm25,
+        "q62_kmeans": q62_kmeans,
+        "q63_chunking": q63_chunking,
+        "q64_packing": q64_packing,
+        "q65_perplexity": q65_perplexity,
+        "q66_mixture": q66_mixture,
+        "q67_redact": q67_redact,
+        "q68_decontaminate": q68_decontaminate,
+        "q69_tfidf": q69_tfidf,
+        "q70_corpus_profile": q70_corpus_profile,
+        # text analysis layer
+        "q20_text_stats": q20_text_stats,
+        "q21_repetition": q21_repetition,
+        "q27_stratified_split": q27_stratified_split,
+        "q22_quality": q22_quality,
+        "q23_lang_scores": q23_lang_scores,
+        "q24_fingerprint": q24_fingerprint,
+        "q25_token_freq": q25_token_freq,
+        "q56_op_grid": q56_op_grid,
+        "q53_scalar_fill": q53_scalar_fill,
+        "q55_isclose": q55_isclose,
+        # core GraphBLAS operator suite
+        "q03_masked_mxv": q03_masked_mxv,
+        "q04_ewise": q04_ewise,
+        "q05_connected_components": q05_connected_components,
+        "q06_sssp_dag": q06_sssp_dag,
+        "q07_triangles": q07_triangles,
+        "q08_bfs": q08_bfs,
+        "q14_colwise_stats": q14_colwise_stats,
+        "q16_scalar_suite": q16_scalar_suite,
+        # position 50: the brute-force oracle twin of q71 stays recorded
+        # alongside it this round
+        "q34_embedding_neardup": q34_embedding_neardup,
+        # quad-green rotation tail (driver rows in r1+r2+r3+r4; outside
+        # the 50-row cap this round — rotate back in next round)
+        "q30_exact_dedup": q30_exact_dedup,
+        "q31_ngram_jaccard": q31_ngram_jaccard,
+        "q32_minhash_lsh": q32_minhash_lsh,
+        "q33_simhash": q33_simhash,
+        "q35_cosine_topk": q35_cosine_topk,
+        "q36_ivf_ann": q36_ivf_ann,
+        "q10_jsonl_roundtrip": q10_jsonl_roundtrip,
+        "q59_orc_roundtrip": q59_orc_roundtrip,
+        "q60_bucketed_join": q60_bucketed_join,
+        "q39_dup_clusters": q39_dup_clusters,
+        "q40_stream_window": q40_stream_window,
+        "q42_stream_dedup": q42_stream_dedup,
+        "q54_stream_join": q54_stream_join,
+        "q57_asof_join": q57_asof_join,
+        "q58_rolling_window": q58_rolling_window,
+        "q41_sessionize": q41_sessionize,
+        "q41b_streaming_sessionize": q41b_streaming_sessionize,
+        "q50_media_meta": q50_media_meta,
+        "q51_media_features": q51_media_features,
+        "q52_frame_sample": q52_frame_sample,
+        "q37_pagerank": q37_pagerank,
     }
 
 
@@ -1557,6 +1579,43 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """
+    # q71: replay the hyperplane sign-LSH bucketing EXACTLY. The seeded
+    # hyperplanes (similarity._hyperplanes) are deterministic numpy
+    # literals; each dot product is unrolled as a left-associated sum
+    # (v[1]*h1 + v[2]*h2 + ...), which is bit-identical to Spark's
+    # aggregate(zip_with(...)) IEEE-754 fold — so bucket ids (and hence
+    # the candidate set) match exactly, and the cosine verification is
+    # absorbed by the same ROUND(...,6) as q34.
+    from dask_grblas_spark.functions.similarity import _hyperplanes
+
+    q71_tables = []
+    for t in range(4):
+        bits = []
+        for p_i, plane in enumerate(_hyperplanes(64, 8, 42 + t)):
+            dot = " + ".join(f"v[{i + 1}]*{x!r}"
+                             for i, x in enumerate(plane))
+            bits.append(f"(CASE WHEN ({dot}) > 0"
+                        f" THEN {1 << p_i} ELSE 0 END)")
+        q71_tables.append(f"SELECT id, {t} AS tbl, "
+                          + " + ".join(bits) + " AS bucket FROM e")
+    q71_buckets = "\n          UNION ALL\n          ".join(q71_tables)
+    sql["q71_hyperplane_neardup"] = f"""
+        WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (
+          {q71_buckets}
+        ), cand AS (
+          SELECT DISTINCT x.id AS id_a, y.id AS id_b
+          FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+                            AND x.id < y.id
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+        FROM cand c
+        JOIN e ea ON ea.id = c.id_a
+        JOIN e eb ON eb.id = c.id_b
+        WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
     """
     sql["q35_cosine_topk"] = """
         WITH scored AS (

@@ -374,76 +374,88 @@ for _name in ["erf", "erfc", "lgamma", "spacing"]:
     _u(_name, _np_unary_udf(_name), _float_out)
 
 
-def _erf_np(x):
-    """Vectorized erf over a whole float64 array (the stdlib has only
-    scalar math.erf and scipy is absent): the NO-CANCELLATION confluent
-    hypergeometric series erf(x) = (2/sqrt(pi)) x e^{-x^2} sum_n
-    (2x^2)^n / (2n+1)!! — every term positive, so ~1e-14 relative
-    accuracy with plain float64 accumulation. Saturates to +-1 for
-    |x| >= 6, where erfc(x) < 2.2e-17 is below half an ulp of 1."""
-    ax = np.minimum(np.abs(x), 6.0)
-    y = ax * ax
-    term = np.ones_like(ax)
-    s = np.ones_like(ax)
-    # term ratio 2y/(2n+3) drops below 1 once n > y - 1.5; with y <= 36
-    # the tail is negligible well before n = 160
-    for nn in range(1, 160):
-        term = term * (2.0 * y) / (2.0 * nn + 1.0)
-        s += term
-        if nn % 16 == 0 and term.max(initial=0.0) < 1e-18:
-            break
-    r = (2.0 / np.sqrt(np.pi)) * ax * np.exp(-y) * s
-    r = np.where(np.abs(x) >= 6.0, 1.0, r)
-    return np.copysign(r, x)
+# Wichura's AS241 / PPND16 (Algorithm AS 241, Applied Statistics 1988):
+# inverse normal CDF as a three-region rational polynomial. Pure
+# log/sqrt/Horner arithmetic, so erfinv/erfcinv stay inside whole-stage
+# codegen (no Python at all), and it is the SAME algorithm Python's
+# statistics.NormalDist.inv_cdf uses — agreement to machine precision.
+_PPND16_A = (3.3871328727963666080e0, 1.3314166789178437745e2,
+             1.9715909503065514427e3, 1.3731693765509461125e4,
+             4.5921953931549871457e4, 6.7265770927008700853e4,
+             3.3430575583588128105e4, 2.5090809287301226727e3)
+_PPND16_B = (1.0, 4.2313330701600911252e1, 6.8718700749205790830e2,
+             5.3941960214247511077e3, 2.1213794301586595867e4,
+             3.9307895800092710610e4, 2.8729085735721942674e4,
+             5.2264952788528545610e3)
+_PPND16_C = (1.42343711074968357734e0, 4.63033784615654529590e0,
+             5.76949722146069140550e0, 3.64784832476320460504e0,
+             1.27045825245236838258e0, 2.41780725177450611770e-1,
+             2.27238449892691845833e-2, 7.74545014278341407640e-4)
+_PPND16_D = (1.0, 2.05319162663775882187e0, 1.67638483018380384940e0,
+             6.89767334985100004550e-1, 1.48103976427480074590e-1,
+             1.51986665636164571966e-2, 5.47593808499534494600e-4,
+             1.05075007164441684324e-9)
+_PPND16_E = (6.65790464350110377720e0, 5.46378491116411436990e0,
+             1.78482653991729133580e0, 2.96560571828504891230e-1,
+             2.65321895265761230930e-2, 1.24266094738807843860e-3,
+             2.71155556874348757815e-5, 2.01033439929228813265e-7)
+_PPND16_F = (1.0, 5.99832206555887937690e-1, 1.36929880922735805310e-1,
+             1.48753612908506148525e-2, 7.86869131145613259100e-4,
+             1.84631831751005468180e-5, 1.42151175831644588870e-7,
+             2.04426310338993978564e-15)
 
 
-def _erfinv_np(y):
-    """Vectorized erfinv: Winitzki logarithmic initial guess, then three
-    whole-array Newton steps against _erf_np. NaN strictly outside
-    [-1, 1], +-inf at exactly +-1 (scipy.special.erfinv contract).
-    Newton is frozen where x^2 >= 30: there exp(x^2) amplifies the
-    series' ~1e-14 erf noise past the correction itself, and the guess's
-    ~1e-2 absolute error is already the better answer in that last
-    |y| > 1 - 1e-12 sliver."""
-    y = np.asarray(y, dtype="float64")
-    out = np.full(y.shape, np.nan)
-    out[y == 1.0] = np.inf
-    out[y == -1.0] = -np.inf
-    inr = (y > -1.0) & (y < 1.0)  # excludes NaN by construction
-    yy = y[inr]
-    a = 0.147
-    ln1my2 = np.log1p(-yy * yy)
-    t = 2.0 / (np.pi * a) + ln1my2 / 2.0
-    x = np.copysign(np.sqrt(np.sqrt(t * t - ln1my2 / a) - t), yy)
-    sp2 = np.sqrt(np.pi) / 2.0
-    for _ in range(3):
-        x2 = x * x
-        step = (_erf_np(x) - yy) * sp2 * np.exp(np.minimum(x2, 30.0))
-        x = np.where(x2 < 30.0, x - step, x)
-    out[inr] = x
-    return out
+def _horner(s, coeffs):
+    expr = F.lit(coeffs[-1])
+    for cf in reversed(coeffs[:-1]):
+        expr = expr * s + F.lit(cf)
+    return expr
 
 
-def _erfinv_udf(complement):
+def _ppnd16_cols(q, r):
+    """Column-expression PPND16: x with Phi(x) = p, given q = p - 0.5
+    and r = min(p, 1 - p). The CALLER computes r with exact cancellation
+    (e.g. (1 - |y|)/2 via Sterbenz) so the tail keeps full precision."""
+    rr = F.sqrt(-F.log(r))
+    s_mid = rr - F.lit(1.6)
+    s_far = rr - F.lit(5.0)
+    tail = F.when(rr <= 5.0,
+                  _horner(s_mid, _PPND16_C) / _horner(s_mid, _PPND16_D)) \
+            .otherwise(_horner(s_far, _PPND16_E) / _horner(s_far, _PPND16_F))
+    tail = F.when(q < 0, -tail).otherwise(tail)
+    rc = F.lit(0.180625) - q * q
+    central = q * _horner(rc, _PPND16_A) / _horner(rc, _PPND16_B)
+    return F.when(F.abs(q) <= 0.425, central).otherwise(tail)
+
+
+def _erfinv_expr(complement):
+    """erfinv(y) = ppnd16((1+y)/2)/sqrt(2); erfcinv via the exact tail
+    identities q = (1-y)/2, r = min(y, 2-y)/2. NaN strictly outside the
+    domain, +-inf at the closed endpoints (scipy.special contract)."""
     def build(c, d):
-        import pandas as pd
-
-        def _fn(s):
-            vals = s.to_numpy(dtype="float64")
-            if complement:
-                vals = 1.0 - vals
-            return pd.Series(_erfinv_np(vals))
-
-        _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
-        out = F.pandas_udf(_fn, "double")(c.cast("double"))
-        # pandas->Arrow turns NaN into null; inputs are never null here
-        # (sparse storage holds no null values), so map null back to NaN
-        return F.coalesce(out, F.lit(float("nan")))
+        y = c.cast("double")
+        if not complement:
+            q = y / F.lit(2.0)
+            # 1 - |y| is exact for 0.5 <= |y| <= 1 (Sterbenz), the only
+            # range where the tail branch reads r
+            r = (F.lit(1.0) - F.abs(y)) / F.lit(2.0)
+            in_domain = (y > -1.0) & (y < 1.0)
+            at_pinf, at_ninf = y == 1.0, y == -1.0
+        else:
+            q = (F.lit(1.0) - y) / F.lit(2.0)
+            r = F.least(y, F.lit(2.0) - y) / F.lit(2.0)
+            in_domain = (y > 0.0) & (y < 2.0)
+            at_pinf, at_ninf = y == 0.0, y == 2.0
+        x = _ppnd16_cols(q, r) / F.lit(1.4142135623730951)
+        return (F.when(at_pinf, F.lit(float("inf")))
+                 .when(at_ninf, F.lit(float("-inf")))
+                 .when(in_domain, x)
+                 .otherwise(F.lit(float("nan"))))
     return build
 
 
-_u("erfinv", _erfinv_udf(False), _float_out)
-_u("erfcinv", _erfinv_udf(True), _float_out)
+_u("erfinv", _erfinv_expr(False), _float_out)
+_u("erfcinv", _erfinv_expr(True), _float_out)
 _u("gamma", _np_unary_udf("gamma"), _float_out)
 _u("tgamma", _np_unary_udf("gamma"), _float_out)
 # positional unary ops read the coordinate columns (grblas positioni/j)

@@ -29,8 +29,8 @@ STREAMING = {"q40_stream_window", "q41b_streaming_sessionize",
 # queries that intentionally contain a cartesian-shaped product
 CARTESIAN_OK = {
     "q09_kronecker": "kronecker IS a cross product by definition",
-    "q34_embedding_neardup": ("documented brute-force oracle path "
-                              "(LSH variant is the scale path)"),
+    "q34_embedding_neardup": ("VERIFICATION-ORACLE-ONLY brute force; "
+                              "the scale path is q71 (cartesian-free)"),
     "q35_cosine_topk": "blocked-GEMM tile replication (bounded fan-out)",
     "q36_ivf_ann": "corpus x broadcast centroids (n_cells-bounded)",
 }
