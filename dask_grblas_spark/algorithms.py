@@ -37,7 +37,7 @@ from .dtypes import FP64, INT64
 from .operators import semiring
 
 __all__ = ["bfs_level", "sssp", "connected_components", "pagerank",
-           "triangle_count", "symmetrize"]
+           "triangle_count", "symmetrize", "with_singletons"]
 
 # Lineage growth between checkpoints is GEOMETRIC for min-merge loops:
 # each iteration's state plan nests the previous state ~3x (improved
@@ -336,6 +336,29 @@ def connected_components(A: GrMatrix, vertices: str = "all") -> GrVector:
     if own_adj:
         adj.unpersist()
     return labels
+
+
+def with_singletons(labels: GrVector, vertices: DataFrame,
+                    id_col: str = "i") -> GrVector:
+    """Union isolated vertices back into a ``connected_components(...,
+    vertices="edges")`` label vector as their own singleton components.
+
+    edges-mode CC labels only the DISTINCT EDGE ENDPOINTS (the point of
+    the sparse-id scale mode — no ``range(max_id)`` densification), so a
+    vertex with no incident edge silently disappears from the result.
+    This helper closes that gap for the general caller: every id in
+    ``vertices`` that is absent from ``labels`` comes back labelled with
+    itself. One anti-join + union — no shuffle beyond the join's, and
+    the anti-join broadcasts when the label side is small.
+
+    ``vertices`` is any DataFrame with the full vertex universe in
+    ``id_col`` (duplicates fine — deduped here)."""
+    verts = (vertices.select(F.col(id_col).cast("bigint").alias("i"))
+                     .distinct())
+    lonely = (verts.join(labels.df.select("i"), on="i", how="left_anti")
+                   .select("i", F.col("i").cast("bigint").alias("v")))
+    return GrVector(labels.df.unionByName(lonely), labels.dtype,
+                    labels.size)
 
 
 def pagerank(A: GrMatrix, damping: float = 0.85, max_iters: int = 20,

@@ -302,7 +302,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     against the representative lose their edges, so duplicate
     CLUSTERING over the pairs can differ from all-pairs mode for
     heterogeneous over-cap buckets. Pass None for exact all-pairs
-    semantics."""
+    semantics. (The default flipped from None to 1000 in round 4 —
+    CHANGELOG.md records the behavioral consequences.)"""
     rows_per_band = num_hashes // bands
     # Band keys straight off the wide (id, m0..m{k-1}) row: each band is
     # the EXACT tuple (array) of its slice of min columns — deterministic

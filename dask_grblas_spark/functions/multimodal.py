@@ -2,12 +2,12 @@
 with typed metadata; decode / feature-extract / resize / frame-sample as
 Arrow-batched Pandas functions over mapInPandas.
 
-The image/audio libraries are NOT in this container, so the actual decode
-step is STUBBED (NotImplementedError behind `real_decode=True`, plus a
-deterministic fake used by default) — but the Spark-side plumbing is real
-and tested: binary schema, partition-friendly batch iteration, Arrow
-transfer, stable output schema. Swapping the fake for PIL/ffmpeg is a
-one-function change.
+The decode step is gated on an OPTIONAL PIL import: `real_decode=True`
+decodes actual pixels when PIL is importable and raises
+NotImplementedError when it is not (this container has no image libs);
+the deterministic fake stays the default/oracle behavior either way. The
+Spark-side plumbing is real and tested regardless: binary schema,
+partition-friendly batch iteration, Arrow transfer, stable output schema.
 """
 
 from __future__ import annotations
@@ -65,15 +65,39 @@ def _fake_feature(content: bytes, dim: int) -> np.ndarray:
     return rng.rand(dim).astype("float32")
 
 
+def _pil_feature(content: bytes, dim: int) -> np.ndarray:
+    """Real decode path (only reachable when PIL imports): decode the
+    image bytes, grayscale, resize to a dim x 1 strip, and emit the
+    normalized pixel row as the feature — a stand-in visual signature
+    computed from ACTUAL pixel data, exercising the same batch shape a
+    learned encoder would."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(content)) as im:
+        strip = im.convert("L").resize((dim, 1))
+        return (np.asarray(strip, dtype="float32").reshape(-1) / 255.0)
+
+
 def decode_features(media_df: DataFrame, dim: int = 16,
                     real_decode: bool = False) -> DataFrame:
     """Per-item feature extraction over mapInPandas: batches arrive as
     Arrow-backed pandas DataFrames per partition — the exact shape a GPU
-    encoder wants (batched, partition-local, no shuffle)."""
+    encoder wants (batched, partition-local, no shuffle).
+
+    real_decode=True decodes with PIL when it is importable (executors
+    need PIL installed too on a real cluster — local mode shares the
+    driver env) and raises NotImplementedError when it is not, so the
+    deterministic fake stays the default/oracle behavior either way."""
     if real_decode:
-        raise NotImplementedError(
-            "real decoders (PIL/torchvision/ffmpeg) are not available in "
-            "this environment; deterministic fake features are the default")
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real_decode=True needs PIL, which is not importable in "
+                "this environment; deterministic fake features are the "
+                "default") from exc
 
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
@@ -82,10 +106,12 @@ def decode_features(media_df: DataFrame, dim: int = 16,
         T.StructField("feature", T.ArrayType(T.FloatType()), False),
     ])
 
+    feature_fn = _pil_feature if real_decode else _fake_feature
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_feature(bytes(c), dim).tolist() for c in pdf["content"]
+                feature_fn(bytes(c), dim).tolist() for c in pdf["content"]
             ]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],

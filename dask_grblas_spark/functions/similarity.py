@@ -408,14 +408,18 @@ def kmeans_assign(emb_df: DataFrame, k: int = 8, iters: int = 3,
 
     for _ in range(iters):
         assigned = assign(cents)
+        # the 6-decimal quantization rides INSIDE the agg (F.round is
+        # HALF_UP, same as the DuckDB oracle's ROUND) — a driver-side
+        # Python round() would be half-to-even and could diverge on an
+        # exact .5 tie at the 6th decimal
         means = (assigned.select("cluster",
                                  F.posexplode("v").alias("d", "val"))
                          .groupBy("cluster", "d")
-                         .agg(F.avg("val").alias("m"))
+                         .agg(F.round(F.avg("val"), 6).alias("m"))
                          .collect())
         upd = {}
         for r in means:
-            upd.setdefault(r["cluster"], {})[r["d"]] = round(r["m"], 6)
+            upd.setdefault(r["cluster"], {})[r["d"]] = r["m"]
         cents = [
             [upd[c][d] for d in range(len(cents[c]))] if c in upd
             else cents[c]

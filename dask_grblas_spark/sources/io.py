@@ -70,17 +70,26 @@ def table_to_bucketed(df, name: str, keys: list[str] | str,
         parts = name.split(".")
         quoted = ".".join("`" + p.replace("`", "``") + "`" for p in parts)
         loc = None
+        tbl_type = None
         try:
             if spark.catalog.tableExists(name):
                 for row in spark.sql(
                         f"DESCRIBE TABLE EXTENDED {quoted}").collect():
                     if row[0] == "Location":
                         loc = row[1]
-                        break
+                    elif row[0] == "Type":
+                        tbl_type = row[1]
         except Exception:
             loc = None
         spark.sql(f"DROP TABLE IF EXISTS {quoted}")
-        if loc is None:
+        if tbl_type is not None and tbl_type.upper() != "MANAGED":
+            # EXTERNAL table: DROP keeps the files by contract — even
+            # when its LOCATION happens to sit inside the warehouse dir,
+            # deleting it would destroy data the catalog never owned.
+            # (saveAsTable below will then refuse on a location clash,
+            # which is the right failure for an external-path conflict.)
+            loc = None
+        elif loc is None:
             # no catalog entry to ask: the orphan dir (if any) sits at
             # the DEFAULT managed location for the name; only the
             # layouts we can derive safely are cleaned
@@ -321,36 +330,113 @@ def to_mmfile(A: GrMatrix, path: str):
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
+def _hive_partition_cols(path: str) -> list[str]:
+    """Top-level ``key=value`` subdirectory names of a hive-partitioned
+    dataset (the columns spark.read.parquet recovers from the layout)."""
+    import os
+    import re
+
+    cols: list[str] = []
+    try:
+        entries = sorted(os.listdir(path))
+    except OSError:
+        return cols
+    for e in entries:
+        m = re.match(r"([^=/]+)=.", e)
+        if m and os.path.isdir(os.path.join(path, e)) and \
+                m.group(1) not in cols:
+            cols.append(m.group(1))
+    return cols
+
+
+def recover_compaction(path: str) -> str:
+    """Finish or roll back an in-place compact_parquet that crashed
+    mid-swap, using the ``<path>._compact_pending`` marker. Safe to call
+    on a healthy dataset (no marker -> no-op). Returns one of
+    "clean" / "finished" / "rolled_back"."""
+    import json
+    import os
+    import shutil
+
+    marker = f"{path.rstrip('/')}._compact_pending"
+    if not os.path.exists(marker):
+        return "clean"
+    with open(marker) as fh:
+        info = json.load(fh)
+    dest, old = info["dest"], info["old"]
+    if not os.path.exists(path):
+        # crashed between the two renames: the compacted output is
+        # complete (the marker is only written after the write) — finish
+        os.rename(dest, path)
+        shutil.rmtree(old, ignore_errors=True)
+        out = "finished"
+    elif os.path.exists(old):
+        # crashed after the swap, before cleanup: just drop the old copy
+        shutil.rmtree(old, ignore_errors=True)
+        out = "finished"
+    else:
+        # crashed before the first rename: original is untouched — drop
+        # the (complete but never-installed) compacted copy
+        shutil.rmtree(dest, ignore_errors=True)
+        out = "rolled_back"
+    os.remove(marker)
+    return out
+
+
 def compact_parquet(path: str, target_file_mb: int = 256,
                     out_path: str | None = None) -> int:
     """Compact a small-file parquet dataset into ~target_file_mb files
     — the routine maintenance pass of any long-lived lake table
     (streaming sinks and incremental jobs leave thousands of KB-sized
     files whose open/footer costs dominate scans). File count is sized
-    from the dataset's actual on-disk bytes; rewrite uses coalesce (no
-    shuffle — existing partitions are merged, not redistributed).
-    Returns the output file count. In-place compaction (out_path=None)
-    writes to a sibling temp dir then atomically swaps, so a crashed
-    compaction never leaves the table half-written."""
+    from the dataset's actual on-disk bytes; a flat dataset is rewritten
+    with coalesce (no shuffle — existing partitions are merged, not
+    redistributed). A HIVE-PARTITIONED dataset (key=value subdirs) keeps
+    its layout: the rewrite hash-clusters rows on the recovered
+    partition columns and writes with partitionBy, so directory pruning
+    survives compaction (each partition value lands in one task ->
+    ~one file per partition dir). Returns the output task count.
+
+    In-place compaction (out_path=None) is CRASH-RECOVERABLE, not
+    atomic: the compacted copy is fully written to a sibling dir, a
+    ``<path>._compact_pending`` marker records the swap, then two
+    renames install it. A crash at any point leaves a state
+    ``recover_compaction(path)`` repairs (and compact_parquet runs that
+    recovery itself on entry); readers racing the swap can observe a
+    missing path for the instant between the two renames — schedule
+    in-place compaction off-peak or compact to ``out_path`` and flip a
+    symlink/view instead."""
+    import json
     import math
     import os
     import shutil
     import uuid
 
     spark = get_session()
+    swap = out_path is None
+    if swap:
+        recover_compaction(path)
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
             if f.endswith(".parquet") and not f.startswith("."):
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    part_cols = _hive_partition_cols(path)
     df = spark.read.parquet(path)
-    swap = out_path is None
     dest = out_path or f"{path.rstrip('/')}._compact_{uuid.uuid4().hex[:8]}"
-    df.coalesce(n_files).write.mode("overwrite").parquet(dest)
+    if part_cols:
+        (df.repartition(n_files, *part_cols)
+           .write.mode("overwrite").partitionBy(*part_cols).parquet(dest))
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(dest)
     if swap:
         old = f"{path.rstrip('/')}._old_{uuid.uuid4().hex[:8]}"
+        marker = f"{path.rstrip('/')}._compact_pending"
+        with open(marker, "w") as fh:
+            json.dump({"dest": dest, "old": old}, fh)
         os.rename(path, old)
         os.rename(dest, path)
+        os.remove(marker)
         shutil.rmtree(old, ignore_errors=True)
     return n_files

@@ -156,3 +156,32 @@ def test_ivf_topk_releases_session_caches(spark):
     out = similarity.ivf_topk(emb, k=3, n_cells=4, nprobe=2)
     assert out.count() > 0
     assert cm.isEmpty(), "ivf_topk leaked a CacheManager entry"
+
+
+def test_with_singletons_restores_isolated_hashed_ids(spark):
+    """with_singletons: edges-mode CC drops vertices with no incident
+    edge by design; the helper unions them back as their own components
+    — including arbitrary hashed 64-bit ids."""
+    import pyspark.sql.functions as F
+
+    base = 1 << 60
+    e = [(base + a, base + b) for a, b in FASTSV_EDGES]
+    df = spark.createDataFrame(
+        [(i, j, 1) for i, j in e], "i long, j long, v long")
+    A = gb.Matrix.from_dataframe(df, dtype="INT64")
+    labels = alg.connected_components(A, vertices="edges")
+    # the full vertex universe: the 12 edge endpoints plus 3 isolated
+    # hashed ids (duplicated on purpose — the helper dedupes)
+    lonely = [base + 100, base + 101, (1 << 61) + 7]
+    universe = spark.createDataFrame(
+        [(v,) for v in sorted({a for a, _ in e} | {b for _, b in e})
+         ] + [(v,) for v in lonely] * 2, "i long")
+    full = alg.with_singletons(labels, universe)
+    got = {r["i"]: r["v"] for r in full.df.collect()}
+    # edge endpoints keep their CC labels ...
+    for r in labels.df.collect():
+        assert got[r["i"]] == r["v"]
+    # ... and every isolated vertex appears exactly once, self-labelled
+    assert len(got) == 12 + len(lonely)
+    for v in lonely:
+        assert got[v] == v
