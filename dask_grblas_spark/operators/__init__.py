@@ -352,7 +352,11 @@ _UNARY["frexpx"] = UnaryOp("frexpx", _UNARY["frexps"]._build, _float_out)
 def _np_unary_udf(np_name):
     """Arrow-vectorized fallback for ops with no JVM-side equivalent
     (same slow-path tradeoff the reference inherits: grblas implements
-    numpy-spillover ops as Python UDFs over SuiteSparse)."""
+    numpy-spillover ops as Python UDFs over SuiteSparse). After the
+    round-5 Cody/Lanczos/AS241 ports only FOUR ops remain here —
+    spacing/nextafter (IEEE bit manipulation Spark SQL cannot express)
+    and gcd/lcm (data-dependent Euclid iteration) — none reachable from
+    a gate query."""
     def build(c, d):
         import numpy as np
         import pandas as pd
@@ -370,8 +374,130 @@ def _np_unary_udf(np_name):
     return build
 
 
-for _name in ["erf", "erfc", "lgamma", "spacing"]:
-    _u(_name, _np_unary_udf(_name), _float_out)
+# erf/erfc: Cody's rational Chebyshev approximations (netlib specfun
+# CALERF, Math. Comp. 1969 — public domain), ~1.2e-16 relative: three
+# regions of plain Horner arithmetic + the exp(-y^2) accuracy split, so
+# both ops stay inside whole-stage codegen instead of a pandas UDF.
+_CODY_A = (3.16112374387056560e0, 1.13864154151050156e2,
+           3.77485237685302021e2, 3.20937758913846947e3,
+           1.85777706184603153e-1)
+_CODY_B = (2.36012909523441209e1, 2.44024637934444173e2,
+           1.28261652607737228e3, 2.84423683343917062e3)
+_CODY_C = (5.64188496988670089e-1, 8.88314979438837594e0,
+           6.61191906371416295e1, 2.98635138197400131e2,
+           8.81952221241769090e2, 1.71204761263407058e3,
+           2.05107837782607147e3, 1.23033935479799725e3,
+           2.15311535474403846e-8)
+_CODY_D = (1.57449261107098347e1, 1.17693950891312499e2,
+           5.37181101862009858e2, 1.62138957456669019e3,
+           3.29079923573345963e3, 4.36261909014324716e3,
+           3.43936767414372164e3, 1.23033935480374942e3)
+_CODY_P = (3.05326634961232344e-1, 3.60344899949804439e-1,
+           1.25781726111229246e-1, 1.60837851487422766e-2,
+           6.58749161529837803e-4, 1.63153871373020978e-2)
+_CODY_Q = (2.56852019228982242e0, 1.87295284992346047e0,
+           5.27905102951428412e-1, 6.05183413124413191e-2,
+           2.33520497626869185e-3)
+_SQRPI = 5.6418958354775628695e-1  # 1/sqrt(pi)
+
+
+def _erf_central(x):
+    """erf(x) for |x| <= 0.46875: x * P1(x^2)/Q1(x^2)."""
+    z = x * x
+    num = F.lit(_CODY_A[4]) * z
+    den = z
+    for i in range(3):
+        num = (num + F.lit(_CODY_A[i])) * z
+        den = (den + F.lit(_CODY_B[i])) * z
+    return x * (num + F.lit(_CODY_A[3])) / (den + F.lit(_CODY_B[3]))
+
+
+def _erfc_pos(y):
+    """erfc(y) for y > 0.46875 (y strictly positive). The exp(-y^2)
+    factor is split exp(-t^2)*exp(-(y-t)(y+t)) with t = trunc(16y)/16 so
+    the argument reduction never loses low bits of y^2."""
+    num2 = F.lit(_CODY_C[8]) * y
+    den2 = y
+    for i in range(7):
+        num2 = (num2 + F.lit(_CODY_C[i])) * y
+        den2 = (den2 + F.lit(_CODY_D[i])) * y
+    r2 = (num2 + F.lit(_CODY_C[7])) / (den2 + F.lit(_CODY_D[7]))
+    z = F.lit(1.0) / (y * y)
+    num3 = F.lit(_CODY_P[5]) * z
+    den3 = z
+    for i in range(4):
+        num3 = (num3 + F.lit(_CODY_P[i])) * z
+        den3 = (den3 + F.lit(_CODY_Q[i])) * z
+    r3 = z * (num3 + F.lit(_CODY_P[4])) / (den3 + F.lit(_CODY_Q[4]))
+    r3 = (F.lit(_SQRPI) - r3) / y
+    rat = F.when(y <= 4.0, r2).otherwise(r3)
+    t = F.floor(y * 16.0) / 16.0
+    e = F.exp(-t * t) * F.exp(-(y - t) * (y + t))
+    return e * rat
+
+
+def _erf_expr(c, d):
+    x = c.cast("double")
+    y = F.abs(x)
+    tail = F.lit(1.0) - _erfc_pos(y)
+    return F.when(y <= 0.46875, _erf_central(x)) \
+            .otherwise(F.when(x < 0, -tail).otherwise(tail))
+
+
+def _erfc_expr(c, d):
+    x = c.cast("double")
+    y = F.abs(x)
+    return (F.when(y <= 0.46875, F.lit(1.0) - _erf_central(x))
+             .when(x < 0, F.lit(2.0) - _erfc_pos(y))
+             .otherwise(_erfc_pos(y)))
+
+
+_u("erf", _erf_expr, _float_out)
+_u("erfc", _erfc_expr, _float_out)
+
+# lgamma/gamma: Lanczos approximation (g=7, n=9 — Numerical Recipes /
+# Boost-documented public constants, ~1e-13 relative) + sin(pi x)
+# reflection for the left half-plane. Pure Column arithmetic.
+_LANCZOS_G = 7.0
+_LANCZOS_C = (0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+              771.32342877765313, -176.61502916214059, 12.507343278686905,
+              -0.13857109526572012, 9.9843695780195716e-6,
+              1.5056327351493116e-7)
+_HALF_LOG_2PI = 0.9189385332046727  # log(2*pi)/2
+
+
+def _lgamma_pos(x):
+    """log Gamma(x) for x > 0.5 (Lanczos, shifted w = x - 1)."""
+    w = x - F.lit(1.0)
+    series = F.lit(_LANCZOS_C[0])
+    for i in range(1, 9):
+        series = series + F.lit(_LANCZOS_C[i]) / (w + F.lit(float(i)))
+    t = w + F.lit(_LANCZOS_G + 0.5)
+    return (F.lit(_HALF_LOG_2PI) + (w + F.lit(0.5)) * F.log(t) - t
+            + F.log(series))
+
+
+_PI = 3.141592653589793
+
+
+def _lgamma_expr(c, d):
+    x = c.cast("double")
+    # reflection: lgamma(x) = log(pi/|sin(pi x)|) - lgamma(1-x), x <= 0.5
+    refl = (F.log(F.lit(_PI) / F.abs(F.sin(F.lit(_PI) * x)))
+            - _lgamma_pos(F.lit(1.0) - x))
+    return F.when(x > 0.5, _lgamma_pos(x)).otherwise(refl)
+
+
+def _gamma_expr(c, d):
+    x = c.cast("double")
+    # reflection keeps the SIGN: Gamma(x) = pi / (sin(pi x) Gamma(1-x))
+    refl = F.lit(_PI) / (F.sin(F.lit(_PI) * x)
+                         * F.exp(_lgamma_pos(F.lit(1.0) - x)))
+    return F.when(x > 0.5, F.exp(_lgamma_pos(x))).otherwise(refl)
+
+
+_u("lgamma", _lgamma_expr, _float_out)
+_u("spacing", _np_unary_udf("spacing"), _float_out)
 
 
 # Wichura's AS241 / PPND16 (Algorithm AS 241, Applied Statistics 1988):
@@ -456,8 +582,8 @@ def _erfinv_expr(complement):
 
 _u("erfinv", _erfinv_expr(False), _float_out)
 _u("erfcinv", _erfinv_expr(True), _float_out)
-_u("gamma", _np_unary_udf("gamma"), _float_out)
-_u("tgamma", _np_unary_udf("gamma"), _float_out)
+_u("gamma", _gamma_expr, _float_out)
+_u("tgamma", _gamma_expr, _float_out)
 # positional unary ops read the coordinate columns (grblas positioni/j)
 _UNARY["positioni"] = UnaryOp("positioni",
                               lambda c, d, ctx: ctx.ai.cast("bigint"),
