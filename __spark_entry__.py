@@ -771,6 +771,22 @@ def q71_hyperplane_neardup(spark, sf_dir):
         .select("id_a", "id_b", "cosine")
 
 
+def q72_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection (the ANN front end that
+    makes 768-dim model embeddings LSH/IVF-able at 100 TB). The seeded
+    Gaussian matrix is in-plan literals, so the oracle replays the exact
+    left-associated dot sums — same bit-identical-fold idiom as q71."""
+    return similarity.random_projection(_emb(spark, sf_dir), out_dim=8) \
+        .select("id", "dim", "value")
+
+
+def q73_vocab_oov(spark, sf_dir):
+    """Top-V corpus vocabulary (frequency with token tie-break) + per-doc
+    out-of-vocabulary rate — tokenizer-fit / domain-shift scoring."""
+    return text.vocab_oov_rate(_doc(spark, sf_dir), vocab_size=500) \
+        .select("id", "n_tok", "oov_rate")
+
+
 def q35_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_emb(spark, sf_dir), k=5) \
         .select("query_id", "neighbor_id", "rank")
@@ -980,17 +996,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver records queries in dict
     # order with a 50-row cap. Round-5 ROTATION POLICY (per the r4
-    # verdict): the brand-new q71, the two rows the r4 cap cut off
+    # verdict): the brand-new q71-q73, the two rows the r4 cap cut off
     # (q28, q44), and the 18-query tail r4 pushed out (q17, q26, q43,
     # q45-q49, q01, q02, q09, q11-q13, q18, q19, q29, q38) all sit
     # inside the first 50, followed by the single-row r4 newcomers
-    # (q61-q70), the text block and the core block. The 21 rows pushed
-    # past the cap this round (q30-q33, q35-q37, q10, q39-q42, q41b,
-    # q50-q52, q54, q57-q60) all carry r1-r4 driver rows — rotate them
-    # back next round.
+    # (q61-q70), the text block and the core block. The 23 rows pushed
+    # past the cap this round (q03, q04, q30-q33, q35-q37, q10,
+    # q39-q42, q41b, q50-q52, q54, q57-q60) all carry r1-r4 driver rows
+    # — rotate them back next round.
     return {
-        # new this round — first driver row needed
+        # new this round — first driver rows needed
         "q71_hyperplane_neardup": q71_hyperplane_neardup,
+        "q72_random_projection": q72_random_projection,
+        "q73_vocab_oov": q73_vocab_oov,
         # cut off by the r4 cap — rows resume here
         "q28_argminmax": q28_argminmax,
         "q44_resize_delete": q44_resize_delete,
@@ -1035,9 +1053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_op_grid": q56_op_grid,
         "q53_scalar_fill": q53_scalar_fill,
         "q55_isclose": q55_isclose,
-        # core GraphBLAS operator suite
-        "q03_masked_mxv": q03_masked_mxv,
-        "q04_ewise": q04_ewise,
+        # core GraphBLAS operator suite (q03/q04 rotate out this round —
+        # quad-green r1-r4 — to make room for the new q72/q73)
         "q05_connected_components": q05_connected_components,
         "q06_sssp_dag": q06_sssp_dag,
         "q07_triangles": q07_triangles,
@@ -1049,6 +1066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_embedding_neardup": q34_embedding_neardup,
         # quad-green rotation tail (driver rows in r1+r2+r3+r4; outside
         # the 50-row cap this round — rotate back in next round)
+        "q03_masked_mxv": q03_masked_mxv,
+        "q04_ewise": q04_ewise,
         "q30_exact_dedup": q30_exact_dedup,
         "q31_ngram_jaccard": q31_ngram_jaccard,
         "q32_minhash_lsh": q32_minhash_lsh,
@@ -1616,6 +1635,39 @@ def oracle_sql() -> dict[str, str]:
         JOIN e ea ON ea.id = c.id_a
         JOIN e eb ON eb.id = c.id_b
         WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4
+    """
+    # q72: the projection matrix literals come from the SAME helper the
+    # Spark op uses; each component is an unrolled left-associated sum,
+    # bit-identical to the zip_with/aggregate fold (see q71's note)
+    from dask_grblas_spark.functions.similarity import _projection_matrix
+
+    q72_rows = []
+    for j, prow in enumerate(_projection_matrix(8, 64, 42)):
+        dot = " + ".join(f"v[{i + 1}]*{x!r}" for i, x in enumerate(prow))
+        q72_rows.append(f"SELECT id, {j} AS dim, "
+                        f"ROUND({dot}, 6) AS value FROM e")
+    q72_union = "\n          UNION ALL\n          ".join(q72_rows)
+    sql["q72_random_projection"] = f"""
+        WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+        {q72_union}
+    """
+    sql["q73_vocab_oov"] = r"""
+        WITH tok AS (
+          SELECT id, t FROM (
+            SELECT doc_id AS id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+            FROM documents)
+          WHERE length(t) > 0
+        ), vocab AS (
+          SELECT t FROM (SELECT t, COUNT(*) AS freq FROM tok GROUP BY 1)
+          ORDER BY freq DESC, t LIMIT 500
+        )
+        SELECT tok.id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+               ROUND(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS oov_rate
+        FROM tok LEFT JOIN vocab v ON tok.t = v.t
+        GROUP BY 1
     """
     sql["q35_cosine_topk"] = """
         WITH scored AS (

@@ -426,3 +426,36 @@ def kmeans_assign(emb_df: DataFrame, k: int = 8, iters: int = 3,
             for c in range(k)]
 
     return assign(cents).select(F.col("vid").alias(id_col), "cluster")
+
+
+def _projection_matrix(out_dim: int, dim: int,
+                       seed: int = 42) -> list[list[float]]:
+    """Seeded JL projection matrix (shared with the SQL oracle so both
+    engines inline the IDENTICAL literals)."""
+    rng = np.random.RandomState(seed)
+    return (rng.randn(out_dim, dim) / np.sqrt(out_dim)).tolist()
+
+
+def random_projection(emb_df: DataFrame, out_dim: int = 16,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int = 64, seed: int = 42) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of the embedding column:
+    proj_j = v . R_j / sqrt(out_dim) with R an out_dim x dim seeded
+    Gaussian matrix — the standard dimensionality-reduction front end
+    for ANN at 100 TB (project 768-dim model embeddings to 32–64 dims
+    BEFORE the LSH/IVF stage; pairwise distances are preserved within
+    (1 +- eps) for eps ~ sqrt(log n / out_dim)).
+
+    The matrix rides in the PLAN as literals (same pattern as the LSH
+    hyperplanes) so the op is one whole-stage-codegen'd projection: no
+    shuffle, no UDF, no driver state at runtime, and the seeded
+    literals make it replayable in any engine. Output is long-form
+    (id, dim, value) with value rounded to 6 decimals — the exact
+    cross-engine comparison shape."""
+    R = _projection_matrix(out_dim, dim, seed)
+    comps = []
+    for row in R:
+        h = F.array(*[F.lit(float(x)) for x in row])
+        comps.append(F.round(dot_expr(F.col(vec_col), h), 6))
+    return emb_df.select(F.col(id_col).alias("id"),
+                         F.posexplode(F.array(*comps)).alias("dim", "value"))

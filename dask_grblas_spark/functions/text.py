@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "language_id", "fingerprint", "token_frequencies",
-           "repetition_stats", "unigram_logprob", "corpus_profile"]
+           "repetition_stats", "unigram_logprob", "corpus_profile",
+           "vocab_oov_rate"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -216,3 +217,36 @@ def corpus_profile(df: DataFrame, id_col: str = "doc_id",
                  .agg(F.count_distinct("t").cast("bigint")
                       .alias("vocab_size")))
     return stats.crossJoin(F.broadcast(vocab))
+
+
+def vocab_oov_rate(df: DataFrame, vocab_size: int = 1000,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Tokenizer-prep pass: build the top-``vocab_size`` corpus
+    vocabulary (by frequency, token-string tie-break so the cut is
+    deterministic) and score every document's out-of-vocabulary rate —
+    the standard signal for tokenizer fit / domain shift in a training
+    pipeline.
+
+    Scale shape: the frequency table is a map-side-combined groupBy;
+    the top-V cut is orderBy+limit, which Spark executes as distributed
+    TakeOrdered (each partition keeps its local top V, the driver merges
+    V-sized heaps — never a global sort, and V is bounded: a vocab is
+    32k–256k entries, not corpus-sized); the per-doc pass then joins
+    tokens against the BROADCAST vocabulary, so the only full-corpus
+    shuffle is the doc_id re-aggregation. Output: (id, n_tok, oov_rate)
+    for documents with at least one token."""
+    tok = (df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(F.col(text_col))).alias("t"))
+             .filter(F.length("t") > 0))
+    vocab = (tok.groupBy("t").agg(F.count("*").alias("freq"))
+                .orderBy(F.col("freq").desc(), F.col("t"))
+                .limit(vocab_size)
+                .select(F.col("t").alias("_vt")))
+    return (tok.join(F.broadcast(vocab), tok["t"] == F.col("_vt"),
+                     "left_outer")
+               .groupBy("id")
+               .agg(F.count("*").alias("n_tok"),
+                    F.round(F.sum(F.when(F.col("_vt").isNull(), 1)
+                                   .otherwise(0))
+                            / F.count("*"), 6).alias("oov_rate")))

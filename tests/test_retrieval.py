@@ -168,3 +168,64 @@ def test_kmeans_broadcast_path_matches_literal_path(spark):
     big = sorted((r["vec_id"], r["cluster"])
                  for r in kmeans_assign(wide, k=4, iters=2).collect())
     assert lit == big
+
+
+def test_random_projection_deterministic_and_jl(spark):
+    """random_projection: literal-matrix projection is partition-
+    invariant and approximately preserves pairwise distance ORDER
+    (the JL property at small scale)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from dask_grblas_spark.functions.similarity import (_projection_matrix,
+                                                        random_projection)
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>")
+    out = random_projection(emb, out_dim=8).collect()
+    assert len(out) == 30 * 8
+    # partition invariance: same literals, same folds, any layout
+    out2 = random_projection(emb.repartition(13), out_dim=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # matches the numpy projection to rounding tolerance
+    R = np.array(_projection_matrix(8, 64, 42))
+    P = vecs @ R.T
+    got = {(r["id"], r["dim"]): r["value"] for r in out}
+    for i in range(30):
+        for j in range(8):
+            assert abs(got[(i, j)] - P[i, j]) < 1e-6
+    # JL sanity: projected pairwise distances correlate with originals
+    d_orig, d_proj = [], []
+    for a in range(10):
+        for b in range(a + 1, 10):
+            d_orig.append(np.linalg.norm(vecs[a] - vecs[b]))
+            d_proj.append(np.linalg.norm(P[a] - P[b]))
+    corr = np.corrcoef(d_orig, d_proj)[0, 1]
+    assert corr > 0.3  # 8 dims from 64: order mostly preserved
+
+
+def test_vocab_oov_rate_cut_and_ties(spark):
+    """vocab_oov_rate: the top-V cut is by (freq DESC, token ASC) so a
+    tie at the boundary resolves deterministically; OOV rates are exact
+    fractions."""
+    from dask_grblas_spark.functions.text import vocab_oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc"),      # aa:3 bb:2 cc:1
+         (2, "bb cc dd"),               # dd:1 ties with cc -> cc wins cut
+         (3, "aa dd dd")],              # dd total 3
+        "doc_id long, text string")
+    # corpus freq: aa=4, dd=3, bb=3, cc=2 -> vocab_size=3 keeps aa, bb,
+    # dd (bb before dd by token tie-break at freq 3) and drops cc
+    out = {r["id"]: (r["n_tok"], r["oov_rate"])
+           for r in vocab_oov_rate(docs, vocab_size=3).collect()}
+    assert out[1] == (6, round(1 / 6, 6))   # cc OOV
+    assert out[2] == (3, round(1 / 3, 6))   # cc OOV, bb+dd in vocab
+    assert out[3] == (3, 0.0)
+    # vocab_size larger than the vocabulary: nothing is OOV
+    out_all = {r["id"]: r["oov_rate"]
+               for r in vocab_oov_rate(docs, vocab_size=100).collect()}
+    assert set(out_all.values()) == {0.0}

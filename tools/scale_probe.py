@@ -165,6 +165,44 @@ def main() -> int:
     probe("kmeans_3iter", nemb,
           lambda: similarity.kmeans_assign(emb, k=16, iters=3))
 
+    # blocked-GEMM exact top-k at a size that FORCES multi-tile
+    # execution: 20k vectors -> ceil(20000/4096) = 5x5 auto tiles (the
+    # sf0.1 bench and unit tests only ever run one tile per side)
+    probe("cosine_topk_blocked", nemb,
+          lambda: similarity.cosine_topk(emb, k=5))
+    # multi-tile equivalence: 50 queries against the full corpus
+    # through forced 4x4 tiling must equal a plain cross-join + window
+    # re-rank reference (pair-set compare; both sides tie-break by
+    # (cosine desc, neighbor_id))
+    from pyspark.sql.window import Window as _W
+
+    from dask_grblas_spark.functions.similarity import cosine_expr
+
+    t0 = time.perf_counter()
+    queries = emb.filter(F.pmod(F.col("vec_id"), F.lit(nemb // 50)) == 0)
+    tiled = (similarity.cosine_topk(emb, query_df=queries, k=5,
+                                    query_blocks=4, cand_blocks=4)
+             .select("query_id", "neighbor_id"))
+    scored = (queries.select(F.col("vec_id").alias("query_id"),
+                             F.col("embedding").alias("qv"))
+              .crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"),
+                                    F.col("embedding").alias("cv")))
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv"))))
+    wnd = _W.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                             F.col("neighbor_id"))
+    ref = (scored.withColumn("rank", F.row_number().over(wnd))
+                 .filter(F.col("rank") <= 5)
+                 .select("query_id", "neighbor_id"))
+    n_diff = tiled.exceptAll(ref).count() + ref.exceptAll(tiled).count()
+    rec = {"op": "cosine_topk_multitile_equivalence",
+           "input_rows": nemb, "sec": round(time.perf_counter() - t0, 2),
+           "pair_set_diff": n_diff}
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
+    assert n_diff == 0, \
+        f"multi-tile cosine_topk diverged from reference by {n_diff} pairs"
+
     # ---- events: 10M synthetic rows -----------------------------------
     NEV = 10_000_000 if not QUICK else 500_000
     ev = spark.range(NEV).select(
