@@ -787,6 +787,33 @@ def q73_vocab_oov(spark, sf_dir):
         .select("id", "n_tok", "oov_rate")
 
 
+def q74_corpus_composition(spark, sf_dir):
+    """Mixture audit with subtotals: Spark ``rollup(source, lang)`` — ONE
+    aggregation pass emits all grouping-set rows with map-side partial
+    aggregation (vs a self-union of per-level groupBys). Oracle: DuckDB
+    GROUP BY ROLLUP."""
+    return text.corpus_composition(_doc(spark, sf_dir)) \
+        .select("source", "lang", "n_docs", "n_chars", "n_tokens")
+
+
+def q75_label_centroids(spark, sf_dir):
+    """Per-class prototype embeddings (nearest-centroid classifier prep)
+    over the labelled embeddings table — posexplode + map-side-combined
+    (label, dim) aggregation."""
+    return similarity.label_centroids(_emb(spark, sf_dir)) \
+        .select("label", "dim", "centroid", "n")
+
+
+def q76_json_props(spark, sf_dir):
+    """Semi-structured payloads: from_json over the events props column
+    (typed struct parse inside codegen), aggregated per event type."""
+    from dask_grblas_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir)
+    return timeseries.json_field_agg(ev) \
+        .select("grp", "n_events", "sum_field", "mean_field")
+
+
 def q35_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(_emb(spark, sf_dir), k=5) \
         .select("query_id", "neighbor_id", "rank")
@@ -996,19 +1023,22 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver records queries in dict
     # order with a 50-row cap. Round-5 ROTATION POLICY (per the r4
-    # verdict): the brand-new q71-q73, the two rows the r4 cap cut off
+    # verdict): the brand-new q71-q76, the two rows the r4 cap cut off
     # (q28, q44), and the 18-query tail r4 pushed out (q17, q26, q43,
     # q45-q49, q01, q02, q09, q11-q13, q18, q19, q29, q38) all sit
     # inside the first 50, followed by the single-row r4 newcomers
-    # (q61-q70), the text block and the core block. The 23 rows pushed
-    # past the cap this round (q03, q04, q30-q33, q35-q37, q10,
-    # q39-q42, q41b, q50-q52, q54, q57-q60) all carry r1-r4 driver rows
-    # — rotate them back next round.
+    # (q61-q70), the text block and the remaining core block. The 26
+    # rows pushed past the cap this round (q03-q07, q30-q33, q35-q37,
+    # q10, q39-q42, q41b, q50-q52, q54, q57-q60) all carry r1-r4 driver
+    # rows — rotate them back next round.
     return {
         # new this round — first driver rows needed
         "q71_hyperplane_neardup": q71_hyperplane_neardup,
         "q72_random_projection": q72_random_projection,
         "q73_vocab_oov": q73_vocab_oov,
+        "q74_corpus_composition": q74_corpus_composition,
+        "q75_label_centroids": q75_label_centroids,
+        "q76_json_props": q76_json_props,
         # cut off by the r4 cap — rows resume here
         "q28_argminmax": q28_argminmax,
         "q44_resize_delete": q44_resize_delete,
@@ -1053,11 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_op_grid": q56_op_grid,
         "q53_scalar_fill": q53_scalar_fill,
         "q55_isclose": q55_isclose,
-        # core GraphBLAS operator suite (q03/q04 rotate out this round —
-        # quad-green r1-r4 — to make room for the new q72/q73)
-        "q05_connected_components": q05_connected_components,
-        "q06_sssp_dag": q06_sssp_dag,
-        "q07_triangles": q07_triangles,
+        # core GraphBLAS operator suite (q03-q07 rotate out this round —
+        # all quad-green r1-r4 — to make room for the new q72-q76)
         "q08_bfs": q08_bfs,
         "q14_colwise_stats": q14_colwise_stats,
         "q16_scalar_suite": q16_scalar_suite,
@@ -1068,6 +1095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 50-row cap this round — rotate back in next round)
         "q03_masked_mxv": q03_masked_mxv,
         "q04_ewise": q04_ewise,
+        "q05_connected_components": q05_connected_components,
+        "q06_sssp_dag": q06_sssp_dag,
+        "q07_triangles": q07_triangles,
         "q30_exact_dedup": q30_exact_dedup,
         "q31_ngram_jaccard": q31_ngram_jaccard,
         "q32_minhash_lsh": q32_minhash_lsh,
@@ -1651,6 +1681,38 @@ def oracle_sql() -> dict[str, str]:
         WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings)
         {q72_union}
+    """
+    sql["q74_corpus_composition"] = r"""
+        SELECT COALESCE(source, '<all>') AS source,
+               COALESCE(lang, '<all>') AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY ROLLUP (source, lang)
+    """
+    sql["q75_label_centroids"] = """
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(dim AS INT) AS dim,
+               ROUND(AVG(x), 6) AS centroid,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT label,
+                     generate_subscripts(embedding, 1) - 1 AS dim,
+                     unnest(CAST(embedding AS DOUBLE[])) AS x
+              FROM embeddings)
+        GROUP BY 1, 2
+    """
+    sql["q76_json_props"] = """
+        SELECT event_type AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT)
+                 AS sum_field,
+               ROUND(SUM(CAST(props->>'k' AS BIGINT))
+                     / COUNT(CAST(props->>'k' AS BIGINT)), 6)
+                 AS mean_field
+        FROM events
+        GROUP BY 1
     """
     sql["q73_vocab_oov"] = r"""
         WITH tok AS (

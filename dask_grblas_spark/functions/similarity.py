@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 
 __all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
            "hyperplane_lsh_buckets", "hyperplane_lsh_pairs", "ivf_topk",
-           "kmeans_assign"]
+           "kmeans_assign", "random_projection", "label_centroids"]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -459,3 +459,20 @@ def random_projection(emb_df: DataFrame, out_dim: int = 16,
         comps.append(F.round(dot_expr(F.col(vec_col), h), 6))
     return emb_df.select(F.col(id_col).alias("id"),
                          F.posexplode(F.array(*comps)).alias("dim", "value"))
+
+
+def label_centroids(emb_df: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-class prototype vectors: mean embedding per label (the
+    nearest-centroid classifier / class-balance diagnostic over a
+    labelled corpus). posexplode + (label, dim) groupBy — map-side
+    partial aggregation reduces every partition to n_labels x dim rows
+    before the shuffle, so the pass is one scan at any corpus size.
+    Output long-form (label, dim, centroid, n) with the mean rounded to
+    6 decimals (absorbs sum-order ulps across engines)."""
+    return (emb_df.select(F.col(label_col).cast("bigint").alias("label"),
+                          F.posexplode(F.col(vec_col).cast("array<double>"))
+                           .alias("dim", "x"))
+                  .groupBy("label", "dim")
+                  .agg(F.round(F.avg("x"), 6).alias("centroid"),
+                       F.count("*").cast("bigint").alias("n")))

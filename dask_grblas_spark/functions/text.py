@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "language_id", "fingerprint", "token_frequencies",
            "repetition_stats", "unigram_logprob", "corpus_profile",
-           "vocab_oov_rate"]
+           "vocab_oov_rate", "corpus_composition"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -250,3 +250,26 @@ def vocab_oov_rate(df: DataFrame, vocab_size: int = 1000,
                     F.round(F.sum(F.when(F.col("_vt").isNull(), 1)
                                    .otherwise(0))
                             / F.count("*"), 6).alias("oov_rate")))
+
+
+def corpus_composition(df: DataFrame, dims: list[str] | None = None,
+                       text_col: str = "text") -> DataFrame:
+    """Corpus composition report with subtotals: doc counts, characters
+    and whitespace tokens per (source, lang) cell PLUS the per-source
+    and grand-total rollup rows — the mixture audit a training pipeline
+    publishes alongside every corpus release.
+
+    Spark-first shape: ``df.rollup(*dims)`` compiles to ONE aggregation
+    pass that emits all grouping-set rows with map-side partial
+    aggregation (Spark expands the grouping sets before the shuffle) —
+    no self-union of per-level groupBys, no second scan. Null grouping
+    markers are folded to '<all>' so the report is join/oracle-friendly."""
+    dims = dims or ["source", "lang"]
+    n_tok = F.size(tokens(F.col(text_col)))
+    agg = (df.rollup(*dims)
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum(F.length(text_col)).cast("bigint").alias("n_chars"),
+                  F.sum(n_tok).cast("bigint").alias("n_tokens")))
+    return agg.select(
+        *[F.coalesce(F.col(d), F.lit("<all>")).alias(d) for d in dims],
+        "n_docs", "n_chars", "n_tokens")

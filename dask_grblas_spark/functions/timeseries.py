@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "rolling_agg"]
+__all__ = ["asof_join", "rolling_agg", "json_field_agg"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -92,3 +92,24 @@ def rolling_agg(df: DataFrame, key: str = "user_id", ts_col: str = "ts",
     return (df.withColumn("roll_n", F.count("*").over(w))
               .withColumn("roll_sum",
                           F.round(F.sum(value_col).over(w), 2)))
+
+
+def json_field_agg(events_df: DataFrame, field: str = "k",
+                   props_col: str = "props",
+                   group_col: str = "event_type") -> DataFrame:
+    """Semi-structured extraction + rollup: parse the JSON ``props``
+    column with ``from_json`` (a typed struct, not string plucking — the
+    parse happens once per row inside codegen and prunes to the one
+    field) and aggregate the extracted value per group. The data-lake
+    pattern for event streams that carry a JSON payload column.
+
+    Output: (group, n_events, sum_field, mean_field)."""
+    schema = f"{field} BIGINT"
+    parsed = events_df.withColumn(
+        "_p", F.from_json(F.col(props_col), schema))
+    val = F.col("_p").getField(field)
+    return (parsed.groupBy(F.col(group_col).alias("grp"))
+                  .agg(F.count("*").alias("n_events"),
+                       F.sum(val).cast("bigint").alias("sum_field"),
+                       F.round(F.sum(val) / F.count(val), 6)
+                        .alias("mean_field")))

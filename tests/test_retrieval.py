@@ -229,3 +229,46 @@ def test_vocab_oov_rate_cut_and_ties(spark):
     out_all = {r["id"]: r["oov_rate"]
                for r in vocab_oov_rate(docs, vocab_size=100).collect()}
     assert set(out_all.values()) == {0.0}
+
+
+def test_corpus_composition_rollup_subtotals(spark):
+    from dask_grblas_spark.functions.text import corpus_composition
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "en", "s1", 3), (2, "c", "en", "s1", 1),
+         (3, "d e f", "de", "s2", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    rows = {(r["source"], r["lang"]): (r["n_docs"], r["n_tokens"])
+            for r in corpus_composition(docs).collect()}
+    assert rows[("s1", "en")] == (2, 3)
+    assert rows[("s2", "de")] == (1, 3)
+    assert rows[("s1", "<all>")] == (2, 3)     # per-source subtotal
+    assert rows[("<all>", "<all>")] == (3, 6)  # grand total
+    assert len(rows) == 5
+
+
+def test_label_centroids_exact_means(spark):
+    from dask_grblas_spark.functions.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 0), (3, [10.0, 20.0], 1)],
+        "vec_id long, embedding array<double>, label int")
+    got = {(r["label"], r["dim"]): (r["centroid"], r["n"])
+           for r in label_centroids(emb).collect()}
+    assert got[(0, 0)] == (2.0, 2) and got[(0, 1)] == (3.0, 2)
+    assert got[(1, 0)] == (10.0, 1) and got[(1, 1)] == (20.0, 1)
+
+
+def test_json_field_agg_handles_bad_json(spark):
+    """from_json yields null for malformed payloads; the mean divides by
+    COUNT(parsed), not COUNT(*), so corrupt rows don't skew it."""
+    from dask_grblas_spark.functions.timeseries import json_field_agg
+
+    ev = spark.createDataFrame(
+        [(1, "click", '{"k": 10}'), (2, "click", '{"k": 20}'),
+         (3, "click", "not json"), (4, "view", '{"k": 7}')],
+        "event_id long, event_type string, props string")
+    got = {r["grp"]: (r["n_events"], r["sum_field"], r["mean_field"])
+           for r in json_field_agg(ev).collect()}
+    assert got["click"] == (3, 30, 15.0)  # mean over the 2 parsed rows
+    assert got["view"] == (1, 7, 7.0)
