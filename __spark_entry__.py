@@ -787,6 +787,24 @@ def q73_vocab_oov(spark, sf_dir):
         .select("id", "n_tok", "oov_rate")
 
 
+def q77_kcore(spark, sf_dir):
+    """k-core decomposition (k=10) of the customer–supplier bipartite
+    graph (supplier ids offset to a disjoint range). Iterative peeling
+    with broadcast anti-joins; the oracle replays a FIXED 8 peeling
+    rounds — peeling is idempotent at fixpoint, so extra rounds are
+    no-ops and 8 is 4× the observed convergence depth at both SFs."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+          .select(F.col("o_custkey").cast("bigint").alias("i"),
+                  (F.col("l_suppkey").cast("bigint") + 1000000).alias("j"))
+          .distinct()
+          .withColumn("v", F.lit(1).cast("bigint")))
+    A = Matrix.from_dataframe(e, 2000000, 2000000, dtype="INT64")
+    core = alg.k_core(A, k=10)
+    return core.df.select("i", F.col("v").alias("core_deg"))
+
+
 def q74_corpus_composition(spark, sf_dir):
     """Mixture audit with subtotals: Spark ``rollup(source, lang)`` — ONE
     aggregation pass emits all grouping-set rows with map-side partial
@@ -1023,12 +1041,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver records queries in dict
     # order with a 50-row cap. Round-5 ROTATION POLICY (per the r4
-    # verdict): the brand-new q71-q76, the two rows the r4 cap cut off
+    # verdict): the brand-new q71-q77, the two rows the r4 cap cut off
     # (q28, q44), and the 18-query tail r4 pushed out (q17, q26, q43,
     # q45-q49, q01, q02, q09, q11-q13, q18, q19, q29, q38) all sit
     # inside the first 50, followed by the single-row r4 newcomers
-    # (q61-q70), the text block and the remaining core block. The 26
-    # rows pushed past the cap this round (q03-q07, q30-q33, q35-q37,
+    # (q61-q70), the text block and the remaining core block. The 27
+    # rows pushed past the cap this round (q03-q08, q30-q33, q35-q37,
     # q10, q39-q42, q41b, q50-q52, q54, q57-q60) all carry r1-r4 driver
     # rows — rotate them back next round.
     return {
@@ -1039,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_corpus_composition": q74_corpus_composition,
         "q75_label_centroids": q75_label_centroids,
         "q76_json_props": q76_json_props,
+        "q77_kcore": q77_kcore,
         # cut off by the r4 cap — rows resume here
         "q28_argminmax": q28_argminmax,
         "q44_resize_delete": q44_resize_delete,
@@ -1083,9 +1102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_op_grid": q56_op_grid,
         "q53_scalar_fill": q53_scalar_fill,
         "q55_isclose": q55_isclose,
-        # core GraphBLAS operator suite (q03-q07 rotate out this round —
-        # all quad-green r1-r4 — to make room for the new q72-q76)
-        "q08_bfs": q08_bfs,
+        # core GraphBLAS operator suite (q03-q08 rotate out this round —
+        # all quad-green r1-r4 — to make room for the new q72-q77)
         "q14_colwise_stats": q14_colwise_stats,
         "q16_scalar_suite": q16_scalar_suite,
         # position 50: the brute-force oracle twin of q71 stays recorded
@@ -1098,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q05_connected_components": q05_connected_components,
         "q06_sssp_dag": q06_sssp_dag,
         "q07_triangles": q07_triangles,
+        "q08_bfs": q08_bfs,
         "q30_exact_dedup": q30_exact_dedup,
         "q31_ngram_jaccard": q31_ngram_jaccard,
         "q32_minhash_lsh": q32_minhash_lsh,
@@ -1681,6 +1700,31 @@ def oracle_sql() -> dict[str, str]:
         WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings)
         {q72_union}
+    """
+    # q77: FIXED-depth peeling replay — peeling is idempotent once the
+    # fixpoint is reached, so 8 rounds (4x the observed depth) is safe;
+    # a deeper cascade on future data would hash-mismatch loudly.
+    q77_cte = []
+    prev = "e0"
+    for r in range(1, 9):
+        q77_cte.append(
+            f"d{r} AS MATERIALIZED (SELECT i FROM {prev} GROUP BY i"
+            f" HAVING COUNT(*) >= 10),\n"
+            f"        e{r} AS MATERIALIZED (SELECT e.i, e.j FROM {prev} e"
+            f" JOIN d{r} a ON e.i = a.i JOIN d{r} b ON e.j = b.i)")
+        prev = f"e{r}"
+    q77_rounds = ",\n        ".join(q77_cte)
+    sql["q77_kcore"] = f"""
+        WITH cs AS MATERIALIZED (
+          SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS a,
+                 CAST(l.l_suppkey AS BIGINT) + 1000000 AS b
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        e0 AS MATERIALIZED (SELECT a AS i, b AS j FROM cs
+               UNION SELECT b AS i, a AS j FROM cs),
+        {q77_rounds}
+        SELECT i, CAST(COUNT(*) AS BIGINT) AS core_deg
+        FROM {prev} GROUP BY 1
     """
     sql["q74_corpus_composition"] = r"""
         SELECT COALESCE(source, '<all>') AS source,

@@ -37,7 +37,7 @@ from .dtypes import FP64, INT64
 from .operators import semiring
 
 __all__ = ["bfs_level", "sssp", "connected_components", "pagerank",
-           "triangle_count", "symmetrize", "with_singletons"]
+           "triangle_count", "symmetrize", "with_singletons", "k_core"]
 
 # Lineage growth between checkpoints is GEOMETRIC for min-merge loops:
 # each iteration's state plan nests the previous state ~3x (improved
@@ -359,6 +359,47 @@ def with_singletons(labels: GrVector, vertices: DataFrame,
                    .select("i", F.col("i").cast("bigint").alias("v")))
     return GrVector(labels.df.unionByName(lonely), labels.dtype,
                     labels.size)
+
+
+def k_core(A: GrMatrix, k: int) -> GrVector:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    vertices whose degree in the surviving subgraph is < k, until
+    fixpoint; returns (i, v = degree WITHIN the core) for the vertices
+    of the k-core. Sparse-id semantics (like ``connected_components(
+    vertices="edges")``): ids may be arbitrary 64-bit values, vertices
+    with no incident edge never appear.
+
+    Scale shape: each round is ONE degree aggregation (map-side
+    combined) plus two anti-joins against the DROPPED vertex set — the
+    dropped set is the small side (peeling removes a shrinking fringe),
+    so it broadcasts and the edge relation never reshuffles; an eager
+    localCheckpoint per round caps lineage (the same discipline as the
+    CC/SSSP loops). Rounds are bounded by the graph's degeneracy
+    ordering depth — single digits on real graphs."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    raw, own_raw = _ensure_cached(A.df)
+    Asym = symmetrize(GrMatrix(raw, A.dtype, A.nrows, A.ncols))
+    edges = (Asym.df.select("i", "j").distinct()
+             .localCheckpoint(eager=True))
+    if own_raw:
+        raw.unpersist()
+    while True:
+        deg = edges.groupBy("i").agg(F.count("*").alias("v"))
+        drop = deg.filter(F.col("v") < k).select("i")
+        n_drop = drop.count()
+        if n_drop == 0:
+            break
+        b = F.broadcast(drop) if n_drop <= 1_000_000 else drop
+        bj = (F.broadcast(drop.withColumnRenamed("i", "j"))
+              if n_drop <= 1_000_000 else drop.withColumnRenamed("i", "j"))
+        edges = (edges.join(b, on="i", how="left_anti")
+                      .join(bj, on="j", how="left_anti")
+                      .select("i", "j")
+                      .localCheckpoint(eager=True))
+    return GrVector(edges.groupBy("i").agg(F.count("*").cast("bigint")
+                                           .alias("v")),
+                    INT64, A.nrows)
 
 
 def pagerank(A: GrMatrix, damping: float = 0.85, max_iters: int = 20,

@@ -185,3 +185,23 @@ def test_with_singletons_restores_isolated_hashed_ids(spark):
     assert len(got) == 12 + len(lonely)
     for v in lonely:
         assert got[v] == v
+
+
+def test_k_core_cascading_peel(spark):
+    """k_core: a pendant chain hanging off a 5-clique peels away over
+    MULTIPLE rounds (7 -> 6 -> 5), leaving exactly the clique with
+    in-core degree 4; hashed 64-bit ids work (sparse-id semantics)."""
+    base = 1 << 59
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(0, 5), (5, 6), (6, 7)]
+    edges = [(base + a, base + b) for a, b in clique + chain]
+    df = spark.createDataFrame(
+        [(i, j, 1) for i, j in edges], "i long, j long, v long")
+    A = gb.Matrix.from_dataframe(df, dtype="INT64")
+    got = {r["i"] - base: r["v"] for r in alg.k_core(A, k=3).df.collect()}
+    assert got == {i: 4 for i in range(5)}
+    # k above the max degree: empty core
+    assert alg.k_core(A, k=6).df.count() == 0
+    # k=1 keeps everything (degrees within the full graph)
+    all_deg = {r["i"] - base: r["v"] for r in alg.k_core(A, k=1).df.collect()}
+    assert all_deg[7] == 1 and all_deg[0] == 5 and len(all_deg) == 8
