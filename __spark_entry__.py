@@ -787,6 +787,20 @@ def q73_vocab_oov(spark, sf_dir):
         .select("id", "n_tok", "oov_rate")
 
 
+def q78_incremental_dedup(spark, sf_dir):
+    """Incremental ingestion dedup: a deterministic 'new batch' slice
+    (doc_id % 7 == 0) LSH-checked against the remaining corpus — pairs
+    form ONLY across the split. The oracle replays the exact cross-side
+    banding including the corpus-bucket cap (QUALIFY row_number)."""
+    doc = _doc(spark, sf_dir)
+    newb = doc.filter(F.col("doc_id") % 7 == 0)
+    corpus = doc.filter(F.col("doc_id") % 7 != 0)
+    return dedup.minhash_lsh_pairs_between(newb, corpus, n=3,
+                                           num_hashes=32, bands=16,
+                                           threshold=0.2) \
+        .select("id_new", "id_corpus", "jaccard")
+
+
 def q77_kcore(spark, sf_dir):
     """k-core decomposition (k=10) of the customer–supplier bipartite
     graph (supplier ids offset to a disjoint range). Iterative peeling
@@ -1041,12 +1055,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver records queries in dict
     # order with a 50-row cap. Round-5 ROTATION POLICY (per the r4
-    # verdict): the brand-new q71-q77, the two rows the r4 cap cut off
+    # verdict): the brand-new q71-q78, the two rows the r4 cap cut off
     # (q28, q44), and the 18-query tail r4 pushed out (q17, q26, q43,
     # q45-q49, q01, q02, q09, q11-q13, q18, q19, q29, q38) all sit
     # inside the first 50, followed by the single-row r4 newcomers
-    # (q61-q70), the text block and the remaining core block. The 27
-    # rows pushed past the cap this round (q03-q08, q30-q33, q35-q37,
+    # (q61-q70), the text block and the remaining core block. The 28
+    # rows pushed past the cap this round (q03-q08, q14, q30-q33, q35-q37,
     # q10, q39-q42, q41b, q50-q52, q54, q57-q60) all carry r1-r4 driver
     # rows — rotate them back next round.
     return {
@@ -1058,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_label_centroids": q75_label_centroids,
         "q76_json_props": q76_json_props,
         "q77_kcore": q77_kcore,
+        "q78_incremental_dedup": q78_incremental_dedup,
         # cut off by the r4 cap — rows resume here
         "q28_argminmax": q28_argminmax,
         "q44_resize_delete": q44_resize_delete,
@@ -1104,7 +1119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_isclose": q55_isclose,
         # core GraphBLAS operator suite (q03-q08 rotate out this round —
         # all quad-green r1-r4 — to make room for the new q72-q77)
-        "q14_colwise_stats": q14_colwise_stats,
         "q16_scalar_suite": q16_scalar_suite,
         # position 50: the brute-force oracle twin of q71 stays recorded
         # alongside it this round
@@ -1117,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_sssp_dag": q06_sssp_dag,
         "q07_triangles": q07_triangles,
         "q08_bfs": q08_bfs,
+        "q14_colwise_stats": q14_colwise_stats,
         "q30_exact_dedup": q30_exact_dedup,
         "q31_ngram_jaccard": q31_ngram_jaccard,
         "q32_minhash_lsh": q32_minhash_lsh,
@@ -1873,6 +1888,61 @@ def oracle_sql() -> dict[str, str]:
         JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
         JOIN sizes sa ON sa.id = c.id_a
         JOIN sizes sb ON sb.id = c.id_b
+        WHERE ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) >= 0.2
+    """
+    # q78: cross-corpus replay — same shingle/minhash CTEs, band joins
+    # ACROSS the new/corpus split, with the corpus-side bucket cap
+    # replayed as QUALIFY row_number() <= 1000 per band key
+    q78_band_joins = "\n          UNION ALL\n".join(
+        "          SELECT a.id AS id_new, b.id AS id_corpus\n"
+        "          FROM newm a JOIN (SELECT * FROM oldm QUALIFY "
+        "ROW_NUMBER() OVER (PARTITION BY "
+        + ", ".join(f"m{s}" for s in range(bb * rows_per_band,
+                                           (bb + 1) * rows_per_band))
+        + " ORDER BY id) <= 1000) b ON "
+        + " AND ".join(f"a.m{s} = b.m{s}"
+                       for s in range(bb * rows_per_band,
+                                      (bb + 1) * rows_per_band))
+        for bb in range(bands_n))
+    sql["q78_incremental_dedup"] = rf"""
+        WITH sh AS MATERIALIZED (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(
+                   list_transform(
+                     range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                     p -> array_to_string(
+                       regexp_split_to_array(trim(text), '\s+')[p+1:p+3], ' '))))
+                 AS shingle
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+        ), hashed AS (
+          SELECT id, ('0x' || substr(md5(shingle), 8, 8))::BIGINT AS h32,
+                 shingle
+          FROM sh
+        ), sizes AS (
+          SELECT id, COUNT(*) AS sz FROM sh GROUP BY 1
+        ), mins AS MATERIALIZED (
+          SELECT id,
+                 {min_cols}
+          FROM hashed GROUP BY id
+        ), newm AS (SELECT * FROM mins WHERE id % 7 = 0),
+        oldm AS (SELECT * FROM mins WHERE id % 7 <> 0),
+        cand AS (
+          SELECT DISTINCT id_new, id_corpus FROM (
+{q78_band_joins}
+          )
+        ), inter AS (
+          SELECT a.id AS id_new, b.id AS id_corpus, COUNT(*) AS n
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+          WHERE a.id % 7 = 0 AND b.id % 7 <> 0
+          GROUP BY 1, 2
+        )
+        SELECT c.id_new, c.id_corpus,
+               ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) AS jaccard
+        FROM cand c
+        JOIN inter i ON i.id_new = c.id_new AND i.id_corpus = c.id_corpus
+        JOIN sizes sa ON sa.id = c.id_new
+        JOIN sizes sb ON sb.id = c.id_corpus
         WHERE ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) >= 0.2
     """
     vote_cols = ",\n                 ".join(

@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 __all__ = ["exact_dedup", "exact_dup_groups", "shingles", "ngram_jaccard_pairs",
-           "minhash_signatures", "minhash_lsh_pairs", "simhash", "simhash_pairs",
+           "minhash_signatures", "minhash_lsh_pairs", "minhash_lsh_pairs_between",
+           "simhash", "simhash_pairs",
            "embedding_neardup_pairs", "cross_hash60", "MINHASH_P",
            "MINHASH_AB"]
 
@@ -186,6 +187,22 @@ def _doc_shingle_sets(df: DataFrame, id_col: str, text_col: str,
     return out
 
 
+def _banded(wide: DataFrame, num_hashes: int,
+            rows_per_band: int) -> DataFrame:
+    """(id, band, bandkey): explode the wide minhash row into one row
+    per band, keyed by the EXACT tuple (array) of that band's min
+    columns — deterministic, equality-joinable, collision-free."""
+    band_cols = []
+    b = 0
+    while b * rows_per_band < num_hashes:
+        lo = b * rows_per_band
+        hi = min(lo + rows_per_band, num_hashes)
+        band_cols.append(F.array(*[F.col(f"m{s}") for s in range(lo, hi)]))
+        b += 1
+    return wide.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band", "bandkey"))
+
+
 def _jaccard_from_sets(pairs: DataFrame, sets: DataFrame,
                        threshold: float) -> DataFrame:
     """Exact Jaccard for candidate (id_a, id_b) pairs: two narrow joins
@@ -313,15 +330,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # collisions; the only explode is `bands` rows per doc.
     sets = _doc_shingle_sets(df, id_col, text_col, n)
     wide = _minhash_wide(sets, num_hashes)
-    band_cols = []
-    b = 0
-    while b * rows_per_band < num_hashes:
-        lo = b * rows_per_band
-        hi = min(lo + rows_per_band, num_hashes)
-        band_cols.append(F.array(*[F.col(f"m{s}") for s in range(lo, hi)]))
-        b += 1
-    banded = wide.select(
-        "id", F.posexplode(F.array(*band_cols)).alias("band", "bandkey"))
+    banded = _banded(wide, num_hashes, rows_per_band)
     if max_bucket_size is not None:
         # bucket size + representative as WINDOW aggregates over the
         # banded relation, not groupBy+join-back: one (band, bandkey)
@@ -352,6 +361,68 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # relation (shared exchange with the signature branch — no second
     # tokenize pass)
     return _jaccard_from_sets(cand, sets, threshold)
+
+
+def minhash_lsh_pairs_between(new_df: DataFrame, corpus_df: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text", n: int = 3,
+                              num_hashes: int = 32, bands: int = 8,
+                              threshold: float = 0.8,
+                              max_bucket_size: int | None = 1000
+                              ) -> DataFrame:
+    """INCREMENTAL (cross-corpus) MinHash LSH dedup: near-dup pairs
+    (id_new, id_corpus) ONLY across the two relations — the ingestion
+    gate that checks a new batch against the already-indexed corpus
+    without ever forming corpus-internal pairs. Same banding, hashes,
+    and exact-Jaccard verification as ``minhash_lsh_pairs``.
+
+    Skew guard for the cross shape: a band bucket with L new docs and F
+    corpus docs contributes L x F candidates; ``max_bucket_size`` caps
+    the CORPUS side of each (band, bandkey) bucket to its
+    ``max_bucket_size`` smallest ids (row_number over the band key —
+    deterministic), bounding per-new-doc fan-out at cap x bands while
+    leaving the new side complete. A boilerplate bucket thus matches
+    each new doc against cap representatives instead of the full
+    templated mass (documented recall trade at the cap boundary; pass
+    None for the exact cross product). Ids must be distinct across the
+    two relations (they identify which side a pair member came from).
+
+    Output: (id_new, id_corpus, jaccard >= threshold)."""
+    rows_per_band = num_hashes // bands
+    sets_new = _doc_shingle_sets(new_df, id_col, text_col, n)
+    sets_old = _doc_shingle_sets(corpus_df, id_col, text_col, n)
+    banded_new = _banded(_minhash_wide(sets_new, num_hashes),
+                         num_hashes, rows_per_band)
+    banded_old = _banded(_minhash_wide(sets_old, num_hashes),
+                         num_hashes, rows_per_band)
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "bandkey").orderBy("id")
+        banded_old = (banded_old
+                      .withColumn("_rn", F.row_number().over(wb))
+                      .filter(F.col("_rn") <= max_bucket_size)
+                      .drop("_rn"))
+    a = banded_new.alias("a")
+    b = banded_old.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bandkey") == F.col("b.bandkey")))
+             .select(F.col("a.id").alias("id_new"),
+                     F.col("b.id").alias("id_corpus"))
+             .distinct())
+    sa = sets_new.select(F.col("id").alias("id_new"),
+                         F.col("hs").alias("hs_a"),
+                         F.col("sz").alias("sz_a"))
+    sb = sets_old.select(F.col("id").alias("id_corpus"),
+                         F.col("hs").alias("hs_b"),
+                         F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    return (cand.join(sa, on="id_new").join(sb, on="id_corpus")
+                .withColumn("_i", inter)
+                .withColumn("jaccard",
+                            F.round(F.col("_i")
+                                    / (F.col("sz_a") + F.col("sz_b")
+                                       - F.col("_i")), 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_new", "id_corpus", "jaccard"))
 
 
 _SIMHASH_BITS = 60

@@ -155,3 +155,34 @@ def test_simhash_hot_bucket_star_cap(spark):
     assert all(r.hamming == 0 for r in capped)
     full = dedup.simhash_pairs(df, max_hamming=3).collect()
     assert len(full) == 300  # C(25,2)
+
+
+def test_minhash_between_cross_only_and_cap(spark):
+    """minhash_lsh_pairs_between: planted near-dup across the split is
+    found; corpus-internal near-dups never pair; a tiny cap restricts
+    each band bucket to its smallest corpus ids."""
+    from dask_grblas_spark.functions.dedup import minhash_lsh_pairs_between
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base + " tail one"),          # new batch
+        (100, base + " tail two"),        # corpus near-dup of 1 AND 101
+        (101, base + " tail three"),      # corpus near-dup of 100
+        (200, "completely different words nothing shared here at all ok"),
+    ]
+    doc = spark.createDataFrame(rows, "doc_id long, text string")
+    newb = doc.filter("doc_id < 100")
+    corpus = doc.filter("doc_id >= 100")
+    got = minhash_lsh_pairs_between(newb, corpus, n=3, num_hashes=32,
+                                    bands=16, threshold=0.5).collect()
+    pairs = {(r["id_new"], r["id_corpus"]) for r in got}
+    assert (1, 100) in pairs and (1, 101) in pairs
+    # corpus-internal pair (100, 101) must NOT appear in any orientation
+    assert all(p[0] == 1 for p in pairs)
+    # cap=1: each band bucket keeps only its smallest corpus id; the
+    # pair set can only shrink and every survivor is still exact-verified
+    capped = minhash_lsh_pairs_between(newb, corpus, n=3, num_hashes=32,
+                                       bands=16, threshold=0.5,
+                                       max_bucket_size=1).collect()
+    capped_pairs = {(r["id_new"], r["id_corpus"]) for r in capped}
+    assert capped_pairs <= pairs and (1, 100) in capped_pairs
