@@ -801,6 +801,24 @@ def q78_incremental_dedup(spark, sf_dir):
         .select("id_new", "id_corpus", "jaccard")
 
 
+def q79_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer-training prep: corpus-weighted adjacent-char-pair
+    counts over the word-frequency relation (the statistic each BPE
+    merge round maximizes). Corpus size only touches the first
+    map-side-combined word count."""
+    return text.bpe_pair_counts(_doc(spark, sf_dir)) \
+        .select("pair", "cnt")
+
+
+def q80_length_batches(spark, sf_dir):
+    """Length-bucketed inference batching: power-of-two token-length
+    buckets (exact integer arithmetic, no float log2), md5-sharded
+    row_number windows — parallelism buckets x shards, padding bound
+    2x within every batch."""
+    return text.length_batches(_doc(spark, sf_dir), batch_size=8) \
+        .select("id", "n_tok", "bucket", "shard", "batch_no")
+
+
 def q77_kcore(spark, sf_dir):
     """k-core decomposition (k=10) of the customer–supplier bipartite
     graph (supplier ids offset to a disjoint range). Iterative peeling
@@ -1055,12 +1073,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver records queries in dict
     # order with a 50-row cap. Round-5 ROTATION POLICY (per the r4
-    # verdict): the brand-new q71-q78, the two rows the r4 cap cut off
+    # verdict): the brand-new q71-q80, the two rows the r4 cap cut off
     # (q28, q44), and the 18-query tail r4 pushed out (q17, q26, q43,
     # q45-q49, q01, q02, q09, q11-q13, q18, q19, q29, q38) all sit
     # inside the first 50, followed by the single-row r4 newcomers
-    # (q61-q70), the text block and the remaining core block. The 28
-    # rows pushed past the cap this round (q03-q08, q14, q30-q33, q35-q37,
+    # (q61-q70), the text block and the text block. The 30 rows
+    # pushed past the cap this round (q03-q08, q14, q16, q34, q30-q33,
+    # q35-q37,
     # q10, q39-q42, q41b, q50-q52, q54, q57-q60) all carry r1-r4 driver
     # rows — rotate them back next round.
     return {
@@ -1073,6 +1092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_json_props": q76_json_props,
         "q77_kcore": q77_kcore,
         "q78_incremental_dedup": q78_incremental_dedup,
+        "q79_bpe_pairs": q79_bpe_pairs,
+        "q80_length_batches": q80_length_batches,
         # cut off by the r4 cap — rows resume here
         "q28_argminmax": q28_argminmax,
         "q44_resize_delete": q44_resize_delete,
@@ -1119,10 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_isclose": q55_isclose,
         # core GraphBLAS operator suite (q03-q08 rotate out this round —
         # all quad-green r1-r4 — to make room for the new q72-q77)
-        "q16_scalar_suite": q16_scalar_suite,
-        # position 50: the brute-force oracle twin of q71 stays recorded
-        # alongside it this round
-        "q34_embedding_neardup": q34_embedding_neardup,
+
         # quad-green rotation tail (driver rows in r1+r2+r3+r4; outside
         # the 50-row cap this round — rotate back in next round)
         "q03_masked_mxv": q03_masked_mxv,
@@ -1132,6 +1150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_triangles": q07_triangles,
         "q08_bfs": q08_bfs,
         "q14_colwise_stats": q14_colwise_stats,
+        "q16_scalar_suite": q16_scalar_suite,
+        "q34_embedding_neardup": q34_embedding_neardup,
         "q30_exact_dedup": q30_exact_dedup,
         "q31_ngram_jaccard": q31_ngram_jaccard,
         "q32_minhash_lsh": q32_minhash_lsh,
@@ -1740,6 +1760,42 @@ def oracle_sql() -> dict[str, str]:
         {q77_rounds}
         SELECT i, CAST(COUNT(*) AS BIGINT) AS core_deg
         FROM {prev} GROUP BY 1
+    """
+    sql["q79_bpe_pairs"] = r"""
+        WITH tok AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents
+        ), wf AS (
+          SELECT w, COUNT(*) AS freq FROM tok
+          WHERE length(w) > 0 GROUP BY 1
+        ), wf2 AS (
+          SELECT w, freq FROM wf
+          WHERE length(w) <= 32 AND length(w) >= 2
+        ), p AS (
+          SELECT unnest(list_transform(range(1, length(w)),
+                                       i -> w[i:i+1])) AS pair,
+                 freq
+          FROM wf2
+        )
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM p GROUP BY 1
+    """
+    sql["q80_length_batches"] = r"""
+        WITH base AS (
+          SELECT doc_id AS id,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+          FROM documents
+        ), b2 AS (
+          SELECT id, CAST(n_tok AS BIGINT) AS n_tok,
+                 CAST(length(bin(n_tok)) - 1 AS BIGINT) AS bucket,
+                 ('0x' || substr(md5('batch:' || CAST(id AS VARCHAR)),
+                                 1, 15))::BIGINT % 32 AS shard
+          FROM base WHERE n_tok > 0
+        )
+        SELECT id, n_tok, bucket, shard,
+               CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                     ORDER BY id) - 1) / 8) AS BIGINT) AS batch_no
+        FROM b2
     """
     sql["q74_corpus_composition"] = r"""
         SELECT COALESCE(source, '<all>') AS source,

@@ -9,13 +9,14 @@ verify them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "language_id", "fingerprint", "token_frequencies",
            "repetition_stats", "unigram_logprob", "corpus_profile",
-           "vocab_oov_rate", "corpus_composition"]
+           "vocab_oov_rate", "corpus_composition", "bpe_pair_counts",
+           "length_batches"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -273,3 +274,70 @@ def corpus_composition(df: DataFrame, dims: list[str] | None = None,
     return agg.select(
         *[F.coalesce(F.col(d), F.lit("<all>")).alias(d) for d in dims],
         "n_docs", "n_chars", "n_tokens")
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
+                    max_word_len: int = 32) -> DataFrame:
+    """The first step of BPE tokenizer TRAINING at corpus scale:
+    corpus-weighted adjacent-character-pair counts over the word
+    frequency table (the statistic each BPE merge round maximizes).
+
+    Scale shape: the corpus collapses to its word-frequency relation
+    first (vocab-sized, map-side-combined groupBy), so the pair explode
+    runs over DISTINCT WORDS weighted by freq, not over every token
+    occurrence — corpus size only affects the first aggregation. Words
+    longer than max_word_len are dropped (URL/hash monsters would emit
+    unbounded pairs; real BPE trainers pre-tokenize the same way).
+    Pair extraction is sequence+substring arithmetic (codegen, exactly
+    SQL-replicable). Output: (pair, cnt)."""
+    tok = (df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+             .filter(F.length("w") > 0))
+    wf = (tok.groupBy("w").agg(F.count("*").alias("freq"))
+             .filter(F.length("w") <= max_word_len))
+    pairs = F.expr("transform(sequence(1, length(w) - 1), "
+                   "i -> substring(w, i, 2))")
+    return (wf.filter(F.length("w") >= 2)
+              .select(F.explode(pairs).alias("pair"), "freq")
+              .groupBy("pair")
+              .agg(F.sum("freq").cast("bigint").alias("cnt")))
+
+
+def length_batches(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", batch_size: int = 8,
+                   n_shards: int = 32) -> DataFrame:
+    """Length-bucketed inference batching: group documents of similar
+    token length into fixed-size batches so padding waste inside each
+    batch is bounded (bucket = floor(log2(n_tokens)) — within a batch
+    the longest doc is at most 2x the shortest).
+
+    Scale shape: a global per-bucket ordering would serialize each
+    bucket into one window partition (~20 buckets = ~20 tasks at any
+    corpus size), so docs are first sharded by a cross-engine md5 hash;
+    the row_number window runs per (bucket, shard) — parallelism is
+    buckets x n_shards, and batches never mix buckets, preserving the
+    padding bound. Deterministic: shard and ordering are pure functions
+    of the id. Output: (id, n_tok, bucket, batch_no)."""
+    from .dedup import cross_hash60
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    base = (df.select(F.col(id_col).alias("id"),
+                      n_tok.cast("bigint").alias("n_tok"))
+              .filter(F.col("n_tok") > 0)
+              # floor(log2(n)) as EXACT integer arithmetic (binary digit
+              # count), not float log2 — log(x)/log(2) can land a hair
+              # under an integer at exact powers of two and floor() would
+              # then disagree across engines
+              .withColumn("bucket",
+                          (F.length(F.conv(F.col("n_tok"), 10, 2)) - 1)
+                          .cast("bigint"))
+              .withColumn("shard",
+                          F.pmod(cross_hash60(
+                              F.concat(F.lit("batch:"),
+                                       F.col("id").cast("string"))),
+                              F.lit(n_shards))))
+    w = Window.partitionBy("bucket", "shard").orderBy("id")
+    return (base.withColumn(
+                "batch_no",
+                F.floor((F.row_number().over(w) - 1) / batch_size)
+                 .cast("bigint"))
+                .select("id", "n_tok", "bucket", "shard", "batch_no"))

@@ -272,3 +272,43 @@ def test_json_field_agg_handles_bad_json(spark):
            for r in json_field_agg(ev).collect()}
     assert got["click"] == (3, 30, 15.0)  # mean over the 2 parsed rows
     assert got["view"] == (1, 7, 7.0)
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from dask_grblas_spark.functions.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aba aba x"), (2, "ab")],
+        "doc_id long, text string")
+    # word freqs: aba:2, x:1 (dropped, len<2), ab:1
+    # aba -> pairs ab, ba (x2 weight); ab -> pair ab (x1)
+    got = {r["pair"]: r["cnt"] for r in bpe_pair_counts(docs).collect()}
+    assert got == {"ab": 3, "ba": 2}
+    # monster words are dropped entirely
+    long_doc = spark.createDataFrame(
+        [(1, "x" * 40 + " ok")], "doc_id long, text string")
+    got2 = {r["pair"]: r["cnt"]
+            for r in bpe_pair_counts(long_doc, max_word_len=32).collect()}
+    assert got2 == {"ok": 1}
+
+
+def test_length_batches_bounds_and_buckets(spark):
+    """length_batches: exact power-of-two buckets (incl. the exact-power
+    edge), batches never exceed batch_size and never mix buckets."""
+    import pyspark.sql.functions as F
+
+    from dask_grblas_spark.functions.text import length_batches
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in
+            enumerate([1, 2, 3, 4, 7, 8, 9, 15, 16, 31, 32] * 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = length_batches(docs, batch_size=2, n_shards=4).collect()
+    for r in out:
+        assert r["bucket"] == r["n_tok"].bit_length() - 1  # floor(log2)
+    from collections import Counter
+    sizes = Counter((r["bucket"], r["shard"], r["batch_no"]) for r in out)
+    assert max(sizes.values()) <= 2
+    # determinism under repartitioning
+    out2 = length_batches(docs.repartition(7), batch_size=2,
+                          n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
