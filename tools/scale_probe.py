@@ -73,6 +73,9 @@ def main() -> int:
     probe("connected_components", E, lambda: alg.connected_components(A))
     probe("pagerank_5iter", E,
           lambda: alg.pagerank(A, max_iters=5, tol=0.0))
+    # k-core peeling: degree agg + broadcast anti-joins per round; on a
+    # uniform random graph k near the mean degree forces real peeling
+    probe("k_core", E, lambda: alg.k_core(A, k=18))
 
     # triangles are cubic-ish in density: probe on a smaller slice
     Et = 2_000_000 if not QUICK else 200_000
@@ -99,6 +102,13 @@ def main() -> int:
           lambda: dedup.minhash_lsh_pairs(docs, threshold=0.8, bands=8))
     probe("simhash_pairs", ndocs,
           lambda: dedup.simhash_pairs(docs, max_hamming=3))
+    # incremental ingestion: a 10% "new batch" slice LSH-checked against
+    # the other 90% — cross-side pairs only, corpus-side bucket cap on
+    probe("minhash_lsh_between", ndocs,
+          lambda: dedup.minhash_lsh_pairs_between(
+              docs.filter(F.col("doc_id") % 10 == 0),
+              docs.filter(F.col("doc_id") % 10 != 0),
+              threshold=0.8, bands=8))
 
     # ---- SKEWED corpus: the boilerplate/template hot-bucket case ------
     # 20% of a 100k-doc corpus is ONE template -> every LSH band puts
