@@ -801,6 +801,16 @@ def q78_incremental_dedup(spark, sf_dir):
         .select("id_new", "id_corpus", "jaccard")
 
 
+def q81_quality_filter(spark, sf_dir):
+    """Exact top-50% quality filter WITHOUT a global sort: quality
+    scores are 6-decimal-quantized, so the cutoff comes from a
+    cumulative count over the bounded score histogram; ties at the
+    cutoff all kept (deterministic)."""
+    return text.quality_quantile_filter(_doc(spark, sf_dir),
+                                        keep_top=0.5) \
+        .select("id", "quality")
+
+
 def q79_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training prep: corpus-weighted adjacent-char-pair
     counts over the word-frequency relation (the statistic each BPE
@@ -1073,13 +1083,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver records queries in dict
     # order with a 50-row cap. Round-5 ROTATION POLICY (per the r4
-    # verdict): the brand-new q71-q80, the two rows the r4 cap cut off
+    # verdict): the brand-new q71-q81, the two rows the r4 cap cut off
     # (q28, q44), and the 18-query tail r4 pushed out (q17, q26, q43,
     # q45-q49, q01, q02, q09, q11-q13, q18, q19, q29, q38) all sit
     # inside the first 50, followed by the single-row r4 newcomers
-    # (q61-q70), the text block and the text block. The 30 rows
-    # pushed past the cap this round (q03-q08, q14, q16, q34, q30-q33,
-    # q35-q37,
+    # (q61-q70), the text block and the text block. The 31 rows
+    # pushed past the cap this round (q03-q08, q14, q16, q22, q34,
+    # q30-q33, q35-q37,
     # q10, q39-q42, q41b, q50-q52, q54, q57-q60) all carry r1-r4 driver
     # rows — rotate them back next round.
     return {
@@ -1094,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_incremental_dedup": q78_incremental_dedup,
         "q79_bpe_pairs": q79_bpe_pairs,
         "q80_length_batches": q80_length_batches,
+        "q81_quality_filter": q81_quality_filter,
         # cut off by the r4 cap — rows resume here
         "q28_argminmax": q28_argminmax,
         "q44_resize_delete": q44_resize_delete,
@@ -1131,7 +1142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_text_stats": q20_text_stats,
         "q21_repetition": q21_repetition,
         "q27_stratified_split": q27_stratified_split,
-        "q22_quality": q22_quality,
         "q23_lang_scores": q23_lang_scores,
         "q24_fingerprint": q24_fingerprint,
         "q25_token_freq": q25_token_freq,
@@ -1151,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_bfs": q08_bfs,
         "q14_colwise_stats": q14_colwise_stats,
         "q16_scalar_suite": q16_scalar_suite,
+        "q22_quality": q22_quality,
         "q34_embedding_neardup": q34_embedding_neardup,
         "q30_exact_dedup": q30_exact_dedup,
         "q31_ngram_jaccard": q31_ngram_jaccard,
@@ -1760,6 +1771,41 @@ def oracle_sql() -> dict[str, str]:
         {q77_rounds}
         SELECT i, CAST(COUNT(*) AS BIGINT) AS core_deg
         FROM {prev} GROUP BY 1
+    """
+    sql["q81_quality_filter"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS toks,
+                 length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 len(list_filter(toks,
+                     t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+                 n_nonspace * 1.0 / GREATEST(len(toks), 1) AS mean_wlen
+          FROM t
+        ), q AS (
+          SELECT doc_id AS id,
+                 ROUND((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                             THEN 0.4 ELSE 0.0 END)
+                       + (CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0
+                               THEN 0.3 ELSE 0.0 END)
+                       + LEAST(n_stop * 3.0 / GREATEST(n_tokens, 1), 0.3),
+                       6) AS quality
+          FROM s
+        ), h AS (
+          SELECT quality, COUNT(*) AS c FROM q GROUP BY 1
+        ), cum AS (
+          SELECT quality,
+                 SUM(c) OVER (ORDER BY quality DESC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM h
+        ), thr AS (
+          SELECT MAX(quality) AS thr FROM cum
+          WHERE cum >= CEIL(0.5 * (SELECT COUNT(*) FROM q))
+        )
+        SELECT q.id, q.quality FROM q, thr WHERE q.quality >= thr.thr
     """
     sql["q79_bpe_pairs"] = r"""
         WITH tok AS (

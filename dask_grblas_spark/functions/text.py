@@ -16,7 +16,7 @@ __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "language_id", "fingerprint", "token_frequencies",
            "repetition_stats", "unigram_logprob", "corpus_profile",
            "vocab_oov_rate", "corpus_composition", "bpe_pair_counts",
-           "length_batches"]
+           "length_batches", "quality_quantile_filter"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -341,3 +341,36 @@ def length_batches(df: DataFrame, id_col: str = "doc_id",
                 F.floor((F.row_number().over(w) - 1) / batch_size)
                  .cast("bigint"))
                 .select("id", "n_tok", "bucket", "shard", "batch_no"))
+
+
+def quality_quantile_filter(df: DataFrame, keep_top: float = 0.5,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Keep the top ``keep_top`` fraction of documents by quality score,
+    with an EXACT global cutoff computed scale-safely: a global sort of
+    the corpus is never taken. Scores are already 6-decimal-quantized
+    (quality_score), so the score HISTOGRAM is a bounded relation
+    (<= 10^6 + 1 rows regardless of corpus size); a cumulative count
+    over that small relation (descending scores) yields the exact
+    cutoff — the highest score whose cumulative count reaches
+    ceil(keep_top * n) — and the corpus filters against the broadcast
+    1-row threshold. Ties at the cutoff are ALL kept (deterministic;
+    the kept fraction can exceed keep_top by the tie mass).
+
+    Plan: one scoring scan + bounded groupBy + tiny single-partition
+    window (bounded input — the design point) + broadcast filter."""
+    import math
+
+    scored = (quality_score(df, text_col=text_col)
+              .select(F.col(id_col).alias("id"), "quality"))
+    total = scored.count()
+    need = int(math.ceil(keep_top * total))
+    hist = scored.groupBy("quality").agg(F.count("*").alias("_c"))
+    w = (Window.orderBy(F.col("quality").desc())
+               .rowsBetween(Window.unboundedPreceding, 0))
+    thr = (hist.withColumn("_cum", F.sum("_c").over(w))
+               .filter(F.col("_cum") >= need)
+               .agg(F.max("quality").alias("_thr")))
+    return (scored.crossJoin(F.broadcast(thr))
+                  .filter(F.col("quality") >= F.col("_thr"))
+                  .select("id", "quality"))

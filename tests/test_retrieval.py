@@ -312,3 +312,21 @@ def test_length_batches_bounds_and_buckets(spark):
     out2 = length_batches(docs.repartition(7), batch_size=2,
                           n_shards=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_quality_quantile_filter_exact_cutoff_and_ties(spark):
+    from dask_grblas_spark.functions.text import quality_quantile_filter
+
+    # 10 docs: 4 high-quality (>=10 tokens incl. stopwords), 6 junk
+    good = "the cat sat of the mat and then went to sleep again"
+    docs = spark.createDataFrame(
+        [(i, good) for i in range(4)] + [(i, "x y") for i in range(4, 10)],
+        "doc_id long, text string")
+    kept = quality_quantile_filter(docs, keep_top=0.4).collect()
+    # the 4 good docs tie at the top score; cutoff lands exactly there
+    assert sorted(r["id"] for r in kept) == [0, 1, 2, 3]
+    # tie mass can exceed keep_top: asking for 10% still keeps all 4 ties
+    kept2 = quality_quantile_filter(docs, keep_top=0.1).collect()
+    assert sorted(r["id"] for r in kept2) == [0, 1, 2, 3]
+    # keep_top=1.0 keeps everything
+    assert quality_quantile_filter(docs, keep_top=1.0).count() == 10
