@@ -1059,6 +1059,22 @@ def q52_frame_sample(spark, sf_dir):
                           .alias("frame_len"))
 
 
+def q82_media_feature_values(spark, sf_dir):
+    """Multimodal feature VALUES hard-oracled end-to-end through the
+    Arrow mapInPandas path: the deterministic fake encoder is pure md5
+    arithmetic (md5(content || byte(65+k)) first-4-bytes / 2^32,
+    float32-quantized), so DuckDB recomputes every component. This
+    closes the one 'plumbing-only' oracle gap (q51) — the real decode
+    stays PIL-gated."""
+    media = multimodal.to_binary_table(_doc(spark, sf_dir))
+    feats = multimodal.decode_features(media, dim=8)
+    return (feats.select("media_id",
+                         F.posexplode("feature").alias("k", "v"))
+                 .select("media_id", "k",
+                         F.round(F.col("v").cast("double"), 6)
+                          .alias("value")))
+
+
 def q51_media_features(spark, sf_dir):
     """mapInPandas feature extraction (deterministic fake decode). The
     oracle hash-checks the Arrow plumbing end-to-end (one row per media
@@ -1083,12 +1099,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver records queries in dict
     # order with a 50-row cap. Round-5 ROTATION POLICY (per the r4
-    # verdict): the brand-new q71-q81, the two rows the r4 cap cut off
+    # verdict): the brand-new q71-q82, the two rows the r4 cap cut off
     # (q28, q44), and the 18-query tail r4 pushed out (q17, q26, q43,
     # q45-q49, q01, q02, q09, q11-q13, q18, q19, q29, q38) all sit
     # inside the first 50, followed by the single-row r4 newcomers
-    # (q61-q70), the text block and the text block. The 31 rows
-    # pushed past the cap this round (q03-q08, q14, q16, q22, q34,
+    # (q61-q70), the text block and the text block. The 32 rows
+    # pushed past the cap this round (q03-q08, q14, q16, q22, q34, q53,
     # q30-q33, q35-q37,
     # q10, q39-q42, q41b, q50-q52, q54, q57-q60) all carry r1-r4 driver
     # rows — rotate them back next round.
@@ -1105,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_bpe_pairs": q79_bpe_pairs,
         "q80_length_batches": q80_length_batches,
         "q81_quality_filter": q81_quality_filter,
+        "q82_media_feature_values": q82_media_feature_values,
         # cut off by the r4 cap — rows resume here
         "q28_argminmax": q28_argminmax,
         "q44_resize_delete": q44_resize_delete,
@@ -1146,7 +1163,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_fingerprint": q24_fingerprint,
         "q25_token_freq": q25_token_freq,
         "q56_op_grid": q56_op_grid,
-        "q53_scalar_fill": q53_scalar_fill,
         "q55_isclose": q55_isclose,
         # core GraphBLAS operator suite (q03-q08 rotate out this round —
         # all quad-green r1-r4 — to make room for the new q72-q77)
@@ -1161,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_bfs": q08_bfs,
         "q14_colwise_stats": q14_colwise_stats,
         "q16_scalar_suite": q16_scalar_suite,
+        "q53_scalar_fill": q53_scalar_fill,
         "q22_quality": q22_quality,
         "q34_embedding_neardup": q34_embedding_neardup,
         "q30_exact_dedup": q30_exact_dedup,
@@ -2118,6 +2135,14 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY cosine DESC, nid) AS rank
               FROM scored)
         WHERE rank <= 5
+    """
+    sql["q82_media_feature_values"] = """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(k AS INT) AS k,
+               ROUND(CAST(CAST(
+                 ('0x' || substr(md5(text || chr(CAST(65 + k AS INTEGER))), 1, 8))::BIGINT
+                 / 4294967296.0 AS FLOAT) AS DOUBLE), 6) AS value
+        FROM documents, (SELECT unnest(range(8)) AS k)
     """
     sql["q51_media_features"] = """
         SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -57,12 +57,18 @@ def to_binary_table(df: DataFrame, id_col: str = "doc_id",
 
 
 def _fake_feature(content: bytes, dim: int) -> np.ndarray:
-    """Deterministic stand-in for a real image/audio encoder: md5-seeded
-    pseudo-embedding. Replace with the real model under real_decode."""
-    h = hashlib.md5(content).digest()
-    seed = int.from_bytes(h[:4], "little")
-    rng = np.random.RandomState(seed)
-    return rng.rand(dim).astype("float32")
+    """Deterministic stand-in for a real image/audio encoder. Component
+    k is the first 4 md5 bytes of (content || byte(65+k)) scaled to
+    [0, 1) — pure md5 arithmetic, so unlike an RNG-seeded fake the
+    VALUES are replayable in any engine with md5 (the q82 oracle
+    recomputes them in SQL) while still exercising the same Arrow batch
+    shape a learned encoder would."""
+    vals = [
+        int.from_bytes(hashlib.md5(content + bytes([65 + k])).digest()[:4],
+                       "big") / 4294967296.0
+        for k in range(dim)
+    ]
+    return np.asarray(vals, dtype="float32")
 
 
 def _pil_feature(content: bytes, dim: int) -> np.ndarray:
