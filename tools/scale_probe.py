@@ -160,6 +160,14 @@ def main() -> int:
           lambda: packing.pack_sequences(docs, budget=512, n_shards=32))
     probe("unigram_logprob", ndocs,
           lambda: text_fns.unigram_logprob(docs))
+    probe("vocab_oov_rate", ndocs,
+          lambda: text_fns.vocab_oov_rate(docs, vocab_size=32768))
+    probe("bpe_pair_counts", ndocs,
+          lambda: text_fns.bpe_pair_counts(docs))
+    probe("length_batches", ndocs,
+          lambda: text_fns.length_batches(docs, batch_size=64))
+    probe("quality_quantile_filter", ndocs,
+          lambda: text_fns.quality_quantile_filter(docs, keep_top=0.5))
 
     # ---- embeddings: tile the sf0.1 vectors 10x -----------------------
     ereps = 10 if not QUICK else 2
