@@ -801,6 +801,28 @@ def q78_incremental_dedup(spark, sf_dir):
         .select("id_new", "id_corpus", "jaccard")
 
 
+def q83_group_sample(spark, sf_dir):
+    """Deterministic per-source uniform sample (k=3) via two-phase
+    distributed top-k on the md5 rank — the per-group quota sampler of
+    a mixture pipeline. The oracle's single-window replay proves the
+    two-phase selection exact."""
+    from dask_grblas_spark.functions import sampling
+
+    return sampling.group_sample(_doc(spark, sf_dir), group_col="source",
+                                 k=3) \
+        .select("grp", "id", "rank")
+
+
+def q84_grouped_topk(spark, sf_dir):
+    """Per-hour top-3 event types by count (heavy hitters): rank windows
+    run over the bounded (bucket x type) count relation, never raw
+    events."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.grouped_topk(load_events(spark, sf_dir), k=3) \
+        .select("ws", "grp", "n", "rank")
+
+
 def q81_quality_filter(spark, sf_dir):
     """Exact top-50% quality filter WITHOUT a global sort: quality
     scores are 6-decimal-quantized, so the cutoff comes from a
@@ -1099,13 +1121,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver records queries in dict
     # order with a 50-row cap. Round-5 ROTATION POLICY (per the r4
-    # verdict): the brand-new q71-q82, the two rows the r4 cap cut off
+    # verdict): the brand-new q71-q84, the two rows the r4 cap cut off
     # (q28, q44), and the 18-query tail r4 pushed out (q17, q26, q43,
     # q45-q49, q01, q02, q09, q11-q13, q18, q19, q29, q38) all sit
     # inside the first 50, followed by the single-row r4 newcomers
-    # (q61-q70), the text block and the text block. The 32 rows
-    # pushed past the cap this round (q03-q08, q14, q16, q22, q34, q53,
-    # q30-q33, q35-q37,
+    # (q61-q70), the text block and the text block. The 34 rows
+    # pushed past the cap this round (q03-q08, q14, q16, q22, q24, q25,
+    # q34, q53, q30-q33, q35-q37,
     # q10, q39-q42, q41b, q50-q52, q54, q57-q60) all carry r1-r4 driver
     # rows — rotate them back next round.
     return {
@@ -1122,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_length_batches": q80_length_batches,
         "q81_quality_filter": q81_quality_filter,
         "q82_media_feature_values": q82_media_feature_values,
+        "q83_group_sample": q83_group_sample,
+        "q84_grouped_topk": q84_grouped_topk,
         # cut off by the r4 cap — rows resume here
         "q28_argminmax": q28_argminmax,
         "q44_resize_delete": q44_resize_delete,
@@ -1160,8 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_repetition": q21_repetition,
         "q27_stratified_split": q27_stratified_split,
         "q23_lang_scores": q23_lang_scores,
-        "q24_fingerprint": q24_fingerprint,
-        "q25_token_freq": q25_token_freq,
+
         "q56_op_grid": q56_op_grid,
         "q55_isclose": q55_isclose,
         # core GraphBLAS operator suite (q03-q08 rotate out this round —
@@ -1178,6 +1201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_colwise_stats": q14_colwise_stats,
         "q16_scalar_suite": q16_scalar_suite,
         "q53_scalar_fill": q53_scalar_fill,
+        "q24_fingerprint": q24_fingerprint,
+        "q25_token_freq": q25_token_freq,
         "q22_quality": q22_quality,
         "q34_embedding_neardup": q34_embedding_neardup,
         "q30_exact_dedup": q30_exact_dedup,
@@ -1788,6 +1813,29 @@ def oracle_sql() -> dict[str, str]:
         {q77_rounds}
         SELECT i, CAST(COUNT(*) AS BIGINT) AS core_deg
         FROM {prev} GROUP BY 1
+    """
+    sql["q83_group_sample"] = r"""
+        WITH h AS (
+          SELECT source AS grp, doc_id AS id,
+                 ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15))::BIGINT AS hk
+          FROM documents
+        )
+        SELECT grp, id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                    ORDER BY hk, id) AS INT) AS rank
+        FROM h QUALIFY rank <= 3
+    """
+    sql["q84_grouped_topk"] = """
+        WITH c AS (
+          SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+                 event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT ws, grp, n,
+               CAST(ROW_NUMBER() OVER (PARTITION BY ws
+                    ORDER BY n DESC, grp) AS INT) AS rank
+        FROM c QUALIFY rank <= 3
     """
     sql["q81_quality_filter"] = r"""
         WITH t AS (

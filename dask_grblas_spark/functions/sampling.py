@@ -19,11 +19,11 @@ no UDFs, embarrassingly parallel.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["split_key", "split_column", "deterministic_sample",
-           "hex_threshold", "mixture_sample"]
+           "hex_threshold", "mixture_sample", "group_sample"]
 
 _PREFIX_LEN = 4  # 16^4 = 65536 buckets
 
@@ -112,3 +112,33 @@ def mixture_sample(df: DataFrame, source_col: str, alpha: float = 0.5,
           .cast("double") / float(1 << 60))
     return (df.join(F.broadcast(rates), on=source_col)
               .withColumn("mix_keep", u < F.col("p_keep")))
+
+
+def group_sample(df: DataFrame, group_col: str = "source",
+                 id_col: str = "doc_id", k: int = 5, n_shards: int = 64,
+                 seed: int = 42) -> DataFrame:
+    """Deterministic per-group uniform sample (reservoir-sampling
+    equivalent): rank rows within each group by the cross-engine md5
+    hash of (seed, id) and keep the k smallest — partition-invariant,
+    re-runnable, and exactly replayable in SQL.
+
+    Scale shape: a single per-group window would sort each group in ONE
+    task (a 10^9-row source = one straggler), so selection is the
+    standard TWO-PHASE distributed top-k: per (group, hash-shard)
+    windows keep k candidates each (parallelism = groups x n_shards),
+    then a per-group re-rank over the <= k * n_shards survivors (a
+    bounded relation) picks the global k. Output: (grp, id, rank)."""
+    from .dedup import cross_hash60
+
+    h = cross_hash60(F.concat(F.lit(f"{seed}:"),
+                              F.col(id_col).cast("string")))
+    base = df.select(F.col(group_col).alias("grp"),
+                     F.col(id_col).alias("id"), h.alias("_h"))
+    base = base.withColumn("_s", F.pmod(F.col("_h"), F.lit(n_shards)))
+    w1 = Window.partitionBy("grp", "_s").orderBy("_h", "id")
+    pre = (base.withColumn("_r", F.row_number().over(w1))
+               .filter(F.col("_r") <= k))
+    w2 = Window.partitionBy("grp").orderBy("_h", "id")
+    return (pre.withColumn("rank", F.row_number().over(w2))
+               .filter(F.col("rank") <= k)
+               .select("grp", "id", "rank"))

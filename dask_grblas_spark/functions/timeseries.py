@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "rolling_agg", "json_field_agg"]
+__all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -113,3 +113,23 @@ def json_field_agg(events_df: DataFrame, field: str = "k",
                        F.sum(val).cast("bigint").alias("sum_field"),
                        F.round(F.sum(val) / F.count(val), 6)
                         .alias("mean_field")))
+
+
+def grouped_topk(events_df: DataFrame, ts_col: str = "ts",
+                 group_col: str = "event_type", k: int = 3,
+                 bucket: str = "hour") -> DataFrame:
+    """Per-time-bucket top-k groups by event count (the classic
+    heavy-hitters analytic): one map-side-combined (bucket, group)
+    aggregation, then rank windows PARTITIONED BY BUCKET over the
+    bounded (bucket x distinct-groups) count relation — never over raw
+    events, so the window input stays tiny at any event volume.
+    Ties rank by group name. Output: (ws, grp, n, rank)."""
+    ws = F.unix_timestamp(F.date_trunc(bucket, F.col(ts_col))) \
+          .cast("bigint").alias("ws")
+    counts = (events_df.select(ws, F.col(group_col).alias("grp"))
+              .groupBy("ws", "grp")
+              .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("ws").orderBy(F.col("n").desc(), F.col("grp"))
+    return (counts.withColumn("rank",
+                              F.row_number().over(w).cast("int"))
+                  .filter(F.col("rank") <= k))

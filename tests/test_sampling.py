@@ -53,3 +53,54 @@ def test_split_validation():
         sampling.split_column(None, splits={"a": 0.5, "b": 0.2})
     with pytest.raises(ValueError, match="fraction"):
         sampling.deterministic_sample(None, 1.5)
+
+
+def test_group_sample_two_phase_exact_and_invariant(spark):
+    """group_sample: the two-phase (shard-then-merge) top-k equals the
+    single-window selection, is partition-invariant, and respects k per
+    group."""
+    import pyspark.sql.functions as F
+
+    from dask_grblas_spark.functions.dedup import cross_hash60
+    from dask_grblas_spark.functions.sampling import group_sample
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string"))
+         .alias("source"))
+    out = group_sample(df, k=4).collect()
+    from collections import Counter
+    per_group = Counter(r["grp"] for r in out)
+    assert set(per_group.values()) == {4}
+    # single-window reference: k smallest md5 ranks per group
+    ref = (df.select(F.col("source").alias("grp"), F.col("doc_id").alias("id"),
+                     cross_hash60(F.concat(F.lit("42:"),
+                                           F.col("doc_id").cast("string")))
+                     .alias("hk")).collect())
+    by_grp = {}
+    for r in ref:
+        by_grp.setdefault(r["grp"], []).append((r["hk"], r["id"]))
+    want = {(g, i, rk + 1)
+            for g, rows in by_grp.items()
+            for rk, (_, i) in enumerate(sorted(rows)[:4])}
+    assert {(r["grp"], r["id"], r["rank"]) for r in out} == want
+    # partition invariance
+    out2 = group_sample(df.repartition(11), k=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_grouped_topk_ranks_and_ties(spark):
+    import datetime
+
+    from dask_grblas_spark.functions.timeseries import grouped_topk
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 5)
+    rows = ([(i, t0, "view") for i in range(5)]
+            + [(i + 10, t0, "click") for i in range(3)]
+            + [(i + 20, t0, "buy") for i in range(3)]       # tie with click
+            + [(i + 30, t0, "share") for i in range(1)])
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                                     "event_type string")
+    out = {(r["grp"]): (r["n"], r["rank"])
+           for r in grouped_topk(ev, k=3).collect()}
+    assert out == {"view": (5, 1), "buy": (3, 2), "click": (3, 3)}
