@@ -370,9 +370,12 @@ def k_core(A: GrMatrix, k: int) -> GrVector:
     with no incident edge never appear.
 
     Scale shape: each round is ONE degree aggregation (map-side
-    combined) plus two anti-joins against the DROPPED vertex set — the
-    dropped set is the small side (peeling removes a shrinking fringe),
-    so it broadcasts and the edge relation never reshuffles; an eager
+    combined) plus two joins against whichever of {dropped, surviving}
+    vertex set is SMALLER — anti-join on the dropped fringe in the
+    common late-round case, semi-join on the survivors when round 1 of
+    a sparse graph with high k drops the majority (the build side would
+    otherwise be the huge one); either side broadcasts when under 1M
+    rows, so the edge relation never reshuffles; an eager
     localCheckpoint per round caps lineage (the same discipline as the
     CC/SSSP loops). Rounds are bounded by the graph's degeneracy
     ordering depth — single digits on real graphs."""
@@ -385,16 +388,26 @@ def k_core(A: GrMatrix, k: int) -> GrVector:
     if own_raw:
         raw.unpersist()
     while True:
-        deg = edges.groupBy("i").agg(F.count("*").alias("v"))
-        drop = deg.filter(F.col("v") < k).select("i")
-        n_drop = drop.count()
+        deg = (edges.groupBy("i").agg(F.count("*").alias("v"))
+               .localCheckpoint(eager=True))
+        counts = deg.agg(
+            F.sum((F.col("v") < k).cast("bigint")).alias("n_drop"),
+            F.count("*").alias("n_total")).collect()[0]
+        n_drop = counts["n_drop"] or 0
+        n_keep = counts["n_total"] - n_drop
         if n_drop == 0:
             break
-        b = F.broadcast(drop) if n_drop <= 1_000_000 else drop
-        bj = (F.broadcast(drop.withColumnRenamed("i", "j"))
-              if n_drop <= 1_000_000 else drop.withColumnRenamed("i", "j"))
-        edges = (edges.join(b, on="i", how="left_anti")
-                      .join(bj, on="j", how="left_anti")
+        if n_drop <= n_keep:
+            side = deg.filter(F.col("v") < k).select("i")
+            how, n_side = "left_anti", n_drop
+        else:
+            side = deg.filter(F.col("v") >= k).select("i")
+            how, n_side = "left_semi", n_keep
+        b = F.broadcast(side) if n_side <= 1_000_000 else side
+        bj = (F.broadcast(side.withColumnRenamed("i", "j"))
+              if n_side <= 1_000_000 else side.withColumnRenamed("i", "j"))
+        edges = (edges.join(b, on="i", how=how)
+                      .join(bj, on="j", how=how)
                       .select("i", "j")
                       .localCheckpoint(eager=True))
     return GrVector(edges.groupBy("i").agg(F.count("*").cast("bigint")

@@ -177,17 +177,46 @@ def hyperplane_lsh_pairs(emb_df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          threshold: float = 0.95, n_planes: int = 8,
                          n_tables: int = 4, dim: int = 64,
-                         seed: int = 42) -> DataFrame:
-    """Near-dup pairs via sign-LSH candidates + exact cosine verification."""
+                         seed: int = 42,
+                         max_bucket_size: int | None = 1000) -> DataFrame:
+    """Near-dup pairs via sign-LSH candidates + exact cosine verification.
+
+    ``max_bucket_size`` is the skew guard (default ON, mirroring
+    ``minhash_lsh_pairs``/``simhash_pairs``): a hot (table, bucket) cell
+    holding f near-identical embeddings — precisely the near-dup
+    workload, or degenerate vectors collapsing to one sign pattern —
+    would otherwise put f^2/2 candidate rows in ONE join task. Cells
+    over the cap switch from all-pairs to STAR expansion (every member
+    vs the cell's min id): linear rows. Star candidates still pass the
+    exact-cosine verification, so within an over-cap cell a member
+    survives only if it verifies against the representative — the same
+    documented connectivity trade as the MinHash cap (see
+    minhash_lsh_pairs). Pass None for exact all-pairs candidates.
+    Implemented as window aggregates over the bucket relation, not
+    groupBy+join-back: the (table, bucket) shuffle the window pays is
+    the one the self-join below needs anyway."""
     buckets = hyperplane_lsh_buckets(emb_df, id_col, vec_col, n_planes,
                                      n_tables, dim, seed)
+    star = None
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("table", "bucket")
+        tagged = (buckets.withColumn("_f", F.count("*").over(wb))
+                         .withColumn("_rep", F.min("id").over(wb)))
+        buckets = (tagged.filter(F.col("_f") <= max_bucket_size)
+                         .select("id", "table", "bucket"))
+        star = (tagged.filter((F.col("_f") > max_bucket_size)
+                              & (F.col("id") != F.col("_rep")))
+                      .select(F.col("_rep").alias("id_a"),
+                              F.col("id").alias("id_b")))
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (a.join(b, (F.col("a.table") == F.col("b.table"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-             .distinct())
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     vecs = emb_df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     joined = (cand.join(vecs.withColumnRenamed("vid", "id_a")
                             .withColumnRenamed("vec", "va"), on="id_a")

@@ -316,7 +316,9 @@ def length_batches(df: DataFrame, id_col: str = "doc_id",
     the row_number window runs per (bucket, shard) — parallelism is
     buckets x n_shards, and batches never mix buckets, preserving the
     padding bound. Deterministic: shard and ordering are pure functions
-    of the id. Output: (id, n_tok, bucket, batch_no)."""
+    of the id. Output: (id, n_tok, bucket, shard, batch_no) — shard is
+    load-bearing: batch identity is the triple (bucket, shard,
+    batch_no); batch_no is only unique within its (bucket, shard)."""
     from .dedup import cross_hash60
 
     n_tok = F.size(tokens(F.col(text_col)))
@@ -357,19 +359,27 @@ def quality_quantile_filter(df: DataFrame, keep_top: float = 0.5,
     1-row threshold. Ties at the cutoff are ALL kept (deterministic;
     the kept fraction can exceed keep_top by the tie mass).
 
-    Plan: one scoring scan + bounded groupBy + tiny single-partition
-    window (bounded input — the design point) + broadcast filter."""
-    import math
-
+    Plan: ONE scoring scan (the (id, quality) relation is eagerly
+    localCheckpointed so the histogram branch and the final filter read
+    the materialized relation instead of re-scoring the corpus) +
+    bounded groupBy + tiny single-partition window (bounded input — the
+    design point) + broadcast filter. The target count ``need`` is
+    derived INSIDE the plan from the histogram itself
+    (ceil(keep_top * sum(_c)) over the same bounded relation) — no
+    driver-side count job, no eager action beyond the checkpoint."""
     scored = (quality_score(df, text_col=text_col)
-              .select(F.col(id_col).alias("id"), "quality"))
-    total = scored.count()
-    need = int(math.ceil(keep_top * total))
+              .select(F.col(id_col).alias("id"), "quality")
+              .localCheckpoint(eager=True))
     hist = scored.groupBy("quality").agg(F.count("*").alias("_c"))
     w = (Window.orderBy(F.col("quality").desc())
                .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = (Window.orderBy(F.col("quality").desc())
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing))
+    need = F.ceil(F.lit(float(keep_top)) * F.sum("_c").over(w_all))
     thr = (hist.withColumn("_cum", F.sum("_c").over(w))
-               .filter(F.col("_cum") >= need)
+               .withColumn("_need", need)
+               .filter(F.col("_cum") >= F.col("_need"))
                .agg(F.max("quality").alias("_thr")))
     return (scored.crossJoin(F.broadcast(thr))
                   .filter(F.col("quality") >= F.col("_thr"))

@@ -482,18 +482,31 @@ _PI = 3.141592653589793
 
 def _lgamma_expr(c, d):
     x = c.cast("double")
+    # poles first: sin(pi*x) evaluates to ~1e-16 (not 0) at negative
+    # integers in float64, so without the explicit branch the reflection
+    # returns a finite ~36 instead of the C99/scipy +inf at 0, -1, -2, …
+    pole = (x <= 0) & (F.floor(x) == x)
     # reflection: lgamma(x) = log(pi/|sin(pi x)|) - lgamma(1-x), x <= 0.5
     refl = (F.log(F.lit(_PI) / F.abs(F.sin(F.lit(_PI) * x)))
             - _lgamma_pos(F.lit(1.0) - x))
-    return F.when(x > 0.5, _lgamma_pos(x)).otherwise(refl)
+    return (F.when(pole, F.lit(float("inf")))
+             .when(x > 0.5, _lgamma_pos(x)).otherwise(refl))
 
 
 def _gamma_expr(c, d):
     x = c.cast("double")
+    # poles: C99 tgamma/scipy.special.gamma give +-inf at 0 (sign of the
+    # approach direction; +inf for the +0.0 literal) and nan at negative
+    # integers — the float64 reflection would otherwise return a huge
+    # finite value there (sin(pi*x) ~ 1e-16, not 0)
+    zero_pole = x == 0
+    neg_pole = (x < 0) & (F.floor(x) == x)
     # reflection keeps the SIGN: Gamma(x) = pi / (sin(pi x) Gamma(1-x))
     refl = F.lit(_PI) / (F.sin(F.lit(_PI) * x)
                          * F.exp(_lgamma_pos(F.lit(1.0) - x)))
-    return F.when(x > 0.5, F.exp(_lgamma_pos(x))).otherwise(refl)
+    return (F.when(zero_pole, F.lit(float("inf")))
+             .when(neg_pole, F.lit(float("nan")))
+             .when(x > 0.5, F.exp(_lgamma_pos(x))).otherwise(refl))
 
 
 _u("lgamma", _lgamma_expr, _float_out)

@@ -331,55 +331,91 @@ def to_mmfile(A: GrMatrix, path: str):
 
 
 def _hive_partition_cols(path: str) -> list[str]:
-    """Top-level ``key=value`` subdirectory names of a hive-partitioned
-    dataset (the columns spark.read.parquet recovers from the layout)."""
+    """ALL ``key=value`` partition columns of a hive-partitioned dataset,
+    in directory order (the columns spark.read.parquet recovers from the
+    layout). A multi-column layout nests levels (k1=.../k2=.../part.pq),
+    so after finding a level's key this descends into its first value
+    directory and repeats — listing only the top level would detect
+    [k1] and a partitionBy([k1]) rewrite would silently flatten k2,
+    losing that level's directory pruning."""
     import os
     import re
 
     cols: list[str] = []
-    try:
-        entries = sorted(os.listdir(path))
-    except OSError:
-        return cols
-    for e in entries:
-        m = re.match(r"([^=/]+)=.", e)
-        if m and os.path.isdir(os.path.join(path, e)) and \
-                m.group(1) not in cols:
-            cols.append(m.group(1))
+    cur = path
+    while True:
+        try:
+            entries = sorted(os.listdir(cur))
+        except OSError:
+            break
+        nxt = None
+        for e in entries:
+            m = re.match(r"([^=/]+)=.", e)
+            if m and os.path.isdir(os.path.join(cur, e)):
+                nxt = (m.group(1), os.path.join(cur, e))
+                break
+        if nxt is None or nxt[0] in cols:
+            break
+        cols.append(nxt[0])
+        cur = nxt[1]
     return cols
 
 
 def recover_compaction(path: str) -> str:
     """Finish or roll back an in-place compact_parquet that crashed
-    mid-swap, using the ``<path>._compact_pending`` marker. Safe to call
-    on a healthy dataset (no marker -> no-op). Returns one of
-    "clean" / "finished" / "rolled_back"."""
+    mid-swap, using the ``<path>._compact_pending`` marker, then sweep
+    any stranded markerless ``._old_*`` / ``._compact_*`` sibling dirs
+    (a crash during the dest write — before the marker exists — or
+    after the marker was removed leaves such orphans that would
+    otherwise leak disk forever). Safe to call on a healthy dataset
+    (no marker, no orphans -> no-op); assumes the single-writer
+    discipline in-place compaction already requires — a CONCURRENT
+    compaction's in-progress dest dir would be swept as an orphan.
+    Returns one of "clean" / "finished" / "rolled_back"."""
+    import glob as _glob
     import json
     import os
     import shutil
 
-    marker = f"{path.rstrip('/')}._compact_pending"
-    if not os.path.exists(marker):
-        return "clean"
-    with open(marker) as fh:
-        info = json.load(fh)
-    dest, old = info["dest"], info["old"]
-    if not os.path.exists(path):
-        # crashed between the two renames: the compacted output is
-        # complete (the marker is only written after the write) — finish
-        os.rename(dest, path)
-        shutil.rmtree(old, ignore_errors=True)
-        out = "finished"
-    elif os.path.exists(old):
-        # crashed after the swap, before cleanup: just drop the old copy
-        shutil.rmtree(old, ignore_errors=True)
-        out = "finished"
-    else:
-        # crashed before the first rename: original is untouched — drop
-        # the (complete but never-installed) compacted copy
-        shutil.rmtree(dest, ignore_errors=True)
-        out = "rolled_back"
-    os.remove(marker)
+    base = path.rstrip("/")
+    marker = f"{base}._compact_pending"
+    out = "clean"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            info = json.load(fh)
+        dest, old = info["dest"], info["old"]
+        if not os.path.exists(path):
+            # crashed between the two renames: the compacted output is
+            # complete (the marker is only written after the write) —
+            # finish
+            os.rename(dest, path)
+            shutil.rmtree(old, ignore_errors=True)
+            out = "finished"
+        elif os.path.exists(old):
+            # crashed after the swap, before cleanup: just drop the old
+            # copy
+            shutil.rmtree(old, ignore_errors=True)
+            out = "finished"
+        else:
+            # crashed before the first rename: original is untouched —
+            # drop the (complete but never-installed) compacted copy
+            shutil.rmtree(dest, ignore_errors=True)
+            out = "rolled_back"
+        # drop the marker only once the dirs it references are gone; a
+        # failed rmtree leaves it in place so the next recovery retries
+        if not os.path.exists(old) and not os.path.exists(dest):
+            os.remove(marker)
+    # orphan sweep: ._old_* / ._compact_* siblings not referenced by a
+    # live marker are crash leftovers (the marker file itself is not a
+    # directory and is skipped by the isdir check)
+    referenced: set[str] = set()
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            info = json.load(fh)
+        referenced = {info["dest"], info["old"]}
+    for d in _glob.glob(f"{base}._old_*") + _glob.glob(f"{base}._compact_*"):
+        if d not in referenced and os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
     return out
 
 
@@ -437,6 +473,11 @@ def compact_parquet(path: str, target_file_mb: int = 256,
             json.dump({"dest": dest, "old": old}, fh)
         os.rename(path, old)
         os.rename(dest, path)
-        os.remove(marker)
+        # old-copy removal BEFORE marker removal: a crash in between
+        # leaves the marker, and the next recover_compaction retries the
+        # cleanup (removing the marker first would strand ._old_* as an
+        # unreferenced orphan until a sweep)
         shutil.rmtree(old, ignore_errors=True)
+        if not os.path.exists(old):
+            os.remove(marker)
     return n_files

@@ -550,11 +550,66 @@ def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 4000
     assert back.filter(F.col("k") == 2).count() == 1000
-    # the partition filter must prune to the one directory
+    # the partition filter must prune to the one directory: the scan
+    # node carries a non-empty PartitionFilters list mentioning k
+    import re
+
     plan = back.filter(F.col("k") == 2)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "k=2" not in plan or True  # plan text varies; count() above
-    # is the behavioral check
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None and "k" in m.group(1)
+
+
+def test_compact_parquet_preserves_nested_hive_partitions(spark, tmp_path):
+    """Regression (round-6 advice): multi-column hive layouts
+    (k1=.../k2=...) were detected as [k1] only, so compaction silently
+    flattened the nested level and its directory pruning. All partition
+    columns must be recovered in directory order."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from dask_grblas_spark.sources.io import (_hive_partition_cols,
+                                              compact_parquet)
+
+    p = str(tmp_path / "nested")
+    df = spark.range(4000).select(
+        (F.col("id") % 2).alias("k1"), (F.col("id") % 3).alias("k2"),
+        F.col("id").alias("v"))
+    df.repartition(16).write.partitionBy("k1", "k2").parquet(p)
+    assert _hive_partition_cols(p) == ["k1", "k2"]
+    compact_parquet(p, target_file_mb=256)
+    # BOTH levels survive on disk
+    assert sorted(d for d in os.listdir(p) if d.startswith("k1=")) == \
+        ["k1=0", "k1=1"]
+    for d1 in ("k1=0", "k1=1"):
+        subs = sorted(d for d in os.listdir(os.path.join(p, d1))
+                      if d.startswith("k2="))
+        assert subs == ["k2=0", "k2=1", "k2=2"]
+    back = spark.read.parquet(p)
+    assert back.count() == 4000
+    assert back.filter((F.col("k1") == 1) & (F.col("k2") == 2)).count() == \
+        df.filter((F.col("k1") == 1) & (F.col("k2") == 2)).count()
+
+
+def test_recover_compaction_sweeps_orphans(spark, tmp_path):
+    """A crash during the dest write (before the marker exists) or
+    after marker removal strands markerless ._old_*/._compact_* dirs;
+    recover_compaction must reclaim them (and report "clean")."""
+    import os
+
+    from dask_grblas_spark.sources.io import recover_compaction
+
+    p = str(tmp_path / "ds2")
+    spark.range(100).write.parquet(p)
+    orphan_dest = p + "._compact_dead"
+    orphan_old = p + "._old_dead"
+    os.makedirs(orphan_dest)
+    os.makedirs(orphan_old)
+    assert recover_compaction(p) == "clean"
+    assert not os.path.exists(orphan_dest)
+    assert not os.path.exists(orphan_old)
+    assert spark.read.parquet(p).count() == 100
 
 
 def test_compact_parquet_crash_recovery(spark, tmp_path):

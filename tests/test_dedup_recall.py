@@ -113,6 +113,34 @@ def test_hyperplane_lsh_identical_vectors_always_candidates(spark):
     assert (3, 500) in pairs
 
 
+def test_hyperplane_hot_bucket_star_cap(spark):
+    """Skew guard on the sign-LSH (table, bucket) self-join — the exact
+    failure mode the minhash/simhash caps close: 30 identical embeddings
+    (the near-dup workload) collapse every table's bucket cell to one
+    hot key. With max_bucket_size=10 the cell expands as a STAR around
+    its min id (29 pairs, transitively connected, all exact-cosine
+    verified at 1.0) instead of C(30,2)=435 all-pairs; normal-size cells
+    keep all-pairs semantics; uncapped mode still returns the full
+    quadratic set."""
+    dim = 16
+    base = [float((j * 7) % 11 - 5) for j in range(dim)]
+    rows = [(i, list(base)) for i in range(30)]
+    other = [float((j * 5 + 3) % 13 - 6) for j in range(dim)]
+    rows += [(100, list(other)), (101, list(other))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = similarity.hyperplane_lsh_pairs(df, threshold=0.999, dim=dim,
+                                             max_bucket_size=10).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    hot = {p for p in got if p[1] < 100}
+    assert hot == {(0, i) for i in range(1, 30)}
+    assert all(r.cosine == 1.0 for r in capped)
+    assert (100, 101) in got
+    full = similarity.hyperplane_lsh_pairs(df, threshold=0.999, dim=dim,
+                                           max_bucket_size=None).collect()
+    assert len({(r.id_a, r.id_b) for r in full if r.id_a < 100}) == 435
+
+
 def test_minhash_hot_bucket_star_cap(spark):
     """Skew guard: 30 identical docs form one hot band bucket. With
     max_bucket_size=10 the bucket must expand as a STAR (linear rows,

@@ -224,6 +224,35 @@ def test_unary_numeric_grid(spark):
     assert not bad, bad[:10]
 
 
+def test_gamma_lgamma_poles(spark):
+    """C99/scipy pole semantics (round-6 advice): sin(pi*x) is ~1e-16
+    (not 0) at nonpositive integers in float64, so without an explicit
+    branch the reflection formula returns huge FINITE values there.
+    lgamma -> +inf at 0, -1, -2, …; gamma -> +inf at 0, nan at negative
+    integers; nearby non-integer points stay on the reflection path."""
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in
+         enumerate([0.0, -1.0, -2.0, -5.0, -0.5, -1.5, 3.0])],
+        "rid long, x double")
+    got = {r.x: (r.lg, r.g) for r in df.select(
+        "x",
+        _UNARY["lgamma"](F.col("x"), FP64).cast("double").alias("lg"),
+        _UNARY["gamma"](F.col("x"), FP64).cast("double").alias("g"))
+        .collect()}
+    for pole in (0.0, -1.0, -2.0, -5.0):
+        assert math.isinf(got[pole][0]) and got[pole][0] > 0, (pole, got[pole])
+    assert math.isinf(got[0.0][1]) and got[0.0][1] > 0
+    for pole in (-1.0, -2.0, -5.0):
+        assert math.isnan(got[pole][1]), (pole, got[pole])
+    # non-integer points: Gamma(-0.5) = -2 sqrt(pi), Gamma(-1.5) = 4/3 sqrt(pi)
+    assert math.isclose(got[-0.5][1], -2.0 * math.sqrt(math.pi),
+                        rel_tol=1e-12)
+    assert math.isclose(got[-1.5][1], 4.0 / 3.0 * math.sqrt(math.pi),
+                        rel_tol=1e-12)
+    assert math.isclose(got[-0.5][0], math.lgamma(-0.5), rel_tol=1e-12)
+    assert math.isclose(got[3.0][1], 2.0, rel_tol=1e-12)
+
+
 def test_binary_numeric_grid(spark):
     xs = [0.5, 1.5, -2.25, 3.0]
     ys = [2.0, -0.5, 1.25, 4.0]
