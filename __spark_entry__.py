@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 from dask_grblas_spark import Matrix, Vector, agg, binary, monoid, semiring, unary
 from dask_grblas_spark import algorithms as alg
 from dask_grblas_spark.functions import (dedup, multimodal, retrieval,
-                                         similarity, text, timeseries)
+                                         similarity, sketches, text,
+                                         timeseries)
 from dask_grblas_spark.sources import tpch
 from dask_grblas_spark.streaming import event_window_agg, sessionize
 
@@ -833,6 +834,66 @@ def q81_quality_filter(spark, sf_dir):
         .select("id", "quality")
 
 
+def q85_hll_distinct(spark, sf_dir):
+    """Per-source HyperLogLog distinct-3-gram estimate next to the exact
+    count. Registers are pure md5 arithmetic and the harmonic sum is
+    kept in scaled-INTEGER form (sum of 2^(40-M) bigints), so the
+    DuckDB oracle recomputes every register and the estimate itself
+    bit-for-bit — the float steps are one division (IEEE-deterministic)
+    and the small-range ln (absorbed by ROUND 4)."""
+    return sketches.hll_distinct(_doc(spark, sf_dir), n=3) \
+        .select("grp", "est", "exact")
+
+
+def q86_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential keys, weight = n_chars): global top-50 by
+    -ln(md5-uniform)/w — a distributed TakeOrdered, no global sort, no
+    sequential reservoir state."""
+    from dask_grblas_spark.functions import sampling
+
+    return sampling.weighted_sample(_doc(spark, sf_dir), "n_chars", k=50) \
+        .select("id", "w", "key", "rank")
+
+
+def q87_dup_ngram_coverage(spark, sf_dir):
+    """Sub-document duplication profile: per-doc fraction of distinct
+    8-grams shared with >= 2 docs corpus-wide — the boilerplate score
+    document-level dedup cannot see."""
+    return dedup.dup_ngram_coverage(_doc(spark, sf_dir), n=8, min_docs=2) \
+        .select("id", "n_grams", "n_dup", "dup_frac")
+
+
+def q88_kmv_union(spark, sf_dir):
+    """Per-source KMV (k=128 minimum values) distinct-3-gram sketch plus
+    the merged '__union__' estimate — the mergeable-sketch pattern for
+    100 TB rollups; selection uses the two-phase distributed top-k."""
+    return sketches.kmv_distinct(_doc(spark, sf_dir), k=128, n=3) \
+        .select("grp", "n_kept", "est")
+
+
+def q89_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter 13-gram decontamination (constant-memory variant of
+    q68): benchmark grams set 4 md5-derived bits in a 32768-bit filter;
+    a doc is flagged when some gram finds ALL its bits set. Deterministic
+    false positives included — the oracle replays filter construction
+    AND membership."""
+    docs = _doc(spark, sf_dir)
+    bench = [r["text"]
+             for r in docs.filter(F.col("doc_id").isin(11, 42))
+                          .orderBy("doc_id").collect()]
+    return retrieval.bloom_decontaminate(docs, bench, n=13) \
+        .select("doc_id", "n_grams", "n_hits", "contaminated")
+
+
+def q90_zipf_slope(spark, sf_dir):
+    """Per-source Zipf fit (ln freq ~ ln rank over the top-1000 tokens):
+    corpus-health diagnostic; regression folds a bounded frequency
+    relation, never the corpus."""
+    return text.zipf_slope(_doc(spark, sf_dir), top_r=1000) \
+        .select("grp", "n_terms", "slope", "intercept")
+
+
 def q79_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training prep: corpus-weighted adjacent-char-pair
     counts over the word-frequency relation (the statistic each BPE
@@ -1120,78 +1181,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver records queries in dict
-    # order with a 50-row cap. Round-5 ROTATION POLICY (per the r4
-    # verdict): the brand-new q71-q84, the two rows the r4 cap cut off
-    # (q28, q44), and the 18-query tail r4 pushed out (q17, q26, q43,
-    # q45-q49, q01, q02, q09, q11-q13, q18, q19, q29, q38) all sit
-    # inside the first 50, followed by the single-row r4 newcomers
-    # (q61-q70), the text block and the text block. The 34 rows
-    # pushed past the cap this round (q03-q08, q14, q16, q22, q24, q25,
-    # q34, q53, q30-q33, q35-q37,
-    # q10, q39-q42, q41b, q50-q52, q54, q57-q60) all carry r1-r4 driver
-    # rows — rotate them back next round.
+    # order with a 50-row cap. Round-6 ROTATION POLICY (per the r5
+    # verdict's item 2): the 34 queries pushed out in r5 (q03-q08, q10,
+    # q14, q16, q22, q24, q25, q30-q37, q39-q42, q41b, q50-q54,
+    # q57-q60) rotate BACK inside the first 50 for fresh driver rows,
+    # together with the brand-new q85-q90 and the two-row q61-q70
+    # block — exactly 50. The 14 q71-q84 (r5 driver rows), q28/q44, the
+    # 18-query tail and the text block rotate out this round (all carry
+    # r5 driver rows) — rotate back in r7.
     return {
         # new this round — first driver rows needed
-        "q71_hyperplane_neardup": q71_hyperplane_neardup,
-        "q72_random_projection": q72_random_projection,
-        "q73_vocab_oov": q73_vocab_oov,
-        "q74_corpus_composition": q74_corpus_composition,
-        "q75_label_centroids": q75_label_centroids,
-        "q76_json_props": q76_json_props,
-        "q77_kcore": q77_kcore,
-        "q78_incremental_dedup": q78_incremental_dedup,
-        "q79_bpe_pairs": q79_bpe_pairs,
-        "q80_length_batches": q80_length_batches,
-        "q81_quality_filter": q81_quality_filter,
-        "q82_media_feature_values": q82_media_feature_values,
-        "q83_group_sample": q83_group_sample,
-        "q84_grouped_topk": q84_grouped_topk,
-        # cut off by the r4 cap — rows resume here
-        "q28_argminmax": q28_argminmax,
-        "q44_resize_delete": q44_resize_delete,
-        # the 18-query tail r4 pushed out (last rows: r3)
-        "q17_mat_ewise_min_transpose": q17_mat_ewise_min_transpose,
-        "q26_accum_update": q26_accum_update,
-        "q43_value_mask": q43_value_mask,
-        "q45_subassign": q45_subassign,
-        "q46_row_assign": q46_row_assign,
-        "q47_reduce_assign": q47_reduce_assign,
-        "q48_input_mask": q48_input_mask,
-        "q49_from_values_dup": q49_from_values_dup,
-        "q01_outdegree": q01_outdegree,
-        "q02_twohop": q02_twohop,
-        "q09_kronecker": q09_kronecker,
-        "q11_apply": q11_apply,
-        "q12_mask_semijoin": q12_mask_semijoin,
-        "q13_mask_antijoin": q13_mask_antijoin,
-        "q18_diag_extract": q18_diag_extract,
-        "q19_extract_list": q19_extract_list,
-        "q29_concat": q29_concat,
-        "q38_mm_roundtrip": q38_mm_roundtrip,
-        # round-4 newcomers (one driver row each so far)
-        "q61_bm25": q61_bm25,
-        "q62_kmeans": q62_kmeans,
-        "q63_chunking": q63_chunking,
-        "q64_packing": q64_packing,
-        "q65_perplexity": q65_perplexity,
-        "q66_mixture": q66_mixture,
-        "q67_redact": q67_redact,
-        "q68_decontaminate": q68_decontaminate,
-        "q69_tfidf": q69_tfidf,
-        "q70_corpus_profile": q70_corpus_profile,
-        # text analysis layer
-        "q20_text_stats": q20_text_stats,
-        "q21_repetition": q21_repetition,
-        "q27_stratified_split": q27_stratified_split,
-        "q23_lang_scores": q23_lang_scores,
-
-        "q56_op_grid": q56_op_grid,
-        "q55_isclose": q55_isclose,
-        # core GraphBLAS operator suite (q03-q08 rotate out this round —
-        # all quad-green r1-r4 — to make room for the new q72-q77)
-
-        # quad-green rotation tail (driver rows in r1+r2+r3+r4; outside
-        # the 50-row cap this round — rotate back in next round)
+        "q85_hll_distinct": q85_hll_distinct,
+        "q86_weighted_sample": q86_weighted_sample,
+        "q87_dup_ngram_coverage": q87_dup_ngram_coverage,
+        "q88_kmv_union": q88_kmv_union,
+        "q89_bloom_decontaminate": q89_bloom_decontaminate,
+        "q90_zipf_slope": q90_zipf_slope,
+        # the 34 rotated back in (last driver rows: r1-r4)
         "q03_masked_mxv": q03_masked_mxv,
         "q04_ewise": q04_ewise,
         "q05_connected_components": q05_connected_components,
@@ -1226,6 +1232,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_media_features": q51_media_features,
         "q52_frame_sample": q52_frame_sample,
         "q37_pagerank": q37_pagerank,
+        # two-row q61-q70 block (driver rows r4+r5) completes the 50
+        "q61_bm25": q61_bm25,
+        "q62_kmeans": q62_kmeans,
+        "q63_chunking": q63_chunking,
+        "q64_packing": q64_packing,
+        "q65_perplexity": q65_perplexity,
+        "q66_mixture": q66_mixture,
+        "q67_redact": q67_redact,
+        "q68_decontaminate": q68_decontaminate,
+        "q69_tfidf": q69_tfidf,
+        "q70_corpus_profile": q70_corpus_profile,
+
+        # ---- 50-row cap falls here ----
+        # rotated out this round (all carry fresh r5 driver rows) —
+        # rotate back in r7
+        "q71_hyperplane_neardup": q71_hyperplane_neardup,
+        "q72_random_projection": q72_random_projection,
+        "q73_vocab_oov": q73_vocab_oov,
+        "q74_corpus_composition": q74_corpus_composition,
+        "q75_label_centroids": q75_label_centroids,
+        "q76_json_props": q76_json_props,
+        "q77_kcore": q77_kcore,
+        "q78_incremental_dedup": q78_incremental_dedup,
+        "q79_bpe_pairs": q79_bpe_pairs,
+        "q80_length_batches": q80_length_batches,
+        "q81_quality_filter": q81_quality_filter,
+        "q82_media_feature_values": q82_media_feature_values,
+        "q83_group_sample": q83_group_sample,
+        "q84_grouped_topk": q84_grouped_topk,
+        "q28_argminmax": q28_argminmax,
+        "q44_resize_delete": q44_resize_delete,
+        "q17_mat_ewise_min_transpose": q17_mat_ewise_min_transpose,
+        "q26_accum_update": q26_accum_update,
+        "q43_value_mask": q43_value_mask,
+        "q45_subassign": q45_subassign,
+        "q46_row_assign": q46_row_assign,
+        "q47_reduce_assign": q47_reduce_assign,
+        "q48_input_mask": q48_input_mask,
+        "q49_from_values_dup": q49_from_values_dup,
+        "q01_outdegree": q01_outdegree,
+        "q02_twohop": q02_twohop,
+        "q09_kronecker": q09_kronecker,
+        "q11_apply": q11_apply,
+        "q12_mask_semijoin": q12_mask_semijoin,
+        "q13_mask_antijoin": q13_mask_antijoin,
+        "q18_diag_extract": q18_diag_extract,
+        "q19_extract_list": q19_extract_list,
+        "q29_concat": q29_concat,
+        "q38_mm_roundtrip": q38_mm_roundtrip,
+        "q20_text_stats": q20_text_stats,
+        "q21_repetition": q21_repetition,
+        "q27_stratified_split": q27_stratified_split,
+        "q23_lang_scores": q23_lang_scores,
+        "q56_op_grid": q56_op_grid,
+        "q55_isclose": q55_isclose,
     }
 
 
@@ -2499,5 +2560,232 @@ def oracle_sql() -> dict[str, str]:
                ROUND(AVG(-LN(freq * 1.0 / total)), 6) AS avg_nll
         FROM tt JOIN freqs USING (t) CROSS JOIN total
         GROUP BY doc_id
+    """
+    # q85: full HLL replay — registers from the same md5 arithmetic
+    # (bucket = h mod 256, rho via minimal-binary-digit length, the
+    # bin()/conv cross-engine primitive), harmonic sum in scaled-integer
+    # form (sum of 2^(40-M) bigints — exact in both engines), then the
+    # identical left-associated float estimate expression.
+    sql["q85_hll_distinct"] = r"""
+        WITH docs AS (
+          SELECT source,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS _t
+          FROM documents
+        ), grams AS (
+          SELECT source AS grp, unnest(
+            CASE WHEN len(_t) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(_t) <= 3 THEN [array_to_string(_t, ' ')]
+                 ELSE list_transform(generate_series(0, len(_t) - 3),
+                        p -> array_to_string(
+                               list_slice(_t, p + 1, p + 3), ' ')) END)
+            AS gram
+          FROM docs
+        ), h AS (
+          SELECT grp,
+                 ('0x' || substr(md5('hll:' || gram), 1, 15))::BIGINT AS h
+          FROM grams
+        ), regs AS (
+          SELECT grp, h % 256 AS bucket,
+                 MAX(LEAST(CASE WHEN h // 256 = 0 THEN 53
+                           ELSE 52 - length(bin(h // 256)) + 1 END,
+                           40)) AS M
+          FROM h GROUP BY 1, 2
+        ), per AS (
+          SELECT grp,
+                 SUM(CAST(1 AS BIGINT) << CAST(40 - M AS INT))
+                   AS s_present,
+                 COUNT(*) AS present
+          FROM regs GROUP BY 1
+        ), raws AS (
+          SELECT grp,
+                 0.7213/(1.0 + 1.079/256) * 256 * 256 * 1099511627776.0
+                   / CAST(s_present + (256 - present) * 1099511627776
+                          AS DOUBLE) AS raw,
+                 CAST(256 - present AS DOUBLE) AS zeros
+          FROM per
+        ), ex AS (
+          SELECT grp, CAST(COUNT(DISTINCT h) AS BIGINT) AS exact
+          FROM h GROUP BY 1
+        )
+        SELECT r.grp,
+               ROUND(CASE WHEN raw <= 640.0 AND zeros > 0
+                          THEN 256.0 * LN(256.0 / zeros)
+                          ELSE raw END, 4) AS est,
+               ex.exact
+        FROM raws r JOIN ex USING (grp)
+    """
+    sql["q86_weighted_sample"] = r"""
+        WITH b AS (
+          SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS w,
+                 -LN((('0x' || substr(md5('ws42:'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                     / 1152921504606846976.0)
+                 / CAST(n_chars AS DOUBLE) AS key
+          FROM documents WHERE n_chars > 0
+        ), top AS (
+          SELECT * FROM b ORDER BY key, id LIMIT 50
+        )
+        SELECT id, w, ROUND(key, 9) AS key,
+               CAST(ROW_NUMBER() OVER (ORDER BY ROUND(key, 9), id) AS INT)
+                 AS rank
+        FROM top
+    """
+    sql["q87_dup_ngram_coverage"] = r"""
+        WITH docs AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS _t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id AS id, unnest(
+            CASE WHEN len(_t) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(_t) <= 8 THEN [array_to_string(_t, ' ')]
+                 ELSE list_transform(generate_series(0, len(_t) - 8),
+                        p -> array_to_string(
+                               list_slice(_t, p + 1, p + 8), ' ')) END)
+            AS gram
+          FROM docs
+        ), gh AS (
+          SELECT DISTINCT id,
+                 ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+          FROM grams
+        ), dfq AS (
+          SELECT gh FROM gh GROUP BY gh HAVING COUNT(*) >= 2
+        ), nd AS (
+          SELECT id, CAST(COUNT(*) AS BIGINT) AS n_dup
+          FROM gh JOIN dfq USING (gh) GROUP BY 1
+        ), tot AS (
+          SELECT id, CAST(COUNT(*) AS BIGINT) AS n_grams
+          FROM gh GROUP BY 1
+        )
+        SELECT d.doc_id AS id,
+               COALESCE(t.n_grams, 0) AS n_grams,
+               COALESCE(n.n_dup, 0) AS n_dup,
+               ROUND(COALESCE(n.n_dup, 0)
+                     / GREATEST(COALESCE(t.n_grams, 0), 1), 6) AS dup_frac
+        FROM documents d
+        LEFT JOIN tot t ON t.id = d.doc_id
+        LEFT JOIN nd n ON n.id = d.doc_id
+    """
+    sql["q88_kmv_union"] = r"""
+        WITH docs AS (
+          SELECT source,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS _t
+          FROM documents
+        ), grams AS (
+          SELECT source AS grp, unnest(
+            CASE WHEN len(_t) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(_t) <= 3 THEN [array_to_string(_t, ' ')]
+                 ELSE list_transform(generate_series(0, len(_t) - 3),
+                        p -> array_to_string(
+                               list_slice(_t, p + 1, p + 3), ' ')) END)
+            AS gram
+          FROM docs
+        ), h AS (
+          SELECT DISTINCT grp,
+                 ('0x' || substr(md5('kmv:' || gram), 1, 15))::BIGINT AS h
+          FROM grams
+        ), sk AS (
+          SELECT grp, h,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h)
+                      AS INT) AS rank
+          FROM h QUALIFY rank <= 128
+        ), merged AS (
+          SELECT grp, h,
+                 CAST(ROW_NUMBER() OVER (ORDER BY h) AS INT) AS rank
+          FROM (SELECT DISTINCT '__union__' AS grp, h FROM sk)
+          QUALIFY rank <= 128
+        ), allk AS (
+          SELECT * FROM sk UNION ALL SELECT * FROM merged
+        )
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               ROUND(CASE WHEN COUNT(*) < 128
+                          THEN CAST(COUNT(*) AS DOUBLE)
+                          ELSE 127.0 * 1152921504606846976.0
+                               / CAST(MAX(CASE WHEN rank = 128 THEN h END)
+                                      AS DOUBLE) END, 4) AS est
+        FROM allk GROUP BY 1
+    """
+    # q89: the bloom filter's bit positions AND every membership probe
+    # are the same md5 arithmetic — deterministic false positives and
+    # all.
+    sql["q89_bloom_decontaminate"] = r"""
+        WITH docs AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS _t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(_t) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(_t) <= 13 THEN [array_to_string(_t, ' ')]
+                 ELSE list_transform(generate_series(0, len(_t) - 13),
+                        p -> array_to_string(
+                               list_slice(_t, p + 1, p + 13), ' ')) END)
+            AS gram
+          FROM docs
+        ), bloom AS (
+          SELECT DISTINCT
+                 ('0x' || substr(md5('bf' || CAST(t.i AS VARCHAR) || ':'
+                                     || gram), 1, 15))::BIGINT % 32768
+                   AS pos
+          FROM (SELECT DISTINCT gram FROM grams
+                WHERE doc_id IN (11, 42)) bg, range(4) t(i)
+        ), probe AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5('bf0:' || gram), 1, 15))::BIGINT
+                    % 32768) IN (SELECT pos FROM bloom)
+             AND (('0x' || substr(md5('bf1:' || gram), 1, 15))::BIGINT
+                    % 32768) IN (SELECT pos FROM bloom)
+             AND (('0x' || substr(md5('bf2:' || gram), 1, 15))::BIGINT
+                    % 32768) IN (SELECT pos FROM bloom)
+             AND (('0x' || substr(md5('bf3:' || gram), 1, 15))::BIGINT
+                    % 32768) IN (SELECT pos FROM bloom) AS hit
+          FROM grams
+        ), counted AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hits
+          FROM probe GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(c.n_grams, 0) AS n_grams,
+               COALESCE(c.n_hits, 0) AS n_hits,
+               COALESCE(c.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN counted c USING (doc_id)
+    """
+    sql["q90_zipf_slope"] = r"""
+        WITH docs AS (
+          SELECT source,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS _t
+          FROM documents
+        ), toks AS (
+          SELECT source AS grp, unnest(_t) AS tok FROM docs
+        ), freq AS (
+          SELECT grp, tok, COUNT(*) AS freq FROM toks GROUP BY 1, 2
+        ), ranked AS (
+          SELECT grp, freq,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                      ORDER BY freq DESC, tok) AS INT) AS rank
+          FROM freq QUALIFY rank <= 1000
+        ), xy AS (
+          SELECT grp, LN(CAST(rank AS DOUBLE)) AS x,
+                 LN(CAST(freq AS DOUBLE)) AS y
+          FROM ranked
+        ), agg AS (
+          SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM xy GROUP BY 1
+        )
+        SELECT grp, CAST(n AS BIGINT) AS n_terms,
+               ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                 AS slope,
+               ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 6) AS intercept
+        FROM agg
     """
     return sql

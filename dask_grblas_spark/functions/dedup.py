@@ -25,7 +25,7 @@ from .text import tokens
 __all__ = ["exact_dedup", "exact_dup_groups", "shingles", "ngram_jaccard_pairs",
            "minhash_signatures", "minhash_lsh_pairs", "minhash_lsh_pairs_between",
            "simhash", "simhash_pairs",
-           "embedding_neardup_pairs", "cross_hash60", "MINHASH_P",
+           "embedding_neardup_pairs", "dup_ngram_coverage", "cross_hash60", "MINHASH_P",
            "MINHASH_AB"]
 
 
@@ -558,3 +558,50 @@ def embedding_neardup_pairs(emb_df: DataFrame, id_col: str = "vec_id",
     return (pairs.withColumn("cosine", F.round(cos, 6))
                  .filter(F.col("cosine") >= threshold)
                  .select("id_a", "id_b", "cosine"))
+
+
+def dup_ngram_coverage(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 8,
+                       min_docs: int = 2) -> DataFrame:
+    """Sub-document duplication profile: for each document, the fraction
+    of its distinct n-grams that also occur in >= min_docs documents
+    corpus-wide — the "how much of this doc is boilerplate" score that
+    document-level dedup (exact/MinHash) cannot see, and the standard
+    pre-filter before expensive substring-level dedup.
+
+    Scale shape: one tokenize pass -> distinct (doc, gram-hash) rows
+    (8-byte hashes, one shuffle), a map-side-combined gram
+    document-frequency aggregate, and an equi semi-join back on the
+    gram hash (no row expansion even for a gram shared by millions of
+    docs — each (doc, gram) row matches at most once). No windows, no
+    cartesians. Output: (id, n_grams, n_dup, dup_frac) for ALL docs
+    (docs shorter than n tokens count their whole text as one gram;
+    empty docs report 0 grams, 0.0 coverage)."""
+    toks = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    gexpr = F.expr(
+        f"CASE WHEN size(_t) = 0 THEN array() "
+        f"WHEN size(_t) <= {n} THEN array(array_join(_t, ' ')) "
+        f"ELSE transform(sequence(0, size(_t) - {n}), "
+        f"p -> array_join(slice(_t, p + 1, {n}), ' ')) END")
+    base = (df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+              .select("id", F.explode(gexpr).alias("gram"))
+              .select("id", cross_hash60(F.col("gram")).alias("gh"))
+              .distinct())
+    dupg = (base.groupBy("gh").agg(F.count("*").alias("_docs"))
+                .filter(F.col("_docs") >= min_docs)
+                .select("gh"))
+    ndup = (base.join(dupg, on="gh", how="left_semi")
+                .groupBy("id").agg(F.count("*").alias("n_dup")))
+    tot = base.groupBy("id").agg(F.count("*").alias("n_grams"))
+    return (df.select(F.col(id_col).alias("id"))
+              .join(tot, on="id", how="left")
+              .join(ndup, on="id", how="left")
+              .select("id",
+                      F.coalesce("n_grams", F.lit(0)).cast("bigint")
+                       .alias("n_grams"),
+                      F.coalesce("n_dup", F.lit(0)).cast("bigint")
+                       .alias("n_dup"),
+                      F.round(F.coalesce("n_dup", F.lit(0))
+                              / F.greatest(F.coalesce("n_grams", F.lit(0)),
+                                           F.lit(1)), 6)
+                      .alias("dup_frac")))

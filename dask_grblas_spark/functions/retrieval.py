@@ -158,3 +158,67 @@ def tfidf_vectors(df: DataFrame, id_col: str = "doc_id",
     return out.select(
         "doc_id", "term",
         F.round((F.col("tf") / F.col("dl")) * idf, 6).alias("tfidf"))
+
+
+def bloom_decontaminate(df: DataFrame, benchmark: list[str], n: int = 13,
+                        m_bits: int = 1 << 15, k_hashes: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Bloom-filter n-gram decontamination — the CONSTANT-MEMORY variant
+    of ngram_decontaminate for benchmark suites too large to broadcast
+    as an exact hash set: benchmark grams set k_hashes md5-derived bit
+    positions in an m_bits filter; a training gram "hits" when ALL its
+    positions are set (one-sided error: no false negatives, a bounded
+    deterministic false-positive rate that flags at most a few extra
+    docs for audit).
+
+    Everything is pure md5 arithmetic (position_i = h_i(gram) mod
+    m_bits), so filter contents AND membership tests replay exactly in
+    SQL. The filter is built as a one-row collected position set and
+    broadcast; the corpus scan is a single pass with map-side
+    array_contains probes — no corpus-keyed shuffle, same 100 TB shape
+    as ngram_decontaminate. Output: (doc_id, n_grams, n_hits,
+    contaminated)."""
+    spark = df.sparkSession
+
+    def gram_expr():
+        return F.expr(
+            f"CASE WHEN size(_t) = 0 THEN array() "
+            f"WHEN size(_t) <= {n} THEN array(array_join(_t, ' ')) "
+            f"ELSE transform(sequence(0, size(_t) - {n}), "
+            f"p -> array_join(slice(_t, p + 1, {n}), ' ')) END")
+
+    from .dedup import cross_hash60
+
+    def positions(gram_col):
+        return [F.pmod(cross_hash60(F.concat(F.lit(f"bf{i}:"), gram_col)),
+                       F.lit(m_bits))
+                for i in range(k_hashes)]
+
+    toks = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    btoks = F.filter(tokens(F.col("btext")), lambda x: F.length(x) > 0)
+    bench = spark.createDataFrame([(t,) for t in benchmark], "btext string")
+    bloom = (bench.select(btoks.alias("_t"))
+                  .select(F.explode(gram_expr()).alias("gram"))
+                  .select(F.explode(F.array(*positions(F.col("gram"))))
+                          .alias("pos"))
+                  .agg(F.sort_array(F.collect_set("pos")).alias("bl")))
+    dgrams = (df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+                .select("doc_id", F.explode(gram_expr()).alias("gram")))
+    probe = dgrams.crossJoin(F.broadcast(bloom))
+    hit = positions(F.col("gram"))[0].isNotNull()
+    for p in positions(F.col("gram")):
+        hit = hit & F.array_contains(F.col("bl"), p)
+    counted = (probe.select("doc_id", hit.cast("bigint").alias("_hit"))
+                    .groupBy("doc_id")
+                    .agg(F.count("*").cast("bigint").alias("n_grams"),
+                         F.sum("_hit").cast("bigint").alias("n_hits")))
+    return (df.select(F.col(id_col).alias("doc_id"))
+              .join(counted, on="doc_id", how="left")
+              .select("doc_id",
+                      F.coalesce("n_grams", F.lit(0)).cast("bigint")
+                       .alias("n_grams"),
+                      F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                       .alias("n_hits"),
+                      (F.coalesce("n_hits", F.lit(0)) > 0)
+                      .alias("contaminated")))

@@ -23,7 +23,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["split_key", "split_column", "deterministic_sample",
-           "hex_threshold", "mixture_sample", "group_sample"]
+           "hex_threshold", "mixture_sample", "group_sample",
+           "weighted_sample"]
 
 _PREFIX_LEN = 4  # 16^4 = 65536 buckets
 
@@ -142,3 +143,36 @@ def group_sample(df: DataFrame, group_col: str = "source",
     return (pre.withColumn("rank", F.row_number().over(w2))
                .filter(F.col("rank") <= k)
                .select("grp", "id", "rank"))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int = 50,
+                    id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES, exponential-key formulation): each row draws
+    key = -ln(u) / w with u a md5-uniform in (0, 1] and w its weight;
+    the k SMALLEST keys are the sample. Equivalent to sequential
+    weighted draws without replacement, but expressed as one global
+    top-k — the shape that distributes (per-partition partial top-k,
+    TakeOrderedAndProject; no global sort, no sequential state).
+
+    u is (h + 1) / 2^60 from the cross-engine md5 hash, so selection is
+    a pure function of (seed, id, weight): partition-invariant and
+    exactly replayable in SQL. Rows with w <= 0 are excluded (zero
+    weight = never sampled; A-ES requires w > 0).
+    Output: (id, w, key, rank) — key rounded to 9 decimals for display;
+    ordering uses the unrounded value with id tie-break."""
+    from .dedup import cross_hash60
+
+    h = cross_hash60(F.concat(F.lit(f"ws{seed}:"),
+                              F.col(id_col).cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    base = (df.select(F.col(id_col).alias("id"), w.alias("w"),
+                      key.alias("_key"))
+              .filter(F.col("w") > 0))
+    return (base.orderBy("_key", "id").limit(k)
+                .select("id", "w", F.round(F.col("_key"), 9).alias("key"))
+                .withColumn("rank", F.row_number().over(
+                    Window.orderBy("key", "id")))
+                .select("id", "w", "key", "rank"))

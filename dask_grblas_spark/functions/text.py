@@ -16,7 +16,7 @@ __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "language_id", "fingerprint", "token_frequencies",
            "repetition_stats", "unigram_logprob", "corpus_profile",
            "vocab_oov_rate", "corpus_composition", "bpe_pair_counts",
-           "length_batches", "quality_quantile_filter"]
+           "length_batches", "quality_quantile_filter", "zipf_slope"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -384,3 +384,39 @@ def quality_quantile_filter(df: DataFrame, keep_top: float = 0.5,
     return (scored.crossJoin(F.broadcast(thr))
                   .filter(F.col("quality") >= F.col("_thr"))
                   .select("id", "quality"))
+
+
+def zipf_slope(df: DataFrame, group_col: str = "source",
+               text_col: str = "text", top_r: int = 1000) -> DataFrame:
+    """Per-group Zipf fit: least-squares slope/intercept of
+    ln(freq) ~ ln(rank) over the group's top_r most frequent tokens —
+    the corpus-health diagnostic (natural language sits near slope -1;
+    templated/machine text bends the curve) run per source/shard.
+
+    Scale shape: token frequency is one map-side-combined aggregate;
+    the rank window runs over the (group, token) FREQUENCY relation
+    (vocabulary-sized, not corpus-sized) and the regression folds a
+    <= top_r-row relation per group. Closed-form sums, no iteration.
+    Ties at equal frequency rank deterministically by token. Output:
+    (grp, n_terms, slope, intercept), 6-decimal rounded."""
+    toks = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    freq = (df.select(F.col(group_col).alias("grp"),
+                      F.explode(toks).alias("tok"))
+              .groupBy("grp", "tok").agg(F.count("*").alias("freq")))
+    w = Window.partitionBy("grp").orderBy(F.col("freq").desc(), "tok")
+    ranked = (freq.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= top_r))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    agg = (ranked.select("grp", x.alias("_x"), y.alias("_y"))
+                 .groupBy("grp")
+                 .agg(F.count("*").cast("double").alias("_n"),
+                      F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+                      F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+                      F.sum(F.col("_x") * F.col("_x")).alias("_sxx")))
+    slope = ((F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+             / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")))
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / F.col("_n")
+    return agg.select("grp", F.col("_n").cast("bigint").alias("n_terms"),
+                      F.round(slope, 6).alias("slope"),
+                      F.round(intercept, 6).alias("intercept"))

@@ -1,0 +1,168 @@
+"""Round-6 extension operators: distinct sketches (HLL/KMV), weighted
+sampling, sub-document duplicate coverage, bloom decontamination, Zipf
+fit. Strategy mirrors the rest of the suite: deterministic md5
+arithmetic is replayed in plain Python where exactness is claimed;
+statistical properties get tolerance assertions."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_grblas_spark.functions import dedup, retrieval, sampling, sketches
+from dask_grblas_spark.functions import text as text_fns
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string, n_chars long")
+
+
+def test_hll_estimate_tracks_exact(spark):
+    # ~2000 distinct tokens per source via synthetic vocab
+    rows = []
+    for s in range(3):
+        for d in range(40):
+            toks = [f"w{s}_{(d * 53 + i) % 700}" for i in range(120)]
+            rows.append((s * 100 + d, " ".join(toks), f"s{s}", 1))
+    got = {r.grp: r for r in
+           sketches.hll_distinct(_docs(spark, rows)).collect()}
+    assert set(got) == {"s0", "s1", "s2"}
+    for r in got.values():
+        assert r.exact == 700
+        # HLL with m=256 registers: standard error ~1.04/sqrt(256) = 6.5%
+        assert abs(r.est - r.exact) / r.exact < 0.2
+
+
+def test_hll_small_range_linear_counting(spark):
+    rows = [(i, "alpha beta gamma delta", "s0", 1) for i in range(5)]
+    r = sketches.hll_distinct(_docs(spark, rows)).collect()[0]
+    assert r.exact == 4
+    # linear-counting regime: tiny cardinality estimated near-exactly
+    assert abs(r.est - 4.0) < 0.1
+
+
+def test_kmv_exact_below_k_and_estimates_above(spark):
+    rows = []
+    for s in range(2):
+        for d in range(30):
+            toks = [f"v{s}_{(d * 37 + i) % 500}" for i in range(100)]
+            rows.append((s * 100 + d, " ".join(toks), f"s{s}", 1))
+    got = {r.grp: r for r in
+           sketches.kmv_distinct(_docs(spark, rows), k=64).collect()}
+    assert set(got) == {"s0", "s1", "__union__"}
+    # exact replay: the sketch is a pure function of the md5 hashes, so
+    # the estimate must EQUAL (k-1) * 2^60 / (k-th smallest hash)
+    per = {g: sorted(_h60(f"kmv:v{s}_{v}") for v in range(500))
+           for g, s in (("s0", 0), ("s1", 1))}
+    union = sorted(per["s0"] + per["s1"])
+    for g in ("s0", "s1"):
+        assert got[g].n_kept == 64
+        want = 63 * float(1 << 60) / per[g][63]
+        assert got[g].est == pytest.approx(round(want, 4), abs=1e-4)
+    want_u = 63 * float(1 << 60) / union[63]
+    assert got["__union__"].est == pytest.approx(round(want_u, 4), abs=1e-4)
+    # the estimator is unbiased around the true union (loose sanity:
+    # this fixed draw happens to sit ~3 se high at k=64; at k=256 the
+    # same hashes estimate 996.4 of 1000)
+    assert 500 < got["__union__"].est < 2000
+    # below-k group returns the exact distinct count
+    small = [(0, "a b c d e", "tiny", 1)]
+    r = sketches.kmv_distinct(_docs(spark, small), k=64).collect()
+    assert all(x.n_kept == 5 and x.est == 5.0 for x in r)
+
+
+def test_weighted_sample_matches_python_replay(spark):
+    rows = [(i, "x", "s", (i % 7) * 100 + 10) for i in range(200)]
+    got = sampling.weighted_sample(_docs(spark, rows), "n_chars",
+                                   k=10).collect()
+    keys = {}
+    for i in range(200):
+        w = (i % 7) * 100 + 10
+        u = (_h60(f"ws42:{i}") + 1) / float(1 << 60)
+        keys[i] = -math.log(u) / w
+    want = sorted(keys, key=lambda i: (keys[i], i))[:10]
+    assert [r.id for r in got] == want
+    assert [r.rank for r in got] == list(range(1, 11))
+    for r in got:
+        assert r.key == pytest.approx(round(keys[r.id], 9), abs=1e-9)
+
+
+def test_weighted_sample_zero_weight_excluded(spark):
+    rows = [(1, "x", "s", 0), (2, "x", "s", 5), (3, "x", "s", 7)]
+    got = sampling.weighted_sample(_docs(spark, rows), "n_chars",
+                                   k=10).collect()
+    assert {r.id for r in got} == {2, 3}
+
+
+def test_dup_ngram_coverage(spark):
+    boiler = " ".join(f"b{i}" for i in range(12))
+    uniq = " ".join(f"u{i}" for i in range(12))
+    rows = [(1, boiler, "s", 1), (2, boiler, "s", 1),
+            (3, uniq, "s", 1), (4, "short text", "s", 1),
+            (5, "short text", "s", 1)]
+    got = {r.id: r for r in dedup.dup_ngram_coverage(
+        _docs(spark, rows), n=8).collect()}
+    # identical 12-token docs: every 8-gram shared
+    assert got[1].n_grams == 5 and got[1].dup_frac == 1.0
+    assert got[2].dup_frac == 1.0
+    assert got[3].n_grams == 5 and got[3].n_dup == 0 \
+        and got[3].dup_frac == 0.0
+    # sub-n docs hash their whole text as one gram; 4 and 5 share it
+    assert got[4].n_grams == 1 and got[4].dup_frac == 1.0
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    base = " ".join(f"t{i}" for i in range(30))
+    rows = [(1, base, "s", 1),
+            (2, base + " trailing extra tokens here", "s", 1),
+            (3, " ".join(f"z{i}" for i in range(30)), "s", 1)]
+    got = {r.doc_id: r for r in retrieval.bloom_decontaminate(
+        _docs(spark, rows), [base], n=13).collect()}
+    # the benchmark doc and its superset MUST flag (no false negatives)
+    assert got[1].contaminated and got[2].contaminated
+    assert got[1].n_hits == got[1].n_grams
+    assert got[3].n_grams > 0
+
+
+def test_bloom_subset_of_exact_plus_fp(spark):
+    """Bloom hits are a superset of exact-gram hits (one-sided error)."""
+    rows = [(i, " ".join(f"w{(i * 13 + j) % 40}" for j in range(25)),
+             "s", 1) for i in range(40)]
+    docs = _docs(spark, rows)
+    bench = [r.text for r in docs.filter("doc_id = 5").collect()]
+    exact = {r.doc_id for r in retrieval.ngram_decontaminate(
+        docs, bench, n=13).collect() if r.contaminated}
+    bloom = {r.doc_id for r in retrieval.bloom_decontaminate(
+        docs, bench, n=13).collect() if r.contaminated}
+    assert exact <= bloom
+
+
+def test_zipf_slope_exact_fit(spark):
+    # construct a corpus whose token frequencies are exactly freq(r) =
+    # 2^(10-r): ln freq = 10 ln 2 - r-th... use rank-determined freqs and
+    # verify against a NumPy-free closed-form replay
+    toks = []
+    freqs = {}
+    for r in range(1, 9):
+        f_r = 2 ** (9 - r)
+        freqs[f"tok{r:02d}"] = f_r
+        toks += [f"tok{r:02d}"] * f_r
+    rows = [(1, " ".join(toks), "s0", 1)]
+    got = text_fns.zipf_slope(_docs(spark, rows), top_r=100).collect()[0]
+    xs = [math.log(r) for r in range(1, 9)]
+    ys = [math.log(freqs[t]) for t in sorted(freqs)]
+    n = float(len(xs))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    assert got.n_terms == 8
+    assert got.slope == pytest.approx(round(slope, 6), abs=2e-6)
+    assert got.intercept == pytest.approx(round(intercept, 6), abs=2e-6)
