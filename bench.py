@@ -43,6 +43,17 @@ HEADLINE = [
     "q58_rolling_window",
 ]
 
+# second recorded section (round 6): the LLM-pipeline layer, so
+# regressions there are caught round-over-round like the r1-frozen
+# headline set. Timed identically; totals reported separately so the
+# headline metric stays comparable across rounds.
+PIPELINE = [
+    "q77_kcore",
+    "q78_incremental_dedup",
+    "q81_quality_filter",
+    "q83_group_sample",
+]
+
 
 def main() -> int:
     from pyspark.sql import SparkSession
@@ -64,19 +75,27 @@ def main() -> int:
     qs["q01_outdegree"](spark, SF_DIR).write.mode("overwrite") \
         .format("noop").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+    def time_set(names):
+        out: dict[str, float] = {}
+        for name in names:
+            fn = qs[name]
+            samples = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.mode("overwrite") \
+                    .format("noop").save()
+                samples.append(time.perf_counter() - t0)
+            out[name] = round(statistics.median(samples), 3)
+        return out
 
+    timings = time_set(HEADLINE)
+    pipeline = time_set(PIPELINE)
     total = round(sum(timings.values()), 3)
     print(json.dumps({"metric": "headline_total_median_sec", "value": total,
-                      "unit": "sec", "queries": timings, "sf": sf}))
+                      "unit": "sec", "queries": {**timings, **pipeline},
+                      "pipeline_total_median_sec":
+                          round(sum(pipeline.values()), 3),
+                      "sf": sf}))
     return 0
 
 

@@ -187,6 +187,21 @@ def test_with_singletons_restores_isolated_hashed_ids(spark):
         assert got[v] == v
 
 
+def test_k_core_majority_drop_semi_join_path(spark):
+    """Round 1 dropping the MAJORITY of vertices exercises the
+    smaller-side flip (semi-join on survivors instead of anti-join on
+    the huge dropped set — r6 change): a 6-clique with 40 pendant
+    leaves drops 40 of 46 vertices immediately; result must equal the
+    plain peeling answer."""
+    clique = [(a, b) for a in range(6) for b in range(6) if a < b]
+    leaves = [(a % 6, 10 + a) for a in range(40)]
+    df = spark.createDataFrame(
+        [(i, j, 1) for i, j in clique + leaves], "i long, j long, v long")
+    A = gb.Matrix.from_dataframe(df, dtype="INT64")
+    got = {r["i"]: r["v"] for r in alg.k_core(A, k=3).df.collect()}
+    assert got == {i: 5 for i in range(6)}
+
+
 def test_k_core_cascading_peel(spark):
     """k_core: a pendant chain hanging off a 5-clique peels away over
     MULTIPLE rounds (7 -> 6 -> 5), leaving exactly the clique with
