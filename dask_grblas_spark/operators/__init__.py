@@ -353,10 +353,9 @@ def _np_unary_udf(np_name):
     """Arrow-vectorized fallback for ops with no JVM-side equivalent
     (same slow-path tradeoff the reference inherits: grblas implements
     numpy-spillover ops as Python UDFs over SuiteSparse). After the
-    round-5 Cody/Lanczos/AS241 ports only FOUR ops remain here —
-    spacing/nextafter (IEEE bit manipulation Spark SQL cannot express)
-    and gcd/lcm (data-dependent Euclid iteration) — none reachable from
-    a gate query."""
+    round-5 Cody/Lanczos/AS241 ports and the round-6 gcd/lcm fold port
+    only TWO ops remain here — spacing/nextafter (IEEE bit manipulation
+    Spark SQL cannot express) — neither reachable from a gate query."""
     def build(c, d):
         import numpy as np
         import pandas as pd
@@ -773,8 +772,43 @@ def _np_binary_udf(np_name, out_type="double"):
     return build
 
 
-_b("gcd", _np_binary_udf("gcd", "bigint"))
-_b("lcm", _np_binary_udf("lcm", "bigint"))
+def _gcd_core(x, y):
+    """|gcd| as a runtime FOLD (aggregate over a constant sequence): 92
+    modulo steps cover the signed-64 worst case (consecutive Fibonacci
+    numbers need ~90 divisions). The struct accumulator keeps the plan
+    LINEAR in steps — a naively unrolled when-chain references each
+    intermediate twice and doubles the expression tree per step. Stays
+    JVM-side (higher-order-function evaluation), replacing the former
+    Arrow pandas UDF."""
+    a = F.abs(x.cast("bigint"))
+    b = F.abs(y.cast("bigint"))
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(92)),
+        F.struct(a.alias("a"), b.alias("b")),
+        lambda acc, _i: F.when(acc["b"] == 0, acc)
+                         .otherwise(F.struct(
+                             acc["b"].alias("a"),
+                             F.pmod(acc["a"], acc["b"]).alias("b"))),
+        lambda acc: acc["a"])
+
+
+def _gcd_expr(x, y, d):
+    return _gcd_core(x, y)
+
+
+def _lcm_expr(x, y, d):
+    # lcm = |a/g * b|, 0 when either input is 0 (numpy semantics). The
+    # exact integer quotient uses decimal(38,0) division (g divides a,
+    # so the result is integral; float division would round above 2^53).
+    a = F.abs(x.cast("bigint"))
+    b = F.abs(y.cast("bigint"))
+    g = _gcd_core(x, y)
+    q = (a.cast("decimal(38,0)") / g.cast("decimal(38,0)")).cast("bigint")
+    return F.when(g == 0, F.lit(0).cast("bigint")).otherwise(q * b)
+
+
+_b("gcd", _gcd_expr)
+_b("lcm", _lcm_expr)
 _b("nextafter", _np_binary_udf("nextafter"), _float_out)
 
 # positional ops read join-key columns (reference: grblas firsti/firstj/...,

@@ -205,6 +205,43 @@ BINARY_INT_NUMERIC = {
 }
 
 
+def test_gcd_lcm_column_fold(spark):
+    """Round-6 port of gcd/lcm from pandas UDFs to a JVM-side aggregate
+    fold: Fibonacci worst case (most Euclid steps for 64-bit), zeros,
+    negatives, and an lcm whose quotient exceeds float53 exactness."""
+    fib = [1, 1]
+    while fib[-1] < (1 << 62):
+        fib.append(fib[-1] + fib[-2])
+    f_a, f_b = fib[-1], fib[-2]  # consecutive -> gcd 1, max steps
+    cases = [
+        (f_a, f_b, 1, None),
+        (-12, 18, 6, 36),
+        (9, 0, 9, 0),
+        (0, 0, 0, 0),
+        (1 << 62, 1 << 31, 1 << 31, 1 << 62),
+        ((1 << 60) * 3, 3, 3, (1 << 60) * 3),
+        (270, 192, 6, 8640),
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b, _, _) in enumerate(cases)],
+        "rid long, x long, y long")
+    got_g = {r.rid: r.g for r in df.select(
+        "rid", _BINARY["gcd"](F.col("x"), F.col("y"), INT64).alias("g"))
+        .collect()}
+    # lcm only where the product fits int64: the fib row's lcm overflows
+    # and raises under ANSI (deliberate — numpy wraps silently, which is
+    # a silently wrong answer)
+    lcm_rows = [i for i, (_, _, _, wl) in enumerate(cases)
+                if wl is not None]
+    got_l = {r.rid: r.l for r in df.filter(F.col("rid").isin(lcm_rows))
+             .select("rid", _BINARY["lcm"](F.col("x"), F.col("y"), INT64)
+                     .alias("l")).collect()}
+    for i, (a, b, want_g, want_l) in enumerate(cases):
+        assert got_g[i] == want_g == math.gcd(a, b), (a, b, got_g[i])
+        if want_l is not None:
+            assert got_l[i] == want_l == math.lcm(a, b), (a, b, got_l[i])
+
+
 def test_unary_numeric_grid(spark):
     names = sorted(UNARY_NUMERIC)
     cols, expected = [], []
