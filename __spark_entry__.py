@@ -894,6 +894,41 @@ def q90_zipf_slope(spark, sf_dir):
         .select("grp", "n_terms", "slope", "intercept")
 
 
+def q91_countmin(spark, sf_dir):
+    """Count-min sketch per-user event counts (d=4 x w=1024 counters)
+    for a 20-user query set, exact counts alongside — est >= exact
+    always (one-sided CMS error). Counter contents and probes are pure
+    md5 arithmetic, fully replayed by the oracle."""
+    from dask_grblas_spark.functions import sketches
+    from dask_grblas_spark.streaming import load_events
+
+    return sketches.countmin_counts(load_events(spark, sf_dir),
+                                    "user_id",
+                                    [str(k) for k in range(1, 21)]) \
+        .select("key", "est", "exact")
+
+
+def q92_hll_rollup(spark, sf_dir):
+    """Daily distinct-user estimates computed twice: directly, and by
+    MAX-MERGING the day's per-hour HLL register sketches — the rollup
+    mergeability that makes sketches the 100 TB accounting primitive.
+    The oracle recomputes registers, merge, and both estimates."""
+    from dask_grblas_spark.functions import sketches
+    from dask_grblas_spark.streaming import load_events
+
+    return sketches.hll_user_rollup(load_events(spark, sf_dir)) \
+        .select("day", "est_merged", "est_direct", "exact")
+
+
+def q93_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation communities (5 fixed rounds,
+    ties -> smallest label) on the nation graph — deterministic LPA,
+    replayed by the oracle as 5 chained materialized CTE rounds."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    return alg.label_propagation(nn, max_iters=5).df \
+        .select("i", F.col("v").alias("label"))
+
+
 def q79_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training prep: corpus-weighted adjacent-char-pair
     counts over the word-frequency relation (the statistic each BPE
@@ -1197,6 +1232,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_kmv_union": q88_kmv_union,
         "q89_bloom_decontaminate": q89_bloom_decontaminate,
         "q90_zipf_slope": q90_zipf_slope,
+        "q91_countmin": q91_countmin,
+        "q92_hll_rollup": q92_hll_rollup,
+        "q93_label_propagation": q93_label_propagation,
         # the 34 rotated back in (last driver rows: r1-r4)
         "q03_masked_mxv": q03_masked_mxv,
         "q04_ewise": q04_ewise,
@@ -1232,7 +1270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_media_features": q51_media_features,
         "q52_frame_sample": q52_frame_sample,
         "q37_pagerank": q37_pagerank,
-        # two-row q61-q70 block (driver rows r4+r5) completes the 50
+        # two-row q61-q67 block (driver rows r4+r5) completes the 50
+        # (q68-q70 slid past the cap to make room for q91-q93 — they
+        # carry r4+r5 rows and rotate back in r7)
         "q61_bm25": q61_bm25,
         "q62_kmeans": q62_kmeans,
         "q63_chunking": q63_chunking,
@@ -1240,11 +1280,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_perplexity": q65_perplexity,
         "q66_mixture": q66_mixture,
         "q67_redact": q67_redact,
+
+        # ---- 50-row cap falls here ----
         "q68_decontaminate": q68_decontaminate,
         "q69_tfidf": q69_tfidf,
         "q70_corpus_profile": q70_corpus_profile,
-
-        # ---- 50-row cap falls here ----
         # rotated out this round (all carry fresh r5 driver rows) —
         # rotate back in r7
         "q71_hyperplane_neardup": q71_hyperplane_neardup,
@@ -2787,5 +2827,104 @@ def oracle_sql() -> dict[str, str]:
                ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
                      / n, 6) AS intercept
         FROM agg
+    """
+    sql["q91_countmin"] = r"""
+        WITH q AS (
+          SELECT CAST(k AS VARCHAR) AS key FROM generate_series(1, 20) s(k)
+        ), counters AS (
+          SELECT t.i AS row,
+                 ('0x' || substr(md5('cm' || CAST(t.i AS VARCHAR) || ':'
+                    || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1024
+                   AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events, range(4) t(i)
+          GROUP BY 1, 2
+        ), probes AS (
+          SELECT key, t.i AS row,
+                 ('0x' || substr(md5('cm' || CAST(t.i AS VARCHAR) || ':'
+                    || key), 1, 15))::BIGINT % 1024 AS bucket
+          FROM q, range(4) t(i)
+        ), est AS (
+          SELECT key, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
+          FROM probes LEFT JOIN counters USING (row, bucket)
+          GROUP BY 1
+        ), exact AS (
+          SELECT CAST(user_id AS VARCHAR) AS key,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events JOIN q ON CAST(user_id AS VARCHAR) = q.key
+          GROUP BY 1
+        )
+        SELECT e.key, e.est, COALESCE(x.cnt, 0) AS exact
+        FROM est e LEFT JOIN exact x USING (key)
+    """
+    # q92: per-hour HLL registers, max-merged to days, vs the direct
+    # per-day registers — both estimated with the same scaled-integer
+    # formula as q85.
+    _hll_est = """
+          SELECT {grp},
+                 ROUND(CASE WHEN raw <= 640.0 AND zeros > 0
+                            THEN 256.0 * LN(256.0 / zeros)
+                            ELSE raw END, 4) AS est
+          FROM (SELECT {grp},
+                 0.7213/(1.0 + 1.079/256) * 256 * 256 * 1099511627776.0
+                   / CAST(SUM(CAST(1 AS BIGINT) << CAST(40 - M AS INT))
+                          + (256 - COUNT(*)) * 1099511627776
+                          AS DOUBLE) AS raw,
+                 CAST(256 - COUNT(*) AS DOUBLE) AS zeros
+                FROM {src} GROUP BY {grp})
+    """
+    sql["q92_hll_rollup"] = f"""
+        WITH h AS (
+          SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr,
+                 ('0x' || substr(md5('hllu:' || CAST(user_id AS VARCHAR)),
+                                 1, 15))::BIGINT AS h
+          FROM events
+        ), hourly AS (
+          SELECT day, hr, h % 256 AS bucket,
+                 MAX(LEAST(CASE WHEN h // 256 = 0 THEN 53
+                           ELSE 52 - length(bin(h // 256)) + 1 END,
+                           40)) AS M
+          FROM h GROUP BY 1, 2, 3
+        ), merged AS (
+          SELECT day, bucket, MAX(M) AS M FROM hourly GROUP BY 1, 2
+        ), direct AS (
+          SELECT day, h % 256 AS bucket,
+                 MAX(LEAST(CASE WHEN h // 256 = 0 THEN 53
+                           ELSE 52 - length(bin(h // 256)) + 1 END,
+                           40)) AS M
+          FROM h GROUP BY 1, 2
+        ), estm AS ({_hll_est.format(grp="day", src="merged")}
+        ), estd AS ({_hll_est.format(grp="day", src="direct")}
+        ), ex AS (
+          SELECT day, CAST(COUNT(DISTINCT h) AS BIGINT) AS exact
+          FROM h GROUP BY 1
+        )
+        SELECT m.day, m.est AS est_merged, d.est AS est_direct, ex.exact
+        FROM estm m JOIN estd d USING (day) JOIN ex USING (day)
+    """
+    # q93: 5 synchronous LPA rounds as chained MATERIALIZED CTEs (the
+    # same fixed-depth idiom as q77's k-core peeling); argmax by
+    # (count desc, label asc) via ROW_NUMBER = Spark's max(struct).
+    q93_rounds = []
+    prev93 = "l0"
+    for r in range(1, 6):
+        q93_rounds.append(f"""
+        l{r} AS MATERIALIZED (
+          SELECT i, v FROM (
+            SELECT e.i, l.v, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY e.i
+                        ORDER BY COUNT(*) DESC, l.v) AS rn
+            FROM nn_sym e JOIN {prev93} l ON l.i = e.j
+            GROUP BY e.i, l.v)
+          WHERE rn = 1
+        )""")
+        prev93 = f"l{r}"
+    sql["q93_label_propagation"] = f"""
+        WITH {NN_SYM_CTE},
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT i, CAST(i AS BIGINT) AS v FROM nn_sym
+        ),{",".join(q93_rounds)}
+        SELECT i, CAST(v AS BIGINT) AS label FROM {prev93}
     """
     return sql

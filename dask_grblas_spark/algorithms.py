@@ -415,6 +415,47 @@ def k_core(A: GrMatrix, k: int) -> GrVector:
                     INT64, A.nrows)
 
 
+def label_propagation(A: GrMatrix, max_iters: int = 5) -> GrVector:
+    """Synchronous label-propagation community detection: labels start
+    as vertex ids; each round every vertex adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label —
+    fully deterministic (the async/random-order variants of LPA are
+    not), so the whole fixed-round run replays exactly in SQL. Runs a
+    FIXED number of synchronous rounds (the standard way to bound LPA,
+    which has no convergence guarantee — two-colorable subgraphs can
+    oscillate forever).
+
+    Scale shape: each round is one edge⋈labels join (shuffle on the
+    label key the next round's aggregate needs anyway) + one
+    (vertex, label) count + an argmax via a single max(struct) aggregate
+    (no window, no sort); eager localCheckpoint per round caps lineage
+    exactly like the CC/SSSP/k-core loops. Sparse-id semantics:
+    vertices with no incident edge never appear."""
+    if max_iters < 1:
+        raise ValueError("max_iters must be >= 1")
+    raw, own_raw = _ensure_cached(A.df)
+    Asym = symmetrize(GrMatrix(raw, A.dtype, A.nrows, A.ncols))
+    edges = (Asym.df.select("i", "j").distinct()
+             .localCheckpoint(eager=True))
+    if own_raw:
+        raw.unpersist()
+    labels = (edges.select("i").distinct()
+                   .select("i", F.col("i").cast("bigint").alias("v")))
+    for _ in range(max_iters):
+        nb = (edges.join(labels.withColumnRenamed("i", "j"), on="j")
+                   .select("i", "v"))
+        freq = nb.groupBy("i", "v").agg(F.count("*").alias("_c"))
+        # argmax by (count desc, label asc) as ONE max(struct) aggregate
+        labels = (freq.groupBy("i")
+                      .agg(F.max(F.struct(F.col("_c").alias("c"),
+                                          (-F.col("v")).alias("nv")))
+                           .alias("m"))
+                      .select("i", (-F.col("m.nv")).cast("bigint")
+                              .alias("v"))
+                      .localCheckpoint(eager=True))
+    return GrVector(labels, INT64, A.nrows)
+
+
 def pagerank(A: GrMatrix, damping: float = 0.85, max_iters: int = 20,
              tol: float = 1e-6) -> GrVector:
     """Power-iteration PageRank with dangling-mass redistribution.

@@ -76,8 +76,24 @@ def hll_distinct(df: DataFrame, group_col: str = "source",
     exact COUNT(DISTINCT) column is included for gate comparison; real
     100 TB use drops it (that is the point of the sketch).
     Output: (grp, est, exact)."""
-    m = 1 << b
     hashed = _hash_tokens(df, group_col, text_col, "hll:", n)
+    regs = _hll_regs_from_hashed(hashed, ["grp"], b)
+    per = _hll_estimate_from_regs(regs, ["grp"], b)
+    exact = (hashed.groupBy("grp")
+                   .agg(F.count_distinct("h").alias("exact")))
+    return (per.join(exact, on="grp")
+               .select("grp", "est", F.col("exact").cast("bigint")
+                       .alias("exact")))
+
+
+def _hll_regs_from_hashed(hashed: DataFrame, group_cols: list[str],
+                          b: int) -> DataFrame:
+    """(group_cols..., bucket, M) HLL registers from a (group_cols...,
+    h) relation of 60-bit hashes. Map-side-combined max — the shuffled
+    relation is at most m rows per group at any input size. Register
+    relations MERGE by taking max(M) per (coarser groups, bucket) —
+    the property a 100 TB rollup relies on (see hll_user_rollup)."""
+    m = 1 << b
     rem_bits = 60 - b
     # integer division — h is up to 2^60, so float `/` would round
     w = F.expr(f"h DIV {m}")
@@ -86,16 +102,24 @@ def hll_distinct(df: DataFrame, group_col: str = "source",
     used = F.length(F.conv(w.cast("string"), 10, 2))
     rho = F.when(w == 0, F.lit(rem_bits + 1)) \
            .otherwise(F.lit(rem_bits) - used + 1)
-    regs = (hashed.select("grp", F.pmod(F.col("h"), F.lit(m)).alias("bucket"),
+    return (hashed.select(*group_cols,
+                          F.pmod(F.col("h"), F.lit(m)).alias("bucket"),
                           F.least(rho, F.lit(RHO_CAP)).alias("rho"))
-                  .groupBy("grp", "bucket")
+                  .groupBy(*group_cols, "bucket")
                   .agg(F.max("rho").alias("M")))
-    # scaled-integer harmonic sum: present buckets contribute
-    # 2^(RHO_CAP - M); each of the (m - present) empty buckets would
-    # contribute 2^-0 = 1, i.e. 2^RHO_CAP scaled
+
+
+def _hll_estimate_from_regs(regs: DataFrame, group_cols: list[str],
+                            b: int) -> DataFrame:
+    """(group_cols..., est) from a register relation: scaled-integer
+    harmonic sum (present buckets contribute 2^(RHO_CAP - M); each of
+    the (m - present) empty buckets would contribute 2^-0 = 1, i.e.
+    2^RHO_CAP scaled) + the standard small-range correction. est is
+    ROUND(.., 4)."""
+    m = 1 << b
     term = F.expr(
         f"shiftleft(CAST(1 AS BIGINT), CAST({RHO_CAP} - M AS INT))")
-    per = (regs.groupBy("grp")
+    per = (regs.groupBy(*group_cols)
                .agg(F.sum(term).alias("s_present"),
                     F.count("*").alias("present")))
     alpha = 0.7213 / (1.0 + 1.079 / m)
@@ -107,12 +131,98 @@ def hll_distinct(df: DataFrame, group_col: str = "source",
     est = F.when((raw <= 2.5 * m) & (zeros > 0),
                  F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)) \
            .otherwise(raw)
-    exact = (hashed.groupBy("grp")
-                   .agg(F.count_distinct("h").alias("exact")))
-    return (per.select("grp", F.round(est, 4).alias("est"))
-               .join(exact, on="grp")
-               .select("grp", "est", F.col("exact").cast("bigint")
-                       .alias("exact")))
+    return per.select(*group_cols, F.round(est, 4).alias("est"))
+
+
+def hll_user_rollup(events_df: DataFrame, ts_col: str = "ts",
+                    key_col: str = "user_id", b: int = 8) -> DataFrame:
+    """Daily distinct-key estimates computed TWO ways — directly, and by
+    MERGING the day's per-hour register sketches (max per bucket) — to
+    exercise the property that makes HLL the 100 TB rollup primitive:
+    register relations merge WITHOUT rescanning raw data, so hourly
+    sketches roll up to days/weeks/totals with a tiny aggregate. The
+    two estimates are equal by construction (max of hourly maxes ==
+    direct max); emitting both makes the gate verify the merge path,
+    not just assert it. An exact per-day COUNT(DISTINCT) rides along
+    for error inspection.
+
+    Scale shape: one event scan -> per-(day, hour, bucket) max (map-side
+    combined, <= 24 * m rows per day), a (day, bucket) max-merge over
+    that bounded relation, and the two bounded estimate folds.
+    Output: (day, est_merged, est_direct, exact)."""
+    # epoch-of-truncation keys (timezone-neutral: matches DuckDB's
+    # epoch(date_trunc(..)) exactly — same idiom as grouped_topk)
+    day = F.unix_timestamp(F.date_trunc("day", F.col(ts_col))) \
+           .cast("bigint")
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col(ts_col))) \
+            .cast("bigint")
+    hashed = events_df.select(
+        day.alias("day"), hour.alias("hr"),
+        cross_hash60(F.concat(F.lit("hllu:"),
+                              F.col(key_col).cast("string"))).alias("h"))
+    hourly = _hll_regs_from_hashed(hashed, ["day", "hr"], b)
+    merged_regs = (hourly.groupBy("day", "bucket")
+                         .agg(F.max("M").alias("M")))
+    est_merged = (_hll_estimate_from_regs(merged_regs, ["day"], b)
+                  .withColumnRenamed("est", "est_merged"))
+    direct_regs = _hll_regs_from_hashed(hashed.select("day", "h"),
+                                        ["day"], b)
+    est_direct = (_hll_estimate_from_regs(direct_regs, ["day"], b)
+                  .withColumnRenamed("est", "est_direct"))
+    exact = (hashed.groupBy("day")
+                   .agg(F.count_distinct("h").cast("bigint")
+                        .alias("exact")))
+    return (est_merged.join(est_direct, on="day").join(exact, on="day")
+                      .select("day", "est_merged", "est_direct", "exact"))
+
+
+def countmin_counts(df: DataFrame, key_col: str, query_keys: list,
+                    d: int = 4, w: int = 1024) -> DataFrame:
+    """Count-min sketch frequency estimates: d x w counters, counter
+    (i, h_i(key) mod w) accumulates every occurrence; the estimate for
+    a key is the MIN over its d counters — an overestimate bounded by
+    eps = e/w of the total count with probability 1 - (1/2)^d. The
+    constant-memory answer to "how often did each of these keys occur"
+    when the key universe is unbounded (users, urls, grams).
+
+    All hashing is md5 arithmetic, so counter contents and estimates
+    replay exactly in SQL; est >= exact ALWAYS (one-sided error — the
+    gate exposes both columns). Scale shape: one pass with map-side
+    partial aggregation into the <= d*w-row counter relation; query
+    keys probe it through a broadcast join of d rows per key.
+    Output: (key, est, exact) for the query keys."""
+    spark = df.sparkSession
+    key = F.col(key_col).cast("string")
+    rows = F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 F.pmod(cross_hash60(F.concat(F.lit(f"cm{i}:"), key)),
+                        F.lit(w)).alias("bucket"))
+        for i in range(d)])
+    counters = (df.select(F.explode(rows).alias("rb"))
+                  .groupBy("rb.row", "rb.bucket")
+                  .agg(F.count("*").alias("cnt")))
+    qdf = spark.createDataFrame([(str(k),) for k in query_keys],
+                                "key string")
+    probes = qdf.select("key", F.explode(F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 F.pmod(cross_hash60(F.concat(F.lit(f"cm{i}:"),
+                                              F.col("key"))),
+                        F.lit(w)).alias("bucket"))
+        for i in range(d)])).alias("rb")) \
+        .select("key", "rb.row", "rb.bucket")
+    est = (probes.join(counters, on=["row", "bucket"], how="left")
+                 .groupBy("key")
+                 .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint")
+                      .alias("est")))
+    # exact counts ONLY for the query keys (broadcast semi-filter — the
+    # full-universe exact count is precisely what the sketch avoids)
+    exact = (df.select(key.alias("key"))
+               .join(F.broadcast(qdf), on="key", how="left_semi")
+               .groupBy("key").agg(F.count("*").alias("cnt")))
+    return (est.join(exact, on="key", how="left")
+               .select("key", "est",
+                       F.coalesce("cnt", F.lit(0)).cast("bigint")
+                        .alias("exact")))
 
 
 def kmv_distinct(df: DataFrame, group_col: str = "source",

