@@ -929,6 +929,41 @@ def q93_label_propagation(spark, sf_dir):
         .select("i", F.col("v").alias("label"))
 
 
+def q94_table_profile(spark, sf_dir):
+    """Numeric column profile of lineitem (the per-publish data-quality
+    audit): null counts, exact distinct counts, min/max/mean — ALL
+    columns' statistics in ONE aggregation pass, long-format output
+    from exploding the result structs (no per-column jobs)."""
+    from dask_grblas_spark.functions import profiling
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profiling.profile_numeric(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+             "l_linenumber"]) \
+        .select("col", "n_rows", "n_null", "n_distinct", "min_v",
+                "max_v", "mean_v")
+
+
+def q95_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit across the TPC-H FK graph: orphaned
+    foreign keys (violations — zero on clean data, which is the check)
+    and childless parents (coverage). One anti-join per direction per
+    check."""
+    from dask_grblas_spark.functions import profiling
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return profiling.fk_integrity([
+        ("orders->customer", o, "o_custkey", c, "c_custkey"),
+        ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+        ("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+    ]).select("check", "n_child", "n_orphan", "n_childless_parent")
+
+
 def q79_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training prep: corpus-weighted adjacent-char-pair
     counts over the word-frequency relation (the statistic each BPE
@@ -1235,6 +1270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_countmin": q91_countmin,
         "q92_hll_rollup": q92_hll_rollup,
         "q93_label_propagation": q93_label_propagation,
+        "q94_table_profile": q94_table_profile,
+        "q95_fk_integrity": q95_fk_integrity,
         # the 34 rotated back in (last driver rows: r1-r4)
         "q03_masked_mxv": q03_masked_mxv,
         "q04_ewise": q04_ewise,
@@ -1270,18 +1307,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_media_features": q51_media_features,
         "q52_frame_sample": q52_frame_sample,
         "q37_pagerank": q37_pagerank,
-        # two-row q61-q67 block (driver rows r4+r5) completes the 50
-        # (q68-q70 slid past the cap to make room for q91-q93 — they
+        # two-row q61-q65 block (driver rows r4+r5) completes the 50
+        # (q66-q70 slid past the cap to make room for q91-q95 — they
         # carry r4+r5 rows and rotate back in r7)
         "q61_bm25": q61_bm25,
         "q62_kmeans": q62_kmeans,
         "q63_chunking": q63_chunking,
         "q64_packing": q64_packing,
         "q65_perplexity": q65_perplexity,
-        "q66_mixture": q66_mixture,
-        "q67_redact": q67_redact,
 
         # ---- 50-row cap falls here ----
+        "q66_mixture": q66_mixture,
+        "q67_redact": q67_redact,
         "q68_decontaminate": q68_decontaminate,
         "q69_tfidf": q69_tfidf,
         "q70_corpus_profile": q70_corpus_profile,
@@ -2927,4 +2964,39 @@ def oracle_sql() -> dict[str, str]:
         ),{",".join(q93_rounds)}
         SELECT i, CAST(v AS BIGINT) AS label FROM {prev93}
     """
+    _prof_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                  "l_linenumber"]
+    sql["q94_table_profile"] = "\nUNION ALL\n".join(f"""
+        SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT CAST({c} AS DOUBLE)) AS BIGINT)
+                 AS n_distinct,
+               ROUND(MIN(CAST({c} AS DOUBLE)), 6) AS min_v,
+               ROUND(MAX(CAST({c} AS DOUBLE)), 6) AS max_v,
+               ROUND(AVG(CAST({c} AS DOUBLE)), 6) AS mean_v
+        FROM lineitem""" for c in _prof_cols)
+    _fk_checks = [
+        ("orders->customer", "orders", "o_custkey", "customer",
+         "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders",
+         "o_orderkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+         "s_suppkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation",
+         "n_nationkey"),
+    ]
+    sql["q95_fk_integrity"] = "\nUNION ALL\n".join(f"""
+        SELECT '{name}' AS "check",
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct}) AS n_child,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct} ch
+                WHERE NOT EXISTS (SELECT 1 FROM {pt} p
+                      WHERE CAST(p.{pk} AS BIGINT)
+                            = CAST(ch.{fk} AS BIGINT))) AS n_orphan,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                  (SELECT DISTINCT CAST({pk} AS BIGINT) AS k FROM {pt}) p
+                WHERE NOT EXISTS (SELECT 1 FROM {ct} ch
+                      WHERE CAST(ch.{fk} AS BIGINT) = p.k))
+                 AS n_childless_parent""" for name, ct, fk, pt, pk
+                                          in _fk_checks)
     return sql

@@ -209,3 +209,37 @@ def test_hll_rollup_merge_equals_direct(spark):
         assert r.est_merged == r.est_direct
         assert r.exact > 0
         assert abs(r.est_direct - r.exact) / r.exact < 0.25
+
+
+def test_profile_numeric_with_planted_nulls(spark):
+    from dask_grblas_spark.functions import profiling
+
+    rows = [(i, float(i) if i % 5 else None, float(i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    got = {r.col: r for r in profiling.profile_numeric(
+        df, ["a", "b"]).collect()}
+    assert got["a"].n_rows == 100 and got["a"].n_null == 20
+    assert got["a"].n_distinct == 80
+    assert got["a"].min_v == 1.0 and got["a"].max_v == 99.0
+    assert got["b"].n_null == 0 and got["b"].n_distinct == 3
+    assert got["b"].min_v == 0.0 and got["b"].max_v == 2.0
+    # mean over the non-null values
+    vals = [float(i) for i in range(100) if i % 5]
+    assert got["a"].mean_v == round(sum(vals) / len(vals), 6)
+
+
+def test_fk_integrity_planted_orphans(spark):
+    from dask_grblas_spark.functions import profiling
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 11), (4, 99)], "id long, fk long")
+    parent = spark.createDataFrame(
+        [(10,), (11,), (12,)], "pk long")
+    got = profiling.fk_integrity(
+        [("c->p", child, "fk", parent, "pk")]).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["check"] == "c->p"
+    assert r.n_child == 4
+    assert r.n_orphan == 1          # fk=99 has no parent
+    assert r.n_childless_parent == 1  # pk=12 has no child
