@@ -964,6 +964,17 @@ def q95_fk_integrity(spark, sf_dir):
     ]).select("check", "n_child", "n_orphan", "n_childless_parent")
 
 
+def q96_bpe_train(spark, sf_dir):
+    """Train 5 BPE merges on the corpus (the actual tokenizer-training
+    loop, beyond q79's first-round statistic). Sentinel-wrapped symbol
+    strings make each merge a literal replace() with identical greedy
+    left-to-right semantics in Spark and DuckDB, so the oracle replays
+    ALL rounds — pair counting, argmax with ties, and the rewrites —
+    as 5 chained materialized CTEs."""
+    return text.bpe_train(_doc(spark, sf_dir), n_merges=5) \
+        .select("step", "pair", "merged", "cnt")
+
+
 def q79_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training prep: corpus-weighted adjacent-char-pair
     counts over the word-frequency relation (the statistic each BPE
@@ -1272,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_label_propagation": q93_label_propagation,
         "q94_table_profile": q94_table_profile,
         "q95_fk_integrity": q95_fk_integrity,
+        "q96_bpe_train": q96_bpe_train,
         # the 34 rotated back in (last driver rows: r1-r4)
         "q03_masked_mxv": q03_masked_mxv,
         "q04_ewise": q04_ewise,
@@ -1307,16 +1319,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_media_features": q51_media_features,
         "q52_frame_sample": q52_frame_sample,
         "q37_pagerank": q37_pagerank,
-        # two-row q61-q65 block (driver rows r4+r5) completes the 50
-        # (q66-q70 slid past the cap to make room for q91-q95 — they
+        # two-row q61-q64 block (driver rows r4+r5) completes the 50
+        # (q65-q70 slid past the cap to make room for q91-q96 — they
         # carry r4+r5 rows and rotate back in r7)
         "q61_bm25": q61_bm25,
         "q62_kmeans": q62_kmeans,
         "q63_chunking": q63_chunking,
         "q64_packing": q64_packing,
-        "q65_perplexity": q65_perplexity,
 
         # ---- 50-row cap falls here ----
+        "q65_perplexity": q65_perplexity,
         "q66_mixture": q66_mixture,
         "q67_redact": q67_redact,
         "q68_decontaminate": q68_decontaminate,
@@ -2976,6 +2988,119 @@ def oracle_sql() -> dict[str, str]:
                ROUND(MAX(CAST({c} AS DOUBLE)), 6) AS max_v,
                ROUND(AVG(CAST({c} AS DOUBLE)), 6) AS mean_v
         FROM lineitem""" for c in _prof_cols)
+    sql["q96_bpe_train"] = r"""
+        WITH w0 AS MATERIALIZED (
+          SELECT array_to_string(list_transform(
+                   regexp_extract_all(w, '.'),
+                   c -> '<' || c || '>'), '') AS r,
+                 CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(list_filter(
+                  regexp_split_to_array(trim(text), '\s+'),
+                  t -> length(t) > 0)) AS w FROM documents)
+          WHERE w NOT LIKE '%<%' AND w NOT LIKE '%>%'
+            AND length(w) <= 20
+          GROUP BY 1
+        ),
+        p1 AS MATERIALIZED (
+          SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+            SELECT unnest(CASE WHEN len(u) < 2 THEN CAST([] AS VARCHAR[])
+                   ELSE list_transform(generate_series(1, len(u) - 1),
+                        i -> u[i] || u[i + 1]) END) AS pair, freq
+            FROM (SELECT regexp_extract_all(r, '<[^<>]+>') AS u, freq
+                  FROM w0))
+          GROUP BY 1
+        ),
+        m1 AS MATERIALIZED (
+          SELECT 1 AS step, pair, replace(pair, '><', '') AS merged, cnt
+          FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        w1 AS MATERIALIZED (
+          SELECT replace(r, (SELECT pair FROM m1),
+                         (SELECT merged FROM m1)) AS r, freq
+          FROM w0
+        ),
+        p2 AS MATERIALIZED (
+          SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+            SELECT unnest(CASE WHEN len(u) < 2 THEN CAST([] AS VARCHAR[])
+                   ELSE list_transform(generate_series(1, len(u) - 1),
+                        i -> u[i] || u[i + 1]) END) AS pair, freq
+            FROM (SELECT regexp_extract_all(r, '<[^<>]+>') AS u, freq
+                  FROM w1))
+          GROUP BY 1
+        ),
+        m2 AS MATERIALIZED (
+          SELECT 2 AS step, pair, replace(pair, '><', '') AS merged, cnt
+          FROM p2 ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        w2 AS MATERIALIZED (
+          SELECT replace(r, (SELECT pair FROM m2),
+                         (SELECT merged FROM m2)) AS r, freq
+          FROM w1
+        ),
+        p3 AS MATERIALIZED (
+          SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+            SELECT unnest(CASE WHEN len(u) < 2 THEN CAST([] AS VARCHAR[])
+                   ELSE list_transform(generate_series(1, len(u) - 1),
+                        i -> u[i] || u[i + 1]) END) AS pair, freq
+            FROM (SELECT regexp_extract_all(r, '<[^<>]+>') AS u, freq
+                  FROM w2))
+          GROUP BY 1
+        ),
+        m3 AS MATERIALIZED (
+          SELECT 3 AS step, pair, replace(pair, '><', '') AS merged, cnt
+          FROM p3 ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        w3 AS MATERIALIZED (
+          SELECT replace(r, (SELECT pair FROM m3),
+                         (SELECT merged FROM m3)) AS r, freq
+          FROM w2
+        ),
+        p4 AS MATERIALIZED (
+          SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+            SELECT unnest(CASE WHEN len(u) < 2 THEN CAST([] AS VARCHAR[])
+                   ELSE list_transform(generate_series(1, len(u) - 1),
+                        i -> u[i] || u[i + 1]) END) AS pair, freq
+            FROM (SELECT regexp_extract_all(r, '<[^<>]+>') AS u, freq
+                  FROM w3))
+          GROUP BY 1
+        ),
+        m4 AS MATERIALIZED (
+          SELECT 4 AS step, pair, replace(pair, '><', '') AS merged, cnt
+          FROM p4 ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        w4 AS MATERIALIZED (
+          SELECT replace(r, (SELECT pair FROM m4),
+                         (SELECT merged FROM m4)) AS r, freq
+          FROM w3
+        ),
+        p5 AS MATERIALIZED (
+          SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+            SELECT unnest(CASE WHEN len(u) < 2 THEN CAST([] AS VARCHAR[])
+                   ELSE list_transform(generate_series(1, len(u) - 1),
+                        i -> u[i] || u[i + 1]) END) AS pair, freq
+            FROM (SELECT regexp_extract_all(r, '<[^<>]+>') AS u, freq
+                  FROM w4))
+          GROUP BY 1
+        ),
+        m5 AS MATERIALIZED (
+          SELECT 5 AS step, pair, replace(pair, '><', '') AS merged, cnt
+          FROM p5 ORDER BY cnt DESC, pair LIMIT 1
+        ),
+        w5 AS MATERIALIZED (
+          SELECT replace(r, (SELECT pair FROM m5),
+                         (SELECT merged FROM m5)) AS r, freq
+          FROM w4
+        )
+        SELECT CAST(step AS INT) AS step, pair, merged, cnt FROM m1
+        UNION ALL
+        SELECT CAST(step AS INT) AS step, pair, merged, cnt FROM m2
+        UNION ALL
+        SELECT CAST(step AS INT) AS step, pair, merged, cnt FROM m3
+        UNION ALL
+        SELECT CAST(step AS INT) AS step, pair, merged, cnt FROM m4
+        UNION ALL
+        SELECT CAST(step AS INT) AS step, pair, merged, cnt FROM m5
+    """
     _fk_checks = [
         ("orders->customer", "orders", "o_custkey", "customer",
          "c_custkey"),

@@ -16,7 +16,8 @@ __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "language_id", "fingerprint", "token_frequencies",
            "repetition_stats", "unigram_logprob", "corpus_profile",
            "vocab_oov_rate", "corpus_composition", "bpe_pair_counts",
-           "length_batches", "quality_quantile_filter", "zipf_slope"]
+           "length_batches", "quality_quantile_filter", "zipf_slope",
+           "bpe_train"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -420,3 +421,66 @@ def zipf_slope(df: DataFrame, group_col: str = "source",
     return agg.select("grp", F.col("_n").cast("bigint").alias("n_terms"),
                       F.round(slope, 6).alias("slope"),
                       F.round(intercept, 6).alias("intercept"))
+
+
+def bpe_train(df: DataFrame, text_col: str = "text", n_merges: int = 5,
+              max_word_len: int = 20) -> DataFrame:
+    """Train BPE merges ON Spark: n_merges rounds of (count adjacent
+    symbol pairs over the corpus-weighted word-frequency relation ->
+    adopt the most frequent pair as a new symbol -> rewrite words),
+    returning the learned merge table (step, pair, merged, cnt) — the
+    actual tokenizer-training loop, not just the first-round statistic
+    (bpe_pair_counts).
+
+    Cross-engine-exact representation: a word is the concatenation of
+    sentinel-wrapped symbols ('hello' -> '<h><e><l><l><o>'), so a merge
+    of (a, b) is a LITERAL string replace of '<a><b>' with '<ab>' —
+    and both Spark's and DuckDB's replace() scan left-to-right
+    non-overlapping, which IS greedy BPE merge order ('<l><l><l>'
+    merges its first two l's). Ties pick the lexicographically
+    smallest pair. Symbols never contain the sentinels, so a pattern
+    can only match at unit boundaries. Words containing '<' or '>'
+    or longer than max_word_len are excluded (documented trade; the
+    cap bounds per-round work like bpe_pair_counts').
+
+    Scale shape: after the one corpus-scale word count, every round
+    runs on the VOCABULARY-sized (repr, freq) relation: pair explode
+    (<= max_word_len rows per word) + map-side-combined count + a
+    1-row TakeOrdered; the winning pair is driver-held (kmeans-style
+    k-constants pattern) and rewrites the relation for the next round
+    with an eager localCheckpoint bounding lineage. Driver traffic is
+    ONE ROW per round."""
+    spark = df.sparkSession
+    toks = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    word = (df.select(F.explode(toks).alias("w"))
+              .filter(~F.col("w").rlike("[<>]")
+                      & (F.length("w") <= max_word_len))
+              .groupBy("w").agg(F.count("*").alias("freq")))
+    repr0 = F.expr(
+        "concat_ws('', transform(regexp_extract_all(w, '.', 0), "
+        "c -> concat('<', c, '>')))")
+    cur = (word.select(repr0.alias("r"), "freq")
+               .localCheckpoint(eager=True))
+    units = F.expr("regexp_extract_all(r, '<[^<>]+>', 0)")
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = (cur.select(units.alias("u"), "freq")
+                    .select(F.explode(F.expr(
+                        "CASE WHEN size(u) < 2 THEN array() "
+                        "ELSE transform(sequence(1, size(u) - 1), "
+                        "i -> concat(element_at(u, i), "
+                        "element_at(u, i + 1))) END")).alias("pair"),
+                        "freq")
+                    .groupBy("pair")
+                    .agg(F.sum("freq").cast("bigint").alias("cnt")))
+        top = pairs.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], top[0]["cnt"]
+        merged = pair.replace("><", "")
+        merges.append((step, pair, merged, int(cnt)))
+        cur = (cur.select(F.expr(
+                   f"replace(r, '{pair}', '{merged}')").alias("r"), "freq")
+                  .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        merges, "step int, pair string, merged string, cnt bigint")

@@ -243,3 +243,33 @@ def test_fk_integrity_planted_orphans(spark):
     assert r.n_child == 4
     assert r.n_orphan == 1          # fk=99 has no parent
     assert r.n_childless_parent == 1  # pk=12 has no child
+
+
+def test_bpe_train_classic_corpus(spark):
+    """The Sennrich toy corpus: low(5) lower(2) newest(6) widest(3) —
+    the learned merges must be es, est, lo, low, ew, ewest (greedy,
+    corpus-weighted, smallest-pair ties)."""
+    words = [w for w, n in (("low", 5), ("lower", 2), ("newest", 6),
+                            ("widest", 3)) for _ in range(n)]
+    df = spark.createDataFrame(
+        [(i, w, "s", 1) for i, w in enumerate(words)],
+        "doc_id long, text string, source string, n_chars long")
+    got = [(r.step, r.merged, r.cnt)
+           for r in text_fns.bpe_train(df, n_merges=6)
+           .orderBy("step").collect()]
+    assert got == [(1, "<es>", 9), (2, "<est>", 9), (3, "<lo>", 7),
+                   (4, "<low>", 7), (5, "<ew>", 6), (6, "<ewest>", 6)]
+
+
+def test_bpe_train_greedy_overlap_and_guards(spark):
+    """'lll' counts the overlapping (l,l) pair twice but merges
+    left-to-right non-overlapping (replace semantics); words with
+    sentinels or over the length cap are excluded."""
+    rows = [(1, "lll", "s", 1), (2, "x<y>", "s", 1),
+            (3, "a" * 30, "s", 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "source string, n_chars long")
+    got = text_fns.bpe_train(df, n_merges=2).orderBy("step").collect()
+    assert got[0].pair == "<l><l>" and got[0].cnt == 2
+    # after merging: '<ll><l>' -> round 2 merges (ll, l)
+    assert got[1].pair == "<ll><l>" and got[1].cnt == 1

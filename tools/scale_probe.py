@@ -220,6 +220,8 @@ def main() -> int:
           lambda: sketches.kmv_distinct(docs_sl, k=128, n=3))
     probe("dup_ngram_coverage", ndocs,
           lambda: dedup.dup_ngram_coverage(docs))
+    probe("bpe_train_5merges", ndocs,
+          lambda: text_fns.bpe_train(docs, n_merges=5))
 
     # ---- per-group sampling under heavy skew: ONE group holds 50% of
     # 10M rows — the two-phase top-k must keep that group's window
