@@ -975,6 +975,43 @@ def q96_bpe_train(spark, sf_dir):
         .select("step", "pair", "merged", "cnt")
 
 
+def q97_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings: k-means clustering (k=8, 3 Lloyd
+    iterations, the q62 deterministic recipe) restricts the cosine
+    near-duplicate search to WITHIN-cluster pairs — the quadratic
+    all-pairs scan becomes k bounded per-cluster joins with a
+    default-on hot-cluster star-expansion cap. The oracle replays the
+    full k-means chain (q62's CTE pyramid) and then the pair join with
+    unrolled left-associated dot products."""
+    return similarity.semantic_dedup_pairs(
+        _emb(spark, sf_dir), threshold=0.2, k=8, iters=3) \
+        .select("cluster", "id_a", "id_b", "cosine")
+
+
+def q98_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event values
+    (alpha = 1/4 — exact binary fractions, so the recurrence is
+    bit-reproducible): one groupBy shuffle, a JVM-side aggregate() fold
+    over the time-sorted series, posexplode back. The oracle replays
+    the recurrence as a recursive CTE stepping rank-by-rank."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.ewma(load_events(spark, sf_dir)) \
+        .select("id", "key", "x", "ewma")
+
+
+def q99_gapfill(spark, sf_dir):
+    """Hourly gap-fill + forward fill of each user's value series (the
+    resampling front end of windowed feature pipelines): per-slot last
+    observation, sequence()-exploded grid over each key's span, one
+    last(ignorenulls) window. The oracle forward-fills with the
+    count-of-non-nulls grouping trick (no IGNORE NULLS dependence)."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.gapfill(load_events(spark, sf_dir)) \
+        .select("key", "slot", "value", "observed")
+
+
 def q79_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training prep: corpus-weighted adjacent-char-pair
     counts over the word-frequency relation (the statistic each BPE
@@ -1272,6 +1309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r5 driver rows) — rotate back in r7.
     return {
         # new this round — first driver rows needed
+        "q97_semantic_dedup": q97_semantic_dedup,
+        "q98_ewma": q98_ewma,
+        "q99_gapfill": q99_gapfill,
         "q85_hll_distinct": q85_hll_distinct,
         "q86_weighted_sample": q86_weighted_sample,
         "q87_dup_ngram_coverage": q87_dup_ngram_coverage,
@@ -1319,15 +1359,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_media_features": q51_media_features,
         "q52_frame_sample": q52_frame_sample,
         "q37_pagerank": q37_pagerank,
-        # two-row q61-q64 block (driver rows r4+r5) completes the 50
-        # (q65-q70 slid past the cap to make room for q91-q96 — they
-        # carry r4+r5 rows and rotate back in r7)
+        # q61 (driver rows r4+r5) completes the 50 (q62-q70 slid past
+        # the cap to make room for q91-q99 — they carry r4+r5 rows and
+        # rotate back in r7)
         "q61_bm25": q61_bm25,
+
+        # ---- 50-row cap falls here ----
         "q62_kmeans": q62_kmeans,
         "q63_chunking": q63_chunking,
         "q64_packing": q64_packing,
-
-        # ---- 50-row cap falls here ----
         "q65_perplexity": q65_perplexity,
         "q66_mixture": q66_mixture,
         "q67_redact": q67_redact,
@@ -1377,6 +1417,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_op_grid": q56_op_grid,
         "q55_isclose": q55_isclose,
     }
+
+
+def _kmeans_with(k: int, iters: int) -> str:
+    """The deterministic k-means CTE pyramid shared by the q62 and q97
+    oracles: hash init, per-iteration rounded-distance argmin assignment
+    + rounded centroid means, ending in an ``asg(vid, c)`` CTE holding
+    the final assignment (the same recipe `kmeans_assign` runs)."""
+    km = """
+        WITH emb AS (
+          SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ), ee AS (
+          SELECT vid, generate_subscripts(v, 1) AS d, unnest(v) AS val
+          FROM emb
+        ), c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY hk, vid) AS BIGINT) - 1
+                   AS c, v AS cv
+          FROM (SELECT vid, v,
+                       ('0x' || substr(md5('42:' || vid), 1, 15))::BIGINT
+                         AS hk
+                FROM emb ORDER BY hk, vid LIMIT {k})
+        )"""
+    for _i in range(1, iters + 1):
+        km += """, ec{p} AS (
+          SELECT c, generate_subscripts(cv, 1) AS d, unnest(cv) AS cval
+          FROM c{p}
+        ), a{i} AS (
+          SELECT vid, c FROM (
+            SELECT vid, c, row_number() OVER (PARTITION BY vid
+                     ORDER BY ROUND(dist, 6), c) AS rn
+            FROM (SELECT ee.vid, ec.c,
+                         SUM((ee.val - ec.cval) * (ee.val - ec.cval))
+                           AS dist
+                  FROM ee JOIN ec{p} ec USING (d)
+                  GROUP BY ee.vid, ec.c))
+          WHERE rn = 1
+        ), c{i} AS (
+          SELECT p.c, COALESCE(n.cv, p.cv) AS cv
+          FROM c{p} p LEFT JOIN (
+            SELECT c, list(ROUND(m, 6) ORDER BY d) AS cv
+            FROM (SELECT a.c, ee.d, AVG(ee.val) AS m
+                  FROM a{i} a JOIN ee USING (vid) GROUP BY a.c, ee.d)
+            GROUP BY c) n USING (c)
+        )""".format(p=_i - 1, i=_i)
+    km += """, ecf AS (
+          SELECT c, generate_subscripts(cv, 1) AS d, unnest(cv) AS cval
+          FROM c{n}
+        ), asg AS (
+          SELECT vid, c FROM (
+            SELECT vid, c, row_number() OVER (PARTITION BY vid
+                     ORDER BY ROUND(dist, 6), c) AS rn
+            FROM (SELECT ee.vid, ec.c,
+                         SUM((ee.val - ec.cval) * (ee.val - ec.cval))
+                           AS dist
+                  FROM ee JOIN ecf ec USING (d)
+                  GROUP BY ee.vid, ec.c))
+          WHERE rn = 1
+        )"""
+    return km.format(k=k, n=iters)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2401,57 +2500,8 @@ def oracle_sql() -> dict[str, str]:
     # init (hash-ranked pick) -> [assign, update] x 3 -> final assign;
     # distances and centroid means rounded to 6 decimals in BOTH engines
     # so cross-engine float drift cannot flip an argmin
-    _KM_K, _KM_ITERS = 8, 3
-    km = """
-        WITH emb AS (
-          SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
-          FROM embeddings
-        ), ee AS (
-          SELECT vid, generate_subscripts(v, 1) AS d, unnest(v) AS val
-          FROM emb
-        ), c0 AS (
-          SELECT CAST(row_number() OVER (ORDER BY hk, vid) AS BIGINT) - 1
-                   AS c, v AS cv
-          FROM (SELECT vid, v,
-                       ('0x' || substr(md5('42:' || vid), 1, 15))::BIGINT
-                         AS hk
-                FROM emb ORDER BY hk, vid LIMIT {k})
-        )"""
-    for _i in range(1, _KM_ITERS + 1):
-        km += """, ec{p} AS (
-          SELECT c, generate_subscripts(cv, 1) AS d, unnest(cv) AS cval
-          FROM c{p}
-        ), a{i} AS (
-          SELECT vid, c FROM (
-            SELECT vid, c, row_number() OVER (PARTITION BY vid
-                     ORDER BY ROUND(dist, 6), c) AS rn
-            FROM (SELECT ee.vid, ec.c,
-                         SUM((ee.val - ec.cval) * (ee.val - ec.cval))
-                           AS dist
-                  FROM ee JOIN ec{p} ec USING (d)
-                  GROUP BY ee.vid, ec.c))
-          WHERE rn = 1
-        ), c{i} AS (
-          SELECT p.c, COALESCE(n.cv, p.cv) AS cv
-          FROM c{p} p LEFT JOIN (
-            SELECT c, list(ROUND(m, 6) ORDER BY d) AS cv
-            FROM (SELECT a.c, ee.d, AVG(ee.val) AS m
-                  FROM a{i} a JOIN ee USING (vid) GROUP BY a.c, ee.d)
-            GROUP BY c) n USING (c)
-        )""".format(p=_i - 1, i=_i)
-    km += """, ecf AS (
-          SELECT c, generate_subscripts(cv, 1) AS d, unnest(cv) AS cval
-          FROM c{n}
-        )
-        SELECT vid AS vec_id, CAST(c AS BIGINT) AS cluster FROM (
-          SELECT vid, c, row_number() OVER (PARTITION BY vid
-                   ORDER BY ROUND(dist, 6), c) AS rn
-          FROM (SELECT ee.vid, ec.c,
-                       SUM((ee.val - ec.cval) * (ee.val - ec.cval)) AS dist
-                FROM ee JOIN ecf ec USING (d)
-                GROUP BY ee.vid, ec.c))
-        WHERE rn = 1"""
-    sql["q62_kmeans"] = km.format(k=_KM_K, n=_KM_ITERS)
+    sql["q62_kmeans"] = _kmeans_with(8, 3) + """
+        SELECT vid AS vec_id, CAST(c AS BIGINT) AS cluster FROM asg"""
     sql["q63_chunking"] = r"""
         WITH docs AS (
           SELECT doc_id,
@@ -3124,4 +3174,84 @@ def oracle_sql() -> dict[str, str]:
                       WHERE CAST(ch.{fk} AS BIGINT) = p.k))
                  AS n_childless_parent""" for name, ct, fk, pt, pk
                                           in _fk_checks)
+    # q97: replay the q62 k-means chain, then the capped within-cluster
+    # pair join. Dots/norms are UNROLLED LEFT-ASSOCIATED sums starting
+    # at 0.0 — bit-identical to Spark's aggregate(zip_with) folds.
+    _sq = "0.0 + " + " + ".join(f"v[{i}]*v[{i}]" for i in range(1, 65))
+    _dot = "0.0 + " + " + ".join(f"x.v[{i}]*y.v[{i}]"
+                                 for i in range(1, 65))
+    sql["q97_semantic_dedup"] = _kmeans_with(8, 3) + f"""
+        , nrm AS (
+          SELECT vid, v, n FROM (
+            SELECT vid, v, SQRT({_sq}) AS n FROM emb)
+          WHERE n > 0
+        ), mem AS (
+          SELECT a.vid, a.c,
+                 COUNT(*) OVER (PARTITION BY a.c) AS f,
+                 MIN(a.vid) OVER (PARTITION BY a.c) AS rep
+          FROM asg a JOIN nrm USING (vid)
+        ), cand AS (
+          SELECT a.c AS cluster, a.vid AS id_a, b.vid AS id_b
+          FROM mem a JOIN mem b ON a.c = b.c AND a.vid < b.vid
+          WHERE a.f <= 1000
+          UNION
+          SELECT c AS cluster, rep AS id_a, vid AS id_b
+          FROM mem WHERE f > 1000 AND vid <> rep
+        )
+        SELECT cluster, id_a, id_b, cosine FROM (
+          SELECT cd.cluster, cd.id_a, cd.id_b,
+                 ROUND(({_dot}) / (x.n * y.n), 6) AS cosine
+          FROM cand cd
+          JOIN nrm x ON x.vid = cd.id_a
+          JOIN nrm y ON y.vid = cd.id_b)
+        WHERE cosine >= 0.2"""
+
+    # q98: the EWMA recurrence stepped rank-by-rank as a recursive CTE
+    # (per-step ROUND(.,6) pins both engines to identical values)
+    sql["q98_ewma"] = """
+        WITH RECURSIVE e AS (
+          SELECT event_id, user_id, CAST(value AS DOUBLE) AS x,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ), r AS (
+          SELECT event_id, user_id, rn, x, x AS ewma FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.event_id, e.user_id, e.rn, e.x,
+                 FLOOR((0.25 * e.x + 0.75 * r.ewma) * 1000000.0 + 0.5)
+                   / 1000000.0
+          FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        )
+        SELECT event_id AS id, user_id AS key, x, ewma FROM r"""
+
+    # q99: hourly grid via generate_series; forward fill with the
+    # count-of-non-nulls grouping trick (one non-null per group)
+    sql["q99_gapfill"] = """
+        WITH b AS (
+          SELECT key, slot, x FROM (
+            SELECT user_id AS key, date_trunc('hour', ts) AS slot,
+                   CAST(value AS DOUBLE) AS x,
+                   row_number() OVER (
+                     PARTITION BY user_id, date_trunc('hour', ts)
+                     ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+          WHERE rn = 1
+        ), span AS (
+          SELECT key, MIN(slot) AS lo, MAX(slot) AS hi FROM b GROUP BY key
+        ), grid AS (
+          SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                   AS slot
+          FROM span
+        ), j AS (
+          SELECT g.key, g.slot, b.x
+          FROM grid g LEFT JOIN b USING (key, slot)
+        )
+        SELECT key, slot,
+               MAX(x) OVER (PARTITION BY key, grp) AS value,
+               x IS NOT NULL AS observed
+        FROM (SELECT key, slot, x,
+                     COUNT(x) OVER (PARTITION BY key ORDER BY slot
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+              FROM j)"""
+
     return sql

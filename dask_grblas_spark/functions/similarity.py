@@ -24,7 +24,8 @@ from pyspark.sql.window import Window
 
 __all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
            "hyperplane_lsh_buckets", "hyperplane_lsh_pairs", "ivf_topk",
-           "kmeans_assign", "random_projection", "label_centroids"]
+           "kmeans_assign", "random_projection", "label_centroids",
+           "semantic_dedup_pairs"]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -488,6 +489,83 @@ def random_projection(emb_df: DataFrame, out_dim: int = 16,
         comps.append(F.round(dot_expr(F.col(vec_col), h), 6))
     return emb_df.select(F.col(id_col).alias("id"),
                          F.posexplode(F.array(*comps)).alias("dim", "value"))
+
+
+def semantic_dedup_pairs(emb_df: DataFrame, threshold: float = 0.2,
+                         k: int = 8, iters: int = 3,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         max_cluster_size: int | None = 1000,
+                         seed: int = 42) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then form
+    near-duplicate candidates only WITHIN a cluster and keep pairs whose
+    exact cosine similarity reaches ``threshold``. Clustering turns the
+    quadratic all-pairs comparison into k independent per-cluster
+    comparisons — the standard way semantic dedup scales to web corpora
+    (prune one member of each pair; the smaller id is the conventional
+    keeper).
+
+    Output: (cluster, id_a, id_b, cosine) with id_a < id_b and
+    cosine = ROUND(dot / (|a| * |b|), 6) >= threshold.
+
+    Scale shape: ``kmeans_assign`` is the driver-held-centroid Lloyd
+    loop (one scan per pass); the pair stage is a self-equi-join on the
+    cluster id, so candidate volume is sum_c(f_c^2)/2 — bounded when k
+    tracks corpus size (clusters of ~constant size), NOT bounded when
+    one cluster goes hot (an embedding-collapse or boilerplate mode).
+    ``max_cluster_size`` is the same default-ON skew guard as the LSH
+    paths (`dedup.py` minhash/simhash): clusters over the cap switch
+    from all-pairs to STAR expansion against the cluster's min-id
+    representative (linear rows, verified cosine, documented recall
+    trade inside over-cap clusters; pass None for exact all-pairs).
+    Norm-zero vectors are dropped up front: their cosine is undefined,
+    and the engines disagree on x/0 (Spark gives NaN — which compares
+    GREATER than any threshold — DuckDB gives NULL).
+
+    Reference has no analogue; extension operator for LLM-corpus
+    curation."""
+    asg = kmeans_assign(emb_df, k=k, iters=iters, id_col=id_col,
+                        vec_col=vec_col, seed=seed) \
+        .select(F.col(id_col).alias("vid"), "cluster")
+    emb = emb_df.select(F.col(id_col).alias("vid"),
+                        F.col(vec_col).cast("array<double>").alias("v"))
+    nrm = (emb.withColumn("n", norm_expr(F.col("v")))
+              .filter(F.col("n") > 0))
+    members = asg.join(nrm, on="vid")
+    # consumed by both sides of the self-join (and the kmeans plan above
+    # it is several iterations deep) — materialize once
+    members = members.localCheckpoint(eager=True)
+    if max_cluster_size is not None:
+        wc = Window.partitionBy("cluster")
+        tagged = (members.withColumn("_f", F.count("*").over(wc))
+                         .withColumn("_rep", F.min("vid").over(wc)))
+        members_j = (tagged.filter(F.col("_f") <= max_cluster_size)
+                           .select("vid", "cluster"))
+        star = (tagged.filter((F.col("_f") > max_cluster_size)
+                              & (F.col("vid") != F.col("_rep")))
+                      .select("cluster",
+                              F.col("_rep").alias("id_a"),
+                              F.col("vid").alias("id_b")))
+    else:
+        members_j, star = members.select("vid", "cluster"), None
+    a, b = members_j.alias("a"), members_j.alias("b")
+    cand = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                   & (F.col("a.vid") < F.col("b.vid")))
+             .select(F.col("a.cluster").alias("cluster"),
+                     F.col("a.vid").alias("id_a"),
+                     F.col("b.vid").alias("id_b")))
+    if star is not None:
+        cand = cand.unionByName(star).distinct()
+    va = nrm.select(F.col("vid").alias("id_a"), F.col("v").alias("_va"),
+                    F.col("n").alias("_na"))
+    vb = nrm.select(F.col("vid").alias("id_b"), F.col("v").alias("_vb"),
+                    F.col("n").alias("_nb"))
+    cos = F.round(dot_expr(F.col("_va"), F.col("_vb"))
+                  / (F.col("_na") * F.col("_nb")), 6)
+    return (cand.join(va, on="id_a").join(vb, on="id_b")
+                .withColumn("cosine", cos)
+                .filter(F.col("cosine") >= threshold)
+                .select("cluster", "id_a", "id_b", "cosine"))
 
 
 def label_centroids(emb_df: DataFrame, label_col: str = "label",

@@ -19,7 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk"]
+__all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
+           "ewma", "gapfill"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -133,3 +134,102 @@ def grouped_topk(events_df: DataFrame, ts_col: str = "ts",
     return (counts.withColumn("rank",
                               F.row_number().over(w).cast("int"))
                   .filter(F.col("rank") <= k))
+
+
+def ewma(events_df: DataFrame, key_col: str = "user_id",
+         ts_col: str = "ts", val_col: str = "value",
+         id_col: str = "event_id", alpha: float = 0.25) -> DataFrame:
+    """Per-key exponentially-weighted moving average in event order:
+    y_1 = x_1, y_i = rnd6(alpha * x_i + (1 - alpha) * y_{i-1}) — the
+    per-step quantization pins the recurrence to identical values in any
+    engine (same idiom as the k-means centroid rounding), and the
+    default alpha = 0.25 makes both alpha and 1-alpha exact binary
+    fractions so the arithmetic itself is bit-reproducible. rnd6 is
+    FLOOR(v * 1e6 + 0.5) / 1e6, not decimal ROUND: 0.75 * (a 6-decimal
+    value) lands exactly on half-boundaries, where Spark (BigDecimal
+    shortest-repr HALF_UP) and other engines (binary-double rounding)
+    disagree — floor of a double is the same bits everywhere.
+
+    Physical plan: an EWMA is inherently sequential per key, so the
+    scalable shape is ONE groupBy(key) shuffle, assembling each key's
+    series with sort_array over (ts, id, x) structs and folding it with
+    a single JVM-side aggregate() into the running-EWMA array, then
+    posexploding back to rows. No window with unbounded frames over raw
+    events, no Python. State is O(events per key) — the same bound any
+    sequential per-key scan has; for unbounded keys the streaming
+    variant (applyInPandasWithState sessionization in streaming/) is
+    the right tool.
+
+    Output: (id, key, x, ewma). Extension operator (reference has no
+    timeseries layer)."""
+    a, b = float(alpha), 1.0 - float(alpha)
+    g = (events_df
+         .select(F.col(key_col).alias("key"),
+                 F.struct(F.col(ts_col).alias("ts"),
+                          F.col(id_col).alias("id"),
+                          F.col(val_col).cast("double").alias("x"))
+                  .alias("_s"))
+         .groupBy("key")
+         .agg(F.sort_array(F.collect_list("_s")).alias("_ss")))
+    fold = F.aggregate(
+        F.col("_ss"),
+        F.array().cast("array<double>"),
+        lambda acc, s: F.concat(acc, F.array(
+            F.when(F.size(acc) == 0, s.getField("x"))
+             .otherwise(F.floor((F.lit(a) * s.getField("x")
+                                 + F.lit(b) * F.element_at(acc, -1))
+                                * F.lit(1000000.0) + F.lit(0.5))
+                        / F.lit(1000000.0)))))
+    return (g.withColumn("_y", fold)
+             .select("key", F.posexplode(
+                 F.arrays_zip(F.col("_ss"), F.col("_y")))
+                 .alias("_i", "_z"))
+             .select(F.col("_z._ss.id").alias("id"),
+                     "key",
+                     F.col("_z._ss.x").alias("x"),
+                     F.col("_z._y").alias("ewma")))
+
+
+def gapfill(events_df: DataFrame, key_col: str = "user_id",
+            ts_col: str = "ts", val_col: str = "value",
+            id_col: str = "event_id", step: str = "hour") -> DataFrame:
+    """Regularize an irregular event series to a fixed time grid with
+    forward fill (the resampling step in front of any windowed feature
+    pipeline): per key, emit one row per ``step`` slot spanning
+    [min slot, max slot] of that key's events; a slot's value is the
+    LAST observation inside it (by ts, id tie-break), and empty slots
+    carry the previous slot's value forward. ``observed`` marks real
+    slots.
+
+    Physical plan: the slot aggregation and the span aggregation are
+    two map-side-combined groupBys on the key, the grid is a sequence()
+    explode over the bounded per-key span (slots, not events), and the
+    fill is one last(ignorenulls) window — every stage is keyed on
+    ``key``, so the exchanges collapse onto one hash partitioning.
+    Grid volume is sum over keys of (span / step), independent of event
+    count — the operator DENSIFIES, so pick ``step`` to bound it.
+
+    Output: (key, slot, value, observed)."""
+    slot = F.date_trunc(step, F.col(ts_col))
+    binned = (events_df
+              .select(F.col(key_col).alias("key"), slot.alias("slot"),
+                      F.struct(F.col(ts_col).alias("ts"),
+                               F.col(id_col).alias("id"),
+                               F.col(val_col).cast("double").alias("x"))
+                       .alias("_s"))
+              .groupBy("key", "slot")
+              .agg(F.max("_s").alias("_last")))
+    span = (binned.groupBy("key")
+                  .agg(F.min("slot").alias("_lo"), F.max("slot").alias("_hi")))
+    grid = span.select(
+        "key", F.explode(F.sequence(
+            F.col("_lo"), F.col("_hi"),
+            F.expr(f"interval 1 {step}"))).alias("slot"))
+    w = (Window.partitionBy("key").orderBy("slot")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    joined = grid.join(binned, on=["key", "slot"], how="left")
+    return (joined
+            .select("key", "slot",
+                    F.last(F.col("_last.x"), ignorenulls=True).over(w)
+                     .alias("value"),
+                    F.col("_last").isNotNull().alias("observed")))

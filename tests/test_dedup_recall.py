@@ -214,3 +214,44 @@ def test_minhash_between_cross_only_and_cap(spark):
                                        max_bucket_size=1).collect()
     capped_pairs = {(r["id_new"], r["id_corpus"]) for r in capped}
     assert capped_pairs <= pairs and (1, 100) in capped_pairs
+
+
+def test_semantic_dedup_pairs_identical_twins(spark):
+    """SemDeDup: identical vectors produce identical rounded distances
+    and the same argmin tie-break, so they ALWAYS share a cluster and
+    the pair must surface with cosine 1.0. Vectors in well-separated
+    directions must not pair at a high threshold."""
+    dim = 8
+    rows = [(i, [float((i * 13 + j * 7) % 19 - 9) for j in range(dim)])
+            for i in range(20)]
+    rows.append((500, list(rows[3][1])))  # exact twin of vec 3
+    rows.append((600, [0.0] * dim))       # norm-zero: must be dropped
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.semantic_dedup_pairs(df, threshold=0.999, k=4, iters=2)
+    rows_out = got.collect()
+    pairs = {(r.id_a, r.id_b) for r in rows_out}
+    assert (3, 500) in pairs
+    assert all(r.cosine >= 0.999 for r in rows_out)
+    assert all(600 not in (r.id_a, r.id_b) for r in rows_out)
+
+
+def test_semantic_dedup_hot_cluster_star_cap(spark):
+    """Skew guard on the within-cluster self-join: 30 identical
+    embeddings collapse into one cluster; with max_cluster_size=10 the
+    cluster expands as a STAR around its min id (29 verified pairs)
+    instead of C(30,2)=435; uncapped mode returns the quadratic set."""
+    dim = 8
+    base = [float((j * 7) % 11 - 5) for j in range(dim)]
+    rows = [(i, list(base)) for i in range(30)]
+    other = [float(-x) for x in base]
+    rows += [(100, list(other)), (101, list(other))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = similarity.semantic_dedup_pairs(
+        df, threshold=0.999, k=2, iters=2, max_cluster_size=10).collect()
+    hot = {(r.id_a, r.id_b) for r in capped if r.id_b < 100}
+    assert hot == {(0, i) for i in range(1, 30)}
+    assert all(r.cosine == 1.0 for r in capped)
+    assert (100, 101) in {(r.id_a, r.id_b) for r in capped}
+    full = similarity.semantic_dedup_pairs(
+        df, threshold=0.999, k=2, iters=2, max_cluster_size=None).collect()
+    assert len({(r.id_a, r.id_b) for r in full if r.id_b < 100}) == 435

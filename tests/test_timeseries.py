@@ -121,3 +121,60 @@ class TestTimeseriesProperties:
             peers = [pv for (pk, pts, pv, _) in evs
                      if pk == k and sec - 10 <= int(pts.timestamp()) <= sec]
             assert got[eid] == (len(peers), round(sum(peers), 2)), (k, eid)
+
+
+# ---------------------------------------------------------------------------
+# ewma / gapfill (q98/q99)
+# ---------------------------------------------------------------------------
+
+def _series(spark):
+    return spark.createDataFrame(
+        [(1, _ts(1), 1, 4.0), (2, _ts(2), 1, 8.0), (3, _ts(3), 1, 8.0),
+         (4, _ts(7), 2, 2.0)],
+        "event_id long, ts timestamp, user_id long, value double")
+
+
+def test_ewma_recurrence(spark):
+    out = timeseries.ewma(_series(spark), alpha=0.25)
+    got = {r.id: r.ewma for r in out.collect()}
+    # y1 = 4; y2 = .25*8 + .75*4 = 5; y3 = .25*8 + .75*5 = 5.75
+    assert got == {1: 4.0, 2: 5.0, 3: 5.75, 4: 2.0}
+
+
+def test_ewma_orders_by_ts_not_input_order(spark):
+    df = _series(spark).orderBy(F.col("ts").desc())
+    out = timeseries.ewma(df, alpha=0.25)
+    assert {r.id: r.ewma for r in out.collect()}[3] == 5.75
+
+
+def test_ewma_quantizes_to_six_decimals(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(1), 1, 0.1), (2, _ts(2), 1, 0.2)],
+        "event_id long, ts timestamp, user_id long, value double")
+    out = timeseries.ewma(df, alpha=0.25)
+    got = {r.id: r.ewma for r in out.collect()}
+    assert got[2] == 0.125  # floor((0.25*0.2 + 0.75*0.1)*1e6 + .5)/1e6
+
+
+def test_gapfill_forward_fills_hourly_gaps(spark):
+    def _h(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    df = spark.createDataFrame(
+        [(1, _h(0, 10), 1, 10.0), (2, _h(0, 20), 1, 11.0),
+         (3, _h(3, 5), 1, 12.0),  # hours 1 and 2 are gaps
+         (4, _h(5, 0), 2, 20.0)],
+        "event_id long, ts timestamp, user_id long, value double")
+    out = timeseries.gapfill(df).collect()
+    u1 = {r.slot.hour: (r.value, r.observed) for r in out if r.key == 1}
+    # slot 0 keeps the LAST observation (ts tie-break), gaps carry it
+    assert u1 == {0: (11.0, True), 1: (11.0, False), 2: (11.0, False),
+                  3: (12.0, True)}
+    u2 = [r for r in out if r.key == 2]
+    assert len(u2) == 1 and u2[0].observed and u2[0].value == 20.0
+
+
+def test_gapfill_grid_is_per_key_span(spark):
+    out = timeseries.gapfill(_series(spark))
+    # all four events share hour 0 -> one slot per key, no densify
+    assert out.count() == 2
