@@ -1012,6 +1012,24 @@ def q99_gapfill(spark, sf_dir):
         .select("key", "slot", "value", "observed")
 
 
+# the "pretrained tokenizer" artifact for q100: the 5 merges bpe_train
+# learns at sf0.001, in rank order (a fixed artifact, the way a real
+# pipeline ships its tokenizer — NOT retrained per dataset)
+_BPE_MERGES = [("<e><r>", "<er>"), ("<o><r>", "<or>"),
+               ("<i><n>", "<in>"), ("<o><w>", "<ow>"),
+               ("<s><t>", "<st>")]
+
+
+def q100_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLY: encode the corpus vocabulary with a fixed
+    pretrained BPE merge table (sequential rank-order literal replaces
+    on the sentinel representation — identical greedy left-to-right
+    semantics in both engines). The encode runs on the bounded
+    vocabulary relation, never per occurrence."""
+    return text.bpe_encode(_doc(spark, sf_dir), _BPE_MERGES) \
+        .select("w", "freq", "enc", "n_sub")
+
+
 def q79_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training prep: corpus-weighted adjacent-char-pair
     counts over the word-frequency relation (the statistic each BPE
@@ -1312,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_semantic_dedup": q97_semantic_dedup,
         "q98_ewma": q98_ewma,
         "q99_gapfill": q99_gapfill,
+        "q100_bpe_encode": q100_bpe_encode,
         "q85_hll_distinct": q85_hll_distinct,
         "q86_weighted_sample": q86_weighted_sample,
         "q87_dup_ngram_coverage": q87_dup_ngram_coverage,
@@ -1359,12 +1378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_media_features": q51_media_features,
         "q52_frame_sample": q52_frame_sample,
         "q37_pagerank": q37_pagerank,
-        # q61 (driver rows r4+r5) completes the 50 (q62-q70 slid past
-        # the cap to make room for q91-q99 — they carry r4+r5 rows and
-        # rotate back in r7)
-        "q61_bm25": q61_bm25,
-
         # ---- 50-row cap falls here ----
+        # (q61-q70 slid past the cap to make room for q91-q100 — they
+        # carry r4+r5 driver rows and rotate back in r7)
+        "q61_bm25": q61_bm25,
         "q62_kmeans": q62_kmeans,
         "q63_chunking": q63_chunking,
         "q64_packing": q64_packing,
@@ -3205,6 +3222,29 @@ def oracle_sql() -> dict[str, str]:
           JOIN nrm x ON x.vid = cd.id_a
           JOIN nrm y ON y.vid = cd.id_b)
         WHERE cosine >= 0.2"""
+
+    # q100: the pretrained-merge replace chain over the vocabulary
+    # relation (innermost replace = rank-1 merge)
+    _enc = "r"
+    for _pair, _merged in _BPE_MERGES:
+        _enc = f"replace({_enc}, '{_pair}', '{_merged}')"
+    sql["q100_bpe_encode"] = r"""
+        WITH w0 AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+                 array_to_string(list_transform(
+                   regexp_extract_all(w, '.'),
+                   c -> '<' || c || '>'), '') AS r
+          FROM (SELECT unnest(list_filter(
+                  regexp_split_to_array(trim(text), '\s+'),
+                  t -> length(t) > 0)) AS w FROM documents)
+          WHERE w NOT LIKE '%<%' AND w NOT LIKE '%>%'
+            AND length(w) <= 20
+          GROUP BY 1
+        )
+        SELECT w, freq, ENC AS enc,
+               CAST(len(regexp_extract_all(ENC, '<[^<>]+>')) AS INT)
+                 AS n_sub
+        FROM w0""".replace("ENC", _enc)
 
     # q98: the EWMA recurrence stepped rank-by-rank as a recursive CTE
     # (per-step ROUND(.,6) pins both engines to identical values)

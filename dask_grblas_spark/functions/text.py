@@ -17,7 +17,7 @@ __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "repetition_stats", "unigram_logprob", "corpus_profile",
            "vocab_oov_rate", "corpus_composition", "bpe_pair_counts",
            "length_batches", "quality_quantile_filter", "zipf_slope",
-           "bpe_train"]
+           "bpe_train", "bpe_encode"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -484,3 +484,45 @@ def bpe_train(df: DataFrame, text_col: str = "text", n_merges: int = 5,
                   .localCheckpoint(eager=True))
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, cnt bigint")
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text",
+               max_word_len: int = 20) -> DataFrame:
+    """Tokenizer APPLY: encode the corpus with a TRAINED BPE merge table
+    (the output of ``bpe_train``, or any pretrained tokenizer exported
+    as ordered (pair, merged) sentinel literals). Merges are applied
+    sequentially in rank order; each one is a literal replace() on the
+    sentinel-wrapped word representation, which both Spark and DuckDB
+    scan left-to-right non-overlapping — exactly greedy BPE merge
+    application (see bpe_train for why a merge can never create a new
+    match for ITSELF to the left, making the single pass exact).
+
+    Scale shape: encoding runs on the VOCABULARY relation (distinct
+    words + corpus frequency), not per occurrence — at 100 TB the
+    corpus is trillions of tokens but the vocabulary is millions, so
+    the replace chain rides the bounded relation after the one
+    map-side-combined word count; per-document token ids are then a
+    broadcast join back on the word. Words with sentinel characters or
+    longer than max_word_len are excluded (same contract as bpe_train).
+
+    Output: (w, freq, enc, n_sub) — the word, its corpus frequency, the
+    sentinel-form encoding, and its subword count."""
+    for pair, merged in merges:
+        if "'" in pair or "'" in merged:
+            raise ValueError("merge literals must not contain quotes")
+    toks = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    word = (df.select(F.explode(toks).alias("w"))
+              .filter(~F.col("w").rlike("[<>]")
+                      & (F.length("w") <= max_word_len))
+              .groupBy("w").agg(F.count("*").cast("bigint").alias("freq")))
+    repr0 = F.expr(
+        "concat_ws('', transform(regexp_extract_all(w, '.', 0), "
+        "c -> concat('<', c, '>')))")
+    cur = word.select("w", "freq", repr0.alias("r"))
+    for pair, merged in merges:
+        cur = cur.withColumn(
+            "r", F.expr(f"replace(r, '{pair}', '{merged}')"))
+    n_sub = F.size(F.expr("regexp_extract_all(r, '<[^<>]+>', 0)"))
+    return cur.select("w", "freq", F.col("r").alias("enc"),
+                      n_sub.cast("int").alias("n_sub"))

@@ -330,3 +330,27 @@ def test_quality_quantile_filter_exact_cutoff_and_ties(spark):
     assert sorted(r["id"] for r in kept2) == [0, 1, 2, 3]
     # keep_top=1.0 keeps everything
     assert quality_quantile_filter(docs, keep_top=1.0).count() == 10
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    from dask_grblas_spark.functions.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "lower lower stern in"), (2, "in in")],
+        "doc_id long, text string")
+    merges = [("<e><r>", "<er>"), ("<o><w>", "<ow>"), ("<i><n>", "<in>")]
+    got = {r["w"]: (r["freq"], r["enc"], r["n_sub"])
+           for r in bpe_encode(docs, merges).collect()}
+    # 'lower': e+r merges first, then o+w -> <l><ow><er>
+    assert got["lower"] == (2, "<l><ow><er>", 3)
+    assert got["stern"] == (1, "<s><t><er><n>", 4)
+    assert got["in"] == (3, "<in>", 1)
+
+
+def test_bpe_encode_greedy_left_to_right(spark):
+    from dask_grblas_spark.functions.text import bpe_encode
+
+    docs = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    # greedy non-overlapping: 'aaa' -> <aa><a>, not <a><aa>
+    got = bpe_encode(docs, [("<a><a>", "<aa>")]).collect()[0]
+    assert (got["enc"], got["n_sub"]) == ("<aa><a>", 2)
