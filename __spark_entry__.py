@@ -1030,6 +1030,16 @@ def q100_bpe_encode(spark, sf_dir):
         .select("w", "freq", "enc", "n_sub")
 
 
+def q101_dedup_spans(spark, sf_dir):
+    """Exact-substring dedup TRANSFORM (Lee et al. 2022): delete every
+    non-first occurrence of any duplicated 5-token window and
+    reconstruct the cleaned documents. Gram stats ride a map-side
+    groupBy + AQE-skew-splittable join back, never a window over the
+    gram partition."""
+    return dedup.dedup_spans(_doc(spark, sf_dir), n=5) \
+        .select("doc_id", "n_tokens", "n_dropped", "cleaned")
+
+
 def q79_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training prep: corpus-weighted adjacent-char-pair
     counts over the word-frequency relation (the statistic each BPE
@@ -1331,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_ewma": q98_ewma,
         "q99_gapfill": q99_gapfill,
         "q100_bpe_encode": q100_bpe_encode,
+        "q101_dedup_spans": q101_dedup_spans,
         "q85_hll_distinct": q85_hll_distinct,
         "q86_weighted_sample": q86_weighted_sample,
         "q87_dup_ngram_coverage": q87_dup_ngram_coverage,
@@ -3293,5 +3304,47 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(x) OVER (PARTITION BY key ORDER BY slot
                                     ROWS UNBOUNDED PRECEDING) AS grp
               FROM j)"""
+
+    # q101: gram stats + keep-first + span deletion + reconstruction
+    sql["q101_dedup_spans"] = r"""
+        WITH t AS (
+          SELECT doc_id AS id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS toks
+          FROM documents
+        ), tok AS (
+          SELECT id, generate_subscripts(toks, 1) - 1 AS pos,
+                 unnest(toks) AS tok
+          FROM t
+        ), g AS (
+          SELECT id, i - 1 AS pos,
+                 array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+          FROM t, unnest(generate_series(
+                 1, greatest(len(toks) - 4, 0))) AS u(i)
+        ), d AS (
+          SELECT id, pos FROM (
+            SELECT id, pos,
+                   row_number() OVER (PARTITION BY gram
+                                      ORDER BY id, pos) AS rn,
+                   COUNT(*) OVER (PARTITION BY gram) AS cnt
+            FROM g)
+          WHERE cnt > 1 AND rn > 1
+        ), dp AS (
+          SELECT DISTINCT id,
+                 unnest(generate_series(pos, pos + 4)) AS pos
+          FROM d
+        ), kept AS (
+          SELECT tok.id, tok.pos, tok.tok
+          FROM tok ANTI JOIN dp ON tok.id = dp.id AND tok.pos = dp.pos
+        ), rec AS (
+          SELECT id, COUNT(*) AS n_kept,
+                 string_agg(tok, ' ' ORDER BY pos) AS cleaned
+          FROM kept GROUP BY id
+        )
+        SELECT t.id AS doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(len(t.toks) - COALESCE(rec.n_kept, 0) AS BIGINT)
+                 AS n_dropped,
+               COALESCE(rec.cleaned, '') AS cleaned
+        FROM t LEFT JOIN rec USING (id)"""
 
     return sql

@@ -25,8 +25,8 @@ from .text import tokens
 __all__ = ["exact_dedup", "exact_dup_groups", "shingles", "ngram_jaccard_pairs",
            "minhash_signatures", "minhash_lsh_pairs", "minhash_lsh_pairs_between",
            "simhash", "simhash_pairs",
-           "embedding_neardup_pairs", "dup_ngram_coverage", "cross_hash60", "MINHASH_P",
-           "MINHASH_AB"]
+           "embedding_neardup_pairs", "dup_ngram_coverage", "dedup_spans",
+           "cross_hash60", "MINHASH_P", "MINHASH_AB"]
 
 
 # ---- cross-engine hashing -------------------------------------------------
@@ -606,3 +606,73 @@ def dup_ngram_coverage(df: DataFrame, id_col: str = "doc_id",
                               / F.greatest(F.coalesce("n_grams", F.lit(0)),
                                            F.lit(1)), 6)
                       .alias("dup_frac")))
+
+
+def dedup_spans(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", n: int = 5) -> DataFrame:
+    """Exact-substring deduplication TRANSFORM (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" rewrite,
+    token-window formulation): every n-token window that occurs more
+    than once in the corpus keeps only its GLOBAL FIRST occurrence —
+    min (doc, pos) — and every token position covered by any other
+    occurrence is deleted; documents are reconstructed from the
+    surviving tokens. Aggressive by design (a position inside both a
+    duplicated and a unique window is still deleted), deterministic,
+    and fully replayable in SQL. Complements dup_ngram_coverage, which
+    only MEASURES duplication.
+
+    Physical plan: the gram relation (one row per token position) is
+    aggregated per gram with a map-side-combined groupBy (count +
+    min-struct first occurrence) and JOINED back on the gram key — a
+    sort-merge join AQE can skew-split, deliberately NOT a window over
+    the gram partition: a boilerplate gram with 10^9 occurrences would
+    strand a window in one task, while the groupBy's partial
+    aggregation collapses it map-side. Deletion positions are a
+    bounded explode (n rows per duplicate occurrence); reconstruction
+    is one per-doc groupBy.
+
+    Output: (doc_id, n_tokens, n_dropped, cleaned) for ALL docs (docs
+    shorter than n tokens have no windows and pass through intact)."""
+    from .text import tokens as _tokens
+
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    t = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+    # the shared token relation feeds the gram build, the anti-join and
+    # the reconstruction — materialize once
+    t = t.localCheckpoint(eager=True)
+    tok = t.select("id", F.posexplode(F.col("_t")).alias("pos", "tok"))
+    gexpr = F.expr(
+        f"CASE WHEN size(_t) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(_t) - {n}), "
+        f"p -> struct(p AS pos, array_join(slice(_t, p + 1, {n}), ' ') "
+        f"AS gram)) END")
+    grams = (t.select("id", F.explode(gexpr).alias("_g"))
+              .select("id", F.col("_g.pos").alias("pos"),
+                      F.col("_g.gram").alias("gram")))
+    stats = (grams.groupBy("gram")
+                  .agg(F.count("*").alias("_cnt"),
+                       F.min(F.struct("id", "pos")).alias("_first")))
+    dup = (grams.join(stats, on="gram")
+                .filter((F.col("_cnt") > 1)
+                        & ~((F.col("id") == F.col("_first.id"))
+                            & (F.col("pos") == F.col("_first.pos")))))
+    drop = (dup.select("id", F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1)))
+                .alias("pos"))
+               .distinct())
+    kept = tok.join(drop, on=["id", "pos"], how="left_anti")
+    rec = (kept.groupBy("id")
+               .agg(F.count("*").alias("_n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.sort_array(F.collect_list(
+                                F.struct("pos", "tok"))),
+                            lambda s: s.getField("tok")), " ")
+                     .alias("cleaned")))
+    return (t.select("id", F.size("_t").alias("_n"))
+             .join(rec, on="id", how="left")
+             .select(F.col("id").alias(id_col),
+                     F.col("_n").cast("bigint").alias("n_tokens"),
+                     (F.col("_n") - F.coalesce("_n_kept", F.lit(0)))
+                      .cast("bigint").alias("n_dropped"),
+                     F.coalesce("cleaned", F.lit("")).alias("cleaned")))

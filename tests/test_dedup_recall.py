@@ -255,3 +255,31 @@ def test_semantic_dedup_hot_cluster_star_cap(spark):
     full = similarity.semantic_dedup_pairs(
         df, threshold=0.999, k=2, iters=2, max_cluster_size=None).collect()
     assert len({(r.id_a, r.id_b) for r in full if r.id_b < 100}) == 435
+
+
+def test_dedup_spans_keep_first_and_reconstruct(spark):
+    from dask_grblas_spark.functions.dedup import dedup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),        # holds the FIRST "a b c"
+         (2, "x a b c y"),        # duplicate occurrence -> positions 1-3 go
+         (3, "p q r p q r"),      # self-repeat: second occurrence deleted
+         (4, "u v")],             # shorter than n: intact
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_dropped, r.cleaned)
+           for r in dedup_spans(docs, n=3).collect()}
+    assert got[1] == (5, 0, "a b c d e")
+    assert got[2] == (5, 3, "x y")
+    assert got[3] == (6, 3, "p q r")
+    assert got[4] == (2, 0, "u v")
+
+
+def test_dedup_spans_fully_deleted_doc(spark):
+    from dask_grblas_spark.functions.dedup import dedup_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_dropped, r.cleaned)
+           for r in dedup_spans(docs, n=3).collect()}
+    assert got[1] == (0, "a b c")
+    assert got[2] == (3, "")
