@@ -1040,6 +1040,32 @@ def q101_dedup_spans(spark, sf_dir):
         .select("doc_id", "n_tokens", "n_dropped", "cleaned")
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q102_pivot(spark, sf_dir):
+    """Wide per-user event-type counts via pivot with an EXPLICIT value
+    list — one map-side-combined aggregate, no driver distinct-collect
+    pass (the implicit-pivot trap at scale)."""
+    from dask_grblas_spark.functions import reshape
+    from dask_grblas_spark.streaming import load_events
+
+    return reshape.pivot_table(load_events(spark, sf_dir), "user_id",
+                               "event_type", _EVENT_TYPES) \
+        .select("user_id", *_EVENT_TYPES)
+
+
+def q103_melt(spark, sf_dir):
+    """Long-form unpivot of three lineitem measures — a narrow explode
+    over a literal struct array (zero shuffles, zero driver passes)."""
+    from dask_grblas_spark.functions import reshape
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return reshape.melt(li, ["l_orderkey", "l_linenumber"],
+                        ["l_quantity", "l_discount", "l_tax"]) \
+        .select("l_orderkey", "l_linenumber", "variable", "value")
+
+
 def q79_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training prep: corpus-weighted adjacent-char-pair
     counts over the word-frequency relation (the statistic each BPE
@@ -1342,6 +1368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_gapfill": q99_gapfill,
         "q100_bpe_encode": q100_bpe_encode,
         "q101_dedup_spans": q101_dedup_spans,
+        "q102_pivot": q102_pivot,
+        "q103_melt": q103_melt,
         "q85_hll_distinct": q85_hll_distinct,
         "q86_weighted_sample": q86_weighted_sample,
         "q87_dup_ngram_coverage": q87_dup_ngram_coverage,
@@ -3346,5 +3374,29 @@ def oracle_sql() -> dict[str, str]:
                  AS n_dropped,
                COALESCE(rec.cleaned, '') AS cleaned
         FROM t LEFT JOIN rec USING (id)"""
+
+    sql["q102_pivot"] = """
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+                 AS click,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+                 AS error,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                 AS purchase,
+               CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)
+                 AS signup,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)
+                 AS view
+        FROM events GROUP BY user_id"""
+
+    sql["q103_melt"] = """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+               CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+               CAST(l_discount AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax',
+               CAST(l_tax AS DOUBLE) FROM lineitem"""
 
     return sql

@@ -52,6 +52,10 @@ PIPELINE = [
     "q78_incremental_dedup",
     "q81_quality_filter",
     "q83_group_sample",
+    # added later in round 6 (section introduced this round, so no
+    # cross-round history is broken): the two heaviest new ops
+    "q97_semantic_dedup",
+    "q101_dedup_spans",
 ]
 
 

@@ -7,4 +7,5 @@ deterministic sampling / train-val-test splits / temperature mixture
 sampling."""
 
 from . import (dedup, multimodal, packing, privacy,  # noqa: F401
-               retrieval, sampling, similarity, text, timeseries)
+               profiling, reshape, retrieval, sampling, similarity,
+               sketches, text, timeseries)

@@ -1,0 +1,52 @@
+"""Relational reshape operators: wide-form pivot and long-form melt.
+
+Both are single-pass, shuffle-minimal formulations of the pandas-style
+reshapes a feature/reporting pipeline needs at warehouse scale:
+
+- pivot_table: Spark's ``pivot()`` WITHOUT an explicit value list first
+  runs a driver-side distinct-collect over the pivot column — an extra
+  corpus pass and an unbounded driver result at 100 TB. With the value
+  list given (the production case: schemas are known), the whole pivot
+  compiles to ONE map-side-combined hash aggregate.
+- melt: pure narrow transform (explode over a literal struct array) —
+  no shuffle at all; output is input_rows x n_measures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pivot_table", "melt"]
+
+
+def pivot_table(df: DataFrame, key_col: str, pivot_col: str,
+                values: list[str], val_col: str | None = None,
+                agg: str = "count") -> DataFrame:
+    """Wide per-key aggregate: one output column per entry of
+    ``values`` (rows whose pivot value is not listed are dropped, the
+    explicit-schema contract). agg is "count" or "sum" (over
+    ``val_col``); absent (key, value) combinations fill with 0."""
+    if agg not in ("count", "sum"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    g = df.groupBy(key_col).pivot(pivot_col, values)
+    out = g.count() if agg == "count" else g.sum(val_col)
+    fills = [F.coalesce(F.col(v), F.lit(0)).cast("bigint").alias(v)
+             for v in values]
+    return out.select(F.col(key_col), *fills)
+
+
+def melt(df: DataFrame, ids: list[str], value_vars: list[str],
+         var_name: str = "variable",
+         value_name: str = "value") -> DataFrame:
+    """Long-form unpivot of ``value_vars`` (cast to double) keyed by
+    ``ids`` — the inverse of pivot_table, as a narrow explode (no
+    shuffle, no driver pass)."""
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias(var_name),
+                 F.col(c).cast("double").alias(value_name))
+        for c in value_vars])
+    ex = F.explode(pairs).alias("_m")
+    return df.select(*[F.col(c) for c in ids], ex) \
+             .select(*ids, F.col(f"_m.{var_name}").alias(var_name),
+                     F.col(f"_m.{value_name}").alias(value_name))

@@ -104,3 +104,38 @@ def test_grouped_topk_ranks_and_ties(spark):
     out = {(r["grp"]): (r["n"], r["rank"])
            for r in grouped_topk(ev, k=3).collect()}
     assert out == {"view": (5, 1), "buy": (3, 2), "click": (3, 3)}
+
+
+# ---------------------------------------------------------------------------
+# reshape: pivot_table / melt (q102/q103)
+# ---------------------------------------------------------------------------
+
+def test_pivot_table_explicit_values_and_zero_fill(spark):
+    from dask_grblas_spark.functions.reshape import pivot_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "b"), (2, "zzz")],
+        "k long, t string")
+    got = {r.k: (r.a, r.b) for r in
+           pivot_table(df, "k", "t", ["a", "b"]).collect()}
+    assert got == {1: (2, 1), 2: (0, 1)}  # unlisted 'zzz' is dropped
+
+
+def test_pivot_table_sum_agg(spark):
+    from dask_grblas_spark.functions.reshape import pivot_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "a", 5), (1, "b", 1)],
+        "k long, t string, v long")
+    row = pivot_table(df, "k", "t", ["a", "b"], val_col="v",
+                      agg="sum").collect()[0]
+    assert (row.a, row.b) == (15, 1)
+
+
+def test_melt_roundtrips_columns(spark):
+    from dask_grblas_spark.functions.reshape import melt
+
+    df = spark.createDataFrame([(1, 2.0, 3.0)], "id long, x double, y double")
+    got = {(r.id, r.variable): r.value
+           for r in melt(df, ["id"], ["x", "y"]).collect()}
+    assert got == {(1, "x"): 2.0, (1, "y"): 3.0}

@@ -222,6 +222,14 @@ def main() -> int:
           lambda: dedup.dup_ngram_coverage(docs))
     probe("bpe_train_5merges", ndocs,
           lambda: text_fns.bpe_train(docs, n_merges=5))
+    probe("bpe_encode", ndocs,
+          lambda: text_fns.bpe_encode(docs, [
+              ("<e><r>", "<er>"), ("<o><r>", "<or>"), ("<i><n>", "<in>"),
+              ("<o><w>", "<ow>"), ("<s><t>", "<st>")]))
+    # span dedup on the 20x-replicated corpus: near-worst case (almost
+    # every 5-gram duplicated 20 ways -> the drop-position explode runs
+    # at ~5x the full gram relation)
+    probe("dedup_spans", ndocs, lambda: dedup.dedup_spans(docs, n=5))
 
     # ---- per-group sampling under heavy skew: ONE group holds 50% of
     # 10M rows — the two-phase top-k must keep that group's window
@@ -253,6 +261,17 @@ def main() -> int:
           lambda: similarity.ivf_topk(emb, k=5, nprobe=4))
     probe("kmeans_3iter", nemb,
           lambda: similarity.kmeans_assign(emb, k=16, iters=3))
+    # SemDeDup under embedding collapse: the 20k-template corpus puts
+    # >=20k identical vectors in ONE k-means cluster (and every cluster
+    # of the 100k corpus exceeds the 1000 cap at k=8), so the
+    # within-cluster join must run in star mode — verified pairs stay
+    # LINEAR in corpus size (asserted; all-pairs would be 2e8 rows in
+    # the hot cluster alone)
+    probe("semantic_dedup_skewed", NSK_E,
+          lambda: _bounded(
+              lambda: similarity.semantic_dedup_pairs(
+                  emb_skew, threshold=0.95, k=8, iters=2),
+              NSK_E))
 
     # JL projection + per-class prototypes at 100k x 64 (labels kept)
     ereps2 = 50 if not QUICK else 5
@@ -335,6 +354,17 @@ def main() -> int:
         F.lit('}')))
     probe("json_field_agg", NEV, lambda: timeseries.json_field_agg(evp))
     probe("grouped_topk", NEV, lambda: timeseries.grouped_topk(ev, k=3))
+    # EWMA: sequential per key by nature; 10M events over 200k users
+    # bounds per-key state at ~50 — the groupBy+fold shape's real cost
+    # is the one shuffle
+    probe("ewma", NEV, lambda: timeseries.ewma(ev))
+    # gap-fill DENSIFIES: 10k users x 30-day span at 1h = ~7.2M grid
+    # rows from 10M events — the volume knob is (keys x span/step),
+    # independent of event count
+    gf_ev = ev.withColumn(
+        "user_id", F.pmod(F.xxhash64("event_id", F.lit(9)),
+                          F.lit(10_000)))
+    probe("gapfill_hourly", NEV, lambda: timeseries.gapfill(gf_ev))
     probe("countmin_counts", NEV,
           lambda: sketches.countmin_counts(ev, "user_id",
                                            [str(k) for k in range(20)]))
