@@ -1066,6 +1066,43 @@ def q103_melt(spark, sf_dir):
         .select("l_orderkey", "l_linenumber", "variable", "value")
 
 
+def q104_correlation(spark, sf_dir):
+    """Pairwise Pearson correlations of four lineitem measures — one
+    aggregation pass for all moment/cross sums, long-form output, the
+    closed form evaluated with the identical expression tree the SQL
+    oracle uses."""
+    from dask_grblas_spark.functions import profiling
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profiling.correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]) \
+        .select("col_a", "col_b", "corr")
+
+
+def q105_linreg(spark, sf_dir):
+    """Per-event-type OLS trend of value on day-of-month (closed-form
+    moment sums, one groupBy, no iteration). Integer x keeps the
+    variance arithmetic exact across engines."""
+    from dask_grblas_spark.functions import profiling
+    from dask_grblas_spark.streaming import load_events
+
+    return profiling.groupwise_linreg(
+        load_events(spark, sf_dir), "event_type",
+        F.dayofmonth("ts"), "value") \
+        .select("key", "n", "slope", "intercept")
+
+
+def q106_histogram(spark, sf_dir):
+    """Equi-width histogram of l_extendedprice with explicit bounds —
+    one map-side-combined aggregation, no min/max pre-pass."""
+    from dask_grblas_spark.functions import profiling
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profiling.histogram(li, "l_extendedprice",
+                               lo=900.0, hi=105000.0, nbins=24) \
+        .select("bin", "lo_edge", "n")
+
+
 def q79_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training prep: corpus-weighted adjacent-char-pair
     counts over the word-frequency relation (the statistic each BPE
@@ -1370,6 +1407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_dedup_spans": q101_dedup_spans,
         "q102_pivot": q102_pivot,
         "q103_melt": q103_melt,
+        "q104_correlation": q104_correlation,
+        "q105_linreg": q105_linreg,
+        "q106_histogram": q106_histogram,
         "q85_hll_distinct": q85_hll_distinct,
         "q86_weighted_sample": q86_weighted_sample,
         "q87_dup_ngram_coverage": q87_dup_ngram_coverage,
@@ -3398,5 +3438,112 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT l_orderkey, l_linenumber, 'l_tax',
                CAST(l_tax AS DOUBLE) FROM lineitem"""
+
+    sql["q104_correlation"] = """
+        WITH s AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+            SUM(CAST(l_quantity AS DOUBLE)) AS l_quantity_s,
+            SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS l_quantity_s2,
+            SUM(CAST(l_extendedprice AS DOUBLE)) AS l_extendedprice_s,
+            SUM(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS l_extendedprice_s2,
+            SUM(CAST(l_discount AS DOUBLE)) AS l_discount_s,
+            SUM(CAST(l_discount AS DOUBLE) * CAST(l_discount AS DOUBLE)) AS l_discount_s2,
+            SUM(CAST(l_tax AS DOUBLE)) AS l_tax_s,
+            SUM(CAST(l_tax AS DOUBLE) * CAST(l_tax AS DOUBLE)) AS l_tax_s2,
+            SUM(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS l_quantity__l_extendedprice,
+            SUM(CAST(l_quantity AS DOUBLE) * CAST(l_discount AS DOUBLE)) AS l_quantity__l_discount,
+            SUM(CAST(l_quantity AS DOUBLE) * CAST(l_tax AS DOUBLE)) AS l_quantity__l_tax,
+            SUM(CAST(l_extendedprice AS DOUBLE) * CAST(l_discount AS DOUBLE)) AS l_extendedprice__l_discount,
+            SUM(CAST(l_extendedprice AS DOUBLE) * CAST(l_tax AS DOUBLE)) AS l_extendedprice__l_tax,
+            SUM(CAST(l_discount AS DOUBLE) * CAST(l_tax AS DOUBLE)) AS l_discount__l_tax
+          FROM lineitem
+        )
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+               CASE WHEN (n * l_quantity_s2 - l_quantity_s * l_quantity_s) > 0
+                     AND (n * l_extendedprice_s2 - l_extendedprice_s * l_extendedprice_s) > 0
+                    THEN ROUND((n * l_quantity__l_extendedprice - l_quantity_s * l_extendedprice_s)
+                               / SQRT((n * l_quantity_s2 - l_quantity_s * l_quantity_s)
+                                      * (n * l_extendedprice_s2 - l_extendedprice_s * l_extendedprice_s)), 6)
+               END AS "corr"
+        FROM s
+        UNION ALL
+
+        SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+               CASE WHEN (n * l_quantity_s2 - l_quantity_s * l_quantity_s) > 0
+                     AND (n * l_discount_s2 - l_discount_s * l_discount_s) > 0
+                    THEN ROUND((n * l_quantity__l_discount - l_quantity_s * l_discount_s)
+                               / SQRT((n * l_quantity_s2 - l_quantity_s * l_quantity_s)
+                                      * (n * l_discount_s2 - l_discount_s * l_discount_s)), 6)
+               END AS "corr"
+        FROM s
+        UNION ALL
+
+        SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b,
+               CASE WHEN (n * l_quantity_s2 - l_quantity_s * l_quantity_s) > 0
+                     AND (n * l_tax_s2 - l_tax_s * l_tax_s) > 0
+                    THEN ROUND((n * l_quantity__l_tax - l_quantity_s * l_tax_s)
+                               / SQRT((n * l_quantity_s2 - l_quantity_s * l_quantity_s)
+                                      * (n * l_tax_s2 - l_tax_s * l_tax_s)), 6)
+               END AS "corr"
+        FROM s
+        UNION ALL
+
+        SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
+               CASE WHEN (n * l_extendedprice_s2 - l_extendedprice_s * l_extendedprice_s) > 0
+                     AND (n * l_discount_s2 - l_discount_s * l_discount_s) > 0
+                    THEN ROUND((n * l_extendedprice__l_discount - l_extendedprice_s * l_discount_s)
+                               / SQRT((n * l_extendedprice_s2 - l_extendedprice_s * l_extendedprice_s)
+                                      * (n * l_discount_s2 - l_discount_s * l_discount_s)), 6)
+               END AS "corr"
+        FROM s
+        UNION ALL
+
+        SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b,
+               CASE WHEN (n * l_extendedprice_s2 - l_extendedprice_s * l_extendedprice_s) > 0
+                     AND (n * l_tax_s2 - l_tax_s * l_tax_s) > 0
+                    THEN ROUND((n * l_extendedprice__l_tax - l_extendedprice_s * l_tax_s)
+                               / SQRT((n * l_extendedprice_s2 - l_extendedprice_s * l_extendedprice_s)
+                                      * (n * l_tax_s2 - l_tax_s * l_tax_s)), 6)
+               END AS "corr"
+        FROM s
+        UNION ALL
+
+        SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
+               CASE WHEN (n * l_discount_s2 - l_discount_s * l_discount_s) > 0
+                     AND (n * l_tax_s2 - l_tax_s * l_tax_s) > 0
+                    THEN ROUND((n * l_discount__l_tax - l_discount_s * l_tax_s)
+                               / SQRT((n * l_discount_s2 - l_discount_s * l_discount_s)
+                                      * (n * l_tax_s2 - l_tax_s * l_tax_s)), 6)
+               END AS "corr"
+        FROM s"""
+
+    sql["q105_linreg"] = """
+        WITH m AS (
+          SELECT event_type AS key, CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sx2, SUM(x * y) AS sxy
+          FROM (SELECT event_type,
+                       CAST(date_part('day', ts) AS DOUBLE) AS x,
+                       CAST(value AS DOUBLE) AS y FROM events)
+          GROUP BY event_type
+        )
+        SELECT key, CAST(n AS BIGINT) AS n,
+               CASE WHEN (n * sx2 - sx * sx) > 0 THEN
+                 ROUND((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6)
+               END AS slope,
+               CASE WHEN (n * sx2 - sx * sx) > 0 THEN
+                 ROUND((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+                        * sx) / n, 6)
+               END AS intercept
+        FROM m"""
+
+    sql["q106_histogram"] = """
+        SELECT bin, ROUND(900.0 + bin * 4337.5, 6) AS lo_edge,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT CAST(LEAST(GREATEST(FLOOR(
+                (CAST(l_extendedprice AS DOUBLE) - 900.0) * 24.0
+                / 104100.0), 0), 23) AS INT) AS bin
+              FROM lineitem)
+        GROUP BY bin"""
 
     return sql

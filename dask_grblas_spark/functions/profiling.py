@@ -16,7 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_numeric", "fk_integrity"]
+__all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
+           "groupwise_linreg", "histogram"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -96,3 +97,87 @@ def fk_integrity(checks: list[tuple[str, DataFrame, str, DataFrame, str]]
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def correlation_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation of ``columns`` in long form
+    (col_a, col_b, corr) for a < b — the feature-redundancy screen of a
+    profiling pass. ONE aggregation computes every column's moment sums
+    and every pair's cross-product sum (map-side combined; the explode
+    to long form happens on the 1-row result), and the textbook
+    closed form is evaluated with the SAME expression tree the SQL
+    oracle uses, rounded to 6 decimals (absorbs distributed-sum
+    reorder ulps). Columns with zero variance yield NULL (not NaN/inf:
+    engines disagree on x/0)."""
+    aggs = [F.count("*").cast("double").alias("_n")]
+    for c in columns:
+        v = F.col(c).cast("double")
+        aggs += [F.sum(v).alias(f"{c}__s"),
+                 F.sum(v * v).alias(f"{c}__s2")]
+    pairs = [(a, b) for i, a in enumerate(columns)
+             for b in columns[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a).cast("double")
+                          * F.col(b).cast("double")).alias(f"{a}__{b}"))
+    one = df.agg(*aggs)
+
+    def corr(a, b):
+        n = F.col("_n")
+        sx, sy = F.col(f"{a}__s"), F.col(f"{b}__s")
+        sx2, sy2 = F.col(f"{a}__s2"), F.col(f"{b}__s2")
+        sxy = F.col(f"{a}__{b}")
+        vx = n * sx2 - sx * sx
+        vy = n * sy2 - sy * sy
+        return F.when((vx > 0) & (vy > 0),
+                      F.round((n * sxy - sx * sy)
+                              / F.sqrt(vx * vy), 6))
+    structs = F.array(*[
+        F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                 corr(a, b).alias("corr")) for a, b in pairs])
+    return (one.select(F.explode(structs).alias("s"))
+               .select("s.col_a", "s.col_b", "s.corr"))
+
+
+def groupwise_linreg(df: DataFrame, key_col: str, x_col,
+                     y_col) -> DataFrame:
+    """Per-key ordinary-least-squares fit of y on x: (key, n, slope,
+    intercept) from the closed-form moment sums — one map-side-combined
+    groupBy, no iteration (the per-segment trend screen: value drift
+    per source, size-vs-time per table, ...). x/y accept Column
+    expressions. Degenerate keys (zero x-variance) yield NULL slope and
+    intercept. 6-decimal rounding on the SAME closed form keeps the SQL
+    oracle exact."""
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    g = (df.groupBy(F.col(key_col).alias("key"))
+           .agg(F.count("*").cast("double").alias("_n"),
+                F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+                F.sum(x * x).alias("_sx2"), F.sum(x * y).alias("_sxy")))
+    vx = F.col("_n") * F.col("_sx2") - F.col("_sx") * F.col("_sx")
+    slope = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / vx
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / F.col("_n")
+    return g.select("key", F.col("_n").cast("bigint").alias("n"),
+                    F.when(vx > 0, F.round(slope, 6)).alias("slope"),
+                    F.when(vx > 0, F.round(intercept, 6))
+                     .alias("intercept"))
+
+
+def histogram(df: DataFrame, col: str, lo: float, hi: float,
+              nbins: int) -> DataFrame:
+    """Equi-width histogram with EXPLICIT bounds — no min/max pre-pass,
+    so the whole histogram is one map-side-combined aggregation (the
+    scale-safe form; derive bounds from a prior profile_numeric run).
+    Values outside [lo, hi] clamp into the edge bins; v == hi lands in
+    the last bin. Output: (bin, lo_edge, n); empty bins are absent."""
+    v = F.col(col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * F.lit(float(nbins))
+                  / F.lit(float(hi - lo)))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
+    width = (hi - lo) / nbins
+    return (df.select(bin_.alias("bin"))
+              .groupBy("bin")
+              .agg(F.count("*").cast("bigint").alias("n"))
+              .select("bin",
+                      F.round(F.lit(float(lo))
+                              + F.col("bin") * F.lit(float(width)), 6)
+                       .alias("lo_edge"), "n"))

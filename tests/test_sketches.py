@@ -273,3 +273,50 @@ def test_bpe_train_greedy_overlap_and_guards(spark):
     assert got[0].pair == "<l><l>" and got[0].cnt == 2
     # after merging: '<ll><l>' -> round 2 merges (ll, l)
     assert got[1].pair == "<ll><l>" and got[1].cnt == 1
+
+
+# ---------------------------------------------------------------------------
+# profiling: correlation / linreg / histogram (q104-q106)
+# ---------------------------------------------------------------------------
+
+def test_correlation_matrix_hand_computed(spark):
+    from dask_grblas_spark.functions.profiling import correlation_matrix
+
+    # y = 2x (corr 1), z = -x (corr -1 with both), c constant (NULL)
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+         (3.0, 6.0, -3.0, 5.0)],
+        "x double, y double, z double, c double")
+    got = {(r.col_a, r.col_b): r["corr"]
+           for r in correlation_matrix(df, ["x", "y", "z", "c"]).collect()}
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "z")] == -1.0
+    assert got[("y", "z")] == -1.0
+    assert got[("x", "c")] is None and got[("z", "c")] is None
+
+
+def test_groupwise_linreg_exact_fit(spark):
+    from dask_grblas_spark.functions.profiling import groupwise_linreg
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0),  # y = 2x+1
+         ("b", 4.0, 9.0), ("b", 4.0, 1.0)],                  # zero x-var
+        "k string, x double, y double")
+    got = {r.key: (r.n, r.slope, r.intercept)
+           for r in groupwise_linreg(df, "k", "x", "y").collect()}
+    assert got["a"] == (3, 2.0, 1.0)
+    assert got["b"] == (2, None, None)
+
+
+def test_histogram_edges_and_clamp(spark):
+    from dask_grblas_spark.functions.profiling import histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-5.0, 0.0, 2.4, 9.9, 10.0, 25.0]],
+        "v double")
+    got = {r.bin: (r.lo_edge, r.n)
+           for r in histogram(df, "v", lo=0.0, hi=10.0, nbins=4).collect()}
+    # -5 clamps into bin 0; 10.0 and 25.0 clamp into the last bin
+    assert got[0] == (0.0, 3)   # -5, 0, 2.4
+    assert got[3] == (7.5, 3)   # 9.9, 10.0, 25.0
+    assert 1 not in got and 2 not in got  # empty bins absent
