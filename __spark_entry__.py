@@ -1394,22 +1394,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verdict's item 2): the 34 queries pushed out in r5 (q03-q08, q10,
     # q14, q16, q22, q24, q25, q30-q37, q39-q42, q41b, q50-q54,
     # q57-q60) rotate BACK inside the first 50 for fresh driver rows,
-    # together with the brand-new q85-q90 and the two-row q61-q70
-    # block — exactly 50. The 14 q71-q84 (r5 driver rows), q28/q44, the
-    # 18-query tail and the text block rotate out this round (all carry
-    # r5 driver rows) — rotate back in r7.
+    # together with 16 of the 22 brand-new q85-q106 — exactly 50.
+    # Round 6 added 22 new queries but the window only fits 16, so the
+    # six simplest new ones (q100, q102-q106 — single-agg analytics,
+    # all independently dual-SF hash-green via tools/check_oracle.py
+    # this round) start past the cap and rotate in in r7, along with
+    # the 14 q71-q84 (r5 driver rows), q28/q44, the 18-query tail and
+    # the text block (all carry r5 driver rows).
     return {
         # new this round — first driver rows needed
         "q97_semantic_dedup": q97_semantic_dedup,
         "q98_ewma": q98_ewma,
         "q99_gapfill": q99_gapfill,
-        "q100_bpe_encode": q100_bpe_encode,
         "q101_dedup_spans": q101_dedup_spans,
-        "q102_pivot": q102_pivot,
-        "q103_melt": q103_melt,
-        "q104_correlation": q104_correlation,
-        "q105_linreg": q105_linreg,
-        "q106_histogram": q106_histogram,
         "q85_hll_distinct": q85_hll_distinct,
         "q86_weighted_sample": q86_weighted_sample,
         "q87_dup_ngram_coverage": q87_dup_ngram_coverage,
@@ -1458,8 +1455,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_frame_sample": q52_frame_sample,
         "q37_pagerank": q37_pagerank,
         # ---- 50-row cap falls here ----
-        # (q61-q70 slid past the cap to make room for q91-q100 — they
-        # carry r4+r5 driver rows and rotate back in r7)
+        # new-this-round overflow (independently dual-SF hash-green,
+        # tools/check_oracle.py): first driver rows in r7
+        "q100_bpe_encode": q100_bpe_encode,
+        "q102_pivot": q102_pivot,
+        "q103_melt": q103_melt,
+        "q104_correlation": q104_correlation,
+        "q105_linreg": q105_linreg,
+        "q106_histogram": q106_histogram,
+        # (q61-q70 slid past the cap to make room for q91-q99/q101 —
+        # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
         "q62_kmeans": q62_kmeans,
         "q63_chunking": q63_chunking,
