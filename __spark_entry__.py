@@ -1103,6 +1103,18 @@ def q106_histogram(spark, sf_dir):
         .select("bin", "lo_edge", "n")
 
 
+def q107_zorder(spark, sf_dir):
+    """Morton (Z-order) layout keys over (l_partkey, l_suppkey) — the
+    multi-dimensional data-skipping key behind write_zordered (tight
+    per-file min/max stats on BOTH filter columns). Pure integer bit
+    arithmetic, bit-exact in any engine."""
+    from dask_grblas_spark.sources.io import zorder_key
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select("l_orderkey", "l_linenumber",
+                     zorder_key("l_partkey", "l_suppkey").alias("zkey"))
+
+
 def q79_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training prep: corpus-weighted adjacent-char-pair
     counts over the word-frequency relation (the statistic each BPE
@@ -1463,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_correlation": q104_correlation,
         "q105_linreg": q105_linreg,
         "q106_histogram": q106_histogram,
+        "q107_zorder": q107_zorder,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -3550,5 +3563,14 @@ def oracle_sql() -> dict[str, str]:
                 / 104100.0), 0), 23) AS INT) AS bin
               FROM lineitem)
         GROUP BY bin"""
+
+    sql["q107_zorder"] = """
+        SELECT l_orderkey, l_linenumber,
+               CAST(list_sum(list_transform(range(0, 16), b ->
+                 (((CAST(l_partkey AS BIGINT) >> b) & 1) << (b * 2))
+                 + (((CAST(l_suppkey AS BIGINT) >> b) & 1)
+                    << (b * 2 + 1))
+               )) AS BIGINT) AS zkey
+        FROM lineitem"""
 
     return sql

@@ -21,7 +21,8 @@ __all__ = ["matrix_from_parquet", "matrix_to_parquet", "vector_from_parquet",
            "documents_to_jsonl", "documents_from_jsonl",
            "table_to_orc", "table_from_orc",
            "table_to_bucketed", "table_from_catalog",
-           "table_to_partitioned", "compact_parquet"]
+           "table_to_partitioned", "compact_parquet",
+           "zorder_key", "write_zordered"]
 
 
 def table_to_partitioned(df, path: str, partition_cols: list[str] | str,
@@ -481,3 +482,46 @@ def compact_parquet(path: str, target_file_mb: int = 256,
         if not os.path.exists(old):
             os.remove(marker)
     return n_files
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative integer columns
+    — the multi-dimensional data-layout key: sorting/range-partitioning
+    by it clusters rows that are close in BOTH dimensions, so parquet
+    row-group min/max statistics prune scans filtered on EITHER column
+    (the classic Delta/Iceberg OPTIMIZE ZORDER trick, here as a plain
+    Column expression). Values are masked to ``bits`` bits; pure
+    integer bit arithmetic, exact in any engine.
+
+    x and y may be column names or Columns."""
+    from pyspark.sql import functions as F
+
+    xc = (F.col(x) if isinstance(x, str) else x).cast("bigint")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("bigint")
+    # unrolled (shiftleft's bit count is a literal): 2*bits codegen'd
+    # integer terms, no higher-order function
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        out = (out
+               + F.shiftleft(F.shiftright(xc, b).bitwiseAND(F.lit(1)),
+                             b * 2)
+               + F.shiftleft(F.shiftright(yc, b).bitwiseAND(F.lit(1)),
+                             b * 2 + 1))
+    return out
+
+
+def write_zordered(df, path: str, x: str, y: str, bits: int = 16,
+                   n_files: int = 32, mode: str = "overwrite") -> str:
+    """Write ``df`` as parquet laid out in Z-order on (x, y):
+    range-repartition on the morton key (contiguous key ranges per
+    file -> tight per-file bounding boxes in BOTH dimensions), sort
+    within partitions, drop the key. Point/range filters on either
+    column then skip most files via footer min/max stats — the layout
+    pass a 100 TB fact table gets before publish."""
+    key = zorder_key(x, y, bits).alias("_zkey")
+    (df.withColumn("_zkey", key)
+       .repartitionByRange(n_files, "_zkey")
+       .sortWithinPartitions("_zkey")
+       .drop("_zkey")
+       .write.mode(mode).parquet(path))
+    return path

@@ -660,3 +660,57 @@ def test_compact_parquet_crash_recovery(spark, tmp_path):
     compact_parquet(p, target_file_mb=256)
     assert not os.path.exists(marker)
     assert spark.read.parquet(p).count() == 1000
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from dask_grblas_spark.sources.io import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)],
+        "x long, y long")
+    got = {(r.x, r.y): r.z for r in
+           df.select("x", "y", zorder_key("x", "y").alias("z")).collect()}
+
+    def morton(x, y):
+        out = 0
+        for b in range(16):
+            out |= ((x >> b) & 1) << (2 * b)
+            out |= ((y >> b) & 1) << (2 * b + 1)
+        return out
+
+    assert got == {(x, y): morton(x, y) for (x, y) in got}
+
+
+def test_write_zordered_tightens_file_bounding_boxes(spark, tmp_path):
+    """The point of the layout: each output file covers a small
+    bounding box in BOTH dimensions, so min/max footer stats prune
+    scans filtered on either column. Compare against the sum of
+    per-file box areas of an unordered write."""
+    from pyspark.sql import functions as F
+
+    from dask_grblas_spark.sources.io import write_zordered
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(1024)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1024)).alias("y"))
+
+    def box_area_sum(path):
+        got = (spark.read.parquet(path)
+               .groupBy(F.input_file_name())
+               .agg(((F.max("x") - F.min("x") + 1)
+                     * (F.max("y") - F.min("y") + 1)).alias("a"))
+               .agg(F.sum("a")).collect()[0][0])
+        return got
+
+    zpath = str(tmp_path / "z")
+    write_zordered(df, zpath, "x", "y", bits=10, n_files=16)
+    plain = str(tmp_path / "p")
+    df.repartition(16).write.parquet(plain)
+
+    za, pa = box_area_sum(zpath), box_area_sum(plain)
+    # 16 z-order files of a 1024x1024 space: each box ~1/16 of the
+    # area; random files each cover ~the whole space
+    assert za < pa / 4, (za, pa)
+    # and the data itself round-trips
+    assert spark.read.parquet(zpath).count() == n
