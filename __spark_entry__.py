@@ -1115,6 +1115,14 @@ def q107_zorder(spark, sf_dir):
                      zorder_key("l_partkey", "l_suppkey").alias("zkey"))
 
 
+def q108_cooccurrence(spark, sf_dir):
+    """Document-level token co-occurrence with PMI — the word-association
+    screen. Pair fan-out capped at the first 64 distinct tokens per doc
+    (lexicographic, deterministic); marginals broadcast."""
+    return text.token_cooccurrence(_doc(spark, sf_dir), min_count=2) \
+        .select("tok_a", "tok_b", "n_ab", "pmi")
+
+
 def q79_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training prep: corpus-weighted adjacent-char-pair
     counts over the word-frequency relation (the statistic each BPE
@@ -1476,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_linreg": q105_linreg,
         "q106_histogram": q106_histogram,
         "q107_zorder": q107_zorder,
+        "q108_cooccurrence": q108_cooccurrence,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -3572,5 +3581,32 @@ def oracle_sql() -> dict[str, str]:
                     << (b * 2 + 1))
                )) AS BIGINT) AS zkey
         FROM lineitem"""
+
+    sql["q108_cooccurrence"] = r"""
+        WITH base AS (
+          SELECT id, t FROM (
+            SELECT doc_id AS id, list_slice(list_sort(list_distinct(
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> length(x) > 0))), 1, 64) AS t
+            FROM documents)
+          WHERE len(t) > 0
+        ), tok AS (
+          SELECT id, unnest(t) AS tok FROM base
+        ), p AS (
+          SELECT a.tok AS tok_a, b.tok AS tok_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM tok a JOIN tok b ON a.id = b.id AND a.tok < b.tok
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 2
+        ), m AS (
+          SELECT tok, CAST(COUNT(*) AS DOUBLE) AS n_t FROM tok GROUP BY tok
+        ), nn AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS N FROM base
+        )
+        SELECT p.tok_a, p.tok_b, p.n_ab,
+               ROUND(LN(p.n_ab * nn.N / (ma.n_t * mb.n_t)), 6) AS pmi
+        FROM p, nn
+        JOIN m ma ON ma.tok = p.tok_a
+        JOIN m mb ON mb.tok = p.tok_b"""
 
     return sql

@@ -17,7 +17,7 @@ __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "repetition_stats", "unigram_logprob", "corpus_profile",
            "vocab_oov_rate", "corpus_composition", "bpe_pair_counts",
            "length_batches", "quality_quantile_filter", "zipf_slope",
-           "bpe_train", "bpe_encode"]
+           "bpe_train", "bpe_encode", "token_cooccurrence"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -526,3 +526,53 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
     n_sub = F.size(F.expr("regexp_extract_all(r, '<[^<>]+>', 0)"))
     return cur.select("w", "freq", F.col("r").alias("enc"),
                       n_sub.cast("int").alias("n_sub"))
+
+
+def token_cooccurrence(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", min_count: int = 2,
+                       max_tokens_per_doc: int = 64) -> DataFrame:
+    """Document-level token co-occurrence with PMI (pointwise mutual
+    information) — the corpus word-association screen: for token pairs
+    appearing together in >= min_count documents,
+    pmi = ln(n_ab * N / (n_a * n_b)) over document frequencies.
+
+    Scale shape: the pair fan-out is the quadratic hazard, so each
+    document contributes pairs only from its first
+    ``max_tokens_per_doc`` DISTINCT tokens in lexicographic order
+    (deterministic cap; C(cap, 2) pairs per doc keeps the explode
+    linear in corpus size). Pair and marginal counts are map-side
+    combined; the marginal join keys are vocabulary-sized. ln() ulps
+    across engines are absorbed by the 6-decimal round (same precedent
+    as the entropy/Zipf oracles).
+
+    Output: (tok_a, tok_b, n_ab, pmi) with tok_a < tok_b."""
+    toks = F.slice(
+        F.array_sort(F.array_distinct(
+            F.filter(tokens(F.col(text_col)),
+                     lambda x: F.length(x) > 0))),
+        1, max_tokens_per_doc)
+    base = (df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+              .filter(F.size("_t") > 0))
+    base = base.localCheckpoint(eager=True)  # pairs + marginals + N
+    pair_expr = F.expr(
+        "flatten(transform(_t, (x, i) -> "
+        "transform(slice(_t, i + 2, size(_t)), y -> "
+        "struct(x AS a, y AS b))))")
+    pairs = (base.select(F.explode(pair_expr).alias("_p"))
+                 .groupBy(F.col("_p.a").alias("tok_a"),
+                          F.col("_p.b").alias("tok_b"))
+                 .agg(F.count("*").cast("bigint").alias("n_ab"))
+                 .filter(F.col("n_ab") >= min_count))
+    marg = (base.select(F.explode("_t").alias("tok"))
+                .groupBy("tok")
+                .agg(F.count("*").cast("double").alias("n_t")))
+    ndocs = base.agg(F.count("*").cast("double").alias("_N"))
+    ma = marg.select(F.col("tok").alias("tok_a"), F.col("n_t").alias("_na"))
+    mb = marg.select(F.col("tok").alias("tok_b"), F.col("n_t").alias("_nb"))
+    return (pairs.join(F.broadcast(ma), on="tok_a")
+                 .join(F.broadcast(mb), on="tok_b")
+                 .crossJoin(F.broadcast(ndocs))
+                 .select("tok_a", "tok_b", "n_ab",
+                         F.round(F.log(F.col("n_ab") * F.col("_N")
+                                       / (F.col("_na") * F.col("_nb"))),
+                                 6).alias("pmi")))

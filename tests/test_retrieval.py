@@ -354,3 +354,31 @@ def test_bpe_encode_greedy_left_to_right(spark):
     # greedy non-overlapping: 'aaa' -> <aa><a>, not <a><aa>
     got = bpe_encode(docs, [("<a><a>", "<aa>")]).collect()[0]
     assert (got["enc"], got["n_sub"]) == ("<aa><a>", 2)
+
+
+def test_token_cooccurrence_pmi_hand_computed(spark):
+    import math
+
+    from dask_grblas_spark.functions.text import token_cooccurrence
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "d")],
+        "doc_id long, text string")
+    got = {(r.tok_a, r.tok_b): (r.n_ab, r.pmi)
+           for r in token_cooccurrence(docs, min_count=2).collect()}
+    # only (a,b) reaches min_count=2; n_a=3, n_b=2, N=4
+    assert set(got) == {("a", "b")}
+    n_ab, pmi = got[("a", "b")]
+    assert n_ab == 2
+    assert pmi == round(math.log(2 * 4 / (3 * 2)), 6)
+
+
+def test_token_cooccurrence_cap_bounds_pairs(spark):
+    from dask_grblas_spark.functions.text import token_cooccurrence
+
+    text = " ".join(f"t{i:03d}" for i in range(100))
+    docs = spark.createDataFrame([(1, text), (2, text)],
+                                 "doc_id long, text string")
+    out = token_cooccurrence(docs, min_count=2, max_tokens_per_doc=10)
+    # only the 10 lexicographically-first tokens pair: C(10,2) = 45
+    assert out.count() == 45
