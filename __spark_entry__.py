@@ -1123,6 +1123,19 @@ def q108_cooccurrence(spark, sf_dir):
         .select("tok_a", "tok_b", "n_ab", "pmi")
 
 
+def q109_exact_quantiles(spark, sf_dir):
+    """EXACT p25/50/75/95/99 of l_extendedprice without a global sort:
+    histogram pass -> driver locates target bins + local ranks ->
+    final pass ranks only the target-bin rows. The oracle computes the
+    same CEIL(ROUND(p*n,6)) order statistics by direct ranking."""
+    from dask_grblas_spark.functions import profiling
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profiling.exact_quantiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.95, 0.99]) \
+        .select("p", "value")
+
+
 def q79_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training prep: corpus-weighted adjacent-char-pair
     counts over the word-frequency relation (the statistic each BPE
@@ -1485,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_histogram": q106_histogram,
         "q107_zorder": q107_zorder,
         "q108_cooccurrence": q108_cooccurrence,
+        "q109_exact_quantiles": q109_exact_quantiles,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -3608,5 +3622,19 @@ def oracle_sql() -> dict[str, str]:
         FROM p, nn
         JOIN m ma ON ma.tok = p.tok_a
         JOIN m mb ON mb.tok = p.tok_b"""
+
+    sql["q109_exact_quantiles"] = """
+        WITH nn AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lineitem
+        ), rr AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS value,
+                 row_number() OVER (
+                   ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rn
+          FROM lineitem
+        )
+        SELECT p.p, rr.value
+        FROM (SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS p) p, nn
+        JOIN rr ON rr.rn = GREATEST(
+          1, CAST(CEIL(ROUND(p.p * nn.n, 6)) AS BIGINT))"""
 
     return sql

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
-           "groupwise_linreg", "histogram"]
+           "groupwise_linreg", "histogram", "exact_quantiles"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -181,3 +181,62 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float,
                       F.round(F.lit(float(lo))
                               + F.col("bin") * F.lit(float(width)), 6)
                        .alias("lo_edge"), "n"))
+
+
+def exact_quantiles(df: DataFrame, col: str, probs: list[float],
+                    nbins: int = 1024) -> DataFrame:
+    """EXACT order-statistic quantiles of a double column WITHOUT a
+    global sort — the distributed three-pass algorithm:
+
+    1. one aggregate for (n, min, max);
+    2. one map-side-combined equi-width histogram over [min, max]
+       (``nbins`` counts to the driver — bounded, like k-means
+       centroids);
+    3. the driver locates each quantile's target bin and LOCAL rank
+       from the cumulative counts, and one final pass ranks only the
+       rows inside the target bins (expected n/nbins rows per bin —
+       the only sorted data, never the full column).
+
+    quantile(p) is the ceil(round(p*n, 6))-th smallest value (order
+    statistic; the 6-decimal round guards the float product against
+    0.5*60000 -> 30000.000000000004 -> ceil 30001, and the SQL oracle
+    uses the same CEIL(ROUND(p*n, 6)) formula). Output: (p, value). A
+    constant column collapses to one bin; the rank lookup still works
+    (bin 0 holds everything)."""
+    import math
+    from pyspark.sql.window import Window as W
+
+    v = F.col(col).cast("double")
+    n, lo, hi = df.agg(F.count(v), F.min(v), F.max(v)).collect()[0]
+    if not n:
+        spark = df.sparkSession
+        return spark.createDataFrame([], "p double, value double")
+    if hi == lo:
+        spark = df.sparkSession
+        return spark.createDataFrame([(float(p), float(lo))
+                                      for p in probs],
+                                     "p double, value double")
+    raw = F.floor((v - F.lit(float(lo))) * F.lit(float(nbins))
+                  / F.lit(float(hi - lo)))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
+    hist = dict(df.select(bin_.alias("b")).groupBy("b").count().collect())
+    targets = {}  # bin -> [(p, local_rank)]
+    for p in probs:
+        r = max(1, math.ceil(round(p * n, 6)))
+        cum = 0
+        for b in range(nbins):
+            c = hist.get(b, 0)
+            if cum + c >= r:
+                targets.setdefault(b, []).append((float(p), r - cum))
+                break
+            cum += c
+    bins = sorted(targets)
+    cand = (df.select(v.alias("_v"), bin_.alias("_b"))
+              .filter(F.col("_b").isin(bins)))
+    w = W.partitionBy("_b").orderBy("_v")
+    ranked = cand.withColumn("_rn", F.row_number().over(w))
+    wanted = [(b, p, lr) for b in bins for (p, lr) in targets[b]]
+    spark = df.sparkSession
+    want_df = spark.createDataFrame(wanted, "_b int, p double, _rn int")
+    return (ranked.join(F.broadcast(want_df), on=["_b", "_rn"])
+                  .select("p", F.col("_v").alias("value")))

@@ -320,3 +320,30 @@ def test_histogram_edges_and_clamp(spark):
     assert got[0] == (0.0, 3)   # -5, 0, 2.4
     assert got[3] == (7.5, 3)   # 9.9, 10.0, 25.0
     assert 1 not in got and 2 not in got  # empty bins absent
+
+
+def test_exact_quantiles_order_statistics(spark):
+    from dask_grblas_spark.functions.profiling import exact_quantiles
+
+    # 1..100: ceil(p*100)-th smallest = p*100 for exact p
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)],
+                               "v double")
+    got = {r.p: r.value for r in
+           exact_quantiles(df, "v", [0.25, 0.5, 0.99, 1.0],
+                           nbins=8).collect()}
+    assert got == {0.25: 25.0, 0.5: 50.0, 0.99: 99.0, 1.0: 100.0}
+
+
+def test_exact_quantiles_constant_and_tiny_p(spark):
+    from dask_grblas_spark.functions.profiling import exact_quantiles
+
+    const = spark.createDataFrame([(7.0,)] * 5, "v double")
+    got = {r.p: r.value for r in
+           exact_quantiles(const, "v", [0.5]).collect()}
+    assert got == {0.5: 7.0}
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)],
+                               "v double")
+    # rank clamps to 1 for p ~ 0
+    got = {r.p: r.value for r in
+           exact_quantiles(df, "v", [0.001], nbins=4).collect()}
+    assert got == {0.001: 1.0}
