@@ -1136,6 +1136,22 @@ def q109_exact_quantiles(spark, sf_dir):
         .select("p", "value")
 
 
+def q110_canonicalize(spark, sf_dir):
+    """Cluster canonicalization — the step AFTER dedup detection: per
+    exact-dup cluster (min-id per content hash, the q39 labeling), keep
+    the highest-quality member (rounded q22 quality; ties -> smallest
+    id) and report cluster size. One max_by groupBy, no window over the
+    cluster partition."""
+    docs = _doc(spark, sf_dir)
+    q = text.quality_score(docs).select("doc_id", "quality",
+                                        F.md5("text").alias("h"))
+    groups = dedup.exact_dedup(docs).select(
+        F.col("content_hash").alias("h"), F.col("keep_id").alias("cluster"))
+    labeled = q.join(groups, on="h")
+    return dedup.canonicalize_clusters(labeled) \
+        .select("cluster", "rep_id", "n_members", "best_quality")
+
+
 def q79_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training prep: corpus-weighted adjacent-char-pair
     counts over the word-frequency relation (the statistic each BPE
@@ -1499,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_zorder": q107_zorder,
         "q108_cooccurrence": q108_cooccurrence,
         "q109_exact_quantiles": q109_exact_quantiles,
+        "q110_canonicalize": q110_canonicalize,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -3636,5 +3653,42 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS p) p, nn
         JOIN rr ON rr.rn = GREATEST(
           1, CAST(CEIL(ROUND(p.p * nn.n, 6)) AS BIGINT))"""
+
+    sql["q110_canonicalize"] = r"""
+        WITH t AS (
+          SELECT doc_id, md5(text) AS h,
+                 regexp_split_to_array(trim(text), '\s+') AS toks,
+                 length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+          FROM documents
+        ), s AS (
+          SELECT doc_id, h,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 len(list_filter(toks,
+                     t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+                 n_nonspace * 1.0 / GREATEST(len(toks), 1) AS mean_wlen
+          FROM t
+        ), q AS (
+          SELECT doc_id, h,
+                 ROUND((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                             THEN 0.4 ELSE 0.0 END)
+                       + (CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0
+                               THEN 0.3 ELSE 0.0 END)
+                       + LEAST(n_stop * 3.0 / GREATEST(n_tokens, 1), 0.3),
+                       6) AS quality,
+                 MIN(doc_id) OVER (PARTITION BY h) AS cluster
+          FROM s
+        ), rep AS (
+          SELECT cluster, doc_id AS rep_id FROM (
+            SELECT cluster, doc_id,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY quality DESC, doc_id) AS rn
+            FROM q)
+          WHERE rn = 1
+        )
+        SELECT g.cluster, rep.rep_id, g.n_members, g.best_quality
+        FROM (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+                     ROUND(MAX(quality), 6) AS best_quality
+              FROM q GROUP BY cluster) g
+        JOIN rep USING (cluster)"""
 
     return sql

@@ -26,6 +26,7 @@ __all__ = ["exact_dedup", "exact_dup_groups", "shingles", "ngram_jaccard_pairs",
            "minhash_signatures", "minhash_lsh_pairs", "minhash_lsh_pairs_between",
            "simhash", "simhash_pairs",
            "embedding_neardup_pairs", "dup_ngram_coverage", "dedup_spans",
+           "canonicalize_clusters",
            "cross_hash60", "MINHASH_P", "MINHASH_AB"]
 
 
@@ -676,3 +677,22 @@ def dedup_spans(df: DataFrame, id_col: str = "doc_id",
                      (F.col("_n") - F.coalesce("_n_kept", F.lit(0)))
                       .cast("bigint").alias("n_dropped"),
                      F.coalesce("cleaned", F.lit("")).alias("cleaned")))
+
+
+def canonicalize_clusters(df: DataFrame, cluster_col: str = "cluster",
+                          id_col: str = "doc_id",
+                          quality_col: str = "quality") -> DataFrame:
+    """Representative selection — the step AFTER dedup clustering: per
+    cluster keep the highest-quality member (ties -> smallest id) and
+    report the cluster size. One map-side-combined groupBy with a
+    max_by argmax (no window over the cluster partition, so a
+    boilerplate cluster with 10^9 members collapses map-side instead of
+    stranding one task). Output: (cluster, rep_id, n_members,
+    best_quality)."""
+    return (df.groupBy(F.col(cluster_col).alias("cluster"))
+              .agg(F.max_by(F.col(id_col),
+                            F.struct(F.col(quality_col).alias("q"),
+                                     (-F.col(id_col)).alias("ni")))
+                    .alias("rep_id"),
+                   F.count("*").cast("bigint").alias("n_members"),
+                   F.round(F.max(quality_col), 6).alias("best_quality")))

@@ -283,3 +283,16 @@ def test_dedup_spans_fully_deleted_doc(spark):
            for r in dedup_spans(docs, n=3).collect()}
     assert got[1] == (0, "a b c")
     assert got[2] == (3, "")
+
+
+def test_canonicalize_picks_quality_then_min_id(spark):
+    from dask_grblas_spark.functions.dedup import canonicalize_clusters
+
+    df = spark.createDataFrame(
+        [(1, 10, 0.5), (1, 11, 0.9), (1, 12, 0.9),   # best q ties: min id
+         (2, 20, 0.1)],
+        "cluster long, doc_id long, quality double")
+    got = {r.cluster: (r.rep_id, r.n_members, r.best_quality)
+           for r in canonicalize_clusters(df).collect()}
+    assert got[1] == (11, 3, 0.9)
+    assert got[2] == (20, 1, 0.1)
