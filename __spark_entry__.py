@@ -1152,6 +1152,25 @@ def q110_canonicalize(spark, sf_dir):
         .select("cluster", "rep_id", "n_members", "best_quality")
 
 
+def q111_salted_join(spark, sf_dir):
+    """Explicit skew-salted join (lineitem x orders on orderkey, salt=8)
+    feeding a revenue rollup per order priority — row-identical to the
+    plain join, which is exactly what the oracle checks; the salt
+    scatters any hot key across 8 tasks for plans where AQE's skew
+    split can't engage."""
+    from dask_grblas_spark.functions.joins import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    j = salted_join(li, o, on="l_orderkey", salt=8)
+    return (j.groupBy("o_orderpriority")
+             .agg(F.count("*").cast("bigint").alias("n_items"),
+                  F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 4)
+                   .alias("revenue")))
+
+
 def q79_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training prep: corpus-weighted adjacent-char-pair
     counts over the word-frequency relation (the statistic each BPE
@@ -1516,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_cooccurrence": q108_cooccurrence,
         "q109_exact_quantiles": q109_exact_quantiles,
         "q110_canonicalize": q110_canonicalize,
+        "q111_salted_join": q111_salted_join,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -3690,5 +3710,13 @@ def oracle_sql() -> dict[str, str]:
                      ROUND(MAX(quality), 6) AS best_quality
               FROM q GROUP BY cluster) g
         JOIN rep USING (cluster)"""
+
+    sql["q111_salted_join"] = """
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+                 AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority"""
 
     return sql

@@ -6,6 +6,6 @@ greedy sequence packing, PII scrubbing, multimodal column plumbing,
 deterministic sampling / train-val-test splits / temperature mixture
 sampling."""
 
-from . import (dedup, multimodal, packing, privacy,  # noqa: F401
+from . import (dedup, joins, multimodal, packing, privacy,  # noqa: F401
                profiling, reshape, retrieval, sampling, similarity,
                sketches, text, timeseries)

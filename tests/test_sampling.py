@@ -139,3 +139,43 @@ def test_melt_roundtrips_columns(spark):
     got = {(r.id, r.variable): r.value
            for r in melt(df, ["id"], ["x", "y"]).collect()}
     assert got == {(1, "x"): 2.0, (1, "y"): 3.0}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from dask_grblas_spark.functions.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in (1, 1, 1, 2, 3) for i in range(10)],
+        "k long, lval long")
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (9, "z")],
+                                  "k long, rval string")
+    got = sorted(map(tuple, salted_join(left, right, on="k",
+                                        salt=4).collect()))
+    want = sorted(map(tuple, left.join(right, on="k").collect()))
+    assert got == want
+    # left join keeps unmatched keys exactly once per left row
+    gotl = sorted(map(tuple, salted_join(left, right, on="k", salt=4,
+                                         how="left").collect()),
+                  key=str)
+    wantl = sorted(map(tuple, left.join(right, on="k", how="left")
+                       .collect()), key=str)
+    assert gotl == wantl
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from dask_grblas_spark.functions.joins import salted_join
+
+    left = spark.createDataFrame([(1, i) for i in range(1000)],
+                                 "k long, lval long")
+    right = spark.createDataFrame([(1, "x")], "k long, rval string")
+    ls = salted_join(left.repartition(4), right, on="k", salt=8)
+    # all 1000 rows survive, and the physical join key (k, _salt) had
+    # >1 distinct salt on the hot key (the whole point)
+    assert ls.count() == 1000
+    n_salts = (left.repartition(4)
+               .select(F.pmod(F.monotonically_increasing_id(),
+                              F.lit(8)).alias("s"))
+               .distinct().count())
+    assert n_salts > 1
