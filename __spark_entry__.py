@@ -276,6 +276,16 @@ def q37_pagerank(spark, sf_dir):
     return pr.df.select("i", F.round(F.col("v"), 6).alias("rank_score"))
 
 
+def q112_hits(spark, sf_dir):
+    """HITS hubs/authorities on the DIRECTED customer->supplier nation
+    graph, FIXED 5 power iterations with L1 normalization — the same
+    deterministic-trajectory discipline as q37's PageRank, replayed by
+    unrolled CTEs in the oracle."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    return alg.hits(nn, iters=5) \
+        .select("i", "hub", "authority")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -1536,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_exact_quantiles": q109_exact_quantiles,
         "q110_canonicalize": q110_canonicalize,
         "q111_salted_join": q111_salted_join,
+        "q112_hits": q112_hits,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -3718,5 +3729,17 @@ def oracle_sql() -> dict[str, str]:
                  AS revenue
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority"""
+
+    hits_steps = ['\n        ar1 AS MATERIALIZED (\n          SELECT n.i, COALESCE(c.s, 0.0) AS a\n          FROM nodes n LEFT JOIN (\n            SELECT e.j AS i, SUM(h.h) AS s\n            FROM edges e JOIN h0 h ON h.i = e.i GROUP BY 1) c\n          ON c.i = n.i\n        ), a1 AS MATERIALIZED (\n          SELECT i, CASE WHEN t.t <> 0 THEN a / t.t ELSE 0.0 END AS a\n          FROM ar1, (SELECT SUM(a) AS t FROM ar1) t\n        ), hr1 AS MATERIALIZED (\n          SELECT n.i, COALESCE(c.s, 0.0) AS h\n          FROM nodes n LEFT JOIN (\n            SELECT e.i, SUM(a.a) AS s\n            FROM edges e JOIN a1 a ON a.i = e.j GROUP BY 1) c\n          ON c.i = n.i\n        ), h1 AS MATERIALIZED (\n          SELECT i, CASE WHEN t.t <> 0 THEN h / t.t ELSE 0.0 END AS h\n          FROM hr1, (SELECT SUM(h) AS t FROM hr1) t\n        )', '\n        ar2 AS MATERIALIZED (\n          SELECT n.i, COALESCE(c.s, 0.0) AS a\n          FROM nodes n LEFT JOIN (\n            SELECT e.j AS i, SUM(h.h) AS s\n            FROM edges e JOIN h1 h ON h.i = e.i GROUP BY 1) c\n          ON c.i = n.i\n        ), a2 AS MATERIALIZED (\n          SELECT i, CASE WHEN t.t <> 0 THEN a / t.t ELSE 0.0 END AS a\n          FROM ar2, (SELECT SUM(a) AS t FROM ar2) t\n        ), hr2 AS MATERIALIZED (\n          SELECT n.i, COALESCE(c.s, 0.0) AS h\n          FROM nodes n LEFT JOIN (\n            SELECT e.i, SUM(a.a) AS s\n            FROM edges e JOIN a2 a ON a.i = e.j GROUP BY 1) c\n          ON c.i = n.i\n        ), h2 AS MATERIALIZED (\n          SELECT i, CASE WHEN t.t <> 0 THEN h / t.t ELSE 0.0 END AS h\n          FROM hr2, (SELECT SUM(h) AS t FROM hr2) t\n        )', '\n        ar3 AS MATERIALIZED (\n          SELECT n.i, COALESCE(c.s, 0.0) AS a\n          FROM nodes n LEFT JOIN (\n            SELECT e.j AS i, SUM(h.h) AS s\n            FROM edges e JOIN h2 h ON h.i = e.i GROUP BY 1) c\n          ON c.i = n.i\n        ), a3 AS MATERIALIZED (\n          SELECT i, CASE WHEN t.t <> 0 THEN a / t.t ELSE 0.0 END AS a\n          FROM ar3, (SELECT SUM(a) AS t FROM ar3) t\n        ), hr3 AS MATERIALIZED (\n          SELECT n.i, COALESCE(c.s, 0.0) AS h\n          FROM nodes n LEFT JOIN (\n            SELECT e.i, SUM(a.a) AS s\n            FROM edges e JOIN a3 a ON a.i = e.j GROUP BY 1) c\n          ON c.i = n.i\n        ), h3 AS MATERIALIZED (\n          SELECT i, CASE WHEN t.t <> 0 THEN h / t.t ELSE 0.0 END AS h\n          FROM hr3, (SELECT SUM(h) AS t FROM hr3) t\n        )', '\n        ar4 AS MATERIALIZED (\n          SELECT n.i, COALESCE(c.s, 0.0) AS a\n          FROM nodes n LEFT JOIN (\n            SELECT e.j AS i, SUM(h.h) AS s\n            FROM edges e JOIN h3 h ON h.i = e.i GROUP BY 1) c\n          ON c.i = n.i\n        ), a4 AS MATERIALIZED (\n          SELECT i, CASE WHEN t.t <> 0 THEN a / t.t ELSE 0.0 END AS a\n          FROM ar4, (SELECT SUM(a) AS t FROM ar4) t\n        ), hr4 AS MATERIALIZED (\n          SELECT n.i, COALESCE(c.s, 0.0) AS h\n          FROM nodes n LEFT JOIN (\n            SELECT e.i, SUM(a.a) AS s\n            FROM edges e JOIN a4 a ON a.i = e.j GROUP BY 1) c\n          ON c.i = n.i\n        ), h4 AS MATERIALIZED (\n          SELECT i, CASE WHEN t.t <> 0 THEN h / t.t ELSE 0.0 END AS h\n          FROM hr4, (SELECT SUM(h) AS t FROM hr4) t\n        )', '\n        ar5 AS MATERIALIZED (\n          SELECT n.i, COALESCE(c.s, 0.0) AS a\n          FROM nodes n LEFT JOIN (\n            SELECT e.j AS i, SUM(h.h) AS s\n            FROM edges e JOIN h4 h ON h.i = e.i GROUP BY 1) c\n          ON c.i = n.i\n        ), a5 AS MATERIALIZED (\n          SELECT i, CASE WHEN t.t <> 0 THEN a / t.t ELSE 0.0 END AS a\n          FROM ar5, (SELECT SUM(a) AS t FROM ar5) t\n        ), hr5 AS MATERIALIZED (\n          SELECT n.i, COALESCE(c.s, 0.0) AS h\n          FROM nodes n LEFT JOIN (\n            SELECT e.i, SUM(a.a) AS s\n            FROM edges e JOIN a5 a ON a.i = e.j GROUP BY 1) c\n          ON c.i = n.i\n        ), h5 AS MATERIALIZED (\n          SELECT i, CASE WHEN t.t <> 0 THEN h / t.t ELSE 0.0 END AS h\n          FROM hr5, (SELECT SUM(h) AS t FROM hr5) t\n        )']
+    sql["q112_hits"] = f"""
+        WITH {NN_CTE},
+        edges AS MATERIALIZED (SELECT DISTINCT i, j FROM nn),
+        nodes AS MATERIALIZED (SELECT CAST(unnest(range(25)) AS BIGINT)
+                                 AS i),
+        h0 AS MATERIALIZED (SELECT i, 1.0 / 25 AS h FROM nodes),
+        {','.join(hits_steps)}
+        SELECT h5.i, ROUND(h5.h, 6) AS hub, ROUND(a5.a, 6) AS authority
+        FROM h5 JOIN a5 ON a5.i = h5.i
+    """
 
     return sql

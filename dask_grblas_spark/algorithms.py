@@ -37,7 +37,8 @@ from .dtypes import FP64, INT64
 from .operators import semiring
 
 __all__ = ["bfs_level", "sssp", "connected_components", "pagerank",
-           "triangle_count", "symmetrize", "with_singletons", "k_core"]
+           "triangle_count", "symmetrize", "with_singletons", "k_core",
+           "hits"]
 
 # Lineage growth between checkpoints is GEOMETRIC for min-merge loops:
 # each iteration's state plan nests the previous state ~3x (improved
@@ -545,3 +546,61 @@ def triangle_count(A: GrMatrix) -> int:
     if own_raw:
         raw.unpersist()
     return int(t)
+
+
+def hits(A: GrMatrix, iters: int = 5) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) by fixed-iteration power
+    method with L1 normalization:
+
+        a_j <- sum_{i->j} h_i ;  a <- a / sum(a)
+        h_i <- sum_{i->j} a_j ;  h <- h / sum(h)
+
+    Same plan shape as pagerank: each half-step is one join + map-side
+    aggregate against the cached adjacency, the normalizer is an
+    in-plan 1-row aggregate (crossJoined, broadcast by Spark) so every
+    iteration is exactly one job per half-step, and localCheckpoint
+    bounds the plan tree. Fixed iterations, no driver convergence
+    reads — fully replayable as unrolled SQL CTEs (final values rounded
+    to 6 decimals absorb distributed-sum drift, the q37 precedent).
+
+    Returns a DataFrame (i, hub, authority) over all n vertices
+    (isolated vertices carry 0.0)."""
+    spark = get_session()
+    n = A.nrows
+    adj, own_adj = _ensure_cached(A.df)
+    edges = adj.select("i", "j").distinct()
+    k = _adjacency_partitions(edges.count())
+    edges = edges.repartition(k, "i").persist()
+    edges.count()
+    nodes = spark.range(n).select(F.col("id").alias("i"))
+    h = nodes.select("i", F.lit(1.0 / n).alias("h"))
+
+    def _norm(df, col):
+        tot = df.agg(F.sum(col).alias("_t"))
+        return (df.crossJoin(tot)
+                  .select("i", F.when(F.col("_t") != 0,
+                                      F.col(col) / F.col("_t"))
+                           .otherwise(0.0).alias(col)))
+
+    for _ in range(iters):
+        a_raw = (edges.join(h, on="i")
+                      .groupBy(F.col("j").alias("i"))
+                      .agg(F.sum("h").alias("a")))
+        a = _norm(nodes.join(a_raw, on="i", how="left")
+                       .select("i", F.coalesce("a", F.lit(0.0)).alias("a")),
+                  "a")
+        h_raw = (edges.join(a.select(F.col("i").alias("j"), "a"), on="j")
+                      .groupBy("i")
+                      .agg(F.sum("a").alias("h")))
+        h = _norm(nodes.join(h_raw, on="i", how="left")
+                       .select("i", F.coalesce("h", F.lit(0.0)).alias("h")),
+                  "h")
+        a = a.localCheckpoint(eager=True)
+        h = h.localCheckpoint(eager=True)
+    out = (h.join(a, on="i")
+            .select("i", F.round("h", 6).alias("hub"),
+                    F.round("a", 6).alias("authority")))
+    edges.unpersist()
+    if own_adj:
+        adj.unpersist()
+    return out

@@ -234,3 +234,28 @@ def test_label_propagation_two_cliques(spark):
            alg.label_propagation(A, max_iters=5).df.collect()}
     assert got == {0: 1, 1: 1, 2: 1, 10: 11, 11: 11, 12: 11} or \
         got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_hits_star_graph(spark):
+    """Star: 1,2,3 -> 0. Vertex 0 is the only authority; 1-3 are equal
+    hubs; 0 has no out-edges so its hub score is 0."""
+    import dask_grblas_spark as gb
+    from dask_grblas_spark import algorithms as alg
+
+    A = gb.Matrix.from_values([1, 2, 3], [0, 0, 0], [1, 1, 1],
+                              nrows=4, ncols=4, dtype="INT64")
+    got = {r.i: (r.hub, r.authority) for r in alg.hits(A, iters=3).collect()}
+    assert got[0] == (0.0, 1.0)
+    for v in (1, 2, 3):
+        assert got[v] == (round(1 / 3, 6), 0.0)
+
+
+def test_hits_l1_normalized(spark):
+    import dask_grblas_spark as gb
+    from dask_grblas_spark import algorithms as alg
+
+    A = gb.Matrix.from_values([0, 1, 2, 2], [1, 2, 0, 1], [1, 1, 1, 1],
+                              nrows=3, ncols=3, dtype="INT64")
+    rows = alg.hits(A, iters=5).collect()
+    assert abs(sum(r.hub for r in rows) - 1.0) < 1e-5
+    assert abs(sum(r.authority for r in rows) - 1.0) < 1e-5
