@@ -286,6 +286,27 @@ def q112_hits(spark, sf_dir):
         .select("i", "hub", "authority")
 
 
+def q113_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup -> click -> purchase: one
+    groupBy(key) with in-aggregate first-qualifying-step derivation —
+    no per-step self-joins of the event log."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.funnel(load_events(spark, sf_dir),
+                             ["signup", "click", "purchase"]) \
+        .select("key", "n_steps", "converted", "latency_us")
+
+
+def q114_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: cohort = first-activity week,
+    cells count keys active N weeks later — two map-side-combined
+    aggregations."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.cohort_retention(load_events(spark, sf_dir)) \
+        .select("cohort", "offset", "n_active")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -1547,6 +1568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_canonicalize": q110_canonicalize,
         "q111_salted_join": q111_salted_join,
         "q112_hits": q112_hits,
+        "q113_funnel": q113_funnel,
+        "q114_retention": q114_retention,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -3741,5 +3764,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT h5.i, ROUND(h5.h, 6) AS hub, ROUND(a5.a, 6) AS authority
         FROM h5 JOIN a5 ON a5.i = h5.i
     """
+
+    sql["q113_funnel"] = """
+        WITH e AS (
+          SELECT user_id AS key, ts, event_type FROM events
+          WHERE event_type IN ('signup', 'click', 'purchase')
+        ), s0 AS (
+          SELECT key, MIN(ts) AS t FROM e
+          WHERE event_type = 'signup' GROUP BY key
+        ), s1 AS (
+          SELECT e.key, MIN(e.ts) AS t FROM e JOIN s0 ON e.key = s0.key
+          WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.key
+        ), s2 AS (
+          SELECT e.key, MIN(e.ts) AS t FROM e JOIN s1 ON e.key = s1.key
+          WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.key
+        )
+        SELECT k.key,
+               CAST((s0.t IS NOT NULL)::INT + (s1.t IS NOT NULL)::INT
+                    + (s2.t IS NOT NULL)::INT AS INT) AS n_steps,
+               s2.t IS NOT NULL AS converted,
+               CAST(epoch_us(s2.t) - epoch_us(s0.t) AS BIGINT)
+                 AS latency_us
+        FROM (SELECT DISTINCT key FROM e) k
+        LEFT JOIN s0 ON s0.key = k.key
+        LEFT JOIN s1 ON s1.key = k.key
+        LEFT JOIN s2 ON s2.key = k.key"""
+
+    sql["q114_retention"] = """
+        WITH per AS (
+          SELECT DISTINCT user_id AS key,
+                 CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS b
+          FROM events
+        ), f AS (
+          SELECT key, MIN(b) AS b0 FROM per GROUP BY key
+        )
+        SELECT b0 AS cohort,
+               CAST((b - b0) / 604800 AS BIGINT) AS "offset",
+               CAST(COUNT(DISTINCT key) AS BIGINT) AS n_active
+        FROM per JOIN f USING (key)
+        GROUP BY 1, 2"""
 
     return sql

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
-           "ewma", "gapfill"]
+           "ewma", "gapfill", "funnel", "cohort_retention"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -233,3 +233,86 @@ def gapfill(events_df: DataFrame, key_col: str = "user_id",
                     F.last(F.col("_last.x"), ignorenulls=True).over(w)
                      .alias("value"),
                     F.col("_last").isNotNull().alias("observed")))
+
+
+def funnel(events_df: DataFrame, steps: list[str],
+           key_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type",
+           window_seconds: int | None = None) -> DataFrame:
+    """Ordered conversion funnel: per key, how far through ``steps`` did
+    it get, requiring each step STRICTLY AFTER the previous one (first
+    qualifying occurrence), optionally within ``window_seconds`` of
+    step 1. One groupBy(key): each step's earliest-qualifying timestamp
+    is derived inside a single aggregate over the collected (ts, type)
+    pairs — no per-step self-joins (the k-way join formulation shuffles
+    the event log k times; this shuffles once).
+
+    Output: (key, n_steps, converted, latency_us) where latency_us is
+    step1 -> final-step MICROSECONDS (exact integers in every engine,
+    unlike fractional epoch seconds; NULL unless fully converted)."""
+    pair = F.struct(F.col(ts_col).alias("ts"),
+                    F.col(type_col).alias("t"))
+    g = (events_df
+         .filter(F.col(type_col).isin(steps))
+         .groupBy(F.col(key_col).alias("key"))
+         .agg(F.sort_array(F.collect_list(pair)).alias("_ev")))
+    # fold: earliest occurrence of each step after the previous step's
+    # timestamp (epoch seconds as double; micros precision preserved)
+    prev = None
+    ts_cols = []
+    for i, step in enumerate(steps):
+        cond = F.lit(True) if prev is None else F.col(f"_t{i - 1}").isNotNull()
+        after = (lambda p: (lambda s: s.getField("ts") > p))(prev) \
+            if prev is not None else (lambda s: F.lit(True))
+        first = F.filter(
+            F.col("_ev"),
+            lambda s: (s.getField("t") == step) & after(s))
+        t_i = F.when(cond,
+                     F.try_element_at(first, F.lit(1)).getField("ts"))
+        g = g.withColumn(f"_t{i}", t_i)
+        prev = F.col(f"_t{i}")
+        ts_cols.append(f"_t{i}")
+    if window_seconds is not None:
+        for i in range(1, len(steps)):
+            g = g.withColumn(
+                f"_t{i}",
+                F.when(F.unix_micros(F.col(f"_t{i}"))
+                       - F.unix_micros(F.col("_t0"))
+                       <= window_seconds * 1_000_000, F.col(f"_t{i}")))
+            # later steps depend on this one: re-null cascade
+            for j in range(i + 1, len(steps)):
+                g = g.withColumn(
+                    f"_t{j}", F.when(F.col(f"_t{i}").isNotNull(),
+                                     F.col(f"_t{j}")))
+    n_steps = sum(F.col(c).isNotNull().cast("int") for c in ts_cols)
+    last = F.col(ts_cols[-1])
+    return g.select(
+        "key", n_steps.cast("int").alias("n_steps"),
+        last.isNotNull().alias("converted"),
+        (F.unix_micros(last) - F.unix_micros(F.col("_t0")))
+         .cast("bigint").alias("latency_us"))
+
+
+def cohort_retention(events_df: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts", bucket: str = "week"
+                     ) -> DataFrame:
+    """Cohort retention matrix: cohort = each key's first-activity
+    bucket; a (cohort, offset) cell counts keys active ``offset``
+    buckets after their first one. Two map-side-combined aggregations
+    (per-key first bucket, then distinct key-bucket activity joined
+    back on the key) — the standard retention rollup.
+
+    Output: (cohort, offset, n_active) with offset in buckets."""
+    slot = F.unix_timestamp(F.date_trunc(bucket, F.col(ts_col)))
+    per = (events_df
+           .select(F.col(key_col).alias("key"), slot.alias("b"))
+           .distinct())
+    first = per.groupBy("key").agg(F.min("b").alias("b0"))
+    width = {"day": 86400, "week": 604800, "hour": 3600}[bucket]
+    return (per.join(first, on="key")
+               .select("key", F.col("b0").alias("cohort"),
+                       ((F.col("b") - F.col("b0")) / F.lit(width))
+                       .cast("bigint").alias("offset"))
+               .groupBy("cohort", "offset")
+               .agg(F.count_distinct("key").cast("bigint")
+                     .alias("n_active")))

@@ -178,3 +178,57 @@ def test_gapfill_grid_is_per_key_span(spark):
     out = timeseries.gapfill(_series(spark))
     # all four events share hour 0 -> one slot per key, no densify
     assert out.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# funnel / cohort retention (q113/q114)
+# ---------------------------------------------------------------------------
+
+def _funnel_events(spark):
+    return spark.createDataFrame(
+        [  # user 1: full ordered conversion
+         (1, _ts(1), 1, "signup", 0.0), (2, _ts(5), 1, "click", 0.0),
+         (3, _ts(9), 1, "purchase", 0.0),
+         # user 2: purchase BEFORE click -> stops at 2 steps
+         (4, _ts(1), 2, "signup", 0.0), (5, _ts(3), 2, "purchase", 0.0),
+         (6, _ts(7), 2, "click", 0.0),
+         # user 3: never signed up -> 0 steps (click alone doesn't count)
+         (7, _ts(2), 3, "click", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double")
+
+
+def test_funnel_ordered_steps(spark):
+    out = timeseries.funnel(_funnel_events(spark),
+                            ["signup", "click", "purchase"])
+    got = {r.key: (r.n_steps, r.converted, r.latency_us)
+           for r in out.collect()}
+    assert got[1] == (3, True, 8_000_000)
+    assert got[2] == (2, False, None)
+    assert got[3] == (0, False, None)
+
+
+def test_funnel_window_bound(spark):
+    out = timeseries.funnel(_funnel_events(spark),
+                            ["signup", "click", "purchase"],
+                            window_seconds=5)
+    got = {r.key: (r.n_steps, r.converted) for r in out.collect()}
+    # user 1's purchase at +8s exceeds the 5s window; click at +4s stays
+    assert got[1] == (2, False)
+
+
+def test_cohort_retention_weekly(spark):
+    def _d(day):
+        return dt.datetime(2024, 1, day)  # 2024-01-01 is a Monday
+
+    df = spark.createDataFrame(
+        [(1, _d(1), 1, "view", 0.0), (2, _d(2), 1, "view", 0.0),
+         (3, _d(9), 1, "view", 0.0),   # week+1
+         (4, _d(9), 2, "view", 0.0)],  # cohort week 2
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double")
+    got = {(r.cohort, r.offset): r.n_active
+           for r in timeseries.cohort_retention(df).collect()}
+    w1 = int(dt.datetime(2024, 1, 1).timestamp())
+    w2 = int(dt.datetime(2024, 1, 8).timestamp())
+    assert got == {(w1, 0): 1, (w1, 1): 1, (w2, 0): 1}
