@@ -616,6 +616,23 @@ def q10_jsonl_roundtrip(spark, sf_dir):
     return back.select("doc_id", F.md5("text").alias("content_hash"))
 
 
+def q115_csv_roundtrip(spark, sf_dir):
+    """CSV sink + schema-explicit source round-trip over the documents
+    corpus (sources/io.py) — the external-tool export boundary; content
+    re-verified by the oracle hash against the original table."""
+    import os
+
+    from dask_grblas_spark.sources import io as gio
+
+    docs = _doc(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    path = f"/tmp/dgs_csv_{os.path.basename(sf_dir.rstrip('/'))}"
+    gio.table_to_csv(docs, path)
+    back = gio.table_from_csv(
+        path, "doc_id long, text string, lang string, source string")
+    return back.select("doc_id", "lang", "source",
+                       F.md5("text").alias("content_hash"))
+
+
 def q59_orc_roundtrip(spark, sf_dir):
     """ORC sink + source round-trip over the documents corpus
     (sources/io.py): distributed columnar write, schema-explicit read
@@ -1570,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_hits": q112_hits,
         "q113_funnel": q113_funnel,
         "q114_retention": q114_retention,
+        "q115_csv_roundtrip": q115_csv_roundtrip,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -3803,5 +3821,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(DISTINCT key) AS BIGINT) AS n_active
         FROM per JOIN f USING (key)
         GROUP BY 1, 2"""
+
+    sql["q115_csv_roundtrip"] = """
+        SELECT doc_id, lang, source, md5(text) AS content_hash
+        FROM documents"""
 
     return sql

@@ -22,7 +22,8 @@ __all__ = ["matrix_from_parquet", "matrix_to_parquet", "vector_from_parquet",
            "table_to_orc", "table_from_orc",
            "table_to_bucketed", "table_from_catalog",
            "table_to_partitioned", "compact_parquet",
-           "zorder_key", "write_zordered"]
+           "zorder_key", "write_zordered",
+           "table_to_csv", "table_from_csv"]
 
 
 def table_to_partitioned(df, path: str, partition_cols: list[str] | str,
@@ -525,3 +526,21 @@ def write_zordered(df, path: str, x: str, y: str, bits: int = 16,
        .drop("_zkey")
        .write.mode(mode).parquet(path))
     return path
+
+
+def table_to_csv(df, path: str, mode: str = "overwrite",
+                 header: bool = True):
+    """Distributed CSV sink (header per part file, standard quoting) —
+    the interchange format for external tools. Prefer parquet/ORC for
+    anything Spark reads back (CSV loses types and footer statistics);
+    this exists for the export boundary."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+    return path
+
+
+def table_from_csv(path: str, schema, header: bool = True):
+    """Schema-EXPLICIT CSV source: inference (`inferSchema`) costs a
+    full extra pass over the data at 100 TB and can mis-type columns
+    per-file; production reads always pass the schema."""
+    return (get_session().read.schema(schema)
+            .option("header", str(header).lower()).csv(path))
