@@ -1510,13 +1510,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # verdict's item 2): the 34 queries pushed out in r5 (q03-q08, q10,
     # q14, q16, q22, q24, q25, q30-q37, q39-q42, q41b, q50-q54,
     # q57-q60) rotate BACK inside the first 50 for fresh driver rows,
-    # together with 16 of the 22 brand-new q85-q106 — exactly 50.
-    # Round 6 added 22 new queries but the window only fits 16, so the
-    # six simplest new ones (q100, q102-q106 — single-agg analytics,
-    # all independently dual-SF hash-green via tools/check_oracle.py
-    # this round) start past the cap and rotate in in r7, along with
-    # the 14 q71-q84 (r5 driver rows), q28/q44, the 18-query tail and
-    # the text block (all carry r5 driver rows).
+    # together with 16 of the 31 brand-new q85-q115 — exactly 50.
+    # Round 6 added 31 new queries but the window only fits 16, so the
+    # 15 simplest new ones (q100, q102-q115 — single-agg analytics,
+    # reshape, IO round-trips, HITS, funnel/retention; all
+    # independently dual-SF hash-green via tools/check_oracle.py this
+    # round, full-sweep rerun at end of round) start past the cap and
+    # rotate in in r7, along with the 14 q71-q84 (r5 driver rows),
+    # q28/q44, the 18-query tail and the text block (all carry r5
+    # driver rows).
     return {
         # new this round — first driver rows needed
         "q97_semantic_dedup": q97_semantic_dedup,
@@ -1571,8 +1573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_frame_sample": q52_frame_sample,
         "q37_pagerank": q37_pagerank,
         # ---- 50-row cap falls here ----
-        # new-this-round overflow (independently dual-SF hash-green,
-        # tools/check_oracle.py): first driver rows in r7
+        # new-this-round overflow q100/q102-q115 (independently dual-SF
+        # hash-green, tools/check_oracle.py): first driver rows in r7
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
         "q103_melt": q103_melt,
