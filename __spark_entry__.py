@@ -307,6 +307,25 @@ def q114_retention(spark, sf_dir):
         .select("cohort", "offset", "n_active")
 
 
+def q116_interval_union(spark, sf_dir):
+    """Per-user union of overlapping 5-minute activity intervals (the
+    "active time" metric): running-max window marks merge-group starts,
+    running sum numbers the groups — one shuffle, exact integer
+    microseconds."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.interval_union(load_events(spark, sf_dir)) \
+        .select("key", "n_intervals", "active_us")
+
+
+def q117_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: smallest top-V vocab reaching 50/90/
+    95/99% of token occurrences — windows over the bounded vocabulary
+    relation only."""
+    return text.vocab_coverage_curve(_doc(spark, sf_dir)) \
+        .select("frac", "vocab_size", "coverage")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -1590,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_funnel": q113_funnel,
         "q114_retention": q114_retention,
         "q115_csv_roundtrip": q115_csv_roundtrip,
+        "q116_interval_union": q116_interval_union,
+        "q117_vocab_coverage": q117_vocab_coverage,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -3827,5 +3848,58 @@ def oracle_sql() -> dict[str, str]:
     sql["q115_csv_roundtrip"] = """
         SELECT doc_id, lang, source, md5(text) AS content_hash
         FROM documents"""
+
+    sql["q116_interval_union"] = """
+        WITH b AS (
+          SELECT user_id AS key, epoch_us(ts) AS s,
+                 epoch_us(ts) + 300000000 AS e
+          FROM events
+        ), m AS (
+          SELECT key, s, e,
+                 CASE WHEN MAX(e) OVER (PARTITION BY key ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) IS NULL
+                      OR s > MAX(e) OVER (PARTITION BY key ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS nw
+          FROM b
+        ), g AS (
+          SELECT key, s, e,
+                 SUM(nw) OVER (PARTITION BY key ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS grp
+          FROM m
+        ), iv AS (
+          SELECT key, grp, MIN(s) AS a, MAX(e) AS b
+          FROM g GROUP BY 1, 2
+        )
+        SELECT key, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(b - a) AS BIGINT) AS active_us
+        FROM iv GROUP BY key"""
+
+    sql["q117_vocab_coverage"] = r"""
+        WITH f AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+          FROM (SELECT unnest(list_filter(
+                  regexp_split_to_array(trim(text), '\s+'),
+                  x -> length(x) > 0)) AS tok FROM documents)
+          GROUP BY tok
+        ), r AS (
+          SELECT tok, f, row_number() OVER (ORDER BY f DESC, tok) AS r,
+                 CAST(SUM(f) OVER (ORDER BY f DESC, tok
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum
+          FROM f
+        ), t AS (
+          SELECT CAST(SUM(f) AS BIGINT) AS tot FROM f
+        ), sel AS (
+          SELECT p.frac, MIN(r.r) AS vr
+          FROM (SELECT unnest([0.5, 0.9, 0.95, 0.99]) AS frac) p, t, r
+          WHERE r.cum >= p.frac * t.tot
+          GROUP BY p.frac
+        )
+        SELECT s.frac, CAST(s.vr AS BIGINT) AS vocab_size,
+               ROUND(r.cum / t.tot, 6) AS coverage
+        FROM sel s JOIN r ON r.r = s.vr, t"""
 
     return sql

@@ -17,7 +17,8 @@ __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "repetition_stats", "unigram_logprob", "corpus_profile",
            "vocab_oov_rate", "corpus_composition", "bpe_pair_counts",
            "length_batches", "quality_quantile_filter", "zipf_slope",
-           "bpe_train", "bpe_encode", "token_cooccurrence"]
+           "bpe_train", "bpe_encode", "token_cooccurrence",
+           "vocab_coverage_curve"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -576,3 +577,41 @@ def token_cooccurrence(df: DataFrame, id_col: str = "doc_id",
                          F.round(F.log(F.col("n_ab") * F.col("_N")
                                        / (F.col("_na") * F.col("_nb"))),
                                  6).alias("pmi")))
+
+
+def vocab_coverage_curve(df: DataFrame, fracs: list[float] | None = None,
+                         text_col: str = "text") -> DataFrame:
+    """Vocabulary coverage curve: the smallest top-V vocabulary (tokens
+    ranked by corpus frequency desc, token asc — the q73 ordering)
+    whose cumulative frequency reaches each requested fraction of all
+    token occurrences — the tokenizer-sizing diagnostic ("how big a
+    vocab covers 99%?").
+
+    One corpus token count (map-side combined), then every window runs
+    over the VOCABULARY-sized frequency relation — the global rank
+    window is a single task over that bounded relation (the zipf_slope
+    precedent; pre-truncate with a min_df cutoff for corpora whose raw
+    vocabulary is unbounded). Output: (frac, vocab_size, coverage) with
+    coverage = the achieved cumulative fraction, rounded to 6."""
+    fracs = fracs or [0.5, 0.9, 0.95, 0.99]
+    freq = (df.select(F.explode(
+                F.filter(tokens(F.col(text_col)),
+                         lambda x: F.length(x) > 0)).alias("tok"))
+              .groupBy("tok")
+              .agg(F.count("*").cast("bigint").alias("f")))
+    w = Window.orderBy(F.col("f").desc(), F.col("tok"))
+    ranked = (freq.withColumn("r", F.row_number().over(w))
+                  .withColumn("cum", F.sum("f").over(
+                      w.rowsBetween(Window.unboundedPreceding, 0))))
+    tot = freq.agg(F.sum("f").cast("bigint").alias("_tot"))
+    fr = F.explode(F.array(*[F.lit(float(x)) for x in fracs])).alias("frac")
+    targets = tot.select(fr, "_tot")
+    hit = (ranked.crossJoin(F.broadcast(targets))
+                 .filter(F.col("cum") >= F.col("frac") * F.col("_tot"))
+                 .groupBy("frac")
+                 .agg(F.min(F.struct("r", "cum")).alias("_m"),
+                      F.max("_tot").alias("_t")))
+    return hit.select("frac",
+                      F.col("_m.r").cast("bigint").alias("vocab_size"),
+                      F.round(F.col("_m.cum") / F.col("_t"), 6)
+                       .alias("coverage"))

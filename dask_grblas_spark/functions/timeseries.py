@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
-           "ewma", "gapfill", "funnel", "cohort_retention"]
+           "ewma", "gapfill", "funnel", "cohort_retention", "interval_union"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -316,3 +316,38 @@ def cohort_retention(events_df: DataFrame, key_col: str = "user_id",
                .groupBy("cohort", "offset")
                .agg(F.count_distinct("key").cast("bigint")
                      .alias("n_active")))
+
+
+def interval_union(events_df: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts",
+                   interval_seconds: int = 300) -> DataFrame:
+    """Per-key UNION of overlapping activity intervals: each event
+    opens [ts, ts + interval_seconds); overlapping/touching intervals
+    merge, and the output reports merged-interval count and total
+    covered time (the classic "active minutes" metric, and the standard
+    interval-union window trick: a running max of interval ends over
+    1-preceding rows marks merge-group starts, a running sum of those
+    marks numbers the groups).
+
+    One shuffle: both windows and the final per-(key, group) rollup
+    share the key partitioning. Exact integer microseconds.
+
+    Output: (key, n_intervals, active_us)."""
+    gap_us = interval_seconds * 1_000_000
+    base = events_df.select(F.col(key_col).alias("key"),
+                            F.unix_micros(F.col(ts_col)).alias("s"))
+    base = base.withColumn("e", F.col("s") + F.lit(gap_us))
+    w = Window.partitionBy("key").orderBy("s", "e")
+    prev_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    base = base.withColumn(
+        "_new", (prev_end.isNull() | (F.col("s") > prev_end)).cast("int"))
+    base = base.withColumn(
+        "grp", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    iv = (base.groupBy("key", "grp")
+              .agg(F.min("s").alias("a"), F.max("e").alias("b")))
+    return (iv.groupBy("key")
+              .agg(F.count("*").cast("bigint").alias("n_intervals"),
+                   F.sum(F.col("b") - F.col("a")).cast("bigint")
+                    .alias("active_us")))

@@ -382,3 +382,18 @@ def test_token_cooccurrence_cap_bounds_pairs(spark):
     out = token_cooccurrence(docs, min_count=2, max_tokens_per_doc=10)
     # only the 10 lexicographically-first tokens pair: C(10,2) = 45
     assert out.count() == 45
+
+
+def test_vocab_coverage_curve_hand_computed(spark):
+    from dask_grblas_spark.functions.text import vocab_coverage_curve
+
+    # freqs: a=6, b=3, c=1 -> total 10; 50% needs {a}, 90% {a,b},
+    # 95%/99% need all three
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a b b b c")], "doc_id long, text string")
+    got = {r.frac: (r.vocab_size, r.coverage)
+           for r in vocab_coverage_curve(docs).collect()}
+    assert got[0.5] == (1, 0.6)
+    assert got[0.9] == (2, 0.9)
+    assert got[0.95] == (3, 1.0)
+    assert got[0.99] == (3, 1.0)

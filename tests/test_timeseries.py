@@ -232,3 +232,29 @@ def test_cohort_retention_weekly(spark):
     w1 = int(dt.datetime(2024, 1, 1).timestamp())
     w2 = int(dt.datetime(2024, 1, 8).timestamp())
     assert got == {(w1, 0): 1, (w1, 1): 1, (w2, 0): 1}
+
+
+def test_interval_union_merges_overlaps(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1, "view", 0.0),    # [0, 10)
+         (2, _ts(5), 1, "view", 0.0),    # [5, 15) merges
+         (3, _ts(30), 1, "view", 0.0),   # [30, 40) separate
+         (4, _ts(0), 2, "view", 0.0)],   # single interval
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double")
+    got = {r.key: (r.n_intervals, r.active_us)
+           for r in timeseries.interval_union(
+               df, interval_seconds=10).collect()}
+    assert got[1] == (2, 25_000_000)  # [0,15) + [30,40)
+    assert got[2] == (1, 10_000_000)
+
+
+def test_interval_union_touching_intervals_merge(spark):
+    # end is exclusive: an event exactly at a prior interval's end
+    # extends it (s > prev_end is false at equality)
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1, "view", 0.0), (2, _ts(10), 1, "view", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double")
+    got = timeseries.interval_union(df, interval_seconds=10).collect()[0]
+    assert (got.n_intervals, got.active_us) == (1, 20_000_000)
