@@ -76,6 +76,7 @@ def main() -> int:
     # k-core peeling: degree agg + broadcast anti-joins per round; on a
     # uniform random graph k near the mean degree forces real peeling
     probe("k_core", E, lambda: alg.k_core(A, k=18))
+    probe("hits_3iter", E, lambda: alg.hits(A, iters=3))
     # majority-drop round 1 (mean degree ~20, k=25 -> ~85% of vertices
     # peel immediately): the per-round join must flip to SEMI-join on
     # the smaller surviving side instead of anti-joining a huge dropped
@@ -230,6 +231,27 @@ def main() -> int:
     # every 5-gram duplicated 20 ways -> the drop-position explode runs
     # at ~5x the full gram relation)
     probe("dedup_spans", ndocs, lambda: dedup.dedup_spans(docs, n=5))
+    probe("vocab_coverage_curve", ndocs,
+          lambda: text_fns.vocab_coverage_curve(docs))
+    # PMI co-occurrence on the 100k-vocab skewed corpus (40 distinct
+    # tokens per doc -> C(40,2)=780 pairs/doc, capped fan-out)
+    probe("token_cooccurrence", NSK,
+          lambda: text_fns.token_cooccurrence(skew_docs, min_count=2))
+    # Z-order layout write of 10M (x, y) rows
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    from dask_grblas_spark.sources.io import write_zordered
+
+    _zp = _os.path.join(_tf.gettempdir(), "dgs_probe_zorder")
+    _sh.rmtree(_zp, ignore_errors=True)
+    zdf = spark.range(10_000_000 if not QUICK else 500_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(65536)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(65536)).alias("y"))
+    probe("write_zordered", 10_000_000 if not QUICK else 500_000,
+          lambda: spark.createDataFrame(
+              [(write_zordered(zdf, _zp, "x", "y"),)], "p string"))
 
     # ---- per-group sampling under heavy skew: ONE group holds 50% of
     # 10M rows — the two-phase top-k must keep that group's window
@@ -365,6 +387,38 @@ def main() -> int:
         "user_id", F.pmod(F.xxhash64("event_id", F.lit(9)),
                           F.lit(10_000)))
     probe("gapfill_hourly", NEV, lambda: timeseries.gapfill(gf_ev))
+    # late-r6 event analytics at 10M events
+    ev5 = ev.withColumn(
+        "event_type",
+        F.element_at(F.array(*[F.lit(t) for t in
+                               ("signup", "click", "purchase", "view",
+                                "error")]),
+                     (F.pmod(F.xxhash64("event_id", F.lit(11)), F.lit(5))
+                      + 1).cast("int")))
+    probe("funnel", NEV,
+          lambda: timeseries.funnel(ev5, ["signup", "click", "purchase"]))
+    probe("cohort_retention", NEV,
+          lambda: timeseries.cohort_retention(ev))
+    probe("interval_union", NEV, lambda: timeseries.interval_union(ev))
+    from dask_grblas_spark.functions import profiling, reshape
+    from dask_grblas_spark.functions.joins import salted_join
+
+    probe("pivot_counts", NEV,
+          lambda: reshape.pivot_table(ev5, "user_id", "event_type",
+                                      ["signup", "click", "purchase",
+                                       "view", "error"]))
+    probe("exact_quantiles", NEV,
+          lambda: profiling.exact_quantiles(
+              ev, "value", [0.25, 0.5, 0.75, 0.95, 0.99]))
+    # salted join under a 50%-hot key: 10M-row left, small right — the
+    # salt scatters the hot key's probe rows across 8 sub-keys
+    hot_left = ev.withColumn(
+        "jk", F.when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit(0))
+               .otherwise(F.pmod(F.xxhash64("event_id"), F.lit(1000))))
+    hot_right = spark.range(1000).select(F.col("id").alias("jk"),
+                                         F.col("id").alias("rv"))
+    probe("salted_join_hot", NEV,
+          lambda: salted_join(hot_left, hot_right, on="jk", salt=8))
     probe("countmin_counts", NEV,
           lambda: sketches.countmin_counts(ev, "user_id",
                                            [str(k) for k in range(20)]))
