@@ -326,6 +326,34 @@ def q117_vocab_coverage(spark, sf_dir):
         .select("frac", "vocab_size", "coverage")
 
 
+def q118_fuzzy_pairs(spark, sf_dir):
+    """Edit-distance near-match pairs over the corpus vocabulary
+    (typo/variant detection): banded length-bucket blocking makes
+    candidates linear; every candidate is levenshtein-verified. The
+    oracle recomputes with DuckDB's OWN levenshtein over unblocked
+    pairs — an independent algorithm, same result set."""
+    words = (_doc(spark, sf_dir)
+             .select(F.explode(text.tokens(F.col("text"))).alias("w"))
+             .filter(F.length("w") > 0).distinct()
+             .select(F.col("w").alias("wid"), "w"))
+    return dedup.fuzzy_pairs(words, id_col="wid", text_col="w",
+                             max_dist=2) \
+        .select("id_a", "id_b", "dist")
+
+
+def q119_outliers(spark, sf_dir):
+    """Per-event-type z-score outliers (|z| >= 1.6 population SDs):
+    one moment-sum aggregation broadcast-joined back; z evaluated with
+    the oracle's exact expression tree."""
+    from dask_grblas_spark.functions import profiling
+    from dask_grblas_spark.streaming import load_events
+
+    return profiling.zscore_outliers(
+        load_events(spark, sf_dir), "event_type", "value", "event_id",
+        threshold=1.6) \
+        .select("key", "id", "x", "z")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -1611,6 +1639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_csv_roundtrip": q115_csv_roundtrip,
         "q116_interval_union": q116_interval_union,
         "q117_vocab_coverage": q117_vocab_coverage,
+        "q118_fuzzy_pairs": q118_fuzzy_pairs,
+        "q119_outliers": q119_outliers,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -3901,5 +3931,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.frac, CAST(s.vr AS BIGINT) AS vocab_size,
                ROUND(r.cum / t.tot, 6) AS coverage
         FROM sel s JOIN r ON r.r = s.vr, t"""
+
+    sql["q118_fuzzy_pairs"] = r"""
+        WITH w AS (
+          SELECT DISTINCT w FROM (
+            SELECT unnest(list_filter(
+              regexp_split_to_array(trim(text), '\s+'),
+              x -> length(x) > 0)) AS w FROM documents)
+          WHERE length(w) <= 64
+        )
+        SELECT a.w AS id_a, b.w AS id_b,
+               CAST(levenshtein(a.w, b.w) AS INT) AS dist
+        FROM w a JOIN w b ON a.w < b.w
+        WHERE levenshtein(a.w, b.w) <= 2"""
+
+    sql["q119_outliers"] = """
+        WITH m AS (
+          SELECT event_type AS key, CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(CAST(value AS DOUBLE)) AS sx,
+                 SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE))
+                   AS sx2
+          FROM events GROUP BY event_type
+        )
+        SELECT key, id, x, z FROM (
+          SELECT e.event_type AS key, e.event_id AS id,
+                 CAST(e.value AS DOUBLE) AS x,
+                 CASE WHEN (m.n * m.sx2 - m.sx * m.sx) / (m.n * m.n) > 0
+                      THEN ROUND((CAST(e.value AS DOUBLE) - m.sx / m.n)
+                           / SQRT((m.n * m.sx2 - m.sx * m.sx)
+                                  / (m.n * m.n)), 6)
+                 END AS z
+          FROM events e JOIN m ON e.event_type = m.key)
+        WHERE ABS(z) >= 1.6"""
 
     return sql

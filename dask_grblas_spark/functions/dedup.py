@@ -26,7 +26,7 @@ __all__ = ["exact_dedup", "exact_dup_groups", "shingles", "ngram_jaccard_pairs",
            "minhash_signatures", "minhash_lsh_pairs", "minhash_lsh_pairs_between",
            "simhash", "simhash_pairs",
            "embedding_neardup_pairs", "dup_ngram_coverage", "dedup_spans",
-           "canonicalize_clusters",
+           "canonicalize_clusters", "fuzzy_pairs",
            "cross_hash60", "MINHASH_P", "MINHASH_AB"]
 
 
@@ -696,3 +696,48 @@ def canonicalize_clusters(df: DataFrame, cluster_col: str = "cluster",
                     .alias("rep_id"),
                    F.count("*").cast("bigint").alias("n_members"),
                    F.round(F.max(quality_col), 6).alias("best_quality")))
+
+
+def fuzzy_pairs(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", max_dist: int = 2,
+                max_len: int = 64) -> DataFrame:
+    """Edit-distance near-match pairs over a string column (fuzzy
+    entity matching): pairs with levenshtein <= max_dist. The quadratic
+    hazard is blocked by LENGTH: |len(a) - len(b)| <= max_dist is a
+    necessary condition, so candidates form only inside a banded
+    length-bucket equi-join (each row joins its own bucket and the next
+    max_dist buckets) — never all-pairs. Strings longer than max_len
+    are excluded (levenshtein cost is O(len^2) per pair; bound it).
+
+    Output: (id_a, id_b, dist) with id_a < id_b, verified distance."""
+    s = (df.select(F.col(id_col).alias("id"),
+                   F.col(text_col).alias("s"),
+                   F.length(text_col).alias("_l"))
+           .filter((F.col("_l") > 0) & (F.col("_l") <= max_len)))
+    # band expansion on ONE side only: a joins buckets [l_a, l_a + d]
+    a = s.select("id", "s",
+                 F.explode(F.sequence(
+                     F.col("_l"), F.col("_l") + F.lit(max_dist)))
+                  .alias("_b"))
+    b = s.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"),
+                 F.col("_l").alias("_b"))
+    # the band is ONE-SIDED (a reaches up to longer b), so a pair's
+    # shorter member always arrives on the a side regardless of id
+    # order — canonicalize ids AFTER the join (an id < id_b filter
+    # before it would drop pairs whose shorter string sorts later)
+    lt = F.col("id") < F.col("id_b")
+    cand = (a.join(b, on="_b")
+             .filter(F.col("id") != F.col("id_b"))
+             .select(F.when(lt, F.col("id")).otherwise(F.col("id_b"))
+                      .alias("id_a"),
+                     F.when(lt, F.col("id_b")).otherwise(F.col("id"))
+                      .alias("id_b"),
+                     F.when(lt, F.col("s")).otherwise(F.col("s_b"))
+                      .alias("s_a"),
+                     F.when(lt, F.col("s_b")).otherwise(F.col("s"))
+                      .alias("s_b"))
+             .distinct())
+    dist = F.levenshtein(F.col("s_a"), F.col("s_b"))
+    return (cand.withColumn("dist", dist.cast("int"))
+                .filter(F.col("dist") <= max_dist)
+                .select("id_a", "id_b", "dist"))

@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
-           "groupwise_linreg", "histogram", "exact_quantiles"]
+           "groupwise_linreg", "histogram", "exact_quantiles",
+           "zscore_outliers"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -240,3 +241,28 @@ def exact_quantiles(df: DataFrame, col: str, probs: list[float],
     want_df = spark.createDataFrame(wanted, "_b int, p double, _rn int")
     return (ranked.join(F.broadcast(want_df), on=["_b", "_rn"])
                   .select("p", F.col("_v").alias("value")))
+
+
+def zscore_outliers(df: DataFrame, key_col: str, val_col: str,
+                    id_col: str, threshold: float = 3.0) -> DataFrame:
+    """Per-group z-score outlier screen: rows whose value deviates from
+    their group's mean by >= threshold population standard deviations.
+    Group moments come from one map-side-combined aggregation (moment
+    sums, not two-pass mean-then-variance) and join back broadcast
+    (group cardinality is bounded); z is computed with the SAME
+    closed-form expression tree as the SQL oracle, rounded to 6.
+    Zero-variance groups emit nothing (z undefined; engines disagree
+    on x/0). Output: (key, id, x, z)."""
+    x = F.col(val_col).cast("double")
+    g = (df.groupBy(F.col(key_col).alias("key"))
+           .agg(F.count("*").cast("double").alias("_n"),
+                F.sum(x).alias("_sx"), F.sum(x * x).alias("_sx2")))
+    j = df.select(F.col(key_col).alias("key"),
+                  F.col(id_col).alias("id"), x.alias("x")) \
+          .join(F.broadcast(g), on="key")
+    var = (F.col("_n") * F.col("_sx2") - F.col("_sx") * F.col("_sx")) \
+        / (F.col("_n") * F.col("_n"))
+    z = (F.col("x") - F.col("_sx") / F.col("_n")) / F.sqrt(var)
+    return (j.withColumn("z", F.when(var > 0, F.round(z, 6)))
+             .filter(F.abs(F.col("z")) >= threshold)
+             .select("key", "id", "x", "z"))

@@ -296,3 +296,21 @@ def test_canonicalize_picks_quality_then_min_id(spark):
            for r in canonicalize_clusters(df).collect()}
     assert got[1] == (11, 3, 0.9)
     assert got[2] == (20, 1, 0.1)
+
+
+def test_fuzzy_pairs_length_blocking_complete(spark):
+    from dask_grblas_spark.functions.dedup import fuzzy_pairs
+
+    words = ["spark", "spork", "sprk", "join", "joins", "zebra",
+             "x" * 65]  # over max_len: excluded
+    df = spark.createDataFrame([(w, w) for w in words],
+                               "wid string, w string")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in fuzzy_pairs(df, id_col="wid", text_col="w",
+                                max_dist=2).collect()}
+    assert got[("spark", "spork")] == 1
+    assert got[("spark", "sprk")] == 1     # shorter joins longer's band
+    assert got[("spork", "sprk")] == 1
+    assert got[("join", "joins")] == 1
+    assert all("zebra" not in p for p in got)
+    assert all("x" * 65 not in p for p in got)

@@ -347,3 +347,15 @@ def test_exact_quantiles_constant_and_tiny_p(spark):
     got = {r.p: r.value for r in
            exact_quantiles(df, "v", [0.001], nbins=4).collect()}
     assert got == {0.001: 1.0}
+
+
+def test_zscore_outliers_hand_computed(spark):
+    from dask_grblas_spark.functions.profiling import zscore_outliers
+
+    # group a: values 0,0,0,0,10 -> mean 2, var_pop 16, sd 4; z(10)=2
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate([0.0, 0.0, 0.0, 0.0, 10.0])]
+        + [("b", 9, 5.0), ("b", 10, 5.0)],  # zero variance: no output
+        "k string, eid long, v double")
+    got = zscore_outliers(df, "k", "v", "eid", threshold=1.5).collect()
+    assert {(r.key, r.id, r.z) for r in got} == {("a", 4, 2.0)}
