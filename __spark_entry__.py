@@ -354,6 +354,19 @@ def q119_outliers(spark, sf_dir):
         .select("key", "id", "x", "z")
 
 
+def q120_stream_enrich(spark, sf_dir):
+    """Stream–static broadcast enrichment (REAL Structured Streaming):
+    the event stream joins a broadcast dimension per micro-batch, then
+    a daily windowed weighted rollup. The oracle replays the join +
+    window as plain batch SQL — the streaming result must equal the
+    batch semantics exactly on a bounded input."""
+    from dask_grblas_spark.streaming import stream_static_enrich
+
+    return stream_static_enrich(spark, sf_dir) \
+        .select("window_start", "event_type", "n_events",
+                "weighted_value")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -1641,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_vocab_coverage": q117_vocab_coverage,
         "q118_fuzzy_pairs": q118_fuzzy_pairs,
         "q119_outliers": q119_outliers,
+        "q120_stream_enrich": q120_stream_enrich,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -3963,5 +3977,17 @@ def oracle_sql() -> dict[str, str]:
                  END AS z
           FROM events e JOIN m ON e.event_type = m.key)
         WHERE ABS(z) >= 1.6"""
+
+    sql["q120_stream_enrich"] = """
+        WITH d AS (
+          SELECT * FROM (VALUES ('click', 1.0), ('view', 0.5),
+                                ('purchase', 10.0), ('signup', 5.0),
+                                ('error', 0.0)) AS t(event_type, weight)
+        )
+        SELECT date_trunc('day', e.ts) AS window_start, e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(e.value * d.weight), 6) AS weighted_value
+        FROM events e JOIN d ON d.event_type = e.event_type
+        GROUP BY 1, 2"""
 
     return sql

@@ -310,3 +310,38 @@ def sessionize(spark: SparkSession, sf_dir: str,
     return (sess.groupBy("user_id", "session_no")
                 .agg(F.count("*").alias("n_events"),
                      F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str,
+                         window: str = "1 day") -> DataFrame:
+    """Stream–static broadcast enrichment — the canonical streaming
+    join pattern: the event stream joins a STATIC dimension (event-type
+    weights; broadcast, re-resolvable per micro-batch) before a
+    windowed rollup of weighted value. Static sides need no watermark
+    and no state — Spark plans a broadcast hash join inside every
+    micro-batch, which is why dimension enrichment is free at any
+    stream rate (vs the stateful stream–stream join in
+    stream_interval_join). Drained to completion via a memory sink."""
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+         ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double")
+    stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+              .parquet(_events_stream_dir(sf_dir)))
+    agg = (stream
+           .withWatermark("ts", "1 minute")
+           .join(F.broadcast(dim), on="event_type")
+           .groupBy(F.window("ts", window), F.col("event_type"))
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum(F.col("value") * F.col("weight")), 6)
+                 .alias("weighted_value")))
+    qname = f"sse_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(qname).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.table(qname)
+            .select(F.col("window.start").alias("window_start"),
+                    "event_type", "n_events", "weighted_value"))

@@ -714,3 +714,29 @@ def test_write_zordered_tightens_file_bounding_boxes(spark, tmp_path):
     assert za < pa / 4, (za, pa)
     # and the data itself round-trips
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    """The streaming stream-static broadcast join must produce exactly
+    the batch-join semantics on a bounded input."""
+    from pyspark.sql import functions as F
+
+    from dask_grblas_spark.streaming import (load_events,
+                                             stream_static_enrich)
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.window_start, r.event_type): (r.n_events, r.weighted_value)
+           for r in stream_static_enrich(spark, sf).collect()}
+    dim = {"click": 1.0, "view": 0.5, "purchase": 10.0, "signup": 5.0,
+           "error": 0.0}
+    ev = load_events(spark, sf)
+    w = F.udf(lambda t: dim.get(t))  # batch reference; tiny data
+    batch = (ev.withColumn("_w", w("event_type").cast("double"))
+               .filter(F.col("_w").isNotNull())
+               .groupBy(F.date_trunc("day", "ts").alias("ws"),
+                        "event_type")
+               .agg(F.count("*").alias("n"),
+                    F.round(F.sum(F.col("value") * F.col("_w")), 6)
+                     .alias("wv")))
+    want = {(r.ws, r.event_type): (r.n, r.wv) for r in batch.collect()}
+    assert got == want
