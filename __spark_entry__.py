@@ -367,6 +367,95 @@ def q120_stream_enrich(spark, sf_dir):
                 "weighted_value")
 
 
+def q121_range_join(spark, sf_dir):
+    """Bucket-decomposed interval containment join (joins.range_join):
+    'click' events of every 10th user open a 2-minute window; all
+    non-click events are matched into the windows via the bucket
+    equi-join rewrite (no inequality/cartesian join in the plan). The
+    oracle runs the NAIVE inequality join in DuckDB — an independent
+    algorithm that must produce the identical match set."""
+    from dask_grblas_spark.functions.joins import range_join
+    from dask_grblas_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir)
+    iv = (ev.where((F.col("event_type") == "click")
+                   & (F.col("user_id") % 10 == 0))
+            .select(F.col("event_id").alias("iid"),
+                    F.unix_micros("ts").alias("s"))
+            .withColumn("e", F.col("s") + F.lit(120_000_000)))
+    pt = (ev.where(F.col("event_type") != "click")
+            .select(F.col("event_id").alias("pid"),
+                    F.unix_micros("ts").alias("x"),
+                    "event_type", "value"))
+    m = range_join(pt, iv, "x", "s", "e", bucket_width=300_000_000)
+    return (m.groupBy(F.col("event_type").alias("etype"))
+             .agg(F.count("*").cast("bigint").alias("n_matches"),
+                  F.count_distinct("iid").cast("bigint").alias("n_ivs"),
+                  F.round(F.sum("value"), 6).alias("sum_value")))
+
+
+def q122_prefix_jaccard(spark, sf_dir):
+    """EXACT 3-gram Jaccard >= 0.5 via prefix filtering (AllPairs/
+    PPJoin): only each doc's rarest-first prefix shingles are indexed,
+    with a min/max size feasibility filter at join time — recall is
+    provably 1, so the result must equal the oracle's UNBLOCKED exact
+    all-pairs Jaccard."""
+    return dedup.prefix_jaccard_pairs(_doc(spark, sf_dir), n=3,
+                                      threshold=0.5) \
+        .select("id_a", "id_b", "jaccard")
+
+
+def q123_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type-2 history (timeseries.scd2) over
+    each third user's event-type stream: consecutive same-type runs
+    collapse to one version with [valid_from, valid_to) epoch-micro
+    intervals. The oracle replays it as lag/lead window SQL."""
+    from dask_grblas_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir).where(F.col("user_id") % 3 == 0)
+    out = timeseries.scd2(ev, "user_id", "ts", ["event_type"],
+                          order_cols=["ts", "event_id"])
+    return out.select(
+        "user_id", "event_type", "valid_from",
+        F.coalesce("valid_to", F.lit(-1).cast("bigint")).alias("valid_to"),
+        "version")
+
+
+def q124_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction on a deterministically sparsified
+    nation graph (the complete 25x25 trade graph keeps edges with
+    (i*31 + j) % 3 == 0, then symmetrizes — SF-independent sparsity so
+    non-adjacent pairs exist). Scores every non-edge by its common
+    neighbors' 1/ln(degree); the oracle recomputes via plain SQL
+    self-joins."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    e = (nn.df.where((F.col("i") * 31 + F.col("j")) % 3 == 0)
+             .select("i", "j", F.lit(1).cast("bigint").alias("v")))
+    A = Matrix.from_dataframe(e, 25, 25, dtype="INT64")
+    return alg.adamic_adar(alg.symmetrize(A)) \
+        .select("u", "v", "n_common", "score")
+
+
+def q125_bigram_lm(spark, sf_dir):
+    """Per-document mean log-likelihood under the corpus's own add-0.5
+    smoothed bigram model (text.bigram_logprob) — the KenLM-style
+    fluency signal. Bigram extraction is a pure array expression; the
+    oracle rebuilds the same model with window/join SQL."""
+    return text.bigram_logprob(_doc(spark, sf_dir)) \
+        .select("doc_id", "n_bigrams", "avg_lp")
+
+
+def q126_int8_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embeddings
+    (similarity.quantize_int8): scale, reconstruction MSE and the
+    code-sum checksum that pins every int8 code exactly. All per-row
+    codegen arithmetic (floor-half-away rounding — bit-identical
+    across engines); the oracle recomputes each code in DuckDB."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.quantize_int8(emb) \
+        .select("vec_id", "q_scale", "q_mse", "q_sum")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -1655,6 +1744,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_fuzzy_pairs": q118_fuzzy_pairs,
         "q119_outliers": q119_outliers,
         "q120_stream_enrich": q120_stream_enrich,
+        "q121_range_join": q121_range_join,
+        "q122_prefix_jaccard": q122_prefix_jaccard,
+        "q123_scd2": q123_scd2,
+        "q124_adamic_adar": q124_adamic_adar,
+        "q125_bigram_lm": q125_bigram_lm,
+        "q126_int8_quantize": q126_int8_quantize,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -3989,5 +4084,160 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(e.value * d.weight), 6) AS weighted_value
         FROM events e JOIN d ON d.event_type = e.event_type
         GROUP BY 1, 2"""
+
+    # q121: the NAIVE inequality join — an independent algorithm from the
+    # engine's bucket-decomposition rewrite; identical match set required.
+    sql["q121_range_join"] = """
+        WITH iv AS (
+          SELECT event_id AS iid, epoch_us(ts) AS s,
+                 epoch_us(ts) + 120000000 AS e
+          FROM events WHERE event_type = 'click' AND user_id % 10 = 0
+        ), pt AS (
+          SELECT event_id AS pid, epoch_us(ts) AS x, event_type, value
+          FROM events WHERE event_type <> 'click'
+        )
+        SELECT pt.event_type AS etype,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               CAST(COUNT(DISTINCT iid) AS BIGINT) AS n_ivs,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM pt JOIN iv ON pt.x >= iv.s AND pt.x < iv.e
+        GROUP BY 1"""
+
+    # q122: UNBLOCKED exact all-pairs 3-gram Jaccard — prefix filtering
+    # must lose nothing (recall exactly 1).
+    sql["q122_prefix_jaccard"] = r"""
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(
+                   list_transform(
+                     range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                     p -> array_to_string(
+                       regexp_split_to_array(trim(text), '\s+')[p+1:p+3], ' '))))
+                 AS shingle
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+        ), sizes AS (
+          SELECT id, COUNT(*) AS sz FROM sh GROUP BY 1
+        ), inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) >= 0.5"""
+
+    # q123: lag/lead window replay of the SCD2 build.
+    sql["q123_scd2"] = """
+        WITH e AS (
+          SELECT user_id, ts, event_type, event_id
+          FROM events WHERE user_id % 3 = 0
+        ), m AS (
+          SELECT user_id, ts, event_type, event_id,
+                 CASE WHEN row_number() OVER w = 1
+                        OR lag(event_type) OVER w
+                           IS DISTINCT FROM event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, event_type, ts, event_id FROM m WHERE chg = 1
+        )
+        SELECT user_id, event_type,
+               epoch_us(ts) AS valid_from,
+               COALESCE(epoch_us(lead(ts) OVER w2), -1) AS valid_to,
+               CAST(row_number() OVER w2 AS BIGINT) AS version
+        FROM s
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+    # q124: Adamic-Adar by plain SQL self-joins over the sparsified
+    # symmetric nation graph.
+    sql["q124_adamic_adar"] = f"""
+        WITH {NN_CTE}, samp AS (
+          SELECT i, j FROM nn WHERE (i * 31 + j) % 3 = 0
+        ), sym AS (
+          SELECT DISTINCT i, j FROM (
+            SELECT i, j FROM samp UNION ALL SELECT j AS i, i AS j FROM samp
+          ) WHERE i <> j
+        ), deg AS (
+          SELECT i AS z, COUNT(*) AS deg FROM sym GROUP BY 1
+        ), p AS (
+          SELECT e1.j AS u, e2.j AS v,
+                 CAST(COUNT(*) AS BIGINT) AS n_common,
+                 SUM(1.0 / ln(d.deg)) AS s
+          FROM sym e1
+          JOIN sym e2 ON e1.i = e2.i AND e1.j < e2.j
+          JOIN deg d ON d.z = e1.i
+          GROUP BY 1, 2
+        )
+        SELECT u, v, n_common, ROUND(s, 6) AS score
+        FROM p
+        WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.i = p.u
+                                              AND sym.j = p.v)"""
+
+    # q125: the add-0.5 bigram model rebuilt with join SQL; ROUND(,6)
+    # absorbs summation-order ulps.
+    sql["q125_bigram_lm"] = r"""
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS a
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, generate_subscripts(a, 1) AS i, unnest(a) AS w
+          FROM arr
+        ), bg AS (
+          SELECT p1.doc_id, p1.w AS w1, p2.w AS w2
+          FROM pos p1 JOIN pos p2
+            ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+        ), tf AS (
+          SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3
+        ), c12 AS (
+          SELECT w1, w2, SUM(tf) AS c12 FROM tf GROUP BY 1, 2
+        ), c1 AS (
+          SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1
+        ), voc AS (
+          SELECT COUNT(DISTINCT w) AS v FROM pos
+        )
+        SELECT tf.doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+               ROUND(SUM(tf * ln((c12 + 0.5) / (c1 + 0.5 * v)))
+                     / SUM(tf), 6) AS avg_lp
+        FROM tf
+        JOIN c12 USING (w1, w2)
+        JOIN c1 USING (w1)
+        CROSS JOIN voc
+        GROUP BY 1"""
+
+    # q126: every int8 code recomputed element-wise (floor-half-away is
+    # bit-identical double arithmetic in both engines).
+    sql["q126_int8_quantize"] = """
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+          FROM embeddings
+        ), s AS (
+          SELECT vec_id, a,
+                 CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS sc
+          FROM (SELECT vec_id, a,
+                       list_max(list_transform(a, x -> abs(x))) AS m
+                FROM v)
+        ), q AS (
+          SELECT vec_id, sc, unnest(a) AS x,
+                 unnest(list_transform(a, x ->
+                   greatest(-127.0, least(127.0,
+                     floor(abs(x / sc) + 0.5)
+                     * (CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END))))) AS qc
+          FROM s
+        )
+        SELECT vec_id,
+               ROUND(any_value(sc), 6) AS q_scale,
+               ROUND(AVG((x - qc * sc) * (x - qc * sc)), 9) AS q_mse,
+               CAST(SUM(CAST(qc AS BIGINT)) AS BIGINT) AS q_sum
+        FROM q
+        GROUP BY 1"""
 
     return sql

@@ -38,7 +38,7 @@ from .operators import semiring
 
 __all__ = ["bfs_level", "sssp", "connected_components", "pagerank",
            "triangle_count", "symmetrize", "with_singletons", "k_core",
-           "hits"]
+           "hits", "adamic_adar"]
 
 # Lineage growth between checkpoints is GEOMETRIC for min-merge loops:
 # each iteration's state plan nests the previous state ~3x (improved
@@ -615,3 +615,44 @@ def hits(A: GrMatrix, iters: int = 5) -> DataFrame:
     if own_adj:
         adj.unpersist()
     return out
+
+
+def adamic_adar(A: GrMatrix, max_degree: int | None = None) -> DataFrame:
+    """Adamic–Adar link prediction over a symmetric adjacency: for every
+    NON-adjacent pair (u, v) with at least one common neighbor,
+    score(u, v) = sum over common neighbors z of 1 / ln(deg(z)).
+
+    Plan: one self-join of the edge list on the shared endpoint z
+    (neighbor-pair generation), a (u, v) aggregation, and an anti-join
+    against the edge set to drop already-connected pairs — three
+    exchanges total, no cartesian. Every pair-producing z has deg >= 2,
+    so ln(deg) is never 0.
+
+    The z-self-join fans out deg(z)^2 rows — the classic hub blowup.
+    ``max_degree`` excludes hubs above the cap from pair GENERATION
+    (the standard approximation: a z with deg > cap contributes
+    1/ln(deg) ~ 0 per pair anyway and its pair fan-out is quadratic);
+    default None is exact. At 100 TB scale set it to a few thousand.
+
+    Output: (u, v, n_common, score) with u < v, score rounded to 6.
+    """
+    edges = (A.df.select(F.col("i").cast("bigint").alias("z"),
+                         F.col("j").cast("bigint").alias("nbr"))
+                 .where(F.col("z") != F.col("nbr"))
+                 .distinct())
+    deg = edges.groupBy("z").agg(F.count("*").alias("deg"))
+    gen = edges.join(deg, on="z")
+    if max_degree is not None:
+        gen = gen.where(F.col("deg") <= max_degree)
+    e1 = gen.select("z", F.col("nbr").alias("u"), "deg")
+    e2 = gen.select("z", F.col("nbr").alias("v"))
+    pairs = (e1.join(e2, on="z")
+               .where(F.col("u") < F.col("v"))
+               .groupBy("u", "v")
+               .agg(F.count("*").cast("bigint").alias("n_common"),
+                    F.sum(F.lit(1.0) / F.log(F.col("deg")))
+                     .alias("_s")))
+    adj = edges.select(F.col("z").alias("u"), F.col("nbr").alias("v"))
+    return (pairs.join(adj, on=["u", "v"], how="left_anti")
+                 .select("u", "v", "n_common",
+                         F.round("_s", 6).alias("score")))

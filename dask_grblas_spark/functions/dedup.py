@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 __all__ = ["exact_dedup", "exact_dup_groups", "shingles", "ngram_jaccard_pairs",
+           "prefix_jaccard_pairs",
            "minhash_signatures", "minhash_lsh_pairs", "minhash_lsh_pairs_between",
            "simhash", "simhash_pairs",
            "embedding_neardup_pairs", "dup_ngram_coverage", "dedup_spans",
@@ -741,3 +742,56 @@ def fuzzy_pairs(df: DataFrame, id_col: str = "doc_id",
     return (cand.withColumn("dist", dist.cast("int"))
                 .filter(F.col("dist") <= max_dist)
                 .select("id_a", "id_b", "dist"))
+
+
+def prefix_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 3,
+                         threshold: float = 0.8) -> DataFrame:
+    """EXACT n-gram Jaccard >= threshold via PREFIX FILTERING (the
+    AllPairs/PPJoin family) — the deterministic alternative to both the
+    full inverted index (ngram_jaccard_pairs: every shared shingle makes
+    a candidate) and MinHash LSH (probabilistic recall).
+
+    Shingles are ordered rarest-first by (corpus document frequency,
+    hash) — a TOTAL order, no global rank window needed — and each
+    document indexes only its first ``sz - ceil(t * sz) + 1`` shingles:
+    two sets with Jaccard >= t MUST share a prefix element under any
+    common total order, so recall is exactly 1 while candidates shrink
+    by ~(1 - t) per side AND concentrate on rare shingles (a shingle in
+    f docs' prefixes still costs f^2/2 join rows, but rarest-first
+    ordering makes hot shingles structurally unlikely in prefixes —
+    the cap ngram_jaccard_pairs needs is built into the ordering here).
+    The min/max size filter at join time prunes further (J <= min/max).
+
+    Plan: doc-frequency agg on the vocabulary relation, one per-doc
+    rank window for the prefix, the prefix self-join, then exact
+    verification against the per-doc hash sets. Output:
+    (id_a, id_b, jaccard) — identical to ngram_jaccard_pairs(None cap).
+
+    CAVEAT (all similarity joins, not just this one): a cluster of f
+    IDENTICAL documents shares its entire prefix, so no blocking scheme
+    bounds its f^2/2 true pairs — they ARE the answer. Run exact_dedup
+    first; prefix filtering then bounds the near-dup (non-identical)
+    candidates.
+    """
+    sets = _doc_shingle_sets(df, id_col, text_col, n)
+    sh2 = sets.select("id", "sz", F.explode("hs").alias("h"))
+    dfreq = sh2.groupBy("h").agg(F.count("*").alias("_df"))
+    ranked = sh2.join(dfreq, on="h")
+    w = Window.partitionBy("id").orderBy("_df", "h")
+    plen = (F.col("sz")
+            - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1)
+    prefix = (ranked.withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") <= plen)
+                    .select("id", "sz", "h"))
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    feasible = (F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.lit(float(threshold))
+                * F.greatest(F.col("a.sz"), F.col("b.sz")))
+    pairs = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.id") < F.col("b.id")) & feasible)
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+              .distinct())
+    return _jaccard_from_sets(pairs, sets, threshold)

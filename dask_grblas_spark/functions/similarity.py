@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 __all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
            "hyperplane_lsh_buckets", "hyperplane_lsh_pairs", "ivf_topk",
            "kmeans_assign", "random_projection", "label_centroids",
-           "semantic_dedup_pairs"]
+           "semantic_dedup_pairs", "quantize_int8"]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -583,3 +583,51 @@ def label_centroids(emb_df: DataFrame, label_col: str = "label",
                   .groupBy("label", "dim")
                   .agg(F.round(F.avg("x"), 6).alias("centroid"),
                        F.count("*").cast("bigint").alias("n")))
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  keep_codes: bool = False) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the standard 4x storage/bandwidth reduction before ANN indexing at
+    100 TB embedding scale: scale = max|v_i| / 127 (1.0 for the zero
+    vector), code_i = clamp(round_half_away(v_i / scale), -127, 127).
+
+    Everything is a per-row array expression inside codegen — no
+    shuffle, no UDF, a pure map over the corpus. The rounding is
+    FLOOR(|x| + 0.5) * sign — double-bit-identical across engines,
+    unlike decimal ROUND (see ewma's note on half-boundary divergence).
+
+    Output adds: ``q_scale`` (rounded 6), ``q_mse`` (mean squared
+    reconstruction error, rounded to 9 — element errors are O(scale)
+    small), ``q_sum`` (sum of the int8 codes — a checksum that pins
+    every code exactly), and the ``q_codes`` array itself when
+    ``keep_codes``."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.aggregate(v, F.lit(0.0),
+                       lambda acc, x: F.greatest(acc, F.abs(x)))
+    scale = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    out = df.withColumn("_v", v).withColumn("_s", scale)
+    code = F.transform(
+        F.col("_v"),
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(
+                F.lit(127.0),
+                F.floor(F.abs(x / F.col("_s")) + F.lit(0.5))
+                 .cast("double")
+                * F.when(x < 0, F.lit(-1.0)).otherwise(F.lit(1.0))))
+        .cast("int"))
+    out = out.withColumn("q_codes", code)
+    err2 = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("q_codes"),
+                   lambda x, q: (x - q.cast("double") * F.col("_s"))
+                   * (x - q.cast("double") * F.col("_s"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    out = (out.withColumn("q_scale", F.round(F.col("_s"), 6))
+              .withColumn("q_mse",
+                          F.round(err2 / F.greatest(F.size("_v"), F.lit(1)), 9))
+              .withColumn("q_sum",
+                          F.aggregate(F.col("q_codes"), F.lit(0).cast("bigint"),
+                                      lambda acc, x: acc + x.cast("bigint"))))
+    drop = ["_v", "_s"] + ([] if keep_codes else ["q_codes"])
+    return out.drop(*drop)

@@ -18,7 +18,7 @@ __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "vocab_oov_rate", "corpus_composition", "bpe_pair_counts",
            "length_batches", "quality_quantile_filter", "zipf_slope",
            "bpe_train", "bpe_encode", "token_cooccurrence",
-           "vocab_coverage_curve"]
+           "vocab_coverage_curve", "bigram_logprob"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -615,3 +615,45 @@ def vocab_coverage_curve(df: DataFrame, fracs: list[float] | None = None,
                       F.col("_m.r").cast("bigint").alias("vocab_size"),
                       F.round(F.col("_m.cum") / F.col("_t"), 6)
                        .alias("coverage"))
+
+
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: float = 0.5) -> DataFrame:
+    """Per-document mean log-likelihood under an add-k-smoothed BIGRAM
+    model trained on the corpus itself — the stronger sibling of
+    ``unigram_logprob`` (a KenLM-style fluency signal without the
+    external model): avg_lp = mean over the doc's bigrams of
+    ln((c(w1,w2) + k) / (c(w1) + k·V)), where c(w1) counts w1 as a
+    CONTEXT (positions 1..n-1) and V is the corpus vocabulary size.
+    Docs with fewer than two tokens have no bigrams and drop out.
+
+    Plan shape at scale: bigram extraction is a pure array expression
+    (slice + element_at inside codegen — no shuffle, no self-join);
+    per-doc bigram term-frequencies are map-side combined BEFORE the
+    dictionary joins, so a head bigram contributes one row per
+    containing document; the bigram- and context-count dictionaries are
+    corpus-bounded relations (≪ corpus size) and AQE picks broadcast
+    vs skew-split SMJ by their measured size. One scan of the corpus.
+
+    Output: (doc_id, n_bigrams, avg_lp)."""
+    arr = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    base = df.select(F.col(id_col).alias("doc_id"), arr.alias("_a"))
+    bg = base.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(_a, 1, size(_a) - 1),"
+            " (x, i) -> struct(x AS w1, element_at(_a, i + 2) AS w2))"
+        )).alias("_b")).select("doc_id", "_b.w1", "_b.w2")
+    tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (base.select(F.explode("_a").alias("t"))
+                 .agg(F.count_distinct("t").alias("v")))
+    lp = F.log((F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v")))
+    scored = (tf.join(c12, on=["w1", "w2"]).join(c1, on="w1")
+                .crossJoin(F.broadcast(vocab))
+                .withColumn("lp", lp))
+    return (scored.groupBy("doc_id")
+                  .agg(F.sum("tf").cast("bigint").alias("n_bigrams"),
+                       F.round(F.sum(F.col("tf") * F.col("lp"))
+                               / F.sum("tf"), 6).alias("avg_lp")))

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
-           "ewma", "gapfill", "funnel", "cohort_retention", "interval_union"]
+           "ewma", "gapfill", "funnel", "cohort_retention",
+           "interval_union", "scd2"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -351,3 +352,47 @@ def interval_union(events_df: DataFrame, key_col: str = "user_id",
               .agg(F.count("*").cast("bigint").alias("n_intervals"),
                    F.sum(F.col("b") - F.col("a")).cast("bigint")
                     .alias("active_us")))
+
+
+def scd2(df: DataFrame, key_col: str, ts_col: str,
+         attr_cols: list[str], order_cols: list[str] | None = None
+         ) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from an event
+    stream: collapse consecutive rows whose tracked attributes did not
+    change, and emit one validity interval per surviving version.
+
+    Classic warehouse op Spark has no primitive for. Two windows over
+    ONE key-partitioned sort (lag to detect change, lead over survivors
+    for the closing timestamp) — a single exchange regardless of table
+    size, which is the shape that holds on a 100 TB change log. Change
+    detection is null-safe (a NULL -> value transition is a change).
+
+    ``order_cols`` breaks ties within (key, ts); defaults to
+    ``[ts_col]`` — pass a unique id for deterministic histories when
+    timestamps collide.
+
+    Output: key, the attr columns, ``valid_from``/``valid_to`` (epoch
+    micros; valid_to NULL for the current version) and ``version``
+    (1-based per key).
+    """
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    cols, seen = [], set()
+    for c in (key_col, ts_col, *attr_cols, *order_cols):
+        if c not in seen:
+            seen.add(c)
+            cols.append(c)
+    cur = (df.select(*cols)
+             .withColumn("_keep",
+                         (F.row_number().over(w) == 1) | changed)
+             .where(F.col("_keep")))
+    wv = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (cur.select(
+                F.col(key_col),
+                *[F.col(c) for c in attr_cols],
+                F.unix_micros(F.col(ts_col)).alias("valid_from"),
+                F.unix_micros(F.lead(ts_col).over(wv)).alias("valid_to"),
+                F.row_number().over(wv).cast("bigint").alias("version")))

@@ -259,3 +259,35 @@ def test_hits_l1_normalized(spark):
     rows = alg.hits(A, iters=5).collect()
     assert abs(sum(r.hub for r in rows) - 1.0) < 1e-5
     assert abs(sum(r.authority for r in rows) - 1.0) < 1e-5
+
+
+def test_adamic_adar_square_graph(spark):
+    """4-cycle 0-1-2-3-0: non-edges are the diagonals (0,2) and (1,3),
+    each with two common neighbors of degree 2 -> score 2/ln(2)."""
+    import math
+
+    import dask_grblas_spark as gb
+    from dask_grblas_spark.algorithms import adamic_adar
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    rows = [e[0] for e in edges] + [e[1] for e in edges]
+    cols = [e[1] for e in edges] + [e[0] for e in edges]
+    A = gb.Matrix.from_values(rows, cols, [1] * 8, nrows=4, ncols=4)
+    got = {(r.u, r.v): (r.n_common, r.score)
+           for r in adamic_adar(A).collect()}
+    expect = round(2.0 / math.log(2.0), 6)
+    assert got == {(0, 2): (2, expect), (1, 3): (2, expect)}
+
+
+def test_adamic_adar_max_degree_excludes_hub(spark):
+    """Star 0-{1,2,3}: pairs among leaves come only via the hub; capping
+    below the hub degree removes every pair."""
+    import dask_grblas_spark as gb
+    from dask_grblas_spark.algorithms import adamic_adar
+
+    edges = [(0, 1), (0, 2), (0, 3)]
+    rows = [e[0] for e in edges] + [e[1] for e in edges]
+    cols = [e[1] for e in edges] + [e[0] for e in edges]
+    A = gb.Matrix.from_values(rows, cols, [1] * 6, nrows=4, ncols=4)
+    assert adamic_adar(A).count() == 3  # (1,2),(1,3),(2,3) via hub
+    assert adamic_adar(A, max_degree=2).count() == 0

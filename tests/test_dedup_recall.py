@@ -314,3 +314,31 @@ def test_fuzzy_pairs_length_blocking_complete(spark):
     assert got[("join", "joins")] == 1
     assert all("zebra" not in p for p in got)
     assert all("x" * 65 not in p for p in got)
+
+
+def test_prefix_jaccard_equals_uncapped_inverted_index(spark):
+    """Prefix filtering is EXACT: same result set as the full
+    inverted-index join at the same threshold."""
+    docs = []
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    for i in range(30):
+        toks = [words[(i * 3 + j * j) % len(words)] for j in range(12)]
+        if i % 5 == 0:
+            toks = toks[:10] + ["near", "dup"]
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        df, n=3, threshold=0.5, max_doc_freq=None)
+        .select("id_a", "id_b", "jaccard").collect()))
+    got = sorted(map(tuple, dedup.prefix_jaccard_pairs(
+        df, n=3, threshold=0.5)
+        .select("id_a", "id_b", "jaccard").collect()))
+    assert got == want and len(got) > 0
+
+
+def test_prefix_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w q r")],
+        "doc_id long, text string")
+    got = dedup.prefix_jaccard_pairs(df, n=2, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 1.0)]

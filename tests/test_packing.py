@@ -106,3 +106,28 @@ def test_corpus_profile(spark):
     assert r["vocab_size"] == 8  # a b c x y z w q
     assert r["p50_tokens"] == pytest.approx(3.0)
     assert r["avg_tokens"] == pytest.approx(round(10 / 3, 6))
+
+
+def test_bigram_logprob_hand_check(spark):
+    """Two tiny docs; model counts computed by hand (k=0.5).
+
+    Corpus: 'a b a b' and 'b a'. Bigrams: (a,b)x2, (b,a)x2. Contexts:
+    c(a)=2, c(b)=2. V=2. P(b|a)=(2+.5)/(2+1)=5/6; P(a|b)=5/6 too."""
+    import math
+
+    from dask_grblas_spark.functions.text import bigram_logprob
+
+    df = spark.createDataFrame([(1, "a b a b"), (2, "b a")],
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.avg_lp)
+           for r in bigram_logprob(df).collect()}
+    lp = round(math.log(5.0 / 6.0), 6)
+    assert got == {1: (3, lp), 2: (1, lp)}
+
+
+def test_bigram_logprob_single_token_doc_drops(spark):
+    from dask_grblas_spark.functions.text import bigram_logprob
+
+    df = spark.createDataFrame([(1, "only"), (2, "two words")],
+                               "doc_id long, text string")
+    assert [r.doc_id for r in bigram_logprob(df).collect()] == [2]

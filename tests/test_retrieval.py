@@ -397,3 +397,31 @@ def test_vocab_coverage_curve_hand_computed(spark):
     assert got[0.9] == (2, 0.9)
     assert got[0.95] == (3, 1.0)
     assert got[0.99] == (3, 1.0)
+
+
+def test_quantize_int8_hand_check(spark):
+    """v = [2.54, -1.27, 0.0]: scale = 2.54/127 = 0.02, codes
+    [127, -64, 0] (1.27/0.02 = 63.5 rounds half-AWAY to 64)."""
+    from dask_grblas_spark.functions.similarity import quantize_int8
+
+    df = spark.createDataFrame([(1, [2.54, -1.27, 0.0])],
+                               "vec_id long, embedding array<float>")
+    r = quantize_int8(df, keep_codes=True).collect()[0]
+    assert r.q_codes == [127, -64, 0]
+    assert abs(r.q_scale - 0.02) < 1e-6
+    assert r.q_sum == 63
+    # mse recomputed from float32-exact inputs
+    import numpy as np
+    v = np.array([2.54, -1.27, 0.0], dtype="float32").astype("float64")
+    s = v[0] / 127.0
+    mse = float(np.mean((v - np.array([127, -64, 0]) * s) ** 2))
+    assert abs(r.q_mse - mse) < 1e-9
+
+
+def test_quantize_int8_zero_vector_scale_one(spark):
+    from dask_grblas_spark.functions.similarity import quantize_int8
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])],
+                               "vec_id long, embedding array<float>")
+    r = quantize_int8(df, keep_codes=True).collect()[0]
+    assert r.q_scale == 1.0 and r.q_codes == [0, 0] and r.q_mse == 0.0

@@ -258,3 +258,68 @@ def test_interval_union_touching_intervals_merge(spark):
         " value double")
     got = timeseries.interval_union(df, interval_seconds=10).collect()[0]
     assert (got.n_intervals, got.active_us) == (1, 20_000_000)
+
+
+def test_scd2_collapses_runs_and_chains_validity(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1, "view", 0.0), (2, _ts(10), 1, "view", 0.0),
+         (3, _ts(20), 1, "click", 0.0), (4, _ts(30), 1, "view", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double")
+    got = (timeseries.scd2(df, "user_id", "ts", ["event_type"],
+                           order_cols=["ts", "event_id"])
+           .orderBy("version").collect())
+    assert [(r.event_type, r.version) for r in got] == [
+        ("view", 1), ("click", 2), ("view", 3)]
+    # validity chains: each version closes where the next opens
+    assert got[0].valid_to == got[1].valid_from
+    assert got[1].valid_to == got[2].valid_from
+    assert got[2].valid_to is None
+
+
+def test_scd2_null_attr_first_row_kept_and_null_transition(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1, None, 0.0), (2, _ts(10), 1, None, 0.0),
+         (3, _ts(20), 1, "x", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double")
+    got = (timeseries.scd2(df, "user_id", "ts", ["event_type"],
+                           order_cols=["ts", "event_id"])
+           .orderBy("version").collect())
+    # NULL first version survives; NULL -> 'x' is a change; NULL==NULL
+    # (null-safe) is NOT a change
+    assert [(r.event_type, r.version) for r in got] == [(None, 1), ("x", 2)]
+
+
+def test_range_join_matches_inequality_join(spark):
+    from pyspark.sql import functions as F
+
+    from dask_grblas_spark.functions.joins import range_join
+
+    pts = spark.createDataFrame(
+        [(i, (i * 37) % 211 - 50) for i in range(300)], "pid long, x long")
+    ivs = spark.createDataFrame(
+        [(j, (j * 53) % 190 - 60, (j * 53) % 190 - 60 + (j % 31))
+         for j in range(80)], "iid long, s long, e long")
+    got = set(map(tuple, range_join(pts, ivs, "x", "s", "e",
+                                    bucket_width=16)
+                  .select("pid", "iid").collect()))
+    want = set(map(tuple,
+                   pts.join(ivs, (F.col("x") >= F.col("s"))
+                            & (F.col("x") < F.col("e")))
+                      .select("pid", "iid").collect()))
+    assert got == want and len(want) > 0
+
+
+def test_range_join_end_exclusive_and_empty_interval(spark):
+    from dask_grblas_spark.functions.joins import range_join
+
+    pts = spark.createDataFrame([(1, 10)], "pid long, x long")
+    ivs = spark.createDataFrame(
+        [(1, 0, 10),    # ends exactly at the point: no match
+         (2, 10, 10),   # empty interval: no match
+         (3, 10, 11)],  # starts at the point: match
+        "iid long, s long, e long")
+    got = [r.iid for r in range_join(pts, ivs, "x", "s", "e",
+                                     bucket_width=5).collect()]
+    assert got == [3]

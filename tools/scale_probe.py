@@ -470,6 +470,80 @@ def main() -> int:
     probe("stream_exact_dedup", 2 * NSS,
           lambda: W.stream_dedup_counts(spark, probe_ss))
 
+    # ---- round-6-late operators ---------------------------------------
+    from dask_grblas_spark.functions.joins import range_join
+    from dask_grblas_spark.functions.similarity import quantize_int8
+
+    # range_join: 10M points vs 1M intervals (avg length 500 over a 1e9
+    # domain -> ~50% point coverage, ~5M matches). The naive inequality
+    # join would be a 1e13-comparison nested loop; the bucket rewrite
+    # must keep it an equi-join.
+    NRJ = 10_000_000 if not QUICK else 500_000
+    NIV = 1_000_000 if not QUICK else 50_000
+    DOM = 1_000_000_000
+    pts_rj = spark.range(NRJ).select(
+        F.col("id").alias("pid"),
+        F.pmod(F.xxhash64("id"), F.lit(DOM)).alias("x"))
+    ivs_rj = (spark.range(NIV).select(
+        F.col("id").alias("iid"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(DOM)).alias("s"))
+        .withColumn("e", F.col("s")
+                    + F.pmod(F.xxhash64("iid", F.lit(4)), F.lit(1000))))
+    probe("range_join", NRJ,
+          lambda: range_join(pts_rj, ivs_rj, "x", "s", "e",
+                             bucket_width=1024))
+
+    # prefix-filter Jaccard on the 100k-doc replicated corpus (NOT the
+    # 20k-identical skew corpus: identical documents share their entire
+    # prefix, so NO similarity-join blocking bounds them — exact-dup
+    # clusters must be removed by exact_dedup first, per the docstring)
+    probe("prefix_jaccard", ndocs,
+          lambda: dedup.prefix_jaccard_pairs(docs, n=3, threshold=0.8))
+
+    # scd2 over 10M events / 100k keys: one key-partitioned sort window
+    NSC = 10_000_000 if not QUICK else 500_000
+    ev_scd = spark.range(NSC).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(F.lit(1_704_067_200_000_000)
+                           + F.col("id") * 1000).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(5)), F.lit(100_000))
+         .alias("user_id"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d")),
+            (F.pmod(F.xxhash64("id", F.lit(6)), F.lit(4)) + 1)
+            .cast("int")).alias("event_type"))
+    probe("scd2", NSC,
+          lambda: timeseries.scd2(ev_scd, "user_id", "ts",
+                                  ["event_type"],
+                                  order_cols=["ts", "event_id"]))
+
+    # adamic_adar: 2M-edge graph, deg~20 -> ~8e7 neighbor-pair rows;
+    # the max_degree cap bounds hub fan-out
+    N2 = 200_000 if not QUICK else 20_000
+    E2 = 2_000_000 if not QUICK else 200_000
+    edges_aa = (spark.range(E2).select(
+        F.pmod(F.xxhash64("id"), F.lit(N2)).alias("i"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(N2)).alias("j"),
+        F.lit(1.0).alias("v"))
+        .filter(F.col("i") != F.col("j")))
+    A_aa = gb.Matrix.from_dataframe(edges_aa, N2, N2, dtype="FP64")
+    probe("adamic_adar", E2,
+          lambda: alg.adamic_adar(A_aa, max_degree=50))
+
+    # bigram LM scoring over the 100k-doc corpus: one scan + bounded
+    # dictionary joins
+    probe("bigram_logprob", ndocs,
+          lambda: text_fns.bigram_logprob(docs))
+
+    # int8 quantization: 1M x dim-64 vectors, pure map
+    NQ = 1_000_000 if not QUICK else 100_000
+    vecs_q = spark.range(NQ).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 64), p -> "
+               "cast(pmod(xxhash64(id, p), 2000) - 1000 as float) "
+               "/ cast(100.0 as float))").alias("embedding"))
+    probe("quantize_int8", NQ, lambda: quantize_int8(vecs_q))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
