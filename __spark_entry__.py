@@ -456,6 +456,51 @@ def q126_int8_quantize(spark, sf_dir):
         .select("vec_id", "q_scale", "q_mse", "q_sum")
 
 
+def q127_upsert(spark, sf_dir):
+    """Keyed MERGE (io.upsert_keyed — a Delta-style upsert without the
+    table format): orders become a 16-bucket keyed layout; a CDC batch
+    updates every 5th key (+1000 price), deletes every 9th, inserts 50
+    new keys; only touched buckets are rewritten (crash-safe marker
+    swap). The oracle recomputes the MERGE semantics directly from the
+    source table — the read-back layout must match it exactly."""
+    import os
+
+    from dask_grblas_spark.sources import io as gio
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = o.select(F.col("o_orderkey").alias("k"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_totalprice").alias("price"))
+    path = f"/tmp/dgs_keyed_{os.path.basename(sf_dir.rstrip('/'))}"
+    gio.write_keyed(base, path, "k", n_buckets=16)
+    upd = (base.where((F.col("k") % 5 == 0) | (F.col("k") % 9 == 0))
+               .select("k", "status",
+                       (F.col("price") + 1000.0).alias("price"),
+                       F.when(F.col("k") % 9 == 0, F.lit("D"))
+                        .otherwise(F.lit("U")).alias("op")))
+    ins = spark.range(50).select(
+        (F.col("id") + 900000000).alias("k"),
+        F.lit("N").alias("status"),
+        (F.col("id") * 10.0).alias("price"),
+        F.lit("U").alias("op"))
+    gio.upsert_keyed(path, upd.unionByName(ins), "k", op_col="op")
+    return (gio.read_keyed(path).where(F.col("k") % 3 == 0)
+            .select("k", "status", F.round("price", 2).alias("price")))
+
+
+def q128_basket(spark, sf_dir):
+    """Market-basket co-purchase affinity (profiling.basket_pairs) over
+    lineitem: part pairs sharing >= 2 orders, with lift. Pair fan-out
+    is bounded per basket; the oracle replays the capped pairing in
+    SQL."""
+    from dask_grblas_spark.functions import profiling
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profiling.basket_pairs(li, "l_orderkey", "l_partkey",
+                                  min_support=2) \
+        .select("item_a", "item_b", "support", "lift")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -1750,6 +1795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_adamic_adar": q124_adamic_adar,
         "q125_bigram_lm": q125_bigram_lm,
         "q126_int8_quantize": q126_int8_quantize,
+        "q127_upsert": q127_upsert,
+        "q128_basket": q128_basket,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -4239,5 +4286,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(qc AS BIGINT)) AS BIGINT) AS q_sum
         FROM q
         GROUP BY 1"""
+
+    # q127: MERGE semantics recomputed from the source table.
+    sql["q127_upsert"] = """
+        WITH base AS (
+          SELECT o_orderkey AS k, o_orderstatus AS status,
+                 o_totalprice AS price
+          FROM orders
+        ), upd_u AS (
+          SELECT k, status, price + 1000.0 AS price
+          FROM base WHERE k % 5 = 0 AND k % 9 <> 0
+        ), del AS (
+          SELECT k FROM base WHERE k % 9 = 0
+        ), ins AS (
+          SELECT 900000000 + i AS k, 'N' AS status, i * 10.0 AS price
+          FROM range(50) t(i)
+        ), kept AS (
+          SELECT * FROM base
+          WHERE k NOT IN (SELECT k FROM upd_u)
+            AND k NOT IN (SELECT k FROM del)
+        )
+        SELECT k, status, ROUND(price, 2) AS price FROM (
+          SELECT * FROM kept
+          UNION ALL SELECT * FROM upd_u
+          UNION ALL SELECT * FROM ins
+        ) WHERE k % 3 = 0"""
+
+    # q128: capped basket pairing replayed in SQL.
+    sql["q128_basket"] = """
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        ), cap AS (
+          SELECT bk, it FROM (
+            SELECT bk, it,
+                   row_number() OVER (PARTITION BY bk ORDER BY it) AS rn
+            FROM items
+          ) WHERE rn <= 64
+        ), nbt AS (
+          SELECT CAST(COUNT(DISTINCT bk) AS DOUBLE) AS t FROM cap
+        ), n1 AS (
+          SELECT it, COUNT(*) AS n FROM cap GROUP BY 1
+        ), sup AS (
+          SELECT a.it AS item_a, b.it AS item_b,
+                 CAST(COUNT(*) AS BIGINT) AS support
+          FROM cap a JOIN cap b ON a.bk = b.bk AND a.it < b.it
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 2
+        )
+        SELECT item_a, item_b, support,
+               ROUND(support * t / (na.n * nb.n), 6) AS lift
+        FROM sup
+        JOIN n1 na ON na.it = sup.item_a
+        JOIN n1 nb ON nb.it = sup.item_b
+        CROSS JOIN nbt"""
 
     return sql

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "groupwise_linreg", "histogram", "exact_quantiles",
-           "zscore_outliers"]
+           "zscore_outliers", "basket_pairs"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -266,3 +266,57 @@ def zscore_outliers(df: DataFrame, key_col: str, val_col: str,
     return (j.withColumn("z", F.when(var > 0, F.round(z, 6)))
              .filter(F.abs(F.col("z")) >= threshold)
              .select("key", "id", "x", "z"))
+
+
+def basket_pairs(df: DataFrame, basket_col: str, item_col: str,
+                 min_support: int = 2,
+                 max_basket_items: int | None = 64) -> DataFrame:
+    """Market-basket pair affinity (the co-purchase / co-view
+    analytic): for item pairs appearing together in >= ``min_support``
+    baskets, the pair support and LIFT
+    (support * n_baskets / (n_a * n_b), n_x = baskets containing x).
+
+    The pair fan-out is quadratic in basket SIZE, not corpus size: a
+    pathological basket of f items yields f^2/2 rows, so
+    ``max_basket_items`` keeps only each basket's first N distinct
+    items (by item order — deterministic) before pairing; None is
+    exact. The pair generation is a self-join co-partitioned on the
+    basket key (one shuffle each side), pair counting is map-side
+    combined, and the per-item basket counts are a bounded dictionary
+    joined back (AQE broadcast below threshold).
+
+    Output: (item_a, item_b, support, lift) with item_a < item_b,
+    lift rounded to 6."""
+    items = (df.select(F.col(basket_col).alias("bk"),
+                       F.col(item_col).alias("it"))
+               .distinct())
+    if max_basket_items is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("bk").orderBy("it")
+        items = (items.withColumn("_rn", F.row_number().over(w))
+                      .where(F.col("_rn") <= max_basket_items)
+                      .drop("_rn"))
+    # n_baskets stays IN the plan (1-row aggregate, broadcast by the
+    # cross join) — no eager driver job at call time
+    n_baskets = items.agg(
+        F.count_distinct("bk").cast("double").alias("_nb_tot"))
+    item_n = items.groupBy(F.col("it")).agg(F.count("*").alias("n"))
+    a = items.alias("a")
+    b = items.alias("b")
+    sup = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                  & (F.col("a.it") < F.col("b.it")))
+             .groupBy(F.col("a.it").alias("item_a"),
+                      F.col("b.it").alias("item_b"))
+             .agg(F.count("*").cast("bigint").alias("support"))
+             .where(F.col("support") >= min_support))
+    na = item_n.select(F.col("it").alias("item_a"),
+                       F.col("n").alias("_na"))
+    nb = item_n.select(F.col("it").alias("item_b"),
+                       F.col("n").alias("_nb"))
+    return (sup.join(na, on="item_a").join(nb, on="item_b")
+               .crossJoin(F.broadcast(n_baskets))
+               .select("item_a", "item_b", "support",
+                       F.round(F.col("support") * F.col("_nb_tot")
+                               / (F.col("_na") * F.col("_nb")), 6)
+                        .alias("lift")))

@@ -740,3 +740,103 @@ def test_stream_static_enrich_equals_batch(spark):
                      .alias("wv")))
     want = {(r.ws, r.event_type): (r.n, r.wv) for r in batch.collect()}
     assert got == want
+
+
+def test_upsert_keyed_merge_and_bucket_pruning(spark, tmp_path):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_grblas_spark.sources import io as gio
+
+    path = str(tmp_path / "keyed")
+    base = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(100)], "k long, val string")
+    gio.write_keyed(base, path, "k", n_buckets=8)
+    before = {d: sorted(os.listdir(d))
+              for d in glob.glob(f"{path}/_b=*")}
+
+    upd = spark.createDataFrame(
+        [(5, "UPDATED", "U"), (7, None, "D"), (500, "NEW", "U")],
+        "k long, val string, op string")
+    info = gio.upsert_keyed(path, upd, "k", op_col="op")
+    assert info["n_buckets"] == 8 and 1 <= info["touched"] <= 3
+
+    got = {r.k: r.val for r in gio.read_keyed(path).collect()}
+    assert got[5] == "UPDATED" and got[500] == "NEW"
+    assert 7 not in got and got[6] == "v6" and len(got) == 100
+    # untouched buckets were never rewritten (same files on disk)
+    touched_dirs = {d for d in before
+                    if any(os.path.basename(d) == f"_b={b}" for b in
+                           [r._b for r in upd.withColumn(
+                               "_b", F.pmod(F.xxhash64("k"), F.lit(8))
+                               .cast("int")).select("_b").collect()])}
+    untouched_same = [d for d in before if d not in touched_dirs
+                      and sorted(os.listdir(d)) == before[d]]
+    assert len(untouched_same) == len(before) - len(touched_dirs)
+    # no leftovers
+    assert not os.path.exists(path + "._upsert_pending")
+    assert not os.path.exists(path + "._upsert_new")
+
+
+def test_upsert_keyed_delete_only_bucket_and_recovery(spark, tmp_path):
+    import json
+    import os
+    import shutil
+
+    from dask_grblas_spark.sources import io as gio
+
+    path = str(tmp_path / "keyed2")
+    base = spark.createDataFrame(
+        [(k, k * 10) for k in range(20)], "k long, x long")
+    gio.write_keyed(base, path, "k", n_buckets=4)
+    # delete EVERY key: all buckets end empty and their dirs go away
+    upd = base.selectExpr("k", "x", "'D' as op")
+    gio.upsert_keyed(path, upd, "k", op_col="op")
+    assert gio.read_keyed(path).count() == 0
+
+    # recovery: healthy dataset is a no-op
+    assert gio.recover_upsert(path) == "clean"
+
+    # crashed-after-marker state, built by hand: a complete new copy of
+    # bucket 0 plus the marker, swaps not yet run
+    gio.write_keyed(base, path, "k", n_buckets=4)
+    new_dir = path + "._upsert_new"
+    live0 = os.path.join(path, "_b=0")
+    shutil.copytree(live0, os.path.join(new_dir, "_b=0"))
+    marker = path + "._upsert_pending"
+    with open(marker, "w") as fh:
+        json.dump({"touched": [0]}, fh)
+    assert gio.recover_upsert(path) == "finished"
+    assert not os.path.exists(marker) and not os.path.exists(new_dir)
+    assert gio.read_keyed(path).count() == 20
+
+    # stranded markerless new dir (crash before marker): swept
+    os.makedirs(new_dir, exist_ok=True)
+    assert gio.recover_upsert(path) == "swept"
+    assert not os.path.exists(new_dir)
+
+
+def test_basket_pairs_hand_check(spark):
+    from dask_grblas_spark.functions.profiling import basket_pairs
+
+    rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 2), (3, 4)]
+    df = spark.createDataFrame(rows, "bk long, it long")
+    got = {(r.item_a, r.item_b): (r.support, r.lift)
+           for r in basket_pairs(df, "bk", "it",
+                                 min_support=2).collect()}
+    # only (1,2) appears twice; lift = 2 * 3 / (2 * 3) = 1.0
+    assert got == {(1, 2): (2, 1.0)}
+
+
+def test_basket_pairs_item_cap_is_deterministic(spark):
+    from dask_grblas_spark.functions.profiling import basket_pairs
+
+    rows = [(b, i) for b in (1, 2) for i in (10, 20, 30)]
+    df = spark.createDataFrame(rows, "bk long, it long")
+    got = sorted((r.item_a, r.item_b)
+                 for r in basket_pairs(df, "bk", "it", min_support=2,
+                                       max_basket_items=2).collect())
+    # cap keeps the two smallest items per basket -> only (10, 20)
+    assert got == [(10, 20)]
