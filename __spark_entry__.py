@@ -501,6 +501,48 @@ def q128_basket(spark, sf_dir):
         .select("item_a", "item_b", "support", "lift")
 
 
+def q129_stream_cdc(spark, sf_dir):
+    """Streaming CDC apply into the keyed MERGE table (REAL Structured
+    Streaming, foreachBatch + upsert_keyed, maxFilesPerTrigger=1 so
+    multiple micro-batches really run): latest event per user wins by
+    (ts, event_id) regardless of batch arrival order; a winning 'error'
+    event soft-deletes. The oracle is the batch argmax over all
+    events — batch boundaries must not change the result."""
+    from dask_grblas_spark.streaming import stream_cdc_upsert
+
+    return stream_cdc_upsert(spark, sf_dir) \
+        .select("user_id", "last_ts", "last_id", "last_val", "is_del")
+
+
+def q130_clustering_coef(spark, sf_dir):
+    """Per-vertex local clustering coefficient on the sparsified
+    symmetric nation graph (same deterministic sampling as q124):
+    degree-ordered oriented triangle enumeration — hub wedge fan-out
+    bounded by sqrt(2m). The oracle counts wedge-closures per center
+    vertex with plain SQL joins (an independent formulation that must
+    agree exactly)."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    e = (nn.df.where((F.col("i") * 31 + F.col("j")) % 3 == 0)
+             .select("i", "j", F.lit(1).cast("bigint").alias("v")))
+    A = Matrix.from_dataframe(e, 25, 25, dtype="INT64")
+    return alg.clustering_coefficient(alg.symmetrize(A)) \
+        .select("v", "deg", "tri", "coeff")
+
+
+def q131_normalize(spark, sf_dir):
+    """Canonical text normalization over a deliberately mangled corpus
+    (upper-cased + punctuation noise added in-query): lowercase, strip
+    non-alphanumerics, collapse whitespace; output the normal-form md5
+    (the exact-dedup key). Pure codegen scan; the oracle replays the
+    RE2-portable regex chain verbatim."""
+    mangled = _doc(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.upper(F.col("text")), F.lit("  Mixed, CASE! #"),
+                 F.col("doc_id").cast("string")).alias("text"))
+    return text.normalize_text(mangled) \
+        .select("doc_id", "norm_hash", "changed")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -1797,6 +1839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_int8_quantize": q126_int8_quantize,
         "q127_upsert": q127_upsert,
         "q128_basket": q128_basket,
+        "q129_stream_cdc": q129_stream_cdc,
+        "q130_clustering_coef": q130_clustering_coef,
+        "q131_normalize": q131_normalize,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -4339,5 +4384,64 @@ def oracle_sql() -> dict[str, str]:
         JOIN n1 na ON na.it = sup.item_a
         JOIN n1 nb ON nb.it = sup.item_b
         CROSS JOIN nbt"""
+
+    # q129: batch argmax per user — batch boundaries must not matter.
+    sql["q129_stream_cdc"] = """
+        WITH r AS (
+          SELECT user_id, epoch_us(ts) AS last_ts, event_id AS last_id,
+                 event_type, ROUND(value, 6) AS last_val,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC)
+                   AS rn
+          FROM events
+        )
+        SELECT user_id, last_ts, last_id, last_val,
+               (event_type = 'error') AS is_del
+        FROM r WHERE rn = 1"""
+
+    # q130: triangles counted per CENTER vertex by wedge closure — an
+    # independent formulation of the oriented enumeration.
+    sql["q130_clustering_coef"] = f"""
+        WITH {NN_CTE}, samp AS (
+          SELECT i, j FROM nn WHERE (i * 31 + j) % 3 = 0
+        ), sym AS (
+          SELECT DISTINCT i, j FROM (
+            SELECT i, j FROM samp UNION ALL SELECT j AS i, i AS j FROM samp
+          ) WHERE i <> j
+        ), deg AS (
+          SELECT i AS v, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM sym GROUP BY 1
+        ), tri AS (
+          SELECT e1.i AS v, CAST(COUNT(*) AS BIGINT) AS t
+          FROM sym e1
+          JOIN sym e2 ON e1.i = e2.i AND e1.j < e2.j
+          JOIN sym e3 ON e3.i = e1.j AND e3.j = e2.j
+          GROUP BY 1
+        )
+        SELECT deg.v, deg.deg,
+               COALESCE(t, 0) AS tri,
+               CASE WHEN deg.deg < 2 THEN 0.0
+                    ELSE ROUND(2.0 * COALESCE(t, 0)
+                               / (deg.deg * (deg.deg - 1)), 6)
+               END AS coeff
+        FROM deg LEFT JOIN tri ON tri.v = deg.v"""
+
+    # q131: the identical normalization chain in RE2 regexes.
+    sql["q131_normalize"] = r"""
+        WITH m AS (
+          SELECT doc_id,
+                 upper(text) || '  Mixed, CASE! #'
+                   || CAST(doc_id AS VARCHAR) AS t
+          FROM documents
+        ), n AS (
+          SELECT doc_id, t,
+                 trim(regexp_replace(
+                   regexp_replace(lower(t), '[^a-z0-9\s]', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS norm_text
+          FROM m
+        )
+        SELECT doc_id, md5(norm_text) AS norm_hash,
+               (norm_text IS DISTINCT FROM t) AS changed
+        FROM n"""
 
     return sql

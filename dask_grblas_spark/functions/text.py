@@ -18,7 +18,7 @@ __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "vocab_oov_rate", "corpus_composition", "bpe_pair_counts",
            "length_batches", "quality_quantile_filter", "zipf_slope",
            "bpe_train", "bpe_encode", "token_cooccurrence",
-           "vocab_coverage_curve", "bigram_logprob"]
+           "vocab_coverage_curve", "bigram_logprob", "normalize_text"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -657,3 +657,19 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                   .agg(F.sum("tf").cast("bigint").alias("n_bigrams"),
                        F.round(F.sum(F.col("tf") * F.col("lp"))
                                / F.sum("tf"), 6).alias("avg_lp")))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization (the first pass of every dedup /
+    exact-match pipeline): lowercase, non-alphanumerics to spaces,
+    whitespace collapsed, trimmed — plus the md5 of the normal form
+    (the exact-dedup key that survives case/punctuation variants) and
+    a ``changed`` flag. One whole-stage-codegen scan, no shuffle; the
+    regexes are RE2-portable so the oracle replays them verbatim."""
+    c = F.col(text_col)
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "),
+        r"\s+", " "))
+    return (df.withColumn("norm_text", norm)
+              .withColumn("norm_hash", F.md5(norm))
+              .withColumn("changed", ~norm.eqNullSafe(c)))

@@ -569,8 +569,15 @@ def write_keyed(df, path: str, key: str, n_buckets: int = 64) -> None:
     """Materialize a DataFrame as a keyed-upsert table: hive dirs
     ``_b=K`` on the key's hash bucket. One shuffle (the partitionBy
     write); bucket count is recovered from the layout on read."""
+    import glob as _glob
+    import os
+
     (df.withColumn("_b", _keyed_bucket(key, n_buckets))
        .write.partitionBy("_b").mode("overwrite").parquet(path))
+    if not _glob.glob(os.path.join(path, "_b=*")):
+        # empty input: keep the layout readable (schema-bearing bucket)
+        (df.where(F.lit(False)).repartition(1)
+           .write.mode("overwrite").parquet(os.path.join(path, "_b=0")))
 
 
 def read_keyed(path: str):

@@ -345,3 +345,86 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str,
     return (spark.table(qname)
             .select(F.col("window.start").alias("window_start"),
                     "event_type", "n_events", "weighted_value"))
+
+
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str,
+                      path: str | None = None,
+                      n_buckets: int = 16) -> DataFrame:
+    """Streaming CDC apply into a keyed MERGE table (foreachBatch +
+    io.upsert_keyed) — the micro-batch sink pattern for maintaining a
+    queryable latest-state table from an event stream.
+
+    Each event is a CDC record for its user: the LATEST event by
+    (ts, event_id) wins, and a winning 'error' event soft-deletes the
+    user (``is_del`` tombstone — deletes must survive out-of-order
+    arrival across micro-batches, so they are versioned rows, not
+    physical removals; a vacuum pass can drop old tombstones later).
+    Each batch reduces to one candidate row per key (max_by — map-side
+    combined), conditionally merges against the CURRENT table version
+    (bucket-pruned semi-filtered read: only touched buckets open), and
+    rewrites only those buckets. Batch boundaries therefore CANNOT
+    change the result: the final table equals the batch-mode argmax
+    over all events regardless of file/batch arrival order.
+
+    Returns the final table: (user_id, last_ts, last_val, is_del)."""
+    from ..sources import io as gio
+
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"dgs_cdc_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    empty = spark.createDataFrame(
+        [], "user_id long, last_ts long, last_id long, last_val double,"
+        " is_del boolean")
+    gio.write_keyed(empty, path, "user_id", n_buckets=n_buckets)
+
+    def apply_batch(batch_df, _batch_id):
+        cand = (batch_df
+                .groupBy("user_id")
+                .agg(F.max_by(
+                    F.struct(F.unix_micros("ts").alias("last_ts"),
+                             F.col("event_id").alias("last_id"),
+                             (F.col("event_type") == "error")
+                             .alias("is_del"),
+                             F.round("value", 6).alias("last_val")),
+                    F.struct(F.col("ts"), F.col("event_id"))).alias("_w"))
+                .select("user_id", F.col("_w.last_ts").alias("last_ts"),
+                        F.col("_w.last_id").alias("last_id"),
+                        F.col("_w.last_val").alias("last_val"),
+                        F.col("_w.is_del").alias("is_del")))
+        cur = (gio.read_keyed(path)
+               .join(F.broadcast(cand.select("user_id")), on="user_id",
+                     how="left_semi")
+               .select("user_id", F.col("last_ts").alias("_cts"),
+                       F.col("last_id").alias("_cid"),
+                       F.col("last_val").alias("_cval"),
+                       F.col("is_del").alias("_cdel")))
+        keep_cur = (F.col("_cts").isNotNull()
+                    & (F.struct(F.col("_cts"), F.col("_cid"))
+                       > F.struct(F.col("last_ts"), F.col("last_id"))))
+        winners = (cand.join(cur, on="user_id", how="left")
+                   .select("user_id",
+                           F.when(keep_cur,
+                                  F.struct(F.col("_cts").alias("last_ts"),
+                                           F.col("_cid").alias("last_id"),
+                                           F.col("_cval").alias("last_val"),
+                                           F.col("_cdel").alias("is_del")))
+                            .otherwise(
+                               F.struct("last_ts", "last_id", "last_val",
+                                        "is_del"))
+                            .alias("_w"))
+                   .select("user_id", "_w.last_ts", "_w.last_id",
+                           "_w.last_val", "_w.is_del"))
+        gio.upsert_keyed(path, winners, "user_id")
+
+    stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(_events_stream_dir(sf_dir)))
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .trigger(availableNow=True)
+         .option("checkpointLocation",
+                 path + f"._ckpt_{uuid.uuid4().hex[:8]}")
+         .start())
+    q.awaitTermination()
+    return gio.read_keyed(path)

@@ -291,3 +291,35 @@ def test_adamic_adar_max_degree_excludes_hub(spark):
     A = gb.Matrix.from_values(rows, cols, [1] * 6, nrows=4, ncols=4)
     assert adamic_adar(A).count() == 3  # (1,2),(1,3),(2,3) via hub
     assert adamic_adar(A, max_degree=2).count() == 0
+
+
+def test_clustering_coefficient_triangle_plus_tail(spark):
+    """Triangle 0-1-2 with a pendant 3 attached to 2: coeff 1.0 for the
+    two pure triangle corners, 1/3 for the center of degree 3, 0 for
+    the pendant."""
+    import dask_grblas_spark as gb
+    from dask_grblas_spark.algorithms import clustering_coefficient
+
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    rows = [e[0] for e in edges] + [e[1] for e in edges]
+    cols = [e[1] for e in edges] + [e[0] for e in edges]
+    A = gb.Matrix.from_values(rows, cols, [1] * 8, nrows=4, ncols=4)
+    got = {r.v: (r.deg, r.tri, r.coeff)
+           for r in clustering_coefficient(A).collect()}
+    assert got == {0: (2, 1, 1.0), 1: (2, 1, 1.0),
+                   2: (3, 1, round(1 / 3, 6)), 3: (1, 0, 0.0)}
+
+
+def test_clustering_coefficient_counts_each_triangle_once(spark):
+    """K4: every vertex has deg 3 and sits on 3 of the 4 triangles ->
+    coeff 1.0 everywhere; total per-vertex count 12 = 3 * 4 triangles."""
+    import dask_grblas_spark as gb
+    from dask_grblas_spark.algorithms import clustering_coefficient
+
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+    A = gb.Matrix.from_values([e[0] for e in edges],
+                              [e[1] for e in edges],
+                              [1] * len(edges), nrows=4, ncols=4)
+    rowsx = clustering_coefficient(A).collect()
+    assert all(r.coeff == 1.0 and r.tri == 3 for r in rowsx)
+    assert sum(r.tri for r in rowsx) == 12

@@ -840,3 +840,59 @@ def test_basket_pairs_item_cap_is_deterministic(spark):
                                        max_basket_items=2).collect())
     # cap keeps the two smallest items per basket -> only (10, 20)
     assert got == [(10, 20)]
+
+
+def test_normalize_text_chain(spark):
+    from dask_grblas_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! 42  "), (2, "already clean"),
+         (3, "###")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.norm_text, r.changed)
+           for r in normalize_text(df).collect()}
+    assert got[1] == ("hello world 42", True)
+    assert got[2] == ("already clean", False)
+    assert got[3] == ("", True)
+
+
+def test_stream_cdc_upsert_matches_batch_argmax(spark, tmp_path):
+    """Events split across many files/micro-batches in NON-time order;
+    the CDC table must still equal the batch argmax (out-of-order
+    updates and deletes reconciled by (ts, event_id) versioning)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from dask_grblas_spark.streaming import stream_cdc_upsert
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1: update at t=30 arrives in an EARLIER file than t=10
+        (3, ts(30), 1, "view", 3.0, ""),
+        (1, ts(10), 1, "click", 1.0, ""),
+        # user 2: delete at t=20, then an OLDER update arrives later —
+        # the delete must survive
+        (4, ts(20), 2, "error", 0.0, ""),
+        (2, ts(5), 2, "view", 2.0, ""),
+        # user 3: same ts, higher event_id wins
+        (6, ts(40), 3, "view", 6.0, ""),
+        (5, ts(40), 3, "click", 5.0, ""),
+    ]
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string")
+    # one file per row -> one micro-batch per row (maxFilesPerTrigger=1)
+    df.repartition(6, "event_id").write.parquet(f"{sf}/events.parquet")
+    out = stream_cdc_upsert(spark, sf, path=str(tmp_path / "cdc"),
+                            n_buckets=4)
+    got = {r.user_id: (r.last_id, r.last_val, r.is_del)
+           for r in out.collect()}
+    assert got == {1: (3, 3.0, False), 2: (4, 0.0, True),
+                   3: (6, 6.0, False)}

@@ -20,6 +20,12 @@ import time
 sys.path.insert(0, "/root/repo")
 
 QUICK = "--quick" in sys.argv
+# --only S1,S2,...: run only probes whose name contains one of the
+# substrings (fast targeted re-measurement on a noisy host); input
+# materialization outside probe() still runs
+ONLY = None
+if "--only" in sys.argv:
+    ONLY = sys.argv[sys.argv.index("--only") + 1].split(",")
 
 
 def main() -> int:
@@ -44,6 +50,8 @@ def main() -> int:
     results = []
 
     def probe(name, rows, fn):
+        if ONLY is not None and not any(o in name for o in ONLY):
+            return
         t0 = time.perf_counter()
         out = fn()
         if hasattr(out, "df"):
@@ -543,6 +551,78 @@ def main() -> int:
                "cast(pmod(xxhash64(id, p), 2000) - 1000 as float) "
                "/ cast(100.0 as float))").alias("embedding"))
     probe("quantize_int8", NQ, lambda: quantize_int8(vecs_q))
+
+    # market-basket pairs: 10M (basket, item) rows / 2.5M baskets of ~4
+    from dask_grblas_spark.functions.profiling import basket_pairs
+
+    NBK = 10_000_000 if not QUICK else 500_000
+    baskets = spark.range(NBK).select(
+        (F.col("id") % (NBK // 4)).alias("bk"),
+        F.pmod(F.xxhash64("id", F.lit(9)), F.lit(50_000)).alias("it"))
+    probe("basket_pairs", NBK,
+          lambda: basket_pairs(baskets, "bk", "it", min_support=2))
+
+    # keyed MERGE: 10M-row base table, 100k-key CDC batch (1% of keys)
+    # -> only the touched subset of 64 buckets is read and rewritten
+    import os
+    import shutil
+    import tempfile
+
+    from dask_grblas_spark.sources import io as gio
+
+    NUP = 10_000_000 if not QUICK else 500_000
+    up_path = os.path.join(tempfile.gettempdir(), "dgs_probe_upsert")
+    shutil.rmtree(up_path, ignore_errors=True)
+    base_up = spark.range(NUP).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("x"))
+    upd_up = spark.range(NUP // 100).select(
+        (F.col("id") * 97 % NUP).alias("k"),
+        F.lit(-1).cast("bigint").alias("x"),
+        F.when(F.col("id") % 10 == 0, F.lit("D")).otherwise(F.lit("U"))
+         .alias("op"))
+
+    def _upsert_probe():
+        gio.write_keyed(base_up, up_path, "k", n_buckets=64)
+        info = gio.upsert_keyed(up_path, upd_up, "k", op_col="op")
+        return spark.createDataFrame([(info["touched"],)], "t long")
+
+    probe("upsert_keyed", NUP, _upsert_probe)
+
+    # streaming CDC apply: 2M events across 4 part files = 4 real
+    # micro-batches, each one batch-collapse + bucket-pruned merge
+    NCDC = 2_000_000 if not QUICK else 200_000
+    cdc_sf = os.path.join(tempfile.gettempdir(), "dgs_probe_cdc_sf")
+    shutil.rmtree(cdc_sf, ignore_errors=True)
+    (spark.range(NCDC).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(F.lit(1_704_067_200_000_000)
+                           + F.col("id") * 1000).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(200_000))
+         .alias("user_id"),
+        F.when(F.pmod(F.xxhash64("id", F.lit(12)), F.lit(10)) == 0,
+               F.lit("error")).otherwise(F.lit("view"))
+         .alias("event_type"),
+        (F.col("id") % 1000).cast("double").alias("value"),
+        F.lit("").alias("props"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(f"{cdc_sf}/events.parquet"))
+
+    def _cdc_probe():
+        import dask_grblas_spark.streaming as S
+        return S.stream_cdc_upsert(
+            spark, cdc_sf,
+            path=os.path.join(tempfile.gettempdir(), "dgs_probe_cdc"),
+            n_buckets=64)
+
+    probe("stream_cdc_upsert", NCDC, _cdc_probe)
+
+    # clustering coefficient on the 2M-edge graph (oriented wedges)
+    probe("clustering_coefficient", E2,
+          lambda: alg.clustering_coefficient(A_aa))
+
+    # text normalization: pure map over the 100k-doc corpus
+    probe("normalize_text", ndocs,
+          lambda: text_fns.normalize_text(docs))
 
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
