@@ -543,6 +543,87 @@ def q131_normalize(spark, sf_dir):
         .select("doc_id", "norm_hash", "changed")
 
 
+def q132_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (io.snapshot_diff — the data-versioning audit):
+    new corpus version drops every 11th doc, rewrites every 7th, adds
+    50 fresh ids; one full-outer join with null-safe column compare
+    labels added/removed/changed. The oracle replays the CASE logic."""
+    from dask_grblas_spark.sources.io import snapshot_diff
+
+    old = _doc(spark, sf_dir)
+    new = (old.where(F.col("doc_id") % 11 != 0)
+              .select("doc_id",
+                      F.when(F.col("doc_id") % 7 == 0,
+                             F.concat(F.col("text"), F.lit(" v2")))
+                       .otherwise(F.col("text")).alias("text")))
+    added = spark.range(50).select(
+        (F.col("id") + 777000).alias("doc_id"),
+        F.concat(F.lit("new doc "), F.col("id").cast("string"))
+         .alias("text"))
+    return snapshot_diff(old, new.unionByName(added), "doc_id",
+                         ["text"]) \
+        .select("doc_id", "change")
+
+
+def q133_attribution(spark, sf_dir):
+    """Last-touch attribution — composition of the as-of join: each
+    purchase attributes to the user's LATEST preceding non-purchase
+    event within 30 minutes ('none' when nothing qualifies), rolled up
+    by attributed source. Oracle = DuckDB's NATIVE ASOF JOIN (an
+    independent algorithm) plus the same tolerance filter."""
+    from dask_grblas_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase") \
+                  .select("user_id", "ts", "event_id")
+    touches = ev.where(F.col("event_type") != "purchase") \
+                .select("user_id", "ts", "event_type")
+    att = timeseries.asof_join(purchases, touches, on="user_id",
+                               tolerance_seconds=1800)
+    return (att.groupBy(F.coalesce("asof_event_type", F.lit("none"))
+                        .alias("source"))
+               .agg(F.count("*").cast("bigint").alias("n_purchases")))
+
+
+def q134_lsh_between_emb(spark, sf_dir):
+    """Incremental EMBEDDING ingestion dedup
+    (similarity.hyperplane_lsh_pairs_between): every 10th vector is the
+    'new batch', checked against the rest — candidates only across the
+    split, corpus-side bucket cap, exact cosine verification. The
+    oracle replays the exact sign-LSH bucketing (bit-identical unrolled
+    dot folds, q71's idiom) including the QUALIFY cap."""
+    emb = _emb(spark, sf_dir)
+    newb = emb.where(F.col("vec_id") % 10 == 0)
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    return similarity.hyperplane_lsh_pairs_between(
+        newb, corpus, threshold=0.4, n_planes=4, n_tables=8) \
+        .select("id_a", "id_b", "cosine")
+
+
+def q135_ranking_metrics(spark, sf_dir):
+    """Retrieval evaluation (similarity.ranking_metrics): a top-5
+    by-balance supplier ranking per nation, scored against a
+    balance-cutoff relevance set — per-query recall@5 and reciprocal
+    rank. The oracle recomputes both relations and the metrics in
+    window SQL."""
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    retrieved = (sup.select(
+        F.col("s_nationkey").cast("bigint").alias("query_id"),
+        F.col("s_suppkey").cast("bigint").alias("neighbor_id"),
+        F.row_number().over(w).alias("rank")))
+    truth = (sup.where(F.col("s_acctbal") > 3000.0)
+                .select(F.col("s_nationkey").cast("bigint")
+                        .alias("query_id"),
+                        F.col("s_suppkey").cast("bigint")
+                        .alias("neighbor_id")))
+    return similarity.ranking_metrics(retrieved, truth, k=5) \
+        .select("query_id", "n_rel", "n_hit", "recall", "rr")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -1842,6 +1923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_stream_cdc": q129_stream_cdc,
         "q130_clustering_coef": q130_clustering_coef,
         "q131_normalize": q131_normalize,
+        "q132_snapshot_diff": q132_snapshot_diff,
+        "q133_attribution": q133_attribution,
+        "q134_lsh_between_emb": q134_lsh_between_emb,
+        "q135_ranking_metrics": q135_ranking_metrics,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -4443,5 +4528,106 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5(norm_text) AS norm_hash,
                (norm_text IS DISTINCT FROM t) AS changed
         FROM n"""
+
+    # q132: the snapshot-diff CASE logic replayed.
+    sql["q132_snapshot_diff"] = """
+        WITH old AS (SELECT doc_id, text FROM documents),
+        new AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 11 <> 0
+          UNION ALL
+          SELECT 777000 + i, 'new doc ' || CAST(i AS VARCHAR)
+          FROM range(50) t(i)
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+           OR o.text IS DISTINCT FROM n.text"""
+
+    # q133: DuckDB's native ASOF JOIN (independent algorithm) with the
+    # same per-(key, ts) tie collapse and tolerance filter.
+    sql["q133_attribution"] = """
+        WITH p AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ), t AS (
+          SELECT user_id, ts, MAX(event_type) AS event_type
+          FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+        ), a AS (
+          SELECT p.user_id, p.ts AS pts, t.ts AS tts, t.event_type
+          FROM p ASOF LEFT JOIN t
+            ON p.user_id = t.user_id AND t.ts <= p.ts
+        )
+        SELECT CASE WHEN tts IS NULL
+                      OR epoch(pts) - epoch(tts) > 1800 THEN 'none'
+                    ELSE event_type END AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM a GROUP BY 1"""
+
+    # q134: the q71 bucket-replay idiom split into new/corpus sides
+    # (4 planes x 8 tables — higher collision rate for the 0.4-cosine
+    # band), with the corpus-side QUALIFY cap.
+    q134_tables = []
+    for t in range(8):
+        bits = []
+        for p_i, plane in enumerate(_hyperplanes(64, 4, 42 + t)):
+            dot = " + ".join(f"v[{i + 1}]*{x!r}"
+                             for i, x in enumerate(plane))
+            bits.append(f"(CASE WHEN ({dot}) > 0"
+                        f" THEN {1 << p_i} ELSE 0 END)")
+        q134_tables.append(f"SELECT id, {t} AS tbl, "
+                           + " + ".join(bits) + " AS bucket FROM e")
+    q134_buckets = "\n          UNION ALL\n          ".join(q134_tables)
+    sql["q134_lsh_between_emb"] = f"""
+        WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (
+          {q134_buckets}
+        ), nb AS (
+          SELECT id AS id_a, tbl, bucket FROM b WHERE id % 10 = 0
+        ), cb AS (
+          SELECT id AS id_b, tbl, bucket FROM b WHERE id % 10 <> 0
+          QUALIFY row_number() OVER (PARTITION BY tbl, bucket
+                                     ORDER BY id) <= 1000
+        ), cand AS (
+          SELECT DISTINCT id_a, id_b
+          FROM nb JOIN cb USING (tbl, bucket)
+        )
+        SELECT c.id_a, c.id_b,
+               ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+        FROM cand c
+        JOIN e ea ON ea.id = c.id_a
+        JOIN e eb ON eb.id = c.id_b
+        WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.4"""
+
+    # q135: both relations and the metrics in window SQL.
+    sql["q135_ranking_metrics"] = """
+        WITH r AS (
+          SELECT CAST(s_nationkey AS BIGINT) AS q,
+                 CAST(s_suppkey AS BIGINT) AS it,
+                 row_number() OVER (PARTITION BY s_nationkey
+                                    ORDER BY s_acctbal DESC, s_suppkey)
+                   AS rk
+          FROM supplier
+        ), rt AS (
+          SELECT q, it, rk FROM r WHERE rk <= 5
+        ), t AS (
+          SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS q,
+                 CAST(s_suppkey AS BIGINT) AS it
+          FROM supplier WHERE s_acctbal > 3000.0
+        ), h AS (
+          SELECT t.q, t.it, rt.rk
+          FROM t LEFT JOIN rt ON rt.q = t.q AND rt.it = t.it
+        )
+        SELECT q AS query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rel,
+               CAST(COUNT(rk) AS BIGINT) AS n_hit,
+               ROUND(COUNT(rk) * 1.0 / COUNT(*), 6) AS recall,
+               ROUND(COALESCE(1.0 / MIN(rk), 0.0), 6) AS rr
+        FROM h GROUP BY 1"""
 
     return sql

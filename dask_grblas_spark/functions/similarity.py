@@ -25,7 +25,8 @@ from pyspark.sql.window import Window
 __all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
            "hyperplane_lsh_buckets", "hyperplane_lsh_pairs", "ivf_topk",
            "kmeans_assign", "random_projection", "label_centroids",
-           "semantic_dedup_pairs", "quantize_int8"]
+           "semantic_dedup_pairs", "quantize_int8",
+           "hyperplane_lsh_pairs_between", "ranking_metrics"]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -631,3 +632,80 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
                                       lambda acc, x: acc + x.cast("bigint"))))
     drop = ["_v", "_s"] + ([] if keep_codes else ["q_codes"])
     return out.drop(*drop)
+
+
+def hyperplane_lsh_pairs_between(new_df: DataFrame, corpus_df: DataFrame,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 threshold: float = 0.95,
+                                 n_planes: int = 8, n_tables: int = 4,
+                                 dim: int = 64, seed: int = 42,
+                                 max_bucket_size: int | None = 1000
+                                 ) -> DataFrame:
+    """Incremental embedding ingestion dedup: near-dups of NEW vectors
+    against an EXISTING corpus — candidates form only ACROSS the split
+    (the embedding sibling of ``dedup.minhash_lsh_pairs_between``).
+    Both sides bucket with the SAME seeded hyperplanes, the join is an
+    equi-join on (table, bucket), and every candidate is exact-cosine
+    verified. Ids must be disjoint across the two sides.
+
+    ``max_bucket_size`` caps the CORPUS side per (table, bucket) cell
+    (first N ids — deterministic): a template bucket holding f corpus
+    members would otherwise cost every colliding new vector f rows.
+    New-side vectors are never dropped — each probes at most
+    cap × n_tables corpus members. Output: (id_a=new, id_b=corpus,
+    cosine)."""
+    nb = hyperplane_lsh_buckets(new_df, id_col, vec_col, n_planes,
+                                n_tables, dim, seed) \
+        .withColumnRenamed("id", "id_a")
+    cb = hyperplane_lsh_buckets(corpus_df, id_col, vec_col, n_planes,
+                                n_tables, dim, seed) \
+        .withColumnRenamed("id", "id_b")
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("table", "bucket").orderBy("id_b")
+        cb = (cb.withColumn("_rn", F.row_number().over(wb))
+                .where(F.col("_rn") <= max_bucket_size)
+                .drop("_rn"))
+    cand = (nb.join(cb, on=["table", "bucket"])
+              .select("id_a", "id_b").distinct())
+    va = new_df.select(F.col(id_col).alias("id_a"),
+                       F.col(vec_col).alias("va"))
+    vb = corpus_df.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("vb"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return (cand.join(va, on="id_a").join(vb, on="id_b")
+                .withColumn("cosine", F.round(cos, 6))
+                .filter(F.col("cosine") >= threshold)
+                .select("id_a", "id_b", "cosine"))
+
+
+def ranking_metrics(retrieved: DataFrame, truth: DataFrame, k: int = 5,
+                    query_col: str = "query_id",
+                    item_col: str = "neighbor_id",
+                    rank_col: str = "rank") -> DataFrame:
+    """Retrieval evaluation (the feedback loop of every ANN/BM25
+    pipeline): per-query recall@k and reciprocal rank@k of ``retrieved``
+    (query, item, rank) against the relevant ``truth`` (query, item)
+    pairs. Queries with no truth rows are omitted; queries whose truth
+    found nothing retrieved score 0.
+
+    Two bounded joins (truth × retrieved-top-k on (query, item)), one
+    per-query aggregate — no window over raw retrievals. Output:
+    (query_id, n_rel, n_hit, recall, rr), floats rounded to 6."""
+    r = (retrieved.where(F.col(rank_col) <= k)
+         .select(F.col(query_col).alias("q"),
+                 F.col(item_col).alias("it"),
+                 F.col(rank_col).alias("rk")))
+    t = truth.select(F.col(query_col).alias("q"),
+                     F.col(item_col).alias("it")).distinct()
+    hits = t.join(r, on=["q", "it"], how="left")
+    return (hits.groupBy("q")
+                .agg(F.count("*").cast("bigint").alias("n_rel"),
+                     F.count("rk").cast("bigint").alias("n_hit"),
+                     F.round(F.count("rk") / F.count("*"), 6)
+                      .alias("recall"),
+                     F.round(F.coalesce(
+                         F.lit(1.0) / F.min("rk"), F.lit(0.0)), 6)
+                      .alias("rr"))
+                .select(F.col("q").alias("query_id"), "n_rel", "n_hit",
+                        "recall", "rr"))

@@ -24,7 +24,8 @@ __all__ = ["matrix_from_parquet", "matrix_to_parquet", "vector_from_parquet",
            "table_to_partitioned", "compact_parquet",
            "zorder_key", "write_zordered",
            "table_to_csv", "table_from_csv",
-           "write_keyed", "read_keyed", "upsert_keyed", "recover_upsert"]
+           "write_keyed", "read_keyed", "upsert_keyed", "recover_upsert",
+           "snapshot_diff"]
 
 
 def table_to_partitioned(df, path: str, partition_cols: list[str] | str,
@@ -708,3 +709,33 @@ def recover_upsert(path: str) -> str:
         shutil.rmtree(old_dir, ignore_errors=True)
         return "swept"
     return "clean"
+
+
+def snapshot_diff(old_df, new_df, key: str, compare_cols: list[str],
+                  include_unchanged: bool = False):
+    """Row-level audit between two snapshots of a table: one FULL OUTER
+    join on the key, column-wise NULL-SAFE comparison (no serialization
+    hash — engines need not agree on any encoding), labels
+    'added' / 'removed' / 'changed' (/ 'unchanged'). The data-versioning
+    primitive: at 100 TB it is one co-partitioned join (bucket both
+    snapshots on the key to make it exchange-free).
+
+    Output: (key, change)."""
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    # presence is keyed on a constant marker column, not the payload (a
+    # row whose payload is all-NULL still exists on its side)
+    o2 = old_df.select(F.col(key).alias("k"), F.lit(1).alias("_po"),
+                       *[F.col(c).alias(f"_o_{c}") for c in compare_cols])
+    n2 = new_df.select(F.col(key).alias("k"), F.lit(1).alias("_pn"),
+                       *[F.col(c).alias(f"_n_{c}") for c in compare_cols])
+    j = o2.join(n2, on="k", how="full_outer")
+    change = (F.when(F.col("_po").isNull(), F.lit("added"))
+               .when(F.col("_pn").isNull(), F.lit("removed"))
+               .when(same, F.lit("unchanged"))
+               .otherwise(F.lit("changed")))
+    out = j.select(F.col("k").alias(key), change.alias("change"))
+    if not include_unchanged:
+        out = out.where(F.col("change") != "unchanged")
+    return out

@@ -896,3 +896,21 @@ def test_stream_cdc_upsert_matches_batch_argmax(spark, tmp_path):
            for r in out.collect()}
     assert got == {1: (3, 3.0, False), 2: (4, 0.0, True),
                    3: (6, 6.0, False)}
+
+
+def test_snapshot_diff_labels(spark):
+    from dask_grblas_spark.sources.io import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d"), (5, None)], "k long, v string")
+    got = {r.k: r.change
+           for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    # 1 unchanged (filtered); 3 removed even though payload was NULL;
+    # 5 added with NULL payload (presence via marker, not payload)
+    assert got == {2: "changed", 3: "removed", 4: "added", 5: "added"}
+    all_rows = {r.k: r.change
+                for r in snapshot_diff(old, new, "k", ["v"],
+                                       include_unchanged=True).collect()}
+    assert all_rows[1] == "unchanged"

@@ -342,3 +342,43 @@ def test_prefix_jaccard_identical_docs(spark):
         "doc_id long, text string")
     got = dedup.prefix_jaccard_pairs(df, n=2, threshold=0.9).collect()
     assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
+
+
+def test_hyperplane_between_pairs_cross_side_only(spark):
+    """Near-identical planted pairs split across new/corpus sides are
+    found; same-side duplicates must NOT pair."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 64).astype("float64")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 10, [float(x) for x in v]))          # new side
+        rows.append((i * 10 + 1, [float(x) for x in v]))      # corpus twin
+        rows.append((i * 10 + 3, [float(x) for x in rng.randn(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    newb = df.filter(F.col("vec_id") % 10 == 0)
+    corpus = df.filter(F.col("vec_id") % 10 != 0)
+    got = similarity.hyperplane_lsh_pairs_between(
+        newb, corpus, threshold=0.99).collect()
+    found = {(r.id_a, r.id_b) for r in got}
+    # every planted twin pair is cross-side and must be found
+    assert {(i * 10, i * 10 + 1) for i in range(20)} <= found
+    # ids on the new side never appear as id_b
+    assert all(r.id_b % 10 != 0 for r in got)
+
+
+def test_hyperplane_between_corpus_cap_star_bound(spark):
+    """A template bucket of 50 corpus vectors with cap=5: each new probe
+    verifies against at most 5 corpus members per table."""
+    import numpy as np
+
+    v = [float(x) for x in np.random.RandomState(3).randn(64)]
+    rows = [(0, v)] + [(i * 10 + 1, v) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.hyperplane_lsh_pairs_between(
+        df.filter(F.col("vec_id") == 0),
+        df.filter(F.col("vec_id") != 0),
+        threshold=0.99, max_bucket_size=5).collect()
+    # identical vectors share every bucket; distinct pairs <= cap
+    assert 1 <= len(got) <= 5

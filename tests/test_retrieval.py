@@ -425,3 +425,22 @@ def test_quantize_int8_zero_vector_scale_one(spark):
                                "vec_id long, embedding array<float>")
     r = quantize_int8(df, keep_codes=True).collect()[0]
     assert r.q_scale == 1.0 and r.q_codes == [0, 0] and r.q_mse == 0.0
+
+
+def test_ranking_metrics_hand_check(spark):
+    from dask_grblas_spark.functions.similarity import ranking_metrics
+
+    retrieved = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2)],
+        "query_id long, neighbor_id long, rank int")
+    truth = spark.createDataFrame(
+        [(1, 11), (1, 12), (1, 99),     # 2 of 3 relevant found
+         (2, 99),                        # nothing found
+         (3, 5)],                        # query absent from retrieval
+        "query_id long, neighbor_id long")
+    got = {r.query_id: (r.n_rel, r.n_hit, r.recall, r.rr)
+           for r in ranking_metrics(retrieved, truth, k=5).collect()}
+    assert got[1] == (3, 2, round(2 / 3, 6), 0.5)   # first hit rank 2
+    assert got[2] == (1, 0, 0.0, 0.0)
+    assert got[3] == (1, 0, 0.0, 0.0)

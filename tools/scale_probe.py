@@ -624,6 +624,45 @@ def main() -> int:
     probe("normalize_text", ndocs,
           lambda: text_fns.normalize_text(docs))
 
+    # snapshot diff: two 10M-row versions, 1% churn
+    old_snap = spark.range(NUP).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("x"))
+    new_snap = (spark.range(NUP)
+                .where(F.pmod(F.xxhash64("id", F.lit(13)),
+                              F.lit(100)) != 0)
+                .select(F.col("id").alias("k"),
+                        F.when(F.pmod(F.xxhash64("id", F.lit(14)),
+                                      F.lit(100)) == 0,
+                               F.lit(-1).cast("bigint"))
+                         .otherwise(F.col("id") % 1000).alias("x")))
+    probe("snapshot_diff", 2 * NUP,
+          lambda: gio.snapshot_diff(old_snap, new_snap, "k", ["x"]))
+
+    # incremental embedding LSH: 10k new vs 90k corpus with an ~18k-
+    # member template bucket on the CORPUS side — the corpus cap must
+    # bound each colliding new vector to <= cap x n_tables probes
+    probe("hyperplane_between_skewed", NSK_E,
+          lambda: _bounded(
+              lambda: similarity.hyperplane_lsh_pairs_between(
+                  emb_skew.filter(F.col("vec_id") % 10 == 0),
+                  emb_skew.filter(F.col("vec_id") % 10 != 0),
+                  threshold=0.99),
+              # template new-side mass (~NTPL_E/10 vectors) x cap
+              (NTPL_E // 10) * 1000 + NSK_E))
+
+    # ranking metrics: 10M retrieved rows / 2M queries vs 4M truth pairs
+    ret_rm = spark.range(NUP).select(
+        (F.col("id") % 2_000_000).alias("query_id"),
+        F.pmod(F.xxhash64("id", F.lit(15)), F.lit(100_000))
+         .alias("neighbor_id"),
+        ((F.col("id") / 2_000_000).cast("int") + 1).alias("rank"))
+    tr_rm = spark.range(4_000_000 if not QUICK else 200_000).select(
+        (F.col("id") % 2_000_000).alias("query_id"),
+        F.pmod(F.xxhash64("id", F.lit(16)), F.lit(100_000))
+         .alias("neighbor_id"))
+    probe("ranking_metrics", NUP,
+          lambda: similarity.ranking_metrics(ret_rm, tr_rm, k=5))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
