@@ -624,6 +624,62 @@ def q135_ranking_metrics(spark, sf_dir):
         .select("query_id", "n_rel", "n_hit", "recall", "rr")
 
 
+def q136_dedup_corpus(spark, sf_dir):
+    """END-TO-END near-dup corpus dedup (the capstone composition):
+    exact 3-gram Jaccard pairs (>= 0.6) feed the engine's
+    connected-components loop (self-edges keep singletons labeled);
+    output is the cluster inventory (rep = min doc id, size). The
+    oracle replays the pair join and a fixed-depth min-label
+    propagation — idempotent at fixpoint, so extra rounds are no-ops
+    and a deeper real cascade would hash-mismatch loudly."""
+    docs = _doc(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.6,
+                                      max_doc_freq=None)
+    sym = (pairs.select(F.col("id_a").alias("i"),
+                        F.col("id_b").alias("j"))
+           .unionByName(pairs.select(F.col("id_b").alias("i"),
+                                     F.col("id_a").alias("j"))))
+    selfe = docs.select(F.col("doc_id").alias("i"),
+                        F.col("doc_id").alias("j"))
+    edges = (sym.unionByName(selfe)
+                .withColumn("v", F.lit(1).cast("bigint")))
+    A = Matrix.from_dataframe(edges, dtype="INT64")
+    comp = alg.connected_components(A, vertices="edges")
+    return (comp.df.groupBy(F.col("v").alias("cluster"))
+                .agg(F.count("*").cast("bigint").alias("n_members")))
+
+
+def q137_impute(spark, sf_dir):
+    """Per-group exact-median imputation (profiling.impute): every 13th
+    event's value is nulled, then repaired from its event type's median;
+    rollup shows the repair. Spark's exact percentile == DuckDB
+    quantile_cont (q70 precedent)."""
+    from dask_grblas_spark.functions import profiling
+    from dask_grblas_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "value", F.when(F.col("event_id") % 13 == 0,
+                        F.lit(None).cast("double"))
+                  .otherwise(F.col("value")))
+    out = profiling.impute(ev, "value", group_col="event_type")
+    return (out.groupBy(F.col("event_type").alias("grp"))
+               .agg(F.count("*").cast("bigint").alias("n_rows"),
+                    F.sum(F.col("was_null").cast("bigint"))
+                     .cast("bigint").alias("n_filled"),
+                    F.round(F.sum("value_filled"), 4)
+                     .alias("sum_filled")))
+
+
+def q138_knn(spark, sf_dir):
+    """k-NN label prediction (similarity.knn_classify): leave-one-out
+    cosine top-5 majority vote over the embeddings' own labels. The
+    distance pass is the q35 blocked GEMM; the oracle replays the
+    neighbor sets in window SQL (q35's idiom) and the vote with the
+    same (votes DESC, label ASC) tie rule."""
+    return similarity.knn_classify(_emb(spark, sf_dir), k=5) \
+        .select("query_id", "pred_label", "votes")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -1927,6 +1983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_attribution": q133_attribution,
         "q134_lsh_between_emb": q134_lsh_between_emb,
         "q135_ranking_metrics": q135_ranking_metrics,
+        "q136_dedup_corpus": q136_dedup_corpus,
+        "q137_impute": q137_impute,
+        "q138_knn": q138_knn,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -4629,5 +4688,126 @@ def oracle_sql() -> dict[str, str]:
                ROUND(COUNT(rk) * 1.0 / COUNT(*), 6) AS recall,
                ROUND(COALESCE(1.0 / MIN(rk), 0.0), 6) AS rr
         FROM h GROUP BY 1"""
+
+    # q136: q31's pair join at 0.6 + fixed-depth min-label propagation
+    # (idempotent at fixpoint; 6 rounds = 2x the observed diameter).
+    sql["q136_dedup_corpus"] = r"""
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(
+                   list_transform(
+                     range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                     p -> array_to_string(
+                       regexp_split_to_array(trim(text), '\s+')[p+1:p+3], ' '))))
+                 AS shingle
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+        ), sizes AS (
+          SELECT id, COUNT(*) AS sz FROM sh GROUP BY 1
+        ), inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.id = id_a
+          JOIN sizes sb ON sb.id = id_b
+          WHERE ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) >= 0.6
+        ), e AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs
+        ), l0 AS (
+          SELECT doc_id AS id, doc_id AS lbl FROM documents
+        ), l1 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l0
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l0 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l2 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l1
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l1 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l3 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l2
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l2 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l4 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l3
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l3 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l5 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l4
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l4 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l6 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l5
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l5 l ON l.id = e.v
+          ) GROUP BY id
+        )
+        SELECT lbl AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM l6 GROUP BY 1"""
+
+    # q137: exact median (quantile_cont == Spark percentile, q70
+    # precedent), fill rounded to 6 before the rounded-6 repaired sum.
+    sql["q137_impute"] = """
+        WITH ev AS (
+          SELECT event_type AS grp,
+                 CASE WHEN event_id % 13 = 0 THEN NULL
+                      ELSE value END AS v
+          FROM events
+        ), med AS (
+          SELECT grp, ROUND(quantile_cont(v, 0.5), 6) AS fill
+          FROM ev WHERE v IS NOT NULL GROUP BY 1
+        )
+        SELECT ev.grp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_filled,
+               ROUND(SUM(ROUND(COALESCE(v, fill), 6)), 4) AS sum_filled
+        FROM ev JOIN med ON med.grp = ev.grp
+        GROUP BY 1"""
+
+    # q138: q35's neighbor ranking + the (votes DESC, label ASC) vote.
+    sql["q138_knn"] = """
+        WITH scored AS (
+          SELECT a.vec_id AS q, b.vec_id AS nb, b.label AS lbl,
+                 list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])) AS c
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ), top AS (
+          SELECT q, lbl FROM (
+            SELECT q, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY q
+                                      ORDER BY c DESC, nb) AS rk
+            FROM scored
+          ) WHERE rk <= 5
+        ), v AS (
+          SELECT q, lbl, CAST(COUNT(*) AS BIGINT) AS n
+          FROM top GROUP BY 1, 2
+        )
+        SELECT q AS query_id, CAST(lbl AS INT) AS pred_label,
+               n AS votes
+        FROM (
+          SELECT q, lbl, n,
+                 ROW_NUMBER() OVER (PARTITION BY q
+                                    ORDER BY n DESC, lbl) AS rk
+          FROM v
+        ) WHERE rk = 1"""
 
     return sql

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "groupwise_linreg", "histogram", "exact_quantiles",
-           "zscore_outliers", "basket_pairs"]
+           "zscore_outliers", "basket_pairs", "impute"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -320,3 +320,34 @@ def basket_pairs(df: DataFrame, basket_col: str, item_col: str,
                        F.round(F.col("support") * F.col("_nb_tot")
                                / (F.col("_na") * F.col("_nb")), 6)
                         .alias("lift")))
+
+
+def impute(df: DataFrame, col: str, group_col: str | None = None,
+           strategy: str = "median") -> DataFrame:
+    """Missing-value imputation: fill NULLs in ``col`` with the
+    per-group (or global) EXACT median or mean of the non-null values —
+    the standard feature-repair pass before training. The statistic is
+    one map-side-combined aggregate over the bounded group relation,
+    broadcast-joined back; no window over raw rows, no global sort
+    (Spark's percentile aggregate is the exact streaming one).
+
+    Adds ``{col}_filled`` (6-decimal rounded) and ``was_null``."""
+    if strategy == "median":
+        stat = F.percentile(F.col(col), F.lit(0.5))
+    elif strategy == "mean":
+        stat = F.avg(F.col(col))
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    out_col = f"{col}_filled"
+    if group_col is None:
+        fills = df.agg(F.round(stat, 6).alias("_fill"))
+        joined = df.crossJoin(F.broadcast(fills))
+    else:
+        fills = (df.groupBy(group_col)
+                   .agg(F.round(stat, 6).alias("_fill")))
+        joined = df.join(F.broadcast(fills), on=group_col, how="left")
+    return (joined
+            .withColumn("was_null", F.col(col).isNull())
+            .withColumn(out_col,
+                        F.round(F.coalesce(F.col(col), F.col("_fill")), 6))
+            .drop("_fill"))

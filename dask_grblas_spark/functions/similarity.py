@@ -26,7 +26,8 @@ __all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
            "hyperplane_lsh_buckets", "hyperplane_lsh_pairs", "ivf_topk",
            "kmeans_assign", "random_projection", "label_centroids",
            "semantic_dedup_pairs", "quantize_int8",
-           "hyperplane_lsh_pairs_between", "ranking_metrics"]
+           "hyperplane_lsh_pairs_between", "ranking_metrics",
+           "knn_classify"]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -709,3 +710,30 @@ def ranking_metrics(retrieved: DataFrame, truth: DataFrame, k: int = 5,
                       .alias("rr"))
                 .select(F.col("q").alias("query_id"), "n_rel", "n_hit",
                         "recall", "rr"))
+
+
+def knn_classify(emb_df: DataFrame, k: int = 5, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """k-NN label prediction by cosine majority vote (leave-one-out
+    over the corpus itself): each vector's k nearest neighbors vote
+    with their labels; ties break toward the smaller label. Built on
+    the blocked-GEMM ``cosine_topk`` (executor-resident tiles), so the
+    distance pass scales like q35; the vote is one bounded aggregate
+    over k rows per query.
+
+    Output: (query_id, pred_label, votes)."""
+    nn = cosine_topk(emb_df, k=k, id_col=id_col, vec_col=vec_col)
+    lab = emb_df.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(label_col).alias("_nl"))
+    votes = (nn.join(lab, on="neighbor_id")
+               .groupBy(F.col("query_id"), F.col("_nl"))
+               .agg(F.count("*").alias("votes")))
+    best = (votes.groupBy("query_id")
+                 .agg(F.max_by(
+                     F.struct(F.col("_nl").alias("l"),
+                              F.col("votes").alias("n")),
+                     F.struct(F.col("votes"), -F.col("_nl"))).alias("_b")))
+    return best.select("query_id",
+                       F.col("_b.l").cast("int").alias("pred_label"),
+                       F.col("_b.n").cast("bigint").alias("votes"))

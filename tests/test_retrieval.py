@@ -444,3 +444,41 @@ def test_ranking_metrics_hand_check(spark):
     assert got[1] == (3, 2, round(2 / 3, 6), 0.5)   # first hit rank 2
     assert got[2] == (1, 0, 0.0, 0.0)
     assert got[3] == (1, 0, 0.0, 0.0)
+
+
+def test_impute_group_median(spark):
+    from pyspark.sql import functions as F
+
+    from dask_grblas_spark.functions.profiling import impute
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", 10.0), ("b", None)],
+        "g string, v double")
+    out = impute(df, "v", group_col="g").collect()
+    filled = {(r.g, r.v_filled) for r in out if r.was_null}
+    assert filled == {("a", 2.0), ("b", 10.0)}
+    # untouched rows keep their value
+    assert all(r.v_filled == r.v for r in out if not r.was_null)
+    # global (ungrouped) median over [1, 3, 10] = 3
+    gout = impute(df, "v").where(F.col("was_null")).collect()
+    assert {r.v_filled for r in gout} == {3.0}
+
+
+def test_knn_classify_majority_and_tie(spark):
+    import numpy as np
+
+    from dask_grblas_spark.functions.similarity import knn_classify
+
+    rng = np.random.RandomState(0)
+    c0 = rng.randn(64); c1 = -c0
+    rows = []
+    for i in range(6):    # labels 0: clustered around c0
+        rows.append((i, [float(x) for x in c0 + 0.01 * rng.randn(64)], 0))
+    for i in range(6, 12):  # labels 1: around c1
+        rows.append((i, [float(x) for x in c1 + 0.01 * rng.randn(64)], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r.query_id: r.pred_label
+           for r in knn_classify(df, k=5).collect()}
+    assert all(got[i] == 0 for i in range(6))
+    assert all(got[i] == 1 for i in range(6, 12))
