@@ -680,6 +680,57 @@ def q138_knn(spark, sf_dir):
         .select("query_id", "pred_label", "votes")
 
 
+def q139_incremental_agg(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance (IVM,
+    io.refresh_keyed_agg): per-user (count, sum) state built from the
+    first 20 days of events, then the remaining days fold in as DELTAS
+    (bounded batch aggregate + bucket-pruned state read + upsert). The
+    refreshed state must equal the full batch recompute — which is
+    exactly what the oracle runs."""
+    import os
+
+    from dask_grblas_spark.sources import io as gio
+    from dask_grblas_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir)
+    cutoff = "2024-01-21"
+    hist = ev.where(F.col("ts") < cutoff)
+    batch = ev.where(F.col("ts") >= cutoff)
+    init = (hist.groupBy("user_id")
+                .agg(F.count("*").cast("bigint").alias("n"),
+                     F.sum(F.col("value").cast("double"))
+                      .alias("sum_v")))
+    path = f"/tmp/dgs_ivm_{os.path.basename(sf_dir.rstrip('/'))}"
+    gio.write_keyed(init, path, "user_id", n_buckets=16)
+    gio.refresh_keyed_agg(path, batch, "user_id", "value")
+    return (gio.read_keyed(path)
+            .select("user_id", "n",
+                    F.round("sum_v", 4).alias("sum_v")))
+
+
+def q140_cluster_terms(spark, sf_dir):
+    """c-TF-IDF cluster labeling (text.cluster_terms, the BERTopic
+    formula): documents grouped by their embedding's label, top-5 terms
+    per cluster by tf(t,c)·ln(1 + A/f(t)). The oracle rebuilds the
+    score and the (score desc, term) ranking in SQL."""
+    docs = _doc(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"),
+                                     "label")
+    dc = docs.join(emb, on="doc_id")
+    return text.cluster_terms(dc, "label", "text", top_n=5) \
+        .select("cluster", "term", "score", "rank")
+
+
+def q141_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the per-user event
+    stream (timeseries.event_transitions): one key-sort window, counts
+    over the bounded type×type relation, row-normalized probabilities."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.event_transitions(load_events(spark, sf_dir)) \
+        .select("cur", "nxt", "n", "p")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -1891,7 +1942,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round, full-sweep rerun at end of round) start past the cap and
     # rotate in in r7, along with the 14 q71-q84 (r5 driver rows),
     # q28/q44, the 18-query tail and the text block (all carry r5
-    # driver rows).
+    # driver rows). Session 2 added q121-q138 (range join, prefix
+    # Jaccard, SCD2, Adamic-Adar, bigram LM, int8 quantize, keyed
+    # MERGE, basket pairs, streaming CDC, clustering coeff, normalize,
+    # snapshot diff, attribution, embedding LSH-between, ranking
+    # metrics, dedup capstone, impute, kNN) — all dual-SF hash-green
+    # via check_oracle this session; they queue for the r7 window too.
     return {
         # new this round — first driver rows needed
         "q97_semantic_dedup": q97_semantic_dedup,
@@ -1986,6 +2042,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_dedup_corpus": q136_dedup_corpus,
         "q137_impute": q137_impute,
         "q138_knn": q138_knn,
+        "q139_incremental_agg": q139_incremental_agg,
+        "q140_cluster_terms": q140_cluster_terms,
+        "q141_transitions": q141_transitions,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -4809,5 +4868,57 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY n DESC, lbl) AS rk
           FROM v
         ) WHERE rk = 1"""
+
+    # q139: the full batch recompute the incremental state must equal.
+    sql["q139_incremental_agg"] = """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 4) AS sum_v
+        FROM events GROUP BY 1"""
+
+    # q140: the c-TF-IDF score and ranking rebuilt in SQL.
+    sql["q140_cluster_terms"] = r"""
+        WITH dc AS (
+          SELECT e.label AS c, d.text
+          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        ), toks AS (
+          SELECT c, unnest(list_filter(
+                   regexp_split_to_array(trim(text), '\s+'),
+                   x -> length(x) > 0)) AS t
+          FROM dc
+        ), tf AS (
+          SELECT c, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), ft AS (
+          SELECT t, SUM(tf) AS ft FROM tf GROUP BY 1
+        ), a AS (
+          SELECT AVG(ct) AS a FROM (
+            SELECT c, SUM(tf) AS ct FROM tf GROUP BY 1)
+        ), scored AS (
+          SELECT c, t, ROUND(tf * ln(1.0 + a / ft), 6) AS score
+          FROM tf JOIN ft USING (t) CROSS JOIN a
+        )
+        SELECT c AS cluster, t AS term, score,
+               CAST(rk AS INT) AS rank
+        FROM (
+          SELECT c, t, score,
+                 row_number() OVER (PARTITION BY c
+                                    ORDER BY score DESC, t) AS rk
+          FROM scored
+        ) WHERE rk <= 5"""
+
+    # q141: lead window + row-normalized counts.
+    sql["q141_transitions"] = """
+        WITH p AS (
+          SELECT event_type AS cur,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+          FROM events
+        ), c AS (
+          SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+          FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT cur, nxt, n,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY cur), 6) AS p
+        FROM c"""
 
     return sql

@@ -18,7 +18,8 @@ __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "vocab_oov_rate", "corpus_composition", "bpe_pair_counts",
            "length_batches", "quality_quantile_filter", "zipf_slope",
            "bpe_train", "bpe_encode", "token_cooccurrence",
-           "vocab_coverage_curve", "bigram_logprob", "normalize_text"]
+           "vocab_coverage_curve", "bigram_logprob", "normalize_text",
+           "cluster_terms"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -673,3 +674,35 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df.withColumn("norm_text", norm)
               .withColumn("norm_hash", F.md5(norm))
               .withColumn("changed", ~norm.eqNullSafe(c)))
+
+
+def cluster_terms(df: DataFrame, cluster_col: str, text_col: str = "text",
+                  top_n: int = 5) -> DataFrame:
+    """Class-based TF-IDF cluster labeling (the BERTopic c-TF-IDF
+    formula): score(t, c) = tf(t, c) · ln(1 + A / f(t)), where tf is
+    the term count inside cluster c, f(t) the term's total count across
+    all clusters, and A the average per-cluster token count; the top-n
+    terms per cluster (score desc, term asc) name the cluster.
+
+    One corpus scan into a (cluster, term) count relation (map-side
+    combined); f(t) and A are bounded dictionary aggregates; the rank
+    window runs over the bounded count relation only. Output:
+    (cluster, term, score rounded 6, rank)."""
+    toks = (df.select(F.col(cluster_col).alias("c"),
+                      F.explode(tokens(F.col(text_col))).alias("t"))
+              .filter(F.length("t") > 0))
+    tf = toks.groupBy("c", "t").agg(F.count("*").alias("tf"))
+    ft = tf.groupBy("t").agg(F.sum("tf").alias("ft"))
+    a = (tf.groupBy("c").agg(F.sum("tf").alias("_ct"))
+           .agg(F.avg("_ct").alias("a")))
+    scored = (tf.join(ft, on="t").crossJoin(F.broadcast(a))
+                .withColumn("score",
+                            F.round(F.col("tf")
+                                    * F.log(F.lit(1.0)
+                                            + F.col("a") / F.col("ft")),
+                                    6)))
+    w = Window.partitionBy("c").orderBy(F.col("score").desc(), F.col("t"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+                  .where(F.col("rank") <= top_n)
+                  .select(F.col("c").alias("cluster"),
+                          F.col("t").alias("term"), "score", "rank"))

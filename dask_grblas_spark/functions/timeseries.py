@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
            "ewma", "gapfill", "funnel", "cohort_retention",
-           "interval_union", "scd2"]
+           "interval_union", "scd2", "event_transitions"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -396,3 +396,27 @@ def scd2(df: DataFrame, key_col: str, ts_col: str,
                 F.unix_micros(F.col(ts_col)).alias("valid_from"),
                 F.unix_micros(F.lead(ts_col).over(wv)).alias("valid_to"),
                 F.row_number().over(wv).cast("bigint").alias("version")))
+
+
+def event_transitions(events_df: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each (current type, next type) pair within a key's (ts, id)-ordered
+    stream, the count and row-normalized probability — the behavioral
+    fingerprint behind next-event prediction and anomaly screens.
+
+    One key-partitioned sort window (lead) over the events, then a
+    map-side-combined count over the bounded type×type relation.
+    Output: (cur, nxt, n, p rounded 6)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    pairs = (events_df
+             .select(F.col(type_col).alias("cur"),
+                     F.lead(type_col).over(w).alias("nxt"))
+             .where(F.col("nxt").isNotNull()))
+    counts = pairs.groupBy("cur", "nxt").agg(
+        F.count("*").cast("bigint").alias("n"))
+    wr = Window.partitionBy("cur")
+    return (counts.withColumn(
+                "p", F.round(F.col("n") / F.sum("n").over(wr), 6))
+                  .select("cur", "nxt", "n", "p"))

@@ -25,7 +25,7 @@ __all__ = ["matrix_from_parquet", "matrix_to_parquet", "vector_from_parquet",
            "zorder_key", "write_zordered",
            "table_to_csv", "table_from_csv",
            "write_keyed", "read_keyed", "upsert_keyed", "recover_upsert",
-           "snapshot_diff"]
+           "snapshot_diff", "refresh_keyed_agg"]
 
 
 def table_to_partitioned(df, path: str, partition_cols: list[str] | str,
@@ -739,3 +739,33 @@ def snapshot_diff(old_df, new_df, key: str, compare_cols: list[str],
     if not include_unchanged:
         out = out.where(F.col("change") != "unchanged")
     return out
+
+
+def refresh_keyed_agg(path: str, batch_df, key: str,
+                      value_col: str) -> dict:
+    """Incremental materialized-aggregate maintenance (IVM) over the
+    keyed layout: the state table holds (key, n, sum_v); a new batch
+    folds in as per-key DELTAS — one bounded aggregate over the batch,
+    one bucket-pruned read of the current state for the touched keys,
+    and an upsert of the merged rows. At 100 TB the refresh cost is
+    proportional to the BATCH (plus touched buckets), never the full
+    history — the standard alternative to nightly full recomputes.
+    Commutative/associative aggregates only (count/sum here; min/max
+    merge the same way; avg derives from n+sum).
+
+    Initialize the state with ``write_keyed(initial_aggregate, path,
+    key)``. Returns upsert_keyed's stats."""
+    deltas = (batch_df.groupBy(F.col(key))
+              .agg(F.count("*").cast("bigint").alias("_dn"),
+                   F.sum(F.col(value_col).cast("double")).alias("_ds")))
+    cur = (read_keyed(path)
+           .join(F.broadcast(deltas.select(key)), on=key,
+                 how="left_semi"))
+    merged = (deltas.join(cur, on=key, how="left")
+              .select(F.col(key),
+                      (F.coalesce(F.col("n"), F.lit(0)) + F.col("_dn"))
+                      .cast("bigint").alias("n"),
+                      (F.coalesce(F.col("sum_v"), F.lit(0.0))
+                       + F.coalesce(F.col("_ds"), F.lit(0.0)))
+                      .alias("sum_v")))
+    return upsert_keyed(path, merged, key)

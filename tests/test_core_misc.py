@@ -914,3 +914,32 @@ def test_snapshot_diff_labels(spark):
                 for r in snapshot_diff(old, new, "k", ["v"],
                                        include_unchanged=True).collect()}
     assert all_rows[1] == "unchanged"
+
+
+def test_refresh_keyed_agg_equals_full_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dask_grblas_spark.sources import io as gio
+
+    path = str(tmp_path / "ivm")
+    all_rows = [(k % 7, float(k)) for k in range(100)]
+    df = spark.createDataFrame(all_rows, "user_id long, value double")
+    hist, batch = df.where("value < 60"), df.where("value >= 60")
+    init = hist.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("value").alias("sum_v"))
+    gio.write_keyed(init, path, "user_id", n_buckets=4)
+    gio.refresh_keyed_agg(path, batch, "user_id", "value")
+    got = {r.user_id: (r.n, r.sum_v)
+           for r in gio.read_keyed(path).collect()}
+    want = {r.user_id: (r.n, r.sum_v)
+            for r in df.groupBy("user_id").agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("value").alias("sum_v")).collect()}
+    assert got == want
+    # a second refresh with an empty batch is a no-op
+    gio.refresh_keyed_agg(path, batch.where("value < 0"),
+                          "user_id", "value")
+    got2 = {r.user_id: (r.n, r.sum_v)
+            for r in gio.read_keyed(path).collect()}
+    assert got2 == want

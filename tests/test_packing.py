@@ -131,3 +131,17 @@ def test_bigram_logprob_single_token_doc_drops(spark):
     df = spark.createDataFrame([(1, "only"), (2, "two words")],
                                "doc_id long, text string")
     assert [r.doc_id for r in bigram_logprob(df).collect()] == [2]
+
+
+def test_cluster_terms_separates_vocabulary(spark):
+    from dask_grblas_spark.functions.text import cluster_terms
+
+    rows = [(0, "apple banana apple"), (0, "apple cherry"),
+            (1, "dog cat dog"), (1, "dog bird")]
+    df = spark.createDataFrame(rows, "label int, text string")
+    got = cluster_terms(df, "label", top_n=2).collect()
+    top = {(r.cluster, r.rank): r.term for r in got}
+    assert top[(0, 1)] == "apple" and top[(1, 1)] == "dog"
+    # terms never leak across clusters (disjoint vocabularies here)
+    assert all((r.term in {"apple", "banana", "cherry"}) == (r.cluster == 0)
+               for r in got)

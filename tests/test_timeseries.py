@@ -323,3 +323,18 @@ def test_range_join_end_exclusive_and_empty_interval(spark):
     got = [r.iid for r in range_join(pts, ivs, "x", "s", "e",
                                      bucket_width=5).collect()]
     assert got == [3]
+
+
+def test_event_transitions_counts_and_probs(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0), 1, "a", 0.0), (2, _ts(1), 1, "b", 0.0),
+         (3, _ts(2), 1, "a", 0.0), (4, _ts(3), 1, "b", 0.0),
+         (5, _ts(0), 2, "a", 0.0), (6, _ts(1), 2, "a", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double")
+    got = {(r.cur, r.nxt): (r.n, r.p)
+           for r in timeseries.event_transitions(df).collect()}
+    # user1: a->b, b->a, a->b; user2: a->a
+    assert got[("a", "b")] == (2, round(2 / 3, 6))
+    assert got[("a", "a")] == (1, round(1 / 3, 6))
+    assert got[("b", "a")] == (1, 1.0)
