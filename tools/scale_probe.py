@@ -663,6 +663,61 @@ def main() -> int:
     probe("ranking_metrics", NUP,
           lambda: similarity.ranking_metrics(ret_rm, tr_rm, k=5))
 
+    # IVM refresh: 10M-row history state + 100k-row batch
+    ivm_path = os.path.join(tempfile.gettempdir(), "dgs_probe_ivm")
+    shutil.rmtree(ivm_path, ignore_errors=True)
+    ivm_hist = spark.range(NUP).select(
+        F.pmod(F.xxhash64("id", F.lit(21)), F.lit(1_000_000))
+         .alias("user_id"),
+        (F.col("id") % 1000).cast("double").alias("value"))
+    ivm_batch = spark.range(NUP // 100).select(
+        F.pmod(F.xxhash64("id", F.lit(22)), F.lit(1_000_000))
+         .alias("user_id"),
+        (F.col("id") % 1000).cast("double").alias("value"))
+
+    def _ivm_probe():
+        init = ivm_hist.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("value").alias("sum_v"))
+        gio.write_keyed(init, ivm_path, "user_id", n_buckets=64)
+        info = gio.refresh_keyed_agg(ivm_path, ivm_batch, "user_id",
+                                     "value")
+        return spark.createDataFrame([(info["touched"],)], "t long")
+
+    probe("refresh_keyed_agg", NUP, _ivm_probe)
+
+    # c-TF-IDF cluster terms over the 100k-doc corpus, 16 clusters
+    docs_cl = docs.withColumn(
+        "label", F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("int"))
+    probe("cluster_terms", ndocs,
+          lambda: text_fns.cluster_terms(docs_cl, "label", top_n=5))
+
+    # Markov transitions over 10M events / 200k keys
+    probe("event_transitions", NSC,
+          lambda: timeseries.event_transitions(ev_scd))
+
+    # imputation: 10M rows, 1% nulls, 1000 groups
+    from dask_grblas_spark.functions.profiling import impute as _impute
+
+    imp_df = spark.range(NSC).select(
+        F.pmod(F.xxhash64("id", F.lit(23)), F.lit(1000)).cast("string")
+         .alias("g"),
+        F.when(F.col("id") % 100 == 0, F.lit(None).cast("double"))
+         .otherwise((F.col("id") % 997).cast("double")).alias("v"))
+    probe("impute_median", NSC,
+          lambda: _impute(imp_df, "v", group_col="g"))
+
+    # kNN classify: 20k vectors (the cosine_topk GEMM scale) + vote
+    vecs_knn = spark.range(20_000 if not QUICK else 2_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 64), p -> "
+               "cast(pmod(xxhash64(id, p), 2000) - 1000 as float)"
+               " / cast(100.0 as float))").alias("embedding"),
+        F.pmod(F.xxhash64("id", F.lit(24)), F.lit(8)).cast("int")
+         .alias("label"))
+    probe("knn_classify", 20_000 if not QUICK else 2_000,
+          lambda: similarity.knn_classify(vecs_knn, k=5))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
