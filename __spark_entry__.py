@@ -731,6 +731,57 @@ def q141_transitions(spark, sf_dir):
         .select("cur", "nxt", "n", "p")
 
 
+def q142_js_divergence(spark, sf_dir):
+    """Per-source Jensen-Shannon divergence vs the whole-corpus unigram
+    distribution (text.token_js_divergence) — the mixture-drift monitor.
+    Absent-token mass folds in closed form, so the join stays on the
+    vocabulary-sized frequency relation."""
+    return (text.token_js_divergence(_doc(spark, sf_dir),
+                                     group_col="source")
+            .select(F.col("grp").alias("source"), "n_tokens",
+                    "n_terms", "js"))
+
+
+def q143_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (retrieval.rrf_fuse, k=60) of a lexical
+    BM25 top-20 and a dense cosine top-20 for one query — hybrid
+    retrieval without score calibration. Both input rankings use
+    6-decimal-rounded scores with id tie-breaks, so the oracle replays
+    the exact fused ordering."""
+    docs = _doc(spark, sf_dir)
+    lex = (retrieval.bm25_topk(docs, [(1, "spark join table")], k=20)
+           .select("doc_id", F.col("rank").cast("int").alias("rank")))
+    emb = _emb(spark, sf_dir)
+    qv = (emb.where(F.col("vec_id") == 1)
+             .select(F.col("embedding").alias("_q")))
+    cos = F.round(
+        similarity.dot_expr(F.col("embedding"), F.col("_q"))
+        / (similarity.norm_expr(F.col("embedding"))
+           * similarity.norm_expr(F.col("_q"))), 6)
+    from pyspark.sql.window import Window
+    wd = Window.orderBy(F.col("_c").desc(), F.col("doc_id"))
+    dense = (emb.where(F.col("vec_id") != 1)
+                .crossJoin(F.broadcast(qv))
+                .select(F.col("vec_id").alias("doc_id"), cos.alias("_c"))
+                .withColumn("rank", F.row_number().over(wd).cast("int"))
+                .where(F.col("rank") <= 20)
+                .select("doc_id", "rank"))
+    return (retrieval.rrf_fuse([lex, dense], k=60, top_n=10)
+            .select("doc_id", "n_lists", "rrf", "fused_rank"))
+
+
+def q144_negative_sampling(spark, sf_dir):
+    """word2vec negative-sampling table (freq^0.75 over the top-200
+    vocabulary) with cumulative probability intervals
+    (sampling.negative_sampling_table): distributed top-V, then the
+    normalization folds over the 200-row relation."""
+    from dask_grblas_spark.functions import sampling
+
+    return sampling.negative_sampling_table(_doc(spark, sf_dir),
+                                            top_v=200) \
+        .select("token", "freq", "p", "cum_hi")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2045,6 +2096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_incremental_agg": q139_incremental_agg,
         "q140_cluster_terms": q140_cluster_terms,
         "q141_transitions": q141_transitions,
+        "q142_js_divergence": q142_js_divergence,
+        "q143_rrf_fusion": q143_rrf_fusion,
+        "q144_negative_sampling": q144_negative_sampling,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -4920,5 +4974,122 @@ def oracle_sql() -> dict[str, str]:
         SELECT cur, nxt, n,
                ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY cur), 6) AS p
         FROM c"""
+
+    # q142: JS divergence with the absent-token mass folded in closed
+    # form (0.5 * ln2 * (1 - covered Q mass)) — same algebra as Spark.
+    sql["q142_js_divergence"] = r"""
+        WITH toks AS (
+          SELECT source AS grp,
+                 unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                    x -> length(x) > 0)) AS tok
+          FROM documents
+        ), gc AS (
+          SELECT grp, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+        ), gfr AS (
+          SELECT tok, SUM(c) AS cq FROM gc GROUP BY 1
+        ), totg AS (
+          SELECT grp, SUM(c) AS tg FROM gc GROUP BY 1
+        ), tot AS (
+          SELECT CAST(SUM(c) AS DOUBLE) AS tq FROM gc
+        ), j AS (
+          SELECT gc.grp, totg.tg,
+                 gc.c * 1.0 / totg.tg AS p,
+                 gfr.cq * 1.0 / tot.tq AS q
+          FROM gc
+          JOIN gfr USING (tok)
+          JOIN totg ON gc.grp = totg.grp
+          CROSS JOIN tot
+        ), per AS (
+          SELECT grp,
+                 SUM(0.5 * p * ln(p / ((p + q) / 2))
+                     + 0.5 * q * ln(q / ((p + q) / 2))) AS s,
+                 SUM(q) AS qcov,
+                 MAX(tg) AS tg,
+                 COUNT(*) AS n_terms
+          FROM j GROUP BY 1
+        )
+        SELECT grp AS source, CAST(tg AS BIGINT) AS n_tokens,
+               CAST(n_terms AS BIGINT) AS n_terms,
+               ROUND(s + 0.5 * ln(2) * (1 - qcov), 6) AS js
+        FROM per"""
+
+    # q143: BM25 top-20 (q61's formula, one query) + cosine top-20 vs
+    # vec 1, fused with RRF k=60; both rankings use 6-decimal-rounded
+    # scores + id tie-breaks so the fused ordering is engine-invariant.
+    sql["q143_rrf_fusion"] = r"""
+        WITH docs AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS toks
+          FROM documents
+        ), dls AS (
+          SELECT doc_id, len(toks) AS dl, toks FROM docs
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dls
+        ), terms(term) AS (VALUES ('spark'), ('join'), ('table')),
+        posting AS (
+          SELECT e.term, e.doc_id, e.dl, COUNT(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dls) e
+          JOIN terms t ON e.term = t.term
+          GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df_t FROM posting GROUP BY 1
+        ), perq AS (
+          SELECT p.doc_id,
+                 ROUND(SUM(LN(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+                           * (p.tf * (1.2 + 1))
+                           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))),
+                       6) AS score
+          FROM posting p JOIN dfreq d USING (term) CROSS JOIN stats s
+          GROUP BY 1
+        ), lex AS (
+          SELECT doc_id, rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+            FROM perq) WHERE rank <= 20
+        ), q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 1
+        ), dcos AS (
+          SELECT vec_id AS doc_id,
+                 ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                              qv), 6) AS c
+          FROM embeddings CROSS JOIN q WHERE vec_id <> 1
+        ), dense AS (
+          SELECT doc_id, rank FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY c DESC, doc_id) AS rank
+            FROM dcos) WHERE rank <= 20
+        ), fused AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+                 ROUND(SUM(1.0 / (60 + rank)), 9) AS rrf
+          FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+          GROUP BY 1
+        )
+        SELECT doc_id, n_lists, rrf, CAST(fr AS INT) AS fused_rank
+        FROM (
+          SELECT doc_id, n_lists, rrf,
+                 row_number() OVER (ORDER BY rrf DESC, doc_id) AS fr
+          FROM fused
+        ) WHERE fr <= 10"""
+
+    # q144: top-200 unigram table, freq^0.75 weights, running-sum
+    # cumulative interval over the identical (freq DESC, token) order.
+    sql["q144_negative_sampling"] = r"""
+        WITH toks AS (
+          SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                    x -> length(x) > 0)) AS token
+          FROM documents
+        ), freq AS (
+          SELECT token, COUNT(*) AS freq FROM toks GROUP BY 1
+          ORDER BY freq DESC, token LIMIT 200
+        ), wtd AS (
+          SELECT token, freq, POWER(freq, 0.75) AS w FROM freq
+        ), tot AS (SELECT SUM(w) AS tw FROM wtd)
+        SELECT token, CAST(freq AS BIGINT) AS freq,
+               ROUND(w / tw, 6) AS p,
+               ROUND(SUM(w) OVER (ORDER BY freq DESC, token
+                                  ROWS UNBOUNDED PRECEDING) / tw, 6) AS cum_hi
+        FROM wtd CROSS JOIN tot"""
 
     return sql

@@ -222,3 +222,34 @@ def bloom_decontaminate(df: DataFrame, benchmark: list[str], n: int = 13,
                        .alias("n_hits"),
                       (F.coalesce("n_hits", F.lit(0)) > 0)
                       .alias("contaminated")))
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
+             rank_col: str = "rank", k: int = 60, top_n: int = 10,
+             partition_cols: list[str] | None = None) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke): fuse N ranked lists by
+    score(d) = sum over lists of 1 / (k + rank_d), re-rank descending.
+    The standard way to blend lexical (BM25) and dense (cosine)
+    retrieval without score calibration.
+
+    Scale shape: each input list is already top-bounded by its producer,
+    so the union + groupBy runs over (queries x top_m x n_lists) rows —
+    never corpus-sized. One bounded shuffle on (partition_cols, id);
+    the final rank window partitions per query.
+    Output: (*partition_cols, id, n_lists, rrf rounded 9, rank)."""
+    pc = list(partition_cols or [])
+    cols = pc + [id_col, rank_col]
+    u = rankings[0].select(*cols)
+    for r in rankings[1:]:
+        u = u.unionByName(r.select(*cols))
+    scores = (u.groupBy(*pc, id_col)
+               .agg(F.count("*").cast("bigint").alias("n_lists"),
+                    F.round(F.sum(F.lit(1.0)
+                                  / (F.lit(float(k))
+                                     + F.col(rank_col).cast("double"))),
+                            9).alias("rrf")))
+    w = (Window.partitionBy(*pc) if pc else Window.partitionBy()) \
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+    return (scores.withColumn("fused_rank",
+                              F.row_number().over(w).cast("int"))
+                  .where(F.col("fused_rank") <= top_n))

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["split_key", "split_column", "deterministic_sample",
            "hex_threshold", "mixture_sample", "group_sample",
-           "weighted_sample"]
+           "weighted_sample", "negative_sampling_table"]
 
 _PREFIX_LEN = 4  # 16^4 = 65536 buckets
 
@@ -176,3 +176,38 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int = 50,
                 .withColumn("rank", F.row_number().over(
                     Window.orderBy("key", "id")))
                 .select("id", "w", "key", "rank"))
+
+
+def negative_sampling_table(df: DataFrame, text_col: str = "text",
+                            power: float = 0.75,
+                            top_v: int = 200) -> DataFrame:
+    """word2vec-style negative-sampling table: the top_v most frequent
+    tokens weighted by freq^power (0.75 flattens the unigram head, the
+    published word2vec choice), with each token's cumulative probability
+    interval [cum_lo, cum_hi) — the lookup table a trainer samples
+    negatives from by inverting a uniform draw.
+
+    Scale shape: one map-side-combined token count over the corpus, a
+    distributed top-V (TakeOrdered on (freq desc, token) — no global
+    sort), then the weight normalization and running sum fold over the
+    <= top_v-row relation in a single task. Deterministic: ties at equal
+    frequency break by token. Output: (token, freq, p, cum_hi), p and
+    cum_hi rounded 6."""
+    from .text import tokens
+
+    toks = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    freq = (df.select(F.explode(toks).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("freq"))
+              .orderBy(F.col("freq").desc(), "token").limit(top_v))
+    w = F.pow(F.col("freq").cast("double"), F.lit(float(power)))
+    weighted = freq.withColumn("_w", w)
+    tot = weighted.agg(F.sum("_w").alias("_tw"))
+    ordw = Window.orderBy(F.col("freq").desc(), "token") \
+                 .rowsBetween(Window.unboundedPreceding, 0)
+    return (weighted.crossJoin(F.broadcast(tot))
+            .withColumn("p", F.round(F.col("_w") / F.col("_tw"), 6))
+            .withColumn("cum_hi",
+                        F.round(F.sum(F.col("_w")).over(ordw)
+                                / F.col("_tw"), 6))
+            .select("token", F.col("freq").cast("bigint").alias("freq"),
+                    "p", "cum_hi"))

@@ -19,7 +19,7 @@ __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "length_batches", "quality_quantile_filter", "zipf_slope",
            "bpe_train", "bpe_encode", "token_cooccurrence",
            "vocab_coverage_curve", "bigram_logprob", "normalize_text",
-           "cluster_terms"]
+           "cluster_terms", "token_js_divergence"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -706,3 +706,53 @@ def cluster_terms(df: DataFrame, cluster_col: str, text_col: str = "text",
                   .where(F.col("rank") <= top_n)
                   .select(F.col("c").alias("cluster"),
                           F.col("t").alias("term"), "score", "rank"))
+
+
+def token_js_divergence(df: DataFrame, group_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Per-group Jensen-Shannon divergence between each group's unigram
+    token distribution P and the whole-corpus distribution Q — the
+    corpus-drift / mixture-health monitor (is one source's language
+    statistically unlike the blend it feeds?).
+
+    JS(P, Q) = 0.5 * sum_t p ln(p/m) + 0.5 * sum_t q ln(q/m) with
+    m = (p + q) / 2, natural log (so JS <= ln 2). Tokens ABSENT from the
+    group (p = 0) are not materialized: their q ln(q/(q/2)) terms
+    collapse to 0.5 * ln(2) * (1 - sum_{t in group} q_t), folded in as a
+    closed form. That keeps the join on the (group, token) FREQUENCY
+    relation — vocabulary-sized, never groups x vocabulary and never
+    corpus-sized.
+
+    Scale shape: one map-side-combined token count, one vocab-sized
+    join against the global counts (derived from the same relation, not
+    a rescan), one bounded aggregate per group. No iteration, no
+    cartesian. Output: (grp, n_tokens, n_terms, js rounded 6)."""
+    toks = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    gc = (df.select(F.col(group_col).alias("grp"),
+                    F.explode(toks).alias("tok"))
+            .groupBy("grp", "tok").agg(F.count("*").alias("c")))
+    gc = gc.localCheckpoint()  # shared by 3 branches below (eager; see
+    # the shared-relation lesson: lazy localCheckpoint spams accumulator
+    # errors, and without it each branch re-tokenizes the corpus)
+    glob = gc.groupBy("tok").agg(F.sum("c").alias("cq"))
+    tot_g = gc.groupBy("grp").agg(F.sum("c").alias("tg"))
+    tot = gc.agg(F.sum("c").cast("double").alias("tq"))
+    p = F.col("c") / F.col("tg")
+    q = F.col("cq") / F.col("tq")
+    m = (p + q) / F.lit(2.0)
+    contrib = (F.lit(0.5) * p * F.log(p / m)
+               + F.lit(0.5) * q * F.log(q / m))
+    per = (gc.join(glob, on="tok")
+             .join(F.broadcast(tot_g), on="grp")
+             .crossJoin(F.broadcast(tot))
+             .groupBy("grp")
+             .agg(F.sum(contrib).alias("_s"),
+                  F.sum(q).alias("_qcov"),
+                  F.first("tg").alias("tg"),
+                  F.count("*").alias("n_terms")))
+    import math
+    js = F.col("_s") + F.lit(0.5 * math.log(2.0)) * (F.lit(1.0)
+                                                     - F.col("_qcov"))
+    return per.select("grp", F.col("tg").cast("bigint").alias("n_tokens"),
+                      F.col("n_terms").cast("bigint").alias("n_terms"),
+                      F.round(js, 6).alias("js"))

@@ -482,3 +482,36 @@ def test_knn_classify_majority_and_tie(spark):
            for r in knn_classify(df, k=5).collect()}
     assert all(got[i] == 0 for i in range(6))
     assert all(got[i] == 1 for i in range(6, 12))
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from dask_grblas_spark.functions.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (40, 2)],
+                              "doc_id long, rank int")
+    got = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+    # doc 20: 1/62 + 1/61; doc 10: 1/61; doc 30: 1/63; doc 40: 1/62
+    assert got[20]["n_lists"] == 2
+    assert got[20]["rrf"] == round(1 / 62 + 1 / 61, 9)
+    assert got[10]["rrf"] == round(1 / 61, 9)
+    order = sorted(got.values(), key=lambda r: r["fused_rank"])
+    assert [r["doc_id"] for r in order] == [20, 10, 40, 30]
+
+
+def test_rrf_fuse_tie_breaks_by_id_and_partitions(spark):
+    from dask_grblas_spark.functions.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 5, 1), (1, 7, 2), (2, 7, 1)],
+                              "query_id long, doc_id long, rank int")
+    b = spark.createDataFrame([(1, 7, 1), (1, 5, 2), (2, 9, 1)],
+                              "query_id long, doc_id long, rank int")
+    got = rrf_fuse([a, b], k=60, partition_cols=["query_id"]).collect()
+    q1 = {r["doc_id"]: r for r in got if r["query_id"] == 1}
+    # symmetric ranks -> equal rrf -> doc 5 wins the tie by id
+    assert q1[5]["rrf"] == q1[7]["rrf"]
+    assert q1[5]["fused_rank"] == 1 and q1[7]["fused_rank"] == 2
+    q2 = sorted((r for r in got if r["query_id"] == 2),
+                key=lambda r: r["fused_rank"])
+    assert [r["doc_id"] for r in q2] == [7, 9]

@@ -179,3 +179,23 @@ def test_salted_join_spreads_hot_key(spark):
                               F.lit(8)).alias("s"))
                .distinct().count())
     assert n_salts > 1
+
+
+def test_negative_sampling_table_distribution(spark):
+    from dask_grblas_spark.functions.sampling import negative_sampling_table
+
+    df = spark.createDataFrame(
+        [(0, "a a a a b b c"), (1, "a b c d")],
+        "doc_id long, text string")
+    rows = {r["token"]: r
+            for r in negative_sampling_table(df, top_v=3).collect()}
+    # top-3 by (freq desc, token): a=5, b=3, c=2 (d cut)
+    assert set(rows) == {"a", "b", "c"}
+    tw = 5 ** 0.75 + 3 ** 0.75 + 2 ** 0.75
+    assert rows["a"]["freq"] == 5
+    assert rows["a"]["p"] == round(5 ** 0.75 / tw, 6)
+    assert rows["c"]["p"] == round(2 ** 0.75 / tw, 6)
+    # cumulative intervals follow the (freq desc, token) order and end at 1
+    assert rows["a"]["cum_hi"] == round(5 ** 0.75 / tw, 6)
+    assert rows["b"]["cum_hi"] == round((5 ** 0.75 + 3 ** 0.75) / tw, 6)
+    assert rows["c"]["cum_hi"] == 1.0

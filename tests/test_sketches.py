@@ -359,3 +359,30 @@ def test_zscore_outliers_hand_computed(spark):
         "k string, eid long, v double")
     got = zscore_outliers(df, "k", "v", "eid", threshold=1.5).collect()
     assert {(r.key, r.id, r.z) for r in got} == {("a", 4, 2.0)}
+
+
+def test_token_js_divergence_identical_and_disjoint(spark):
+    from dask_grblas_spark.functions import text as text_fns
+
+    # two groups with IDENTICAL distributions -> js of each vs the
+    # corpus blend is 0; a third, fully disjoint group -> large js
+    df = spark.createDataFrame(
+        [("s1", "x y"), ("s2", "x y"), ("s3", "z w")],
+        "source string, text string")
+    got = {r["grp"]: r
+           for r in text_fns.token_js_divergence(df).collect()}
+    import math
+    # s1/s2: p = (.5,.5) over {x,y}; q = (1/3,1/3) over {x,y} (+1/6 z,w)
+    # -> identical per-token shares, divergence only from the uncovered
+    # q mass: contributions where p=1/2, q=1/3
+    def js(pq_pairs, qcov):
+        s = sum(0.5 * p * math.log(p / ((p + q) / 2))
+                + 0.5 * q * math.log(q / ((p + q) / 2))
+                for p, q in pq_pairs)
+        return round(s + 0.5 * math.log(2) * (1 - qcov), 6)
+
+    assert got["s1"]["js"] == js([(0.5, 1 / 3)] * 2, 2 / 3)
+    assert got["s1"]["js"] == got["s2"]["js"]
+    assert got["s3"]["js"] == js([(0.5, 1 / 6)] * 2, 1 / 3)
+    assert got["s3"]["js"] > got["s1"]["js"]
+    assert got["s1"]["n_tokens"] == 2 and got["s1"]["n_terms"] == 2
