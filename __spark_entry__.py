@@ -782,6 +782,42 @@ def q144_negative_sampling(spark, sf_dir):
         .select("token", "freq", "p", "cum_hi")
 
 
+def q145_benford(spark, sf_dir):
+    """Benford first-digit audit of lineitem extended prices
+    (profiling.benford_digits): integer fixed-point digit extraction
+    (no float log10 at power-of-ten poles), one map-side aggregate,
+    chi-square parts over the 9-row digit relation."""
+    from dask_grblas_spark.functions import profiling
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profiling.benford_digits(li, "l_extendedprice") \
+        .select("digit", "n", "obs_p", "exp_p", "chi2_part")
+
+
+def q146_rfm(spark, sf_dir):
+    """RFM segmentation of customers from orders
+    (profiling.rfm_segments): exact NTILE quartiles via
+    histogram-offset distributed ranking — no single-task global
+    window — matching SQL NTILE bit-for-bit."""
+    from dask_grblas_spark.functions import profiling
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profiling.rfm_segments(orders) \
+        .select("key", "recency_days", "frequency", "monetary",
+                "r", "f", "m", "segment")
+
+
+def q147_cusum(spark, sf_dir):
+    """One-sided CUSUM mean-shift alarm on the daily event-count
+    series (timeseries.cusum_changepoints): the max(0, ...) recursion
+    re-expressed as prefix-sum minus running-min (P_0 = 0 included),
+    two window folds over the bounded daily relation."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.cusum_changepoints(load_events(spark, sf_dir)) \
+        .select("day", "n", "s", "flag")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2099,6 +2135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_js_divergence": q142_js_divergence,
         "q143_rrf_fusion": q143_rrf_fusion,
         "q144_negative_sampling": q144_negative_sampling,
+        "q145_benford": q145_benford,
+        "q146_rfm": q146_rfm,
+        "q147_cusum": q147_cusum,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -5091,5 +5130,85 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(w) OVER (ORDER BY freq DESC, token
                                   ROWS UNBOUNDED PRECEDING) / tw, 6) AS cum_hi
         FROM wtd CROSS JOIN tot"""
+
+    # q145: fixed-point leading digit (integer string length, no float
+    # log10), Benford expectation and chi-square parts.
+    sql["q145_benford"] = """
+        WITH c AS (
+          SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+          FROM lineitem
+        ), d AS (
+          SELECT CAST(FLOOR(c / POWER(10,
+                       LENGTH(CAST(c AS VARCHAR)) - 1)) AS INT) AS digit
+          FROM c WHERE c > 0
+        ), counts AS (
+          SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+        ), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts)
+        SELECT digit, n,
+               ROUND(n / t, 6) AS obs_p,
+               ROUND(LOG10(1.0 + 1.0 / digit), 6) AS exp_p,
+               ROUND((n - t * LOG10(1.0 + 1.0 / digit))
+                     * (n - t * LOG10(1.0 + 1.0 / digit))
+                     / (t * LOG10(1.0 + 1.0 / digit)), 6) AS chi2_part
+        FROM counts CROSS JOIN tot"""
+
+    # q146: NTILE over fully tie-broken orders; monetary rounded to 4
+    # BEFORE ordering on both sides so tile cuts cannot drift.
+    sql["q146_rfm"] = """
+        WITH per AS (
+          SELECT o_custkey AS key,
+                 MAX(o_orderdate) AS last_d,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 ROUND(SUM(o_totalprice), 4) AS monetary
+          FROM orders GROUP BY 1
+        ), anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+        base AS (
+          SELECT key,
+                 CAST(date_diff('day', last_d, a) AS BIGINT)
+                   AS recency_days,
+                 frequency, monetary
+          FROM per CROSS JOIN anchor
+        ), tiled AS (
+          SELECT key, recency_days, frequency, monetary,
+                 CAST(NTILE(4) OVER (ORDER BY recency_days ASC, key)
+                      AS INT) AS r,
+                 CAST(NTILE(4) OVER (ORDER BY frequency DESC, key)
+                      AS INT) AS f,
+                 CAST(NTILE(4) OVER (ORDER BY monetary DESC, key)
+                      AS INT) AS m
+          FROM base
+        )
+        SELECT key, recency_days, frequency, monetary, r, f, m,
+               CAST(r AS VARCHAR) || CAST(f AS VARCHAR)
+                 || CAST(m AS VARCHAR) AS segment
+        FROM tiled"""
+
+    # q147: CUSUM as prefix-sum minus running-min (with the P_0 = 0
+    # empty prefix); mean/sigma rounded to 6 before use on both sides.
+    sql["q147_cusum"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 CAST(COUNT(*) AS DOUBLE) AS x
+          FROM events GROUP BY 1
+        ), st AS (
+          SELECT ROUND(AVG(x), 6) AS mu,
+                 ROUND(STDDEV_POP(x), 6) AS sg
+          FROM daily
+        ), run AS (
+          SELECT d, x, sg,
+                 SUM(x - mu - 0.5 * sg) OVER (ORDER BY d
+                     ROWS UNBOUNDED PRECEDING) AS p
+          FROM daily CROSS JOIN st
+        ), mm AS (
+          SELECT d, x, sg, p,
+                 LEAST(MIN(p) OVER (ORDER BY d
+                       ROWS UNBOUNDED PRECEDING), 0.0) AS pm
+          FROM run
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day,
+               CAST(x AS BIGINT) AS n,
+               ROUND(p - pm, 6) AS s,
+               ROUND(p - pm, 6) > 4.0 * sg AS flag
+        FROM mm"""
 
     return sql

@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "groupwise_linreg", "histogram", "exact_quantiles",
-           "zscore_outliers", "basket_pairs", "impute"]
+           "zscore_outliers", "basket_pairs", "impute",
+           "benford_digits", "rfm_segments"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -351,3 +352,123 @@ def impute(df: DataFrame, col: str, group_col: str | None = None,
             .withColumn(out_col,
                         F.round(F.coalesce(F.col(col), F.col("_fill")), 6))
             .drop("_fill"))
+
+
+def benford_digits(df: DataFrame, value_col: str,
+                   scale: int = 100) -> DataFrame:
+    """Benford's-law audit of a positive monetary column: observed
+    first-significant-digit distribution vs the Benford expectation
+    p(d) = log10(1 + 1/d), with per-digit chi-square contributions —
+    the classic fabricated-amounts / synthetic-data smell test.
+
+    Cross-engine-exact digit extraction: the value is fixed-pointed to
+    an integer (floor(v * scale + 0.5); HALF_UP, the house convention)
+    and the leading digit read by integer division with
+    10^(decimal-digit-count - 1) — no float log10 at its power-of-ten
+    poles. One map-side-combined aggregate over the scan; the expected
+    mass and chi-square fold over the 9-row digit relation.
+    Output: (digit, n, obs_p, exp_p, chi2_part), floats rounded 6."""
+    c = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)) \
+         .cast("bigint")
+    ndig = F.length(c.cast("string"))
+    digit = F.floor(c / F.pow(F.lit(10.0), (ndig - 1).cast("double"))) \
+             .cast("int")
+    counts = (df.select(c.alias("_c"), digit.alias("digit"))
+                .where(F.col("_c") > 0)
+                .groupBy("digit").agg(F.count("*").alias("n")))
+    tot = counts.agg(F.sum("n").cast("double").alias("_t"))
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    e = F.col("_t") * exp_p
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("digit", F.col("n").cast("bigint").alias("n"),
+                    F.round(F.col("n") / F.col("_t"), 6).alias("obs_p"),
+                    F.round(exp_p, 6).alias("exp_p"),
+                    F.round((F.col("n") - e) * (F.col("n") - e) / e,
+                            6).alias("chi2_part")))
+
+
+def _exact_ntile(df: DataFrame, metric: str, ascending: bool,
+                 n_tiles: int, out_col: str, key: str = "key",
+                 nbins: int = 1024) -> DataFrame:
+    """Distributed EXACT NTILE over the total order (metric asc/desc,
+    key asc) — no single-task global window. Same trick as
+    exact_quantiles: an equi-width histogram on the metric gives each
+    bin's global rank OFFSET (nbins counts to the driver, bounded);
+    a window PARTITIONED BY BIN computes local ranks; global rank =
+    offset + local rank, and the tile falls out of NTILE's closed form
+    (n = q*t + r: first r tiles hold q+1 rows). Binning is a pure
+    execution detail — equal metrics share a bin, bins are contiguous
+    in the order, so offset + local rank reproduces the exact global
+    rank regardless of bin shape."""
+    from pyspark.sql.window import Window as W
+
+    v = F.col(metric).cast("double")
+    ordv = v if ascending else -v
+    n, lo, hi = df.agg(F.count("*"), F.min(ordv), F.max(ordv)).collect()[0]
+    if hi == lo or n <= 1:
+        bin_ = F.lit(0)
+    else:
+        raw = F.floor((ordv - F.lit(float(lo))) * F.lit(float(nbins))
+                      / F.lit(float(hi - lo)))
+        bin_ = F.least(F.greatest(raw, F.lit(0)),
+                       F.lit(nbins - 1)).cast("int")
+    tagged = df.withColumn("_b", bin_)
+    hist = dict(tagged.groupBy("_b").count().collect())
+    offsets, cum = {}, 0
+    for b in sorted(hist):
+        offsets[b] = cum
+        cum += hist[b]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = (W.partitionBy("_b")
+          .orderBy(v.asc() if ascending else v.desc(), F.col(key)))
+    rank = off[F.col("_b")] + F.row_number().over(w)
+    q, r = divmod(int(n), n_tiles)
+    if q == 0:
+        tile = rank
+    else:
+        tile = F.when(rank <= r * (q + 1),
+                      F.floor((rank - 1) / (q + 1)) + 1) \
+                .otherwise(r + F.floor((rank - r * (q + 1) - 1) / q) + 1)
+    return (tagged.withColumn(out_col, tile.cast("int"))
+                  .drop("_b"))
+
+
+def rfm_segments(orders_df: DataFrame, key_col: str = "o_custkey",
+                 date_col: str = "o_orderdate",
+                 amount_col: str = "o_totalprice",
+                 n_tiles: int = 4) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation:
+    per-key recency in days from the latest date in the table,
+    order count, and amount sum, each scored into n_tiles quantile
+    tiles (1 = best) — the standard behavioral-segmentation rollup.
+
+    Determinism: tiles follow fully tie-broken total orders (metric,
+    then key), and the monetary sum is rounded to 4 decimals BEFORE
+    ordering so a cross-engine ulp in a per-key float sum cannot flip
+    two near-equal customers' tiles. Scale shape: one groupBy over the
+    orders scan, a 1-row broadcast anchor, then three _exact_ntile
+    passes over the per-key relation — histogram-offset ranking, so no
+    metric ever funnels through a single-task global window (a raw
+    NTILE window over a billion customers is a guaranteed straggler).
+    Output: (key, recency_days, frequency, monetary, r, f, m,
+    segment); matches SQL NTILE exactly."""
+    per = (orders_df.groupBy(F.col(key_col).alias("key"))
+           .agg(F.max(F.col(date_col)).alias("_last"),
+                F.count("*").cast("bigint").alias("frequency"),
+                F.round(F.sum(F.col(amount_col).cast("double")), 4)
+                 .alias("monetary")))
+    anchor = orders_df.agg(F.max(F.col(date_col)).alias("_anchor"))
+    per = (per.crossJoin(F.broadcast(anchor))
+              .withColumn("recency_days",
+                          F.datediff(F.col("_anchor"), F.col("_last"))
+                           .cast("bigint"))
+              .drop("_anchor", "_last"))
+    per = per.localCheckpoint()  # shared by 3 rank passes + output
+    per = _exact_ntile(per, "recency_days", True, n_tiles, "r")
+    per = _exact_ntile(per, "frequency", False, n_tiles, "f")
+    per = _exact_ntile(per, "monetary", False, n_tiles, "m")
+    return (per.withColumn("segment",
+                           F.concat_ws("", F.col("r"), F.col("f"),
+                                       F.col("m")))
+               .select("key", "recency_days", "frequency", "monetary",
+                       "r", "f", "m", "segment"))

@@ -21,7 +21,8 @@ from pyspark.sql.window import Window
 
 __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
            "ewma", "gapfill", "funnel", "cohort_retention",
-           "interval_union", "scd2", "event_transitions"]
+           "interval_union", "scd2", "event_transitions",
+           "cusum_changepoints"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -420,3 +421,40 @@ def event_transitions(events_df: DataFrame, key_col: str = "user_id",
     return (counts.withColumn(
                 "p", F.round(F.col("n") / F.sum("n").over(wr), 6))
                   .select("cur", "nxt", "n", "p"))
+
+
+def cusum_changepoints(events_df: DataFrame, ts_col: str = "ts",
+                       k_sigma: float = 0.5,
+                       h_sigma: float = 4.0) -> DataFrame:
+    """One-sided CUSUM mean-shift detection over the daily event-count
+    series: S_t = max(0, S_{t-1} + (x_t - mean - k)) with slack
+    k = k_sigma * sigma, flagged where S_t > h = h_sigma * sigma — the
+    standard drift alarm for ingest-volume monitoring.
+
+    The recursion is NOT expressed as stateful iteration: with
+    y_t = x_t - mean - k and P_t = prefix-sum(y),
+    S_t = P_t - min_{0<=j<=t} P_j (P_0 = 0, the empty prefix) — two
+    window folds (running sum +
+    running min) over the DAILY relation (bounded: one row per day,
+    never event-sized). mean and sigma (population) are rounded to 6
+    decimals before use, and S to 6 before the threshold compare, so
+    both engines flag identical days. Output:
+    (day, n, s, flag) with day the date string."""
+    daily = (events_df
+             .groupBy(F.to_date(F.col(ts_col)).alias("_d"))
+             .agg(F.count("*").cast("double").alias("_x")))
+    stats = daily.agg(
+        F.round(F.avg("_x"), 6).alias("_mu"),
+        F.round(F.stddev_pop("_x"), 6).alias("_sg"))
+    y = F.col("_x") - F.col("_mu") - F.lit(float(k_sigma)) * F.col("_sg")
+    wp = Window.orderBy("_d").rowsBetween(Window.unboundedPreceding, 0)
+    run = (daily.crossJoin(F.broadcast(stats))
+                .withColumn("_p", F.sum(y).over(wp))
+                .withColumn("_pm", F.least(F.min(F.col("_p")).over(wp),
+                                           F.lit(0.0))))
+    s = F.round(F.col("_p") - F.col("_pm"), 6)
+    return run.select(
+        F.date_format("_d", "yyyy-MM-dd").alias("day"),
+        F.col("_x").cast("bigint").alias("n"),
+        s.alias("s"),
+        (s > F.lit(float(h_sigma)) * F.col("_sg")).alias("flag"))

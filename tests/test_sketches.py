@@ -386,3 +386,59 @@ def test_token_js_divergence_identical_and_disjoint(spark):
     assert got["s3"]["js"] == js([(0.5, 1 / 6)] * 2, 1 / 3)
     assert got["s3"]["js"] > got["s1"]["js"]
     assert got["s1"]["n_tokens"] == 2 and got["s1"]["n_terms"] == 2
+
+
+def test_benford_digit_extraction_and_chi2(spark):
+    from dask_grblas_spark.functions.profiling import benford_digits
+
+    df = spark.createDataFrame(
+        [(1.00,), (19.99,), (250.0,), (3.5,), (0.0,), (999.99,), (1.01,)],
+        "v double")
+    rows = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+    # cents: 100, 1999, 25000, 350, (0 dropped), 99999, 101
+    assert set(rows) == {1, 2, 3, 9}
+    assert rows[1]["n"] == 3 and rows[2]["n"] == 1 and rows[9]["n"] == 1
+    import math
+    t = 6.0
+    exp1 = math.log10(2.0)
+    assert rows[1]["obs_p"] == round(3 / t, 6)
+    assert rows[1]["exp_p"] == round(exp1, 6)
+    e = t * exp1
+    assert rows[1]["chi2_part"] == round((3 - e) ** 2 / e, 6)
+
+
+def test_exact_ntile_matches_spark_ntile(spark):
+    from pyspark.sql.window import Window as W
+
+    from dask_grblas_spark.functions.profiling import _exact_ntile
+
+    # 23 rows, duplicate metrics, both directions, n not divisible by t
+    data = [(i, float((i * 7) % 5)) for i in range(23)]
+    df = spark.createDataFrame(data, "key long, v double")
+    for asc in (True, False):
+        got = _exact_ntile(df, "v", asc, 4, "tile")
+        order = F.col("v").asc() if asc else F.col("v").desc()
+        ref = df.withColumn(
+            "ref", F.ntile(4).over(W.orderBy(order, F.col("key"))))
+        joined = got.join(ref, on=["key", "v"]).collect()
+        assert len(joined) == 23
+        assert all(r["tile"] == r["ref"] for r in joined)
+
+
+def test_rfm_segments_shape(spark):
+    import datetime
+
+    from dask_grblas_spark.functions.profiling import rfm_segments
+
+    rows = [(k, datetime.datetime(2024, 1, 1 + (k * 3) % 20),
+             100.0 * (k + 1)) for k in range(8) for _ in range(k % 3 + 1)]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double")
+    out = {r["key"]: r for r in rfm_segments(df).collect()}
+    assert len(out) == 8
+    # every tile in 1..4, segment is the concatenation
+    for r in out.values():
+        assert 1 <= r["r"] <= 4 and 1 <= r["f"] <= 4 and 1 <= r["m"] <= 4
+        assert r["segment"] == f"{r['r']}{r['f']}{r['m']}"
+    # highest spender (key 7 bought 2 orders of 800) is m-tile 1
+    assert out[7]["m"] == 1

@@ -338,3 +338,38 @@ def test_event_transitions_counts_and_probs(spark):
     assert got[("a", "b")] == (2, round(2 / 3, 6))
     assert got[("a", "a")] == (1, round(1 / 3, 6))
     assert got[("b", "a")] == (1, 1.0)
+
+
+def test_cusum_matches_recursion(spark):
+    import datetime
+
+    from dask_grblas_spark.functions.timeseries import cusum_changepoints
+
+    # flat at 4/day, then a hard burst (strong enough to clear the
+    # 4-sigma bar even though the shift inflates sigma itself) —
+    # recompute the classic recursion in python and compare day by day
+    counts = [4] * 20 + [30, 30, 30]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, datetime.datetime(2024, 3, 1 + d, 12, 0),
+                         1, "click", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r["day"]: r for r in cusum_changepoints(df).collect()}
+    import statistics
+    mu = round(statistics.fmean(counts), 6)
+    sg = round(statistics.pstdev(counts), 6)
+    s = 0.0
+    for d, c in enumerate(counts):
+        s = max(0.0, s + (c - mu - 0.5 * sg))
+        day = f"2024-03-{1 + d:02d}"
+        assert got[day]["n"] == c
+        assert abs(got[day]["s"] - round(s, 6)) < 1e-9
+        assert got[day]["flag"] == (round(s, 6) > 4.0 * sg)
+    # the burst days must alarm, the leading flat days must not
+    assert not got["2024-03-03"]["flag"]
+    assert got["2024-03-23"]["flag"]
