@@ -818,6 +818,56 @@ def q147_cusum(spark, sf_dir):
         .select("day", "n", "s", "flag")
 
 
+def q148_majority_vote(spark, sf_dir):
+    """Annotation consolidation (profiling.majority_label): three
+    deterministic md5-noise annotators over the documents (a hash
+    selects whether an annotator reports the true lang or a perturbed
+    one), majority vote with (votes desc, label) tie-break and
+    agreement rate — all md5 arithmetic, so the oracle replays every
+    annotator's vote."""
+    from dask_grblas_spark.functions import profiling
+    from dask_grblas_spark.functions.dedup import cross_hash60
+
+    docs = _doc(spark, sf_dir)
+    langs = F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "zh")])
+    ann = docs.select(
+        F.col("doc_id").alias("item"), "lang",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("a"))
+    h = cross_hash60(F.concat(F.lit("ann"), F.col("a").cast("string"),
+                              F.lit(":"),
+                              F.col("item").cast("string")))
+    noisy = F.element_at(langs, (h % 5 + 1).cast("int"))
+    ann = ann.select("item", F.col("a").alias("annotator"),
+                     F.when(h % 4 == 0, noisy).otherwise(F.col("lang"))
+                      .alias("label"))
+    return profiling.majority_label(ann) \
+        .select("item", "label", "votes", "n_ann", "agreement")
+
+
+def q149_naive_bayes(spark, sf_dir):
+    """Multinomial naive Bayes language classifier trained + applied on
+    the documents (text.naive_bayes_classify, resubstitution): Laplace
+    smoothing folded in closed form so the only join is doc-term-freqs
+    x the (class, token) count relation; argmax on 6-decimal-rounded
+    scores with label tie-break."""
+    return (text.naive_bayes_classify(_doc(spark, sf_dir))
+            .select(F.col("id").alias("doc_id"), "label", "pred",
+                    "score"))
+
+
+def q150_graph_jaccard(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction on the q124-sparsified
+    nation trade graph (algorithms.neighborhood_jaccard): common /
+    union neighbor counts for non-adjacent pairs — adamic_adar's plan
+    skeleton with degree-sum unions instead of 1/ln(deg) weights."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    e = (nn.df.where((F.col("i") * 31 + F.col("j")) % 3 == 0)
+             .select("i", "j", F.lit(1).cast("bigint").alias("v")))
+    A = Matrix.from_dataframe(e, 25, 25, dtype="INT64")
+    return alg.neighborhood_jaccard(alg.symmetrize(A)) \
+        .select("u", "v", "n_common", "jacc")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2138,6 +2188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_benford": q145_benford,
         "q146_rfm": q146_rfm,
         "q147_cusum": q147_cusum,
+        "q148_majority_vote": q148_majority_vote,
+        "q149_naive_bayes": q149_naive_bayes,
+        "q150_graph_jaccard": q150_graph_jaccard,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -5210,5 +5263,105 @@ def oracle_sql() -> dict[str, str]:
                ROUND(p - pm, 6) AS s,
                ROUND(p - pm, 6) > 4.0 * sg AS flag
         FROM mm"""
+
+    # q148: the three md5-noise annotators replayed vote by vote, then
+    # majority with (votes desc, label) tie-break.
+    sql["q148_majority_vote"] = """
+        WITH ann AS (
+          SELECT d.doc_id AS item, an.a,
+                 CAST(('0x' || substr(md5(concat('ann', an.a, ':',
+                       d.doc_id)), 1, 15)) AS BIGINT) AS h,
+                 d.lang
+          FROM documents d CROSS JOIN (VALUES (0), (1), (2)) an(a)
+        ), lab AS (
+          SELECT item,
+                 CASE WHEN h % 4 = 0
+                      THEN ['en','de','fr','es','zh'][CAST(h % 5 AS INT) + 1]
+                      ELSE lang END AS label
+          FROM ann
+        ), votes AS (
+          SELECT item, label, CAST(COUNT(*) AS BIGINT) AS votes
+          FROM lab GROUP BY 1, 2
+        ), tot AS (
+          SELECT item, CAST(SUM(votes) AS BIGINT) AS n_ann
+          FROM votes GROUP BY 1
+        )
+        SELECT item, label, votes, n_ann,
+               ROUND(votes * 1.0 / n_ann, 6) AS agreement
+        FROM (
+          SELECT v.item, v.label, v.votes, t.n_ann,
+                 row_number() OVER (PARTITION BY v.item
+                     ORDER BY v.votes DESC, v.label) AS rk
+          FROM votes v JOIN tot t USING (item)
+        ) WHERE rk = 1"""
+
+    # q149: the closed-form smoothed NB — unseen-token mass as
+    # L_d * ln(alpha/(T_c + alpha V)), seen bonus joined on the
+    # (class, token) count relation; argmax on rounded scores.
+    sql["q149_naive_bayes"] = r"""
+        WITH base AS (
+          SELECT doc_id AS id, lang AS label,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS t
+          FROM documents
+        ), docs AS (
+          SELECT id, label, len(t) AS ld FROM base
+        ), dtf AS (
+          SELECT id, tok, COUNT(*) AS tf FROM (
+            SELECT id, unnest(t) AS tok FROM base) GROUP BY 1, 2
+        ), ct AS (
+          SELECT d.label, f.tok, SUM(f.tf) AS cnt
+          FROM dtf f JOIN docs d USING (id) GROUP BY 1, 2
+        ), tc AS (
+          SELECT label, SUM(cnt) AS tcnt FROM ct GROUP BY 1
+        ), vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM ct),
+        nc AS (SELECT label, COUNT(*) AS ndc FROM docs GROUP BY 1),
+        nt AS (SELECT COUNT(*) AS nd FROM docs),
+        cls AS (
+          SELECT nc.label AS c, ln(ndc * 1.0 / nd) AS prior,
+                 ln(1.0 / (tcnt + 1.0 * v)) AS base
+          FROM nc JOIN tc USING (label) CROSS JOIN vocab CROSS JOIN nt
+        ), seen AS (
+          SELECT f.id, ct.label AS c, SUM(f.tf * ln(ct.cnt + 1.0)) AS bonus
+          FROM dtf f JOIN ct ON f.tok = ct.tok GROUP BY 1, 2
+        ), scored AS (
+          SELECT d.id, d.label, cls.c,
+                 ROUND(cls.prior + d.ld * cls.base
+                       + COALESCE(s.bonus, 0), 6) AS score
+          FROM docs d CROSS JOIN cls
+          LEFT JOIN seen s ON s.id = d.id AND s.c = cls.c
+        )
+        SELECT id AS doc_id, label, c AS pred, score FROM (
+          SELECT id, label, c, score,
+                 row_number() OVER (PARTITION BY id
+                     ORDER BY score DESC, c) AS rk
+          FROM scored) WHERE rk = 1"""
+
+    # q150: Jaccard over neighbor sets of the q124-sparsified graph;
+    # |union| = deg(u) + deg(v) - common.
+    sql["q150_graph_jaccard"] = f"""
+        WITH {NN_CTE}, samp AS (
+          SELECT i, j FROM nn WHERE (i * 31 + j) % 3 = 0
+        ), sym AS (
+          SELECT DISTINCT i, j FROM (
+            SELECT i, j FROM samp UNION ALL SELECT j AS i, i AS j FROM samp
+          ) WHERE i <> j
+        ), deg AS (
+          SELECT i AS z, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1
+        ), p AS (
+          SELECT e1.j AS u, e2.j AS v,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM sym e1
+          JOIN sym e2 ON e1.i = e2.i AND e1.j < e2.j
+          GROUP BY 1, 2
+        )
+        SELECT p.u, p.v, p.n_common,
+               ROUND(p.n_common * 1.0
+                     / (du.deg + dv.deg - p.n_common), 6) AS jacc
+        FROM p
+        JOIN deg du ON du.z = p.u
+        JOIN deg dv ON dv.z = p.v
+        WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.i = p.u
+                                              AND sym.j = p.v)"""
 
     return sql

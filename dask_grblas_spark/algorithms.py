@@ -704,3 +704,47 @@ def clustering_coefficient(A: GrMatrix) -> DataFrame:
         F.lit(2.0) * F.col("tri") / (F.col("deg") * (F.col("deg") - 1)))
     return out.select("v", F.col("deg").cast("bigint").alias("deg"),
                       "tri", F.round(coeff, 6).alias("coeff"))
+
+
+def neighborhood_jaccard(A: GrMatrix,
+                         max_degree: int | None = None) -> DataFrame:
+    """Neighborhood-Jaccard link prediction over a symmetric adjacency:
+    for every NON-adjacent pair (u, v) with at least one common
+    neighbor, J(u, v) = |N(u) n N(v)| / |N(u) u N(v)| — the set-overlap
+    companion to adamic_adar (same plan skeleton; the degree join
+    replaces the 1/ln(deg) weights).
+
+    Plan: one self-join of the edge list on the shared endpoint z,
+    a (u, v) aggregation, two broadcast-able degree joins, and an
+    anti-join against the edge set. |union| = deg(u) + deg(v) - common,
+    so no second pair generation. ``max_degree`` caps hub fan-out in
+    pair GENERATION exactly as in adamic_adar (default None = exact).
+    Output: (u, v, n_common, jacc) with u < v, jacc rounded to 6."""
+    edges = (A.df.select(F.col("i").cast("bigint").alias("z"),
+                         F.col("j").cast("bigint").alias("nbr"))
+                 .where(F.col("z") != F.col("nbr"))
+                 .distinct())
+    edges = edges.localCheckpoint()  # shared: gen, degrees, anti-join
+    deg = edges.groupBy("nbr").agg(F.count("*").alias("deg")) \
+               .withColumnRenamed("nbr", "_n")
+    gen = edges
+    if max_degree is not None:
+        zdeg = edges.groupBy("z").agg(F.count("*").alias("zd"))
+        gen = (edges.join(zdeg, on="z")
+                    .where(F.col("zd") <= max_degree).drop("zd"))
+    e1 = gen.select("z", F.col("nbr").alias("u"))
+    e2 = gen.select("z", F.col("nbr").alias("v"))
+    pairs = (e1.join(e2, on="z")
+               .where(F.col("u") < F.col("v"))
+               .groupBy("u", "v")
+               .agg(F.count("*").cast("bigint").alias("n_common")))
+    adj = edges.select(F.col("z").alias("u"), F.col("nbr").alias("v"))
+    scored = (pairs.join(adj, on=["u", "v"], how="left_anti")
+                   .join(deg.withColumnRenamed("_n", "u")
+                            .withColumnRenamed("deg", "du"), on="u")
+                   .join(deg.withColumnRenamed("_n", "v")
+                            .withColumnRenamed("deg", "dv"), on="v"))
+    union = F.col("du") + F.col("dv") - F.col("n_common")
+    return scored.select("u", "v", "n_common",
+                         F.round(F.col("n_common") / union, 6)
+                          .alias("jacc"))

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "groupwise_linreg", "histogram", "exact_quantiles",
            "zscore_outliers", "basket_pairs", "impute",
-           "benford_digits", "rfm_segments"]
+           "benford_digits", "rfm_segments", "majority_label"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -472,3 +472,32 @@ def rfm_segments(orders_df: DataFrame, key_col: str = "o_custkey",
                                        F.col("m")))
                .select("key", "recency_days", "frequency", "monetary",
                        "r", "f", "m", "segment"))
+
+
+def majority_label(ann_df: DataFrame, item_col: str = "item",
+                   annotator_col: str = "annotator",
+                   label_col: str = "label") -> DataFrame:
+    """Annotation aggregation (the label-consolidation step of any
+    human/LLM labeling pipeline): per-item majority vote with a
+    deterministic (votes desc, label asc) tie-break, vote count, and
+    agreement rate (winning votes / annotations).
+
+    Scale shape: one groupBy over the annotations scan; the winner
+    window and the per-item total both run over the (item, label) VOTE
+    relation — bounded by labels-per-item, never annotation-sized.
+    Output: (item, label, votes, n_ann, agreement rounded 6)."""
+    from pyspark.sql.window import Window as W
+
+    votes = (ann_df.groupBy(F.col(item_col).alias("item"),
+                            F.col(label_col).alias("label"))
+                   .agg(F.count("*").cast("bigint").alias("votes")))
+    wtot = W.partitionBy("item")
+    wrank = W.partitionBy("item").orderBy(F.col("votes").desc(),
+                                          F.col("label"))
+    return (votes.withColumn("n_ann",
+                             F.sum("votes").over(wtot).cast("bigint"))
+                 .withColumn("_rk", F.row_number().over(wrank))
+                 .where(F.col("_rk") == 1)
+                 .select("item", "label", "votes", "n_ann",
+                         F.round(F.col("votes") / F.col("n_ann"), 6)
+                          .alias("agreement")))

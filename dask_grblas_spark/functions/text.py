@@ -19,7 +19,8 @@ __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "length_batches", "quality_quantile_filter", "zipf_slope",
            "bpe_train", "bpe_encode", "token_cooccurrence",
            "vocab_coverage_curve", "bigram_logprob", "normalize_text",
-           "cluster_terms", "token_js_divergence"]
+           "cluster_terms", "token_js_divergence",
+           "naive_bayes_classify"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -756,3 +757,73 @@ def token_js_divergence(df: DataFrame, group_col: str = "source",
     return per.select("grp", F.col("tg").cast("bigint").alias("n_tokens"),
                       F.col("n_terms").cast("bigint").alias("n_terms"),
                       F.round(js, 6).alias("js"))
+
+
+def naive_bayes_classify(df: DataFrame, label_col: str = "lang",
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         alpha: float = 1.0) -> DataFrame:
+    """Multinomial naive Bayes trained and applied on the same corpus
+    (resubstitution): score(d, c) = ln P(c) + sum_t tf(d,t) ln P(t|c)
+    with Laplace-``alpha`` smoothing over the corpus vocabulary — the
+    classic counts-only text classifier, fully SQL-replicable.
+
+    The smoothing default ln(alpha / (T_c + alpha*V)) for tokens UNSEEN
+    in class c is folded in closed form: score(d,c) = prior_c
+    + L_d * base_c + sum over (d's tokens SEEN in c) of
+    tf * (ln(cnt(c,t) + alpha) - ln alpha). So the only join is
+    doc-term-freqs against the (class, token) COUNT relation
+    (vocabulary x classes, bounded) — never docs x vocabulary. The
+    argmax window partitions per doc over n_classes rows. Scores are
+    rounded to 6 before ranking with a label tie-break, so the oracle
+    replays the exact argmax. Output: (id, label (true), pred, score)."""
+    import math
+
+    toks = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(label_col).alias("label"),
+                     toks.alias("_t"))
+    dtf = (base.select("id", F.explode("_t").alias("t"))
+               .groupBy("id", "t").agg(F.count("*").alias("tf")))
+    dtf = dtf.localCheckpoint()  # shared: class counts + doc scoring
+    docs = base.select("id", "label", F.size("_t").alias("ld"))
+    docs = docs.localCheckpoint()
+    lab = docs.select("id", "label")
+    # class-conditional token counts (vocab x classes) and class totals
+    ct = (dtf.join(lab, on="id")
+             .groupBy("label", "t").agg(F.sum("tf").alias("cnt")))
+    ct = ct.localCheckpoint()
+    tc = ct.groupBy("label").agg(F.sum("cnt").alias("tcnt"))
+    vocab = ct.select("t").distinct().agg(F.count("*").alias("v"))
+    nc = docs.groupBy("label").agg(F.count("*").alias("ndc"))
+    ntot = docs.agg(F.count("*").alias("nd"))
+    cls = (nc.join(F.broadcast(tc), on="label")
+             .crossJoin(F.broadcast(vocab))
+             .crossJoin(F.broadcast(ntot))
+             .select(F.col("label").alias("c"),
+                     F.log(F.col("ndc") / F.col("nd")).alias("prior"),
+                     F.log(F.lit(float(alpha))
+                           / (F.col("tcnt")
+                              + F.lit(float(alpha)) * F.col("v")))
+                      .alias("base")))
+    # seen-term bonus per (doc, class)
+    seen = (dtf.join(ct.select(F.col("label").alias("c"), "t", "cnt"),
+                     on="t")
+               .groupBy("id", "c")
+               .agg(F.sum(F.col("tf")
+                          * (F.log(F.col("cnt") + F.lit(float(alpha)))
+                             - F.lit(math.log(alpha))))
+                     .alias("bonus")))
+    scored = (docs.crossJoin(F.broadcast(cls))
+                  .join(seen, on=["id", "c"], how="left")
+                  .withColumn("score",
+                              F.round(F.col("prior")
+                                      + F.col("ld") * F.col("base")
+                                      + F.coalesce(F.col("bonus"),
+                                                   F.lit(0.0)), 6)))
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(),
+                                         F.col("c"))
+    return (scored.withColumn("_rk", F.row_number().over(w))
+                  .where(F.col("_rk") == 1)
+                  .select("id", "label", F.col("c").alias("pred"),
+                          "score"))

@@ -323,3 +323,34 @@ def test_clustering_coefficient_counts_each_triangle_once(spark):
     rowsx = clustering_coefficient(A).collect()
     assert all(r.coeff == 1.0 and r.tri == 3 for r in rowsx)
     assert sum(r.tri for r in rowsx) == 12
+
+
+def test_neighborhood_jaccard_square_graph(spark):
+    """4-cycle 0-1-2-3-0: diagonals (0,2) and (1,3) share BOTH
+    neighbors -> jacc = 2 / (2 + 2 - 2) = 1.0."""
+    import dask_grblas_spark as gb
+    from dask_grblas_spark.algorithms import neighborhood_jaccard
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    rows = [e[0] for e in edges] + [e[1] for e in edges]
+    cols = [e[1] for e in edges] + [e[0] for e in edges]
+    A = gb.Matrix.from_values(rows, cols, [1] * 8, nrows=4, ncols=4)
+    got = {(r.u, r.v): (r.n_common, r.jacc)
+           for r in neighborhood_jaccard(A).collect()}
+    assert got == {(0, 2): (2, 1.0), (1, 3): (2, 1.0)}
+
+
+def test_neighborhood_jaccard_partial_overlap(spark):
+    """Path 0-1-2-3: the only scored non-edge with a common neighbor
+    besides the diagonal pairs: (0,2) share {1}: union = 1+2-1 = 2;
+    (1,3) share {2}: union = 2+1-1 = 2."""
+    import dask_grblas_spark as gb
+    from dask_grblas_spark.algorithms import neighborhood_jaccard
+
+    edges = [(0, 1), (1, 2), (2, 3)]
+    rows = [e[0] for e in edges] + [e[1] for e in edges]
+    cols = [e[1] for e in edges] + [e[0] for e in edges]
+    A = gb.Matrix.from_values(rows, cols, [1] * 6, nrows=4, ncols=4)
+    got = {(r.u, r.v): (r.n_common, r.jacc)
+           for r in neighborhood_jaccard(A).collect()}
+    assert got == {(0, 2): (1, 0.5), (1, 3): (1, 0.5)}

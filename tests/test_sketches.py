@@ -442,3 +442,35 @@ def test_rfm_segments_shape(spark):
         assert r["segment"] == f"{r['r']}{r['f']}{r['m']}"
     # highest spender (key 7 bought 2 orders of 800) is m-tile 1
     assert out[7]["m"] == 1
+
+
+def test_majority_label_tie_break_and_agreement(spark):
+    from dask_grblas_spark.functions.profiling import majority_label
+
+    ann = spark.createDataFrame(
+        [(1, 0, "en"), (1, 1, "en"), (1, 2, "de"),
+         (2, 0, "fr"), (2, 1, "de"), (2, 2, "es"), (2, 3, "de"),
+         (3, 0, "zh"), (3, 1, "en")],  # tie -> 'en' wins lexicographically
+        "item long, annotator int, label string")
+    got = {r["item"]: r for r in majority_label(ann).collect()}
+    assert got[1]["label"] == "en" and got[1]["votes"] == 2
+    assert got[1]["n_ann"] == 3 and got[1]["agreement"] == round(2 / 3, 6)
+    assert got[2]["label"] == "de" and got[2]["votes"] == 2
+    assert got[3]["label"] == "en" and got[3]["votes"] == 1
+
+
+def test_naive_bayes_separates_vocabularies(spark):
+    import math
+
+    from dask_grblas_spark.functions.text import naive_bayes_classify
+
+    df = spark.createDataFrame(
+        [(0, "en", "cat cat dog"), (1, "en", "cat dog dog"),
+         (2, "de", "katze katze hund"), (3, "de", "hund hund katze")],
+        "doc_id long, lang string, text string")
+    got = {r["id"]: r for r in naive_bayes_classify(df).collect()}
+    assert all(got[i]["pred"] == got[i]["label"] for i in got)
+    # hand-check doc 0's winning score: priors ln(1/2); V=4; T_en=6
+    # P(cat|en)=(3+1)/(6+4), P(dog|en)=(3+1)/(6+4)
+    s = math.log(0.5) + 2 * math.log(4 / 10) + 1 * math.log(4 / 10)
+    assert abs(got[0]["score"] - round(s, 6)) < 1e-9
