@@ -868,6 +868,64 @@ def q150_graph_jaccard(spark, sf_dir):
         .select("u", "v", "n_common", "jacc")
 
 
+def q151_schema_evolution(spark, sf_dir):
+    """Schema-evolution round-trip (io.write_snapshot/read_evolving):
+    two parquet snapshots with different (widening) schemas —
+    lineitem line 1 without l_discount, line 2 with it — read back
+    unified via mergeSchema; older rows surface NULL for the new
+    column. Aggregated by null-ness so the oracle replays from the
+    views."""
+    import os
+
+    from dask_grblas_spark.sources import io as gio
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = f"/tmp/dgs_evolve_{os.path.basename(sf_dir.rstrip('/'))}"
+    gio.write_snapshot(
+        li.where(F.col("l_linenumber") == 1)
+          .select("l_orderkey", "l_quantity"), base, "snap1")
+    gio.write_snapshot(
+        li.where(F.col("l_linenumber") == 2)
+          .select("l_orderkey", "l_quantity", "l_discount"),
+        base, "snap2")
+    u = gio.read_evolving(spark, base)
+    return (u.groupBy(F.col("l_discount").isNotNull()
+                       .alias("has_discount"))
+             .agg(F.count("*").cast("bigint").alias("n"),
+                  F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                  F.round(F.coalesce(F.sum("l_discount"), F.lit(0.0)),
+                          4).alias("sum_disc")))
+
+
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 2.0, "src2": 1.0, "src5": 4.0}
+_MIX_BUDGET = 1_000_000
+
+
+def q152_mixture_accounting(spark, sf_dir):
+    """Training-mixture token accounting
+    (sampling.mixture_token_accounting): per-source available tokens
+    vs the share of a 1M-token budget implied by literal mixture
+    weights; epochs = needed / available (the repeat-factor planning
+    table). Unweighted sources report share 0."""
+    from dask_grblas_spark.functions import sampling
+
+    return (sampling.mixture_token_accounting(
+                _doc(spark, sf_dir), _MIX_WEIGHTS, _MIX_BUDGET)
+            .select("source", "available", "target_share", "needed",
+                    "epochs"))
+
+
+def q153_rolling_corr(spark, sf_dir):
+    """Trailing 7-day rolling Pearson correlation between view and
+    click daily value sums (timeseries.rolling_correlation): closed-
+    form window moments over the bounded daily relation; NULL where
+    the window is short or degenerate."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.rolling_correlation(load_events(spark, sf_dir)) \
+        .select("day", "a", "b", "n_days", "corr")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2191,6 +2249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_majority_vote": q148_majority_vote,
         "q149_naive_bayes": q149_naive_bayes,
         "q150_graph_jaccard": q150_graph_jaccard,
+        "q151_schema_evolution": q151_schema_evolution,
+        "q152_mixture_accounting": q152_mixture_accounting,
+        "q153_rolling_corr": q153_rolling_corr,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -5363,5 +5424,73 @@ def oracle_sql() -> dict[str, str]:
         JOIN deg dv ON dv.z = p.v
         WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.i = p.u
                                               AND sym.j = p.v)"""
+
+    # q151: the two snapshots replayed as a UNION with NULL padding —
+    # exactly what a mergeSchema read surfaces.
+    sql["q151_schema_evolution"] = """
+        WITH u AS (
+          SELECT l_orderkey, l_quantity, CAST(NULL AS DOUBLE) AS l_discount
+          FROM lineitem WHERE l_linenumber = 1
+          UNION ALL
+          SELECT l_orderkey, l_quantity, l_discount
+          FROM lineitem WHERE l_linenumber = 2
+        )
+        SELECT (l_discount IS NOT NULL) AS has_discount,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(COALESCE(SUM(l_discount), 0), 4) AS sum_disc
+        FROM u GROUP BY 1"""
+
+    # q152: literal normalized weights (3:2:1:4 over src0/1/2/5),
+    # 1M-token budget; epochs NULL only if a source had no tokens.
+    sql["q152_mixture_accounting"] = r"""
+        WITH avail AS (
+          SELECT source,
+                 CAST(SUM(len(list_filter(
+                      regexp_split_to_array(trim(text), '\s+'),
+                      x -> length(x) > 0))) AS BIGINT) AS available
+          FROM documents GROUP BY 1
+        ), w(source, share) AS (
+          VALUES ('src0', 0.3), ('src1', 0.2), ('src2', 0.1),
+                 ('src5', 0.4)
+        )
+        SELECT a.source, a.available,
+               ROUND(COALESCE(w.share, 0), 6) AS target_share,
+               ROUND(COALESCE(w.share, 0) * 1000000, 2) AS needed,
+               CASE WHEN a.available > 0
+                    THEN ROUND(COALESCE(w.share, 0) * 1000000
+                               / a.available, 6) END AS epochs
+        FROM avail a LEFT JOIN w USING (source)"""
+
+    # q153: daily pivot (SUM FILTER, NULL -> 0 like the pivot) then
+    # closed-form Pearson over a 7-row trailing frame.
+    sql["q153_rolling_corr"] = """
+        WITH d AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 COALESCE(ROUND(SUM(value)
+                     FILTER (WHERE event_type = 'view'), 6), 0) AS a,
+                 COALESCE(ROUND(SUM(value)
+                     FILTER (WHERE event_type = 'click'), 6), 0) AS b
+          FROM events WHERE event_type IN ('view', 'click')
+          GROUP BY 1
+        ), m AS (
+          SELECT d, a, b,
+                 CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+                 SUM(a) OVER w AS sa, SUM(b) OVER w AS sb,
+                 SUM(a * a) OVER w AS saa, SUM(b * b) OVER w AS sbb,
+                 SUM(a * b) OVER w AS sab
+          FROM d
+          WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING
+                       AND CURRENT ROW)
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day, a, b,
+               CAST(n AS BIGINT) AS n_days,
+               CASE WHEN n >= 2 AND n * saa - sa * sa > 0
+                         AND n * sbb - sb * sb > 0
+                    THEN ROUND((n * sab - sa * sb)
+                               / SQRT((n * saa - sa * sa)
+                                      * (n * sbb - sb * sb)), 6)
+               END AS corr
+        FROM m"""
 
     return sql

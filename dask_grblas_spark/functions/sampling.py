@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["split_key", "split_column", "deterministic_sample",
            "hex_threshold", "mixture_sample", "group_sample",
-           "weighted_sample", "negative_sampling_table"]
+           "weighted_sample", "negative_sampling_table",
+           "mixture_token_accounting"]
 
 _PREFIX_LEN = 4  # 16^4 = 65536 buckets
 
@@ -211,3 +212,42 @@ def negative_sampling_table(df: DataFrame, text_col: str = "text",
                                 / F.col("_tw"), 6))
             .select("token", F.col("freq").cast("bigint").alias("freq"),
                     "p", "cum_hi"))
+
+
+def mixture_token_accounting(df: DataFrame, weights: dict[str, float],
+                             budget_tokens: int,
+                             source_col: str = "source",
+                             text_col: str = "text") -> DataFrame:
+    """Training-mixture token accounting: given target mixture weights
+    per source and a total token budget, compute each source's
+    available tokens, its needed tokens (budget x normalized weight),
+    and the implied epoch count (needed / available) — the planning
+    table behind any multi-corpus sampling schedule (sources with
+    epochs > 1 repeat; >> 1 risks memorization).
+
+    One map-side-combined aggregate over the corpus scan; weights are
+    a broadcast literal relation. Sources in the data but absent from
+    ``weights`` get weight 0 (reported, never sampled). Output:
+    (source, available, target_share, needed, epochs), floats rounded
+    6; epochs NULL when a weighted source has no tokens."""
+    from .text import tokens
+
+    toks = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    avail = (df.select(F.col(source_col).alias("source"),
+                       F.size(toks).alias("_n"))
+               .groupBy("source")
+               .agg(F.sum("_n").cast("bigint").alias("available")))
+    spark = df.sparkSession
+    tot_w = sum(weights.values())
+    wdf = spark.createDataFrame(
+        [(k, float(v) / tot_w) for k, v in sorted(weights.items())],
+        "source string, target_share double")
+    j = avail.join(F.broadcast(wdf), on="source", how="left")
+    share = F.coalesce(F.col("target_share"), F.lit(0.0))
+    needed = share * F.lit(float(budget_tokens))
+    epochs = F.when(F.col("available") > 0,
+                    F.round(needed / F.col("available"), 6))
+    return j.select("source", "available",
+                    F.round(share, 6).alias("target_share"),
+                    F.round(needed, 2).alias("needed"),
+                    epochs.alias("epochs"))

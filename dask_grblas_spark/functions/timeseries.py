@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
            "ewma", "gapfill", "funnel", "cohort_retention",
            "interval_union", "scd2", "event_transitions",
-           "cusum_changepoints"]
+           "cusum_changepoints", "rolling_correlation"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -458,3 +458,43 @@ def cusum_changepoints(events_df: DataFrame, ts_col: str = "ts",
         F.col("_x").cast("bigint").alias("n"),
         s.alias("s"),
         (s > F.lit(float(h_sigma)) * F.col("_sg")).alias("flag"))
+
+
+def rolling_correlation(events_df: DataFrame, type_a: str = "view",
+                        type_b: str = "click", ts_col: str = "ts",
+                        type_col: str = "event_type",
+                        val_col: str = "value",
+                        window_days: int = 7) -> DataFrame:
+    """Rolling Pearson correlation between two event types' DAILY value
+    sums over a trailing ``window_days``-row window — the co-movement
+    monitor (do clicks track views this week like last week?).
+
+    The daily series is one groupBy over the scan (bounded: one row
+    per day x 2 types, pivoted to columns with zero fill); the rolling
+    moments are closed-form window sums over that daily relation, so
+    cross-engine replay is exact ulp-for-ulp up to the final 6-decimal
+    round. Windows shorter than 2 days or with zero variance on either
+    side yield NULL (engines disagree on x/0). Output:
+    (day, a, b, n_days, corr)."""
+    d = (events_df
+         .where(F.col(type_col).isin([type_a, type_b]))
+         .groupBy(F.to_date(F.col(ts_col)).alias("_d"))
+         .pivot(type_col, [type_a, type_b])
+         .agg(F.round(F.sum(F.col(val_col).cast("double")), 6))
+         .select(F.col("_d"),
+                 F.coalesce(F.col(type_a), F.lit(0.0)).alias("a"),
+                 F.coalesce(F.col(type_b), F.lit(0.0)).alias("b")))
+    w = (Window.orderBy("_d")
+               .rowsBetween(-(window_days - 1), 0))
+    n = F.count("*").over(w).cast("double")
+    sa, sb = F.sum("a").over(w), F.sum("b").over(w)
+    saa = F.sum(F.col("a") * F.col("a")).over(w)
+    sbb = F.sum(F.col("b") * F.col("b")).over(w)
+    sab = F.sum(F.col("a") * F.col("b")).over(w)
+    va = n * saa - sa * sa
+    vb = n * sbb - sb * sb
+    corr = F.when((n >= 2) & (va > 0) & (vb > 0),
+                  F.round((n * sab - sa * sb) / F.sqrt(va * vb), 6))
+    return (d.select(F.date_format("_d", "yyyy-MM-dd").alias("day"),
+                     "a", "b", n.cast("bigint").alias("n_days"),
+                     corr.alias("corr")))

@@ -25,7 +25,8 @@ __all__ = ["matrix_from_parquet", "matrix_to_parquet", "vector_from_parquet",
            "zorder_key", "write_zordered",
            "table_to_csv", "table_from_csv",
            "write_keyed", "read_keyed", "upsert_keyed", "recover_upsert",
-           "snapshot_diff", "refresh_keyed_agg"]
+           "snapshot_diff", "refresh_keyed_agg",
+           "write_snapshot", "read_evolving"]
 
 
 def table_to_partitioned(df, path: str, partition_cols: list[str] | str,
@@ -769,3 +770,23 @@ def refresh_keyed_agg(path: str, batch_df, key: str,
                        + F.coalesce(F.col("_ds"), F.lit(0.0)))
                       .alias("sum_v")))
     return upsert_keyed(path, merged, key)
+
+
+def write_snapshot(df, base_path: str, snapshot: str) -> None:
+    """Write one schema-evolution snapshot under ``base_path/snapshot``.
+    Snapshots may carry DIFFERENT (widening) schemas; read them back
+    unified with :func:`read_evolving`."""
+    df.write.mode("overwrite").parquet(f"{base_path}/{snapshot}")
+
+
+def read_evolving(spark, base_path: str):
+    """Schema-evolution read: mergeSchema-union every snapshot under
+    ``base_path`` into one DataFrame — columns absent from older
+    snapshots come back NULL (parquet's per-file schema + Spark's
+    mergeSchema, the lake-table widening pattern; at 100 TB prefer
+    turning mergeSchema OFF after compacting to the final schema, since
+    footer merging costs a driver-side listing pass).
+
+    Returns the unified DataFrame (no ordering guarantees)."""
+    return (spark.read.option("mergeSchema", "true")
+            .parquet(base_path + "/*"))

@@ -943,3 +943,19 @@ def test_refresh_keyed_agg_equals_full_recompute(spark, tmp_path):
     got2 = {r.user_id: (r.n, r.sum_v)
             for r in gio.read_keyed(path).collect()}
     assert got2 == want
+
+
+def test_schema_evolution_roundtrip(spark, tmp_path):
+    from dask_grblas_spark.sources import io as gio
+
+    base = str(tmp_path / "evolve")
+    s1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    s2 = spark.createDataFrame([(3, 30.0, "x")],
+                               "k long, v double, tag string")
+    gio.write_snapshot(s1, base, "snap1")
+    gio.write_snapshot(s2, base, "snap2")
+    got = gio.read_evolving(spark, base)
+    assert set(got.columns) == {"k", "v", "tag"}
+    rows = {r["k"]: r for r in got.collect()}
+    assert len(rows) == 3
+    assert rows[1]["tag"] is None and rows[3]["tag"] == "x"

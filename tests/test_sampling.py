@@ -199,3 +199,24 @@ def test_negative_sampling_table_distribution(spark):
     assert rows["a"]["cum_hi"] == round(5 ** 0.75 / tw, 6)
     assert rows["b"]["cum_hi"] == round((5 ** 0.75 + 3 ** 0.75) / tw, 6)
     assert rows["c"]["cum_hi"] == 1.0
+
+
+def test_mixture_token_accounting(spark):
+    from dask_grblas_spark.functions.sampling import (
+        mixture_token_accounting)
+
+    df = spark.createDataFrame(
+        [(0, "a", "x x x x"), (1, "a", "x x"), (2, "b", "y y y"),
+         (3, "c", "z")],
+        "doc_id long, source string, text string")
+    got = {r["source"]: r
+           for r in mixture_token_accounting(
+               df, {"a": 1.0, "b": 3.0}, 1200).collect()}
+    # shares: a=0.25, b=0.75, c absent -> 0
+    assert got["a"]["available"] == 6
+    assert got["a"]["target_share"] == 0.25
+    assert got["a"]["needed"] == 300.0
+    assert got["a"]["epochs"] == 50.0
+    assert got["b"]["available"] == 3
+    assert got["b"]["epochs"] == 300.0
+    assert got["c"]["target_share"] == 0.0 and got["c"]["epochs"] == 0.0

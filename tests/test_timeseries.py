@@ -373,3 +373,46 @@ def test_cusum_matches_recursion(spark):
     # the burst days must alarm, the leading flat days must not
     assert not got["2024-03-03"]["flag"]
     assert got["2024-03-23"]["flag"]
+
+
+def test_rolling_correlation_perfect_and_inverse(spark):
+    import datetime
+
+    from dask_grblas_spark.functions.timeseries import rolling_correlation
+
+    # 8 days: clicks = 2*views (perfect corr 1.0) then inverse tail
+    rows = []
+    eid = 0
+    vals = [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0),
+            (5.0, 10.0), (6.0, 12.0), (7.0, 14.0), (8.0, 16.0)]
+    for d, (v, c) in enumerate(vals):
+        rows.append((eid, datetime.datetime(2024, 5, 1 + d), 1,
+                     "view", v, "{}")); eid += 1
+        rows.append((eid, datetime.datetime(2024, 5, 1 + d), 1,
+                     "click", c, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r["day"]: r for r in rolling_correlation(df).collect()}
+    assert got["2024-05-01"]["corr"] is None  # single-day window
+    assert got["2024-05-04"]["corr"] == 1.0
+    assert got["2024-05-08"]["n_days"] == 7
+    assert got["2024-05-08"]["corr"] == 1.0
+
+
+def test_rolling_correlation_zero_variance_is_null(spark):
+    import datetime
+
+    from dask_grblas_spark.functions.timeseries import rolling_correlation
+
+    rows = []
+    for d in range(4):
+        rows.append((d * 2, datetime.datetime(2024, 5, 1 + d), 1,
+                     "view", 5.0, "{}"))       # constant
+        rows.append((d * 2 + 1, datetime.datetime(2024, 5, 1 + d), 1,
+                     "click", float(d), "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    assert all(r["corr"] is None
+               for r in rolling_correlation(df).collect())

@@ -718,6 +718,113 @@ def main() -> int:
     probe("knn_classify", 20_000 if not QUICK else 2_000,
           lambda: similarity.knn_classify(vecs_knn, k=5))
 
+    # ---- round-6 session-3 ops ----------------------------------------
+    from dask_grblas_spark.functions import retrieval as retr
+    from dask_grblas_spark.functions.profiling import (benford_digits,
+                                                       majority_label,
+                                                       rfm_segments)
+
+    # JS divergence over the 100k-doc corpus split into 20 sources
+    docs_src = docs.withColumn(
+        "source",
+        F.pmod(F.xxhash64("doc_id", F.lit(31)), F.lit(20)).cast("string"))
+    probe("token_js_divergence", ndocs,
+          lambda: text_fns.token_js_divergence(docs_src))
+
+    # negative-sampling table: top-50k vocabulary over the same corpus
+    probe("negative_sampling", ndocs,
+          lambda: sampling.negative_sampling_table(docs, top_v=50_000))
+
+    # naive Bayes trained + applied over the 100k docs, 5 classes
+    docs_nb = docs.withColumn(
+        "lang",
+        F.element_at(
+            F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "zh")]),
+            (F.pmod(F.xxhash64("doc_id", F.lit(32)), F.lit(5)) + 1)
+            .cast("int")))
+    probe("naive_bayes", ndocs,
+          lambda: text_fns.naive_bayes_classify(docs_nb))
+
+    # RRF fusion: 100k queries x two 20-deep ranked lists (4M rows)
+    NRRF = 100_000 if not QUICK else 10_000
+
+    def _rank_list(seed):
+        return spark.range(NRRF * 20).select(
+            (F.col("id") / 20).cast("long").alias("query_id"),
+            F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(1_000_000))
+             .alias("doc_id"),
+            (F.pmod(F.col("id"), F.lit(20)) + 1).cast("int").alias("rank"))
+
+    probe("rrf_fuse", NRRF * 40,
+          lambda: retr.rrf_fuse([_rank_list(40), _rank_list(41)],
+                                partition_cols=["query_id"]))
+
+    # Benford first-digit audit over 10M synthetic prices
+    benf = spark.range(NSC).select(
+        ((F.pmod(F.xxhash64("id", F.lit(42)), F.lit(999_900)) + 100)
+         / 100.0).alias("v"))
+    probe("benford", NSC, lambda: benford_digits(benf, "v"))
+
+    # RFM over 10M orders / 1M customers — three exact-NTILE passes,
+    # histogram-offset ranking instead of a single-task global window
+    orders_syn = spark.range(NSC).select(
+        F.pmod(F.xxhash64("id", F.lit(43)), F.lit(1_000_000))
+         .alias("o_custkey"),
+        F.timestamp_seconds(
+            F.lit(1_600_000_000)
+            + F.pmod(F.xxhash64("id", F.lit(44)), F.lit(730 * 86400)))
+         .alias("o_orderdate"),
+        ((F.pmod(F.xxhash64("id", F.lit(45)), F.lit(100_000)) + 100)
+         / 100.0).alias("o_totalprice"))
+    probe("rfm_segments", NSC, lambda: rfm_segments(orders_syn))
+
+    # CUSUM drift alarm over the 10M-event table (daily relation)
+    probe("cusum_changepoints", NEV,
+          lambda: timeseries.cusum_changepoints(ev))
+
+    # majority vote over 30M annotations / 10M items
+    ann_syn = spark.range(NSC * 3).select(
+        (F.col("id") / 3).cast("long").alias("item"),
+        F.pmod(F.col("id"), F.lit(3)).alias("annotator"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.pmod(F.xxhash64("id", F.lit(46)), F.lit(3)) + 1)
+            .cast("int")).alias("label"))
+    probe("majority_label", NSC * 3, lambda: majority_label(ann_syn))
+
+    # neighborhood Jaccard on the 2M-edge graph (adamic_adar's input)
+    probe("neighborhood_jaccard", E2,
+          lambda: alg.neighborhood_jaccard(A_aa, max_degree=50))
+
+    # mixture token accounting over the 100k-doc corpus (20 sources)
+    probe("mixture_accounting", ndocs,
+          lambda: sampling.mixture_token_accounting(
+              docs_src.withColumnRenamed("source", "src")
+                      .withColumnRenamed("src", "source"),
+              {str(i): 1.0 for i in range(10)}, 10_000_000_000))
+
+    # rolling 7-day correlation over the 10M-event table
+    probe("rolling_correlation", NEV,
+          lambda: timeseries.rolling_correlation(ev))
+
+    # schema-evolution write + mergeSchema read over 10M rows
+    def _evolve_probe():
+        from dask_grblas_spark.sources import io as gio
+        base = "/tmp/dgs_probe_evolve"
+        s1 = spark.range(NSC // 2).select(F.col("id").alias("k"),
+                                          (F.col("id") % 97)
+                                          .cast("double").alias("v"))
+        s2 = spark.range(NSC // 2, NSC).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).cast("double").alias("v"),
+            (F.col("id") % 7).cast("int").alias("extra"))
+        gio.write_snapshot(s1, base, "snap1")
+        gio.write_snapshot(s2, base, "snap2")
+        return gio.read_evolving(spark, base).groupBy(
+            F.col("extra").isNotNull().alias("has_extra")).count()
+
+    probe("schema_evolution_rw", NSC, _evolve_probe)
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
