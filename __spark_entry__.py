@@ -926,6 +926,57 @@ def q153_rolling_corr(spark, sf_dir):
         .select("day", "a", "b", "n_days", "corr")
 
 
+def q154_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from seed nations {0,1,2}
+    (algorithms.personalized_pagerank): restart AND dangling mass both
+    teleport to the seed set; FIXED 8 iterations so the unrolled-CTE
+    oracle replays the exact trajectory (q37's discipline)."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    return alg.personalized_pagerank(alg.symmetrize(nn), [0, 1, 2],
+                                     max_iters=8) \
+        .select("i", "ppr")
+
+
+def q155_containment(spark, sf_dir):
+    """One-sided n-gram containment |A n B| / |A| >= 0.3
+    (dedup.containment_pairs): the partial-duplication detector plain
+    Jaccard under-scores. Inverted-index candidates with the q31
+    stop-shingle cap; both directions verified from the per-doc hash
+    sets."""
+    return dedup.containment_pairs(_doc(spark, sf_dir), threshold=0.3) \
+        .select("id_sub", "id_super", "containment")
+
+
+def q156_golden_record(spark, sf_dir):
+    """Survivorship selection (dedup.golden_record): one representative
+    document per lang cluster — max n_chars, lowest doc_id tie-break —
+    as a single struct-max aggregate (no per-cluster sort/window)."""
+    return dedup.golden_record(_doc(spark, sf_dir), cluster_col="lang") \
+        .select("cluster", "id", "prefer", "cluster_size")
+
+
+def q157_event_paths(spark, sf_dir):
+    """Top-20 3-step event-type paths across per-user streams
+    (timeseries.event_paths): one key-sort window with two leads, a
+    bounded path-vocabulary count, distributed TakeOrdered."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.event_paths(load_events(spark, sf_dir)) \
+        .select("path", "n", "rank")
+
+
+def q158_sax(spark, sf_dir):
+    """SAX symbolization of per-user daily value series
+    (timeseries.sax_symbols): z-normalized 4-segment PAA mapped to a
+    4-letter alphabet via standard-normal quartile breakpoints — every
+    stage on the bounded (key, day) relation, z rounded before the
+    breakpoint compare on both engines."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.sax_symbols(load_events(spark, sf_dir)) \
+        .select("key", "n_days", "sax")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2252,6 +2303,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_schema_evolution": q151_schema_evolution,
         "q152_mixture_accounting": q152_mixture_accounting,
         "q153_rolling_corr": q153_rolling_corr,
+        "q154_personalized_pagerank": q154_personalized_pagerank,
+        "q155_containment": q155_containment,
+        "q156_golden_record": q156_golden_record,
+        "q157_event_paths": q157_event_paths,
+        "q158_sax": q158_sax,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -5492,5 +5548,139 @@ def oracle_sql() -> dict[str, str]:
                                       * (n * sbb - sb * sb)), 6)
                END AS corr
         FROM m"""
+
+    # q154: q37's unrolled power iteration with the restart AND the
+    # dangling mass redirected to the seed vector s = e_{0,1,2}/3.
+    # (1.0 - 0.85) is written as the expression, not 0.15 — Python and
+    # SQL both evaluate it to the same IEEE double.
+    ppr_steps = []
+    for t in range(8):
+        ppr_steps.append(f"""
+        r{t + 1} AS MATERIALIZED (
+          SELECT n.i,
+                 (1.0 - 0.85) * sv.s + 0.85 * (COALESCE(c.s, 0.0) +
+                    (SELECT COALESCE(SUM(r.r), 0.0) FROM r{t} r
+                     WHERE r.i NOT IN (SELECT i FROM outdeg)) * sv.s) AS r
+          FROM nodes n
+          JOIN sv ON sv.i = n.i
+          LEFT JOIN (SELECT e.j AS i, SUM((1.0 / od.d) * r.r) AS s
+                     FROM edges e JOIN r{t} r ON r.i = e.i
+                     JOIN outdeg od ON od.i = e.i
+                     GROUP BY 1) c ON c.i = n.i
+        )""")
+    sql["q154_personalized_pagerank"] = f"""
+        WITH {NN_SYM_CTE},
+        edges AS MATERIALIZED (SELECT i, j FROM nn_sym),
+        outdeg AS MATERIALIZED (SELECT i, CAST(COUNT(*) AS BIGINT) AS d
+                   FROM edges GROUP BY 1),
+        nodes AS MATERIALIZED (SELECT CAST(unnest(range(25)) AS BIGINT) AS i),
+        sv AS MATERIALIZED (
+          SELECT i, CASE WHEN i IN (0, 1, 2) THEN 1.0 / 3
+                         ELSE 0.0 END AS s FROM nodes),
+        r0 AS MATERIALIZED (SELECT i, s AS r FROM sv),
+        {','.join(ppr_steps)}
+        SELECT i, ROUND(r, 6) AS ppr FROM r8
+    """
+
+    # q155: exact all-pairs 3-gram containment, both directions.
+    sql["q155_containment"] = r"""
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(
+                   list_transform(
+                     range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                     p -> array_to_string(
+                       regexp_split_to_array(trim(text), '\s+')[p+1:p+3], ' '))))
+                 AS shingle
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+        ), sizes AS (
+          SELECT id, COUNT(*) AS sz FROM sh GROUP BY 1
+        ), inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2
+        ), both_dir AS (
+          SELECT id_a AS id_sub, id_b AS id_super,
+                 ROUND(n * 1.0 / sa.sz, 6) AS containment
+          FROM inter JOIN sizes sa ON sa.id = id_a
+          UNION ALL
+          SELECT id_b AS id_sub, id_a AS id_super,
+                 ROUND(n * 1.0 / sb.sz, 6) AS containment
+          FROM inter JOIN sizes sb ON sb.id = id_b
+        )
+        SELECT id_sub, id_super, containment
+        FROM both_dir WHERE containment >= 0.3"""
+
+    # q156: survivorship = rank per cluster by (n_chars desc, id asc).
+    sql["q156_golden_record"] = """
+        SELECT lang AS cluster, CAST(doc_id AS BIGINT) AS id,
+               CAST(n_chars AS DOUBLE) AS prefer,
+               CAST(cs AS BIGINT) AS cluster_size
+        FROM (
+          SELECT lang, doc_id, n_chars,
+                 COUNT(*) OVER (PARTITION BY lang) AS cs,
+                 row_number() OVER (PARTITION BY lang
+                     ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents
+        ) WHERE rk = 1"""
+
+    # q157: 3-step paths via two leads over the per-user order.
+    sql["q157_event_paths"] = """
+        WITH p AS (
+          SELECT event_type AS e0,
+                 lead(event_type, 1) OVER w AS e1,
+                 lead(event_type, 2) OVER w AS e2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), c AS (
+          SELECT e0 || '>' || e1 || '>' || e2 AS path,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM p WHERE e2 IS NOT NULL GROUP BY 1
+        )
+        SELECT path, n, CAST(rk AS INT) AS rank
+        FROM (SELECT path, n,
+                     row_number() OVER (ORDER BY n DESC, path) AS rk
+              FROM c)
+        WHERE rk <= 20"""
+
+    # q158: SAX — daily rollup, per-key moments (rounded), 4-segment
+    # PAA, z rounded before the breakpoint compare, letters
+    # concatenated in segment order.
+    sql["q158_sax"] = """
+        WITH daily AS (
+          SELECT user_id AS key, CAST(ts AS DATE) AS d,
+                 ROUND(SUM(value), 6) AS x
+          FROM events GROUP BY 1, 2
+        ), mom AS (
+          SELECT key, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 ROUND(AVG(x), 6) AS mu,
+                 ROUND(STDDEV_POP(x), 6) AS sg
+          FROM daily GROUP BY 1
+        ), rn AS (
+          SELECT key, x,
+                 row_number() OVER (PARTITION BY key ORDER BY d) AS rn
+          FROM daily
+        ), seg AS (
+          SELECT r.key,
+                 CAST(FLOOR((r.rn - 1) * 4 / m.n_days) AS INT) AS seg,
+                 ROUND(AVG(r.x), 6) AS paa,
+                 MAX(m.mu) AS mu, MAX(m.sg) AS sg,
+                 MAX(m.n_days) AS n_days
+          FROM rn r JOIN mom m USING (key)
+          GROUP BY 1, 2
+        ), lets AS (
+          SELECT key, seg, n_days,
+                 CASE WHEN z <= -0.6745 THEN 'a'
+                      WHEN z <= 0.0 THEN 'b'
+                      WHEN z <= 0.6745 THEN 'c'
+                      ELSE 'd' END AS l
+          FROM (SELECT *, CASE WHEN sg > 0
+                               THEN ROUND((paa - mu) / sg, 6)
+                               ELSE 0.0 END AS z
+                FROM seg)
+        )
+        SELECT key, n_days, string_agg(l, '' ORDER BY seg) AS sax
+        FROM lets GROUP BY 1, 2"""
 
     return sql

@@ -748,3 +748,60 @@ def neighborhood_jaccard(A: GrMatrix,
     return scored.select("u", "v", "n_common",
                          F.round(F.col("n_common") / union, 6)
                           .alias("jacc"))
+
+
+def personalized_pagerank(A: GrMatrix, seeds: list[int],
+                          damping: float = 0.85,
+                          max_iters: int = 10) -> DataFrame:
+    """Personalized PageRank: power iteration whose restart AND
+    dangling mass both return to the seed set — the random walker
+    teleports to a uniform distribution over ``seeds`` instead of over
+    all nodes. r_{t+1} = (1-d) s + d (P^T r_t + dang_t s) with
+    s = e_S / |S|; r_0 = s. Fixed iterations, no early exit, so the
+    trajectory is deterministic and an unrolled-CTE oracle replays it.
+
+    Plan shape: identical to pagerank (one join+agg per step against
+    the degree-normalized transition relation, partitioned ONCE by
+    source; the dangling scalar stays a 1-row broadcast inside the
+    plan; checkpoint per step). The seed vector is a literal isin over
+    the node relation — no extra join. Output: (i, ppr) rounded 6,
+    seeds-reachable nodes only may be nonzero."""
+    spark = get_session()
+    n = A.nrows
+    adj, own_adj = _ensure_cached(A.df)
+    nvals = adj.count()
+    k = _adjacency_partitions(nvals)
+    outdeg = adj.groupBy("i").agg(F.count("*").alias("d"))
+    P = (adj.join(outdeg, on="i")
+            .select("i", "j", (F.lit(1.0) / F.col("d")).alias("v")))
+    P = P.repartition(k, "i").persist()
+    P.count()
+    nodes = spark.range(n).select(F.col("id").alias("i"))
+    has_out = outdeg.select("i").persist()
+    has_out.count()
+    s_val = 1.0 / len(seeds)
+    s_col = F.when(F.col("i").isin([int(x) for x in seeds]),
+                   F.lit(s_val)).otherwise(F.lit(0.0))
+    r = nodes.select("i", s_col.alias("v")).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        dangling_df = (r.join(has_out, on="i", how="left_anti")
+                        .agg(F.coalesce(F.sum("v"), F.lit(0.0))
+                              .alias("_dang")))
+        contrib = (P.alias("P")
+                    .join(r.alias("r"), F.col("P.i") == F.col("r.i"))
+                    .select(F.col("P.j").alias("i"),
+                            (F.col("P.v") * F.col("r.v")).alias("c"))
+                    .groupBy("i").agg(F.sum("c").alias("s")))
+        r = (nodes.join(contrib, on="i", how="left_outer")
+                  .crossJoin(dangling_df)
+                  .select("i",
+                          (F.lit(1.0 - damping) * s_col
+                           + F.lit(damping)
+                           * (F.coalesce(F.col("s"), F.lit(0.0))
+                              + F.col("_dang") * s_col)).alias("v")))
+        r = r.localCheckpoint(eager=True)
+    has_out.unpersist()
+    P.unpersist()
+    if own_adj:
+        adj.unpersist()
+    return r.select("i", F.round(F.col("v"), 6).alias("ppr"))

@@ -28,6 +28,7 @@ __all__ = ["exact_dedup", "exact_dup_groups", "shingles", "ngram_jaccard_pairs",
            "simhash", "simhash_pairs",
            "embedding_neardup_pairs", "dup_ngram_coverage", "dedup_spans",
            "canonicalize_clusters", "fuzzy_pairs",
+           "containment_pairs", "golden_record",
            "cross_hash60", "MINHASH_P", "MINHASH_AB"]
 
 
@@ -795,3 +796,81 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                       F.col("b.id").alias("id_b"))
               .distinct())
     return _jaccard_from_sets(pairs, sets, threshold)
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.9,
+                      max_doc_freq: int | None = 1000) -> DataFrame:
+    """EXACT n-gram containment C(A in B) = |A n B| / |A| >= threshold —
+    the one-sided near-dup detector (a document swallowed by a longer
+    one scores low Jaccard but containment ~1; the partial-duplication
+    case Lee et al.'s span dedup and plain Jaccard both miss).
+
+    Same inverted-index candidate generation and stop-shingle cap as
+    ngram_jaccard_pairs (one posting self-join, bounded per shingle);
+    each unordered candidate is then verified in BOTH directions from
+    the per-doc hash sets, emitting (id_sub, id_super) rows for every
+    direction crossing the threshold. Output:
+    (id_sub, id_super, containment rounded 6).
+
+    Pipeline order matters at scale: verification attaches each
+    candidate pair's two shingle-set ARRAYS (KBs per doc), so a corpus
+    dense with exact replicas (k replicas -> k^2/2 true pairs per
+    original, every one carrying both arrays through the shuffle) pays
+    tens of GB for what exact_dedup removes in one hash-groupBy. Run
+    exact_dedup first — the same caveat prefix_jaccard_pairs
+    documents."""
+    sets = _doc_shingle_sets(df, id_col, text_col, n)
+    sh2 = sets.select("id", F.explode("hs").alias("h"))
+    if max_doc_freq is not None:
+        ok = (sh2.groupBy("h").agg(F.count("*").alias("_df"))
+                 .filter(F.col("_df") <= max_doc_freq).select("h"))
+        sh2 = sh2.join(ok, on="h", how="left_semi")
+    a = sh2.alias("a")
+    b = sh2.alias("b")
+    pairs = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+              .distinct())
+    sa = sets.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
+                     F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"),
+                     F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    both = (pairs.join(sa, on="id_a").join(sb, on="id_b")
+                 .withColumn("_i", inter))
+    fwd = both.select(F.col("id_a").alias("id_sub"),
+                      F.col("id_b").alias("id_super"),
+                      F.round(F.col("_i") / F.col("sz_a"), 6)
+                       .alias("containment"))
+    rev = both.select(F.col("id_b").alias("id_sub"),
+                      F.col("id_a").alias("id_super"),
+                      F.round(F.col("_i") / F.col("sz_b"), 6)
+                       .alias("containment"))
+    return (fwd.unionByName(rev)
+               .filter(F.col("containment") >= threshold))
+
+
+def golden_record(df: DataFrame, cluster_col: str = "cluster",
+                  prefer_col: str = "n_chars",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Survivorship / golden-record selection: one representative row
+    per cluster, the member maximizing (prefer_col, then lowest id) —
+    the record-consolidation step after dup clustering (MDM's 'most
+    complete wins, stable tie-break' rule).
+
+    ONE map-side-combined aggregate — max over a struct whose leading
+    fields encode the priority order — so a 20k-member boilerplate
+    cluster costs its partial aggregates, never a per-cluster sort or
+    window. Output: (cluster, id, prefer, cluster_size)."""
+    s = F.struct(F.col(prefer_col).cast("double").alias("_p"),
+                 (-F.col(id_col).cast("long")).alias("_nid"))
+    return (df.groupBy(F.col(cluster_col).alias("cluster"))
+              .agg(F.max(s).alias("_w"),
+                   F.count("*").cast("bigint").alias("cluster_size"))
+              .select("cluster",
+                      (-F.col("_w._nid")).cast("bigint").alias("id"),
+                      F.col("_w._p").alias("prefer"),
+                      "cluster_size"))

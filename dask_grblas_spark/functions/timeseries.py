@@ -22,7 +22,8 @@ from pyspark.sql.window import Window
 __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
            "ewma", "gapfill", "funnel", "cohort_retention",
            "interval_union", "scd2", "event_transitions",
-           "cusum_changepoints", "rolling_correlation"]
+           "cusum_changepoints", "rolling_correlation",
+           "event_paths", "sax_symbols"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -498,3 +499,91 @@ def rolling_correlation(events_df: DataFrame, type_a: str = "view",
     return (d.select(F.date_format("_d", "yyyy-MM-dd").alias("day"),
                      "a", "b", n.cast("bigint").alias("n_days"),
                      corr.alias("corr")))
+
+
+def event_paths(events_df: DataFrame, key_col: str = "user_id",
+                ts_col: str = "ts", type_col: str = "event_type",
+                id_col: str = "event_id", k: int = 3,
+                top_n: int = 20) -> DataFrame:
+    """Sequential path mining: the top-N most frequent k-step event-type
+    paths across all per-key ordered streams (the 'what do users do
+    next' funnel-discovery primitive). A path is k consecutive events
+    of ONE key in (ts, id) order, rendered 'a>b>c'.
+
+    One key-partitioned sort window with k-1 leads builds every path in
+    place (no self-joins, no per-key collect), then a map-side-combined
+    count over the bounded path vocabulary and a distributed TakeOrdered
+    top-N with path tie-break. Output: (path, n, rank)."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    steps = [F.col(type_col)] + [F.lead(type_col, i).over(w)
+                                 for i in range(1, k)]
+    paths = (events_df
+             .withColumn("_last", steps[-1])
+             .withColumn("_path", F.concat_ws(">", *steps[:-1],
+                                              F.col("_last")))
+             .where(F.col("_last").isNotNull())
+             .groupBy(F.col("_path").alias("path"))
+             .agg(F.count("*").cast("bigint").alias("n")))
+    ranked = paths.orderBy(F.col("n").desc(), "path").limit(top_n)
+    wr = Window.orderBy(F.col("n").desc(), "path")
+    return (ranked.withColumn("rank", F.row_number().over(wr).cast("int"))
+                  .select("path", "n", "rank"))
+
+
+#: SAX breakpoints for a 4-letter alphabet (standard normal quartiles)
+_SAX_BP4 = (-0.6745, 0.0, 0.6745)
+
+
+def sax_symbols(events_df: DataFrame, key_col: str = "user_id",
+                ts_col: str = "ts", val_col: str = "value",
+                segments: int = 4) -> DataFrame:
+    """SAX symbolization of each key's daily value series: z-normalize
+    per key, Piecewise Aggregate Approximation into ``segments`` equal
+    day-count segments, then map each segment mean to a 4-letter symbol
+    by the standard-normal quartile breakpoints — the classic
+    shape-based time-series signature (cluster/dedup user behavior by
+    SAX word instead of raw series).
+
+    Everything after the daily rollup runs on the (key, day) relation:
+    per-key moments in one agg (rounded 6 — engine-exact), segment
+    assignment from a per-key day rank (floor((rn-1)*S/n), exact
+    integer arithmetic), segment means rounded 6, z rounded 6 before
+    the breakpoint compare so both engines pick identical letters.
+    Output: (key, n_days, sax)."""
+    daily = (events_df
+             .groupBy(F.col(key_col).alias("key"),
+                      F.to_date(F.col(ts_col)).alias("_d"))
+             .agg(F.round(F.sum(F.col(val_col).cast("double")), 6)
+                   .alias("x")))
+    daily = daily.localCheckpoint()  # shared: moments + segmentation
+    mom = (daily.groupBy("key")
+                .agg(F.count("*").cast("bigint").alias("n_days"),
+                     F.round(F.avg("x"), 6).alias("_mu"),
+                     F.round(F.stddev_pop("x"), 6).alias("_sg")))
+    w = Window.partitionBy("key").orderBy("_d")
+    seg = (daily.withColumn("_rn", F.row_number().over(w))
+                .join(mom, on="key")
+                .withColumn("_seg",
+                            F.floor((F.col("_rn") - 1)
+                                    * segments / F.col("n_days"))
+                             .cast("int"))
+                .groupBy("key", "_seg")
+                .agg(F.round(F.avg("x"), 6).alias("_paa"),
+                     F.first("_mu").alias("_mu"),
+                     F.first("_sg").alias("_sg"),
+                     F.first("n_days").alias("n_days")))
+    z = F.when(F.col("_sg") > 0,
+               F.round((F.col("_paa") - F.col("_mu")) / F.col("_sg"), 6)) \
+         .otherwise(F.lit(0.0))
+    letter = (F.when(z <= _SAX_BP4[0], "a")
+               .when(z <= _SAX_BP4[1], "b")
+               .when(z <= _SAX_BP4[2], "c")
+               .otherwise("d"))
+    return (seg.withColumn("_l", letter)
+               .groupBy("key")
+               .agg(F.first("n_days").alias("n_days"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("_seg"), F.col("_l")))),
+                            lambda s: s["_l"]), "").alias("sax")))

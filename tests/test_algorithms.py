@@ -354,3 +354,33 @@ def test_neighborhood_jaccard_partial_overlap(spark):
     got = {(r.u, r.v): (r.n_common, r.jacc)
            for r in neighborhood_jaccard(A).collect()}
     assert got == {(0, 2): (1, 0.5), (1, 3): (1, 0.5)}
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    """Two disconnected 2-cycles {0,1} and {2,3}: seeding {0} keeps ALL
+    mass inside its component; total mass stays 1."""
+    import dask_grblas_spark as gb
+    from dask_grblas_spark.algorithms import personalized_pagerank
+
+    edges = [(0, 1), (1, 0), (2, 3), (3, 2)]
+    A = gb.Matrix.from_values([e[0] for e in edges],
+                              [e[1] for e in edges],
+                              [1] * 4, nrows=4, ncols=4)
+    got = {r["i"]: r["ppr"]
+           for r in personalized_pagerank(A, [0], max_iters=6).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+    assert got[2] == 0.0 and got[3] == 0.0
+    assert got[0] > got[1] > 0  # restart favors the seed
+
+
+def test_personalized_pagerank_dangling_returns_to_seeds(spark):
+    """Edge 0->1 with 1 dangling: mass cycles 0 -> 1 -> (dangling) back
+    to the seed, never leaks; node 2 (isolated, non-seed) stays 0."""
+    import dask_grblas_spark as gb
+    from dask_grblas_spark.algorithms import personalized_pagerank
+
+    A = gb.Matrix.from_values([0], [1], [1], nrows=3, ncols=3)
+    got = {r["i"]: r["ppr"]
+           for r in personalized_pagerank(A, [0], max_iters=8).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+    assert got[2] == 0.0

@@ -382,3 +382,30 @@ def test_hyperplane_between_corpus_cap_star_bound(spark):
         threshold=0.99, max_bucket_size=5).collect()
     # identical vectors share every bucket; distinct pairs <= cap
     assert 1 <= len(got) <= 5
+
+
+def test_containment_pairs_substring_doc(spark):
+    from dask_grblas_spark.functions.dedup import containment_pairs
+
+    small = "w1 w2 w3 w4"                      # 2 3-gram shingles
+    big = small + " w5 w6 w7 w8"               # contains all of small's
+    df = spark.createDataFrame([(1, small), (2, big), (3, "x y z q")],
+                               "doc_id long, text string")
+    got = {(r["id_sub"], r["id_super"]): r["containment"]
+           for r in containment_pairs(df, threshold=0.3).collect()}
+    assert got[(1, 2)] == 1.0          # small fully contained in big
+    assert got[(2, 1)] == round(2 / 6, 6)  # big only 2/6 contained
+    assert not any(3 in k for k in got)
+
+
+def test_golden_record_prefers_longest_then_lowest_id(spark):
+    from dask_grblas_spark.functions.dedup import golden_record
+
+    df = spark.createDataFrame(
+        [(1, "c1", 10), (2, "c1", 30), (3, "c1", 30), (9, "c2", 5)],
+        "doc_id long, cluster string, n_chars long")
+    got = {r["cluster"]: r for r in golden_record(df).collect()}
+    assert got["c1"]["id"] == 2       # 30 ties -> lowest id wins
+    assert got["c1"]["prefer"] == 30.0
+    assert got["c1"]["cluster_size"] == 3
+    assert got["c2"]["id"] == 9 and got["c2"]["cluster_size"] == 1

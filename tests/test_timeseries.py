@@ -416,3 +416,54 @@ def test_rolling_correlation_zero_variance_is_null(spark):
               "event_type string, value double, props string")
     assert all(r["corr"] is None
                for r in rolling_correlation(df).collect())
+
+
+def test_event_paths_counts_and_rank(spark):
+    import datetime
+
+    from dask_grblas_spark.functions.timeseries import event_paths
+
+    base = datetime.datetime(2024, 6, 1)
+    rows = []
+    eid = 0
+    # user 1: a b c a b c -> paths a>b>c x2, b>c>a x1, c>a>b x1
+    for i, t in enumerate("abcabc"):
+        rows.append((eid, base + datetime.timedelta(seconds=i), 1, t,
+                     0.0, "{}")); eid += 1
+    # user 2: a b c -> a>b>c x1 (no cross-user paths)
+    for i, t in enumerate("abc"):
+        rows.append((eid, base + datetime.timedelta(seconds=i), 2, t,
+                     0.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r["path"]: (r["n"], r["rank"])
+           for r in event_paths(df).collect()}
+    assert got["a>b>c"] == (3, 1)
+    assert got["b>c>a"] == (1, 2)  # ties rank by path string
+    assert got["c>a>b"] == (1, 3)
+    assert len(got) == 3           # never crosses the user boundary
+
+
+def test_sax_symbols_shapes(spark):
+    import datetime
+
+    from dask_grblas_spark.functions.timeseries import sax_symbols
+
+    rows = []
+    eid = 0
+    # user 1: strictly increasing daily sums over 8 days -> 'abcd'-ish
+    for d in range(8):
+        rows.append((eid, datetime.datetime(2024, 6, 1 + d), 1,
+                     "view", float(d * 10), "{}")); eid += 1
+    # user 2: constant -> zero variance -> all 'b'
+    for d in range(4):
+        rows.append((eid, datetime.datetime(2024, 6, 1 + d), 2,
+                     "view", 5.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r["key"]: r for r in sax_symbols(df).collect()}
+    assert got[1]["n_days"] == 8
+    assert got[1]["sax"] == "abcd"  # monotone ramp crosses all quartiles
+    assert got[2]["sax"] == "bbbb"  # degenerate sigma -> middle letter

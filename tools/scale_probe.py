@@ -807,6 +807,43 @@ def main() -> int:
     probe("rolling_correlation", NEV,
           lambda: timeseries.rolling_correlation(ev))
 
+    # personalized PageRank on the 20M-edge graph (same input as
+    # pagerank's probe shape), seeds = 3 nodes
+    probe("personalized_pagerank", E2,
+          lambda: spark.createDataFrame(
+              [(alg.personalized_pagerank(A_aa, [0, 1, 2],
+                                          max_iters=5).count(),)],
+              "n long"))
+
+    # containment over a 25k-doc slice holding 5-replica clusters
+    # (doc_id % 4 keeps reps {0,4,8,12,16} of each 20x original). The
+    # full 20x-replicated corpus is ~1M true containment pairs, and
+    # verification attaches each pair's two ~12KB shingle-set arrays —
+    # tens of GB of shuffle for a probe. True pair volume is the
+    # honest cost driver here (exact_dedup first is the documented
+    # pipeline order); 5-replica clusters keep the same shape at
+    # ~50k true pairs.
+    probe("containment_pairs", ndocs // 4,
+          lambda: dedup.containment_pairs(
+              docs.filter(F.col("doc_id") % 4 == 0), threshold=0.5))
+
+    # golden record over 10M rows / 1M clusters — one struct-max agg
+    gr_df = spark.range(NSC).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64("id", F.lit(47)), F.lit(1_000_000))
+         .cast("string").alias("cluster"),
+        F.pmod(F.xxhash64("id", F.lit(48)), F.lit(10_000))
+         .alias("n_chars"))
+    probe("golden_record", NSC, lambda: dedup.golden_record(gr_df))
+
+    # 3-step path mining over 10M events / 200k users
+    probe("event_paths", NSC,
+          lambda: timeseries.event_paths(ev_scd.withColumn(
+              "value", F.lit(0.0))))
+
+    # SAX symbolization over the 10M-event table
+    probe("sax_symbols", NEV, lambda: timeseries.sax_symbols(ev))
+
     # schema-evolution write + mergeSchema read over 10M rows
     def _evolve_probe():
         from dask_grblas_spark.sources import io as gio
