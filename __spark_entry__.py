@@ -977,6 +977,42 @@ def q158_sax(spark, sf_dir):
         .select("key", "n_days", "sax")
 
 
+def q159_item_cf(spark, sf_dir):
+    """Item-item collaborative filtering over the customer-part
+    purchase matrix (similarity.item_cf_topk): cosine of binary
+    co-occurrence, hub users capped at 100 items, top-5 neighbors per
+    item over the bounded co-pair relation."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ui = o.join(li, o["o_orderkey"] == li["l_orderkey"]) \
+          .select("o_custkey", "l_partkey")
+    return similarity.item_cf_topk(ui, "o_custkey", "l_partkey") \
+        .select("item", "neighbor", "co", "sim", "rank")
+
+
+def q160_seasonal(spark, sf_dir):
+    """Additive seasonal decomposition of daily event counts
+    (timeseries.seasonal_decompose): centered 7-day MA trend,
+    position-in-week seasonal means, residual — all on the bounded
+    daily relation."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.seasonal_decompose(load_events(spark, sf_dir)) \
+        .select("day", "n", "trend", "seasonal", "resid")
+
+
+_PHRASES = [(1, "value table"), (2, "fast spark"), (3, "table key agg")]
+
+
+def q161_phrase_search(spark, sf_dir):
+    """Positional-index phrase search (retrieval.phrase_search):
+    consecutive-token match counts per document for three quoted
+    queries — postings restricted to the query vocabulary before any
+    shuffle, one (doc, pos+i) equi-join per extra token."""
+    return retrieval.phrase_search(_doc(spark, sf_dir), _PHRASES) \
+        .select("query_id", "doc_id", "n_matches")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2308,6 +2344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_golden_record": q156_golden_record,
         "q157_event_paths": q157_event_paths,
         "q158_sax": q158_sax,
+        "q159_item_cf": q159_item_cf,
+        "q160_seasonal": q160_seasonal,
+        "q161_phrase_search": q161_phrase_search,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -5682,5 +5721,87 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT key, n_days, string_agg(l, '' ORDER BY seg) AS sax
         FROM lets GROUP BY 1, 2"""
+
+    # q159: CF replayed — same user cap, counts, cosine, both-direction
+    # ranking.
+    sql["q159_item_cf"] = """
+        WITH ui0 AS (
+          SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ), ui AS (
+          SELECT u, i FROM (
+            SELECT u, i,
+                   row_number() OVER (PARTITION BY u ORDER BY i) AS r
+            FROM ui0) WHERE r <= 100
+        ), ni AS (
+          SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM ui GROUP BY 1
+        ), co AS (
+          SELECT a.i AS ia, b.i AS ib, CAST(COUNT(*) AS BIGINT) AS co
+          FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), sim AS (
+          SELECT ia, ib, co,
+                 ROUND(co / SQRT(na.n * nb.n), 6) AS sim
+          FROM co JOIN ni na ON na.i = ia JOIN ni nb ON nb.i = ib
+        ), both_dir AS (
+          SELECT ia AS item, ib AS neighbor, co, sim FROM sim
+          UNION ALL
+          SELECT ib AS item, ia AS neighbor, co, sim FROM sim
+        )
+        SELECT item, neighbor, co, sim, CAST(rk AS INT) AS rank
+        FROM (SELECT item, neighbor, co, sim,
+                     row_number() OVER (PARTITION BY item
+                         ORDER BY sim DESC, neighbor) AS rk
+              FROM both_dir)
+        WHERE rk <= 5"""
+
+    # q160: centered MA + absolute-day-mod-period seasonal means.
+    sql["q160_seasonal"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS x
+          FROM events GROUP BY 1
+        ), t AS (
+          SELECT d, x,
+                 ROUND(AVG(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                       AND 3 FOLLOWING), 6) AS trend,
+                 CAST(date_diff('day', DATE '1970-01-01', d) % 7
+                      AS INT) AS pos
+          FROM daily
+        ), seas AS (
+          SELECT pos, ROUND(AVG(x - trend), 6) AS seasonal
+          FROM t GROUP BY 1
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day, CAST(x AS BIGINT) AS n,
+               trend, seasonal,
+               ROUND(x - trend - seasonal, 6) AS resid
+        FROM t JOIN seas USING (pos)"""
+
+    # q161: positional postings restricted to the query vocabulary,
+    # consecutive-position joins per phrase.
+    phrase_arms = []
+    for qid, phrase in _PHRASES:
+        terms = phrase.split()
+        joins = "\n          ".join(
+            f"JOIN pst t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.term = '{t}' AND t{i}.pos = t0.pos + {i}"
+            for i, t in enumerate(terms[1:], start=1))
+        phrase_arms.append(f"""
+        SELECT CAST({qid} AS BIGINT) AS query_id, t0.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matches
+        FROM pst t0
+          {joins}
+        WHERE t0.term = '{terms[0]}'
+        GROUP BY 1, 2""")
+    sql["q161_phrase_search"] = r"""
+        WITH pst AS (
+          SELECT doc_id,
+                 generate_subscripts(toks, 1) - 1 AS pos,
+                 unnest(toks) AS term
+          FROM (SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text),
+                                                         '\s+'),
+                                   x -> length(x) > 0) AS toks
+                FROM documents)
+        )""" + "\n        UNION ALL".join(phrase_arms)
 
     return sql

@@ -253,3 +253,47 @@ def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
     return (scores.withColumn("fused_rank",
                               F.row_number().over(w).cast("int"))
                   .where(F.col("fused_rank") <= top_n))
+
+
+def phrase_search(df: DataFrame, phrases: list[tuple[int, str]],
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Positional-index phrase search: for each (phrase_id, phrase),
+    count EXACT consecutive-token occurrences per document — the
+    quoted-query primitive BM25's bag-of-words scoring cannot express.
+
+    The positional posting list (doc, pos, term) is built once and
+    restricted to the phrase vocabulary BEFORE any shuffle (broadcast
+    semi-join), so the join chain — one equi-join per additional
+    phrase token on (doc, pos + i) — runs over postings of the query
+    terms only, never the corpus. Output:
+    (query_id, doc_id, n_matches)."""
+    from .text import tokens
+
+    spark = df.sparkSession
+    toks = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    vocab = sorted({t for _, p in phrases for t in p.split()})
+    posting = (df.select(F.col(id_col).alias("doc_id"),
+                         F.posexplode(toks).alias("pos", "term"))
+                 .where(F.col("term").isin(vocab)))
+    posting = posting.localCheckpoint()  # shared by every join arm
+    outs = []
+    for qid, phrase in phrases:
+        terms = phrase.split()
+        base = (posting.where(F.col("term") == terms[0])
+                       .select("doc_id", F.col("pos").alias("p0")))
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = (posting.where(F.col("term") == t)
+                          .select(F.col("doc_id"),
+                                  (F.col("pos") - i).alias("p0")))
+            base = base.join(nxt, on=["doc_id", "p0"])
+        outs.append(base.groupBy("doc_id")
+                        .agg(F.count("*").cast("bigint")
+                              .alias("n_matches"))
+                        .select(F.lit(qid).cast("bigint")
+                                 .alias("query_id"),
+                                "doc_id", "n_matches"))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

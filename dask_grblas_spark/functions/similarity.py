@@ -27,7 +27,7 @@ __all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
            "kmeans_assign", "random_projection", "label_centroids",
            "semantic_dedup_pairs", "quantize_int8",
            "hyperplane_lsh_pairs_between", "ranking_metrics",
-           "knn_classify"]
+           "knn_classify", "item_cf_topk"]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -737,3 +737,54 @@ def knn_classify(emb_df: DataFrame, k: int = 5, id_col: str = "vec_id",
     return best.select("query_id",
                        F.col("_b.l").cast("int").alias("pred_label"),
                        F.col("_b.n").cast("bigint").alias("votes"))
+
+
+def item_cf_topk(df: DataFrame, user_col: str, item_col: str,
+                 min_co: int = 2, top_k: int = 5,
+                 max_user_items: int = 100) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity over the
+    binary user-item co-occurrence matrix, top-k neighbors per item —
+    the classic 'customers who bought X also bought' recommender.
+    sim(i, j) = co(i, j) / sqrt(n_i * n_j) with n_i = distinct users
+    of item i and co = users holding both.
+
+    Scale shape: the pair generation self-joins the (user, item)
+    relation on user — a power user with u items fans out u^2/2 pair
+    rows, so ``max_user_items`` caps each user's contribution
+    (deterministic (user, item-order) truncation; the standard CF
+    hub-user guard — a user holding everything carries no signal).
+    Item counts come from the same capped relation (so sim stays an
+    exact cosine OF THE CAPPED matrix); ranking windows run per item
+    over the bounded co-pair relation. Output:
+    (item, neighbor, co, sim rounded 6, rank <= top_k)."""
+    ui = (df.select(F.col(user_col).alias("u"),
+                    F.col(item_col).alias("i"))
+            .distinct())
+    if max_user_items is not None:
+        wu = Window.partitionBy("u").orderBy("i")
+        ui = (ui.withColumn("_r", F.row_number().over(wu))
+                .where(F.col("_r") <= max_user_items).drop("_r"))
+    ui = ui.localCheckpoint()  # shared: counts + pair self-join
+    ni = ui.groupBy("i").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = ui.alias("a"), ui.alias("b")
+    co = (a.join(b, (F.col("a.u") == F.col("b.u"))
+                 & (F.col("a.i") < F.col("b.i")))
+           .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+           .agg(F.count("*").cast("bigint").alias("co"))
+           .where(F.col("co") >= min_co))
+    sim = (co.join(ni.select(F.col("i").alias("ia"),
+                             F.col("n").alias("na")), on="ia")
+             .join(ni.select(F.col("i").alias("ib"),
+                             F.col("n").alias("nb")), on="ib")
+             .withColumn("sim", F.round(
+                 F.col("co") / F.sqrt(F.col("na") * F.col("nb")), 6)))
+    both = (sim.select(F.col("ia").alias("item"),
+                       F.col("ib").alias("neighbor"), "co", "sim")
+               .unionByName(
+                   sim.select(F.col("ib").alias("item"),
+                              F.col("ia").alias("neighbor"),
+                              "co", "sim")))
+    w = Window.partitionBy("item").orderBy(F.col("sim").desc(),
+                                           F.col("neighbor"))
+    return (both.withColumn("rank", F.row_number().over(w).cast("int"))
+                .where(F.col("rank") <= top_k))

@@ -23,7 +23,7 @@ __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
            "ewma", "gapfill", "funnel", "cohort_retention",
            "interval_union", "scd2", "event_transitions",
            "cusum_changepoints", "rolling_correlation",
-           "event_paths", "sax_symbols"]
+           "event_paths", "sax_symbols", "seasonal_decompose"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -587,3 +587,38 @@ def sax_symbols(events_df: DataFrame, key_col: str = "user_id",
                             F.array_sort(F.collect_list(
                                 F.struct(F.col("_seg"), F.col("_l")))),
                             lambda s: s["_l"]), "").alias("sax")))
+
+
+def seasonal_decompose(events_df: DataFrame, ts_col: str = "ts",
+                       period: int = 7) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-count series
+    (STL-lite): trend = centered ``period``-day moving average (edges
+    average whatever the frame holds), seasonal = mean detrended value
+    per position-in-period (day-of-week for period 7), residual = x -
+    trend - seasonal — the volume-forecasting / anomaly-baseline prep.
+
+    Every stage after the rollup runs on the bounded daily relation:
+    one centered window, one period-sized aggregate joined back, pure
+    arithmetic. Day-of-week is computed as an absolute day number mod
+    period (no locale/week-start semantics to disagree on). trend and
+    the detrended means round to 6 before reuse so both engines carry
+    identical values. Output: (day, n, trend, seasonal, resid)."""
+    half = period // 2
+    daily = (events_df
+             .groupBy(F.to_date(F.col(ts_col)).alias("_d"))
+             .agg(F.count("*").cast("double").alias("x")))
+    wc = Window.orderBy("_d").rowsBetween(-half, half)
+    t = (daily.withColumn("trend", F.round(F.avg("x").over(wc), 6))
+              .withColumn("_pos", F.pmod(F.datediff(
+                  F.col("_d"), F.lit("1970-01-01").cast("date")),
+                  F.lit(period))))
+    t = t.localCheckpoint()  # shared: seasonal means + output
+    seas = (t.groupBy("_pos")
+             .agg(F.round(F.avg(F.col("x") - F.col("trend")), 6)
+                   .alias("seasonal")))
+    return (t.join(F.broadcast(seas), on="_pos")
+             .select(F.date_format("_d", "yyyy-MM-dd").alias("day"),
+                     F.col("x").cast("bigint").alias("n"),
+                     "trend", "seasonal",
+                     F.round(F.col("x") - F.col("trend")
+                             - F.col("seasonal"), 6).alias("resid")))

@@ -515,3 +515,47 @@ def test_rrf_fuse_tie_breaks_by_id_and_partitions(spark):
     q2 = sorted((r for r in got if r["query_id"] == 2),
                 key=lambda r: r["fused_rank"])
     assert [r["doc_id"] for r in q2] == [7, 9]
+
+
+def test_item_cf_topk_hand_computed(spark):
+    import math
+
+    from dask_grblas_spark.functions.similarity import item_cf_topk
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")],
+        "u long, i string")
+    got = {(r["item"], r["neighbor"]): r
+           for r in item_cf_topk(df, "u", "i", min_co=2).collect()}
+    # co(a,b)=2 passes; co(a,c)=1 cut by min_co
+    assert set(got) == {("a", "b"), ("b", "a")}
+    assert got[("a", "b")]["co"] == 2
+    assert got[("a", "b")]["sim"] == round(2 / math.sqrt(3 * 2), 6)
+    assert got[("a", "b")]["rank"] == 1
+
+
+def test_item_cf_user_cap_bounds_pairs(spark):
+    from dask_grblas_spark.functions.similarity import item_cf_topk
+
+    rows = [(1, f"i{k:02d}") for k in range(10)] + \
+           [(2, f"i{k:02d}") for k in range(10)]
+    df = spark.createDataFrame(rows, "u long, i string")
+    # cap keeps only each user's first 3 items -> pairs among i00..i02
+    got = item_cf_topk(df, "u", "i", min_co=2, max_user_items=3).collect()
+    items = {r["item"] for r in got}
+    assert items == {"i00", "i01", "i02"}
+
+
+def test_phrase_search_counts_consecutive_matches(spark):
+    from dask_grblas_spark.functions.retrieval import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a a b"), (3, "b b b")],
+        "doc_id long, text string")
+    got = {(r["query_id"], r["doc_id"]): r["n_matches"]
+           for r in phrase_search(df, [(1, "a b"), (2, "b a b"),
+                                       (3, "z q")]).collect()}
+    assert got[(1, 1)] == 2     # positions 0 and 2
+    assert got[(1, 2)] == 1
+    assert got[(2, 1)] == 1     # one 3-token window
+    assert (3, 3) not in got and not any(q == 3 for q, _ in got)

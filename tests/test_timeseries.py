@@ -467,3 +467,29 @@ def test_sax_symbols_shapes(spark):
     assert got[1]["n_days"] == 8
     assert got[1]["sax"] == "abcd"  # monotone ramp crosses all quartiles
     assert got[2]["sax"] == "bbbb"  # degenerate sigma -> middle letter
+
+
+def test_seasonal_decompose_identity_and_constant(spark):
+    import datetime
+
+    from dask_grblas_spark.functions.timeseries import seasonal_decompose
+
+    rows = []
+    eid = 0
+    # constant 5 events/day for 14 days -> trend = 5, seasonal = 0
+    for d in range(14):
+        for _ in range(5):
+            rows.append((eid, datetime.datetime(2024, 7, 1 + d), 1,
+                         "view", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = seasonal_decompose(df).collect()
+    assert len(out) == 14
+    for r in out:
+        assert r["trend"] == 5.0
+        assert r["seasonal"] == 0.0
+        assert r["resid"] == 0.0
+        # additive identity holds by construction
+        assert abs(r["n"] - (r["trend"] + r["seasonal"] + r["resid"])) \
+            < 1e-9

@@ -844,6 +844,25 @@ def main() -> int:
     # SAX symbolization over the 10M-event table
     probe("sax_symbols", NEV, lambda: timeseries.sax_symbols(ev))
 
+    # item-item CF: 10M user-item rows, 500k users x 100k items
+    # (~20 items/user -> ~190 pair rows/user, ~9.5e7 pair rows total;
+    # the per-user cap bounds any hub user's quadratic fan-out)
+    cf_df = spark.range(NSC).select(
+        F.pmod(F.xxhash64("id", F.lit(50)), F.lit(500_000)).alias("u"),
+        F.pmod(F.xxhash64("id", F.lit(51)), F.lit(100_000)).alias("i"))
+    probe("item_cf", NSC,
+          lambda: similarity.item_cf_topk(cf_df, "u", "i", min_co=2,
+                                          max_user_items=50))
+
+    # seasonal decomposition over the 10M-event table
+    probe("seasonal_decompose", NEV,
+          lambda: timeseries.seasonal_decompose(ev))
+
+    # phrase search over the 100k-doc corpus
+    probe("phrase_search", ndocs,
+          lambda: retr.phrase_search(
+              docs, [(1, "value table"), (2, "fast spark")]))
+
     # schema-evolution write + mergeSchema read over 10M rows
     def _evolve_probe():
         from dask_grblas_spark.sources import io as gio
