@@ -1013,6 +1013,51 @@ def q161_phrase_search(spark, sf_dir):
         .select("query_id", "doc_id", "n_matches")
 
 
+def q162_grid_cluster(spark, sf_dir):
+    """Grid-density clustering / DBSCAN-lite (similarity.grid_cluster):
+    eps-cells over the first two embedding dims, core cells merged via
+    the ENGINE's connected-components loop over the 8-neighborhood
+    cell graph, non-core points as the noise row — all pairwise work
+    collapsed onto the bounded occupied-cell relation."""
+    return similarity.grid_cluster(_emb(spark, sf_dir)) \
+        .select("cluster", "n_cells", "n_points")
+
+
+def q163_classification_report(spark, sf_dir):
+    """Per-class precision/recall/F1 of the q149 naive-Bayes language
+    classifier (profiling.classification_report): confusion counts in
+    one groupBy, metrics over the classes x classes relation."""
+    from dask_grblas_spark.functions import profiling
+
+    preds = text.naive_bayes_classify(_doc(spark, sf_dir))
+    return profiling.classification_report(preds, "label", "pred") \
+        .select("label", "tp", "fp", "fn", "precision", "recall", "f1")
+
+
+def q164_calibration(spark, sf_dir):
+    """Reliability-diagram bins (profiling.calibration_bins): the
+    documents' composite quality score bucketed into 10 bins, mean
+    score vs observed lang='en' rate — one map-side aggregate."""
+    from dask_grblas_spark.functions import profiling
+
+    scored = text.quality_score(_doc(spark, sf_dir))
+    return profiling.calibration_bins(
+        scored, "quality", F.col("lang") == "en") \
+        .select("bin", "n", "mean_score", "pos_rate")
+
+
+def q165_cumulative_gain(spark, sf_dir):
+    """Cumulative-gains deciles (profiling.cumulative_gain): exact
+    score deciles via the histogram-offset _exact_ntile (no global
+    window), per-decile lang='en' capture rate."""
+    from dask_grblas_spark.functions import profiling
+
+    scored = text.quality_score(_doc(spark, sf_dir))
+    return profiling.cumulative_gain(
+        scored, "quality", F.col("lang") == "en") \
+        .select("tile", "n", "n_pos", "capture")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2347,6 +2392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_item_cf": q159_item_cf,
         "q160_seasonal": q160_seasonal,
         "q161_phrase_search": q161_phrase_search,
+        "q162_grid_cluster": q162_grid_cluster,
+        "q163_classification_report": q163_classification_report,
+        "q164_calibration": q164_calibration,
+        "q165_cumulative_gain": q165_cumulative_gain,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -5803,5 +5852,206 @@ def oracle_sql() -> dict[str, str]:
                                    x -> length(x) > 0) AS toks
                 FROM documents)
         )""" + "\n        UNION ALL".join(phrase_arms)
+
+    # q162: core cells + 8-neighborhood adjacency + 16 unrolled
+    # min-label rounds (graph diameter measured <= 8 at both SFs;
+    # idempotent at fixpoint so extra rounds are no-ops).
+    sql["q162_grid_cluster"] = """
+        WITH pts AS (
+          SELECT vec_id AS id,
+                 CAST(FLOOR(CAST(embedding[1] AS DOUBLE) / 0.05)
+                      AS BIGINT) AS cx,
+                 CAST(FLOOR(CAST(embedding[2] AS DOUBLE) / 0.05)
+                      AS BIGINT) AS cy
+          FROM embeddings
+        ), core AS (
+          SELECT cx, cy,
+                 (cx + 100000) * 1000000 + (cy + 100000) AS k,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM pts GROUP BY 1, 2 HAVING COUNT(*) >= 10
+        ), e AS (
+          SELECT a.k AS u, b.k AS v
+          FROM core a JOIN core b
+            ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        ), l0 AS (SELECT k AS id, k AS lbl FROM core),
+        l1 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l0
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l0 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l2 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l1
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l1 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l3 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l2
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l2 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l4 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l3
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l3 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l5 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l4
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l4 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l6 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l5
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l5 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l7 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l6
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l6 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l8 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l7
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l7 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l9 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l8
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l8 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l10 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l9
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l9 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l11 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l10
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l10 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l12 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l11
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l11 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l13 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l12
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l12 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l14 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l13
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l13 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l15 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l14
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l14 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        l16 AS MATERIALIZED (
+          SELECT id, MIN(lbl) AS lbl FROM (
+            SELECT id, lbl FROM l15
+            UNION ALL
+            SELECT e.u AS id, l.lbl FROM e JOIN l15 l ON l.id = e.v
+          ) GROUP BY id
+        ),
+        cells AS (SELECT id AS k, lbl AS cluster FROM l16)
+        SELECT c.cluster, CAST(COUNT(DISTINCT co.k) AS BIGINT) AS n_cells,
+               CAST(SUM(co.n) AS BIGINT) AS n_points
+        FROM core co JOIN cells c ON c.k = co.k
+        GROUP BY 1
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+               (SELECT COUNT(*) FROM pts)
+               - (SELECT COALESCE(SUM(n), 0) FROM core)"""
+
+    # q163: the q149 NB oracle wrapped as a CTE, then the confusion
+    # marginals; precision/recall unrounded feed F1, rounding last.
+    sql["q163_classification_report"] = (
+        "WITH preds AS (" + sql["q149_naive_bayes"] + """
+        ), cm AS (
+          SELECT label AS t, pred AS p, COUNT(*) AS n
+          FROM preds GROUP BY 1, 2
+        ), byt AS (SELECT t AS label, SUM(n) AS true_n FROM cm GROUP BY 1),
+        byp AS (SELECT p AS label, SUM(n) AS pred_n FROM cm GROUP BY 1),
+        tpc AS (SELECT t AS label, n AS tp FROM cm WHERE t = p),
+        rep AS (
+          SELECT label,
+                 COALESCE(tp, 0) AS tp,
+                 COALESCE(pred_n, 0) - COALESCE(tp, 0) AS fp,
+                 COALESCE(true_n, 0) - COALESCE(tp, 0) AS fn
+          FROM byt FULL OUTER JOIN byp USING (label)
+          LEFT JOIN tpc USING (label)
+        ), raw AS (
+          SELECT label, tp, fp, fn,
+                 CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) END AS pr,
+                 CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) END AS rc
+          FROM rep
+        )
+        SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               ROUND(pr, 6) AS precision, ROUND(rc, 6) AS recall,
+               ROUND(CASE WHEN pr + rc > 0
+                          THEN 2 * pr * rc / (pr + rc) END, 6) AS f1
+        FROM raw""")
+
+    # q164/q165: the q22 quality formula as the shared score CTE.
+    sql["q164_calibration"] = "\n        WITH t AS (\n          SELECT doc_id, lang,\n                 regexp_split_to_array(trim(text), '\\s+') AS toks,\n                 length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace\n          FROM documents\n        ), s AS (\n          SELECT doc_id, lang,\n                 CAST(len(toks) AS BIGINT) AS n_tokens,\n                 len(list_filter(toks,\n                     t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,\n                 n_nonspace * 1.0 / GREATEST(len(toks), 1) AS mean_wlen\n          FROM t\n        ), q AS (\n          SELECT doc_id, lang,\n                 ROUND((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000\n                             THEN 0.4 ELSE 0.0 END)\n                       + (CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0\n                               THEN 0.3 ELSE 0.0 END)\n                       + LEAST(n_stop * 3.0 / GREATEST(n_tokens, 1), 0.3),\n                       6) AS quality\n          FROM s\n        )" + """
+        SELECT CAST(LEAST(FLOOR(quality * 10), 9) AS INT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(quality), 6) AS mean_score,
+               ROUND(AVG(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 6)
+                 AS pos_rate
+        FROM q GROUP BY 1"""
+
+    sql["q165_cumulative_gain"] = "\n        WITH t AS (\n          SELECT doc_id, lang,\n                 regexp_split_to_array(trim(text), '\\s+') AS toks,\n                 length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace\n          FROM documents\n        ), s AS (\n          SELECT doc_id, lang,\n                 CAST(len(toks) AS BIGINT) AS n_tokens,\n                 len(list_filter(toks,\n                     t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,\n                 n_nonspace * 1.0 / GREATEST(len(toks), 1) AS mean_wlen\n          FROM t\n        ), q AS (\n          SELECT doc_id, lang,\n                 ROUND((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000\n                             THEN 0.4 ELSE 0.0 END)\n                       + (CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0\n                               THEN 0.3 ELSE 0.0 END)\n                       + LEAST(n_stop * 3.0 / GREATEST(n_tokens, 1), 0.3),\n                       6) AS quality\n          FROM s\n        )" + """
+        , tl AS (
+          SELECT doc_id, quality,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l,
+                 CAST(NTILE(10) OVER (ORDER BY quality DESC, doc_id)
+                      AS INT) AS tile
+          FROM q
+        ), per AS (
+          SELECT tile, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(l) AS BIGINT) AS n_pos
+          FROM tl GROUP BY 1
+        ), tot AS (SELECT SUM(n_pos) AS t FROM per)
+        SELECT tile, n, n_pos,
+               CASE WHEN t > 0
+                    THEN ROUND(SUM(n_pos) OVER (ORDER BY tile
+                         ROWS UNBOUNDED PRECEDING) * 1.0 / t, 6)
+               END AS capture
+        FROM per CROSS JOIN tot"""
 
     return sql

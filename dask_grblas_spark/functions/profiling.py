@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "groupwise_linreg", "histogram", "exact_quantiles",
            "zscore_outliers", "basket_pairs", "impute",
-           "benford_digits", "rfm_segments", "majority_label"]
+           "benford_digits", "rfm_segments", "majority_label",
+           "classification_report", "calibration_bins",
+           "cumulative_gain"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -501,3 +503,91 @@ def majority_label(ann_df: DataFrame, item_col: str = "item",
                  .select("item", "label", "votes", "n_ann",
                          F.round(F.col("votes") / F.col("n_ann"), 6)
                           .alias("agreement")))
+
+
+def classification_report(df: DataFrame, truth_col: str,
+                          pred_col: str) -> DataFrame:
+    """Per-class classification metrics from (truth, pred) pairs: the
+    confusion counts reduce to one groupBy, and tp/fp/fn/precision/
+    recall/F1 all derive from that bounded classes x classes relation —
+    the model-eval rollup (pairs with degenerate denominators yield
+    NULL, not NaN). Output: (label, tp, fp, fn, precision, recall, f1),
+    floats rounded 6; one row per label seen in truth or pred."""
+    cm = (df.groupBy(F.col(truth_col).alias("t"),
+                     F.col(pred_col).alias("p"))
+            .agg(F.count("*").alias("n")))
+    cm = cm.localCheckpoint()  # shared by 3 marginals
+    byt = cm.groupBy(F.col("t").alias("label")) \
+            .agg(F.sum("n").alias("true_n"))
+    byp = cm.groupBy(F.col("p").alias("label")) \
+            .agg(F.sum("n").alias("pred_n"))
+    tp = (cm.where(F.col("t") == F.col("p"))
+            .select(F.col("t").alias("label"), F.col("n").alias("tp")))
+    rep = (byt.join(byp, on="label", how="full_outer")
+              .join(tp, on="label", how="left")
+              .select("label",
+                      F.coalesce("tp", F.lit(0)).alias("tp"),
+                      (F.coalesce("pred_n", F.lit(0))
+                       - F.coalesce("tp", F.lit(0))).alias("fp"),
+                      (F.coalesce("true_n", F.lit(0))
+                       - F.coalesce("tp", F.lit(0))).alias("fn")))
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp") / (F.col("tp") + F.col("fp")))
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp") / (F.col("tp") + F.col("fn")))
+    f1 = F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
+    return rep.select("label",
+                      F.col("tp").cast("bigint").alias("tp"),
+                      F.col("fp").cast("bigint").alias("fp"),
+                      F.col("fn").cast("bigint").alias("fn"),
+                      F.round(prec, 6).alias("precision"),
+                      F.round(rec, 6).alias("recall"),
+                      F.round(f1, 6).alias("f1"))
+
+
+def calibration_bins(df: DataFrame, score_col: str, label_col,
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability-diagram bins: scores in [0, 1] bucketed into n_bins
+    equal-width bins (top edge folded into the last bin), per-bin mean
+    score vs observed positive rate — the calibration check for any
+    score a pipeline thresholds on. One map-side aggregate. ``label_col``
+    may be a Column expression (a boolean). Output:
+    (bin, n, mean_score, pos_rate), floats rounded 6."""
+    lab = (F.col(label_col) if isinstance(label_col, str)
+           else label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+    return (df.select(b.alias("bin"), s.alias("_s"), lab.alias("_l"))
+              .groupBy("bin")
+              .agg(F.count("*").cast("bigint").alias("n"),
+                   F.round(F.avg("_s"), 6).alias("mean_score"),
+                   F.round(F.avg("_l"), 6).alias("pos_rate")))
+
+
+def cumulative_gain(df: DataFrame, score_col: str, label_col,
+                    id_col: str = "doc_id",
+                    n_tiles: int = 10) -> DataFrame:
+    """Cumulative-gains table: rank by score descending into n_tiles
+    exact deciles (_exact_ntile — histogram-offset ranking, no global
+    window), then per-decile positive counts and the cumulative capture
+    rate — 'the top 20% of scores holds X% of the positives', the
+    targeting/lift readout. Output:
+    (tile, n, n_pos, capture rounded 6)."""
+    lab = (F.col(label_col) if isinstance(label_col, str)
+           else label_col).cast("int")
+    base = df.select(F.col(id_col).alias("key"),
+                     F.col(score_col).cast("double").alias("_s"),
+                     lab.alias("_l"))
+    tiled = _exact_ntile(base, "_s", False, n_tiles, "tile", key="key")
+    per = (tiled.groupBy("tile")
+                .agg(F.count("*").cast("bigint").alias("n"),
+                     F.sum("_l").cast("bigint").alias("n_pos")))
+    from pyspark.sql.window import Window as W
+    wcum = W.orderBy("tile").rowsBetween(W.unboundedPreceding, 0)
+    tot = per.agg(F.sum("n_pos").alias("_t"))
+    return (per.crossJoin(F.broadcast(tot))
+               .withColumn("capture",
+                           F.when(F.col("_t") > 0,
+                                  F.round(F.sum("n_pos").over(wcum)
+                                          / F.col("_t"), 6)))
+               .select("tile", "n", "n_pos", "capture"))

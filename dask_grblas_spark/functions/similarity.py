@@ -27,7 +27,7 @@ __all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
            "kmeans_assign", "random_projection", "label_centroids",
            "semantic_dedup_pairs", "quantize_int8",
            "hyperplane_lsh_pairs_between", "ranking_metrics",
-           "knn_classify", "item_cf_topk"]
+           "knn_classify", "item_cf_topk", "grid_cluster"]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -788,3 +788,70 @@ def item_cf_topk(df: DataFrame, user_col: str, item_col: str,
                                            F.col("neighbor"))
     return (both.withColumn("rank", F.row_number().over(w).cast("int"))
                 .where(F.col("rank") <= top_k))
+
+
+def grid_cluster(emb_df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", eps: float = 0.05,
+                 min_pts: int = 10) -> DataFrame:
+    """Grid-density clustering (DBSCAN-lite) over the first two
+    embedding dimensions: points land in eps-sided grid cells, cells
+    holding >= min_pts points are CORE, core cells merge across the
+    8-neighborhood via the engine's connected-components loop, points
+    in non-core cells are noise — the density-based alternative to
+    k-means that needs no k and marks outliers.
+
+    This is the cell-graph trick that makes DBSCAN scale: all pairwise
+    work collapses to one groupBy onto the OCCUPIED-CELL relation
+    (bounded by data extent / eps^2, not by points), a 9-way literal
+    offset explode for adjacency, and CC on the core-cell graph
+    (FastSV, log-diameter rounds). No point-to-point distance joins.
+    Cluster label = min cell key in the component. Output:
+    (cluster, n_cells, n_points) plus a cluster = -1 noise row."""
+    from dask_grblas_spark import Matrix
+    from dask_grblas_spark import algorithms as _alg
+
+    x = F.element_at(F.col(vec_col), 1).cast("double")
+    y = F.element_at(F.col(vec_col), 2).cast("double")
+    pts = emb_df.select(
+        F.col(id_col).alias("id"),
+        F.floor(x / F.lit(float(eps))).cast("bigint").alias("cx"),
+        F.floor(y / F.lit(float(eps))).cast("bigint").alias("cy"))
+    pts = pts.localCheckpoint()  # shared: core cells + point labeling
+    key = ((F.col("cx") + 100_000) * 1_000_000
+           + (F.col("cy") + 100_000)).alias("k")
+    core = (pts.groupBy("cx", "cy")
+               .agg(F.count("*").cast("bigint").alias("n"))
+               .where(F.col("n") >= min_pts)
+               .select("cx", "cy", key))
+    core = core.localCheckpoint()
+    offs = F.expr("explode(transform(sequence(0, 8), "
+                  "o -> struct(o div 3 - 1 as dx, o % 3 - 1 as dy)))")
+    nb = (core.select("k", "cx", "cy", offs.alias("_o"))
+              .select("k",
+                      (F.col("cx") + F.col("_o.dx")).alias("ncx"),
+                      (F.col("cy") + F.col("_o.dy")).alias("ncy")))
+    other = core.select(F.col("cx").alias("ncx"),
+                        F.col("cy").alias("ncy"),
+                        F.col("k").alias("nk"))
+    edges = (nb.join(other, on=["ncx", "ncy"])
+               .select(F.col("k").alias("i"), F.col("nk").alias("j"),
+                       F.lit(1).cast("bigint").alias("v")))
+    A = Matrix.from_dataframe(edges, dtype="INT64")
+    comp = _alg.connected_components(A, vertices="edges")
+    cells = core.join(comp.df.select(F.col("i").alias("k"),
+                                     F.col("v").alias("cluster")),
+                      on="k")
+    labeled = pts.join(F.broadcast(cells.select("cx", "cy", "k",
+                                                "cluster")),
+                       on=["cx", "cy"], how="left")
+    clusters = (labeled.where(F.col("cluster").isNotNull())
+                       .groupBy("cluster")
+                       .agg(F.count_distinct("k").cast("bigint")
+                             .alias("n_cells"),
+                            F.count("*").cast("bigint")
+                             .alias("n_points")))
+    noise = (labeled.where(F.col("cluster").isNull())
+                    .agg(F.lit(-1).cast("bigint").alias("cluster"),
+                         F.lit(0).cast("bigint").alias("n_cells"),
+                         F.count("*").cast("bigint").alias("n_points")))
+    return clusters.unionByName(noise)

@@ -474,3 +474,62 @@ def test_naive_bayes_separates_vocabularies(spark):
     # P(cat|en)=(3+1)/(6+4), P(dog|en)=(3+1)/(6+4)
     s = math.log(0.5) + 2 * math.log(4 / 10) + 1 * math.log(4 / 10)
     assert abs(got[0]["score"] - round(s, 6)) < 1e-9
+
+
+def test_grid_cluster_two_blobs_and_noise(spark):
+    from dask_grblas_spark.functions.similarity import grid_cluster
+
+    rows = []
+    vid = 0
+    for _ in range(15):   # blob A -> cell (0,0)
+        rows.append((vid, [0.01, 0.01] + [0.0] * 62)); vid += 1
+    for _ in range(12):   # blob B -> cell (10,10), not adjacent to A
+        rows.append((vid, [0.52, 0.52] + [0.0] * 62)); vid += 1
+    for k in range(3):    # scattered noise, cells below min_pts
+        rows.append((vid, [-0.3 - k * 0.1, 0.3] + [0.0] * 62)); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["cluster"]: r for r in grid_cluster(df).collect()}
+    noise = got.pop(-1)
+    assert noise["n_points"] == 3 and noise["n_cells"] == 0
+    sizes = sorted(r["n_points"] for r in got.values())
+    assert sizes == [12, 15]          # two separate clusters
+    assert all(r["n_cells"] == 1 for r in got.values())
+
+
+def test_classification_report_hand_confusion(spark):
+    from dask_grblas_spark.functions.profiling import classification_report
+
+    df = spark.createDataFrame(
+        [("a", "a")] * 3 + [("a", "b")] * 1 + [("b", "b")] * 2
+        + [("c", "a")] * 1,
+        "truth string, pred string")
+    got = {r["label"]: r
+           for r in classification_report(df, "truth", "pred").collect()}
+    a = got["a"]
+    assert (a["tp"], a["fp"], a["fn"]) == (3, 1, 1)
+    assert a["precision"] == 0.75 and a["recall"] == 0.75
+    assert a["f1"] == 0.75
+    c = got["c"]   # never predicted -> precision NULL, recall 0
+    assert (c["tp"], c["fp"], c["fn"]) == (0, 0, 1)
+    assert c["precision"] is None and c["recall"] == 0.0
+    assert c["f1"] is None
+
+
+def test_calibration_and_gain(spark):
+    from pyspark.sql import functions as SF
+
+    from dask_grblas_spark.functions.profiling import (calibration_bins,
+                                                       cumulative_gain)
+
+    rows = [(i, i / 10.0, i >= 7) for i in range(10)]  # score, label
+    df = spark.createDataFrame(rows, "doc_id long, s double, l boolean")
+    bins = {r["bin"]: r for r in calibration_bins(df, "s", "l").collect()}
+    assert bins[9]["n"] == 1 and bins[9]["pos_rate"] == 1.0
+    assert bins[0]["pos_rate"] == 0.0
+    gain = {r["tile"]: r
+            for r in cumulative_gain(df, "s", SF.col("l"),
+                                     id_col="doc_id").collect()}
+    # 10 rows into 10 tiles, positives are the 3 highest scores
+    assert gain[1]["n_pos"] == 1 and gain[1]["capture"] == round(1 / 3, 6)
+    assert gain[3]["capture"] == 1.0
+    assert gain[10]["capture"] == 1.0

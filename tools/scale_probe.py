@@ -863,6 +863,38 @@ def main() -> int:
           lambda: retr.phrase_search(
               docs, [(1, "value table"), (2, "fast spark")]))
 
+    # grid-density clustering: 1M synthetic 2-d points, eps-cells
+    gc_df = spark.range(1_000_000 if not QUICK else 100_000).select(
+        F.col("id").alias("vec_id"),
+        F.array((F.pmod(F.xxhash64("id", F.lit(60)), F.lit(2000))
+                 .cast("double") - 1000) / 1000.0,
+                (F.pmod(F.xxhash64("id", F.lit(61)), F.lit(2000))
+                 .cast("double") - 1000) / 1000.0).alias("embedding"))
+    probe("grid_cluster", 1_000_000 if not QUICK else 100_000,
+          lambda: similarity.grid_cluster(gc_df, eps=0.05, min_pts=500))
+
+    # classification report over 10M (truth, pred) pairs, 20 classes
+    cr_df = spark.range(NSC).select(
+        F.pmod(F.xxhash64("id", F.lit(62)), F.lit(20)).cast("string")
+         .alias("truth"),
+        F.pmod(F.xxhash64("id", F.lit(63)), F.lit(20)).cast("string")
+         .alias("pred"))
+    from dask_grblas_spark.functions.profiling import (
+        calibration_bins, classification_report, cumulative_gain)
+    probe("classification_report", NSC,
+          lambda: classification_report(cr_df, "truth", "pred"))
+
+    # calibration + gains over 10M scored rows
+    sc_df = spark.range(NSC).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64("id", F.lit(64)), F.lit(1_000_001))
+         / 1_000_000.0).alias("s"),
+        (F.pmod(F.xxhash64("id", F.lit(65)), F.lit(5)) == 0).alias("l"))
+    probe("calibration_bins", NSC,
+          lambda: calibration_bins(sc_df, "s", "l"))
+    probe("cumulative_gain", NSC,
+          lambda: cumulative_gain(sc_df, "s", "l", id_col="doc_id"))
+
     # schema-evolution write + mergeSchema read over 10M rows
     def _evolve_probe():
         from dask_grblas_spark.sources import io as gio
