@@ -1058,6 +1058,61 @@ def q165_cumulative_gain(spark, sf_dir):
         .select("tile", "n", "n_pos", "capture")
 
 
+def q166_moments(spark, sf_dir):
+    """Skewness / excess kurtosis profile of three lineitem measures
+    (profiling.moments_profile): raw power sums in ONE aggregate,
+    central-moment algebra replayed verbatim by the oracle (never the
+    engines' bias-corrected builtins)."""
+    from dask_grblas_spark.functions import profiling
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profiling.moments_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]) \
+        .select("col", "n", "mean_v", "std_v", "skew", "kurt")
+
+
+def q167_ab_test(spark, sf_dir):
+    """Two-sample z-test view-vs-click on event values
+    (profiling.ab_test): per-arm moments in one aggregate, z on the
+    rounded value so both engines flag significance identically."""
+    from dask_grblas_spark.functions import profiling
+    from dask_grblas_spark.streaming import load_events
+
+    return profiling.ab_test(load_events(spark, sf_dir), "event_type",
+                             "value", "view", "click") \
+        .select("n_a", "n_b", "mean_a", "mean_b", "diff", "z",
+                "significant")
+
+
+def q168_debounce(spark, sf_dir):
+    """Debounce the event stream per (user, type) with a 1-hour gap
+    (timeseries.debounce): keep burst-starting events only — one
+    key-sort window, lag compare. Timestamps exported as epoch seconds
+    for cross-engine hash stability."""
+    from dask_grblas_spark.streaming import load_events
+
+    return (timeseries.debounce(load_events(spark, sf_dir),
+                                gap_seconds=3600)
+            .select("id", "user_id", "event_type",
+                    F.col("ts").cast("long").alias("ts_sec"),
+                    "burst_no"))
+
+
+def q169_weighted_quantiles(spark, sf_dir):
+    """EXACT weighted quantiles (profiling.exact_weighted_quantiles):
+    documents' n_chars weighted by token count, p in {.1,.5,.9,.99} —
+    the q109 histogram-offset pattern with integer cumulative weights
+    (engine-exact, no float association drift)."""
+    from dask_grblas_spark.functions import profiling
+
+    docs = _doc(spark, sf_dir).withColumn(
+        "_w", F.size(F.filter(text.tokens(F.col("text")),
+                              lambda x: F.length(x) > 0)))
+    return profiling.exact_weighted_quantiles(
+        docs, "n_chars", "_w", [0.1, 0.5, 0.9, 0.99]) \
+        .select("p", "value")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2396,6 +2451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_classification_report": q163_classification_report,
         "q164_calibration": q164_calibration,
         "q165_cumulative_gain": q165_cumulative_gain,
+        "q166_moments": q166_moments,
+        "q167_ab_test": q167_ab_test,
+        "q168_debounce": q168_debounce,
+        "q169_weighted_quantiles": q169_weighted_quantiles,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -6053,5 +6112,146 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING) * 1.0 / t, 6)
                END AS capture
         FROM per CROSS JOIN tot"""
+
+    # q166: central-moment algebra from raw power sums, one arm/column.
+    sql["q166_moments"] = """
+        SELECT 'l_quantity' AS col, CAST(n AS BIGINT) AS n,
+               ROUND(r1, 6) AS mean_v,
+               CASE WHEN r2 - r1 * r1 >= 0
+                    THEN ROUND(SQRT(r2 - r1 * r1), 6) END AS std_v,
+               CASE WHEN r2 - r1 * r1 > 0
+                    THEN ROUND((r3 - 3 * r1 * r2 + 2 * r1 * r1 * r1)
+                               / POWER(r2 - r1 * r1, 1.5), 6) END AS skew,
+               CASE WHEN r2 - r1 * r1 > 0
+                    THEN ROUND((r4 - 4 * r1 * r3 + 6 * r1 * r1 * r2
+                                - 3 * r1 * r1 * r1 * r1)
+                               / ((r2 - r1 * r1) * (r2 - r1 * r1))
+                               - 3.0, 6) END AS kurt
+        FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     SUM(l_quantity) / COUNT(*) AS r1,
+                     SUM(l_quantity * l_quantity) / COUNT(*) AS r2,
+                     SUM(l_quantity * l_quantity * l_quantity) / COUNT(*) AS r3,
+                     SUM(l_quantity * l_quantity * l_quantity * l_quantity) / COUNT(*) AS r4
+              FROM lineitem)
+        UNION ALL
+        SELECT 'l_extendedprice' AS col, CAST(n AS BIGINT) AS n,
+               ROUND(r1, 6) AS mean_v,
+               CASE WHEN r2 - r1 * r1 >= 0
+                    THEN ROUND(SQRT(r2 - r1 * r1), 6) END AS std_v,
+               CASE WHEN r2 - r1 * r1 > 0
+                    THEN ROUND((r3 - 3 * r1 * r2 + 2 * r1 * r1 * r1)
+                               / POWER(r2 - r1 * r1, 1.5), 6) END AS skew,
+               CASE WHEN r2 - r1 * r1 > 0
+                    THEN ROUND((r4 - 4 * r1 * r3 + 6 * r1 * r1 * r2
+                                - 3 * r1 * r1 * r1 * r1)
+                               / ((r2 - r1 * r1) * (r2 - r1 * r1))
+                               - 3.0, 6) END AS kurt
+        FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     SUM(l_extendedprice) / COUNT(*) AS r1,
+                     SUM(l_extendedprice * l_extendedprice) / COUNT(*) AS r2,
+                     SUM(l_extendedprice * l_extendedprice * l_extendedprice) / COUNT(*) AS r3,
+                     SUM(l_extendedprice * l_extendedprice * l_extendedprice * l_extendedprice) / COUNT(*) AS r4
+              FROM lineitem)
+        UNION ALL
+        SELECT 'l_discount' AS col, CAST(n AS BIGINT) AS n,
+               ROUND(r1, 6) AS mean_v,
+               CASE WHEN r2 - r1 * r1 >= 0
+                    THEN ROUND(SQRT(r2 - r1 * r1), 6) END AS std_v,
+               CASE WHEN r2 - r1 * r1 > 0
+                    THEN ROUND((r3 - 3 * r1 * r2 + 2 * r1 * r1 * r1)
+                               / POWER(r2 - r1 * r1, 1.5), 6) END AS skew,
+               CASE WHEN r2 - r1 * r1 > 0
+                    THEN ROUND((r4 - 4 * r1 * r3 + 6 * r1 * r1 * r2
+                                - 3 * r1 * r1 * r1 * r1)
+                               / ((r2 - r1 * r1) * (r2 - r1 * r1))
+                               - 3.0, 6) END AS kurt
+        FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     SUM(l_discount) / COUNT(*) AS r1,
+                     SUM(l_discount * l_discount) / COUNT(*) AS r2,
+                     SUM(l_discount * l_discount * l_discount) / COUNT(*) AS r3,
+                     SUM(l_discount * l_discount * l_discount * l_discount) / COUNT(*) AS r4
+              FROM lineitem)"""
+
+    # q167: per-arm moments, sample variance, z on the rounded value.
+    sql["q167_ab_test"] = """
+        WITH a AS (
+          SELECT CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                      AS DOUBLE) AS n_a,
+                 SUM(value) FILTER (WHERE event_type = 'view') AS s_a,
+                 SUM(value * value) FILTER (WHERE event_type = 'view')
+                   AS q_a,
+                 CAST(COUNT(*) FILTER (WHERE event_type = 'click')
+                      AS DOUBLE) AS n_b,
+                 SUM(value) FILTER (WHERE event_type = 'click') AS s_b,
+                 SUM(value * value) FILTER (WHERE event_type = 'click')
+                   AS q_b
+          FROM events WHERE event_type IN ('view', 'click')
+        ), m AS (
+          SELECT n_a, n_b, s_a / n_a AS ma, s_b / n_b AS mb,
+                 (q_a - n_a * (s_a / n_a) * (s_a / n_a)) / (n_a - 1)
+                   AS va,
+                 (q_b - n_b * (s_b / n_b) * (s_b / n_b)) / (n_b - 1)
+                   AS vb
+          FROM a
+        ), zc AS (
+          SELECT n_a, n_b, ma, mb,
+                 CASE WHEN n_a > 1 AND n_b > 1
+                           AND va / n_a + vb / n_b > 0
+                      THEN ROUND((ma - mb) / SQRT(va / n_a + vb / n_b),
+                                 6) END AS z
+          FROM m
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+               ROUND(ma - mb, 6) AS diff, z,
+               ABS(z) > 1.96 AS significant
+        FROM zc"""
+
+    # q168: lag compare + running kept-count per key.
+    sql["q168_debounce"] = """
+        WITH g AS (
+          SELECT event_id AS id, user_id, event_type,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+                 LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w AS prev
+          FROM events
+          WINDOW w AS (PARTITION BY user_id, event_type
+                       ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+        ), k AS (
+          SELECT id, user_id, event_type, sec,
+                 (prev IS NULL OR sec - prev > 3600) AS keep
+          FROM g
+        ), b AS (
+          SELECT id, user_id, event_type, sec, keep,
+                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY sec, id ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS burst_no
+          FROM k
+        )
+        SELECT id, user_id, event_type, sec AS ts_sec, burst_no
+        FROM b WHERE keep"""
+
+    # q169: integer cumulative weights in value order; quantile =
+    # MIN(v) with cw >= CEIL(ROUND(p*W, 6)) (tie-invariant).
+    wq_arms = []
+    for p in (0.1, 0.5, 0.9, 0.99):
+        wq_arms.append(f"""
+        SELECT CAST({p} AS DOUBLE) AS p, MIN(v) AS value
+        FROM r CROSS JOIN tot
+        WHERE cw >= GREATEST(1, CEIL(ROUND({p} * W, 6)))""")
+    sql["q169_weighted_quantiles"] = r"""
+        WITH base AS (
+          SELECT CAST(n_chars AS DOUBLE) AS v,
+                 CAST(len(list_filter(
+                      regexp_split_to_array(trim(text), '\s+'),
+                      x -> length(x) > 0)) AS BIGINT) AS w
+          FROM documents
+        ), b2 AS (SELECT v, w FROM base WHERE w > 0),
+        tot AS (SELECT SUM(w) AS W FROM b2),
+        r AS (
+          SELECT v, SUM(w) OVER (ORDER BY v
+                    ROWS UNBOUNDED PRECEDING) AS cw
+          FROM b2
+        )""" + "\n        UNION ALL".join(wq_arms)
 
     return sql

@@ -21,7 +21,8 @@ __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "zscore_outliers", "basket_pairs", "impute",
            "benford_digits", "rfm_segments", "majority_label",
            "classification_report", "calibration_bins",
-           "cumulative_gain"]
+           "cumulative_gain", "moments_profile", "ab_test",
+           "exact_weighted_quantiles"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -591,3 +592,133 @@ def cumulative_gain(df: DataFrame, score_col: str, label_col,
                                   F.round(F.sum("n_pos").over(wcum)
                                           / F.col("_t"), 6)))
                .select("tile", "n", "n_pos", "capture"))
+
+
+def moments_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Higher-moment column profile: skewness and EXCESS kurtosis from
+    raw power sums (m_k = E[x^k] - central-moment algebra), NOT the
+    engine's built-in skewness/kurtosis — engines disagree on bias
+    corrections, the raw-sum closed form is replayable everywhere.
+    One aggregation computes every column's four power sums (map-side
+    combined); zero-variance columns yield NULL. Output:
+    (col, n, mean_v, std_v, skew, kurt), floats rounded 6."""
+    aggs = [F.count("*").cast("double").alias("_n")]
+    for c in columns:
+        v = F.col(c).cast("double")
+        aggs += [F.sum(v).alias(f"{c}__1"),
+                 F.sum(v * v).alias(f"{c}__2"),
+                 F.sum(v * v * v).alias(f"{c}__3"),
+                 F.sum(v * v * v * v).alias(f"{c}__4")]
+    one = df.agg(*aggs)
+
+    def stats(c):
+        n = F.col("_n")
+        r1 = F.col(f"{c}__1") / n
+        r2 = F.col(f"{c}__2") / n
+        r3 = F.col(f"{c}__3") / n
+        r4 = F.col(f"{c}__4") / n
+        m2 = r2 - r1 * r1
+        m3 = r3 - 3 * r1 * r2 + 2 * r1 * r1 * r1
+        m4 = (r4 - 4 * r1 * r3 + 6 * r1 * r1 * r2
+              - 3 * r1 * r1 * r1 * r1)
+        skew = F.when(m2 > 0, F.round(m3 / F.pow(m2, 1.5), 6))
+        kurt = F.when(m2 > 0, F.round(m4 / (m2 * m2) - 3.0, 6))
+        return F.struct(F.lit(c).alias("col"),
+                        n.cast("bigint").alias("n"),
+                        F.round(r1, 6).alias("mean_v"),
+                        F.when(m2 >= 0, F.round(F.sqrt(m2), 6))
+                         .alias("std_v"),
+                        skew.alias("skew"), kurt.alias("kurt"))
+
+    arr = F.array(*[stats(c) for c in columns])
+    return (one.select(F.explode(arr).alias("s"))
+               .select("s.col", "s.n", "s.mean_v", "s.std_v",
+                       "s.skew", "s.kurt"))
+
+
+def ab_test(df: DataFrame, group_col: str, val_col: str,
+            group_a, group_b) -> DataFrame:
+    """Two-sample z-test on means: per-arm n/mean/sample-variance from
+    one aggregate, z = (mean_a - mean_b) / sqrt(va/na + vb/nb), flagged
+    significant at |z| > 1.96 (two-sided 5%) — the experiment-readout
+    primitive. The z-score compares on the 6-decimal-rounded value so
+    both engines flag identically; degenerate variance yields NULL.
+    Output: one row (n_a, n_b, mean_a, mean_b, diff, z, significant)."""
+    g = F.col(group_col)
+    v = F.col(val_col).cast("double")
+    one = (df.where(g.isin([group_a, group_b]))
+             .agg(*[x for arm, name in ((group_a, "a"), (group_b, "b"))
+                    for x in (
+                 F.count(F.when(g == arm, 1)).cast("double")
+                  .alias(f"n_{name}"),
+                 F.sum(F.when(g == arm, v)).alias(f"s_{name}"),
+                 F.sum(F.when(g == arm, v * v)).alias(f"q_{name}"))]))
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma = F.col("s_a") / na
+    mb = F.col("s_b") / nb
+    va = (F.col("q_a") - na * ma * ma) / (na - 1)
+    vb = (F.col("q_b") - nb * mb * mb) / (nb - 1)
+    se2 = va / na + vb / nb
+    z = F.when((na > 1) & (nb > 1) & (se2 > 0),
+               F.round((ma - mb) / F.sqrt(se2), 6))
+    return one.select(na.cast("bigint").alias("n_a"),
+                      nb.cast("bigint").alias("n_b"),
+                      F.round(ma, 6).alias("mean_a"),
+                      F.round(mb, 6).alias("mean_b"),
+                      F.round(ma - mb, 6).alias("diff"),
+                      z.alias("z"),
+                      (F.abs(z) > 1.96).alias("significant"))
+
+
+def exact_weighted_quantiles(df: DataFrame, col: str, weight_col: str,
+                             probs: list[float],
+                             nbins: int = 1024) -> DataFrame:
+    """EXACT weighted quantiles without a global sort — the
+    exact_quantiles histogram-offset pattern with weights: quantile(p)
+    is the smallest value whose cumulative weight (in (value, weight)
+    order) reaches ceil(round(p * W, 6)). Pass 1 aggregates (W, min,
+    max); pass 2 is a map-side weighted histogram (nbins sums to the
+    driver); pass 3 ranks only the target bins' rows with a running
+    weight sum. INTEGER weights make the comparison engine-exact
+    (cumulative integer sums have no float association drift); float
+    weights are subject to boundary ulps. Output: (p, value)."""
+    import math
+
+    v = F.col(col).cast("double")
+    w = F.col(weight_col).cast("long")
+    base = df.select(v.alias("_v"), w.alias("_w")).where(F.col("_w") > 0)
+    tot, lo, hi = base.agg(F.sum("_w"), F.min("_v"),
+                           F.max("_v")).collect()[0]
+    spark = df.sparkSession
+    if not tot:
+        return spark.createDataFrame([], "p double, value double")
+    if hi == lo:
+        return spark.createDataFrame(
+            [(float(p), float(lo)) for p in probs], "p double, value double")
+    raw = F.floor((F.col("_v") - F.lit(float(lo))) * F.lit(float(nbins))
+                  / F.lit(float(hi - lo)))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
+    tagged = base.withColumn("_b", bin_)
+    hist = dict(tagged.groupBy("_b").agg(F.sum("_w")).collect())
+    targets = {}
+    for p in probs:
+        r = max(1, math.ceil(round(p * tot, 6)))
+        cum = 0
+        for b in range(nbins):
+            c = hist.get(b, 0) or 0
+            if cum + c >= r:
+                targets.setdefault(b, []).append((float(p), r - cum))
+                break
+            cum += c
+    bins = sorted(targets)
+    from pyspark.sql.window import Window as W
+    cand = tagged.filter(F.col("_b").isin(bins))
+    wn = (W.partitionBy("_b").orderBy("_v")
+           .rowsBetween(W.unboundedPreceding, 0))
+    ranked = cand.withColumn("_cw", F.sum("_w").over(wn))
+    wanted = [(b, p, lr) for b in bins for (p, lr) in targets[b]]
+    want_df = spark.createDataFrame(wanted, "_b int, p double, _lr long")
+    hit = (ranked.join(F.broadcast(want_df), on="_b")
+                 .where(F.col("_cw") >= F.col("_lr"))
+                 .groupBy("p").agg(F.min("_v").alias("value")))
+    return hit.select("p", "value")

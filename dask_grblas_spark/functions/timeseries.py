@@ -23,7 +23,8 @@ __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
            "ewma", "gapfill", "funnel", "cohort_retention",
            "interval_union", "scd2", "event_transitions",
            "cusum_changepoints", "rolling_correlation",
-           "event_paths", "sax_symbols", "seasonal_decompose"]
+           "event_paths", "sax_symbols", "seasonal_decompose",
+           "debounce"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -622,3 +623,33 @@ def seasonal_decompose(events_df: DataFrame, ts_col: str = "ts",
                      "trend", "seasonal",
                      F.round(F.col("x") - F.col("trend")
                              - F.col("seasonal"), 6).alias("resid")))
+
+
+def debounce(events_df: DataFrame, key_cols=("user_id", "event_type"),
+             ts_col: str = "ts", id_col: str = "event_id",
+             gap_seconds: int = 60) -> DataFrame:
+    """Debounce an event stream: within each key, keep only events
+    starting a new burst — rows whose predecessor (in (ts, id) order)
+    is older than ``gap_seconds`` — collapsing double-fires and retry
+    storms into one representative each (the ETL twin of the
+    sessionizer's gap rule, keeping the first event instead of
+    aggregating).
+
+    One key-partitioned sort window (lag on epoch seconds), pure
+    comparison — a single shuffle at any volume. Output: the kept
+    rows' (id, *key_cols, ts) plus burst_no (running count of kept
+    rows per key, for burst-level joins)."""
+    keys = list(key_cols)
+    sec = F.col(ts_col).cast("long")
+    w = Window.partitionBy(*keys).orderBy(sec, F.col(id_col))
+    prev = F.lag(sec).over(w)
+    keep = prev.isNull() | (sec - prev > gap_seconds)
+    wb = (Window.partitionBy(*keys).orderBy(sec, F.col(id_col))
+                .rowsBetween(Window.unboundedPreceding, 0))
+    return (events_df
+            .withColumn("_keep", keep)
+            .withColumn("burst_no",
+                        F.sum(F.col("_keep").cast("bigint")).over(wb))
+            .where(F.col("_keep"))
+            .select(F.col(id_col).alias("id"), *keys,
+                    F.col(ts_col).alias("ts"), "burst_no"))

@@ -533,3 +533,49 @@ def test_calibration_and_gain(spark):
     assert gain[1]["n_pos"] == 1 and gain[1]["capture"] == round(1 / 3, 6)
     assert gain[3]["capture"] == 1.0
     assert gain[10]["capture"] == 1.0
+
+
+def test_moments_profile_known_distribution(spark):
+    from dask_grblas_spark.functions.profiling import moments_profile
+
+    # symmetric two-point {0, 10}: skew 0, excess kurt -2
+    df = spark.createDataFrame([(0.0,), (10.0,), (0.0,), (10.0,)],
+                               "v double")
+    r = moments_profile(df, ["v"]).collect()[0]
+    assert r["mean_v"] == 5.0 and r["std_v"] == 5.0
+    assert r["skew"] == 0.0 and r["kurt"] == -2.0
+    # constant column -> NULL skew/kurt
+    c = moments_profile(spark.createDataFrame([(3.0,)] * 4, "v double"),
+                        ["v"]).collect()[0]
+    assert c["skew"] is None and c["kurt"] is None
+
+
+def test_ab_test_hand_computed(spark):
+    import math
+
+    from dask_grblas_spark.functions.profiling import ab_test
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0, 4.0)] + \
+           [("b", v) for v in (2.0, 4.0, 6.0, 8.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = ab_test(df, "grp", "v", "a", "b").collect()[0]
+    va = 5.0 / 3          # sample variance of 1..4
+    vb = 20.0 / 3
+    z = (2.5 - 5.0) / math.sqrt(va / 4 + vb / 4)
+    assert r["n_a"] == 4 and r["mean_a"] == 2.5 and r["mean_b"] == 5.0
+    assert r["z"] == round(z, 6)
+    assert r["significant"] == (abs(round(z, 6)) > 1.96)
+
+
+def test_exact_weighted_quantiles_hand(spark):
+    from dask_grblas_spark.functions.profiling import (
+        exact_weighted_quantiles)
+
+    # values 1..4 with weights 1,1,6,2 (W=10):
+    # p=.5 -> target 5 -> cum 1,2,8 -> v=3; p=.9 -> target 9 -> v=4
+    df = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (3.0, 6), (4.0, 2)], "v double, w long")
+    got = {r["p"]: r["value"]
+           for r in exact_weighted_quantiles(
+               df, "v", "w", [0.1, 0.5, 0.9]).collect()}
+    assert got == {0.1: 1.0, 0.5: 3.0, 0.9: 4.0}

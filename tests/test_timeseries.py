@@ -493,3 +493,26 @@ def test_seasonal_decompose_identity_and_constant(spark):
         # additive identity holds by construction
         assert abs(r["n"] - (r["trend"] + r["seasonal"] + r["resid"])) \
             < 1e-9
+
+
+def test_debounce_keeps_burst_starts(spark):
+    import datetime
+
+    from dask_grblas_spark.functions.timeseries import debounce
+
+    base = datetime.datetime(2024, 8, 1)
+    rows = [
+        (1, base, 1, "click", 0.0, "{}"),
+        (2, base + datetime.timedelta(seconds=10), 1, "click", 0.0, "{}"),
+        (3, base + datetime.timedelta(seconds=200), 1, "click", 0.0, "{}"),
+        (4, base + datetime.timedelta(seconds=205), 1, "view", 0.0, "{}"),
+        (5, base + datetime.timedelta(seconds=500), 2, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r["id"]: r["burst_no"]
+           for r in debounce(df, gap_seconds=60).collect()}
+    # event 2 is inside event 1's burst; 3 starts burst 2; 4 and 5 are
+    # firsts of their own keys
+    assert got == {1: 1, 3: 2, 4: 1, 5: 1}

@@ -895,6 +895,34 @@ def main() -> int:
     probe("cumulative_gain", NSC,
           lambda: cumulative_gain(sc_df, "s", "l", id_col="doc_id"))
 
+    # higher moments + A/B test: one aggregate each over 10M rows
+    mom_df = spark.range(NSC).select(
+        ((F.pmod(F.xxhash64("id", F.lit(70)), F.lit(1000)))
+         .cast("double") / 10.0).alias("v1"),
+        (F.pmod(F.xxhash64("id", F.lit(71)), F.lit(97)))
+        .cast("double").alias("v2"),
+        F.when(F.pmod(F.xxhash64("id", F.lit(72)), F.lit(2)) == 0,
+               "view").otherwise("click").alias("arm"))
+    from dask_grblas_spark.functions.profiling import (
+        ab_test, exact_weighted_quantiles, moments_profile)
+    probe("moments_profile", NSC,
+          lambda: moments_profile(mom_df, ["v1", "v2"]))
+    probe("ab_test", NSC,
+          lambda: ab_test(mom_df, "arm", "v1", "view", "click"))
+
+    # debounce over the 10M-event table (per user+type windows)
+    probe("debounce", NEV,
+          lambda: timeseries.debounce(ev, gap_seconds=600))
+
+    # weighted quantiles over 10M rows, integer weights
+    wq_df = spark.range(NSC).select(
+        (F.pmod(F.xxhash64("id", F.lit(73)), F.lit(100_000)))
+        .cast("double").alias("v"),
+        (F.pmod(F.xxhash64("id", F.lit(74)), F.lit(9)) + 1).alias("w"))
+    probe("weighted_quantiles", NSC,
+          lambda: exact_weighted_quantiles(wq_df, "v", "w",
+                                           [0.1, 0.5, 0.9, 0.99]))
+
     # schema-evolution write + mergeSchema read over 10M rows
     def _evolve_probe():
         from dask_grblas_spark.sources import io as gio
