@@ -1113,6 +1113,44 @@ def q169_weighted_quantiles(spark, sf_dir):
         .select("p", "value")
 
 
+def q170_sliding_window(spark, sf_dir):
+    """SLIDING-window (2h window / 1h slide) count+sum per event type
+    as a REAL Structured Streaming query
+    (streaming.stream_sliding_window): every event lands in two
+    overlapping windows; watermark-bounded state, memory sink."""
+    from dask_grblas_spark.streaming.windows import stream_sliding_window
+
+    return stream_sliding_window(spark, sf_dir) \
+        .select("window_start", "event_type", "n_events", "sum_value")
+
+
+_GQ_PROBS = [0.25, 0.5, 0.75, 0.95]
+
+
+def q171_group_quantiles(spark, sf_dir):
+    """Per-event-type EXACT value quantiles (profiling.group_quantiles):
+    every percentile rides ONE aggregation (Spark percentile ==
+    quantile_cont, the q70/q137 precedent), exploded to long form."""
+    from dask_grblas_spark.functions import profiling
+    from dask_grblas_spark.streaming import load_events
+
+    return profiling.group_quantiles(load_events(spark, sf_dir),
+                                     "event_type", "value", _GQ_PROBS) \
+        .select("grp", "p", "value")
+
+
+def q172_user_growth(spark, sf_dir):
+    """Daily active / new / cumulative-distinct users
+    (profiling.user_growth): exact without sketches — cumulative
+    distinct = running sum of first-seen counts over the bounded day
+    relation (each user is new exactly once)."""
+    from dask_grblas_spark.functions import profiling
+    from dask_grblas_spark.streaming import load_events
+
+    return profiling.user_growth(load_events(spark, sf_dir)) \
+        .select("day", "dau", "new_users", "cum_users")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2455,6 +2493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_ab_test": q167_ab_test,
         "q168_debounce": q168_debounce,
         "q169_weighted_quantiles": q169_weighted_quantiles,
+        "q170_sliding_window": q170_sliding_window,
+        "q171_group_quantiles": q171_group_quantiles,
+        "q172_user_growth": q172_user_growth,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -6253,5 +6294,57 @@ def oracle_sql() -> dict[str, str]:
                     ROWS UNBOUNDED PRECEDING) AS cw
           FROM b2
         )""" + "\n        UNION ALL".join(wq_arms)
+
+    # q170: each event replayed into its two overlapping hourly-slide
+    # windows (start = hour-floor and hour-floor minus one slide);
+    # FLOOR on the fractional epoch, matching Spark's window alignment.
+    sql["q170_sliding_window"] = """
+        WITH ex AS (
+          SELECT CAST((FLOOR(epoch(ts) / 3600) - k.k) * 3600 AS BIGINT)
+                   AS window_start,
+                 event_type, value
+          FROM events CROSS JOIN (VALUES (0), (1)) k(k)
+        )
+        SELECT window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM ex GROUP BY 1, 2"""
+
+    # q171: quantile_cont == Spark percentile, one arm per p.
+    sql["q171_group_quantiles"] = """
+        SELECT event_type AS grp, CAST(0.25 AS DOUBLE) AS p,
+               ROUND(quantile_cont(value, 0.25), 6) AS value
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT event_type AS grp, CAST(0.5 AS DOUBLE) AS p,
+               ROUND(quantile_cont(value, 0.5), 6) AS value
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT event_type AS grp, CAST(0.75 AS DOUBLE) AS p,
+               ROUND(quantile_cont(value, 0.75), 6) AS value
+        FROM events GROUP BY 1
+        UNION ALL
+        SELECT event_type AS grp, CAST(0.95 AS DOUBLE) AS p,
+               ROUND(quantile_cont(value, 0.95), 6) AS value
+        FROM events GROUP BY 1"""
+
+    # q172: cumulative distinct = running sum of first-seen counts.
+    sql["q172_user_growth"] = """
+        WITH dau AS (
+          SELECT d, CAST(COUNT(*) AS BIGINT) AS dau
+          FROM (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+                FROM events) GROUP BY 1
+        ), fs AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+          FROM events GROUP BY 1
+        ), nw AS (
+          SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users
+          FROM fs GROUP BY 1
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS day, dau,
+               CAST(COALESCE(new_users, 0) AS BIGINT) AS new_users,
+               CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        FROM dau LEFT JOIN nw USING (d)"""
 
     return sql

@@ -22,7 +22,7 @@ __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "benford_digits", "rfm_segments", "majority_label",
            "classification_report", "calibration_bins",
            "cumulative_gain", "moments_profile", "ab_test",
-           "exact_weighted_quantiles"]
+           "exact_weighted_quantiles", "group_quantiles", "user_growth"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -722,3 +722,50 @@ def exact_weighted_quantiles(df: DataFrame, col: str, weight_col: str,
                  .where(F.col("_cw") >= F.col("_lr"))
                  .groupBy("p").agg(F.min("_v").alias("value")))
     return hit.select("p", "value")
+
+
+def group_quantiles(df: DataFrame, group_col: str, val_col: str,
+                    probs: list[float]) -> DataFrame:
+    """Per-group EXACT quantiles in long form: one aggregation computes
+    every requested percentile per group (Spark's exact ``percentile``,
+    which matches SQL quantile_cont — the q70/q137 precedent), exploded
+    to (grp, p, value) rows. The group relation is the only shuffle;
+    per-probability costs ride the same agg. Output floats rounded 6."""
+    aggs = [F.round(F.percentile(F.col(val_col).cast("double"),
+                                 F.lit(float(p))), 6).alias(f"_q{i}")
+            for i, p in enumerate(probs)]
+    one = df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+    arr = F.array(*[F.struct(F.lit(float(p)).alias("p"),
+                             F.col(f"_q{i}").alias("value"))
+                    for i, p in enumerate(probs)])
+    return (one.select("grp", F.explode(arr).alias("s"))
+               .select("grp", "s.p", "s.value"))
+
+
+def user_growth(df: DataFrame, key_col: str = "user_id",
+                ts_col: str = "ts") -> DataFrame:
+    """Daily active / new / cumulative-distinct users EXACTLY and
+    without sketches: per-key first-seen day is one aggregate, DAU is
+    one (day, key)-distinct count, new users come off the first-seen
+    relation, and the cumulative distinct count is the running sum of
+    new users over the bounded DAY relation (every user is 'new'
+    exactly once — no cumulative distinct scan). Output:
+    (day, dau, new_users, cum_users)."""
+    from pyspark.sql.window import Window as W
+
+    d = F.to_date(F.col(ts_col))
+    dau = (df.select(d.alias("_d"), F.col(key_col).alias("k"))
+             .distinct()
+             .groupBy("_d").agg(F.count("*").cast("bigint").alias("dau")))
+    first = (df.groupBy(F.col(key_col).alias("k"))
+               .agg(F.min(d).alias("_d")))
+    new = first.groupBy("_d").agg(F.count("*").cast("bigint")
+                                  .alias("new_users"))
+    wc = W.orderBy("_d").rowsBetween(W.unboundedPreceding, 0)
+    return (dau.join(new, on="_d", how="left")
+               .withColumn("new_users",
+                           F.coalesce("new_users", F.lit(0)))
+               .withColumn("cum_users",
+                           F.sum("new_users").over(wc).cast("bigint"))
+               .select(F.date_format("_d", "yyyy-MM-dd").alias("day"),
+                       "dau", "new_users", "cum_users"))

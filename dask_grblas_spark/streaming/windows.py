@@ -428,3 +428,40 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str,
          .start())
     q.awaitTermination()
     return gio.read_keyed(path)
+
+
+def stream_sliding_window(spark: SparkSession, sf_dir: str,
+                          window: str = "2 hours",
+                          slide: str = "1 hour") -> DataFrame:
+    """SLIDING-window count+sum per event_type as a REAL Structured
+    Streaming query (readStream -> F.window(ts, window, slide) ->
+    memory sink, drained synchronously): each event contributes to
+    window/slide overlapping windows — the smoothing variant of the
+    tumbling event_window_agg. Watermark bounds state to the window
+    span + 1 minute. Returns the final table
+    (window_start epoch, event_type, n_events, sum_value)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+              .parquet(_events_stream_dir(sf_dir)))
+    agg = (stream
+           .withWatermark("ts", "1 minute")
+           .groupBy(F.window("ts", window, slide), F.col("event_type"))
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value")))
+    qname = f"ssw_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(qname).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(qname)
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).cast("bigint")
+         .alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "sum_value")

@@ -579,3 +579,39 @@ def test_exact_weighted_quantiles_hand(spark):
            for r in exact_weighted_quantiles(
                df, "v", "w", [0.1, 0.5, 0.9]).collect()}
     assert got == {0.1: 1.0, 0.5: 3.0, 0.9: 4.0}
+
+
+def test_group_quantiles_exact(spark):
+    from dask_grblas_spark.functions.profiling import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 5)] + [("b", 10.0)],
+        "g string, v double")
+    got = {(r["grp"], r["p"]): r["value"]
+           for r in group_quantiles(df, "g", "v", [0.5, 1.0]).collect()}
+    assert got[("a", 0.5)] == 2.5   # linear interpolation
+    assert got[("a", 1.0)] == 4.0
+    assert got[("b", 0.5)] == 10.0
+
+
+def test_user_growth_new_vs_returning(spark):
+    import datetime
+
+    from dask_grblas_spark.functions.profiling import user_growth
+
+    def ev(eid, day, uid):
+        return (eid, datetime.datetime(2024, 9, day), uid, "v", 0.0, "{}")
+
+    df = spark.createDataFrame(
+        [ev(1, 1, 10), ev(2, 1, 11),           # day 1: 2 new
+         ev(3, 2, 10),                          # day 2: returning only
+         ev(4, 3, 12), ev(5, 3, 10)],           # day 3: 1 new + 1 ret
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    got = {r["day"]: r for r in user_growth(df).collect()}
+    assert (got["2024-09-01"]["dau"], got["2024-09-01"]["new_users"],
+            got["2024-09-01"]["cum_users"]) == (2, 2, 2)
+    assert (got["2024-09-02"]["dau"], got["2024-09-02"]["new_users"],
+            got["2024-09-02"]["cum_users"]) == (1, 0, 2)
+    assert (got["2024-09-03"]["dau"], got["2024-09-03"]["new_users"],
+            got["2024-09-03"]["cum_users"]) == (2, 1, 3)

@@ -923,6 +923,14 @@ def main() -> int:
           lambda: exact_weighted_quantiles(wq_df, "v", "w",
                                            [0.1, 0.5, 0.9, 0.99]))
 
+    # grouped exact quantiles + user growth over the 10M-event table
+    from dask_grblas_spark.functions.profiling import (group_quantiles,
+                                                       user_growth)
+    probe("group_quantiles", NEV,
+          lambda: group_quantiles(ev, "event_type", "value",
+                                  [0.25, 0.5, 0.75, 0.95]))
+    probe("user_growth", NEV, lambda: user_growth(ev))
+
     # schema-evolution write + mergeSchema read over 10M rows
     def _evolve_probe():
         from dask_grblas_spark.sources import io as gio
