@@ -1151,6 +1151,42 @@ def q172_user_growth(spark, sf_dir):
         .select("day", "dau", "new_users", "cum_users")
 
 
+def q173_chi2(spark, sf_dir):
+    """Chi-square independence test between documents' source and lang
+    (profiling.chi2_independence): contingency groupBy, expected counts
+    and the statistic on the bounded cell relation."""
+    from dask_grblas_spark.functions import profiling
+
+    return profiling.chi2_independence(_doc(spark, sf_dir), "source",
+                                       "lang") \
+        .select("n", "card_a", "card_b", "dof", "chi2")
+
+
+def q174_gini(spark, sf_dir):
+    """Exact Gini concentration of customer order totals
+    (profiling.gini_coefficient): histogram-offset exact ranks — no
+    global sort; sum(rank*x) is tie-order invariant."""
+    from dask_grblas_spark.functions import profiling
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("spend"))
+    return profiling.gini_coefficient(spend, "spend") \
+        .select("n", "total", "gini")
+
+
+def q175_mad_outliers(spark, sf_dir):
+    """Robust per-event-type outlier counts via MAD modified z
+    (profiling.mad_outliers): two grouped exact percentiles, flags on
+    rounded z — the skew-immune alternative to q119's z-score."""
+    from dask_grblas_spark.functions import profiling
+    from dask_grblas_spark.streaming import load_events
+
+    return profiling.mad_outliers(load_events(spark, sf_dir),
+                                  "event_type", "value") \
+        .select("grp", "n", "med", "mad", "n_outliers")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2496,6 +2532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_sliding_window": q170_sliding_window,
         "q171_group_quantiles": q171_group_quantiles,
         "q172_user_growth": q172_user_growth,
+        "q173_chi2": q173_chi2,
+        "q174_gini": q174_gini,
+        "q175_mad_outliers": q175_mad_outliers,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -6346,5 +6385,69 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY d
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
         FROM dau LEFT JOIN nw USING (d)"""
+
+    # q173: contingency + expected counts on the cell relation.
+    sql["q173_chi2"] = """
+        WITH cells AS (
+          SELECT source AS a, lang AS b, CAST(COUNT(*) AS DOUBLE) AS n
+          FROM documents GROUP BY 1, 2
+        ), ra AS (SELECT a, SUM(n) AS ra FROM cells GROUP BY 1),
+        cb AS (SELECT b, SUM(n) AS cb FROM cells GROUP BY 1),
+        tot AS (SELECT SUM(n) AS nn FROM cells)
+        SELECT CAST(nn AS BIGINT) AS n,
+               CAST(ca AS BIGINT) AS card_a,
+               CAST(cbn AS BIGINT) AS card_b,
+               CAST((ca - 1) * (cbn - 1) AS BIGINT) AS dof,
+               ROUND(chi2, 6) AS chi2
+        FROM (
+          SELECT MAX(t.nn) AS nn,
+                 COUNT(DISTINCT c.a) AS ca,
+                 COUNT(DISTINCT c.b) AS cbn,
+                 SUM((c.n - ra.ra * cb.cb / t.nn)
+                     * (c.n - ra.ra * cb.cb / t.nn)
+                     / (ra.ra * cb.cb / t.nn))
+                 + (MAX(t.nn) - SUM(ra.ra * cb.cb / t.nn)) AS chi2
+          FROM cells c JOIN ra USING (a) JOIN cb USING (b)
+          CROSS JOIN tot t
+        )"""
+
+    # q174: exact rank via a global row_number (fine at oracle scale),
+    # same tie-invariant formula.
+    sql["q174_gini"] = """
+        WITH spend AS (
+          SELECT ROUND(SUM(o_totalprice), 4) AS v
+          FROM orders GROUP BY o_custkey
+        ), pos AS (SELECT v FROM spend WHERE v >= 0),
+        st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(v) AS tot
+               FROM pos),
+        rk AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM pos)
+        SELECT CAST(st.n AS BIGINT) AS n, ROUND(st.tot, 6) AS total,
+               ROUND(2.0 * SUM(rk.r * rk.v) / (st.n * st.tot)
+                     - (st.n + 1.0) / st.n, 6) AS gini
+        FROM rk CROSS JOIN st
+        GROUP BY st.n, st.tot"""
+
+    # q175: two grouped quantile_cont passes, flags on rounded z.
+    sql["q175_mad_outliers"] = """
+        WITH med AS (
+          SELECT event_type AS grp,
+                 ROUND(quantile_cont(value, 0.5), 6) AS med
+          FROM events GROUP BY 1
+        ), dev AS (
+          SELECT e.event_type AS grp, e.value AS x, m.med,
+                 ABS(e.value - m.med) AS d
+          FROM events e JOIN med m ON m.grp = e.event_type
+        ), mad AS (
+          SELECT grp, ROUND(quantile_cont(d, 0.5), 6) AS mad
+          FROM dev GROUP BY 1
+        )
+        SELECT dev.grp, CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(dev.med) AS med, MAX(mad.mad) AS mad,
+               CAST(SUM(CASE WHEN mad.mad > 0 AND
+                    ABS(ROUND(0.6745 * (dev.x - dev.med) / mad.mad, 6))
+                        > 3.5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev JOIN mad USING (grp)
+        GROUP BY 1"""
 
     return sql

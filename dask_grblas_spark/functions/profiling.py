@@ -22,7 +22,8 @@ __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "benford_digits", "rfm_segments", "majority_label",
            "classification_report", "calibration_bins",
            "cumulative_gain", "moments_profile", "ab_test",
-           "exact_weighted_quantiles", "group_quantiles", "user_growth"]
+           "exact_weighted_quantiles", "group_quantiles", "user_growth",
+           "chi2_independence", "gini_coefficient", "mad_outliers"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -769,3 +770,109 @@ def user_growth(df: DataFrame, key_col: str = "user_id",
                            F.sum("new_users").over(wc).cast("bigint"))
                .select(F.date_format("_d", "yyyy-MM-dd").alias("day"),
                        "dau", "new_users", "cum_users"))
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-square test of independence between two categorical columns:
+    one contingency groupBy, marginals + expected counts + the statistic
+    all on the bounded |A| x |B| cell relation. EMPTY cells (observed 0,
+    expected > 0) are never materialized — their contribution
+    (0 - e)^2 / e = e folds in closed form as N - sum(e over observed
+    cells). Output: one row (n, card_a, card_b, dof, chi2 rounded 6) —
+    compare chi2 against the chi-square(dof) critical value of your
+    chosen alpha."""
+    cells = (df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+               .agg(F.count("*").cast("double").alias("n")))
+    cells = cells.localCheckpoint()  # shared: marginals + statistic
+    ra = cells.groupBy("a").agg(F.sum("n").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("n").alias("cb"))
+    tot = cells.agg(F.sum("n").alias("nn"))
+    j = (cells.join(F.broadcast(ra), on="a")
+              .join(F.broadcast(cb), on="b")
+              .crossJoin(F.broadcast(tot)))
+    e = F.col("ra") * F.col("cb") / F.col("nn")
+    contrib = (F.col("n") - e) * (F.col("n") - e) / e
+    return (j.agg(F.first("nn").cast("bigint").alias("n"),
+                  F.count_distinct("a").alias("card_a"),
+                  F.count_distinct("b").alias("card_b"),
+                  F.round(F.sum(contrib)
+                          + (F.first("nn") - F.sum(e)), 6).alias("chi2"))
+             .select("n",
+                     F.col("card_a").cast("bigint").alias("card_a"),
+                     F.col("card_b").cast("bigint").alias("card_b"),
+                     ((F.col("card_a") - 1) * (F.col("card_b") - 1))
+                     .cast("bigint").alias("dof"),
+                     "chi2"))
+
+
+def gini_coefficient(df: DataFrame, val_col: str,
+                     nbins: int = 1024) -> DataFrame:
+    """EXACT Gini concentration coefficient of a nonnegative measure:
+    G = 2 * sum(rank_i * x_i) / (n * sum(x)) - (n + 1) / n over the
+    ascending-sorted values — computed WITHOUT a global sort via the
+    histogram-offset exact rank (equi-width bin counts to the driver,
+    row_number per bin + bin offset; sum(rank * x) is invariant to
+    tie order among equal values, so any within-bin tie order is
+    correct). Output: one row (n, total, gini rounded 6)."""
+    v = F.col(val_col).cast("double")
+    base = df.select(v.alias("_v")).where(F.col("_v") >= 0)
+    n, tot, lo, hi = base.agg(F.count("*"), F.sum("_v"), F.min("_v"),
+                              F.max("_v")).collect()[0]
+    spark = df.sparkSession
+    if not n or not tot:
+        return spark.createDataFrame(
+            [(int(n or 0), float(tot or 0.0), None)],
+            "n long, total double, gini double")
+    if hi == lo:
+        return spark.createDataFrame([(int(n), float(tot), 0.0)],
+                                     "n long, total double, gini double")
+    raw = F.floor((F.col("_v") - F.lit(float(lo))) * F.lit(float(nbins))
+                  / F.lit(float(hi - lo)))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
+    tagged = base.withColumn("_b", bin_)
+    hist = dict(tagged.groupBy("_b").count().collect())
+    offsets, cum = {}, 0
+    for b in sorted(hist):
+        offsets[b] = cum
+        cum += hist[b]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    from pyspark.sql.window import Window as W
+    wn = W.partitionBy("_b").orderBy("_v")
+    rank = off[F.col("_b")] + F.row_number().over(wn)
+    s = (tagged.withColumn("_r", rank)
+               .agg(F.sum(F.col("_r") * F.col("_v")).alias("_srx"))
+               .collect()[0][0])
+    g = 2.0 * s / (n * tot) - (n + 1.0) / n
+    return spark.createDataFrame(
+        [(int(n), round(float(tot), 6), round(float(g), 6))],
+        "n long, total double, gini double")
+
+
+def mad_outliers(df: DataFrame, group_col: str, val_col: str,
+                 k: float = 3.5) -> DataFrame:
+    """Robust per-group outlier counts via the median absolute
+    deviation: modified z = 0.6745 * (x - median) / MAD, flagged at
+    |z| > k (Iglewicz-Hoaglin) — the outlier rule that, unlike q119's
+    z-score, a single extreme value cannot drag. Two grouped exact
+    percentiles (median, then MAD on the broadcast-joined deviations),
+    both rounded 6 before the flag compare. Groups with MAD = 0 report
+    0 outliers (the rule is undefined there; documented). Output:
+    (grp, n, med, mad, n_outliers)."""
+    v = F.col(val_col).cast("double")
+    med = (df.groupBy(F.col(group_col).alias("grp"))
+             .agg(F.round(F.percentile(v, F.lit(0.5)), 6).alias("med")))
+    dev = (df.select(F.col(group_col).alias("grp"), v.alias("_x"))
+             .join(F.broadcast(med), on="grp")
+             .withColumn("_d", F.abs(F.col("_x") - F.col("med"))))
+    mad = (dev.groupBy("grp")
+              .agg(F.round(F.percentile(F.col("_d"), F.lit(0.5)), 6)
+                    .alias("mad")))
+    z = F.lit(0.6745) * (F.col("_x") - F.col("med")) / F.col("mad")
+    flag = (F.col("mad") > 0) & (F.abs(F.round(z, 6)) > k)
+    return (dev.join(F.broadcast(mad), on="grp")
+               .groupBy("grp")
+               .agg(F.count("*").cast("bigint").alias("n"),
+                    F.first("med").alias("med"),
+                    F.first("mad").alias("mad"),
+                    F.sum(flag.cast("bigint")).cast("bigint")
+                     .alias("n_outliers")))

@@ -615,3 +615,47 @@ def test_user_growth_new_vs_returning(spark):
             got["2024-09-02"]["cum_users"]) == (1, 0, 2)
     assert (got["2024-09-03"]["dau"], got["2024-09-03"]["new_users"],
             got["2024-09-03"]["cum_users"]) == (2, 1, 3)
+
+
+def test_chi2_independence_independent_and_dependent(spark):
+    from dask_grblas_spark.functions.profiling import chi2_independence
+
+    # perfectly independent 2x2 with equal cells -> chi2 = 0
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert r["chi2"] == 0.0 and r["dof"] == 1 and r["n"] == 20
+    # perfectly dependent: a == b -> chi2 = n
+    rows2 = [("x", "x")] * 5 + [("y", "y")] * 5
+    r2 = chi2_independence(spark.createDataFrame(rows2,
+                                                 "a string, b string"),
+                           "a", "b").collect()[0]
+    assert r2["chi2"] == 10.0
+
+
+def test_gini_extremes(spark):
+    from dask_grblas_spark.functions.profiling import gini_coefficient
+
+    # perfect equality -> 0
+    eq = spark.createDataFrame([(5.0,)] * 8, "v double")
+    assert gini_coefficient(eq, "v").collect()[0]["gini"] == 0.0
+    # one holder of everything -> (n-1)/n
+    one = spark.createDataFrame([(0.0,)] * 7 + [(100.0,)], "v double")
+    r = gini_coefficient(one, "v").collect()[0]
+    assert r["gini"] == round(7 / 8, 6)
+    # hand case: [1,2,3,4] -> 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    h = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)],
+                              "v double")
+    assert gini_coefficient(h, "v").collect()[0]["gini"] == 0.25
+
+
+def test_mad_outliers_robust_to_one_extreme(spark):
+    from dask_grblas_spark.functions.profiling import mad_outliers
+
+    rows = [("a", float(v)) for v in (10, 11, 12, 13, 14, 1000)] + \
+           [("b", 5.0)] * 4   # constant group: MAD 0 -> no outliers
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["grp"]: r for r in mad_outliers(df, "g", "v").collect()}
+    assert got["a"]["n_outliers"] == 1   # only the 1000
+    assert got["a"]["med"] == 12.5
+    assert got["b"]["mad"] == 0.0 and got["b"]["n_outliers"] == 0

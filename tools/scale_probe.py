@@ -931,6 +931,23 @@ def main() -> int:
                                   [0.25, 0.5, 0.75, 0.95]))
     probe("user_growth", NEV, lambda: user_growth(ev))
 
+    # chi-square, Gini, MAD outliers over 10M rows
+    from dask_grblas_spark.functions.profiling import (chi2_independence,
+                                                       gini_coefficient,
+                                                       mad_outliers)
+    ct_df = spark.range(NSC).select(
+        F.pmod(F.xxhash64("id", F.lit(80)), F.lit(30)).cast("string")
+         .alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(81)), F.lit(8)).cast("string")
+         .alias("b"),
+        (F.pmod(F.xxhash64("id", F.lit(82)), F.lit(10_000)))
+        .cast("double").alias("v"))
+    probe("chi2_independence", NSC,
+          lambda: chi2_independence(ct_df, "a", "b"))
+    probe("gini_coefficient", NSC,
+          lambda: gini_coefficient(ct_df, "v"))
+    probe("mad_outliers", NSC, lambda: mad_outliers(ct_df, "b", "v"))
+
     # schema-evolution write + mergeSchema read over 10M rows
     def _evolve_probe():
         from dask_grblas_spark.sources import io as gio
