@@ -1187,6 +1187,70 @@ def q175_mad_outliers(spark, sf_dir):
         .select("grp", "n", "med", "mad", "n_outliers")
 
 
+def q176_key_skew(spark, sf_dir):
+    """Shuffle-key skew report over lineitem supplier keys
+    (profiling.key_skew): top-5 hottest keys, row shares, and the
+    max/mean straggler ratio — the pre-join diagnostic."""
+    from dask_grblas_spark.functions import profiling
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profiling.key_skew(li, "l_suppkey", top_n=5) \
+        .select("rank", "key", "n", "share", "skew")
+
+
+def q177_dictionary_encode(spark, sf_dir):
+    """Dense lexicographic dictionary encoding of the corpus vocabulary
+    (reshape.dictionary_encode): prefix-binned offsets + per-bin
+    windows — no global sort/window; ids dense from 0."""
+    from dask_grblas_spark.functions import reshape
+
+    toks = (_doc(spark, sf_dir)
+            .select(F.explode(F.filter(
+                text.tokens(F.col("text")),
+                lambda x: F.length(x) > 0)).alias("token")))
+    return reshape.dictionary_encode(toks, "token") \
+        .select("value", "id")
+
+
+def q178_date_dim(spark, sf_dir):
+    """Date-dimension generation + event enrichment
+    (timeseries.date_dim): calendar attributes for the events span
+    joined to daily counts — the warehouse calendar join."""
+    from dask_grblas_spark.streaming import load_events
+
+    dim = timeseries.date_dim(spark, "2024-01-01", "2024-01-30")
+    daily = (load_events(spark, sf_dir)
+             .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+                       .alias("day"))
+             .agg(F.count("*").cast("bigint").alias("n")))
+    return (dim.join(daily, on="day", how="left")
+               .select("day", "dow", "week", "month", "quarter",
+                       "is_weekend",
+                       F.coalesce("n", F.lit(0)).cast("bigint")
+                        .alias("n")))
+
+
+_SNAPSHOT_MICROS = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z
+
+
+def q179_scd2_snapshot(spark, sf_dir):
+    """Point-in-time dimension snapshot (composition gate, like q133):
+    the q123 SCD2 history of every user's event_type, filtered to the
+    versions valid at 2024-01-16T00:00Z, counted per state — 'what did
+    the dimension look like at T'."""
+    from dask_grblas_spark.streaming import load_events
+
+    hist = timeseries.scd2(load_events(spark, sf_dir), "user_id", "ts",
+                           ["event_type"],
+                           order_cols=["ts", "event_id"])
+    at = F.lit(_SNAPSHOT_MICROS)
+    snap = hist.where((F.col("valid_from") <= at)
+                      & (F.col("valid_to").isNull()
+                         | (F.col("valid_to") > at)))
+    return (snap.groupBy(F.col("event_type").alias("state"))
+                .agg(F.count("*").cast("bigint").alias("n_users")))
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2535,6 +2599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_chi2": q173_chi2,
         "q174_gini": q174_gini,
         "q175_mad_outliers": q175_mad_outliers,
+        "q176_key_skew": q176_key_skew,
+        "q177_dictionary_encode": q177_dictionary_encode,
+        "q178_date_dim": q178_date_dim,
+        "q179_scd2_snapshot": q179_scd2_snapshot,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -6448,6 +6516,82 @@ def oracle_sql() -> dict[str, str]:
                         > 3.5
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM dev JOIN mad USING (grp)
+        GROUP BY 1"""
+
+    # q176: key counts + max/mean straggler ratio.
+    sql["q176_key_skew"] = """
+        WITH counts AS (
+          SELECT CAST(l_suppkey AS VARCHAR) AS key,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY 1
+        ), summ AS (
+          SELECT MAX(n) * 1.0 / AVG(n) AS skew,
+                 CAST(SUM(n) AS DOUBLE) AS rows_
+          FROM counts
+        ), top AS (
+          SELECT key, n FROM counts ORDER BY n DESC, key LIMIT 5
+        )
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, key) AS INT)
+                 AS rank,
+               key, n, ROUND(n / rows_, 6) AS share,
+               ROUND(skew, 6) AS skew
+        FROM top CROSS JOIN summ"""
+
+    # q177: dense ids = lexicographic row_number - 1 (binary collation
+    # on both engines).
+    sql["q177_dictionary_encode"] = """
+        SELECT value,
+               CAST(row_number() OVER (ORDER BY value) - 1 AS BIGINT)
+                 AS id
+        FROM (SELECT DISTINCT unnest(list_filter(
+                  regexp_split_to_array(trim(text), '\\s+'),
+                  x -> length(x) > 0)) AS value
+              FROM documents)"""
+
+    # q178: generate_series calendar; DuckDB dayofweek is 0 = Sunday,
+    # Spark dayofweek - 1 matches.
+    sql["q178_date_dim"] = """
+        WITH dim AS (
+          SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                       DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS d
+        ), daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1
+        )
+        SELECT strftime(dim.d, '%Y-%m-%d') AS day,
+               CAST(dayofweek(dim.d) AS INT) AS dow,
+               CAST(weekofyear(dim.d) AS INT) AS week,
+               CAST(month(dim.d) AS INT) AS month,
+               CAST(quarter(dim.d) AS INT) AS quarter,
+               dayofweek(dim.d) IN (0, 6) AS is_weekend,
+               COALESCE(daily.n, 0) AS n
+        FROM dim LEFT JOIN daily ON daily.d = dim.d"""
+
+    # q179: q123's SCD2 build (full stream), snapshot filter at T
+    # (valid_to = -1 encodes the open current version there, so the
+    # open-version predicate is valid_to = -1 OR valid_to > T).
+    sql["q179_scd2_snapshot"] = """
+        WITH m AS (
+          SELECT user_id, ts, event_type, event_id,
+                 CASE WHEN row_number() OVER w = 1
+                        OR lag(event_type) OVER w
+                           IS DISTINCT FROM event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, event_type, ts, event_id FROM m WHERE chg = 1
+        ), hist AS (
+          SELECT user_id, event_type,
+                 epoch_us(ts) AS valid_from,
+                 epoch_us(lead(ts) OVER w2) AS valid_to
+          FROM s
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_type AS state, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM hist
+        WHERE valid_from <= 1705363200000000
+          AND (valid_to IS NULL OR valid_to > 1705363200000000)
         GROUP BY 1"""
 
     return sql

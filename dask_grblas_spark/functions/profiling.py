@@ -23,7 +23,8 @@ __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "classification_report", "calibration_bins",
            "cumulative_gain", "moments_profile", "ab_test",
            "exact_weighted_quantiles", "group_quantiles", "user_growth",
-           "chi2_independence", "gini_coefficient", "mad_outliers"]
+           "chi2_independence", "gini_coefficient", "mad_outliers",
+           "key_skew"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -876,3 +877,27 @@ def mad_outliers(df: DataFrame, group_col: str, val_col: str,
                     F.first("mad").alias("mad"),
                     F.sum(flag.cast("bigint")).cast("bigint")
                      .alias("n_outliers")))
+
+
+def key_skew(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
+    """Join/shuffle-key skew diagnostics: the report to run BEFORE a
+    big join — per-key counts (one map-side agg), the top_n hottest
+    keys with their row share, and the corpus-level skew ratio
+    (hottest / mean count, the straggler multiplier a plain hash
+    partition would suffer). Distributed TakeOrdered for the top keys;
+    the summary aggregate folds the bounded key-count relation.
+    Output: (rank, key, n, share, skew), floats rounded 6."""
+    counts = (df.groupBy(F.col(key_col).cast("string").alias("key"))
+                .agg(F.count("*").cast("bigint").alias("n")))
+    counts = counts.localCheckpoint()  # shared: summary + top-N
+    summ = counts.agg((F.max("n") / F.avg("n")).alias("_skew"),
+                      F.sum("n").cast("double").alias("_rows"))
+    top = counts.orderBy(F.col("n").desc(), "key").limit(top_n)
+    from pyspark.sql.window import Window as W
+    wr = W.orderBy(F.col("n").desc(), "key")
+    return (top.crossJoin(F.broadcast(summ))
+               .withColumn("rank", F.row_number().over(wr).cast("int"))
+               .select("rank", "key", "n",
+                       F.round(F.col("n") / F.col("_rows"), 6)
+                        .alias("share"),
+                       F.round(F.col("_skew"), 6).alias("skew")))

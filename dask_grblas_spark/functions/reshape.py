@@ -50,3 +50,37 @@ def melt(df: DataFrame, ids: list[str], value_vars: list[str],
     return df.select(*[F.col(c) for c in ids], ex) \
              .select(*ids, F.col(f"_m.{var_name}").alias(var_name),
                      F.col(f"_m.{value_name}").alias(value_name))
+
+
+def dictionary_encode(df, col: str):
+    """Dense dictionary encoding: assign each DISTINCT value of ``col``
+    a consecutive id following lexicographic order — the dictionary
+    builder for categorical compression / feature hashing replacement.
+
+    No global window: distinct values bin by their 2-char prefix
+    (lexicographic prefixes preserve the total order, so bins are
+    contiguous runs), bin counts come to the driver (bounded by the
+    prefix alphabet actually present), and id = bin offset + within-bin
+    row_number. Prefix bins can be uneven — each bin's window sorts
+    only that bin's values, and any single hot prefix degrades to that
+    prefix's dictionary slice, never the whole dictionary.
+    Output: (value, id) with id dense from 0."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    vals = (df.select(F.col(col).cast("string").alias("value"))
+              .where(F.col("value").isNotNull())
+              .distinct())
+    tagged = vals.withColumn("_b", F.substring("value", 1, 2))
+    tagged = tagged.localCheckpoint()
+    hist = dict(tagged.groupBy("_b").count().collect())
+    offsets, cum = {}, 0
+    for b in sorted(hist):
+        offsets[b] = cum
+        cum += hist[b]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = W.partitionBy("_b").orderBy("value")
+    return (tagged.withColumn(
+                "id", (off[F.col("_b")] + F.row_number().over(w) - 1)
+                      .cast("bigint"))
+                  .select("value", "id"))

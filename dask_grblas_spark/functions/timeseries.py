@@ -24,7 +24,7 @@ __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
            "interval_union", "scd2", "event_transitions",
            "cusum_changepoints", "rolling_correlation",
            "event_paths", "sax_symbols", "seasonal_decompose",
-           "debounce"]
+           "debounce", "date_dim"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -653,3 +653,22 @@ def debounce(events_df: DataFrame, key_cols=("user_id", "event_type"),
             .where(F.col("_keep"))
             .select(F.col(id_col).alias("id"), *keys,
                     F.col(ts_col).alias("ts"), "burst_no"))
+
+
+def date_dim(spark, start: str, end: str) -> DataFrame:
+    """Generate a date dimension for [start, end] (inclusive): day
+    key, day-of-week (0 = Sunday, the cross-engine-stable convention),
+    ISO week, month, quarter, weekend flag — the calendar table every
+    warehouse joins against. Built distributed from one sequence
+    explode; at any range size this is trivially small.
+    Output: (day, dow, week, month, quarter, is_weekend)."""
+    d = F.col("_d")
+    return (spark.range(1).select(F.explode(F.sequence(
+                F.lit(start).cast("date"), F.lit(end).cast("date"),
+                F.expr("interval 1 day"))).alias("_d"))
+            .select(F.date_format(d, "yyyy-MM-dd").alias("day"),
+                    (F.dayofweek(d) - 1).cast("int").alias("dow"),
+                    F.weekofyear(d).cast("int").alias("week"),
+                    F.month(d).cast("int").alias("month"),
+                    F.quarter(d).cast("int").alias("quarter"),
+                    F.dayofweek(d).isin([1, 7]).alias("is_weekend")))

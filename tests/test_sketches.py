@@ -659,3 +659,43 @@ def test_mad_outliers_robust_to_one_extreme(spark):
     assert got["a"]["n_outliers"] == 1   # only the 1000
     assert got["a"]["med"] == 12.5
     assert got["b"]["mad"] == 0.0 and got["b"]["n_outliers"] == 0
+
+
+def test_key_skew_report(spark):
+    from dask_grblas_spark.functions.profiling import key_skew
+
+    rows = [("hot",)] * 8 + [("a",), ("b",), ("c",), ("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["rank"]: r for r in key_skew(df, "k", top_n=2).collect()}
+    assert got[1]["key"] == "hot" and got[1]["n"] == 8
+    assert got[1]["share"] == round(8 / 12, 6)
+    # mean count = 12/5 -> skew = 8 / 2.4
+    assert got[1]["skew"] == round(8 / 2.4, 6)
+    assert got[2]["key"] == "a"   # ties rank lexicographically
+
+
+def test_dictionary_encode_dense_lexicographic(spark):
+    from dask_grblas_spark.functions.reshape import dictionary_encode
+
+    df = spark.createDataFrame(
+        [("banana",), ("apple",), ("banana",), ("cherry",), (None,)],
+        "v string")
+    got = {r["value"]: r["id"]
+           for r in dictionary_encode(df, "v").collect()}
+    assert got == {"apple": 0, "banana": 1, "cherry": 2}
+
+
+def test_date_dim_attributes(spark):
+    from dask_grblas_spark.functions.timeseries import date_dim
+
+    got = {r["day"]: r
+           for r in date_dim(spark, "2024-01-01", "2024-01-07").collect()}
+    assert len(got) == 7
+    # 2024-01-01 was a Monday -> dow 1 (0 = Sunday), ISO week 1
+    assert got["2024-01-01"]["dow"] == 1
+    assert got["2024-01-01"]["week"] == 1
+    assert not got["2024-01-01"]["is_weekend"]
+    assert got["2024-01-06"]["dow"] == 6 and got["2024-01-06"]["is_weekend"]
+    assert got["2024-01-07"]["dow"] == 0 and got["2024-01-07"]["is_weekend"]
+    assert all(r["month"] == 1 and r["quarter"] == 1
+               for r in got.values())

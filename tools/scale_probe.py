@@ -948,6 +948,27 @@ def main() -> int:
           lambda: gini_coefficient(ct_df, "v"))
     probe("mad_outliers", NSC, lambda: mad_outliers(ct_df, "b", "v"))
 
+    # key-skew report + dictionary encode + scd2 snapshot at 10M rows
+    from dask_grblas_spark.functions.profiling import key_skew
+    from dask_grblas_spark.functions.reshape import dictionary_encode
+    probe("key_skew", NSC,
+          lambda: key_skew(ev_scd.withColumnRenamed("user_id", "k"),
+                           "k", top_n=10))
+    dict_df = spark.range(NSC).select(
+        F.concat(F.lit("tok"),
+                 F.pmod(F.xxhash64("id", F.lit(90)), F.lit(1_000_000))
+                  .cast("string")).alias("token"))
+    probe("dictionary_encode", NSC,
+          lambda: dictionary_encode(dict_df, "token"))
+    probe("scd2_snapshot", NSC,
+          lambda: timeseries.scd2(ev_scd, "user_id", "ts",
+                                  ["event_type"],
+                                  order_cols=["ts", "event_id"])
+                  .where((F.col("valid_from") <= 1704100000000000)
+                         & (F.col("valid_to").isNull()
+                            | (F.col("valid_to") > 1704100000000000)))
+                  .groupBy("event_type").count())
+
     # schema-evolution write + mergeSchema read over 10M rows
     def _evolve_probe():
         from dask_grblas_spark.sources import io as gio
