@@ -2522,8 +2522,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_frame_sample": q52_frame_sample,
         "q37_pagerank": q37_pagerank,
         # ---- 50-row cap falls here ----
-        # new-this-round overflow q100/q102-q115 (independently dual-SF
-        # hash-green, tools/check_oracle.py): first driver rows in r7
+        # round-6 overflow (q100, q102-q179 minus the 16 in-window):
+        # every one independently dual-SF hash-green via
+        # tools/check_oracle.py (full sf0.01 sweep: 179/179, 0 fail);
+        # rotate into the driver window across r7+
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
         "q103_melt": q103_melt,
