@@ -1251,6 +1251,49 @@ def q179_scd2_snapshot(spark, sf_dir):
                 .agg(F.count("*").cast("bigint").alias("n_users")))
 
 
+def q180_assortativity(spark, sf_dir):
+    """Degree assortativity of the q124-sparsified symmetric nation
+    graph (algorithms.degree_assortativity): Pearson correlation of
+    endpoint degrees over directed edges, closed-form moment fold."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    e = (nn.df.where((F.col("i") * 31 + F.col("j")) % 3 == 0)
+             .select("i", "j", F.lit(1).cast("bigint").alias("v")))
+    A = Matrix.from_dataframe(e, 25, 25, dtype="INT64")
+    return alg.degree_assortativity(alg.symmetrize(A)) \
+        .select("n_edges", "r")
+
+
+def q181_reciprocity(spark, sf_dir):
+    """Reciprocity of the DIRECTED customer->supplier nation graph
+    (algorithms.reciprocity): one transpose semi-join over the
+    deduplicated loop-free edge list."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    return alg.reciprocity(nn) \
+        .select("n_edges", "n_reciprocal", "reciprocity")
+
+
+def q182_threshold_sweep(spark, sf_dir):
+    """Dedup threshold tuning curve (dedup.threshold_sweep): exact
+    3-gram Jaccard pair counts at 0.2/0.4/0.6/0.8 from ONE pair
+    pipeline run (computed once at the lowest threshold, folded per
+    threshold over the bounded pair relation)."""
+    return dedup.threshold_sweep(_doc(spark, sf_dir),
+                                 max_doc_freq=None) \
+        .select("thr", "n_pairs")
+
+
+def q183_neyman(spark, sf_dir):
+    """Neyman-optimal stratified sample allocation over event types
+    (sampling.neyman_allocation): n_h proportional to size x stddev,
+    HALF_UP-rounded — the minimum-variance survey design table."""
+    from dask_grblas_spark.functions import sampling
+    from dask_grblas_spark.streaming import load_events
+
+    return sampling.neyman_allocation(load_events(spark, sf_dir),
+                                      "event_type", "value", 1000) \
+        .select("stratum", "n_rows", "std", "alloc")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2605,6 +2648,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_dictionary_encode": q177_dictionary_encode,
         "q178_date_dim": q178_date_dim,
         "q179_scd2_snapshot": q179_scd2_snapshot,
+        "q180_assortativity": q180_assortativity,
+        "q181_reciprocity": q181_reciprocity,
+        "q182_threshold_sweep": q182_threshold_sweep,
+        "q183_neyman": q183_neyman,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -6595,5 +6642,98 @@ def oracle_sql() -> dict[str, str]:
         WHERE valid_from <= 1705363200000000
           AND (valid_to IS NULL OR valid_to > 1705363200000000)
         GROUP BY 1"""
+
+    # q180: degrees joined onto directed edges, Pearson closed form.
+    sql["q180_assortativity"] = f"""
+        WITH {NN_CTE}, samp AS (
+          SELECT i, j FROM nn WHERE (i * 31 + j) % 3 = 0
+        ), sym AS (
+          SELECT DISTINCT i, j FROM (
+            SELECT i, j FROM samp UNION ALL SELECT j AS i, i AS j FROM samp
+          ) WHERE i <> j
+        ), deg AS (
+          SELECT i AS z, CAST(COUNT(*) AS DOUBLE) AS d FROM sym GROUP BY 1
+        ), jd AS (
+          SELECT du.d AS x, dv.d AS y
+          FROM sym JOIN deg du ON du.z = sym.i
+                   JOIN deg dv ON dv.z = sym.j
+        ), m AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                 SUM(x * y) AS sxy
+          FROM jd
+        )
+        SELECT CAST(m AS BIGINT) AS n_edges,
+               CASE WHEN m * sxx - sx * sx > 0
+                         AND m * syy - sy * sy > 0
+                    THEN ROUND((m * sxy - sx * sy)
+                               / SQRT((m * sxx - sx * sx)
+                                      * (m * syy - sy * sy)), 6)
+               END AS r
+        FROM m"""
+
+    # q181: transpose semi-join.
+    sql["q181_reciprocity"] = f"""
+        WITH {NN_CTE}, e AS (
+          SELECT DISTINCT i, j FROM nn WHERE i <> j
+        )
+        SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+               CAST((SELECT COUNT(*) FROM e
+                     WHERE EXISTS (SELECT 1 FROM e r
+                                   WHERE r.i = e.j AND r.j = e.i))
+                    AS BIGINT) AS n_reciprocal,
+               ROUND((SELECT COUNT(*) FROM e
+                      WHERE EXISTS (SELECT 1 FROM e r
+                                    WHERE r.i = e.j AND r.j = e.i))
+                     * 1.0 / (SELECT COUNT(*) FROM e), 6)
+                 AS reciprocity"""
+
+    # q182: the q31 exact-Jaccard pair relation folded per threshold.
+    sweep_arms = []
+    for t in (0.2, 0.4, 0.6, 0.8):
+        sweep_arms.append(f"""
+        SELECT CAST({t} AS DOUBLE) AS thr,
+               CAST(SUM(CASE WHEN jac >= {t} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pairs
+        FROM jacs""")
+    sql["q182_threshold_sweep"] = r"""
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(
+                   list_transform(
+                     range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                     p -> array_to_string(
+                       regexp_split_to_array(trim(text), '\s+')[p+1:p+3], ' '))))
+                 AS shingle
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+        ), sizes AS (
+          SELECT id, COUNT(*) AS sz FROM sh GROUP BY 1
+        ), inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2
+        ), jacs AS (
+          SELECT ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) AS jac
+          FROM inter
+          JOIN sizes sa ON sa.id = id_a
+          JOIN sizes sb ON sb.id = id_b
+          WHERE ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) >= 0.2
+        )""" + "\n        UNION ALL".join(sweep_arms)
+
+    # q183: size x stddev allocation, HALF_UP floor both engines.
+    sql["q183_neyman"] = """
+        WITH per AS (
+          SELECT event_type AS stratum,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 ROUND(COALESCE(stddev_pop(value), 0), 6) AS std
+          FROM events GROUP BY 1
+        ), tot AS (SELECT SUM(n_rows * std) AS z FROM per)
+        SELECT stratum, n_rows, std,
+               CAST(CASE WHEN z > 0
+                         THEN FLOOR(1000 * n_rows * std / z + 0.5)
+                         ELSE 0 END AS BIGINT) AS alloc
+        FROM per CROSS JOIN tot"""
 
     return sql

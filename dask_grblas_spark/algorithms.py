@@ -805,3 +805,56 @@ def personalized_pagerank(A: GrMatrix, seeds: list[int],
     if own_adj:
         adj.unpersist()
     return r.select("i", F.round(F.col("v"), 6).alias("ppr"))
+
+
+def degree_assortativity(A: GrMatrix) -> DataFrame:
+    """Degree assortativity of a symmetric graph: the Pearson
+    correlation of endpoint degrees over all (directed) edges — do
+    hubs link to hubs (r > 0, social nets) or to leaves (r < 0,
+    tech/biology)? One degree aggregate, one edge-degree join, one
+    closed-form moment fold (the same rounded expression tree the SQL
+    oracle uses). Degenerate (regular) graphs yield NULL. Output:
+    one row (n_edges, r rounded 6)."""
+    edges = (A.df.select(F.col("i").alias("u"), F.col("j").alias("v"))
+                 .where(F.col("u") != F.col("v"))
+                 .distinct())
+    edges = edges.localCheckpoint()  # shared: degrees + moment fold
+    deg = edges.groupBy("u").agg(F.count("*").alias("d")) \
+               .withColumnRenamed("u", "_n")
+    j = (edges.join(deg.withColumnRenamed("_n", "u")
+                       .withColumnRenamed("d", "du"), on="u")
+              .join(deg.withColumnRenamed("_n", "v")
+                       .withColumnRenamed("d", "dv"), on="v"))
+    x = F.col("du").cast("double")
+    y = F.col("dv").cast("double")
+    m = j.agg(F.count("*").cast("double").alias("m"),
+              F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+              F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+              F.sum(x * y).alias("sxy"))
+    vx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when((vx > 0) & (vy > 0),
+               F.round((F.col("m") * F.col("sxy")
+                        - F.col("sx") * F.col("sy"))
+                       / F.sqrt(vx * vy), 6))
+    return m.select(F.col("m").cast("bigint").alias("n_edges"),
+                    r.alias("r"))
+
+
+def reciprocity(A: GrMatrix) -> DataFrame:
+    """Reciprocity of a DIRECTED graph: the fraction of edges whose
+    reverse edge also exists — one self-join of the (deduplicated,
+    loop-free) edge list against its transpose. Output: one row
+    (n_edges, n_reciprocal, reciprocity rounded 6)."""
+    edges = (A.df.select(F.col("i").alias("u"), F.col("j").alias("v"))
+                 .where(F.col("u") != F.col("v"))
+                 .distinct())
+    edges = edges.localCheckpoint()
+    rev = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    rec = edges.join(rev, on=["u", "v"], how="left_semi")
+    n = edges.count()
+    k = rec.count()
+    spark = get_session()
+    return spark.createDataFrame(
+        [(int(n), int(k), round(k / n, 6) if n else None)],
+        "n_edges long, n_reciprocal long, reciprocity double")

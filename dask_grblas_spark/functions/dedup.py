@@ -28,7 +28,7 @@ __all__ = ["exact_dedup", "exact_dup_groups", "shingles", "ngram_jaccard_pairs",
            "simhash", "simhash_pairs",
            "embedding_neardup_pairs", "dup_ngram_coverage", "dedup_spans",
            "canonicalize_clusters", "fuzzy_pairs",
-           "containment_pairs", "golden_record",
+           "containment_pairs", "golden_record", "threshold_sweep",
            "cross_hash60", "MINHASH_P", "MINHASH_AB"]
 
 
@@ -874,3 +874,28 @@ def golden_record(df: DataFrame, cluster_col: str = "cluster",
                       (-F.col("_w._nid")).cast("bigint").alias("id"),
                       F.col("_w._p").alias("prefer"),
                       "cluster_size"))
+
+
+def threshold_sweep(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 3,
+                    thresholds=(0.2, 0.4, 0.6, 0.8),
+                    max_doc_freq: int | None = 1000) -> DataFrame:
+    """Dedup-threshold tuning curve: exact n-gram Jaccard pair counts
+    at EVERY candidate threshold from ONE pass — the 'how aggressive
+    can we dedup' sweep that otherwise costs one pipeline run per
+    threshold. Computes pairs once at min(thresholds) and folds the
+    cumulative counts over the bounded (pair, jaccard) relation.
+    Output: (thr, n_pairs) — pairs with jaccard >= thr."""
+    lo = min(thresholds)
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n,
+                                threshold=lo,
+                                max_doc_freq=max_doc_freq)
+    pairs = pairs.localCheckpoint()  # one pipeline run, k folds
+    arms = None
+    for t in sorted(thresholds):
+        row = pairs.agg(
+            F.lit(float(t)).alias("thr"),
+            F.sum((F.col("jaccard") >= t).cast("bigint"))
+             .cast("bigint").alias("n_pairs"))
+        arms = row if arms is None else arms.unionByName(row)
+    return arms

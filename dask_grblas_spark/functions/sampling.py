@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 __all__ = ["split_key", "split_column", "deterministic_sample",
            "hex_threshold", "mixture_sample", "group_sample",
            "weighted_sample", "negative_sampling_table",
-           "mixture_token_accounting"]
+           "mixture_token_accounting", "neyman_allocation"]
 
 _PREFIX_LEN = 4  # 16^4 = 65536 buckets
 
@@ -251,3 +251,28 @@ def mixture_token_accounting(df: DataFrame, weights: dict[str, float],
                     F.round(share, 6).alias("target_share"),
                     F.round(needed, 2).alias("needed"),
                     epochs.alias("epochs"))
+
+
+def neyman_allocation(df: DataFrame, stratum_col: str, val_col: str,
+                      total_n: int) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: stratum h gets
+    n_h = round(total_n * N_h * S_h / sum(N S)) — proportional to
+    stratum size x standard deviation, the minimum-variance allocation
+    for estimating the overall mean. One moment aggregate per stratum
+    (population stddev, rounded 6 before use), then the allocation
+    folds over the bounded stratum relation. HALF_UP rounding both
+    engines (floor(x + 0.5)). Strata with zero variance draw 0.
+    Output: (stratum, n_rows, std, alloc)."""
+    v = F.col(val_col).cast("double")
+    per = (df.groupBy(F.col(stratum_col).alias("stratum"))
+             .agg(F.count("*").cast("bigint").alias("n_rows"),
+                  F.round(F.coalesce(F.stddev_pop(v), F.lit(0.0)), 6)
+                   .alias("std")))
+    tot = per.agg(F.sum(F.col("n_rows") * F.col("std")).alias("_z"))
+    alloc = F.when(F.col("_z") > 0,
+                   F.floor(F.lit(float(total_n)) * F.col("n_rows")
+                           * F.col("std") / F.col("_z") + F.lit(0.5)))\
+             .otherwise(F.lit(0)).cast("bigint")
+    return (per.crossJoin(F.broadcast(tot))
+               .select("stratum", "n_rows", "std",
+                       alloc.alias("alloc")))

@@ -384,3 +384,35 @@ def test_personalized_pagerank_dangling_returns_to_seeds(spark):
            for r in personalized_pagerank(A, [0], max_iters=8).collect()}
     assert abs(sum(got.values()) - 1.0) < 1e-5
     assert got[2] == 0.0
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    """Star 0-{1,2,3}: hub degree 3 pairs with leaf degree 1 on every
+    edge -> perfectly disassortative, r = -1."""
+    import dask_grblas_spark as gb
+    from dask_grblas_spark.algorithms import degree_assortativity
+
+    edges = [(0, 1), (0, 2), (0, 3)]
+    rows = [e[0] for e in edges] + [e[1] for e in edges]
+    cols = [e[1] for e in edges] + [e[0] for e in edges]
+    A = gb.Matrix.from_values(rows, cols, [1] * 6, nrows=4, ncols=4)
+    r = degree_assortativity(A).collect()[0]
+    assert r["n_edges"] == 6 and r["r"] == -1.0
+    # regular graph (4-cycle): zero degree variance -> NULL
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    rows = [e[0] for e in edges] + [e[1] for e in edges]
+    cols = [e[1] for e in edges] + [e[0] for e in edges]
+    B = gb.Matrix.from_values(rows, cols, [1] * 8, nrows=4, ncols=4)
+    assert degree_assortativity(B).collect()[0]["r"] is None
+
+
+def test_reciprocity_directed(spark):
+    import dask_grblas_spark as gb
+    from dask_grblas_spark.algorithms import reciprocity
+
+    # 0->1 and 1->0 reciprocal; 0->2 one-way
+    A = gb.Matrix.from_values([0, 1, 0], [1, 0, 2], [1, 1, 1],
+                              nrows=3, ncols=3)
+    r = reciprocity(A).collect()[0]
+    assert (r["n_edges"], r["n_reciprocal"]) == (3, 2)
+    assert r["reciprocity"] == round(2 / 3, 6)

@@ -409,3 +409,17 @@ def test_golden_record_prefers_longest_then_lowest_id(spark):
     assert got["c1"]["prefer"] == 30.0
     assert got["c1"]["cluster_size"] == 3
     assert got["c2"]["id"] == 9 and got["c2"]["cluster_size"] == 1
+
+
+def test_threshold_sweep_monotone_counts(spark):
+    from dask_grblas_spark.functions.dedup import threshold_sweep
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"),      # jaccard 1.0
+         (3, "a b c d zz"), (4, "q w e r t")],    # 3 vs 1/2: partial
+        "doc_id long, text string")
+    got = {r["thr"]: r["n_pairs"]
+           for r in threshold_sweep(df, thresholds=(0.2, 0.6, 0.8),
+                                    max_doc_freq=None).collect()}
+    assert got[0.8] >= 1                  # the exact pair
+    assert got[0.2] >= got[0.6] >= got[0.8]   # cumulative, monotone

@@ -220,3 +220,17 @@ def test_mixture_token_accounting(spark):
     assert got["b"]["available"] == 3
     assert got["b"]["epochs"] == 300.0
     assert got["c"]["target_share"] == 0.0 and got["c"]["epochs"] == 0.0
+
+
+def test_neyman_allocation_favors_variance(spark):
+    from dask_grblas_spark.functions.sampling import neyman_allocation
+
+    rows = [("lo", 5.0)] * 10 + \
+           [("hi", float(v)) for v in range(10)] + \
+           [("zero", 1.0)] * 5
+    df = spark.createDataFrame(rows, "s string, v double")
+    got = {r["stratum"]: r
+           for r in neyman_allocation(df, "s", "v", 100).collect()}
+    assert got["lo"]["alloc"] == 0        # zero variance
+    assert got["zero"]["alloc"] == 0
+    assert got["hi"]["alloc"] == 100      # all allocation to the spread

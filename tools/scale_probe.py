@@ -969,6 +969,17 @@ def main() -> int:
                             | (F.col("valid_to") > 1704100000000000)))
                   .groupBy("event_type").count())
 
+    # graph-health metrics on the 2M-edge graph
+    probe("degree_assortativity", E2,
+          lambda: alg.degree_assortativity(A_aa))
+    probe("reciprocity", E2,
+          lambda: alg.reciprocity(A_aa))
+
+    # Neyman allocation over the 10M-event table
+    probe("neyman_allocation", NEV,
+          lambda: sampling.neyman_allocation(ev, "event_type", "value",
+                                             100_000))
+
     # schema-evolution write + mergeSchema read over 10M rows
     def _evolve_probe():
         from dask_grblas_spark.sources import io as gio
