@@ -1294,6 +1294,33 @@ def q183_neyman(spark, sf_dir):
         .select("stratum", "n_rows", "std", "alloc")
 
 
+def q184_split_leakage(spark, sf_dir):
+    """Train/val/test leakage audit (sampling.split_leakage,
+    composition gate): exact 3-gram Jaccard >= 0.2 near-dups that
+    straddle the deterministic split boundaries, counted per split
+    pair — the eval-hygiene check."""
+    from dask_grblas_spark.functions import sampling
+
+    return sampling.split_leakage(_doc(spark, sf_dir), threshold=0.2) \
+        .select("s_lo", "s_hi", "n_leaks")
+
+
+def q185_winsorize(spark, sf_dir):
+    """Per-event-type winsorization at the exact [p01, p99] bounds
+    (profiling.winsorize): clip, don't drop — rolled up per type for
+    the gate (n, n_clipped, sum of clipped values)."""
+    from dask_grblas_spark.functions import profiling
+    from dask_grblas_spark.streaming import load_events
+
+    w = profiling.winsorize(load_events(spark, sf_dir), "event_type",
+                            "value")
+    return (w.groupBy(F.col("event_type").alias("grp"))
+             .agg(F.count("*").cast("bigint").alias("n"),
+                  F.sum(F.col("clipped").cast("bigint")).cast("bigint")
+                   .alias("n_clipped"),
+                  F.round(F.sum("v_clip"), 4).alias("sum_clip")))
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2652,6 +2679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_reciprocity": q181_reciprocity,
         "q182_threshold_sweep": q182_threshold_sweep,
         "q183_neyman": q183_neyman,
+        "q184_split_leakage": q184_split_leakage,
+        "q185_winsorize": q185_winsorize,
         # (q61-q70 slid past the cap to make room for q91-q99/q101 —
         # they carry r4+r5 driver rows and rotate back in r7)
         "q61_bm25": q61_bm25,
@@ -6735,5 +6764,65 @@ def oracle_sql() -> dict[str, str]:
                          THEN FLOOR(1000 * n_rows * std / z + 0.5)
                          ELSE 0 END AS BIGINT) AS alloc
         FROM per CROSS JOIN tot"""
+
+    # q184: the q31 exact-Jaccard pair relation joined to the q27 md5
+    # split assignment, cross-split pairs only.
+    sql["q184_split_leakage"] = r"""
+        WITH sh AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(
+                   list_transform(
+                     range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                     p -> array_to_string(
+                       regexp_split_to_array(trim(text), '\s+')[p+1:p+3], ' '))))
+                 AS shingle
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+        ), sizes AS (
+          SELECT id, COUNT(*) AS sz FROM sh GROUP BY 1
+        ), inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.id = id_a
+          JOIN sizes sb ON sb.id = id_b
+          WHERE ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) >= 0.2
+        ), asg AS (
+          SELECT doc_id AS id,
+                 CASE WHEN substr(md5(CONCAT(CAST(doc_id AS VARCHAR),
+                                             '-0')), 1, 4) < 'e666'
+                        THEN 'train'
+                      WHEN substr(md5(CONCAT(CAST(doc_id AS VARCHAR),
+                                             '-0')), 1, 4) < 'f333'
+                        THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        )
+        SELECT LEAST(a.split, b.split) AS s_lo,
+               GREATEST(a.split, b.split) AS s_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_leaks
+        FROM pairs
+        JOIN asg a ON a.id = pairs.id_a
+        JOIN asg b ON b.id = pairs.id_b
+        WHERE a.split <> b.split
+        GROUP BY 1, 2"""
+
+    # q185: exact group percentiles (quantile_cont) as clip bounds.
+    sql["q185_winsorize"] = """
+        WITH b AS (
+          SELECT event_type,
+                 ROUND(quantile_cont(value, 0.01), 6) AS lo,
+                 ROUND(quantile_cont(value, 0.99), 6) AS hi
+          FROM events GROUP BY 1
+        )
+        SELECT e.event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+               ROUND(SUM(ROUND(LEAST(GREATEST(e.value, b.lo), b.hi),
+                               6)), 4) AS sum_clip
+        FROM events e JOIN b USING (event_type)
+        GROUP BY 1"""
 
     return sql

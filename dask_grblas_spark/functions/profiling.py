@@ -24,7 +24,7 @@ __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "cumulative_gain", "moments_profile", "ab_test",
            "exact_weighted_quantiles", "group_quantiles", "user_growth",
            "chi2_independence", "gini_coefficient", "mad_outliers",
-           "key_skew"]
+           "key_skew", "winsorize"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -901,3 +901,24 @@ def key_skew(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
                        F.round(F.col("n") / F.col("_rows"), 6)
                         .alias("share"),
                        F.round(F.col("_skew"), 6).alias("skew")))
+
+
+def winsorize(df: DataFrame, group_col: str, val_col: str,
+              lo: float = 0.01, hi: float = 0.99) -> DataFrame:
+    """Per-group winsorization: clip values to the group's exact
+    [lo, hi] percentiles (the outlier repair that keeps row count,
+    unlike filtering) — one grouped percentile aggregate broadcast
+    back, one clip expression. Bounds rounded 6 before the clip so
+    both engines cut identically. Adds (v_clip, clipped)."""
+    v = F.col(val_col).cast("double")
+    b = (df.groupBy(F.col(group_col).alias("_g"))
+           .agg(F.round(F.percentile(v, F.lit(float(lo))), 6).alias("_lo"),
+                F.round(F.percentile(v, F.lit(float(hi))), 6).alias("_hi")))
+    out = (df.join(F.broadcast(b),
+                   on=F.col(group_col) == F.col("_g"))
+             .drop("_g"))
+    clip = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return (out.withColumn("v_clip", F.round(clip, 6))
+               .withColumn("clipped", (v < F.col("_lo"))
+                                      | (v > F.col("_hi")))
+               .drop("_lo", "_hi"))

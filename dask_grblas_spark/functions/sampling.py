@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 __all__ = ["split_key", "split_column", "deterministic_sample",
            "hex_threshold", "mixture_sample", "group_sample",
            "weighted_sample", "negative_sampling_table",
-           "mixture_token_accounting", "neyman_allocation"]
+           "mixture_token_accounting", "neyman_allocation",
+           "split_leakage"]
 
 _PREFIX_LEN = 4  # 16^4 = 65536 buckets
 
@@ -276,3 +277,33 @@ def neyman_allocation(df: DataFrame, stratum_col: str, val_col: str,
     return (per.crossJoin(F.broadcast(tot))
                .select("stratum", "n_rows", "std",
                        alloc.alias("alloc")))
+
+
+def split_leakage(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", threshold: float = 0.8,
+                  seed: int = 0,
+                  splits: dict[str, float] | None = None) -> DataFrame:
+    """Train/val/test LEAKAGE audit: count near-duplicate pairs
+    (exact n-gram Jaccard >= threshold, dedup.ngram_jaccard_pairs)
+    that straddle split boundaries under split_column's deterministic
+    assignment — the eval-hygiene check that catches test answers
+    hiding in the training set. Composition gate: splits + exact
+    near-dup pairs + one bounded join.
+
+    Output: (s_lo, s_hi, n_leaks) per unordered split pair (within-
+    split near-dups are fine and excluded)."""
+    from .dedup import ngram_jaccard_pairs
+
+    assigned = split_column(df, id_col, splits, seed) \
+        .select(F.col(id_col).alias("_id"), "split")
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=3,
+                                threshold=threshold, max_doc_freq=None)
+    j = (pairs
+         .join(assigned.withColumnRenamed("_id", "id_a")
+                       .withColumnRenamed("split", "split_a"), on="id_a")
+         .join(assigned.withColumnRenamed("_id", "id_b")
+                       .withColumnRenamed("split", "split_b"), on="id_b")
+         .where(F.col("split_a") != F.col("split_b")))
+    return (j.groupBy(F.least("split_a", "split_b").alias("s_lo"),
+                      F.greatest("split_a", "split_b").alias("s_hi"))
+             .agg(F.count("*").cast("bigint").alias("n_leaks")))

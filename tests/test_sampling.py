@@ -234,3 +234,30 @@ def test_neyman_allocation_favors_variance(spark):
     assert got["lo"]["alloc"] == 0        # zero variance
     assert got["zero"]["alloc"] == 0
     assert got["hi"]["alloc"] == 100      # all allocation to the spread
+
+
+def test_split_leakage_detects_cross_split_dup(spark):
+    from dask_grblas_spark.functions.sampling import split_leakage
+
+    # find two ids that land in different splits under seed 0, give
+    # them identical text; a third id gets unrelated text
+    from dask_grblas_spark.functions.sampling import (hex_threshold,
+                                                      split_key)
+    import hashlib
+
+    def split_of(i):
+        h = hashlib.md5(f"{i}-0".encode()).hexdigest()[:4]
+        if h < hex_threshold(0.5):
+            return "train"
+        return "test"
+
+    a = next(i for i in range(100) if split_of(i) == "train")
+    b = next(i for i in range(100) if split_of(i) == "test")
+    df = spark.createDataFrame(
+        [(a, "x y z w v"), (b, "x y z w v"), (999, "q r s t u")],
+        "doc_id long, text string")
+    got = split_leakage(df, threshold=0.8,
+                        splits={"train": 0.5, "test": 0.5}).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["s_lo"], r["s_hi"], r["n_leaks"]) == ("test", "train", 1)

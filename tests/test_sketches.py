@@ -699,3 +699,19 @@ def test_date_dim_attributes(spark):
     assert got["2024-01-07"]["dow"] == 0 and got["2024-01-07"]["is_weekend"]
     assert all(r["month"] == 1 and r["quarter"] == 1
                for r in got.values())
+
+
+def test_winsorize_clips_at_group_bounds(spark):
+    from dask_grblas_spark.functions.profiling import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 100)] + [("a", 1000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "g", "v", lo=0.05, hi=0.95).collect()
+    clipped = [r for r in out if r["clipped"]]
+    # the 1000 extreme and the low tail below p05 are clipped
+    assert any(r["v"] == 1000.0 for r in clipped)
+    assert all(r["v_clip"] <= max(x["v_clip"] for x in out)
+               for r in out)
+    top = max(r["v_clip"] for r in out)
+    assert top < 1000.0      # extreme got cut to p95
+    assert len(out) == 100   # row count preserved

@@ -980,6 +980,11 @@ def main() -> int:
           lambda: sampling.neyman_allocation(ev, "event_type", "value",
                                              100_000))
 
+    # winsorize over the 10M-event table
+    from dask_grblas_spark.functions.profiling import winsorize
+    probe("winsorize", NEV,
+          lambda: winsorize(ev, "event_type", "value"))
+
     # schema-evolution write + mergeSchema read over 10M rows
     def _evolve_probe():
         from dask_grblas_spark.sources import io as gio
