@@ -8,9 +8,11 @@ driver sorts columns by name before value-hashing). Float-producing
 queries round on BOTH sides; integer aggregates are CAST to BIGINT in the
 SQL (DuckDB SUM on integers yields HUGEINT otherwise).
 
-Queries without an oracle entry (minhash/simhash/LSH candidates, Pandas-
-UDF feature extraction) are probabilistic-candidate or stub-backed ops —
-the driver records the weaker rows-only check for them by design.
+EVERY queries() entry has a hard oracle_sql() entry (since round 5):
+probabilistic-candidate ops (minhash/simhash/LSH) are oracled by
+replaying the exact bucketing in SQL, and the Pandas-UDF feature path
+is oracled through a deterministic md5-arithmetic encoder the SQL
+recomputes value-for-value — no rows-only checks remain.
 """
 
 from __future__ import annotations
@@ -2023,7 +2025,8 @@ def q95_fk_integrity(spark, sf_dir):
         ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
         ("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
         ("customer->nation", c, "c_nationkey", n, "n_nationkey"),
-    ]).select("check", "n_child", "n_orphan", "n_childless_parent")
+    ]).select("check", "n_child", "n_null_fk", "n_orphan",
+              "n_childless_parent")
 
 
 def q96_bpe_train(spark, sf_dir):
@@ -2520,82 +2523,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver records queries in dict
-    # order with a 50-row cap. Round-6 ROTATION POLICY (per the r5
-    # verdict's item 2): the 34 queries pushed out in r5 (q03-q08, q10,
-    # q14, q16, q22, q24, q25, q30-q37, q39-q42, q41b, q50-q54,
-    # q57-q60) rotate BACK inside the first 50 for fresh driver rows,
-    # together with 16 of the 31 brand-new q85-q115 — exactly 50.
-    # Round 6 added 31 new queries but the window only fits 16, so the
-    # 15 simplest new ones (q100, q102-q115 — single-agg analytics,
-    # reshape, IO round-trips, HITS, funnel/retention; all
-    # independently dual-SF hash-green via tools/check_oracle.py this
-    # round, full-sweep rerun at end of round) start past the cap and
-    # rotate in in r7, along with the 14 q71-q84 (r5 driver rows),
-    # q28/q44, the 18-query tail and the text block (all carry r5
-    # driver rows). Session 2 added q121-q138 (range join, prefix
-    # Jaccard, SCD2, Adamic-Adar, bigram LM, int8 quantize, keyed
-    # MERGE, basket pairs, streaming CDC, clustering coeff, normalize,
-    # snapshot diff, attribution, embedding LSH-between, ranking
-    # metrics, dedup capstone, impute, kNN) — all dual-SF hash-green
-    # via check_oracle this session; they queue for the r7 window too.
+    # order with a 50-row cap. Round-7 ROTATION (per the r6 verdict's
+    # item 3): the window is exactly the 50 oldest queries that have
+    # NEVER carried a driver row — q100 + q102-q141 (r6 sessions 1-2
+    # overflow) + q142-q150 (session 3) — every one already dual-SF
+    # hash-green via tools/check_oracle.py in r6 and re-swept this
+    # round. q151-q185 queue for the r8 window; everything with an
+    # r5/r6 driver row follows them.
     return {
-        # new this round — first driver rows needed
-        "q97_semantic_dedup": q97_semantic_dedup,
-        "q98_ewma": q98_ewma,
-        "q99_gapfill": q99_gapfill,
-        "q101_dedup_spans": q101_dedup_spans,
-        "q85_hll_distinct": q85_hll_distinct,
-        "q86_weighted_sample": q86_weighted_sample,
-        "q87_dup_ngram_coverage": q87_dup_ngram_coverage,
-        "q88_kmv_union": q88_kmv_union,
-        "q89_bloom_decontaminate": q89_bloom_decontaminate,
-        "q90_zipf_slope": q90_zipf_slope,
-        "q91_countmin": q91_countmin,
-        "q92_hll_rollup": q92_hll_rollup,
-        "q93_label_propagation": q93_label_propagation,
-        "q94_table_profile": q94_table_profile,
-        "q95_fk_integrity": q95_fk_integrity,
-        "q96_bpe_train": q96_bpe_train,
-        # the 34 rotated back in (last driver rows: r1-r4)
-        "q03_masked_mxv": q03_masked_mxv,
-        "q04_ewise": q04_ewise,
-        "q05_connected_components": q05_connected_components,
-        "q06_sssp_dag": q06_sssp_dag,
-        "q07_triangles": q07_triangles,
-        "q08_bfs": q08_bfs,
-        "q14_colwise_stats": q14_colwise_stats,
-        "q16_scalar_suite": q16_scalar_suite,
-        "q53_scalar_fill": q53_scalar_fill,
-        "q24_fingerprint": q24_fingerprint,
-        "q25_token_freq": q25_token_freq,
-        "q22_quality": q22_quality,
-        "q34_embedding_neardup": q34_embedding_neardup,
-        "q30_exact_dedup": q30_exact_dedup,
-        "q31_ngram_jaccard": q31_ngram_jaccard,
-        "q32_minhash_lsh": q32_minhash_lsh,
-        "q33_simhash": q33_simhash,
-        "q35_cosine_topk": q35_cosine_topk,
-        "q36_ivf_ann": q36_ivf_ann,
-        "q10_jsonl_roundtrip": q10_jsonl_roundtrip,
-        "q59_orc_roundtrip": q59_orc_roundtrip,
-        "q60_bucketed_join": q60_bucketed_join,
-        "q39_dup_clusters": q39_dup_clusters,
-        "q40_stream_window": q40_stream_window,
-        "q42_stream_dedup": q42_stream_dedup,
-        "q54_stream_join": q54_stream_join,
-        "q57_asof_join": q57_asof_join,
-        "q58_rolling_window": q58_rolling_window,
-        "q41_sessionize": q41_sessionize,
-        "q41b_streaming_sessionize": q41b_streaming_sessionize,
-        "q50_media_meta": q50_media_meta,
-        "q51_media_features": q51_media_features,
-        "q52_frame_sample": q52_frame_sample,
-        "q37_pagerank": q37_pagerank,
-        # ---- 50-row cap falls here ----
-        # round-6 overflow (q100, q102-q179 minus the 16 in-window):
-        # every one independently dual-SF hash-green via
-        # tools/check_oracle.py (full sf0.01 sweep: 179/179, 0 fail);
-        # rotate into the driver window across r7+
+        # r7 driver window: first driver rows needed
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
         "q103_melt": q103_melt,
@@ -2646,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_majority_vote": q148_majority_vote,
         "q149_naive_bayes": q149_naive_bayes,
         "q150_graph_jaccard": q150_graph_jaccard,
+        # r8 window queue (dual-SF hash-green, no driver row yet)
         "q151_schema_evolution": q151_schema_evolution,
         "q152_mixture_accounting": q152_mixture_accounting,
         "q153_rolling_corr": q153_rolling_corr,
@@ -2681,8 +2618,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_neyman": q183_neyman,
         "q184_split_leakage": q184_split_leakage,
         "q185_winsorize": q185_winsorize,
-        # (q61-q70 slid past the cap to make room for q91-q99/q101 —
-        # they carry r4+r5 driver rows and rotate back in r7)
+        # driver-rowed in r5/r6 (kept registered for full sweeps)
+        "q97_semantic_dedup": q97_semantic_dedup,
+        "q98_ewma": q98_ewma,
+        "q99_gapfill": q99_gapfill,
+        "q101_dedup_spans": q101_dedup_spans,
+        "q85_hll_distinct": q85_hll_distinct,
+        "q86_weighted_sample": q86_weighted_sample,
+        "q87_dup_ngram_coverage": q87_dup_ngram_coverage,
+        "q88_kmv_union": q88_kmv_union,
+        "q89_bloom_decontaminate": q89_bloom_decontaminate,
+        "q90_zipf_slope": q90_zipf_slope,
+        "q91_countmin": q91_countmin,
+        "q92_hll_rollup": q92_hll_rollup,
+        "q93_label_propagation": q93_label_propagation,
+        "q94_table_profile": q94_table_profile,
+        "q95_fk_integrity": q95_fk_integrity,
+        "q96_bpe_train": q96_bpe_train,
+        "q03_masked_mxv": q03_masked_mxv,
+        "q04_ewise": q04_ewise,
+        "q05_connected_components": q05_connected_components,
+        "q06_sssp_dag": q06_sssp_dag,
+        "q07_triangles": q07_triangles,
+        "q08_bfs": q08_bfs,
+        "q14_colwise_stats": q14_colwise_stats,
+        "q16_scalar_suite": q16_scalar_suite,
+        "q53_scalar_fill": q53_scalar_fill,
+        "q24_fingerprint": q24_fingerprint,
+        "q25_token_freq": q25_token_freq,
+        "q22_quality": q22_quality,
+        "q34_embedding_neardup": q34_embedding_neardup,
+        "q30_exact_dedup": q30_exact_dedup,
+        "q31_ngram_jaccard": q31_ngram_jaccard,
+        "q32_minhash_lsh": q32_minhash_lsh,
+        "q33_simhash": q33_simhash,
+        "q35_cosine_topk": q35_cosine_topk,
+        "q36_ivf_ann": q36_ivf_ann,
+        "q10_jsonl_roundtrip": q10_jsonl_roundtrip,
+        "q59_orc_roundtrip": q59_orc_roundtrip,
+        "q60_bucketed_join": q60_bucketed_join,
+        "q39_dup_clusters": q39_dup_clusters,
+        "q40_stream_window": q40_stream_window,
+        "q42_stream_dedup": q42_stream_dedup,
+        "q54_stream_join": q54_stream_join,
+        "q57_asof_join": q57_asof_join,
+        "q58_rolling_window": q58_rolling_window,
+        "q41_sessionize": q41_sessionize,
+        "q41b_streaming_sessionize": q41b_streaming_sessionize,
+        "q50_media_meta": q50_media_meta,
+        "q51_media_features": q51_media_features,
+        "q52_frame_sample": q52_frame_sample,
+        "q37_pagerank": q37_pagerank,
         "q61_bm25": q61_bm25,
         "q62_kmeans": q62_kmeans,
         "q63_chunking": q63_chunking,
@@ -2693,8 +2679,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_decontaminate": q68_decontaminate,
         "q69_tfidf": q69_tfidf,
         "q70_corpus_profile": q70_corpus_profile,
-        # rotated out this round (all carry fresh r5 driver rows) —
-        # rotate back in r7
         "q71_hyperplane_neardup": q71_hyperplane_neardup,
         "q72_random_projection": q72_random_projection,
         "q73_vocab_oov": q73_vocab_oov,
@@ -4480,17 +4464,22 @@ def oracle_sql() -> dict[str, str]:
         ("customer->nation", "customer", "c_nationkey", "nation",
          "n_nationkey"),
     ]
+    # native-type key joins (no bigint cast — would NULL string keys);
+    # NULL FKs counted separately and excluded from orphans.
     sql["q95_fk_integrity"] = "\nUNION ALL\n".join(f"""
         SELECT '{name}' AS "check",
                (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct}) AS n_child,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct}
+                WHERE {fk} IS NULL) AS n_null_fk,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct} ch
-                WHERE NOT EXISTS (SELECT 1 FROM {pt} p
-                      WHERE CAST(p.{pk} AS BIGINT)
-                            = CAST(ch.{fk} AS BIGINT))) AS n_orphan,
+                WHERE ch.{fk} IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM {pt} p
+                      WHERE p.{pk} = ch.{fk})) AS n_orphan,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM
-                  (SELECT DISTINCT CAST({pk} AS BIGINT) AS k FROM {pt}) p
+                  (SELECT DISTINCT {pk} AS k FROM {pt}
+                   WHERE {pk} IS NOT NULL) p
                 WHERE NOT EXISTS (SELECT 1 FROM {ct} ch
-                      WHERE CAST(ch.{fk} AS BIGINT) = p.k))
+                      WHERE ch.{fk} = p.k))
                  AS n_childless_parent""" for name, ct, fk, pt, pk
                                           in _fk_checks)
     # q97: replay the q62 k-means chain, then the capped within-cluster

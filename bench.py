@@ -67,6 +67,7 @@ def main() -> int:
     spark = (SparkSession.builder.master(f"local[{CPUS}]")
              .config("spark.sql.shuffle.partitions", str(CPUS))
              .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
              .config("spark.driver.memory", "48g")
              .config("spark.ui.enabled", "false")
              .appName("dgs-bench").getOrCreate())

@@ -38,7 +38,10 @@ from .operators import semiring
 
 __all__ = ["bfs_level", "sssp", "connected_components", "pagerank",
            "triangle_count", "symmetrize", "with_singletons", "k_core",
-           "hits", "adamic_adar", "clustering_coefficient"]
+           "hits", "adamic_adar", "clustering_coefficient",
+           "label_propagation", "neighborhood_jaccard",
+           "personalized_pagerank", "degree_assortativity",
+           "reciprocity"]
 
 # Lineage growth between checkpoints is GEOMETRIC for min-merge loops:
 # each iteration's state plan nests the previous state ~3x (improved
@@ -565,6 +568,8 @@ def hits(A: GrMatrix, iters: int = 5) -> DataFrame:
 
     Returns a DataFrame (i, hub, authority) over all n vertices
     (isolated vertices carry 0.0)."""
+    if iters < 1:
+        raise ValueError("hits requires iters >= 1")
     spark = get_session()
     n = A.nrows
     adj, own_adj = _ensure_cached(A.df)

@@ -764,19 +764,29 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     the cap ngram_jaccard_pairs needs is built into the ordering here).
     The min/max size filter at join time prunes further (J <= min/max).
 
-    Plan: doc-frequency agg on the vocabulary relation, one per-doc
-    rank window for the prefix, the prefix self-join, then exact
-    verification against the per-doc hash sets. Output:
-    (id_a, id_b, jaccard) — identical to ngram_jaccard_pairs(None cap).
-
-    CAVEAT (all similarity joins, not just this one): a cluster of f
-    IDENTICAL documents shares its entire prefix, so no blocking scheme
-    bounds its f^2/2 true pairs — they ARE the answer. Run exact_dedup
-    first; prefix filtering then bounds the near-dup (non-identical)
-    candidates.
+    Plan: identical shingle SETS first collapse to one min-id
+    representative each (no blocking scheme bounds an identical
+    cluster — its entire prefix is shared and its f^2/2 true pairs ARE
+    the answer, so they re-expand AFTER the quadratic path: within a
+    group every pair is jaccard 1 by construction, and a
+    representative pair's jaccard carries to every cross-member pair);
+    then doc-frequency agg on the vocabulary relation, one per-doc
+    rank window for the prefix, the prefix self-join over
+    REPRESENTATIVES only, and exact verification against the per-doc
+    hash sets. Output: (id_a, id_b, jaccard) — identical to
+    ngram_jaccard_pairs(None cap).
     """
     sets = _doc_shingle_sets(df, id_col, text_col, n)
-    sh2 = sets.select("id", "sz", F.explode("hs").alias("h"))
+    fp = F.md5(F.concat_ws(",", F.transform(
+        F.array_sort("hs"), lambda x: x.cast("string"))))
+    mem = sets.select("id", "sz", "hs", fp.alias("_fp"))
+    if SHARE_SETS:
+        mem = mem.localCheckpoint(eager=True)
+    grp = mem.groupBy("_fp").agg(F.min("id").alias("_rep"))
+    reps = (mem.join(grp.select(F.col("_rep").alias("id"), "_fp"),
+                     on=["_fp", "id"])
+               .select("id", "sz", "hs"))
+    sh2 = reps.select("id", "sz", F.explode("hs").alias("h"))
     dfreq = sh2.groupBy("h").agg(F.count("*").alias("_df"))
     ranked = sh2.join(dfreq, on="h")
     w = Window.partitionBy("id").orderBy("_df", "h")
@@ -795,7 +805,32 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
               .select(F.col("a.id").alias("id_a"),
                       F.col("b.id").alias("id_b"))
               .distinct())
-    return _jaccard_from_sets(pairs, sets, threshold)
+    rep_pairs = _jaccard_from_sets(pairs, reps, threshold)
+    # re-expand the identical-set groups. Within-group: every member
+    # pair, jaccard exactly 1. Cross-group: each representative pair
+    # fans out to its two groups' member cross product (identical sets
+    # => identical jaccard; includes the rep x rep pair itself), ids
+    # re-canonicalized (a member id need not preserve the
+    # representatives' order).
+    ga = grp.select(F.col("_rep").alias("id_a"),
+                    F.col("_fp").alias("_fa"))
+    gb = grp.select(F.col("_rep").alias("id_b"),
+                    F.col("_fp").alias("_fb"))
+    ma = mem.select(F.col("_fp").alias("_fa"), F.col("id").alias("ia"))
+    mb = mem.select(F.col("_fp").alias("_fb"), F.col("id").alias("ib"))
+    cross = (rep_pairs.join(ga, on="id_a").join(gb, on="id_b")
+                      .join(ma, on="_fa").join(mb, on="_fb")
+                      .select(F.least("ia", "ib").alias("id_a"),
+                              F.greatest("ia", "ib").alias("id_b"),
+                              "jaccard"))
+    if threshold > 1.0:
+        return cross
+    ml = mem.select("_fp", F.col("id").alias("id_a"))
+    mr = mem.select("_fp", F.col("id").alias("id_b"))
+    within = (ml.join(mr, on="_fp")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", F.lit(1.0).alias("jaccard")))
+    return within.unionByName(cross)
 
 
 def containment_pairs(df: DataFrame, id_col: str = "doc_id",

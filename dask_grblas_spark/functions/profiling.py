@@ -70,32 +70,44 @@ def fk_integrity(checks: list[tuple[str, DataFrame, str, DataFrame, str]]
     """Referential-integrity audit: for each (name, child_df, fk_col,
     parent_df, pk_col) check, count child rows whose fk has no matching
     parent key (orphans) and parent keys with no child (childless —
-    coverage, not a violation). Each check is two marker LEFT joins
-    (child keys against the DISTINCT parent keys and the reverse —
-    dimension-sized parent relations broadcast, Spark picks) whose
-    UNION feeds one aggregate: no per-count jobs and no 1-row
-    crossJoins in the plan. Output: (check, n_child, n_orphan,
-    n_childless_parent)."""
+    coverage, not a violation). Joins run on the NATIVE key type (no
+    cast — string keys work; a bigint cast would NULL them out and
+    silently report 100% orphans). NULL foreign keys are counted
+    separately (n_null_fk) and are NOT orphans, matching standard RI
+    semantics; NULL parent keys are excluded (a PK can't be NULL).
+    Each check is two marker LEFT joins (child keys against the
+    DISTINCT parent keys and the reverse — dimension-sized parent
+    relations broadcast, Spark picks) whose UNION feeds one aggregate:
+    no per-count jobs and no 1-row crossJoins in the plan. Output:
+    (check, n_child, n_null_fk, n_orphan, n_childless_parent)."""
     outs = []
     for name, child, fk, parent, pk in checks:
-        ckeys = child.select(F.col(fk).cast("bigint").alias("k"))
-        pkeys = parent.select(F.col(pk).cast("bigint").alias("k")).distinct()
+        ckeys = child.select(F.col(fk).alias("k"))
+        pkeys = (parent.select(F.col(pk).alias("k"))
+                       .where(F.col("k").isNotNull()).distinct())
         cside = (ckeys.join(pkeys.withColumn("_p", F.lit(1)),
                             on="k", how="left")
                       .select(F.lit(True).alias("is_child"),
-                              F.col("_p").isNull().alias("bad")))
-        pside = (pkeys.join(ckeys.distinct().withColumn("_c", F.lit(1)),
+                              (F.col("k").isNotNull()
+                               & F.col("_p").isNull()).alias("bad"),
+                              F.col("k").isNull().alias("nul")))
+        pside = (pkeys.join(ckeys.where(F.col("k").isNotNull())
+                                 .distinct().withColumn("_c", F.lit(1)),
                             on="k", how="left")
                       .select(F.lit(False).alias("is_child"),
-                              F.col("_c").isNull().alias("bad")))
+                              F.col("_c").isNull().alias("bad"),
+                              F.lit(False).alias("nul")))
         row = (cside.unionByName(pside).agg(
             F.sum(F.col("is_child").cast("bigint")).alias("n_child"),
+            F.sum((F.col("is_child") & F.col("nul")).cast("bigint"))
+             .alias("n_null_fk"),
             F.sum((F.col("is_child") & F.col("bad")).cast("bigint"))
              .alias("n_orphan"),
             F.sum(((~F.col("is_child")) & F.col("bad")).cast("bigint"))
              .alias("n_childless"))
             .select(F.lit(name).alias("check"),
                     F.col("n_child").cast("bigint").alias("n_child"),
+                    F.col("n_null_fk").cast("bigint").alias("n_null_fk"),
                     F.col("n_orphan").cast("bigint").alias("n_orphan"),
                     F.col("n_childless").cast("bigint")
                      .alias("n_childless_parent")))
@@ -392,41 +404,63 @@ def benford_digits(df: DataFrame, value_col: str,
                             6).alias("chi2_part")))
 
 
+def _exact_rank(df: DataFrame, sort_cols: list,
+                out_col: str = "_rank") -> tuple[DataFrame, int]:
+    """EXACT dense 1..n global rank over the total order given by
+    ``sort_cols`` (ascending Column expressions; the trailing column
+    must be a per-row tie-break so the composite key is distinct) —
+    no single-task global window AND no value-skew hazard:
+    repartitionByRange on the FULL sort key makes every partition a
+    contiguous, sample-balanced interval of the total order (ties on
+    the leading metric split across partitions because the tie-break
+    column is distinct — a 90%-constant metric still balances), the
+    numPartitions per-partition counts come to the driver (bounded),
+    and rank = partition offset + local row_number. Exactness does not
+    depend on where the sampled boundaries land; the partition id is
+    materialized (localCheckpoint) so the count pass and the rank pass
+    see identical placement. Returns (ranked_df, n) with ``out_col``
+    added; input columns are preserved."""
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    tagged = (df.repartitionByRange(nparts, *sort_cols)
+                .withColumn("_p", F.spark_partition_id())
+                .localCheckpoint())
+    hist = dict(tagged.groupBy("_p").count().collect())
+    if not hist:
+        return (tagged.withColumn(out_col, F.lit(None).cast("bigint"))
+                      .drop("_p"), 0)
+    offsets, cum = {}, 0
+    for p in sorted(hist):
+        offsets[p] = cum
+        cum += hist[p]
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = W.partitionBy("_p").orderBy(*sort_cols)
+    rank = (off[F.col("_p")] + F.row_number().over(w)).cast("bigint")
+    return tagged.withColumn(out_col, rank).drop("_p"), cum
+
+
 def _exact_ntile(df: DataFrame, metric: str, ascending: bool,
                  n_tiles: int, out_col: str, key: str = "key",
                  nbins: int = 1024) -> DataFrame:
     """Distributed EXACT NTILE over the total order (metric asc/desc,
-    key asc) — no single-task global window. Same trick as
-    exact_quantiles: an equi-width histogram on the metric gives each
-    bin's global rank OFFSET (nbins counts to the driver, bounded);
-    a window PARTITIONED BY BIN computes local ranks; global rank =
-    offset + local rank, and the tile falls out of NTILE's closed form
-    (n = q*t + r: first r tiles hold q+1 rows). Binning is a pure
-    execution detail — equal metrics share a bin, bins are contiguous
-    in the order, so offset + local rank reproduces the exact global
-    rank regardless of bin shape."""
-    from pyspark.sql.window import Window as W
-
+    key asc) — no single-task global window and no tie-skew straggler:
+    _exact_rank range-partitions on the full (metric, key) sort key,
+    so even a 90%-duplicate metric (e.g. RFM frequency = 1) balances
+    across partitions (the distinct key splits the tie run). The tile
+    falls out of NTILE's closed form (n = q*t + r: first r tiles hold
+    q+1 rows). Rows with a NULL metric rank first (Spark nulls-first
+    ascending), deterministically tie-broken by key. ``nbins`` is kept
+    for signature compatibility; ranking no longer bins on value."""
     v = F.col(metric).cast("double")
     ordv = v if ascending else -v
-    n, lo, hi = df.agg(F.count("*"), F.min(ordv), F.max(ordv)).collect()[0]
-    if hi == lo or n <= 1:
-        bin_ = F.lit(0)
-    else:
-        raw = F.floor((ordv - F.lit(float(lo))) * F.lit(float(nbins))
-                      / F.lit(float(hi - lo)))
-        bin_ = F.least(F.greatest(raw, F.lit(0)),
-                       F.lit(nbins - 1)).cast("int")
-    tagged = df.withColumn("_b", bin_)
-    hist = dict(tagged.groupBy("_b").count().collect())
-    offsets, cum = {}, 0
-    for b in sorted(hist):
-        offsets[b] = cum
-        cum += hist[b]
-    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    w = (W.partitionBy("_b")
-          .orderBy(v.asc() if ascending else v.desc(), F.col(key)))
-    rank = off[F.col("_b")] + F.row_number().over(w)
+    ranked, n = _exact_rank(df.withColumn("_ord", ordv),
+                            [F.col("_ord"), F.col(key)], "_gr")
+    if n == 0:
+        return ranked.withColumn(out_col, F.lit(None).cast("int")) \
+                     .drop("_ord", "_gr")
+    rank = F.col("_gr")
     q, r = divmod(int(n), n_tiles)
     if q == 0:
         tile = rank
@@ -434,8 +468,8 @@ def _exact_ntile(df: DataFrame, metric: str, ascending: bool,
         tile = F.when(rank <= r * (q + 1),
                       F.floor((rank - 1) / (q + 1)) + 1) \
                 .otherwise(r + F.floor((rank - r * (q + 1) - 1) / q) + 1)
-    return (tagged.withColumn(out_col, tile.cast("int"))
-                  .drop("_b"))
+    return (ranked.withColumn(out_col, tile.cast("int"))
+                  .drop("_ord", "_gr"))
 
 
 def rfm_segments(orders_df: DataFrame, key_col: str = "o_custkey",
@@ -811,10 +845,11 @@ def gini_coefficient(df: DataFrame, val_col: str,
     """EXACT Gini concentration coefficient of a nonnegative measure:
     G = 2 * sum(rank_i * x_i) / (n * sum(x)) - (n + 1) / n over the
     ascending-sorted values — computed WITHOUT a global sort via the
-    histogram-offset exact rank (equi-width bin counts to the driver,
-    row_number per bin + bin offset; sum(rank * x) is invariant to
-    tie order among equal values, so any within-bin tie order is
-    correct). Output: one row (n, total, gini rounded 6)."""
+    range-partitioned exact rank (_exact_rank: partition on the full
+    (value, row-id) sort key, so a 90%-constant value still balances
+    across partitions; sum(rank * x) is invariant to tie order among
+    equal values, so the synthetic row-id tie-break is correct).
+    Output: one row (n, total, gini rounded 6)."""
     v = F.col(val_col).cast("double")
     base = df.select(v.alias("_v")).where(F.col("_v") >= 0)
     n, tot, lo, hi = base.agg(F.count("*"), F.sum("_v"), F.min("_v"),
@@ -827,21 +862,10 @@ def gini_coefficient(df: DataFrame, val_col: str,
     if hi == lo:
         return spark.createDataFrame([(int(n), float(tot), 0.0)],
                                      "n long, total double, gini double")
-    raw = F.floor((F.col("_v") - F.lit(float(lo))) * F.lit(float(nbins))
-                  / F.lit(float(hi - lo)))
-    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
-    tagged = base.withColumn("_b", bin_)
-    hist = dict(tagged.groupBy("_b").count().collect())
-    offsets, cum = {}, 0
-    for b in sorted(hist):
-        offsets[b] = cum
-        cum += hist[b]
-    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    from pyspark.sql.window import Window as W
-    wn = W.partitionBy("_b").orderBy("_v")
-    rank = off[F.col("_b")] + F.row_number().over(wn)
-    s = (tagged.withColumn("_r", rank)
-               .agg(F.sum(F.col("_r") * F.col("_v")).alias("_srx"))
+    ranked, _ = _exact_rank(
+        base.withColumn("_id", F.monotonically_increasing_id()),
+        [F.col("_v"), F.col("_id")], "_r")
+    s = (ranked.agg(F.sum(F.col("_r") * F.col("_v")).alias("_srx"))
                .collect()[0][0])
     g = 2.0 * s / (n * tot) - (n + 1.0) / n
     return spark.createDataFrame(

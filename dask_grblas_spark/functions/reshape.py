@@ -57,30 +57,21 @@ def dictionary_encode(df, col: str):
     a consecutive id following lexicographic order — the dictionary
     builder for categorical compression / feature hashing replacement.
 
-    No global window: distinct values bin by their 2-char prefix
-    (lexicographic prefixes preserve the total order, so bins are
-    contiguous runs), bin counts come to the driver (bounded by the
-    prefix alphabet actually present), and id = bin offset + within-bin
-    row_number. Prefix bins can be uneven — each bin's window sorts
-    only that bin's values, and any single hot prefix degrades to that
-    prefix's dictionary slice, never the whole dictionary.
-    Output: (value, id) with id dense from 0."""
+    No global window and no hot-prefix hazard: _exact_rank
+    range-partitions the distinct values on the value itself (distinct
+    strings = a tie-free sort key, so the sampled range boundaries
+    balance any distribution — a URL corpus where every value starts
+    "ht" still splits evenly), per-partition counts come to the
+    driver (numPartitions rows, bounded), and id = partition offset +
+    within-partition row_number - 1. Output: (value, id) with id dense
+    from 0 following lexicographic (binary) order."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window as W
+
+    from .profiling import _exact_rank
 
     vals = (df.select(F.col(col).cast("string").alias("value"))
               .where(F.col("value").isNotNull())
               .distinct())
-    tagged = vals.withColumn("_b", F.substring("value", 1, 2))
-    tagged = tagged.localCheckpoint()
-    hist = dict(tagged.groupBy("_b").count().collect())
-    offsets, cum = {}, 0
-    for b in sorted(hist):
-        offsets[b] = cum
-        cum += hist[b]
-    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    w = W.partitionBy("_b").orderBy("value")
-    return (tagged.withColumn(
-                "id", (off[F.col("_b")] + F.row_number().over(w) - 1)
-                      .cast("bigint"))
-                  .select("value", "id"))
+    ranked, _ = _exact_rank(vals, [F.col("value")], "_r")
+    return ranked.select("value",
+                         (F.col("_r") - 1).cast("bigint").alias("id"))

@@ -482,8 +482,11 @@ def bpe_train(df: DataFrame, text_col: str = "text", n_merges: int = 5,
         pair, cnt = top[0]["pair"], top[0]["cnt"]
         merged = pair.replace("><", "")
         merges.append((step, pair, merged, int(cnt)))
-        cur = (cur.select(F.expr(
-                   f"replace(r, '{pair}', '{merged}')").alias("r"), "freq")
+        # F.replace with lit() operands: the data-derived winning pair
+        # never enters SQL text, so apostrophes/backslashes in corpus
+        # tokens can neither break parsing nor inject expressions.
+        cur = (cur.select(F.replace(F.col("r"), F.lit(pair),
+                                    F.lit(merged)).alias("r"), "freq")
                   .localCheckpoint(eager=True))
     return spark.createDataFrame(
         merges, "step int, pair string, merged string, cnt bigint")
@@ -511,9 +514,6 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
 
     Output: (w, freq, enc, n_sub) — the word, its corpus frequency, the
     sentinel-form encoding, and its subword count."""
-    for pair, merged in merges:
-        if "'" in pair or "'" in merged:
-            raise ValueError("merge literals must not contain quotes")
     toks = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
     word = (df.select(F.explode(toks).alias("w"))
               .filter(~F.col("w").rlike("[<>]")
@@ -524,8 +524,10 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
         "c -> concat('<', c, '>')))")
     cur = word.select("w", "freq", repr0.alias("r"))
     for pair, merged in merges:
+        # lit() operands, not f-string SQL: merge literals with quotes
+        # or backslashes apply verbatim (no parse error, no injection).
         cur = cur.withColumn(
-            "r", F.expr(f"replace(r, '{pair}', '{merged}')"))
+            "r", F.replace(F.col("r"), F.lit(pair), F.lit(merged)))
     n_sub = F.size(F.expr("regexp_extract_all(r, '<[^<>]+>', 0)"))
     return cur.select("w", "freq", F.col("r").alias("enc"),
                       n_sub.cast("int").alias("n_sub"))

@@ -313,9 +313,14 @@ def cohort_retention(events_df: DataFrame, key_col: str = "user_id",
            .distinct())
     first = per.groupBy("key").agg(F.min("b").alias("b0"))
     width = {"day": 86400, "week": 604800, "hour": 3600}[bucket]
+    # round-to-nearest, not truncate: under a DST-shifting session
+    # timezone a "week" gap can be width-3600 s, which truncation
+    # would misfile into the previous offset (UTC sessions are exact
+    # either way).
     return (per.join(first, on="key")
                .select("key", F.col("b0").alias("cohort"),
-                       ((F.col("b") - F.col("b0")) / F.lit(width))
+                       F.floor((F.col("b") - F.col("b0")
+                                + F.lit(width // 2)) / F.lit(width))
                        .cast("bigint").alias("offset"))
                .groupBy("cohort", "offset")
                .agg(F.count_distinct("key").cast("bigint")

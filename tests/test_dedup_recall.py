@@ -344,6 +344,28 @@ def test_prefix_jaccard_identical_docs(spark):
     assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(1, 2, 1.0)]
 
 
+def test_prefix_jaccard_identical_cluster_collapse(spark):
+    """An identical-doc cluster collapses to one representative before
+    the prefix join and re-expands exactly: all within-cluster pairs at
+    jaccard 1, every cross pair (cluster member x near-dup) present,
+    nothing duplicated (the round-6 verdict guard)."""
+    near = "a b c d e f g h i j k X"
+    rows = [(i, "a b c d e f g h i j k l") for i in range(6)]
+    rows += [(10, near), (20, "p q r s t u v w x y z zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r.id_a, r.id_b, r.jaccard)
+                 for r in dedup.prefix_jaccard_pairs(
+                     df, n=2, threshold=0.5).collect())
+    want = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        df, n=2, threshold=0.5, max_doc_freq=None)
+        .select("id_a", "id_b", "jaccard").collect()))
+    assert got == want
+    # the 6-clique at jaccard 1 plus each member's pair with the near-dup
+    assert sum(1 for a, b, j in got if j == 1.0) == 15
+    assert sum(1 for a, b, j in got if b == 10) == 6
+    assert len(got) == len(set((a, b) for a, b, _ in got))
+
+
 def test_hyperplane_between_pairs_cross_side_only(spark):
     """Near-identical planted pairs split across new/corpus sides are
     found; same-side duplicates must NOT pair."""

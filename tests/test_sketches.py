@@ -241,8 +241,27 @@ def test_fk_integrity_planted_orphans(spark):
     r = got[0]
     assert r["check"] == "c->p"
     assert r.n_child == 4
+    assert r.n_null_fk == 0
     assert r.n_orphan == 1          # fk=99 has no parent
     assert r.n_childless_parent == 1  # pk=12 has no child
+
+
+def test_fk_integrity_string_keys_and_null_fks(spark):
+    """String keys join natively (the old bigint cast NULLed them all
+    out), and NULL FKs count separately — never as orphans."""
+    from dask_grblas_spark.functions import profiling
+
+    child = spark.createDataFrame(
+        [(1, "US"), (2, "US"), (3, "FR"), (4, "XX"), (5, None)],
+        "id long, fk string")
+    parent = spark.createDataFrame(
+        [("US",), ("FR",), ("DE",), (None,)], "pk string")
+    r = profiling.fk_integrity(
+        [("c->p", child, "fk", parent, "pk")]).collect()[0]
+    assert r.n_child == 5
+    assert r.n_null_fk == 1           # the None fk, NOT an orphan
+    assert r.n_orphan == 1            # only XX
+    assert r.n_childless_parent == 1  # DE (NULL pk excluded)
 
 
 def test_bpe_train_classic_corpus(spark):
@@ -273,6 +292,25 @@ def test_bpe_train_greedy_overlap_and_guards(spark):
     assert got[0].pair == "<l><l>" and got[0].cnt == 2
     # after merging: '<ll><l>' -> round 2 merges (ll, l)
     assert got[1].pair == "<ll><l>" and got[1].cnt == 1
+
+
+def test_bpe_train_and_encode_survive_sql_metachars(spark):
+    """A corpus token containing an apostrophe (or backslash) can win a
+    merge round; the rewrite must apply it literally, not interpolate
+    it into SQL text (the round-6 injection finding)."""
+    rows = [(i, "don't", "s", 1) for i in range(5)]
+    rows += [(99, "a\\'b a\\'b", "s", 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "source string, n_chars long")
+    got = text_fns.bpe_train(df, n_merges=3).orderBy("step").collect()
+    # dominant word don't (5x): first merges are within it
+    assert got[0].pair in ("<d><o>", "<n><'>", "<o><n>", "<'><t>")
+    assert all("'" in r.pair or "\\" in r.pair or r.cnt >= 2
+               for r in got)
+    # encode with a quoted merge literal applies verbatim
+    enc = text_fns.bpe_encode(df, [("<'><t>", "<'t>")]).collect()
+    by_w = {r.w: r.enc for r in enc}
+    assert by_w["don't"].endswith("<'t>")
 
 
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ def main() -> int:
     spark = (SparkSession.builder.master("local[32]")
              .config("spark.sql.shuffle.partitions", "64")
              .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
              .config("spark.driver.memory", "48g")
              .config("spark.ui.enabled", "false")
              .appName("dgs-scale-probe").getOrCreate())
