@@ -1323,6 +1323,66 @@ def q185_winsorize(spark, sf_dir):
                   F.round(F.sum("v_clip"), 4).alias("sum_clip")))
 
 
+def q186_katz(spark, sf_dir):
+    """Katz centrality (fixed 5 attenuated-walk iterations, alpha=0.1,
+    beta=1) on the directed customer->supplier nation graph — the same
+    deterministic-trajectory discipline as q37/q112, replayed by
+    unrolled CTEs."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    return alg.katz_centrality(nn, alpha=0.1, beta=1.0, iters=5) \
+        .select("i", "katz")
+
+
+def q187_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM trained on the corpus
+    (text.kneser_ney_bigram) — pure count arithmetic, every term
+    replayed by the SQL oracle; bigrams with count >= 3."""
+    return text.kneser_ney_bigram(_doc(spark, sf_dir), min_count=3) \
+        .select("w1", "w2", "c12", "p_kn")
+
+
+def q188_ngram_loops(spark, sf_dir):
+    """Degenerate-text screen: per-document max repeated 4-gram count
+    and repeat fraction (text.repeated_ngram_loops) — a ZERO-shuffle
+    array-expression plan (sort the doc's grams, longest equal run =
+    max multiplicity)."""
+    return text.repeated_ngram_loops(_doc(spark, sf_dir), n=4) \
+        .select("doc_id", "n_grams", "distinct_grams", "max_repeat",
+                "repeat_frac")
+
+
+def q189_column_entropy(spark, sf_dir):
+    """Column-distribution profile: Shannon entropy per lineitem
+    dimension column from ONE melted grouped count
+    (profiling.column_entropy)."""
+    from dask_grblas_spark.functions import profiling
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profiling.column_entropy(
+        li, ["l_returnflag", "l_linestatus", "l_linenumber",
+             "l_quantity"]) \
+        .select("col", "n", "n_null", "n_distinct", "entropy",
+                "norm_entropy")
+
+
+def q190_robust_scale(spark, sf_dir):
+    """Median/IQR robust standardization of order totals per order
+    priority (profiling.robust_scale) — exact grouped percentiles
+    broadcast back; rolled up per group for the gate (n, med, iqr,
+    mean |scaled| and max |scaled|)."""
+    from dask_grblas_spark.functions import profiling
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = profiling.robust_scale(o, "o_orderpriority", "o_totalprice")
+    return (s.groupBy(F.col("o_orderpriority").alias("grp"))
+             .agg(F.count("*").cast("bigint").alias("n"),
+                  F.max("med").alias("med"), F.max("iqr").alias("iqr"),
+                  F.round(F.avg(F.abs(F.col("scaled"))), 6)
+                   .alias("mean_abs"),
+                  F.round(F.max(F.abs(F.col("scaled"))), 6)
+                   .alias("max_abs")))
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2583,6 +2643,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_naive_bayes": q149_naive_bayes,
         "q150_graph_jaccard": q150_graph_jaccard,
         # r8 window queue (dual-SF hash-green, no driver row yet)
+        "q186_katz": q186_katz,
+        "q187_kneser_ney": q187_kneser_ney,
+        "q188_ngram_loops": q188_ngram_loops,
+        "q189_column_entropy": q189_column_entropy,
+        "q190_robust_scale": q190_robust_scale,
         "q151_schema_evolution": q151_schema_evolution,
         "q152_mixture_accounting": q152_mixture_accounting,
         "q153_rolling_corr": q153_rolling_corr,
@@ -6812,6 +6877,125 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(ROUND(LEAST(GREATEST(e.value, b.lo), b.hi),
                                6)), 4) AS sum_clip
         FROM events e JOIN b USING (event_type)
+        GROUP BY 1"""
+
+    # q186: Katz by unrolled attenuated-walk CTEs (q37/q112 pattern).
+    katz_steps = []
+    for _t in range(1, 6):
+        katz_steps.append(f"""
+        x{_t} AS MATERIALIZED (
+          SELECT n.i, 1.0 + 0.1 * COALESCE(c.s, 0.0) AS x
+          FROM nodes n LEFT JOIN (
+            SELECT e.j AS i, SUM(x.x) AS s
+            FROM edges e JOIN x{_t - 1} x ON x.i = e.i GROUP BY 1) c
+          ON c.i = n.i
+        )""")
+    sql["q186_katz"] = f"""
+        WITH {NN_CTE},
+        edges AS MATERIALIZED (SELECT DISTINCT i, j FROM nn),
+        nodes AS MATERIALIZED (SELECT CAST(unnest(range(25)) AS BIGINT)
+                                 AS i),
+        x0 AS MATERIALIZED (SELECT i, 1.0 AS x FROM nodes),
+        {','.join(katz_steps)}
+        SELECT i, ROUND(x, 6) AS katz FROM x5
+    """
+
+    # q187: Kneser-Ney from the same bigram relation as q125; every
+    # term is an integer count, the probability expression mirrors the
+    # Spark association order exactly.
+    sql["q187_kneser_ney"] = r"""
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS a
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, generate_subscripts(a, 1) AS i, unnest(a) AS w
+          FROM arr
+        ), bg AS (
+          SELECT p1.w AS w1, p2.w AS w2
+          FROM pos p1 JOIN pos p2
+            ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+        ), c12 AS (
+          SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+        ), lm AS (
+          SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p_l
+          FROM c12 GROUP BY 1
+        ), rm AS (
+          SELECT w2, COUNT(*) AS n1p_r FROM c12 GROUP BY 1
+        ), tot AS (SELECT COUNT(*) AS n1p_all FROM c12)
+        SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+               ROUND(GREATEST(c12 - 0.75, 0.0) / c1
+                     + 0.75 * n1p_l / c1 * n1p_r / n1p_all, 6) AS p_kn
+        FROM c12 JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
+        WHERE c12 >= 3"""
+
+    # q188: repeated 4-gram screen; DuckDB rebuilds the grams via
+    # list_slice (inclusive bounds) — range(1, len-2) = starts 1..len-3.
+    sql["q188_ngram_loops"] = r"""
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS a
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(a, i, i + 3), ' ') AS gram
+          FROM (SELECT doc_id, a,
+                       unnest(range(1, len(a) - 2)) AS i
+                FROM arr WHERE len(a) >= 4)
+        ), cnt AS (
+          SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+        )
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+               CAST(MAX(c) AS BIGINT) AS max_repeat,
+               ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 6)
+                 AS repeat_frac
+        FROM cnt GROUP BY 1"""
+
+    # q189: entropy from grouped counts: H = ln(n) - sum(c ln c)/n.
+    # Values group by their string cast — only the grouping matters
+    # (distinct doubles stay distinct in both engines), no value string
+    # reaches the output.
+    _ent_cols = ["l_returnflag", "l_linestatus", "l_linenumber",
+                 "l_quantity"]
+    sql["q189_column_entropy"] = "\nUNION ALL\n".join(f"""
+        SELECT '{c}' AS col, CAST(SUM(cnt) AS BIGINT) AS n,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                WHERE {c} IS NULL) AS n_null,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               ROUND(LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt), 6)
+                 AS entropy,
+               CASE WHEN COUNT(*) > 1 THEN
+                 ROUND((LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt))
+                       / LN(COUNT(*)), 6) END AS norm_entropy
+        FROM (SELECT CAST({c} AS VARCHAR) AS v, COUNT(*) AS cnt
+              FROM lineitem WHERE {c} IS NOT NULL GROUP BY 1)"""
+                                                 for c in _ent_cols)
+
+    # q190: robust scaling stats; quantile_cont == Spark percentile
+    # (q175 precedent), med/iqr rounded 6 BEFORE the division both
+    # sides.
+    sql["q190_robust_scale"] = """
+        WITH s AS (
+          SELECT o_orderpriority AS grp,
+                 ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5),
+                       6) AS med,
+                 ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75)
+                       - quantile_cont(CAST(o_totalprice AS DOUBLE),
+                                       0.25), 6) AS iqr
+          FROM orders GROUP BY 1
+        )
+        SELECT o.o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(s.med) AS med, MAX(s.iqr) AS iqr,
+               ROUND(AVG(ABS(CASE WHEN s.iqr <> 0 THEN
+                 ROUND((CAST(o.o_totalprice AS DOUBLE) - s.med) / s.iqr,
+                       6) END)), 6) AS mean_abs,
+               ROUND(MAX(ABS(CASE WHEN s.iqr <> 0 THEN
+                 ROUND((CAST(o.o_totalprice AS DOUBLE) - s.med) / s.iqr,
+                       6) END)), 6) AS max_abs
+        FROM orders o JOIN s ON s.grp = o.o_orderpriority
         GROUP BY 1"""
 
     return sql

@@ -56,6 +56,11 @@ PIPELINE = [
     # cross-round history is broken): the two heaviest new ops
     "q97_semantic_dedup",
     "q101_dedup_spans",
+    # round 7 (r6 verdict item 7): round-over-round tracking for the
+    # session-2/3 families — exact set-similarity join and the
+    # three-pass exact-NTILE ranking
+    "q122_prefix_jaccard",
+    "q146_rfm",
 ]
 
 

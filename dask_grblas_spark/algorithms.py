@@ -41,7 +41,7 @@ __all__ = ["bfs_level", "sssp", "connected_components", "pagerank",
            "hits", "adamic_adar", "clustering_coefficient",
            "label_propagation", "neighborhood_jaccard",
            "personalized_pagerank", "degree_assortativity",
-           "reciprocity"]
+           "reciprocity", "katz_centrality"]
 
 # Lineage growth between checkpoints is GEOMETRIC for min-merge loops:
 # each iteration's state plan nests the previous state ~3x (improved
@@ -549,6 +549,50 @@ def triangle_count(A: GrMatrix) -> int:
     if own_raw:
         raw.unpersist()
     return int(t)
+
+
+def katz_centrality(A: GrMatrix, alpha: float = 0.1, beta: float = 1.0,
+                    iters: int = 5) -> DataFrame:
+    """Katz centrality by the fixed-iteration recurrence
+
+        x_{t+1}(j) = beta + alpha * sum_{i->j} x_t(i),  x_0 = beta·1
+
+    — after K steps x(j) counts every walk into j of length <= K,
+    attenuated alpha^len (converges to the closed form for
+    alpha < 1/rho(A); callers pick alpha accordingly). Fixed
+    iterations and no normalization keep the trajectory deterministic
+    and replayable as unrolled SQL CTEs (same discipline as pagerank /
+    hits). Plan: one join + map-side aggregate per step against the
+    cached source-partitioned edge relation; localCheckpoint bounds
+    the plan tree. Output: (i, katz rounded 6) over all n vertices
+    (isolated vertices carry beta)."""
+    if iters < 1:
+        raise ValueError("katz_centrality requires iters >= 1")
+    spark = get_session()
+    n = A.nrows
+    adj, own_adj = _ensure_cached(A.df)
+    edges = adj.select("i", "j").distinct()
+    k = _adjacency_partitions(edges.count())
+    edges_i = edges.repartition(k, "i").persist()
+    edges_i.count()
+    nodes = spark.range(n).select(F.col("id").alias("i"))
+    x = nodes.select("i", F.lit(float(beta)).alias("x"))
+    for step in range(iters):
+        contrib = (edges_i.join(x, on="i")
+                          .groupBy("j")
+                          .agg(F.sum("x").alias("s")))
+        x = (nodes.join(contrib.select(F.col("j").alias("i"), "s"),
+                        on="i", how="left")
+                  .select("i", (F.lit(float(beta))
+                                + F.lit(float(alpha))
+                                * F.coalesce(F.col("s"), F.lit(0.0)))
+                          .alias("x")))
+        x = x.localCheckpoint(eager=True)
+    out = x.select("i", F.round("x", 6).alias("katz"))
+    edges_i.unpersist()
+    if own_adj:
+        adj.unpersist()
+    return out
 
 
 def hits(A: GrMatrix, iters: int = 5) -> DataFrame:

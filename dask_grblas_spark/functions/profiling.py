@@ -24,7 +24,7 @@ __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "cumulative_gain", "moments_profile", "ab_test",
            "exact_weighted_quantiles", "group_quantiles", "user_growth",
            "chi2_independence", "gini_coefficient", "mad_outliers",
-           "key_skew", "winsorize"]
+           "key_skew", "winsorize", "column_entropy", "robust_scale"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -871,6 +871,68 @@ def gini_coefficient(df: DataFrame, val_col: str,
     return spark.createDataFrame(
         [(int(n), round(float(tot), 6), round(float(g), 6))],
         "n long, total double, gini double")
+
+
+def column_entropy(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Per-column Shannon entropy of the value distribution (nats) and
+    the normalized variant H / ln(k) — the cardinality-quality screen
+    of a profiling pass (a column whose normalized entropy ~0 is
+    near-constant; ~1 is uniform). NULLs are excluded from the
+    distribution and reported separately.
+
+    Plan: every column melts into one narrow (col, value) relation in a
+    single projection, ONE map-side-combined grouped count feeds the
+    per-column entropy aggregate — no per-column jobs. Output:
+    (col, n, n_null, n_distinct, entropy, norm_entropy), floats rounded
+    6; norm_entropy is NULL for single-valued columns (ln(1) = 0)."""
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 F.col(c).cast("string").alias("value"))
+        for c in columns])
+    melted = df.select(F.explode(pairs).alias("_m")) \
+               .select("_m.col", "_m.value")
+    counts = (melted.where(F.col("value").isNotNull())
+                    .groupBy("col", "value")
+                    .agg(F.count("*").alias("cnt")))
+    nulls = (melted.groupBy("col")
+                   .agg(F.sum(F.col("value").isNull().cast("bigint"))
+                         .alias("n_null")))
+    per = (counts.groupBy("col")
+                 .agg(F.sum("cnt").alias("n"),
+                      F.count("*").alias("k"),
+                      F.sum(F.col("cnt") * F.log("cnt")).alias("_clc")))
+    # H = ln(n) - sum(c ln c)/n (exactly the -sum p ln p expansion,
+    # but every aggregate term is count arithmetic the oracle replays)
+    h = F.log("n") - F.col("_clc") / F.col("n")
+    return (per.join(nulls, on="col")
+               .select("col", F.col("n").cast("bigint").alias("n"),
+                       F.col("n_null").cast("bigint").alias("n_null"),
+                       F.col("k").cast("bigint").alias("n_distinct"),
+                       F.round(h, 6).alias("entropy"),
+                       F.when(F.col("k") > 1,
+                              F.round(h / F.log("k"), 6))
+                        .alias("norm_entropy")))
+
+
+def robust_scale(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Median/IQR standardization per group: scaled = (x - median) /
+    (p75 - p25) — the outlier-robust feature scaler (sklearn's
+    RobustScaler, grouped). Exact percentiles via one grouped
+    aggregate, broadcast back; median and IQR round to 6 decimals
+    BEFORE the division (cross-engine percentile interpolation ulps),
+    and zero-IQR groups yield NULL (engines disagree on x/0). Output:
+    every input row + (med, iqr, scaled r6)."""
+    v = F.col(val_col).cast("double")
+    stats = (df.groupBy(F.col(group_col).alias("_grp"))
+               .agg(F.round(F.percentile(v, F.lit(0.5)), 6).alias("med"),
+                    F.round(F.percentile(v, F.lit(0.75))
+                            - F.percentile(v, F.lit(0.25)), 6)
+                     .alias("iqr")))
+    out = df.join(F.broadcast(stats),
+                  on=F.col(group_col) == F.col("_grp")).drop("_grp")
+    scaled = F.when(F.col("iqr") != 0,
+                    F.round((v - F.col("med")) / F.col("iqr"), 6))
+    return out.withColumn("scaled", scaled)
 
 
 def mad_outliers(df: DataFrame, group_col: str, val_col: str,

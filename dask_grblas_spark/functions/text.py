@@ -663,6 +663,98 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                                / F.sum("tf"), 6).alias("avg_lp")))
 
 
+def kneser_ney_bigram(df: DataFrame, text_col: str = "text",
+                      discount: float = 0.75,
+                      min_count: int = 2) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram probabilities trained on
+    the corpus — the standard n-gram LM estimator (the one KenLM
+    implements), built from pure count arithmetic:
+
+        P_KN(w2|w1) = max(c12 - d, 0)/c1  +  d·N1+(w1·)/c1 · P_cont(w2)
+        P_cont(w2)  = N1+(·w2) / N1+(··)
+
+    where c12/c1 are bigram/context counts, N1+(w1·) counts distinct
+    continuations of w1, N1+(·w2) counts distinct histories of w2 and
+    N1+(··) is the total bigram-type count. Every term is an integer
+    count (exactly replayable in SQL); the final probability rounds to
+    6 decimals.
+
+    Scale shape: one corpus scan explodes bigrams via an array
+    expression (no self-join); everything after rides the
+    VOCABULARY-sized bigram-type relation — two map-side-combined
+    grouped counts plus one 1-row type total (crossJoined broadcast).
+    Output: (w1, w2, c12, p_kn) for bigrams with c12 >= min_count
+    (the filter bounds output, not training: counts always use the
+    full relation)."""
+    arr = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    bg = (df.select(arr.alias("_a"))
+            .select(F.explode(F.expr(
+                "transform(slice(_a, 1, size(_a) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(_a, i + 2) AS w2))"
+            )).alias("_b"))
+            .select("_b.w1", "_b.w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c12 = c12.localCheckpoint(eager=True)  # shared by 3 marginals
+    left = c12.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                                 F.count("*").alias("n1p_l"))
+    right = c12.groupBy("w2").agg(F.count("*").alias("n1p_r"))
+    tot = c12.agg(F.count("*").alias("n1p_all"))
+    d = F.lit(float(discount))
+    p = (F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+         + d * F.col("n1p_l") / F.col("c1")
+         * F.col("n1p_r") / F.col("n1p_all"))
+    return (c12.join(left, on="w1").join(right, on="w2")
+               .crossJoin(F.broadcast(tot))
+               .where(F.col("c12") >= min_count)
+               .select("w1", "w2", F.col("c12").cast("bigint").alias("c12"),
+                       F.round(p, 6).alias("p_kn")))
+
+
+def repeated_ngram_loops(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 4) -> DataFrame:
+    """Degenerate-text detector: per document, how often its most
+    repeated n-gram occurs and what fraction of n-gram positions are
+    repeats — the standard screen for looping generations / boilerplate
+    (a healthy document's max 4-gram count is 1-2; model loops hit
+    dozens).
+
+    ZERO-shuffle plan: n-grams, their sort, and the longest
+    equal-adjacent run are all array expressions inside one projection
+    (sorting the doc's grams groups duplicates, so the max run length
+    IS the max n-gram multiplicity) — no explode, no groupBy, nothing
+    leaves the document's row. Output:
+    (doc_id, n_grams, distinct_grams, max_repeat, repeat_frac r6);
+    docs with fewer than n tokens drop out."""
+    arr = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    base = df.select(F.col(id_col).alias("doc_id"), arr.alias("_a")) \
+             .where(F.size("_a") >= n)
+    grams = F.array_sort(F.expr(
+        f"transform(sequence(0, size(_a) - {n}),"
+        f" p -> array_join(slice(_a, p + 1, {n}), ' '))"))
+    g = base.withColumn("_g", grams)
+    sz = F.size("_g")
+    run = F.aggregate(
+        F.sequence(F.lit(2), sz),
+        F.struct(F.lit(1).alias("run"), F.lit(1).alias("best")),
+        lambda acc, i: F.struct(
+            F.when(F.element_at(F.col("_g"), i)
+                   == F.element_at(F.col("_g"), i - 1),
+                   acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(acc["best"],
+                       F.when(F.element_at(F.col("_g"), i)
+                              == F.element_at(F.col("_g"), i - 1),
+                              acc["run"] + 1).otherwise(F.lit(1)))
+            .alias("best")),
+        lambda acc: acc["best"])
+    max_rep = F.when(sz <= 1, F.lit(1)).otherwise(run)
+    dist = F.size(F.array_distinct("_g"))
+    return g.select(
+        "doc_id", sz.cast("bigint").alias("n_grams"),
+        dist.cast("bigint").alias("distinct_grams"),
+        max_rep.cast("bigint").alias("max_repeat"),
+        F.round((sz - dist).cast("double") / sz, 6).alias("repeat_frac"))
+
+
 def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical text normalization (the first pass of every dedup /
     exact-match pipeline): lowercase, non-alphanumerics to spaces,

@@ -349,28 +349,79 @@ _u("frexps", lambda c, d: F.when(c == 0, F.lit(0.0)).otherwise(
 _UNARY["frexpx"] = UnaryOp("frexpx", _UNARY["frexps"]._build, _float_out)
 
 
-def _np_unary_udf(np_name):
-    """Arrow-vectorized fallback for ops with no JVM-side equivalent
-    (same slow-path tradeoff the reference inherits: grblas implements
-    numpy-spillover ops as Python UDFs over SuiteSparse). After the
-    round-5 Cody/Lanczos/AS241 ports and the round-6 gcd/lcm fold port
-    only TWO ops remain here — spacing/nextafter (IEEE bit manipulation
-    Spark SQL cannot express) — neither reachable from a gate query."""
-    def build(c, d):
-        import numpy as np
-        import pandas as pd
+# IEEE-754 neighbor arithmetic (spacing / nextafter) in pure Column
+# expressions — the last two pandas-UDF ops, ported in round 7 so the
+# registry is 100% JVM-side. The trick: a float's ulp is 2^(e-52) for
+# normal values and 2^-1074 in the subnormal range, and BOTH the
+# neighbor step and the power of two are exactly representable, so
+# plain double arithmetic reproduces the bit-level functions — no raw
+# bit access needed. The exponent e comes from floor(log2|x|)
+# SELF-CORRECTED by two exact power-of-two comparisons (log2 ulps can
+# floor wrong at exact powers of two; the correction makes it exact).
+_TINY = 2.0 ** -1074      # smallest subnormal = subnormal spacing
+_MINNORM = 2.0 ** -1022   # smallest normal
+_MAXD = 1.7976931348623157e308
+_NAN = float("nan")
+_INF = float("inf")
 
-        def _fn(s):
-            import math
-            arr = s.to_numpy(dtype="float64")
-            if hasattr(np, np_name):
-                return pd.Series(getattr(np, np_name)(arr))
-            pyfn = getattr(math, np_name)
-            return pd.Series([pyfn(x) for x in arr], dtype="float64")
 
-        _fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
-        return F.pandas_udf(_fn, "double")(c.cast("double"))
-    return build
+def _exact_exp2(ax):
+    """floor(log2(ax)) as an exact bigint for finite ax > 0."""
+    g0 = F.floor(F.log2(ax))
+    g1 = F.when(F.pow(F.lit(2.0), g0) > ax, g0 - 1).otherwise(g0)
+    return F.when(F.pow(F.lit(2.0), g1 + 1) <= ax, g1 + 1).otherwise(g1)
+
+
+def _spacing_expr(c, d=None):
+    """numpy.spacing: signed gap to the adjacent float away from zero.
+    spacing(±0.0) = +2^-1074 (numpy ignores zero's sign bit),
+    spacing(±inf/nan) = nan."""
+    x = c.cast("double")
+    ax = F.abs(x)
+    gap = F.when(ax >= F.lit(_MINNORM),
+                 F.pow(F.lit(2.0), _exact_exp2(ax) - 52)) \
+           .otherwise(F.lit(_TINY))
+    neg = x < 0
+    # numpy defines spacing(x) = nextafter(x, copysign(inf, x)) - x, so
+    # at ±maxdouble the next step overflows and spacing is ±inf
+    return (F.when(F.isnan(x) | (ax == F.lit(_INF)), F.lit(_NAN))
+             .when(ax == F.lit(_MAXD),
+                   F.when(neg, F.lit(-_INF)).otherwise(F.lit(_INF)))
+             .otherwise(F.when(neg, -gap).otherwise(gap)))
+
+
+def _nextafter_expr(xc, yc, d=None):
+    """numpy/IEEE nextafter(x, y): the adjacent double from x toward y.
+    Exact at power-of-two boundaries (downward gap halves), across the
+    subnormal range and zero (step 2^-1074), and at the overflow edge
+    (maxdouble + 2^971 rounds to +inf, which IS nextafter's answer)."""
+    x = xc.cast("double")
+    y = yc.cast("double")
+    ax = F.abs(x)
+    g = _exact_exp2(ax)
+    is_sub = ax < F.lit(_MINNORM)   # includes zero
+    gap_away = F.when(is_sub, F.lit(_TINY)) \
+                .otherwise(F.pow(F.lit(2.0), g - 52))
+    is_pow2 = (~is_sub) & (F.pow(F.lit(2.0), g) == ax)
+    # at 2^-1022 the halved downward gap underflows past the subnormal
+    # spacing — greatest() floors it there
+    gap_toward = F.when(is_sub, F.lit(_TINY)) \
+                  .when(is_pow2, F.greatest(F.pow(F.lit(2.0), g - 53),
+                                            F.lit(_TINY))) \
+                  .otherwise(F.pow(F.lit(2.0), g - 52))
+    up = y > x
+    away = (up & (x >= 0)) | ((~up) & (x <= 0))
+    gap = F.when(away, gap_away).otherwise(gap_toward)
+    step = F.when(up, gap).otherwise(-gap)
+    raw = x + step
+    # -tiny + tiny rounds to +0.0, but IEEE keeps the departing side's
+    # sign when the step lands on zero: nextafter(-2^-1074, y>x) = -0.0
+    res = F.when((raw == 0) & (x < 0), F.lit(-0.0)).otherwise(raw)
+    return (F.when(F.isnan(x) | F.isnan(y), F.lit(_NAN))
+             .when(x == y, y)
+             .when(x == F.lit(_INF), F.lit(_MAXD))
+             .when(x == F.lit(-_INF), F.lit(-_MAXD))
+             .otherwise(res))
 
 
 # erf/erfc: Cody's rational Chebyshev approximations (netlib specfun
@@ -509,7 +560,7 @@ def _gamma_expr(c, d):
 
 
 _u("lgamma", _lgamma_expr, _float_out)
-_u("spacing", _np_unary_udf("spacing"), _float_out)
+_u("spacing", _spacing_expr, _float_out)
 
 
 # Wichura's AS241 / PPND16 (Algorithm AS 241, Applied Statistics 1988):
@@ -754,24 +805,6 @@ _b("logaddexp2", lambda x, y, d: F.greatest(x, y) + F.log2(
                                           - y.cast("double")))), _float_out)
 
 
-def _np_binary_udf(np_name, out_type="double"):
-    """Arrow-vectorized fallback — see _np_unary_udf."""
-    def build(x, y, d):
-        import numpy as np
-        import pandas as pd
-
-        def _fn(a, b):
-            return pd.Series(getattr(np, np_name)(a.to_numpy(), b.to_numpy()))
-
-        _fn.__annotations__ = {"a": pd.Series, "b": pd.Series,
-                               "return": pd.Series}
-        if out_type == "bigint":
-            return F.pandas_udf(_fn, "bigint")(x.cast("bigint"),
-                                               y.cast("bigint"))
-        return F.pandas_udf(_fn, "double")(x.cast("double"), y.cast("double"))
-    return build
-
-
 def _gcd_core(x, y):
     """|gcd| as a runtime FOLD (aggregate over a constant sequence): 92
     modulo steps cover the signed-64 worst case (consecutive Fibonacci
@@ -809,7 +842,7 @@ def _lcm_expr(x, y, d):
 
 _b("gcd", _gcd_expr)
 _b("lcm", _lcm_expr)
-_b("nextafter", _np_binary_udf("nextafter"), _float_out)
+_b("nextafter", _nextafter_expr, _float_out)
 
 # positional ops read join-key columns (reference: grblas firsti/firstj/...,
 # SURVEY.md section 2.2 "positional ops read the join-key columns")

@@ -416,3 +416,25 @@ def test_reciprocity_directed(spark):
     r = reciprocity(A).collect()[0]
     assert (r["n_edges"], r["n_reciprocal"]) == (3, 2)
     assert r["reciprocity"] == round(2 / 3, 6)
+
+
+def test_katz_centrality_hand_computed(spark):
+    """Path graph 0->1->2, alpha=0.5, beta=1, 3 iters: unroll the
+    recurrence by hand. x0=(1,1,1); x1=(1, 1.5, 1.5);
+    x2=(1, 1.5, 1.75); x3=(1, 1.5, 1.75)."""
+    A = gb.Matrix.from_values([0, 1], [1, 2], [1, 1], nrows=3, ncols=3)
+    got = {r.i: r.katz
+           for r in alg.katz_centrality(A, alpha=0.5, beta=1.0,
+                                        iters=3).collect()}
+    assert got == {0: 1.0, 1: 1.5, 2: 1.75}
+
+
+def test_katz_centrality_guards(spark):
+    A = gb.Matrix.from_values([0], [1], [1], nrows=2, ncols=2)
+    with pytest.raises(ValueError):
+        alg.katz_centrality(A, iters=0)
+    # isolated vertices carry beta
+    got = {r.i: r.katz
+           for r in alg.katz_centrality(A, alpha=0.25, beta=2.0,
+                                        iters=1).collect()}
+    assert got[0] == 2.0 and got[1] == 2.5

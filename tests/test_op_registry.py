@@ -242,6 +242,44 @@ def test_gcd_lcm_column_fold(spark):
             assert got_l[i] == want_l == math.lcm(a, b), (a, b, got_l[i])
 
 
+def test_spacing_nextafter_bit_exact_edges(spark):
+    """Round-7 port of spacing/nextafter from pandas UDFs to pure
+    Column IEEE arithmetic: bit-exact vs numpy at the hard boundaries —
+    exact powers of two (downward gap halves), the subnormal range and
+    zero crossings (step 2^-1074), the smallest normal, the overflow
+    edge, signed zeros, inf and nan."""
+    maxd = 1.7976931348623157e308
+    tiny = 2.0 ** -1074
+    minn = 2.0 ** -1022
+    xs = [1.0, -1.0, 2.0 ** 52, 2.0 ** -52, 1.5, -3.7e10, 0.0, -0.0,
+          tiny, -tiny, 5 * tiny, minn, -minn, minn * 1.5, maxd, -maxd,
+          float("inf"), float("-inf"), float("nan"), 1e-300, 0.1]
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)],
+                               "rid long, x double")
+    got = {r.rid: r.s for r in df.select(
+        "rid", _UNARY["spacing"](F.col("x"), FP64).alias("s")).collect()}
+    for i, x in enumerate(xs):
+        want = float(np.spacing(x))
+        assert (math.isnan(want) and math.isnan(got[i])) or \
+            got[i] == want, (x, got[i], want)
+    ys = [float("inf"), float("-inf"), 0.0, 1.0, -1.0]
+    pairs = [(x, y) for x in xs for y in ys]
+    pdf = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "rid long, x double, y double")
+    got2 = {r.rid: r.n for r in pdf.select(
+        "rid", _BINARY["nextafter"](F.col("x"), F.col("y"), FP64)
+        .alias("n")).collect()}
+    for i, (a, b) in enumerate(pairs):
+        want = float(np.nextafter(a, b))
+        g = got2[i]
+        if math.isnan(want):
+            assert math.isnan(g), (a, b, g)
+        else:
+            assert g == want and math.copysign(1, g) \
+                == math.copysign(1, want), (a, b, g, want)
+
+
 def test_unary_numeric_grid(spark):
     names = sorted(UNARY_NUMERIC)
     cols, expected = [], []

@@ -753,3 +753,84 @@ def test_winsorize_clips_at_group_bounds(spark):
     top = max(r["v_clip"] for r in out)
     assert top < 1000.0      # extreme got cut to p95
     assert len(out) == 100   # row count preserved
+
+
+# ---------------------------------------------------------------------------
+# round 7: Kneser-Ney, repeated-ngram loops, column entropy, robust scale
+# ---------------------------------------------------------------------------
+
+def test_kneser_ney_bigram_hand_computed(spark):
+    """Corpus: 'a b' x3, 'a c', 'c b'. Bigram types: (a,b)=3, (a,c)=1,
+    (c,b)=1 -> N1+(..)=3. c1(a)=4, N1+(a.)=2; c1(c)=1, N1+(c.)=1.
+    P_cont(b)=2/3, P_cont(c)=1/3. d=0.75:
+    p(b|a) = (3-.75)/4 + .75*2/4*2/3 = 0.5625 + 0.25 = 0.8125
+    p(c|a) = (1-.75)/4 + .75*2/4*1/3 = 0.0625 + 0.125 = 0.1875
+    p(b|c) = (1-.75)/1 + .75*1/1*2/3 = 0.25 + 0.5 = 0.75"""
+    rows = [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c"), (5, "c b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.w1, r.w2): (r.c12, r.p_kn)
+           for r in text_fns.kneser_ney_bigram(df, min_count=1).collect()}
+    assert got[("a", "b")] == (3, 0.8125)
+    assert got[("a", "c")] == (1, 0.1875)
+    assert got[("c", "b")] == (1, 0.75)
+    # min_count filters OUTPUT only (counts keep the full relation)
+    got2 = text_fns.kneser_ney_bigram(df, min_count=2).collect()
+    assert [(r.w1, r.w2) for r in got2] == [("a", "b")]
+    assert got2[0].p_kn == 0.8125
+
+
+def test_repeated_ngram_loops(spark):
+    rows = [
+        (1, "the cat sat on the mat today ok"),          # no repeats
+        (2, "go to go to go to go to go mad"),           # looping bigram
+        (3, "a b c"),                                    # < n tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           text_fns.repeated_ngram_loops(df, n=2).collect()}
+    assert got[1].max_repeat == 1 and got[1].repeat_frac == 0.0
+    # doc 2 bigrams: 'go to'x4, 'to go'x4, 'go mad' -> 9 grams,
+    # 3 distinct, max repeat 4
+    assert got[2].n_grams == 9 and got[2].distinct_grams == 3
+    assert got[2].max_repeat == 4
+    assert got[2].repeat_frac == round(6 / 9, 6)
+    got4 = {r.doc_id for r in
+            text_fns.repeated_ngram_loops(df, n=4).collect()}
+    assert 3 not in got4
+
+
+def test_column_entropy_known_distribution(spark):
+    import math
+    rows = [(i, "x", ["a", "a", "b", "c"][i % 4],
+             None if i % 2 else "z") for i in range(8)]
+    from dask_grblas_spark.functions import profiling
+
+    df = spark.createDataFrame(rows, "id long, const string, "
+                                     "cat string, half string")
+    got = {r.col: r for r in profiling.column_entropy(
+        df, ["const", "cat", "half"]).collect()}
+    assert got["const"].entropy == 0.0
+    assert got["const"].norm_entropy is None
+    # cat: p = (1/2, 1/4, 1/4) -> H = 1.5 ln 2
+    want = round(1.5 * math.log(2), 6)
+    assert got["cat"].entropy == want
+    assert got["cat"].n_distinct == 3
+    assert got["cat"].norm_entropy == round(1.5 * math.log(2)
+                                            / math.log(3), 6)
+    assert got["half"].n_null == 4 and got["half"].n == 4
+    assert got["half"].entropy == 0.0
+
+
+def test_robust_scale_hand_computed(spark):
+    rows = [("g", float(v)) for v in [1, 2, 3, 4, 5]]
+    from dask_grblas_spark.functions import profiling
+
+    rows += [("z", 7.0), ("z", 7.0)]  # zero IQR
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = profiling.robust_scale(df, "grp", "v").collect()
+    g = sorted((r.v, r.scaled) for r in got if r.grp == "g")
+    # med 3, p25 2, p75 4 -> iqr 2
+    assert g == [(1.0, -1.0), (2.0, -0.5), (3.0, 0.0),
+                 (4.0, 0.5), (5.0, 1.0)]
+    z = [r.scaled for r in got if r.grp == "z"]
+    assert z == [None, None]

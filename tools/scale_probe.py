@@ -1004,6 +1004,120 @@ def main() -> int:
 
     probe("schema_evolution_rw", NSC, _evolve_probe)
 
+    # ---- round-7 skew-adversarial probes ------------------------------
+    # (a) exact NTILE with a 90%-CONSTANT metric — the r6 verdict's
+    # straggler scenario (RFM frequency=1). The range-partitioned rank
+    # must spread the tie run across partitions; the assert fails if
+    # any partition holds a straggler share of the rows.
+    from dask_grblas_spark.functions.profiling import _exact_ntile
+
+    def _ntile_ties_probe(nrows):
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        skew = spark.range(nrows).select(
+            F.col("id").alias("key"),
+            F.when(F.pmod(F.xxhash64("id", F.lit(95)), F.lit(10)) < 9,
+                   F.lit(1.0))
+             .otherwise((F.pmod(F.xxhash64("id", F.lit(96)),
+                                F.lit(1000)) + 2).cast("double"))
+             .alias("m"))
+
+        def run():
+            # the exact repartitioning _exact_rank performs: assert
+            # sampled balance (no single-task tie partition)
+            parts = (skew.withColumn("_ord", -F.col("m"))
+                         .repartitionByRange(nparts, F.col("_ord"),
+                                             F.col("key"))
+                         .groupBy(F.spark_partition_id().alias("p"))
+                         .count().agg(F.max("count")).collect()[0][0])
+            assert parts <= 3 * nrows // nparts + 1, \
+                f"straggler partition: {parts} of {nrows} rows"
+            out = _exact_ntile(skew, "m", False, 10, "tile")
+            per = out.groupBy("tile").count().collect()
+            assert len(per) == 10
+            assert max(r["count"] for r in per) \
+                - min(r["count"] for r in per) <= 1
+            return out.groupBy("tile").agg(F.sum("key"))
+
+        return run
+
+    probe("ntile_90pct_ties", NSC, _ntile_ties_probe(NSC))
+    N100 = 100_000_000 if not QUICK else 1_000_000
+    probe("ntile_90pct_ties_100m", N100, _ntile_ties_probe(N100))
+
+    # (b) dictionary_encode on a hot-prefix URL corpus: every value
+    # shares the first 20 chars, the old 2-char-prefix binning put the
+    # WHOLE dictionary in one window task; range partitioning on the
+    # value must balance it (asserted), and ids must stay dense.
+    def _dict_url_probe(nrows):
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        urls = spark.range(nrows).select(
+            F.concat(F.lit("https://example.com/page/"),
+                     F.xxhash64("id", F.lit(97)).cast("string"))
+             .alias("url"))
+
+        def run():
+            vals = urls.select(F.col("url").alias("value")).distinct()
+            parts = (vals.repartitionByRange(nparts, F.col("value"))
+                         .groupBy(F.spark_partition_id().alias("p"))
+                         .count().agg(F.max("count"),
+                                      F.sum("count")).collect()[0])
+            mx, n = parts[0], parts[1]
+            assert mx <= 3 * n // nparts + 1, \
+                f"straggler partition: {mx} of {n} rows"
+            enc = dictionary_encode(urls, "url")
+            stats = enc.agg(F.count("*"), F.min("id"), F.max("id"),
+                            F.count_distinct("id")).collect()[0]
+            assert stats[1] == 0 and stats[2] == stats[0] - 1 \
+                and stats[3] == stats[0], "ids not dense"
+            return enc.agg(F.sum("id"))
+
+        return run
+
+    probe("dictionary_encode_url_10m", NSC, _dict_url_probe(NSC))
+    probe("dictionary_encode_url_100m", N100, _dict_url_probe(N100))
+
+    # (c) prefix Jaccard over an IDENTICAL-heavy corpus: 1000 originals
+    # x 20 verbatim copies. The identical-set collapse must keep the
+    # quadratic prefix join at 1000 representatives; the 190k true
+    # within-cluster pairs re-expand outside it.
+    ident_docs = (spark.read.parquet(
+        "/root/testdata/sf0.1/documents.parquet")
+        .limit(1000)
+        .crossJoin(spark.range(20).select(F.col("id").alias("_r")))
+        .select((F.col("doc_id") * 20 + F.col("_r")).alias("doc_id"),
+                "text"))
+
+    def _ident_run():
+        out = dedup.prefix_jaccard_pairs(ident_docs, n=3, threshold=0.8)
+        n_pairs = out.count()
+        # every 20-clique contributes C(20,2)=190 jaccard-1 pairs
+        assert n_pairs >= 1000 * 190, n_pairs
+        return spark.createDataFrame([(n_pairs,)], "n long")
+
+    probe("prefix_jaccard_identical_heavy", 20_000, _ident_run)
+
+    # ---- round-7 new ops -----------------------------------------------
+    probe("katz_5iter", E, lambda: alg.katz_centrality(A, alpha=0.02,
+                                                       iters=5))
+    probe("kneser_ney_bigram", ndocs,
+          lambda: text_fns.kneser_ney_bigram(docs, min_count=2))
+    probe("repeated_ngram_loops", ndocs,
+          lambda: text_fns.repeated_ngram_loops(docs, n=4))
+    from dask_grblas_spark.functions.profiling import (column_entropy,
+                                                       robust_scale)
+    ent_df = spark.range(NSC).select(
+        F.pmod(F.xxhash64("id", F.lit(98)), F.lit(30)).cast("string")
+         .alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(99)), F.lit(100_000))
+         .cast("string").alias("b"),
+        (F.pmod(F.xxhash64("id", F.lit(100)), F.lit(10_000)))
+        .cast("double").alias("v"))
+    probe("column_entropy", NSC,
+          lambda: column_entropy(ent_df, ["a", "b", "v"]))
+    probe("robust_scale", NSC,
+          lambda: robust_scale(ent_df, "a", "v")
+                  .groupBy("a").agg(F.avg(F.abs(F.col("scaled")))))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
