@@ -1383,6 +1383,59 @@ def q190_robust_scale(spark, sf_dir):
                    .alias("max_abs")))
 
 
+def q191_tfidf_cosine(spark, sf_dir):
+    """Sparse lexical similarity join: exact TF-IDF cosine pairs over
+    the inverted index (retrieval.tfidf_cosine_pairs), vectors capped
+    to terms with df in [2, 500] (the cap is part of the definition;
+    the oracle replays it)."""
+    from dask_grblas_spark.functions import retrieval as retr
+
+    return retr.tfidf_cosine_pairs(_doc(spark, sf_dir), min_df=2,
+                                   max_df=500, threshold=0.8) \
+        .select("id_a", "id_b", "cosine")
+
+
+def q192_poisson_bootstrap(spark, sf_dir):
+    """Deterministic Poisson bootstrap of the mean order value
+    (sampling.poisson_bootstrap): 16 replicate means, each row's
+    replicate weight an md5-derived Poisson(1) draw the SQL replays
+    bit-identically."""
+    from dask_grblas_spark.functions import sampling
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return sampling.poisson_bootstrap(o, "o_totalprice", n_reps=16,
+                                      id_col="o_orderkey", seed=7) \
+        .select("rep", "n_eff", "mean")
+
+
+def q193_psi(spark, sf_dir):
+    """Population-stability-index drift screen (profiling.psi):
+    pre-1998 orders as the reference vs 1998+ as current, order totals
+    binned into 10 fixed-width bins."""
+    from dask_grblas_spark.functions import profiling
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ref = o.where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    cur = o.where(F.col("o_orderdate") >= F.lit("1998-01-01"))
+    return profiling.psi(ref, cur, "o_totalprice", 0.0, 600000.0,
+                         n_bins=10) \
+        .select("bin", "n_ref", "n_cur", "p_ref", "p_cur", "contrib")
+
+
+def q194_ks_test(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov D between pre-1998 and
+    1998+ order totals (profiling.ks_test) — range-partitioned prefix
+    sums over the distinct-value relation, no global sort, no binning
+    choice."""
+    from dask_grblas_spark.functions import profiling
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profiling.ks_test(
+        o.where(F.col("o_orderdate") < F.lit("1998-01-01")),
+        o.where(F.col("o_orderdate") >= F.lit("1998-01-01")),
+        "o_totalprice").select("n_a", "n_b", "d_stat")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2648,6 +2701,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_ngram_loops": q188_ngram_loops,
         "q189_column_entropy": q189_column_entropy,
         "q190_robust_scale": q190_robust_scale,
+        "q191_tfidf_cosine": q191_tfidf_cosine,
+        "q192_poisson_bootstrap": q192_poisson_bootstrap,
+        "q193_psi": q193_psi,
+        "q194_ks_test": q194_ks_test,
         "q151_schema_evolution": q151_schema_evolution,
         "q152_mixture_accounting": q152_mixture_accounting,
         "q153_rolling_corr": q153_rolling_corr,
@@ -6997,5 +7054,129 @@ def oracle_sql() -> dict[str, str]:
                        6) END)), 6) AS max_abs
         FROM orders o JOIN s ON s.grp = o.o_orderpriority
         GROUP BY 1"""
+
+    # q191: TF-IDF cosine pairs — the weighting is q69's (sklearn
+    # smoothed idf), vectors capped to df in [2, 500], similarity
+    # filtered on the ROUNDED value (boundary-stable).
+    sql["q191_tfidf_cosine"] = r"""
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS a
+          FROM documents
+        ), base AS (
+          SELECT doc_id, len(a) AS dl, unnest(a) AS term
+          FROM arr WHERE len(a) > 0
+        ), posting AS (
+          SELECT term, doc_id, dl, COUNT(*) AS tf
+          FROM base GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df_t FROM posting GROUP BY 1
+          HAVING COUNT(*) BETWEEN 2 AND 500
+        ), nd AS (SELECT COUNT(*) AS n_docs
+                  FROM (SELECT DISTINCT doc_id FROM base)),
+        w AS (
+          SELECT p.doc_id, p.term,
+                 (CAST(p.tf AS DOUBLE) / p.dl)
+                 * (LN((n_docs + 1.0) / (df_t + 1.0)) + 1.0) AS w
+          FROM posting p JOIN dfreq USING (term) CROSS JOIN nd
+        ), nrm AS (
+          SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM w GROUP BY 1
+        ), dots AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 SUM(a.w * b.w) AS dot
+          FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots
+        JOIN nrm na ON na.doc_id = id_a
+        JOIN nrm nb ON nb.doc_id = id_b
+        WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.8"""
+
+    # q192: Poisson bootstrap — the inverse-CDF ladder literals are the
+    # exact repr() of sampling._POISSON1_CUM, so each weight compare
+    # resolves on the identical double in both engines.
+    from dask_grblas_spark.functions.sampling import _POISSON1_CUM
+    _u = ("((('0x' || substr(md5('pb7:' || CAST(r.rep AS VARCHAR) "
+          "|| ':' || CAST(o.o_orderkey AS VARCHAR)), 1, 15))::BIGINT "
+          "+ 1) / 1152921504606846976.0)")
+    _w = " + ".join(f"CASE WHEN {_u} > {c!r} THEN 1 ELSE 0 END"
+                    for c in _POISSON1_CUM)
+    sql["q192_poisson_bootstrap"] = f"""
+        WITH b AS (
+          SELECT r.rep, ({_w}) AS w,
+                 CAST(o.o_totalprice AS DOUBLE) AS v
+          FROM orders o
+          CROSS JOIN (SELECT unnest(range(16)) AS rep) r
+        )
+        SELECT CAST(rep AS INT) AS rep,
+               CAST(SUM(w) AS BIGINT) AS n_eff,
+               CASE WHEN SUM(w) > 0
+                    THEN ROUND(SUM(w * v) / SUM(w), 6) END AS mean
+        FROM b GROUP BY 1"""
+
+    # q193: PSI drift — contributions only where both sides populate a
+    # bin (ln(0) NULLs are themselves the vanished/new-bin signal).
+    sql["q193_psi"] = """
+        WITH ref AS (
+          SELECT LEAST(GREATEST(CAST(FLOOR(
+                   CAST(o_totalprice AS DOUBLE) * 10 / 600000.0)
+                   AS BIGINT), 0), 9) AS bin, COUNT(*) AS n_ref
+          FROM orders WHERE o_orderdate < DATE '1998-01-01'
+          GROUP BY 1
+        ), cur AS (
+          SELECT LEAST(GREATEST(CAST(FLOOR(
+                   CAST(o_totalprice AS DOUBLE) * 10 / 600000.0)
+                   AS BIGINT), 0), 9) AS bin, COUNT(*) AS n_cur
+          FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+          GROUP BY 1
+        ), j AS (
+          SELECT COALESCE(ref.bin, cur.bin) AS bin,
+                 COALESCE(n_ref, 0) AS n_ref,
+                 COALESCE(n_cur, 0) AS n_cur
+          FROM ref FULL OUTER JOIN cur ON ref.bin = cur.bin
+        ), tot AS (
+          SELECT CAST(SUM(n_ref) AS DOUBLE) AS tr,
+                 CAST(SUM(n_cur) AS DOUBLE) AS tc FROM j
+        )
+        SELECT CAST(bin AS INT) AS bin,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               ROUND(n_ref / tr, 6) AS p_ref,
+               ROUND(n_cur / tc, 6) AS p_cur,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                 ROUND((n_cur / tc - n_ref / tr)
+                       * LN((n_cur / tc) / (n_ref / tr)), 6)
+               END AS contrib
+        FROM j CROSS JOIN tot"""
+
+    # q194: KS D — window cumsum over the distinct-value relation (the
+    # oracle can afford the single-task window; the engine can't and
+    # uses range-partitioned prefix sums).
+    sql["q194_ks_test"] = """
+        WITH ca AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS v, COUNT(*) AS ca
+          FROM orders WHERE o_orderdate < DATE '1998-01-01' GROUP BY 1
+        ), cb AS (
+          SELECT CAST(o_totalprice AS DOUBLE) AS v, COUNT(*) AS cb
+          FROM orders WHERE o_orderdate >= DATE '1998-01-01' GROUP BY 1
+        ), j AS (
+          SELECT COALESCE(ca.v, cb.v) AS v,
+                 COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+          FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+        ), c AS (
+          SELECT SUM(ca) OVER (ORDER BY v) AS fa,
+                 SUM(cb) OVER (ORDER BY v) AS fb
+          FROM j
+        ), t AS (
+          SELECT CAST(SUM(ca) AS DOUBLE) AS na,
+                 CAST(SUM(cb) AS DOUBLE) AS nb FROM j
+        )
+        SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+               ROUND(MAX(ABS(fa / t.na - fb / t.nb)), 6) AS d_stat
+        FROM c CROSS JOIN t
+        GROUP BY 1, 2"""
 
     return sql

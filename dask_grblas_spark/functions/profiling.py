@@ -24,7 +24,8 @@ __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "cumulative_gain", "moments_profile", "ab_test",
            "exact_weighted_quantiles", "group_quantiles", "user_growth",
            "chi2_independence", "gini_coefficient", "mad_outliers",
-           "key_skew", "winsorize", "column_entropy", "robust_scale"]
+           "key_skew", "winsorize", "column_entropy", "robust_scale",
+           "psi", "ks_test"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -933,6 +934,112 @@ def robust_scale(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
     scaled = F.when(F.col("iqr") != 0,
                     F.round((v - F.col("med")) / F.col("iqr"), 6))
     return out.withColumn("scaled", scaled)
+
+
+def psi(ref_df: DataFrame, cur_df: DataFrame, col: str,
+        lo: float, hi: float, n_bins: int = 10) -> DataFrame:
+    """Population stability index between a reference and a current
+    distribution of ``col`` — the standard model-monitoring drift
+    screen (PSI < 0.1 stable, > 0.25 shifted). Explicit [lo, hi)
+    bounds with n_bins equi-width bins (out-of-range values clamp to
+    the edge bins, the same contract as ``histogram``); per-bin
+    contribution (p_cur - p_ref)·ln(p_cur/p_ref), NULL when either
+    side's bin is empty (ln(0) — engines disagree; the NULL count is
+    itself the drift signal for vanished/new bins).
+
+    Plan: one map-side-combined grouped count per side, a tiny
+    full-outer bin join, 1-row totals broadcast in. Output:
+    (bin, n_ref, n_cur, p_ref, p_cur, contrib), floats rounded 6;
+    SUM(contrib) over non-NULL rows is the PSI."""
+    def binned(df):
+        v = F.col(col).cast("double")
+        raw = F.floor((v - F.lit(float(lo))) * F.lit(int(n_bins))
+                      / F.lit(float(hi - lo)))
+        b = F.least(F.greatest(raw, F.lit(0)),
+                    F.lit(n_bins - 1)).cast("int")
+        return (df.where(v.isNotNull())
+                  .groupBy(b.alias("bin"))
+                  .agg(F.count("*").alias("n")))
+    r = binned(ref_df).select("bin", F.col("n").alias("n_ref"))
+    c = binned(cur_df).select("bin", F.col("n").alias("n_cur"))
+    j = r.join(c, on="bin", how="full_outer") \
+         .select("bin", F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                 F.coalesce("n_cur", F.lit(0)).alias("n_cur"))
+    tot = j.agg(F.sum("n_ref").cast("double").alias("_tr"),
+                F.sum("n_cur").cast("double").alias("_tc"))
+    # try_divide: an entirely-empty side yields NULL shares instead of
+    # an ANSI DIVIDE_BY_ZERO
+    p_ref = F.try_divide(F.col("n_ref"), F.col("_tr"))
+    p_cur = F.try_divide(F.col("n_cur"), F.col("_tc"))
+    contrib = F.when((F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                     F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6))
+    return (j.crossJoin(F.broadcast(tot))
+             .select("bin", F.col("n_ref").cast("bigint").alias("n_ref"),
+                     F.col("n_cur").cast("bigint").alias("n_cur"),
+                     F.round(p_ref, 6).alias("p_ref"),
+                     F.round(p_cur, 6).alias("p_cur"),
+                     contrib.alias("contrib")))
+
+
+def ks_test(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic
+    D = max over x of |F_a(x) - F_b(x)| — the distribution-shift test
+    that, unlike psi, needs no binning choice. NULLs are excluded.
+
+    Distributed-exact without a global sort: both samples collapse to
+    ONE distinct-value relation with per-side counts (map-side
+    combined), whose cumulative sums come from the same
+    repartitionByRange discipline as _exact_rank — distinct values are
+    a tie-free sort key, so the sampled interval partitions balance
+    any distribution; per-partition side-sums come to the driver
+    (numPartitions rows) and cum = partition offset + local running
+    sum. D evaluates at every distinct value (the CDF steps only
+    there). Output: one row (n_a, n_b, d_stat r6)."""
+    from pyspark.sql.window import Window as W
+
+    def counted(df, name):
+        v = F.col(col).cast("double")
+        return (df.where(v.isNotNull())
+                  .groupBy(v.alias("v"))
+                  .agg(F.count("*").alias(name)))
+    rel = (counted(df_a, "ca").join(counted(df_b, "cb"),
+                                    on="v", how="full_outer")
+           .select("v", F.coalesce("ca", F.lit(0)).alias("ca"),
+                   F.coalesce("cb", F.lit(0)).alias("cb")))
+    spark = rel.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    tagged = (rel.repartitionByRange(nparts, F.col("v"))
+                 .withColumn("_p", F.spark_partition_id())
+                 .localCheckpoint())
+    sums = {r["_p"]: (r["sa"], r["sb"]) for r in
+            tagged.groupBy("_p").agg(F.sum("ca").alias("sa"),
+                                     F.sum("cb").alias("sb")).collect()}
+    if not sums:
+        return spark.createDataFrame([(0, 0, None)],
+                                     "n_a long, n_b long, d_stat double")
+    offs, ca_cum, cb_cum = {}, 0, 0
+    for p in sorted(sums):
+        offs[p] = (ca_cum, cb_cum)
+        ca_cum += sums[p][0]
+        cb_cum += sums[p][1]
+    n_a, n_b = ca_cum, cb_cum
+    if not n_a or not n_b:
+        return spark.createDataFrame(
+            [(int(n_a), int(n_b), None)],
+            "n_a long, n_b long, d_stat double")
+    off_a = F.create_map(*[F.lit(x) for p, (a, _) in offs.items()
+                           for x in (p, a)])
+    off_b = F.create_map(*[F.lit(x) for p, (_, b) in offs.items()
+                           for x in (p, b)])
+    w = (W.partitionBy("_p").orderBy("v")
+          .rowsBetween(W.unboundedPreceding, 0))
+    fa = (off_a[F.col("_p")] + F.sum("ca").over(w)) / F.lit(float(n_a))
+    fb = (off_b[F.col("_p")] + F.sum("cb").over(w)) / F.lit(float(n_b))
+    d = (tagged.select(F.abs(fa - fb).alias("_d"))
+               .agg(F.max("_d").alias("d")).collect()[0]["d"])
+    return spark.createDataFrame(
+        [(int(n_a), int(n_b), round(float(d), 6))],
+        "n_a long, n_b long, d_stat double")
 
 
 def mad_outliers(df: DataFrame, group_col: str, val_col: str,

@@ -160,6 +160,69 @@ def tfidf_vectors(df: DataFrame, id_col: str = "doc_id",
         F.round((F.col("tf") / F.col("dl")) * idf, 6).alias("tfidf"))
 
 
+def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", min_df: int = 1,
+                       max_df: int = 1000,
+                       threshold: float = 0.3) -> DataFrame:
+    """Document-document cosine similarity >= threshold over TF-IDF
+    vectors, via the inverted index (no cross join) — the sparse
+    lexical near-duplicate / related-document join that complements the
+    set-based family (Jaccard measures overlap; TF-IDF cosine weights
+    it by term rarity).
+
+    The vectors themselves drop terms outside [min_df, max_df] — the
+    similarity is EXACTLY the cosine of those capped vectors (the
+    item_cf_topk contract: the cap is part of the definition, so the
+    oracle replays it; an uncapped head term would contribute f^2/2
+    join rows AND carry near-zero idf weight anyway).
+
+    Plan: one corpus scan -> per-doc term counts (map-side combined),
+    df filter, per-doc norms (one agg), the posting-list self-join on
+    term (fan-out bounded by max_df per term), one pair-sum aggregate,
+    norm join, threshold on the ROUNDED similarity (boundary-stable
+    cross-engine). Output: (id_a, id_b, cosine r6)."""
+    toks_arr = F.filter(tokens(F.col(text_col)),
+                        lambda x: F.length(x) > 0)
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      toks_arr.alias("_toks"))
+              .withColumn("dl", F.size("_toks"))
+              .filter(F.col("dl") > 0))
+    stats = base.agg(F.count("*").alias("n_docs"))
+    posting = (base.select("doc_id", "dl",
+                           F.explode("_toks").alias("term"))
+                   .groupBy("term", "doc_id", "dl")
+                   .agg(F.count("*").alias("tf")))
+    dfreq = (posting.groupBy("term").agg(F.count("*").alias("df_t"))
+                    .filter((F.col("df_t") >= min_df)
+                            & (F.col("df_t") <= max_df)))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df_t") + 1.0)) + 1.0
+    w = (posting.join(dfreq, on="term")
+                .crossJoin(F.broadcast(stats))
+                .select("doc_id", "term",
+                        ((F.col("tf") / F.col("dl")) * idf).alias("w")))
+    w = w.localCheckpoint(eager=True)  # shared: norms + both join sides
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w")))
+                                     .alias("nrm"))
+    a = w.select(F.col("doc_id").alias("id_a"), "term",
+                 F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "term",
+                 F.col("w").alias("wb"))
+    dots = (a.join(b, on="term")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = norms.select(F.col("doc_id").alias("id_a"),
+                      F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"),
+                      F.col("nrm").alias("nb"))
+    return (dots.join(na, on="id_a").join(nb, on="id_b")
+                .select("id_a", "id_b",
+                        F.round(F.col("dot")
+                                / (F.col("na") * F.col("nb")), 6)
+                         .alias("cosine"))
+                .where(F.col("cosine") >= threshold))
+
+
 def bloom_decontaminate(df: DataFrame, benchmark: list[str], n: int = 13,
                         m_bits: int = 1 << 15, k_hashes: int = 4,
                         id_col: str = "doc_id",

@@ -26,7 +26,18 @@ __all__ = ["split_key", "split_column", "deterministic_sample",
            "hex_threshold", "mixture_sample", "group_sample",
            "weighted_sample", "negative_sampling_table",
            "mixture_token_accounting", "neyman_allocation",
-           "split_leakage"]
+           "split_leakage", "poisson_bootstrap"]
+
+#: Poisson(1) cumulative probabilities P(X <= k) for k = 0..8 — the
+#: inverse-CDF ladder poisson_bootstrap draws from (P(X > 8) ~ 1e-6;
+#: the truncation is part of the deterministic definition). The SAME
+#: literals appear in the SQL oracle, so the per-row weights are
+#: bit-identical cross-engine.
+_POISSON1_CUM = (0.36787944117144233, 0.7357588823428847,
+                 0.9196986029286058, 0.9810118431238463,
+                 0.9963401531726563, 0.9994058151824183,
+                 0.999916758850712, 0.9999897508033253,
+                 0.999998874797402)
 
 _PREFIX_LEN = 4  # 16^4 = 65536 buckets
 
@@ -307,3 +318,39 @@ def split_leakage(df: DataFrame, id_col: str = "doc_id",
     return (j.groupBy(F.least("split_a", "split_b").alias("s_lo"),
                       F.greatest("split_a", "split_b").alias("s_hi"))
              .agg(F.count("*").cast("bigint").alias("n_leaks")))
+
+
+def poisson_bootstrap(df: DataFrame, val_col: str, n_reps: int = 32,
+                      id_col: str = "doc_id", seed: int = 7) -> DataFrame:
+    """Deterministic Poisson bootstrap of the mean: each replicate
+    re-weights every row by a Poisson(1) draw (the streaming-friendly
+    bootstrap — weights are independent per row, no global resample
+    pass), and the spread of the replicate means is the sampling
+    distribution. The draw inverts the Poisson CDF on a md5-uniform of
+    (seed, rep, id), so every weight is a pure cross-engine-replayable
+    function — the same discipline as weighted_sample.
+
+    Plan: ONE corpus scan explodes rep indices (n_reps rows per input
+    row, map-side aggregated immediately); no shuffle wider than the
+    n_reps-row result. Output: (rep, n_eff, mean) with mean rounded 6 —
+    rep means ARE the bootstrap distribution (CIs are percentiles of
+    this tiny relation)."""
+    from .dedup import cross_hash60
+
+    v = F.col(val_col).cast("double")
+    base = (df.select(F.col(id_col).alias("id"), v.alias("v"))
+              .where(v.isNotNull())
+              .select("id", "v",
+                      F.explode(F.sequence(
+                          F.lit(0), F.lit(n_reps - 1))).alias("rep")))
+    h = cross_hash60(F.concat(F.lit(f"pb{seed}:"),
+                              F.col("rep").cast("string"), F.lit(":"),
+                              F.col("id").cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = sum((u > F.lit(c)).cast("int") for c in _POISSON1_CUM)
+    return (base.withColumn("w", w)
+                .groupBy("rep")
+                .agg(F.sum("w").cast("bigint").alias("n_eff"),
+                     F.when(F.sum("w") > 0,
+                            F.round(F.sum(F.col("w") * F.col("v"))
+                                    / F.sum("w"), 6)).alias("mean")))

@@ -559,3 +559,48 @@ def test_phrase_search_counts_consecutive_matches(spark):
     assert got[(1, 2)] == 1
     assert got[(2, 1)] == 1     # one 3-token window
     assert (3, 3) not in got and not any(q == 3 for q, _ in got)
+
+
+def test_tfidf_cosine_pairs_hand_computed(spark):
+    """3 docs; docs 1-2 share most terms, doc 3 is disjoint. Replay the
+    exact tf-idf weighting and cosine in Python."""
+    import math
+
+    from dask_grblas_spark.functions.retrieval import tfidf_cosine_pairs
+
+    texts = {1: "a b c d", 2: "a b c e", 3: "x y z w"}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in tfidf_cosine_pairs(df, threshold=0.1).collect()}
+    n = 3
+    dfreq = {}
+    for t in texts.values():
+        for term in set(t.split()):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    def vec(t):
+        toks = t.split()
+        return {term: (toks.count(term) / len(toks))
+                * (math.log((n + 1) / (dfreq[term] + 1)) + 1)
+                for term in set(toks)}
+    v1, v2 = vec(texts[1]), vec(texts[2])
+    dot = sum(v1[t] * v2[t] for t in v1 if t in v2)
+    n1 = math.sqrt(sum(w * w for w in v1.values()))
+    n2 = math.sqrt(sum(w * w for w in v2.values()))
+    assert got == {(1, 2): round(dot / (n1 * n2), 6)}
+
+
+def test_tfidf_cosine_pairs_max_df_caps_vectors(spark):
+    """A term over the df cap leaves the VECTORS, not just the join:
+    similarity is the exact cosine of the capped vectors."""
+    from dask_grblas_spark.functions.retrieval import tfidf_cosine_pairs
+
+    rows = [(i, "common unique%d other%d" % (i, i)) for i in range(5)]
+    rows += [(10, "common shared tail"), (11, "common shared tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.cosine for r in tfidf_cosine_pairs(
+        df, max_df=3, threshold=0.05).collect()}
+    # 'common' (df=7) is capped out everywhere: the 5 unique docs share
+    # nothing -> only the identical pair (10, 11) remains, cosine 1.0
+    assert set(got) == {(10, 11)}
+    assert got[(10, 11)] == 1.0

@@ -261,3 +261,35 @@ def test_split_leakage_detects_cross_split_dup(spark):
     assert len(got) == 1
     r = got[0]
     assert (r["s_lo"], r["s_hi"], r["n_leaks"]) == ("test", "train", 1)
+
+
+def test_poisson_bootstrap_matches_python_replay(spark):
+    """Replicate weights are a pure function of (seed, rep, id): replay
+    the md5 inverse-CDF draw in Python and verify every rep mean."""
+    import hashlib
+    import math
+
+    from dask_grblas_spark.functions.sampling import (_POISSON1_CUM,
+                                                      poisson_bootstrap)
+
+    rows = [(i, float(i % 13) + 1.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, v double")
+    got = {r.rep: (r.n_eff, r.mean)
+           for r in poisson_bootstrap(df, "v", n_reps=8,
+                                      seed=7).collect()}
+    assert set(got) == set(range(8))
+    for rep in range(8):
+        sw = swv = 0
+        for i, v in rows:
+            h = int(hashlib.md5(f"pb7:{rep}:{i}".encode())
+                    .hexdigest()[:15], 16)
+            u = (h + 1) / float(1 << 60)
+            w = sum(1 for c in _POISSON1_CUM if u > c)
+            sw += w
+            swv += w * v
+        assert got[rep] == (sw, round(swv / sw, 6))
+    # cumulative ladder really is Poisson(1)'s CDF
+    s = 0.0
+    for k, c in enumerate(_POISSON1_CUM):
+        s += math.exp(-1) / math.factorial(k)
+        assert c == s

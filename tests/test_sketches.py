@@ -834,3 +834,70 @@ def test_robust_scale_hand_computed(spark):
                  (4.0, 0.5), (5.0, 1.0)]
     z = [r.scaled for r in got if r.grp == "z"]
     assert z == [None, None]
+
+
+def test_psi_hand_computed(spark):
+    import math
+
+    from dask_grblas_spark.functions import profiling
+
+    ref = spark.createDataFrame([(float(x),) for x in
+                                 [1] * 50 + [5] * 30 + [9] * 20], "v double")
+    cur = spark.createDataFrame([(float(x),) for x in
+                                 [1] * 20 + [5] * 30 + [9] * 50], "v double")
+    got = {r.bin: r for r in profiling.psi(ref, cur, "v", 0.0, 10.0,
+                                           n_bins=5).collect()}
+    assert set(got) == {0, 2, 4}
+    assert (got[0].n_ref, got[0].n_cur) == (50, 20)
+    want0 = round((0.2 - 0.5) * math.log(0.2 / 0.5), 6)
+    want4 = round((0.5 - 0.2) * math.log(0.5 / 0.2), 6)
+    assert got[0].contrib == want0
+    assert got[2].contrib == 0.0
+    assert got[4].contrib == want4
+
+
+def test_psi_one_sided_bins_yield_null(spark):
+    from dask_grblas_spark.functions import profiling
+
+    ref = spark.createDataFrame([(1.0,), (1.0,)], "v double")
+    cur = spark.createDataFrame([(9.0,), (9.0,)], "v double")
+    got = {r.bin: r for r in profiling.psi(ref, cur, "v", 0.0, 10.0,
+                                           n_bins=5).collect()}
+    assert got[0].contrib is None and got[4].contrib is None
+    assert got[0].n_cur == 0 and got[4].n_ref == 0
+
+
+def test_ks_test_hand_computed(spark):
+    """A = {1,2,3,4}, B = {3,4,5,6}: F_a - F_b peaks at x=2 (0.5 - 0)
+    and stays 0.5 through x=4... at x=3: 0.75-0.25=0.5; x=4: 1-0.5=0.5.
+    D = 0.5. Identical samples give D = 0."""
+    from dask_grblas_spark.functions import profiling
+
+    a = spark.createDataFrame([(float(x),) for x in [1, 2, 3, 4]],
+                              "v double")
+    b = spark.createDataFrame([(float(x),) for x in [3, 4, 5, 6]],
+                              "v double")
+    r = profiling.ks_test(a, b, "v").collect()[0]
+    assert (r.n_a, r.n_b, r.d_stat) == (4, 4, 0.5)
+    r2 = profiling.ks_test(a, a, "v").collect()[0]
+    assert r2.d_stat == 0.0
+    # scipy-free independent check vs the brute-force definition
+    import itertools
+    xa = [1.0, 1.0, 2.0, 7.0, 9.0]
+    xb = [0.5, 2.0, 2.0, 3.0]
+    da = spark.createDataFrame([(x,) for x in xa], "v double")
+    db = spark.createDataFrame([(x,) for x in xb], "v double")
+    want = max(abs(sum(1 for y in xa if y <= x) / len(xa)
+                   - sum(1 for y in xb if y <= x) / len(xb))
+               for x in itertools.chain(xa, xb))
+    r3 = profiling.ks_test(da, db, "v").collect()[0]
+    assert r3.d_stat == round(want, 6)
+
+
+def test_ks_test_empty_side(spark):
+    from dask_grblas_spark.functions import profiling
+
+    a = spark.createDataFrame([(1.0,)], "v double")
+    b = spark.createDataFrame([(None,)], "v double")
+    r = profiling.ks_test(a, b, "v").collect()[0]
+    assert r.n_b == 0 and r.d_stat is None

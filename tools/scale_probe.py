@@ -1118,6 +1118,42 @@ def main() -> int:
           lambda: robust_scale(ent_df, "a", "v")
                   .groupBy("a").agg(F.avg(F.abs(F.col("scaled")))))
 
+    # tfidf cosine join on a 25k-doc slice with a tight df cap (the
+    # cap bounds candidates at sum(df^2)/2 over capped terms — the
+    # honest quadratic control, same contract as ngram max_doc_freq)
+    from dask_grblas_spark.functions.retrieval import tfidf_cosine_pairs
+    probe("tfidf_cosine_pairs", ndocs // 4,
+          lambda: tfidf_cosine_pairs(
+              docs.filter(F.col("doc_id") % 4 == 0), min_df=2,
+              max_df=50, threshold=0.8))
+
+    # Poisson bootstrap: 10M rows x 16 replicates, exploded + map-side
+    # aggregated in one pass
+    probe("poisson_bootstrap", NSC,
+          lambda: sampling.poisson_bootstrap(
+              ent_df.withColumn("doc_id",
+                                F.monotonically_increasing_id()),
+              "v", n_reps=16))
+
+    # PSI over two 10M-row halves
+    from dask_grblas_spark.functions.profiling import psi as psi_fn
+    probe("psi", NSC,
+          lambda: psi_fn(ent_df.where(F.col("v") < 5000),
+                         ent_df.where(F.col("v") >= 5000),
+                         "v", 0.0, 10_000.0, n_bins=10))
+
+    # exact KS between two 10M-row samples with a CONTINUOUS metric
+    # (~10M distinct values — the case a single-task window cumsum
+    # cannot survive; range-partitioned prefix sums must)
+    from dask_grblas_spark.functions.profiling import ks_test
+    ks_df = spark.range(NSC).select(
+        (F.pmod(F.xxhash64("id", F.lit(101)), F.lit(1 << 40))
+         / 1099511627776.0).alias("v"),
+        F.pmod(F.col("id"), F.lit(2)).alias("side"))
+    probe("ks_test", NSC,
+          lambda: ks_test(ks_df.where(F.col("side") == 0),
+                          ks_df.where(F.col("side") == 1), "v"))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
