@@ -1436,6 +1436,26 @@ def q194_ks_test(spark, sf_dir):
         "o_totalprice").select("n_a", "n_b", "d_stat")
 
 
+def q195_mmr(spark, sf_dir):
+    """MMR diversity re-ranking (similarity.mmr_rerank): 3 queries x 15
+    embedding candidates with md5-derived relevances, 4 greedy rounds
+    at lambda 0.7 — every compared quantity rounded 6 + id tie-break so
+    the oracle replays the exact greedy trajectory."""
+    from dask_grblas_spark.functions import similarity
+    from dask_grblas_spark.functions.dedup import cross_hash60
+
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 45)
+    q = F.pmod(F.col("vec_id"), F.lit(3))
+    h = cross_hash60(F.concat(F.lit("mmr:"), q.cast("string"),
+                              F.lit(":"),
+                              F.col("vec_id").cast("string")))
+    rel = F.round((h + F.lit(1)).cast("double")
+                  / F.lit(float(1 << 60)), 6)
+    cand = emb.select(q.alias("query_id"), "vec_id", rel.alias("rel"))
+    return similarity.mmr_rerank(cand, emb, k=4, lam=0.7) \
+        .select("query", "rank", "id", "score")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2705,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_poisson_bootstrap": q192_poisson_bootstrap,
         "q193_psi": q193_psi,
         "q194_ks_test": q194_ks_test,
+        "q195_mmr": q195_mmr,
         "q151_schema_evolution": q151_schema_evolution,
         "q152_mixture_accounting": q152_mixture_accounting,
         "q153_rolling_corr": q153_rolling_corr,
@@ -7178,5 +7199,68 @@ def oracle_sql() -> dict[str, str]:
                ROUND(MAX(ABS(fa / t.na - fb / t.nb)), 6) AS d_stat
         FROM c CROSS JOIN t
         GROUP BY 1, 2"""
+
+    # q195: MMR greedy replayed as unrolled rounds. Cosines are
+    # unrolled left-associated sums (bit-identical to Spark's
+    # aggregate(zip_with) folds, the q71/q97 precedent); the lambda
+    # complement is written (1.0 - 0.7) AS AN EXPRESSION, not 0.3 —
+    # python 1.0-0.7 = 0.30000000000000004 (the q154 lesson).
+    _mdot = "0.0 + " + " + ".join(f"a.v[{i}]*b.v[{i}]"
+                                  for i in range(1, 65))
+    _msq = lambda t: ("0.0 + "  # noqa: E731
+                      + " + ".join(f"{t}.v[{i}]*{t}.v[{i}]"
+                                   for i in range(1, 65)))
+    _mmr_rounds = []
+    for _t in range(2, 5):
+        _mmr_rounds.append(f"""
+        pen{_t} AS (
+          SELECT c.query, c.id, c.rel, MAX(s.sim) AS pen
+          FROM cand c
+          JOIN sims s ON s.query = c.query AND s.id_a = c.id
+          JOIN sel{_t - 1} d ON d.query = c.query AND d.id = s.id_b
+          WHERE NOT EXISTS (SELECT 1 FROM sel{_t - 1} x
+                            WHERE x.query = c.query AND x.id = c.id)
+          GROUP BY 1, 2, 3
+        ), pick{_t} AS (
+          SELECT query, id,
+                 ROUND(0.7 * rel - (1.0 - 0.7) * pen, 6) AS score,
+                 {_t} AS rank
+          FROM pen{_t}
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY query
+            ORDER BY ROUND(0.7 * rel - (1.0 - 0.7) * pen, 6) DESC, id)
+            = 1
+        ), sel{_t} AS (
+          SELECT * FROM sel{_t - 1} UNION ALL
+          SELECT query, id FROM pick{_t}
+        )""")
+    sql["q195_mmr"] = f"""
+        WITH emb AS (
+          SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 45
+        ), cand AS (
+          SELECT (vid % 3) AS query, vid AS id,
+                 ROUND((('0x' || substr(md5('mmr:'
+                        || CAST(vid % 3 AS VARCHAR) || ':'
+                        || CAST(vid AS VARCHAR)), 1, 15))::BIGINT + 1)
+                       / 1152921504606846976.0, 6) AS rel
+          FROM emb
+        ), sims AS (
+          SELECT ca.query, ca.id AS id_a, cb.id AS id_b,
+                 ROUND(({_mdot})
+                       / (SQRT({_msq('a')}) * SQRT({_msq('b')})), 6)
+                   AS sim
+          FROM cand ca JOIN emb a ON a.vid = ca.id
+          JOIN cand cb ON cb.query = ca.query AND cb.id <> ca.id
+          JOIN emb b ON b.vid = cb.id
+        ), pick1 AS (
+          SELECT query, id, rel AS score, 1 AS rank FROM cand
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY query
+                                     ORDER BY rel DESC, id) = 1
+        ), sel1 AS (SELECT query, id FROM pick1),
+        {','.join(_mmr_rounds)}
+        SELECT query, rank, id, score FROM pick1
+        UNION ALL SELECT query, rank, id, score FROM pick2
+        UNION ALL SELECT query, rank, id, score FROM pick3
+        UNION ALL SELECT query, rank, id, score FROM pick4"""
 
     return sql

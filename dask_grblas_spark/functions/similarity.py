@@ -27,7 +27,8 @@ __all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
            "kmeans_assign", "random_projection", "label_centroids",
            "semantic_dedup_pairs", "quantize_int8",
            "hyperplane_lsh_pairs_between", "ranking_metrics",
-           "knn_classify", "item_cf_topk", "grid_cluster"]
+           "knn_classify", "item_cf_topk", "grid_cluster",
+           "mmr_rerank"]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -678,6 +679,80 @@ def hyperplane_lsh_pairs_between(new_df: DataFrame, corpus_df: DataFrame,
                 .withColumn("cosine", F.round(cos, 6))
                 .filter(F.col("cosine") >= threshold)
                 .select("id_a", "id_b", "cosine"))
+
+
+def mmr_rerank(cand_df: DataFrame, emb_df: DataFrame, k: int = 5,
+               lam: float = 0.7, query_col: str = "query_id",
+               id_col: str = "vec_id", rel_col: str = "rel",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily select k of each query's candidates maximizing
+    lam·rel - (1-lam)·max cosine to the already-selected — the standard
+    diversity re-rank between retrieval and the context window (RAG
+    dedup-at-selection).
+
+    The greedy is inherently sequential in k, but each step is ONE
+    distributed job over ALL queries simultaneously: anti-join the
+    selected set, join the precomputed pairwise-cosine relation
+    (bounded: per-query candidates², computed once), a max-penalty
+    aggregate, a per-query row_number argmax, eager checkpoint. Every
+    compared quantity is rounded to 6 decimals with an id tie-break,
+    so the greedy trajectory is engine-invariant and the oracle
+    replays it as k unrolled CTE rounds.
+
+    Output: (query, rank, id, score) — rank 1..k in selection order;
+    step-1 score is the relevance itself, later steps the MMR
+    objective. Queries with fewer than k candidates return them all."""
+    if k < 1:
+        raise ValueError("mmr_rerank requires k >= 1")
+    cand = cand_df.select(
+        F.col(query_col).alias("query"), F.col(id_col).alias("id"),
+        F.round(F.col(rel_col).cast("double"), 6).alias("rel"))
+    emb = emb_df.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("v"))
+    ce = (cand.join(emb, on="id")
+              .select("query", "id", "rel", "v")
+              .localCheckpoint(eager=True))
+    a = ce.select("query", F.col("id").alias("id_a"),
+                  F.col("v").alias("va"))
+    b = ce.select("query", F.col("id").alias("id_b"),
+                  F.col("v").alias("vb"))
+    sims = (a.join(b, on="query")
+             .where(F.col("id_a") != F.col("id_b"))
+             .select("query", "id_a", "id_b",
+                     F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+                      .alias("sim"))
+             .localCheckpoint(eager=True))
+    w = Window.partitionBy("query").orderBy(F.col("score").desc(), "id")
+    sel = (ce.select("query", "id", F.col("rel").alias("score"))
+             .withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") == 1)
+             .select("query", "id", F.col("score"),
+                     F.lit(1).alias("rank"))
+             .localCheckpoint(eager=True))
+    for step in range(2, k + 1):
+        rem = ce.select("query", "id", "rel") \
+                .join(sel.select("query", "id"),
+                      on=["query", "id"], how="left_anti")
+        # sim rows whose id_b is currently selected, keyed for the
+        # candidate side (id_a)
+        sel_sims = (sims.join(sel.select("query",
+                                         F.col("id").alias("id_b")),
+                              on=["query", "id_b"])
+                        .select("query", F.col("id_a").alias("id"),
+                                "sim"))
+        pen = (rem.join(sel_sims, on=["query", "id"])
+                  .groupBy("query", "id", "rel")
+                  .agg(F.max("sim").alias("pen")))
+        score = F.round(F.lit(float(lam)) * F.col("rel")
+                        - F.lit(1.0 - float(lam)) * F.col("pen"), 6)
+        pick = (pen.withColumn("score", score)
+                   .withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") == 1)
+                   .select("query", "id", "score",
+                           F.lit(step).alias("rank")))
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select("query", "rank", "id", "score")
 
 
 def ranking_metrics(retrieved: DataFrame, truth: DataFrame, k: int = 5,

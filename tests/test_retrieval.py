@@ -604,3 +604,43 @@ def test_tfidf_cosine_pairs_max_df_caps_vectors(spark):
     # nothing -> only the identical pair (10, 11) remains, cosine 1.0
     assert set(got) == {(10, 11)}
     assert got[(10, 11)] == 1.0
+
+
+def test_mmr_rerank_hand_computed(spark):
+    """2D embeddings, one query: docs a/b nearly parallel (high mutual
+    cosine), doc c orthogonal. Rels: a=0.9, b=0.85, c=0.5. Step 1 picks
+    a. Step 2 with lam=0.5: b scores 0.5*0.85 - 0.5*sim(b,a) ~ 0.425 -
+    0.5 < 0; c scores 0.25 - 0 = 0.25 -> picks c despite lower rel.
+    Step 3 picks b (last remaining)."""
+    from dask_grblas_spark.functions.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.0447103]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    cand = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.85), (0, 3, 0.5)],
+        "query_id long, vec_id long, rel double")
+    got = {r.rank: (r.id, r.score)
+           for r in mmr_rerank(cand, emb, k=3, lam=0.5).collect()}
+    assert got[1] == (1, 0.9)
+    assert got[2][0] == 3
+    assert got[2][1] == round(0.5 * 0.5 - 0.5 * 0.0, 6)
+    assert got[3][0] == 2
+    sim_ab = round(0.999 / ((0.999**2 + 0.0447103**2) ** 0.5), 6)
+    # step 3: b's penalty is max(sim(b,a), sim(b,c))
+    sim_bc = round(0.0447103 / ((0.999**2 + 0.0447103**2) ** 0.5), 6)
+    want = round(0.5 * 0.85 - 0.5 * max(sim_ab, sim_bc), 6)
+    assert got[3][1] == want
+
+
+def test_mmr_rerank_short_candidate_lists(spark):
+    from dask_grblas_spark.functions.similarity import mmr_rerank
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+                                "vec_id long, embedding array<double>")
+    cand = spark.createDataFrame([(0, 1, 0.9), (0, 2, 0.2), (7, 1, 0.3)],
+                                 "query_id long, vec_id long, rel double")
+    got = sorted((r.query, r.rank, r.id)
+                 for r in mmr_rerank(cand, emb, k=5, lam=0.7).collect())
+    # query 0 returns both, query 7 returns its single candidate
+    assert got == [(0, 1, 1), (0, 2, 2), (7, 1, 1)]

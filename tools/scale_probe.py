@@ -1154,6 +1154,25 @@ def main() -> int:
           lambda: ks_test(ks_df.where(F.col("side") == 0),
                           ks_df.where(F.col("side") == 1), "v"))
 
+    # MMR re-rank: 10k queries x 50 candidates from the 500-vector
+    # table (pairwise sims computed per query; 4 greedy rounds, each
+    # one distributed job over all queries at once)
+    from dask_grblas_spark.functions.similarity import mmr_rerank
+    emb500 = (spark.read.parquet(
+        "/root/testdata/sf0.1/embeddings.parquet")
+        .select("vec_id", F.transform(
+            F.col("embedding"), lambda x: x.cast("double"))
+            .alias("embedding")))
+    NQ = 10_000 if not QUICK else 500
+    mmr_cand = spark.range(NQ * 50).select(
+        (F.col("id") / 50).cast("long").alias("query_id"),
+        F.pmod(F.xxhash64("id", F.lit(102)), F.lit(500)).alias("vec_id"),
+        F.round((F.pmod(F.xxhash64("id", F.lit(103)), F.lit(1_000_000))
+                 / 1_000_000.0), 6).alias("rel")).dropDuplicates(
+        ["query_id", "vec_id"])
+    probe("mmr_rerank", NQ * 50,
+          lambda: mmr_rerank(mmr_cand, emb500, k=4, lam=0.7))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
