@@ -1456,6 +1456,29 @@ def q195_mmr(spark, sf_dir):
         .select("query", "rank", "id", "score")
 
 
+def q196_peaks(spark, sf_dir):
+    """Per-user local-maximum detection over the event stream
+    (timeseries.peak_detection), rolled up per key: peak count + the
+    sum of finite prominence deltas (singleton series report an
+    infinite delta, excluded from the sum)."""
+    from dask_grblas_spark.streaming import load_events
+
+    p = timeseries.peak_detection(load_events(spark, sf_dir))
+    fin = F.when(F.col("delta") != F.lit(float("inf")),
+                 F.col("delta")).otherwise(F.lit(0.0))
+    return (p.groupBy("key")
+             .agg(F.count("*").cast("bigint").alias("n_peaks"),
+                  F.round(F.sum(fin), 6).alias("sum_delta")))
+
+
+def q197_kn_logprob(spark, sf_dir):
+    """Per-document fluency under the corpus's own Kneser-Ney bigram
+    model (text.kneser_ney_logprob) — the q187 estimator applied as a
+    scorer; composition gate like q179/q184."""
+    return text.kneser_ney_logprob(_doc(spark, sf_dir)) \
+        .select("doc_id", "n_bigrams", "avg_lp")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2726,6 +2749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_psi": q193_psi,
         "q194_ks_test": q194_ks_test,
         "q195_mmr": q195_mmr,
+        "q196_peaks": q196_peaks,
+        "q197_kn_logprob": q197_kn_logprob,
         "q151_schema_evolution": q151_schema_evolution,
         "q152_mixture_accounting": q152_mixture_accounting,
         "q153_rolling_corr": q153_rolling_corr,
@@ -7262,5 +7287,66 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT query, rank, id, score FROM pick2
         UNION ALL SELECT query, rank, id, score FROM pick3
         UNION ALL SELECT query, rank, id, score FROM pick4"""
+
+    # q196: peak detection — (ts, v) ordered lag/lead with -inf
+    # endpoint neighbors; equal-(ts, v) twins yield one peak with
+    # delta 0 under EITHER tie order (documented in peak_detection).
+    sql["q196_peaks"] = """
+        WITH b AS (
+          SELECT user_id AS key, ts,
+                 ROUND(CAST(value AS DOUBLE), 6) AS v
+          FROM events
+        ), n AS (
+          SELECT key, v,
+                 COALESCE(LAG(v) OVER (PARTITION BY key
+                                       ORDER BY ts, v),
+                          '-infinity'::DOUBLE) AS p,
+                 COALESCE(LEAD(v) OVER (PARTITION BY key
+                                        ORDER BY ts, v),
+                          '-infinity'::DOUBLE) AS nx
+          FROM b
+        ), pk AS (
+          SELECT key, ROUND(v - GREATEST(p, nx), 6) AS delta
+          FROM n WHERE v > p AND v >= nx
+        )
+        SELECT key, CAST(COUNT(*) AS BIGINT) AS n_peaks,
+               ROUND(SUM(CASE WHEN isfinite(delta) THEN delta
+                              ELSE 0 END), 6) AS sum_delta
+        FROM pk GROUP BY 1"""
+
+    # q197: per-doc KN scoring — q187's component CTEs plus the
+    # per-document tf join; the probability expression mirrors the
+    # Spark association order exactly, ln absorbed by the final round.
+    sql["q197_kn_logprob"] = r"""
+        WITH arr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS a
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, generate_subscripts(a, 1) AS i, unnest(a) AS w
+          FROM arr
+        ), bg AS (
+          SELECT p1.doc_id, p1.w AS w1, p2.w AS w2
+          FROM pos p1 JOIN pos p2
+            ON p1.doc_id = p2.doc_id AND p2.i = p1.i + 1
+        ), tf AS (
+          SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3
+        ), c12 AS (
+          SELECT w1, w2, SUM(tf) AS c12 FROM tf GROUP BY 1, 2
+        ), lm AS (
+          SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p_l
+          FROM c12 GROUP BY 1
+        ), rm AS (
+          SELECT w2, COUNT(*) AS n1p_r FROM c12 GROUP BY 1
+        ), tot AS (SELECT COUNT(*) AS n1p_all FROM c12)
+        SELECT tf.doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+               ROUND(SUM(tf * LN(GREATEST(c12 - 0.75, 0.0) / c1
+                                 + 0.75 * n1p_l / c1 * n1p_r
+                                   / n1p_all))
+                     / SUM(tf), 6) AS avg_lp
+        FROM tf JOIN c12 USING (w1, w2) JOIN lm USING (w1)
+        JOIN rm USING (w2) CROSS JOIN tot
+        GROUP BY 1"""
 
     return sql

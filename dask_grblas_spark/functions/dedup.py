@@ -782,10 +782,20 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     mem = sets.select("id", "sz", "hs", fp.alias("_fp"))
     if SHARE_SETS:
         mem = mem.localCheckpoint(eager=True)
-    grp = mem.groupBy("_fp").agg(F.min("id").alias("_rep"))
-    reps = (mem.join(grp.select(F.col("_rep").alias("id"), "_fp"),
-                     on=["_fp", "id"])
-               .select("id", "sz", "hs"))
+    grp = mem.groupBy("_fp").agg(F.min("id").alias("_rep"),
+                                 F.count("*").alias("_f"))
+    grp = grp.localCheckpoint(eager=True)  # shared: dup check + joins
+    # fast path: no identical sets anywhere (the common case) — skip
+    # the collapse/re-expand joins entirely; one cheap aggregate on the
+    # already-materialized group relation decides
+    has_dups = grp.agg(F.max("_f").alias("m")).collect()[0]["m"]
+    has_dups = (has_dups or 0) > 1
+    if has_dups:
+        reps = (mem.join(grp.select(F.col("_rep").alias("id"), "_fp"),
+                         on=["_fp", "id"])
+                   .select("id", "sz", "hs"))
+    else:
+        reps = mem.select("id", "sz", "hs")
     sh2 = reps.select("id", "sz", F.explode("hs").alias("h"))
     dfreq = sh2.groupBy("h").agg(F.count("*").alias("_df"))
     ranked = sh2.join(dfreq, on="h")
@@ -806,6 +816,8 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                       F.col("b.id").alias("id_b"))
               .distinct())
     rep_pairs = _jaccard_from_sets(pairs, reps, threshold)
+    if not has_dups:
+        return rep_pairs
     # re-expand the identical-set groups. Within-group: every member
     # pair, jaccard exactly 1. Cross-group: each representative pair
     # fans out to its two groups' member cross product (identical sets

@@ -710,6 +710,49 @@ def kneser_ney_bigram(df: DataFrame, text_col: str = "text",
                        F.round(p, 6).alias("p_kn")))
 
 
+def kneser_ney_logprob(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       discount: float = 0.75) -> DataFrame:
+    """Per-document mean log-likelihood under the corpus's OWN
+    interpolated Kneser-Ney bigram model (the kneser_ney_bigram
+    estimator applied as a scorer) — the fluency signal bigram_logprob
+    gives, under the stronger standard smoother. Self-scoring means
+    every document bigram exists in the model (no backoff branch), so
+    the probability is the full KN form everywhere and every term is
+    exact count arithmetic.
+
+    Plan: ONE corpus scan yields both the per-doc bigram tf relation
+    and (via the checkpointed bigram-type relation) the c1 / N1+
+    marginals; scoring is three vocabulary-sized joins + one per-doc
+    aggregate. Output: (doc_id, n_bigrams, avg_lp r6); docs with fewer
+    than two tokens drop out."""
+    arr = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    base = df.select(F.col(id_col).alias("doc_id"), arr.alias("_a"))
+    bg = (base.select("doc_id", F.explode(F.expr(
+              "transform(slice(_a, 1, size(_a) - 1),"
+              " (x, i) -> struct(x AS w1, element_at(_a, i + 2) AS w2))"
+          )).alias("_b"))
+          .select("doc_id", "_b.w1", "_b.w2"))
+    tf = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("tf"))
+    c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c12 = c12.localCheckpoint(eager=True)
+    left = c12.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                                 F.count("*").alias("n1p_l"))
+    right = c12.groupBy("w2").agg(F.count("*").alias("n1p_r"))
+    tot = c12.agg(F.count("*").alias("n1p_all"))
+    d = F.lit(float(discount))
+    p = (F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+         + d * F.col("n1p_l") / F.col("c1")
+         * F.col("n1p_r") / F.col("n1p_all"))
+    scored = (tf.join(c12, on=["w1", "w2"]).join(left, on="w1")
+                .join(right, on="w2").crossJoin(F.broadcast(tot))
+                .withColumn("_lp", F.log(p)))
+    return (scored.groupBy("doc_id")
+                  .agg(F.sum("tf").cast("bigint").alias("n_bigrams"),
+                       F.round(F.sum(F.col("tf") * F.col("_lp"))
+                               / F.sum("tf"), 6).alias("avg_lp")))
+
+
 def repeated_ngram_loops(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", n: int = 4) -> DataFrame:
     """Degenerate-text detector: per document, how often its most

@@ -24,7 +24,7 @@ __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
            "interval_union", "scd2", "event_transitions",
            "cusum_changepoints", "rolling_correlation",
            "event_paths", "sax_symbols", "seasonal_decompose",
-           "debounce", "date_dim"]
+           "debounce", "date_dim", "peak_detection"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -677,3 +677,40 @@ def date_dim(spark, start: str, end: str) -> DataFrame:
                     F.month(d).cast("int").alias("month"),
                     F.quarter(d).cast("int").alias("quarter"),
                     F.dayofweek(d).isin([1, 7]).alias("is_weekend")))
+
+
+def peak_detection(events_df: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts", val_col: str = "value",
+                   min_delta: float = 0.0) -> DataFrame:
+    """Per-key local-maximum detection: a point is a peak when it is
+    STRICTLY greater than its predecessor and at least its successor
+    (plateau edges count once, at the left edge), and exceeds the
+    higher neighbor by ``min_delta`` — the telemetry alerting primitive
+    (spike screens, changepoint seeds).
+
+    One window pass per key ordered by (ts, value) — the value
+    tie-break makes equal-timestamp neighbors deterministic (equal
+    values among ties cannot be strict peaks, so the residual order is
+    irrelevant): lag/lead only, no self-joins; series endpoints use
+    -inf neighbors so a boundary maximum still qualifies. Values and the delta compare round to 6
+    decimals (cross-engine float discipline). Output:
+    (key, ts, value, delta r6) — delta = value - max(neighbors)."""
+    from pyspark.sql.window import Window as W
+
+    v = F.round(F.col(val_col).cast("double"), 6)
+    w = W.partitionBy("key").orderBy("ts", "v")
+    base = events_df.select(F.col(key_col).alias("key"),
+                            F.col(ts_col).alias("ts"), v.alias("v"))
+    ninf = F.lit(float("-inf"))
+    prv = F.coalesce(F.lag("v").over(w), ninf)
+    nxt = F.coalesce(F.lead("v").over(w), ninf)
+    # materialize the neighbors BEFORE filtering — a window expression
+    # referenced after the filter would recompute over survivors only
+    delta = F.round(F.col("v") - F.greatest(F.col("_p"), F.col("_n")), 6)
+    return (base.withColumn("_p", prv).withColumn("_n", nxt)
+                .where((F.col("v") > F.col("_p"))
+                       & (F.col("v") >= F.col("_n")))
+                .withColumn("delta", delta)
+                .where(F.col("delta") >= F.lit(float(min_delta)))
+                .select("key", "ts", F.col("v").alias("value"),
+                        "delta"))

@@ -901,3 +901,20 @@ def test_ks_test_empty_side(spark):
     b = spark.createDataFrame([(None,)], "v double")
     r = profiling.ks_test(a, b, "v").collect()[0]
     assert r.n_b == 0 and r.d_stat is None
+
+
+def test_kneser_ney_logprob_consistent_with_table(spark):
+    """Per-doc KN scores must equal the tf-weighted ln of the q187
+    table's probabilities (python replay on a toy corpus)."""
+    import math
+
+    rows = [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c"), (5, "c b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    table = {(r.w1, r.w2): r.p_kn
+             for r in text_fns.kneser_ney_bigram(df, min_count=1)
+             .collect()}
+    got = {r.doc_id: (r.n_bigrams, r.avg_lp)
+           for r in text_fns.kneser_ney_logprob(df).collect()}
+    assert got[1] == (1, round(math.log(table[("a", "b")]), 6))
+    assert got[4] == (1, round(math.log(table[("a", "c")]), 6))
+    assert got[5] == (1, round(math.log(table[("c", "b")]), 6))

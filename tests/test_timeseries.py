@@ -516,3 +516,22 @@ def test_debounce_keeps_burst_starts(spark):
     # event 2 is inside event 1's burst; 3 starts burst 2; 4 and 5 are
     # firsts of their own keys
     assert got == {1: 1, 3: 2, 4: 1, 5: 1}
+
+
+def test_peak_detection_hand_computed(spark):
+    from dask_grblas_spark.functions.timeseries import peak_detection
+
+    rows = [("u", i, float(v)) for i, v in
+            enumerate([1, 3, 2, 5, 5, 4, 9])]  # peaks: 3, first 5, 9
+    rows += [("w", 0, 7.0)]                    # singleton = peak
+    df = spark.createDataFrame(rows, "user_id string, ts long, "
+                                     "value double")
+    got = sorted((r.key, r.ts, r.value, r.delta)
+                 for r in peak_detection(df, min_delta=0.0).collect())
+    assert got == [("u", 1, 3.0, 1.0), ("u", 3, 5.0, 0.0),
+                   ("u", 6, 9.0, 5.0),
+                   ("w", 0, 7.0, float("inf"))]
+    # min_delta screens the plateau peak (delta 0)
+    got2 = sorted((r.ts, r.value) for r in peak_detection(
+        df, min_delta=0.5).collect() if r.key == "u")
+    assert got2 == [(1, 3.0), (6, 9.0)]

@@ -1173,6 +1173,15 @@ def main() -> int:
     probe("mmr_rerank", NQ * 50,
           lambda: mmr_rerank(mmr_cand, emb500, k=4, lam=0.7))
 
+    # peak detection over the 10M-event stream (one lag/lead window)
+    probe("peak_detection", NEV,
+          lambda: timeseries.peak_detection(ev)
+                  .groupBy("key").count())
+
+    # per-doc KN scoring over the 100k-doc corpus
+    probe("kneser_ney_logprob", ndocs,
+          lambda: text_fns.kneser_ney_logprob(docs))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
