@@ -1479,6 +1479,41 @@ def q197_kn_logprob(spark, sf_dir):
         .select("doc_id", "n_bigrams", "avg_lp")
 
 
+def q198_mutual_information(spark, sf_dir):
+    """Mutual information + NMI between lineitem return flag and line
+    status (profiling.mutual_information) — pure count arithmetic over
+    the contingency relation."""
+    from dask_grblas_spark.functions import profiling
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profiling.mutual_information(li, "l_returnflag",
+                                        "l_linestatus") \
+        .select("n", "card_a", "card_b", "mi", "nmi")
+
+
+def q199_anova(spark, sf_dir):
+    """One-way ANOVA of event values across event types
+    (profiling.anova) — k-group power-sum F statistic."""
+    from dask_grblas_spark.functions import profiling
+    from dask_grblas_spark.streaming import load_events
+
+    return profiling.anova(load_events(spark, sf_dir), "event_type",
+                           "value") \
+        .select("n", "k", "ss_between", "ss_within", "f_stat")
+
+
+def q200_pq_codes(spark, sf_dir):
+    """Product-quantization codes (similarity.pq_codes): 8 subspaces x
+    16-centroid deterministic k-means over the 64-dim embeddings, 2
+    Lloyd iterations each — the compressed-ANN codebook assignment,
+    replayed by 8 independent kmeans CTE pyramids in the oracle."""
+    from dask_grblas_spark.functions import similarity
+
+    return similarity.pq_codes(_emb(spark, sf_dir), n_sub=8, k=16,
+                               iters=2) \
+        .select("vec_id", "sub", "code")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2751,6 +2786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_mmr": q195_mmr,
         "q196_peaks": q196_peaks,
         "q197_kn_logprob": q197_kn_logprob,
+        "q198_mutual_information": q198_mutual_information,
+        "q199_anova": q199_anova,
+        "q200_pq_codes": q200_pq_codes,
         "q151_schema_evolution": q151_schema_evolution,
         "q152_mixture_accounting": q152_mixture_accounting,
         "q153_rolling_corr": q153_rolling_corr,
@@ -7348,5 +7386,133 @@ def oracle_sql() -> dict[str, str]:
         FROM tf JOIN c12 USING (w1, w2) JOIN lm USING (w1)
         JOIN rm USING (w2) CROSS JOIN tot
         GROUP BY 1"""
+
+    # q198: MI/NMI from the contingency relation; the term expression
+    # mirrors the Spark association order.
+    sql["q198_mutual_information"] = """
+        WITH cells AS (
+          SELECT l_returnflag AS a, l_linestatus AS b, COUNT(*) AS n
+          FROM lineitem
+          WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+          GROUP BY 1, 2
+        ), ra AS (SELECT a, SUM(n) AS na FROM cells GROUP BY 1),
+        cb AS (SELECT b, SUM(n) AS nb FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM cells),
+        mi AS (
+          SELECT CAST(nn AS BIGINT) AS n,
+                 COUNT(DISTINCT a) AS card_a,
+                 COUNT(DISTINCT b) AS card_b,
+                 SUM((n / nn) * LN(n * nn / (na * nb))) AS _mi
+          FROM cells JOIN ra USING (a) JOIN cb USING (b)
+          CROSS JOIN tot GROUP BY 1
+        ), ha AS (
+          SELECT LN(MAX(nn)) - SUM(na * LN(na)) / MAX(nn) AS _ha
+          FROM ra CROSS JOIN tot
+        ), hb AS (
+          SELECT LN(MAX(nn)) - SUM(nb * LN(nb)) / MAX(nn) AS _hb
+          FROM cb CROSS JOIN tot
+        )
+        SELECT n, CAST(card_a AS BIGINT) AS card_a,
+               CAST(card_b AS BIGINT) AS card_b,
+               ROUND(_mi, 6) AS mi,
+               CASE WHEN _ha > 0 AND _hb > 0
+                    THEN ROUND(_mi / SQRT(_ha * _hb), 6) END AS nmi
+        FROM mi CROSS JOIN ha CROSS JOIN hb"""
+
+    # q199: one-way ANOVA from per-group power sums; sums of squares
+    # round to 2 (magnitude ~N*v^2, reorder ulps), F to 6.
+    sql["q199_anova"] = """
+        WITH g AS (
+          SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS ng,
+                 SUM(CAST(value AS DOUBLE)) AS sg,
+                 SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE))
+                   AS qg
+          FROM events WHERE value IS NOT NULL GROUP BY 1
+        ), one AS (
+          SELECT SUM(ng) AS n, COUNT(*) AS k, SUM(sg) AS s,
+                 SUM(qg - sg * sg / ng) AS ssw,
+                 SUM(sg * sg / ng) AS sq
+          FROM g
+        )
+        SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+               ROUND(sq - s * s / n, 2) AS ss_between,
+               ROUND(ssw, 2) AS ss_within,
+               CASE WHEN k > 1 AND ssw > 0 AND n > k THEN
+                 ROUND(((sq - s * s / n) / (k - 1)) / (ssw / (n - k)),
+                       6) END AS f_stat
+        FROM one"""
+
+    # q200: product quantization — 8 independent kmeans pyramids (the
+    # q62 recipe per subspace slice; init hash ranks are vid-only so
+    # every subspace seeds from the same 16 vectors, as pq_codes does).
+    def _pq_sub(s, k, iters, d_sub):
+        lo, hi = s * d_sub, (s + 1) * d_sub
+        t = f"""
+        e{s} AS MATERIALIZED (
+          SELECT vid, d - {lo} AS d, val FROM (
+            SELECT vid, generate_subscripts(v, 1) AS d, unnest(v) AS val
+            FROM emb)
+          WHERE d > {lo} AND d <= {hi}
+        ), c{s}_0 AS MATERIALIZED (
+          SELECT CAST(row_number() OVER (ORDER BY hk, vid) AS BIGINT) - 1
+                   AS c, list_slice(v, {lo + 1}, {hi}) AS cv
+          FROM (SELECT e.vid, e.v, h.hk
+                FROM emb e JOIN hk h USING (vid)
+                ORDER BY hk, vid LIMIT {k})
+        )"""
+        for i in range(1, iters + 1):
+            p = i - 1
+            t += f""", ec{s}_{p} AS (
+          SELECT c, generate_subscripts(cv, 1) AS d, unnest(cv) AS cval
+          FROM c{s}_{p}
+        ), a{s}_{i} AS MATERIALIZED (
+          SELECT vid, c FROM (
+            SELECT vid, c, row_number() OVER (PARTITION BY vid
+                     ORDER BY ROUND(dist, 6), c) AS rn
+            FROM (SELECT ee.vid, ec.c,
+                         SUM((ee.val - ec.cval) * (ee.val - ec.cval))
+                           AS dist
+                  FROM e{s} ee JOIN ec{s}_{p} ec USING (d)
+                  GROUP BY ee.vid, ec.c))
+          WHERE rn = 1
+        ), c{s}_{i} AS MATERIALIZED (
+          SELECT p.c, COALESCE(n.cv, p.cv) AS cv
+          FROM c{s}_{p} p LEFT JOIN (
+            SELECT c, list(ROUND(m, 6) ORDER BY d) AS cv
+            FROM (SELECT a.c, ee.d, AVG(ee.val) AS m
+                  FROM a{s}_{i} a JOIN e{s} ee USING (vid)
+                  GROUP BY a.c, ee.d)
+            GROUP BY c) n USING (c)
+        )"""
+        t += f""", ecf{s} AS (
+          SELECT c, generate_subscripts(cv, 1) AS d, unnest(cv) AS cval
+          FROM c{s}_{iters}
+        ), asg{s} AS MATERIALIZED (
+          SELECT vid, c FROM (
+            SELECT vid, c, row_number() OVER (PARTITION BY vid
+                     ORDER BY ROUND(dist, 6), c) AS rn
+            FROM (SELECT ee.vid, ec.c,
+                         SUM((ee.val - ec.cval) * (ee.val - ec.cval))
+                           AS dist
+                  FROM e{s} ee JOIN ecf{s} ec USING (d)
+                  GROUP BY ee.vid, ec.c))
+          WHERE rn = 1
+        )"""
+        return t
+
+    _pq_union = "\nUNION ALL\n".join(
+        f"SELECT vid, CAST({s} AS INT) AS sub, CAST(c AS INT) AS code "
+        f"FROM asg{s}" for s in range(8))
+    sql["q200_pq_codes"] = f"""
+        WITH emb AS MATERIALIZED (
+          SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ), hk AS MATERIALIZED (
+          SELECT vid, ('0x' || substr(md5('42:' || vid), 1, 15))::BIGINT
+                   AS hk
+          FROM emb
+        ),
+        {','.join(_pq_sub(s, 16, 2, 8) for s in range(8))}
+        SELECT vid AS vec_id, sub, code FROM ({_pq_union})"""
 
     return sql

@@ -25,7 +25,7 @@ __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "exact_weighted_quantiles", "group_quantiles", "user_growth",
            "chi2_independence", "gini_coefficient", "mad_outliers",
            "key_skew", "winsorize", "column_entropy", "robust_scale",
-           "psi", "ks_test"]
+           "psi", "ks_test", "mutual_information", "anova"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -839,6 +839,98 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
                      ((F.col("card_a") - 1) * (F.col("card_b") - 1))
                      .cast("bigint").alias("dof"),
                      "chi2"))
+
+
+def mutual_information(df: DataFrame, col_a: str,
+                       col_b: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, plus
+    the sqrt-normalized variant NMI = MI / sqrt(H_a · H_b) — the
+    feature-association screen that, unlike correlation, catches
+    non-linear and non-ordinal dependence. Every term is count
+    arithmetic over the contingency relation:
+
+        MI = Σ_ab (n_ab/N) · ln(n_ab·N / (n_a·n_b))
+
+    Plan: one map-side-combined contingency count (chi2_independence's
+    shape), checkpointed and reused for both marginals; two broadcast
+    marginal joins; one aggregate. Rows where either column is NULL are
+    excluded. Output: (n, card_a, card_b, mi, nmi), rounded 6; NMI is
+    NULL when either marginal entropy is 0 (a constant column)."""
+    cells = (df.where(F.col(col_a).isNotNull()
+                      & F.col(col_b).isNotNull())
+               .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+               .agg(F.count("*").alias("n")))
+    cells = cells.localCheckpoint(eager=True)
+    ra = cells.groupBy("a").agg(F.sum("n").alias("na"))
+    cb = cells.groupBy("b").agg(F.sum("n").alias("nb"))
+    tot = cells.agg(F.sum("n").cast("double").alias("nn"))
+    mi_term = (F.col("n") / F.col("nn")) \
+        * F.log(F.col("n") * F.col("nn") / (F.col("na") * F.col("nb")))
+    mi = (cells.join(F.broadcast(ra), on="a")
+               .join(F.broadcast(cb), on="b")
+               .crossJoin(F.broadcast(tot))
+               .agg(F.first("nn").cast("bigint").alias("n"),
+                    F.count_distinct("a").alias("card_a"),
+                    F.count_distinct("b").alias("card_b"),
+                    F.sum(mi_term).alias("_mi")))
+    # marginal entropies from the n ln n expansion (column_entropy's
+    # identity), each ONE fold over the tiny marginal relation — the
+    # total re-derives inside the fold (sum of the marginal), no
+    # crossJoin needed
+    ha = ra.agg((F.log(F.sum("na").cast("double"))
+                 - F.sum(F.col("na") * F.log("na"))
+                 / F.sum("na").cast("double")).alias("_ha"))
+    hb = cb.agg((F.log(F.sum("nb").cast("double"))
+                 - F.sum(F.col("nb") * F.log("nb"))
+                 / F.sum("nb").cast("double")).alias("_hb"))
+    return (mi.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+              .select("n",
+                      F.col("card_a").cast("bigint").alias("card_a"),
+                      F.col("card_b").cast("bigint").alias("card_b"),
+                      F.round("_mi", 6).alias("mi"),
+                      F.when((F.col("_ha") > 0) & (F.col("_hb") > 0),
+                             F.round(F.col("_mi")
+                                     / F.sqrt(F.col("_ha")
+                                              * F.col("_hb")), 6))
+                       .alias("nmi")))
+
+
+def anova(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """One-way ANOVA F statistic across k groups — ab_test's k-group
+    generalization, from per-group power sums only (no residual pass):
+
+        SSB = Σ_g n_g·(m_g - m)²,  SSW = Σ_g (s2_g - n_g·m_g²),
+        F = (SSB/(k-1)) / (SSW/(n-k))
+
+    One map-side-combined grouped aggregate, then a 1-row fold.
+    Output: (n, k, ss_between, ss_within, f_stat); the sums of squares
+    round to 2 decimals (their magnitude is ~N·v² — 6-decimal rounding
+    of a ~1e11 double sits below the reorder ulps), F to 6 (a ratio,
+    relative error stays tiny); F is NULL when k < 2 or SSW = 0 (compare against the F(k-1, n-k)
+    critical value of your chosen alpha)."""
+    v = F.col(val_col).cast("double")
+    g = (df.where(v.isNotNull())
+           .groupBy(F.col(group_col).alias("grp"))
+           .agg(F.count("*").cast("double").alias("ng"),
+                F.sum(v).alias("sg"),
+                F.sum(v * v).alias("qg")))
+    one = g.agg(F.sum("ng").alias("n"), F.count("*").alias("k"),
+                F.sum("sg").alias("s"),
+                F.sum(F.col("qg") - F.col("sg") * F.col("sg")
+                      / F.col("ng")).alias("ssw"),
+                F.sum(F.col("sg") * F.col("sg") / F.col("ng"))
+                 .alias("_sq"))
+    ssb = F.col("_sq") - F.col("s") * F.col("s") / F.col("n")
+    f = (ssb / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n")
+                                                    - F.col("k")))
+    return one.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round(ssb, 2).alias("ss_between"),
+        F.round("ssw", 2).alias("ss_within"),
+        F.when((F.col("k") > 1) & (F.col("ssw") > 0) & (F.col("n")
+                                                        > F.col("k")),
+               F.round(f, 6)).alias("f_stat"))
 
 
 def gini_coefficient(df: DataFrame, val_col: str,

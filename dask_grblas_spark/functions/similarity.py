@@ -28,7 +28,7 @@ __all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
            "semantic_dedup_pairs", "quantize_int8",
            "hyperplane_lsh_pairs_between", "ranking_metrics",
            "knn_classify", "item_cf_topk", "grid_cluster",
-           "mmr_rerank"]
+           "mmr_rerank", "pq_codes"]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -679,6 +679,42 @@ def hyperplane_lsh_pairs_between(new_df: DataFrame, corpus_df: DataFrame,
                 .withColumn("cosine", F.round(cos, 6))
                 .filter(F.col("cosine") >= threshold)
                 .select("id_a", "id_b", "cosine"))
+
+
+def pq_codes(emb_df: DataFrame, n_sub: int = 8, k: int = 16,
+             iters: int = 2, dim: int = 64, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Product-quantization code assignment (Jégou et al.): split each
+    d-dim vector into ``n_sub`` contiguous subvectors and run the
+    deterministic Lloyd k-means (kmeans_assign — hash init, rounded
+    distances/centroids, tie-broken argmin) INDEPENDENTLY per
+    subspace; a vector's code word is its per-subspace cluster id.
+    The compressed representation behind large-scale ANN re-ranking:
+    n_sub bytes per vector at k <= 256 instead of d floats.
+
+    Each subspace is its own small clustering job over one slice
+    projection of the corpus (no cross-subspace shuffle); the per-
+    subspace init/update discipline is exactly kmeans_assign's, so the
+    whole pipeline replays in SQL. Output: (vec_id, sub, code) —
+    exploded long form (n_sub rows per vector)."""
+    if dim % n_sub != 0:
+        raise ValueError("dim must divide evenly into n_sub subspaces")
+    d_sub = dim // n_sub
+    outs = []
+    for s in range(n_sub):
+        sl = emb_df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"),
+                    s * d_sub + 1, d_sub).alias("embedding"))
+        asg = kmeans_assign(sl, k=k, iters=iters, id_col=id_col,
+                            vec_col="embedding", seed=seed)
+        outs.append(asg.select(F.col(id_col), F.lit(s).alias("sub"),
+                               F.col("cluster").cast("int")
+                                .alias("code")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
 
 
 def mmr_rerank(cand_df: DataFrame, emb_df: DataFrame, k: int = 5,

@@ -644,3 +644,32 @@ def test_mmr_rerank_short_candidate_lists(spark):
                  for r in mmr_rerank(cand, emb, k=5, lam=0.7).collect())
     # query 0 returns both, query 7 returns its single candidate
     assert got == [(0, 1, 1), (0, 2, 2), (7, 1, 1)]
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    import numpy as np
+
+    from dask_grblas_spark.functions.similarity import pq_codes
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(16).tolist()) for i in range(60)]
+    # duplicate vector 0 as id 60: identical codes expected
+    rows.append((60, rows[0][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = pq_codes(df, n_sub=4, k=8, iters=2, dim=16).collect()
+    by_vec = {}
+    for r in got:
+        assert 0 <= r.code < 8 and 0 <= r.sub < 4
+        by_vec.setdefault(r.vec_id, {})[r.sub] = r.code
+    assert all(len(v) == 4 for v in by_vec.values())
+    assert len(by_vec) == 61
+    assert by_vec[0] == by_vec[60]
+    # deterministic across runs
+    again = {(r.vec_id, r.sub): r.code
+             for r in pq_codes(df, n_sub=4, k=8, iters=2, dim=16)
+             .collect()}
+    assert all(again[(v, s)] == c for v, subs in by_vec.items()
+               for s, c in subs.items())
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pq_codes(df, n_sub=5, dim=16)

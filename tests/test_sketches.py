@@ -918,3 +918,53 @@ def test_kneser_ney_logprob_consistent_with_table(spark):
     assert got[1] == (1, round(math.log(table[("a", "b")]), 6))
     assert got[4] == (1, round(math.log(table[("a", "c")]), 6))
     assert got[5] == (1, round(math.log(table[("c", "b")]), 6))
+
+
+def test_mutual_information_hand_computed(spark):
+    """Perfectly dependent columns: MI = H = ln 2 at a 50/50 split,
+    NMI = 1. Independent uniform columns: MI = 0."""
+    import math
+
+    from dask_grblas_spark.functions import profiling
+
+    dep = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y", "p" if i % 2 else "q")
+         for i in range(100)], "id long, a string, b string")
+    r = profiling.mutual_information(dep, "a", "b").collect()[0]
+    assert (r.n, r.card_a, r.card_b) == (100, 2, 2)
+    assert r.mi == round(math.log(2), 6) and r.nmi == 1.0
+    ind = spark.createDataFrame(
+        [(i, str(i % 2), str((i // 2) % 2)) for i in range(100)],
+        "id long, a string, b string")
+    r2 = profiling.mutual_information(ind, "a", "b").collect()[0]
+    assert r2.mi == 0.0 and r2.nmi == 0.0
+    # constant column: zero entropy -> NMI NULL, MI 0
+    const = spark.createDataFrame(
+        [(i, "c", str(i % 3)) for i in range(30)],
+        "id long, a string, b string")
+    r3 = profiling.mutual_information(const, "a", "b").collect()[0]
+    assert r3.mi == 0.0 and r3.nmi is None
+
+
+def test_anova_hand_computed(spark):
+    """Three groups straight out of a textbook: g1=(1,2,3), g2=(4,5,6),
+    g3=(7,8,9). Grand mean 5; SSB = 3*(16+0+16) = 96... wait: group
+    means 2,5,8 -> SSB = 3*((2-5)^2 + 0 + (8-5)^2) = 54; SSW = 3*2 = 6;
+    F = (54/2)/(6/6) = 27."""
+    from dask_grblas_spark.functions import profiling
+
+    rows = [(g, float(v)) for g, vals in
+            (("g1", [1, 2, 3]), ("g2", [4, 5, 6]), ("g3", [7, 8, 9]))
+            for v in vals]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = profiling.anova(df, "grp", "v").collect()[0]
+    assert (r.n, r.k) == (9, 3)
+    assert r.ss_between == 54.0 and r.ss_within == 6.0
+    assert r.f_stat == 27.0
+    # single group / zero within-variance -> NULL F
+    one = spark.createDataFrame([("g", 1.0), ("g", 2.0)],
+                                "grp string, v double")
+    assert profiling.anova(one, "grp", "v").collect()[0].f_stat is None
+    flat = spark.createDataFrame([("a", 1.0), ("b", 1.0)],
+                                 "grp string, v double")
+    assert profiling.anova(flat, "grp", "v").collect()[0].f_stat is None

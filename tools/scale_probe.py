@@ -1182,6 +1182,25 @@ def main() -> int:
     probe("kneser_ney_logprob", ndocs,
           lambda: text_fns.kneser_ney_logprob(docs))
 
+    # PQ codebook assignment over 100k synthetic 64-dim vectors:
+    # 8 subspaces x 16 centroids x 2 Lloyd iterations
+    from dask_grblas_spark.functions.similarity import pq_codes
+    pq_vecs = spark.range(100_000 if not QUICK else 5_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(64)),
+                    lambda d: (F.pmod(F.xxhash64("id", d),
+                                      F.lit(2001)) - 1000)
+                    .cast("double") / 1000.0).alias("embedding"))
+    probe("pq_codes", 100_000 if not QUICK else 5_000,
+          lambda: pq_codes(pq_vecs))
+
+    # mutual information + ANOVA over 10M rows
+    from dask_grblas_spark.functions.profiling import (anova,
+                                                       mutual_information)
+    probe("mutual_information", NSC,
+          lambda: mutual_information(ct_df, "a", "b"))
+    probe("anova", NEV, lambda: anova(ev, "event_type", "value"))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
