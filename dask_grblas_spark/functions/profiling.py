@@ -710,52 +710,58 @@ def ab_test(df: DataFrame, group_col: str, val_col: str,
 def exact_weighted_quantiles(df: DataFrame, col: str, weight_col: str,
                              probs: list[float],
                              nbins: int = 1024) -> DataFrame:
-    """EXACT weighted quantiles without a global sort — the
-    exact_quantiles histogram-offset pattern with weights: quantile(p)
-    is the smallest value whose cumulative weight (in (value, weight)
-    order) reaches ceil(round(p * W, 6)). Pass 1 aggregates (W, min,
-    max); pass 2 is a map-side weighted histogram (nbins sums to the
-    driver); pass 3 ranks only the target bins' rows with a running
-    weight sum. INTEGER weights make the comparison engine-exact
-    (cumulative integer sums have no float association drift); float
-    weights are subject to boundary ulps. Output: (p, value)."""
+    """EXACT weighted quantiles without a global sort: quantile(p) is
+    the smallest value whose cumulative weight (in value order) reaches
+    ceil(round(p * W, 6)). Range-partition on the tie-broken (value,
+    row-id) key (the _exact_rank discipline — a 90%-constant value
+    still balances across sampled interval partitions, unlike the
+    former equi-width value bins, whose hot bin ran one straggler
+    task); per-partition weight sums come to the driver (numPartitions
+    rows), locate each target's partition and local remainder there,
+    then ONE running-weight window over only the targeted partitions
+    (each ~n/numPartitions rows). Tie order among equal values cannot
+    change the answer (the run's last row always carries the run's
+    full cumulative weight). INTEGER weights make the comparison
+    engine-exact (integer cumulative sums have no float association
+    drift). ``nbins`` is kept for signature compatibility.
+    Output: (p, value)."""
     import math
+
+    from pyspark.sql.window import Window as W
 
     v = F.col(col).cast("double")
     w = F.col(weight_col).cast("long")
-    base = df.select(v.alias("_v"), w.alias("_w")).where(F.col("_w") > 0)
-    tot, lo, hi = base.agg(F.sum("_w"), F.min("_v"),
-                           F.max("_v")).collect()[0]
+    base = (df.select(v.alias("_v"), w.alias("_w"))
+              .where(F.col("_w") > 0)
+              .withColumn("_id", F.monotonically_increasing_id()))
     spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    tagged = (base.repartitionByRange(nparts, F.col("_v"), F.col("_id"))
+                  .withColumn("_p", F.spark_partition_id())
+                  .localCheckpoint())
+    sums = dict(tagged.groupBy("_p").agg(F.sum("_w")).collect())
+    offs, cum = {}, 0
+    for pid in sorted(sums):
+        offs[pid] = cum
+        cum += sums[pid]
+    tot = cum
     if not tot:
         return spark.createDataFrame([], "p double, value double")
-    if hi == lo:
-        return spark.createDataFrame(
-            [(float(p), float(lo)) for p in probs], "p double, value double")
-    raw = F.floor((F.col("_v") - F.lit(float(lo))) * F.lit(float(nbins))
-                  / F.lit(float(hi - lo)))
-    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
-    tagged = base.withColumn("_b", bin_)
-    hist = dict(tagged.groupBy("_b").agg(F.sum("_w")).collect())
-    targets = {}
+    wanted = []
     for p in probs:
         r = max(1, math.ceil(round(p * tot, 6)))
-        cum = 0
-        for b in range(nbins):
-            c = hist.get(b, 0) or 0
-            if cum + c >= r:
-                targets.setdefault(b, []).append((float(p), r - cum))
+        for pid in sorted(sums):
+            if offs[pid] + sums[pid] >= r:
+                wanted.append((pid, float(p), r - offs[pid]))
                 break
-            cum += c
-    bins = sorted(targets)
-    from pyspark.sql.window import Window as W
-    cand = tagged.filter(F.col("_b").isin(bins))
-    wn = (W.partitionBy("_b").orderBy("_v")
+    want_df = spark.createDataFrame(wanted, "_p int, p double, _lr long")
+    # partition the window by (_p, p): a partition targeted by several
+    # probabilities carries one row copy per probability, each with an
+    # independent running sum
+    wn = (W.partitionBy("_p", "p").orderBy("_v", "_id")
            .rowsBetween(W.unboundedPreceding, 0))
-    ranked = cand.withColumn("_cw", F.sum("_w").over(wn))
-    wanted = [(b, p, lr) for b in bins for (p, lr) in targets[b]]
-    want_df = spark.createDataFrame(wanted, "_b int, p double, _lr long")
-    hit = (ranked.join(F.broadcast(want_df), on="_b")
+    hit = (tagged.join(F.broadcast(want_df), on="_p")
+                 .withColumn("_cw", F.sum("_w").over(wn))
                  .where(F.col("_cw") >= F.col("_lr"))
                  .groupBy("p").agg(F.min("_v").alias("value")))
     return hit.select("p", "value")
@@ -883,7 +889,8 @@ def mutual_information(df: DataFrame, col_a: str,
     hb = cb.agg((F.log(F.sum("nb").cast("double"))
                  - F.sum(F.col("nb") * F.log("nb"))
                  / F.sum("nb").cast("double")).alias("_hb"))
-    return (mi.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    return (mi.where(F.col("n").isNotNull())
+              .crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
               .select("n",
                       F.col("card_a").cast("bigint").alias("card_a"),
                       F.col("card_b").cast("bigint").alias("card_b"),
@@ -997,14 +1004,18 @@ def column_entropy(df: DataFrame, columns: list[str]) -> DataFrame:
     # H = ln(n) - sum(c ln c)/n (exactly the -sum p ln p expansion,
     # but every aggregate term is count arithmetic the oracle replays)
     h = F.log("n") - F.col("_clc") / F.col("n")
-    return (per.join(nulls, on="col")
-               .select("col", F.col("n").cast("bigint").alias("n"),
-                       F.col("n_null").cast("bigint").alias("n_null"),
-                       F.col("k").cast("bigint").alias("n_distinct"),
-                       F.round(h, 6).alias("entropy"),
-                       F.when(F.col("k") > 1,
-                              F.round(h / F.log("k"), 6))
-                        .alias("norm_entropy")))
+    # LEFT join FROM nulls (it carries every column): an all-NULL
+    # column surfaces as (n NULL, n_null, n_distinct 0) instead of
+    # silently dropping — the shape the SQL oracle produces
+    return (nulls.join(per, on="col", how="left")
+                 .select("col", F.col("n").cast("bigint").alias("n"),
+                         F.col("n_null").cast("bigint").alias("n_null"),
+                         F.coalesce(F.col("k"), F.lit(0))
+                          .cast("bigint").alias("n_distinct"),
+                         F.round(h, 6).alias("entropy"),
+                         F.when(F.col("k") > 1,
+                                F.round(h / F.log("k"), 6))
+                          .alias("norm_entropy")))
 
 
 def robust_scale(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
@@ -1022,7 +1033,8 @@ def robust_scale(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
                             - F.percentile(v, F.lit(0.25)), 6)
                      .alias("iqr")))
     out = df.join(F.broadcast(stats),
-                  on=F.col(group_col) == F.col("_grp")).drop("_grp")
+                  on=F.col(group_col).eqNullSafe(F.col("_grp"))) \
+            .drop("_grp")
     scaled = F.when(F.col("iqr") != 0,
                     F.round((v - F.col("med")) / F.col("iqr"), 6))
     return out.withColumn("scaled", scaled)
@@ -1127,10 +1139,13 @@ def ks_test(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
           .rowsBetween(W.unboundedPreceding, 0))
     fa = (off_a[F.col("_p")] + F.sum("ca").over(w)) / F.lit(float(n_a))
     fb = (off_b[F.col("_p")] + F.sum("cb").over(w)) / F.lit(float(n_b))
-    d = (tagged.select(F.abs(fa - fb).alias("_d"))
+    # round IN-PLAN (F.round = HALF_UP, the suite's cross-engine
+    # discipline; Python round() is half-to-even) — rounding is
+    # monotone, so max(round(x)) == round(max(x))
+    d = (tagged.select(F.round(F.abs(fa - fb), 6).alias("_d"))
                .agg(F.max("_d").alias("d")).collect()[0]["d"])
     return spark.createDataFrame(
-        [(int(n_a), int(n_b), round(float(d), 6))],
+        [(int(n_a), int(n_b), float(d))],
         "n_a long, n_b long, d_stat double")
 
 

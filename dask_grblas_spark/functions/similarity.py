@@ -700,12 +700,18 @@ def pq_codes(emb_df: DataFrame, n_sub: int = 8, k: int = 16,
     if dim % n_sub != 0:
         raise ValueError("dim must divide evenly into n_sub subspaces")
     d_sub = dim // n_sub
+    # materialize the cast base ONCE: every subspace slices from the
+    # checkpointed relation instead of re-scanning the source 8x
+    base = (emb_df.select(F.col(id_col),
+                          F.col(vec_col).cast("array<double>")
+                           .alias("_v"))
+                  .localCheckpoint(eager=True))
     outs = []
     for s in range(n_sub):
-        sl = emb_df.select(
+        sl = base.select(
             F.col(id_col),
-            F.slice(F.col(vec_col).cast("array<double>"),
-                    s * d_sub + 1, d_sub).alias("embedding"))
+            F.slice(F.col("_v"), s * d_sub + 1, d_sub)
+             .alias("embedding"))
         asg = kmeans_assign(sl, k=k, iters=iters, id_col=id_col,
                             vec_col="embedding", seed=seed)
         outs.append(asg.select(F.col(id_col), F.lit(s).alias("sub"),

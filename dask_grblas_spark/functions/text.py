@@ -20,7 +20,8 @@ __all__ = ["tokens", "token_count", "char_stats", "quality_score",
            "bpe_train", "bpe_encode", "token_cooccurrence",
            "vocab_coverage_curve", "bigram_logprob", "normalize_text",
            "cluster_terms", "token_js_divergence",
-           "naive_bayes_classify"]
+           "naive_bayes_classify", "kneser_ney_bigram",
+           "kneser_ney_logprob", "repeated_ngram_loops"]
 
 # tiny marker vocabularies for the n-gram/marker language heuristic
 _LANG_MARKERS = {
@@ -641,7 +642,8 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
 
     Output: (doc_id, n_bigrams, avg_lp)."""
     arr = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
-    base = df.select(F.col(id_col).alias("doc_id"), arr.alias("_a"))
+    base = (df.select(F.col(id_col).alias("doc_id"), arr.alias("_a"))
+              .where(F.size("_a") >= 2))
     bg = base.select(
         "doc_id",
         F.explode(F.expr(
@@ -661,6 +663,18 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                   .agg(F.sum("tf").cast("bigint").alias("n_bigrams"),
                        F.round(F.sum(F.col("tf") * F.col("lp"))
                                / F.sum("tf"), 6).alias("avg_lp")))
+
+
+def _kn_p_expr(discount: float):
+    """The interpolated Kneser-Ney probability expression over the
+    joined component columns (c12, c1, n1p_l, n1p_r, n1p_all) — ONE
+    definition shared by the estimator (kneser_ney_bigram) and the
+    scorer (kneser_ney_logprob) so the smoothing formula cannot drift
+    between them (and the SQL oracles mirror this association order)."""
+    d = F.lit(float(discount))
+    return (F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+            + d * F.col("n1p_l") / F.col("c1")
+            * F.col("n1p_r") / F.col("n1p_all"))
 
 
 def kneser_ney_bigram(df: DataFrame, text_col: str = "text",
@@ -688,6 +702,7 @@ def kneser_ney_bigram(df: DataFrame, text_col: str = "text",
     full relation)."""
     arr = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
     bg = (df.select(arr.alias("_a"))
+            .where(F.size("_a") >= 2)
             .select(F.explode(F.expr(
                 "transform(slice(_a, 1, size(_a) - 1),"
                 " (x, i) -> struct(x AS w1, element_at(_a, i + 2) AS w2))"
@@ -699,10 +714,7 @@ def kneser_ney_bigram(df: DataFrame, text_col: str = "text",
                                  F.count("*").alias("n1p_l"))
     right = c12.groupBy("w2").agg(F.count("*").alias("n1p_r"))
     tot = c12.agg(F.count("*").alias("n1p_all"))
-    d = F.lit(float(discount))
-    p = (F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
-         + d * F.col("n1p_l") / F.col("c1")
-         * F.col("n1p_r") / F.col("n1p_all"))
+    p = _kn_p_expr(discount)
     return (c12.join(left, on="w1").join(right, on="w2")
                .crossJoin(F.broadcast(tot))
                .where(F.col("c12") >= min_count)
@@ -727,7 +739,8 @@ def kneser_ney_logprob(df: DataFrame, id_col: str = "doc_id",
     aggregate. Output: (doc_id, n_bigrams, avg_lp r6); docs with fewer
     than two tokens drop out."""
     arr = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
-    base = df.select(F.col(id_col).alias("doc_id"), arr.alias("_a"))
+    base = (df.select(F.col(id_col).alias("doc_id"), arr.alias("_a"))
+              .where(F.size("_a") >= 2))
     bg = (base.select("doc_id", F.explode(F.expr(
               "transform(slice(_a, 1, size(_a) - 1),"
               " (x, i) -> struct(x AS w1, element_at(_a, i + 2) AS w2))"
@@ -740,10 +753,7 @@ def kneser_ney_logprob(df: DataFrame, id_col: str = "doc_id",
                                  F.count("*").alias("n1p_l"))
     right = c12.groupBy("w2").agg(F.count("*").alias("n1p_r"))
     tot = c12.agg(F.count("*").alias("n1p_all"))
-    d = F.lit(float(discount))
-    p = (F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
-         + d * F.col("n1p_l") / F.col("c1")
-         * F.col("n1p_r") / F.col("n1p_all"))
+    p = _kn_p_expr(discount)
     scored = (tf.join(c12, on=["w1", "w2"]).join(left, on="w1")
                 .join(right, on="w2").crossJoin(F.broadcast(tot))
                 .withColumn("_lp", F.log(p)))

@@ -968,3 +968,42 @@ def test_anova_hand_computed(spark):
     flat = spark.createDataFrame([("a", 1.0), ("b", 1.0)],
                                  "grp string, v double")
     assert profiling.anova(flat, "grp", "v").collect()[0].f_stat is None
+
+
+def test_review_fix_regressions(spark):
+    """Round-7 review fixes: empty docs can't crash the bigram family;
+    all-NULL columns surface in column_entropy; NULL groups survive
+    robust_scale; MI on empty input returns 0 rows."""
+    import math
+
+    from dask_grblas_spark.functions import profiling
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, ""), (3, "   "), (4, "solo")],
+        "doc_id long, text string")
+    kb = text_fns.kneser_ney_bigram(docs, min_count=1).collect()
+    assert {(r.w1, r.w2) for r in kb} == {("a", "b"), ("b", "a")}
+    kl = text_fns.kneser_ney_logprob(docs).collect()
+    assert {r.doc_id for r in kl} == {1}
+    bl = text_fns.bigram_logprob(docs).collect()
+    assert {r.doc_id for r in bl} == {1}
+
+    ent = spark.createDataFrame(
+        [(i, None, "x") for i in range(5)],
+        "id long, dead string, live string")
+    got = {r.col: r for r in profiling.column_entropy(
+        ent, ["dead", "live"]).collect()}
+    assert got["dead"].n is None and got["dead"].n_null == 5
+    assert got["dead"].n_distinct == 0 and got["dead"].entropy is None
+    assert got["live"].entropy == 0.0
+
+    rs = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), (None, 3.0), ("g", 5.0), ("g", 6.0),
+         ("g", 7.0)], "grp string, v double")
+    out = profiling.robust_scale(rs, "grp", "v").collect()
+    assert len(out) == 6  # NULL-group rows survive (null-safe join)
+    null_grp = [r for r in out if r.grp is None]
+    assert sorted(r.scaled for r in null_grp) == [-1.0, 0.0, 1.0]
+
+    empty = spark.createDataFrame([], "a string, b string")
+    assert profiling.mutual_information(empty, "a", "b").count() == 0

@@ -1201,6 +1201,41 @@ def main() -> int:
           lambda: mutual_information(ct_df, "a", "b"))
     probe("anova", NEV, lambda: anova(ev, "event_type", "value"))
 
+    # weighted quantiles with a 90%-CONSTANT value (the code-review
+    # finding: the former value-binned histogram ran the hot bin's
+    # running-weight window in ONE task; the range-partitioned rework
+    # must balance it — asserted like the ntile probe)
+    from dask_grblas_spark.functions.profiling import \
+        exact_weighted_quantiles
+
+    def _wq_ties_run():
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        skew_wq = spark.range(NSC).select(
+            F.when(F.pmod(F.xxhash64("id", F.lit(104)), F.lit(10)) < 9,
+                   F.lit(1.0))
+             .otherwise((F.pmod(F.xxhash64("id", F.lit(105)),
+                                F.lit(1000)) + 2).cast("double"))
+             .alias("v"),
+            (F.pmod(F.xxhash64("id", F.lit(106)), F.lit(9)) + 1)
+            .alias("w"))
+        mx = (skew_wq.withColumn("_id", F.monotonically_increasing_id())
+                     .repartitionByRange(nparts, F.col("v"),
+                                         F.col("_id"))
+                     .groupBy(F.spark_partition_id().alias("p"))
+                     .count().agg(F.max("count")).collect()[0][0])
+        assert mx <= 3 * NSC // nparts + 1, \
+            f"straggler partition: {mx} of {NSC} rows"
+        out = exact_weighted_quantiles(skew_wq, "v", "w",
+                                       [0.5, 0.9, 0.95, 0.99])
+        rows = {r.p: r.value for r in out.collect()}
+        # ~90% of the WEIGHT sits on v=1.0 (the 0.9-quantile straddles
+        # that boundary by sampling noise, so assert around it)
+        assert rows[0.5] == 1.0
+        assert rows[0.99] > 1.0
+        return spark.createDataFrame([(len(rows),)], "n long")
+
+    probe("weighted_quantiles_90pct_ties", NSC, _wq_ties_run)
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
