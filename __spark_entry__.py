@@ -799,7 +799,7 @@ def q145_benford(spark, sf_dir):
 def q146_rfm(spark, sf_dir):
     """RFM segmentation of customers from orders
     (profiling.rfm_segments): exact NTILE quartiles via
-    histogram-offset distributed ranking — no single-task global
+    range-partitioned distributed ranking — no single-task global
     window — matching SQL NTILE bit-for-bit."""
     from dask_grblas_spark.functions import profiling
 
@@ -1050,7 +1050,7 @@ def q164_calibration(spark, sf_dir):
 
 def q165_cumulative_gain(spark, sf_dir):
     """Cumulative-gains deciles (profiling.cumulative_gain): exact
-    score deciles via the histogram-offset _exact_ntile (no global
+    score deciles via the range-partitioned _exact_ntile (no global
     window), per-decile lang='en' capture rate."""
     from dask_grblas_spark.functions import profiling
 
@@ -1103,7 +1103,7 @@ def q168_debounce(spark, sf_dir):
 def q169_weighted_quantiles(spark, sf_dir):
     """EXACT weighted quantiles (profiling.exact_weighted_quantiles):
     documents' n_chars weighted by token count, p in {.1,.5,.9,.99} —
-    the q109 histogram-offset pattern with integer cumulative weights
+    range-partitioned integer cumulative weights (the _exact_rank discipline)
     (engine-exact, no float association drift)."""
     from dask_grblas_spark.functions import profiling
 
@@ -1166,7 +1166,7 @@ def q173_chi2(spark, sf_dir):
 
 def q174_gini(spark, sf_dir):
     """Exact Gini concentration of customer order totals
-    (profiling.gini_coefficient): histogram-offset exact ranks — no
+    (profiling.gini_coefficient): range-partitioned exact ranks — no
     global sort; sum(rank*x) is tie-order invariant."""
     from dask_grblas_spark.functions import profiling
 

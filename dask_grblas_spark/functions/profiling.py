@@ -487,7 +487,7 @@ def rfm_segments(orders_df: DataFrame, key_col: str = "o_custkey",
     ordering so a cross-engine ulp in a per-key float sum cannot flip
     two near-equal customers' tiles. Scale shape: one groupBy over the
     orders scan, a 1-row broadcast anchor, then three _exact_ntile
-    passes over the per-key relation — histogram-offset ranking, so no
+    passes over the per-key relation — range-partitioned ranking, so no
     metric ever funnels through a single-task global window (a raw
     NTILE window over a billion customers is a guaranteed straggler).
     Output: (key, recency_days, frequency, monetary, r, f, m,
@@ -606,7 +606,7 @@ def cumulative_gain(df: DataFrame, score_col: str, label_col,
                     id_col: str = "doc_id",
                     n_tiles: int = 10) -> DataFrame:
     """Cumulative-gains table: rank by score descending into n_tiles
-    exact deciles (_exact_ntile — histogram-offset ranking, no global
+    exact deciles (_exact_ntile — range-partitioned ranking, no global
     window), then per-decile positive counts and the cumulative capture
     rate — 'the top 20% of scores holds X% of the positives', the
     targeting/lift readout. Output:
