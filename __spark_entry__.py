@@ -1514,6 +1514,26 @@ def q200_pq_codes(spark, sf_dir):
         .select("vec_id", "sub", "code")
 
 
+def q201_systematic(spark, sf_dir):
+    """Systematic 1-in-7 sample along an md5 permutation
+    (sampling.systematic_sample) — positions come from the shared
+    range-partitioned exact rank, no single-task window."""
+    from dask_grblas_spark.functions import sampling
+
+    return sampling.systematic_sample(_doc(spark, sf_dir), every_k=7) \
+        .select("id", "pos")
+
+
+def q202_ohlc(spark, sf_dir):
+    """Hourly OHLC rollup of event values per type (timeseries.ohlc) —
+    one map-side min_by/max_by aggregate over the (ts, id)-tie-broken
+    event order."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.ohlc(load_events(spark, sf_dir)) \
+        .select("key", "ws", "open", "high", "low", "close", "n")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2789,6 +2809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_mutual_information": q198_mutual_information,
         "q199_anova": q199_anova,
         "q200_pq_codes": q200_pq_codes,
+        "q201_systematic": q201_systematic,
+        "q202_ohlc": q202_ohlc,
         "q151_schema_evolution": q151_schema_evolution,
         "q152_mixture_accounting": q152_mixture_accounting,
         "q153_rolling_corr": q153_rolling_corr,
@@ -7514,5 +7536,46 @@ def oracle_sql() -> dict[str, str]:
         ),
         {','.join(_pq_sub(s, 16, 2, 8) for s in range(8))}
         SELECT vid AS vec_id, sub, code FROM ({_pq_union})"""
+
+    # q201: systematic sampling — the oracle can afford the single
+    # global ROW_NUMBER over the permutation; the engine can't and
+    # uses the range-partitioned rank.
+    sql["q201_systematic"] = """
+        WITH b AS (
+          SELECT doc_id AS id,
+                 ('0x' || substr(md5('sys11:'
+                    || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM documents
+        ), r AS (
+          SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY h, id) AS BIGINT)
+                   AS pos
+          FROM b
+        )
+        SELECT id, pos FROM r WHERE (pos - 1) % 7 = 0"""
+
+    # q202: OHLC — open/close replayed by first/last row numbers under
+    # the same (ts, event_id) tie-broken order Spark's min_by/max_by
+    # struct key imposes.
+    sql["q202_ohlc"] = """
+        WITH b AS (
+          SELECT event_type AS key,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+                 ROUND(CAST(value AS DOUBLE), 6) AS v, ts, event_id
+          FROM events
+        ), w AS (
+          SELECT key, ws, v,
+                 ROW_NUMBER() OVER (PARTITION BY key, ws
+                                    ORDER BY ts, event_id) AS ra,
+                 ROW_NUMBER() OVER (PARTITION BY key, ws
+                                    ORDER BY ts DESC, event_id DESC)
+                   AS rd
+          FROM b
+        )
+        SELECT key, ws,
+               MAX(CASE WHEN ra = 1 THEN v END) AS open,
+               MAX(v) AS high, MIN(v) AS low,
+               MAX(CASE WHEN rd = 1 THEN v END) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM w GROUP BY 1, 2"""
 
     return sql

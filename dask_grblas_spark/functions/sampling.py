@@ -26,7 +26,7 @@ __all__ = ["split_key", "split_column", "deterministic_sample",
            "hex_threshold", "mixture_sample", "group_sample",
            "weighted_sample", "negative_sampling_table",
            "mixture_token_accounting", "neyman_allocation",
-           "split_leakage", "poisson_bootstrap"]
+           "split_leakage", "poisson_bootstrap", "systematic_sample"]
 
 #: Poisson(1) cumulative probabilities P(X <= k) for k = 0..8 — the
 #: inverse-CDF ladder poisson_bootstrap draws from (P(X > 8) ~ 1e-6;
@@ -354,3 +354,32 @@ def poisson_bootstrap(df: DataFrame, val_col: str, n_reps: int = 32,
                      F.when(F.sum("w") > 0,
                             F.round(F.sum(F.col("w") * F.col("v"))
                                     / F.sum("w"), 6)).alias("mean")))
+
+
+def systematic_sample(df: DataFrame, every_k: int,
+                      id_col: str = "doc_id",
+                      seed: int = 11) -> DataFrame:
+    """Deterministic systematic sampling: order the population by the
+    cross-engine md5 hash of (seed, id) — a uniform random permutation
+    that is a pure function of the keys — and keep every k-th row
+    (positions 1, k+1, 2k+1, ...). Equivalent to a 1/k uniform sample
+    with EXACT stratification along the permutation (no binomial size
+    variance, unlike Bernoulli sampling), the survey-sampling classic.
+
+    The global position comes from profiling._exact_rank
+    (repartitionByRange on the tie-free (hash, id) key — balanced by
+    sampling, no single-task window). Output: (id, pos) for kept rows,
+    pos the 1-based permutation position."""
+    from .dedup import cross_hash60
+    from .profiling import _exact_rank
+
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    h = cross_hash60(F.concat(F.lit(f"sys{seed}:"),
+                              F.col(id_col).cast("string")))
+    base = df.select(F.col(id_col).alias("id"), h.alias("_h"))
+    ranked, _ = _exact_rank(base, [F.col("_h"), F.col("id")], "pos")
+    return (ranked.where(F.pmod(F.col("pos") - 1,
+                                F.lit(every_k)) == 0)
+                  .select("id", F.col("pos").cast("bigint")
+                           .alias("pos")))

@@ -24,7 +24,7 @@ __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
            "interval_union", "scd2", "event_transitions",
            "cusum_changepoints", "rolling_correlation",
            "event_paths", "sax_symbols", "seasonal_decompose",
-           "debounce", "date_dim", "peak_detection"]
+           "debounce", "date_dim", "peak_detection", "ohlc"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -714,3 +714,29 @@ def peak_detection(events_df: DataFrame, key_col: str = "user_id",
                 .where(F.col("delta") >= F.lit(float(min_delta)))
                 .select("key", "ts", F.col("v").alias("value"),
                         "delta"))
+
+
+def ohlc(events_df: DataFrame, key_col: str = "event_type",
+         ts_col: str = "ts", val_col: str = "value",
+         id_col: str = "event_id", bucket: str = "hour") -> DataFrame:
+    """Per-key per-bucket OHLC (open/high/low/close) rollup — the
+    canonical time-bucket summary for any metric stream. ONE map-side
+    combined aggregate: open/close are min_by/max_by over the
+    (ts, id)-tie-broken event order (struct-lexicographic, so
+    same-timestamp events resolve deterministically), high/low plain
+    min/max. Output: (key, ws, open, high, low, close, n), values
+    rounded 6."""
+    ws = F.unix_timestamp(F.date_trunc(bucket, F.col(ts_col))) \
+          .cast("bigint")
+    v = F.round(F.col(val_col).cast("double"), 6)
+    ordk = F.struct(F.col(ts_col).alias("t"),
+                    F.col(id_col).alias("i"))
+    return (events_df
+            .select(F.col(key_col).alias("key"), ws.alias("ws"),
+                    v.alias("_v"), ordk.alias("_o"))
+            .groupBy("key", "ws")
+            .agg(F.min_by("_v", F.col("_o")).alias("open"),
+                 F.max("_v").alias("high"),
+                 F.min("_v").alias("low"),
+                 F.max_by("_v", F.col("_o")).alias("close"),
+                 F.count("*").cast("bigint").alias("n")))

@@ -293,3 +293,22 @@ def test_poisson_bootstrap_matches_python_replay(spark):
     for k, c in enumerate(_POISSON1_CUM):
         s += math.exp(-1) / math.factorial(k)
         assert c == s
+
+
+def test_systematic_sample_matches_python_replay(spark):
+    import hashlib
+
+    from dask_grblas_spark.functions.sampling import systematic_sample
+
+    rows = [(i, "x") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r.id, r.pos)
+                 for r in systematic_sample(df, every_k=7).collect())
+    order = sorted(range(100), key=lambda i: (
+        int(hashlib.md5(f"sys11:{i}".encode()).hexdigest()[:15], 16), i))
+    want = sorted((order[p], p + 1) for p in range(0, 100, 7))
+    assert got == want
+    assert len(got) == 15  # ceil(100/7)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        systematic_sample(df, every_k=0)

@@ -535,3 +535,26 @@ def test_peak_detection_hand_computed(spark):
     got2 = sorted((r.ts, r.value) for r in peak_detection(
         df, min_delta=0.5).collect() if r.key == "u")
     assert got2 == [(1, 3.0), (6, 9.0)]
+
+
+def test_ohlc_hand_computed(spark):
+    from dask_grblas_spark.functions.timeseries import ohlc
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        ("a", t0 + dt.timedelta(minutes=5), 3.0, 1),
+        ("a", t0 + dt.timedelta(minutes=1), 7.0, 2),   # open (earliest)
+        ("a", t0 + dt.timedelta(minutes=50), 1.0, 3),  # close + low
+        ("a", t0 + dt.timedelta(minutes=20), 9.0, 4),  # high
+        # same-ts tie: event_id breaks it (id 5 before id 6)
+        ("b", t0, 4.0, 5), ("b", t0, 8.0, 6),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, "
+                                     "value double, event_id long")
+    got = {r.key: r for r in ohlc(df).collect()}
+    a = got["a"]
+    assert (a.open, a.high, a.low, a.close, a.n) == (7.0, 9.0, 1.0,
+                                                     1.0, 4)
+    b = got["b"]
+    assert (b.open, b.close, b.n) == (4.0, 8.0, 2)

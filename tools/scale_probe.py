@@ -1236,6 +1236,14 @@ def main() -> int:
 
     probe("weighted_quantiles_90pct_ties", NSC, _wq_ties_run)
 
+    # systematic sample + OHLC at 10M rows
+    from dask_grblas_spark.functions.sampling import systematic_sample
+    sys_df = spark.range(NSC).select(F.col("id").alias("doc_id"))
+    probe("systematic_sample", NSC,
+          lambda: systematic_sample(sys_df, every_k=97)
+                  .agg(F.count("*"), F.sum("pos")))
+    probe("ohlc", NEV, lambda: timeseries.ohlc(ev))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
