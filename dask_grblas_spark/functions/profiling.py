@@ -203,62 +203,76 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float,
                        .alias("lo_edge"), "n"))
 
 
+def _stamp_row_id(df: DataFrame) -> DataFrame:
+    """Stamp a synthetic per-row tie-break id and PIN it
+    (localCheckpoint) before any ``repartitionByRange`` consumer:
+    ``monotonically_increasing_id`` is recomputation-unstable (the
+    SPARK-23207 hazard class) — if a shuffle-map retry regenerates ids
+    mid-shuffle, rows re-route between range partitions (duplicated or
+    lost). Checkpointing first makes the id (and hence placement) a
+    materialized fact instead of a recipe. Callers project to a narrow
+    relation first so the materialization is cheap."""
+    return (df.withColumn("_id", F.monotonically_increasing_id())
+              .localCheckpoint())
+
+
 def exact_quantiles(df: DataFrame, col: str, probs: list[float],
                     nbins: int = 1024) -> DataFrame:
     """EXACT order-statistic quantiles of a double column WITHOUT a
-    global sort — the distributed three-pass algorithm:
-
-    1. one aggregate for (n, min, max);
-    2. one map-side-combined equi-width histogram over [min, max]
-       (``nbins`` counts to the driver — bounded, like k-means
-       centroids);
-    3. the driver locates each quantile's target bin and LOCAL rank
-       from the cumulative counts, and one final pass ranks only the
-       rows inside the target bins (expected n/nbins rows per bin —
-       the only sorted data, never the full column).
+    global sort AND without a value-binned hot-bin straggler: the
+    range-partitioned prefix-count discipline (`_exact_rank` /
+    `exact_weighted_quantiles` family). repartitionByRange on the
+    tie-broken (value, row-id) key makes every partition a contiguous,
+    sample-balanced interval of the total order — a 90%-duplicate
+    column still balances because the distinct row-id splits the tie
+    run (the former equi-width value bins put the whole hot run in ONE
+    bin's row_number task). Per-partition row counts come to the driver
+    (numPartitions rows); the driver locates each quantile's partition
+    and local rank; one row_number window over ONLY the targeted
+    partitions (each ~n/numPartitions rows) reads the answers off.
 
     quantile(p) is the ceil(round(p*n, 6))-th smallest value (order
     statistic; the 6-decimal round guards the float product against
     0.5*60000 -> 30000.000000000004 -> ceil 30001, and the SQL oracle
-    uses the same CEIL(ROUND(p*n, 6)) formula). Output: (p, value). A
-    constant column collapses to one bin; the rank lookup still works
-    (bin 0 holds everything)."""
+    uses the same CEIL(ROUND(p*n, 6)) formula). Tie order among equal
+    values cannot change the answer (any rank inside a tie run reads
+    the run's value). NULLs are excluded. ``nbins`` is kept for
+    signature compatibility; ranking no longer bins on value.
+    Output: (p, value)."""
     import math
+
     from pyspark.sql.window import Window as W
 
+    spark = df.sparkSession
     v = F.col(col).cast("double")
-    n, lo, hi = df.agg(F.count(v), F.min(v), F.max(v)).collect()[0]
+    base = _stamp_row_id(
+        df.select(v.alias("_v")).where(v.isNotNull()))
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    tagged = (base.repartitionByRange(nparts, F.col("_v"), F.col("_id"))
+                  .withColumn("_p", F.spark_partition_id())
+                  .localCheckpoint())
+    counts = dict(tagged.groupBy("_p").count().collect())
+    offs, cum = {}, 0
+    for pid in sorted(counts):
+        offs[pid] = cum
+        cum += counts[pid]
+    n = cum
     if not n:
-        spark = df.sparkSession
         return spark.createDataFrame([], "p double, value double")
-    if hi == lo:
-        spark = df.sparkSession
-        return spark.createDataFrame([(float(p), float(lo))
-                                      for p in probs],
-                                     "p double, value double")
-    raw = F.floor((v - F.lit(float(lo))) * F.lit(float(nbins))
-                  / F.lit(float(hi - lo)))
-    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
-    hist = dict(df.select(bin_.alias("b")).groupBy("b").count().collect())
-    targets = {}  # bin -> [(p, local_rank)]
+    wanted = []
     for p in probs:
         r = max(1, math.ceil(round(p * n, 6)))
-        cum = 0
-        for b in range(nbins):
-            c = hist.get(b, 0)
-            if cum + c >= r:
-                targets.setdefault(b, []).append((float(p), r - cum))
+        for pid in sorted(counts):
+            if offs[pid] + counts[pid] >= r:
+                wanted.append((pid, float(p), r - offs[pid]))
                 break
-            cum += c
-    bins = sorted(targets)
-    cand = (df.select(v.alias("_v"), bin_.alias("_b"))
-              .filter(F.col("_b").isin(bins)))
-    w = W.partitionBy("_b").orderBy("_v")
-    ranked = cand.withColumn("_rn", F.row_number().over(w))
-    wanted = [(b, p, lr) for b in bins for (p, lr) in targets[b]]
-    spark = df.sparkSession
-    want_df = spark.createDataFrame(wanted, "_b int, p double, _rn int")
-    return (ranked.join(F.broadcast(want_df), on=["_b", "_rn"])
+    want_df = spark.createDataFrame(wanted, "_p int, p double, _lr long")
+    # partition the window by (_p, p): a partition targeted by several
+    # probabilities carries one row copy per probability
+    wn = W.partitionBy("_p", "p").orderBy("_v", "_id")
+    return (tagged.join(F.broadcast(want_df), on="_p")
+                  .withColumn("_rn", F.row_number().over(wn))
+                  .where(F.col("_rn") == F.col("_lr"))
                   .select("p", F.col("_v").alias("value")))
 
 
@@ -731,9 +745,8 @@ def exact_weighted_quantiles(df: DataFrame, col: str, weight_col: str,
 
     v = F.col(col).cast("double")
     w = F.col(weight_col).cast("long")
-    base = (df.select(v.alias("_v"), w.alias("_w"))
-              .where(F.col("_w") > 0)
-              .withColumn("_id", F.monotonically_increasing_id()))
+    base = _stamp_row_id(df.select(v.alias("_v"), w.alias("_w"))
+                           .where(F.col("_w") > 0))
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     tagged = (base.repartitionByRange(nparts, F.col("_v"), F.col("_id"))
@@ -962,9 +975,8 @@ def gini_coefficient(df: DataFrame, val_col: str,
     if hi == lo:
         return spark.createDataFrame([(int(n), float(tot), 0.0)],
                                      "n long, total double, gini double")
-    ranked, _ = _exact_rank(
-        base.withColumn("_id", F.monotonically_increasing_id()),
-        [F.col("_v"), F.col("_id")], "_r")
+    ranked, _ = _exact_rank(_stamp_row_id(base),
+                            [F.col("_v"), F.col("_id")], "_r")
     s = (ranked.agg(F.sum(F.col("_r") * F.col("_v")).alias("_srx"))
                .collect()[0][0])
     g = 2.0 * s / (n * tot) - (n + 1.0) / n
@@ -1055,6 +1067,10 @@ def psi(ref_df: DataFrame, cur_df: DataFrame, col: str,
     full-outer bin join, 1-row totals broadcast in. Output:
     (bin, n_ref, n_cur, p_ref, p_cur, contrib), floats rounded 6;
     SUM(contrib) over non-NULL rows is the PSI."""
+    if hi <= lo:
+        raise ValueError(f"psi: hi ({hi}) must be > lo ({lo})")
+    if n_bins < 1:
+        raise ValueError(f"psi: n_bins must be >= 1, got {n_bins}")
     def binned(df):
         v = F.col(col).cast("double")
         raw = F.floor((v - F.lit(float(lo))) * F.lit(int(n_bins))

@@ -1236,6 +1236,38 @@ def main() -> int:
 
     probe("weighted_quantiles_90pct_ties", NSC, _wq_ties_run)
 
+    # unweighted exact_quantiles with a 90%-CONSTANT column (the r7
+    # verdict's LAST value-binned straggler, q109): the rework onto the
+    # range-partitioned (value, row-id) discipline must spread the tie
+    # run — asserted against the exact repartitioning the op performs
+    from dask_grblas_spark.functions.profiling import exact_quantiles
+
+    def _eq_ties_probe(nrows):
+        def run():
+            nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            skew_q = spark.range(nrows).select(
+                F.when(F.pmod(F.xxhash64("id", F.lit(107)),
+                              F.lit(10)) < 9, F.lit(1.0))
+                 .otherwise((F.pmod(F.xxhash64("id", F.lit(108)),
+                                    F.lit(1000)) + 2).cast("double"))
+                 .alias("v"))
+            mx = (skew_q
+                  .withColumn("_id", F.monotonically_increasing_id())
+                  .repartitionByRange(nparts, F.col("v"), F.col("_id"))
+                  .groupBy(F.spark_partition_id().alias("p"))
+                  .count().agg(F.max("count")).collect()[0][0])
+            assert mx <= 3 * nrows // nparts + 1, \
+                f"straggler partition: {mx} of {nrows} rows"
+            out = exact_quantiles(skew_q, "v", [0.5, 0.9, 0.95, 0.99])
+            rows = {r.p: r.value for r in out.collect()}
+            assert rows[0.5] == 1.0 and rows[0.99] > 1.0
+            return spark.createDataFrame([(len(rows),)], "n long")
+
+        return run
+
+    probe("exact_quantiles_90pct_ties", NSC, _eq_ties_probe(NSC))
+    probe("exact_quantiles_90pct_ties_100m", N100, _eq_ties_probe(N100))
+
     # systematic sample + OHLC at 10M rows
     from dask_grblas_spark.functions.sampling import systematic_sample
     sys_df = spark.range(NSC).select(F.col("id").alias("doc_id"))
