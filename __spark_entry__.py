@@ -425,16 +425,20 @@ def q123_scd2(spark, sf_dir):
 
 def q124_adamic_adar(spark, sf_dir):
     """Adamic–Adar link prediction on a deterministically sparsified
-    nation graph (the complete 25x25 trade graph keeps edges with
-    (i*31 + j) % 3 == 0, then symmetrizes — SF-independent sparsity so
-    non-adjacent pairs exist). Scores every non-edge by its common
-    neighbors' 1/ln(degree); the oracle recomputes via plain SQL
-    self-joins."""
+    nation graph WITH a planted hub (keeps edges with
+    (i*31 + j) % 3 == 0 plus every edge touching node 0, then
+    symmetrizes — SF-independent sparsity AND a node whose degree
+    exceeds the cap). ``max_degree=9`` EXERCISES the hub cap at gate
+    scale: node 0 (deg 10 at sf0.001 / 24 at sf0.01) is excluded from
+    pair GENERATION while surviving pairs score with true degrees —
+    the capped semantics the oracle replays with a deg <= 9 filter on
+    the witness join (the q128/q159 cap-replay pattern)."""
     nn = tpch.nation_matrix(spark, sf_dir)
-    e = (nn.df.where((F.col("i") * 31 + F.col("j")) % 3 == 0)
+    e = (nn.df.where(((F.col("i") * 31 + F.col("j")) % 3 == 0)
+                     | (F.col("i") == 0) | (F.col("j") == 0))
              .select("i", "j", F.lit(1).cast("bigint").alias("v")))
     A = Matrix.from_dataframe(e, 25, 25, dtype="INT64")
-    return alg.adamic_adar(alg.symmetrize(A)) \
+    return alg.adamic_adar(alg.symmetrize(A), max_degree=9) \
         .select("u", "v", "n_common", "score")
 
 
@@ -858,15 +862,19 @@ def q149_naive_bayes(spark, sf_dir):
 
 
 def q150_graph_jaccard(spark, sf_dir):
-    """Neighborhood-Jaccard link prediction on the q124-sparsified
-    nation trade graph (algorithms.neighborhood_jaccard): common /
-    union neighbor counts for non-adjacent pairs — adamic_adar's plan
-    skeleton with degree-sum unions instead of 1/ln(deg) weights."""
+    """Neighborhood-Jaccard link prediction on the q124 hub-planted
+    sparsified nation trade graph (algorithms.neighborhood_jaccard):
+    common / union neighbor counts for non-adjacent pairs —
+    adamic_adar's plan skeleton with degree-sum unions instead of
+    1/ln(deg) weights. ``max_degree=9`` exercises the hub cap (node 0
+    is excluded as a common-neighbor witness; denominators keep TRUE
+    degrees), replayed by the oracle's deg <= 9 witness filter."""
     nn = tpch.nation_matrix(spark, sf_dir)
-    e = (nn.df.where((F.col("i") * 31 + F.col("j")) % 3 == 0)
+    e = (nn.df.where(((F.col("i") * 31 + F.col("j")) % 3 == 0)
+                     | (F.col("i") == 0) | (F.col("j") == 0))
              .select("i", "j", F.lit(1).cast("bigint").alias("v")))
     A = Matrix.from_dataframe(e, 25, 25, dtype="INT64")
-    return alg.neighborhood_jaccard(alg.symmetrize(A)) \
+    return alg.neighborhood_jaccard(alg.symmetrize(A), max_degree=9) \
         .select("u", "v", "n_common", "jacc")
 
 
@@ -5307,7 +5315,8 @@ def oracle_sql() -> dict[str, str]:
     # symmetric nation graph.
     sql["q124_adamic_adar"] = f"""
         WITH {NN_CTE}, samp AS (
-          SELECT i, j FROM nn WHERE (i * 31 + j) % 3 = 0
+          SELECT i, j FROM nn
+          WHERE (i * 31 + j) % 3 = 0 OR i = 0 OR j = 0
         ), sym AS (
           SELECT DISTINCT i, j FROM (
             SELECT i, j FROM samp UNION ALL SELECT j AS i, i AS j FROM samp
@@ -5315,12 +5324,14 @@ def oracle_sql() -> dict[str, str]:
         ), deg AS (
           SELECT i AS z, COUNT(*) AS deg FROM sym GROUP BY 1
         ), p AS (
+          -- max_degree=9 cap replay: hub witnesses are excluded from
+          -- pair GENERATION; scores keep TRUE degrees
           SELECT e1.j AS u, e2.j AS v,
                  CAST(COUNT(*) AS BIGINT) AS n_common,
                  SUM(1.0 / ln(d.deg)) AS s
           FROM sym e1
           JOIN sym e2 ON e1.i = e2.i AND e1.j < e2.j
-          JOIN deg d ON d.z = e1.i
+          JOIN deg d ON d.z = e1.i AND d.deg <= 9
           GROUP BY 1, 2
         )
         SELECT u, v, n_common, ROUND(s, 6) AS score
@@ -6050,7 +6061,8 @@ def oracle_sql() -> dict[str, str]:
     # |union| = deg(u) + deg(v) - common.
     sql["q150_graph_jaccard"] = f"""
         WITH {NN_CTE}, samp AS (
-          SELECT i, j FROM nn WHERE (i * 31 + j) % 3 = 0
+          SELECT i, j FROM nn
+          WHERE (i * 31 + j) % 3 = 0 OR i = 0 OR j = 0
         ), sym AS (
           SELECT DISTINCT i, j FROM (
             SELECT i, j FROM samp UNION ALL SELECT j AS i, i AS j FROM samp
@@ -6058,10 +6070,13 @@ def oracle_sql() -> dict[str, str]:
         ), deg AS (
           SELECT i AS z, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1
         ), p AS (
+          -- max_degree=9 cap replay: hub witnesses excluded from pair
+          -- generation; du/dv below stay TRUE degrees
           SELECT e1.j AS u, e2.j AS v,
                  CAST(COUNT(*) AS BIGINT) AS n_common
           FROM sym e1
           JOIN sym e2 ON e1.i = e2.i AND e1.j < e2.j
+          JOIN deg dz ON dz.z = e1.i AND dz.deg <= 9
           GROUP BY 1, 2
         )
         SELECT p.u, p.v, p.n_common,

@@ -666,7 +666,7 @@ def hits(A: GrMatrix, iters: int = 5) -> DataFrame:
     return out
 
 
-def adamic_adar(A: GrMatrix, max_degree: int | None = None) -> DataFrame:
+def adamic_adar(A: GrMatrix, max_degree: int | None = 4096) -> DataFrame:
     """Adamic–Adar link prediction over a symmetric adjacency: for every
     NON-adjacent pair (u, v) with at least one common neighbor,
     score(u, v) = sum over common neighbors z of 1 / ln(deg(z)).
@@ -681,7 +681,13 @@ def adamic_adar(A: GrMatrix, max_degree: int | None = None) -> DataFrame:
     ``max_degree`` excludes hubs above the cap from pair GENERATION
     (the standard approximation: a z with deg > cap contributes
     1/ln(deg) ~ 0 per pair anyway and its pair fan-out is quadratic);
-    default None is exact. At 100 TB scale set it to a few thousand.
+    the cap is ON BY DEFAULT (4096 — a 1M-degree hub would otherwise
+    emit 5·10^11 pairs; the codebase-wide caps-default-ON convention,
+    same as the dedup/LSH bucket caps). Pass ``max_degree=None`` for
+    the exact quadratic computation on graphs known to be hub-free.
+    Scores of surviving pairs use TRUE degrees (the cap only prunes
+    which z generate pairs), so capped output is a subset-consistent
+    approximation an oracle can replay exactly.
 
     Output: (u, v, n_common, score) with u < v, score rounded to 6.
     """
@@ -756,7 +762,7 @@ def clustering_coefficient(A: GrMatrix) -> DataFrame:
 
 
 def neighborhood_jaccard(A: GrMatrix,
-                         max_degree: int | None = None) -> DataFrame:
+                         max_degree: int | None = 4096) -> DataFrame:
     """Neighborhood-Jaccard link prediction over a symmetric adjacency:
     for every NON-adjacent pair (u, v) with at least one common
     neighbor, J(u, v) = |N(u) n N(v)| / |N(u) u N(v)| — the set-overlap
@@ -767,7 +773,12 @@ def neighborhood_jaccard(A: GrMatrix,
     a (u, v) aggregation, two broadcast-able degree joins, and an
     anti-join against the edge set. |union| = deg(u) + deg(v) - common,
     so no second pair generation. ``max_degree`` caps hub fan-out in
-    pair GENERATION exactly as in adamic_adar (default None = exact).
+    pair GENERATION exactly as in adamic_adar — ON BY DEFAULT (4096,
+    the caps-default-ON convention); ``None`` = exact. Degrees in the
+    Jaccard denominator stay TRUE degrees, so capped output is a
+    subset-consistent approximation (n_common may undercount pairs
+    whose only witnesses are capped hubs — those pairs vanish rather
+    than mis-score when ALL their witnesses are hubs).
     Output: (u, v, n_common, jacc) with u < v, jacc rounded to 6."""
     edges = (A.df.select(F.col("i").cast("bigint").alias("z"),
                          F.col("j").cast("bigint").alias("nbr"))

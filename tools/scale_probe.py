@@ -539,6 +539,37 @@ def main() -> int:
     probe("adamic_adar", E2,
           lambda: alg.adamic_adar(A_aa, max_degree=50))
 
+    # adamic_adar on a 10M-edge STAR under the DEFAULT cap (r8: caps
+    # default ON): the hub (deg 10M -> 5e13 pairs uncapped) is excluded
+    # from pair generation; a planted deg-3000 moderate witness keeps
+    # the output non-trivial (choose(3000,2) pairs, each n_common=1
+    # because the hub is capped out). Asserted, not assumed.
+    ESTAR = 10_000_000 if not QUICK else 1_000_000
+    MOD = 3000 if not QUICK else 300
+
+    def _star_cap_run():
+        leaves = spark.range(1, ESTAR + 1)
+        star = leaves.select(F.lit(0).alias("i"),
+                             F.col("id").alias("j"),
+                             F.lit(1.0).alias("v"))
+        mod = (spark.range(1, MOD + 1)
+               .select(F.lit(ESTAR + 1).alias("i"),
+                       F.col("id").alias("j"), F.lit(1.0).alias("v")))
+        A_star = gb.Matrix.from_dataframe(
+            star.union(mod), ESTAR + 2, ESTAR + 2, dtype="FP64")
+        out = alg.adamic_adar(alg.symmetrize(A_star))
+        # choose(MOD,2) leaf pairs witnessed ONLY by the moderate
+        # vertex (the hub witness is capped out -> n_common = 1), plus
+        # the (hub, moderate) pair witnessed by its MOD deg-2 leaves
+        n1, nmod = (out.agg(
+            F.count(F.when(F.col("n_common") == 1, 1)),
+            F.count(F.when(F.col("n_common") == MOD, 1))).collect()[0])
+        assert n1 == MOD * (MOD - 1) // 2, n1
+        assert nmod == 1, nmod
+        return out.agg(F.count("*"))
+
+    probe("adamic_adar_star_default_cap", ESTAR, _star_cap_run)
+
     # bigram LM scoring over the 100k-doc corpus: one scan + bounded
     # dictionary joins
     probe("bigram_logprob", ndocs,
