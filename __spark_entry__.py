@@ -2964,7 +2964,10 @@ def _kmeans_with(k: int, iters: int) -> str:
     """The deterministic k-means CTE pyramid shared by the q62 and q97
     oracles: hash init, per-iteration rounded-distance argmin assignment
     + rounded centroid means, ending in an ``asg(vid, c)`` CTE holding
-    the final assignment (the same recipe `kmeans_assign` runs)."""
+    the final assignment (the same recipe `kmeans_assign` runs).
+    ``iters`` counts ASSIGNMENT passes (r8): iters-1 centroid updates,
+    then the final assignment from c_{iters-1} — kmeans_assign no
+    longer re-assigns after a terminal centroid update nothing reads."""
     km = """
         WITH emb AS (
           SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v
@@ -2980,7 +2983,7 @@ def _kmeans_with(k: int, iters: int) -> str:
                          AS hk
                 FROM emb ORDER BY hk, vid LIMIT {k})
         )"""
-    for _i in range(1, iters + 1):
+    for _i in range(1, iters):
         km += """, ec{p} AS (
           SELECT c, generate_subscripts(cv, 1) AS d, unnest(cv) AS cval
           FROM c{p}
@@ -3016,7 +3019,7 @@ def _kmeans_with(k: int, iters: int) -> str:
                   GROUP BY ee.vid, ec.c))
           WHERE rn = 1
         )"""
-    return km.format(k=k, n=iters)
+    return km.format(k=k, n=iters - 1)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7499,7 +7502,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM emb e JOIN hk h USING (vid)
                 ORDER BY hk, vid LIMIT {k})
         )"""
-        for i in range(1, iters + 1):
+        # iters = assignment passes (r8 kmeans semantics): iters-1
+        # centroid updates, final assignment from c_{iters-1}
+        for i in range(1, iters):
             p = i - 1
             t += f""", ec{s}_{p} AS (
           SELECT c, generate_subscripts(cv, 1) AS d, unnest(cv) AS cval
@@ -7525,7 +7530,7 @@ def oracle_sql() -> dict[str, str]:
         )"""
         t += f""", ecf{s} AS (
           SELECT c, generate_subscripts(cv, 1) AS d, unnest(cv) AS cval
-          FROM c{s}_{iters}
+          FROM c{s}_{iters - 1}
         ), asg{s} AS MATERIALIZED (
           SELECT vid, c FROM (
             SELECT vid, c, row_number() OVER (PARTITION BY vid

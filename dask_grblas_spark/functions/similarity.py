@@ -373,6 +373,13 @@ def kmeans_assign(emb_df: DataFrame, k: int = 8, iters: int = 3,
       (quantizes away sum-order drift); an emptied cluster keeps its
       previous centroid.
 
+    ``iters`` counts ASSIGNMENT passes: the loop runs iters-1 centroid
+    updates and the final pass's assignment IS the output (r8: the old
+    update-then-REassign tail re-scanned the corpus once more to apply
+    a centroid update nothing else consumed — folding the final
+    assignment into the last Lloyd pass saves one full scan per call;
+    the SQL oracle generator emits the same recursion depth).
+
     Scale shape (MLlib-style): centroids are DRIVER-held between
     iterations — k*dim doubles, constant in corpus size — while every
     data pass is one executor-side scan. Assignment picks its physical
@@ -389,7 +396,7 @@ def kmeans_assign(emb_df: DataFrame, k: int = 8, iters: int = 3,
     if emb.rdd.getNumPartitions() < (par := emb_df.sparkSession
                                      .sparkContext.defaultParallelism):
         emb = emb.repartition(par)
-    emb = emb.localCheckpoint(eager=True)  # consumed 2*iters + 1 times
+    emb = emb.localCheckpoint(eager=True)  # consumed 2*iters - 1 times
 
     hk = cross_hash60(F.concat(F.lit(f"{seed}:"),
                                F.col("vid").cast("string")))
@@ -439,8 +446,8 @@ def kmeans_assign(emb_df: DataFrame, k: int = 8, iters: int = 3,
                       .select("vid", F.col("_a.v").alias("v"),
                               F.col("_a.cluster").alias("cluster")))
 
-    for _ in range(iters):
-        assigned = assign(cents)
+    assigned = assign(cents)
+    for _ in range(max(0, iters - 1)):
         # the 6-decimal quantization rides INSIDE the agg (F.round is
         # HALF_UP, same as the DuckDB oracle's ROUND) — a driver-side
         # Python round() would be half-to-even and could diverge on an
@@ -457,8 +464,9 @@ def kmeans_assign(emb_df: DataFrame, k: int = 8, iters: int = 3,
             [upd[c][d] for d in range(len(cents[c]))] if c in upd
             else cents[c]
             for c in range(k)]
+        assigned = assign(cents)
 
-    return assign(cents).select(F.col("vid").alias(id_col), "cluster")
+    return assigned.select(F.col("vid").alias(id_col), "cluster")
 
 
 def _projection_matrix(out_dim: int, dim: int,
