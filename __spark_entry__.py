@@ -7431,6 +7431,9 @@ def oracle_sql() -> dict[str, str]:
 
     # q198: MI/NMI from the contingency relation; the term expression
     # mirrors the Spark association order.
+    # q198 (r8): the single-aggregate closed form — marginal entropy
+    # sums collapse to cell-level sums (SUM_a na ln na == SUM_cells
+    # n ln na); NMI guarded by the INTEGER cardinality test.
     sql["q198_mutual_information"] = """
         WITH cells AS (
           SELECT l_returnflag AS a, l_linestatus AS b, COUNT(*) AS n
@@ -7439,27 +7442,25 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1, 2
         ), ra AS (SELECT a, SUM(n) AS na FROM cells GROUP BY 1),
         cb AS (SELECT b, SUM(n) AS nb FROM cells GROUP BY 1),
-        tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM cells),
-        mi AS (
-          SELECT CAST(nn AS BIGINT) AS n,
+        one AS (
+          SELECT SUM(n) AS n0,
+                 SUM(n * LN(n)) AS s1,
+                 SUM(n * LN(na)) AS s2,
+                 SUM(n * LN(nb)) AS s3,
                  COUNT(DISTINCT a) AS card_a,
-                 COUNT(DISTINCT b) AS card_b,
-                 SUM((n / nn) * LN(n * nn / (na * nb))) AS _mi
+                 COUNT(DISTINCT b) AS card_b
           FROM cells JOIN ra USING (a) JOIN cb USING (b)
-          CROSS JOIN tot GROUP BY 1
-        ), ha AS (
-          SELECT LN(MAX(nn)) - SUM(na * LN(na)) / MAX(nn) AS _ha
-          FROM ra CROSS JOIN tot
-        ), hb AS (
-          SELECT LN(MAX(nn)) - SUM(nb * LN(nb)) / MAX(nn) AS _hb
-          FROM cb CROSS JOIN tot
         )
-        SELECT n, CAST(card_a AS BIGINT) AS card_a,
+        SELECT CAST(n0 AS BIGINT) AS n,
+               CAST(card_a AS BIGINT) AS card_a,
                CAST(card_b AS BIGINT) AS card_b,
-               ROUND(_mi, 6) AS mi,
-               CASE WHEN _ha > 0 AND _hb > 0
-                    THEN ROUND(_mi / SQRT(_ha * _hb), 6) END AS nmi
-        FROM mi CROSS JOIN ha CROSS JOIN hb"""
+               ROUND((s1 + n0 * LN(n0) - s2 - s3) / n0, 6) AS mi,
+               CASE WHEN card_a > 1 AND card_b > 1
+                    THEN ROUND(((s1 + n0 * LN(n0) - s2 - s3) / n0)
+                               / SQRT((LN(n0) - s2 / n0)
+                                      * (LN(n0) - s3 / n0)), 6) END
+                 AS nmi
+        FROM one WHERE n0 IS NOT NULL"""
 
     # q199: one-way ANOVA from per-group power sums; sums of squares
     # round to 2 (magnitude ~N*v^2, reorder ulps), F to 6.

@@ -870,11 +870,22 @@ def mutual_information(df: DataFrame, col_a: str,
 
         MI = Σ_ab (n_ab/N) · ln(n_ab·N / (n_a·n_b))
 
-    Plan: one map-side-combined contingency count (chi2_independence's
-    shape), checkpointed and reused for both marginals; two broadcast
-    marginal joins; one aggregate. Rows where either column is NULL are
-    excluded. Output: (n, card_a, card_b, mi, nmi), rounded 6; NMI is
-    NULL when either marginal entropy is 0 (a constant column)."""
+    Plan (r8: ZERO crossJoins — every former 1-row total rides inside
+    ONE aggregate): contingency count (chi2_independence's shape),
+    checkpointed and reused for both marginals; two broadcast marginal
+    joins; then a SINGLE aggregate over the joined cells computes
+    everything, because the marginal-entropy sums collapse to
+    cell-level sums via na = Σ_b n_ab:
+
+        Σ_a na·ln(na) = Σ_cells n·ln(na)   (same for b)
+        MI·N = Σ n·ln n + N·ln N - Σ n·ln na - Σ n·ln nb
+        H_a  = ln N - Σ n·ln(na) / N
+
+    Rows where either column is NULL are excluded. Output:
+    (n, card_a, card_b, mi, nmi), rounded 6; NMI is NULL when either
+    column is constant (card == 1 — an INTEGER guard, engine-exact
+    where a float H > 0 test could sign-flip on summation-order ulps
+    near zero)."""
     cells = (df.where(F.col(col_a).isNotNull()
                       & F.col(col_b).isNotNull())
                .groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
@@ -882,37 +893,28 @@ def mutual_information(df: DataFrame, col_a: str,
     cells = cells.localCheckpoint(eager=True)
     ra = cells.groupBy("a").agg(F.sum("n").alias("na"))
     cb = cells.groupBy("b").agg(F.sum("n").alias("nb"))
-    tot = cells.agg(F.sum("n").cast("double").alias("nn"))
-    mi_term = (F.col("n") / F.col("nn")) \
-        * F.log(F.col("n") * F.col("nn") / (F.col("na") * F.col("nb")))
-    mi = (cells.join(F.broadcast(ra), on="a")
-               .join(F.broadcast(cb), on="b")
-               .crossJoin(F.broadcast(tot))
-               .agg(F.first("nn").cast("bigint").alias("n"),
-                    F.count_distinct("a").alias("card_a"),
-                    F.count_distinct("b").alias("card_b"),
-                    F.sum(mi_term).alias("_mi")))
-    # marginal entropies from the n ln n expansion (column_entropy's
-    # identity), each ONE fold over the tiny marginal relation — the
-    # total re-derives inside the fold (sum of the marginal), no
-    # crossJoin needed
-    ha = ra.agg((F.log(F.sum("na").cast("double"))
-                 - F.sum(F.col("na") * F.log("na"))
-                 / F.sum("na").cast("double")).alias("_ha"))
-    hb = cb.agg((F.log(F.sum("nb").cast("double"))
-                 - F.sum(F.col("nb") * F.log("nb"))
-                 / F.sum("nb").cast("double")).alias("_hb"))
-    return (mi.where(F.col("n").isNotNull())
-              .crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
-              .select("n",
-                      F.col("card_a").cast("bigint").alias("card_a"),
-                      F.col("card_b").cast("bigint").alias("card_b"),
-                      F.round("_mi", 6).alias("mi"),
-                      F.when((F.col("_ha") > 0) & (F.col("_hb") > 0),
-                             F.round(F.col("_mi")
-                                     / F.sqrt(F.col("_ha")
-                                              * F.col("_hb")), 6))
-                       .alias("nmi")))
+    one = (cells.join(F.broadcast(ra), on="a")
+                .join(F.broadcast(cb), on="b")
+                .agg(F.sum("n").alias("_n0"),
+                     F.sum(F.col("n") * F.log("n")).alias("_s1"),
+                     F.sum(F.col("n") * F.log("na")).alias("_s2"),
+                     F.sum(F.col("n") * F.log("nb")).alias("_s3"),
+                     F.count_distinct("a").alias("card_a"),
+                     F.count_distinct("b").alias("card_b")))
+    nn = F.col("_n0").cast("double")
+    mi_ = (F.col("_s1") + nn * F.log(nn)
+           - F.col("_s2") - F.col("_s3")) / nn
+    ha = F.log(nn) - F.col("_s2") / nn
+    hb = F.log(nn) - F.col("_s3") / nn
+    return (one.where(F.col("_n0").isNotNull())
+               .select(F.col("_n0").cast("bigint").alias("n"),
+                       F.col("card_a").cast("bigint").alias("card_a"),
+                       F.col("card_b").cast("bigint").alias("card_b"),
+                       F.round(mi_, 6).alias("mi"),
+                       F.when((F.col("card_a") > 1)
+                              & (F.col("card_b") > 1),
+                              F.round(mi_ / F.sqrt(ha * hb), 6))
+                        .alias("nmi")))
 
 
 def anova(df: DataFrame, group_col: str, val_col: str) -> DataFrame:

@@ -117,10 +117,14 @@ def test_assign_with_accum(v):
     assert u.to_dict() == exp
 
 
+@pytest.mark.parametrize("nparts", [1, 3, 17])
 @pytest.mark.parametrize("replace", [False, True])
 @pytest.mark.parametrize("mask_idx", [0, 1, 2, 3, 4])
-def test_assign_descriptor_grid(v, vm, mask_idx, replace):
-    """GrB_assign: mask in TARGET coords; replace prunes whole target."""
+def test_assign_descriptor_grid(v, vm, mask_idx, replace, nparts):
+    """GrB_assign: mask in TARGET coords; replace prunes whole target.
+    Run under the reference's multi-chunking variants (1/3/17 parts)."""
+    v = v.rechunk(nparts)
+    vm = vm.rechunk(nparts)
     engine_mask, model_keys, complement = mask_variants(vm, VM_DATA)[mask_idx]
     idx = [0, 2, 4]
     obj_data = {0: 111, 2: 333}  # pos coords; pos1 (->tgt 2) empty
@@ -138,12 +142,16 @@ def test_assign_descriptor_grid(v, vm, mask_idx, replace):
     assert u.to_dict() == exp
 
 
+@pytest.mark.parametrize("nparts", [1, 3, 17])
 @pytest.mark.parametrize("replace", [False, True])
 @pytest.mark.parametrize("mask_idx", [0, 1, 2])
-def test_subassign_descriptor_grid(v, mask_idx, replace):
-    """GxB_subassign: mask in SUBREGION coords; replace scoped to region."""
+def test_subassign_descriptor_grid(v, mask_idx, replace, nparts):
+    """GxB_subassign: mask in SUBREGION coords; replace scoped to region.
+    Run under the reference's multi-chunking variants (1/3/17 parts)."""
+    v = v.rechunk(nparts)
     submask_data = {0: True, 1: False, 2: True}
-    submask = vec_from(submask_data, size=3, dtype="BOOL")
+    submask = vec_from(submask_data, size=3,
+                       dtype="BOOL").rechunk(nparts)
     engine_mask, model_pos_keys, complement = \
         mask_variants(submask, submask_data)[mask_idx]
     idx = [0, 2, 4]

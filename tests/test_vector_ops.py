@@ -96,13 +96,20 @@ def test_reduce_with_accum_into_scalar(v):
     assert s2.value == sum(V_DATA.values())
 
 
+@pytest.mark.parametrize("nparts", [1, 3, 17])
 @pytest.mark.parametrize("accum", [None, binary.plus])
 @pytest.mark.parametrize("replace", [False, True])
 @pytest.mark.parametrize("mask_idx", [0, 1, 2, 3, 4])
-def test_masked_update_descriptor_grid(w, v, vm, accum, replace, mask_idx):
-    """The full descriptor cross-product for plain update (SURVEY A2)."""
+def test_masked_update_descriptor_grid(w, v, vm, accum, replace, mask_idx,
+                                       nparts):
+    """The full descriptor cross-product for plain update (SURVEY A2),
+    under every reference multi-chunking variant (1/3/17 partitions —
+    reference fixtures tests/test_vector.py:14-35): the merge pipeline
+    must be partitioning-invariant."""
+    v = v.rechunk(nparts)
+    vm = vm.rechunk(nparts)
     engine_mask, model_keys, complement = mask_variants(vm, VM_DATA)[mask_idx]
-    target = w.dup()
+    target = w.rechunk(nparts).dup()
     if replace and engine_mask is None:
         # grblas contract: replace requires a mask (test_resolving port)
         with pytest.raises(TypeError, match="only be True if a mask"):
