@@ -1542,6 +1542,81 @@ def q202_ohlc(spark, sf_dir):
         .select("key", "ws", "open", "high", "low", "close", "n")
 
 
+def q203_cube(spark, sf_dir):
+    """Full CUBE lattice over (returnflag, linestatus) with count + sum
+    (reshape.cube_agg): all 4 grouping sets in ONE Expand-based hash
+    aggregate; gid is the Spark grouping_id() / SQL GROUPING() bitmask
+    (bit orders verified identical), disambiguating rolled-up NULLs."""
+    from dask_grblas_spark.functions import reshape
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return reshape.cube_agg(li, ["l_returnflag", "l_linestatus"],
+                            "l_extendedprice")
+
+
+def q204_ktruss(spark, sf_dir):
+    """4-truss membership of the q124 hub-planted sparsified nation
+    graph (algorithms.k_truss): iterative per-edge triangle-support
+    peeling to the fixpoint (support >= 2). The oracle unrolls the
+    monotone peel as fixed-depth MATERIALIZED CTE rounds (the q77
+    k-core pattern — extra rounds past the fixpoint are no-ops, so a
+    generous depth is exact)."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    e = (nn.df.where(((F.col("i") * 31 + F.col("j")) % 3 == 0)
+                     | (F.col("i") == 0) | (F.col("j") == 0))
+             .select("i", "j", F.lit(1).cast("bigint").alias("v")))
+    A = Matrix.from_dataframe(e, 25, 25, dtype="INT64")
+    return alg.k_truss(alg.symmetrize(A), k=4) \
+        .select("a", "b", "support")
+
+
+def q205_mutual_knn(spark, sf_dir):
+    """Reciprocal nearest-neighbor pairs over the embeddings
+    (similarity.mutual_knn_pairs): blocked-GEMM top-1 per vector, a
+    canonical pair survives iff each side is the other's top-1 — the
+    bitext-mining high-precision match filter. Rank export only (the
+    q35 discipline: cosine stays internal so float ulps can't leak)."""
+    return similarity.mutual_knn_pairs(_emb(spark, sf_dir))
+
+
+def q206_emb_outliers(spark, sf_dir):
+    """Per-label centroid-distance outliers over the embeddings
+    (similarity.centroid_outliers): L2 distance to the own-label mean
+    (rounded like label_centroids), per-label population z-score from
+    one power-sum aggregate, flag z >= 2."""
+    return similarity.centroid_outliers(_emb(spark, sf_dir)) \
+        .select("vec_id", "label", "dist", "z", "is_outlier")
+
+
+def q207_doc_keywords(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords (retrieval.doc_keywords):
+    the q69 vectors ranked inside each document's own bounded window,
+    (tfidf DESC, term) over the 6-decimal-rounded score."""
+    return retrieval.doc_keywords(_doc(spark, sf_dir), top_n=3,
+                                  min_df=2)
+
+
+def q208_target_encode(spark, sf_dir):
+    """Smoothed target encoding of customers by order value
+    (profiling.target_encode, m=10): per-key Bayesian-average of
+    o_totalprice shrunk toward the global mean — the key-level
+    dictionary a feature pipeline broadcasts."""
+    from dask_grblas_spark.functions import profiling
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profiling.target_encode(orders, "o_custkey", "o_totalprice",
+                                   m=10.0)
+
+
+def q209_dedup_funnel(spark, sf_dir):
+    """Stage attrition of the cleaning cascade over documents
+    (dedup.dedup_funnel): raw -> exact-md5 -> normalized-md5 ->
+    quality-passing representatives, computed in one scan + one
+    normalized-group aggregate and exploded to (stage, n_docs)."""
+    return dedup.dedup_funnel(_doc(spark, sf_dir),
+                              quality_threshold=0.5)
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2805,6 +2880,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9 window queue (dual-SF hash-green, no driver row yet)
         "q201_systematic": q201_systematic,
         "q202_ohlc": q202_ohlc,
+        "q203_cube": q203_cube,
+        "q204_ktruss": q204_ktruss,
+        "q205_mutual_knn": q205_mutual_knn,
+        "q206_emb_outliers": q206_emb_outliers,
+        "q207_doc_keywords": q207_doc_keywords,
+        "q208_target_encode": q208_target_encode,
+        "q209_dedup_funnel": q209_dedup_funnel,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -7600,5 +7682,200 @@ def oracle_sql() -> dict[str, str]:
                MAX(CASE WHEN rd = 1 THEN v END) AS close,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM w GROUP BY 1, 2"""
+
+    # q203: GROUP BY CUBE — DuckDB GROUPING() and Spark grouping_id()
+    # share the first-dim-is-MSB bit convention (verified).
+    sql["q203_cube"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                 AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(CAST(l_extendedprice AS DOUBLE)), 2) AS total
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+    # q204: fixed-depth unrolled support peeling (the q77 k-core
+    # pattern); peeling is monotone, so rounds past the fixpoint are
+    # no-ops and a generous depth is exact. Triangles enumerate as
+    # a < b < c chains (each found once); supports fold the 3 edge
+    # projections.
+    _kt_rounds = 6
+    _kt = f"""
+        WITH {NN_CTE}, samp AS (
+          SELECT i, j FROM nn
+          WHERE (i * 31 + j) % 3 = 0 OR i = 0 OR j = 0
+        ), sym AS (
+          SELECT DISTINCT i, j FROM (
+            SELECT i, j FROM samp UNION ALL SELECT j AS i, i AS j FROM samp
+          ) WHERE i <> j
+        ), e0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(i, j) AS a, GREATEST(i, j) AS b FROM sym
+        )"""
+    for _r in range(_kt_rounds + 1):
+        _kt += f""", sup{_r} AS MATERIALIZED (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support FROM (
+            SELECT t.a AS a, t.b AS b FROM (
+              SELECT e1.a, e1.b, e2.b AS c FROM e{_r} e1
+              JOIN e{_r} e2 ON e1.b = e2.a
+              JOIN e{_r} e3 ON e3.a = e1.a AND e3.b = e2.b) t
+            UNION ALL
+            SELECT t.a AS a, t.c AS b FROM (
+              SELECT e1.a, e1.b, e2.b AS c FROM e{_r} e1
+              JOIN e{_r} e2 ON e1.b = e2.a
+              JOIN e{_r} e3 ON e3.a = e1.a AND e3.b = e2.b) t
+            UNION ALL
+            SELECT t.b AS a, t.c AS b FROM (
+              SELECT e1.a, e1.b, e2.b AS c FROM e{_r} e1
+              JOIN e{_r} e2 ON e1.b = e2.a
+              JOIN e{_r} e3 ON e3.a = e1.a AND e3.b = e2.b) t)
+          GROUP BY 1, 2
+        ), e{_r + 1} AS MATERIALIZED (
+          SELECT e.a, e.b FROM e{_r} e
+          JOIN sup{_r} s USING (a, b) WHERE s.support >= 2
+        )"""
+    sql["q204_ktruss"] = _kt + f"""
+        SELECT e.a, e.b, s.support
+        FROM e{_kt_rounds + 1} e JOIN sup{_kt_rounds} s USING (a, b)"""
+
+    # q205: rank-1 both directions == the canonical pair appears twice
+    sql["q205_mutual_knn"] = """
+        WITH scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))
+                   AS c
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ), top1 AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, neighbor_id)
+                     AS rn
+            FROM scored) WHERE rn = 1
+        )
+        SELECT LEAST(query_id, neighbor_id) AS id_a,
+               GREATEST(query_id, neighbor_id) AS id_b
+        FROM top1 GROUP BY 1, 2 HAVING COUNT(*) = 2"""
+
+    # q206: centroid means and distances rounded 6 like the engine;
+    # z from the identical closed-form variance expression.
+    sql["q206_emb_outliers"] = """
+        WITH ee AS (
+          SELECT vec_id AS vid, CAST(label AS BIGINT) AS label,
+                 generate_subscripts(CAST(embedding AS DOUBLE[]), 1)
+                   AS dim,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x
+          FROM embeddings
+        ), cents AS (
+          SELECT label, dim, ROUND(AVG(x), 6) AS c
+          FROM ee GROUP BY 1, 2
+        ), dist AS (
+          SELECT vid, label,
+                 ROUND(SQRT(SUM((x - c) * (x - c))), 6) AS dist
+          FROM ee JOIN cents USING (label, dim) GROUP BY 1, 2
+        ), mom AS (
+          SELECT label, CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(dist) AS s, SUM(dist * dist) AS s2
+          FROM dist GROUP BY 1
+        )
+        SELECT vid AS vec_id, d.label, d.dist,
+               CASE WHEN (n * s2 - s * s) / (n * n) > 0
+                    THEN ROUND((d.dist - s / n)
+                               / SQRT((n * s2 - s * s) / (n * n)), 6)
+               END AS z,
+               COALESCE(CASE WHEN (n * s2 - s * s) / (n * n) > 0
+                             THEN ROUND((d.dist - s / n)
+                                  / SQRT((n * s2 - s * s) / (n * n)), 6)
+                                  >= 2.0
+                        END, FALSE) AS is_outlier
+        FROM dist d JOIN mom USING (label)"""
+
+    # q207: the q69 tfidf CTEs + a per-doc ROW_NUMBER over the rounded
+    # score (ordering engine-exact because the score is rounded first)
+    sql["q207_doc_keywords"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS toks
+          FROM documents
+        ), dls AS (
+          SELECT doc_id, len(toks) AS dl, toks FROM base
+        ), stats AS (SELECT COUNT(*) AS n_docs FROM dls),
+        posting AS (
+          SELECT term, doc_id, dl, COUNT(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dls)
+          GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df_t FROM posting
+          GROUP BY 1 HAVING COUNT(*) >= 2
+        ), tv AS (
+          SELECT p.doc_id, p.term,
+                 ROUND((p.tf * 1.0 / p.dl)
+                       * (LN((s.n_docs + 1.0) / (d.df_t + 1.0)) + 1), 6)
+                   AS tfidf
+          FROM posting p JOIN dfreq d USING (term) CROSS JOIN stats s
+        )
+        SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
+          SELECT doc_id, term, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rank
+          FROM tv)
+        WHERE rank <= 3"""
+
+    # q208: Bayesian-average shrinkage; the global mean folds from the
+    # key-level sums exactly as the engine does
+    sql["q208_target_encode"] = """
+        WITH g AS (
+          SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(o_totalprice AS DOUBLE)) AS sy
+          FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+        ), t AS (SELECT SUM(sy) / SUM(n) AS gm FROM g)
+        SELECT key, n, ROUND((sy + 10.0 * gm) / (n + 10.0), 6) AS enc
+        FROM g CROSS JOIN t"""
+
+    # q209: the cascade replayed — per-normalized-group rollup (exact
+    # hashes never span normalized groups, so the global distinct is
+    # the per-group sum), min-id representative quality via arg_min
+    sql["q209_dedup_funnel"] = r"""
+        WITH t AS (
+          SELECT doc_id, md5(text) AS he,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
+                   AS nh,
+                 regexp_split_to_array(trim(text), '\s+') AS toks,
+                 length(regexp_replace(text, '\s', '', 'g'))
+                   AS n_nonspace
+          FROM documents
+        ), q AS (
+          SELECT doc_id, he, nh,
+                 ROUND((CASE WHEN len(toks) >= 10
+                                  AND len(toks) <= 100000
+                             THEN 0.4 ELSE 0.0 END)
+                       + (CASE WHEN n_nonspace * 1.0
+                                    / GREATEST(len(toks), 1) >= 2.0
+                                AND n_nonspace * 1.0
+                                    / GREATEST(len(toks), 1) <= 12.0
+                               THEN 0.3 ELSE 0.0 END)
+                       + LEAST(len(list_filter(toks, t -> t IN
+                               ('the', 'a', 'of', 'and', 'to'))) * 3.0
+                               / GREATEST(len(toks), 1), 0.3), 6)
+                   AS quality
+          FROM t
+        ), g AS (
+          SELECT nh, COUNT(*) AS n, COUNT(DISTINCT he) AS ne,
+                 arg_min(quality, doc_id) AS rq
+          FROM q GROUP BY 1
+        ), one AS (
+          SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS raw,
+                 COALESCE(CAST(SUM(ne) AS BIGINT), 0) AS ex,
+                 CAST(COUNT(*) AS BIGINT) AS nrm,
+                 COALESCE(CAST(SUM(CASE WHEN rq >= 0.5 THEN 1 ELSE 0
+                                   END) AS BIGINT), 0) AS qual
+          FROM g
+        )
+        SELECT '1_raw' AS stage, raw AS n_docs FROM one
+        UNION ALL SELECT '2_exact', ex FROM one
+        UNION ALL SELECT '3_normalized', nrm FROM one
+        UNION ALL SELECT '4_quality', qual FROM one"""
 
     return sql

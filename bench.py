@@ -61,6 +61,10 @@ PIPELINE = [
     # three-pass exact-NTILE ranking
     "q122_prefix_jaccard",
     "q146_rfm",
+    # round 8 (r7 verdict item 9): one iterative graph-family query so
+    # the join-per-step + checkpoint-cadence layer is tracked
+    # round-over-round
+    "q186_katz",
 ]
 
 

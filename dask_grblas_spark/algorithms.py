@@ -41,7 +41,7 @@ __all__ = ["bfs_level", "sssp", "connected_components", "pagerank",
            "hits", "adamic_adar", "clustering_coefficient",
            "label_propagation", "neighborhood_jaccard",
            "personalized_pagerank", "degree_assortativity",
-           "reciprocity", "katz_centrality"]
+           "reciprocity", "katz_centrality", "k_truss"]
 
 # Lineage growth between checkpoints is GEOMETRIC for min-merge loops:
 # each iteration's state plan nests the previous state ~3x (improved
@@ -759,6 +759,91 @@ def clustering_coefficient(A: GrMatrix) -> DataFrame:
         F.lit(2.0) * F.col("tri") / (F.col("deg") * (F.col("deg") - 1)))
     return out.select("v", F.col("deg").cast("bigint").alias("deg"),
                       "tri", F.round(coeff, 6).alias("coeff"))
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support of a canonical undirected edge set
+    (a < b, distinct): the degree-ordered wedge enumeration behind
+    `clustering_coefficient` (each wedge fan-out bounded by ORIENTED
+    out-degree — O(sqrt(2m)) by the arboricity bound, so hubs never
+    emit deg² wedge rows), each triangle exploded to its three
+    canonical edges and counted. Returns (a, b, support) for edges in
+    >= 1 triangle; edges in none are absent (callers coalesce)."""
+    ends = und.select(F.col("a").alias("v")).unionAll(
+        und.select(F.col("b").alias("v")))
+    deg = ends.groupBy("v").agg(F.count("*").alias("deg"))
+    ed = (und.join(deg.select(F.col("v").alias("a"),
+                              F.col("deg").alias("da")), on="a")
+             .join(deg.select(F.col("v").alias("b"),
+                              F.col("deg").alias("db")), on="b"))
+    # orient each edge from its lower (deg, id) endpoint
+    fwd = F.struct("da", "a") < F.struct("db", "b")
+    o = ed.select(F.when(fwd, F.col("a")).otherwise(F.col("b"))
+                   .alias("s"),
+                  F.when(fwd, F.col("b")).otherwise(F.col("a"))
+                   .alias("t"),
+                  F.when(fwd, F.col("db")).otherwise(F.col("da"))
+                   .alias("dt"))
+    w1 = o.select(F.col("s"), F.col("t").alias("x"),
+                  F.col("dt").alias("dx"))
+    w2 = o.select(F.col("s"), F.col("t").alias("y"),
+                  F.col("dt").alias("dy"))
+    wedges = (w1.join(w2, on="s")
+                .where(F.struct("dx", "x") < F.struct("dy", "y")))
+    closing = o.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    tris = wedges.join(closing, on=["x", "y"]).select("s", "x", "y")
+    tri_edges = tris.select(F.explode(F.array(
+        F.struct(F.least("s", "x").alias("a"),
+                 F.greatest("s", "x").alias("b")),
+        F.struct(F.least("s", "y").alias("a"),
+                 F.greatest("s", "y").alias("b")),
+        F.struct(F.least("x", "y").alias("a"),
+                 F.greatest("x", "y").alias("b")))).alias("_e")) \
+        .select("_e.a", "_e.b")
+    return tri_edges.groupBy("a", "b") \
+                    .agg(F.count("*").cast("bigint").alias("support"))
+
+
+def k_truss(A: GrMatrix, k: int = 4, max_iters: int = 30) -> DataFrame:
+    """k-truss decomposition membership: the maximal subgraph in which
+    EVERY edge participates in >= k-2 triangles (the cohesive-subgraph
+    standard one notch stronger than k-core — a k-truss is always
+    inside a (k-1)-core). Iterative support peeling: compute per-edge
+    triangle support on the surviving subgraph, drop under-supported
+    edges, repeat to the fixpoint (peeling is monotone decreasing, so
+    extra rounds past the fixpoint are no-ops — which is what makes a
+    fixed-depth unrolled SQL oracle exact).
+
+    Plan per round: one degree agg + one wedge self-join bounded by
+    oriented out-degree (arboricity bound — no deg² hub blowup) + one
+    closing equi-join + an edge-count agg; the surviving edge set is
+    eagerly checkpointed each round (lineage cut, the iterative-loop
+    house rule) and the convergence check rides the same count.
+
+    Output: (a, b, support) for the surviving canonical edges, with
+    their fixpoint support."""
+    if k < 3:
+        raise ValueError("k_truss requires k >= 3")
+    und = (A.df.select(F.least("i", "j").alias("a"),
+                       F.greatest("i", "j").alias("b"))
+              .where(F.col("i") != F.col("j"))
+              .distinct()
+              .localCheckpoint(eager=True))
+    n_prev = und.count()
+    if n_prev == 0:
+        return und.withColumn("support", F.lit(None).cast("bigint"))
+    for _ in range(max_iters):
+        # prior rounds carry a support column — re-derive it fresh
+        sup = _edge_support(und.select("a", "b"))
+        kept = (und.select("a", "b").join(sup, on=["a", "b"])
+                   .where(F.col("support") >= k - 2)
+                   .localCheckpoint(eager=True))
+        n = kept.count()
+        und = kept
+        if n == n_prev or n == 0:
+            break
+        n_prev = n
+    return und
 
 
 def neighborhood_jaccard(A: GrMatrix,

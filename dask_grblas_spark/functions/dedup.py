@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 __all__ = ["exact_dedup", "exact_dup_groups", "shingles", "ngram_jaccard_pairs",
-           "prefix_jaccard_pairs",
+           "prefix_jaccard_pairs", "dedup_funnel",
            "minhash_signatures", "minhash_lsh_pairs", "minhash_lsh_pairs_between",
            "simhash", "simhash_pairs",
            "embedding_neardup_pairs", "dup_ngram_coverage", "dedup_spans",
@@ -83,6 +83,54 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Only the hash groups with >1 copy (the actual duplicates)."""
     return exact_dedup(df, id_col, text_col).filter(F.col("n_copies") > 1)
+
+
+def dedup_funnel(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 quality_threshold: float = 0.5) -> DataFrame:
+    """Stage-attrition accounting of the standard corpus-cleaning
+    cascade — the one-number-per-stage report every curation run logs:
+
+        1_raw        documents in
+        2_exact      survivors of byte-exact dedup (distinct md5(text))
+        3_normalized survivors of normalized dedup (case/punct/space-
+                     folded md5 — `normalize_text`'s key)
+        4_quality    normalized representatives (min-id per group)
+                     whose `quality_score` >= ``quality_threshold``
+
+    Plan: ONE scan computes the exact hash, normalized hash, and
+    quality per row (all whole-stage-codegen column arithmetic), one
+    grouped aggregate per normalized group (count, per-group distinct
+    exact hashes — exact duplicates can never span normalized groups,
+    so the global distinct is the sum — and the min-id representative's
+    quality via min_by), then a 4-number fold exploded to long form.
+    No second corpus pass, no driver-side counting. Output:
+    (stage, n_docs), stage names prefixed for stable ordering."""
+    from .text import normalize_text, quality_score
+
+    base = quality_score(normalize_text(df, text_col), text_col)
+    per = base.select(F.col(id_col).alias("id"),
+                      F.md5(F.col(text_col)).alias("_he"),
+                      F.col("norm_hash"), F.col("quality"))
+    g = (per.groupBy("norm_hash")
+            .agg(F.count("*").alias("_n"),
+                 F.count_distinct("_he").alias("_ne"),
+                 F.min_by("quality", "id").alias("_rq")))
+    one = g.agg(F.sum("_n").cast("bigint").alias("_raw"),
+                F.sum("_ne").cast("bigint").alias("_exact"),
+                F.count("*").cast("bigint").alias("_norm"),
+                F.sum((F.col("_rq") >= quality_threshold).cast("bigint"))
+                 .alias("_qual"))
+    def _st(name, col):  # empty corpus: NULL sums -> 0 at every stage
+        return F.struct(F.lit(name).alias("stage"),
+                        F.coalesce(col, F.lit(0)).cast("bigint")
+                         .alias("n_docs"))
+    stages = F.array(_st("1_raw", F.col("_raw")),
+                     _st("2_exact", F.col("_exact")),
+                     _st("3_normalized", F.col("_norm")),
+                     _st("4_quality", F.col("_qual")))
+    return (one.select(F.explode(stages).alias("_s"))
+               .select("_s.stage", "_s.n_docs"))
 
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

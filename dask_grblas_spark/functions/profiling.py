@@ -25,7 +25,8 @@ __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "exact_weighted_quantiles", "group_quantiles", "user_growth",
            "chi2_independence", "gini_coefficient", "mad_outliers",
            "key_skew", "winsorize", "column_entropy", "robust_scale",
-           "psi", "ks_test", "mutual_information", "anova"]
+           "psi", "ks_test", "mutual_information", "anova",
+           "target_encode"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -384,6 +385,34 @@ def impute(df: DataFrame, col: str, group_col: str | None = None,
             .withColumn(out_col,
                         F.round(F.coalesce(F.col(col), F.col("_fill")), 6))
             .drop("_fill"))
+
+
+def target_encode(df: DataFrame, key_col: str, target_col: str,
+                  m: float = 10.0) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical key — the
+    standard high-cardinality feature encoder:
+
+        enc(key) = (sum_y(key) + m * global_mean) / (n(key) + m)
+
+    (the Bayesian-average shrinkage toward the global mean; ``m`` is
+    the pseudo-count prior weight — rare keys shrink hard, frequent
+    keys keep their own mean). Returns the KEY-LEVEL dictionary
+    (key, n, enc) — the bounded relation a training pipeline broadcast-
+    joins onto the feature rows; rows with a NULL target are excluded
+    from both sums. One map-side-combined grouped aggregate; the global
+    mean folds from the SAME relation (sum of sums — no second scan,
+    one benign 1-row broadcast). enc rounded 6."""
+    y = F.col(target_col).cast("double")
+    g = (df.where(y.isNotNull())
+           .groupBy(F.col(key_col).alias("key"))
+           .agg(F.count("*").cast("bigint").alias("n"),
+                F.sum(y).alias("_sy")))
+    tot = g.agg((F.sum("_sy") / F.sum("n")).alias("_gm"))
+    return (g.crossJoin(F.broadcast(tot))
+             .select("key", "n",
+                     F.round((F.col("_sy") + F.lit(float(m)) * F.col("_gm"))
+                             / (F.col("n") + F.lit(float(m))), 6)
+                      .alias("enc")))
 
 
 def benford_digits(df: DataFrame, value_col: str,

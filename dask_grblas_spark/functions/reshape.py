@@ -17,7 +17,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pivot_table", "melt"]
+__all__ = ["pivot_table", "melt", "cube_agg"]
+
+
+def cube_agg(df: DataFrame, dims: list[str], val_col: str) -> DataFrame:
+    """Full CUBE aggregation over ``dims`` — every subtotal level of
+    the OLAP reporting lattice (2^d grouping sets) in ONE map-side-
+    combined hash aggregate (Spark expands the sets inside the Expand
+    operator, so the input is scanned once, not 2^d times).
+
+    ``gid`` is the grouping bitmask (first dim = most significant bit,
+    1 = aggregated away) — it disambiguates a genuine NULL dimension
+    value from a rolled-up one, and Spark's ``grouping_id()`` and
+    DuckDB/PostgreSQL ``GROUPING(...)`` agree on the bit order, so the
+    whole lattice hash-oracles. Output: (*dims, gid, n, total) with the
+    measure summed and rounded to 2 (money magnitudes; reorder ulps sit
+    below cents)."""
+    v = F.col(val_col).cast("double")
+    return (df.cube(*dims)
+              .agg(F.grouping_id().cast("bigint").alias("gid"),
+                   F.count("*").cast("bigint").alias("n"),
+                   F.round(F.sum(v), 2).alias("total"))
+              .select(*dims, "gid", "n", "total"))
 
 
 def pivot_table(df: DataFrame, key_col: str, pivot_col: str,

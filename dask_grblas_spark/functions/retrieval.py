@@ -160,6 +160,25 @@ def tfidf_vectors(df: DataFrame, id_col: str = "doc_id",
         F.round((F.col("tf") / F.col("dl")) * idf, 6).alias("tfidf"))
 
 
+def doc_keywords(df: DataFrame, top_n: int = 3, id_col: str = "doc_id",
+                 text_col: str = "text", min_df: int = 2) -> DataFrame:
+    """Per-document top-N keyword extraction by TF-IDF — the document
+    tagging / index-summary pass (`cluster_terms` names clusters; this
+    names every document). One `tfidf_vectors` pass (min_df prunes the
+    hapax tail), then a rank window PARTITIONED BY DOCUMENT — each
+    window holds only that document's own terms (bounded by doc
+    length), never a corpus-wide sort. Ties rank by (tfidf DESC, term)
+    over the 6-decimal-ROUNDED score, so the ordering is engine-exact
+    and the oracle replays the same ROW_NUMBER.
+    Output: (doc_id, term, tfidf, rank), rank 1..top_n."""
+    tv = tfidf_vectors(df, id_col=id_col, text_col=text_col,
+                       min_df=min_df)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                             F.col("term"))
+    return (tv.withColumn("rank", F.row_number().over(w).cast("int"))
+              .where(F.col("rank") <= top_n))
+
+
 def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", min_df: int = 1,
                        max_df: int = 1000,

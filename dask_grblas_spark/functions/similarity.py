@@ -469,6 +469,72 @@ def kmeans_assign(emb_df: DataFrame, k: int = 8, iters: int = 3,
     return assigned.select(F.col("vid").alias(id_col), "cluster")
 
 
+def mutual_knn_pairs(emb_df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Reciprocal nearest-neighbor matching: pairs (id_a, id_b) where
+    each vector is the OTHER's single nearest neighbor by cosine — the
+    bitext-mining / cross-corpus alignment filter (mutual top-1 matches
+    are the high-precision correspondences; one-directional matches are
+    mostly hubness noise).
+
+    Built on the blocked-GEMM ``cosine_topk`` (k=1, executor-resident
+    Arrow tiles — nothing touches the driver), then one grouped count
+    over the n top-1 rows: a canonical (min, max) pair appears twice
+    exactly when the match is mutual. Top-1 ties resolve by
+    (cosine DESC, neighbor_id) — deterministic, so the oracle replays
+    the same ROW_NUMBER. Output: (id_a, id_b) with id_a < id_b."""
+    top1 = cosine_topk(emb_df, k=1, id_col=id_col, vec_col=vec_col)
+    return (top1.select(F.least("query_id", "neighbor_id").alias("id_a"),
+                        F.greatest("query_id", "neighbor_id")
+                         .alias("id_b"))
+                .groupBy("id_a", "id_b")
+                .agg(F.count("*").alias("_n"))
+                .where(F.col("_n") == 2)
+                .select("id_a", "id_b"))
+
+
+def centroid_outliers(emb_df: DataFrame, label_col: str = "label",
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      z_thresh: float = 2.0) -> DataFrame:
+    """Per-label centroid-distance outlier screen — the embedding-space
+    mislabel / noise detector of a labelled-corpus QA pass: each
+    vector's L2 distance to its OWN label's mean embedding
+    (`label_centroids`, 6-decimal-rounded means), then the per-label
+    population z-score of that distance from one power-sum aggregate
+    (`zscore_outliers`' closed form). Flag z >= ``z_thresh``.
+
+    Plan: one posexplode scan joined to the BROADCAST (label x dim)
+    centroid relation, one (vid, label) distance agg, one bounded
+    label-moment agg joined back broadcast — no window over raw rows.
+    Zero-variance labels yield NULL z (engines disagree on x/0) and
+    are never flagged. Output: (vec_id, label, dist, z, is_outlier),
+    floats rounded 6."""
+    cents = label_centroids(emb_df, label_col, vec_col) \
+        .select("label", "dim", "centroid")
+    ex = emb_df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).cast("bigint").alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+         .alias("dim", "x"))
+    dist = (ex.join(F.broadcast(cents), on=["label", "dim"])
+              .groupBy("vid", "label")
+              .agg(F.round(F.sqrt(F.sum(
+                  (F.col("x") - F.col("centroid"))
+                  * (F.col("x") - F.col("centroid")))), 6).alias("dist")))
+    mom = (dist.groupBy("label")
+               .agg(F.count("*").cast("double").alias("_n"),
+                    F.sum("dist").alias("_s"),
+                    F.sum(F.col("dist") * F.col("dist")).alias("_s2")))
+    j = dist.join(F.broadcast(mom), on="label")
+    var = (F.col("_n") * F.col("_s2") - F.col("_s") * F.col("_s")) \
+        / (F.col("_n") * F.col("_n"))
+    z = (F.col("dist") - F.col("_s") / F.col("_n")) / F.sqrt(var)
+    return (j.withColumn("z", F.when(var > 0, F.round(z, 6)))
+             .select(F.col("vid").alias(id_col), "label", "dist", "z",
+                     F.coalesce(F.col("z") >= z_thresh,
+                                F.lit(False)).alias("is_outlier")))
+
+
 def _projection_matrix(out_dim: int, dim: int,
                        seed: int = 42) -> list[list[float]]:
     """Seeded JL projection matrix (shared with the SQL oracle so both

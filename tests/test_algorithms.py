@@ -357,6 +357,52 @@ def test_neighborhood_jaccard_max_degree_excludes_hub(spark):
     assert neighborhood_jaccard(A, max_degree=2).count() == 0
 
 
+def test_k_truss_clique_plus_triangle(spark):
+    """4-clique + a pendant triangle sharing vertex 3: at k=4 only the
+    clique survives (every clique edge sits in 2 triangles; the
+    triangle's edges have support 1 and peel in round 1); at k=3
+    everything survives with its own support."""
+    import itertools
+
+    import dask_grblas_spark as gb
+    from dask_grblas_spark.algorithms import k_truss, symmetrize
+
+    edges = list(itertools.combinations([0, 1, 2, 3], 2)) \
+        + [(3, 4), (3, 5), (4, 5)]
+    rows = [e[0] for e in edges] + [e[1] for e in edges]
+    cols = [e[1] for e in edges] + [e[0] for e in edges]
+    A = symmetrize(gb.Matrix.from_values(rows, cols, [1] * len(rows),
+                                         nrows=6, ncols=6))
+    got4 = {(r.a, r.b): r.support for r in k_truss(A, k=4).collect()}
+    assert got4 == {p: 2 for p in itertools.combinations([0, 1, 2, 3], 2)}
+    got3 = {(r.a, r.b): r.support for r in k_truss(A, k=3).collect()}
+    assert got3[(4, 5)] == 1 and got3[(0, 1)] == 2 and len(got3) == 9
+    with pytest.raises(ValueError):
+        k_truss(A, k=2)
+
+
+def test_k_truss_cascade_peel(spark):
+    """A triangle hanging off a 4-clique by one shared EDGE (not enough
+    support) peels in a second round only after its supporting edge
+    count drops — the iterative (not single-pass) semantics."""
+    import itertools
+
+    import dask_grblas_spark as gb
+    from dask_grblas_spark.algorithms import k_truss, symmetrize
+
+    # 4-clique {0,1,2,3}; vertex 4 attached to 2 and 3 (triangle 2-3-4).
+    # Edge (2,3) starts with support 3; (2,4)/(3,4) have support 1 and
+    # peel at k=4, after which (2,3) still has support 2 -> survives.
+    edges = list(itertools.combinations([0, 1, 2, 3], 2)) \
+        + [(2, 4), (3, 4)]
+    rows = [e[0] for e in edges] + [e[1] for e in edges]
+    cols = [e[1] for e in edges] + [e[0] for e in edges]
+    A = symmetrize(gb.Matrix.from_values(rows, cols, [1] * len(rows),
+                                         nrows=5, ncols=5))
+    got = {(r.a, r.b): r.support for r in k_truss(A, k=4).collect()}
+    assert got == {p: 2 for p in itertools.combinations([0, 1, 2, 3], 2)}
+
+
 def test_hub_caps_default_on():
     """The codebase-wide caps-default-ON convention (r7 verdict item 3):
     both quadratic-fan-out link predictors ship with the hub cap set."""

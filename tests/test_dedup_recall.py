@@ -445,3 +445,34 @@ def test_threshold_sweep_monotone_counts(spark):
                                     max_doc_freq=None).collect()}
     assert got[0.8] >= 1                  # the exact pair
     assert got[0.2] >= got[0.6] >= got[0.8]   # cumulative, monotone
+
+
+def test_dedup_funnel_stage_counts(spark):
+    """6 docs: two byte-identical, one case-variant of another, one
+    junk (fails quality), plus two distinct good ones -> raw 6,
+    exact 5, normalized 4, quality = normalized reps passing 0.5."""
+    from dask_grblas_spark.functions.dedup import dedup_funnel
+
+    good = ("the quick brown fox jumps over a lazy dog and runs to "
+            "the hills of the north every day")
+    docs = [(1, good), (2, good),                  # exact dup
+            (3, good.upper()),                     # normalized dup of 1
+            (4, "x y"),                            # too short -> low q
+            (5, good + " second variant of text"),
+            (6, "a completely different story about the sea and the "
+                "ships of the old world sailing to the east")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.stage: r.n_docs for r in dedup_funnel(df).collect()}
+    assert got["1_raw"] == 6
+    assert got["2_exact"] == 5
+    assert got["3_normalized"] == 4
+    assert got["4_quality"] == 3  # reps 1, 5, 6 pass; 4 fails
+
+
+def test_dedup_funnel_empty(spark):
+    from dask_grblas_spark.functions.dedup import dedup_funnel
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    got = {r.stage: r.n_docs for r in dedup_funnel(df).collect()}
+    assert got == {"1_raw": 0, "2_exact": 0, "3_normalized": 0,
+                   "4_quality": 0}

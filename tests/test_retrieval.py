@@ -673,3 +673,66 @@ def test_pq_codes_shape_and_determinism(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         pq_codes(df, n_sub=5, dim=16)
+
+
+def test_mutual_knn_pairs_hand(spark):
+    """4 vectors in 2D: 0/1 nearly parallel (mutual top-1), 2 points at
+    1's direction but 1's top-1 is 0 -> (1,2) not mutual; 3 is 2's
+    top-1 and vice versa? ids chosen so exactly {0,1} and {2,3} pair."""
+    from dask_grblas_spark.functions.similarity import mutual_knn_pairs
+
+    rows = [(0, [1.0, 0.0]), (1, [0.999, 0.01]),
+            (2, [0.0, 1.0]), (3, [0.01, 0.999])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted((r.id_a, r.id_b)
+                 for r in mutual_knn_pairs(df).collect())
+    assert got == [(0, 1), (2, 3)]
+
+
+def test_mutual_knn_one_directional_excluded(spark):
+    """3 vectors on a line of decreasing similarity: 1 is top-1 of both
+    0 and 2, but 1's own top-1 is 0 -> only (0,1) survives."""
+    from dask_grblas_spark.functions.similarity import mutual_knn_pairs
+
+    rows = [(0, [1.0, 0.0]), (1, [0.99, 0.1]), (2, [0.9, 0.3])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted((r.id_a, r.id_b)
+                 for r in mutual_knn_pairs(df).collect())
+    assert got == [(0, 1)]
+
+
+def test_centroid_outliers_flags_far_vector(spark):
+    """One label: three tight vectors + one far -> only the far one
+    crosses z >= 2? With 4 points the max z is bounded; use thresh 1.4
+    and verify dist/z arithmetic + the zero-variance label."""
+    from dask_grblas_spark.functions.similarity import centroid_outliers
+
+    rows = [(0, [0.0, 0.0], 1), (1, [0.2, 0.0], 1), (2, [0.0, 0.2], 1),
+            (3, [8.0, 8.0], 1),
+            (4, [1.0, 1.0], 2), (5, [1.0, 1.0], 2)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long")
+    out = {r.vec_id: r for r in
+           centroid_outliers(df, z_thresh=1.4).collect()}
+    assert out[3].is_outlier and out[3].z > 1.4
+    assert not out[0].is_outlier
+    # zero-variance label: identical vectors -> dist 0 for both, z NULL
+    assert out[4].z is None and not out[4].is_outlier
+    assert out[4].dist == 0.0
+
+
+def test_doc_keywords_ranks_rare_terms(spark):
+    """Terms shared by every doc get low idf; a doc's distinctive term
+    ranks first. min_df=1 keeps singletons; rank capped at top_n."""
+    from dask_grblas_spark.functions.retrieval import doc_keywords
+
+    docs = [(1, "apple apple shared shared extra"),
+            (2, "banana banana shared shared extra"),
+            (3, "shared shared shared extra extra")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in doc_keywords(df, top_n=2, min_df=1).collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.term))
+    assert sorted(got[1])[0] == (1, "apple")
+    assert sorted(got[2])[0] == (1, "banana")
+    assert all(len(v) == 2 for v in got.values())

@@ -110,6 +110,39 @@ def test_grouped_topk_ranks_and_ties(spark):
 # reshape: pivot_table / melt (q102/q103)
 # ---------------------------------------------------------------------------
 
+def test_cube_agg_full_lattice(spark):
+    """2x2 CUBE over a 3-row frame: all 4 grouping sets, gid bitmask
+    with the first dim as MSB, rolled-up dims NULL."""
+    from dask_grblas_spark.functions.reshape import cube_agg
+
+    df = spark.createDataFrame(
+        [("x", "p", 1.0), ("x", "q", 2.0), ("y", "p", 4.0)],
+        "a string, b string, v double")
+    got = {(r.a, r.b, r.gid): (r.n, r.total)
+           for r in cube_agg(df, ["a", "b"], "v").collect()}
+    assert got[("x", "p", 0)] == (1, 1.0)
+    assert got[("x", None, 1)] == (2, 3.0)   # b aggregated -> LSB
+    assert got[(None, "p", 2)] == (2, 5.0)   # a aggregated -> MSB
+    assert got[(None, None, 3)] == (3, 7.0)
+    assert len(got) == 8
+
+
+def test_target_encode_shrinks_to_global_mean(spark):
+    """m=2 prior: enc = (sum + m*gm)/(n + m); a singleton key shrinks
+    hard, a frequent key keeps most of its own mean; NULL targets out."""
+    from dask_grblas_spark.functions.profiling import target_encode
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 100.0),
+         ("b", None)],
+        "k string, y double")
+    got = {r.key: (r.n, r.enc) for r in
+           target_encode(df, "k", "y", m=2.0).collect()}
+    gm = (10 + 20 + 30 + 100) / 4.0  # 40
+    assert got["a"] == (3, round((60 + 2 * gm) / 5.0, 6))
+    assert got["b"] == (1, round((100 + 2 * gm) / 3.0, 6))
+
+
 def test_pivot_table_explicit_values_and_zero_fill(spark):
     from dask_grblas_spark.functions.reshape import pivot_table
 

@@ -1307,6 +1307,58 @@ def main() -> int:
                   .agg(F.count("*"), F.sum("pos")))
     probe("ohlc", NEV, lambda: timeseries.ohlc(ev))
 
+    # ---- round-8 ops --------------------------------------------------
+    from dask_grblas_spark.functions.dedup import dedup_funnel
+    from dask_grblas_spark.functions.profiling import target_encode
+    from dask_grblas_spark.functions.reshape import cube_agg
+    from dask_grblas_spark.functions.retrieval import doc_keywords
+    from dask_grblas_spark.functions.similarity import (centroid_outliers,
+                                                        mutual_knn_pairs)
+
+    cube_df = spark.range(NSC).select(
+        F.pmod(F.xxhash64("id", F.lit(110)), F.lit(7)).alias("d1"),
+        F.pmod(F.xxhash64("id", F.lit(111)), F.lit(11)).alias("d2"),
+        (F.pmod(F.xxhash64("id", F.lit(112)), F.lit(1000)) / 10.0)
+        .alias("v"))
+    probe("cube_agg", NSC, lambda: cube_agg(cube_df, ["d1", "d2"], "v"))
+
+    te_df = spark.range(NSC).select(
+        F.pmod(F.xxhash64("id", F.lit(113)), F.lit(100_000)).alias("k"),
+        (F.pmod(F.xxhash64("id", F.lit(114)), F.lit(1000)) * 1.0)
+        .alias("y"))
+    probe("target_encode", NSC, lambda: target_encode(te_df, "k", "y"))
+
+    # k-truss on the 2M-edge random graph (deg ~20): peels to the dense
+    # core; each round is one arboricity-bounded wedge join
+    A_kt = gb.Matrix.from_dataframe(edges_aa, N2, N2, dtype="FP64")
+    probe("k_truss", E2, lambda: alg.k_truss(alg.symmetrize(A_kt), k=4))
+
+    # mutual top-1 over 20k 64-dim vectors (blocked-GEMM tiles)
+    mk_vecs = spark.range(20_000 if not QUICK else 2_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(64)),
+                    lambda d: (F.pmod(F.xxhash64("id", d),
+                                      F.lit(2001)) - 1000)
+                    .cast("double") / 1000.0).alias("embedding"))
+    probe("mutual_knn_pairs", 20_000 if not QUICK else 2_000,
+          lambda: mutual_knn_pairs(mk_vecs))
+
+    # centroid outliers over 1M x 64-dim labelled vectors (posexplode
+    # to 64M (label, dim) rows, broadcast centroid join)
+    NCO = 1_000_000 if not QUICK else 50_000
+    co_vecs = spark.range(NCO).select(
+        F.col("id").alias("vec_id"),
+        F.pmod(F.xxhash64("id", F.lit(115)), F.lit(16)).alias("label"),
+        F.transform(F.sequence(F.lit(1), F.lit(64)),
+                    lambda d: (F.pmod(F.xxhash64("id", d, F.lit(116)),
+                                      F.lit(2001)) - 1000)
+                    .cast("double") / 1000.0).alias("embedding"))
+    probe("centroid_outliers", NCO,
+          lambda: centroid_outliers(co_vecs))
+
+    probe("doc_keywords", ndocs, lambda: doc_keywords(docs, min_df=2))
+    probe("dedup_funnel", ndocs, lambda: dedup_funnel(docs))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
