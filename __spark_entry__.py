@@ -1617,6 +1617,43 @@ def q209_dedup_funnel(spark, sf_dir):
                               quality_threshold=0.5)
 
 
+def q210_lag_features(spark, sf_dir):
+    """Calendar-lag feature frame over per-user daily event value
+    totals (timeseries.lag_features): lag-1/lag-7-day totals via
+    range-based windows over the absolute day number (gap days yield
+    NULL, never a silently shifted row lag) plus a trailing-7-day
+    (sum, n) pair."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.lag_features(load_events(spark, sf_dir)) \
+        .select("key", "day", "v", "n", "lag_1", "lag_7",
+                "trail_sum", "trail_days")
+
+
+def q211_histogram_2d(spark, sf_dir):
+    """2-D joint-density heatmap of lineitem quantity x extendedprice
+    over explicit bounds (profiling.histogram_2d): one map-side
+    grouped count, out-of-range values clamped into the edge bins."""
+    from dask_grblas_spark.functions import profiling
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profiling.histogram_2d(li, "l_quantity", "l_extendedprice",
+                                  0.0, 50.0, 0.0, 100000.0,
+                                  nx=10, ny=10)
+
+
+def q212_holt(spark, sf_dir):
+    """Holt level+trend smoothing of each user's daily event-count
+    series (timeseries.holt_smoothing, alpha=.5 beta=.3): the two-state
+    recursion has no closed form — applyInPandas over bounded per-key
+    series with per-step q6 quantization, replayed exactly by the
+    oracle's recursive CTE."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.holt_smoothing(load_events(spark, sf_dir)) \
+        .select("key", "day", "y", "level", "trend")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2887,6 +2924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q207_doc_keywords": q207_doc_keywords,
         "q208_target_encode": q208_target_encode,
         "q209_dedup_funnel": q209_dedup_funnel,
+        "q210_lag_features": q210_lag_features,
+        "q211_histogram_2d": q211_histogram_2d,
+        "q212_holt": q212_holt,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -7877,5 +7917,79 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT '2_exact', ex FROM one
         UNION ALL SELECT '3_normalized', nrm FROM one
         UNION ALL SELECT '4_quality', qual FROM one"""
+
+    # q210: calendar lags replayed as day-offset self-joins; the
+    # trailing window as a grouped range join
+    sql["q210_lag_features"] = """
+        WITH daily AS (
+          SELECT user_id AS key,
+                 CAST(datediff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS INT) AS day,
+                 ROUND(SUM(CAST(value AS DOUBLE)), 6) AS v,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ), tr AS (
+          SELECT d.key, d.day, ROUND(SUM(e.v), 6) AS trail_sum,
+                 CAST(COUNT(*) AS BIGINT) AS trail_days
+          FROM daily d JOIN daily e
+            ON e.key = d.key AND e.day BETWEEN d.day - 6 AND d.day
+          GROUP BY 1, 2
+        )
+        SELECT d.key, d.day, d.v, d.n,
+               l1.v AS lag_1, l7.v AS lag_7,
+               tr.trail_sum, tr.trail_days
+        FROM daily d
+        LEFT JOIN daily l1 ON l1.key = d.key AND l1.day = d.day - 1
+        LEFT JOIN daily l7 ON l7.key = d.key AND l7.day = d.day - 7
+        JOIN tr ON tr.key = d.key AND tr.day = d.day"""
+
+    # q211: identical clamp/edge arithmetic ("by" needs quoting)
+    sql["q211_histogram_2d"] = """
+        WITH b AS (
+          SELECT CAST(LEAST(GREATEST(FLOOR(
+                   (CAST(l_quantity AS DOUBLE) - 0.0) * 10 / 50.0),
+                   0), 9) AS INT) AS bx,
+                 CAST(LEAST(GREATEST(FLOOR(
+                   (CAST(l_extendedprice AS DOUBLE) - 0.0) * 10
+                   / 100000.0), 0), 9) AS INT) AS byy
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        )
+        SELECT bx, byy AS "by",
+               ROUND(0.0 + bx * 5.0, 6) AS x_edge,
+               ROUND(0.0 + byy * 10000.0, 6) AS y_edge,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2"""
+
+    # q212: the Holt recursion replayed as a recursive CTE with the
+    # SAME per-step q6 quantization; (1 - beta) stays an expression
+    sql["q212_holt"] = """
+        WITH RECURSIVE daily AS (
+          SELECT user_id AS key,
+                 CAST(datediff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS INT) AS day,
+                 CAST(COUNT(*) AS DOUBLE) AS y
+          FROM events GROUP BY 1, 2
+        ), seq AS (
+          SELECT key, day, y,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY key
+                                         ORDER BY day) AS INT) AS rn
+          FROM daily
+        ), r AS (
+          SELECT key, rn, day, y, y AS level,
+                 CAST(0.0 AS DOUBLE) AS trend
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT key, rn, day, y, lnew,
+                 FLOOR((0.3 * (lnew - level)
+                        + (1.0 - 0.3) * trend) * 1e6 + 0.5) / 1e6
+          FROM (
+            SELECT s.key, s.rn, s.day, s.y, r.level, r.trend,
+                   FLOOR((0.5 * s.y
+                          + (1.0 - 0.5) * (r.level + r.trend))
+                         * 1e6 + 0.5) / 1e6 AS lnew
+            FROM r JOIN seq s ON s.key = r.key AND s.rn = r.rn + 1)
+        )
+        SELECT key, day, y, level, trend FROM r"""
 
     return sql

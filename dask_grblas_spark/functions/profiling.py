@@ -26,7 +26,7 @@ __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "chi2_independence", "gini_coefficient", "mad_outliers",
            "key_skew", "winsorize", "column_entropy", "robust_scale",
            "psi", "ks_test", "mutual_information", "anova",
-           "target_encode"]
+           "target_encode", "histogram_2d"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -202,6 +202,42 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float,
                       F.round(F.lit(float(lo))
                               + F.col("bin") * F.lit(float(width)), 6)
                        .alias("lo_edge"), "n"))
+
+
+def histogram_2d(df: DataFrame, x_col: str, y_col: str,
+                 x_lo: float, x_hi: float, y_lo: float, y_hi: float,
+                 nx: int = 20, ny: int = 20) -> DataFrame:
+    """2-D density heatmap binning over explicit bounds — the
+    dashboard/correlation-surface rollup. Same clamp contract as
+    `histogram`: out-of-range values land in the edge bins, v == hi in
+    the last bin; rows where either side is NULL are excluded. ONE
+    map-side-combined grouped count; empty cells are absent.
+    Output: (bx, by, x_edge, y_edge, n), edges rounded 6."""
+    if x_hi <= x_lo or y_hi <= y_lo:
+        raise ValueError("histogram_2d: hi must be > lo on both axes")
+    if nx < 1 or ny < 1:
+        raise ValueError("histogram_2d: need nx >= 1 and ny >= 1")
+
+    def _bin(col, lo, hi, nb):
+        v = F.col(col).cast("double")
+        raw = F.floor((v - F.lit(float(lo))) * F.lit(int(nb))
+                      / F.lit(float(hi - lo)))
+        return F.least(F.greatest(raw, F.lit(0)),
+                       F.lit(nb - 1)).cast("int")
+    wx = (x_hi - x_lo) / nx
+    wy = (y_hi - y_lo) / ny
+    return (df.where(F.col(x_col).isNotNull()
+                     & F.col(y_col).isNotNull())
+              .groupBy(_bin(x_col, x_lo, x_hi, nx).alias("bx"),
+                       _bin(y_col, y_lo, y_hi, ny).alias("by"))
+              .agg(F.count("*").cast("bigint").alias("n"))
+              .select("bx", "by",
+                      F.round(F.lit(float(x_lo))
+                              + F.col("bx") * F.lit(float(wx)), 6)
+                       .alias("x_edge"),
+                      F.round(F.lit(float(y_lo))
+                              + F.col("by") * F.lit(float(wy)), 6)
+                       .alias("y_edge"), "n"))
 
 
 def _stamp_row_id(df: DataFrame) -> DataFrame:

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
+           "lag_features", "holt_smoothing",
            "ewma", "gapfill", "funnel", "cohort_retention",
            "interval_union", "scd2", "event_transitions",
            "cusum_changepoints", "rolling_correlation",
@@ -593,6 +594,100 @@ def sax_symbols(events_df: DataFrame, key_col: str = "user_id",
                             F.array_sort(F.collect_list(
                                 F.struct(F.col("_seg"), F.col("_l")))),
                             lambda s: s["_l"]), "").alias("sax")))
+
+
+def lag_features(events_df: DataFrame, key_col: str = "user_id",
+                 ts_col: str = "ts", val_col: str = "value",
+                 lags: tuple = (1, 7), trail: int = 7) -> DataFrame:
+    """Supervised-learning feature frame from an event log — the
+    standard forecasting/propensity feature builder: per (key, day)
+    value totals plus CALENDAR-lagged totals (lag_k = the total from
+    exactly k days earlier, NULL when that day has no events — a
+    range-based window over the absolute day number, NOT a row lag,
+    which would silently skip gap days) and a trailing ``trail``-day
+    (sum, n-days) pair (mean = sum/n downstream; shipping the sum
+    keeps the arithmetic engine-exact).
+
+    One rollup shuffle; every window runs on the bounded per-key daily
+    relation with rangeBetween over the day index. Day numbers are
+    absolute epoch days (the seasonal_decompose convention — no
+    week-start/locale semantics). Output:
+    (key, day, v, n, lag_<k>..., trail_sum, trail_days), v and sums
+    rounded 6."""
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    daily = (events_df
+             .groupBy(F.col(key_col).alias("key"), day.alias("day"))
+             .agg(F.round(F.sum(F.col(val_col).cast("double")), 6)
+                   .alias("v"),
+                  F.count("*").cast("bigint").alias("n")))
+    out = daily
+    for k in lags:
+        wk = Window.partitionBy("key").orderBy("day") \
+                   .rangeBetween(-int(k), -int(k))
+        out = out.withColumn(f"lag_{k}", F.max("v").over(wk))
+    wt = Window.partitionBy("key").orderBy("day") \
+               .rangeBetween(-(int(trail) - 1), 0)
+    return (out.withColumn("trail_sum", F.round(F.sum("v").over(wt), 6))
+               .withColumn("trail_days",
+                           F.count("*").over(wt).cast("bigint")))
+
+
+def holt_smoothing(events_df: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts", alpha: float = 0.5,
+                   beta: float = 0.3) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) of each
+    key's DAILY event-count series — ewma's big sibling: where ewma's
+    one-state recursion has a closed form, Holt's two-state recursion
+    does not, so this is the package's documented imperative case
+    (`applyInPandas` over bounded per-key series, the packing/q64
+    pattern), replayed exactly by a recursive-CTE oracle.
+
+        l_1 = y_1, b_1 = 0
+        l_t = q6(alpha·y_t + (1-alpha)·(l_{t-1} + b_{t-1}))
+        b_t = q6(beta·(l_t - l_{t-1}) + (1-beta)·b_{t-1})
+
+    q6 = FLOOR(x·1e6 + 0.5)/1e6 EVERY step — the r6 ewma lesson:
+    half-boundary ROUND diverges across engines, and without per-step
+    quantization the recursion amplifies last-ulp drift. (1-alpha) is
+    computed ONCE here and written as an expression in the SQL (the
+    q154 0.15-literal lesson). Gap days are skipped (recursion runs
+    over the observed sequence; feed `gapfill` first for a dense
+    grid). Output: (key, day, y, level, trend) — day = epoch day."""
+    import math
+
+    import pandas as pd
+
+    a, b1 = float(alpha), float(beta)
+    ca, cb = 1.0 - a, 1.0 - b1
+
+    def q6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+    daily = (events_df
+             .groupBy(F.col(key_col).alias("key"), day.alias("day"))
+             .agg(F.count("*").cast("double").alias("y")))
+
+    def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day", ignore_index=True)
+        lv, tr = [], []
+        for i, y in enumerate(pdf["y"]):
+            y = float(y)
+            if i == 0:
+                lv.append(y)
+                tr.append(0.0)
+            else:
+                ln = q6(a * y + ca * (lv[-1] + tr[-1]))
+                tr.append(q6(b1 * (ln - lv[-1]) + cb * tr[-1]))
+                lv.append(ln)
+        pdf["level"] = lv
+        pdf["trend"] = tr
+        return pdf
+
+    return (daily.groupBy("key")
+                 .applyInPandas(smooth,
+                                schema="key bigint, day int, y double, "
+                                       "level double, trend double"))
 
 
 def seasonal_decompose(events_df: DataFrame, ts_col: str = "ts",

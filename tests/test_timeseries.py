@@ -558,3 +558,73 @@ def test_ohlc_hand_computed(spark):
                                                      1.0, 4)
     b = got["b"]
     assert (b.open, b.close, b.n) == (4.0, 8.0, 2)
+
+
+def test_lag_features_calendar_gaps(spark):
+    """Days 0, 1, 3: lag_1 at day 3 is NULL (day 2 absent — calendar
+    lag, not row lag); trailing window counts only observed days."""
+    import datetime as dt
+
+    from dask_grblas_spark.functions.timeseries import lag_features
+
+    d0 = dt.datetime(1970, 1, 1)
+    rows = [(1, d0, 10.0), (1, d0, 5.0),
+            (1, d0 + dt.timedelta(days=1), 7.0),
+            (1, d0 + dt.timedelta(days=3), 2.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "value double")
+    got = {r.day: r for r in lag_features(df, trail=3).collect()}
+    assert got[0].v == 15.0 and got[0].n == 2
+    assert got[1].lag_1 == 15.0
+    assert got[3].lag_1 is None          # day 2 missing
+    assert got[3].lag_7 is None
+    assert got[1].trail_sum == 22.0 and got[1].trail_days == 2
+    assert got[3].trail_sum == 9.0 and got[3].trail_days == 2  # days 1,3
+
+
+def test_holt_smoothing_hand_recursion(spark):
+    """Three days of counts 2, 4, 1 for one key: replay the quantized
+    recursion by hand (alpha=.5, beta=.3)."""
+    import datetime as dt
+    import math
+
+    from dask_grblas_spark.functions.timeseries import holt_smoothing
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    d0 = dt.datetime(1970, 1, 5)
+    rows = []
+    for day, n in [(0, 2), (1, 4), (2, 1)]:
+        for _ in range(n):
+            rows.append((9, d0 + dt.timedelta(days=day)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r.day - got_min: r for got_min in [4]
+           for r in holt_smoothing(df).collect()}
+    l1, b1 = 2.0, 0.0
+    l2 = q6(0.5 * 4 + 0.5 * (l1 + b1))
+    b2 = q6(0.3 * (l2 - l1) + 0.7 * b1)
+    l3 = q6(0.5 * 1 + 0.5 * (l2 + b2))
+    b3 = q6(0.3 * (l3 - l2) + 0.7 * b2)
+    assert (got[0].level, got[0].trend) == (l1, b1)
+    assert (got[1].level, got[1].trend) == (l2, b2)
+    assert (got[2].level, got[2].trend) == (l3, b3)
+
+
+def test_histogram_2d_clamps_and_nulls(spark):
+    from dask_grblas_spark.functions.profiling import histogram_2d
+
+    import pytest as _pt
+
+    rows = [(0.5, 0.5), (9.9, 9.9), (-5.0, 20.0), (10.0, 10.0),
+            (None, 1.0), (1.0, None)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {(r.bx, r.by): (r.x_edge, r.y_edge, r.n)
+           for r in histogram_2d(df, "x", "y", 0.0, 10.0, 0.0, 10.0,
+                                 nx=5, ny=5).collect()}
+    assert got[(0, 0)] == (0.0, 0.0, 1)
+    assert got[(4, 4)][2] == 2          # 9.9 and the hi-clamped 10.0
+    assert got[(0, 4)] == (0.0, 8.0, 1)  # -5 clamps low, 20 clamps high
+    assert sum(v[2] for v in got.values()) == 4  # NULL rows excluded
+    with _pt.raises(ValueError):
+        histogram_2d(df, "x", "y", 1.0, 1.0, 0.0, 10.0)

@@ -1359,6 +1359,17 @@ def main() -> int:
     probe("doc_keywords", ndocs, lambda: doc_keywords(docs, min_df=2))
     probe("dedup_funnel", ndocs, lambda: dedup_funnel(docs))
 
+    from dask_grblas_spark.functions.profiling import histogram_2d
+    from dask_grblas_spark.functions.timeseries import (holt_smoothing,
+                                                        lag_features)
+    probe("lag_features", NEV, lambda: lag_features(ev))
+    probe("holt_smoothing", NEV, lambda: holt_smoothing(ev))
+    probe("histogram_2d", NEV,
+          lambda: histogram_2d(ev.withColumn(
+              "v2", F.pmod(F.xxhash64("event_id"), F.lit(1000))
+                     .cast("double")),
+              "value", "v2", 0.0, 100.0, 0.0, 1000.0))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
