@@ -1654,6 +1654,33 @@ def q212_holt(spark, sf_dir):
         .select("key", "day", "y", "level", "trend")
 
 
+def q213_volume_anomaly(spark, sf_dir):
+    """Seasonally-adjusted daily-volume anomalies
+    (timeseries.volume_anomaly): q160's decomposition residuals
+    screened by the Iglewicz-Hoaglin MAD rule — the on-call volume
+    monitor as a composition gate (k=1.5 so the screen actually fires
+    on the synthetic series)."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.volume_anomaly(load_events(spark, sf_dir),
+                                     k=1.5) \
+        .select("day", "n", "resid", "mz", "is_anomaly")
+
+
+def q214_rate_limit(spark, sf_dir):
+    """Per-event-type hourly rate limiting (timeseries.rate_limit,
+    admit 3): keyed on the HOT event_type column so the cap genuinely
+    truncates at gate scale (hundreds of events per type-hour -> 3
+    admitted) and the salted two-phase path — built exactly for such
+    hot keys — is exercised, not just present. Earliest-first by
+    (ts, event_id); exact == the single-window replay."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.rate_limit(load_events(spark, sf_dir),
+                                 key_col="event_type",
+                                 max_per_window=3)
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2927,6 +2954,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_lag_features": q210_lag_features,
         "q211_histogram_2d": q211_histogram_2d,
         "q212_holt": q212_holt,
+        "q213_volume_anomaly": q213_volume_anomaly,
+        "q214_rate_limit": q214_rate_limit,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -7991,5 +8020,55 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN seq s ON s.key = r.key AND s.rn = r.rn + 1)
         )
         SELECT key, day, y, level, trend FROM r"""
+
+    # q213: the q160 decomposition CTEs + two quantile_cont medians +
+    # the Iglewicz-Hoaglin flag (round-6 compares, MAD=0 never fires)
+    sql["q213_volume_anomaly"] = """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS x
+          FROM events GROUP BY 1
+        ), t AS (
+          SELECT d, x,
+                 ROUND(AVG(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                       AND 3 FOLLOWING), 6) AS trend,
+                 CAST(date_diff('day', DATE '1970-01-01', d) % 7
+                      AS INT) AS pos
+          FROM daily
+        ), seas AS (
+          SELECT pos, ROUND(AVG(x - trend), 6) AS seasonal
+          FROM t GROUP BY 1
+        ), dec AS (
+          SELECT strftime(d, '%Y-%m-%d') AS day, CAST(x AS BIGINT) AS n,
+                 ROUND(x - trend - seasonal, 6) AS resid
+          FROM t JOIN seas USING (pos)
+        ), med AS (
+          SELECT ROUND(quantile_cont(resid, 0.5), 6) AS m FROM dec
+        ), mad AS (
+          SELECT ROUND(quantile_cont(ABS(resid - m), 0.5), 6) AS md
+          FROM dec CROSS JOIN med
+        )
+        SELECT day, n, resid,
+               CASE WHEN md > 0
+                    THEN ROUND(0.6745 * (resid - m) / md, 6) END AS mz,
+               COALESCE(md > 0 AND ABS(CASE WHEN md > 0
+                        THEN ROUND(0.6745 * (resid - m) / md, 6) END)
+                        > 1.5, FALSE) AS is_anomaly
+        FROM dec CROSS JOIN med CROSS JOIN mad"""
+
+    # q214: the single-window replay of the two-phase salted admission
+    # (q168 lesson: Spark ts.cast(long) FLOORS, so FLOOR(epoch()) here)
+    sql["q214_rate_limit"] = """
+        WITH b AS (
+          SELECT event_type AS key,
+                 CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS win,
+                 ts, event_id AS id
+          FROM events
+        )
+        SELECT key, win, id, CAST(rn AS INT) AS admit_rank FROM (
+          SELECT key, win, id,
+                 ROW_NUMBER() OVER (PARTITION BY key, win
+                                    ORDER BY ts, id) AS rn
+          FROM b)
+        WHERE rn <= 3"""
 
     return sql

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
-           "lag_features", "holt_smoothing",
+           "lag_features", "holt_smoothing", "volume_anomaly",
+           "rate_limit",
            "ewma", "gapfill", "funnel", "cohort_retention",
            "interval_union", "scd2", "event_transitions",
            "cusum_changepoints", "rolling_correlation",
@@ -688,6 +689,77 @@ def holt_smoothing(events_df: DataFrame, key_col: str = "user_id",
                  .applyInPandas(smooth,
                                 schema="key bigint, day int, y double, "
                                        "level double, trend double"))
+
+
+def volume_anomaly(events_df: DataFrame, ts_col: str = "ts",
+                   period: int = 7, k: float = 3.5) -> DataFrame:
+    """Seasonally-adjusted daily-volume anomaly screen — the
+    on-call-dashboard composition of `seasonal_decompose` and the
+    Iglewicz-Hoaglin MAD rule (`mad_outliers`' convention): decompose
+    the daily event-count series, then flag days whose residual's
+    modified z = 0.6745·(resid - median)/MAD exceeds |k|. A weekday
+    traffic dip is absorbed by the seasonal term, so only genuinely
+    off-pattern days fire; MAD = 0 flags nothing (rule undefined).
+
+    Every stage after the daily rollup runs on the bounded daily
+    relation (two exact medians, pure arithmetic, 1-row broadcasts).
+    Output: (day, n, resid, mz, is_anomaly), floats rounded 6."""
+    dec = seasonal_decompose(events_df, ts_col, period) \
+        .select("day", "n", "resid")
+    med = dec.agg(F.round(F.percentile(F.col("resid"), F.lit(0.5)), 6)
+                   .alias("_med"))
+    dev = (dec.crossJoin(F.broadcast(med))
+              .withColumn("_d", F.abs(F.col("resid") - F.col("_med"))))
+    mad = dev.agg(F.round(F.percentile(F.col("_d"), F.lit(0.5)), 6)
+                   .alias("_mad"))
+    j = dev.crossJoin(F.broadcast(mad))
+    mz = F.round(F.lit(0.6745) * (F.col("resid") - F.col("_med"))
+                 / F.col("_mad"), 6)
+    return j.select(
+        "day", "n", "resid",
+        F.when(F.col("_mad") > 0, mz).alias("mz"),
+        F.coalesce((F.col("_mad") > 0)
+                   & (F.abs(F.when(F.col("_mad") > 0, mz)) > k),
+                   F.lit(False)).alias("is_anomaly"))
+
+
+def rate_limit(events_df: DataFrame, key_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id",
+               max_per_window: int = 5,
+               window_seconds: int = 3600,
+               n_salts: int = 16) -> DataFrame:
+    """Deterministic per-key rate limiting: admit at most
+    ``max_per_window`` events per (key, window), earliest-first by
+    (ts, id) — the ingestion throttling / abuse-cap pass.
+
+    SKEW-PROOF by the two-phase distributed top-k discipline
+    (group_sample's q83 pattern, proven == the single window): phase 1
+    takes each (key, window, salt)-bucket's first N under a LOCAL
+    row_number (a bot key's million-event hour spreads over n_salts
+    tasks), phase 2 re-ranks the <= N·n_salts survivors per (key,
+    window) — any true top-N row is necessarily in its salt bucket's
+    top N, so the composition is exact. Output: the admitted rows
+    (key, win, id, admit_rank), win = floor(epoch / window_seconds).
+    """
+    if max_per_window < 1:
+        raise ValueError("rate_limit requires max_per_window >= 1")
+    win = F.floor(F.col(ts_col).cast("long")
+                  / F.lit(int(window_seconds))).cast("bigint")
+    base = events_df.select(F.col(key_col).alias("key"),
+                            win.alias("win"),
+                            F.col(ts_col).alias("_ts"),
+                            F.col(id_col).alias("id"))
+    w1 = Window.partitionBy("key", "win",
+                            F.pmod(F.xxhash64("id"),
+                                   F.lit(int(n_salts)))) \
+               .orderBy("_ts", "id")
+    cand = (base.withColumn("_r1", F.row_number().over(w1))
+                .where(F.col("_r1") <= max_per_window))
+    w2 = Window.partitionBy("key", "win").orderBy("_ts", "id")
+    return (cand.withColumn("admit_rank",
+                            F.row_number().over(w2).cast("int"))
+                .where(F.col("admit_rank") <= max_per_window)
+                .select("key", "win", "id", "admit_rank"))
 
 
 def seasonal_decompose(events_df: DataFrame, ts_col: str = "ts",

@@ -628,3 +628,49 @@ def test_histogram_2d_clamps_and_nulls(spark):
     assert sum(v[2] for v in got.values()) == 4  # NULL rows excluded
     with _pt.raises(ValueError):
         histogram_2d(df, "x", "y", 1.0, 1.0, 0.0, 10.0)
+
+
+def test_rate_limit_admits_earliest(spark):
+    """Key 'a' has 5 events in one hour -> first 3 by (ts, id) admitted;
+    key 'b' under the cap keeps all; two-phase == single-window."""
+    import datetime as dt
+
+    from dask_grblas_spark.functions.timeseries import rate_limit
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [("a", t0 + dt.timedelta(minutes=m), i)
+            for i, m in enumerate([40, 10, 20, 30, 50])] \
+        + [("b", t0, 100), ("b", t0, 101)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, "
+                                     "event_id long")
+    got = {(r.key, r.id): r.admit_rank
+           for r in rate_limit(df, key_col="event_type",
+                               max_per_window=3, n_salts=4).collect()}
+    # earliest three of 'a' are minutes 10, 20, 30 -> ids 1, 2, 3
+    assert got == {("a", 1): 1, ("a", 2): 2, ("a", 3): 3,
+                   ("b", 100): 1, ("b", 101): 2}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        rate_limit(df, max_per_window=0)
+
+
+def test_volume_anomaly_flags_burst_day(spark):
+    """Flat 2-week daily baseline of 4 events + one 80-event burst day:
+    the burst's residual blows past the MAD fence, baseline days don't."""
+    import datetime as dt
+
+    from dask_grblas_spark.functions.timeseries import volume_anomaly
+
+    d0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for day in range(14):
+        n = 80 if day == 7 else 4
+        for k in range(n):
+            rows.append((eid, d0 + dt.timedelta(days=day, minutes=k)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {r.day: r for r in volume_anomaly(df, k=3.5).collect()}
+    assert got["2024-03-08"].is_anomaly
+    assert sum(1 for r in got.values() if r.is_anomaly) <= 3
+    assert not got["2024-03-02"].is_anomaly

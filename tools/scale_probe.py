@@ -1370,6 +1370,29 @@ def main() -> int:
                      .cast("double")),
               "value", "v2", 0.0, 100.0, 0.0, 1000.0))
 
+    # rate_limit with a PATHOLOGICAL hot key: every event shares ONE
+    # (key, window) — the single-window formulation would sort all 10M
+    # rows in one task; the salted two-phase admission spreads phase 1
+    # over 64 buckets and phase 2 sees <= 64*cap rows. Output asserted.
+    from dask_grblas_spark.functions.timeseries import (rate_limit,
+                                                        volume_anomaly)
+    # hour-aligned base; 300us steps keep 10M events strictly ordered
+    # inside ONE hour window
+    hot = spark.range(NEV).select(
+        F.lit("bot").alias("event_type"),
+        F.timestamp_seconds(F.lit(472223 * 3600)
+                            + F.col("id") * 3e-4).alias("ts"),
+        F.col("id").alias("event_id"))
+
+    def _rl_hot():
+        out = rate_limit(hot, key_col="event_type", max_per_window=5,
+                         n_salts=64).collect()
+        assert sorted(r.id for r in out) == [0, 1, 2, 3, 4]
+        return spark.createDataFrame([(len(out),)], "n long")
+
+    probe("rate_limit_hot_key", NEV, _rl_hot)
+    probe("volume_anomaly", NEV, lambda: volume_anomaly(ev))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
