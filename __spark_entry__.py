@@ -1681,6 +1681,69 @@ def q214_rate_limit(spark, sf_dir):
                                  max_per_window=3)
 
 
+def q215_pca(spark, sf_dir):
+    """Top principal direction of the embedding cloud
+    (similarity.pca_power): matrix-free power iteration — two passes
+    per step with dim-sized driver state, per-step q6/ROUND6
+    quantization so the oracle's unrolled CTE pyramid replays the
+    trajectory exactly."""
+    return similarity.pca_power(_emb(spark, sf_dir), iters=4)
+
+
+def q216_tpch_pricing(spark, sf_dir):
+    """The TPC-H Q1 pricing summary verbatim (the canonical OLAP scan
+    + one map-side-combined grouped aggregate): per (returnflag,
+    linestatus) quantity/price/discounted/charged sums, averages, and
+    row counts over lineitem shipped on or before 1998-09-02. Sums
+    round 2 (money magnitude), averages 6."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("double")
+    price = F.col("l_extendedprice").cast("double")
+    disc = F.col("l_discount").cast("double")
+    tax = F.col("l_tax").cast("double")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.round(F.sum(qty), 2).alias("sum_qty"),
+                   F.round(F.sum(price), 2).alias("sum_base_price"),
+                   F.round(F.sum(price * (F.lit(1.0) - disc)), 2)
+                    .alias("sum_disc_price"),
+                   F.round(F.sum(price * (F.lit(1.0) - disc)
+                                 * (F.lit(1.0) + tax)), 2)
+                    .alias("sum_charge"),
+                   F.round(F.avg(qty), 6).alias("avg_qty"),
+                   F.round(F.avg(price), 6).alias("avg_price"),
+                   F.round(F.avg(disc), 6).alias("avg_disc"),
+                   F.count("*").cast("bigint").alias("count_order")))
+
+
+def q217_tpch_revenue(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): revenue per nation where the
+    customer and supplier share the nation, restricted to one region
+    and a one-year order window. Dimension chain region->nation
+    BROADCASTS into the fact joins (Catalyst prunes + pushes the
+    region filter below the joins); revenue rounds 2."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.col("l_extendedprice").cast("double") \
+        * (F.lit(1.0) - F.col("l_discount").cast("double"))
+    dim = (n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+                  n.n_regionkey == r.r_regionkey)
+            .select("n_nationkey", "n_name"))
+    return (li.join(o.where((F.col("o_orderdate") >= F.lit("1995-01-01"))
+                            & (F.col("o_orderdate") < F.lit("1996-01-01"))),
+                    li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(s, (li.l_suppkey == s.s_suppkey)
+                    & (c.c_nationkey == s.s_nationkey))
+              .join(F.broadcast(dim), s.s_nationkey == dim.n_nationkey)
+              .groupBy("n_name")
+              .agg(F.round(F.sum(rev), 2).alias("revenue")))
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -2956,6 +3019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q212_holt": q212_holt,
         "q213_volume_anomaly": q213_volume_anomaly,
         "q214_rate_limit": q214_rate_limit,
+        "q215_pca": q215_pca,
+        "q216_tpch_pricing": q216_tpch_pricing,
+        "q217_tpch_revenue": q217_tpch_revenue,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -8070,5 +8136,81 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY ts, id) AS rn
           FROM b)
         WHERE rn <= 3"""
+
+    # q215: the power-iteration trajectory unrolled (katz/kmeans
+    # pattern): ROUND6 inside every aggregate, FLOOR(x*1e6+0.5)/1e6 for
+    # the driver-side normalization steps, sign-flip on the lowest-
+    # index nonzero loading. dim = 64 -> v0 = q6(1/8) = 0.125 exact.
+    _pca_iters = 4
+    _pca = """
+        WITH ee AS MATERIALIZED (
+          SELECT vec_id AS vid,
+                 generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1
+                   AS d,
+                 unnest(CAST(embedding AS DOUBLE[])) AS x
+          FROM embeddings
+        ), mu AS MATERIALIZED (
+          SELECT d, ROUND(AVG(x), 6) AS m FROM ee GROUP BY 1
+        ), cent AS MATERIALIZED (
+          SELECT vid, ee.d, x - m AS xc FROM ee JOIN mu USING (d)
+        ), v0 AS (SELECT d, 0.125 AS val FROM mu)"""
+    for _r in range(1, _pca_iters + 1):
+        _pca += f""", s{_r} AS MATERIALIZED (
+          SELECT c.vid, SUM(c.xc * v.val) AS sv
+          FROM cent c JOIN v{_r - 1} v USING (d) GROUP BY 1
+        ), w{_r} AS MATERIALIZED (
+          SELECT c.d, ROUND(AVG(c.xc * s.sv), 6) AS w
+          FROM cent c JOIN s{_r} s USING (vid) GROUP BY 1
+        ), l{_r} AS (
+          SELECT FLOOR(SQRT(SUM(w * w)) * 1e6 + 0.5) / 1e6 AS lam
+          FROM w{_r}
+        ), v{_r} AS (
+          SELECT d, FLOOR(w / lam * 1e6 + 0.5) / 1e6 AS val
+          FROM w{_r} CROSS JOIN l{_r}
+        )"""
+    sql["q215_pca"] = _pca + f""", flip AS (
+          SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS f
+          FROM v{_pca_iters} WHERE val <> 0 ORDER BY d LIMIT 1
+        )
+        SELECT CAST(v.d AS INT) AS dim, v.val * f AS loading,
+               l.lam AS eigenvalue
+        FROM v{_pca_iters} v CROSS JOIN flip CROSS JOIN l{_pca_iters} l"""
+
+    # q216: TPC-H Q1 verbatim
+    sql["q216_tpch_pricing"] = """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
+               ROUND(SUM(CAST(l_extendedprice AS DOUBLE)), 2)
+                 AS sum_base_price,
+               ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
+                         * (1.0 - CAST(l_discount AS DOUBLE))), 2)
+                 AS sum_disc_price,
+               ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
+                         * (1.0 - CAST(l_discount AS DOUBLE))
+                         * (1.0 + CAST(l_tax AS DOUBLE))), 2)
+                 AS sum_charge,
+               ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6) AS avg_qty,
+               ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 6)
+                 AS avg_price,
+               ROUND(AVG(CAST(l_discount AS DOUBLE)), 6) AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2"""
+
+    # q217: TPC-H Q5 verbatim (ASIA, 1995 order year)
+    sql["q217_tpch_revenue"] = """
+        SELECT n_name,
+               ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
+                         * (1.0 - CAST(l_discount AS DOUBLE))), 2)
+                 AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1"""
 
     return sql

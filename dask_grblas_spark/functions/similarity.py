@@ -535,6 +535,73 @@ def centroid_outliers(emb_df: DataFrame, label_col: str = "label",
                                 F.lit(False)).alias("is_outlier")))
 
 
+def pca_power(emb_df: DataFrame, iters: int = 8,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              ) -> DataFrame:
+    """Top principal direction of the embedding cloud via MATRIX-FREE
+    power iteration — the embedding-drift / dominant-axis diagnostic at
+    corpus scale. Never materializes the covariance: each iteration is
+    two passes with only dim-sized driver state (the kmeans-centroid
+    shape): s_i = <x_i - mu, v> per row (pure column dot), then
+    w = avg_i s_i (x_i - mu) via one posexplode aggregate, normalize on
+    the driver. Deterministic and SQL-replayable by construction:
+    mu and every aggregate component round to 6 IN THE AGG (F.round,
+    HALF_UP — matches SQL ROUND); driver-side normalization quantizes
+    with q6 = floor(x·1e6 + 0.5)/1e6 (the same expression the oracle's
+    unrolled CTEs apply — NOT Python round(), which is half-to-even);
+    v_0 = 1/sqrt(dim) uniform; the final sign is flipped so the
+    lowest-index nonzero loading is positive.
+
+    Output: (dim, loading, eigenvalue) — loading the unit top
+    eigenvector component, eigenvalue its Rayleigh estimate ||C v||
+    (both rounded 6)."""
+    import math
+
+    def q6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    emb = emb_df.select(F.col(id_col).alias("vid"),
+                        F.col(vec_col).cast("array<double>").alias("v"))
+    emb = emb.localCheckpoint(eager=True)  # consumed iters + 1 times
+    mu_rows = (emb.select(F.posexplode("v").alias("d", "x"))
+                  .groupBy("d").agg(F.round(F.avg("x"), 6).alias("m"))
+                  .collect())
+    mu = {r["d"]: r["m"] for r in mu_rows}
+    dim = len(mu)
+    if dim == 0:
+        spark = emb_df.sparkSession
+        return spark.createDataFrame(
+            [], "dim int, loading double, eigenvalue double")
+    v = [q6(1.0 / math.sqrt(dim))] * dim
+    lam = 0.0
+    for _ in range(max(1, iters)):
+        mu_arr = F.array(*[F.lit(float(mu[d])) for d in range(dim)])
+        v_arr = F.array(*[F.lit(float(x)) for x in v])
+        cent = F.zip_with(F.col("v"), mu_arr, lambda a, b: a - b)
+        s = F.aggregate(F.zip_with(cent, v_arr, lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        w_rows = (emb.withColumn("_s", s)
+                     .select(F.posexplode(cent).alias("d", "x"), "_s")
+                     .groupBy("d")
+                     .agg(F.round(F.avg(F.col("x") * F.col("_s")), 6)
+                           .alias("w"))
+                     .collect())
+        w = [0.0] * dim
+        for r in w_rows:
+            w[r["d"]] = r["w"]
+        lam = q6(math.sqrt(sum(x * x for x in w)))
+        if lam == 0.0:
+            break
+        v = [q6(x / lam) for x in w]
+    flip = next((x for x in v if x != 0.0), 1.0) < 0
+    if flip:
+        v = [q6(-x) for x in v]
+    spark = emb_df.sparkSession
+    return spark.createDataFrame(
+        [(d, float(v[d]), float(lam)) for d in range(dim)],
+        "dim int, loading double, eigenvalue double")
+
+
 def _projection_matrix(out_dim: int, dim: int,
                        seed: int = 42) -> list[list[float]]:
     """Seeded JL projection matrix (shared with the SQL oracle so both

@@ -736,3 +736,36 @@ def test_doc_keywords_ranks_rare_terms(spark):
     assert sorted(got[1])[0] == (1, "apple")
     assert sorted(got[2])[0] == (1, "banana")
     assert all(len(v) == 2 for v in got.values())
+
+
+def test_pca_power_recovers_line_direction(spark):
+    """Points along (1, 2) with tiny orthogonal jitter: the top
+    direction converges to (1, 2)/sqrt(5) with the first loading
+    positive (sign convention); eigenvalue tracks the line variance."""
+    from dask_grblas_spark.functions.similarity import pca_power
+
+    rows = []
+    for i, t in enumerate([-2.0, -1.0, 0.0, 1.0, 2.0]):
+        eps = 0.01 * (1 if i % 2 else -1)
+        rows.append((i, [t * 1.0 + eps * 2.0, t * 2.0 - eps * 1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.dim: r for r in pca_power(df, iters=8).collect()}
+    import math
+    assert abs(got[0].loading - 1 / math.sqrt(5)) < 1e-3
+    assert abs(got[1].loading - 2 / math.sqrt(5)) < 1e-3
+    assert got[0].eigenvalue > 1.0
+
+
+def test_pca_power_sign_flip(spark):
+    """Points along (-1, 2): the raw iterate may converge to either
+    sign; the convention makes the first nonzero loading positive, so
+    the result is (1, -2)/sqrt(5)."""
+    from dask_grblas_spark.functions.similarity import pca_power
+
+    rows = [(i, [-t, 2.0 * t]) for i, t in
+            enumerate([-2.0, -1.0, 0.0, 1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.dim: r.loading for r in pca_power(df, iters=8).collect()}
+    import math
+    assert abs(got[0] - 1 / math.sqrt(5)) < 1e-3
+    assert abs(got[1] + 2 / math.sqrt(5)) < 1e-3

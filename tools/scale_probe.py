@@ -1393,6 +1393,11 @@ def main() -> int:
     probe("rate_limit_hot_key", NEV, _rl_hot)
     probe("volume_anomaly", NEV, lambda: volume_anomaly(ev))
 
+    # matrix-free PCA: 1M x 64-dim, 4 iterations = 9 scans with only
+    # dim-sized driver state (never a materialized covariance)
+    from dask_grblas_spark.functions.similarity import pca_power
+    probe("pca_power", NCO, lambda: pca_power(co_vecs, iters=4))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
