@@ -54,6 +54,19 @@ nn_sym AS (
   ) GROUP BY i, j
 )"""
 
+# the q124/q150/q204 graph: sparsified nation trade graph with a
+# PLANTED HUB (every edge touching node 0 kept, so the hub caps have
+# something to bite at gate scale). ONE definition for the three
+# oracles; _hub_nation_matrix below is its engine-side twin.
+HUB_SYM_CTE = NN_CTE + """, samp AS (
+  SELECT i, j FROM nn
+  WHERE (i * 31 + j) % 3 = 0 OR i = 0 OR j = 0
+), sym AS (
+  SELECT DISTINCT i, j FROM (
+    SELECT i, j FROM samp UNION ALL SELECT j AS i, i AS j FROM samp
+  ) WHERE i <> j
+)"""
+
 
 # ---------------------------------------------------------------------------
 # engine-side query helpers
@@ -61,6 +74,17 @@ nn_sym AS (
 
 def _doc(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _hub_nation_matrix(spark, sf_dir):
+    """Engine-side twin of HUB_SYM_CTE (pre-symmetrize): keeps the
+    (i*31 + j) % 3 == 0 sparsification PLUS every edge touching node 0
+    — SF-independent sparsity with a genuine hub."""
+    nn = tpch.nation_matrix(spark, sf_dir)
+    e = (nn.df.where(((F.col("i") * 31 + F.col("j")) % 3 == 0)
+                     | (F.col("i") == 0) | (F.col("j") == 0))
+             .select("i", "j", F.lit(1).cast("bigint").alias("v")))
+    return Matrix.from_dataframe(e, 25, 25, dtype="INT64")
 
 
 def _emb(spark, sf_dir, as_double=True):
@@ -433,11 +457,7 @@ def q124_adamic_adar(spark, sf_dir):
     pair GENERATION while surviving pairs score with true degrees —
     the capped semantics the oracle replays with a deg <= 9 filter on
     the witness join (the q128/q159 cap-replay pattern)."""
-    nn = tpch.nation_matrix(spark, sf_dir)
-    e = (nn.df.where(((F.col("i") * 31 + F.col("j")) % 3 == 0)
-                     | (F.col("i") == 0) | (F.col("j") == 0))
-             .select("i", "j", F.lit(1).cast("bigint").alias("v")))
-    A = Matrix.from_dataframe(e, 25, 25, dtype="INT64")
+    A = _hub_nation_matrix(spark, sf_dir)
     return alg.adamic_adar(alg.symmetrize(A), max_degree=9) \
         .select("u", "v", "n_common", "score")
 
@@ -869,11 +889,7 @@ def q150_graph_jaccard(spark, sf_dir):
     1/ln(deg) weights. ``max_degree=9`` exercises the hub cap (node 0
     is excluded as a common-neighbor witness; denominators keep TRUE
     degrees), replayed by the oracle's deg <= 9 witness filter."""
-    nn = tpch.nation_matrix(spark, sf_dir)
-    e = (nn.df.where(((F.col("i") * 31 + F.col("j")) % 3 == 0)
-                     | (F.col("i") == 0) | (F.col("j") == 0))
-             .select("i", "j", F.lit(1).cast("bigint").alias("v")))
-    A = Matrix.from_dataframe(e, 25, 25, dtype="INT64")
+    A = _hub_nation_matrix(spark, sf_dir)
     return alg.neighborhood_jaccard(alg.symmetrize(A), max_degree=9) \
         .select("u", "v", "n_common", "jacc")
 
@@ -1561,12 +1577,8 @@ def q204_ktruss(spark, sf_dir):
     monotone peel as fixed-depth MATERIALIZED CTE rounds (the q77
     k-core pattern — extra rounds past the fixpoint are no-ops, so a
     generous depth is exact)."""
-    nn = tpch.nation_matrix(spark, sf_dir)
-    e = (nn.df.where(((F.col("i") * 31 + F.col("j")) % 3 == 0)
-                     | (F.col("i") == 0) | (F.col("j") == 0))
-             .select("i", "j", F.lit(1).cast("bigint").alias("v")))
-    A = Matrix.from_dataframe(e, 25, 25, dtype="INT64")
-    return alg.k_truss(alg.symmetrize(A), k=4) \
+    return alg.k_truss(alg.symmetrize(_hub_nation_matrix(spark, sf_dir)),
+                       k=4) \
         .select("a", "b", "support")
 
 
@@ -5534,14 +5546,7 @@ def oracle_sql() -> dict[str, str]:
     # q124: Adamic-Adar by plain SQL self-joins over the sparsified
     # symmetric nation graph.
     sql["q124_adamic_adar"] = f"""
-        WITH {NN_CTE}, samp AS (
-          SELECT i, j FROM nn
-          WHERE (i * 31 + j) % 3 = 0 OR i = 0 OR j = 0
-        ), sym AS (
-          SELECT DISTINCT i, j FROM (
-            SELECT i, j FROM samp UNION ALL SELECT j AS i, i AS j FROM samp
-          ) WHERE i <> j
-        ), deg AS (
+        WITH {HUB_SYM_CTE}, deg AS (
           SELECT i AS z, COUNT(*) AS deg FROM sym GROUP BY 1
         ), p AS (
           -- max_degree=9 cap replay: hub witnesses are excluded from
@@ -6280,14 +6285,7 @@ def oracle_sql() -> dict[str, str]:
     # q150: Jaccard over neighbor sets of the q124-sparsified graph;
     # |union| = deg(u) + deg(v) - common.
     sql["q150_graph_jaccard"] = f"""
-        WITH {NN_CTE}, samp AS (
-          SELECT i, j FROM nn
-          WHERE (i * 31 + j) % 3 = 0 OR i = 0 OR j = 0
-        ), sym AS (
-          SELECT DISTINCT i, j FROM (
-            SELECT i, j FROM samp UNION ALL SELECT j AS i, i AS j FROM samp
-          ) WHERE i <> j
-        ), deg AS (
+        WITH {HUB_SYM_CTE}, deg AS (
           SELECT i AS z, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1
         ), p AS (
           -- max_degree=9 cap replay: hub witnesses excluded from pair
@@ -7836,14 +7834,7 @@ def oracle_sql() -> dict[str, str]:
     # projections.
     _kt_rounds = 6
     _kt = f"""
-        WITH {NN_CTE}, samp AS (
-          SELECT i, j FROM nn
-          WHERE (i * 31 + j) % 3 = 0 OR i = 0 OR j = 0
-        ), sym AS (
-          SELECT DISTINCT i, j FROM (
-            SELECT i, j FROM samp UNION ALL SELECT j AS i, i AS j FROM samp
-          ) WHERE i <> j
-        ), e0 AS MATERIALIZED (
+        WITH {HUB_SYM_CTE}, e0 AS MATERIALIZED (
           SELECT DISTINCT LEAST(i, j) AS a, GREATEST(i, j) AS b FROM sym
         )"""
     for _r in range(_kt_rounds + 1):

@@ -843,6 +843,13 @@ def k_truss(A: GrMatrix, k: int = 4, max_iters: int = 30) -> DataFrame:
         if n == n_prev or n == 0:
             break
         n_prev = n
+    else:
+        # an exhausted loop would return edges filtered by supports of
+        # the PREVIOUS round's larger graph — not a k-truss; refuse
+        # rather than silently ship an inconsistent result
+        raise RuntimeError(
+            f"k_truss did not reach its peeling fixpoint within "
+            f"max_iters={max_iters} rounds; raise max_iters")
     return und
 
 

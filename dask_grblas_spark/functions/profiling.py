@@ -183,6 +183,17 @@ def groupwise_linreg(df: DataFrame, key_col: str, x_col,
                      .alias("intercept"))
 
 
+def _clamped_bin(col: str, lo: float, hi: float, nb: int):
+    """THE clamp-bin expression shared by histogram / histogram_2d /
+    psi — the oracle-exactness contract depends on this exact operation
+    order (floor((v - lo) * nb / (hi - lo)), clamped to [0, nb-1];
+    v == hi lands in the last bin), so it lives in one place."""
+    v = F.col(col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * F.lit(int(nb))
+                  / F.lit(float(hi - lo)))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(nb - 1)).cast("int")
+
+
 def histogram(df: DataFrame, col: str, lo: float, hi: float,
               nbins: int) -> DataFrame:
     """Equi-width histogram with EXPLICIT bounds — no min/max pre-pass,
@@ -190,10 +201,7 @@ def histogram(df: DataFrame, col: str, lo: float, hi: float,
     scale-safe form; derive bounds from a prior profile_numeric run).
     Values outside [lo, hi] clamp into the edge bins; v == hi lands in
     the last bin. Output: (bin, lo_edge, n); empty bins are absent."""
-    v = F.col(col).cast("double")
-    raw = F.floor((v - F.lit(float(lo))) * F.lit(float(nbins))
-                  / F.lit(float(hi - lo)))
-    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)).cast("int")
+    bin_ = _clamped_bin(col, lo, hi, nbins)
     width = (hi - lo) / nbins
     return (df.select(bin_.alias("bin"))
               .groupBy("bin")
@@ -217,19 +225,12 @@ def histogram_2d(df: DataFrame, x_col: str, y_col: str,
         raise ValueError("histogram_2d: hi must be > lo on both axes")
     if nx < 1 or ny < 1:
         raise ValueError("histogram_2d: need nx >= 1 and ny >= 1")
-
-    def _bin(col, lo, hi, nb):
-        v = F.col(col).cast("double")
-        raw = F.floor((v - F.lit(float(lo))) * F.lit(int(nb))
-                      / F.lit(float(hi - lo)))
-        return F.least(F.greatest(raw, F.lit(0)),
-                       F.lit(nb - 1)).cast("int")
     wx = (x_hi - x_lo) / nx
     wy = (y_hi - y_lo) / ny
     return (df.where(F.col(x_col).isNotNull()
                      & F.col(y_col).isNotNull())
-              .groupBy(_bin(x_col, x_lo, x_hi, nx).alias("bx"),
-                       _bin(y_col, y_lo, y_hi, ny).alias("by"))
+              .groupBy(_clamped_bin(x_col, x_lo, x_hi, nx).alias("bx"),
+                       _clamped_bin(y_col, y_lo, y_hi, ny).alias("by"))
               .agg(F.count("*").cast("bigint").alias("n"))
               .select("bx", "by",
                       F.round(F.lit(float(x_lo))
@@ -275,11 +276,14 @@ def exact_quantiles(df: DataFrame, col: str, probs: list[float],
     values cannot change the answer (any rank inside a tie run reads
     the run's value). NULLs are excluded. ``nbins`` is kept for
     signature compatibility; ranking no longer bins on value.
-    Output: (p, value)."""
+    Output: (p, value) — one row per DISTINCT requested probability
+    (a duplicated p would double its rows inside the targeted
+    partition's row_number window and corrupt the rank)."""
     import math
 
     from pyspark.sql.window import Window as W
 
+    probs = list(dict.fromkeys(probs))
     spark = df.sparkSession
     v = F.col(col).cast("double")
     base = _stamp_row_id(
@@ -803,11 +807,14 @@ def exact_weighted_quantiles(df: DataFrame, col: str, weight_col: str,
     full cumulative weight). INTEGER weights make the comparison
     engine-exact (integer cumulative sums have no float association
     drift). ``nbins`` is kept for signature compatibility.
-    Output: (p, value)."""
+    Output: (p, value) — one row per DISTINCT requested probability
+    (a duplicated p would double its partition's rows under the
+    running-weight window)."""
     import math
 
     from pyspark.sql.window import Window as W
 
+    probs = list(dict.fromkeys(probs))
     v = F.col(col).cast("double")
     w = F.col(weight_col).cast("long")
     base = _stamp_row_id(df.select(v.alias("_v"), w.alias("_w"))
@@ -1139,13 +1146,9 @@ def psi(ref_df: DataFrame, cur_df: DataFrame, col: str,
     if n_bins < 1:
         raise ValueError(f"psi: n_bins must be >= 1, got {n_bins}")
     def binned(df):
-        v = F.col(col).cast("double")
-        raw = F.floor((v - F.lit(float(lo))) * F.lit(int(n_bins))
-                      / F.lit(float(hi - lo)))
-        b = F.least(F.greatest(raw, F.lit(0)),
-                    F.lit(n_bins - 1)).cast("int")
-        return (df.where(v.isNotNull())
-                  .groupBy(b.alias("bin"))
+        return (df.where(F.col(col).isNotNull())
+                  .groupBy(_clamped_bin(col, lo, hi, n_bins)
+                           .alias("bin"))
                   .agg(F.count("*").alias("n")))
     r = binned(ref_df).select("bin", F.col("n").alias("n_ref"))
     c = binned(cur_df).select("bin", F.col("n").alias("n_cur"))

@@ -668,6 +668,9 @@ def holt_smoothing(events_df: DataFrame, key_col: str = "user_id",
     daily = (events_df
              .groupBy(F.col(key_col).alias("key"), day.alias("day"))
              .agg(F.count("*").cast("double").alias("y")))
+    # carry the key's ACTUAL type through the Arrow schema (a
+    # hardcoded bigint would crash string/date keys in the serializer)
+    key_t = daily.schema["key"].dataType.simpleString()
 
     def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("day", ignore_index=True)
@@ -687,8 +690,9 @@ def holt_smoothing(events_df: DataFrame, key_col: str = "user_id",
 
     return (daily.groupBy("key")
                  .applyInPandas(smooth,
-                                schema="key bigint, day int, y double, "
-                                       "level double, trend double"))
+                                schema=f"key {key_t}, day int, "
+                                       "y double, level double, "
+                                       "trend double"))
 
 
 def volume_anomaly(events_df: DataFrame, ts_col: str = "ts",
@@ -712,15 +716,15 @@ def volume_anomaly(events_df: DataFrame, ts_col: str = "ts",
               .withColumn("_d", F.abs(F.col("resid") - F.col("_med"))))
     mad = dev.agg(F.round(F.percentile(F.col("_d"), F.lit(0.5)), 6)
                    .alias("_mad"))
-    j = dev.crossJoin(F.broadcast(mad))
-    mz = F.round(F.lit(0.6745) * (F.col("resid") - F.col("_med"))
-                 / F.col("_mad"), 6)
+    j = (dev.crossJoin(F.broadcast(mad))
+            .withColumn("mz", F.when(
+                F.col("_mad") > 0,
+                F.round(F.lit(0.6745) * (F.col("resid") - F.col("_med"))
+                        / F.col("_mad"), 6))))
     return j.select(
-        "day", "n", "resid",
-        F.when(F.col("_mad") > 0, mz).alias("mz"),
-        F.coalesce((F.col("_mad") > 0)
-                   & (F.abs(F.when(F.col("_mad") > 0, mz)) > k),
-                   F.lit(False)).alias("is_anomaly"))
+        "day", "n", "resid", "mz",
+        F.coalesce(F.abs(F.col("mz")) > k, F.lit(False))
+         .alias("is_anomaly"))
 
 
 def rate_limit(events_df: DataFrame, key_col: str = "user_id",

@@ -1007,3 +1007,26 @@ def test_review_fix_regressions(spark):
 
     empty = spark.createDataFrame([], "a string, b string")
     assert profiling.mutual_information(empty, "a", "b").count() == 0
+
+
+def test_exact_quantiles_duplicate_probs(spark):
+    """r8 review find: a duplicated probability doubled its target
+    partition's rows inside the rank window and corrupted the rank —
+    probs now dedupe (one row per distinct p, value unchanged)."""
+    from dask_grblas_spark.functions.profiling import exact_quantiles
+
+    df = spark.range(100).selectExpr("cast(id as double) as v")
+    dup = exact_quantiles(df, "v", [0.5, 0.5]).collect()
+    assert [(r.p, r.value) for r in dup] == [(0.5, 49.0)]
+    single = exact_quantiles(df, "v", [0.5]).collect()[0]
+    assert (single.p, single.value) == (0.5, 49.0)
+
+
+def test_exact_weighted_quantiles_duplicate_probs(spark):
+    from dask_grblas_spark.functions.profiling import \
+        exact_weighted_quantiles
+
+    df = spark.range(10).selectExpr("cast(id as double) as v",
+                                    "cast(1 as long) as w")
+    dup = exact_weighted_quantiles(df, "v", "w", [0.5, 0.5]).collect()
+    assert [(r.p, r.value) for r in dup] == [(0.5, 4.0)]

@@ -674,3 +674,18 @@ def test_volume_anomaly_flags_burst_day(spark):
     assert got["2024-03-08"].is_anomaly
     assert sum(1 for r in got.values() if r.is_anomaly) <= 3
     assert not got["2024-03-02"].is_anomaly
+
+
+def test_holt_smoothing_string_key(spark):
+    """r8 review find: the Arrow schema hardcoded a bigint key — a
+    string key column must work (schema derived from the input)."""
+    import datetime as dt
+
+    from dask_grblas_spark.functions.timeseries import holt_smoothing
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [("a", d0), ("a", d0 + dt.timedelta(days=1)),
+            ("b", d0)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = holt_smoothing(df, key_col="event_type").collect()
+    assert {r.key for r in got} == {"a", "b"} and len(got) == 3
