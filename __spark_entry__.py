@@ -1756,6 +1756,93 @@ def q217_tpch_revenue(spark, sf_dir):
               .agg(F.round(F.sum(rev), 2).alias("revenue")))
 
 
+def q218_tpch_shipping(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority top-k): revenue of not-yet-
+    shipped BUILDING-segment orders, top 10 by (revenue DESC, date,
+    orderkey) — the classic join + aggregate + global top-k. The
+    top-k is a TakeOrderedAndProject (never a full sort); the
+    customer-segment filter pushes to the dimension scan and
+    broadcasts."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.col("l_extendedprice").cast("double") \
+        * (F.lit(1.0) - F.col("l_discount").cast("double"))
+    cut = "1998-01-01"
+    return (li.where(F.col("l_shipdate") > F.lit(cut))
+              .join(o.where(F.col("o_orderdate") < F.lit(cut)),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(
+                  c.where(F.col("c_mktsegment") == "BUILDING")
+                   .select("c_custkey")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+              .groupBy("l_orderkey",
+                       F.date_format("o_orderdate", "yyyy-MM-dd")
+                        .alias("orderdate"))
+              .agg(F.round(F.sum(rev), 2).alias("revenue"))
+              .orderBy(F.col("revenue").desc(), "orderdate",
+                       "l_orderkey")
+              .limit(10))
+
+
+def q219_sql_surface(spark, sf_dir):
+    """The engine's SQL front door: the documents relation registered
+    as a temp view and analyzed in PURE spark.sql — Catalyst
+    parses/optimizes the same plan the DataFrame API builds, so a
+    reference user can drive this engine with ANSI SQL verbatim."""
+    _doc(spark, sf_dir).createOrReplaceTempView("docs_v")
+    return spark.sql("""
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM docs_v GROUP BY lang, source""")
+
+
+def q220_window_suite(spark, sf_dir):
+    """The SQL window-function family in one gate: rank, dense_rank,
+    percent_rank, cume_dist, NTILE(4), and a fully tie-broken
+    row_number per nation over customer balances — definitions agree
+    between Spark and DuckDB/ANSI and the partitions are bounded (for
+    corpus-scale tiles use the range-partitioned _exact_ntile
+    instead)."""
+    from pyspark.sql.window import Window as W
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").cast("double"))
+    wt = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").cast("double"), "c_custkey")
+    return c.select(
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.col("c_custkey").cast("bigint").alias("cust"),
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("bal"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(wt).cast("int").alias("quartile"),
+        F.row_number().over(wt).cast("bigint").alias("rn"))
+
+
+def q221_set_ops(spark, sf_dir):
+    """Relational set operators (INTERSECT / EXCEPT / UNION, all
+    DISTINCT semantics) over two customer populations: BUILDING-
+    segment customers vs customers holding a >$100k order — tagged
+    long-form output so one gate covers all three."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = (c.where(F.col("c_mktsegment") == "BUILDING")
+          .select(F.col("c_custkey").cast("bigint").alias("k")))
+    b = (o.where(F.col("o_totalprice").cast("double") > 100000.0)
+          .select(F.col("o_custkey").cast("bigint").alias("k"))
+          .distinct())
+    both = a.intersect(b).select(F.lit("intersect").alias("op"), "k")
+    only_a = a.subtract(b).select(F.lit("except").alias("op"), "k")
+    alla = a.union(b).distinct() \
+            .select(F.lit("union").alias("op"), "k")
+    return both.unionByName(only_a).unionByName(alla)
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -3034,6 +3121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q215_pca": q215_pca,
         "q216_tpch_pricing": q216_tpch_pricing,
         "q217_tpch_revenue": q217_tpch_revenue,
+        "q218_tpch_shipping": q218_tpch_shipping,
+        "q219_sql_surface": q219_sql_surface,
+        "q220_window_suite": q220_window_suite,
+        "q221_set_ops": q221_set_ops,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -8203,5 +8294,61 @@ def oracle_sql() -> dict[str, str]:
           AND o_orderdate >= TIMESTAMP '1995-01-01'
           AND o_orderdate < TIMESTAMP '1996-01-01'
         GROUP BY 1"""
+
+    # q218: TPC-H Q3 shape; full (revenue DESC, date, key) tie-break
+    # makes the LIMIT engine-invariant
+    sql["q218_tpch_shipping"] = """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
+                         * (1.0 - CAST(l_discount AS DOUBLE))), 2)
+                 AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, orderdate, l_orderkey
+        LIMIT 10"""
+
+    sql["q219_sql_surface"] = """
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY lang, source"""
+
+    sql["q220_window_suite"] = """
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+               CAST(c_custkey AS BIGINT) AS cust,
+               ROUND(CAST(c_acctbal AS DOUBLE), 2) AS bal,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+               ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+               ROUND(CUME_DIST() OVER w, 6) AS cd,
+               CAST(NTILE(4) OVER wt AS INT) AS quartile,
+               CAST(ROW_NUMBER() OVER wt AS BIGINT) AS rn
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY CAST(c_acctbal AS DOUBLE)),
+               wt AS (PARTITION BY c_nationkey
+                      ORDER BY CAST(c_acctbal AS DOUBLE), c_custkey)"""
+
+    sql["q221_set_ops"] = """
+        WITH a AS (
+          SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+          WHERE c_mktsegment = 'BUILDING'
+        ), b AS (
+          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k FROM orders
+          WHERE CAST(o_totalprice AS DOUBLE) > 100000.0
+        )
+        SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT
+                                          SELECT k FROM b)
+        UNION ALL
+        SELECT 'except', k FROM (SELECT k FROM a EXCEPT
+                                 SELECT k FROM b)
+        UNION ALL
+        SELECT 'union', k FROM (SELECT k FROM a UNION
+                                SELECT k FROM b)"""
 
     return sql
