@@ -1843,6 +1843,16 @@ def q221_set_ops(spark, sf_dir):
     return both.unionByName(only_a).unionByName(alla)
 
 
+def q222_minhash_estimate(spark, sf_dir):
+    """Sketch-calibration audit (dedup.minhash_estimate_pairs): per
+    LSH candidate pair, the 32-hash MinHash Jaccard estimate next to
+    the exact Jaccard and absolute error — the 'can I trust the
+    sketch unverified at the next scale-up' monitoring query. Oracle
+    replays the signatures component-for-component (q32's LCG family)
+    and folds the agreement count in SQL."""
+    return dedup.minhash_estimate_pairs(_doc(spark, sf_dir))
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -3125,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_sql_surface": q219_sql_surface,
         "q220_window_suite": q220_window_suite,
         "q221_set_ops": q221_set_ops,
+        "q222_minhash_estimate": q222_minhash_estimate,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -8350,5 +8361,56 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'union', k FROM (SELECT k FROM a UNION
                                 SELECT k FROM b)"""
+
+    # q222: q32's shingle/minhash/band CTEs + a per-pair signature
+    # agreement fold; exact jaccard LEFT-joins the intersection so
+    # zero-overlap candidates keep jaccard 0 (no threshold here)
+    _agree = " + ".join(f"(CASE WHEN a.m{s} = b.m{s} THEN 1 ELSE 0 END)"
+                        for s in range(num_hashes))
+    sql["q222_minhash_estimate"] = rf"""
+        WITH sh AS MATERIALIZED (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(
+                   list_transform(
+                     range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                     p -> array_to_string(
+                       regexp_split_to_array(trim(text), '\s+')[p+1:p+3], ' '))))
+                 AS shingle
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+        ), hashed AS (
+          SELECT id, ('0x' || substr(md5(shingle), 8, 8))::BIGINT AS h32
+          FROM sh
+        ), sizes AS (
+          SELECT id, COUNT(*) AS sz FROM sh GROUP BY 1
+        ), mins AS MATERIALIZED (
+          SELECT id,
+                 {min_cols}
+          FROM hashed GROUP BY id
+        ), cand AS (
+          SELECT DISTINCT id_a, id_b FROM (
+{band_joins}
+          )
+        ), inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2
+        ), est AS (
+          SELECT c.id_a, c.id_b,
+                 ROUND(({_agree}) / 32.0, 6) AS est
+          FROM cand c
+          JOIN mins a ON a.id = c.id_a
+          JOIN mins b ON b.id = c.id_b
+        )
+        SELECT e.id_a, e.id_b, e.est,
+               ROUND(COALESCE(i.n, 0) * 1.0
+                     / (sa.sz + sb.sz - COALESCE(i.n, 0)), 6) AS jaccard,
+               ROUND(ABS(e.est - ROUND(COALESCE(i.n, 0) * 1.0
+                     / (sa.sz + sb.sz - COALESCE(i.n, 0)), 6)), 6)
+                 AS abs_err
+        FROM est e
+        LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+        JOIN sizes sa ON sa.id = e.id_a
+        JOIN sizes sb ON sb.id = e.id_b"""
 
     return sql

@@ -25,6 +25,7 @@ from .text import tokens
 __all__ = ["exact_dedup", "exact_dup_groups", "shingles", "ngram_jaccard_pairs",
            "prefix_jaccard_pairs", "dedup_funnel",
            "minhash_signatures", "minhash_lsh_pairs", "minhash_lsh_pairs_between",
+           "minhash_estimate_pairs",
            "simhash", "simhash_pairs",
            "embedding_neardup_pairs", "dup_ngram_coverage", "dedup_spans",
            "canonicalize_clusters", "fuzzy_pairs",
@@ -382,12 +383,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     sets = _doc_shingle_sets(df, id_col, text_col, n)
     wide = _minhash_wide(sets, num_hashes)
     banded = _banded(wide, num_hashes, rows_per_band)
+    cand = _band_candidates(banded, max_bucket_size)
+    # exact verification of candidates against the same compact hash-set
+    # relation (shared exchange with the signature branch — no second
+    # tokenize pass)
+    return _jaccard_from_sets(cand, sets, threshold)
+
+
+def _band_candidates(banded: DataFrame,
+                     max_bucket_size: int | None) -> DataFrame:
+    """Distinct candidate (id_a, id_b) pairs from a (id, band, bandkey)
+    relation: band-bucket self-join with the default-ON hot-bucket STAR
+    cap. Bucket size + representative ride WINDOW aggregates over the
+    banded relation, not groupBy+join-back: one (band, bandkey) shuffle
+    that the self-join then REUSES (its join keys match the window
+    partitioning), where the agg+join shape paid three exchanges."""
     if max_bucket_size is not None:
-        # bucket size + representative as WINDOW aggregates over the
-        # banded relation, not groupBy+join-back: one (band, bandkey)
-        # shuffle that the band self-join below then REUSES (its join
-        # keys match the window partitioning), where the agg+join shape
-        # paid three exchanges (agg, join probe, join build)
         wb = Window.partitionBy("band", "bandkey")
         tagged = (banded.withColumn("_f", F.count("*").over(wb))
                         .withColumn("_rep", F.min("id").over(wb)))
@@ -407,11 +418,49 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
     if star is not None:
         cand = cand.unionByName(star)
-    cand = cand.distinct()
-    # exact verification of candidates against the same compact hash-set
-    # relation (shared exchange with the signature branch — no second
-    # tokenize pass)
-    return _jaccard_from_sets(cand, sets, threshold)
+    return cand.distinct()
+
+
+def minhash_estimate_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3,
+                           num_hashes: int = 32, bands: int = 16,
+                           max_bucket_size: int | None = 1000
+                           ) -> DataFrame:
+    """Sketch-calibration audit: for every LSH candidate pair, the
+    MinHash Jaccard ESTIMATE (fraction of agreeing signature
+    components — the unbiased estimator banding itself is built on)
+    NEXT TO the exact Jaccard and the absolute error. This is the
+    monitoring query that answers "are my sketch parameters good
+    enough to skip exact verification at the next scale-up?" — at
+    32 hashes the estimator's s.d. is ~sqrt(J(1-J)/32) <= 0.09, which
+    the output makes directly observable per pair.
+
+    Same shingle/signature/banding relations as ``minhash_lsh_pairs``
+    (one tokenize pass, shared candidate machinery, hot-bucket star
+    cap ON); no similarity threshold — calibration wants the full
+    candidate range. Output: (id_a, id_b, est, jaccard, abs_err),
+    floats rounded 6."""
+    rows_per_band = num_hashes // bands
+    sets = _doc_shingle_sets(df, id_col, text_col, n)
+    wide = _minhash_wide(sets, num_hashes)
+    cand = _band_candidates(_banded(wide, num_hashes, rows_per_band),
+                            max_bucket_size)
+    exact = _jaccard_from_sets(cand, sets, threshold=0.0)
+    sig = wide.select("id", F.array(*[F.col(f"m{s}")
+                                      for s in range(num_hashes)])
+                            .alias("sig"))
+    ga = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("_ga"))
+    gb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("_gb"))
+    agree = F.aggregate(
+        F.zip_with(F.col("_ga"), F.col("_gb"),
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, x: acc + x)
+    return (exact.join(ga, on="id_a").join(gb, on="id_b")
+                 .withColumn("est", F.round(agree / float(num_hashes), 6))
+                 .withColumn("abs_err",
+                             F.round(F.abs(F.col("est")
+                                           - F.col("jaccard")), 6))
+                 .select("id_a", "id_b", "est", "jaccard", "abs_err"))
 
 
 def minhash_lsh_pairs_between(new_df: DataFrame, corpus_df: DataFrame,

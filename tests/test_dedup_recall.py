@@ -476,3 +476,26 @@ def test_dedup_funnel_empty(spark):
     got = {r.stage: r.n_docs for r in dedup_funnel(df).collect()}
     assert got == {"1_raw": 0, "2_exact": 0, "3_normalized": 0,
                    "4_quality": 0}
+
+
+def test_minhash_estimate_pairs_calibration(spark):
+    """Identical docs estimate exactly 1.0 with error 0; a shared-half
+    pair's estimate lands within the 32-hash binomial band of the
+    exact jaccard."""
+    from dask_grblas_spark.functions.dedup import minhash_estimate_pairs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    half = " ".join(f"tok{i}" for i in range(20)) + " " + \
+        " ".join(f"zzz{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, half)],
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r for r in
+           minhash_estimate_pairs(df).collect()}
+    assert got[(1, 2)].est == 1.0 and got[(1, 2)].jaccard == 1.0
+    assert got[(1, 2)].abs_err == 0.0
+    for pair in ((1, 3), (2, 3)):
+        if pair in got:
+            r = got[pair]
+            assert abs(r.est - r.jaccard) <= 0.35  # ~4 sd at 32 hashes
+            assert r.abs_err == round(abs(r.est - r.jaccard), 6)

@@ -1398,6 +1398,10 @@ def main() -> int:
     from dask_grblas_spark.functions.similarity import pca_power
     probe("pca_power", NCO, lambda: pca_power(co_vecs, iters=4))
 
+    from dask_grblas_spark.functions.dedup import minhash_estimate_pairs
+    probe("minhash_estimate_pairs", ndocs,
+          lambda: minhash_estimate_pairs(docs))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
