@@ -1853,6 +1853,17 @@ def q222_minhash_estimate(spark, sf_dir):
     return dedup.minhash_estimate_pairs(_doc(spark, sf_dir))
 
 
+def q223_recency_profile(spark, sf_dir):
+    """Per-user exponential-decay engagement score at a fixed snapshot
+    (timeseries.recency_profile, half-life 7 days): one map-side
+    aggregate, decay weights as pure column arithmetic — the
+    feature-store recency feature with a no-future-leakage cutoff."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.recency_profile(load_events(spark, sf_dir),
+                                      snapshot="2024-01-20 00:00:00")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -3136,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q220_window_suite": q220_window_suite,
         "q221_set_ops": q221_set_ops,
         "q222_minhash_estimate": q222_minhash_estimate,
+        "q223_recency_profile": q223_recency_profile,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -8412,5 +8424,22 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
         JOIN sizes sa ON sa.id = e.id_a
         JOIN sizes sb ON sb.id = e.id_b"""
+
+    # q223: decay weights replayed row-for-row (epoch() fractional;
+    # 2024-01-20 UTC snapshot literal == Spark's unix_timestamp under
+    # the pinned UTC session zone)
+    sql["q223_recency_profile"] = """
+        WITH b AS (
+          SELECT user_id AS key, epoch(ts) AS ep,
+                 CAST(value AS DOUBLE) AS v,
+                 (epoch(TIMESTAMP '2024-01-20 00:00:00') - epoch(ts))
+                   / 86400.0 AS age_d
+          FROM events
+          WHERE epoch(ts) <= epoch(TIMESTAMP '2024-01-20 00:00:00')
+        )
+        SELECT key, CAST(COUNT(v) AS BIGINT) AS n,
+               ROUND(SUM(v * POWER(0.5, age_d / 7.0)), 6) AS score,
+               ROUND(MIN(age_d), 6) AS last_age_days
+        FROM b GROUP BY 1"""
 
     return sql

@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
            "lag_features", "holt_smoothing", "volume_anomaly",
-           "rate_limit",
+           "rate_limit", "recency_profile",
            "ewma", "gapfill", "funnel", "cohort_retention",
            "interval_union", "scd2", "event_transitions",
            "cusum_changepoints", "rolling_correlation",
@@ -764,6 +764,33 @@ def rate_limit(events_df: DataFrame, key_col: str = "user_id",
                             F.row_number().over(w2).cast("int"))
                 .where(F.col("admit_rank") <= max_per_window)
                 .select("key", "win", "id", "admit_rank"))
+
+
+def recency_profile(events_df: DataFrame, snapshot: str,
+                    key_col: str = "user_id", ts_col: str = "ts",
+                    val_col: str = "value",
+                    half_life_days: float = 7.0) -> DataFrame:
+    """Exponential-decay recency aggregate per key — the feature-store
+    engagement score: score = Σ v · 0.5^(age_days / half_life), with
+    age measured in fractional days back from the ``snapshot`` instant
+    (events after the snapshot are excluded — a feature must not see
+    the future). ONE map-side-combined aggregate over the scan: no
+    window, no per-day rollup, no state — the decay rides each row as
+    pure column arithmetic, so the pass costs the same as a plain sum
+    at any corpus size. NULL values are excluded from score/n but the
+    last_seen recency is over ALL events.
+
+    Output: (key, n, score, last_age_days), floats rounded 6."""
+    ep = F.col(ts_col).cast("double")
+    snap = F.unix_timestamp(F.lit(snapshot)).cast("double")
+    age_d = (snap - ep) / F.lit(86400.0)
+    w = F.pow(F.lit(0.5), age_d / F.lit(float(half_life_days)))
+    v = F.col(val_col).cast("double")
+    return (events_df.where(ep <= snap)
+            .groupBy(F.col(key_col).alias("key"))
+            .agg(F.count(v).cast("bigint").alias("n"),
+                 F.round(F.sum(v * w), 6).alias("score"),
+                 F.round(F.min(age_d), 6).alias("last_age_days")))
 
 
 def seasonal_decompose(events_df: DataFrame, ts_col: str = "ts",

@@ -689,3 +689,25 @@ def test_holt_smoothing_string_key(spark):
     df = spark.createDataFrame(rows, "event_type string, ts timestamp")
     got = holt_smoothing(df, key_col="event_type").collect()
     assert {r.key for r in got} == {"a", "b"} and len(got) == 3
+
+
+def test_recency_profile_decay_and_cutoff(spark):
+    """Hand-check the half-life arithmetic: an event exactly one
+    half-life old weighs 0.5; events after the snapshot are excluded
+    entirely; NULL values drop from score/n but not last_age_days."""
+    import datetime as dt
+
+    from dask_grblas_spark.functions.timeseries import recency_profile
+
+    snap = "2024-01-08 00:00:00"
+    rows = [(1, dt.datetime(2024, 1, 1), 10.0),    # age 7d -> w 0.5
+            (1, dt.datetime(2024, 1, 8), 4.0),     # age 0 -> w 1.0
+            (1, dt.datetime(2024, 1, 9), 99.0),    # future: excluded
+            (2, dt.datetime(2024, 1, 7), None)]    # null value
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "value double")
+    got = {r.key: r for r in recency_profile(df, snap).collect()}
+    assert got[1].n == 2 and got[1].score == round(10 * 0.5 + 4.0, 6)
+    assert got[1].last_age_days == 0.0
+    assert got[2].n == 0 and got[2].score is None
+    assert got[2].last_age_days == 1.0

@@ -1402,6 +1402,10 @@ def main() -> int:
     probe("minhash_estimate_pairs", ndocs,
           lambda: minhash_estimate_pairs(docs))
 
+    from dask_grblas_spark.functions.timeseries import recency_profile
+    probe("recency_profile", NEV,
+          lambda: recency_profile(ev, "2023-12-01 00:00:00"))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
