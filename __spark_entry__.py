@@ -1864,6 +1864,32 @@ def q223_recency_profile(spark, sf_dir):
                                       snapshot="2024-01-20 00:00:00")
 
 
+def q224_tpch_returns(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): top 20 customers by
+    revenue lost to returns in one order quarter, with their nation —
+    fact joins pruned by the pushed returnflag/date filters, nation
+    dimension broadcast, TakeOrderedAndProject top-k with a full
+    (revenue DESC, custkey) tie-break."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = F.col("l_extendedprice").cast("double") \
+        * (F.lit(1.0) - F.col("l_discount").cast("double"))
+    return (li.where(F.col("l_returnflag") == "R")
+              .join(o.where((F.col("o_orderdate") >= F.lit("1995-01-01"))
+                            & (F.col("o_orderdate") < F.lit("1995-04-01"))),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(c, F.col("o_custkey") == F.col("c_custkey"))
+              .join(F.broadcast(n),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .groupBy(F.col("c_custkey").cast("bigint").alias("custkey"),
+                       "c_name", "n_name")
+              .agg(F.round(F.sum(rev), 2).alias("revenue"))
+              .orderBy(F.col("revenue").desc(), "custkey")
+              .limit(20))
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -3148,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q221_set_ops": q221_set_ops,
         "q222_minhash_estimate": q222_minhash_estimate,
         "q223_recency_profile": q223_recency_profile,
+        "q224_tpch_returns": q224_tpch_returns,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -8441,5 +8468,20 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(v * POWER(0.5, age_d / 7.0)), 6) AS score,
                ROUND(MIN(age_d), 6) AS last_age_days
         FROM b GROUP BY 1"""
+
+    # q224: TPC-H Q10 verbatim (one quarter, returnflag R, top 20)
+    sql["q224_tpch_returns"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name, n_name,
+               ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
+                         * (1.0 - CAST(l_discount AS DOUBLE))), 2)
+                 AS revenue
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-04-01'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, custkey
+        LIMIT 20"""
 
     return sql
