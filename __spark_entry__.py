@@ -1890,6 +1890,42 @@ def q224_tpch_returns(spark, sf_dir):
               .limit(20))
 
 
+def q225_expectations(spark, sf_dir):
+    """Declarative data-contract audit over orders
+    (profiling.expectations): 5 checks — nullability, two uniqueness
+    contracts (orderkey passes, custkey deliberately fails: repeat
+    customers), a range fence that real totals exceed, an
+    accepted-values domain — ALL violation counts folded into ONE
+    aggregate over a single scan."""
+    from dask_grblas_spark.functions import profiling
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profiling.expectations(o, [
+        ("not_null", "o_custkey"),
+        ("unique", "o_orderkey"),
+        ("unique", "o_custkey"),
+        ("range", "o_totalprice", 0.0, 200000.0),
+        ("accepted_values", "o_orderpriority",
+         ["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+    ])
+
+
+def q226_feature_cross(spark, sf_dir):
+    """Hashed (mktsegment x nationkey) feature cross over customers
+    (profiling.feature_cross, 64 buckets) rolled up to per-bucket
+    counts and mean balance — the wide-and-deep interaction
+    featurizer; the md5 bucketing replays verbatim in SQL."""
+    from dask_grblas_spark.functions import profiling
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    crossed = profiling.feature_cross(
+        c, ["c_mktsegment", "c_nationkey"], n_buckets=64)
+    return (crossed.groupBy("cross_bucket")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.avg(F.col("c_acctbal").cast("double")), 6)
+                  .alias("avg_bal")))
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -3175,6 +3211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q222_minhash_estimate": q222_minhash_estimate,
         "q223_recency_profile": q223_recency_profile,
         "q224_tpch_returns": q224_tpch_returns,
+        "q225_expectations": q225_expectations,
+        "q226_feature_cross": q226_feature_cross,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -8483,5 +8521,49 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, custkey
         LIMIT 20"""
+
+    # q225: the five contract checks as one SQL aggregate, exploded in
+    # the same spec order (NULL predicates skip range/domain counts,
+    # matching Spark's sum-over-null semantics)
+    sql["q225_expectations"] = """
+        WITH one AS (
+          SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+                          END) AS BIGINT) AS c0,
+                 CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+                      AS BIGINT) AS c1,
+                 CAST(COUNT(o_custkey) - COUNT(DISTINCT o_custkey)
+                      AS BIGINT) AS c2,
+                 CAST(COALESCE(SUM(CASE
+                      WHEN CAST(o_totalprice AS DOUBLE) < 0.0
+                        OR CAST(o_totalprice AS DOUBLE) > 200000.0
+                      THEN 1 WHEN o_totalprice IS NULL THEN NULL
+                      ELSE 0 END), 0) AS BIGINT) AS c3,
+                 CAST(COALESCE(SUM(CASE
+                      WHEN o_orderpriority IS NULL THEN NULL
+                      WHEN o_orderpriority IN ('1-URGENT', '2-HIGH',
+                                               '3-MEDIUM')
+                      THEN 0 ELSE 1 END), 0) AS BIGINT) AS c4
+          FROM orders
+        )
+        SELECT '0_not_null' AS check, 'o_custkey' AS col,
+               c0 AS n_violations, c0 = 0 AS passed FROM one
+        UNION ALL SELECT '1_unique', 'o_orderkey', c1, c1 = 0 FROM one
+        UNION ALL SELECT '2_unique', 'o_custkey', c2, c2 = 0 FROM one
+        UNION ALL SELECT '3_range', 'o_totalprice', c3, c3 = 0 FROM one
+        UNION ALL SELECT '4_accepted_values', 'o_orderpriority', c4,
+                         c4 = 0 FROM one"""
+
+    # q226: the md5 cross-bucket replayed verbatim (cross_hash60 SQL
+    # twin); NULL components as the engine's marker literal
+    sql["q226_feature_cross"] = """
+        SELECT CAST(('0x' || substr(md5(
+                 COALESCE(CAST(c_mktsegment AS VARCHAR), chr(0) || 'null')
+                 || chr(31)
+                 || COALESCE(CAST(c_nationkey AS VARCHAR),
+                             chr(0) || 'null')), 1, 15))::BIGINT % 64
+               AS INT) AS cross_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(CAST(c_acctbal AS DOUBLE)), 6) AS avg_bal
+        FROM customer GROUP BY 1"""
 
     return sql

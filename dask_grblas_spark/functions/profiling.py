@@ -26,7 +26,8 @@ __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "chi2_independence", "gini_coefficient", "mad_outliers",
            "key_skew", "winsorize", "column_entropy", "robust_scale",
            "psi", "ks_test", "mutual_information", "anova",
-           "target_encode", "histogram_2d"]
+           "target_encode", "histogram_2d", "expectations",
+           "feature_cross"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -425,6 +426,73 @@ def impute(df: DataFrame, col: str, group_col: str | None = None,
             .withColumn(out_col,
                         F.round(F.coalesce(F.col(col), F.col("_fill")), 6))
             .drop("_fill"))
+
+
+def expectations(df: DataFrame, checks: list[tuple]) -> DataFrame:
+    """Declarative data-contract audit (the dbt-test / expectations
+    pattern): violation counts for a spec list, ALL folded into ONE
+    map-side-combined aggregate over a single scan — never one job per
+    check. Supported checks:
+
+        ("not_null", col)                  rows with col NULL
+        ("unique", col)                    excess duplicates
+                                           (count - count_distinct;
+                                           NULLs not counted)
+        ("range", col, lo, hi)             non-NULL rows outside
+                                           [lo, hi]
+        ("accepted_values", col, [vals])   non-NULL rows outside the
+                                           domain
+
+    NULL rows only ever violate "not_null" (range/domain predicates
+    are NULL for NULL inputs and sum() skips them — pair the checks).
+    Output: (check, col, n_violations, passed) in spec order."""
+    aggs = []
+    meta = []
+    for i, c in enumerate(checks):
+        kind, col = c[0], c[1]
+        v = F.col(col)
+        if kind == "not_null":
+            expr = F.sum(v.isNull().cast("bigint"))
+        elif kind == "unique":
+            expr = F.count(v) - F.count_distinct(v)
+        elif kind == "range":
+            lo, hi = c[2], c[3]
+            expr = F.sum(((v < lo) | (v > hi)).cast("bigint"))
+        elif kind == "accepted_values":
+            expr = F.sum((~v.isin(list(c[2]))).cast("bigint"))
+        else:
+            raise ValueError(f"unknown check kind {kind!r}")
+        aggs.append(F.coalesce(expr, F.lit(0)).cast("bigint")
+                     .alias(f"_c{i}"))
+        meta.append((f"{i}_{kind}", col))
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(name).alias("check"), F.lit(col).alias("col"),
+                 F.col(f"_c{i}").alias("n_violations"),
+                 (F.col(f"_c{i}") == 0).alias("passed"))
+        for i, (name, col) in enumerate(meta)])
+    return (one.select(F.explode(rows).alias("_r"))
+               .select("_r.check", "_r.col", "_r.n_violations",
+                       "_r.passed"))
+
+
+def feature_cross(df: DataFrame, cols: list[str],
+                  n_buckets: int = 1024,
+                  out_col: str = "cross_bucket") -> DataFrame:
+    """Hashed feature cross of categorical columns — the interaction
+    featurizer (the 'cross_column' of wide-and-deep pipelines):
+    bucket = cross-engine md5 hash of the unit-separator-joined string
+    values, mod ``n_buckets``. Pure column arithmetic (no shuffle, no
+    vocabulary state, reproducible in any engine with md5); NULL
+    components hash as the literal marker so (NULL, x) and ('', x)
+    land in different buckets. Adds ``out_col``."""
+    from .dedup import cross_hash60
+
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+             for c in cols]
+    h = cross_hash60(F.concat_ws("\x1f", *parts))
+    return df.withColumn(out_col,
+                         F.pmod(h, F.lit(int(n_buckets))).cast("int"))
 
 
 def target_encode(df: DataFrame, key_col: str, target_col: str,

@@ -1030,3 +1030,49 @@ def test_exact_weighted_quantiles_duplicate_probs(spark):
                                     "cast(1 as long) as w")
     dup = exact_weighted_quantiles(df, "v", "w", [0.5, 0.5]).collect()
     assert [(r.p, r.value) for r in dup] == [(0.5, 4.0)]
+
+
+def test_expectations_mixed_contract(spark):
+    """One frame violating each check class; NULLs only hit not_null."""
+    from dask_grblas_spark.functions.profiling import expectations
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, 50.0, "b"), (2, None, None),
+         (3, -1.0, "zzz")],
+        "k long, v double, s string")
+    got = {r.check: (r.n_violations, r.passed) for r in
+           expectations(df, [
+               ("not_null", "v"),
+               ("unique", "k"),
+               ("range", "v", 0.0, 10.0),
+               ("accepted_values", "s", ["a", "b"]),
+           ]).collect()}
+    assert got["0_not_null"] == (1, False)
+    assert got["1_unique"] == (1, False)       # k=1 twice
+    assert got["2_range"] == (2, False)        # 50.0 and -1.0; NULL skipped
+    assert got["3_accepted_values"] == (1, False)  # 'zzz'; NULL skipped
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        expectations(df, [("bogus", "k")])
+
+
+def test_expectations_clean_frame(spark):
+    from dask_grblas_spark.functions.profiling import expectations
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    got = expectations(df, [("unique", "k"), ("not_null", "v")]).collect()
+    assert all(r.passed and r.n_violations == 0 for r in got)
+
+
+def test_feature_cross_deterministic_and_null_safe(spark):
+    """Same inputs -> same bucket; NULL component != empty string."""
+    from dask_grblas_spark.functions.profiling import feature_cross
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("", 1), (None, 1)],
+        "a string, b int")
+    got = [r.cross_bucket for r in
+           feature_cross(df, ["a", "b"], n_buckets=1 << 16).collect()]
+    assert got[0] == got[1]
+    assert len({got[1], got[2], got[3]}) == 3
+    assert all(0 <= b < (1 << 16) for b in got)

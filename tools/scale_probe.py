@@ -1406,6 +1406,17 @@ def main() -> int:
     probe("recency_profile", NEV,
           lambda: recency_profile(ev, "2023-12-01 00:00:00"))
 
+    from dask_grblas_spark.functions.profiling import (expectations,
+                                                       feature_cross)
+    probe("expectations", NEV,
+          lambda: expectations(ev, [
+              ("not_null", "value"), ("unique", "event_id"),
+              ("range", "value", 0.0, 100.0),
+              ("accepted_values", "event_type", ["click", "view"])]))
+    probe("feature_cross", NEV,
+          lambda: feature_cross(ev, ["event_type", "user_id"])
+                  .groupBy("cross_bucket").count())
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
