@@ -1926,6 +1926,45 @@ def q226_feature_cross(spark, sf_dir):
                   .alias("avg_bal")))
 
 
+def q227_tpch_forecast(spark, sf_dir):
+    """TPC-H Q6 verbatim (forecasting revenue change): one-table scan
+    with every predicate pushed to the parquet reader, a single 1-row
+    aggregate — the minimal pushdown/codegen sanity gate of the
+    classic suite."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    d = F.col("l_discount").cast("double")
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                     & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                     & (d >= 0.05) & (d <= 0.07)
+                     & (F.col("l_quantity") < 24))
+              .agg(F.round(F.sum(F.col("l_extendedprice").cast("double")
+                                 * d), 2).alias("revenue"),
+                   F.count("*").cast("bigint").alias("n")))
+
+
+def q228_mom_change(spark, sf_dir):
+    """Month-over-month revenue report: monthly order totals with the
+    previous month's total and the percent change — one rollup
+    shuffle, then lag over the BOUNDED monthly relation (never raw
+    rows); pct NULL for the first month and for a zero base (engines
+    disagree on x/0)."""
+    from pyspark.sql.window import Window as W
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    monthly = (o.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                          .alias("month"))
+                .agg(F.round(F.sum(F.col("o_totalprice")
+                                   .cast("double")), 2).alias("revenue")))
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month", "revenue",
+        F.round(prev, 2).alias("prev_revenue"),
+        F.when(prev > 0,
+               F.round((F.col("revenue") - prev) / prev * 100.0, 6))
+         .alias("pct_change"))
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -3213,6 +3252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q224_tpch_returns": q224_tpch_returns,
         "q225_expectations": q225_expectations,
         "q226_feature_cross": q226_feature_cross,
+        "q227_tpch_forecast": q227_tpch_forecast,
+        "q228_mom_change": q228_mom_change,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -8565,5 +8606,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n,
                ROUND(AVG(CAST(c_acctbal AS DOUBLE)), 6) AS avg_bal
         FROM customer GROUP BY 1"""
+
+    # q227: TPC-H Q6 verbatim
+    sql["q227_tpch_forecast"] = """
+        SELECT ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
+                         * CAST(l_discount AS DOUBLE)), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND CAST(l_discount AS DOUBLE) >= 0.05
+          AND CAST(l_discount AS DOUBLE) <= 0.07
+          AND l_quantity < 24"""
+
+    # q228: lag over the bounded monthly relation
+    sql["q228_mom_change"] = """
+        WITH m AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 ROUND(SUM(CAST(o_totalprice AS DOUBLE)), 2) AS revenue
+          FROM orders GROUP BY 1
+        )
+        SELECT month, revenue,
+               ROUND(LAG(revenue) OVER (ORDER BY month), 2)
+                 AS prev_revenue,
+               CASE WHEN LAG(revenue) OVER (ORDER BY month) > 0
+                    THEN ROUND((revenue - LAG(revenue)
+                                OVER (ORDER BY month))
+                               / LAG(revenue) OVER (ORDER BY month)
+                               * 100.0, 6) END AS pct_change
+        FROM m"""
 
     return sql
