@@ -1191,13 +1191,16 @@ def q173_chi2(spark, sf_dir):
 def q174_gini(spark, sf_dir):
     """Exact Gini concentration of customer order totals
     (profiling.gini_coefficient): range-partitioned exact ranks — no
-    global sort; sum(rank*x) is tie-order invariant."""
+    global sort; sum(rank*x) is tie-order invariant. spend is 4-decimal
+    so decimal_scale=4 makes total/sum(rank*x) DECIMAL-exact and
+    shuffle-order invariant (the r8 driver red was a fold-order flip of
+    round(sum(double), 6) at magnitude 3.76e9)."""
     from dask_grblas_spark.functions import profiling
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     spend = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 4).alias("spend"))
-    return profiling.gini_coefficient(spend, "spend") \
+    return profiling.gini_coefficient(spend, "spend", decimal_scale=4) \
         .select("n", "total", "gini")
 
 
@@ -1567,7 +1570,7 @@ def q203_cube(spark, sf_dir):
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return reshape.cube_agg(li, ["l_returnflag", "l_linestatus"],
-                            "l_extendedprice")
+                            "l_extendedprice", decimal_scale=2)
 
 
 def q204_ktruss(spark, sf_dir):
@@ -1706,26 +1709,35 @@ def q216_tpch_pricing(spark, sf_dir):
     """The TPC-H Q1 pricing summary verbatim (the canonical OLAP scan
     + one map-side-combined grouped aggregate): per (returnflag,
     linestatus) quantity/price/discounted/charged sums, averages, and
-    row counts over lineitem shipped on or before 1998-09-02. Sums
-    round 2 (money magnitude), averages 6."""
+    row counts over lineitem shipped on or before 1998-09-02. Money
+    sums are DECIMAL (exact 2/4/6-decimal products; a rounded double
+    sum at 2.9e8 magnitude is fold-order unstable — q174 class);
+    averages divide the exact decimal sums in double, round 6."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     qty = F.col("l_quantity").cast("double")
     price = F.col("l_extendedprice").cast("double")
     disc = F.col("l_discount").cast("double")
     tax = F.col("l_tax").cast("double")
+    qty_d = qty.cast("decimal(27,2)")
+    price_d = price.cast("decimal(27,2)")
+    disc_price_d = (price * (F.lit(1.0) - disc)).cast("decimal(27,4)")
+    charge_d = (price * (F.lit(1.0) - disc)
+                * (F.lit(1.0) + tax)).cast("decimal(27,6)")
+    cnt = F.count("*")
     return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
               .groupBy("l_returnflag", "l_linestatus")
-              .agg(F.round(F.sum(qty), 2).alias("sum_qty"),
-                   F.round(F.sum(price), 2).alias("sum_base_price"),
-                   F.round(F.sum(price * (F.lit(1.0) - disc)), 2)
+              .agg(F.sum(qty_d).cast("double").alias("sum_qty"),
+                   F.sum(price_d).cast("double").alias("sum_base_price"),
+                   F.sum(disc_price_d).cast("double")
                     .alias("sum_disc_price"),
-                   F.round(F.sum(price * (F.lit(1.0) - disc)
-                                 * (F.lit(1.0) + tax)), 2)
-                    .alias("sum_charge"),
-                   F.round(F.avg(qty), 6).alias("avg_qty"),
-                   F.round(F.avg(price), 6).alias("avg_price"),
-                   F.round(F.avg(disc), 6).alias("avg_disc"),
-                   F.count("*").cast("bigint").alias("count_order")))
+                   F.sum(charge_d).cast("double").alias("sum_charge"),
+                   F.round(F.sum(qty_d).cast("double") / cnt, 6)
+                    .alias("avg_qty"),
+                   F.round(F.sum(price_d).cast("double") / cnt, 6)
+                    .alias("avg_price"),
+                   F.round(F.sum(disc.cast("decimal(27,2)"))
+                            .cast("double") / cnt, 6).alias("avg_disc"),
+                   cnt.cast("bigint").alias("count_order")))
 
 
 def q217_tpch_revenue(spark, sf_dir):
@@ -1740,8 +1752,10 @@ def q217_tpch_revenue(spark, sf_dir):
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    rev = F.col("l_extendedprice").cast("double") \
-        * (F.lit(1.0) - F.col("l_discount").cast("double"))
+    # exact 4-decimal DECIMAL sum — fold-order/half-boundary proof
+    rev = (F.col("l_extendedprice").cast("double")
+           * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
+        .cast("decimal(27,4)")
     dim = (n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
                   n.n_regionkey == r.r_regionkey)
             .select("n_nationkey", "n_name"))
@@ -1753,7 +1767,7 @@ def q217_tpch_revenue(spark, sf_dir):
                     & (c.c_nationkey == s.s_nationkey))
               .join(F.broadcast(dim), s.s_nationkey == dim.n_nationkey)
               .groupBy("n_name")
-              .agg(F.round(F.sum(rev), 2).alias("revenue")))
+              .agg(F.sum(rev).cast("double").alias("revenue")))
 
 
 def q218_tpch_shipping(spark, sf_dir):
@@ -1766,8 +1780,10 @@ def q218_tpch_shipping(spark, sf_dir):
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    rev = F.col("l_extendedprice").cast("double") \
-        * (F.lit(1.0) - F.col("l_discount").cast("double"))
+    # exact 4-decimal DECIMAL sum — fold-order/half-boundary proof
+    rev = (F.col("l_extendedprice").cast("double")
+           * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
+        .cast("decimal(27,4)")
     cut = "1998-01-01"
     return (li.where(F.col("l_shipdate") > F.lit(cut))
               .join(o.where(F.col("o_orderdate") < F.lit(cut)),
@@ -1779,7 +1795,7 @@ def q218_tpch_shipping(spark, sf_dir):
               .groupBy("l_orderkey",
                        F.date_format("o_orderdate", "yyyy-MM-dd")
                         .alias("orderdate"))
-              .agg(F.round(F.sum(rev), 2).alias("revenue"))
+              .agg(F.sum(rev).cast("double").alias("revenue"))
               .orderBy(F.col("revenue").desc(), "orderdate",
                        "l_orderkey")
               .limit(10))
@@ -1869,13 +1885,16 @@ def q224_tpch_returns(spark, sf_dir):
     revenue lost to returns in one order quarter, with their nation —
     fact joins pruned by the pushed returnflag/date filters, nation
     dimension broadcast, TakeOrderedAndProject top-k with a full
-    (revenue DESC, custkey) tie-break."""
+    (revenue DESC, custkey) tie-break. revenue is the exact 4-decimal
+    DECIMAL sum (a round-2 double sum flipped on a .325 half-boundary
+    under the driver-parity hash — the q174 class)."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    rev = F.col("l_extendedprice").cast("double") \
-        * (F.lit(1.0) - F.col("l_discount").cast("double"))
+    rev = (F.col("l_extendedprice").cast("double")
+           * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
+        .cast("decimal(27,4)")
     return (li.where(F.col("l_returnflag") == "R")
               .join(o.where((F.col("o_orderdate") >= F.lit("1995-01-01"))
                             & (F.col("o_orderdate") < F.lit("1995-04-01"))),
@@ -1885,7 +1904,7 @@ def q224_tpch_returns(spark, sf_dir):
                     F.col("c_nationkey") == F.col("n_nationkey"))
               .groupBy(F.col("c_custkey").cast("bigint").alias("custkey"),
                        "c_name", "n_name")
-              .agg(F.round(F.sum(rev), 2).alias("revenue"))
+              .agg(F.sum(rev).cast("double").alias("revenue"))
               .orderBy(F.col("revenue").desc(), "custkey")
               .limit(20))
 
@@ -1937,8 +1956,9 @@ def q227_tpch_forecast(spark, sf_dir):
                      & (F.col("l_shipdate") < F.lit("1997-01-01"))
                      & (d >= 0.05) & (d <= 0.07)
                      & (F.col("l_quantity") < 24))
-              .agg(F.round(F.sum(F.col("l_extendedprice").cast("double")
-                                 * d), 2).alias("revenue"),
+              .agg(F.sum((F.col("l_extendedprice").cast("double") * d)
+                          .cast("decimal(27,4)")).cast("double")
+                    .alias("revenue"),
                    F.count("*").cast("bigint").alias("n")))
 
 
@@ -1953,13 +1973,13 @@ def q228_mom_change(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     monthly = (o.groupBy(F.date_format("o_orderdate", "yyyy-MM")
                           .alias("month"))
-                .agg(F.round(F.sum(F.col("o_totalprice")
-                                   .cast("double")), 2).alias("revenue")))
+                .agg(F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+                      .cast("double").alias("revenue")))
     w = W.orderBy("month")
     prev = F.lag("revenue").over(w)
     return monthly.select(
         "month", "revenue",
-        F.round(prev, 2).alias("prev_revenue"),
+        prev.alias("prev_revenue"),
         F.when(prev > 0,
                F.round((F.col("revenue") - prev) / prev * 100.0, 6))
          .alias("pct_change"))
@@ -2331,7 +2351,10 @@ def q60_bucketed_join(spark, sf_dir):
         table_from_catalog(f"bkt_ord_{tag}"), on="c_custkey")
     return (j.groupBy("c_mktsegment")
              .agg(F.count("*").alias("n_orders"),
-                  F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+                  # DECIMAL sum: money totals at ~1e9/segment are
+                  # fold-order unstable as rounded doubles (q174 class)
+                  F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+                   .cast("double").alias("total_price")))
 
 
 def q54_stream_join(spark, sf_dir):
@@ -2871,11 +2894,13 @@ def q111_salted_join(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
     j = salted_join(li, o, on="l_orderkey", salt=8)
+    # price*(1-disc) is an exact 4-decimal money value — DECIMAL sum
+    # is fold-order invariant (a rounded double sum at 6e8 is not)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))) \
+        .cast("decimal(27,4)")
     return (j.groupBy("o_orderpriority")
              .agg(F.count("*").cast("bigint").alias("n_items"),
-                  F.round(F.sum(F.col("l_extendedprice")
-                                * (1 - F.col("l_discount"))), 4)
-                   .alias("revenue")))
+                  F.sum(rev).cast("double").alias("revenue")))
 
 
 def q79_bpe_pairs(spark, sf_dir):
@@ -3900,7 +3925,8 @@ def oracle_sql() -> dict[str, str]:
     sql["q59_orc_roundtrip"] = sql["q10_jsonl_roundtrip"]
     sql["q60_bucketed_join"] = """
         SELECT c_mktsegment, COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total_price
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                    AS DOUBLE) AS total_price
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY c_mktsegment
     """
@@ -5538,8 +5564,8 @@ def oracle_sql() -> dict[str, str]:
     sql["q111_salted_join"] = """
         SELECT o.o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_items,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
-                 AS revenue
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(27,4))) AS DOUBLE) AS revenue
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority"""
 
@@ -6950,8 +6976,12 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
         UNION ALL
         SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
-               (SELECT COUNT(*) FROM pts)
-               - (SELECT COALESCE(SUM(n), 0) FROM core)"""
+               -- CAST the arithmetic: COUNT(*) - SUM(BIGINT) promotes
+               -- to HUGEINT -> pandas float (338.0 vs 338) and the
+               -- driver's dtype-faithful hash mismatches (r8 red).
+               CAST((SELECT COUNT(*) FROM pts)
+                    - (SELECT COALESCE(SUM(n), 0) FROM core)
+                    AS BIGINT)"""
 
     # q163: the q149 NB oracle wrapped as a CTE, then the confusion
     # marginals; precision/recall unrounded feed F1, rounding last.
@@ -7230,20 +7260,27 @@ def oracle_sql() -> dict[str, str]:
         )"""
 
     # q174: exact rank via a global row_number (fine at oracle scale),
-    # same tie-invariant formula.
+    # same tie-invariant formula. total and SUM(rank*v) are DECIMAL —
+    # exact and fold-order invariant, mirroring decimal_scale=4 in the
+    # engine (double sums at magnitude 3.8e9 cannot hold 6 decimals
+    # under shuffle reordering: the r8 driver red).
     sql["q174_gini"] = """
         WITH spend AS (
-          SELECT ROUND(SUM(o_totalprice), 4) AS v
+          SELECT CAST(ROUND(SUM(o_totalprice), 4) AS DECIMAL(27,4)) AS v
           FROM orders GROUP BY o_custkey
         ), pos AS (SELECT v FROM spend WHERE v >= 0),
-        st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(v) AS tot
+        st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                      CAST(SUM(v) AS DECIMAL(38,4)) AS tot
                FROM pos),
-        rk AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM pos)
-        SELECT CAST(st.n AS BIGINT) AS n, ROUND(st.tot, 6) AS total,
-               ROUND(2.0 * SUM(rk.r * rk.v) / (st.n * st.tot)
+        rk AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM pos),
+        sx AS (SELECT CAST(SUM(CAST(r AS DECIMAL(10,0)) * v)
+                           AS DECIMAL(38,4)) AS s FROM rk)
+        SELECT CAST(st.n AS BIGINT) AS n,
+               CAST(st.tot AS DOUBLE) AS total,
+               ROUND(2.0 * CAST(sx.s AS DOUBLE)
+                     / (st.n * CAST(st.tot AS DOUBLE))
                      - (st.n + 1.0) / st.n, 6) AS gini
-        FROM rk CROSS JOIN st
-        GROUP BY st.n, st.tot"""
+        FROM sx CROSS JOIN st"""
 
     # q175: two grouped quantile_cont passes, flags on rounded z.
     sql["q175_mad_outliers"] = """
@@ -8038,12 +8075,15 @@ def oracle_sql() -> dict[str, str]:
 
     # q203: GROUP BY CUBE — DuckDB GROUPING() and Spark grouping_id()
     # share the first-dim-is-MSB bit convention (verified).
+    # total is a DECIMAL sum (the grand-total cell sums the whole
+    # table at ~3.2e9 — double reorder noise reaches the cent quantum)
     sql["q203_cube"] = """
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
                  AS gid,
                CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(SUM(CAST(l_extendedprice AS DOUBLE)), 2) AS total
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2)))
+                    AS DOUBLE) AS total
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)"""
 
@@ -8387,23 +8427,33 @@ def oracle_sql() -> dict[str, str]:
                l.lam AS eigenvalue
         FROM v{_pca_iters} v CROSS JOIN flip CROSS JOIN l{_pca_iters} l"""
 
-    # q216: TPC-H Q1 verbatim
+    # q216: TPC-H Q1 verbatim — DECIMAL money sums (fold-order exact),
+    # averages divide the exact decimal sums in double
     sql["q216_tpch_pricing"] = """
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
-               ROUND(SUM(CAST(l_extendedprice AS DOUBLE)), 2)
+               CAST(SUM(CAST(CAST(l_quantity AS DOUBLE)
+                             AS DECIMAL(27,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                             AS DECIMAL(27,2))) AS DOUBLE)
                  AS sum_base_price,
-               ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
-                         * (1.0 - CAST(l_discount AS DOUBLE))), 2)
+               CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                             * (1.0 - CAST(l_discount AS DOUBLE))
+                             AS DECIMAL(27,4))) AS DOUBLE)
                  AS sum_disc_price,
-               ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
-                         * (1.0 - CAST(l_discount AS DOUBLE))
-                         * (1.0 + CAST(l_tax AS DOUBLE))), 2)
+               CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                             * (1.0 - CAST(l_discount AS DOUBLE))
+                             * (1.0 + CAST(l_tax AS DOUBLE))
+                             AS DECIMAL(27,6))) AS DOUBLE)
                  AS sum_charge,
-               ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6) AS avg_qty,
-               ROUND(AVG(CAST(l_extendedprice AS DOUBLE)), 6)
-                 AS avg_price,
-               ROUND(AVG(CAST(l_discount AS DOUBLE)), 6) AS avg_disc,
+               ROUND(CAST(SUM(CAST(CAST(l_quantity AS DOUBLE)
+                              AS DECIMAL(27,2))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_qty,
+               ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                              AS DECIMAL(27,2))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_price,
+               ROUND(CAST(SUM(CAST(CAST(l_discount AS DOUBLE)
+                              AS DECIMAL(27,2))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_disc,
                CAST(COUNT(*) AS BIGINT) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -8412,9 +8462,9 @@ def oracle_sql() -> dict[str, str]:
     # q217: TPC-H Q5 verbatim (ASIA, 1995 order year)
     sql["q217_tpch_revenue"] = """
         SELECT n_name,
-               ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
-                         * (1.0 - CAST(l_discount AS DOUBLE))), 2)
-                 AS revenue
+               CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                             * (1.0 - CAST(l_discount AS DOUBLE))
+                             AS DECIMAL(27,4))) AS DOUBLE) AS revenue
         FROM customer, orders, lineitem, supplier, nation, region
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -8429,9 +8479,9 @@ def oracle_sql() -> dict[str, str]:
     sql["q218_tpch_shipping"] = """
         SELECT l_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-               ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
-                         * (1.0 - CAST(l_discount AS DOUBLE))), 2)
-                 AS revenue
+               CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                             * (1.0 - CAST(l_discount AS DOUBLE))
+                             AS DECIMAL(27,4))) AS DOUBLE) AS revenue
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
           AND l_orderkey = o_orderkey
@@ -8551,9 +8601,9 @@ def oracle_sql() -> dict[str, str]:
     # q224: TPC-H Q10 verbatim (one quarter, returnflag R, top 20)
     sql["q224_tpch_returns"] = """
         SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name, n_name,
-               ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
-                         * (1.0 - CAST(l_discount AS DOUBLE))), 2)
-                 AS revenue
+               CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                             * (1.0 - CAST(l_discount AS DOUBLE))
+                             AS DECIMAL(27,4))) AS DOUBLE) AS revenue
         FROM customer, orders, lineitem, nation
         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
           AND o_orderdate >= TIMESTAMP '1995-01-01'
@@ -8609,8 +8659,9 @@ def oracle_sql() -> dict[str, str]:
 
     # q227: TPC-H Q6 verbatim
     sql["q227_tpch_forecast"] = """
-        SELECT ROUND(SUM(CAST(l_extendedprice AS DOUBLE)
-                         * CAST(l_discount AS DOUBLE)), 2) AS revenue,
+        SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                             * CAST(l_discount AS DOUBLE)
+                             AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -8623,12 +8674,12 @@ def oracle_sql() -> dict[str, str]:
     sql["q228_mom_change"] = """
         WITH m AS (
           SELECT strftime(o_orderdate, '%Y-%m') AS month,
-                 ROUND(SUM(CAST(o_totalprice AS DOUBLE)), 2) AS revenue
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2)))
+                      AS DOUBLE) AS revenue
           FROM orders GROUP BY 1
         )
         SELECT month, revenue,
-               ROUND(LAG(revenue) OVER (ORDER BY month), 2)
-                 AS prev_revenue,
+               LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
                CASE WHEN LAG(revenue) OVER (ORDER BY month) > 0
                     THEN ROUND((revenue - LAG(revenue)
                                 OVER (ORDER BY month))

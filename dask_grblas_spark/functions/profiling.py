@@ -13,6 +13,8 @@ extends the pipeline surface (SURVEY.md "beyond the reference").
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1096,7 +1098,7 @@ def anova(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
 
 
 def gini_coefficient(df: DataFrame, val_col: str,
-                     nbins: int = 1024) -> DataFrame:
+                     decimal_scale: int | None = None) -> DataFrame:
     """EXACT Gini concentration coefficient of a nonnegative measure:
     G = 2 * sum(rank_i * x_i) / (n * sum(x)) - (n + 1) / n over the
     ascending-sorted values — computed WITHOUT a global sort via the
@@ -1104,26 +1106,47 @@ def gini_coefficient(df: DataFrame, val_col: str,
     (value, row-id) sort key, so a 90%-constant value still balances
     across partitions; sum(rank * x) is invariant to tie order among
     equal values, so the synthetic row-id tie-break is correct).
-    Output: one row (n, total, gini rounded 6)."""
+
+    ``decimal_scale``: when the values are known to carry at most this
+    many decimal digits (e.g. 4-decimal currency), pass it and both
+    ``total`` and ``sum(rank*x)`` are accumulated as DECIMAL — exact
+    and SHUFFLE-ORDER-INVARIANT. Without it the sums are doubles, whose
+    low bits depend on reduction order, so ``total`` is only reported
+    to 2 decimals (a 1e10-magnitude double sum cannot support 6-decimal
+    run-to-run stability — the r8 q174 lesson). ``gini`` itself is a
+    ~O(1) ratio, stable at 6 decimals either way.
+    Output: one row (n, total, gini), HALF_UP rounded."""
     v = F.col(val_col).cast("double")
     base = df.select(v.alias("_v")).where(F.col("_v") >= 0)
-    n, tot, lo, hi = base.agg(F.count("*"), F.sum("_v"), F.min("_v"),
+    if decimal_scale is not None:
+        # decimal(27, s) value; rank fits decimal(10, 0) up to n=1e10;
+        # product decimal(38, s) — order-invariant integer arithmetic.
+        vd = F.col("_v").cast(f"decimal(27,{decimal_scale})")
+        rk = F.col("_r").cast("decimal(10,0)")
+    else:
+        vd, rk = F.col("_v"), F.col("_r")
+    n, tot, lo, hi = base.agg(F.count("*"), F.sum(vd), F.min("_v"),
                               F.max("_v")).collect()[0]
     spark = df.sparkSession
+    tot_out = (float(tot) if decimal_scale is not None
+               else round(float(tot), 2)) if tot else 0.0
     if not n or not tot:
         return spark.createDataFrame(
-            [(int(n or 0), float(tot or 0.0), None)],
+            [(int(n or 0), tot_out, None)],
             "n long, total double, gini double")
     if hi == lo:
-        return spark.createDataFrame([(int(n), float(tot), 0.0)],
+        return spark.createDataFrame([(int(n), tot_out, 0.0)],
                                      "n long, total double, gini double")
     ranked, _ = _exact_rank(_stamp_row_id(base),
                             [F.col("_v"), F.col("_id")], "_r")
-    s = (ranked.agg(F.sum(F.col("_r") * F.col("_v")).alias("_srx"))
-               .collect()[0][0])
-    g = 2.0 * s / (n * tot) - (n + 1.0) / n
+    s = ranked.agg(F.sum(rk * vd).alias("_srx")).collect()[0][0]
+    # identical association to the oracle SQL; inputs are exact under
+    # decimal_scale, so g is bit-identical cross-engine there
+    g = 2.0 * float(s) / (n * float(tot)) - (n + 1.0) / n
+    # HALF_UP (g >= 0), matching SQL ROUND — not banker's round()
+    g6 = math.floor(g * 1e6 + 0.5) / 1e6
     return spark.createDataFrame(
-        [(int(n), round(float(tot), 6), round(float(g), 6))],
+        [(int(n), tot_out, g6)],
         "n long, total double, gini double")
 
 

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 __all__ = ["pivot_table", "melt", "cube_agg"]
 
 
-def cube_agg(df: DataFrame, dims: list[str], val_col: str) -> DataFrame:
+def cube_agg(df: DataFrame, dims: list[str], val_col: str,
+             decimal_scale: int | None = None) -> DataFrame:
     """Full CUBE aggregation over ``dims`` — every subtotal level of
     the OLAP reporting lattice (2^d grouping sets) in ONE map-side-
     combined hash aggregate (Spark expands the sets inside the Expand
@@ -30,14 +31,24 @@ def cube_agg(df: DataFrame, dims: list[str], val_col: str) -> DataFrame:
     1 = aggregated away) — it disambiguates a genuine NULL dimension
     value from a rolled-up one, and Spark's ``grouping_id()`` and
     DuckDB/PostgreSQL ``GROUPING(...)`` agree on the bit order, so the
-    whole lattice hash-oracles. Output: (*dims, gid, n, total) with the
-    measure summed and rounded to 2 (money magnitudes; reorder ulps sit
-    below cents)."""
-    v = F.col(val_col).cast("double")
+    whole lattice hash-oracles. Output: (*dims, gid, n, total).
+
+    ``decimal_scale``: when the measure carries at most this many
+    decimal digits (money columns), pass it and ``total`` is summed as
+    DECIMAL — exact and shuffle-order invariant. The grand-total cell
+    sums the WHOLE table, so a double sum's reorder noise can exceed
+    the cent quantum at scale (q174/q203 lesson); without
+    decimal_scale the double sum is rounded to 2 as before."""
+    if decimal_scale is not None:
+        v = F.col(val_col).cast(f"decimal(27,{decimal_scale})")
+        total = F.sum(v).cast("double").alias("total")
+    else:
+        total = F.round(F.sum(F.col(val_col).cast("double")), 2) \
+                 .alias("total")
     return (df.cube(*dims)
               .agg(F.grouping_id().cast("bigint").alias("gid"),
                    F.count("*").cast("bigint").alias("n"),
-                   F.round(F.sum(v), 2).alias("total"))
+                   total)
               .select(*dims, "gid", "n", "total"))
 
 

@@ -35,9 +35,32 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def dtype_kinds(df: pd.DataFrame) -> list[str]:
+    """int-like vs float-like vs bool vs datetime vs object, per sorted
+    column — the driver's hash is dtype-faithful, so an oracle BIGINT
+    that DuckDB promotes to HUGEINT (-> pandas float 338.0) must FAIL
+    against a Spark bigint 338 (the r8 q162 red; %.6g masked it)."""
+    kinds = []
+    for c in sorted(df.columns):
+        s = df[c]
+        if pd.api.types.is_bool_dtype(s):
+            kinds.append("bool")
+        elif pd.api.types.is_integer_dtype(s):
+            kinds.append("int")
+        elif pd.api.types.is_float_dtype(s):
+            kinds.append("float")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            kinds.append("datetime")
+        else:
+            kinds.append("object")
+    return kinds
+
+
 def value_hash(df: pd.DataFrame) -> str:
+    # FIXED-POINT 6-decimal, like the driver — %.6g (6 SIGNIFICANT
+    # digits) masked 6th-decimal drift on 1e9-magnitude sums (r8 q174)
     return hashlib.md5(
-        df.to_csv(index=False, float_format="%.6g").encode()).hexdigest()
+        df.to_csv(index=False, float_format="%.6f").encode()).hexdigest()
 
 
 def main() -> int:
@@ -87,6 +110,13 @@ def main() -> int:
         if s_cols != o_cols:
             failures.append(name)
             print(f"FAIL  {name}: columns {s_cols} != {o_cols}")
+            continue
+        s_kinds, o_kinds = dtype_kinds(spdf), dtype_kinds(opdf)
+        if s_kinds != o_kinds:
+            failures.append(name)
+            bad = [(c, a, b) for c, a, b in
+                   zip(s_cols, s_kinds, o_kinds) if a != b]
+            print(f"FAIL  {name}: dtype kinds spark!=oracle {bad}")
             continue
         sn, on = norm(spdf), norm(opdf)
         if len(sn) != len(on):
