@@ -8119,9 +8119,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT e.a, e.b FROM e{_r} e
           JOIN sup{_r} s USING (a, b) WHERE s.support >= 2
         )"""
+    # convergence guard: peeling is monotone (e_{r+1} subset of e_r),
+    # so count equality across the last two rounds IS set equality; if
+    # a future SF needs more peel rounds the oracle ERRORS instead of
+    # silently exporting a non-fixpoint edge set (ADVICE r8).
     sql["q204_ktruss"] = _kt + f"""
+        , fix_chk AS (
+          SELECT CASE WHEN (SELECT COUNT(*) FROM e{_kt_rounds})
+                        <> (SELECT COUNT(*) FROM e{_kt_rounds + 1})
+                 THEN error('q204 oracle: support peel not converged '
+                            'at depth {_kt_rounds}; raise _kt_rounds')
+                 END AS ok)
         SELECT e.a, e.b, s.support
-        FROM e{_kt_rounds + 1} e JOIN sup{_kt_rounds} s USING (a, b)"""
+        FROM e{_kt_rounds + 1} e JOIN sup{_kt_rounds} s USING (a, b)
+        CROSS JOIN fix_chk"""
 
     # q205: rank-1 both directions == the canonical pair appears twice
     sql["q205_mutual_knn"] = """
@@ -8134,8 +8145,12 @@ def oracle_sql() -> dict[str, str]:
         ), top1 AS (
           SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id,
+                   -- round-before-rank: quantized cosine so structural
+                   -- ties rank by id in both engines (engine passes
+                   -- quantize=6 through cosine_topk)
                    ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY c DESC, neighbor_id)
+                                      ORDER BY ROUND(c, 6) DESC,
+                                               neighbor_id)
                      AS rn
             FROM scored) WHERE rn = 1
         )
@@ -8407,7 +8422,7 @@ def oracle_sql() -> dict[str, str]:
         ), v0 AS (SELECT d, 0.125 AS val FROM mu)"""
     for _r in range(1, _pca_iters + 1):
         _pca += f""", s{_r} AS MATERIALIZED (
-          SELECT c.vid, SUM(c.xc * v.val) AS sv
+          SELECT c.vid, ROUND(SUM(c.xc * v.val), 6) AS sv
           FROM cent c JOIN v{_r - 1} v USING (d) GROUP BY 1
         ), w{_r} AS MATERIALIZED (
           SELECT c.d, ROUND(AVG(c.xc * s.sv), 6) AS w

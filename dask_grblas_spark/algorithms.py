@@ -41,7 +41,8 @@ __all__ = ["bfs_level", "sssp", "connected_components", "pagerank",
            "hits", "adamic_adar", "clustering_coefficient",
            "label_propagation", "neighborhood_jaccard",
            "personalized_pagerank", "degree_assortativity",
-           "reciprocity", "katz_centrality", "k_truss"]
+           "reciprocity", "katz_centrality", "k_truss",
+           "capped_hub_count"]
 
 # Lineage growth between checkpoints is GEOMETRIC for min-merge loops:
 # each iteration's state plan nests the previous state ~3x (improved
@@ -666,6 +667,27 @@ def hits(A: GrMatrix, iters: int = 5) -> DataFrame:
     return out
 
 
+def capped_hub_count(A: GrMatrix,
+                     max_degree: int = 4096) -> tuple[int, int]:
+    """Observability hook for the degree-capped approximations
+    (``adamic_adar`` / ``neighborhood_jaccard``, whose ``max_degree``
+    caps are ON by default): returns (n_hubs_over_cap, max_degree_seen)
+    for the symmetric adjacency. A nonzero first element means the
+    capped call silently pruned witnesses on this graph — run this
+    once per new graph before trusting capped scores as exact, or pass
+    ``max_degree=None`` for the exact quadratic computation."""
+    deg = (A.df.select(F.col("i").cast("bigint").alias("z"),
+                       F.col("j").cast("bigint").alias("nbr"))
+               .where(F.col("z") != F.col("nbr"))
+               .distinct()
+               .groupBy("z").agg(F.count("*").alias("deg")))
+    row = deg.agg(
+        F.coalesce(F.sum(F.when(F.col("deg") > max_degree, 1)
+                          .otherwise(0)), F.lit(0)).alias("n_over"),
+        F.coalesce(F.max("deg"), F.lit(0)).alias("dmax")).collect()[0]
+    return int(row["n_over"]), int(row["dmax"])
+
+
 def adamic_adar(A: GrMatrix, max_degree: int | None = 4096) -> DataFrame:
     """Adamic–Adar link prediction over a symmetric adjacency: for every
     NON-adjacent pair (u, v) with at least one common neighbor,
@@ -688,6 +710,9 @@ def adamic_adar(A: GrMatrix, max_degree: int | None = 4096) -> DataFrame:
     Scores of surviving pairs use TRUE degrees (the cap only prunes
     which z generate pairs), so capped output is a subset-consistent
     approximation an oracle can replay exactly.
+    The cap prunes SILENTLY — use ``capped_hub_count(A, max_degree)``
+    to check whether a given graph actually has over-cap hubs before
+    treating capped scores as exact.
 
     Output: (u, v, n_common, score) with u < v, score rounded to 6.
     """
@@ -870,7 +895,9 @@ def neighborhood_jaccard(A: GrMatrix,
     Jaccard denominator stay TRUE degrees, so capped output is a
     subset-consistent approximation (n_common may undercount pairs
     whose only witnesses are capped hubs — those pairs vanish rather
-    than mis-score when ALL their witnesses are hubs).
+    than mis-score when ALL their witnesses are hubs). The cap prunes
+    SILENTLY — ``capped_hub_count(A, max_degree)`` reports whether the
+    graph has over-cap hubs at all.
     Output: (u, v, n_common, jacc) with u < v, jacc rounded to 6."""
     edges = (A.df.select(F.col("i").cast("bigint").alias("z"),
                          F.col("j").cast("bigint").alias("nbr"))

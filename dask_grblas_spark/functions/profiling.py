@@ -257,9 +257,24 @@ def _stamp_row_id(df: DataFrame) -> DataFrame:
               .localCheckpoint())
 
 
+def _shuffle_parts(spark) -> int:
+    """Target partition count for the range-partitioned exact-rank
+    shuffles: spark.sql.shuffle.partitions when numeric, else (e.g.
+    "auto" under some AQE configs) the cluster default parallelism."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def exact_quantiles(df: DataFrame, col: str, probs: list[float],
                     nbins: int = 1024) -> DataFrame:
-    """EXACT order-statistic quantiles of a double column WITHOUT a
+    """(``nbins`` is IGNORED — kept for signature compatibility with
+    the retired equi-width-histogram implementation; partitioning now
+    follows spark.sql.shuffle.partitions via ``_shuffle_parts``.)
+
+    EXACT order-statistic quantiles of a double column WITHOUT a
     global sort AND without a value-binned hot-bin straggler: the
     range-partitioned prefix-count discipline (`_exact_rank` /
     `exact_weighted_quantiles` family). repartitionByRange on the
@@ -291,7 +306,7 @@ def exact_quantiles(df: DataFrame, col: str, probs: list[float],
     v = F.col(col).cast("double")
     base = _stamp_row_id(
         df.select(v.alias("_v")).where(v.isNotNull()))
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    nparts = _shuffle_parts(spark)
     tagged = (base.repartitionByRange(nparts, F.col("_v"), F.col("_id"))
                   .withColumn("_p", F.spark_partition_id())
                   .localCheckpoint())
@@ -577,7 +592,7 @@ def _exact_rank(df: DataFrame, sort_cols: list,
     from pyspark.sql.window import Window as W
 
     spark = df.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    nparts = _shuffle_parts(spark)
     tagged = (df.repartitionByRange(nparts, *sort_cols)
                 .withColumn("_p", F.spark_partition_id())
                 .localCheckpoint())
@@ -890,7 +905,7 @@ def exact_weighted_quantiles(df: DataFrame, col: str, weight_col: str,
     base = _stamp_row_id(df.select(v.alias("_v"), w.alias("_w"))
                            .where(F.col("_w") > 0))
     spark = df.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    nparts = _shuffle_parts(spark)
     tagged = (base.repartitionByRange(nparts, F.col("_v"), F.col("_id"))
                   .withColumn("_p", F.spark_partition_id())
                   .localCheckpoint())
@@ -1288,7 +1303,7 @@ def ks_test(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
            .select("v", F.coalesce("ca", F.lit(0)).alias("ca"),
                    F.coalesce("cb", F.lit(0)).alias("cb")))
     spark = rel.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    nparts = _shuffle_parts(spark)
     tagged = (rel.repartitionByRange(nparts, F.col("v"))
                  .withColumn("_p", F.spark_partition_id())
                  .localCheckpoint())

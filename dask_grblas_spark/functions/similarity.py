@@ -54,7 +54,8 @@ def cosine_topk(emb_df: DataFrame, query_df: DataFrame | None = None,
                 k: int = 5, id_col: str = "vec_id",
                 vec_col: str = "embedding",
                 query_blocks: int | None = None,
-                cand_blocks: int | None = None) -> DataFrame:
+                cand_blocks: int | None = None,
+                quantize: int | None = None) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector (defaults to
     self-query, excluding self matches). Output: (query_id, neighbor_id,
     cosine, rank); rank orders by (cosine DESC, neighbor_id).
@@ -75,7 +76,13 @@ def cosine_topk(emb_df: DataFrame, query_df: DataFrame | None = None,
     tile's score matrix to ~16.7M entries — a 500-vector corpus runs one
     tile (no replication, no fan-out overhead) while a 10M-row corpus
     fans out proportionally. Pass explicit counts to override (e.g. to
-    fit smaller executors)."""
+    fit smaller executors).
+
+    ``quantize``: round scores HALF-AWAY to this many decimals BEFORE
+    ranking (the repo's round-before-rank discipline) so structurally
+    tied cosines rank by the deterministic id tie-break instead of by
+    GEMM-fold ulps — required when the rank itself is the exported
+    contract (mutual_knn_pairs); None preserves raw-score ranking."""
     import pandas as pd
 
     if query_df is None:
@@ -86,6 +93,7 @@ def cosine_topk(emb_df: DataFrame, query_df: DataFrame | None = None,
         query_blocks = (cand_blocks if query_df is emb_df
                         else max(1, -(-query_df.count() // _TILE_ROWS)))
     kk = k
+    qz = quantize
 
     q = (query_df.select(F.col(id_col).alias("qid"),
                          F.col(vec_col).alias("qv"))
@@ -112,6 +120,10 @@ def cosine_topk(emb_df: DataFrame, query_df: DataFrame | None = None,
         M = np.vstack(cpdf["cv"].to_numpy()).astype("float64")
         Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
         S = Qn @ Mn.T
+        if qz is not None:
+            # HALF-AWAY like SQL ROUND (np.round is half-to-even)
+            S = np.floor(np.abs(S) * 10.0 ** qz + 0.5) \
+                / 10.0 ** qz * np.sign(S)
         out_q, out_n, out_c = [], [], []
         for r in range(len(qids)):
             row = np.where(cids == qids[r], -np.inf, S[r])
@@ -481,9 +493,13 @@ def mutual_knn_pairs(emb_df: DataFrame, id_col: str = "vec_id",
     Arrow tiles — nothing touches the driver), then one grouped count
     over the n top-1 rows: a canonical (min, max) pair appears twice
     exactly when the match is mutual. Top-1 ties resolve by
-    (cosine DESC, neighbor_id) — deterministic, so the oracle replays
-    the same ROW_NUMBER. Output: (id_a, id_b) with id_a < id_b."""
-    top1 = cosine_topk(emb_df, k=1, id_col=id_col, vec_col=vec_col)
+    (ROUND(cosine, 6) DESC, neighbor_id) — the cosine is QUANTIZED
+    before the rank (round-before-rank discipline) so structural ties
+    rank by id in both engines instead of by GEMM-fold ulps, and the
+    oracle replays the same ROW_NUMBER over ROUND(c, 6).
+    Output: (id_a, id_b) with id_a < id_b."""
+    top1 = cosine_topk(emb_df, k=1, id_col=id_col, vec_col=vec_col,
+                       quantize=6)
     return (top1.select(F.least("query_id", "neighbor_id").alias("id_a"),
                         F.greatest("query_id", "neighbor_id")
                          .alias("id_b"))
@@ -578,8 +594,13 @@ def pca_power(emb_df: DataFrame, iters: int = 8,
         mu_arr = F.array(*[F.lit(float(mu[d])) for d in range(dim)])
         v_arr = F.array(*[F.lit(float(x)) for x in v])
         cent = F.zip_with(F.col("v"), mu_arr, lambda a, b: a - b)
-        s = F.aggregate(F.zip_with(cent, v_arr, lambda a, b: a * b),
-                        F.lit(0.0), lambda acc, x: acc + x)
+        # s quantized round-6 before it feeds the w aggregate: the
+        # oracle computes s as an UNORDERED SQL SUM (the engine fold is
+        # ordered), so the quantization pins both to the same value
+        # (round-before-rank discipline; ADVICE r8)
+        s = F.round(
+            F.aggregate(F.zip_with(cent, v_arr, lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, x: acc + x), 6)
         w_rows = (emb.withColumn("_s", s)
                      .select(F.posexplode(cent).alias("d", "x"), "_s")
                      .groupBy("d")

@@ -293,6 +293,20 @@ def test_adamic_adar_max_degree_excludes_hub(spark):
     assert adamic_adar(A, max_degree=2).count() == 0
 
 
+def test_capped_hub_count_observability(spark):
+    """The audit hook for the silently-pruning degree caps: the star's
+    hub (deg 3) is over a cap of 2, nothing is over a cap of 3."""
+    import dask_grblas_spark as gb
+    from dask_grblas_spark.algorithms import capped_hub_count
+
+    edges = [(0, 1), (0, 2), (0, 3)]
+    rows = [e[0] for e in edges] + [e[1] for e in edges]
+    cols = [e[1] for e in edges] + [e[0] for e in edges]
+    A = gb.Matrix.from_values(rows, cols, [1] * 6, nrows=4, ncols=4)
+    assert capped_hub_count(A, max_degree=2) == (1, 3)
+    assert capped_hub_count(A, max_degree=3) == (0, 3)
+
+
 def test_clustering_coefficient_triangle_plus_tail(spark):
     """Triangle 0-1-2 with a pendant 3 attached to 2: coeff 1.0 for the
     two pure triangle corners, 1/3 for the center of degree 3, 0 for

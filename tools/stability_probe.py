@@ -1,0 +1,76 @@
+"""Flakiness harness for the float-heaviest gate queries: run each one
+under several ``spark.sql.shuffle.partitions`` settings (which reorders
+every shuffle fold and moves every range-partition boundary) and assert
+the DRIVER-PARITY value hash (fixed-point 6-decimal + dtype-kind, the
+check_oracle.py one) is IDENTICAL across all runs — catching the r8
+q174 class (reorder-unstable rounded sums) before the driver does.
+
+The probed set is the rounded-sum audit's highest-magnitude gates plus
+the iterative-float families (kmeans/pca/Holt), where reduction order
+feeds back through every iteration.
+
+Usage: python tools/stability_probe.py [sf_dir] [query ...]
+Exit non-zero if any gate's hash varies across partition settings.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from check_oracle import dtype_kinds, norm, value_hash  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2:]
+
+# the 10 float-heaviest gates: rounded-sum audit top magnitudes +
+# iterative-float algorithms (every iteration re-folds doubles)
+DEFAULT = ["q174_gini", "q203_cube", "q216_tpch_pricing",
+           "q111_salted_join", "q228_mom_change", "q199_anova",
+           "q146_rfm", "q97_semantic_dedup", "q215_pca",
+           "q194_ks_test"]
+
+PARTITION_GRID = (5, 32, 77, 200)
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.driver.memory", "8g")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.session.timeZone", "UTC")
+             .appName("stability-probe").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    names = ONLY or [n for n in DEFAULT if n in qs]
+    unstable = []
+    for name in names:
+        hashes = []
+        for parts in PARTITION_GRID:
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            try:
+                pdf = qs[name](spark, SF_DIR).toPandas()
+            except Exception as e:  # noqa: BLE001
+                hashes.append(f"ERROR:{type(e).__name__}")
+                continue
+            hashes.append(value_hash(norm(pdf))
+                          + "/" + ",".join(dtype_kinds(pdf)))
+        ok = len(set(hashes)) == 1 and not hashes[0].startswith("ERROR")
+        if not ok:
+            unstable.append(name)
+        tag = "STABLE  " if ok else "UNSTABLE"
+        print(f"{tag} {name}  parts={PARTITION_GRID} "
+              f"hashes={[h[:10] for h in hashes]}")
+    print(f"\n{len(unstable)} unstable: {unstable}")
+    return 1 if unstable else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
