@@ -3190,16 +3190,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver records queries in dict
-    # order with a 50-row cap. Round-8 ROTATION (per the r7 verdict's
-    # item 1): the window is exactly the 50 oldest queries that have
-    # NEVER carried a driver row — q151-q185 (r6 session 3 overflow)
-    # + q186-q200 (round 7) — every one already dual-SF hash-green via
-    # tools/check_oracle.py sweeps in r6/r7 (and the judge's own
-    # independent 202-query sweep). q201/q202 + any q203+ added this
-    # round lead the r9 window; everything with an earlier driver row
-    # follows them.
-    return {
-        # r8 driver window: first driver rows needed
+    # order with a 50-row cap. Round-9 ROTATION (r8 verdict item 4):
+    # the window is q201-q228 (28 never-driver-recorded), the two r8
+    # driver reds q162/q174 re-recorded post-fix, and 20 of the
+    # oldest-recorded queries (last driver row r6: the q85-q101 block
+    # + the front of the 34-query rotation). The base dict below keeps
+    # its historical order; _R9_WINDOW reorders the head on return.
+    base = {
+        # r8 driver window (q151-q200)
         "q151_schema_evolution": q151_schema_evolution,
         "q152_mixture_accounting": q152_mixture_accounting,
         "q153_rolling_corr": q153_rolling_corr,
@@ -3432,6 +3430,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_op_grid": q56_op_grid,
         "q55_isclose": q55_isclose,
     }
+    window = [f"q2{i:02d}" for i in range(1, 29)]  # q201..q228 prefixes
+    window += ["q162", "q174",                     # r8 reds, re-record
+               "q85", "q86", "q87", "q88", "q89", "q90", "q91", "q92",
+               "q93", "q94", "q95", "q96", "q97", "q98", "q99", "q101",
+               "q03", "q04", "q05", "q06"]         # oldest driver rows
+    bypfx = {k.split("_")[0]: k for k in base}
+    head = {bypfx[p]: base[bypfx[p]] for p in window}
+    assert len(head) == 50
+    return {**head, **base}
 
 
 def _kmeans_with(k: int, iters: int) -> str:
