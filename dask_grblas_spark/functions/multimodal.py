@@ -2,10 +2,11 @@
 with typed metadata; decode / feature-extract / resize / frame-sample as
 Arrow-batched Pandas functions over mapInPandas.
 
-The decode step is gated on an OPTIONAL PIL import: `real_decode=True`
-decodes actual pixels when PIL is importable and raises
-NotImplementedError when it is not (this container has no image libs);
-the deterministic fake stays the default/oracle behavior either way. The
+The decode step decodes ACTUAL pixels for PPM/PGM and uncompressed BMP
+in pure Python (no image library needed), falls through to an OPTIONAL
+PIL import for every other format, and raises NotImplementedError when
+neither applies (this container has no image libs); the deterministic
+fake stays the default/oracle behavior either way. The
 Spark-side plumbing is real and tested regardless: binary schema,
 partition-friendly batch iteration, Arrow transfer, stable output schema.
 """
@@ -22,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = ["to_binary_table", "decode_features", "resize_images",
-           "sample_frames", "MEDIA_SCHEMA"]
+           "sample_frames", "decode_pixels", "MEDIA_SCHEMA"]
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -71,19 +72,98 @@ def _fake_feature(content: bytes, dim: int) -> np.ndarray:
     return np.asarray(vals, dtype="float32")
 
 
-def _pil_feature(content: bytes, dim: int) -> np.ndarray:
-    """Real decode path (only reachable when PIL imports): decode the
-    image bytes, grayscale, resize to a dim x 1 strip, and emit the
-    normalized pixel row as the feature — a stand-in visual signature
-    computed from ACTUAL pixel data, exercising the same batch shape a
-    learned encoder would."""
-    from io import BytesIO
+def _parse_ppm(content: bytes) -> np.ndarray:
+    """Pure-Python decode of binary PPM/PGM (P6/P5, maxval <= 255) to an
+    H x W x 3 uint8 array — the minimal real-pixel format, so the
+    real-decode branch is testable in image-library-free containers."""
+    pos, fields = 2, []
+    while len(fields) < 3:
+        # skip whitespace and '#' comments between header fields
+        while pos < len(content) and content[pos:pos + 1].isspace():
+            pos += 1
+        if content[pos:pos + 1] == b"#":
+            pos = content.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(content) and not content[end:end + 1].isspace():
+            end += 1
+        fields.append(int(content[pos:end]))
+        pos = end
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    pos += 1  # single whitespace byte after maxval
+    ch = 3 if content[:2] == b"P6" else 1
+    px = np.frombuffer(content, dtype=np.uint8, count=w * h * ch,
+                       offset=pos).reshape(h, w, ch)
+    return np.repeat(px, 3, axis=2) if ch == 1 else px
 
-    from PIL import Image
 
+def _parse_bmp(content: bytes) -> np.ndarray:
+    """Pure-Python decode of uncompressed 24/32-bit BI_RGB BMP
+    (BITMAPINFOHEADER, bottom-up or top-down) to H x W x 3 uint8."""
+    import struct
+
+    off = struct.unpack_from("<I", content, 10)[0]
+    w, h = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    comp = struct.unpack_from("<I", content, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP (got bpp={bpp}, "
+            f"compression={comp})")
+    top_down, h = h < 0, abs(h)
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(content, dtype=np.uint8, count=stride * h,
+                         offset=off).reshape(h, stride)
+    px = rows[:, :w * nb].reshape(h, w, nb)[:, :, :3][:, :, ::-1]  # BGR
+    return px if top_down else px[::-1]
+
+
+def decode_pixels(content: bytes) -> np.ndarray:
+    """Decode image bytes to an H x W x 3 uint8 array: PPM/PGM and
+    uncompressed BMP decode in pure Python (works in this container);
+    any other format falls through to PIL when importable, else raises
+    NotImplementedError naming the format."""
+    if content[:2] in (b"P6", b"P5"):
+        return _parse_ppm(content)
+    if content[:2] == b"BM":
+        return _parse_bmp(content)
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"format {content[:2]!r} needs PIL, which is not importable "
+            "in this environment (PPM/PGM/BMP decode in pure Python)"
+        ) from exc
     with Image.open(BytesIO(content)) as im:
-        strip = im.convert("L").resize((dim, 1))
-        return (np.asarray(strip, dtype="float32").reshape(-1) / 255.0)
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+def _real_feature(content: bytes, dim: int) -> np.ndarray:
+    """Real decode path: decode ACTUAL pixels (pure-Python PPM/BMP, or
+    PIL for other formats), Rec.601 grayscale, area-average the columns
+    into a dim x 1 strip, emit the normalized row — a visual signature
+    computed from real pixel data through the same Arrow batch shape a
+    learned encoder would use. Deterministic: integer source pixels,
+    fixed float64 reduction order, no resampling-library dependence."""
+    px = decode_pixels(content).astype("float64")
+    gray = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+            + 0.114 * px[:, :, 2])
+    w = gray.shape[1]
+    # PAA buckets over columns: bucket j = cols [j*w//dim, (j+1)*w//dim)
+    # (nonempty when w >= dim; when w < dim a bucket repeats the single
+    # column at its scaled position)
+    out = np.empty(dim, dtype="float64")
+    for j in range(dim):
+        lo, hi = (j * w) // dim, ((j + 1) * w) // dim
+        if hi <= lo:
+            lo, hi = min(lo, w - 1), min(lo, w - 1) + 1
+        out[j] = gray[:, lo:hi].mean()
+    return (out / 255.0).astype("float32")
 
 
 def decode_features(media_df: DataFrame, dim: int = 16,
@@ -92,19 +172,13 @@ def decode_features(media_df: DataFrame, dim: int = 16,
     Arrow-backed pandas DataFrames per partition — the exact shape a GPU
     encoder wants (batched, partition-local, no shuffle).
 
-    real_decode=True decodes with PIL when it is importable (executors
-    need PIL installed too on a real cluster — local mode shares the
-    driver env) and raises NotImplementedError when it is not, so the
+    real_decode=True decodes ACTUAL pixels: PPM/PGM and uncompressed
+    BMP decode in pure Python (no image library needed — testable in
+    this container), other formats through PIL when importable
+    (executors need PIL installed too on a real cluster — local mode
+    shares the driver env); an unsupported format raises
+    NotImplementedError FROM THE TASK naming the format. The
     deterministic fake stays the default/oracle behavior either way."""
-    if real_decode:
-        try:
-            import PIL  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "real_decode=True needs PIL, which is not importable in "
-                "this environment; deterministic fake features are the "
-                "default") from exc
-
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
         T.StructField("modality", T.StringType(), False),
@@ -112,7 +186,7 @@ def decode_features(media_df: DataFrame, dim: int = 16,
         T.StructField("feature", T.ArrayType(T.FloatType()), False),
     ])
 
-    feature_fn = _pil_feature if real_decode else _fake_feature
+    feature_fn = _real_feature if real_decode else _fake_feature
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -49,15 +49,66 @@ def test_decode_features_batched_and_deterministic(media):
     assert f[0] == f[1]
 
 
-def test_decode_real_path_gated_on_pil_import(media):
-    """real_decode=True decodes with PIL when importable, raises
-    NotImplementedError when not — this test covers whichever import
-    state the environment has, so the gate is exercised either way."""
+def _ppm(w, h, rgb_rows):
+    """Binary P6 bytes from a list of rows of (r, g, b) tuples."""
+    body = bytes(c for row in rgb_rows for px in row for c in px)
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def _bmp24(w, h, rgb_rows):
+    """Uncompressed 24-bit bottom-up BI_RGB BMP bytes."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for row in reversed(rgb_rows):  # bottom-up storage
+        raw = bytes(c for (r, g, b) in row for c in (b, g, r))  # BGR
+        body += raw + b"\x00" * (stride - len(raw))
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                         len(body), 2835, 2835, 0, 0))
+    return hdr + body
+
+
+def test_real_decode_ppm_bmp_through_spark(media):
+    """The REAL-pixel branch end-to-end through the mapInPandas Arrow
+    path: constant-shade PPM and BMP images decode to shade/255 in
+    every strip bucket — actual pixel data, no image library needed."""
+    spark = media.sparkSession
+    shade = [[(128, 128, 128)] * 4] * 4   # 4x4 mid-gray
+    ramp = [[(0, 0, 0), (0, 0, 0), (255, 255, 255), (255, 255, 255)]] * 2
+    imgs = spark.createDataFrame(
+        [(1, "image", _ppm(4, 4, shade), None),
+         (2, "image", _bmp24(4, 4, shade), None),
+         (3, "image", _ppm(4, 2, ramp), None),
+         (4, "image", _bmp24(4, 2, ramp), None)],
+        multimodal.MEDIA_SCHEMA)
+    rows = {r.media_id: r.feature
+            for r in multimodal.decode_features(
+                imgs, dim=4, real_decode=True).collect()}
+    g = round(128 / 255.0, 6)
+    assert [round(x, 6) for x in rows[1]] == [g] * 4
+    # BMP of the same pixels decodes to the identical feature
+    assert rows[2] == rows[1]
+    # left half black, right half white, in both formats
+    assert [round(x, 6) for x in rows[3]] == [0.0, 0.0, 1.0, 1.0]
+    assert rows[4] == rows[3]
+
+
+def test_real_decode_unknown_format_gated_on_pil(media):
+    """Non-PPM/BMP content goes through PIL when importable; without
+    PIL the task raises NotImplementedError naming the format — this
+    covers whichever import state the environment has."""
     try:
         import PIL  # noqa: F401
+
+        has_pil = True
     except ImportError:
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_features(media, real_decode=True)
+        has_pil = False
+    if not has_pil:
+        # the fake-text payloads are not PPM/BMP -> task-side raise
+        with pytest.raises(Exception, match="NotImplementedError|PIL"):
+            multimodal.decode_features(media, real_decode=True).collect()
         return
     # PIL present: build real 4x4 PNGs in-memory and decode actual pixels
     import io
