@@ -65,6 +65,9 @@ PIPELINE = [
     # the join-per-step + checkpoint-cadence layer is tracked
     # round-over-round
     "q186_katz",
+    # round 9 (r8 verdict item 8): one _exact_rank-family profiling
+    # query (range-partitioned prefix sums) tracked round-over-round
+    "q194_ks_test",
 ]
 
 

@@ -42,7 +42,7 @@ __all__ = ["bfs_level", "sssp", "connected_components", "pagerank",
            "label_propagation", "neighborhood_jaccard",
            "personalized_pagerank", "degree_assortativity",
            "reciprocity", "katz_centrality", "k_truss",
-           "capped_hub_count"]
+           "capped_hub_count", "eccentricity"]
 
 # Lineage growth between checkpoints is GEOMETRIC for min-merge loops:
 # each iteration's state plan nests the previous state ~3x (improved
@@ -665,6 +665,55 @@ def hits(A: GrMatrix, iters: int = 5) -> DataFrame:
     if own_adj:
         adj.unpersist()
     return out
+
+
+def eccentricity(A: GrMatrix, max_iters: int = 32) -> DataFrame:
+    """Per-vertex eccentricity (longest shortest path to any REACHABLE
+    vertex) via the min-plus ALL-PAIRS closure, composed entirely from
+    the core GraphBLAS surface: D_{k+1} = D_k (+) D_k minplus.mxm A
+    with the ewise_add(min) union merge, iterated to the fixpoint
+    (``isequal``), exactly the D = D min.+ A recurrence the GraphBLAS
+    APSP literature writes. d(i, i) = 0 by definition (closure
+    round-trips are discarded); unreachable pairs simply never appear
+    (sparse semantics — no +inf sentinels).
+
+    APSP is inherently O(V^2) OUTPUT — this is the bounded-graph /
+    landmark-set diagnostic (diameter, radius, center), not a
+    100 TB-edge op; at scale run it on a sampled landmark subgraph.
+    Checkpoints every ``_CHECKPOINT_EVERY`` rounds like every other
+    iterative loop here. Raises if the closure has not converged
+    within ``max_iters`` (negative cycles are impossible with weight-1
+    edges, so non-convergence means max_iters is too small).
+    Output: (i, ecc, n_reachable) — ecc BIGINT, excluding i itself.
+
+    Reference scope: dask-grblas ships the semiring ops (matrix.py
+    mxm/ewise_add) but no algorithm layer; this composes them the way
+    its GraphBLAS upstream intends.
+    """
+    from .operators import binary as _binary
+
+    # weight-1 adjacency regardless of stored values
+    ones = A.df.select("i", "j", F.lit(1).cast("bigint").alias("v"))
+    W = GrMatrix.from_dataframe(ones, nrows=A.nrows, ncols=A.ncols,
+                                dtype="INT64")
+    D = W.dup()
+    for it in range(max_iters):
+        step = D.mxm(W, semiring.min_plus).new()
+        merged = D.ewise_add(step, _binary.min).new()
+        if (it + 1) % _CHECKPOINT_EVERY == 0:
+            merged._set_df(merged.df.localCheckpoint())
+        if bool(merged.isequal(D).value):
+            D = merged
+            break
+        D = merged
+    else:
+        raise RuntimeError(
+            f"eccentricity: min-plus closure not converged within "
+            f"{max_iters} iterations — raise max_iters")
+    return (D.df.where(F.col("i") != F.col("j"))
+              .groupBy("i")
+              .agg(F.max("v").cast("bigint").alias("ecc"),
+                   F.count("*").cast("bigint").alias("n_reachable")))
 
 
 def capped_hub_count(A: GrMatrix,

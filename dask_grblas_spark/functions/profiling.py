@@ -29,7 +29,7 @@ __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "key_skew", "winsorize", "column_entropy", "robust_scale",
            "psi", "ks_test", "mutual_information", "anova",
            "target_encode", "histogram_2d", "expectations",
-           "feature_cross"]
+           "feature_cross", "cramers_v", "benjamini_hochberg"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -1339,6 +1339,76 @@ def ks_test(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(n_a), int(n_b), float(d))],
         "n_a long, n_b long, d_stat double")
+
+
+def cramers_v(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Cramér's V association matrix over a list of categorical
+    columns — the categorical analogue of the correlation matrix
+    (q104): for every unordered pair, V = sqrt(chi2 / (n * (min(r, c)
+    - 1))), with chi2 from ``chi2_independence``'s closed form (empty
+    contingency cells fold as N - sum(e); never materialized).
+
+    Plan: one chi2 aggregate per pair over its bounded contingency
+    relation, unioned — the pair count is len(cols) choose 2 (a
+    driver-side loop over the column LIST, never over data). V is NULL
+    when a column is constant (min(r, c) = 1: dof 0, engines disagree
+    on 0/0). Output: (col_a, col_b, n, chi2, v rounded 6) with
+    col_a < col_b lexicographically."""
+    if len(cols) < 2:
+        raise ValueError("cramers_v needs at least two columns")
+    parts = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a, b = sorted((cols[i], cols[j]))
+            one = chi2_independence(df, a, b).select(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                "n", "chi2",
+                F.when(F.least("card_a", "card_b") > 1,
+                       F.round(F.sqrt(F.col("chi2")
+                                      / (F.col("n")
+                                         * (F.least("card_a", "card_b")
+                                            - 1))), 6)).alias("v"))
+            parts.append(one)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def benjamini_hochberg(df: DataFrame, key_col: str, p_col: str,
+                       alpha: float = 0.05) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up over a relation of hypotheses:
+    rank the m p-values ascending (ties break by key — deterministic),
+    find the largest rank k with p_(k) <= k/m * alpha, and reject
+    hypotheses 1..k. The multiple-testing correction every
+    metric-sweep / A-B-battery readout needs before acting on its
+    smallest p-value.
+
+    Plan: one row_number window over the BOUNDED hypothesis relation
+    (one row per test, never raw data), a one-row max-k aggregate
+    broadcast back. All comparisons are on exact inputs: crit =
+    rank * alpha / m is the same double in any engine (integer rank,
+    literal alpha). Output: (key, p, rank, crit rounded 9, reject)."""
+    from pyspark.sql.window import Window
+
+    m_val = df.count()
+    if m_val == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"key string, p double, rank long, crit double, "
+                f"reject boolean")
+    w = Window.orderBy(F.col("_p"), F.col("key"))
+    ranked = (df.select(F.col(key_col).cast("string").alias("key"),
+                        F.col(p_col).cast("double").alias("_p"))
+                .withColumn("rank", F.row_number().over(w).cast("bigint"))
+                .withColumn("crit", F.col("rank") * F.lit(alpha)
+                            / F.lit(float(m_val))))
+    kmax = (ranked.where(F.col("_p") <= F.col("crit"))
+                  .agg(F.coalesce(F.max("rank"), F.lit(0))
+                        .alias("_k")))
+    return (ranked.crossJoin(F.broadcast(kmax))
+                  .select("key", F.col("_p").alias("p"), "rank",
+                          F.round("crit", 9).alias("crit"),
+                          (F.col("rank") <= F.col("_k")).alias("reject")))
 
 
 def mad_outliers(df: DataFrame, group_col: str, val_col: str,

@@ -28,7 +28,8 @@ __all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
            "semantic_dedup_pairs", "quantize_int8",
            "hyperplane_lsh_pairs_between", "ranking_metrics",
            "knn_classify", "item_cf_topk", "grid_cluster",
-           "mmr_rerank", "pq_codes"]
+           "mmr_rerank", "pq_codes", "mutual_knn_pairs",
+           "centroid_outliers", "pca_power", "triplet_mining"]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -507,6 +508,133 @@ def mutual_knn_pairs(emb_df: DataFrame, id_col: str = "vec_id",
                 .agg(F.count("*").alias("_n"))
                 .where(F.col("_n") == 2)
                 .select("id_a", "id_b"))
+
+
+def triplet_mining(emb_df: DataFrame, label_col: str = "label",
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   query_blocks: int | None = None,
+                   cand_blocks: int | None = None) -> DataFrame:
+    """Hard-example mining for contrastive/triplet training: for every
+    anchor vector, the HARDEST POSITIVE (least-similar vector of the
+    SAME label, self excluded) and the HARDEST NEGATIVE (most-similar
+    vector of a DIFFERENT label) by cosine — the pair selection that
+    makes a metric-learning batch informative instead of trivial.
+
+    Physical plan: the blocked-GEMM tile scheme of ``cosine_topk``
+    (hash-assigned query x candidate tiles, each a cogrouped
+    applyInPandas BLAS GEMM, executor-resident Arrow batches). Each
+    tile emits ONE partial (pos, neg) candidate pair per anchor, so
+    the re-rank relation is anchors x cand_blocks rows; two max_by/
+    min_by aggregates pick the global extremes. Similarities QUANTIZE
+    to 6 decimals half-away INSIDE the tile (round-before-rank) and
+    ties break by neighbor id ascending, so the selection replays
+    exactly in SQL. Anchors whose label has no other member emit a
+    NULL positive (kept — the caller decides). Output: (vec_id, label,
+    pos_id, pos_sim, neg_id, neg_sim)."""
+    import pandas as pd
+
+    if cand_blocks is None:
+        cand_blocks = max(1, -(-emb_df.count() // _TILE_ROWS))
+    if query_blocks is None:
+        query_blocks = cand_blocks
+
+    q = (emb_df.select(F.col(id_col).alias("qid"),
+                       F.col(label_col).cast("bigint").alias("qlab"),
+                       F.col(vec_col).alias("qv"))
+         .withColumn("qb", F.pmod(F.hash(F.col("qid")),
+                                  F.lit(query_blocks)))
+         .withColumn("cb", F.explode(F.sequence(
+             F.lit(0), F.lit(cand_blocks - 1)))))
+    c = (emb_df.select(F.col(id_col).alias("cid"),
+                       F.col(label_col).cast("bigint").alias("clab"),
+                       F.col(vec_col).alias("cv"))
+         .withColumn("cb", F.pmod(F.hash(F.col("cid")),
+                                  F.lit(cand_blocks)))
+         .withColumn("qb", F.explode(F.sequence(
+             F.lit(0), F.lit(query_blocks - 1)))))
+
+    def tile_extremes(qpdf: "pd.DataFrame",
+                      cpdf: "pd.DataFrame") -> "pd.DataFrame":
+        cols = {"qid": "int64", "qlab": "int64", "pos_id": "float64",
+                "pos_sim": "float64", "neg_id": "float64",
+                "neg_sim": "float64"}
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({k: pd.Series(dtype=v)
+                                 for k, v in cols.items()})
+        qids = qpdf["qid"].to_numpy().astype("int64")
+        qlabs = qpdf["qlab"].to_numpy().astype("int64")
+        Q = np.vstack(qpdf["qv"].to_numpy()).astype("float64")
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True),
+                            1e-300)
+        cids = cpdf["cid"].to_numpy().astype("int64")
+        clabs = cpdf["clab"].to_numpy().astype("int64")
+        M = np.vstack(cpdf["cv"].to_numpy()).astype("float64")
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True),
+                            1e-300)
+        S = Qn @ Mn.T
+        S = np.floor(np.abs(S) * 1e6 + 0.5) / 1e6 * np.sign(S)
+        rows = {k: [] for k in cols}
+        # candidate order by id so argmax/argmin on ties picks the
+        # smallest neighbor id (np.argmax returns the FIRST max)
+        order = np.argsort(cids, kind="stable")
+        cids_o, clabs_o = cids[order], clabs[order]
+        for r in range(len(qids)):
+            srow = S[r][order]
+            same = (clabs_o == qlabs[r]) & (cids_o != qids[r])
+            diff = clabs_o != qlabs[r]
+            rows["qid"].append(qids[r])
+            rows["qlab"].append(qlabs[r])
+            if same.any():
+                i = np.flatnonzero(same)[np.argmin(srow[same])]
+                rows["pos_id"].append(float(cids_o[i]))
+                rows["pos_sim"].append(srow[i])
+            else:
+                rows["pos_id"].append(np.nan)
+                rows["pos_sim"].append(np.nan)
+            if diff.any():
+                i = np.flatnonzero(diff)[np.argmax(srow[diff])]
+                rows["neg_id"].append(float(cids_o[i]))
+                rows["neg_sim"].append(srow[i])
+            else:
+                rows["neg_id"].append(np.nan)
+                rows["neg_sim"].append(np.nan)
+        return pd.DataFrame(rows)
+
+    partial = (q.groupBy("qb", "cb")
+                .cogroup(c.groupBy("qb", "cb"))
+                .applyInPandas(
+                    tile_extremes,
+                    schema="qid bigint, qlab bigint, pos_id double, "
+                           "pos_sim double, neg_id double, "
+                           "neg_sim double"))
+    # global extremes over the cand_blocks partials per anchor:
+    # hardest positive = MIN sim (tie -> smaller id), hardest negative
+    # = MAX sim (tie -> smaller id); NULL partials drop out of min_by/
+    # max_by via the where-notnull pre-aggregates
+    pos = (partial.where(F.col("pos_id").isNotNull())
+                  .groupBy("qid")
+                  .agg(F.min_by(
+                      F.struct(F.col("pos_id"), F.col("pos_sim")),
+                      F.struct(F.col("pos_sim"), F.col("pos_id")))
+                      .alias("_p")))
+    neg = (partial.where(F.col("neg_id").isNotNull())
+                  .groupBy("qid")
+                  .agg(F.max_by(
+                      F.struct(F.col("neg_id"), F.col("neg_sim")),
+                      F.struct(F.col("neg_sim"), -F.col("neg_id")))
+                      .alias("_n")))
+    anchors = partial.select("qid", "qlab").distinct()
+    return (anchors.join(pos, on="qid", how="left")
+                   .join(neg, on="qid", how="left")
+                   .select(F.col("qid").alias("vec_id"),
+                           F.col("qlab").alias("label"),
+                           F.col("_p.pos_id").cast("bigint")
+                            .alias("pos_id"),
+                           F.col("_p.pos_sim").alias("pos_sim"),
+                           F.col("_n.neg_id").cast("bigint")
+                            .alias("neg_id"),
+                           F.col("_n.neg_sim").alias("neg_sim")))
 
 
 def centroid_outliers(emb_df: DataFrame, label_col: str = "label",

@@ -26,7 +26,8 @@ __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
            "interval_union", "scd2", "event_transitions",
            "cusum_changepoints", "rolling_correlation",
            "event_paths", "sax_symbols", "seasonal_decompose",
-           "debounce", "date_dim", "peak_detection", "ohlc"]
+           "debounce", "date_dim", "peak_detection", "ohlc",
+           "autocorrelation"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -826,6 +827,66 @@ def seasonal_decompose(events_df: DataFrame, ts_col: str = "ts",
                      "trend", "seasonal",
                      F.round(F.col("x") - F.col("trend")
                              - F.col("seasonal"), 6).alias("resid")))
+
+
+def autocorrelation(events_df: DataFrame, ts_col: str = "ts",
+                    val_col: str = "value",
+                    max_lag: int = 7) -> DataFrame:
+    """Autocorrelation function of the daily aggregate series at lags
+    1..max_lag — the seasonality screen run before choosing a forecast
+    period (a weekly cycle shows as a spike at lag 7). Uses the
+    standard biased estimator r_k = sum_t (x_t - m)(x_{t+k} - m) /
+    sum_t (x_t - m)^2 with the full-series mean m, over the COMPLETE
+    day grid (missing days enter as zero totals — an absent day is a
+    real zero in a volume series, and row-lag over a gapped relation
+    would silently compare non-adjacent days).
+
+    Plan: one rollup to the bounded daily relation, a sequence-explode
+    day grid left-joined (still bounded: one row per calendar day),
+    max_lag lag windows over it, one aggregate. m and the demeaned
+    values round 6 before the products so both engines multiply
+    identical values. Output: (lag, n_terms, acf rounded 6)."""
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    daily = (events_df
+             .groupBy(F.to_date(F.col(ts_col)).alias("_d"))
+             .agg(F.round(F.sum(F.col(val_col).cast("double")), 6)
+                   .alias("x")))
+    span = daily.agg(F.min("_d").alias("lo"), F.max("_d").alias("hi"))
+    grid = (span.select(F.explode(F.sequence(
+                F.lit(0),
+                F.datediff(F.col("hi"), F.col("lo")))).alias("_k"),
+                F.col("lo"))
+                .select(F.date_add(F.col("lo"), F.col("_k"))
+                         .alias("_d")))
+    full = (grid.join(daily, on="_d", how="left")
+                .select("_d", F.coalesce("x", F.lit(0.0)).alias("x")))
+    m = full.agg(F.round(F.avg("x"), 6).alias("_m")).collect()[0]["_m"]
+    if m is None:
+        return events_df.sparkSession.createDataFrame(
+            [], "lag long, n_terms long, acf double")
+    dm = full.select("_d", F.round(F.col("x") - F.lit(float(m)), 6)
+                            .alias("e"))
+    w = Window.orderBy("_d")
+    lagged = dm.select(
+        "e", *[F.lag("e", k).over(w).alias(f"_e{k}")
+               for k in range(1, max_lag + 1)])
+    denom_num = [F.sum(F.col("e") * F.col("e")).alias("_den")]
+    for k in range(1, max_lag + 1):
+        denom_num.append(F.sum(F.col("e") * F.col(f"_e{k}"))
+                          .alias(f"_num{k}"))
+        denom_num.append(F.count(F.col(f"_e{k}")).alias(f"_n{k}"))
+    one = lagged.agg(*denom_num)
+    outs = [one.select(F.lit(k).cast("bigint").alias("lag"),
+                       F.col(f"_n{k}").cast("bigint").alias("n_terms"),
+                       F.when(F.col("_den") > 0,
+                              F.round(F.col(f"_num{k}") / F.col("_den"),
+                                      6)).alias("acf"))
+            for k in range(1, max_lag + 1)]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def debounce(events_df: DataFrame, key_cols=("user_id", "event_type"),

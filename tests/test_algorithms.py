@@ -528,3 +528,43 @@ def test_katz_centrality_guards(spark):
            for r in alg.katz_centrality(A, alpha=0.25, beta=2.0,
                                         iters=1).collect()}
     assert got[0] == 2.0 and got[1] == 2.5
+
+
+def test_eccentricity_path_graph(spark):
+    """Path 0-1-2-3: ecc = [3,2,2,3]; all 3 others reachable."""
+    import dask_grblas_spark as gb
+    from dask_grblas_spark.algorithms import eccentricity
+
+    e = [(0, 1), (1, 2), (2, 3)]
+    rows = [a for a, b in e] + [b for a, b in e]
+    cols = [b for a, b in e] + [a for a, b in e]
+    A = gb.Matrix.from_values(rows, cols, [1] * 6, nrows=4, ncols=4)
+    out = {r.i: (r.ecc, r.n_reachable)
+           for r in eccentricity(A).collect()}
+    assert out == {0: (3, 3), 1: (2, 3), 2: (2, 3), 3: (3, 3)}
+
+
+def test_eccentricity_disconnected_components(spark):
+    """Two disjoint edges: every vertex sees only its 1 partner —
+    unreachable pairs never materialize (sparse, no +inf)."""
+    import dask_grblas_spark as gb
+    from dask_grblas_spark.algorithms import eccentricity
+
+    A = gb.Matrix.from_values([0, 1, 2, 3], [1, 0, 3, 2], [1] * 4,
+                              nrows=4, ncols=4)
+    out = {r.i: (r.ecc, r.n_reachable)
+           for r in eccentricity(A).collect()}
+    assert out == {i: (1, 1) for i in range(4)}
+
+
+def test_eccentricity_nonconvergence_raises(spark):
+    import dask_grblas_spark as gb
+    import pytest
+    from dask_grblas_spark.algorithms import eccentricity
+
+    e = [(0, 1), (1, 2), (2, 3)]
+    rows = [a for a, b in e] + [b for a, b in e]
+    cols = [b for a, b in e] + [a for a, b in e]
+    A = gb.Matrix.from_values(rows, cols, [1] * 6, nrows=4, ncols=4)
+    with pytest.raises(RuntimeError, match="not converged"):
+        eccentricity(A, max_iters=1)

@@ -769,3 +769,33 @@ def test_pca_power_sign_flip(spark):
     import math
     assert abs(got[0] - 1 / math.sqrt(5)) < 1e-3
     assert abs(got[1] + 2 / math.sqrt(5)) < 1e-3
+
+
+def test_triplet_mining_hand_case_and_blocks(spark):
+    """Two label clusters on the unit circle: the hardest positive is
+    the farthest same-label vector, the hardest negative the nearest
+    other-label vector; a single-member label gets a NULL positive;
+    3x3 tiling reproduces the single-tile answer exactly."""
+    from dask_grblas_spark.functions.similarity import triplet_mining
+
+    rows = [(1, 0, [1.0, 0.0]), (2, 0, [0.9, 0.1]), (3, 0, [0.6, 0.4]),
+            (4, 1, [0.0, 1.0]), (5, 1, [0.1, 0.9])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>")
+    out = {r.vec_id: r for r in triplet_mining(df).collect()}
+    assert out[1].pos_id == 3 and out[1].neg_id == 5
+    assert out[4].pos_id == 5 and out[4].neg_id == 3
+    # single-member label 2 sits between the clusters: NULL positive,
+    # and it becomes vec 1's hardest negative (cos 0.707 > 0.110)
+    df2 = spark.createDataFrame(
+        rows + [(6, 2, [0.5, 0.5])],
+        "vec_id long, label long, embedding array<double>")
+    out2 = {r.vec_id: r for r in triplet_mining(df2).collect()}
+    assert out2[6].pos_id is None and out2[6].neg_id is not None
+    assert out2[1].neg_id == 6
+    one = {(r.vec_id, r.pos_id, r.neg_id, r.pos_sim, r.neg_sim)
+           for r in triplet_mining(df2).collect()}
+    tiled = {(r.vec_id, r.pos_id, r.neg_id, r.pos_sim, r.neg_sim)
+             for r in triplet_mining(df2, query_blocks=3,
+                                     cand_blocks=3).collect()}
+    assert one == tiled

@@ -1076,3 +1076,41 @@ def test_feature_cross_deterministic_and_null_safe(spark):
     assert got[0] == got[1]
     assert len({got[1], got[2], got[3]}) == 3
     assert all(0 <= b < (1 << 16) for b in got)
+
+
+def test_cramers_v_dependence_extremes(spark):
+    """Identical columns -> V=1; a constant column -> NULL (dof 0)."""
+    from dask_grblas_spark.functions.profiling import cramers_v
+
+    rows = [(str(i % 2), str(i % 2), "const") for i in range(40)]
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    out = {(r.col_a, r.col_b): r
+           for r in cramers_v(df, ["a", "b", "c"]).collect()}
+    assert out[("a", "b")].v == 1.0
+    assert out[("a", "c")].v is None  # constant c: min card = 1
+    import pytest
+    with pytest.raises(ValueError):
+        cramers_v(df, ["a"])
+
+
+def test_benjamini_hochberg_stepup(spark):
+    """Classic step-up: with alpha=.05 over these 10 p-values the
+    largest k with p_(k) <= k/10*alpha is 2 -> exactly h1, h2 reject
+    (h3 fails its own threshold but would drag along if any later k
+    passed — the step-up, not step-down, semantics)."""
+    from dask_grblas_spark.functions.profiling import benjamini_hochberg
+
+    ps = [("h1", 0.001), ("h2", 0.008), ("h3", 0.039), ("h4", 0.041),
+          ("h5", 0.042), ("h6", 0.06), ("h7", 0.074), ("h8", 0.205),
+          ("h9", 0.212), ("h10", 0.216)]
+    df = spark.createDataFrame(ps, "k string, p double")
+    out = {r.key: r for r in
+           benjamini_hochberg(df, "k", "p", alpha=0.05).collect()}
+    assert sorted(k for k, r in out.items() if r.reject) == ["h1", "h2"]
+    assert out["h1"].rank == 1 and out["h10"].rank == 10
+    # step-up rescue: a late passing rank rejects everything before it
+    out2 = {r.key: r.reject for r in benjamini_hochberg(
+        df, "k", "p", alpha=0.25).collect()}
+    assert all(out2.values())  # p_(10)=0.216 <= 0.25 -> all reject
+    # empty input
+    assert benjamini_hochberg(df.limit(0), "k", "p").count() == 0

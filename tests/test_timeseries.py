@@ -711,3 +711,28 @@ def test_recency_profile_decay_and_cutoff(spark):
     assert got[1].last_age_days == 0.0
     assert got[2].n == 0 and got[2].score is None
     assert got[2].last_age_days == 1.0
+
+
+def test_autocorrelation_alternating_and_gaps(spark):
+    """Alternating daily series: acf(1) < 0 < acf(2); a missing
+    calendar day enters as a true zero (grid join), shifting the
+    lag alignment the way a volume series requires."""
+    import datetime as dt
+
+    from dask_grblas_spark.functions.timeseries import autocorrelation
+
+    rows = [(dt.datetime(2024, 1, 1 + i, 12),
+             10.0 if i % 2 == 0 else 0.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r.lag: r for r in autocorrelation(df, max_lag=3).collect()}
+    assert out[1].acf < -0.8 and out[2].acf > 0.8
+    assert out[1].n_terms == 19 and out[3].n_terms == 17
+    # constant series -> zero variance -> NULL acf
+    const = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1 + i), 5.0) for i in range(5)],
+        "ts timestamp, value double")
+    assert all(r.acf is None
+               for r in autocorrelation(const, max_lag=2).collect())
+    import pytest
+    with pytest.raises(ValueError):
+        autocorrelation(df, max_lag=0)
