@@ -1985,6 +1985,192 @@ def q228_mom_change(spark, sf_dir):
          .alias("pct_change"))
 
 
+def q229_tpch_priority(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): orders placed in one
+    quarter that had at least one line item shipped after the order
+    date, counted per priority — the canonical EXISTS semi-join
+    (Catalyst plans a LeftSemi with the correlated date predicate in
+    the join condition; no lineitem rows survive the join)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_shipdate")
+    q = o.where((F.col("o_orderdate") >= F.lit("1995-01-01"))
+                & (F.col("o_orderdate") < F.lit("1995-04-01")))
+    return (q.join(li, (q.o_orderkey == li.l_orderkey)
+                   & (li.l_shipdate > q.o_orderdate), "left_semi")
+             .groupBy("o_orderpriority")
+             .agg(F.count("*").cast("bigint").alias("n_orders")))
+
+
+def q230_custdist(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join
+    customer->orders (zero-order customers must survive as c_count 0),
+    one count per customer, one count per count — two shuffles over
+    shrinking relations."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_custkey", "o_orderkey")
+    per = (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").cast("bigint").alias("c_count")))
+    return (per.groupBy("c_count")
+               .agg(F.count("*").cast("bigint").alias("custdist")))
+
+
+def q231_big_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose line
+    quantity total exceeds 250, top 100 by (totalprice DESC, date,
+    orderkey) with customer name — the group-HAVING + fact re-join +
+    global top-k composite. sum_qty sums integer-valued quantities
+    (exact in doubles); the top-k is a TakeOrderedAndProject."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum(F.col("l_quantity").cast("double"))
+                   .alias("sum_qty"))
+             .where(F.col("sum_qty") > 250))
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+               .join(c, o.o_custkey == c.c_custkey)
+               .select(F.col("c_name"),
+                       F.col("o_custkey").cast("bigint").alias("custkey"),
+                       F.col("l_orderkey").cast("bigint").alias("orderkey"),
+                       F.date_format("o_orderdate", "yyyy-MM-dd")
+                        .alias("orderdate"),
+                       F.col("o_totalprice").cast("double")
+                        .alias("totalprice"),
+                       "sum_qty")
+               .orderBy(F.col("totalprice").desc(), "orderdate",
+                        "orderkey")
+               .limit(100))
+
+
+def q232_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue over OR-of-ANDs): three
+    disjoint brand/size/quantity bands as ONE disjunctive predicate —
+    the pushdown/CNF-conversion stressor (Catalyst must keep the
+    common p_partkey join while pushing each band's conjuncts).
+    Revenue is the exact 4-decimal DECIMAL sum."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    qty = F.col("l_quantity")
+    band = (
+        ((F.col("p_brand") == "Brand#12")
+         & F.col("p_size").between(1, 15) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23")
+           & F.col("p_size").between(1, 25) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34")
+           & F.col("p_size").between(1, 35) & qty.between(20, 30)))
+    rev = (F.col("l_extendedprice").cast("double")
+           * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
+        .cast("decimal(27,4)")
+    return j.where(band).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").cast("bigint").alias("n"))
+
+
+def q233_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global-aggregate threshold + anti-join):
+    customers with above-average positive balance and NO order since
+    2000-01-01, rolled up per nation. The average is a DECIMAL-exact
+    sum over count (a double-sum average within ulps of a customer's
+    balance would flip membership); the no-recent-orders test is a
+    broadcast-able LEFT ANTI join on the date-pruned orders scan."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    avg1 = (c.where(F.col("c_acctbal") > 0)
+             .agg((F.sum(F.col("c_acctbal").cast("decimal(27,2)"))
+                    .cast("double") / F.count("*")).alias("_a")))
+    recent = (o.where(F.col("o_orderdate") >= F.lit("2000-01-01"))
+               .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    idle = (c.crossJoin(F.broadcast(avg1))
+             .where(F.col("c_acctbal") > F.col("_a"))
+             .join(recent, on="c_custkey", how="left_anti"))
+    return (idle.groupBy(F.col("c_nationkey").cast("bigint")
+                          .alias("nationkey"))
+                .agg(F.count("*").cast("bigint").alias("n_cust"),
+                     F.sum(F.col("c_acctbal").cast("decimal(27,2)"))
+                      .cast("double").alias("total_bal")))
+
+
+def q234_acf(spark, sf_dir):
+    """Autocorrelation of the daily event-value series at lags 1..7
+    (timeseries.autocorrelation): complete day grid (missing days are
+    true zeros), demeaned round-6, one aggregate for all lags — the
+    seasonality screen before q160's decomposition."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.autocorrelation(load_events(spark, sf_dir),
+                                      max_lag=7) \
+        .select("lag", "n_terms", "acf")
+
+
+def q235_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR step-up (profiling.benjamini_hochberg)
+    over one hypothesis per (event_type x day-of-week) cell with
+    deterministic md5-derived p-values (u^2 skews small so the gate
+    exercises BOTH outcomes of the step-up) — the multiple-testing
+    correction of a metric-sweep readout. The p-value assignment is
+    synthetic by design: the OPERATOR under test is the rank/threshold
+    machinery, and md5 arithmetic replays exactly in SQL."""
+    from dask_grblas_spark.functions.dedup import cross_hash60
+    from dask_grblas_spark.functions.profiling import benjamini_hochberg
+    from dask_grblas_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir)
+    dow = F.pmod(F.datediff(F.to_date("ts"),
+                            F.lit("1970-01-01").cast("date")), F.lit(7))
+    hyp = (ev.select(F.concat(F.col("event_type"), F.lit("|"),
+                              dow.cast("string")).alias("hyp"))
+             .distinct())
+    u = (cross_hash60(F.col("hyp")) % 1000000) / F.lit(1000000.0)
+    pv = hyp.select("hyp", (u * u).alias("p"))
+    return benjamini_hochberg(pv, "hyp", "p", alpha=0.1) \
+        .select("key", "p", "rank", "crit", "reject")
+
+
+def q236_cramers_v(spark, sf_dir):
+    """Cramér's V association matrix (profiling.cramers_v) over three
+    lineitem categoricals — pairwise chi2 on bounded contingency
+    relations, V from the rounded chi2 (both engines), NULL-guarded
+    for constant columns."""
+    from dask_grblas_spark.functions.profiling import cramers_v
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_linestatus",
+        F.col("l_linenumber").cast("string").alias("l_linenumber"))
+    return cramers_v(li, ["l_returnflag", "l_linestatus",
+                          "l_linenumber"]) \
+        .select("col_a", "col_b", "n", "chi2", "v")
+
+
+def q237_triplet_mining(spark, sf_dir):
+    """Hard-example mining for contrastive training
+    (similarity.triplet_mining): per anchor the least-similar same-
+    label and most-similar other-label vectors via blocked-GEMM tiles,
+    quantized round-before-rank sims, id tie-breaks — the oracle
+    replays the exact selection over all pairs."""
+    return similarity.triplet_mining(_emb(spark, sf_dir)) \
+        .select("vec_id", "label", "pos_id", "pos_sim",
+                "neg_id", "neg_sim")
+
+
+def q238_eccentricity(spark, sf_dir):
+    """Per-vertex eccentricity of the hub-planted nation graph
+    (algorithms.eccentricity): the min-plus ALL-PAIRS closure composed
+    from the core mxm/ewise_add(min)/isequal surface, iterated to the
+    fixpoint — diameter/radius/center diagnostics on a bounded graph.
+    The oracle unrolls the same D = min(D, D min.+ A) recurrence with
+    a (count, sum) fixpoint certificate that ERRORS if the unroll
+    depth were ever insufficient (monotone min-plus: equal count and
+    equal sum imply no cell changed)."""
+    return alg.eccentricity(
+        alg.symmetrize(_hub_nation_matrix(spark, sf_dir))) \
+        .select("i", "ecc", "n_reachable")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -3191,11 +3377,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver records queries in dict
     # order with a 50-row cap. Round-9 ROTATION (r8 verdict item 4):
-    # the window is q201-q228 (28 never-driver-recorded), the two r8
-    # driver reds q162/q174 re-recorded post-fix, and 20 of the
-    # oldest-recorded queries (last driver row r6: the q85-q101 block
-    # + the front of the 34-query rotation). The base dict below keeps
-    # its historical order; _R9_WINDOW reorders the head on return.
+    # the window is every never-driver-recorded query (q201-q228 from
+    # r8, q229-q238 new this round), the two r8 driver reds q162/q174
+    # re-recorded post-fix, and 10 of the oldest-recorded queries
+    # (last driver row r6: the q85-q94 block; the rest of the r6 set
+    # rotates in r10). The base dict below keeps its historical order;
+    # the window list reorders the head on return.
     base = {
         # r8 driver window (q151-q200)
         "q151_schema_evolution": q151_schema_evolution,
@@ -3277,6 +3464,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_feature_cross": q226_feature_cross,
         "q227_tpch_forecast": q227_tpch_forecast,
         "q228_mom_change": q228_mom_change,
+        "q229_tpch_priority": q229_tpch_priority,
+        "q230_custdist": q230_custdist,
+        "q231_big_orders": q231_big_orders,
+        "q232_disjunctive": q232_disjunctive,
+        "q233_idle_customers": q233_idle_customers,
+        "q234_acf": q234_acf,
+        "q235_bh_fdr": q235_bh_fdr,
+        "q236_cramers_v": q236_cramers_v,
+        "q237_triplet_mining": q237_triplet_mining,
+        "q238_eccentricity": q238_eccentricity,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -3430,11 +3627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_op_grid": q56_op_grid,
         "q55_isclose": q55_isclose,
     }
-    window = [f"q2{i:02d}" for i in range(1, 29)]  # q201..q228 prefixes
+    window = [f"q2{i:02d}" for i in range(1, 39)]  # q201..q238: never
     window += ["q162", "q174",                     # r8 reds, re-record
-               "q85", "q86", "q87", "q88", "q89", "q90", "q91", "q92",
-               "q93", "q94", "q95", "q96", "q97", "q98", "q99", "q101",
-               "q03", "q04", "q05", "q06"]         # oldest driver rows
+               "q85", "q86", "q87", "q88", "q89",
+               "q90", "q91", "q92", "q93", "q94"]  # oldest driver rows
     bypfx = {k.split("_")[0]: k for k in base}
     head = {bypfx[p]: base[bypfx[p]] for p in window}
     assert len(head) == 50
@@ -8708,5 +8904,345 @@ def oracle_sql() -> dict[str, str]:
                                / LAG(revenue) OVER (ORDER BY month)
                                * 100.0, 6) END AS pct_change
         FROM m"""
+
+    # ------------------------------------------------------------------
+    # round-9 gates q229-q238
+    # ------------------------------------------------------------------
+
+    # q229: TPC-H Q4 shape — correlated EXISTS as a semi-join
+    sql["q229_tpch_priority"] = """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY 1"""
+
+    # q230: TPC-H Q13 shape — zero-order customers survive the LEFT join
+    sql["q230_custdist"] = """
+        WITH per AS (
+          SELECT c.c_custkey,
+                 CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey
+          GROUP BY 1
+        )
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM per GROUP BY 1"""
+
+    # q231: TPC-H Q18 shape — HAVING over the rollup, full tie-break so
+    # the LIMIT is engine-invariant; sum_qty is an exact integer-valued
+    # double sum
+    sql["q231_big_orders"] = """
+        WITH big AS (
+          SELECT l_orderkey, SUM(CAST(l_quantity AS DOUBLE)) AS sum_qty
+          FROM lineitem GROUP BY 1
+          HAVING SUM(CAST(l_quantity AS DOUBLE)) > 250
+        )
+        SELECT c.c_name, CAST(o.o_custkey AS BIGINT) AS custkey,
+               CAST(b.l_orderkey AS BIGINT) AS orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+               b.sum_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY totalprice DESC, orderdate, orderkey
+        LIMIT 100"""
+
+    # q232: TPC-H Q19 shape — the same three disjunctive bands;
+    # DECIMAL-exact revenue
+    sql["q232_disjunctive"] = """
+        SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                             * (1.0 - CAST(l_discount AS DOUBLE))
+                             AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)"""
+
+    # q233: TPC-H Q22 shape — DECIMAL-exact average threshold (a
+    # double-sum average within ulps of a balance would flip
+    # membership), NOT EXISTS on the date-pruned orders
+    sql["q233_idle_customers"] = """
+        WITH avg1 AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE)
+                 / COUNT(*) AS a
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,2)))
+                    AS DOUBLE) AS total_bal
+        FROM customer c CROSS JOIN avg1
+        WHERE c.c_acctbal > avg1.a
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1"""
+
+    # q234: ACF over the complete day grid (missing days = true zeros);
+    # daily sums and the demeaned values ROUND 6 like the engine; the
+    # denominator spans ALL days, numerators only the lag-overlapping
+    # ones (COUNT of the lagged column)
+    _acf_one = """
+          SELECT CAST({k} AS BIGINT) AS lag,
+                 CAST(COUNT(e{k}) AS BIGINT) AS n_terms,
+                 CASE WHEN SUM(e * e) > 0
+                      THEN ROUND(SUM(e * e{k}) / SUM(e * e), 6)
+                 END AS acf
+          FROM lagged"""
+    sql["q234_acf"] = ("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d,
+                 ROUND(SUM(CAST(value AS DOUBLE)), 6) AS x
+          FROM events GROUP BY 1
+        ), span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+        grid AS (
+          SELECT CAST(unnest(generate_series(lo, hi,
+                       INTERVAL 1 DAY)) AS DATE) AS d
+          FROM span
+        ), filled AS (
+          SELECT g.d, COALESCE(daily.x, 0.0) AS x
+          FROM grid g LEFT JOIN daily USING (d)
+        ), m AS (SELECT ROUND(AVG(x), 6) AS m FROM filled),
+        dm AS (
+          SELECT d, ROUND(x - m.m, 6) AS e FROM filled CROSS JOIN m
+        ), lagged AS (
+          SELECT e, """
+        + ", ".join(f"LAG(e, {k}) OVER (ORDER BY d) AS e{k}"
+                    for k in range(1, 8))
+        + """
+          FROM dm
+        )
+        """ + " UNION ALL ".join(_acf_one.format(k=k)
+                                 for k in range(1, 8)))
+
+    # q235: BH step-up replay — the same md5 p-values, ROW_NUMBER rank
+    # with the hyp tie-break, max-k threshold; crit association
+    # (rank * alpha) / m matches the engine expression
+    sql["q235_bh_fdr"] = """
+        WITH hyp AS (
+          SELECT DISTINCT event_type || '|' || CAST(
+                   CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   % 7 AS VARCHAR) AS hyp
+          FROM events
+        ), pv AS (
+          SELECT hyp, u * u AS p FROM (
+            SELECT hyp,
+                   (('0x' || substr(md5(hyp), 1, 15))::BIGINT % 1000000)
+                   / 1000000.0 AS u
+            FROM hyp)
+        ), mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM pv),
+        ranked AS (
+          SELECT hyp, p,
+                 ROW_NUMBER() OVER (ORDER BY p, hyp) AS r
+          FROM pv
+        ), kmax AS (
+          SELECT COALESCE(MAX(r), 0) AS k
+          FROM ranked CROSS JOIN mm WHERE p <= r * 0.1 / m
+        )
+        SELECT hyp AS key, p, CAST(r AS BIGINT) AS rank,
+               ROUND(r * 0.1 / mm.m, 9) AS crit,
+               r <= kmax.k AS reject
+        FROM ranked CROSS JOIN mm CROSS JOIN kmax"""
+
+    # q236: three pairwise chi2 replays (the q173 closed form), V from
+    # the ROUNDED chi2 exactly as the engine computes it
+    sql["q236_cramers_v"] = """
+        WITH
+        p1_cells AS MATERIALIZED (
+          SELECT CAST(l_linenumber AS VARCHAR) AS a, l_returnflag AS b,
+                 CAST(COUNT(*) AS DOUBLE) AS n
+          FROM lineitem GROUP BY 1, 2
+        ),
+        p2_cells AS MATERIALIZED (
+          SELECT CAST(l_linenumber AS VARCHAR) AS a, l_linestatus AS b,
+                 CAST(COUNT(*) AS DOUBLE) AS n
+          FROM lineitem GROUP BY 1, 2
+        ),
+        p3_cells AS MATERIALIZED (
+          SELECT l_linestatus AS a, l_returnflag AS b,
+                 CAST(COUNT(*) AS DOUBLE) AS n
+          FROM lineitem GROUP BY 1, 2
+        ),
+        p1 AS (
+          SELECT 'l_linenumber' AS col_a, 'l_returnflag' AS col_b,
+                 CAST(nn AS BIGINT) AS n, ROUND(chi2, 6) AS chi2,
+                 CASE WHEN LEAST(ca, cbn) > 1
+                      THEN ROUND(SQRT(ROUND(chi2, 6)
+                                      / (nn * (LEAST(ca, cbn) - 1))), 6)
+                 END AS v
+          FROM (
+            SELECT MAX(t.nn) AS nn,
+                   COUNT(DISTINCT c.a) AS ca,
+                   COUNT(DISTINCT c.b) AS cbn,
+                   SUM((c.n - ra.ra * cb.cb / t.nn)
+                       * (c.n - ra.ra * cb.cb / t.nn)
+                       / (ra.ra * cb.cb / t.nn))
+                   + (MAX(t.nn) - SUM(ra.ra * cb.cb / t.nn)) AS chi2
+            FROM p1_cells c
+            JOIN (SELECT a, SUM(n) AS ra FROM p1_cells GROUP BY 1) ra
+              USING (a)
+            JOIN (SELECT b, SUM(n) AS cb FROM p1_cells GROUP BY 1) cb
+              USING (b)
+            CROSS JOIN (SELECT SUM(n) AS nn FROM p1_cells) t
+          )
+        ),
+        p2 AS (
+          SELECT 'l_linenumber' AS col_a, 'l_linestatus' AS col_b,
+                 CAST(nn AS BIGINT) AS n, ROUND(chi2, 6) AS chi2,
+                 CASE WHEN LEAST(ca, cbn) > 1
+                      THEN ROUND(SQRT(ROUND(chi2, 6)
+                                      / (nn * (LEAST(ca, cbn) - 1))), 6)
+                 END AS v
+          FROM (
+            SELECT MAX(t.nn) AS nn,
+                   COUNT(DISTINCT c.a) AS ca,
+                   COUNT(DISTINCT c.b) AS cbn,
+                   SUM((c.n - ra.ra * cb.cb / t.nn)
+                       * (c.n - ra.ra * cb.cb / t.nn)
+                       / (ra.ra * cb.cb / t.nn))
+                   + (MAX(t.nn) - SUM(ra.ra * cb.cb / t.nn)) AS chi2
+            FROM p2_cells c
+            JOIN (SELECT a, SUM(n) AS ra FROM p2_cells GROUP BY 1) ra
+              USING (a)
+            JOIN (SELECT b, SUM(n) AS cb FROM p2_cells GROUP BY 1) cb
+              USING (b)
+            CROSS JOIN (SELECT SUM(n) AS nn FROM p2_cells) t
+          )
+        ),
+        p3 AS (
+          SELECT 'l_linestatus' AS col_a, 'l_returnflag' AS col_b,
+                 CAST(nn AS BIGINT) AS n, ROUND(chi2, 6) AS chi2,
+                 CASE WHEN LEAST(ca, cbn) > 1
+                      THEN ROUND(SQRT(ROUND(chi2, 6)
+                                      / (nn * (LEAST(ca, cbn) - 1))), 6)
+                 END AS v
+          FROM (
+            SELECT MAX(t.nn) AS nn,
+                   COUNT(DISTINCT c.a) AS ca,
+                   COUNT(DISTINCT c.b) AS cbn,
+                   SUM((c.n - ra.ra * cb.cb / t.nn)
+                       * (c.n - ra.ra * cb.cb / t.nn)
+                       / (ra.ra * cb.cb / t.nn))
+                   + (MAX(t.nn) - SUM(ra.ra * cb.cb / t.nn)) AS chi2
+            FROM p3_cells c
+            JOIN (SELECT a, SUM(n) AS ra FROM p3_cells GROUP BY 1) ra
+              USING (a)
+            JOIN (SELECT b, SUM(n) AS cb FROM p3_cells GROUP BY 1) cb
+              USING (b)
+            CROSS JOIN (SELECT SUM(n) AS nn FROM p3_cells) t
+          )
+        )
+        SELECT * FROM p1 UNION ALL
+        SELECT * FROM p2 UNION ALL
+        SELECT * FROM p3"""
+
+    # q237: all-pairs cosine, the engine's quantize-then-rank selection:
+    # hardest positive = MIN rounded cosine among same-label (id
+    # tie-break), hardest negative = MAX among other-label
+    sql["q237_triplet_mining"] = """
+        WITH scored AS (
+          SELECT a.vec_id AS qid, CAST(a.label AS BIGINT) AS qlab,
+                 b.vec_id AS cid, CAST(b.label AS BIGINT) AS clab,
+                 ROUND(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS c
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id <> b.vec_id
+        ), pos AS (
+          SELECT qid, cid, c FROM (
+            SELECT qid, cid, c,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY c ASC, cid) AS rn
+            FROM scored WHERE clab = qlab) WHERE rn = 1
+        ), neg AS (
+          SELECT qid, cid, c FROM (
+            SELECT qid, cid, c,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY c DESC, cid) AS rn
+            FROM scored WHERE clab <> qlab) WHERE rn = 1
+        )
+        SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+               p.cid AS pos_id, p.c AS pos_sim,
+               n.cid AS neg_id, n.c AS neg_sim
+        FROM embeddings e
+        LEFT JOIN pos p ON p.qid = e.vec_id
+        LEFT JOIN neg n ON n.qid = e.vec_id"""
+
+    # q238: unrolled min-plus closure with a (count, sum) fixpoint
+    # certificate (monotone: equal count AND equal sum => no change)
+    sql["q238_eccentricity"] = f"""
+        WITH {HUB_SYM_CTE}""" + """, d0 AS MATERIALIZED (
+          SELECT i, j, CAST(1 AS BIGINT) AS v FROM sym
+        ), d1 AS MATERIALIZED (
+          SELECT i, j, MIN(v) AS v FROM (
+            SELECT i, j, v FROM d0
+            UNION ALL
+            SELECT d.i, e.j AS j, d.v + 1 AS v
+            FROM d0 d JOIN sym e ON e.i = d.j
+          ) GROUP BY 1, 2
+        ), d2 AS MATERIALIZED (
+          SELECT i, j, MIN(v) AS v FROM (
+            SELECT i, j, v FROM d1
+            UNION ALL
+            SELECT d.i, e.j AS j, d.v + 1 AS v
+            FROM d1 d JOIN sym e ON e.i = d.j
+          ) GROUP BY 1, 2
+        ), d3 AS MATERIALIZED (
+          SELECT i, j, MIN(v) AS v FROM (
+            SELECT i, j, v FROM d2
+            UNION ALL
+            SELECT d.i, e.j AS j, d.v + 1 AS v
+            FROM d2 d JOIN sym e ON e.i = d.j
+          ) GROUP BY 1, 2
+        ), d4 AS MATERIALIZED (
+          SELECT i, j, MIN(v) AS v FROM (
+            SELECT i, j, v FROM d3
+            UNION ALL
+            SELECT d.i, e.j AS j, d.v + 1 AS v
+            FROM d3 d JOIN sym e ON e.i = d.j
+          ) GROUP BY 1, 2
+        ), d5 AS MATERIALIZED (
+          SELECT i, j, MIN(v) AS v FROM (
+            SELECT i, j, v FROM d4
+            UNION ALL
+            SELECT d.i, e.j AS j, d.v + 1 AS v
+            FROM d4 d JOIN sym e ON e.i = d.j
+          ) GROUP BY 1, 2
+        ), d6 AS MATERIALIZED (
+          SELECT i, j, MIN(v) AS v FROM (
+            SELECT i, j, v FROM d5
+            UNION ALL
+            SELECT d.i, e.j AS j, d.v + 1 AS v
+            FROM d5 d JOIN sym e ON e.i = d.j
+          ) GROUP BY 1, 2
+        ), d7 AS MATERIALIZED (
+          SELECT i, j, MIN(v) AS v FROM (
+            SELECT i, j, v FROM d6
+            UNION ALL
+            SELECT d.i, e.j AS j, d.v + 1 AS v
+            FROM d6 d JOIN sym e ON e.i = d.j
+          ) GROUP BY 1, 2
+        ), ecc_chk AS (
+          SELECT CASE WHEN (SELECT COUNT(*) FROM d6)
+                        <> (SELECT COUNT(*) FROM d7)
+                     OR (SELECT SUM(v) FROM d6)
+                        <> (SELECT SUM(v) FROM d7)
+                 THEN error('q238 oracle: min-plus closure not at '
+                            'fixpoint at depth 6')
+                 END AS ok)
+        SELECT i, CAST(MAX(v) AS BIGINT) AS ecc,
+               CAST(COUNT(*) AS BIGINT) AS n_reachable
+        FROM d6 CROSS JOIN ecc_chk
+        WHERE i <> j GROUP BY 1"""
+
 
     return sql
