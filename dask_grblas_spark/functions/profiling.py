@@ -1384,29 +1384,29 @@ def benjamini_hochberg(df: DataFrame, key_col: str, p_col: str,
     metric-sweep / A-B-battery readout needs before acting on its
     smallest p-value.
 
-    Plan: one row_number window over the BOUNDED hypothesis relation
-    (one row per test, never raw data), a one-row max-k aggregate
-    broadcast back. All comparisons are on exact inputs: crit =
-    rank * alpha / m is the same double in any engine (integer rank,
-    literal alpha). Output: (key, p, rank, crit rounded 9, reject)."""
-    from pyspark.sql.window import Window
-
-    m_val = df.count()
+    Plan: the rank comes from ``_exact_rank`` (range-partitioned on
+    the full (p, key) sort key — NO single-task global window, so a
+    genome-scale m of millions of hypotheses still balances), then a
+    one-row max-k aggregate broadcast back. All comparisons are on
+    exact inputs: crit = rank * alpha / m is the same double in any
+    engine (integer rank, literal alpha).
+    Output: (key, p, rank, crit rounded 9, reject)."""
+    # _pv, not _p: _exact_rank uses _p internally for its partition id
+    base = df.select(F.col(key_col).cast("string").alias("key"),
+                     F.col(p_col).cast("double").alias("_pv"))
+    ranked, m_val = _exact_rank(base, [F.col("_pv"), F.col("key")],
+                                "rank")
     if m_val == 0:
         return df.sparkSession.createDataFrame(
-            [], f"key string, p double, rank long, crit double, "
-                f"reject boolean")
-    w = Window.orderBy(F.col("_p"), F.col("key"))
-    ranked = (df.select(F.col(key_col).cast("string").alias("key"),
-                        F.col(p_col).cast("double").alias("_p"))
-                .withColumn("rank", F.row_number().over(w).cast("bigint"))
-                .withColumn("crit", F.col("rank") * F.lit(alpha)
-                            / F.lit(float(m_val))))
-    kmax = (ranked.where(F.col("_p") <= F.col("crit"))
+            [], "key string, p double, rank long, crit double, "
+                "reject boolean")
+    ranked = ranked.withColumn("crit", F.col("rank") * F.lit(alpha)
+                               / F.lit(float(m_val)))
+    kmax = (ranked.where(F.col("_pv") <= F.col("crit"))
                   .agg(F.coalesce(F.max("rank"), F.lit(0))
                         .alias("_k")))
     return (ranked.crossJoin(F.broadcast(kmax))
-                  .select("key", F.col("_p").alias("p"), "rank",
+                  .select("key", F.col("_pv").alias("p"), "rank",
                           F.round("crit", 9).alias("crit"),
                           (F.col("rank") <= F.col("_k")).alias("reject")))
 

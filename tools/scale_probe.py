@@ -1417,6 +1417,90 @@ def main() -> int:
           lambda: feature_cross(ev, ["event_type", "user_id"])
                   .groupBy("cross_bucket").count())
 
+    # ---- round-9 ops ---------------------------------------------
+    # triplet mining: 20k x 64-dim, 10 labels -> 5x5 GEMM tiles, one
+    # partial per anchor per tile (the cosine_topk scale shape)
+    NTR = 20_000 if not QUICK else 2_000
+    tri_vecs = spark.range(NTR).select(
+        F.col("id").alias("vec_id"),
+        F.pmod(F.xxhash64("id", F.lit(115)), F.lit(10)).alias("label"),
+        F.transform(F.sequence(F.lit(1), F.lit(64)),
+                    lambda d: (F.pmod(F.xxhash64("id", d, F.lit(117)),
+                                      F.lit(2001)) - 1000)
+                    .cast("double") / 1000.0).alias("embedding"))
+    from dask_grblas_spark.functions.similarity import triplet_mining
+    probe("triplet_mining", NTR, lambda: triplet_mining(tri_vecs))
+
+    # ACF over 10M events spanning 30 days: the rollup dominates;
+    # everything after runs on the bounded daily relation
+    from dask_grblas_spark.functions.timeseries import autocorrelation
+    probe("autocorrelation", NEV, lambda: autocorrelation(ev, max_lag=7))
+
+    # BH over 10M HYPOTHESES: the genome-scale shape — the rank is
+    # range-partitioned (_exact_rank), never a single-task window;
+    # output asserted monotone (every reject rank <= every non-reject)
+    from dask_grblas_spark.functions.profiling import benjamini_hochberg
+    hyp10 = spark.range(NEV).select(
+        F.col("id").cast("string").alias("hyp"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(1000000))
+         / 1000000.0).alias("p"))
+
+    def _bh10():
+        out = benjamini_hochberg(hyp10, "hyp", "p", alpha=0.05)
+        agg = out.agg(
+            F.max(F.when(F.col("reject"), F.col("rank"))).alias("rmax"),
+            F.min(F.when(~F.col("reject"), F.col("rank"))).alias("amin"),
+            F.count("*").alias("n")).collect()[0]
+        assert agg["n"] == NEV
+        assert (agg["rmax"] is None or agg["amin"] is None
+                or agg["rmax"] < agg["amin"])
+        return spark.createDataFrame([(agg["n"],)], "n long")
+
+    probe("benjamini_hochberg_10m", NEV, _bh10)
+
+    # Cramér's V over 10M rows x 3 columns: 3 chi2 aggregates on
+    # bounded contingency relations
+    from dask_grblas_spark.functions.profiling import cramers_v
+    cv_df = spark.range(NEV).select(
+        F.pmod(F.xxhash64("id", F.lit(21)), F.lit(5)).cast("string")
+         .alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(22)), F.lit(7)).cast("string")
+         .alias("b"),
+        F.pmod(F.xxhash64("id", F.lit(23)), F.lit(3)).cast("string")
+         .alias("c"))
+    probe("cramers_v_10m", NEV,
+          lambda: cramers_v(cv_df, ["a", "b", "c"]))
+
+    # eccentricity: documented BOUNDED-graph diagnostic — probe on a
+    # 500-node small-world graph (ring + one RANDOM chord per node ->
+    # diameter O(log n); fixed-offset chords leave quarter-ring
+    # distances ~n/4) to pin the per-iteration closure cost, not to
+    # claim 100TB APSP (the loop pays mxm + merge + isequal jobs PER
+    # round, so wall time scales with diameter, not rows)
+    NEC = 500 if not QUICK else 100
+    ring = spark.range(NEC).select(
+        F.col("id").alias("i"),
+        F.pmod(F.col("id") + 1, F.lit(NEC)).alias("j"),
+        F.lit(1).alias("v"))
+    chords = (spark.range(NEC).select(
+        F.col("id").alias("i"),
+        F.pmod(F.xxhash64("id", F.lit(31)), F.lit(NEC)).alias("j"),
+        F.lit(1).alias("v"))
+        .where(F.col("i") != F.col("j")))
+    ecc_edges = ring.unionByName(chords)
+    ecc_A = gb.Matrix.from_dataframe(
+        ecc_edges.unionByName(ecc_edges.select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "v")),
+        NEC, NEC, dtype="INT64")
+
+    def _ecc():
+        out = alg.eccentricity(ecc_A, max_iters=64)
+        n = out.count()
+        assert n == NEC
+        return spark.createDataFrame([(n,)], "n long")
+
+    probe("eccentricity_ring500", NEC, _ecc)
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
