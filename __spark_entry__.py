@@ -2171,6 +2171,118 @@ def q238_eccentricity(spark, sf_dir):
         .select("i", "ecc", "n_reachable")
 
 
+def q239_harmonic(spark, sf_dir):
+    """Harmonic centrality of the hub-planted nation graph
+    (algorithms.harmonic_centrality): sum of reciprocal hop distances
+    from the SAME min-plus closure as q238 — the disconnected-safe
+    closeness ranking. Oracle = the q238 unrolled closure with the
+    harmonic reduce (shares the fixpoint certificate)."""
+    return alg.harmonic_centrality(
+        alg.symmetrize(_hub_nation_matrix(spark, sf_dir))) \
+        .select("i", "harmonic", "n_reachable")
+
+
+def q240_reconcile(spark, sf_dir):
+    """Dataset reconciliation report (profiling.reconcile): the
+    old-vs-new pipeline sign-off — FULL OUTER join on the key, one
+    aggregate counting only-left / only-right / match / diff plus
+    per-column null-safe mismatch counts. Both sides derive from
+    orders with deterministic perturbations (drop key%97==3 on the
+    left, key%97==5 on the right, flip status where key%31==0)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    from dask_grblas_spark.functions.profiling import reconcile
+
+    left = o.where(F.col("o_orderkey") % 97 != 3)
+    right = (o.where(F.col("o_orderkey") % 97 != 5)
+              .withColumn("o_orderstatus",
+                          F.when(F.col("o_orderkey") % 31 == 0,
+                                 F.lit("X"))
+                           .otherwise(F.col("o_orderstatus"))))
+    return reconcile(left, right, ["o_orderkey"],
+                     ["o_orderstatus", "o_totalprice"]) \
+        .select("kind", "item", "n")
+
+
+def q241_pareto(spark, sf_dir):
+    """2-D Pareto frontier of parts minimizing (retailprice, size)
+    (reshape.pareto_frontier): the skyline screen, computed by the
+    range-partitioned prefix-min sweep (no single-task global window);
+    the oracle is the quadratic NOT EXISTS dominance definition."""
+    from dask_grblas_spark.functions.reshape import pareto_frontier
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return pareto_frontier(p, "p_retailprice", "p_size") \
+        .select("x", "y", "n")
+
+
+def q242_woe(spark, sf_dir):
+    """Weight of Evidence / Information Value of order priority
+    against the finished-order target (profiling.woe_iv): one grouped
+    count + a broadcast total, Laplace-smoothed — the classic
+    feature-screening statistic."""
+    from dask_grblas_spark.functions.profiling import woe_iv
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return woe_iv(o, "o_orderpriority",
+                  F.col("o_orderstatus") == "F") \
+        .select("category", "n", "n_pos", "n_neg", "woe", "iv_term")
+
+
+def q243_dirichlet_ql(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval
+    (retrieval.dirichlet_ql_topk) over the q61 query set: the
+    language-model ranking sibling of BM25, decomposed so absent
+    terms never densify (per-doc closed form + sparse postings
+    adjustment); round-before-rank score, doc_id tie-break."""
+    return retrieval.dirichlet_ql_topk(_doc(spark, sf_dir),
+                                       _BM25_QUERIES, k=5,
+                                       mu=2000.0) \
+        .select("query_id", "doc_id", "score", "rank")
+
+
+def q244_twap(spark, sf_dir):
+    """Per-user time-weighted average of the event value stream
+    (timeseries.twap): each observation holds until the next one,
+    weights are exact integer microseconds (the q113 discipline), the
+    last observation carries no weight — the irregular-sampling mean
+    a plain AVG gets wrong."""
+    from dask_grblas_spark.functions.timeseries import twap
+    from dask_grblas_spark.streaming import load_events
+
+    return twap(load_events(spark, sf_dir)) \
+        .select("key", "n_obs", "span_us", "twap")
+
+
+def q245_knn_noise(spark, sf_dir):
+    """Label-noise screen by k-NN disagreement over the embeddings
+    (similarity.knn_label_disagreement): fraction of each vector's 5
+    cosine-nearest neighbors wearing a different label — blocked-GEMM
+    tiles with quantized round-before-rank so the top-k set is
+    engine-invariant."""
+    return similarity.knn_label_disagreement(_emb(spark, sf_dir), k=5) \
+        .select("vec_id", "label", "n_neighbors", "n_diff", "score",
+                "suspect")
+
+
+def q246_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS through the SQL front door (the q219
+    surface): per-returnflag and per-linestatus subtotals WITHOUT the
+    full cube cross — one Expand-based aggregate; gid disambiguates
+    rolled-up NULLs; the measure is the DECIMAL-exact money sum."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.createOrReplaceTempView("q246_lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                 AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2)))
+                    AS DOUBLE) AS total
+        FROM q246_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -3474,6 +3586,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q236_cramers_v": q236_cramers_v,
         "q237_triplet_mining": q237_triplet_mining,
         "q238_eccentricity": q238_eccentricity,
+        "q239_harmonic": q239_harmonic,
+        "q240_reconcile": q240_reconcile,
+        "q241_pareto": q241_pareto,
+        "q242_woe": q242_woe,
+        "q243_dirichlet_ql": q243_dirichlet_ql,
+        "q244_twap": q244_twap,
+        "q245_knn_noise": q245_knn_noise,
+        "q246_grouping_sets": q246_grouping_sets,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -3627,10 +3747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_op_grid": q56_op_grid,
         "q55_isclose": q55_isclose,
     }
-    window = [f"q2{i:02d}" for i in range(1, 39)]  # q201..q238: never
+    window = [f"q2{i:02d}" for i in range(1, 47)]  # q201..q246: never
     window += ["q162", "q174",                     # r8 reds, re-record
-               "q85", "q86", "q87", "q88", "q89",
-               "q90", "q91", "q92", "q93", "q94"]  # oldest driver rows
+               "q85", "q86"]                       # oldest driver rows
     bypfx = {k.split("_")[0]: k for k in base}
     head = {bypfx[p]: base[bypfx[p]] for p in window}
     assert len(head) == 50
@@ -9244,5 +9363,205 @@ def oracle_sql() -> dict[str, str]:
         FROM d6 CROSS JOIN ecc_chk
         WHERE i <> j GROUP BY 1"""
 
+
+    # q239: the q238 closure with the harmonic reduce (string surgery
+    # keeps the unrolled rounds + fixpoint certificate in sync)
+    sql["q239_harmonic"] = sql["q238_eccentricity"].replace(
+        "CAST(MAX(v) AS BIGINT) AS ecc",
+        "ROUND(SUM(1.0 / v), 6) AS harmonic")
+
+    # q240: the same deterministic perturbations, FULL OUTER + one
+    # aggregate exploded long-form (kind, item, n)
+    sql["q240_reconcile"] = """
+        WITH l AS (
+          SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS v
+          FROM orders WHERE o_orderkey % 97 <> 3
+        ), r AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 31 = 0 THEN 'X'
+                      ELSE o_orderstatus END AS s,
+                 o_totalprice AS v
+          FROM orders WHERE o_orderkey % 97 <> 5
+        ), j AS (
+          SELECT l.k AS lk, r.k AS rk,
+                 l.s AS ls, r.s AS rs, l.v AS lv, r.v AS rv
+          FROM l FULL OUTER JOIN r ON l.k = r.k
+        ), agg AS (
+          SELECT
+            CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS only_left,
+            CAST(SUM(CASE WHEN rk IS NOT NULL AND lk IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS only_right,
+            CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                          AND ls IS NOT DISTINCT FROM rs
+                          AND lv IS NOT DISTINCT FROM rv
+                     THEN 1 ELSE 0 END) AS BIGINT) AS match,
+            CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                          AND (ls IS DISTINCT FROM rs
+                               OR lv IS DISTINCT FROM rv)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS diff,
+            CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                          AND ls IS DISTINCT FROM rs
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d_s,
+            CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL
+                          AND lv IS DISTINCT FROM rv
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d_v
+          FROM j
+        )
+        SELECT 'status' AS kind, 'only_left' AS item, only_left AS n
+          FROM agg
+        UNION ALL SELECT 'status', 'only_right', only_right FROM agg
+        UNION ALL SELECT 'status', 'match', match FROM agg
+        UNION ALL SELECT 'status', 'diff', diff FROM agg
+        UNION ALL SELECT 'col_diff', 'o_orderstatus', d_s FROM agg
+        UNION ALL SELECT 'col_diff', 'o_totalprice', d_v FROM agg"""
+
+    # q241: quadratic dominance definition over the deduped points
+    sql["q241_pareto"] = """
+        WITH pts AS (
+          SELECT CAST(p_retailprice AS DOUBLE) AS x,
+                 CAST(p_size AS DOUBLE) AS y,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM part GROUP BY 1, 2
+        )
+        SELECT x, y, n FROM pts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts q
+          WHERE q.x <= p.x AND q.y <= p.y
+            AND (q.x < p.x OR q.y < p.y))"""
+
+    # q242: smoothed WOE; iv_term rounds the share * UNROUNDED woe
+    # product (matching the engine)
+    sql["q242_woe"] = """
+        WITH cells AS (
+          SELECT CAST(o_orderpriority AS VARCHAR) AS category,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_pos
+          FROM orders GROUP BY 1
+        ), c2 AS (SELECT category, n, n_pos, n - n_pos AS n_neg
+                  FROM cells),
+        tot AS (SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn,
+                       COUNT(*) AS k FROM c2)
+        SELECT category, n, n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+               ROUND(LN(((n_pos + 0.5) / (tp + 0.5 * k))
+                        / ((n_neg + 0.5) / (tn + 0.5 * k))), 6) AS woe,
+               ROUND((n_pos / CAST(tp AS DOUBLE)
+                      - n_neg / CAST(tn AS DOUBLE))
+                     * LN(((n_pos + 0.5) / (tp + 0.5 * k))
+                          / ((n_neg + 0.5) / (tn + 0.5 * k))), 6)
+                 AS iv_term
+        FROM c2 CROSS JOIN tot"""
+
+    # q243: the decomposed Dirichlet QL — per-query constant + per-doc
+    # length term + sparse positive adjustments; OOV terms drop
+    sql["q243_dirichlet_ql"] = rf"""
+        WITH docs AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS toks
+          FROM documents
+        ), dls AS (SELECT doc_id, len(toks) AS dl, toks FROM docs),
+        tot AS (SELECT CAST(SUM(dl) AS DOUBLE) AS tt FROM dls),
+        qraw(query_id, qtext) AS (VALUES {{qvals}}),
+        qterms AS (
+          SELECT DISTINCT query_id,
+                 unnest(list_filter(
+                   regexp_split_to_array(trim(qtext), '\s+'),
+                   t -> length(t) > 0)) AS term
+          FROM qraw
+        ), terms AS (SELECT DISTINCT term FROM qterms),
+        cf AS (
+          SELECT e.term, CAST(COUNT(*) AS DOUBLE) AS cf
+          FROM (SELECT unnest(toks) AS term FROM dls) e
+          JOIN terms t ON e.term = t.term
+          GROUP BY 1
+        ), qv AS (
+          SELECT q.query_id, q.term, c.cf, tot.tt
+          FROM qterms q JOIN cf c USING (term) CROSS JOIN tot
+        ), qconst AS (
+          SELECT query_id, SUM(LN(2000.0 * cf / tt)) AS qc,
+                 COUNT(*) AS nq
+          FROM qv GROUP BY 1
+        ), posting AS (
+          SELECT e.term, e.doc_id, CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM dls) e
+          JOIN terms t ON e.term = t.term
+          GROUP BY 1, 2
+        ), adj AS (
+          SELECT v.query_id, p.doc_id,
+                 SUM(LN(1.0 + p.tf * v.tt / (2000.0 * v.cf))) AS adj
+          FROM posting p JOIN qv v USING (term)
+          GROUP BY 1, 2
+        ), scored AS (
+          SELECT qc.query_id, d.doc_id,
+                 ROUND(qc.qc - qc.nq * LN(d.dl + 2000.0)
+                       + COALESCE(a.adj, 0.0), 6) AS score
+          FROM dls d CROSS JOIN qconst qc
+          LEFT JOIN adj a ON a.query_id = qc.query_id
+                         AND a.doc_id = d.doc_id
+        )
+        SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+        FROM (SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS rank
+              FROM scored)
+        WHERE rank <= 5""".format(qvals=", ".join(
+        f"({{qid}}, '{{qtext}}')".format(qid=qid, qtext=qtext)
+        for qid, qtext in _BM25_QUERIES))
+
+    # q244: exact-microsecond hold durations (epoch_us == unix_micros),
+    # last observation weightless, NULL twap on zero span
+    sql["q244_twap"] = """
+        WITH seg AS (
+          SELECT user_id AS key, CAST(value AS DOUBLE) AS v,
+                 LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                 - epoch_us(ts) AS dur
+          FROM events
+        )
+        SELECT key, CAST(COUNT(*) AS BIGINT) AS n_obs,
+               CAST(COALESCE(SUM(dur), 0) AS BIGINT) AS span_us,
+               CASE WHEN SUM(dur) > 0
+                    THEN ROUND(SUM(v * dur) / SUM(dur), 6) END AS twap
+        FROM seg GROUP BY 1"""
+
+    # q245: q35-style quantized top-5, label join, disagreement agg
+    sql["q245_knn_noise"] = """
+        WITH scored AS (
+          SELECT a.vec_id AS qid, CAST(a.label AS BIGINT) AS qlab,
+                 b.vec_id AS cid, CAST(b.label AS BIGINT) AS clab,
+                 ROUND(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS c
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ), top5 AS (
+          SELECT qid, qlab, clab FROM (
+            SELECT qid, qlab, clab,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY c DESC, cid) AS rn
+            FROM scored) WHERE rn <= 5
+        )
+        SELECT qid AS vec_id, qlab AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+               CAST(SUM(CASE WHEN clab <> qlab THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_diff,
+               ROUND(SUM(CASE WHEN clab <> qlab THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS score,
+               SUM(CASE WHEN clab <> qlab THEN 1 ELSE 0 END) * 2
+                 >= COUNT(*) AS suspect
+        FROM top5 GROUP BY 1, 2"""
+
+    # q246: GROUPING SETS with the GROUPING() bitmask (bit order
+    # matches Spark's grouping_id — first dim = MSB) + DECIMAL sum
+    sql["q246_grouping_sets"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                 AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2)))
+                    AS DOUBLE) AS total
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
 
     return sql

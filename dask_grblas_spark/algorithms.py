@@ -42,7 +42,7 @@ __all__ = ["bfs_level", "sssp", "connected_components", "pagerank",
            "label_propagation", "neighborhood_jaccard",
            "personalized_pagerank", "degree_assortativity",
            "reciprocity", "katz_centrality", "k_truss",
-           "capped_hub_count", "eccentricity"]
+           "capped_hub_count", "eccentricity", "harmonic_centrality"]
 
 # Lineage growth between checkpoints is GEOMETRIC for min-merge loops:
 # each iteration's state plan nests the previous state ~3x (improved
@@ -690,9 +690,23 @@ def eccentricity(A: GrMatrix, max_iters: int = 32) -> DataFrame:
     mxm/ewise_add) but no algorithm layer; this composes them the way
     its GraphBLAS upstream intends.
     """
+    D = _minplus_closure(A, max_iters, "eccentricity")
+    return (D.df.where(F.col("i") != F.col("j"))
+              .groupBy("i")
+              .agg(F.max("v").cast("bigint").alias("ecc"),
+                   F.count("*").cast("bigint").alias("n_reachable")))
+
+
+def _minplus_closure(A: GrMatrix, max_iters: int,
+                     caller: str) -> GrMatrix:
+    """Hop-count ALL-PAIRS shortest-path closure over the core
+    semiring surface: D_{k+1} = D_k ewise_add(min) (D_k min.+ W) with
+    W the weight-1 pattern of A, iterated to the ``isequal`` fixpoint
+    with per-round checkpoints. Raises on non-convergence (weight-1
+    edges cannot cycle negatively, so that only means max_iters is
+    below the graph diameter)."""
     from .operators import binary as _binary
 
-    # weight-1 adjacency regardless of stored values
     ones = A.df.select("i", "j", F.lit(1).cast("bigint").alias("v"))
     W = GrMatrix.from_dataframe(ones, nrows=A.nrows, ncols=A.ncols,
                                 dtype="INT64")
@@ -703,16 +717,25 @@ def eccentricity(A: GrMatrix, max_iters: int = 32) -> DataFrame:
         if (it + 1) % _CHECKPOINT_EVERY == 0:
             merged._set_df(merged.df.localCheckpoint())
         if bool(merged.isequal(D).value):
-            D = merged
-            break
+            return merged
         D = merged
-    else:
-        raise RuntimeError(
-            f"eccentricity: min-plus closure not converged within "
-            f"{max_iters} iterations — raise max_iters")
+    raise RuntimeError(
+        f"{caller}: min-plus closure not converged within "
+        f"{max_iters} iterations — raise max_iters")
+
+
+def harmonic_centrality(A: GrMatrix, max_iters: int = 32) -> DataFrame:
+    """Harmonic centrality H(i) = sum over reachable j != i of
+    1 / d(i, j) — the disconnected-graph-safe closeness variant
+    (unreachable pairs contribute 0 instead of poisoning an average),
+    from the same min-plus closure as ``eccentricity`` (bounded-graph
+    / landmark diagnostic by design; see eccentricity's scale note).
+    Output: (i, harmonic rounded 6, n_reachable)."""
+    D = _minplus_closure(A, max_iters, "harmonic_centrality")
     return (D.df.where(F.col("i") != F.col("j"))
               .groupBy("i")
-              .agg(F.max("v").cast("bigint").alias("ecc"),
+              .agg(F.round(F.sum(F.lit(1.0) / F.col("v")), 6)
+                    .alias("harmonic"),
                    F.count("*").cast("bigint").alias("n_reachable")))
 
 

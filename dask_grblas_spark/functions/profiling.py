@@ -29,7 +29,8 @@ __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "key_skew", "winsorize", "column_entropy", "robust_scale",
            "psi", "ks_test", "mutual_information", "anova",
            "target_encode", "histogram_2d", "expectations",
-           "feature_cross", "cramers_v", "benjamini_hochberg"]
+           "feature_cross", "cramers_v", "benjamini_hochberg",
+           "reconcile", "woe_iv"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -1339,6 +1340,95 @@ def ks_test(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(n_a), int(n_b), float(d))],
         "n_a long, n_b long, d_stat double")
+
+
+def reconcile(left: DataFrame, right: DataFrame, keys: list[str],
+              compare_cols: list[str]) -> DataFrame:
+    """Dataset reconciliation report — the migration/backfill
+    sign-off check ("did the new pipeline produce the same table?"):
+    FULL OUTER join on ``keys``, then one aggregate counting rows
+    only-left / only-right / matched / differing, plus a per-column
+    null-safe mismatch count over the both-sides rows.
+
+    Plan: ONE full-outer shuffle join on the key columns and ONE
+    aggregate — per-column counts ride as conditional sums, never
+    per-column jobs. Comparison is null-safe (NULL == NULL matches;
+    NULL vs value differs). Output long-form:
+    (kind, item, n) with kind in ('status', 'col_diff')."""
+    lk = [F.col(f"l.{k}") for k in keys]
+    rk = [F.col(f"r.{k}") for k in keys]
+    cond = None
+    for a, b in zip(lk, rk):
+        c = a.eqNullSafe(b) & a.isNotNull()
+        cond = c if cond is None else (cond & c)
+    j = left.alias("l").join(right.alias("r"), cond, "full_outer")
+    on_left = F.col(f"l.{keys[0]}").isNotNull()
+    on_right = F.col(f"r.{keys[0]}").isNotNull()
+    col_diff = [
+        F.sum(F.when(on_left & on_right
+                     & ~F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")),
+                     1).otherwise(0)).cast("bigint").alias(f"_d_{c}")
+        for c in compare_cols]
+    all_match = None
+    for c in compare_cols:
+        m = F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+        all_match = m if all_match is None else (all_match & m)
+    one = j.agg(
+        F.sum(F.when(on_left & ~on_right, 1).otherwise(0))
+         .cast("bigint").alias("_only_left"),
+        F.sum(F.when(on_right & ~on_left, 1).otherwise(0))
+         .cast("bigint").alias("_only_right"),
+        F.sum(F.when(on_left & on_right & all_match, 1).otherwise(0))
+         .cast("bigint").alias("_match"),
+        F.sum(F.when(on_left & on_right & ~all_match, 1).otherwise(0))
+         .cast("bigint").alias("_diff"),
+        *col_diff)
+    rows = [("status", "only_left", "_only_left"),
+            ("status", "only_right", "_only_right"),
+            ("status", "match", "_match"),
+            ("status", "diff", "_diff")] + [
+            ("col_diff", c, f"_d_{c}") for c in compare_cols]
+    return one.select(F.explode(F.array(*[
+        F.struct(F.lit(kind).alias("kind"), F.lit(item).alias("item"),
+                 F.col(src_col).alias("n"))
+        for kind, item, src_col in rows])).alias("_r")) \
+        .select("_r.kind", "_r.item", "_r.n")
+
+
+def woe_iv(df: DataFrame, cat_col: str, target_col,
+           alpha: float = 0.5) -> DataFrame:
+    """Weight of Evidence / Information Value per category of a
+    categorical feature against a binary target — the classic
+    credit-scoring / feature-screening statistic:
+
+        WOE_c = ln( (pos_c + a) / (pos + a*k) /
+                    ((neg_c + a) / (neg + a*k)) )
+        IV_c  = (pos_c/pos - neg_c/neg) * WOE_c
+
+    with Laplace smoothing ``alpha`` so empty cells stay finite (the
+    unsmoothed IV shares stay raw — standard practice). ONE grouped
+    count per category plus a broadcast 1-row total. ``target_col``
+    is a Column expression or name evaluating to boolean/0-1.
+    Output: (category, n, n_pos, n_neg, woe, iv_term), rounded 6."""
+    t = F.col(target_col) if isinstance(target_col, str) else target_col
+    cells = (df.groupBy(F.col(cat_col).cast("string").alias("category"))
+               .agg(F.count("*").cast("bigint").alias("n"),
+                    F.sum(F.when(t.cast("boolean"), 1).otherwise(0))
+                     .cast("bigint").alias("n_pos")))
+    cells = cells.withColumn("n_neg", F.col("n") - F.col("n_pos"))
+    tot = cells.agg(F.sum("n_pos").alias("_tp"),
+                    F.sum("n_neg").alias("_tn"),
+                    F.count("*").alias("_k"))
+    jt = cells.crossJoin(F.broadcast(tot))
+    a = F.lit(float(alpha))
+    pr = (F.col("n_pos") + a) / (F.col("_tp") + a * F.col("_k"))
+    nr = (F.col("n_neg") + a) / (F.col("_tn") + a * F.col("_k"))
+    woe = F.log(pr / nr)
+    share = (F.col("n_pos") / F.col("_tp")
+             - F.col("n_neg") / F.col("_tn"))
+    return jt.select("category", "n", "n_pos", "n_neg",
+                     F.round(woe, 6).alias("woe"),
+                     F.round(share * woe, 6).alias("iv_term"))
 
 
 def cramers_v(df: DataFrame, cols: list[str]) -> DataFrame:

@@ -17,7 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pivot_table", "melt", "cube_agg"]
+__all__ = ["pivot_table", "melt", "cube_agg", "dictionary_encode",
+           "pareto_frontier"]
 
 
 def cube_agg(df: DataFrame, dims: list[str], val_col: str,
@@ -107,3 +108,61 @@ def dictionary_encode(df, col: str):
     ranked, _ = _exact_rank(vals, [F.col("value")], "_r")
     return ranked.select("value",
                          (F.col("_r") - 1).cast("bigint").alias("id"))
+
+
+def pareto_frontier(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D Pareto frontier (MINIMIZE both dimensions): the
+    non-dominated (x, y) points — p is dominated when some q has
+    q.x <= p.x AND q.y <= p.y with at least one strict. The classic
+    price/size, latency/cost skyline screen; to maximize a dimension,
+    negate it on the way in.
+
+    Plan — the sweep WITHOUT a single-task global window: exact
+    duplicates collapse to (x, y, n) first (duplicates of a frontier
+    point are mutually non-dominated, so they share the
+    representative's fate); the prefix-min of y in (x, y) order then
+    follows the range-partitioned discipline of the _exact_rank
+    family: repartitionByRange on the full sort key, partition id
+    pinned via localCheckpoint, per-partition min(y) to the driver
+    (numPartitions rows), per-partition window runmin combined with
+    the driver prefix — every partition works a contiguous slice of
+    the order. Post-dedup, p survives iff no PRECEDING point in
+    (x asc, y asc) order has y <= p.y (same-x precedents have
+    strictly smaller y; smaller-x precedents with y <= p.y dominate).
+    Output: (x, y, n) — the frontier, n = source multiplicity."""
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    pts = (df.select(F.col(x_col).cast("double").alias("x"),
+                     F.col(y_col).cast("double").alias("y"))
+             .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+             .groupBy("x", "y")
+             .agg(F.count("*").cast("bigint").alias("n")))
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        nparts = int(raw)
+    except (TypeError, ValueError):
+        nparts = spark.sparkContext.defaultParallelism
+    tagged = (pts.repartitionByRange(nparts, F.col("x"), F.col("y"))
+                 .withColumn("_p", F.spark_partition_id())
+                 .localCheckpoint())
+    pmins = dict(tagged.groupBy("_p").agg(F.min("y").alias("m"))
+                       .collect())
+    # prefix-min of the PRECEDING partitions, per partition id
+    prefix, cur = {}, None
+    for p in sorted(pmins):
+        prefix[p] = cur
+        cur = pmins[p] if cur is None else min(cur, pmins[p])
+    if not prefix:
+        return pts
+    pre = F.create_map(*[x for p, m in prefix.items()
+                         for x in (F.lit(p), F.lit(m))])
+    w = (W.partitionBy("_p").orderBy("x", "y")
+          .rowsBetween(W.unboundedPreceding, -1))
+    local_min = F.min("y").over(w)
+    best_before = F.least(F.coalesce(local_min, F.lit(float("inf"))),
+                          F.coalesce(pre[F.col("_p")],
+                                     F.lit(float("inf"))))
+    return (tagged.withColumn("_b", best_before)
+                  .where(F.col("y") < F.col("_b"))
+                  .select("x", "y", "n"))

@@ -76,6 +76,84 @@ def bm25_topk(df: DataFrame, queries: list[tuple[int, str]],
                         F.col("rank").cast("int").alias("rank")))
 
 
+def dirichlet_ql_topk(df: DataFrame, queries: list[tuple[int, str]],
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 5, mu: float = 2000.0) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing — the
+    language-model ranking sibling of ``bm25_topk``:
+
+        score(q, d) = sum over q's DISTINCT terms of
+                      ln( (tf_{t,d} + mu * p_c(t)) / (dl_d + mu) )
+
+    with p_c(t) = corpus term frequency / corpus token count. The sum
+    DECOMPOSES so absent terms never densify (the q149 naive-Bayes
+    closed form): score = sum_t ln(mu * p_c(t)) - n_q * ln(dl + mu)
+    + sum over tf>0 of ln(1 + tf / (mu * p_c(t))) — only the sparse
+    postings join runs per (term, doc); the per-query constant and the
+    per-doc length term are bounded relations. Query terms absent from
+    the WHOLE corpus (p_c = 0) are dropped (standard practice — their
+    smoothed probability is 0 for every document alike... and ln 0 is
+    not a number). Ranking on the 6-decimal-rounded score with doc_id
+    tie-break. Returns (query_id, doc_id, score, rank), rank <= k."""
+    spark = df.sparkSession
+    toks_arr = F.filter(tokens(F.col(text_col)),
+                        lambda x: F.length(x) > 0)
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      toks_arr.alias("_toks"))
+              .withColumn("dl", F.size("_toks")))
+    base = base.localCheckpoint()  # shared: totals, cf, postings
+    tot = base.agg(F.sum("dl").cast("double").alias("tt"))
+    qdf = spark.createDataFrame(list(queries),
+                                "query_id long, qtext string")
+    qterms = qdf.select(
+        "query_id",
+        F.explode(F.array_distinct(
+            F.filter(tokens(F.col("qtext")),
+                     lambda x: F.length(x) > 0))).alias("term"))
+    terms = qterms.select("term").distinct()
+    # corpus frequency of the query vocabulary only
+    cf = (base.select(F.explode("_toks").alias("term"))
+              .join(F.broadcast(terms), on="term")
+              .groupBy("term")
+              .agg(F.count("*").cast("double").alias("cf")))
+    qv = (qterms.join(F.broadcast(cf), on="term")  # drops cf=0 terms
+                .crossJoin(F.broadcast(tot)))
+    # per-query constant and live term count over the bounded relation
+    qconst = (qv.groupBy("query_id")
+                .agg(F.sum(F.log(F.lit(float(mu)) * F.col("cf")
+                                 / F.col("tt"))).alias("qc"),
+                     F.count("*").alias("nq")))
+    posting = (base.select("doc_id",
+                           F.explode("_toks").alias("term"))
+                   .join(F.broadcast(terms), on="term")
+                   .groupBy("term", "doc_id")
+                   .agg(F.count("*").cast("double").alias("tf")))
+    adj = (posting.join(F.broadcast(qv.select("query_id", "term", "cf",
+                                              "tt")), on="term")
+                  .groupBy("query_id", "doc_id")
+                  .agg(F.sum(F.log(F.lit(1.0) + F.col("tf")
+                                   * F.col("tt")
+                                   / (F.lit(float(mu)) * F.col("cf"))))
+                        .alias("adj")))
+    # every doc scores every query (the decomposed base term), the
+    # sparse adjustment joins on top
+    scored = (base.select("doc_id", "dl")
+                  .crossJoin(F.broadcast(qconst))
+                  .join(adj, on=["query_id", "doc_id"], how="left")
+                  .select("query_id", "doc_id",
+                          F.round(F.col("qc")
+                                  - F.col("nq")
+                                  * F.log(F.col("dl") + F.lit(float(mu)))
+                                  + F.coalesce(F.col("adj"), F.lit(0.0)),
+                                  6).alias("score")))
+    rk = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                                F.col("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(rk))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "doc_id", "score",
+                          F.col("rank").cast("int").alias("rank")))
+
+
 def ngram_decontaminate(df: DataFrame, benchmark: list[str], n: int = 13,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:

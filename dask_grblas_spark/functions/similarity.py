@@ -29,7 +29,8 @@ __all__ = ["dot_expr", "norm_expr", "cosine_expr", "cosine_topk",
            "hyperplane_lsh_pairs_between", "ranking_metrics",
            "knn_classify", "item_cf_topk", "grid_cluster",
            "mmr_rerank", "pq_codes", "mutual_knn_pairs",
-           "centroid_outliers", "pca_power", "triplet_mining"]
+           "centroid_outliers", "pca_power", "triplet_mining",
+           "knn_label_disagreement"]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -635,6 +636,37 @@ def triplet_mining(emb_df: DataFrame, label_col: str = "label",
                            F.col("_n.neg_id").cast("bigint")
                             .alias("neg_id"),
                            F.col("_n.neg_sim").alias("neg_sim")))
+
+
+def knn_label_disagreement(emb_df: DataFrame, k: int = 5,
+                           label_col: str = "label",
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Label-noise screen by k-NN disagreement (confident-learning
+    lite): for each vector, the fraction of its k cosine-nearest
+    neighbors carrying a DIFFERENT label — a high score marks a likely
+    mislabel or an off-distribution example, the first thing a
+    labelled-corpus QA pass removes. Built on the blocked-GEMM
+    ``cosine_topk`` with quantize=6 (round-before-rank: the exported
+    counts depend on WHICH neighbors make the top-k, so the rank must
+    be engine-invariant under ties). suspect flags score >= 0.5.
+    Output: (vec_id, label, n_neighbors, n_diff, score, suspect)."""
+    nn = cosine_topk(emb_df, k=k, id_col=id_col, vec_col=vec_col,
+                     quantize=6)
+    lab = emb_df.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(label_col).cast("bigint").alias("_nl"))
+    own = emb_df.select(F.col(id_col).alias("query_id"),
+                        F.col(label_col).cast("bigint").alias("label"))
+    return (nn.join(lab, on="neighbor_id").join(own, on="query_id")
+              .groupBy(F.col("query_id").alias("vec_id"), "label")
+              .agg(F.count("*").cast("bigint").alias("n_neighbors"),
+                   F.sum(F.when(F.col("_nl") != F.col("label"), 1)
+                          .otherwise(0)).cast("bigint").alias("n_diff"))
+              .select("vec_id", "label", "n_neighbors", "n_diff",
+                      F.round(F.col("n_diff") / F.col("n_neighbors"), 6)
+                       .alias("score"),
+                      (F.col("n_diff") * 2 >= F.col("n_neighbors"))
+                       .alias("suspect")))
 
 
 def centroid_outliers(emb_df: DataFrame, label_col: str = "label",

@@ -27,7 +27,7 @@ __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
            "cusum_changepoints", "rolling_correlation",
            "event_paths", "sax_symbols", "seasonal_decompose",
            "debounce", "date_dim", "peak_detection", "ohlc",
-           "autocorrelation"]
+           "autocorrelation", "twap"]
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
@@ -827,6 +827,37 @@ def seasonal_decompose(events_df: DataFrame, ts_col: str = "ts",
                      "trend", "seasonal",
                      F.round(F.col("x") - F.col("trend")
                              - F.col("seasonal"), 6).alias("resid")))
+
+
+def twap(events_df: DataFrame, key_col: str = "user_id",
+         ts_col: str = "ts", val_col: str = "value",
+         id_col: str = "event_id") -> DataFrame:
+    """Time-weighted average per key — the metrics-pipeline mean that a
+    plain AVG gets wrong under irregular sampling (a value that held
+    for an hour must weigh 3600x one that held a second): each
+    observation holds until the NEXT one, weights are exact integer
+    MICROSECOND durations (the q113 lesson — never fractional epoch
+    seconds), and the last observation carries no weight (nothing
+    bounds its hold). Keys with a single observation report NULL.
+
+    Plan: one per-key lead window in (ts, id) order (the sessionize
+    shuffle shape), one grouped aggregate. The weighted sum rounds 6
+    AFTER the exact-integer-weight products. Output:
+    (key, n_obs, span_us, twap)."""
+    w = Window.partitionBy("_k").orderBy("_t", "_i")
+    base = events_df.select(
+        F.col(key_col).alias("_k"),
+        F.unix_micros(F.col(ts_col)).alias("_t"),
+        F.col(id_col).alias("_i"),
+        F.col(val_col).cast("double").alias("_v"))
+    seg = base.withColumn("_dur", F.lead("_t").over(w) - F.col("_t"))
+    return (seg.groupBy(F.col("_k").alias("key"))
+               .agg(F.count("*").cast("bigint").alias("n_obs"),
+                    F.coalesce(F.sum("_dur"), F.lit(0))
+                     .cast("bigint").alias("span_us"),
+                    F.when(F.sum("_dur") > 0,
+                           F.round(F.sum(F.col("_v") * F.col("_dur"))
+                                   / F.sum("_dur"), 6)).alias("twap")))
 
 
 def autocorrelation(events_df: DataFrame, ts_col: str = "ts",

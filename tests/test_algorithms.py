@@ -568,3 +568,14 @@ def test_eccentricity_nonconvergence_raises(spark):
     A = gb.Matrix.from_values(rows, cols, [1] * 6, nrows=4, ncols=4)
     with pytest.raises(RuntimeError, match="not converged"):
         eccentricity(A, max_iters=1)
+
+
+def test_harmonic_centrality_path_graph(spark):
+    """Path 0-1-2: H(0) = 1 + 1/2, H(1) = 2."""
+    import dask_grblas_spark as gb
+    from dask_grblas_spark.algorithms import harmonic_centrality
+
+    A = gb.Matrix.from_values([0, 1, 1, 2], [1, 0, 2, 1], [1] * 4,
+                              nrows=3, ncols=3)
+    out = {r.i: r.harmonic for r in harmonic_centrality(A).collect()}
+    assert out == {0: 1.5, 1: 2.0, 2: 1.5}

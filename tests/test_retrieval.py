@@ -799,3 +799,43 @@ def test_triplet_mining_hand_case_and_blocks(spark):
              for r in triplet_mining(df2, query_blocks=3,
                                      cand_blocks=3).collect()}
     assert one == tiled
+
+
+def test_dirichlet_ql_hand_computed(spark):
+    """doc1 'spark join table join', T=9, mu=10: score(q1, d1) =
+    2*ln(20/9) - 2*ln(14) + ln(1.45) + ln(1.9); fully-OOV queries
+    vanish (their smoothed probability is 0 for every doc alike)."""
+    import math
+
+    from dask_grblas_spark.functions.retrieval import dirichlet_ql_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark join table join"), (2, "window agg merge"),
+         (3, "spark window")], "doc_id long, text string")
+    out = dirichlet_ql_topk(docs, [(1, "spark join"), (2, "zzz_oov")],
+                            k=3, mu=10.0).collect()
+    s1 = (2 * math.log(20 / 9) - 2 * math.log(14)
+          + math.log(1 + 9 / 20) + math.log(1 + 18 / 20))
+    got = [r for r in out if r.query_id == 1 and r.doc_id == 1][0]
+    assert got.score == round(s1, 6) and got.rank == 1
+    assert not [r for r in out if r.query_id == 2]
+    # every doc scores every surviving query (dense by decomposition)
+    assert len([r for r in out if r.query_id == 1]) == 3
+
+
+def test_knn_label_disagreement_flags_mislabel(spark):
+    """Vector 6 sits in the label-0 cluster wearing label 1: all 3 of
+    its nearest neighbors disagree; a core label-0 member does not
+    trip the suspect flag."""
+    from dask_grblas_spark.functions.similarity import (
+        knn_label_disagreement)
+
+    rows = [(1, 0, [1.0, 0.0]), (2, 0, [0.95, 0.05]),
+            (3, 0, [0.9, 0.1]), (4, 1, [0.0, 1.0]),
+            (5, 1, [0.05, 0.95]), (6, 1, [0.99, 0.01])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>")
+    out = {r.vec_id: r
+           for r in knn_label_disagreement(emb, k=3).collect()}
+    assert out[6].n_diff == 3 and out[6].suspect and out[6].score == 1.0
+    assert out[1].n_diff == 1 and not out[1].suspect

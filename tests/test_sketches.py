@@ -1114,3 +1114,74 @@ def test_benjamini_hochberg_stepup(spark):
     assert all(out2.values())  # p_(10)=0.216 <= 0.25 -> all reject
     # empty input
     assert benjamini_hochberg(df.limit(0), "k", "p").count() == 0
+
+
+def test_reconcile_full_outer_report(spark):
+    from dask_grblas_spark.functions.profiling import reconcile
+
+    L = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, v double")
+    R = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "X", 30.0), (5, "e", 50.0)],
+        "k long, s string, v double")
+    out = {(r.kind, r.item): r.n
+           for r in reconcile(L, R, ["k"], ["s", "v"]).collect()}
+    # NULL == NULL matches (row 2); row 3 differs only in s
+    assert out[("status", "only_left")] == 1
+    assert out[("status", "only_right")] == 1
+    assert out[("status", "match")] == 2
+    assert out[("status", "diff")] == 1
+    assert out[("col_diff", "s")] == 1 and out[("col_diff", "v")] == 0
+
+
+def test_woe_iv_hand_computed(spark):
+    import math
+
+    from dask_grblas_spark.functions.profiling import woe_iv
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("A", 0), ("B", 0), ("B", 0), ("B", 1)],
+        "c string, y int")
+    w = {r.category: r for r in woe_iv(df, "c", "y", alpha=0.5).collect()}
+    woe_a = math.log(((2 + 0.5) / 4) / ((1 + 0.5) / 4))
+    assert w["A"].woe == round(woe_a, 6)
+    assert w["A"].n_pos == 2 and w["A"].n_neg == 1
+    # symmetric classes -> mirrored WOE, equal IV contributions
+    assert w["B"].woe == -w["A"].woe
+    assert w["A"].iv_term == w["B"].iv_term
+
+
+def test_pareto_frontier_vs_bruteforce(spark):
+    """Distributed prefix-min sweep == the quadratic definition, across
+    partitionings; duplicates keep their multiplicity."""
+    import pyspark.sql.functions as F
+
+    from dask_grblas_spark.functions.reshape import pareto_frontier
+
+    pts = [(1.0, 5.0), (2.0, 3.0), (3.0, 4.0), (3.0, 1.0),
+           (5.0, 1.0), (5.0, 0.5), (2.0, 3.0), (1.0, 5.0)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    out = {(r.x, r.y): r.n for r in pareto_frontier(df, "x", "y")
+           .collect()}
+    assert out == {(1.0, 5.0): 2, (2.0, 3.0): 2, (3.0, 1.0): 1,
+                   (5.0, 0.5): 1}
+    rnd = spark.range(300).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(50)).cast("double")
+         .alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(50)).cast("double")
+         .alias("y"))
+    rows = [(r.x, r.y) for r in rnd.collect()]
+    s = set(rows)
+    exp = {p for p in s
+           if not any(q != p and q[0] <= p[0] and q[1] <= p[1]
+                      for q in s)}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("1", "3", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            got = {(r.x, r.y)
+                   for r in pareto_frontier(rnd, "x", "y").collect()}
+            assert got == exp, parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

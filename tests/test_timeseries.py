@@ -736,3 +736,23 @@ def test_autocorrelation_alternating_and_gaps(spark):
     import pytest
     with pytest.raises(ValueError):
         autocorrelation(df, max_lag=0)
+
+
+def test_twap_holds_until_next_observation(spark):
+    """10.0 held 10 s then 20.0 held 30 s -> twap 17.5 (a plain AVG
+    says 43); the last observation carries no weight; single-
+    observation keys report NULL with span 0."""
+    import datetime as dt
+
+    from dask_grblas_spark.functions.timeseries import twap
+
+    rows = [(1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, 10.0),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 10), 2, 20.0),
+            (1, dt.datetime(2024, 1, 1, 0, 0, 40), 3, 99.0),
+            (2, dt.datetime(2024, 1, 1, 0, 0, 0), 4, 5.0)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double")
+    out = {r.key: r for r in twap(df).collect()}
+    assert out[1].twap == 17.5 and out[1].span_us == 40_000_000
+    assert out[1].n_obs == 3
+    assert out[2].twap is None and out[2].span_us == 0
