@@ -1501,6 +1501,50 @@ def main() -> int:
 
     probe("eccentricity_ring500", NEC, _ecc)
 
+    # pareto frontier at 10M points: dedup + range-partitioned
+    # prefix-min sweep (never a single-task window)
+    from dask_grblas_spark.functions.reshape import pareto_frontier
+    par_df = spark.range(NEV).select(
+        (F.pmod(F.xxhash64("id", F.lit(41)), F.lit(100000))
+         / 10.0).alias("px"),
+        (F.pmod(F.xxhash64("id", F.lit(42)), F.lit(100000))
+         / 10.0).alias("py"))
+    probe("pareto_frontier_10m", NEV,
+          lambda: pareto_frontier(par_df, "px", "py"))
+
+    # twap over 10M events (per-key lead window, 200k keys)
+    from dask_grblas_spark.functions.timeseries import twap
+    probe("twap", NEV, lambda: twap(ev))
+
+    # reconcile 10M vs 10M (one full-outer + one aggregate)
+    from dask_grblas_spark.functions.profiling import reconcile
+    rec_l = spark.range(NEV).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(51)), F.lit(100)).alias("a"),
+        (F.pmod(F.xxhash64("id", F.lit(52)), F.lit(1000)) / 10.0)
+        .alias("b")).where(F.col("k") % 97 != 3)
+    rec_r = spark.range(NEV).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 31 == 0, F.lit(-1)).otherwise(
+            F.pmod(F.xxhash64("id", F.lit(51)), F.lit(100))).alias("a"),
+        (F.pmod(F.xxhash64("id", F.lit(52)), F.lit(1000)) / 10.0)
+        .alias("b")).where(F.col("k") % 97 != 5)
+    probe("reconcile_10m", NEV,
+          lambda: reconcile(rec_l, rec_r, ["k"], ["a", "b"]))
+
+    # Dirichlet QL over the 5k-doc synthetic corpus (bm25's shape:
+    # postings restricted to the query vocabulary pre-shuffle)
+    from dask_grblas_spark.functions.retrieval import dirichlet_ql_topk
+    probe("dirichlet_ql", ndocs,
+          lambda: dirichlet_ql_topk(
+              docs, [(1, "spark join table"), (2, "window agg")], k=5))
+
+    # kNN label-noise screen: 20k x 64-dim (the triplet tile shape)
+    from dask_grblas_spark.functions.similarity import (
+        knn_label_disagreement)
+    probe("knn_label_disagreement", NTR,
+          lambda: knn_label_disagreement(tri_vecs, k=5))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
