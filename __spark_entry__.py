@@ -2283,6 +2283,64 @@ def q246_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
 
 
+def q247_kfold_encode(spark, sf_dir):
+    """Leakage-free k-fold target encoding of order priority against
+    the finished-order target (profiling.kfold_target_encode): the
+    encoding a row sees excludes its own fold's labels; fold =
+    o_orderkey % 5 (deterministic, SQL-replayable)."""
+    from dask_grblas_spark.functions.profiling import kfold_target_encode
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .withColumn("_y", (F.col("o_orderstatus") == "F")
+                    .cast("double")) \
+        .withColumn("_fold", F.col("o_orderkey") % 5)
+    return kfold_target_encode(o, "o_orderpriority", "_y", "_fold",
+                               m=10.0) \
+        .select("key", "fold", "n_oof", "enc")
+
+
+def q248_quantile_normalize(spark, sf_dir):
+    """Quantile normalization of the event value across event types
+    (profiling.quantile_normalize): every group's distribution maps
+    onto the global one via exact INTEGER rank arithmetic — composite
+    (group, value, id) _exact_rank for balanced within-group ranks
+    (no per-group hot window), a second _exact_rank as the global
+    rank->value lookup. Tie-invariant (RANK semantics), so the oracle
+    replays it with windows."""
+    from dask_grblas_spark.functions.profiling import quantile_normalize
+    from dask_grblas_spark.streaming import load_events
+
+    return quantile_normalize(load_events(spark, sf_dir),
+                              "event_type", "value") \
+        .select("grp", "value", "n", "qnorm")
+
+
+def q249_asof_directions(spark, sf_dir):
+    """Forward and nearest as-of joins (timeseries.asof_join
+    direction=): each click enriched with the NEXT purchase and the
+    time-NEAREST purchase (exact tie -> backward, merge_asof's rule),
+    1-hour tolerance, same one-shuffle tagged-union plan as the q57
+    backward join. Both variants tagged into one gate relation."""
+    from dask_grblas_spark.functions.timeseries import asof_join
+    from dask_grblas_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir)
+    left = (ev.where(F.col("event_type") == "click")
+              .select("user_id", "ts",
+                      F.col("event_id").alias("click_id")))
+    right = (ev.where(F.col("event_type") == "purchase")
+               .select("user_id", "ts",
+                       F.col("event_id").alias("purchase_id")))
+    outs = []
+    for d in ("forward", "nearest"):
+        outs.append(
+            asof_join(left, right, "user_id", tolerance_seconds=3600,
+                      direction=d)
+            .select(F.lit(d).alias("direction"), "click_id",
+                    F.col("asof_purchase_id").alias("purchase_id")))
+    return outs[0].unionByName(outs[1])
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -3594,6 +3652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_twap": q244_twap,
         "q245_knn_noise": q245_knn_noise,
         "q246_grouping_sets": q246_grouping_sets,
+        "q247_kfold_encode": q247_kfold_encode,
+        "q248_quantile_normalize": q248_quantile_normalize,
+        "q249_asof_directions": q249_asof_directions,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -3747,9 +3808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_op_grid": q56_op_grid,
         "q55_isclose": q55_isclose,
     }
-    window = [f"q2{i:02d}" for i in range(1, 47)]  # q201..q246: never
-    window += ["q162", "q174",                     # r8 reds, re-record
-               "q85", "q86"]                       # oldest driver rows
+    window = [f"q2{i:02d}" for i in range(1, 49)]  # q201..q248: never
+    window += ["q162", "q174"]                     # r8 reds, re-record
+    # q249 + the r6-recorded block lead the r10 queue
+
     bypfx = {k.split("_")[0]: k for k in base}
     head = {bypfx[p]: base[bypfx[p]] for p in window}
     assert len(head) == 50
@@ -9563,5 +9625,101 @@ def oracle_sql() -> dict[str, str]:
                     AS DOUBLE) AS total
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+
+    # q247: out-of-fold encoding replay — same smoothing arithmetic
+    sql["q247_kfold_encode"] = """
+        WITH kf AS (
+          SELECT o_orderpriority AS key,
+                 CAST(o_orderkey % 5 AS BIGINT) AS fold,
+                 CAST(COUNT(*) AS BIGINT) AS nkf,
+                 SUM(CASE WHEN o_orderstatus = 'F' THEN 1.0
+                     ELSE 0.0 END) AS skf
+          FROM orders GROUP BY 1, 2
+        ), kt AS (SELECT key, SUM(nkf) AS nk, SUM(skf) AS sk
+                  FROM kf GROUP BY 1),
+        gm AS (SELECT SUM(skf) / SUM(nkf) AS g FROM kf)
+        SELECT kf.key, kf.fold,
+               CAST(kt.nk - kf.nkf AS BIGINT) AS n_oof,
+               ROUND((kt.sk - kf.skf + 10.0 * gm.g)
+                     / (kt.nk - kf.nkf + 10.0), 6) AS enc
+        FROM kf JOIN kt USING (key) CROSS JOIN gm"""
+
+    # q248: RANK per group (tie-invariant min rank), integer-exact
+    # target rank ceil(r*N/n_g) via // , ROW_NUMBER global lookup
+    # (duplicates at the landing position share the value)
+    sql["q248_quantile_normalize"] = """
+        WITH base AS (
+          SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+          FROM events WHERE value IS NOT NULL
+        ), ng AS (SELECT grp, COUNT(*) AS n_g FROM base GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM base),
+        gr AS (
+          SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS n,
+                 MIN(r) AS rmin
+          FROM (SELECT grp, v,
+                       RANK() OVER (PARTITION BY grp ORDER BY v) AS r
+                FROM base)
+          GROUP BY 1, 2
+        ), tv AS (
+          SELECT gr.grp, gr.v, gr.n,
+                 (gr.rmin * nn.n - 1) // ng.n_g + 1 AS t
+          FROM gr JOIN ng USING (grp) CROSS JOIN nn
+        ), glook AS (
+          SELECT v AS qnorm,
+                 ROW_NUMBER() OVER (ORDER BY v) AS t
+          FROM base
+        )
+        SELECT tv.grp, tv.v AS value, tv.n, glook.qnorm
+        FROM tv JOIN glook USING (t)"""
+
+    # q249: per-direction winners over the bounded per-user
+    # click x purchase pair relation; tie rules replay the engine's
+    # greatest-struct-wins (equal ts -> greatest purchase_id) and
+    # nearest's exact-tie -> backward
+    sql["q249_asof_directions"] = """
+        WITH clicks AS (
+          SELECT user_id, epoch_us(ts) AS lts, event_id AS click_id
+          FROM events WHERE event_type = 'click'
+        ), purch AS (
+          SELECT user_id, epoch_us(ts) AS rts, event_id AS purchase_id
+          FROM events WHERE event_type = 'purchase'
+        ), pairs AS (
+          SELECT c.click_id, c.lts, p.rts, p.purchase_id
+          FROM clicks c JOIN purch p USING (user_id)
+        ), fwd AS (
+          SELECT click_id, purchase_id FROM (
+            SELECT click_id, purchase_id,
+                   ROW_NUMBER() OVER (PARTITION BY click_id
+                     ORDER BY rts ASC, purchase_id DESC) AS rn
+            FROM pairs
+            WHERE rts >= lts AND rts - lts <= 3600000000)
+          WHERE rn = 1
+        ), bwd AS (
+          SELECT click_id, purchase_id, rts FROM (
+            SELECT click_id, purchase_id, rts,
+                   ROW_NUMBER() OVER (PARTITION BY click_id
+                     ORDER BY rts DESC, purchase_id DESC) AS rn
+            FROM pairs
+            WHERE rts <= lts AND lts - rts <= 3600000000)
+          WHERE rn = 1
+        ), fwd2 AS (
+          SELECT f.click_id, f.purchase_id,
+                 (SELECT p.rts FROM purch p, clicks c
+                  WHERE p.purchase_id = f.purchase_id
+                    AND c.click_id = f.click_id LIMIT 1) AS rts
+          FROM fwd f
+        )
+        SELECT 'forward' AS direction, c.click_id, f.purchase_id
+        FROM clicks c LEFT JOIN fwd f USING (click_id)
+        UNION ALL
+        SELECT 'nearest', c.click_id,
+               CASE WHEN b.purchase_id IS NULL THEN f.purchase_id
+                    WHEN f.purchase_id IS NULL THEN b.purchase_id
+                    WHEN (f.rts - c.lts) < (c.lts - b.rts)
+                         THEN f.purchase_id
+                    ELSE b.purchase_id END
+        FROM clicks c
+        LEFT JOIN bwd b USING (click_id)
+        LEFT JOIN fwd2 f USING (click_id)"""
 
     return sql

@@ -30,7 +30,8 @@ __all__ = ["profile_numeric", "fk_integrity", "correlation_matrix",
            "psi", "ks_test", "mutual_information", "anova",
            "target_encode", "histogram_2d", "expectations",
            "feature_cross", "cramers_v", "benjamini_hochberg",
-           "reconcile", "woe_iv"]
+           "reconcile", "woe_iv", "kfold_target_encode",
+           "quantile_normalize"]
 
 
 def profile_numeric(df: DataFrame, columns: list[str]) -> DataFrame:
@@ -539,6 +540,95 @@ def target_encode(df: DataFrame, key_col: str, target_col: str,
                      F.round((F.col("_sy") + F.lit(float(m)) * F.col("_gm"))
                              / (F.col("n") + F.lit(float(m))), 6)
                       .alias("enc")))
+
+
+def kfold_target_encode(df: DataFrame, key_col: str,
+                        target_col: str, fold_col: str,
+                        m: float = 10.0) -> DataFrame:
+    """LEAKAGE-FREE k-fold target encoding — ``target_encode``'s
+    train-time variant: the encoding a row sees excludes its OWN
+    fold's targets, so the feature never memorizes the label it will
+    be trained against:
+
+        enc(key, fold) = (sum_y(key) - sum_y(key, fold)
+                          + m * global_mean)
+                         / (n(key) - n(key, fold) + m)
+
+    A key living entirely in one fold degrades to the prior (the
+    shrinkage target), exactly as it should. ``fold_col`` is the
+    caller's fold assignment (deterministic hash / modulo — keep it
+    replayable). ONE grouped (key, fold) aggregate; key totals fold
+    from the same relation via a second bounded agg; global mean from
+    sums of sums. Output: (key, fold, n_oof, enc rounded 6) — the
+    per-fold dictionary a training pipeline broadcast-joins on
+    (key, fold)."""
+    y = F.col(target_col).cast("double")
+    kf = (df.where(y.isNotNull())
+            .groupBy(F.col(key_col).alias("key"),
+                     F.col(fold_col).cast("bigint").alias("fold"))
+            .agg(F.count("*").cast("bigint").alias("_nkf"),
+                 F.sum(y).alias("_skf")))
+    kf = kf.localCheckpoint()  # shared: key totals + global mean
+    kt = kf.groupBy("key").agg(F.sum("_nkf").alias("_nk"),
+                               F.sum("_skf").alias("_sk"))
+    gm = kf.agg((F.sum("_skf") / F.sum("_nkf")).alias("_gm"))
+    mm = F.lit(float(m))
+    return (kf.join(F.broadcast(kt), on="key")
+              .crossJoin(F.broadcast(gm))
+              .select("key", "fold",
+                      (F.col("_nk") - F.col("_nkf")).cast("bigint")
+                       .alias("n_oof"),
+                      F.round((F.col("_sk") - F.col("_skf")
+                               + mm * F.col("_gm"))
+                              / (F.col("_nk") - F.col("_nkf") + mm), 6)
+                       .alias("enc")))
+
+
+def quantile_normalize(df: DataFrame, group_col: str,
+                       val_col: str) -> DataFrame:
+    """Quantile normalization across groups — map every group's value
+    distribution onto the GLOBAL distribution (the cross-assay /
+    cross-tenant feature alignment step): a value at within-group rank
+    r of n_g maps to the global value at rank ceil(r * N / n_g).
+    TIE-INVARIANT by construction: r is the MIN rank among duplicates
+    (SQL RANK semantics) and the global lookup lands inside a run of
+    equal values regardless of which duplicate holds the position, so
+    the mapping is engine-replayable with no synthetic-id dependence.
+
+    Plan — no per-group windows (a hot group would strand its whole
+    rank in one task): ONE `_exact_rank` over the composite
+    (group, value, row-id) key gives balanced composite ranks; the
+    per-group offset (a bounded grouped MIN) converts them to
+    within-group ranks; duplicates collapse to the value level (MIN
+    rank); a second `_exact_rank` over (value, row-id) gives the
+    global rank -> value lookup joined on the computed target rank.
+    Output: (group, value, n, qnorm) — value-level, n = multiplicity."""
+    base = df.select(F.col(group_col).cast("string").alias("grp"),
+                     F.col(val_col).cast("double").alias("v")) \
+             .where(F.col("v").isNotNull())
+    stamped = _stamp_row_id(base)
+    comp, n_total = _exact_rank(
+        stamped, [F.col("grp"), F.col("v"), F.col("_id")], "_cr")
+    if n_total == 0:
+        return df.sparkSession.createDataFrame(
+            [], "grp string, value double, n long, qnorm double")
+    comp = comp.localCheckpoint()  # feeds offsets + value collapse
+    offs = comp.groupBy("grp").agg(F.min("_cr").alias("_off"),
+                                   F.count("*").alias("_ng"))
+    vals = (comp.join(F.broadcast(offs), on="grp")
+                .groupBy("grp", "v", "_off", "_ng")
+                .agg(F.count("*").cast("bigint").alias("n"),
+                     F.min("_cr").alias("_crmin"))
+                .withColumn("_r", F.col("_crmin") - F.col("_off") + 1)
+                # ceil(r*N/n_g) in INTEGER arithmetic (SQL div) — a
+                # double division of r*N loses exactness past 2^53
+                .withColumn("_t", F.expr(
+                    f"(_r * {n_total}L - 1) div _ng") + 1))
+    glob, _ = _exact_rank(stamped, [F.col("v"), F.col("_id")], "_gr")
+    lookup = glob.select(F.col("_gr").alias("_t"),
+                         F.col("v").alias("qnorm"))
+    return (vals.join(lookup, on="_t")
+                .select("grp", F.col("v").alias("value"), "n", "qnorm"))
 
 
 def benford_digits(df: DataFrame, value_col: str,

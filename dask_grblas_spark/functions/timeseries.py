@@ -33,22 +33,30 @@ __all__ = ["asof_join", "rolling_agg", "json_field_agg", "grouped_topk",
 def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
               left_ts: str = "ts", right_ts: str = "ts",
               tolerance_seconds: int | None = None,
-              prefix: str = "asof_") -> DataFrame:
-    """For each left row, attach the LATEST right row with
-    ``right.ts <= left.ts`` on the same key(s) (backward as-of; the
-    standard event-log enrichment join). Right columns come back
-    ``prefix``-renamed; unmatched left rows keep them null.
-    ``tolerance_seconds`` voids matches older than the bound.
+              prefix: str = "asof_",
+              direction: str = "backward") -> DataFrame:
+    """For each left row, attach the as-of right row on the same
+    key(s): ``direction="backward"`` (default) takes the LATEST right
+    row with ``right.ts <= left.ts`` (the standard event-log
+    enrichment join); ``"forward"`` the EARLIEST with
+    ``right.ts >= left.ts``; ``"nearest"`` whichever of the two is
+    closer in time (exact tie -> backward, pandas merge_asof's rule).
+    Right columns come back ``prefix``-renamed; unmatched left rows
+    keep them null. ``tolerance_seconds`` voids matches farther than
+    the bound (applied per direction BEFORE the nearest pick).
 
-    Tie semantics: right rows at exactly ``left.ts`` DO match; among
-    right rows sharing (key, ts) the greatest row (struct-lexicographic
-    over the right columns) wins — deterministic by construction. Feed a
-    per-(key, ts) deduplicated right side to choose a different rule.
+    Tie semantics: right rows at exactly ``left.ts`` DO match in every
+    direction; among right rows sharing (key, ts) the greatest row
+    (struct-lexicographic over the right columns) wins — deterministic
+    by construction. Feed a per-(key, ts) deduplicated right side to
+    choose a different rule.
 
-    Plan: union both sides tagged (right sorts before left at equal ts),
-    one window partitioned by key ordered by (ts, side, payload), and a
-    running last_value over the right payload. One shuffle; no range
-    join, no per-row scan."""
+    Plan: union both sides tagged (right sorts before left at equal
+    ts), one window partitioned by key per direction (two for
+    nearest), and a running last_value over the right payload. One
+    shuffle; no range join, no per-row scan."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     lcols = [c for c in left.columns if c not in keys]
     rcols = [c for c in right.columns if c not in keys]
@@ -67,15 +75,45 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
         F.struct(*[F.col(c) for c in rcols]).alias("_r"))
     merged = l2.unionByName(r2)
 
-    w = (Window.partitionBy(*keys).orderBy("_ts", "_side", "_r")
-               .rowsBetween(Window.unboundedPreceding, 0))
-    matched = (merged.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
-                     .filter(F.col("_side") == 1))
-    if tolerance_seconds is not None:
-        age = (F.col("_ts").cast("double")
-               - F.col(f"_m.{right_ts}").cast("double"))
+    wb = (Window.partitionBy(*keys).orderBy("_ts", "_side", "_r")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy(*keys)
+                .orderBy(F.col("_ts").desc(), "_side", "_r")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    matched = merged
+    if direction in ("backward", "nearest"):
         matched = matched.withColumn(
-            "_m", F.when(age <= tolerance_seconds, F.col("_m")))
+            "_mb", F.last("_r", ignorenulls=True).over(wb))
+    if direction in ("forward", "nearest"):
+        matched = matched.withColumn(
+            "_mf", F.last("_r", ignorenulls=True).over(wf))
+    matched = matched.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        if direction in ("backward", "nearest"):
+            age_b = (F.col("_ts").cast("double")
+                     - F.col(f"_mb.{right_ts}").cast("double"))
+            matched = matched.withColumn(
+                "_mb", F.when(age_b <= tolerance_seconds, F.col("_mb")))
+        if direction in ("forward", "nearest"):
+            age_f = (F.col(f"_mf.{right_ts}").cast("double")
+                     - F.col("_ts").cast("double"))
+            matched = matched.withColumn(
+                "_mf", F.when(age_f <= tolerance_seconds, F.col("_mf")))
+    if direction == "backward":
+        matched = matched.withColumn("_m", F.col("_mb"))
+    elif direction == "forward":
+        matched = matched.withColumn("_m", F.col("_mf"))
+    else:
+        db = (F.col("_ts").cast("double")
+              - F.col(f"_mb.{right_ts}").cast("double"))
+        df_ = (F.col(f"_mf.{right_ts}").cast("double")
+               - F.col("_ts").cast("double"))
+        matched = matched.withColumn(
+            "_m",
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+             .when(F.col("_mf").isNull(), F.col("_mb"))
+             .when(df_ < db, F.col("_mf"))
+             .otherwise(F.col("_mb")))  # tie -> backward
     out_cols = ([F.col(k) for k in keys]
                 + [F.col(f"_l.{c}").alias(c) for c in lcols]
                 + [F.col(f"_m.{c}").alias(f"{prefix}{c}") for c in rcols])

@@ -1185,3 +1185,42 @@ def test_pareto_frontier_vs_bruteforce(spark):
             assert got == exp, parts
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_kfold_target_encode_out_of_fold(spark):
+    """enc(key, fold) excludes the fold's own targets; a key entirely
+    in one fold degrades to the prior (the global mean)."""
+    from dask_grblas_spark.functions.profiling import kfold_target_encode
+
+    rows = [("A", 1.0, 0), ("A", 0.0, 0), ("A", 1.0, 1), ("B", 1.0, 0)]
+    df = spark.createDataFrame(rows, "k string, y double, f int")
+    out = {(r.key, r.fold): r
+           for r in kfold_target_encode(df, "k", "y", "f",
+                                        m=2.0).collect()}
+    gm = 3.0 / 4
+    assert out[("A", 0)].enc == round((2 - 1 + 2 * gm) / (3 - 2 + 2), 6)
+    assert out[("A", 0)].n_oof == 1
+    assert out[("B", 0)].enc == round(gm, 6) and out[("B", 0)].n_oof == 0
+
+
+def test_quantile_normalize_maps_onto_global(spark):
+    """Group scales map onto the global distribution via exact integer
+    rank arithmetic; duplicates are tie-invariant (SQL RANK
+    semantics)."""
+    from dask_grblas_spark.functions.profiling import quantile_normalize
+
+    rows = ([("a", v) for v in [1.0, 2.0, 3.0, 4.0]]
+            + [("b", v) for v in [10.0, 20.0]])
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = sorted((r.grp, r.value, r.n, r.qnorm)
+                 for r in quantile_normalize(df, "g", "v").collect())
+    assert out == [("a", 1.0, 1, 2.0), ("a", 2.0, 1, 3.0),
+                   ("a", 3.0, 1, 10.0), ("a", 4.0, 1, 20.0),
+                   ("b", 10.0, 1, 3.0), ("b", 20.0, 1, 20.0)]
+    dup = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("a", 7.0), ("b", 1.0)],
+        "g string, v double")
+    o2 = sorted((r.grp, r.value, r.n, r.qnorm)
+                for r in quantile_normalize(dup, "g", "v").collect())
+    assert o2 == [("a", 5.0, 2, 5.0), ("a", 7.0, 1, 7.0),
+                  ("b", 1.0, 1, 7.0)]

@@ -756,3 +756,38 @@ def test_twap_holds_until_next_observation(spark):
     assert out[1].twap == 17.5 and out[1].span_us == 40_000_000
     assert out[1].n_obs == 3
     assert out[2].twap is None and out[2].span_us == 0
+
+
+def test_asof_join_directions(spark):
+    """backward/forward/nearest semantics on a hand timeline; exact
+    tie (equidistant) goes backward; tolerance voids per direction."""
+    import datetime as dt
+
+    import pytest
+
+    from dask_grblas_spark.functions.timeseries import asof_join
+
+    def T(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, T(10), "l1"), (1, T(30), "l2"), (1, T(100), "l3")],
+        "k long, ts timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, T(8), "r8"), (1, T(12), "r12"), (1, T(30), "r30"),
+         (1, T(95), "r95")], "k long, ts timestamp, rv string")
+
+    def got(direction, tol=None):
+        return {r.lv: r.asof_rv
+                for r in asof_join(left, right, "k",
+                                   tolerance_seconds=tol,
+                                   direction=direction).collect()}
+
+    assert got("backward") == {"l1": "r8", "l2": "r30", "l3": "r95"}
+    assert got("forward") == {"l1": "r12", "l2": "r30", "l3": None}
+    # l1 equidistant (2 s each way) -> backward wins
+    assert got("nearest") == {"l1": "r8", "l2": "r30", "l3": "r95"}
+    assert got("nearest", tol=3) == {"l1": "r8", "l2": "r30",
+                                     "l3": None}
+    with pytest.raises(ValueError):
+        asof_join(left, right, "k", direction="sideways")

@@ -1545,6 +1545,35 @@ def main() -> int:
     probe("knn_label_disagreement", NTR,
           lambda: knn_label_disagreement(tri_vecs, k=5))
 
+    # k-fold target encode at 10M rows (one (key,fold) agg + bounded)
+    from dask_grblas_spark.functions.profiling import kfold_target_encode
+    kfe = ev.withColumn("_y", (F.col("value") > 50).cast("double")) \
+            .withColumn("_fold", F.col("event_id") % 5)
+    probe("kfold_target_encode", NEV,
+          lambda: kfold_target_encode(kfe, "user_id", "_y", "_fold"))
+
+    # quantile normalize at 10M with a HOT group (one event_type holds
+    # ~80% of rows): the composite _exact_rank must still balance
+    from dask_grblas_spark.functions.profiling import quantile_normalize
+    qn_df = spark.range(NEV).select(
+        F.when(F.pmod(F.xxhash64("id", F.lit(61)), F.lit(5)) > 0,
+               "hot").otherwise("cold").alias("grp"),
+        (F.pmod(F.xxhash64("id", F.lit(62)), F.lit(1000000)) / 100.0)
+        .alias("v"))
+    probe("quantile_normalize_hot_group", NEV,
+          lambda: quantile_normalize(qn_df, "grp", "v"))
+
+    # forward/nearest as-of at 10M events (same one-shuffle plan as
+    # the backward probe; nearest runs two windows)
+    from dask_grblas_spark.functions.timeseries import asof_join
+    asof_l = ev.where(F.col("event_type") == "click") \
+               .select("user_id", "ts", F.col("event_id").alias("cid"))
+    asof_r = ev.where(F.col("event_type") == "view") \
+               .select("user_id", "ts", F.col("event_id").alias("vid"))
+    probe("asof_nearest", NEV,
+          lambda: asof_join(asof_l, asof_r, "user_id",
+                            direction="nearest"))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
