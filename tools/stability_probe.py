@@ -30,7 +30,11 @@ ONLY = sys.argv[2:]
 DEFAULT = ["q174_gini", "q203_cube", "q216_tpch_pricing",
            "q111_salted_join", "q228_mom_change", "q199_anova",
            "q146_rfm", "q97_semantic_dedup", "q215_pca",
-           "q194_ks_test"]
+           "q194_ks_test",
+           # r9 additions: decimal top-k tie-breaks + the two-rank
+           # quantile-normalize machinery + the QL score ranking
+           "q224_tpch_returns", "q231_big_orders",
+           "q248_quantile_normalize", "q243_dirichlet_ql"]
 
 PARTITION_GRID = (5, 32, 77, 200)
 
