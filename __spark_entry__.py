@@ -2341,6 +2341,35 @@ def q249_asof_directions(spark, sf_dir):
     return outs[0].unionByName(outs[1])
 
 
+def q250_partitioned_scan(spark, sf_dir):
+    """Hive-partitioned write + PARTITION-PRUNED read (the 100 TB
+    layout contract): events land partitioned by event_type, the
+    read-back filters one partition plus a value predicate — the
+    event_type filter resolves at PLANNING time (PartitionFilters, no
+    data touched for other types; asserted in test_plans), the value
+    filter pushes to the parquet scan. Daily click totals out; the
+    oracle replays the same filter on the raw relation (a correct
+    partitioned write is CONTENT-preserving)."""
+    import os
+
+    from dask_grblas_spark.streaming import load_events
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"/tmp/dgs_part_{tag}"
+    ev = load_events(spark, sf_dir)
+    (ev.write.mode("overwrite").partitionBy("event_type")
+       .parquet(path))
+    back = spark.read.parquet(path)
+    return (back.where((F.col("event_type") == "click")
+                       & (F.col("value") >= 10.0))
+                .groupBy(F.to_date("ts").alias("day"))
+                .agg(F.count("*").cast("bigint").alias("n"),
+                     F.round(F.sum(F.col("value").cast("double")), 4)
+                      .alias("sum_v"))
+                .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                        "n", "sum_v"))
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -3547,12 +3576,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver records queries in dict
     # order with a 50-row cap. Round-9 ROTATION (r8 verdict item 4):
-    # the window is every never-driver-recorded query (q201-q228 from
-    # r8, q229-q238 new this round), the two r8 driver reds q162/q174
-    # re-recorded post-fix, and 10 of the oldest-recorded queries
-    # (last driver row r6: the q85-q94 block; the rest of the r6 set
-    # rotates in r10). The base dict below keeps its historical order;
-    # the window list reorders the head on return.
+    # the window is the never-driver-recorded q201-q248 (q201-q228
+    # from r8, q229-q248 new this round) plus the two r8 driver reds
+    # q162/q174 re-recorded post-fix. q249+ and the r6-recorded block
+    # (q85-q101, the 34-rotation) lead the r10 queue. The base dict
+    # below keeps its historical order; the window list reorders the
+    # head on return.
     base = {
         # r8 driver window (q151-q200)
         "q151_schema_evolution": q151_schema_evolution,
@@ -3655,6 +3684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q247_kfold_encode": q247_kfold_encode,
         "q248_quantile_normalize": q248_quantile_normalize,
         "q249_asof_directions": q249_asof_directions,
+        "q250_partitioned_scan": q250_partitioned_scan,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -9721,5 +9751,15 @@ def oracle_sql() -> dict[str, str]:
         FROM clicks c
         LEFT JOIN bwd b USING (click_id)
         LEFT JOIN fwd2 f USING (click_id)"""
+
+    # q250: the partitioned write is content-preserving, so the oracle
+    # filters the raw relation
+    sql["q250_partitioned_scan"] = """
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(CAST(value AS DOUBLE)), 4) AS sum_v
+        FROM events
+        WHERE event_type = 'click' AND CAST(value AS DOUBLE) >= 10.0
+        GROUP BY 1"""
 
     return sql
