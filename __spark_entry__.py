@@ -2370,6 +2370,175 @@ def q250_partitioned_scan(spark, sf_dir):
                         "n", "sum_v"))
 
 
+def q251_tpch_volume(spark, sf_dir):
+    """TPC-H Q7 (volume shipping) adapted to this dataset's dimension
+    values (NATION_3 <-> NATION_7, ship years 1996-1997): revenue of
+    lineitems shipped between two specific nations, in both
+    directions, per year. The two nation lookups BROADCAST (25 rows);
+    the pair filter collapses to an IN-pair predicate evaluated after
+    two broadcast hash joins, so the only shuffles are the
+    lineitem->orders join and the final 4-group aggregate. Revenue is
+    an exact DECIMAL(27,4) sum (q174 discipline)."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (F.col("l_extendedprice").cast("double")
+           * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
+        .cast("decimal(27,4)")
+    n1 = n.select(F.col("n_nationkey").alias("snk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("cnk"),
+                  F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_3")
+            & (F.col("cust_nation") == "NATION_7")) | \
+           ((F.col("supp_nation") == "NATION_7")
+            & (F.col("cust_nation") == "NATION_3"))
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                     & (F.col("l_shipdate") < F.lit("1998-01-01")))
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(s, li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n1), s.s_nationkey == F.col("snk"))
+              .join(F.broadcast(n2), c.c_nationkey == F.col("cnk"))
+              .where(pair)
+              .groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").cast("bigint")
+                        .alias("l_year"))
+              .agg(F.sum(rev).cast("double").alias("revenue")))
+
+
+def q252_tpch_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share) adapted: of all ECONOMY-type
+    parts sold to AMERICA-region customers ordered in 1996-1997, the
+    fraction of revenue supplied by NATION_1, per order year. One
+    pass: conditional DECIMAL sum over the joined fact, share =
+    nation_rev / total_rev in double, round 6 (both operands exact,
+    so the quotient is fold-order stable). part/nation/region/dim
+    chain broadcasts; the only shuffles are fact-fact joins + the
+    2-group agg."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = (F.col("l_extendedprice").cast("double")
+           * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
+        .cast("decimal(27,4)")
+    amer_nations = (n.join(F.broadcast(
+                        r.where(F.col("r_name") == "AMERICA")),
+                        n.n_regionkey == r.r_regionkey)
+                     .select(F.col("n_nationkey").alias("cnk")))
+    supp_nation = n.select(F.col("n_nationkey").alias("snk"),
+                           F.col("n_name").alias("supp_nation"))
+    return (li.join(F.broadcast(
+                  p.where(F.col("p_type") == "ECONOMY")
+                   .select("p_partkey")),
+                  li.l_partkey == F.col("p_partkey"))
+              .join(o.where((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                            & (F.col("o_orderdate") < F.lit("1998-01-01"))),
+                    li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(F.broadcast(amer_nations),
+                    c.c_nationkey == F.col("cnk"))
+              .join(s, li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(supp_nation),
+                    s.s_nationkey == F.col("snk"))
+              .groupBy(F.year("o_orderdate").cast("bigint")
+                        .alias("o_year"))
+              .agg(F.round(
+                       F.sum(F.when(F.col("supp_nation") == "NATION_1",
+                                    rev).otherwise(F.lit(0).cast(
+                                        "decimal(27,4)")))
+                        .cast("double")
+                       / F.sum(rev).cast("double"), 6)
+                    .alias("mkt_share")))
+
+
+def q253_tpch_promo(spark, sf_dir):
+    """TPC-H Q14 (promotion effect) adapted (p_type = 'PROMO' exactly;
+    ship month 1996-09): 100 * promo revenue / total revenue over one
+    ship month. Single scan of the month's lineitem slice, part
+    broadcast, ONE ungrouped aggregate with a conditional DECIMAL sum;
+    the quotient of two exact decimals rounds 6."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = (F.col("l_extendedprice").cast("double")
+           * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
+        .cast("decimal(27,4)")
+    zero = F.lit(0).cast("decimal(27,4)")
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-09-01"))
+                     & (F.col("l_shipdate") < F.lit("1996-10-01")))
+              .join(F.broadcast(p.select("p_partkey", "p_type")),
+                    li.l_partkey == p.p_partkey)
+              .agg(F.round(F.lit(100.0)
+                           * F.sum(F.when(F.col("p_type") == "PROMO",
+                                          rev).otherwise(zero))
+                              .cast("double")
+                           / F.sum(rev).cast("double"), 6)
+                    .alias("promo_revenue")))
+
+
+def q254_tpch_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): per-supplier revenue over one quarter
+    (1996-Q1), keep the supplier(s) with the GLOBAL max. The revenue
+    view aggregates once (shuffle on l_suppkey); the 1-row max
+    re-joins as a broadcast nested-loop on an equality over EXACT
+    decimal sums (double ties would be fold-order roulette; decimals
+    make the max-match deterministic)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (F.col("l_extendedprice").cast("double")
+           * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
+        .cast("decimal(27,4)")
+    revenue = (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                        & (F.col("l_shipdate") < F.lit("1996-04-01")))
+                 .groupBy("l_suppkey")
+                 .agg(F.sum(rev).alias("total_rev_d")))
+    mx = revenue.agg(F.max("total_rev_d").alias("mx"))
+    return (revenue.join(F.broadcast(mx),
+                         F.col("total_rev_d") == F.col("mx"))
+                   .join(s, F.col("l_suppkey") == s.s_suppkey)
+                   .select(F.col("s_suppkey").cast("bigint")
+                            .alias("s_suppkey"),
+                           "s_name",
+                           F.col("total_rev_d").cast("double")
+                            .alias("total_revenue")))
+
+
+def q255_tpch_small_qty(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue) adapted to
+    Brand#23 (no p_container column in this dataset): average yearly
+    revenue lost if orders below 20% of a part's average quantity were
+    not taken. The correlated scalar subquery becomes a per-part
+    aggregate re-joined to the same slice; the 20%-of-average
+    comparison is CROSS-MULTIPLIED into exact integers/decimals
+    (5 * qty * cnt < sum_qty) so no engine ever divides — a quantity
+    landing exactly on the 0.2*avg boundary cannot flip between
+    engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    qty_d = F.col("l_quantity").cast("decimal(27,2)")
+    brand = (li.join(F.broadcast(
+                  p.where(F.col("p_brand") == "Brand#23")
+                   .select("p_partkey")),
+                  li.l_partkey == F.col("p_partkey"))
+               .select("l_partkey", "l_quantity", "l_extendedprice"))
+    stats = (brand.groupBy(F.col("l_partkey").alias("pk"))
+                  .agg(F.sum(qty_d).alias("sum_qty"),
+                       F.count("*").alias("cnt")))
+    small = (brand.join(F.broadcast(stats),
+                        brand.l_partkey == F.col("pk"))
+                  .where(F.lit(5) * qty_d * F.col("cnt")
+                         < F.col("sum_qty")))
+    return small.agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(27,2)"))
+                 .cast("double") / 7.0, 2).alias("avg_yearly"))
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -3685,6 +3854,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_quantile_normalize": q248_quantile_normalize,
         "q249_asof_directions": q249_asof_directions,
         "q250_partitioned_scan": q250_partitioned_scan,
+        "q251_tpch_volume": q251_tpch_volume,
+        "q252_tpch_market_share": q252_tpch_market_share,
+        "q253_tpch_promo": q253_tpch_promo,
+        "q254_tpch_top_supplier": q254_tpch_top_supplier,
+        "q255_tpch_small_qty": q255_tpch_small_qty,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -9761,5 +9935,101 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE event_type = 'click' AND CAST(value AS DOUBLE) >= 10.0
         GROUP BY 1"""
+
+    # q251: TPC-H Q7 adapted (NATION_3 <-> NATION_7, ship 1996-1997)
+    sql["q251_tpch_volume"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                             * (1.0 - CAST(l_discount AS DOUBLE))
+                             AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+        FROM supplier, lineitem, orders, customer,
+             nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3"""
+
+    # q252: TPC-H Q8 adapted (AMERICA customers, ECONOMY parts,
+    # NATION_1 supplier share, order years 1996-1997)
+    sql["q252_tpch_market_share"] = """
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               ROUND(CAST(SUM(CASE WHEN n1.n_name = 'NATION_1'
+                      THEN CAST(CAST(l_extendedprice AS DOUBLE)
+                                * (1.0 - CAST(l_discount AS DOUBLE))
+                                AS DECIMAL(27,4))
+                      ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
+                     / CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                                * (1.0 - CAST(l_discount AS DOUBLE))
+                                AS DECIMAL(27,4))) AS DOUBLE), 6)
+                 AS mkt_share
+        FROM part, lineitem, orders, customer, supplier,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_suppkey = l_suppkey
+          AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+          AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1"""
+
+    # q253: TPC-H Q14 adapted (p_type = 'PROMO', ship month 1996-09)
+    sql["q253_tpch_promo"] = """
+        SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(CAST(l_extendedprice AS DOUBLE)
+                                * (1.0 - CAST(l_discount AS DOUBLE))
+                                AS DECIMAL(27,4))
+                      ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
+                     / CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                                * (1.0 - CAST(l_discount AS DOUBLE))
+                                AS DECIMAL(27,4))) AS DOUBLE), 6)
+                 AS promo_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'"""
+
+    # q254: TPC-H Q15 (1996-Q1 revenue view; DECIMAL max-match)
+    sql["q254_tpch_top_supplier"] = """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                          * (1.0 - CAST(l_discount AS DOUBLE))
+                          AS DECIMAL(27,4))) AS total_rev_d
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+               CAST(total_rev_d AS DOUBLE) AS total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_rev_d = (SELECT MAX(total_rev_d) FROM revenue)"""
+
+    # q255: TPC-H Q17 shape (Brand#23; cross-multiplied 20%-of-avg
+    # predicate: 5 * qty * cnt < sum_qty, all exact — no division)
+    sql["q255_tpch_small_qty"] = """
+        WITH brand AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#23'),
+        stats AS (
+          SELECT l_partkey AS pk,
+                 SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(27,2)))
+                   AS sum_qty,
+                 COUNT(*) AS cnt
+          FROM brand GROUP BY 1)
+        SELECT ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                                   AS DECIMAL(27,2))) AS DOUBLE)
+                     / 7.0, 2) AS avg_yearly
+        FROM brand JOIN stats ON l_partkey = pk
+        WHERE 5 * CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(27,2))
+              * cnt < sum_qty"""
 
     return sql

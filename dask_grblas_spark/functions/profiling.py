@@ -1664,3 +1664,177 @@ def winsorize(df: DataFrame, group_col: str, val_col: str,
                .withColumn("clipped", (v < F.col("_lo"))
                                       | (v > F.col("_hi")))
                .drop("_lo", "_hi"))
+
+
+def _prefix_sum(df: DataFrame, sort_cols: list, val_col: str,
+                out_col: str = "_psum"):
+    """EXCLUSIVE prefix sum of ``val_col`` (integral) over the total
+    order given by ``sort_cols`` (a DISTINCT composite key) — the
+    running-total sibling of `_exact_rank`, same discipline: no
+    single-task global window. repartitionByRange on the full sort key
+    makes each partition a contiguous interval; the numPartitions
+    per-partition sums come to the driver (bounded), accumulate as
+    PYTHON ints (arbitrary precision — no bigint overflow at any n),
+    and the row's prefix = partition offset + an intra-partition
+    running window. Placement is pinned via localCheckpoint so the
+    sum pass and the window pass agree. Returns (df + out_col, total).
+    """
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    nparts = _shuffle_parts(spark)
+    tagged = (df.repartitionByRange(nparts, *sort_cols)
+                .withColumn("_p", F.spark_partition_id())
+                .localCheckpoint())
+    sums = dict(tagged.groupBy("_p")
+                      .agg(F.sum(F.col(val_col).cast("bigint")))
+                      .collect())
+    offsets, cum = {}, 0
+    for p in sorted(sums):
+        offsets[p] = cum
+        cum += int(sums[p] or 0)
+    if not offsets:
+        return (tagged.withColumn(out_col, F.lit(0).cast("bigint"))
+                      .drop("_p"), 0)
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = (W.partitionBy("_p").orderBy(*sort_cols)
+          .rowsBetween(W.unboundedPreceding, -1))
+    run = F.coalesce(F.sum(F.col(val_col).cast("bigint")).over(w),
+                     F.lit(0))
+    return (tagged.withColumn(out_col,
+                              (off[F.col("_p")] + run).cast("bigint"))
+                  .drop("_p"), cum)
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
+    """EXACT ROC AUC (Mann-Whitney U with the average-rank tie rule)
+    of a numeric score against a 0/1 label — the ranking-quality
+    scalar every classifier/filter eval needs. ``label_col`` may be a
+    column name or a boolean Column expression.
+
+    AUC = P(score_pos > score_neg) + P(tie)/2. Plan: ONE grouped
+    aggregate per DISTINCT score -> (pos, neg) counts, then the
+    range-partitioned `_prefix_sum` gives each score group the number
+    of negatives STRICTLY below it (no global single-task window, no
+    tie skew — scores are distinct after the group). The statistic
+    2*U = sum(pos * (2*cum_neg_below + neg)) accumulates as
+    DECIMAL(38,0) — pure integer arithmetic, fold-order invariant —
+    and divides the exact 2 * n_pos * n_neg once, round 6.
+    Output: one row (n_pos, n_neg, auc); auc NULL if a class is empty.
+    """
+    lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    lbl = lbl.cast("int")
+    s = F.col(score_col).cast("double")
+    per = (df.select(s.alias("_s"), lbl.alias("_y"))
+             .where(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+             .groupBy("_s")
+             .agg(F.sum("_y").cast("bigint").alias("_pos"),
+                  F.sum(1 - F.col("_y")).cast("bigint").alias("_neg")))
+    pref, n_neg = _prefix_sum(per, [F.col("_s")], "_neg", "_cumneg")
+    row = pref.agg(
+        F.sum("_pos").cast("bigint").alias("n_pos"),
+        F.sum("_neg").cast("bigint").alias("n_neg"),
+        F.sum((F.col("_pos") * (2 * F.col("_cumneg") + F.col("_neg")))
+              .cast("decimal(38,0)")).alias("_u2")).collect()[0]
+    n_pos = int(row["n_pos"] or 0)
+    n_neg = int(row["n_neg"] or 0)
+    spark = df.sparkSession
+    if n_pos == 0 or n_neg == 0:
+        return spark.createDataFrame(
+            [(n_pos, n_neg, None)],
+            "n_pos long, n_neg long, auc double")
+    # exact ints -> one double division, HALF_UP like SQL ROUND
+    auc = int(row["_u2"]) / (2.0 * n_pos * n_neg)
+    auc6 = math.floor(auc * 1e6 + 0.5) / 1e6
+    return spark.createDataFrame(
+        [(n_pos, n_neg, auc6)],
+        "n_pos long, n_neg long, auc double")
+
+
+def cohens_kappa(df: DataFrame, a_col, b_col) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement between two categorical
+    columns (the labeling-pipeline QA scalar): observed agreement
+    corrected for chance. kappa = (n*agree - sum_k na_k*nb_k) /
+    (n^2 - sum_k na_k*nb_k) — computed ENTIRELY in integer arithmetic
+    (DECIMAL(38,0) products; no double sums to drift), one double
+    division at the end.
+
+    Plan: ONE grouped count over the (a, b) confusion relation (k^2
+    rows — bounded by the label vocabulary, not n); marginals and the
+    chance term fold from that tiny relation (broadcast join on the
+    category). Output: one row (n, po, pe, kappa), rounded 6; kappa
+    NULL when chance agreement is 1 (single category)."""
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    conf = (df.select(a.cast("string").alias("_a"),
+                      b.cast("string").alias("_b"))
+              .where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+              .groupBy("_a", "_b")
+              .agg(F.count("*").cast("bigint").alias("_c"))
+              .localCheckpoint())
+    ma = conf.groupBy("_a").agg(F.sum("_c").alias("_na"))
+    mb = conf.groupBy("_b").agg(F.sum("_c").alias("_nb"))
+    chance = (ma.join(mb, ma._a == mb._b)
+                .agg(F.sum((F.col("_na") * F.col("_nb"))
+                           .cast("decimal(38,0)")).alias("_pe")))
+    tot = conf.agg(
+        F.sum("_c").cast("bigint").alias("_n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c"))
+               .otherwise(F.lit(0))).cast("bigint").alias("_agree"))
+    r = tot.crossJoin(F.broadcast(chance)).collect()[0]
+    n, agree = int(r["_n"] or 0), int(r["_agree"] or 0)
+    pe_num = int(r["_pe"] or 0)
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [(0, None, None, None)],
+            "n long, po double, pe double, kappa double")
+    po = math.floor(agree / n * 1e6 + 0.5) / 1e6
+    pe = math.floor(pe_num / (n * n) * 1e6 + 0.5) / 1e6
+    denom = n * n - pe_num
+    if denom == 0:
+        kappa = None
+    else:
+        k = (n * agree - pe_num) / denom
+        kappa = (math.floor(k * 1e6 + 0.5) / 1e6 if k >= 0
+                 else -(math.floor(-k * 1e6 + 0.5) / 1e6))
+    return spark.createDataFrame(
+        [(n, po, pe, kappa)],
+        "n long, po double, pe double, kappa double")
+
+
+def theil_index(df: DataFrame, val_col: str) -> DataFrame:
+    """Theil T inequality index of a positive measure:
+    T = (1/n) * sum((x/mu) * ln(x/mu)) — 0 for perfect equality,
+    ln(n) for total concentration; the log-scale complement to
+    `gini_coefficient` for token/spend concentration audits.
+
+    mu comes from an exact DECIMAL(27,6) sum over n (identical in
+    both engines), so every per-row ratio x/mu is the same IEEE
+    double cross-engine; the per-row term quantizes at ROUND(., 6)
+    and accumulates as DECIMAL(38,6) — the sum is fold-order
+    invariant, leaving only the accepted ln-ulp-at-half-boundary
+    risk class (house round-6 convention). Output: one row
+    (n, mean, theil), rounded 6; NULL theil for empty input."""
+    v = F.col(val_col).cast("double")
+    base = df.select(v.alias("_x")).where(F.col("_x") > 0)
+    agg = base.agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("_x").cast("decimal(27,6)")).alias("_tot")) \
+        .collect()[0]
+    n = int(agg["_n"] or 0)
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [(0, None, None)], "n long, mean double, theil double")
+    mu = float(agg["_tot"]) / n
+    term = F.round((F.col("_x") / F.lit(mu))
+                   * F.log(F.col("_x") / F.lit(mu)), 6) \
+            .cast("decimal(38,6)")
+    s = float(base.agg(F.sum(term)).collect()[0][0])
+    t = s / n
+    t6 = (math.floor(t * 1e6 + 0.5) / 1e6 if t >= 0
+          else -(math.floor(-t * 1e6 + 0.5) / 1e6))
+    return spark.createDataFrame(
+        [(n, math.floor(mu * 1e6 + 0.5) / 1e6, t6)],
+        "n long, mean double, theil double")
