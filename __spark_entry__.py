@@ -2539,6 +2539,132 @@ def q255_tpch_small_qty(spark, sf_dir):
                  .cast("double") / 7.0, 2).alias("avg_yearly"))
 
 
+def q256_roc_auc(spark, sf_dir):
+    """Exact ROC AUC with the average-rank tie rule (profiling.
+    roc_auc): how well account balance ranks BUILDING-segment
+    membership. One per-distinct-score aggregate + the range-
+    partitioned `_prefix_sum` (no global single-task window); the
+    U statistic folds in DECIMAL(38,0) integer arithmetic."""
+    from dask_grblas_spark.functions import profiling
+    cust = tpch.load_table(spark, sf_dir, "customer")
+    return profiling.roc_auc(cust, "c_acctbal",
+                             F.col("c_mktsegment") == "BUILDING")
+
+
+def q257_kappa(spark, sf_dir):
+    """Cohen's kappa between two document 'annotators' (profiling.
+    cohens_kappa): a size bucket from the n_chars metadata column vs
+    one from the text's whitespace count — chance-corrected agreement
+    in pure integer arithmetic over the k^2 confusion relation."""
+    from dask_grblas_spark.functions import profiling
+    d = _doc(spark, sf_dir)
+    spaces = (F.length("text")
+              - F.length(F.regexp_replace("text", " ", "")))
+    a = (F.when(F.col("n_chars") < 500, "S")
+          .when(F.col("n_chars") < 2000, "M").otherwise("L"))
+    b = (F.when(spaces < 80, "S")
+          .when(spaces < 350, "M").otherwise("L"))
+    return profiling.cohens_kappa(
+        d.withColumn("_ra", a).withColumn("_rb", b), "_ra", "_rb")
+
+
+def q258_theil(spark, sf_dir):
+    """Theil T inequality index of positive customer balances
+    (profiling.theil_index): exact-decimal mean, round-6 quantized
+    per-row terms accumulated as DECIMAL(38,6) — fold-order
+    invariant, the gini gate's log-scale sibling."""
+    from dask_grblas_spark.functions import profiling
+    cust = tpch.load_table(spark, sf_dir, "customer")
+    return profiling.theil_index(cust, "c_acctbal")
+
+
+def _cs_bipartite(spark, sf_dir):
+    """Customer-supplier trade graph on a UNIFIED node space
+    (customer c -> node 2c, supplier s -> node 2s+1) with nation
+    labels — the shared input for the partition-quality gates."""
+    cs = tpch.customer_supplier_matrix(spark, sf_dir)
+    edges = cs.df.select((F.col("i") * 2).alias("i"),
+                         (F.col("j") * 2 + 1).alias("j"),
+                         F.lit(1).cast("bigint").alias("v"))
+    g = Matrix.from_dataframe(edges, dtype="INT64")
+    cust = tpch.load_table(spark, sf_dir, "customer")
+    sup = tpch.load_table(spark, sf_dir, "supplier")
+    labels = (cust.select((F.col("c_custkey") * 2).alias("node"),
+                          F.col("c_nationkey").cast("int")
+                           .alias("label"))
+                  .unionByName(
+                      sup.select((F.col("s_suppkey") * 2 + 1)
+                                  .alias("node"),
+                                 F.col("s_nationkey").cast("int")
+                                  .alias("label"))))
+    return g, labels
+
+
+def q259_modularity(spark, sf_dir):
+    """Newman modularity of the nation partition over the customer-
+    supplier trade graph (algorithms.modularity): integer-exact
+    fold sum_c(4*m*m_c - d_c^2) / (4m^2) — evaluates any community
+    assignment (LPA/CC output or an exogenous dimension) without a
+    single floating sum."""
+    g, labels = _cs_bipartite(spark, sf_dir)
+    return alg.modularity(g, labels)
+
+
+def q260_rich_club(spark, sf_dir):
+    """Rich-club coefficient phi(10) of the customer-supplier trade
+    graph (algorithms.rich_club): edge density among degree>10
+    nodes; the rich set semi-joins the canonical edge list on both
+    endpoints (broadcast-sized at any SF)."""
+    g, _ = _cs_bipartite(spark, sf_dir)
+    return alg.rich_club(g, 10)
+
+
+def q261_array_hof(spark, sf_dir):
+    """Higher-order array functions as the vector-column SQL surface
+    (Catalyst lambda expressions — transform/filter/aggregate/
+    zip_with/exists stay WHOLE-STAGE-CODEGEN'd JVM-side, zero Python):
+    per-embedding positive count, L1 norm, self-reversed dot product,
+    and a magnitude flag. Folds are SEQUENTIAL left folds over the
+    array — deterministic and engine-identical (DuckDB list_reduce
+    replays the same order), rounded 6."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vd = F.transform("embedding", lambda x: x.cast("double"))
+    n_pos = F.size(F.filter(vd, lambda x: x > 0)).cast("bigint")
+    l1 = F.round(F.aggregate(vd, F.lit(0.0),
+                             lambda acc, x: acc + F.abs(x)), 6)
+    dotrev = F.round(F.aggregate(
+        F.zip_with(vd, F.reverse(vd), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    has_big = F.exists(vd, lambda x: F.abs(x) > F.lit(0.5))
+    return e.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                    n_pos.alias("n_pos"), l1.alias("l1"),
+                    dotrev.alias("dotrev"), has_big.alias("has_big"))
+
+
+def q262_attribution(spark, sf_dir):
+    """Last-touch conversion attribution (timeseries.attribution):
+    each purchase credits the user's latest strictly-preceding
+    click/view; one user-partitioned window + one grouped fold,
+    values quantized round-6 into a DECIMAL(38,6) sum."""
+    from dask_grblas_spark.functions import timeseries as ts
+    from dask_grblas_spark.streaming import load_events
+    ev = load_events(spark, sf_dir)
+    return ts.attribution(ev, convert_type="purchase",
+                          touch_types=("click", "view"),
+                          model="last_touch")
+
+
+def q263_pr_auc(spark, sf_dir):
+    """Exact average precision / PR AUC (profiling.pr_auc): the
+    rare-positive companion to q256 — per-distinct-score aggregate +
+    two range-partitioned `_prefix_sum` passes in DESCENDING score
+    order; round-6 quantized terms accumulate as DECIMAL(38,6)."""
+    from dask_grblas_spark.functions import profiling
+    cust = tpch.load_table(spark, sf_dir, "customer")
+    return profiling.pr_auc(cust, "c_acctbal",
+                            F.col("c_mktsegment") == "BUILDING")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -3859,6 +3985,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q253_tpch_promo": q253_tpch_promo,
         "q254_tpch_top_supplier": q254_tpch_top_supplier,
         "q255_tpch_small_qty": q255_tpch_small_qty,
+        "q256_roc_auc": q256_roc_auc,
+        "q257_kappa": q257_kappa,
+        "q258_theil": q258_theil,
+        "q259_modularity": q259_modularity,
+        "q260_rich_club": q260_rich_club,
+        "q261_array_hof": q261_array_hof,
+        "q262_attribution": q262_attribution,
+        "q263_pr_auc": q263_pr_auc,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -10031,5 +10165,188 @@ def oracle_sql() -> dict[str, str]:
         FROM brand JOIN stats ON l_partkey = pk
         WHERE 5 * CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(27,2))
               * cnt < sum_qty"""
+
+    # q256: exact AUC — per-distinct-score counts + windowed
+    # cumulative negatives; 2U folds as exact integers
+    sql["q256_roc_auc"] = """
+        WITH t AS (
+          SELECT CAST(c_acctbal AS DOUBLE) AS s,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS y
+          FROM customer WHERE c_acctbal IS NOT NULL),
+        g AS (SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg
+              FROM t GROUP BY 1),
+        c AS (SELECT pos, neg,
+                     COALESCE(SUM(neg) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS cumneg
+              FROM g)
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               ROUND(CAST(SUM(pos * (2 * cumneg + neg)) AS DOUBLE)
+                     / (2.0 * SUM(pos) * SUM(neg)), 6) AS auc
+        FROM c"""
+
+    # q257: Cohen's kappa — all-integer chance correction
+    sql["q257_kappa"] = """
+        WITH t AS (
+          SELECT CASE WHEN n_chars < 500 THEN 'S'
+                      WHEN n_chars < 2000 THEN 'M' ELSE 'L' END AS a,
+                 CASE WHEN length(text) -
+                           length(replace(text, ' ', '')) < 80 THEN 'S'
+                      WHEN length(text) -
+                           length(replace(text, ' ', '')) < 350 THEN 'M'
+                      ELSE 'L' END AS b
+          FROM documents),
+        conf AS (SELECT a, b, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        ma AS (SELECT a, SUM(c) AS na FROM conf GROUP BY 1),
+        mb AS (SELECT b, SUM(c) AS nb FROM conf GROUP BY 1),
+        agg AS (
+          SELECT (SELECT SUM(c) FROM conf) AS n,
+                 (SELECT COALESCE(SUM(c), 0) FROM conf WHERE a = b)
+                   AS agree,
+                 (SELECT SUM(CAST(na AS DECIMAL(38,0)) * nb)
+                  FROM ma JOIN mb ON ma.a = mb.b) AS pe_num)
+        SELECT CAST(n AS BIGINT) AS n,
+               ROUND(CAST(agree AS DOUBLE) / n, 6) AS po,
+               ROUND(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
+                 AS pe,
+               ROUND(CAST(CAST(n AS DECIMAL(38,0)) * agree - pe_num
+                          AS DOUBLE)
+                     / CAST(CAST(n AS DECIMAL(38,0)) * n - pe_num
+                            AS DOUBLE), 6) AS kappa
+        FROM agg"""
+
+    # q258: Theil T — decimal-exact mean, round-6 quantized terms
+    # summed as DECIMAL(38,6) (fold-order invariant)
+    sql["q258_theil"] = """
+        WITH b AS (
+          SELECT CAST(c_acctbal AS DOUBLE) AS x
+          FROM customer WHERE CAST(c_acctbal AS DOUBLE) > 0),
+        a AS (SELECT COUNT(*) AS n,
+                     SUM(CAST(x AS DECIMAL(27,6))) AS tot FROM b),
+        m AS (SELECT n, CAST(tot AS DOUBLE) / n AS mu FROM a)
+        SELECT CAST(m.n AS BIGINT) AS n,
+               ROUND(m.mu, 6) AS mean,
+               ROUND(CAST(SUM(CAST(ROUND((b.x / m.mu)
+                                         * ln(b.x / m.mu), 6)
+                                   AS DECIMAL(38,6))) AS DOUBLE)
+                     / m.n, 6) AS theil
+        FROM b, m GROUP BY m.n, m.mu"""
+
+    # q259/q260 share the unified-node customer-supplier graph
+    CSG = """
+        cs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (SELECT LEAST(2 * c, 2 * s + 1) AS u,
+                     GREATEST(2 * c, 2 * s + 1) AS v FROM cs),
+        deg AS (SELECT n, COUNT(*) AS d
+                FROM (SELECT u AS n FROM e
+                      UNION ALL SELECT v FROM e) GROUP BY 1)"""
+
+    # q259: modularity of the nation partition — pure integer fold
+    sql["q259_modularity"] = f"""
+        WITH {CSG},
+        lab AS (SELECT 2 * c_custkey AS n, c_nationkey AS l
+                FROM customer
+                UNION ALL
+                SELECT 2 * s_suppkey + 1, s_nationkey FROM supplier),
+        mm AS (SELECT COUNT(*) AS m FROM e),
+        dc AS (SELECT l, SUM(d) AS dc FROM deg JOIN lab USING (n)
+               GROUP BY 1),
+        mc AS (SELECT la.l, COUNT(*) AS mc
+               FROM e JOIN lab la ON e.u = la.n
+                      JOIN lab lb ON e.v = lb.n
+               WHERE la.l = lb.l GROUP BY 1),
+        per AS (SELECT dc.l, dc.dc, COALESCE(mc.mc, 0) AS mc
+                FROM dc LEFT JOIN mc USING (l))
+        SELECT CAST(mm.m AS BIGINT) AS n_edges,
+               CAST(COUNT(*) AS BIGINT) AS n_communities,
+               ROUND(CAST(SUM(CAST(4 AS DECIMAL(38,0)) * mm.m * per.mc
+                              - CAST(per.dc AS DECIMAL(38,0)) * per.dc)
+                          AS DOUBLE)
+                     / (4.0 * mm.m * mm.m), 6) AS q
+        FROM per, mm GROUP BY mm.m"""
+
+    # q260: rich-club phi(10) — density among degree>10 nodes
+    sql["q260_rich_club"] = f"""
+        WITH {CSG},
+        rich AS (SELECT n FROM deg WHERE d > 10),
+        ek AS (SELECT COUNT(*) AS e_rich FROM e
+               WHERE u IN (SELECT n FROM rich)
+                 AND v IN (SELECT n FROM rich)),
+        nk AS (SELECT COUNT(*) AS n_rich FROM rich)
+        SELECT CAST(10 AS BIGINT) AS k,
+               CAST(n_rich AS BIGINT) AS n_rich,
+               CAST(e_rich AS BIGINT) AS e_rich,
+               ROUND(2.0 * e_rich / (n_rich * (n_rich - 1.0)), 6)
+                 AS phi
+        FROM nk, ek"""
+
+    # q261: higher-order list functions — sequential left folds,
+    # order-identical to Spark's F.aggregate
+    sql["q261_array_hof"] = """
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(len(list_filter(CAST(embedding AS DOUBLE[]),
+                                    x -> x > 0)) AS BIGINT) AS n_pos,
+               ROUND(list_reduce(
+                   list_prepend(0.0,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> abs(x))),
+                   (a, b) -> a + b), 6) AS l1,
+               ROUND(list_reduce(
+                   list_prepend(0.0,
+                       list_transform(
+                           list_zip(CAST(embedding AS DOUBLE[]),
+                                    list_reverse(CAST(embedding
+                                                      AS DOUBLE[]))),
+                           p -> p[1] * p[2])),
+                   (a, b) -> a + b), 6) AS dotrev,
+               len(list_filter(CAST(embedding AS DOUBLE[]),
+                               x -> abs(x) > 0.5)) > 0 AS has_big
+        FROM embeddings"""
+
+    # q262: last-touch attribution — strictly-preceding IGNORE NULLS
+    # window, round-6 quantized DECIMAL(38,6) value sums
+    sql["q262_attribution"] = """
+        WITH t AS (
+          SELECT user_id, ts, event_type,
+                 CAST(value AS DOUBLE) AS v,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS credit
+          FROM events)
+        SELECT COALESCE(credit, 'none') AS touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS value_sum
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY 1"""
+
+    # q263: average precision — inclusive DESC cumulative counts;
+    # round-6 quantized terms summed as DECIMAL(38,6)
+    sql["q263_pr_auc"] = """
+        WITH t AS (
+          SELECT CAST(c_acctbal AS DOUBLE) AS s,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS y
+          FROM customer WHERE c_acctbal IS NOT NULL),
+        g AS (SELECT s, SUM(y) AS pos, COUNT(*) AS alle
+              FROM t GROUP BY 1),
+        c AS (SELECT pos, alle,
+                     SUM(pos) OVER (ORDER BY s DESC
+                       ROWS UNBOUNDED PRECEDING) AS cpos,
+                     SUM(alle) OVER (ORDER BY s DESC
+                       ROWS UNBOUNDED PRECEDING) AS call
+              FROM g)
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(alle - pos) AS BIGINT) AS n_neg,
+               ROUND(CAST(SUM(CAST(ROUND(pos * (CAST(cpos AS DOUBLE)
+                                                / call), 6)
+                                   AS DECIMAL(38,6))) AS DOUBLE)
+                     / SUM(pos), 6) AS ap
+        FROM c"""
 
     return sql

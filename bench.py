@@ -68,6 +68,9 @@ PIPELINE = [
     # round 9 (r8 verdict item 8): one _exact_rank-family profiling
     # query (range-partitioned prefix sums) tracked round-over-round
     "q194_ks_test",
+    # round 9 session 2: the _prefix_sum machinery (exact AUC) tracked
+    # round-over-round
+    "q256_roc_auc",
 ]
 
 

@@ -29,6 +29,8 @@ join + one aggregation.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1109,3 +1111,104 @@ def reciprocity(A: GrMatrix) -> DataFrame:
     return spark.createDataFrame(
         [(int(n), int(k), round(k / n, 6) if n else None)],
         "n_edges long, n_reciprocal long, reciprocity double")
+
+
+def modularity(A: GrMatrix, labels: DataFrame,
+               node_col: str = "node",
+               label_col: str = "label") -> DataFrame:
+    """Newman modularity Q of a given node partition over the
+    UNDIRECTED simple graph of A (edges canonicalized to
+    (min, max), loops dropped): Q = sum_c [ m_c/m - (d_c/(2m))^2 ]
+    — the community-quality scalar to evaluate LPA/CC output or any
+    exogenous partition (reference exposes the building blocks, not
+    the metric; this engine ships it as a first-class aggregate).
+
+    Plan: ONE canonicalize+distinct shuffle builds the edge set
+    (localCheckpoint shared by all three aggregates); degrees fold
+    from the edge list; two BROADCASTable label joins (labels is a
+    node-sized dimension — broadcast when small, shuffle-hash
+    otherwise, Catalyst/AQE picks) classify intra-community edges.
+    The fold Q = sum_c(4*m*m_c - d_c^2) / (4*m^2) is PURE INTEGER
+    arithmetic in DECIMAL(38,0) — fold-order invariant — with one
+    double division at the end, round 6. Nodes missing a label form
+    their own null community (excluded, matching the SQL inner-join
+    oracle). Output: one row (n_edges, n_communities, q)."""
+    lab = labels.select(F.col(node_col).cast("bigint").alias("_n"),
+                        F.col(label_col).alias("_l"))
+    und = (A.df.select(F.least("i", "j").alias("u"),
+                       F.greatest("i", "j").alias("v"))
+              .where(F.col("u") != F.col("v"))
+              .distinct()
+              .localCheckpoint())
+    m = und.count()
+    spark = get_session()
+    if m == 0:
+        return spark.createDataFrame(
+            [(0, 0, None)],
+            "n_edges long, n_communities long, q double")
+    deg = (und.select(F.col("u").alias("_n"))
+              .unionAll(und.select(F.col("v").alias("_n")))
+              .groupBy("_n").agg(F.count("*").alias("_d")))
+    # d_c = sum of degrees per community; m_c = within-community edges
+    dc = (deg.join(lab, on="_n")
+             .groupBy("_l").agg(F.sum("_d").cast("bigint").alias("_dc")))
+    lu = lab.select(F.col("_n").alias("u"), F.col("_l").alias("_lu"))
+    lv = lab.select(F.col("_n").alias("v"), F.col("_l").alias("_lv"))
+    mc = (und.join(lu, on="u").join(lv, on="v")
+             .where(F.col("_lu") == F.col("_lv"))
+             .groupBy(F.col("_lu").alias("_l"))
+             .agg(F.count("*").cast("bigint").alias("_mc")))
+    per = (dc.join(mc, on="_l", how="left")
+             .select(F.col("_dc"),
+                     F.coalesce(F.col("_mc"), F.lit(0)).alias("_mc")))
+    row = per.agg(
+        F.count("*").alias("_k"),
+        F.sum((4 * F.lit(int(m)) * F.col("_mc")
+               - F.col("_dc") * F.col("_dc"))
+              .cast("decimal(38,0)")).alias("_num")).collect()[0]
+    q = int(row["_num"] or 0) / (4.0 * m * m)
+    q6 = (math.floor(q * 1e6 + 0.5) / 1e6 if q >= 0
+          else -(math.floor(-q * 1e6 + 0.5) / 1e6))
+    return spark.createDataFrame(
+        [(int(m), int(row["_k"] or 0), q6)],
+        "n_edges long, n_communities long, q double")
+
+
+def rich_club(A: GrMatrix, k: int) -> DataFrame:
+    """Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) of the
+    UNDIRECTED simple graph of A: the edge density among nodes of
+    degree > k — do the hubs form their own dense core? (Colizza et
+    al. 2006 definition, unnormalized.)
+
+    Plan: canonical edge set (one distinct shuffle, checkpointed),
+    degree fold, then the degree>k node set SEMI-joins the edge list
+    on both endpoints — the rich set is orders of magnitude smaller
+    than the graph, so both probes broadcast at scale; nothing ever
+    re-shuffles the full edge list. All-integer output plus one
+    double division, round 6; phi NULL when fewer than 2 rich
+    nodes. Output: one row (k, n_rich, e_rich, phi)."""
+    und = (A.df.select(F.least("i", "j").alias("u"),
+                       F.greatest("i", "j").alias("v"))
+              .where(F.col("u") != F.col("v"))
+              .distinct()
+              .localCheckpoint())
+    deg = (und.select(F.col("u").alias("_n"))
+              .unionAll(und.select(F.col("v").alias("_n")))
+              .groupBy("_n").agg(F.count("*").alias("_d")))
+    rich = deg.where(F.col("_d") > k).select("_n")
+    n_rich = rich.count()
+    e_rich = (und.join(rich.withColumnRenamed("_n", "u"),
+                       on="u", how="left_semi")
+                 .join(rich.withColumnRenamed("_n", "v"),
+                       on="v", how="left_semi")
+                 .count())
+    spark = get_session()
+    if n_rich < 2:
+        return spark.createDataFrame(
+            [(k, int(n_rich), int(e_rich), None)],
+            "k long, n_rich long, e_rich long, phi double")
+    phi = 2.0 * e_rich / (n_rich * (n_rich - 1))
+    return spark.createDataFrame(
+        [(k, int(n_rich), int(e_rich),
+          math.floor(phi * 1e6 + 0.5) / 1e6)],
+        "k long, n_rich long, e_rich long, phi double")

@@ -1838,3 +1838,51 @@ def theil_index(df: DataFrame, val_col: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, math.floor(mu * 1e6 + 0.5) / 1e6, t6)],
         "n long, mean double, theil double")
+
+
+def pr_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
+    """EXACT average precision (the step-interpolated PR AUC,
+    sklearn's average_precision_score definition): AP = sum over
+    distinct-score thresholds, descending, of
+    (pos_at_threshold / n_pos) * (cum_pos / cum_all) — the
+    imbalance-robust companion to `roc_auc` for rare-positive
+    filter tuning.
+
+    Plan: ONE grouped aggregate per distinct score, then TWO
+    range-partitioned `_prefix_sum` passes (positives and totals)
+    over the DESCENDING score order — no single-task global window.
+    Each threshold's term pos*(cum_pos/cum_all) associates
+    identically in both engines (IEEE division then multiply),
+    quantizes at ROUND(.,6), and accumulates as DECIMAL(38,6) —
+    fold-order invariant; the single /n_pos division happens once at
+    the end. Output: one row (n_pos, n_neg, ap); NULL ap without
+    positives."""
+    lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    lbl = lbl.cast("int")
+    s = F.col(score_col).cast("double")
+    per = (df.select(s.alias("_s"), lbl.alias("_y"))
+             .where(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+             .groupBy("_s")
+             .agg(F.sum("_y").cast("bigint").alias("_pos"),
+                  F.count("*").cast("bigint").alias("_all")))
+    desc = [F.col("_s").desc()]
+    p1, _ = _prefix_sum(per, desc, "_pos", "_cpos0")
+    p2, _ = _prefix_sum(p1, desc, "_all", "_call0")
+    term = F.round(F.col("_pos")
+                   * ((F.col("_cpos0") + F.col("_pos"))
+                      / (F.col("_call0") + F.col("_all"))), 6) \
+            .cast("decimal(38,6)")
+    row = p2.agg(F.sum("_pos").cast("bigint").alias("n_pos"),
+                 F.sum(F.col("_all") - F.col("_pos")).cast("bigint")
+                  .alias("n_neg"),
+                 F.sum(term).alias("_t")).collect()[0]
+    n_pos = int(row["n_pos"] or 0)
+    n_neg = int(row["n_neg"] or 0)
+    spark = df.sparkSession
+    if n_pos == 0:
+        return spark.createDataFrame(
+            [(0, n_neg, None)], "n_pos long, n_neg long, ap double")
+    ap = float(row["_t"]) / n_pos
+    return spark.createDataFrame(
+        [(n_pos, n_neg, math.floor(ap * 1e6 + 0.5) / 1e6)],
+        "n_pos long, n_neg long, ap double")

@@ -1068,3 +1068,42 @@ def ohlc(events_df: DataFrame, key_col: str = "event_type",
                  F.min("_v").alias("low"),
                  F.max_by("_v", F.col("_o")).alias("close"),
                  F.count("*").cast("bigint").alias("n")))
+
+
+def attribution(df: DataFrame, user_col: str = "user_id",
+                ts_col: str = "ts", type_col: str = "event_type",
+                val_col: str = "value",
+                convert_type: str = "purchase",
+                touch_types: tuple = ("click", "view"),
+                model: str = "last_touch") -> DataFrame:
+    """Single-touch marketing/conversion attribution: every
+    ``convert_type`` event credits the LAST (or FIRST, per ``model``)
+    strictly-preceding touch event of the same user; conversions with
+    no prior touch land in the 'none' bucket — the channel-ROI rollup
+    of an event-stream warehouse.
+
+    Plan: ONE user-partitioned ordered window over the user's event
+    history (per-user history is bounded, so no global sort and no
+    skew beyond a power user — the same frame discipline as
+    `event_transitions`); `last(touch, ignorenulls)` over the
+    strictly-preceding frame picks the credited channel in a single
+    pass, then a map-side-combined group count per channel. Values
+    quantize ROUND(.,6) per row and accumulate as DECIMAL(38,6) —
+    fold-order invariant (the q174 lesson). Output: one row per
+    credited channel (touch_type, n_conversions, value_sum round 6).
+    """
+    if model not in ("last_touch", "first_touch"):
+        raise ValueError(f"unknown attribution model: {model!r}")
+    w = (Window.partitionBy(user_col).orderBy(ts_col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(F.col(type_col).isin(*touch_types), F.col(type_col))
+    pick = (F.last(touch, ignorenulls=True) if model == "last_touch"
+            else F.first(touch, ignorenulls=True))
+    vd = F.round(F.col(val_col).cast("double"), 6) \
+          .cast("decimal(38,6)")
+    return (df.withColumn("_credit", pick.over(w))
+              .where(F.col(type_col) == convert_type)
+              .groupBy(F.coalesce(F.col("_credit"), F.lit("none"))
+                        .alias("touch_type"))
+              .agg(F.count("*").cast("bigint").alias("n_conversions"),
+                   F.sum(vd).cast("double").alias("value_sum")))

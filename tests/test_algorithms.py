@@ -579,3 +579,58 @@ def test_harmonic_centrality_path_graph(spark):
                               nrows=3, ncols=3)
     out = {r.i: r.harmonic for r in harmonic_centrality(A).collect()}
     assert out == {0: 1.5, 1: 2.0, 2: 1.5}
+
+
+def test_modularity_two_cliques(spark):
+    # two triangles joined by one edge; perfect partition ->
+    # Q = sum_c(m_c/m - (d_c/2m)^2) = (3/7-(7/14)^2)*2 = 0.357143
+    import dask_grblas_spark as gb
+    from dask_grblas_spark import algorithms as alg
+    from pyspark.sql import functions as F  # noqa: F401
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(3, 4), (4, 5), (3, 5)]
+    bridge = [(2, 3)]
+    rows = [(i, j, 1) for i, j in tri1 + tri2 + bridge]
+    A = gb.Matrix.from_values([r[0] for r in rows],
+                              [r[1] for r in rows],
+                              [r[2] for r in rows], nrows=6, ncols=6)
+    labels = spark.createDataFrame(
+        [(n, n // 3) for n in range(6)], "node long, label int")
+    r = alg.modularity(A, labels).collect()[0]
+    assert r["n_edges"] == 7 and r["n_communities"] == 2
+    assert abs(r["q"] - 0.357143) < 1e-6
+
+
+def test_modularity_empty_graph(spark):
+    import dask_grblas_spark as gb
+    from dask_grblas_spark import algorithms as alg
+    A = gb.Matrix.new("INT64", 4, 4)
+    labels = spark.createDataFrame([(0, 0)], "node long, label int")
+    r = alg.modularity(A, labels).collect()[0]
+    assert r["n_edges"] == 0 and r["q"] is None
+
+
+def test_rich_club_star_plus_core(spark):
+    # star center 0 -> 1..5 (deg 5) plus a 3-clique among {0,1,2}
+    # makes degrees: 0:5, 1:2, 2:2, rest 1. k=1 -> rich {0,1,2},
+    # edges among them: (0,1),(0,2),(1,2) -> phi = 2*3/(3*2) = 1.0
+    import dask_grblas_spark as gb
+    from dask_grblas_spark import algorithms as alg
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    A = gb.Matrix.from_values([e[0] for e in edges],
+                              [e[1] for e in edges],
+                              [1] * len(edges), nrows=6, ncols=6)
+    r = alg.rich_club(A, 1).collect()[0]
+    assert (r["n_rich"], r["e_rich"]) == (3, 3)
+    assert r["phi"] == 1.0
+
+
+def test_rich_club_insufficient_rich_null(spark):
+    import dask_grblas_spark as gb
+    from dask_grblas_spark import algorithms as alg
+    edges = [(0, 1), (0, 2), (0, 3)]
+    A = gb.Matrix.from_values([e[0] for e in edges],
+                              [e[1] for e in edges],
+                              [1] * 3, nrows=4, ncols=4)
+    r = alg.rich_club(A, 2).collect()[0]  # only node 0 has deg > 2
+    assert r["n_rich"] == 1 and r["phi"] is None

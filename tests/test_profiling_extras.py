@@ -1,0 +1,126 @@
+"""Unit tests for the r9 profiling additions (roc_auc, cohens_kappa,
+theil_index) — known hand-computed values plus the degenerate branches
+the SQL-oracle gates (q256-q258) cannot reach (empty input, one-class
+labels, single-category raters)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from dask_grblas_spark.functions import profiling
+
+
+def test_roc_auc_known_value(spark):
+    # scores: pos {3, 2}, neg {1, 2} -> pairs: (3>1)=1, (3>2)=1,
+    # (2>1)=1, (2==2)=0.5 -> AUC = 3.5/4 = 0.875
+    df = spark.createDataFrame(
+        [(3.0, 1), (2.0, 1), (1.0, 0), (2.0, 0)], "s double, y int")
+    row = profiling.roc_auc(df, "s", "y").collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (2, 2)
+    assert row["auc"] == pytest.approx(0.875)
+
+
+def test_roc_auc_perfect_and_inverted(spark):
+    df = spark.createDataFrame(
+        [(float(i), 1 if i >= 5 else 0) for i in range(10)],
+        "s double, y int")
+    assert profiling.roc_auc(df, "s", "y").collect()[0]["auc"] == 1.0
+    from pyspark.sql import functions as F
+    flipped = df.withColumn("y", 1 - F.col("y"))
+    assert profiling.roc_auc(flipped, "s", "y").collect()[0]["auc"] == 0.0
+
+
+def test_roc_auc_one_class_null(spark):
+    df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, y int")
+    row = profiling.roc_auc(df, "s", "y").collect()[0]
+    assert row["n_neg"] == 0 and row["auc"] is None
+
+
+def test_cohens_kappa_textbook(spark):
+    # classic 2x2: agree 45(yes)+15(no)=60 of 100; marginals
+    # a_yes=70/a_no=30, b_yes=60/b_no=40 -> pe = .42+.12 = .54
+    # kappa = (.60-.54)/(1-.54) = 0.130435
+    rows = ([("y", "y")] * 45 + [("y", "n")] * 25
+            + [("n", "y")] * 15 + [("n", "n")] * 15)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = profiling.cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 100
+    assert r["po"] == pytest.approx(0.6)
+    assert r["pe"] == pytest.approx(0.54)
+    assert r["kappa"] == pytest.approx(0.130435, abs=1e-6)
+
+
+def test_cohens_kappa_single_category_null(spark):
+    df = spark.createDataFrame([("x", "x")] * 5, "a string, b string")
+    r = profiling.cohens_kappa(df, "a", "b").collect()[0]
+    assert r["po"] == 1.0 and r["kappa"] is None
+
+
+def test_cohens_kappa_empty(spark):
+    df = spark.createDataFrame([], "a string, b string")
+    r = profiling.cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 0 and r["kappa"] is None
+
+
+def test_theil_equal_values_zero(spark):
+    df = spark.createDataFrame([(5.0,)] * 8, "x double")
+    r = profiling.theil_index(df, "x").collect()[0]
+    assert r["n"] == 8 and r["theil"] == pytest.approx(0.0)
+
+
+def test_theil_known_value(spark):
+    # x = [1, 3]: mu=2, T = ((0.5*ln0.5) + (1.5*ln1.5))/2
+    df = spark.createDataFrame([(1.0,), (3.0,)], "x double")
+    expect = (0.5 * math.log(0.5) + 1.5 * math.log(1.5)) / 2
+    r = profiling.theil_index(df, "x").collect()[0]
+    assert r["theil"] == pytest.approx(expect, abs=2e-6)
+
+
+def test_theil_nonpositive_filtered_and_empty(spark):
+    df = spark.createDataFrame([(0.0,), (-2.0,)], "x double")
+    r = profiling.theil_index(df, "x").collect()[0]
+    assert r["n"] == 0 and r["theil"] is None
+
+
+def test_prefix_sum_matches_serial(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(i, i % 7) for i in range(500)],
+                               "k long, v long")
+    out, tot = profiling._prefix_sum(df, [F.col("k")], "v", "_ps")
+    assert tot == sum(i % 7 for i in range(500))
+    got = {r["k"]: r["_ps"] for r in out.collect()}
+    run = 0
+    for i in range(500):
+        assert got[i] == run
+        run += i % 7
+
+
+def test_pr_auc_known_value(spark):
+    # ranked desc: scores 4(pos), 3(neg), 2(pos), 1(neg)
+    # thresholds: s=4: P=1/1, dR=1/2 -> .5; s=2: P=2/3, dR=1/2 -> 1/3
+    # AP = 0.5 + 0.333333 = 0.833333
+    df = spark.createDataFrame(
+        [(4.0, 1), (3.0, 0), (2.0, 1), (1.0, 0)], "s double, y int")
+    r = profiling.pr_auc(df, "s", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (2, 2)
+    assert r["ap"] == pytest.approx(0.833333, abs=2e-6)
+
+
+def test_pr_auc_all_positive_and_none(spark):
+    df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, y int")
+    assert profiling.pr_auc(df, "s", "y").collect()[0]["ap"] == 1.0
+    df0 = spark.createDataFrame([(1.0, 0)], "s double, y int")
+    r = profiling.pr_auc(df0, "s", "y").collect()[0]
+    assert r["n_pos"] == 0 and r["ap"] is None
+
+
+def test_pr_auc_ties_grouped_at_threshold(spark):
+    # tied scores form ONE threshold: scores [2,2] (1 pos, 1 neg),
+    # [1] neg -> single effective cut at s=2: P=1/2, dR=1
+    # then s=1 adds no positives. AP = 0.5
+    df = spark.createDataFrame(
+        [(2.0, 1), (2.0, 0), (1.0, 0)], "s double, y int")
+    r = profiling.pr_auc(df, "s", "y").collect()[0]
+    assert r["ap"] == pytest.approx(0.5)

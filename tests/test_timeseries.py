@@ -791,3 +791,34 @@ def test_asof_join_directions(spark):
                                      "l3": None}
     with pytest.raises(ValueError):
         asof_join(left, right, "k", direction="sideways")
+
+
+def test_attribution_last_first_and_none(spark):
+    import datetime as dt
+
+    import pytest
+
+    from dask_grblas_spark.functions import timeseries as ts
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: click, view, purchase -> last=view, first=click
+        (1, t0, "click", 0.0),
+        (1, t0 + dt.timedelta(minutes=1), "view", 0.0),
+        (1, t0 + dt.timedelta(minutes=2), "purchase", 10.0),
+        # user 2: purchase with no prior touch -> none
+        (2, t0, "purchase", 5.0),
+        # user 2: later click then purchase -> click
+        (2, t0 + dt.timedelta(minutes=1), "click", 0.0),
+        (2, t0 + dt.timedelta(minutes=2), "purchase", 7.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double")
+    last = {r["touch_type"]: (r["n_conversions"], r["value_sum"])
+            for r in ts.attribution(df).collect()}
+    assert last == {"view": (1, 10.0), "none": (1, 5.0),
+                    "click": (1, 7.5)}
+    first = {r["touch_type"]: r["n_conversions"]
+             for r in ts.attribution(df, model="first_touch").collect()}
+    assert first == {"click": 2, "none": 1}
+    with pytest.raises(ValueError):
+        ts.attribution(df, model="multi_touch")
