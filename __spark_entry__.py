@@ -2665,6 +2665,58 @@ def q263_pr_auc(spark, sf_dir):
                             F.col("c_mktsegment") == "BUILDING")
 
 
+def q264_tpch_shipmode(spark, sf_dir):
+    """TPC-H Q12 shape adapted (no l_shipmode/commitdate columns in
+    this dataset — l_returnflag stands in for the mode dimension):
+    per returnflag, how many 1996-shipped lineitems belong to
+    high-priority (URGENT/HIGH) vs lower-priority orders. The
+    conditional-count pivot folds map-side; orders joins lineitem on
+    the orderkey shuffle, the year filter pushes to the lineitem
+    scan."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                     & (F.col("l_shipdate") < F.lit("1997-01-01")))
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .groupBy("l_returnflag")
+              .agg(F.sum(hi.cast("bigint")).cast("bigint")
+                    .alias("high_line_count"),
+                   F.sum((~hi).cast("bigint")).cast("bigint")
+                    .alias("low_line_count")))
+
+
+def q265_degree_histogram(spark, sf_dir):
+    """Degree distribution of the customer-supplier trade graph
+    (algorithms.degree_histogram): the hub-audit first pass — two
+    map-side-combined aggregates; output bounded by the max degree,
+    not by n."""
+    g, _ = _cs_bipartite(spark, sf_dir)
+    return alg.degree_histogram(g)
+
+
+def q266_near_dup_clusters(spark, sf_dir):
+    """END-TO-END near-dup clustering — the flagship corpus-dedup
+    composition: MinHash-LSH candidate pairs (q32's banded pipeline,
+    verified exact Jaccard >= 0.2) feed FastSV connected components
+    in SPARSE-ID mode (labels = distinct edge endpoints; min-label
+    propagation, so each doc's cluster is the component's smallest
+    doc_id — the canonical keep-id). The oracle replays the pairs in
+    SQL and closes them with a RECURSIVE transitive-closure CTE: an
+    INDEPENDENT algorithm agreeing on every cluster assignment.
+    Output: (doc_id, cluster) for every doc in a near-dup pair."""
+    pairs = dedup.minhash_lsh_pairs(_doc(spark, sf_dir), n=3,
+                                    threshold=0.2, num_hashes=32,
+                                    bands=16)
+    edges = pairs.select(F.col("id_a").alias("i"),
+                         F.col("id_b").alias("j"),
+                         F.lit(1).cast("bigint").alias("v"))
+    g = Matrix.from_dataframe(edges, dtype="INT64")
+    comp = alg.connected_components(g, vertices="edges")
+    return comp.df.select(F.col("i").alias("doc_id"),
+                          F.col("v").alias("cluster"))
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -3993,6 +4045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q261_array_hof": q261_array_hof,
         "q262_attribution": q262_attribution,
         "q263_pr_auc": q263_pr_auc,
+        "q264_tpch_shipmode": q264_tpch_shipmode,
+        "q265_degree_histogram": q265_degree_histogram,
+        "q266_near_dup_clusters": q266_near_dup_clusters,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -10348,5 +10403,83 @@ def oracle_sql() -> dict[str, str]:
                                    AS DECIMAL(38,6))) AS DOUBLE)
                      / SUM(pos), 6) AS ap
         FROM c"""
+
+    # q264: TPC-H Q12 shape (returnflag as the mode dimension)
+    sql["q264_tpch_shipmode"] = """
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN
+                                  ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                                  ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1"""
+
+    # q265: degree histogram of the unified-node trade graph
+    sql["q265_degree_histogram"] = f"""
+        WITH {CSG},
+        hist AS (SELECT d AS degree, COUNT(*) AS n_nodes
+                 FROM deg GROUP BY 1),
+        tot AS (SELECT SUM(n_nodes) AS t FROM hist)
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(n_nodes AS BIGINT) AS n_nodes,
+               ROUND(CAST(n_nodes AS DOUBLE) / t, 6) AS share
+        FROM hist, tot"""
+
+    # q266: q32's verified minhash pairs + RECURSIVE transitive
+    # closure — an independent CC algorithm must agree with FastSV's
+    # min-label clusters
+    sql["q266_near_dup_clusters"] = rf"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(
+                   list_transform(
+                     range(len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                     p -> array_to_string(
+                       regexp_split_to_array(trim(text), '\s+')[p+1:p+3], ' '))))
+                 AS shingle
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+        ), hashed AS (
+          SELECT id, ('0x' || substr(md5(shingle), 8, 8))::BIGINT AS h32,
+                 shingle
+          FROM sh
+        ), sizes AS (
+          SELECT id, COUNT(*) AS sz FROM sh GROUP BY 1
+        ), mins AS (
+          SELECT id,
+                 {min_cols}
+          FROM hashed GROUP BY id
+        ), cand AS (
+          SELECT DISTINCT id_a, id_b FROM (
+{band_joins}
+          )
+        ), inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY 1, 2
+        ), ver AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+          JOIN sizes sa ON sa.id = c.id_a
+          JOIN sizes sb ON sb.id = c.id_b
+          WHERE ROUND(n * 1.0 / (sa.sz + sb.sz - n), 6) >= 0.2
+        ), und AS (
+          SELECT id_a AS u, id_b AS v FROM ver
+          UNION SELECT id_b, id_a FROM ver
+        ), reach (u, v) AS (
+          SELECT u, v FROM und
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+        )
+        SELECT CAST(u AS BIGINT) AS doc_id,
+               CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster
+        FROM reach GROUP BY u"""
 
     return sql

@@ -44,7 +44,8 @@ __all__ = ["bfs_level", "sssp", "connected_components", "pagerank",
            "label_propagation", "neighborhood_jaccard",
            "personalized_pagerank", "degree_assortativity",
            "reciprocity", "katz_centrality", "k_truss",
-           "capped_hub_count", "eccentricity", "harmonic_centrality"]
+           "capped_hub_count", "eccentricity", "harmonic_centrality",
+           "modularity", "rich_club", "degree_histogram"]
 
 # Lineage growth between checkpoints is GEOMETRIC for min-merge loops:
 # each iteration's state plan nests the previous state ~3x (improved
@@ -1212,3 +1213,27 @@ def rich_club(A: GrMatrix, k: int) -> DataFrame:
         [(k, int(n_rich), int(e_rich),
           math.floor(phi * 1e6 + 0.5) / 1e6)],
         "k long, n_rich long, e_rich long, phi double")
+
+
+def degree_histogram(A: GrMatrix) -> DataFrame:
+    """Degree distribution of the UNDIRECTED simple graph of A:
+    (degree, n_nodes, share) — the first profiling pass over any new
+    edge dump (power-law check, hub audit, cap tuning for the
+    max_degree-capped operators). Two map-side-combined aggregates
+    (node degree, then nodes per degree) over the canonical edge set;
+    the output is bounded by the max degree, never by n. share
+    rounds 6."""
+    und = (A.df.select(F.least("i", "j").alias("u"),
+                       F.greatest("i", "j").alias("v"))
+              .where(F.col("u") != F.col("v"))
+              .distinct())
+    deg = (und.select(F.col("u").alias("_n"))
+              .unionAll(und.select(F.col("v").alias("_n")))
+              .groupBy("_n").agg(F.count("*").alias("_d")))
+    hist = deg.groupBy(F.col("_d").cast("bigint").alias("degree")) \
+              .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    total = hist.agg(F.sum("n_nodes").alias("_t"))
+    return (hist.crossJoin(F.broadcast(total))
+                .select("degree", "n_nodes",
+                        F.round(F.col("n_nodes") / F.col("_t"), 6)
+                         .alias("share")))

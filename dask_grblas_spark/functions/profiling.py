@@ -1666,44 +1666,60 @@ def winsorize(df: DataFrame, group_col: str, val_col: str,
                .drop("_lo", "_hi"))
 
 
-def _prefix_sum(df: DataFrame, sort_cols: list, val_col: str,
-                out_col: str = "_psum"):
-    """EXCLUSIVE prefix sum of ``val_col`` (integral) over the total
-    order given by ``sort_cols`` (a DISTINCT composite key) — the
-    running-total sibling of `_exact_rank`, same discipline: no
-    single-task global window. repartitionByRange on the full sort key
-    makes each partition a contiguous interval; the numPartitions
-    per-partition sums come to the driver (bounded), accumulate as
-    PYTHON ints (arbitrary precision — no bigint overflow at any n),
-    and the row's prefix = partition offset + an intra-partition
-    running window. Placement is pinned via localCheckpoint so the
-    sum pass and the window pass agree. Returns (df + out_col, total).
-    """
+def _prefix_sum(df: DataFrame, sort_cols: list, val_col,
+                out_col="_psum"):
+    """EXCLUSIVE prefix sum of one or several integral ``val_col``s
+    over the total order given by ``sort_cols`` (a DISTINCT composite
+    key) — the running-total sibling of `_exact_rank`, same
+    discipline: no single-task global window. repartitionByRange on
+    the full sort key makes each partition a contiguous interval; the
+    numPartitions per-partition sums come to the driver (bounded),
+    accumulate as PYTHON ints (arbitrary precision — no bigint
+    overflow at any n), and each row's prefix = partition offset + an
+    intra-partition running window. Multiple columns share ONE range
+    shuffle, one driver collect, and one window pass (pr_auc needs
+    two running totals — paying the shuffle twice doubled its probe
+    time). Placement is pinned via localCheckpoint so the sum pass
+    and the window pass agree. Returns (df + out_col(s), total(s));
+    totals mirror the input shape (scalar for a str, list for a
+    list)."""
     from pyspark.sql.window import Window as W
 
+    single = isinstance(val_col, str)
+    cols = [val_col] if single else list(val_col)
+    outs = [out_col] if single else list(out_col)
+    assert len(cols) == len(outs)
     spark = df.sparkSession
     nparts = _shuffle_parts(spark)
     tagged = (df.repartitionByRange(nparts, *sort_cols)
                 .withColumn("_p", F.spark_partition_id())
                 .localCheckpoint())
-    sums = dict(tagged.groupBy("_p")
-                      .agg(F.sum(F.col(val_col).cast("bigint")))
-                      .collect())
-    offsets, cum = {}, 0
+    rows = (tagged.groupBy("_p")
+                  .agg(*[F.sum(F.col(c).cast("bigint")).alias(f"_s{i}")
+                         for i, c in enumerate(cols)])
+                  .collect())
+    sums = {r["_p"]: [int(r[f"_s{i}"] or 0) for i in range(len(cols))]
+            for r in rows}
+    offsets, cum = {}, [0] * len(cols)
     for p in sorted(sums):
-        offsets[p] = cum
-        cum += int(sums[p] or 0)
+        offsets[p] = list(cum)
+        cum = [a + b for a, b in zip(cum, sums[p])]
     if not offsets:
-        return (tagged.withColumn(out_col, F.lit(0).cast("bigint"))
-                      .drop("_p"), 0)
-    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        for o in outs:
+            tagged = tagged.withColumn(o, F.lit(0).cast("bigint"))
+        tagged = tagged.drop("_p")
+        return (tagged, 0) if single else (tagged, cum)
     w = (W.partitionBy("_p").orderBy(*sort_cols)
           .rowsBetween(W.unboundedPreceding, -1))
-    run = F.coalesce(F.sum(F.col(val_col).cast("bigint")).over(w),
-                     F.lit(0))
-    return (tagged.withColumn(out_col,
-                              (off[F.col("_p")] + run).cast("bigint"))
-                  .drop("_p"), cum)
+    for i, (c, o) in enumerate(zip(cols, outs)):
+        off = F.create_map(*[F.lit(x) for p, v in offsets.items()
+                             for x in (p, v[i])])
+        run = F.coalesce(F.sum(F.col(c).cast("bigint")).over(w),
+                         F.lit(0))
+        tagged = tagged.withColumn(
+            o, (off[F.col("_p")] + run).cast("bigint"))
+    tagged = tagged.drop("_p")
+    return (tagged, cum[0]) if single else (tagged, cum)
 
 
 def roc_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
@@ -1866,8 +1882,8 @@ def pr_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
              .agg(F.sum("_y").cast("bigint").alias("_pos"),
                   F.count("*").cast("bigint").alias("_all")))
     desc = [F.col("_s").desc()]
-    p1, _ = _prefix_sum(per, desc, "_pos", "_cpos0")
-    p2, _ = _prefix_sum(p1, desc, "_all", "_call0")
+    p2, _ = _prefix_sum(per, desc, ["_pos", "_all"],
+                        ["_cpos0", "_call0"])
     term = F.round(F.col("_pos")
                    * ((F.col("_cpos0") + F.col("_pos"))
                       / (F.col("_call0") + F.col("_all"))), 6) \

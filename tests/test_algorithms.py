@@ -634,3 +634,15 @@ def test_rich_club_insufficient_rich_null(spark):
                               [1] * 3, nrows=4, ncols=4)
     r = alg.rich_club(A, 2).collect()[0]  # only node 0 has deg > 2
     assert r["n_rich"] == 1 and r["phi"] is None
+
+
+def test_degree_histogram_star(spark):
+    import dask_grblas_spark as gb
+    from dask_grblas_spark import algorithms as alg
+    edges = [(0, i) for i in range(1, 6)]  # star: center deg 5, leaves 1
+    A = gb.Matrix.from_values([e[0] for e in edges],
+                              [e[1] for e in edges],
+                              [1] * 5, nrows=6, ncols=6)
+    got = {r["degree"]: (r["n_nodes"], r["share"])
+           for r in alg.degree_histogram(A).collect()}
+    assert got == {1: (5, 0.833333), 5: (1, 0.166667)}

@@ -1574,6 +1574,58 @@ def main() -> int:
           lambda: asof_join(asof_l, asof_r, "user_id",
                             direction="nearest"))
 
+    # exact AUC / AP at 10M rows with ALL-DISTINCT scores (the worst
+    # case for the per-distinct-score relation: the _prefix_sum runs
+    # over 10M groups, not a collapsed handful)
+    from dask_grblas_spark.functions.profiling import pr_auc, roc_auc
+    auc_df = spark.range(NEV).select(
+        (F.xxhash64("id", F.lit(71)) % 10000000 / 7.0).alias("s"),
+        (F.pmod(F.xxhash64("id", F.lit(72)), F.lit(100)) < 3)
+        .cast("int").alias("y"))  # 3% positives
+    probe("roc_auc_distinct_scores", NEV,
+          lambda: roc_auc(auc_df, "s", "y"))
+    probe("pr_auc_distinct_scores", NEV,
+          lambda: pr_auc(auc_df, "s", "y"))
+
+    # attribution at 10M events with ONE hot user holding ~20% of the
+    # stream (the user-partitioned window must tolerate a power user;
+    # per-user history is a single task — this measures that ceiling)
+    from dask_grblas_spark.functions.timeseries import attribution
+    att_df = spark.range(NEV).select(
+        F.when(F.pmod(F.xxhash64("id", F.lit(81)), F.lit(5)) == 0,
+               F.lit(7)).otherwise(
+            F.pmod(F.xxhash64("id", F.lit(82)), F.lit(200000)))
+        .alias("user_id"),
+        F.timestamp_seconds(1700000000
+                            + F.pmod(F.xxhash64("id", F.lit(83)),
+                                     F.lit(50000000))).alias("ts"),
+        F.element_at(F.array(F.lit("click"), F.lit("view"),
+                             F.lit("purchase"), F.lit("error")),
+                     (F.pmod(F.xxhash64("id", F.lit(84)), F.lit(4))
+                      + 1).cast("int")).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(85)), F.lit(10000)) / 100.0)
+        .alias("value"))
+    probe("attribution_hot_user", NEV,
+          lambda: attribution(att_df))
+
+    # modularity + rich-club on a 20M-edge hashed graph over 2M nodes
+    # with 50 communities (canonical edge set + two label joins; the
+    # integer fold never materializes anything node-quadratic)
+    NMOD = 2_000_000 if QUICK else 20_000_000
+    mod_edges = spark.range(NMOD).select(
+        F.pmod(F.xxhash64("id", F.lit(91)), F.lit(2000000)).alias("i"),
+        F.pmod(F.xxhash64("id", F.lit(92)), F.lit(2000000)).alias("j"),
+        F.lit(1).cast("bigint").alias("v"))
+    mod_labels = spark.range(2000000).select(
+        F.col("id").alias("node"),
+        F.pmod(F.xxhash64("id", F.lit(93)), F.lit(50)).alias("label"))
+    gmod = gb.Matrix.from_dataframe(mod_edges, 2000000, 2000000,
+                                    dtype="INT64")
+    probe("modularity_20m_edges", NMOD,
+          lambda: alg.modularity(gmod, mod_labels))
+    probe("rich_club_20m_edges", NMOD,
+          lambda: alg.rich_club(gmod, 30))
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0

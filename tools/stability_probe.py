@@ -34,7 +34,12 @@ DEFAULT = ["q174_gini", "q203_cube", "q216_tpch_pricing",
            # r9 additions: decimal top-k tie-breaks + the two-rank
            # quantile-normalize machinery + the QL score ranking
            "q224_tpch_returns", "q231_big_orders",
-           "q248_quantile_normalize", "q243_dirichlet_ql"]
+           "q248_quantile_normalize", "q243_dirichlet_ql",
+           # r9 session 2: per-row ln quantization (theil), the
+           # decimal-sum attribution rollup, the biggest new TPC-H
+           # money sums, and the prefix-sum AP fold
+           "q258_theil", "q262_attribution", "q251_tpch_volume",
+           "q263_pr_auc"]
 
 PARTITION_GRID = (5, 32, 77, 200)
 
