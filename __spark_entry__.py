@@ -2717,6 +2717,56 @@ def q266_near_dup_clusters(spark, sf_dir):
                           F.col("v").alias("cluster"))
 
 
+def q267_part_value_share(spark, sf_dir):
+    """TPC-H Q11 shape adapted (no partsupp table — part value =
+    lineitem revenue per part): parts whose total revenue exceeds a
+    GLOBAL-threshold scalar subquery (0.1% of all revenue). The
+    per-part rollup happens once; the 1-row global total broadcasts
+    back as a nested-loop filter on EXACT decimals (a double
+    threshold at a tie boundary would be engine roulette)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.col("l_extendedprice").cast("double") \
+        .cast("decimal(27,2)")
+    per = (li.groupBy(F.col("l_partkey").cast("bigint")
+                       .alias("p_partkey"))
+             .agg(F.sum(rev).alias("_val_d")))
+    tot = per.agg(F.sum("_val_d").alias("_tot"),
+                  F.count("*").alias("_n"))
+    return (per.join(F.broadcast(tot),
+                     F.col("_val_d") * F.col("_n") * 5
+                     > F.col("_tot") * 6)
+               .select("p_partkey",
+                       F.col("_val_d").cast("double").alias("value")))
+
+
+def q268_tpch_profit_shape(spark, sf_dir):
+    """TPC-H Q9 shape adapted (no partsupp/supplycost — profit
+    reduces to part revenue): revenue per supplier nation and order
+    year for parts whose name contains 'red'. The part filter
+    broadcasts (name predicate pushed to the dimension scan), nation
+    broadcasts, the fact-fact joins shuffle on their keys; DECIMAL
+    revenue."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rev = (F.col("l_extendedprice").cast("double")
+           * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
+        .cast("decimal(27,4)")
+    return (li.join(F.broadcast(p.where(F.col("p_name").like("%red%"))
+                                 .select("p_partkey")),
+                    li.l_partkey == F.col("p_partkey"))
+              .join(s, li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n.select("n_nationkey", "n_name")),
+                    s.s_nationkey == F.col("n_nationkey"))
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.year("o_orderdate").cast("bigint")
+                        .alias("o_year"))
+              .agg(F.sum(rev).cast("double").alias("sum_profit")))
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -4048,6 +4098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q264_tpch_shipmode": q264_tpch_shipmode,
         "q265_degree_histogram": q265_degree_histogram,
         "q266_near_dup_clusters": q266_near_dup_clusters,
+        "q267_part_value_share": q267_part_value_share,
+        "q268_tpch_profit_shape": q268_tpch_profit_shape,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -4203,7 +4255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     window = [f"q2{i:02d}" for i in range(1, 49)]  # q201..q248: never
     window += ["q162", "q174"]                     # r8 reds, re-record
-    # q249 + the r6-recorded block lead the r10 queue
+    # q249-q268 (never recorded) + the r6-recorded block lead the
+    # r10 queue
 
     bypfx = {k.split("_")[0]: k for k in base}
     head = {bypfx[p]: base[bypfx[p]] for p in window}
@@ -10481,5 +10534,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(u AS BIGINT) AS doc_id,
                CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster
         FROM reach GROUP BY u"""
+
+    # q267: Q11 shape — global 1.2x-average threshold, EXACT
+    # decimals cross-multiplied (val * n * 5 > 6 * total)
+    sql["q267_part_value_share"] = """
+        WITH per AS (
+          SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+                 SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                          AS DECIMAL(27,2))) AS val_d
+          FROM lineitem GROUP BY 1),
+        tot AS (SELECT SUM(val_d) AS t, COUNT(*) AS n FROM per)
+        SELECT p_partkey, CAST(val_d AS DOUBLE) AS value
+        FROM per, tot
+        WHERE val_d * n * 5 > t * 6"""
+
+    # q268: Q9 shape — nation x order-year revenue for '%red%' parts
+    sql["q268_tpch_profit_shape"] = """
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+                 AS o_year,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                             * (1.0 - CAST(l_discount AS DOUBLE))
+                             AS DECIMAL(27,4))) AS DOUBLE)
+                 AS sum_profit
+        FROM lineitem, part, supplier, nation, orders
+        WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
+          AND p_name LIKE '%red%'
+        GROUP BY 1, 2"""
 
     return sql
