@@ -290,3 +290,42 @@ def test_bm25_broadcasts_query_vocabulary(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _physical(bm25_topk(docs, [(1, "spark join")], k=5))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_volume_broadcasts_nation_lookups(spark):
+    """q251 (Q7 shape): both nation lookups must broadcast; the only
+    shuffle-exchanges are the fact joins + the final aggregate."""
+    import __spark_entry__ as em
+    plan = _physical(em.q251_tpch_volume(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_array_hof_is_jvm_side_zero_shuffle(spark):
+    """q261: the higher-order-function projection must stay JVM-side
+    (Catalyst lambda expressions — interpreted, HOFs are outside
+    codegen by design, but NEVER Python) with zero exchanges; the
+    scan itself stays codegen'd (the `*(n)` marker)."""
+    import __spark_entry__ as em
+    plan = _physical(em.q261_array_hof(spark, SF))
+    assert "Python" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "*(1)" in plan, plan
+
+
+def test_part_value_share_single_row_broadcast(spark):
+    """q267 (Q11 shape): the global-threshold side is a 1-row
+    aggregate joined via broadcast nested loop — the per-part rollup
+    must NOT be re-shuffled to meet it."""
+    import __spark_entry__ as em
+    plan = _physical(em.q267_part_value_share(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_tpch_promo_broadcasts_part(spark):
+    """q253 (Q14): the part dimension broadcasts; the month filter is
+    pushed to the lineitem parquet scan."""
+    import __spark_entry__ as em
+    plan = _physical(em.q253_tpch_promo(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan \
+        or "GreaterThanOrEqual(l_shipdate" in plan, plan
