@@ -2767,6 +2767,16 @@ def q268_tpch_profit_shape(spark, sf_dir):
               .agg(F.sum(rev).cast("double").alias("sum_profit")))
 
 
+def q269_prf_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback query expansion (retrieval.
+    prf_expansion, RM3-lite): the BM25 top-5 docs vote for expansion
+    terms with (tf/dl) * score weights; query's own terms excluded;
+    round-9-quantized addends in a DECIMAL(38,9) fold. The corpus
+    prunes to the feedback docs BEFORE the token explosion."""
+    return retrieval.prf_expansion(_doc(spark, sf_dir), _BM25_QUERIES,
+                                   k=5, n_terms=5)
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -4100,6 +4110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q266_near_dup_clusters": q266_near_dup_clusters,
         "q267_part_value_share": q267_part_value_share,
         "q268_tpch_profit_shape": q268_tpch_profit_shape,
+        "q269_prf_expansion": q269_prf_expansion,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -10562,5 +10573,74 @@ def oracle_sql() -> dict[str, str]:
           AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
           AND p_name LIKE '%red%'
         GROUP BY 1, 2"""
+
+    # q269: RM3-lite PRF expansion — q61's BM25 CTE chain + the
+    # (tf/dl)*score relevance-model fold, query terms excluded
+    sql["q269_prf_expansion"] = rf"""
+        WITH docs AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS toks
+          FROM documents
+        ), dls AS (
+          SELECT doc_id, len(toks) AS dl, toks FROM docs
+        ), stats AS (
+          SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dls
+        ), qraw(query_id, qtext) AS (VALUES {qvals}),
+        qterms AS (
+          SELECT DISTINCT query_id,
+                 unnest(list_filter(regexp_split_to_array(trim(qtext), '\s+'),
+                                    t -> length(t) > 0)) AS term
+          FROM qraw
+        ), terms AS (SELECT DISTINCT term FROM qterms),
+        posting AS (
+          SELECT e.term, e.doc_id, e.dl, COUNT(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dls) e
+          JOIN terms t ON e.term = t.term
+          GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT term, COUNT(*) AS df_t FROM posting GROUP BY 1
+        ), scored AS (
+          SELECT p.term, p.doc_id,
+                 LN(1 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+                 * (p.tf * (1.2 + 1))
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)) AS w
+          FROM posting p JOIN dfreq d USING (term) CROSS JOIN stats s
+        ), perq AS (
+          SELECT q.query_id, sc.doc_id, ROUND(SUM(sc.w), 6) AS score
+          FROM scored sc JOIN qterms q USING (term)
+          GROUP BY 1, 2
+        ), top AS (
+          SELECT query_id, doc_id, score
+          FROM (SELECT query_id, doc_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, doc_id) AS rank
+                FROM perq)
+          WHERE rank <= 5
+        ), fbtf AS (
+          SELECT e.doc_id, e.dl, e.term, COUNT(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dls
+                WHERE doc_id IN (SELECT DISTINCT doc_id FROM top)) e
+          GROUP BY 1, 2, 3
+        ), wsum AS (
+          SELECT t.query_id, f.term,
+                 ROUND(CAST(SUM(CAST(ROUND((f.tf * 1.0 / f.dl)
+                                           * t.score, 9)
+                                     AS DECIMAL(38,9))) AS DOUBLE), 6)
+                   AS weight
+          FROM top t JOIN fbtf f USING (doc_id)
+          GROUP BY 1, 2
+        ), noq AS (
+          SELECT w.query_id, w.term, w.weight
+          FROM wsum w LEFT JOIN qterms q
+            ON w.query_id = q.query_id AND w.term = q.term
+          WHERE q.term IS NULL
+        )
+        SELECT query_id, term, weight, CAST(rank AS INT) AS rank
+        FROM (SELECT query_id, term, weight,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY weight DESC, term) AS rank
+              FROM noq)
+        WHERE rank <= 5"""
 
     return sql

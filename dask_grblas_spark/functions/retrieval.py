@@ -457,3 +457,59 @@ def phrase_search(df: DataFrame, phrases: list[tuple[int, str]],
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def prf_expansion(df: DataFrame, queries: list[tuple[int, str]],
+                  k: int = 5, n_terms: int = 5, k1: float = 1.2,
+                  b: float = 0.75, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3-lite): the
+    BM25 top-k documents of each query vote for expansion terms with
+    weight = sum over those docs of (tf_t,d / dl_d) * score_d — the
+    relevance-model estimate P(t|R) with the rounded BM25 score as
+    the doc weight. Terms already in the query are excluded; top
+    ``n_terms`` per query by (weight DESC, term) — fully
+    deterministic, so the oracle replays it exactly.
+
+    Plan: the top-k relation is tiny (|queries| * k rows) and
+    BROADCASTS into the token explosion of ONLY the winning docs (a
+    semi-join first prunes the corpus scan: no full-corpus tf shuffle
+    for a handful of feedback docs). Per-addend products quantize
+    ROUND(.,9) and accumulate as DECIMAL(38,9) (<= k addends — the
+    fold must still be order-invariant), final weight rounds 6.
+    Output: (query_id, term, weight, rank <= n_terms)."""
+    top = bm25_topk(df, queries, id_col=id_col, text_col=text_col,
+                    k=k, k1=k1, b=b)
+    toks_arr = F.filter(tokens(F.col(text_col)),
+                        lambda x: F.length(x) > 0)
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      toks_arr.alias("_toks"))
+              .withColumn("dl", F.size("_toks")))
+    # prune the corpus to the feedback docs BEFORE exploding tokens
+    fb = base.join(F.broadcast(top.select("doc_id").distinct()),
+                   on="doc_id")
+    tf = (fb.select("doc_id", "dl", F.explode("_toks").alias("term"))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count("*").alias("tf")))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(list(queries),
+                                "query_id long, qtext string")
+    qterms = qdf.select(
+        "query_id",
+        F.explode(F.array_distinct(
+            F.filter(tokens(F.col("qtext")),
+                     lambda x: F.length(x) > 0))).alias("term"))
+    addend = F.round((F.col("tf") / F.col("dl")) * F.col("score"), 9) \
+              .cast("decimal(38,9)")
+    w = (top.join(F.broadcast(tf), on="doc_id")
+            .groupBy("query_id", "term")
+            .agg(F.round(F.sum(addend).cast("double"), 6)
+                  .alias("weight")))
+    w = w.join(F.broadcast(qterms), on=["query_id", "term"],
+               how="left_anti")
+    rk = Window.partitionBy("query_id").orderBy(
+        F.col("weight").desc(), F.col("term"))
+    return (w.withColumn("rank", F.row_number().over(rk))
+             .filter(F.col("rank") <= n_terms)
+             .select("query_id", "term", "weight",
+                     F.col("rank").cast("int").alias("rank")))
