@@ -839,3 +839,23 @@ def test_knn_label_disagreement_flags_mislabel(spark):
            for r in knn_label_disagreement(emb, k=3).collect()}
     assert out[6].n_diff == 3 and out[6].suspect and out[6].score == 1.0
     assert out[1].n_diff == 1 and not out[1].suspect
+
+
+def test_prf_expansion_excludes_query_terms_and_ranks(spark):
+    from dask_grblas_spark.functions.retrieval import prf_expansion
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple cherry"),
+         (2, "apple banana durian"),
+         (3, "elderberry fig grape")],
+        "doc_id long, text string")
+    out = prf_expansion(docs, [(1, "apple")], k=2, n_terms=3).collect()
+    terms = [r["term"] for r in out]
+    # 'apple' is the query term -> excluded even though it dominates
+    assert "apple" not in terms
+    # feedback docs are 1 and 2 (the only apple docs); doc-3-only
+    # terms never appear
+    assert "elderberry" not in terms
+    # banana appears in both feedback docs -> ranked first
+    assert terms[0] == "banana"
+    ranks = [r["rank"] for r in out if r["query_id"] == 1]
+    assert ranks == sorted(ranks) and ranks[0] == 1
