@@ -2777,6 +2777,16 @@ def q269_prf_expansion(spark, sf_dir):
                                    k=5, n_terms=5)
 
 
+def q270_lorenz(spark, sf_dir):
+    """Decile Lorenz curve of nonnegative customer balances
+    (profiling.lorenz_curve): exact-NTILE buckets on the
+    range-partitioned rank, round-6 quantized DECIMAL bucket sums,
+    driver-side exact cumulative fold over the 10 bucket rows."""
+    from dask_grblas_spark.functions import profiling
+    cust = tpch.load_table(spark, sf_dir, "customer")
+    return profiling.lorenz_curve(cust, "c_acctbal", "c_custkey")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -4111,6 +4121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q267_part_value_share": q267_part_value_share,
         "q268_tpch_profit_shape": q268_tpch_profit_shape,
         "q269_prf_expansion": q269_prf_expansion,
+        "q270_lorenz": q270_lorenz,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -10642,5 +10653,25 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY weight DESC, term) AS rank
               FROM noq)
         WHERE rank <= 5"""
+
+    # q270: decile Lorenz — SQL NTILE matches _exact_ntile's closed
+    # form under the same (value, key) tie-break
+    sql["q270_lorenz"] = """
+        WITH b AS (
+          SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS v
+          FROM customer WHERE CAST(c_acctbal AS DOUBLE) >= 0),
+        t AS (SELECT key, v,
+                     NTILE(10) OVER (ORDER BY v, key) AS bucket
+              FROM b),
+        per AS (SELECT bucket, COUNT(*) AS n,
+                       SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6))) AS s
+                FROM t GROUP BY 1),
+        tot AS (SELECT SUM(s) AS ts FROM per)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(n AS BIGINT) AS n,
+               ROUND(CAST(SUM(s) OVER (ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / CAST(ts AS DOUBLE), 6) AS cum_share
+        FROM per, tot"""
 
     return sql

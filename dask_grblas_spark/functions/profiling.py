@@ -1902,3 +1902,45 @@ def pr_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
     return spark.createDataFrame(
         [(n_pos, n_neg, math.floor(ap * 1e6 + 0.5) / 1e6)],
         "n_pos long, n_neg long, ap double")
+
+
+def lorenz_curve(df: DataFrame, val_col: str, key_col: str,
+                 n_buckets: int = 10) -> DataFrame:
+    """Lorenz curve of a nonnegative measure: per ascending-value
+    bucket (exact NTILE semantics — `_exact_ntile`, no single-task
+    window), the CUMULATIVE share of the total — the decile
+    concentration readout that pairs with `gini_coefficient` /
+    `theil_index` (perfect equality = diagonal; the bottom-decile
+    share is the long-tail health check of a token/spend
+    distribution).
+
+    Per-bucket sums quantize ROUND(.,6) per row into DECIMAL(38,6)
+    (fold-order invariant); the n_buckets-row cumulative fold happens
+    driver-side in exact decimal, one double division per bucket at
+    the end. Output: (bucket 1..n, n, cum_share round 6)."""
+    import decimal as _dec
+
+    v = F.col(val_col).cast("double")
+    base = (df.select(F.col(key_col).alias("key"), v.alias("_v"))
+              .where(F.col("_v") >= 0))
+    tiled = _exact_ntile(base, "_v", True, n_buckets, "bucket")
+    per = (tiled.groupBy("bucket")
+                .agg(F.count("*").cast("bigint").alias("n"),
+                     F.sum(F.round(F.col("_v"), 6)
+                            .cast("decimal(38,6)")).alias("_s"))
+                .orderBy("bucket")
+                .collect())
+    spark = df.sparkSession
+    if not per:
+        return spark.createDataFrame(
+            [], "bucket long, n long, cum_share double")
+    total = sum((r["_s"] or _dec.Decimal(0)) for r in per)
+    rows, cum = [], _dec.Decimal(0)
+    for r in per:
+        cum += r["_s"] or _dec.Decimal(0)
+        share = (float(cum) / float(total)) if total else None
+        s6 = (math.floor(share * 1e6 + 0.5) / 1e6
+              if share is not None else None)
+        rows.append((int(r["bucket"]), int(r["n"]), s6))
+    return spark.createDataFrame(
+        rows, "bucket long, n long, cum_share double")

@@ -124,3 +124,23 @@ def test_pr_auc_ties_grouped_at_threshold(spark):
         [(2.0, 1), (2.0, 0), (1.0, 0)], "s double, y int")
     r = profiling.pr_auc(df, "s", "y").collect()[0]
     assert r["ap"] == pytest.approx(0.5)
+
+
+def test_lorenz_equal_values_diagonal(spark):
+    df = spark.createDataFrame([(i, 10.0) for i in range(20)],
+                               "k long, v double")
+    rows = profiling.lorenz_curve(df, "v", "k", n_buckets=5).collect()
+    shares = [r["cum_share"] for r in rows]
+    assert shares == [pytest.approx(x / 5) for x in range(1, 6)]
+    assert [r["n"] for r in rows] == [4] * 5
+
+
+def test_lorenz_concentration_and_terminal_one(spark):
+    # one whale: bottom buckets hold ~0 share, last bucket ~1
+    vals = [(i, 0.01) for i in range(9)] + [(9, 1000.0)]
+    df = spark.createDataFrame(vals, "k long, v double")
+    rows = profiling.lorenz_curve(df, "v", "k", n_buckets=10).collect()
+    assert rows[-1]["cum_share"] == pytest.approx(1.0)
+    assert rows[0]["cum_share"] < 0.001
+    cs = [r["cum_share"] for r in rows]
+    assert cs == sorted(cs)
