@@ -2787,6 +2787,18 @@ def q270_lorenz(spark, sf_dir):
     return profiling.lorenz_curve(cust, "c_acctbal", "c_custkey")
 
 
+def q271_binary_metrics(spark, sf_dir):
+    """Binary-classifier panel with Matthews correlation
+    (profiling.binary_metrics): ONE aggregate -> four exact confusion
+    integers; every ratio and the MCC sqrt replay identically in SQL
+    (balance > 5000 'predicting' the BUILDING segment)."""
+    from dask_grblas_spark.functions import profiling
+    cust = tpch.load_table(spark, sf_dir, "customer")
+    return profiling.binary_metrics(
+        cust, F.col("c_mktsegment") == "BUILDING",
+        F.col("c_acctbal").cast("double") > 5000.0)
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -4122,6 +4134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q268_tpch_profit_shape": q268_tpch_profit_shape,
         "q269_prf_expansion": q269_prf_expansion,
         "q270_lorenz": q270_lorenz,
+        "q271_binary_metrics": q271_binary_metrics,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -10673,5 +10686,33 @@ def oracle_sql() -> dict[str, str]:
                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
                      / CAST(ts AS DOUBLE), 6) AS cum_share
         FROM per, tot"""
+
+    # q271: binary panel — four exact integers, IEEE-identical ratios
+    sql["q271_binary_metrics"] = """
+        WITH c AS (
+          SELECT CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END)
+                      AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)
+                      AS BIGINT) AS tn,
+                 CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)
+                      AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)
+                      AS BIGINT) AS fn
+          FROM (SELECT c_mktsegment = 'BUILDING' AS t,
+                       CAST(c_acctbal AS DOUBLE) > 5000.0 AS p
+                FROM customer))
+        SELECT tp, tn, fp, fn,
+               ROUND((tp + tn) * 1.0 / (tp + tn + fp + fn), 6)
+                 AS accuracy,
+               ROUND(tp * 1.0 / (tp + fp), 6) AS precision_,
+               ROUND(tp * 1.0 / (tp + fn), 6) AS recall_,
+               ROUND(2.0 * (tp * 1.0 / (tp + fp))
+                         * (tp * 1.0 / (tp + fn))
+                     / ((tp * 1.0 / (tp + fp))
+                        + (tp * 1.0 / (tp + fn))), 6) AS f1,
+               ROUND((tp * tn - fp * fn)
+                     / SQRT((tp + fp) * 1.0 * (tp + fn)
+                            * (tn + fp) * (tn + fn)), 6) AS mcc
+        FROM c"""
 
     return sql

@@ -1944,3 +1944,54 @@ def lorenz_curve(df: DataFrame, val_col: str, key_col: str,
         rows.append((int(r["bucket"]), int(r["n"]), s6))
     return spark.createDataFrame(
         rows, "bucket long, n long, cum_share double")
+
+
+def binary_metrics(df: DataFrame, truth_col, pred_col) -> DataFrame:
+    """Binary-classifier panel from boolean truth/pred columns (names
+    or Column expressions): confusion counts plus accuracy, precision,
+    recall, F1, and Matthews correlation — ONE aggregate over one
+    scan; every metric derives from the four exact integers (the
+    ratios and the sqrt are the same IEEE arithmetic in both engines,
+    so round 6 is boundary-free in practice; MCC's numerator/products
+    stay exact in DECIMAL). Degenerate denominators yield NULL.
+    Output: one row (tp, tn, fp, fn, accuracy, precision_, recall_,
+    f1, mcc)."""
+    t = (F.col(truth_col) if isinstance(truth_col, str)
+         else truth_col).cast("boolean")
+    p = (F.col(pred_col) if isinstance(pred_col, str)
+         else pred_col).cast("boolean")
+    row = (df.select(t.alias("_t"), p.alias("_p"))
+             .where(F.col("_t").isNotNull() & F.col("_p").isNotNull())
+             .agg(F.sum((F.col("_t") & F.col("_p")).cast("bigint"))
+                   .alias("tp"),
+                  F.sum((~F.col("_t") & ~F.col("_p")).cast("bigint"))
+                   .alias("tn"),
+                  F.sum((~F.col("_t") & F.col("_p")).cast("bigint"))
+                   .alias("fp"),
+                  F.sum((F.col("_t") & ~F.col("_p")).cast("bigint"))
+                   .alias("fn")).collect()[0])
+    tp, tn = int(row["tp"] or 0), int(row["tn"] or 0)
+    fp, fn = int(row["fp"] or 0), int(row["fn"] or 0)
+    n = tp + tn + fp + fn
+
+    def _r6(x):
+        if x is None:
+            return None
+        return (math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0
+                else -(math.floor(-x * 1e6 + 0.5) / 1e6))
+
+    acc = (tp + tn) / n if n else None
+    prec = tp / (tp + fp) if (tp + fp) else None
+    rec = tp / (tp + fn) if (tp + fn) else None
+    f1 = (2 * prec * rec / (prec + rec)
+          if prec is not None and rec is not None and (prec + rec)
+          else None)
+    denom2 = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    mcc = ((tp * tn - fp * fn) / math.sqrt(denom2)
+           if denom2 else None)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(tp, tn, fp, fn, _r6(acc), _r6(prec), _r6(rec), _r6(f1),
+          _r6(mcc))],
+        "tp long, tn long, fp long, fn long, accuracy double, "
+        "precision_ double, recall_ double, f1 double, mcc double")

@@ -144,3 +144,23 @@ def test_lorenz_concentration_and_terminal_one(spark):
     assert rows[0]["cum_share"] < 0.001
     cs = [r["cum_share"] for r in rows]
     assert cs == sorted(cs)
+
+
+def test_binary_metrics_known_confusion(spark):
+    rows = ([(True, True)] * 6 + [(True, False)] * 2
+            + [(False, True)] * 1 + [(False, False)] * 11)
+    df = spark.createDataFrame(rows, "t boolean, p boolean")
+    r = profiling.binary_metrics(df, "t", "p").collect()[0]
+    assert (r["tp"], r["tn"], r["fp"], r["fn"]) == (6, 11, 1, 2)
+    assert r["accuracy"] == pytest.approx(17 / 20)
+    assert r["precision_"] == pytest.approx(6 / 7, abs=1e-6)
+    assert r["recall_"] == pytest.approx(6 / 8)
+    import math as m
+    mcc = (6 * 11 - 1 * 2) / m.sqrt(7 * 8 * 12 * 13)
+    assert r["mcc"] == pytest.approx(mcc, abs=1e-6)
+
+
+def test_binary_metrics_degenerate_nulls(spark):
+    df = spark.createDataFrame([(True, True)] * 3, "t boolean, p boolean")
+    r = profiling.binary_metrics(df, "t", "p").collect()[0]
+    assert r["accuracy"] == 1.0 and r["mcc"] is None  # tn=fp=fn=0
