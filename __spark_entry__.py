@@ -2799,6 +2799,41 @@ def q271_binary_metrics(spark, sf_dir):
         F.col("c_acctbal").cast("double") > 5000.0)
 
 
+def q272_merge_upsert(spark, sf_dir):
+    """Partition-scoped MERGE/upsert (sources/io.py
+    merge_into_partitioned): a batch of click corrections (+1000 on
+    every 10th event) and click inserts rewrites ONLY the click
+    partition under DYNAMIC partitionOverwriteMode — the lakehouse
+    correction path at 100 TB (untouched partitions are never listed,
+    read, or rewritten). The oracle replays MERGE semantics on the
+    raw relation; per-type rollups must agree exactly."""
+    import os
+
+    from dask_grblas_spark.sources.io import merge_into_partitioned
+    from dask_grblas_spark.streaming import load_events
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"/tmp/dgs_merge_{tag}"
+    ev = load_events(spark, sf_dir)
+    (ev.write.mode("overwrite").partitionBy("event_type")
+       .parquet(path))
+    clicks = ev.where(F.col("event_type") == "click")
+    upd_mod = (clicks.where(F.col("event_id") % 10 == 0)
+                     .withColumn("value", F.col("value") + 1000.0))
+    upd_new = (clicks.where(F.col("event_id") % 7 == 3)
+                     .withColumn("event_id",
+                                 F.col("event_id") + 10000000)
+                     .withColumn("value", F.col("value") * 2.0))
+    updates = upd_mod.unionByName(upd_new)
+    back = merge_into_partitioned(spark, path, updates,
+                                  "event_id", "event_type")
+    return (back.groupBy("event_type")
+                .agg(F.count("*").cast("bigint").alias("n"),
+                     F.sum(F.round(F.col("value").cast("double"), 6)
+                            .cast("decimal(38,6)")).cast("double")
+                      .alias("sum_v")))
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -4135,6 +4170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q269_prf_expansion": q269_prf_expansion,
         "q270_lorenz": q270_lorenz,
         "q271_binary_metrics": q271_binary_metrics,
+        "q272_merge_upsert": q272_merge_upsert,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -10714,5 +10750,27 @@ def oracle_sql() -> dict[str, str]:
                      / SQRT((tp + fp) * 1.0 * (tp + fn)
                             * (tn + fp) * (tn + fn)), 6) AS mcc
         FROM c"""
+
+    # q272: MERGE replay — drop corrected keys, add corrections and
+    # inserts, roll up per type (round-6 quantized decimal sums)
+    sql["q272_merge_upsert"] = """
+        WITH clicks AS (
+          SELECT * FROM events WHERE event_type = 'click'),
+        merged AS (
+          SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+          FROM events
+          WHERE NOT (event_type = 'click' AND event_id % 10 = 0)
+          UNION ALL
+          SELECT event_id, event_type,
+                 CAST(value AS DOUBLE) + 1000.0
+          FROM clicks WHERE event_id % 10 = 0
+          UNION ALL
+          SELECT event_id + 10000000, event_type,
+                 CAST(value AS DOUBLE) * 2.0
+          FROM clicks WHERE event_id % 7 = 3)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sum_v
+        FROM merged GROUP BY 1"""
 
     return sql

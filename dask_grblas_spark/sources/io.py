@@ -790,3 +790,47 @@ def read_evolving(spark, base_path: str):
     Returns the unified DataFrame (no ordering guarantees)."""
     return (spark.read.option("mergeSchema", "true")
             .parquet(base_path + "/*"))
+
+
+def merge_into_partitioned(spark, path: str, updates, key_cols,
+                           partition_col: str):
+    """MERGE/upsert into a hive-partitioned parquet table, rewriting
+    ONLY the partitions the updates touch (the lakehouse write path at
+    100 TB: a day's corrections must not rewrite years of data).
+
+    Plan: the touched partition values come from ONE distinct
+    aggregate over the updates (bounded by the partition cardinality,
+    never by rows); the target is read back with a PARTITION filter on
+    exactly those values (planning-time pruning — untouched
+    directories are never listed); matched keys drop via LEFT ANTI
+    join; survivors union the updates and write back under Spark's
+    DYNAMIC partitionOverwriteMode, which atomically replaces only the
+    partitions present in the output. Updates may move a row across
+    partitions (the old partition is rewritten without it ONLY if that
+    partition is also touched — callers moving rows must include the
+    source partition's rows in ``updates`` or accept the standard
+    MERGE semantics of keys being partition-local). Returns the
+    re-read DataFrame.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    touched = [r[0] for r in
+               updates.select(partition_col).distinct().collect()]
+    if not touched:
+        return spark.read.parquet(path)
+    target = spark.read.parquet(path) \
+        .where(F.col(partition_col).isin(touched))
+    survivors = target.join(
+        updates.select(*keys).distinct(), on=keys, how="left_anti")
+    merged = survivors.unionByName(
+        updates.select(*survivors.columns))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                   "dynamic")
+    try:
+        (merged.write.mode("overwrite").partitionBy(partition_col)
+               .parquet(path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       prev)
+    return spark.read.parquet(path)

@@ -329,3 +329,32 @@ def test_tpch_promo_broadcasts_part(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan \
         or "GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_merge_into_rewrites_only_touched_partitions(spark, tmp_path):
+    """merge_into_partitioned must leave untouched partitions'
+    FILES physically intact (same paths + mtimes) — proof the write
+    was partition-scoped, not a full-table rewrite."""
+    import os
+
+    from dask_grblas_spark.sources.io import merge_into_partitioned
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(20)],
+        "id long, g string, v double")
+    df.write.mode("overwrite").partitionBy("g").parquet(path)
+
+    def files(part):
+        d = os.path.join(path, f"g={part}")
+        return sorted((f, os.path.getmtime(os.path.join(d, f)))
+                      for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_b = files("b")
+    upd = spark.createDataFrame(
+        [(1, "a", 100.0), (99, "a", 7.0)], "id long, g string, v double")
+    back = merge_into_partitioned(spark, path, upd, "id", "g")
+    got = {r["id"]: r["v"] for r in back.where("g = 'a'").collect()}
+    assert got[1] == 100.0 and got[99] == 7.0 and got[3] == 3.0
+    assert files("b") == before_b          # physically untouched
+    assert back.where("g = 'b'").count() == 10
