@@ -1626,6 +1626,31 @@ def main() -> int:
     probe("rich_club_20m_edges", NMOD,
           lambda: alg.rich_club(gmod, 30))
 
+    # partition-scoped MERGE at 10M rows / 8 partitions: corrections
+    # touch ONE partition; the write must scale with the touched
+    # partition (~1.25M rows), not the table
+    def _merge_probe():
+        import shutil
+
+        from dask_grblas_spark.sources.io import merge_into_partitioned
+        mpath = "/tmp/dgs_probe_merge"
+        shutil.rmtree(mpath, ignore_errors=True)
+        base = spark.range(NEV).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("p"),
+                     F.pmod(F.xxhash64("id", F.lit(95)), F.lit(8))
+                      .cast("string")).alias("part"),
+            (F.pmod(F.xxhash64("id", F.lit(96)), F.lit(1000)) / 10.0)
+            .alias("v"))
+        base.write.mode("overwrite").partitionBy("part").parquet(mpath)
+        upd = (spark.range(0, NEV, 97)
+                    .select(F.col("id").alias("k"),
+                            F.lit("p3").alias("part"),
+                            F.lit(-1.0).alias("v")))
+        out = merge_into_partitioned(spark, mpath, upd, "k", "part")
+        return out.where(F.col("part") == "p3")
+    probe("merge_into_one_of_8_partitions", NEV, _merge_probe)
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0
