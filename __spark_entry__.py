@@ -2834,6 +2834,15 @@ def q272_merge_upsert(spark, sf_dir):
                       .alias("sum_v")))
 
 
+def q273_nmi(spark, sf_dir):
+    """Normalized mutual information between the documents' language
+    and source labelings (profiling.nmi) — the alignment-free
+    cluster-quality eval: exact-integer contingency cells, round-9
+    quantized ln terms in DECIMAL(38,9) folds."""
+    from dask_grblas_spark.functions import profiling
+    return profiling.nmi(_doc(spark, sf_dir), "lang", "source")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -4171,6 +4180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q270_lorenz": q270_lorenz,
         "q271_binary_metrics": q271_binary_metrics,
         "q272_merge_upsert": q272_merge_upsert,
+        "q273_nmi": q273_nmi,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -10772,5 +10782,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6)))
                     AS DOUBLE) AS sum_v
         FROM merged GROUP BY 1"""
+
+    # q273: NMI — integer contingency + round-9 quantized ln terms
+    sql["q273_nmi"] = """
+        WITH t AS (
+          SELECT lang AS a, source AS b FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL),
+        conf AS (SELECT a, b, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        nn AS (SELECT SUM(c) AS n FROM conf),
+        ma AS (SELECT a, SUM(c) AS na FROM conf GROUP BY 1),
+        mb AS (SELECT b, SUM(c) AS nb FROM conf GROUP BY 1),
+        ha AS (SELECT CAST(SUM(CAST(ROUND((na * 1.0 / n)
+                                          * ln(n * 1.0 / na), 9)
+                                    AS DECIMAL(38,9))) AS DOUBLE) AS h
+               FROM ma, nn),
+        hb AS (SELECT CAST(SUM(CAST(ROUND((nb * 1.0 / n)
+                                          * ln(n * 1.0 / nb), 9)
+                                    AS DECIMAL(38,9))) AS DOUBLE) AS h
+               FROM mb, nn),
+        mm AS (SELECT CAST(SUM(CAST(ROUND((c * 1.0 / n)
+                                          * ln((n * 1.0 * c)
+                                               / (na * 1.0 * nb)), 9)
+                                    AS DECIMAL(38,9))) AS DOUBLE) AS m
+               FROM conf JOIN ma USING (a) JOIN mb USING (b), nn)
+        SELECT CAST(nn.n AS BIGINT) AS n,
+               ROUND(mm.m, 6) AS mi,
+               ROUND(ha.h, 6) AS h_a,
+               ROUND(hb.h, 6) AS h_b,
+               CASE WHEN ha.h > 0 AND hb.h > 0
+                    THEN ROUND(mm.m / SQRT(ha.h * hb.h), 6) END AS nmi
+        FROM nn, mm, ha, hb"""
 
     return sql

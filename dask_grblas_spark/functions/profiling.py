@@ -1995,3 +1995,60 @@ def binary_metrics(df: DataFrame, truth_col, pred_col) -> DataFrame:
           _r6(mcc))],
         "tp long, tn long, fp long, fn long, accuracy double, "
         "precision_ double, recall_ double, f1 double, mcc double")
+
+
+def nmi(df: DataFrame, a_col, b_col) -> DataFrame:
+    """Normalized mutual information between two categorical
+    labelings (cluster-vs-truth agreement — the kmeans/LPA quality
+    eval `cohens_kappa` can't give, since cluster IDs don't align
+    with label IDs): NMI = MI / sqrt(H(a) * H(b)), natural log.
+
+    Plan: ONE grouped count over the (a, b) contingency relation
+    (bounded by the label vocabularies, not n), marginals fold from
+    it; every entropy/MI term is ln of EXACT integer ratios —
+    identical IEEE inputs cross-engine — quantized ROUND(.,9) and
+    summed as DECIMAL(38,9) over the bounded cell relation. Output:
+    one row (n, mi, h_a, h_b, nmi) rounded 6; NMI NULL when either
+    labeling is constant (zero entropy)."""
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    conf = (df.select(a.cast("string").alias("_a"),
+                      b.cast("string").alias("_b"))
+              .where(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+              .groupBy("_a", "_b")
+              .agg(F.count("*").cast("bigint").alias("_c"))
+              .localCheckpoint())
+    n = conf.agg(F.sum("_c")).collect()[0][0]
+    spark = df.sparkSession
+    if not n:
+        return spark.createDataFrame(
+            [(0, None, None, None, None)],
+            "n long, mi double, h_a double, h_b double, nmi double")
+    n = int(n)
+    ma = conf.groupBy("_a").agg(F.sum("_c").alias("_na"))
+    mb = conf.groupBy("_b").agg(F.sum("_c").alias("_nb"))
+
+    def _ent(m, cnt):
+        t = F.round((F.col(cnt) / F.lit(n))
+                    * F.log(F.lit(float(n)) / F.col(cnt)), 9) \
+             .cast("decimal(38,9)")
+        return float(m.agg(F.sum(t)).collect()[0][0])
+
+    h_a = _ent(ma, "_na")
+    h_b = _ent(mb, "_nb")
+    mi_t = F.round((F.col("_c") / F.lit(n))
+                   * F.log((F.lit(float(n)) * F.col("_c"))
+                           / (F.col("_na") * F.col("_nb"))), 9) \
+            .cast("decimal(38,9)")
+    mi = float(conf.join(ma, on="_a").join(mb, on="_b")
+                   .agg(F.sum(mi_t)).collect()[0][0])
+
+    def _r6(x):
+        return (math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0
+                else -(math.floor(-x * 1e6 + 0.5) / 1e6))
+
+    denom = math.sqrt(h_a * h_b) if h_a > 0 and h_b > 0 else 0.0
+    val = _r6(mi / denom) if denom else None
+    return spark.createDataFrame(
+        [(n, _r6(mi), _r6(h_a), _r6(h_b), val)],
+        "n long, mi double, h_a double, h_b double, nmi double")

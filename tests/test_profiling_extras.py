@@ -164,3 +164,25 @@ def test_binary_metrics_degenerate_nulls(spark):
     df = spark.createDataFrame([(True, True)] * 3, "t boolean, p boolean")
     r = profiling.binary_metrics(df, "t", "p").collect()[0]
     assert r["accuracy"] == 1.0 and r["mcc"] is None  # tn=fp=fn=0
+
+
+def test_nmi_identical_and_independent(spark):
+    # identical labelings -> NMI = 1
+    df = spark.createDataFrame(
+        [("x", "x")] * 5 + [("y", "y")] * 5, "a string, b string")
+    r = profiling.nmi(df, "a", "b").collect()[0]
+    assert r["nmi"] == pytest.approx(1.0)
+    assert r["mi"] == pytest.approx(r["h_a"], abs=1e-6)
+    # independent (balanced product) -> MI = 0
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(5)]
+    df2 = spark.createDataFrame(rows, "a string, b string")
+    r2 = profiling.nmi(df2, "a", "b").collect()[0]
+    assert r2["mi"] == pytest.approx(0.0)
+    assert r2["nmi"] == pytest.approx(0.0)
+
+
+def test_nmi_constant_labeling_null(spark):
+    df = spark.createDataFrame(
+        [("x", "u"), ("x", "v")], "a string, b string")
+    r = profiling.nmi(df, "a", "b").collect()[0]
+    assert r["h_a"] == 0.0 and r["nmi"] is None
