@@ -2843,6 +2843,16 @@ def q273_nmi(spark, sf_dir):
     return profiling.nmi(_doc(spark, sf_dir), "lang", "source")
 
 
+def q274_kmv_setops(spark, sf_dir):
+    """KMV set-operation estimates between two sources' 3-gram sets
+    (sketches.kmv_set_ops): union / Jaccard / intersection from the
+    combined k-minimum sketch — deterministic md5 hashes, so the
+    oracle replays every estimator bit-for-bit (q88's discipline
+    extended to overlap)."""
+    return sketches.kmv_set_ops(_doc(spark, sf_dir), "source",
+                                "src0", "src1", k=128, n=3)
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -4181,6 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q271_binary_metrics": q271_binary_metrics,
         "q272_merge_upsert": q272_merge_upsert,
         "q273_nmi": q273_nmi,
+        "q274_kmv_setops": q274_kmv_setops,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -10812,5 +10823,63 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN ha.h > 0 AND hb.h > 0
                     THEN ROUND(mm.m / SQRT(ha.h * hb.h), 6) END AS nmi
         FROM nn, mm, ha, hb"""
+
+    # q274: KMV overlap estimators — q88's md5 sketch replay plus the
+    # combined-sketch Jaccard/intersection fold
+    sql["q274_kmv_setops"] = r"""
+        WITH docs AS (
+          SELECT source,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS _t
+          FROM documents WHERE source IN ('src0', 'src1')
+        ), grams AS (
+          SELECT source AS grp, unnest(
+            CASE WHEN len(_t) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(_t) <= 3 THEN [array_to_string(_t, ' ')]
+                 ELSE list_transform(generate_series(0, len(_t) - 3),
+                        p -> array_to_string(
+                               list_slice(_t, p + 1, p + 3), ' ')) END)
+            AS gram
+          FROM docs
+        ), h AS (
+          SELECT DISTINCT grp,
+                 ('0x' || substr(md5('kmv:' || gram), 1, 15))::BIGINT AS h
+          FROM grams
+        ), sk AS (
+          SELECT grp, h,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h)
+                      AS INT) AS rank
+          FROM h QUALIFY rank <= 128
+        ), un AS (
+          SELECT h, CAST(ROW_NUMBER() OVER (ORDER BY h) AS INT) AS rank
+          FROM (SELECT DISTINCT h FROM sk) QUALIFY rank <= 128
+        ), stats AS (
+          SELECT COUNT(*) AS ku,
+                 SUM(CASE WHEN h IN (SELECT h FROM sk
+                                     WHERE grp = 'src0')
+                           AND h IN (SELECT h FROM sk
+                                     WHERE grp = 'src1')
+                          THEN 1 ELSE 0 END) AS rho,
+                 MAX(CASE WHEN rank = 128 THEN h END) AS hk
+          FROM un
+        ), sizes AS (
+          SELECT CAST(SUM(CASE WHEN grp = 'src0' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN grp = 'src1' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b
+          FROM sk
+        )
+        SELECT n_a, n_b,
+               ROUND(CASE WHEN ku < 128 THEN CAST(ku AS DOUBLE)
+                          ELSE 127.0 * 1152921504606846976.0
+                               / CAST(hk AS DOUBLE) END, 4)
+                 AS union_est,
+               ROUND(rho * 1.0 / ku, 6) AS jaccard_est,
+               ROUND((rho * 1.0 / ku)
+                     * CASE WHEN ku < 128 THEN CAST(ku AS DOUBLE)
+                            ELSE 127.0 * 1152921504606846976.0
+                                 / CAST(hk AS DOUBLE) END, 4)
+                 AS inter_est
+        FROM stats, sizes"""
 
     return sql

@@ -24,6 +24,8 @@ constants) and the Bar-Yossef et al. KMV estimator.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -268,3 +270,77 @@ def kmv_distinct(df: DataFrame, group_col: str = "source",
                       / F.col("hk").cast("double"))
     return agg.select("grp", F.col("n_kept").cast("bigint").alias("n_kept"),
                       F.round(est, 4).alias("est"))
+
+
+def kmv_set_ops(df: DataFrame, group_col: str, grp_a: str, grp_b: str,
+                text_col: str = "text", k: int = 256,
+                n_shards: int = 32, n: int = 1) -> DataFrame:
+    """KMV set-operation estimates between two groups' distinct-token
+    sets: union size, Jaccard, and intersection — the sketch-side
+    answer to "how much does corpus A overlap corpus B" without a
+    distinct-join (completes the family: `kmv_distinct` gives sizes +
+    union; this adds the overlap estimators, Beyer et al. 2007).
+
+    The combined sketch K = k smallest hashes of A ∪ B;
+    jaccard_est = |{h in K : h in A-sketch AND h in B-sketch}| / |K|;
+    inter_est = jaccard_est * union_est. Everything is deterministic
+    given the md5-derived hashes (same discipline as kmv_distinct),
+    so the SQL oracle replays it bit-for-bit. Exact-set fallback:
+    when a side holds < k distinct hashes its sketch IS the set, and
+    the estimators degrade gracefully to exact membership.
+
+    Scale shape: distinct (grp, h) one shuffle; per-group k smallest
+    via the two-phase sharded top-k (no single-task group sort); all
+    later relations are <= 2k rows. Output: one row (n_a, n_b,
+    union_est, jaccard_est, inter_est), estimates rounded 4/6."""
+    hashed = _hash_tokens(
+        df.where(F.col(group_col).isin(grp_a, grp_b)),
+        group_col, text_col, "kmv:", n)
+    dist = hashed.distinct()
+    shard = F.pmod(F.col("h"), F.lit(n_shards))
+    w1 = Window.partitionBy("grp", "_s").orderBy("h")
+    pre = (dist.withColumn("_s", shard)
+               .withColumn("_r", F.row_number().over(w1))
+               .filter(F.col("_r") <= k)
+               .select("grp", "h"))
+    w2 = Window.partitionBy("grp").orderBy("h")
+    sk = (pre.withColumn("rank", F.row_number().over(w2))
+             .filter(F.col("rank") <= k)
+             .localCheckpoint())
+    ka = sk.where(F.col("grp") == grp_a).select("h")
+    kb = sk.where(F.col("grp") == grp_b).select("h")
+    union_sk = (sk.select("h").distinct()
+                  .withColumn("rank", F.row_number().over(
+                      Window.orderBy("h")))
+                  .filter(F.col("rank") <= k))
+    space = float(1 << 60)
+    stats = (union_sk
+             .withColumn("_in_a", F.col("h").isin(
+                 [r[0] for r in ka.collect()]))
+             .withColumn("_in_b", F.col("h").isin(
+                 [r[0] for r in kb.collect()])))
+    row = stats.agg(
+        F.count("*").alias("ku"),
+        F.sum((F.col("_in_a") & F.col("_in_b")).cast("bigint"))
+         .alias("rho"),
+        F.max(F.when(F.col("rank") == k, F.col("h"))).alias("hk")
+    ).collect()[0]
+    na = ka.count()
+    nb = kb.count()
+    ku, rho = int(row["ku"] or 0), int(row["rho"] or 0)
+    spark = df.sparkSession
+    if ku == 0:
+        return spark.createDataFrame(
+            [(0, 0, None, None, None)],
+            "n_a long, n_b long, union_est double, "
+            "jaccard_est double, inter_est double")
+    union_est = (float(ku) if ku < k
+                 else (k - 1) * space / float(row["hk"]))
+    jac = rho / ku
+    u4 = math.floor(union_est * 1e4 + 0.5) / 1e4
+    j6 = math.floor(jac * 1e6 + 0.5) / 1e6
+    i4 = math.floor(jac * union_est * 1e4 + 0.5) / 1e4
+    return spark.createDataFrame(
+        [(na, nb, u4, j6, i4)],
+        "n_a long, n_b long, union_est double, jaccard_est double, "
+        "inter_est double")

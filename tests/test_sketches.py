@@ -1224,3 +1224,23 @@ def test_quantile_normalize_maps_onto_global(spark):
                 for r in quantile_normalize(dup, "g", "v").collect())
     assert o2 == [("a", 5.0, 2, 5.0), ("a", 7.0, 1, 7.0),
                   ("b", 1.0, 1, 7.0)]
+
+
+def test_kmv_set_ops_exact_small_sets(spark):
+    """Below-k groups degrade to exact sets: identical corpora give
+    jaccard 1.0; disjoint corpora give 0.0 and union = |A|+|B|."""
+    from dask_grblas_spark.functions.sketches import kmv_set_ops
+    same = spark.createDataFrame(
+        [(1, "g", "alpha beta gamma delta"),
+         (2, "h", "alpha beta gamma delta")],
+        "doc_id long, source string, text string")
+    r = kmv_set_ops(same, "source", "g", "h", k=64, n=1).collect()[0]
+    assert r["jaccard_est"] == 1.0
+    assert r["n_a"] == r["n_b"] == 4
+    assert r["union_est"] == 4.0 and r["inter_est"] == 4.0
+    disj = spark.createDataFrame(
+        [(1, "g", "alpha beta"), (2, "h", "gamma delta")],
+        "doc_id long, source string, text string")
+    r2 = kmv_set_ops(disj, "source", "g", "h", k=64, n=1).collect()[0]
+    assert r2["jaccard_est"] == 0.0 and r2["union_est"] == 4.0
+    assert r2["inter_est"] == 0.0
