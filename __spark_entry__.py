@@ -2853,6 +2853,20 @@ def q274_kmv_setops(spark, sf_dir):
                                 "src0", "src1", k=128, n=3)
 
 
+def q275_lttb(spark, sf_dir):
+    """LTTB-style visual downsampling per user (timeseries.
+    downsample_lttb, bucket-average variant): integer-exact epoch-us
+    bucket ids, round-6 neighbor averages, one argmax per bucket with
+    LTTB's endpoint rule — peaks survive where plain averaging
+    flattens them."""
+    from dask_grblas_spark.functions import timeseries as ts
+    from dask_grblas_spark.streaming import load_events
+    ev = load_events(spark, sf_dir)
+    return ts.downsample_lttb(ev, n_buckets=10) \
+        .select(F.col("key").cast("bigint").alias("key"),
+                "bucket", "ts_us", "v")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -4192,6 +4206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q272_merge_upsert": q272_merge_upsert,
         "q273_nmi": q273_nmi,
         "q274_kmv_setops": q274_kmv_setops,
+        "q275_lttb": q275_lttb,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -10881,5 +10896,47 @@ def oracle_sql() -> dict[str, str]:
                                  / CAST(hk AS DOUBLE) END, 4)
                  AS inter_est
         FROM stats, sizes"""
+
+    # q275: LTTB downsampling — integer bucket ids, quantized
+    # neighbor averages, ROW_NUMBER argmax with the endpoint rule
+    sql["q275_lttb"] = """
+        WITH base AS (
+          SELECT user_id AS key, epoch_us(ts) AS t,
+                 CAST(value AS DOUBLE) AS v
+          FROM events),
+        rng AS (SELECT key, MIN(t) AS t0, MAX(t) AS t1
+                FROM base GROUP BY 1),
+        pts AS (
+          SELECT base.key, t, v,
+                 LEAST(CAST(FLOOR((t - t0) * 10 / (t1 - t0 + 1))
+                            AS BIGINT), 9) AS b
+          FROM base JOIN rng USING (key)),
+        avgs AS (
+          SELECT key, b, ROUND(AVG(t), 6) AS at_,
+                 ROUND(AVG(v), 6) AS av
+          FROM pts GROUP BY 1, 2),
+        nb AS (
+          SELECT key, b,
+                 LAG(at_) OVER w AS pt, LAG(av) OVER w AS pv,
+                 LEAD(at_) OVER w AS nt, LEAD(av) OVER w AS nv,
+                 MAX(b) OVER (PARTITION BY key) AS bmax
+          FROM avgs WINDOW w AS (PARTITION BY key ORDER BY b)),
+        cand AS (
+          SELECT p.key, p.b, p.t, p.v, nb.bmax,
+                 ROUND(ABS((nb.pt - nb.nt) * (p.v - nb.pv)
+                           - (nb.pt - p.t) * (nb.nv - nb.pv)), 6)
+                   AS area
+          FROM pts p JOIN nb ON p.key = nb.key AND p.b = nb.b),
+        sel AS (
+          SELECT key, b, t, v,
+                 ROW_NUMBER() OVER (PARTITION BY key, b ORDER BY
+                   CASE WHEN b = 0 OR b = bmax THEN 1e18
+                        ELSE COALESCE(area, 0.0) END DESC,
+                   CASE WHEN b = bmax AND b <> 0 THEN -t
+                        ELSE t END ASC) AS rn
+          FROM cand)
+        SELECT CAST(key AS BIGINT) AS key, CAST(b AS BIGINT) AS bucket,
+               CAST(t AS BIGINT) AS ts_us, ROUND(v, 6) AS v
+        FROM sel WHERE rn = 1"""
 
     return sql

@@ -1107,3 +1107,81 @@ def attribution(df: DataFrame, user_col: str = "user_id",
                         .alias("touch_type"))
               .agg(F.count("*").cast("bigint").alias("n_conversions"),
                    F.sum(vd).cast("double").alias("value_sum")))
+
+
+def downsample_lttb(df: DataFrame, key_col: str = "user_id",
+                    ts_col: str = "ts", val_col: str = "value",
+                    n_buckets: int = 20) -> DataFrame:
+    """LTTB-style visual downsampling (Steinarsson's
+    largest-triangle-three-buckets, the BUCKET-AVERAGE variant): per
+    key, split the time range into n_buckets equal intervals and keep
+    from each the point forming the largest triangle with the
+    NEIGHBOR BUCKET AVERAGES — the dashboard-decimation op that
+    preserves peaks where plain bucket-averaging flattens them.
+    (Classic LTTB anchors on the previously SELECTED point — a
+    sequential chain; the bucket-average variant is the standard
+    parallel relaxation: every bucket decides independently, so the
+    whole op is windows + one argmax aggregate, no per-key recursion.)
+
+    Exactness: bucket ids are PURE INTEGER arithmetic on epoch
+    microseconds (floor((t - t0) * n / (t1 - t0 + 1)) — identical
+    cross-engine); neighbor averages quantize ROUND(.,6); the
+    triangle area folds those quantized doubles in one fixed
+    expression tree, rounds 6, and the per-bucket argmax tie-breaks
+    on (area DESC, ts ASC, id implicit via ts uniqueness per key).
+    First/last buckets keep their first/last point (LTTB's endpoint
+    rule). Output: (key, bucket, ts, v)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(F.col(key_col).alias("key"), us.alias("_t"),
+                     F.col(val_col).cast("double").alias("_v"))
+    rng = base.groupBy("key").agg(F.min("_t").alias("_t0"),
+                                  F.max("_t").alias("_t1"),
+                                  F.count("*").alias("_n"))
+    j = base.join(F.broadcast(rng), on="key")
+    bucket = F.least(
+        F.floor(((F.col("_t") - F.col("_t0"))
+                 * F.lit(n_buckets))
+                / (F.col("_t1") - F.col("_t0") + 1)),
+        F.lit(n_buckets - 1)).cast("bigint")
+    pts = j.withColumn("_b", bucket).localCheckpoint()
+    avgs = (pts.groupBy("key", "_b")
+               .agg(F.round(F.avg("_t"), 6).alias("_at"),
+                    F.round(F.avg("_v"), 6).alias("_av")))
+    wk = Window.partitionBy("key").orderBy("_b")
+    nb = (avgs.withColumn("_pt", F.lag("_at").over(wk))
+              .withColumn("_pv", F.lag("_av").over(wk))
+              .withColumn("_nt", F.lead("_at").over(wk))
+              .withColumn("_nv", F.lead("_av").over(wk))
+              .withColumn("_bmax",
+                          F.max("_b").over(
+                              Window.partitionBy("key"))))
+    cand = pts.join(nb, on=["key", "_b"])
+    area = F.round(F.abs(
+        (F.col("_pt") - F.col("_nt")) * (F.col("_v") - F.col("_pv"))
+        - (F.col("_pt") - F.col("_t").cast("double"))
+        * (F.col("_nv") - F.col("_pv"))), 6)
+    # endpoint rule: bucket 0 keeps min ts (1e18 sentinel area +
+    # -t order), the last keeps max ts; interior buckets argmax
+    # area (ties -> earliest ts). _b is constant within a group, so
+    # exactly one branch applies per bucket.
+    sel = (cand.groupBy("key", "_b")
+               .agg(F.max_by(F.struct(F.col("_t").alias("t"),
+                                      F.col("_v").alias("v")),
+                             F.when(F.col("_b") == 0,
+                                    F.struct(F.lit(1e18).alias("a"),
+                                             (-F.col("_t"))
+                                             .cast("double")
+                                             .alias("t")))
+                              .when(F.col("_b") == F.col("_bmax"),
+                                    F.struct(F.lit(1e18).alias("a"),
+                                             F.col("_t")
+                                             .cast("double")
+                                             .alias("t")))
+                              .otherwise(F.struct(
+                                  F.coalesce(area, F.lit(0.0))
+                                  .alias("a"),
+                                  (-F.col("_t")).cast("double")
+                                  .alias("t")))).alias("_sel")))
+    return sel.select(F.col("key"), F.col("_b").alias("bucket"),
+                      F.col("_sel.t").alias("ts_us"),
+                      F.round(F.col("_sel.v"), 6).alias("v"))

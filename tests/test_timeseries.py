@@ -822,3 +822,25 @@ def test_attribution_last_first_and_none(spark):
     assert first == {"click": 2, "none": 1}
     with pytest.raises(ValueError):
         ts.attribution(df, model="multi_touch")
+
+
+def test_lttb_keeps_peaks_and_endpoints(spark):
+    import datetime as dt
+
+    from dask_grblas_spark.functions import timeseries as ts
+    t0 = dt.datetime(2024, 1, 1)
+    # 40 points over 4 buckets: flat at 1.0 except a spike at i=17
+    rows = [(1, t0 + dt.timedelta(minutes=i),
+             100.0 if i == 17 else 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows,
+                               "user_id long, ts timestamp, value double")
+    out = {r["bucket"]: r for r in
+           ts.downsample_lttb(df, n_buckets=4).collect()}
+    assert len(out) == 4
+    # endpoint rule: bucket 0 keeps the first point, bucket 3 the last
+    import calendar
+    us0 = int(calendar.timegm(t0.timetuple())) * 1_000_000
+    assert out[0]["ts_us"] == us0
+    assert out[3]["ts_us"] == us0 + 39 * 60 * 1_000_000
+    # the spike (i=17 -> bucket 1) must be the bucket-1 survivor
+    assert out[1]["v"] == 100.0
