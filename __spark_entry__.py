@@ -2867,6 +2867,18 @@ def q275_lttb(spark, sf_dir):
                 "bucket", "ts_us", "v")
 
 
+def q276_langid_eval(spark, sf_dir):
+    """Language-ID quality audit — the heuristic classifier
+    (text.language_id, pure map) evaluated against the lang metadata
+    via profiling.classification_report: per-language tp/fp/fn/P/R/F1
+    from ONE bounded confusion relation. The oracle replays the
+    marker argmax INCLUDING its exact tie-break (score DESC, first
+    letter ASC, lang DESC — the struct-greatest order)."""
+    from dask_grblas_spark.functions import profiling
+    pred = text.language_id(_doc(spark, sf_dir))
+    return profiling.classification_report(pred, "lang", "lang_pred")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -4207,6 +4219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q273_nmi": q273_nmi,
         "q274_kmv_setops": q274_kmv_setops,
         "q275_lttb": q275_lttb,
+        "q276_langid_eval": q276_langid_eval,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -10938,5 +10951,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(key AS BIGINT) AS key, CAST(b AS BIGINT) AS bucket,
                CAST(t AS BIGINT) AS ts_us, ROUND(v, 6) AS v
         FROM sel WHERE rn = 1"""
+
+    # q276: language-ID eval — marker-argmax replay (exact struct-
+    # greatest tie-break) + the q163 report fold
+    sql["q276_langid_eval"] = (
+        "WITH scores AS (" + sql["q23_lang_scores"] + """
+        ), pick AS (
+          SELECT doc_id, lang_cand AS pred
+          FROM (SELECT doc_id, lang_cand,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC,
+                                  ascii(substr(lang_cand, 1, 1)) ASC,
+                                  lang_cand DESC) AS rn
+                FROM scores)
+          WHERE rn = 1
+        ), pairs AS (
+          SELECT d.lang AS t, pick.pred AS p
+          FROM documents d JOIN pick USING (doc_id)
+        ), cm AS (
+          SELECT t, p, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+        ), byt AS (SELECT t AS label, SUM(n) AS true_n FROM cm GROUP BY 1),
+        byp AS (SELECT p AS label, SUM(n) AS pred_n FROM cm GROUP BY 1),
+        tpc AS (SELECT t AS label, n AS tp FROM cm WHERE t = p),
+        rep AS (
+          SELECT label,
+                 COALESCE(tp, 0) AS tp,
+                 COALESCE(pred_n, 0) - COALESCE(tp, 0) AS fp,
+                 COALESCE(true_n, 0) - COALESCE(tp, 0) AS fn
+          FROM byt FULL OUTER JOIN byp USING (label)
+          LEFT JOIN tpc USING (label)
+        ), raw AS (
+          SELECT label, tp, fp, fn,
+                 CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) END AS pr,
+                 CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) END AS rc
+          FROM rep
+        )
+        SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               ROUND(pr, 6) AS precision, ROUND(rc, 6) AS recall,
+               ROUND(CASE WHEN pr + rc > 0
+                          THEN 2 * pr * rc / (pr + rc) END, 6) AS f1
+        FROM raw""")
 
     return sql
