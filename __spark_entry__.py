@@ -2879,6 +2879,20 @@ def q276_langid_eval(spark, sf_dir):
     return profiling.classification_report(pred, "lang", "lang_pred")
 
 
+def q277_attribution_window(spark, sf_dir):
+    """Windowed last-touch attribution (timeseries.attribution with
+    lookback_seconds=86400): only touches within 24 h before the
+    conversion qualify — the RANGE frame over integer epoch-us
+    replaces the unbounded frame, stale touches fall to 'none'."""
+    from dask_grblas_spark.functions import timeseries as ts
+    from dask_grblas_spark.streaming import load_events
+    ev = load_events(spark, sf_dir)
+    return ts.attribution(ev, convert_type="purchase",
+                          touch_types=("click", "view"),
+                          model="last_touch",
+                          lookback_seconds=86400)
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -4220,6 +4234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q274_kmv_setops": q274_kmv_setops,
         "q275_lttb": q275_lttb,
         "q276_langid_eval": q276_langid_eval,
+        "q277_attribution_window": q277_attribution_window,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -10992,5 +11007,22 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CASE WHEN pr + rc > 0
                           THEN 2 * pr * rc / (pr + rc) END, 6) AS f1
         FROM raw""")
+
+    # q277: 24h-lookback attribution — RANGE frame over epoch-us
+    sql["q277_attribution_window"] = """
+        WITH t AS (
+          SELECT user_id, event_type, CAST(value AS DOUBLE) AS v,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 86400000000 PRECEDING
+                         AND 1 PRECEDING) AS credit
+          FROM events)
+        SELECT COALESCE(credit, 'none') AS touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS value_sum
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY 1"""
 
     return sql

@@ -1075,7 +1075,8 @@ def attribution(df: DataFrame, user_col: str = "user_id",
                 val_col: str = "value",
                 convert_type: str = "purchase",
                 touch_types: tuple = ("click", "view"),
-                model: str = "last_touch") -> DataFrame:
+                model: str = "last_touch",
+                lookback_seconds: int | None = None) -> DataFrame:
     """Single-touch marketing/conversion attribution: every
     ``convert_type`` event credits the LAST (or FIRST, per ``model``)
     strictly-preceding touch event of the same user; conversions with
@@ -1091,11 +1092,23 @@ def attribution(df: DataFrame, user_col: str = "user_id",
     quantize ROUND(.,6) per row and accumulate as DECIMAL(38,6) —
     fold-order invariant (the q174 lesson). Output: one row per
     credited channel (touch_type, n_conversions, value_sum round 6).
+
+    ``lookback_seconds`` bounds the credit window: only touches
+    within that many seconds before the conversion qualify — the
+    RANGE frame over integer epoch-microseconds replaces the
+    unbounded strictly-preceding ROWS frame, so stale touches fall
+    out of BOTH models without a second pass.
     """
     if model not in ("last_touch", "first_touch"):
         raise ValueError(f"unknown attribution model: {model!r}")
-    w = (Window.partitionBy(user_col).orderBy(ts_col)
-               .rowsBetween(Window.unboundedPreceding, -1))
+    if lookback_seconds is None:
+        w = (Window.partitionBy(user_col).orderBy(ts_col)
+                   .rowsBetween(Window.unboundedPreceding, -1))
+    else:
+        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        w = (Window.partitionBy(user_col).orderBy(us)
+                   .rangeBetween(-int(lookback_seconds) * 1_000_000,
+                                 -1))
     touch = F.when(F.col(type_col).isin(*touch_types), F.col(type_col))
     pick = (F.last(touch, ignorenulls=True) if model == "last_touch"
             else F.first(touch, ignorenulls=True))

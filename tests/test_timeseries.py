@@ -844,3 +844,26 @@ def test_lttb_keeps_peaks_and_endpoints(spark):
     assert out[3]["ts_us"] == us0 + 39 * 60 * 1_000_000
     # the spike (i=17 -> bucket 1) must be the bucket-1 survivor
     assert out[1]["v"] == 100.0
+
+
+def test_attribution_lookback_expires_stale_touch(spark):
+    import datetime as dt
+
+    from dask_grblas_spark.functions import timeseries as ts
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "click", 0.0),
+        (1, t0 + dt.timedelta(seconds=100), "purchase", 10.0),
+        (2, t0, "click", 0.0),
+        (2, t0 + dt.timedelta(seconds=10), "purchase", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double")
+    # 30s lookback: user 1's click (100s old) expires; user 2's holds
+    out = {r["touch_type"]: r["n_conversions"]
+           for r in ts.attribution(df, lookback_seconds=30).collect()}
+    assert out == {"none": 1, "click": 1}
+    # unbounded: both credit the click
+    full = {r["touch_type"]: r["n_conversions"]
+            for r in ts.attribution(df).collect()}
+    assert full == {"click": 2}
