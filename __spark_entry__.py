@@ -2893,6 +2893,21 @@ def q277_attribution_window(spark, sf_dir):
                           lookback_seconds=86400)
 
 
+def q278_ann_recall(spark, sf_dir):
+    """The ANN quality feedback loop: IVF-bucketed top-5 (q36's
+    pipeline) evaluated against the exact blocked-GEMM top-5 (q35)
+    via similarity.ranking_metrics — per-query recall@5 and
+    reciprocal rank. BOTH sides are deterministic, so the oracle
+    composes the two replays and must agree on every query's
+    recall."""
+    exact = similarity.cosine_topk(_emb(spark, sf_dir), k=5) \
+        .select("query_id", "neighbor_id")
+    approx = similarity.ivf_topk(_emb(spark, sf_dir), k=5,
+                                 n_cells=8, nprobe=3) \
+        .select("query_id", "neighbor_id", "rank")
+    return similarity.ranking_metrics(approx, exact, k=5)
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -4235,6 +4250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q275_lttb": q275_lttb,
         "q276_langid_eval": q276_langid_eval,
         "q277_attribution_window": q277_attribution_window,
+        "q278_ann_recall": q278_ann_recall,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -11024,5 +11040,25 @@ def oracle_sql() -> dict[str, str]:
                     AS DOUBLE) AS value_sum
         FROM t WHERE event_type = 'purchase'
         GROUP BY 1"""
+
+    # q278: ANN recall — compose the q35 exact and q36 IVF replays
+    # (CTE-in-subquery keeps their own WITH clauses intact)
+    sql["q278_ann_recall"] = (
+        "WITH exact AS (SELECT * FROM (" + sql["q35_cosine_topk"]
+        + ")), approx AS (SELECT * FROM (" + sql["q36_ivf_ann"] + """
+        )), truth AS (
+          SELECT DISTINCT query_id AS q, neighbor_id AS it FROM exact
+        ), hits AS (
+          SELECT t.q, t.it, a.rank AS rk
+          FROM truth t LEFT JOIN approx a
+            ON a.query_id = t.q AND a.neighbor_id = t.it
+             AND a.rank <= 5
+        )
+        SELECT q AS query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rel,
+               CAST(COUNT(rk) AS BIGINT) AS n_hit,
+               ROUND(COUNT(rk) * 1.0 / COUNT(*), 6) AS recall,
+               ROUND(COALESCE(1.0 / MIN(rk), 0.0), 6) AS rr
+        FROM hits GROUP BY 1""")
 
     return sql
