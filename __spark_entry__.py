@@ -2908,6 +2908,45 @@ def q278_ann_recall(spark, sf_dir):
     return similarity.ranking_metrics(approx, exact, k=5)
 
 
+def q279_snapshots(spark, sf_dir):
+    """Versioned snapshots + time travel (sources/io.py
+    write_snapshot/read_snapshot): v1 = the raw click slice, v2 = the
+    q272 corrections applied — reading v1 AFTER v2 exists must still
+    return the original rows (manifest-committed versions, never
+    directory listings). Output: per-version rollups; the oracle
+    computes both versions' expected aggregates from the raw
+    relation."""
+    import os
+    import shutil
+
+    from dask_grblas_spark.sources.io import (read_snapshot,
+                                              write_snapshot)
+    from dask_grblas_spark.streaming import load_events
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    path = f"/tmp/dgs_snap_{tag}"
+    shutil.rmtree(path, ignore_errors=True)
+    clicks = (load_events(spark, sf_dir)
+              .where(F.col("event_type") == "click")
+              .select("event_id", "value"))
+    write_snapshot(clicks, path)
+    v2 = clicks.withColumn(
+        "value", F.when(F.col("event_id") % 10 == 0,
+                        F.col("value") + 1000.0)
+                  .otherwise(F.col("value")))
+    write_snapshot(v2, path)
+    out = []
+    for v in (1, 2):
+        snap = read_snapshot(spark, path, v)
+        out.append(snap.agg(
+            F.lit(v).cast("bigint").alias("version"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value").cast("double"), 6)
+                   .cast("decimal(38,6)")).cast("double")
+             .alias("sum_v")))
+    return out[0].unionByName(out[1])
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -4251,6 +4290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q276_langid_eval": q276_langid_eval,
         "q277_attribution_window": q277_attribution_window,
         "q278_ann_recall": q278_ann_recall,
+        "q279_snapshots": q279_snapshots,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -11060,5 +11100,22 @@ def oracle_sql() -> dict[str, str]:
                ROUND(COUNT(rk) * 1.0 / COUNT(*), 6) AS recall,
                ROUND(COALESCE(1.0 / MIN(rk), 0.0), 6) AS rr
         FROM hits GROUP BY 1""")
+
+    # q279: snapshot isolation — v1 untouched, v2 corrected
+    sql["q279_snapshots"] = """
+        WITH clicks AS (
+          SELECT event_id, CAST(value AS DOUBLE) AS v
+          FROM events WHERE event_type = 'click')
+        SELECT CAST(1 AS BIGINT) AS version,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sum_v
+        FROM clicks
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CAST(ROUND(CASE WHEN event_id % 10 = 0
+                                        THEN v + 1000.0 ELSE v END, 6)
+                             AS DECIMAL(38,6))) AS DOUBLE)
+        FROM clicks"""
 
     return sql

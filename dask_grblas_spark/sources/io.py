@@ -834,3 +834,53 @@ def merge_into_partitioned(spark, path: str, updates, key_cols,
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",
                        prev)
     return spark.read.parquet(path)
+
+
+def write_snapshot(df, path: str) -> int:
+    """Append an immutable snapshot VERSION of a table (poor-man's
+    time travel without a table format): data lands under
+    ``<path>/v=<n>/`` and a ``_versions.json`` manifest records the
+    committed versions IN ORDER — readers pick a version by manifest,
+    never by directory listing, so a half-written snapshot (crash
+    before the manifest rename) is invisible. Returns the new version
+    number.
+
+    Write protocol: data dir first, then manifest swap via
+    os.replace (atomic on POSIX) — the manifest is the commit point.
+    At 100 TB each snapshot is just another partitioned-parquet write
+    (no rewrite of history); expired versions can be dropped by
+    deleting their dir AFTER removing them from the manifest."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    man = os.path.join(path, "_versions.json")
+    versions = []
+    if os.path.exists(man):
+        with open(man) as fh:
+            versions = json.load(fh)
+    v = (versions[-1] + 1) if versions else 1
+    df.write.mode("errorifexists").parquet(
+        os.path.join(path, f"v={v}"))
+    tmp = man + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(versions + [v], fh)
+    os.replace(tmp, man)
+    return v
+
+
+def read_snapshot(spark, path: str, version: int | None = None):
+    """Read a committed snapshot version (default: latest). Versions
+    come from the manifest — an uncommitted (crashed) data dir is
+    never visible."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_versions.json")) as fh:
+        versions = json.load(fh)
+    if not versions:
+        raise ValueError(f"no committed versions under {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not committed (have {versions})")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))

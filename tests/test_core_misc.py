@@ -959,3 +959,29 @@ def test_schema_evolution_roundtrip(spark, tmp_path):
     rows = {r["k"]: r for r in got.collect()}
     assert len(rows) == 3
     assert rows[1]["tag"] is None and rows[3]["tag"] == "x"
+
+
+def test_snapshot_versions_isolated_and_crash_safe(spark, tmp_path):
+    import json
+    import os
+
+    from dask_grblas_spark.sources.io import (read_snapshot,
+                                              write_snapshot)
+    p = str(tmp_path / "snap")
+    df1 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    assert write_snapshot(df1, p) == 1
+    df2 = spark.createDataFrame([(1, 9.0)], "id long, v double")
+    assert write_snapshot(df2, p) == 2
+    # time travel: v1 unchanged after v2 committed
+    assert sorted(r["v"] for r in read_snapshot(spark, p, 1).collect()) \
+        == [1.0, 2.0]
+    assert [r["v"] for r in read_snapshot(spark, p).collect()] == [9.0]
+    # an uncommitted (crashed) data dir is invisible: fake v=3 dir
+    # without a manifest entry
+    os.makedirs(os.path.join(p, "v=3"))
+    assert [r["v"] for r in read_snapshot(spark, p).collect()] == [9.0]
+    with open(os.path.join(p, "_versions.json")) as fh:
+        assert json.load(fh) == [1, 2]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        read_snapshot(spark, p, 3)
