@@ -2910,7 +2910,7 @@ def q278_ann_recall(spark, sf_dir):
 
 def q279_snapshots(spark, sf_dir):
     """Versioned snapshots + time travel (sources/io.py
-    write_snapshot/read_snapshot): v1 = the raw click slice, v2 = the
+    write_version/read_version): v1 = the raw click slice, v2 = the
     q272 corrections applied — reading v1 AFTER v2 exists must still
     return the original rows (manifest-committed versions, never
     directory listings). Output: per-version rollups; the oracle
@@ -2919,8 +2919,8 @@ def q279_snapshots(spark, sf_dir):
     import os
     import shutil
 
-    from dask_grblas_spark.sources.io import (read_snapshot,
-                                              write_snapshot)
+    from dask_grblas_spark.sources.io import (read_version,
+                                              write_version)
     from dask_grblas_spark.streaming import load_events
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
@@ -2929,15 +2929,15 @@ def q279_snapshots(spark, sf_dir):
     clicks = (load_events(spark, sf_dir)
               .where(F.col("event_type") == "click")
               .select("event_id", "value"))
-    write_snapshot(clicks, path)
+    write_version(clicks, path)
     v2 = clicks.withColumn(
         "value", F.when(F.col("event_id") % 10 == 0,
                         F.col("value") + 1000.0)
                   .otherwise(F.col("value")))
-    write_snapshot(v2, path)
+    write_version(v2, path)
     out = []
     for v in (1, 2):
-        snap = read_snapshot(spark, path, v)
+        snap = read_version(spark, path, v)
         out.append(snap.agg(
             F.lit(v).cast("bigint").alias("version"),
             F.count("*").cast("bigint").alias("n"),

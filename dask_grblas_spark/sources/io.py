@@ -26,7 +26,7 @@ __all__ = ["matrix_from_parquet", "matrix_to_parquet", "vector_from_parquet",
            "table_to_csv", "table_from_csv",
            "write_keyed", "read_keyed", "upsert_keyed", "recover_upsert",
            "snapshot_diff", "refresh_keyed_agg",
-           "write_snapshot", "read_evolving"]
+           "write_snapshot", "read_evolving", "write_version", "read_version"]
 
 
 def table_to_partitioned(df, path: str, partition_cols: list[str] | str,
@@ -836,7 +836,7 @@ def merge_into_partitioned(spark, path: str, updates, key_cols,
     return spark.read.parquet(path)
 
 
-def write_snapshot(df, path: str) -> int:
+def write_version(df, path: str) -> int:
     """Append an immutable snapshot VERSION of a table (poor-man's
     time travel without a table format): data lands under
     ``<path>/v=<n>/`` and a ``_versions.json`` manifest records the
@@ -869,7 +869,7 @@ def write_snapshot(df, path: str) -> int:
     return v
 
 
-def read_snapshot(spark, path: str, version: int | None = None):
+def read_version(spark, path: str, version: int | None = None):
     """Read a committed snapshot version (default: latest). Versions
     come from the manifest — an uncommitted (crashed) data dir is
     never visible."""

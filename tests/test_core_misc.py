@@ -965,23 +965,23 @@ def test_snapshot_versions_isolated_and_crash_safe(spark, tmp_path):
     import json
     import os
 
-    from dask_grblas_spark.sources.io import (read_snapshot,
-                                              write_snapshot)
+    from dask_grblas_spark.sources.io import (read_version,
+                                              write_version)
     p = str(tmp_path / "snap")
     df1 = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
-    assert write_snapshot(df1, p) == 1
+    assert write_version(df1, p) == 1
     df2 = spark.createDataFrame([(1, 9.0)], "id long, v double")
-    assert write_snapshot(df2, p) == 2
+    assert write_version(df2, p) == 2
     # time travel: v1 unchanged after v2 committed
-    assert sorted(r["v"] for r in read_snapshot(spark, p, 1).collect()) \
+    assert sorted(r["v"] for r in read_version(spark, p, 1).collect()) \
         == [1.0, 2.0]
-    assert [r["v"] for r in read_snapshot(spark, p).collect()] == [9.0]
+    assert [r["v"] for r in read_version(spark, p).collect()] == [9.0]
     # an uncommitted (crashed) data dir is invisible: fake v=3 dir
     # without a manifest entry
     os.makedirs(os.path.join(p, "v=3"))
-    assert [r["v"] for r in read_snapshot(spark, p).collect()] == [9.0]
+    assert [r["v"] for r in read_version(spark, p).collect()] == [9.0]
     with open(os.path.join(p, "_versions.json")) as fh:
         assert json.load(fh) == [1, 2]
     import pytest as _pt
     with _pt.raises(ValueError):
-        read_snapshot(spark, p, 3)
+        read_version(spark, p, 3)
