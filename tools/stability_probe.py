@@ -39,7 +39,12 @@ DEFAULT = ["q174_gini", "q203_cube", "q216_tpch_pricing",
            # decimal-sum attribution rollup, the biggest new TPC-H
            # money sums, and the prefix-sum AP fold
            "q258_theil", "q262_attribution", "q251_tpch_volume",
-           "q263_pr_auc"]
+           "q263_pr_auc",
+           # r9 session 2b: the double-mean folds (lorenz buckets,
+           # lttb neighbor averages) + the ln-term folds (nmi) + the
+           # composed rank pipelines (prf, ann-recall)
+           "q270_lorenz", "q275_lttb", "q273_nmi",
+           "q269_prf_expansion", "q278_ann_recall"]
 
 PARTITION_GRID = (5, 32, 77, 200)
 
