@@ -2947,6 +2947,35 @@ def q279_snapshots(spark, sf_dir):
     return out[0].unionByName(out[1])
 
 
+def q280_spearman(spark, sf_dir):
+    """Exact Spearman rank correlation (profiling.spearman_rho)
+    between per-customer spend and order count — integer doubled
+    average ranks (2cb + c + 1) on the `_prefix_sum` discipline,
+    DECIMAL(38,0) Pearson fold, one sqrt at the end."""
+    from dask_grblas_spark.functions import profiling
+    o = tpch.load_table(spark, sf_dir, "orders")
+    per = (o.groupBy("o_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast("double")
+                        .cast("decimal(27,2)"))
+                  .cast("double").alias("spend"),
+                 F.count("*").cast("bigint").alias("n_orders")))
+    return profiling.spearman_rho(per, "spend", "n_orders")
+
+
+def q281_hhi(spark, sf_dir):
+    """Herfindahl concentration of supplier revenue within each
+    nation (profiling.hhi): exact-decimal member totals, round-9
+    quantized squared shares in a DECIMAL(38,9) fold."""
+    from dask_grblas_spark.functions import profiling
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = tpch.load_table(spark, sf_dir, "supplier")
+    j = (li.join(s, li.l_suppkey == s.s_suppkey)
+           .select(F.col("s_nationkey").cast("bigint").alias("nk"),
+                   "l_suppkey", "l_extendedprice"))
+    return profiling.hhi(j, "nk", "l_suppkey", "l_extendedprice") \
+        .withColumnRenamed("grp", "nk")
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -4291,6 +4320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q277_attribution_window": q277_attribution_window,
         "q278_ann_recall": q278_ann_recall,
         "q279_snapshots": q279_snapshots,
+        "q280_spearman": q280_spearman,
+        "q281_hhi": q281_hhi,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -11117,5 +11148,61 @@ def oracle_sql() -> dict[str, str]:
                                         THEN v + 1000.0 ELSE v END, 6)
                              AS DECIMAL(38,6))) AS DOUBLE)
         FROM clicks"""
+
+    # q280: Spearman — integer doubled average ranks, exact Pearson
+    # fold on the ranks
+    sql["q280_spearman"] = """
+        WITH per AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE)
+                               AS DECIMAL(27,2))) AS DOUBLE) AS x,
+                 CAST(COUNT(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        gx AS (SELECT x AS v, COUNT(*) AS c FROM per GROUP BY 1),
+        cx AS (SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + c + 1 AS r2
+               FROM gx),
+        gy AS (SELECT y AS v, COUNT(*) AS c FROM per GROUP BY 1),
+        cy AS (SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + c + 1 AS r2
+               FROM gy),
+        r AS (SELECT cx.r2 AS rx, cy.r2 AS ry
+              FROM per JOIN cx ON per.x = cx.v
+                       JOIN cy ON per.y = cy.v),
+        s AS (SELECT COUNT(*) AS n,
+                     SUM(CAST(rx AS DECIMAL(38,0))) AS sx,
+                     SUM(CAST(ry AS DECIMAL(38,0))) AS sy,
+                     SUM(CAST(rx AS DECIMAL(38,0)) * rx) AS sxx,
+                     SUM(CAST(ry AS DECIMAL(38,0)) * ry) AS syy,
+                     SUM(CAST(rx AS DECIMAL(38,0)) * ry) AS sxy
+              FROM r)
+        SELECT CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                 AS rho
+        FROM s"""
+
+    # q281: HHI per nation — exact member totals, quantized squared
+    # shares
+    sql["q281_hhi"] = """
+        WITH per AS (
+          SELECT CAST(s_nationkey AS BIGINT) AS nk, l_suppkey,
+                 SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                          AS DECIMAL(27,2))) AS mv
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY 1, 2),
+        tot AS (SELECT nk, SUM(mv) AS tv,
+                       CAST(COUNT(*) AS BIGINT) AS n_members
+                FROM per GROUP BY 1)
+        SELECT per.nk, n_members,
+               ROUND(CAST(SUM(CAST(ROUND(
+                   (CAST(mv AS DOUBLE) / CAST(tv AS DOUBLE))
+                   * (CAST(mv AS DOUBLE) / CAST(tv AS DOUBLE)), 9)
+                   AS DECIMAL(38,9))) AS DOUBLE), 6) AS hhi
+        FROM per JOIN tot USING (nk)
+        GROUP BY 1, 2"""
 
     return sql

@@ -2052,3 +2052,93 @@ def nmi(df: DataFrame, a_col, b_col) -> DataFrame:
     return spark.createDataFrame(
         [(n, _r6(mi), _r6(h_a), _r6(h_b), val)],
         "n long, mi double, h_a double, h_b double, nmi double")
+
+
+def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """EXACT Spearman rank correlation with the average-rank tie rule
+    — the monotone-association companion to the Pearson
+    `correlation_matrix` (outlier-robust, scale-free).
+
+    The whole computation stays INTEGER: twice the average rank of a
+    value with c ties and cb predecessors is 2*cb + c + 1 (an
+    integer), ranks attach back to rows by value join, and Pearson on
+    the doubled ranks (invariant under the affine x2) folds exact
+    DECIMAL(38,0) sums — the only floating steps are one sqrt and one
+    division at the end, round 6. Per-column rank relations use the
+    range-partitioned `_prefix_sum` (no single-task window at any
+    cardinality). Output: one row (n, rho); NULL rho when either
+    column is constant."""
+    base = (df.select(F.col(x_col).cast("double").alias("_x"),
+                      F.col(y_col).cast("double").alias("_y"))
+              .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+              .localCheckpoint())
+
+    def ranks2(col):
+        g = base.groupBy(F.col(col).alias("_v")) \
+                .agg(F.count("*").cast("bigint").alias("_c"))
+        p, _ = _prefix_sum(g, [F.col("_v")], "_c", "_cb")
+        return p.select("_v",
+                        (2 * F.col("_cb") + F.col("_c") + 1)
+                        .cast("bigint").alias("_r2"))
+    rx = ranks2("_x").withColumnRenamed("_v", "_x") \
+                     .withColumnRenamed("_r2", "_rx")
+    ry = ranks2("_y").withColumnRenamed("_v", "_y") \
+                     .withColumnRenamed("_r2", "_ry")
+    joined = base.join(rx, on="_x").join(ry, on="_y")
+    d = "decimal(38,0)"
+    row = joined.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("_rx").cast(d)).alias("sx"),
+        F.sum(F.col("_ry").cast(d)).alias("sy"),
+        # cast BEFORE multiplying: a bigint*bigint product of doubled
+        # ranks overflows long beyond n ~ 1.5e9; decimal*long doesn't
+        F.sum(F.col("_rx").cast(d) * F.col("_rx")).alias("sxx"),
+        F.sum(F.col("_ry").cast(d) * F.col("_ry")).alias("syy"),
+        F.sum(F.col("_rx").cast(d) * F.col("_ry")).alias("sxy")
+    ).collect()[0]
+    n = int(row["n"] or 0)
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame([(0, None)],
+                                     "n long, rho double")
+    sx, sy = int(row["sx"]), int(row["sy"])
+    sxx, syy, sxy = int(row["sxx"]), int(row["syy"]), int(row["sxy"])
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    if vx == 0 or vy == 0:
+        return spark.createDataFrame([(n, None)],
+                                     "n long, rho double")
+    rho = (n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy))
+    r6 = (math.floor(rho * 1e6 + 0.5) / 1e6 if rho >= 0
+          else -(math.floor(-rho * 1e6 + 0.5) / 1e6))
+    return spark.createDataFrame([(n, r6)], "n long, rho double")
+
+
+def hhi(df: DataFrame, group_col: str, member_col: str,
+        val_col: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group: sum of
+    squared member shares of an exact-decimal measure — the
+    market-concentration / source-dominance screen that pairs with
+    `gini_coefficient` (HHI reads concentration among ENTITIES,
+    gini among units). Member totals fold as DECIMAL(27,2); each
+    share is a double ratio of two exact decimals (engine-identical),
+    its square quantizes ROUND(.,9) and accumulates as DECIMAL(38,9).
+    Output: (group, n_members, hhi round 6) — 1/n for even splits,
+    1.0 for monopoly."""
+    vd = F.col(val_col).cast("double").cast("decimal(27,2)")
+    per = (df.groupBy(F.col(group_col).alias("grp"),
+                      F.col(member_col).alias("_m"))
+             .agg(F.sum(vd).alias("_mv")))
+    tot = per.groupBy("grp").agg(F.sum("_mv").alias("_tv"),
+                                 F.count("*").alias("n_members"))
+    share = (F.col("_mv").cast("double")
+             / F.col("_tv").cast("double"))
+    term = F.round(share * share, 9).cast("decimal(38,9)")
+    return (per.join(tot, on="grp")
+               .groupBy("grp", "n_members")
+               .agg(F.round(F.sum(term).cast("double"), 6)
+                     .alias("hhi"))
+               .select(F.col("grp"),
+                       F.col("n_members").cast("bigint")
+                        .alias("n_members"),
+                       "hhi"))

@@ -186,3 +186,35 @@ def test_nmi_constant_labeling_null(spark):
         [("x", "u"), ("x", "v")], "a string, b string")
     r = profiling.nmi(df, "a", "b").collect()[0]
     assert r["h_a"] == 0.0 and r["nmi"] is None
+
+
+def test_spearman_perfect_monotone_and_inverse(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(1, 20)],
+        "x double, y double")
+    assert profiling.spearman_rho(df, "x", "y").collect()[0]["rho"] == 1.0
+    inv = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(1, 20)],
+        "x double, y double")
+    assert profiling.spearman_rho(inv, "x", "y").collect()[0]["rho"] == -1.0
+
+
+def test_spearman_ties_average_rank(spark):
+    # x = [1,2,2,3], y = [10,20,20,40]: identical tie structure -> 1.0
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)],
+        "x double, y double")
+    assert profiling.spearman_rho(df, "x", "y").collect()[0]["rho"] == 1.0
+    # constant column -> NULL
+    c = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "x double, y double")
+    assert profiling.spearman_rho(c, "x", "y").collect()[0]["rho"] is None
+
+
+def test_hhi_even_and_monopoly(spark):
+    rows = [("g", f"m{i}", 10.0) for i in range(4)] \
+        + [("h", "solo", 99.0)]
+    df = spark.createDataFrame(rows, "grp string, m string, v double")
+    got = {r["grp"]: (r["n_members"], r["hhi"])
+           for r in profiling.hhi(df, "grp", "m", "v").collect()}
+    assert got["g"] == (4, 0.25)
+    assert got["h"] == (1, 1.0)
