@@ -2976,6 +2976,15 @@ def q281_hhi(spark, sf_dir):
         .withColumnRenamed("grp", "nk")
 
 
+def q282_vocab_overlap(spark, sf_dir):
+    """EXACT 3-gram set overlap between the same two sources q274
+    estimates (sketches.exact_set_overlap) — the calibration ground
+    truth for the KMV set-operation gate; one distinct shuffle + one
+    gram-partitioned semi-join, no driver materialization."""
+    return sketches.exact_set_overlap(_doc(spark, sf_dir), "source",
+                                      "src0", "src1", n=3)
+
+
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
     import os
@@ -4322,6 +4331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q279_snapshots": q279_snapshots,
         "q280_spearman": q280_spearman,
         "q281_hhi": q281_hhi,
+        "q282_vocab_overlap": q282_vocab_overlap,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -11204,5 +11214,33 @@ def oracle_sql() -> dict[str, str]:
                    AS DECIMAL(38,9))) AS DOUBLE), 6) AS hhi
         FROM per JOIN tot USING (nk)
         GROUP BY 1, 2"""
+
+    # q282: exact 3-gram overlap — q274's gram CTE on strings
+    sql["q282_vocab_overlap"] = r"""
+        WITH docs AS (
+          SELECT source,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS _t
+          FROM documents WHERE source IN ('src0', 'src1')
+        ), grams AS (
+          SELECT DISTINCT source AS grp, unnest(
+            CASE WHEN len(_t) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(_t) <= 3 THEN [array_to_string(_t, ' ')]
+                 ELSE list_transform(generate_series(0, len(_t) - 3),
+                        p -> array_to_string(
+                               list_slice(_t, p + 1, p + 3), ' ')) END)
+            AS g
+          FROM docs
+        ), a AS (SELECT g FROM grams WHERE grp = 'src0'),
+        b AS (SELECT g FROM grams WHERE grp = 'src1'),
+        c AS (SELECT (SELECT COUNT(*) FROM a) AS n_a,
+                     (SELECT COUNT(*) FROM b) AS n_b,
+                     (SELECT COUNT(*) FROM a
+                      WHERE g IN (SELECT g FROM b)) AS n_inter)
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(n_inter AS BIGINT) AS n_inter,
+               ROUND(n_inter * 1.0 / (n_a + n_b - n_inter), 6)
+                 AS jaccard
+        FROM c"""
 
     return sql

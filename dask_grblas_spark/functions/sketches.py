@@ -344,3 +344,43 @@ def kmv_set_ops(df: DataFrame, group_col: str, grp_a: str, grp_b: str,
         [(na, nb, u4, j6, i4)],
         "n_a long, n_b long, union_est double, jaccard_est double, "
         "inter_est double")
+
+
+def exact_set_overlap(df: DataFrame, group_col: str, grp_a: str,
+                      grp_b: str, text_col: str = "text",
+                      n: int = 1) -> DataFrame:
+    """EXACT distinct n-gram overlap between two groups — the ground
+    truth `kmv_set_ops` estimates (pair the two gates and you have
+    the sketch-calibration readout): |A|, |B|, |A ∩ B|, and exact
+    Jaccard. Same counting unit as the KMV family (`_hash_tokens`'s
+    gram construction, strings instead of hashes).
+
+    Plan: one distinct (grp, gram) shuffle; side sizes fold from it;
+    the intersection is a semi-join of A's grams against B's —
+    gram-partitioned, no driver materialization at any vocabulary
+    size. Output: one row (n_a, n_b, n_inter, jaccard round 6)."""
+    toks = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    base = (df.where(F.col(group_col).isin(grp_a, grp_b))
+              .select(F.col(group_col).alias("grp"), toks.alias("_t")))
+    if n == 1:
+        unit = F.explode(F.col("_t"))
+    else:
+        unit = F.explode(F.expr(
+            f"CASE WHEN size(_t) = 0 THEN array() "
+            f"WHEN size(_t) <= {n} THEN array(array_join(_t, ' ')) "
+            f"ELSE transform(sequence(0, size(_t) - {n}), "
+            f"p -> array_join(slice(_t, p + 1, {n}), ' ')) END"))
+    grams = base.select("grp", unit.alias("g")).distinct() \
+                .localCheckpoint()
+    ga = grams.where(F.col("grp") == grp_a).select("g")
+    gb_ = grams.where(F.col("grp") == grp_b).select("g")
+    na = ga.count()
+    nb = gb_.count()
+    ni = ga.join(gb_, on="g", how="left_semi").count()
+    union = na + nb - ni
+    jac = (math.floor(ni / union * 1e6 + 0.5) / 1e6 if union
+           else None)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(na, nb, ni, jac)],
+        "n_a long, n_b long, n_inter long, jaccard double")
