@@ -5,7 +5,9 @@ entry exists, compares row count, column names, and a value hash computed
 the way the driver does: sort columns by name, sort rows, hash rounded
 values. Exit non-zero on any mismatch.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--timing] [sf_dir] [query ...]
+(--timing appends per-query Spark-side seconds to each line — the
+slow-gate radar for future rounds.)
 """
 
 from __future__ import annotations
@@ -18,8 +20,10 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+TIMING = "--timing" in sys.argv
+_args = [a for a in sys.argv[1:] if a != "--timing"]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
@@ -91,8 +95,11 @@ def main() -> int:
         if ONLY and name not in ONLY:
             continue
         try:
+            import time as _time
+            _t0 = _time.perf_counter()
             sdf = fn(spark, SF_DIR)
             spdf = sdf.toPandas()
+            _el = _time.perf_counter() - _t0
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
@@ -131,7 +138,8 @@ def main() -> int:
             if diff is not None and not diff.empty:
                 print(diff.head(8).to_string())
         else:
-            print(f"OK    {name}: {len(sn)} rows")
+            extra = f"  [{_el:.2f}s]" if TIMING else ""
+            print(f"OK    {name}: {len(sn)} rows{extra}")
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
 
