@@ -2720,7 +2720,8 @@ def q266_near_dup_clusters(spark, sf_dir):
 def q267_part_value_share(spark, sf_dir):
     """TPC-H Q11 shape adapted (no partsupp table — part value =
     lineitem revenue per part): parts whose total revenue exceeds a
-    GLOBAL-threshold scalar subquery (0.1% of all revenue). The
+    GLOBAL-threshold scalar subquery (1.2x the average per-part
+    revenue: val*n*5 > tot*6, as PARITY.md states). The
     per-part rollup happens once; the 1-row global total broadcasts
     back as a nested-loop filter on EXACT decimals (a double
     threshold at a tie boundary would be engine roulette)."""
@@ -4183,6 +4184,213 @@ def q51_media_features(spark, sf_dir):
 # driver contract
 # ---------------------------------------------------------------------------
 
+def q283_tpch_ship_priority(spark, sf_dir):
+    """TPC-H Q3 (shipping priority) adapted (no o_shippriority
+    column — o_orderpriority rides along instead): the 10 highest-
+    revenue BUILDING-segment orders placed before 1996-07-01 with
+    lineitems still shipping after it. Customer filter + join
+    BROADCASTs (customer is the small side after the segment
+    filter); the only real shuffle is lineitem⋈orders; the top-10 is
+    a distributed TakeOrdered on the EXACT DECIMAL revenue (a double
+    sort key at a tie boundary would be engine roulette), orderkey
+    tiebreak."""
+    cut = "1996-07-01"
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .where(F.col("c_mktsegment") == "BUILDING") \
+        .select("c_custkey")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .where(F.col("o_orderdate") < F.lit(cut))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .where(F.col("l_shipdate") > F.lit(cut))
+    rev = (F.col("l_extendedprice").cast("double")
+           * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
+        .cast("decimal(27,4)")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .groupBy(F.col("o_orderkey").cast("bigint")
+                        .alias("o_orderkey"),
+                       F.unix_micros(F.col("o_orderdate")
+                                      .cast("timestamp"))
+                        .alias("o_date_us"),
+                       "o_orderpriority")
+              .agg(F.sum(rev).alias("_rev"))
+              .orderBy(F.col("_rev").desc(), "o_orderkey")
+              .limit(10)
+              .select("o_orderkey", "o_date_us", "o_orderpriority",
+                      F.col("_rev").cast("double").alias("revenue")))
+
+
+def q284_tpch_local_supplier(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): revenue from 1996 orders
+    where customer and supplier sit in the SAME nation of AMERICA,
+    per nation. nation⋈region collapses to a broadcast lookup (≤25
+    rows); customer and supplier join it broadcast; the only big
+    shuffles are lineitem⋈orders and the final per-nation fold of
+    the exact DECIMAL(27,4) revenue."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet") \
+        .where(F.col("r_name") == "AMERICA")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .where((F.col("o_orderdate") >= F.lit("1996-01-01"))
+               & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (F.col("l_extendedprice").cast("double")
+           * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
+        .cast("decimal(27,4)")
+    nr = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .select("n_nationkey", "n_name"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(s, (li.l_suppkey == s.s_suppkey)
+                    & (c.c_nationkey == s.s_nationkey))
+              .join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+              .groupBy("n_name")
+              .agg(F.sum(rev).cast("double").alias("revenue")))
+
+
+def q285_tpch_returned_items(spark, sf_dir):
+    """TPC-H Q10 (returned item reporting): the 20 customers who
+    returned the most 1996-Q1-ordered revenue (l_returnflag = 'R'),
+    with nation. The quarter filter pushes to the orders scan, the
+    returnflag filter to the lineitem scan; nation broadcasts; the
+    top-20 is a TakeOrdered on the EXACT DECIMAL revenue, custkey
+    tiebreak."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .where((F.col("o_orderdate") >= F.lit("1996-01-01"))
+               & (F.col("o_orderdate") < F.lit("1996-04-01")))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .where(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice").cast("double")
+           * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
+        .cast("decimal(27,4)")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .groupBy(F.col("c_custkey").cast("bigint")
+                        .alias("c_custkey"),
+                       "c_name", "n_name",
+                       F.col("c_acctbal").cast("double")
+                        .alias("c_acctbal"))
+              .agg(F.sum(rev).alias("_rev"))
+              .orderBy(F.col("_rev").desc(), "c_custkey")
+              .limit(20)
+              .select("c_custkey", "c_name", "n_name", "c_acctbal",
+                      F.col("_rev").cast("double").alias("revenue")))
+
+
+def q286_tpch_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape adapted (no commit/receipt dates — 'late' =
+    shipped more than 90 days after the order date): suppliers who
+    were the ONLY late shipper on a multi-supplier order, counted
+    per supplier, top 20. The EXISTS (another supplier on the
+    order) is a left-semi join, the NOT EXISTS (another LATE
+    supplier) a left-anti join — both hash on orderkey over
+    DISTINCT-reduced (orderkey, suppkey) relations, never the raw
+    lineitem fan."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_orderdate")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    osup = li.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_suppkey").alias("sk")).distinct() \
+             .localCheckpoint()
+    late = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .where(F.col("l_shipdate")
+                     > F.date_add(F.col("o_orderdate").cast("date"),
+                                  90))
+              .select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_suppkey").alias("sk")).distinct()
+              .localCheckpoint())
+    other = osup.select(F.col("ok").alias("ok2"),
+                        F.col("sk").alias("sk2"))
+    other_late = late.select(F.col("ok").alias("ok2"),
+                             F.col("sk").alias("sk2"))
+    cand = late.join(
+        other, (F.col("ok") == F.col("ok2"))
+        & (F.col("sk") != F.col("sk2")), "left_semi")
+    sole = cand.join(
+        other_late, (F.col("ok") == F.col("ok2"))
+        & (F.col("sk") != F.col("sk2")), "left_anti")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (sole.groupBy("sk")
+                .agg(F.count("*").cast("bigint").alias("numwait"))
+                .join(s, F.col("sk") == s.s_suppkey)
+                .orderBy(F.col("numwait").desc(), "s_name")
+                .limit(20)
+                .select("s_name", "numwait"))
+
+
+def q287_kendall_binned(spark, sf_dir):
+    """Kendall tau-b between customer spend and order count
+    (profiling.kendall_tau_binned): per-customer exact-decimal spend
+    bins by fixed 25k-wide buckets (capped at 9), order count by
+    fixed width 4 — integer bins, no rank/NTILE tie roulette — then
+    the exact tau-b fold over the bounded contingency (decimal
+    products, arbitrary-precision driver finish)."""
+    from dask_grblas_spark.functions import profiling
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per = (o.groupBy("o_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast("double")
+                       .cast("decimal(27,2)")).alias("_x"),
+                 F.count("*").cast("bigint").alias("_y")))
+    binned = per.select(
+        F.least(F.floor(F.col("_x").cast("double") / 25000.0),
+                F.lit(9)).cast("bigint").alias("xb"),
+        F.least(F.floor(F.col("_y") / 4), F.lit(9)).cast("bigint")
+         .alias("yb"))
+    return profiling.kendall_tau_binned(binned, "xb", "yb")
+
+
+def q288_pmi_bigrams(spark, sf_dir):
+    """Top-50 collocations by PMI over adjacent token bigrams
+    (text.pmi_bigrams, min_count=5): integer bigram/marginal counts,
+    one fixed IEEE ln per surviving bigram rounded 6, distributed
+    TakeOrdered on (pmi DESC, w1, w2)."""
+    return text.pmi_bigrams(_doc(spark, sf_dir), min_count=5, k=50)
+
+
+def q289_funnel_windowed(spark, sf_dir):
+    """q113's signup→click→purchase funnel with a 48-hour conversion
+    window (timeseries.funnel window_seconds=172800): steps landing
+    later than 48 h after signup are re-nulled (cascading), so slow
+    converters demote — the window parameter's first gate. Same
+    one-groupBy in-aggregate step derivation, no self-joins."""
+    from dask_grblas_spark.streaming import load_events
+
+    return timeseries.funnel(load_events(spark, sf_dir),
+                             ["signup", "click", "purchase"],
+                             window_seconds=172800) \
+        .select("key", "n_steps", "converted", "latency_us")
+
+
+def q290_group_auc(spark, sf_dir):
+    """Per-market-segment exact ROC AUC (profiling.auc_by_group):
+    does account balance separate high-priority customers INSIDE
+    each segment? One distinct-(segment, score) aggregate + a
+    group-partitioned window + the decimal 2U fold — roc_auc's
+    distributed-by-key sibling, no single-task window anywhere."""
+    from dask_grblas_spark.functions import profiling
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hi = (o.where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+           .select("o_custkey").distinct())
+    lab = c.join(hi.withColumnRenamed("o_custkey", "c_custkey"),
+                 on="c_custkey", how="left_anti") \
+           .select("c_custkey", "c_mktsegment", "c_acctbal",
+                   F.lit(0).alias("y")) \
+           .unionByName(
+               c.join(hi.withColumnRenamed("o_custkey", "c_custkey"),
+                      on="c_custkey", how="left_semi")
+                .select("c_custkey", "c_mktsegment", "c_acctbal",
+                        F.lit(1).alias("y")))
+    return profiling.auc_by_group(lab, "c_acctbal", "y",
+                                  "c_mktsegment")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -4332,6 +4540,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q280_spearman": q280_spearman,
         "q281_hhi": q281_hhi,
         "q282_vocab_overlap": q282_vocab_overlap,
+        # round 10: TPC-H Q3/Q5/Q10/Q21 shapes + kendall/PMI/windowed
+        # funnel/grouped AUC (queue for the r11 driver window)
+        "q283_tpch_ship_priority": q283_tpch_ship_priority,
+        "q284_tpch_local_supplier": q284_tpch_local_supplier,
+        "q285_tpch_returned_items": q285_tpch_returned_items,
+        "q286_tpch_waiting_supplier": q286_tpch_waiting_supplier,
+        "q287_kendall_binned": q287_kendall_binned,
+        "q288_pmi_bigrams": q288_pmi_bigrams,
+        "q289_funnel_windowed": q289_funnel_windowed,
+        "q290_group_auc": q290_group_auc,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -4485,10 +4703,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_op_grid": q56_op_grid,
         "q55_isclose": q55_isclose,
     }
-    window = [f"q2{i:02d}" for i in range(1, 49)]  # q201..q248: never
-    window += ["q162", "q174"]                     # r8 reds, re-record
-    # q249-q268 (never recorded) + the r6-recorded block lead the
-    # r10 queue
+    # Round-10 ROTATION (r9 verdict items 1+5): the 34 never-recorded
+    # gates q249-q282 take the head, and the 16 filler rows re-confirm
+    # the oldest-recorded SURVEY §2 core surface under the current
+    # driver — the q43-q48 descriptor cross-product (masks x accum x
+    # replace x subassign, last driver-rowed in r7) plus ten r5-era
+    # core gates (matmul/ewise/graph/apply/mask/diag idioms).
+    window = [f"q2{i:02d}" for i in range(49, 83)]  # q249..q282: never
+    window += [f"q{i}" for i in range(43, 49)]      # descriptor grid
+    window += ["q01", "q02", "q03", "q04", "q05",
+               "q09", "q12", "q13", "q17", "q26"]   # oldest core rows
 
     bypfx = {k.split("_")[0]: k for k in base}
     head = {bypfx[p]: base[bypfx[p]] for p in window}
@@ -10646,16 +10870,17 @@ def oracle_sql() -> dict[str, str]:
                                x -> abs(x) > 0.5)) > 0 AS has_big
         FROM embeddings"""
 
-    # q262: last-touch attribution — strictly-preceding IGNORE NULLS
-    # window, round-6 quantized DECIMAL(38,6) value sums
+    # q262: last-touch attribution — strictly-EARLIER (RANGE to -1
+    # over epoch-us, tie-deterministic) IGNORE NULLS window, round-6
+    # quantized DECIMAL(38,6) value sums
     sql["q262_attribution"] = """
         WITH t AS (
           SELECT user_id, ts, event_type,
                  CAST(value AS DOUBLE) AS v,
                  last_value(CASE WHEN event_type IN ('click', 'view')
                                  THEN event_type END IGNORE NULLS)
-                   OVER (PARTITION BY user_id ORDER BY ts
-                         ROWS BETWEEN UNBOUNDED PRECEDING
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN UNBOUNDED PRECEDING
                          AND 1 PRECEDING) AS credit
           FROM events)
         SELECT COALESCE(credit, 'none') AS touch_type,
@@ -11242,5 +11467,209 @@ def oracle_sql() -> dict[str, str]:
                ROUND(n_inter * 1.0 / (n_a + n_b - n_inter), 6)
                  AS jaccard
         FROM c"""
+
+    # q283: TPC-H Q3 — exact-decimal revenue sort key, orderkey
+    # tiebreak, top 10
+    sql["q283_tpch_ship_priority"] = """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,
+               o_orderpriority,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                             * (1.0 - CAST(l_discount AS DOUBLE))
+                             AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND l_shipdate > TIMESTAMP '1996-07-01'
+        GROUP BY 1, 2, 3
+        ORDER BY SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                          * (1.0 - CAST(l_discount AS DOUBLE))
+                          AS DECIMAL(27,4))) DESC, o_orderkey
+        LIMIT 10"""
+
+    # q284: TPC-H Q5 — same-nation customer+supplier inside REGION_1
+    sql["q284_tpch_local_supplier"] = """
+        SELECT n_name,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                             * (1.0 - CAST(l_discount AS DOUBLE))
+                             AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'AMERICA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1"""
+
+    # q285: TPC-H Q10 — returned revenue per customer, top 20 on the
+    # exact decimal
+    sql["q285_tpch_returned_items"] = """
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name, n_name,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                             * (1.0 - CAST(l_discount AS DOUBLE))
+                             AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                          * (1.0 - CAST(l_discount AS DOUBLE))
+                          AS DECIMAL(27,4))) DESC, c_custkey
+        LIMIT 20"""
+
+    # q286: TPC-H Q21 adapted — sole late shipper on multi-supplier
+    # orders; EXISTS/NOT EXISTS over distinct (order, supplier) sets
+    sql["q286_tpch_waiting_supplier"] = """
+        WITH osup AS (
+          SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+          FROM lineitem
+        ), late AS (
+          SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate > CAST(o_orderdate AS DATE)
+                             + INTERVAL 90 DAY
+        ), sole AS (
+          SELECT l1.ok, l1.sk FROM late l1
+          WHERE EXISTS (SELECT 1 FROM osup o2
+                        WHERE o2.ok = l1.ok AND o2.sk <> l1.sk)
+            AND NOT EXISTS (SELECT 1 FROM late l2
+                            WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM sole JOIN supplier ON sk = s_suppkey
+        GROUP BY 1
+        ORDER BY numwait DESC, s_name
+        LIMIT 20"""
+
+    # q287: kendall tau-b over fixed integer bins — exact contingency
+    # pair folds (HUGEINT-native in DuckDB; the Spark side casts to
+    # DECIMAL(38,0) before every product)
+    sql["q287_kendall_binned"] = """
+        WITH per AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE)
+                               AS DECIMAL(27,2))) AS DOUBLE) AS x,
+                 COUNT(*) AS y
+          FROM orders GROUP BY 1),
+        b AS (SELECT LEAST(FLOOR(x / 25000.0), 9) AS xb,
+                     LEAST(FLOOR(y / 4), 9) AS yb
+              FROM per),
+        cells AS (SELECT xb, yb, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        pairs AS (
+          SELECT SUM(CASE WHEN a.yb < bb.yb THEN a.c * bb.c END)
+                   AS conc,
+                 SUM(CASE WHEN a.yb > bb.yb THEN a.c * bb.c END)
+                   AS disc
+          FROM cells a JOIN cells bb ON a.xb < bb.xb),
+        mx AS (SELECT SUM(t * (t - 1)) AS tx2
+               FROM (SELECT SUM(c) AS t FROM cells GROUP BY xb)),
+        my AS (SELECT SUM(t * (t - 1)) AS ty2
+               FROM (SELECT SUM(c) AS t FROM cells GROUP BY yb)),
+        tot AS (SELECT SUM(c) AS n FROM cells)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(COALESCE(conc, 0) AS DOUBLE) AS concordant,
+               CAST(COALESCE(disc, 0) AS DOUBLE) AS discordant,
+               ROUND(2.0 * (COALESCE(conc, 0) - COALESCE(disc, 0))
+                     / SQRT(CAST(n * (n - 1) - tx2 AS DOUBLE)
+                            * CAST(n * (n - 1) - ty2 AS DOUBLE)), 6)
+                 AS tau_b
+        FROM pairs, mx, my, tot"""
+
+    # q288: PMI collocations — the q282 token recipe, full bigram
+    # counts (not distinct), one fixed ln per survivor
+    sql["q288_pmi_bigrams"] = r"""
+        WITH docs AS (
+          SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> length(t) > 0) AS _t
+          FROM documents
+        ), bg AS (
+          SELECT _t[i] AS w1, _t[i + 1] AS w2
+          FROM (SELECT unnest(generate_series(1, len(_t) - 1)) AS i,
+                       _t
+                FROM docs WHERE len(_t) >= 2)
+        ), c12 AS (
+          SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+        ), c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+        c2 AS (SELECT w2, SUM(c12) AS c2 FROM c12 GROUP BY 1),
+        tot AS (SELECT SUM(c12) AS nb FROM c12)
+        SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+               ROUND(LN((CAST(c12 AS DOUBLE) * CAST(nb AS DOUBLE))
+                        / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))),
+                     6) AS pmi
+        FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), tot
+        WHERE c12 >= 5
+        ORDER BY pmi DESC, w1, w2
+        LIMIT 50"""
+
+    # q289: the q113 funnel replay with the 48 h window cap (each
+    # step must land within W of step 1; cascade via the join chain)
+    sql["q289_funnel_windowed"] = """
+        WITH e AS (
+          SELECT user_id AS key, ts, event_type FROM events
+          WHERE event_type IN ('signup', 'click', 'purchase')
+        ), s0 AS (
+          SELECT key, MIN(ts) AS t FROM e
+          WHERE event_type = 'signup' GROUP BY key
+        ), s1 AS (
+          SELECT e.key, MIN(e.ts) AS t FROM e JOIN s0 ON e.key = s0.key
+          WHERE e.event_type = 'click' AND e.ts > s0.t
+            AND epoch_us(e.ts) - epoch_us(s0.t) <= 172800000000
+          GROUP BY e.key
+        ), s2 AS (
+          SELECT e.key, MIN(e.ts) AS t FROM e JOIN s1 ON e.key = s1.key
+          JOIN s0 ON e.key = s0.key
+          WHERE e.event_type = 'purchase' AND e.ts > s1.t
+            AND epoch_us(e.ts) - epoch_us(s0.t) <= 172800000000
+          GROUP BY e.key
+        )
+        SELECT k.key,
+               CAST((s0.t IS NOT NULL)::INT + (s1.t IS NOT NULL)::INT
+                    + (s2.t IS NOT NULL)::INT AS INT) AS n_steps,
+               s2.t IS NOT NULL AS converted,
+               CAST(epoch_us(s2.t) - epoch_us(s0.t) AS BIGINT)
+                 AS latency_us
+        FROM (SELECT DISTINCT key FROM e) k
+        LEFT JOIN s0 ON s0.key = k.key
+        LEFT JOIN s1 ON s1.key = k.key
+        LEFT JOIN s2 ON s2.key = k.key"""
+
+    # q290: per-segment exact ROC AUC — grouped Mann-Whitney with the
+    # average-rank tie rule, decimal 2U fold
+    sql["q290_group_auc"] = """
+        WITH hi AS (
+          SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        ), t AS (
+          SELECT c_mktsegment AS grp, CAST(c_acctbal AS DOUBLE) AS s,
+                 CASE WHEN c_custkey IN (SELECT o_custkey FROM hi)
+                      THEN 1 ELSE 0 END AS y
+          FROM customer
+          WHERE c_acctbal IS NOT NULL
+        ), g AS (
+          SELECT grp, s, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+          FROM t GROUP BY 1, 2
+        ), cum AS (
+          SELECT grp, pos, neg,
+                 COALESCE(SUM(neg) OVER (PARTITION BY grp ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cneg
+          FROM g
+        ), a AS (
+          SELECT grp, SUM(pos) AS n_pos, SUM(neg) AS n_neg,
+                 SUM(CAST(pos AS DECIMAL(38,0)) * (2 * cneg + neg))
+                   AS u2
+          FROM cum GROUP BY 1
+        )
+        SELECT grp, CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_neg AS BIGINT) AS n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0
+                    THEN ROUND(CAST(u2 AS DOUBLE)
+                               / (2.0 * n_pos * n_neg), 6) END AS auc
+        FROM a"""
 
     return sql

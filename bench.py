@@ -111,12 +111,58 @@ def main() -> int:
     timings = time_set(HEADLINE)
     pipeline = time_set(PIPELINE)
     total = round(sum(timings.values()), 3)
+    if "--baseline-proxy" in sys.argv:
+        _write_baseline_proxy(spark, qs, {**timings, **pipeline}, sf)
     print(json.dumps({"metric": "headline_total_median_sec", "value": total,
                       "unit": "sec", "queries": {**timings, **pipeline},
                       "pipeline_total_median_sec":
                           round(sum(pipeline.values()), 3),
                       "sf": sf}))
     return 0
+
+
+def _write_baseline_proxy(spark, qs, timings, sf,
+                          out="BASELINE_proxy.json"):
+    """Machine-readable per-query proxy baseline (r9 verdict item 8):
+    the reference publishes no numbers (BASELINE.md), so future
+    rounds' 2x-rule checks anchor on THIS table — wall-clock median,
+    run config, and the driver-parity value hash per headline/pipeline
+    query. Regenerate with `python bench.py --baseline-proxy` on a
+    calm host; compare per-query instead of judge-deriving."""
+    import hashlib
+
+    import pandas as pd
+
+    def value_hash(pdf: pd.DataFrame) -> str:
+        pdf = pdf[sorted(pdf.columns)].copy()
+        for c in pdf.columns:
+            if pd.api.types.is_float_dtype(pdf[c]):
+                pdf[c] = pdf[c].round(6)
+            elif pd.api.types.is_integer_dtype(pdf[c]):
+                pdf[c] = pdf[c].astype("int64")
+        pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+        return hashlib.md5(
+            pdf.to_csv(index=False, float_format="%.6f").encode()
+        ).hexdigest()
+
+    entries = {}
+    for name, sec in timings.items():
+        df = qs[name](spark, SF_DIR)
+        entries[name] = {
+            "median_sec": sec,
+            "rows": df.count(),
+            "value_hash": value_hash(df.toPandas()),
+        }
+    payload = {
+        "config": {"cpus": CPUS, "shuffle_partitions": CPUS,
+                   "runs_per_query": RUNS, "sf": sf,
+                   "sf_dir": SF_DIR, "aqe": True},
+        "rule": "per-query 2x vs median_sec; hash must stay equal",
+        "queries": entries,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           out), "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":

@@ -1164,9 +1164,13 @@ def modularity(A: GrMatrix, labels: DataFrame,
                      F.coalesce(F.col("_mc"), F.lit(0)).alias("_mc")))
     row = per.agg(
         F.count("*").alias("_k"),
-        F.sum((4 * F.lit(int(m)) * F.col("_mc")
-               - F.col("_dc") * F.col("_dc"))
-              .cast("decimal(38,0)")).alias("_num")).collect()[0]
+        # Cast to DECIMAL(38,0) BEFORE multiplying (spearman_rho's
+        # pattern, and what the oracle SQL does): d_c can reach 2m,
+        # so d_c^2 overflows int64 once a community's degree sum
+        # passes ~3e9 — exactly the 100TB-scale domain.
+        F.sum(F.col("_mc").cast("decimal(38,0)") * F.lit(4 * int(m))
+              - F.col("_dc").cast("decimal(38,0)") * F.col("_dc"))
+         .alias("_num")).collect()[0]
     q = int(row["_num"] or 0) / (4.0 * m * m)
     q6 = (math.floor(q * 1e6 + 0.5) / 1e6 if q >= 0
           else -(math.floor(-q * 1e6 + 0.5) / 1e6))

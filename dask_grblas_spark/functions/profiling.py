@@ -1750,8 +1750,12 @@ def roc_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
     row = pref.agg(
         F.sum("_pos").cast("bigint").alias("n_pos"),
         F.sum("_neg").cast("bigint").alias("n_neg"),
-        F.sum((F.col("_pos") * (2 * F.col("_cumneg") + F.col("_neg")))
-              .cast("decimal(38,0)")).alias("_u2")).collect()[0]
+        # cast BEFORE multiplying (the modularity/spearman lesson):
+        # _pos and _cumneg both scale with n, so the bigint product
+        # overflows int64 past n ~ 3e9 — decimal*bigint doesn't
+        F.sum(F.col("_pos").cast("decimal(38,0)")
+              * (2 * F.col("_cumneg") + F.col("_neg")))
+         .alias("_u2")).collect()[0]
     n_pos = int(row["n_pos"] or 0)
     n_neg = int(row["n_neg"] or 0)
     spark = df.sparkSession
@@ -1791,8 +1795,10 @@ def cohens_kappa(df: DataFrame, a_col, b_col) -> DataFrame:
     ma = conf.groupBy("_a").agg(F.sum("_c").alias("_na"))
     mb = conf.groupBy("_b").agg(F.sum("_c").alias("_nb"))
     chance = (ma.join(mb, ma._a == mb._b)
-                .agg(F.sum((F.col("_na") * F.col("_nb"))
-                           .cast("decimal(38,0)")).alias("_pe")))
+                # cast BEFORE multiplying: both marginals scale with
+                # n, so the bigint product overflows past n ~ 3e9
+                .agg(F.sum(F.col("_na").cast("decimal(38,0)")
+                           * F.col("_nb")).alias("_pe")))
     tot = conf.agg(
         F.sum("_c").cast("bigint").alias("_n"),
         F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c"))
@@ -2142,3 +2148,119 @@ def hhi(df: DataFrame, group_col: str, member_col: str,
                        F.col("n_members").cast("bigint")
                         .alias("n_members"),
                        "hhi"))
+
+
+def auc_by_group(df: DataFrame, score_col: str, label_col,
+                 group_col: str) -> DataFrame:
+    """EXACT ROC AUC per group — `roc_auc`'s distributed-by-key
+    sibling (per-segment ranking quality in one pass: does the score
+    separate the classes INSIDE each market/language/source bucket?).
+
+    Plan: ONE grouped aggregate per DISTINCT (group, score) ->
+    (pos, neg) counts, then a GROUP-PARTITIONED ordered window gives
+    each score the negatives strictly below it within its group — the
+    global `roc_auc` needs `_prefix_sum` to avoid a single-task
+    window, but here partitionBy(group) already distributes, and the
+    window input is the aggregated distinct-score relation, not raw
+    rows. The 2U statistic folds pos*(2*cum_neg+neg) as
+    DECIMAL(38,0) (cast BEFORE the product — both factors scale with
+    group size) and divides the exact 2*n_pos*n_neg once, round 6.
+    Output: (group, n_pos, n_neg, auc); auc NULL where a class is
+    empty within the group."""
+    from pyspark.sql.window import Window as W
+
+    lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    lbl = lbl.cast("int")
+    per = (df.select(F.col(group_col).alias("grp"),
+                     F.col(score_col).cast("double").alias("_s"),
+                     lbl.alias("_y"))
+             .where(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+             .groupBy("grp", "_s")
+             .agg(F.sum("_y").cast("bigint").alias("_pos"),
+                  F.sum(1 - F.col("_y")).cast("bigint").alias("_neg")))
+    w = (W.partitionBy("grp").orderBy("_s")
+          .rowsBetween(W.unboundedPreceding, -1))
+    cum = F.coalesce(F.sum("_neg").over(w), F.lit(0))
+    u2 = (F.col("_pos").cast("decimal(38,0)")
+          * (2 * F.col("_cumneg") + F.col("_neg")))
+    agg = (per.withColumn("_cumneg", cum)
+              .groupBy("grp")
+              .agg(F.sum("_pos").cast("bigint").alias("n_pos"),
+                   F.sum("_neg").cast("bigint").alias("n_neg"),
+                   F.sum(u2).alias("_u2")))
+    auc = (F.col("_u2").cast("double")
+           / (2.0 * F.col("n_pos") * F.col("n_neg")))
+    return agg.select(
+        "grp", "n_pos", "n_neg",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+               F.round(auc, 6)).alias("auc"))
+
+
+def kendall_tau_binned(df: DataFrame, xb_col, yb_col) -> DataFrame:
+    """Kendall's tau-b over PRE-BINNED integer axes: the rank-
+    correlation that tolerates heavy ties, computed EXACTLY from the
+    (x_bin, y_bin) contingency table — the scale-safe formulation
+    (raw Kendall is all-pairs O(n^2); binning first makes the pair
+    enumeration O(cells^2) over a BOUNDED relation, the standard
+    contingency shortcut for grid/decile data).
+
+        tau_b = (C - D) / sqrt((n0 - n1) * (n0 - n2))
+        n0 = n(n-1)/2,  n1/n2 = same-x / same-y tied pairs
+
+    Plan: ONE groupBy builds the contingency (bounded by the bin
+    grid, checkpointed); C and D fold from the cells' self-join on
+    xb-strictly-less (cells^2 rows, constant); marginal tie terms
+    fold from the two marginals. Every count multiplies as
+    DECIMAL(38,0) (cast BEFORE the product — cell counts scale with
+    n) and the driver finishes in arbitrary-precision Python ints,
+    one sqrt + round 6 at the end. Output: one row
+    (n, concordant, discordant, tau_b) with the pair counts as
+    doubles (they grow ~n^2/2; tau itself never loses precision —
+    it is derived from the exact decimal folds)."""
+    xb = F.col(xb_col) if isinstance(xb_col, str) else xb_col
+    yb = F.col(yb_col) if isinstance(yb_col, str) else yb_col
+    cells = (df.select(xb.cast("bigint").alias("_x"),
+                       yb.cast("bigint").alias("_y"))
+               .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+               .groupBy("_x", "_y")
+               .agg(F.count("*").cast("bigint").alias("_c"))
+               .localCheckpoint())
+    a = cells.select(F.col("_x").alias("_xa"), F.col("_y").alias("_ya"),
+                     F.col("_c").alias("_ca"))
+    b = cells.select(F.col("_x").alias("_xb"), F.col("_y").alias("_yb"),
+                     F.col("_c").alias("_cb"))
+    prod = F.col("_ca").cast("decimal(38,0)") * F.col("_cb")
+    pairs = (a.join(b, F.col("_xa") < F.col("_xb"))
+              .agg(F.sum(F.when(F.col("_ya") < F.col("_yb"), prod))
+                    .alias("_conc"),
+                   F.sum(F.when(F.col("_ya") > F.col("_yb"), prod))
+                    .alias("_disc")))
+    tie = F.col("_t").cast("decimal(38,0)") * (F.col("_t") - 1)
+    mx = (cells.groupBy("_x").agg(F.sum("_c").alias("_t"))
+               .agg(F.sum(tie).alias("_tx2")))
+    my = (cells.groupBy("_y").agg(F.sum("_c").alias("_t"))
+               .agg(F.sum(tie).alias("_ty2")))
+    nrow = cells.agg(F.sum("_c").cast("bigint").alias("_n"))
+    r = (pairs.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(my))
+              .crossJoin(F.broadcast(nrow))).collect()[0]
+    n = int(r["_n"] or 0)
+    spark = df.sparkSession
+    conc = int(r["_conc"] or 0)
+    disc = int(r["_disc"] or 0)
+    n0_2 = n * (n - 1)            # 2*n0: keep everything doubled
+    n1_2 = int(r["_tx2"] or 0)    # 2*n1
+    n2_2 = int(r["_ty2"] or 0)    # 2*n2
+    den2 = (n0_2 - n1_2) * (n0_2 - n2_2)
+    if n == 0 or den2 <= 0:
+        return spark.createDataFrame(
+            [(n, float(conc), float(disc), None)],
+            "n long, concordant double, discordant double, "
+            "tau_b double")
+    # (C-D)/sqrt(n0-n1)/sqrt(n0-n2) with everything doubled:
+    # 2*(C-D)/sqrt(den2)
+    tau = 2.0 * (conc - disc) / math.sqrt(float(den2))
+    t6 = (math.floor(tau * 1e6 + 0.5) / 1e6 if tau >= 0
+          else -(math.floor(-tau * 1e6 + 0.5) / 1e6))
+    return spark.createDataFrame(
+        [(n, float(conc), float(disc), t6)],
+        "n long, concordant double, discordant double, tau_b double")

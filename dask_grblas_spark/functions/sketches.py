@@ -314,11 +314,18 @@ def kmv_set_ops(df: DataFrame, group_col: str, grp_a: str, grp_b: str,
                       Window.orderBy("h")))
                   .filter(F.col("rank") <= k))
     space = float(1 << 60)
+    # Membership via joins against the (checkpointed, <= k-row)
+    # side sketches — NOT driver isin-literal lists, so the plan
+    # stays bounded at any k (a k=100k sketch would bloat a literal
+    # list into the plan tree; a broadcast join is the same cost at
+    # k=256 and unbounded-safe).
     stats = (union_sk
-             .withColumn("_in_a", F.col("h").isin(
-                 [r[0] for r in ka.collect()]))
-             .withColumn("_in_b", F.col("h").isin(
-                 [r[0] for r in kb.collect()])))
+             .join(F.broadcast(ka.withColumn("_in_a", F.lit(True))),
+                   on="h", how="left")
+             .join(F.broadcast(kb.withColumn("_in_b", F.lit(True))),
+                   on="h", how="left")
+             .withColumn("_in_a", F.coalesce("_in_a", F.lit(False)))
+             .withColumn("_in_b", F.coalesce("_in_b", F.lit(False))))
     row = stats.agg(
         F.count("*").alias("ku"),
         F.sum((F.col("_in_a") & F.col("_in_b")).cast("bigint"))

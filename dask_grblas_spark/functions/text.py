@@ -974,3 +974,50 @@ def naive_bayes_classify(df: DataFrame, label_col: str = "lang",
                   .where(F.col("_rk") == 1)
                   .select("id", "label", F.col("c").alias("pred"),
                           "score"))
+
+
+def pmi_bigrams(df: DataFrame, text_col: str = "text",
+                min_count: int = 5, k: int = 50) -> DataFrame:
+    """Top-k collocations by pointwise mutual information over
+    adjacent-token bigrams: PMI = ln(c12·N / (c1·c2)) where c12
+    counts the bigram, c1/c2 its left/right marginals and N the total
+    bigram events — the classic collocation extractor (Church &
+    Hanks 1990) that `bigram_logprob` (fluency) and `kneser_ney`
+    (smoothing) don't cover: WHICH pairs cohere.
+
+    Exactness: every count is an integer fold; the PMI term is one
+    fixed IEEE expression (two double products, one division, one ln)
+    on those integers, rounded 6 — bit-identical cross-engine (the
+    q258 theil / q273 nmi ln discipline). min_count filters rare
+    bigrams BEFORE the ln (noise floor + output bound).
+
+    Scale shape: bigram extraction is the `bigram_logprob` array
+    expression (pure codegen, no self-join); counts are map-side
+    combined grouped folds over the bigram-type relation (corpus-
+    bounded); the top-k is a distributed TakeOrdered on
+    (pmi DESC, w1, w2) — no global sort materialization. Output:
+    (w1, w2, c12, pmi) — k rows."""
+    arr = F.filter(tokens(F.col(text_col)), lambda x: F.length(x) > 0)
+    base = df.select(arr.alias("_a")).where(F.size("_a") >= 2)
+    bg = base.select(
+        F.explode(F.expr(
+            "transform(slice(_a, 1, size(_a) - 1),"
+            " (x, i) -> struct(x AS w1, element_at(_a, i + 2) AS w2))"
+        )).alias("_b")).select("_b.w1", "_b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12")) \
+            .localCheckpoint()
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = c12.agg(F.sum("c12").alias("nb"))
+    pmi = F.round(F.log((F.col("c12").cast("double")
+                         * F.col("nb").cast("double"))
+                        / (F.col("c1").cast("double")
+                           * F.col("c2").cast("double"))), 6)
+    return (c12.where(F.col("c12") >= min_count)
+               .join(c1, on="w1").join(c2, on="w2")
+               .crossJoin(F.broadcast(tot))
+               .select("w1", "w2",
+                       F.col("c12").cast("bigint").alias("c12"),
+                       pmi.alias("pmi"))
+               .orderBy(F.col("pmi").desc(), "w1", "w2")
+               .limit(k))

@@ -1094,18 +1094,25 @@ def attribution(df: DataFrame, user_col: str = "user_id",
     credited channel (touch_type, n_conversions, value_sum round 6).
 
     ``lookback_seconds`` bounds the credit window: only touches
-    within that many seconds before the conversion qualify — the
-    RANGE frame over integer epoch-microseconds replaces the
-    unbounded strictly-preceding ROWS frame, so stale touches fall
-    out of BOTH models without a second pass.
+    within that many seconds before the conversion qualify. Both the
+    bounded and unbounded modes frame RANGE(..., -1 microsecond) over
+    integer epoch-microseconds, so 'preceding' means strictly EARLIER
+    timestamp in both — deterministic under duplicate (user, ts) rows
+    and mutually consistent on ties.
     """
     if model not in ("last_touch", "first_touch"):
         raise ValueError(f"unknown attribution model: {model!r}")
+    # BOTH modes frame RANGE(..., -1) over integer epoch-microseconds:
+    # a ROWS frame ordered by ts alone is tie-order-dependent when a
+    # user has duplicate timestamps (a touch AT the conversion's own
+    # ts may or may not get credit depending on partition layout), and
+    # 'strictly preceding' means strictly EARLIER — the RANGE frame
+    # makes that deterministic and keeps the two modes consistent.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     if lookback_seconds is None:
-        w = (Window.partitionBy(user_col).orderBy(ts_col)
-                   .rowsBetween(Window.unboundedPreceding, -1))
+        w = (Window.partitionBy(user_col).orderBy(us)
+                   .rangeBetween(Window.unboundedPreceding, -1))
     else:
-        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
         w = (Window.partitionBy(user_col).orderBy(us)
                    .rangeBetween(-int(lookback_seconds) * 1_000_000,
                                  -1))

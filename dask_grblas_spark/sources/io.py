@@ -836,6 +836,59 @@ def merge_into_partitioned(spark, path: str, updates, key_cols,
     return spark.read.parquet(path)
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path, jvm) for ``path`` via the Hadoop FS API —
+    one code path for file://, hdfs://, s3a:// alike (the manifest
+    I/O below must work wherever the data lives, not just on the
+    driver's local disk)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _read_manifest(spark, man_path: str) -> list:
+    import json
+
+    fs, p, jvm = _hadoop_fs(spark, man_path)
+    if not fs.exists(p):
+        return []
+    stream = fs.open(p)
+    try:
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+            stream, out, 4096, False)
+        data = bytes(out.toByteArray())
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def _write_manifest(spark, man_path: str, versions: list) -> None:
+    """Manifest commit: write ``.tmp`` then rename over the final
+    name with FileContext's atomic-OVERWRITE rename (atomic on
+    HDFS/POSIX). CAVEAT for S3-class object stores: rename is
+    copy+delete, NOT atomic — a production S3 deployment should
+    commit the manifest with a conditional put (If-None-Match /
+    If-Match on the manifest ETag) or front the table with a real
+    catalog, the same caveat the keyed-MERGE layout documents."""
+    import json
+
+    fs, p, jvm = _hadoop_fs(spark, man_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(man_path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(versions).encode("utf-8")))
+    finally:
+        out.close()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri(), spark._jsc.hadoopConfiguration())
+    gw = spark.sparkContext._gateway
+    opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, p, opts)
+
+
 def write_version(df, path: str) -> int:
     """Append an immutable snapshot VERSION of a table (poor-man's
     time travel without a table format): data lands under
@@ -845,42 +898,47 @@ def write_version(df, path: str) -> int:
     before the manifest rename) is invisible. Returns the new version
     number.
 
-    Write protocol: data dir first, then manifest swap via
-    os.replace (atomic on POSIX) — the manifest is the commit point.
-    At 100 TB each snapshot is just another partitioned-parquet write
-    (no rewrite of history); expired versions can be dropped by
-    deleting their dir AFTER removing them from the manifest."""
-    import json
-    import os
-
-    os.makedirs(path, exist_ok=True)
-    man = os.path.join(path, "_versions.json")
-    versions = []
-    if os.path.exists(man):
-        with open(man) as fh:
-            versions = json.load(fh)
+    Write protocol: data dir first, then manifest swap via the Hadoop
+    FileSystem API (FileContext atomic-OVERWRITE rename — works for
+    file://, hdfs://; see the S3 conditional-put caveat on
+    :func:`_write_manifest`) — the manifest is the commit point. A
+    crash AFTER the data write but BEFORE the manifest swap leaves an
+    orphan ``v=<n>`` dir that is invisible to readers; the next
+    writer detects it (dir exists, version absent from the manifest),
+    deletes it, and rewrites — so crashed writes block nobody. The
+    orphan is deleted rather than staged-and-renamed because a
+    directory rename on an object store is a full copy; delete+write
+    is O(orphan), not O(snapshot), and the manifest still gates
+    visibility. At 100 TB each snapshot is just another
+    partitioned-parquet write (no rewrite of history); expired
+    versions can be dropped by deleting their dir AFTER removing them
+    from the manifest."""
+    spark = df.sparkSession
+    fs, root, jvm = _hadoop_fs(spark, path)
+    fs.mkdirs(root)
+    man = path.rstrip("/") + "/_versions.json"
+    versions = _read_manifest(spark, man)
     v = (versions[-1] + 1) if versions else 1
-    df.write.mode("errorifexists").parquet(
-        os.path.join(path, f"v={v}"))
-    tmp = man + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(versions + [v], fh)
-    os.replace(tmp, man)
+    vdir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/v={v}")
+    if fs.exists(vdir):
+        # Orphan from a writer that crashed between the data write
+        # and the manifest swap: v is not committed (it is not in the
+        # manifest by construction), so clear it and proceed.
+        fs.delete(vdir, True)
+    df.write.mode("errorifexists").parquet(f"{path.rstrip('/')}/v={v}")
+    _write_manifest(spark, man, versions + [v])
     return v
 
 
 def read_version(spark, path: str, version: int | None = None):
     """Read a committed snapshot version (default: latest). Versions
-    come from the manifest — an uncommitted (crashed) data dir is
-    never visible."""
-    import json
-    import os
-
-    with open(os.path.join(path, "_versions.json")) as fh:
-        versions = json.load(fh)
+    come from the manifest (via the Hadoop FS API — any scheme) — an
+    uncommitted (crashed) data dir is never visible."""
+    versions = _read_manifest(
+        spark, path.rstrip("/") + "/_versions.json")
     if not versions:
         raise ValueError(f"no committed versions under {path}")
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not committed (have {versions})")
-    return spark.read.parquet(os.path.join(path, f"v={v}"))
+    return spark.read.parquet(f"{path.rstrip('/')}/v={v}")

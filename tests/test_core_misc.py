@@ -979,9 +979,18 @@ def test_snapshot_versions_isolated_and_crash_safe(spark, tmp_path):
     # an uncommitted (crashed) data dir is invisible: fake v=3 dir
     # without a manifest entry
     os.makedirs(os.path.join(p, "v=3"))
+    with open(os.path.join(p, "v=3", "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
     assert [r["v"] for r in read_version(spark, p).collect()] == [9.0]
     with open(os.path.join(p, "_versions.json")) as fh:
         assert json.load(fh) == [1, 2]
     import pytest as _pt
     with _pt.raises(ValueError):
         read_version(spark, p, 3)
+    # the orphan must not BLOCK the next writer (r9 advice): writing
+    # again picks v=3, clears the crashed dir, and commits cleanly
+    df3 = spark.createDataFrame([(7, 3.5)], "id long, v double")
+    assert write_version(df3, p) == 3
+    assert [r["v"] for r in read_version(spark, p, 3).collect()] == [3.5]
+    assert sorted(r["v"] for r in read_version(spark, p, 1).collect()) \
+        == [1.0, 2.0]

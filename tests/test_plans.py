@@ -358,3 +358,33 @@ def test_merge_into_rewrites_only_touched_partitions(spark, tmp_path):
     assert got[1] == 100.0 and got[99] == 7.0 and got[3] == 3.0
     assert files("b") == before_b          # physically untouched
     assert back.where("g = 'b'").count() == 10
+
+
+def test_write_version_manifest_via_hadoop_fs(spark, tmp_path):
+    """write_version/read_version route the manifest through the
+    Hadoop FileSystem API (r9 verdict item 3): an explicit file://
+    URI — the scheme-resolved FS path, not driver os.* — must work
+    end-to-end, and the manifest the Java FS wrote must be the
+    commit point readers see."""
+    import json
+    import os
+
+    from dask_grblas_spark.sources.io import (read_version,
+                                              write_version)
+
+    local = str(tmp_path / "vtab")
+    uri = "file://" + local
+    df1 = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    df2 = spark.createDataFrame([(1, 20.0)], "id long, v double")
+    assert write_version(df1, uri) == 1
+    assert write_version(df2, uri) == 2
+    # the manifest exists on the local disk the URI points at and
+    # carries both committed versions in order
+    with open(os.path.join(local, "_versions.json")) as fh:
+        assert json.load(fh) == [1, 2]
+    assert not os.path.exists(
+        os.path.join(local, "_versions.json.tmp"))
+    assert [r["v"] for r in read_version(spark, uri, 1).collect()] \
+        == [10.0]
+    assert [r["v"] for r in read_version(spark, uri).collect()] \
+        == [20.0]

@@ -218,3 +218,63 @@ def test_hhi_even_and_monopoly(spark):
            for r in profiling.hhi(df, "grp", "m", "v").collect()}
     assert got["g"] == (4, 0.25)
     assert got["h"] == (1, 1.0)
+
+
+def test_kendall_tau_binned_perfect_and_inverse(spark):
+    # strictly increasing bins -> tau_b = 1; reversed -> -1
+    df = spark.createDataFrame([(i, i) for i in range(6)],
+                               "xb long, yb long")
+    r = profiling.kendall_tau_binned(df, "xb", "yb").collect()[0]
+    assert r["tau_b"] == 1.0 and r["n"] == 6
+    assert r["concordant"] == 15.0 and r["discordant"] == 0.0
+    inv = spark.createDataFrame([(i, 5 - i) for i in range(6)],
+                                "xb long, yb long")
+    assert profiling.kendall_tau_binned(inv, "xb", "yb") \
+        .collect()[0]["tau_b"] == -1.0
+
+
+def test_kendall_tau_binned_ties_vs_scipy_formula(spark):
+    # hand-checked tau-b with ties: x=[0,0,1,1,2], y=[0,1,1,2,2]
+    # cross-x pairs: C=6 ((0,0)x(1,1),(1,2),(2,2); (0,1)x(1,2),(2,2);
+    # (1,1)x(2,2)), D=0; n0=10, n1=2 (x-ties), n2=2 (y-ties)
+    # tau_b = 6 / sqrt(8*8) = 0.75
+    rows = [(0, 0), (0, 1), (1, 1), (1, 2), (2, 2)]
+    df = spark.createDataFrame(rows, "xb long, yb long")
+    r = profiling.kendall_tau_binned(df, "xb", "yb").collect()[0]
+    assert r["concordant"] == 6.0 and r["discordant"] == 0.0
+    assert r["tau_b"] == 0.75
+
+
+def test_kendall_tau_binned_degenerate_null(spark):
+    # single x bin: denominator zero -> NULL
+    df = spark.createDataFrame([(1, 1), (1, 2)], "xb long, yb long")
+    assert profiling.kendall_tau_binned(df, "xb", "yb") \
+        .collect()[0]["tau_b"] is None
+
+
+def test_auc_by_group_matches_global_roc_auc(spark):
+    import random
+    rnd = random.Random(7)
+    rows = [("g1", rnd.random() * 10 + (3 if rnd.random() < 0.4 else 0),
+             0) for _ in range(200)]
+    rows += [("g1", rnd.random() * 10 + 3, 1) for _ in range(80)]
+    rows += [("g2", float(i), i % 2) for i in range(50)]
+    df = spark.createDataFrame(rows, "grp string, s double, y int")
+    per = {r["grp"]: r for r in
+           profiling.auc_by_group(df, "s", "y", "grp").collect()}
+    for g in ("g1", "g2"):
+        sub = df.where(df.grp == g)
+        glob = profiling.roc_auc(sub, "s", "y").collect()[0]
+        assert per[g]["n_pos"] == glob["n_pos"]
+        assert per[g]["n_neg"] == glob["n_neg"]
+        assert per[g]["auc"] == glob["auc"], g
+
+
+def test_auc_by_group_one_class_null(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1), ("b", 1.0, 0), ("b", 2.0, 1)],
+        "grp string, s double, y int")
+    got = {r["grp"]: r["auc"]
+           for r in profiling.auc_by_group(df, "s", "y", "grp").collect()}
+    assert got["a"] is None
+    assert got["b"] == 1.0

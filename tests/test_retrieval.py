@@ -859,3 +859,20 @@ def test_prf_expansion_excludes_query_terms_and_ranks(spark):
     assert terms[0] == "banana"
     ranks = [r["rank"] for r in out if r["query_id"] == 1]
     assert ranks == sorted(ranks) and ranks[0] == 1
+
+
+def test_pmi_bigrams_hand_computed(spark):
+    import math
+
+    from dask_grblas_spark.functions import text as text_fns
+    # "x y x y x y": bigrams (x,y)x3, (y,x)x2, N=5
+    # c1(x)=3, c2(y)=3 -> PMI(x,y)=ln(3*5/9)=ln(5/3)
+    # c1(y)=2, c2(x)=2 -> PMI(y,x)=ln(2*5/4)=ln(5/2)
+    df = spark.createDataFrame([(0, "x y x y x y")],
+                               "doc_id long, text string")
+    out = text_fns.pmi_bigrams(df, min_count=2, k=10).collect()
+    byname = {(r["w1"], r["w2"]): (r["c12"], r["pmi"]) for r in out}
+    assert byname[("x", "y")] == (3, round(math.log(5 / 3), 6))
+    assert byname[("y", "x")] == (2, round(math.log(5 / 2), 6))
+    # ranked by pmi desc: (y,x) first
+    assert (out[0]["w1"], out[0]["w2"]) == ("y", "x")

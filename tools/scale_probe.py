@@ -1608,6 +1608,31 @@ def main() -> int:
     probe("attribution_hot_user", NEV,
           lambda: attribution(att_df))
 
+    # attribution WITH lookback at 100M events (r9 verdict item 7):
+    # the RANGE frame over epoch-us changes the window's physical
+    # form vs the unbounded variant probed above — and the hot user
+    # (~20% of the stream, ~20M rows in ONE window task) is the
+    # ceiling being asserted: per-user history is a single task by
+    # design, so this measures the worst power-user partition the op
+    # tolerates before per-user bucketing would be needed.
+    NATT = 100_000_000 if not QUICK else 1_000_000
+    att100 = spark.range(NATT).select(
+        F.when(F.pmod(F.xxhash64("id", F.lit(81)), F.lit(5)) == 0,
+               F.lit(7)).otherwise(
+            F.pmod(F.xxhash64("id", F.lit(82)), F.lit(200000)))
+        .alias("user_id"),
+        F.timestamp_seconds(1700000000
+                            + F.pmod(F.xxhash64("id", F.lit(83)),
+                                     F.lit(50000000))).alias("ts"),
+        F.element_at(F.array(F.lit("click"), F.lit("view"),
+                             F.lit("purchase"), F.lit("error")),
+                     (F.pmod(F.xxhash64("id", F.lit(84)), F.lit(4))
+                      + 1).cast("int")).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(85)), F.lit(10000)) / 100.0)
+        .alias("value"))
+    probe("attribution_lookback_100m_hot_user", NATT,
+          lambda: attribution(att100, lookback_seconds=86400))
+
     # modularity + rich-club on a 20M-edge hashed graph over 2M nodes
     # with 50 communities (canonical edge set + two label joins; the
     # integer fold never materializes anything node-quadratic)

@@ -44,7 +44,10 @@ DEFAULT = ["q174_gini", "q203_cube", "q216_tpch_pricing",
            # lttb neighbor averages) + the ln-term folds (nmi) + the
            # composed rank pipelines (prf, ann-recall)
            "q270_lorenz", "q275_lttb", "q273_nmi",
-           "q269_prf_expansion", "q278_ann_recall"]
+           "q269_prf_expansion", "q278_ann_recall",
+           # r10 (r9 verdict item 6): FastSV label convergence under
+           # partition variance, and partition-rewrite determinism
+           "q266_near_dup_clusters", "q272_merge_upsert"]
 
 PARTITION_GRID = (5, 32, 77, 200)
 
