@@ -4391,6 +4391,119 @@ def q290_group_auc(spark, sf_dir):
                                   "c_mktsegment")
 
 
+def q291_wav_features(spark, sf_dir):
+    """Audio plumbing end-to-end with REAL bytes: synthesize a mono
+    PCM16 WAV per embedding row from a deterministic integer sample
+    formula (mapInPandas, pure-Python RIFF writer —
+    multimodal.encode_wav_pcm16), then decode it back with the
+    chunk-walking RIFF reader and compute RMS + zero-crossings
+    (multimodal.audio_features). The oracle never sees the WAV: it
+    recomputes RMS/ZCR straight from the sample formula — so the
+    gate proves the encoder/decoder roundtrip bit-exactly, the audio
+    analogue of the PPM/BMP real-pixel gates."""
+    import pandas as pd
+
+    from dask_grblas_spark.functions.multimodal import (
+        audio_features, encode_wav_pcm16)
+    from pyspark.sql import types as T
+
+    ids = _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("media_id"))
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), False)])
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for vid in pdf["media_id"]:
+                vid = int(vid)
+                n = 64 + (vid % 64)
+                i = np.arange(n, dtype=np.int64)
+                s = (vid * 7919 + i * 104729) % 65536 - 32768
+                blobs.append(encode_wav_pcm16(
+                    s, sample_rate=8000 + (vid % 8) * 1000))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": blobs})
+
+    media = ids.mapInPandas(synth, schema)
+    return audio_features(media)
+
+
+def q292_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (privacy.k_anonymity, k=5) of customers
+    under the quasi-identifier (market segment, nation, acctbal
+    rounded to the thousand) — one grouped count + constant fold;
+    the pre-export governance readout."""
+    from dask_grblas_spark.functions import privacy
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    q = c.select(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("bigint").alias("nk"),
+        F.floor(F.col("c_acctbal").cast("double") / 1000.0)
+         .cast("bigint").alias("bal_k"))
+    return privacy.k_anonymity(q, ["c_mktsegment", "nk", "bal_k"],
+                               k=5)
+
+
+def q293_l_diversity(spark, sf_dir):
+    """Distinct l-diversity audit (privacy.l_diversity, l=3) of
+    orders under quasi (status, order year) with priority as the
+    sensitive attribute — k-anonymity's leak-by-homogeneity
+    complement."""
+    from dask_grblas_spark.functions import privacy
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    q = o.select(
+        "o_orderstatus",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        "o_orderpriority")
+    return privacy.l_diversity(q, ["o_orderstatus", "yr"],
+                               "o_orderpriority", l=3)
+
+
+def q294_ece_calibration(spark, sf_dir):
+    """Expected/maximum calibration error (profiling.ece_calibration,
+    10 fixed-width bins): a deterministic integer-derived pseudo-
+    probability from acctbal cents against the BUILDING-segment
+    label — fixed-width binning, decimal confidence folds, one
+    constant-size readout."""
+    from dask_grblas_spark.functions import profiling
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cents = F.round(F.col("c_acctbal").cast("double") * 100.0, 0) \
+        .cast("bigint")
+    p = (F.pmod(cents, F.lit(1000)) / 1000.0)
+    lab = (F.col("c_mktsegment") == "BUILDING").cast("int")
+    return profiling.ece_calibration(
+        c.select(p.alias("p"), lab.alias("y")), "p", "y", n_bins=10)
+
+
+def q295_readability(spark, sf_dir):
+    """Coleman-Liau readability per document (text.readability):
+    letter/word/sentence regexp counts + one fixed IEEE index
+    expression, rounded 6 — pure codegen, one scan."""
+    return text.readability(_doc(spark, sf_dir)) \
+        .select("doc_id", "n_letters", "n_words", "n_sentences",
+                "cli")
+
+
+def q296_stream_stateful(spark, sf_dir):
+    """Custom stateful streaming operator
+    (streaming.stream_user_profile — applyInPandasWithState): a
+    per-user running profile held in EXPLICIT group state across
+    forced multi-batch execution (maxFilesPerTrigger=1). Every state
+    field merges order-insensitively (count / integer-micros sum /
+    min / max), so the batch replay below is a hard oracle. Only
+    every 20th user keeps the sink table small."""
+    from dask_grblas_spark.streaming import stream_user_profile
+
+    return stream_user_profile(spark, sf_dir) \
+        .where(F.col("user_id") % 20 == 0) \
+        .select("user_id", "n_events", "sum_v", "first_us", "last_us")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -4550,6 +4663,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q288_pmi_bigrams": q288_pmi_bigrams,
         "q289_funnel_windowed": q289_funnel_windowed,
         "q290_group_auc": q290_group_auc,
+        "q291_wav_features": q291_wav_features,
+        "q292_k_anonymity": q292_k_anonymity,
+        "q293_l_diversity": q293_l_diversity,
+        "q294_ece_calibration": q294_ece_calibration,
+        "q295_readability": q295_readability,
+        "q296_stream_stateful": q296_stream_stateful,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -11671,5 +11790,150 @@ def oracle_sql() -> dict[str, str]:
                     THEN ROUND(CAST(u2 AS DOUBLE)
                                / (2.0 * n_pos * n_neg), 6) END AS auc
         FROM a"""
+
+    # q291: WAV roundtrip — the oracle recomputes RMS/ZCR straight
+    # from the deterministic sample formula (never sees the RIFF
+    # bytes), so the Spark side's encode->decode must be bit-exact
+    sql["q291_wav_features"] = """
+        WITH ids AS (
+          SELECT CAST(vec_id AS BIGINT) AS media_id,
+                 64 + (CAST(vec_id AS BIGINT) % 64) AS n
+          FROM embeddings
+        ), s AS (
+          SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+          FROM ids
+        ), v AS (
+          SELECT media_id, n, i,
+                 (media_id * 7919 + i * 104729) % 65536 - 32768 AS smp
+          FROM s
+        ), w AS (
+          SELECT media_id, n, i, smp,
+                 lag(smp) OVER (PARTITION BY media_id ORDER BY i)
+                   AS prev
+          FROM v
+        )
+        SELECT media_id,
+               CAST(8000 + (media_id % 8) * 1000 AS BIGINT)
+                 AS sample_rate,
+               CAST(MAX(n) AS BIGINT) AS n_samples,
+               ROUND(SQRT(SUM(CAST(smp AS HUGEINT) * smp)
+                          / CAST(MAX(n) AS DOUBLE)), 6) AS rms,
+               CAST(SUM(CASE WHEN prev IS NOT NULL
+                              AND (smp < 0) <> (prev < 0)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS zero_crossings
+        FROM w GROUP BY 1"""
+
+    # q292: k-anonymity audit — grouped quasi-identifier counts +
+    # constant fold
+    sql["q292_k_anonymity"] = """
+        WITH q AS (
+          SELECT c_mktsegment,
+                 CAST(c_nationkey AS BIGINT) AS nk,
+                 CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0)
+                      AS BIGINT) AS bal_k
+          FROM customer
+        ), g AS (
+          SELECT c_mktsegment, nk, bal_k, COUNT(*) AS c
+          FROM q GROUP BY 1, 2, 3
+        )
+        SELECT CAST(5 AS BIGINT) AS k,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating_groups,
+               CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+                 AS n_rows_at_risk,
+               CAST(MIN(c) AS BIGINT) AS min_group_size,
+               ROUND((SUM(c) - SUM(CASE WHEN c < 5 THEN c ELSE 0 END))
+                     / CAST(SUM(c) AS DOUBLE), 6) AS anon_fraction
+        FROM g"""
+
+    # q293: distinct l-diversity — grouped count_distinct + fold
+    sql["q293_l_diversity"] = """
+        WITH g AS (
+          SELECT o_orderstatus,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+                 COUNT(DISTINCT o_orderpriority) AS d
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT CAST(3 AS BIGINT) AS l,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating_groups,
+               CAST(MIN(d) AS BIGINT) AS min_distinct,
+               ROUND((COUNT(*) - SUM(CASE WHEN d < 3 THEN 1 ELSE 0
+                                     END))
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS diverse_fraction
+        FROM g"""
+
+    # q294: binned ECE/MCE — fixed-width bins on exact integer cents,
+    # decimal confidence folds, round-6 terms
+    sql["q294_ece_calibration"] = """
+        WITH t AS (
+          SELECT (CAST(ROUND(CAST(c_acctbal AS DOUBLE) * 100.0, 0)
+                       AS BIGINT) % 1000 + 1000) % 1000 / 1000.0 AS p,
+                 CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS y
+          FROM customer WHERE c_acctbal IS NOT NULL
+        ), b AS (
+          SELECT LEAST(FLOOR(p * 10), 9) AS bin,
+                 COUNT(*) AS n, SUM(y) AS pos,
+                 SUM(CAST(ROUND(p, 6) AS DECIMAL(38,6))) AS sp
+          FROM t GROUP BY 1
+        ), terms AS (
+          SELECT n,
+                 ROUND(ABS(pos / CAST(n AS DOUBLE)
+                           - CAST(sp AS DOUBLE) / n), 6) AS t
+          FROM b
+        )
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(10 AS BIGINT) AS n_bins,
+               ROUND(CAST(SUM(CAST(ROUND(t * n, 6) AS DECIMAL(38,6)))
+                          AS DOUBLE) / SUM(n), 6) AS ece,
+               MAX(t) AS mce
+        FROM terms"""
+
+    # q295: Coleman-Liau — letter/word/sentence regexp counts + one
+    # fixed IEEE expression
+    sql["q295_readability"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(length(regexp_replace(text, '[^A-Za-z]', '',
+                                            'g')) AS BIGINT)
+                   AS n_letters,
+                 CAST(len(list_filter(
+                     regexp_split_to_array(trim(text), '\s+'),
+                     x -> length(x) > 0)) AS BIGINT) AS n_words,
+                 CAST(GREATEST(len(regexp_extract_all(text,
+                                                      '[.!?]+')), 1)
+                      AS BIGINT) AS n_sentences
+          FROM documents)
+        SELECT doc_id, n_letters, n_words, n_sentences,
+               CASE WHEN n_words > 0 THEN
+                 ROUND(0.0588 * (100.0 * n_letters / n_words)
+                       - 0.296 * (100.0 * n_sentences / n_words)
+                       - 15.8, 6) END AS cli
+        FROM t"""
+
+    # q296: the stateful-stream profile replayed as batch SQL — every
+    # state field is an order-insensitive merge, and the micros
+    # quantization (FLOOR(v*1e6 + 0.5), sign-mirrored) is the exact
+    # double expression the state update runs
+    sql["q296_stream_stateful"] = """
+        WITH t AS (
+          SELECT user_id, ts,
+                 CASE WHEN CAST(value AS DOUBLE) >= 0
+                      THEN CAST(FLOOR(CAST(value AS DOUBLE) * 1000000
+                                      + 0.5) AS BIGINT)
+                      ELSE -CAST(FLOOR(-CAST(value AS DOUBLE) * 1000000
+                                       + 0.5) AS BIGINT) END AS v6
+          FROM events WHERE user_id % 20 = 0)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(v6) / 1000000.0 AS sum_v,
+               CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+        FROM t GROUP BY 1"""
 
     return sql

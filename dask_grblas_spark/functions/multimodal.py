@@ -229,3 +229,95 @@ def sample_frames(media_df: DataFrame, every_n_bytes: int = 64,
             .select("media_id", "frame_no",
                     F.substring(F.col("content"), offset + 1, every_n_bytes)
                      .alias("frame_bytes")))
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 16000) -> bytes:
+    """Pure-Python RIFF/WAVE writer for mono 16-bit PCM — the encoder
+    half of the audio plumbing (no audio library in this container;
+    the RIFF container format is trivial struct packing). Used by
+    tests/gates to synthesize real WAV blobs the decoder then parses
+    back — the audio analogue of the PPM/BMP real-pixel path."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1,
+                                   sample_rate, sample_rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def decode_wav(content: bytes):
+    """Pure-Python RIFF/WAVE reader: walks the chunk list (not a fixed
+    44-byte offset — WAVs may carry LIST/fact chunks), accepts mono
+    16-bit PCM, returns (sample_rate, int16 ndarray). Anything else
+    (compressed codecs, multi-channel, floats) raises
+    NotImplementedError naming the blocker — same contract as
+    `decode_pixels` for images."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE container")
+    pos, rate, bits, chans, fmt = 12, None, None, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        body = content[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt, chans, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            if fmt != 1 or bits != 16 or chans != 1:
+                raise NotImplementedError(
+                    f"only mono PCM16 decodes (fmt={fmt}, "
+                    f"bits={bits}, channels={chans})")
+            return rate, np.frombuffer(body, dtype="<i2")
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    raise NotImplementedError("no data chunk found")
+
+
+def audio_features(media_df: DataFrame, id_col: str = "media_id",
+                   content_col: str = "content") -> DataFrame:
+    """Per-clip audio summary over the Arrow mapInPandas path (the
+    batch shape a real featurizer would use): decode each WAV blob
+    with `decode_wav`, emit sample count/rate, RMS level and the
+    zero-crossing count — the triage features (silence? clipping?
+    speech-band activity?) an audio-corpus intake computes before any
+    model runs.
+
+    Exactness: RMS = sqrt(sum(s^2)/n) folds EXACT int64 squares in
+    numpy (per-clip, no cross-row float accumulation), one sqrt +
+    round 6; zero-crossings compare sign bits — all integer. The
+    whole op is partition-local (no shuffle). Output: (media_id,
+    sample_rate, n_samples, rms, zero_crossings)."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _m
+
+        for pdf in batches:
+            rows = {"media_id": [], "sample_rate": [], "n_samples": [],
+                    "rms": [], "zero_crossings": []}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                rate, s = decode_wav(bytes(c))
+                n = int(s.size)
+                sq = int((s.astype("int64") ** 2).sum())
+                rms = _m.floor(_m.sqrt(sq / n) * 1e6 + 0.5) / 1e6 \
+                    if n else None
+                neg = s < 0
+                zc = int((neg[1:] != neg[:-1]).sum()) if n > 1 else 0
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(int(rate))
+                rows["n_samples"].append(n)
+                rows["rms"].append(rms)
+                rows["zero_crossings"].append(zc)
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(extract, out_schema)

@@ -38,3 +38,58 @@ def redact_pii(df: DataFrame, text_col: str = "text",
               .withColumn("n_emails", n_email.cast("bigint"))
               .withColumn("n_ips", n_ip.cast("bigint"))
               .withColumn("n_longnums", n_num.cast("bigint")))
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str],
+                k: int = 5) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns: every
+    row must share its quasi-identifier combination with at least k-1
+    others, or the release re-identifies (Sweeney 2002) — the
+    governance gate a training-data release runs BEFORE export.
+
+    ONE grouped count over the quasi columns (map-side combined),
+    then a constant-size fold: group count, violating-group count,
+    rows at risk, the minimum group size, and the anonymous-row
+    fraction (round 6). NULLs in quasi columns group as their own
+    value (NULL is an identifier too). Output: one row
+    (k, n_rows, n_groups, n_violating_groups, n_rows_at_risk,
+    min_group_size, anon_fraction)."""
+    g = (df.groupBy(*[F.col(c) for c in quasi_cols])
+           .agg(F.count("*").cast("bigint").alias("_c")))
+    return (g.agg(
+        F.lit(int(k)).cast("bigint").alias("k"),
+        F.sum("_c").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("_c") < k, 1).otherwise(0))
+         .cast("bigint").alias("n_violating_groups"),
+        F.sum(F.when(F.col("_c") < k, F.col("_c")).otherwise(0))
+         .cast("bigint").alias("n_rows_at_risk"),
+        F.min("_c").cast("bigint").alias("min_group_size"))
+        .withColumn(
+            "anon_fraction",
+            F.round((F.col("n_rows") - F.col("n_rows_at_risk"))
+                    / F.col("n_rows").cast("double"), 6)))
+
+
+def l_diversity(df: DataFrame, quasi_cols: list[str],
+                sensitive_col: str, l: int = 2) -> DataFrame:
+    """Distinct l-diversity audit: each quasi-identifier group must
+    contain at least l DISTINCT values of the sensitive attribute
+    (Machanavajjhala 2007) — k-anonymity's complement (a large group
+    that is all one diagnosis still leaks). One grouped
+    count_distinct over the quasi columns + a constant fold. Output:
+    one row (l, n_groups, n_violating_groups, min_distinct,
+    diverse_fraction round 6)."""
+    g = (df.groupBy(*[F.col(c) for c in quasi_cols])
+           .agg(F.count_distinct(F.col(sensitive_col))
+                 .cast("bigint").alias("_d")))
+    return (g.agg(
+        F.lit(int(l)).cast("bigint").alias("l"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("_d") < l, 1).otherwise(0))
+         .cast("bigint").alias("n_violating_groups"),
+        F.min("_d").cast("bigint").alias("min_distinct"))
+        .withColumn(
+            "diverse_fraction",
+            F.round((F.col("n_groups") - F.col("n_violating_groups"))
+                    / F.col("n_groups").cast("double"), 6)))

@@ -2264,3 +2264,49 @@ def kendall_tau_binned(df: DataFrame, xb_col, yb_col) -> DataFrame:
     return spark.createDataFrame(
         [(n, float(conc), float(disc), t6)],
         "n long, concordant double, discordant double, tau_b double")
+
+
+def ece_calibration(df: DataFrame, prob_col: str, label_col,
+                    n_bins: int = 10) -> DataFrame:
+    """Expected / maximum calibration error of a probability score
+    against a 0/1 label (Guo et al. 2017's binned ECE): bucket
+    predictions into fixed-width probability bins, compare each bin's
+    accuracy to its mean confidence, weight by bin mass — the
+    standard "is 0.9 really 90%?" readout for any learned filter.
+
+    Determinism: bins are FIXED-WIDTH integer arithmetic
+    (least(floor(p*B), B-1) — no rank/NTILE tie roulette);
+    probabilities quantize ROUND(.,6) and fold as DECIMAL(38,6);
+    labels fold as integers; each bin's |acc - conf| term rounds 6
+    and the mass-weighted fold accumulates as DECIMAL(38,6). One
+    grouped aggregate (B bounded), one constant-size fold. Output:
+    one row (n, n_bins, ece, mce) rounded 6."""
+    lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    p = F.col(prob_col).cast("double")
+    b = F.least(F.floor(F.col("_p") * n_bins), F.lit(n_bins - 1)) \
+        .cast("bigint")
+    per = (df.select(p.alias("_p"), lbl.cast("int").alias("_y"))
+             .where(F.col("_p").isNotNull() & F.col("_y").isNotNull())
+             .groupBy(b.alias("_b"))
+             .agg(F.count("*").cast("bigint").alias("_n"),
+                  F.sum("_y").cast("bigint").alias("_pos"),
+                  F.sum(F.round(F.col("_p"), 6).cast("decimal(38,6)"))
+                   .alias("_sp")))
+    t = F.round(F.abs(F.col("_pos") / F.col("_n")
+                      - F.col("_sp").cast("double") / F.col("_n")), 6)
+    row = per.agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum(F.round(t * F.col("_n"), 6).cast("decimal(38,6)"))
+         .alias("_w"),
+        F.max(t).alias("mce")).collect()[0]
+    n = int(row["n"] or 0)
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [(0, n_bins, None, None)],
+            "n long, n_bins long, ece double, mce double")
+    ece = float(row["_w"]) / n
+    return spark.createDataFrame(
+        [(n, n_bins, math.floor(ece * 1e6 + 0.5) / 1e6,
+          float(row["mce"]))],
+        "n long, n_bins long, ece double, mce double")

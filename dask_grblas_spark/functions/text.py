@@ -1021,3 +1021,35 @@ def pmi_bigrams(df: DataFrame, text_col: str = "text",
                        pmi.alias("pmi"))
                .orderBy(F.col("pmi").desc(), "w1", "w2")
                .limit(k))
+
+
+def readability(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Coleman-Liau readability per document — the grade-level proxy
+    built ONLY from letter/word/sentence counts (no syllable
+    dictionary, so it replays exactly in SQL):
+
+        CLI = 0.0588*L - 0.296*S - 15.8
+        L = letters per 100 words, S = sentences per 100 words
+
+    Pure regexp Column counts (one scan, codegen): letters =
+    [A-Za-z] matches, words = whitespace tokens, sentences =
+    [.!?]+ runs (min 1 so fragments stay finite). The index is one
+    fixed IEEE expression on those integers, rounded 6; docs with no
+    words yield NULL. Output: (doc_id, n_letters, n_words,
+    n_sentences, cli)."""
+    t = F.col(text_col)
+    letters = F.regexp_count(t, F.lit(r"[A-Za-z]")).cast("bigint")
+    words = F.size(F.filter(tokens(t), lambda x: F.length(x) > 0)) \
+        .cast("bigint")
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)) \
+        .cast("bigint")
+    cli = F.round(
+        F.lit(0.0588) * (F.lit(100.0) * letters / words)
+        - F.lit(0.296) * (F.lit(100.0) * sents / words)
+        - F.lit(15.8), 6)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        letters.alias("n_letters"), words.alias("n_words"),
+        sents.alias("n_sentences"),
+        F.when(words > 0, cli).alias("cli"))

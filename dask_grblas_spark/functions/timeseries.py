@@ -1102,26 +1102,53 @@ def attribution(df: DataFrame, user_col: str = "user_id",
     """
     if model not in ("last_touch", "first_touch"):
         raise ValueError(f"unknown attribution model: {model!r}")
-    # BOTH modes frame RANGE(..., -1) over integer epoch-microseconds:
+    # All modes frame RANGE(..., -1) over integer epoch-microseconds:
     # a ROWS frame ordered by ts alone is tie-order-dependent when a
     # user has duplicate timestamps (a touch AT the conversion's own
     # ts may or may not get credit depending on partition layout), and
     # 'strictly preceding' means strictly EARLIER — the RANGE frame
-    # makes that deterministic and keeps the two modes consistent.
+    # makes that deterministic and keeps the modes consistent.
+    #
+    # COST SHAPE (the r10 100M probe finding): Spark evaluates an
+    # unbounded-preceding frame INCREMENTALLY (O(history) per user)
+    # but re-scans a bounded sliding frame per row (O(history *
+    # in-window rows) — a 20M-row power user with a day-wide window
+    # never finishes). So the bounded last_touch mode NEVER uses a
+    # sliding frame: the most recent preceding touch is in-window iff
+    # it is within the lookback (every earlier touch is older still),
+    # so an unbounded running (ts, touch) struct + a cutoff mask is
+    # exactly equivalent and stays O(history).
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    if lookback_seconds is None:
-        w = (Window.partitionBy(user_col).orderBy(us)
-                   .rangeBetween(Window.unboundedPreceding, -1))
-    else:
-        w = (Window.partitionBy(user_col).orderBy(us)
-                   .rangeBetween(-int(lookback_seconds) * 1_000_000,
-                                 -1))
     touch = F.when(F.col(type_col).isin(*touch_types), F.col(type_col))
-    pick = (F.last(touch, ignorenulls=True) if model == "last_touch"
-            else F.first(touch, ignorenulls=True))
+    wun = (Window.partitionBy(user_col).orderBy(us)
+                 .rangeBetween(Window.unboundedPreceding, -1))
+    if lookback_seconds is None:
+        pick = (F.last(touch, ignorenulls=True)
+                if model == "last_touch"
+                else F.first(touch, ignorenulls=True))
+        credit = pick.over(wun)
+    elif model == "last_touch":
+        s = F.last(F.when(touch.isNotNull(),
+                          F.struct(us.alias("tus"),
+                                   F.col(type_col).alias("tt"))),
+                   ignorenulls=True).over(wun)
+        credit = F.when(
+            s["tus"] >= us - F.lit(int(lookback_seconds) * 1_000_000),
+            s["tt"])
+    else:
+        # first_touch in a bounded window genuinely needs the sliding
+        # frame (the earliest in-window touch is not derivable from
+        # any running aggregate); per the cost note above this path
+        # re-evaluates the frame per row — fine for bounded per-user
+        # histories, quadratic on a power user. Pre-filter or bucket
+        # power users before calling with this mode at scale.
+        wsl = (Window.partitionBy(user_col).orderBy(us)
+                     .rangeBetween(-int(lookback_seconds) * 1_000_000,
+                                   -1))
+        credit = F.first(touch, ignorenulls=True).over(wsl)
     vd = F.round(F.col(val_col).cast("double"), 6) \
           .cast("decimal(38,6)")
-    return (df.withColumn("_credit", pick.over(w))
+    return (df.withColumn("_credit", credit)
               .where(F.col(type_col) == convert_type)
               .groupBy(F.coalesce(F.col("_credit"), F.lit("none"))
                         .alias("touch_type"))

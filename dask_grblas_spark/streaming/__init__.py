@@ -4,8 +4,10 @@ events table): windowed aggregation and stateful sessionization."""
 
 from .windows import (event_window_agg, load_events, sessionize,
                       stream_cdc_upsert, stream_dedup_counts,
-                      stream_static_enrich, streaming_sessionize)
+                      stream_static_enrich, stream_user_profile,
+                      streaming_sessionize)
 
 __all__ = ["event_window_agg", "load_events", "sessionize",
            "stream_cdc_upsert", "stream_dedup_counts",
-           "stream_static_enrich", "streaming_sessionize"]
+           "stream_static_enrich", "stream_user_profile",
+           "streaming_sessionize"]

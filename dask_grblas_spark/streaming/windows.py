@@ -465,3 +465,93 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str,
         "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
         "sum_value")
+
+
+def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator via applyInPandasWithState:
+    a per-user running profile (event count, round-6-quantized value
+    sum, first/last event micros) maintained in explicit group state
+    across micro-batches — the hand-rolled-state primitive for
+    operators Spark's built-in window/dedup aggregations can't
+    express. The stream is forced through MULTIPLE micro-batches
+    (maxFilesPerTrigger=1) so state genuinely carries across
+    invocations.
+
+    Determinism: every state field is an ORDER-INSENSITIVE merge
+    (count, integer-micros sum of ROUND(v,6), min/max) — arrival
+    order across batches cannot change the final row, so the batch
+    SQL replay is a hard oracle. The running row is emitted each
+    batch (Append mode); the final per-user answer is the max-count
+    row, selected by an ordinary batch aggregate on the sink table.
+    Output: (user_id, n_events, sum_v, first_us, last_us)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_v6", T.LongType()),      # micros of value
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s6", T.LongType()),
+        T.StructField("f_us", T.LongType()),
+        T.StructField("l_us", T.LongType()),
+    ])
+
+    def update(key, pdfs, state):
+        import math as _m
+
+        import pandas as pd
+
+        def _q6(v):
+            # ROUND-half-away-from-zero micros, matching SQL ROUND
+            # (python round() is banker's — ties would diverge)
+            v = float(v)
+            return (int(_m.floor(v * 1e6 + 0.5)) if v >= 0
+                    else -int(_m.floor(-v * 1e6 + 0.5)))
+
+        n, s6, f_us, l_us = (state.get if state.exists
+                             else (0, 0, None, None))
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            # round-6 value -> exact integer micros, fold as Python int
+            s6 += sum(_q6(v) for v in pdf["value"])
+            us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            lo, hi = int(us.min()), int(us.max())
+            f_us = lo if f_us is None else min(f_us, lo)
+            l_us = hi if l_us is None else max(l_us, hi)
+        state.update((n, s6, f_us, l_us))
+        yield pd.DataFrame({"user_id": [int(key[0])], "n_events": [n],
+                            "sum_v6": [s6], "first_us": [f_us],
+                            "last_us": [l_us]})
+
+    stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(_events_stream_dir(sf_dir)))
+    prof = (stream.groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "Append",
+                                    GroupStateTimeout.NoTimeout))
+    qname = f"sup_{uuid.uuid4().hex[:8]}"
+    q = (prof.writeStream.outputMode("append")
+         .format("memory").queryName(qname).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # final row per user = the monotone-max n_events row (one row per
+    # user per batch; the last batch's row dominates)
+    out = spark.table(qname)
+    return (out.groupBy("user_id")
+               .agg(F.max(F.struct("n_events", "sum_v6", "first_us",
+                                   "last_us")).alias("_s"))
+               .select(F.col("user_id").cast("bigint").alias("user_id"),
+                       F.col("_s.n_events").alias("n_events"),
+                       (F.col("_s.sum_v6") / 1e6).alias("sum_v"),
+                       F.col("_s.first_us").alias("first_us"),
+                       F.col("_s.last_us").alias("last_us")))

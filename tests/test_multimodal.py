@@ -156,3 +156,51 @@ def test_sample_frames_stride_math(media):
             lo = fr.frame_no * stride
             assert 1 <= len(bytes(fr.frame_bytes)) <= stride
             assert len(bytes(fr.frame_bytes)) == min(stride, nb - lo)
+
+
+def test_wav_roundtrip_and_features(spark):
+    import numpy as np
+
+    from dask_grblas_spark.functions.multimodal import (
+        audio_features, decode_wav, encode_wav_pcm16)
+
+    s = np.array([0, 1000, -1000, 32767, -32768, 5], dtype=np.int16)
+    blob = encode_wav_pcm16(s, sample_rate=44100)
+    rate, back = decode_wav(blob)
+    assert rate == 44100
+    assert np.array_equal(back, s)
+
+    # chunk walker tolerates an extra chunk before data
+    import struct
+    extra = (blob[:12] + b"LIST" + struct.pack("<I", 4) + b"INFO"
+             + blob[12:])
+    rate2, back2 = decode_wav(extra)
+    assert rate2 == 44100 and np.array_equal(back2, s)
+
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "media_id long, content binary")
+    r = audio_features(df).collect()[0]
+    assert r["n_samples"] == 6 and r["sample_rate"] == 44100
+    # rms = sqrt(sum(s^2)/6), zero crossings: 0->1000 no, 1000->-1000
+    # yes, -1000->32767 yes, 32767->-32768 yes, -32768->5 yes
+    sq = int((s.astype(np.int64) ** 2).sum())
+    import math
+    assert r["rms"] == math.floor(math.sqrt(sq / 6) * 1e6 + 0.5) / 1e6
+    assert r["zero_crossings"] == 4
+
+
+def test_decode_wav_rejects_non_pcm16(spark):
+    import struct
+
+    import pytest
+
+    from dask_grblas_spark.functions.multimodal import decode_wav
+    # stereo header
+    hdr = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000,
+                                   32000, 4, 16)
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(NotImplementedError):
+        decode_wav(hdr)
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"OggS junk")

@@ -278,3 +278,32 @@ def test_auc_by_group_one_class_null(spark):
            for r in profiling.auc_by_group(df, "s", "y", "grp").collect()}
     assert got["a"] is None
     assert got["b"] == 1.0
+
+
+def test_ece_perfectly_calibrated_and_off(spark):
+    # bin [0.2,0.3): conf 0.25, acc 0.25 -> term 0; mce from the
+    # miscalibrated bin [0.8,0.9): conf 0.85, acc 0.25
+    rows = ([(0.25, 1)] * 1 + [(0.25, 0)] * 3
+            + [(0.85, 1)] * 1 + [(0.85, 0)] * 3)
+    df = spark.createDataFrame(rows, "p double, y int")
+    r = profiling.ece_calibration(df, "p", "y", n_bins=10).collect()[0]
+    assert r["n"] == 8
+    assert r["mce"] == 0.6          # |0.25 - 0.85|
+    assert r["ece"] == 0.3          # (0*4 + 0.6*4)/8
+    empty = spark.createDataFrame([], "p double, y int")
+    assert profiling.ece_calibration(empty, "p", "y") \
+        .collect()[0]["ece"] is None
+
+
+def test_k_anonymity_and_l_diversity(spark):
+    from dask_grblas_spark.functions import privacy
+    rows = [("a", 1, "x")] * 5 + [("a", 2, "y")] * 2 + [("b", 1, "x")]
+    df = spark.createDataFrame(rows, "q1 string, q2 int, s string")
+    r = privacy.k_anonymity(df, ["q1", "q2"], k=3).collect()[0]
+    assert (r["n_rows"], r["n_groups"]) == (8, 3)
+    assert r["n_violating_groups"] == 2 and r["n_rows_at_risk"] == 3
+    assert r["min_group_size"] == 1 and r["anon_fraction"] == 0.625
+    d = privacy.l_diversity(df, ["q1"], "s", l=2).collect()[0]
+    # group a has {x,y} (ok), group b has {x} (violates)
+    assert d["n_groups"] == 2 and d["n_violating_groups"] == 1
+    assert d["min_distinct"] == 1 and d["diverse_fraction"] == 0.5

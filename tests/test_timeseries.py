@@ -867,3 +867,41 @@ def test_attribution_lookback_expires_stale_touch(spark):
     full = {r["touch_type"]: r["n_conversions"]
             for r in ts.attribution(df).collect()}
     assert full == {"click": 2}
+
+
+def test_attribution_lookback_masked_path_matches_semantics(spark):
+    """The O(n) masked unbounded-frame rewrite of last_touch+lookback
+    (r10) must match the declarative sliding-frame semantics: the
+    most RECENT preceding touch wins iff it is inside the window (an
+    out-of-window newest touch implies every older touch is out too,
+    so masking the running last is exact). Cover: two in-window
+    touches (last vs first disagree), an expired touch behind an
+    in-window one, and same-ts touch exclusion."""
+    import datetime as dt
+
+    from dask_grblas_spark.functions import timeseries as ts
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: view at -25s (in window), click at -10s (in window)
+        # -> last_touch credits click, first_touch credits view
+        (1, t0 - dt.timedelta(seconds=25), "view", 0.0),
+        (1, t0 - dt.timedelta(seconds=10), "click", 0.0),
+        (1, t0, "purchase", 1.0),
+        # user 2: click at -100s (out), view at -20s (in)
+        # -> both models credit view
+        (2, t0 - dt.timedelta(seconds=100), "click", 0.0),
+        (2, t0 - dt.timedelta(seconds=20), "view", 0.0),
+        (2, t0, "purchase", 1.0),
+        # user 3: touch AT the conversion's own timestamp -> excluded
+        (3, t0, "click", 0.0),
+        (3, t0, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double")
+    last = {r["touch_type"]: r["n_conversions"]
+            for r in ts.attribution(df, lookback_seconds=30).collect()}
+    assert last == {"click": 1, "view": 1, "none": 1}
+    first = {r["touch_type"]: r["n_conversions"]
+             for r in ts.attribution(df, lookback_seconds=30,
+                                     model="first_touch").collect()}
+    assert first == {"view": 2, "none": 1}
