@@ -3395,7 +3395,8 @@ def q58_rolling_window(spark, sf_dir):
     from dask_grblas_spark.streaming import load_events
 
     ev = load_events(spark, sf_dir)
-    return (timeseries.rolling_agg(ev, window_seconds=3600)
+    return (timeseries.rolling_agg(ev, window_seconds=3600,
+                                   id_col="event_id")
             .select("event_id", "roll_n", "roll_sum"))
 
 
@@ -5360,10 +5361,13 @@ def oracle_sql() -> dict[str, str]:
         FROM c ASOF LEFT JOIN p
           ON c.user_id = p.user_id AND p.ts <= c.ts
     """
+    # round-6-quantized DECIMAL(38,6) window sum (aligned with the
+    # r10 prefix-difference rolling_agg — exact, fold-order invariant)
     sql["q58_rolling_window"] = """
         SELECT event_id,
                CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
-               ROUND(SUM(value) OVER w, 2) AS roll_sum
+               CAST(ROUND(SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6)))
+                          OVER w, 2) AS DOUBLE) AS roll_sum
         FROM events
         WINDOW w AS (PARTITION BY user_id
                      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)

@@ -122,22 +122,76 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
 
 def rolling_agg(df: DataFrame, key: str = "user_id", ts_col: str = "ts",
                 value_col: str = "value",
-                window_seconds: int = 3600) -> DataFrame:
+                window_seconds: int = 3600,
+                id_col: str | None = None) -> DataFrame:
     """Per-row trailing-window aggregate: count and sum of the same
     key's rows in the preceding ``window_seconds`` (inclusive of the
-    current row's second). One shuffle on the key; the range frame is a
-    streaming in-partition scan — Spark never materializes the window.
+    current row's second). The frame is defined on WHOLE SECONDS
+    (``ts`` cast to epoch seconds): rows within the same second are
+    frame peers, which keeps the semantics engine-independent
+    (sub-second ordering is where engines disagree).
 
-    The frame is defined on WHOLE SECONDS (``ts`` cast to epoch
-    seconds): rows within the same second are frame peers, which keeps
-    the semantics engine-independent (sub-second ordering is where
-    engines disagree)."""
+    IMPLEMENTATION (the r10 sliding-frame finding): Spark re-evaluates
+    a bounded sliding frame from scratch whenever rows exit it —
+    O(history x in-window rows) per key; the 2M-row/10k-window
+    microbench ran 399 s sliding vs 1.2 s unbounded. So this never
+    uses a sliding frame: every row also emits a PROBE row at
+    (window start - 1); ONE incremental unbounded-prefix window over
+    the union (ordered by 2*sec + is_probe, so probes sort after the
+    real rows of their second and real rows keep full peer-inclusive
+    prefixes) yields both the row's inclusive prefix and the prefix
+    just before its window, and the difference is the exact window
+    aggregate. Values quantize ROUND(.,6) into DECIMAL(38,6) so the
+    prefix difference is EXACT (double prefix differences would
+    cancel catastrophically on long histories). Cost: one window
+    shuffle on the key over 2n rows + one groupBy/join on the row id
+    — O(n log n) regardless of window width or key heat. Pass
+    ``id_col`` (an existing UNIQUE column, e.g. event_id) to skip the
+    synthetic-id localCheckpoint; without it a monotonic id is
+    generated and pinned."""
     sec = F.col(ts_col).cast("long")
-    w = (Window.partitionBy(key).orderBy(sec)
-               .rangeBetween(-window_seconds, 0))
-    return (df.withColumn("roll_n", F.count("*").over(w))
-              .withColumn("roll_sum",
-                          F.round(F.sum(value_col).over(w), 2)))
+    v6 = F.round(F.col(value_col).cast("double"), 6) \
+          .cast("decimal(38,6)")
+    base = df.withColumn("_sec", sec).withColumn("_v6", v6)
+    if id_col is None:
+        base = (base.withColumn("_rid",
+                                F.monotonically_increasing_id())
+                    .localCheckpoint())  # pin the synthetic _rid
+    else:
+        base = base.withColumn("_rid", F.col(id_col))
+    real = base.select(F.col(key).alias("_k"), "_rid",
+                       (F.col("_sec") * 2).alias("_ord"), "_v6")
+    probe = base.select(
+        F.col(key).alias("_k"), "_rid",
+        ((F.col("_sec") - window_seconds - 1) * 2 + 1).alias("_ord"),
+        F.lit(None).cast("decimal(38,6)").alias("_v6"))
+    u = real.unionByName(probe)
+    w = (Window.partitionBy("_k").orderBy("_ord")
+               .rangeBetween(Window.unboundedPreceding, 0))
+    zero = F.lit(0).cast("decimal(38,6)")
+    pref = u.select(
+        "_rid",
+        F.col("_v6").isNotNull().alias("_isreal"),
+        F.count("_v6").over(w).alias("_pn"),
+        F.coalesce(F.sum("_v6").over(w), zero).alias("_ps"))
+    both = (pref.groupBy("_rid")
+                .agg(F.max(F.when(F.col("_isreal"), F.col("_pn")))
+                      .alias("_pn_r"),
+                     F.max(F.when(F.col("_isreal"), F.col("_ps")))
+                      .alias("_ps_r"),
+                     F.max(F.when(~F.col("_isreal"), F.col("_pn")))
+                      .alias("_pn_p"),
+                     F.max(F.when(~F.col("_isreal"), F.col("_ps")))
+                      .alias("_ps_p")))
+    return (base.join(both, on="_rid")
+                .withColumn("roll_n",
+                            (F.col("_pn_r") - F.col("_pn_p"))
+                            .cast("bigint"))
+                .withColumn("roll_sum",
+                            F.round(F.col("_ps_r") - F.col("_ps_p"), 2)
+                             .cast("double"))
+                .drop("_rid", "_sec", "_v6", "_pn_r", "_ps_r",
+                      "_pn_p", "_ps_p"))
 
 
 def json_field_agg(events_df: DataFrame, field: str = "k",

@@ -147,7 +147,13 @@ def test_asof_join_single_exchange_no_range_join(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
-def test_rolling_agg_single_exchange_running_frame(spark):
+def test_rolling_agg_no_sliding_frame(spark):
+    """r10: rolling_agg must NEVER plan a bounded sliding frame —
+    Spark re-evaluates those per row (O(history x window): 399 s vs
+    1.2 s on the 2M-row microbench). The probe-row rewrite uses only
+    incremental unbounded-preceding frames; the window relation
+    shuffles ONCE on the key (plus the rid groupBy/join, which is
+    width-independent)."""
     from dask_grblas_spark.functions import timeseries
 
     ev = spark.createDataFrame(
@@ -156,8 +162,15 @@ def test_rolling_agg_single_exchange_running_frame(spark):
     out = timeseries.rolling_agg(ev.withColumn(
         "ts", F.col("ts").cast("timestamp")))
     plan = _physical(out)
-    assert "Join" not in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the window spec must be the incremental unbounded-preceding
+    # frame, never a bounded sliding range
+    assert "unboundedpreceding" in plan.lower(), plan
+    import re
+    assert not re.search(r"specifiedwindowframe\(rangeframe,"
+                         r" -\d+", plan.lower()), plan
+    # correctness of the rewrite on the 1-row frame
+    r = out.collect()[0]
+    assert r["roll_n"] == 1 and r["roll_sum"] == 1.0
 
 
 def test_minhash_band_join_uses_hash_join_on_exact_keys(spark):

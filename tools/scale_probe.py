@@ -1633,6 +1633,23 @@ def main() -> int:
     probe("attribution_lookback_100m_hot_user", NATT,
           lambda: attribution(att100, lookback_seconds=86400))
 
+    # rolling_agg on ONE key at 10M rows with a 10k-second window
+    # (r10): the old bounded sliding frame was O(history x in-window)
+    # — 399 s at 2M rows/10k window on the microbench; the probe-row
+    # prefix-difference rewrite must stay O(n log n) on the same
+    # shape at 5x the size.
+    from dask_grblas_spark.functions.timeseries import rolling_agg
+    NRA = 10_000_000 if not QUICK else 500_000
+    ra_df = spark.range(NRA).select(
+        F.lit(1).alias("user_id"),
+        F.timestamp_seconds(1700000000 + F.col("id")).alias("ts"),
+        (F.pmod(F.xxhash64("id", F.lit(87)), F.lit(1000)) / 10.0)
+        .alias("value"),
+        F.col("id").alias("event_id"))
+    probe("rolling_agg_10m_one_key_10k_window", NRA,
+          lambda: rolling_agg(ra_df, window_seconds=10_000)
+          .select("event_id", "roll_n", "roll_sum"))
+
     # modularity + rich-club on a 20M-edge hashed graph over 2M nodes
     # with 50 communities (canonical edge set + two label joins; the
     # integer fold never materializes anything node-quadratic)
