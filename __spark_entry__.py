@@ -4505,6 +4505,24 @@ def q296_stream_stateful(spark, sf_dir):
         .select("user_id", "n_events", "sum_v", "first_us", "last_us")
 
 
+def q297_first_touch_window(spark, sf_dir):
+    """First-touch attribution with a 24 h lookback
+    (timeseries.attribution model='first_touch'): the r10 bucketized
+    two-pass prefix-MIN plan — a conversion's window spans at most
+    two lookback-width buckets, each partial bucket's earliest touch
+    comes from an INCREMENTAL running MIN probed at the window edge,
+    and their least is the credit. No sliding frame anywhere. The
+    oracle is an INDEPENDENT algorithm: a correlated min-subquery per
+    conversion."""
+    from dask_grblas_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir)
+    return timeseries.attribution(ev, convert_type="purchase",
+                                  touch_types=("click", "view"),
+                                  model="first_touch",
+                                  lookback_seconds=86400)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -4670,6 +4688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q294_ece_calibration": q294_ece_calibration,
         "q295_readability": q295_readability,
         "q296_stream_stateful": q296_stream_stateful,
+        "q297_first_touch_window": q297_first_touch_window,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -11939,5 +11958,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
                CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
         FROM t GROUP BY 1"""
+
+    # q297: first-touch 24h attribution — INDEPENDENT algorithm: a
+    # correlated min-(ts, type)-subquery per conversion, vs the
+    # engine's bucketized two-pass prefix-MIN
+    sql["q297_first_touch_window"] = """
+        WITH tch AS (
+          SELECT user_id, epoch_us(ts) AS tus, event_type AS tt
+          FROM events WHERE event_type IN ('click', 'view')
+        ), conv AS (
+          SELECT user_id, epoch_us(ts) AS cus,
+                 CAST(value AS DOUBLE) AS v
+          FROM events WHERE event_type = 'purchase'
+        ), credited AS (
+          SELECT c.v,
+                 (SELECT t.tt FROM tch t
+                  WHERE t.user_id = c.user_id
+                    AND t.tus >= c.cus - 86400000000
+                    AND t.tus < c.cus
+                  ORDER BY t.tus, t.tt LIMIT 1) AS credit
+          FROM conv c
+        )
+        SELECT COALESCE(credit, 'none') AS touch_type,
+               CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE) AS value_sum
+        FROM credited GROUP BY 1"""
 
     return sql

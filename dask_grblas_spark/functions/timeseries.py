@@ -1190,16 +1190,20 @@ def attribution(df: DataFrame, user_col: str = "user_id",
             s["tus"] >= us - F.lit(int(lookback_seconds) * 1_000_000),
             s["tt"])
     else:
-        # first_touch in a bounded window genuinely needs the sliding
-        # frame (the earliest in-window touch is not derivable from
-        # any running aggregate); per the cost note above this path
-        # re-evaluates the frame per row — fine for bounded per-user
-        # histories, quadratic on a power user. Pre-filter or bucket
-        # power users before calling with this mode at scale.
-        wsl = (Window.partitionBy(user_col).orderBy(us)
-                     .rangeBetween(-int(lookback_seconds) * 1_000_000,
-                                   -1))
-        credit = F.first(touch, ignorenulls=True).over(wsl)
+        # first_touch in a bounded window: the earliest in-window
+        # touch is NOT derivable from any running aggregate, and a
+        # sliding frame re-scans per row (the r10 finding). Exact
+        # O(n log n) plan instead: bucket time into lookback-width
+        # cells so a conversion's window [c-W, c-1] spans at most TWO
+        # buckets; within each (user, bucket) a running MIN(struct)
+        # over an INCREMENTAL unbounded frame — probed at (c-1) in
+        # the conversion's own bucket (forward order) and at (c-W) in
+        # the previous bucket (reverse order) — yields the two
+        # partial-bucket minima, and their least is the window's
+        # earliest touch (tie-broken by (ts, type), deterministic).
+        return _attribution_first_windowed(
+            df, user_col, ts_col, type_col, val_col, convert_type,
+            touch_types, int(lookback_seconds))
     vd = F.round(F.col(val_col).cast("double"), 6) \
           .cast("decimal(38,6)")
     return (df.withColumn("_credit", credit)
@@ -1208,6 +1212,72 @@ def attribution(df: DataFrame, user_col: str = "user_id",
                         .alias("touch_type"))
               .agg(F.count("*").cast("bigint").alias("n_conversions"),
                    F.sum(vd).cast("double").alias("value_sum")))
+
+
+def _attribution_first_windowed(df, user_col, ts_col, type_col,
+                                val_col, convert_type, touch_types,
+                                lookback_seconds: int) -> DataFrame:
+    """first_touch with a bounded lookback, exactly, without a sliding
+    frame (see `attribution`): two probe-row prefix-MIN passes over
+    lookback-width buckets. MIN over an unbounded frame is add-only —
+    incremental — so both passes are O(history log history) per user
+    regardless of window width or user heat."""
+    W = int(lookback_seconds) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    conv = (df.where(F.col(type_col) == convert_type)
+              .select(F.col(user_col).alias("_u"), us.alias("_cus"),
+                      F.round(F.col(val_col).cast("double"), 6)
+                       .cast("decimal(38,6)").alias("_v"))
+              .withColumn("_cid", F.monotonically_increasing_id())
+              .localCheckpoint())  # pin _cid
+    tch = (df.where(F.col(type_col).isin(*touch_types))
+             .select(F.col(user_col).alias("_u"), us.alias("_tus"),
+                     F.col(type_col).alias("_tt")))
+    st = F.struct(F.col("_tus").alias("tus"), F.col("_tt").alias("tt"))
+    nul = F.lit(None).cast(
+        "struct<tus:bigint,tt:string>")
+
+    def _pass(touch_ord, probe_bucket, probe_ord):
+        """One probe-row running-MIN pass: touches carry their struct,
+        probes read the running min at their ordinal; returns
+        (_cid, candidate struct)."""
+        t = tch.select(
+            "_u", F.expr(f"_tus div {W}").alias("_b"),
+            touch_ord(F.col("_tus")).alias("_ord"), st.alias("_s"),
+            F.lit(None).cast("long").alias("_cid"))
+        p = conv.select(
+            "_u", probe_bucket(F.col("_cus")).alias("_b"),
+            probe_ord(F.col("_cus")).alias("_ord"), nul.alias("_s"),
+            "_cid")
+        w = (Window.partitionBy("_u", "_b").orderBy("_ord")
+                   .rangeBetween(Window.unboundedPreceding, 0))
+        return (t.unionByName(p)
+                 .select("_cid", F.min("_s").over(w).alias("_cand"))
+                 .where(F.col("_cid").isNotNull()))
+    # forward: touches at 2*tus, probe at 2*(c-1)+1 in bucket(c) —
+    # running min sees bucket-local touches with tus <= c-1 (the
+    # bucket floor is already > c-W). Buckets use integer `div`, not
+    # double floor(x/W) — a double quotient can misround at exact
+    # bucket boundaries.
+    fwd = _pass(lambda t: t * 2,
+                lambda c: F.expr(f"_cus div {W}"),
+                lambda c: (c - 1) * 2 + 1)
+    # reverse: touches at -2*tus, probe at -2*(c-W)+1 in bucket(c)-1 —
+    # running min sees previous-bucket touches with tus >= c-W (all
+    # of which are < bucket(c) floor <= c, hence <= c-1)
+    rev = _pass(lambda t: -t * 2,
+                lambda c: F.expr(f"_cus div {W}") - 1,
+                lambda c: -(c - W) * 2 + 1)
+    cand = F.least(F.col("_f._cand"), F.col("_r._cand"))
+    credited = (conv
+                .join(fwd.alias("_f"), on="_cid", how="left")
+                .join(rev.alias("_r"), on="_cid", how="left")
+                .withColumn("_credit", cand["tt"]))
+    return (credited
+            .groupBy(F.coalesce(F.col("_credit"), F.lit("none"))
+                      .alias("touch_type"))
+            .agg(F.count("*").cast("bigint").alias("n_conversions"),
+                 F.sum("_v").cast("double").alias("value_sum")))
 
 
 def downsample_lttb(df: DataFrame, key_col: str = "user_id",

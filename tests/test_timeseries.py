@@ -905,3 +905,53 @@ def test_attribution_lookback_masked_path_matches_semantics(spark):
              for r in ts.attribution(df, lookback_seconds=30,
                                      model="first_touch").collect()}
     assert first == {"view": 2, "none": 1}
+
+
+def test_attribution_first_touch_window_brute_force(spark):
+    """The bucketized two-pass prefix-MIN first_touch+lookback (r10)
+    against a brute-force python oracle on randomized event streams —
+    boundary cases (touch exactly at c-W: in; at c-1: in; at c: out;
+    cross-bucket and same-bucket) all land in the random draw."""
+    import datetime as dt
+    import random
+
+    from dask_grblas_spark.functions import timeseries as ts
+
+    rnd = random.Random(1234)
+    W = 60  # seconds
+    rows = []
+    for u in range(25):
+        t = 0
+        for _ in range(rnd.randint(3, 40)):
+            t += rnd.randint(1, 45)  # gaps straddle the 60s window
+            et = rnd.choice(["click", "view", "purchase", "error"])
+            rows.append((u, dt.datetime(2024, 1, 1)
+                         + dt.timedelta(seconds=t), et,
+                         float(rnd.randint(0, 100))))
+    # brute force: per purchase, earliest touch with
+    # c-W <= tus <= c-1 (whole seconds here)
+    expect = {}
+    by_user = {}
+    for u, tsv, et, v in rows:
+        by_user.setdefault(u, []).append((tsv, et, v))
+    for u, evs in by_user.items():
+        touches = sorted((tsv, et) for tsv, et, _ in evs
+                         if et in ("click", "view"))
+        for tsv, et, v in evs:
+            if et != "purchase":
+                continue
+            lo = tsv - dt.timedelta(seconds=W)
+            cands = [(t2, e2) for t2, e2 in touches
+                     if lo <= t2 < tsv]
+            credit = min(cands)[1] if cands else "none"
+            n, s = expect.get(credit, (0, 0.0))
+            expect[credit] = (n + 1, s + v)
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double")
+    got = {r["touch_type"]: (r["n_conversions"], r["value_sum"])
+           for r in ts.attribution(df, lookback_seconds=W,
+                                   model="first_touch").collect()}
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0], (k, got[k], expect[k])
+        assert abs(got[k][1] - expect[k][1]) < 1e-6, k

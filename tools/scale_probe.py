@@ -1632,6 +1632,11 @@ def main() -> int:
         .alias("value"))
     probe("attribution_lookback_100m_hot_user", NATT,
           lambda: attribution(att100, lookback_seconds=86400))
+    # first_touch + lookback: the r10 bucketized two-pass prefix-MIN
+    # (the sliding frame this replaced never finished this shape)
+    probe("attribution_first_window_100m_hot_user", NATT,
+          lambda: attribution(att100, lookback_seconds=86400,
+                              model="first_touch"))
 
     # rolling_agg on ONE key at 10M rows with a 10k-second window
     # (r10): the old bounded sliding frame was O(history x in-window)
