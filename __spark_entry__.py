@@ -4523,6 +4523,48 @@ def q297_first_touch_window(spark, sf_dir):
                                   lookback_seconds=86400)
 
 
+def q298_csv_quarantine(spark, sf_dir):
+    """Robust CSV intake (sources.io.read_csv_quarantine): the orders
+    slice round-trips through CSV with every 7th line REPLACED by a
+    deterministically malformed one (wrong arity); PERMISSIVE parse +
+    corrupt-record split keeps both streams — good rows typed, bad
+    lines verbatim. Output: one row (n_good, n_bad, sum_price of the
+    good stream, bad lines' total length) — the oracle recomputes all
+    four from the same deterministic corruption rule."""
+    import shutil
+
+    from dask_grblas_spark.sources.io import read_csv_quarantine
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select(F.col("o_orderkey").cast("bigint").alias("k"),
+                F.col("o_totalprice").cast("double").alias("p"),
+                F.col("o_orderstatus").alias("s"))
+    # CSV lines: every 7th key becomes a malformed 1-field line
+    # carrying 'BAD<key>' (wrong arity, non-castable payload)
+    line = F.when(F.col("k") % 7 == 0,
+                  F.concat(F.lit("BAD"), F.col("k"))) \
+            .otherwise(F.concat_ws(",", F.col("k"),
+                                   F.col("p").cast("decimal(18,2)")
+                                    .cast("string"),
+                                   F.col("s")))
+    path = "/tmp/dgs_q298_csv"
+    shutil.rmtree(path, ignore_errors=True)
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    good, bad = read_csv_quarantine(
+        spark, path, "k bigint, p decimal(18,2), s string",
+        header=False)
+    g = good.agg(F.count("*").cast("bigint").alias("n_good"),
+                 F.sum("p").cast("double").alias("sum_price"))
+    b = bad.agg(F.count("*").cast("bigint").alias("n_bad"),
+                F.sum(F.length("raw_line")).cast("bigint")
+                 .alias("bad_chars"))
+    out = g.crossJoin(b).select("n_good", "n_bad", "sum_price",
+                                "bad_chars")
+    out = out.localCheckpoint()
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -4689,6 +4731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q295_readability": q295_readability,
         "q296_stream_stateful": q296_stream_stateful,
         "q297_first_touch_window": q297_first_touch_window,
+        "q298_csv_quarantine": q298_csv_quarantine,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -11984,5 +12027,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(38,6)))
                     AS DOUBLE) AS value_sum
         FROM credited GROUP BY 1"""
+
+    # q298: CSV quarantine — the oracle recomputes both streams from
+    # the deterministic corruption rule (every 7th key malformed),
+    # never touching the CSV
+    sql["q298_csv_quarantine"] = """
+        SELECT CAST(SUM(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_good,
+               CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_bad,
+               CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+                             THEN CAST(CAST(o_totalprice AS DOUBLE)
+                                       AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS sum_price,
+               CAST(SUM(CASE WHEN o_orderkey % 7 = 0
+                             THEN 3 + length(CAST(o_orderkey
+                                                  AS VARCHAR)) END)
+                    AS BIGINT) AS bad_chars
+        FROM orders"""
 
     return sql

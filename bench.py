@@ -71,6 +71,9 @@ PIPELINE = [
     # round 9 session 2: the _prefix_sum machinery (exact AUC) tracked
     # round-over-round
     "q256_roc_auc",
+    # round 10: the probe-row prefix-difference window family (the
+    # no-sliding-frame discipline) tracked round-over-round
+    "q297_first_touch_window",
 ]
 
 

@@ -26,7 +26,8 @@ __all__ = ["matrix_from_parquet", "matrix_to_parquet", "vector_from_parquet",
            "table_to_csv", "table_from_csv",
            "write_keyed", "read_keyed", "upsert_keyed", "recover_upsert",
            "snapshot_diff", "refresh_keyed_agg",
-           "write_snapshot", "read_evolving", "write_version", "read_version"]
+           "write_snapshot", "read_evolving", "write_version", "read_version",
+           "read_csv_quarantine"]
 
 
 def table_to_partitioned(df, path: str, partition_cols: list[str] | str,
@@ -942,3 +943,34 @@ def read_version(spark, path: str, version: int | None = None):
     if v not in versions:
         raise ValueError(f"version {v} not committed (have {versions})")
     return spark.read.parquet(f"{path.rstrip('/')}/v={v}")
+
+
+def read_csv_quarantine(spark, path: str, schema: str,
+                        header: bool = True):
+    """Robust CSV intake: parse under PERMISSIVE mode with an explicit
+    corrupt-record column and split the load into (good, quarantine) —
+    the at-scale answer to 'one malformed line must not kill (or
+    silently poison) a 100 TB ingest'. FAILFAST dies on row one;
+    DROPMALFORMED silently loses data; this keeps both streams:
+    good rows typed and clean, bad rows preserved VERBATIM for
+    reprocessing/audit.
+
+    ``schema`` is the DDL of the EXPECTED columns; the corrupt column
+    is appended internally and never leaks into the good output. The
+    parsed relation is localCheckpointed before the split because
+    Spark disallows filtering a raw scan on the internal corrupt
+    column alone (and the checkpoint also guarantees both streams
+    come from the SAME parse pass). Returns (good_df, bad_df) where
+    bad_df is (raw_line string).
+    """
+    full = schema + ", _corrupt string"
+    df = (spark.read.schema(full)
+          .option("header", str(header).lower())
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(path)
+          .localCheckpoint())
+    good = df.where(F.col("_corrupt").isNull()).drop("_corrupt")
+    bad = (df.where(F.col("_corrupt").isNotNull())
+             .select(F.col("_corrupt").alias("raw_line")))
+    return good, bad

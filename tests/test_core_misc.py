@@ -994,3 +994,21 @@ def test_snapshot_versions_isolated_and_crash_safe(spark, tmp_path):
     assert [r["v"] for r in read_version(spark, p, 3).collect()] == [3.5]
     assert sorted(r["v"] for r in read_version(spark, p, 1).collect()) \
         == [1.0, 2.0]
+
+
+def test_read_csv_quarantine_splits_streams(spark, tmp_path):
+    from dask_grblas_spark.sources.io import read_csv_quarantine
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as fh:
+        fh.write("1,1.50,ok\n")
+        fh.write("garbage-only-one-field\n")
+        fh.write("2,2.25,ok\n")
+        fh.write("3,not-a-number,ok\n")     # type error -> quarantine
+        fh.write("4,4.00,ok,EXTRA\n")       # arity too high -> quarantine
+    good, bad = read_csv_quarantine(
+        spark, p, "k bigint, p decimal(18,2), s string", header=False)
+    g = {r["k"]: float(r["p"]) for r in good.collect()}
+    assert g == {1: 1.5, 2: 2.25}
+    lines = sorted(r["raw_line"] for r in bad.collect())
+    assert lines == ["3,not-a-number,ok", "4,4.00,ok,EXTRA",
+                     "garbage-only-one-field"]
