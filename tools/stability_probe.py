@@ -47,7 +47,14 @@ DEFAULT = ["q174_gini", "q203_cube", "q216_tpch_pricing",
            "q269_prf_expansion", "q278_ann_recall",
            # r10 (r9 verdict item 6): FastSV label convergence under
            # partition variance, and partition-rewrite determinism
-           "q266_near_dup_clusters", "q272_merge_upsert"]
+           "q266_near_dup_clusters", "q272_merge_upsert",
+           # r10 session 2: the new float/rank-sensitive families —
+           # tau-b sqrt fold, PMI ln ranking, per-group decimal 2U,
+           # binned ECE decimal folds, and the bucketized two-pass
+           # prefix-MIN (struct-min determinism under partitioning)
+           "q287_kendall_binned", "q288_pmi_bigrams",
+           "q290_group_auc", "q294_ece_calibration",
+           "q297_first_touch_window"]
 
 PARTITION_GRID = (5, 32, 77, 200)
 
