@@ -4565,6 +4565,26 @@ def q298_csv_quarantine(spark, sf_dir):
     return out
 
 
+def q299_tar_shards(spark, sf_dir):
+    """WebDataset-style sharded-corpus roundtrip (sources.io
+    write_tar_shards -> read_tar_members): documents pack into 8
+    deterministic tar shards (zeroed metadata, id-sorted members,
+    shard = id % 8) entirely inside DataFrames — no filesystem — then
+    parse back and roll up per shard. The oracle recomputes member
+    stats straight from the documents relation (byte sizes via
+    strlen), so the tar ENCODE->DECODE roundtrip must be lossless."""
+    from dask_grblas_spark.sources.io import (read_tar_members,
+                                              write_tar_shards)
+
+    shards = write_tar_shards(_doc(spark, sf_dir), n_shards=8)
+    members = read_tar_members(shards)
+    return (members.groupBy("shard_id")
+            .agg(F.count("*").cast("bigint").alias("n_members"),
+                 F.sum("size").cast("bigint").alias("total_bytes"),
+                 F.min("name").alias("min_name"),
+                 F.max("name").alias("max_name")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -4732,6 +4752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q296_stream_stateful": q296_stream_stateful,
         "q297_first_touch_window": q297_first_touch_window,
         "q298_csv_quarantine": q298_csv_quarantine,
+        "q299_tar_shards": q299_tar_shards,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -12045,5 +12066,16 @@ def oracle_sql() -> dict[str, str]:
                                                   AS VARCHAR)) END)
                     AS BIGINT) AS bad_chars
         FROM orders"""
+
+    # q299: tar-shard roundtrip — member stats recomputed from the
+    # raw documents (strlen = utf-8 byte size), never parsing a tar
+    sql["q299_tar_shards"] = """
+        SELECT CAST(doc_id % 8 AS BIGINT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(strlen(COALESCE(text, ''))) AS BIGINT)
+                 AS total_bytes,
+               MIN(CAST(doc_id AS VARCHAR) || '.txt') AS min_name,
+               MAX(CAST(doc_id AS VARCHAR) || '.txt') AS max_name
+        FROM documents GROUP BY 1"""
 
     return sql

@@ -27,7 +27,8 @@ __all__ = ["matrix_from_parquet", "matrix_to_parquet", "vector_from_parquet",
            "write_keyed", "read_keyed", "upsert_keyed", "recover_upsert",
            "snapshot_diff", "refresh_keyed_agg",
            "write_snapshot", "read_evolving", "write_version", "read_version",
-           "read_csv_quarantine"]
+           "read_csv_quarantine", "write_tar_shards",
+           "read_tar_members"]
 
 
 def table_to_partitioned(df, path: str, partition_cols: list[str] | str,
@@ -974,3 +975,95 @@ def read_csv_quarantine(spark, path: str, schema: str,
     bad = (df.where(F.col("_corrupt").isNotNull())
              .select(F.col("_corrupt").alias("raw_line")))
     return good, bad
+
+
+def write_tar_shards(df, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     n_shards: int = 8):
+    """WebDataset-style corpus sharding as a PURE transformation:
+    pack documents into ``n_shards`` tar archives (shard =
+    id % n_shards), returned as (shard_id, n_members, tar)
+    binary rows — the standard sharded-corpus interop layout of
+    multimodal/LLM training loaders (one sequential tar per worker,
+    no per-sample object-store round trips).
+
+    Determinism: members are sorted by id within a shard and carry
+    zeroed metadata (mtime/uid/gid/mode fixed), so the tar BYTES are
+    a pure function of the data — roundtrip-testable. Each shard
+    builds inside one `applyInPandas` group (shard contents must
+    be memory-bounded: size n_shards so a shard fits an executor —
+    the same rule real WebDataset pipelines follow at ~1 GB/shard).
+    Persist the blobs however the deployment likes (parquet of blobs,
+    or stream each to `<name>.tar` via the Hadoop FS API)."""
+    import io as _io
+    import tarfile
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("n_members", T.LongType(), False),
+        T.StructField("tar", T.BinaryType(), False),
+    ])
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id", ignore_index=True)
+        buf = _io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for _id, txt in zip(pdf["_id"], pdf["_txt"]):
+                payload = ("" if txt is None else str(txt)) \
+                    .encode("utf-8")
+                info = tarfile.TarInfo(name=f"{int(_id)}.txt")
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.mode = 0o644
+                tf.addfile(info, _io.BytesIO(payload))
+        return pd.DataFrame({"shard_id": [int(pdf["_s"].iloc[0])],
+                             "n_members": [len(pdf)],
+                             "tar": [buf.getvalue()]})
+
+    base = df.select(F.col(id_col).cast("bigint").alias("_id"),
+                     F.col(text_col).alias("_txt"),
+                     F.pmod(F.col(id_col).cast("bigint"),
+                            F.lit(n_shards)).alias("_s"))
+    return base.groupBy("_s").applyInPandas(build, out_schema)
+
+
+def read_tar_members(shards_df, tar_col: str = "tar",
+                     shard_col: str = "shard_id"):
+    """Read WebDataset-style tar shards (binary column) back into a
+    member table — (shard_id, name, size, payload) one row per
+    member, via `mapInPandas` pure-Python tarfile parsing (no tar
+    libraries needed; each task streams only its own shards). The
+    loader-side half of `write_tar_shards`."""
+    import io as _io
+    import tarfile
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("size", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def parse(batches):
+        for pdf in batches:
+            rows = {"shard_id": [], "name": [], "size": [],
+                    "payload": []}
+            for sid, blob in zip(pdf[shard_col], pdf[tar_col]):
+                with tarfile.open(
+                        fileobj=_io.BytesIO(bytes(blob))) as tf:
+                    for m in tf:
+                        rows["shard_id"].append(int(sid))
+                        rows["name"].append(m.name)
+                        rows["size"].append(int(m.size))
+                        rows["payload"].append(
+                            tf.extractfile(m).read())
+            yield pd.DataFrame(rows)
+
+    return shards_df.mapInPandas(parse, out_schema)

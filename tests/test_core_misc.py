@@ -1012,3 +1012,28 @@ def test_read_csv_quarantine_splits_streams(spark, tmp_path):
     lines = sorted(r["raw_line"] for r in bad.collect())
     assert lines == ["3,not-a-number,ok", "4,4.00,ok,EXTRA",
                      "garbage-only-one-field"]
+
+
+def test_tar_shards_roundtrip_lossless_and_deterministic(spark):
+    from dask_grblas_spark.sources.io import (read_tar_members,
+                                              write_tar_shards)
+    rows = [(0, "héllo wörld"), (1, ""), (2, "a" * 5000),
+            (3, "tab\tand\nnewline"), (10, "shard of 0 again")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    shards = write_tar_shards(df, n_shards=2)
+    got = {r["shard_id"]: r for r in shards.collect()}
+    assert got[0]["n_members"] == 3   # ids 0, 2, 10
+    assert got[1]["n_members"] == 2   # ids 1, 3
+    members = {r["name"]: r for r in
+               read_tar_members(shards).collect()}
+    assert set(members) == {"0.txt", "1.txt", "2.txt", "3.txt",
+                            "10.txt"}
+    for did, txt in rows:
+        m = members[f"{did}.txt"]
+        assert bytes(m["payload"]).decode("utf-8") == txt
+        assert m["size"] == len(txt.encode("utf-8"))
+        assert m["shard_id"] == did % 2
+    # determinism: identical bytes on a rebuild (zeroed tar metadata)
+    again = {r["shard_id"]: bytes(r["tar"])
+             for r in write_tar_shards(df, n_shards=2).collect()}
+    assert {k: bytes(v["tar"]) for k, v in got.items()} == again
