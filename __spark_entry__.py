@@ -4585,6 +4585,45 @@ def q299_tar_shards(spark, sf_dir):
                  F.max("name").alias("max_name")))
 
 
+def q300_pipeline_funnel(spark, sf_dir):
+    """CAPSTONE composition — the whole training-data intake in one
+    lazy plan: raw corpus → exact top-50% quality filter (q81's
+    histogram-cutoff rule) → exact dedup keep-first among survivors
+    (q30's md5 groups) → 13-gram decontamination against the q68
+    benchmark docs → final token accounting. One funnel row per
+    stage (stage, n), monotone non-increasing through stage 4; the
+    oracle replays the ENTIRE chain as nested CTEs, so every stage
+    boundary must agree exactly — the end-to-end proof the
+    independently-oracled pieces compose."""
+    docs = _doc(spark, sf_dir)
+    surv = text.quality_quantile_filter(docs, keep_top=0.5) \
+        .select(F.col("id").alias("doc_id"))
+    d1 = docs.join(surv, on="doc_id")
+    keep = dedup.exact_dedup(d1) \
+        .select(F.col("keep_id").alias("doc_id"))
+    d2 = d1.join(keep, on="doc_id")
+    bench = [r["text"]
+             for r in docs.filter(F.col("doc_id").isin(7, 23))
+                          .orderBy("doc_id").collect()]
+    flags = retrieval.ngram_decontaminate(d2, bench, n=13)
+    d3 = d2.join(flags.where(~F.col("contaminated"))
+                      .select("doc_id"), on="doc_id")
+    ntok = F.size(F.filter(text.tokens(F.col("text")),
+                           lambda x: F.length(x) > 0))
+
+    def cnt(df, stage):
+        return df.agg(F.count("*").cast("bigint").alias("n")) \
+                 .select(F.lit(stage).alias("stage"), "n")
+
+    toks = d3.agg(F.sum(ntok).cast("bigint").alias("n")) \
+             .select(F.lit("5_tokens").alias("stage"), "n")
+    return (cnt(docs, "1_raw")
+            .unionAll(cnt(d1, "2_quality"))
+            .unionAll(cnt(d2, "3_dedup"))
+            .unionAll(cnt(d3, "4_clean"))
+            .unionAll(toks))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -4753,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q297_first_touch_window": q297_first_touch_window,
         "q298_csv_quarantine": q298_csv_quarantine,
         "q299_tar_shards": q299_tar_shards,
+        "q300_pipeline_funnel": q300_pipeline_funnel,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -12077,5 +12117,93 @@ def oracle_sql() -> dict[str, str]:
                MIN(CAST(doc_id AS VARCHAR) || '.txt') AS min_name,
                MAX(CAST(doc_id AS VARCHAR) || '.txt') AS max_name
         FROM documents GROUP BY 1"""
+
+    # q300: the full intake chain replayed as nested CTEs — q81's
+    # quality cutoff, q30's md5 keep-first among survivors, q68's
+    # 13-gram benchmark decontamination, final token fold
+    sql["q300_pipeline_funnel"] = r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\s+') AS toks,
+                 length(regexp_replace(text, '\s', '', 'g'))
+                   AS n_nonspace
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 len(list_filter(toks,
+                     x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                   AS n_stop,
+                 n_nonspace * 1.0 / GREATEST(len(toks), 1)
+                   AS mean_wlen
+          FROM t
+        ), q AS (
+          SELECT doc_id, text,
+                 ROUND((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                             THEN 0.4 ELSE 0.0 END)
+                       + (CASE WHEN mean_wlen >= 2.0
+                               AND mean_wlen <= 12.0
+                               THEN 0.3 ELSE 0.0 END)
+                       + LEAST(n_stop * 3.0 / GREATEST(n_tokens, 1),
+                               0.3), 6) AS quality
+          FROM s
+        ), h AS (
+          SELECT quality, COUNT(*) AS c FROM q GROUP BY 1
+        ), cum AS (
+          SELECT quality,
+                 SUM(c) OVER (ORDER BY quality DESC
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM h
+        ), thr AS (
+          SELECT MAX(quality) AS thr FROM cum
+          WHERE cum >= CEIL(0.5 * (SELECT COUNT(*) FROM q))
+        ), d1 AS (
+          SELECT q.doc_id, q.text FROM q, thr
+          WHERE q.quality >= thr.thr
+        ), keep AS (
+          SELECT MIN(doc_id) AS doc_id FROM d1 GROUP BY md5(text)
+        ), d2 AS (
+          SELECT d1.doc_id, d1.text FROM d1 JOIN keep USING (doc_id)
+        ), tk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS _t
+          FROM d2
+        ), grams AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(_t) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(_t) <= 13 THEN [array_to_string(_t, ' ')]
+                 ELSE list_transform(generate_series(0, len(_t) - 13),
+                        p -> array_to_string(
+                               list_slice(_t, p + 1, p + 13), ' '))
+            END) AS gram
+          FROM tk
+        ), ballt AS (
+          SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> length(x) > 0) AS _t
+          FROM documents WHERE doc_id IN (7, 23)
+        ), bg AS (
+          SELECT DISTINCT unnest(
+            CASE WHEN len(_t) = 0 THEN CAST([] AS VARCHAR[])
+                 WHEN len(_t) <= 13 THEN [array_to_string(_t, ' ')]
+                 ELSE list_transform(generate_series(0, len(_t) - 13),
+                        p -> array_to_string(
+                               list_slice(_t, p + 1, p + 13), ' '))
+            END) AS gram
+          FROM ballt
+        ), bad AS (
+          SELECT DISTINCT g.doc_id FROM grams g JOIN bg USING (gram)
+        ), d3 AS (
+          SELECT tk.doc_id, tk._t FROM tk
+          LEFT JOIN bad ON tk.doc_id = bad.doc_id
+          WHERE bad.doc_id IS NULL
+        )
+        SELECT '1_raw' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT) FROM d1
+        UNION ALL SELECT '3_dedup', CAST(COUNT(*) AS BIGINT) FROM d2
+        UNION ALL SELECT '4_clean', CAST(COUNT(*) AS BIGINT) FROM d3
+        UNION ALL SELECT '5_tokens', CAST(SUM(len(_t)) AS BIGINT)
+                  FROM d3"""
 
     return sql
