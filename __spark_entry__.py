@@ -11119,15 +11119,20 @@ def oracle_sql() -> dict[str, str]:
     # q262: last-touch attribution — strictly-EARLIER (RANGE to -1
     # over epoch-us, tie-deterministic) IGNORE NULLS window, round-6
     # quantized DECIMAL(38,6) value sums
+    # max(struct(us, type)) — not last_value, whose peer order inside
+    # a RANGE frame is engine/layout-dependent when two touch types
+    # share one microsecond; mirrors timeseries.attribution's
+    # deterministic tie rule (latest us, then larger type).
     sql["q262_attribution"] = """
         WITH t AS (
           SELECT user_id, ts, event_type,
                  CAST(value AS DOUBLE) AS v,
-                 last_value(CASE WHEN event_type IN ('click', 'view')
-                                 THEN event_type END IGNORE NULLS)
+                 (max(CASE WHEN event_type IN ('click', 'view')
+                           THEN struct_pack(tus := epoch_us(ts),
+                                            tt := event_type) END)
                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN UNBOUNDED PRECEDING
-                         AND 1 PRECEDING) AS credit
+                         AND 1 PRECEDING)).tt AS credit
           FROM events)
         SELECT COALESCE(credit, 'none') AS touch_type,
                CAST(COUNT(*) AS BIGINT) AS n_conversions,
@@ -11577,14 +11582,18 @@ def oracle_sql() -> dict[str, str]:
         FROM raw""")
 
     # q277: 24h-lookback attribution — RANGE frame over epoch-us
+    # same struct-max tie rule as q262; the oracle may keep a bounded
+    # RANGE frame (DuckDB evaluates it fine at sf0.01 — the Spark
+    # side is what must avoid sliding frames at scale)
     sql["q277_attribution_window"] = """
         WITH t AS (
           SELECT user_id, event_type, CAST(value AS DOUBLE) AS v,
-                 last_value(CASE WHEN event_type IN ('click', 'view')
-                                 THEN event_type END IGNORE NULLS)
+                 (max(CASE WHEN event_type IN ('click', 'view')
+                           THEN struct_pack(tus := epoch_us(ts),
+                                            tt := event_type) END)
                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 86400000000 PRECEDING
-                         AND 1 PRECEDING) AS credit
+                         AND 1 PRECEDING)).tt AS credit
           FROM events)
         SELECT COALESCE(credit, 'none') AS touch_type,
                CAST(COUNT(*) AS BIGINT) AS n_conversions,

@@ -2157,18 +2157,21 @@ def auc_by_group(df: DataFrame, score_col: str, label_col,
     separate the classes INSIDE each market/language/source bucket?).
 
     Plan: ONE grouped aggregate per DISTINCT (group, score) ->
-    (pos, neg) counts, then a GROUP-PARTITIONED ordered window gives
-    each score the negatives strictly below it within its group — the
-    global `roc_auc` needs `_prefix_sum` to avoid a single-task
-    window, but here partitionBy(group) already distributes, and the
-    window input is the aggregated distinct-score relation, not raw
-    rows. The 2U statistic folds pos*(2*cum_neg+neg) as
-    DECIMAL(38,0) (cast BEFORE the product — both factors scale with
-    group size) and divides the exact 2*n_pos*n_neg once, round 6.
+    (pos, neg) counts, then the range-partitioned `_prefix_sum` over
+    the TOTAL order (group, score) gives each row its global running
+    negatives — subtracting the group's own base (min of that prefix
+    within the group = negatives of all EARLIER groups, via one
+    map-side-combined groupBy + broadcast join back) yields the
+    within-group strictly-below count. A partitionBy(group) window
+    would put a hot group's millions of distinct scores into ONE
+    task (windows can't split a partition; the r10 sliding-frame
+    lesson's sibling) — the range shuffle spreads every group across
+    partitions and the per-group base is one bounded aggregate. The
+    2U statistic folds pos*(2*cum_neg+neg) as DECIMAL(38,0) (cast
+    BEFORE the product — both factors scale with group size) and
+    divides the exact 2*n_pos*n_neg once, round 6.
     Output: (group, n_pos, n_neg, auc); auc NULL where a class is
     empty within the group."""
-    from pyspark.sql.window import Window as W
-
     lbl = F.col(label_col) if isinstance(label_col, str) else label_col
     lbl = lbl.cast("int")
     per = (df.select(F.col(group_col).alias("grp"),
@@ -2178,12 +2181,18 @@ def auc_by_group(df: DataFrame, score_col: str, label_col,
              .groupBy("grp", "_s")
              .agg(F.sum("_y").cast("bigint").alias("_pos"),
                   F.sum(1 - F.col("_y")).cast("bigint").alias("_neg")))
-    w = (W.partitionBy("grp").orderBy("_s")
-          .rowsBetween(W.unboundedPreceding, -1))
-    cum = F.coalesce(F.sum("_neg").over(w), F.lit(0))
+    # global EXCLUSIVE prefix of _neg over (grp, _s); within a group
+    # the prefix is non-decreasing and its minimum sits on the
+    # group's first score row, where the exclusive prefix counts
+    # exactly the negatives of all earlier groups — the base.
+    pref, _ = _prefix_sum(per, [F.col("grp"), F.col("_s")],
+                          "_neg", "_gpref")
+    base = pref.groupBy("grp").agg(F.min("_gpref").alias("_base"))
+    cum = F.col("_gpref") - F.col("_base")
     u2 = (F.col("_pos").cast("decimal(38,0)")
           * (2 * F.col("_cumneg") + F.col("_neg")))
-    agg = (per.withColumn("_cumneg", cum)
+    agg = (pref.join(F.broadcast(base), on="grp")
+              .withColumn("_cumneg", cum)
               .groupBy("grp")
               .agg(F.sum("_pos").cast("bigint").alias("n_pos"),
                    F.sum("_neg").cast("bigint").alias("n_neg"),
@@ -2250,15 +2259,20 @@ def kendall_tau_binned(df: DataFrame, xb_col, yb_col) -> DataFrame:
     n0_2 = n * (n - 1)            # 2*n0: keep everything doubled
     n1_2 = int(r["_tx2"] or 0)    # 2*n1
     n2_2 = int(r["_ty2"] or 0)    # 2*n2
-    den2 = (n0_2 - n1_2) * (n0_2 - n2_2)
+    den2 = (n0_2 - n1_2) * (n0_2 - n2_2)  # exact-int sign guard only
     if n == 0 or den2 <= 0:
         return spark.createDataFrame(
             [(n, float(conc), float(disc), None)],
             "n long, concordant double, discordant double, "
             "tau_b double")
     # (C-D)/sqrt(n0-n1)/sqrt(n0-n2) with everything doubled:
-    # 2*(C-D)/sqrt(den2)
-    tau = 2.0 * (conc - disc) / math.sqrt(float(den2))
+    # 2*(C-D)/sqrt(den2). Convert EACH factor to double BEFORE the
+    # product — the SQL oracle computes SQRT(CAST(a AS DOUBLE) *
+    # CAST(b AS DOUBLE)); an exact-int product converted once can
+    # differ by an ulp past 2^53 (n ~ 9.5e7 rows) and flip tau_b
+    # across a round-6 boundary. The sign guard above stays exact.
+    tau = (2.0 * (conc - disc)
+           / math.sqrt(float(n0_2 - n1_2) * float(n0_2 - n2_2)))
     t6 = (math.floor(tau * 1e6 + 0.5) / 1e6 if tau >= 0
           else -(math.floor(-tau * 1e6 + 0.5) / 1e6))
     return spark.createDataFrame(

@@ -1151,8 +1151,13 @@ def attribution(df: DataFrame, user_col: str = "user_id",
     within that many seconds before the conversion qualify. Both the
     bounded and unbounded modes frame RANGE(..., -1 microsecond) over
     integer epoch-microseconds, so 'preceding' means strictly EARLIER
-    timestamp in both — deterministic under duplicate (user, ts) rows
-    and mutually consistent on ties.
+    timestamp in both. Every pick is MAX/MIN of struct(us, type) —
+    never last/first, whose peer order inside a RANGE frame is
+    partition-layout-dependent when two touch types share one
+    microsecond — so the credited channel is a pure function of the
+    data: ties on timestamp break to the lexicographically larger
+    type for last_touch, smaller for first_touch (the same rule the
+    bucketized first-touch path and the oracles use).
     """
     if model not in ("last_touch", "first_touch"):
         raise ValueError(f"unknown attribution model: {model!r}")
@@ -1174,18 +1179,21 @@ def attribution(df: DataFrame, user_col: str = "user_id",
     # exactly equivalent and stays O(history).
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     touch = F.when(F.col(type_col).isin(*touch_types), F.col(type_col))
+    tstruct = F.when(touch.isNotNull(),
+                     F.struct(us.alias("tus"),
+                              F.col(type_col).alias("tt")))
     wun = (Window.partitionBy(user_col).orderBy(us)
                  .rangeBetween(Window.unboundedPreceding, -1))
     if lookback_seconds is None:
-        pick = (F.last(touch, ignorenulls=True)
-                if model == "last_touch"
-                else F.first(touch, ignorenulls=True))
-        credit = pick.over(wun)
+        # max/min of struct(us, type): deterministic among frame
+        # peers (last/first pick by physical peer order — flaky when
+        # two touch types share a microsecond); both aggregate NULLs
+        # away and stay INCREMENTAL over the unbounded frame.
+        pick = (F.max(tstruct) if model == "last_touch"
+                else F.min(tstruct))
+        credit = pick.over(wun)["tt"]
     elif model == "last_touch":
-        s = F.last(F.when(touch.isNotNull(),
-                          F.struct(us.alias("tus"),
-                                   F.col(type_col).alias("tt"))),
-                   ignorenulls=True).over(wun)
+        s = F.max(tstruct).over(wun)
         credit = F.when(
             s["tus"] >= us - F.lit(int(lookback_seconds) * 1_000_000),
             s["tt"])
