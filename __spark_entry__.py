@@ -32,6 +32,33 @@ from dask_grblas_spark.streaming import event_window_agg, sessionize
 
 SF0001 = "/root/testdata/sf0.001"
 
+
+def _run_tmpdir(prefix: str) -> str:
+    """Fresh per-run scratch dir for gates that write to local disk:
+    concurrent runs (bench + stability probe + driver on one host)
+    must never share a path — one run's rmtree/overwrite races
+    another's deferred read (r10 advice on q298). tempfile.mkdtemp
+    gives each run a unique dir; a best-effort sweep reclaims
+    same-prefix siblings untouched for 30+ minutes so repeated runs
+    don't accumulate in /tmp (no live run is that old — every gate
+    finishes in seconds)."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    for d in _glob.glob(f"/tmp/{prefix}_*"):
+        try:
+            if time.time() - os.path.getmtime(d) > 1800:
+                if os.path.isdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
+                else:
+                    os.remove(d)
+        except OSError:
+            pass
+    return tempfile.mkdtemp(prefix=f"{prefix}_")
+
 # SQL building block shared by the graph oracles
 NN_CTE = """
 nn AS (
@@ -489,7 +516,6 @@ def q127_upsert(spark, sf_dir):
     new keys; only touched buckets are rewritten (crash-safe marker
     swap). The oracle recomputes the MERGE semantics directly from the
     source table — the read-back layout must match it exactly."""
-    import os
 
     from dask_grblas_spark.sources import io as gio
 
@@ -497,7 +523,7 @@ def q127_upsert(spark, sf_dir):
     base = o.select(F.col("o_orderkey").alias("k"),
                     F.col("o_orderstatus").alias("status"),
                     F.col("o_totalprice").alias("price"))
-    path = f"/tmp/dgs_keyed_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _run_tmpdir("dgs_keyed")
     gio.write_keyed(base, path, "k", n_buckets=16)
     upd = (base.where((F.col("k") % 5 == 0) | (F.col("k") % 9 == 0))
                .select("k", "status",
@@ -713,7 +739,6 @@ def q139_incremental_agg(spark, sf_dir):
     (bounded batch aggregate + bucket-pruned state read + upsert). The
     refreshed state must equal the full batch recompute — which is
     exactly what the oracle runs."""
-    import os
 
     from dask_grblas_spark.sources import io as gio
     from dask_grblas_spark.streaming import load_events
@@ -726,7 +751,7 @@ def q139_incremental_agg(spark, sf_dir):
                 .agg(F.count("*").cast("bigint").alias("n"),
                      F.sum(F.col("value").cast("double"))
                       .alias("sum_v")))
-    path = f"/tmp/dgs_ivm_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _run_tmpdir("dgs_ivm")
     gio.write_keyed(init, path, "user_id", n_buckets=16)
     gio.refresh_keyed_agg(path, batch, "user_id", "value")
     return (gio.read_keyed(path)
@@ -901,12 +926,11 @@ def q151_schema_evolution(spark, sf_dir):
     unified via mergeSchema; older rows surface NULL for the new
     column. Aggregated by null-ness so the oracle replays from the
     views."""
-    import os
 
     from dask_grblas_spark.sources import io as gio
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    base = f"/tmp/dgs_evolve_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = _run_tmpdir("dgs_evolve")
     gio.write_snapshot(
         li.where(F.col("l_linenumber") == 1)
           .select("l_orderkey", "l_quantity"), base, "snap1")
@@ -2350,12 +2374,10 @@ def q250_partitioned_scan(spark, sf_dir):
     filter pushes to the parquet scan. Daily click totals out; the
     oracle replays the same filter on the raw relation (a correct
     partitioned write is CONTENT-preserving)."""
-    import os
 
     from dask_grblas_spark.streaming import load_events
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = f"/tmp/dgs_part_{tag}"
+    path = _run_tmpdir("dgs_part")
     ev = load_events(spark, sf_dir)
     (ev.write.mode("overwrite").partitionBy("event_type")
        .parquet(path))
@@ -2808,13 +2830,11 @@ def q272_merge_upsert(spark, sf_dir):
     correction path at 100 TB (untouched partitions are never listed,
     read, or rewritten). The oracle replays MERGE semantics on the
     raw relation; per-type rollups must agree exactly."""
-    import os
 
     from dask_grblas_spark.sources.io import merge_into_partitioned
     from dask_grblas_spark.streaming import load_events
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = f"/tmp/dgs_merge_{tag}"
+    path = _run_tmpdir("dgs_merge")
     ev = load_events(spark, sf_dir)
     (ev.write.mode("overwrite").partitionBy("event_type")
        .parquet(path))
@@ -2917,16 +2937,11 @@ def q279_snapshots(spark, sf_dir):
     directory listings). Output: per-version rollups; the oracle
     computes both versions' expected aggregates from the raw
     relation."""
-    import os
-    import shutil
-
     from dask_grblas_spark.sources.io import (read_version,
                                               write_version)
     from dask_grblas_spark.streaming import load_events
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    path = f"/tmp/dgs_snap_{tag}"
-    shutil.rmtree(path, ignore_errors=True)
+    path = _run_tmpdir("dgs_snap")
     clicks = (load_events(spark, sf_dir)
               .where(F.col("event_type") == "click")
               .select("event_id", "value"))
@@ -2988,12 +3003,11 @@ def q282_vocab_overlap(spark, sf_dir):
 
 def q38_mm_roundtrip(spark, sf_dir):
     """C15/C16: Matrix Market write + parallel re-read round-trip."""
-    import os
 
     from dask_grblas_spark.sources import io as gio
 
     nn = tpch.nation_matrix(spark, sf_dir)
-    path = f"/tmp/dgs_mm_{os.path.basename(sf_dir.rstrip('/'))}.mtx"
+    path = _run_tmpdir("dgs_mm") + "/m.mtx"
     gio.to_mmfile(nn, path)
     back = gio.from_mmfile(path, dtype="INT64")
     return back.df.select("i", "j", "v")
@@ -3284,12 +3298,11 @@ def q10_jsonl_roundtrip(spark, sf_dir):
     """JSONL sink + source round-trip over the documents corpus — the
     LLM-pipeline interchange format (sources/io.py). Distributed write,
     schema-explicit read back, content re-verified by the oracle hash."""
-    import os
 
     from dask_grblas_spark.sources import io as gio
 
     docs = _doc(spark, sf_dir).select("doc_id", "text")
-    path = f"/tmp/dgs_jsonl_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _run_tmpdir("dgs_jsonl")
     gio.documents_to_jsonl(docs, path)
     back = gio.documents_from_jsonl(path, schema="doc_id long, text string")
     return back.select("doc_id", F.md5("text").alias("content_hash"))
@@ -3299,12 +3312,11 @@ def q115_csv_roundtrip(spark, sf_dir):
     """CSV sink + schema-explicit source round-trip over the documents
     corpus (sources/io.py) — the external-tool export boundary; content
     re-verified by the oracle hash against the original table."""
-    import os
 
     from dask_grblas_spark.sources import io as gio
 
     docs = _doc(spark, sf_dir).select("doc_id", "text", "lang", "source")
-    path = f"/tmp/dgs_csv_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _run_tmpdir("dgs_csv")
     gio.table_to_csv(docs, path)
     back = gio.table_from_csv(
         path, "doc_id long, text string, lang string, source string")
@@ -3317,12 +3329,11 @@ def q59_orc_roundtrip(spark, sf_dir):
     (sources/io.py): distributed columnar write, schema-explicit read
     back, content re-verified by the oracle hash against the original
     parquet — proves the second columnar format end-to-end."""
-    import os
 
     from dask_grblas_spark.sources import io as gio
 
     docs = _doc(spark, sf_dir).select("doc_id", "text")
-    path = f"/tmp/dgs_orc_{os.path.basename(sf_dir.rstrip('/'))}"
+    path = _run_tmpdir("dgs_orc")
     gio.table_to_orc(docs, path)
     back = gio.table_from_orc(path, schema="doc_id long, text string")
     return back.select("doc_id", F.md5("text").alias("content_hash"))
@@ -4547,8 +4558,7 @@ def q298_csv_quarantine(spark, sf_dir):
                                    F.col("p").cast("decimal(18,2)")
                                     .cast("string"),
                                    F.col("s")))
-    path = "/tmp/dgs_q298_csv"
-    shutil.rmtree(path, ignore_errors=True)
+    path = _run_tmpdir("dgs_q298")
     o.select(line.alias("value")).write.mode("overwrite").text(path)
     good, bad = read_csv_quarantine(
         spark, path, "k bigint, p decimal(18,2), s string",
@@ -4622,6 +4632,91 @@ def q300_pipeline_funnel(spark, sf_dir):
             .unionAll(cnt(d2, "3_dedup"))
             .unionAll(cnt(d3, "4_clean"))
             .unionAll(toks))
+
+
+def q301_rolling_minmax(spark, sf_dir):
+    """Trailing 1-hour per-user MIN/MAX over every event WITHOUT a
+    bounded sliding frame (timeseries.rolling_agg agg='minmax'):
+    min/max cannot be prefix-differenced like q58's count/sum, so
+    this is the van Herk / Gil-Werman two-bucket decomposition —
+    forward running extreme in the row's own (window+1)-second
+    bucket + a reverse probe-row running extreme in the previous
+    bucket — O(n log n) at any window width or key heat where the
+    naive frame is O(history x in-window) (the r10 399-s cliff).
+    The oracle IS the naive RANGE frame (fine at oracle scale), so
+    the decomposition must agree exactly on every row."""
+    from dask_grblas_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir)
+    return (timeseries.rolling_agg(ev, window_seconds=3600,
+                                   id_col="event_id", agg="minmax")
+            .select("event_id", "roll_min", "roll_max"))
+
+
+def q302_csv_quarantine_split(spark, sf_dir):
+    """Split-on-WRITE robust CSV intake (sources.io
+    read_csv_quarantine_to): same corruption rule as q298 (every 7th
+    line malformed), but ONE parse pass lands good-typed-parquet and
+    verbatim-bad-text simultaneously under a _ok partition — the
+    100 TB shape (no localCheckpoint copy of the full parse; each
+    stream then reads back partition-pruned). Output and oracle are
+    identical to q298: the two variants must agree with the raw
+    relation and with each other."""
+    import shutil
+
+    from dask_grblas_spark.sources.io import read_csv_quarantine_to
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select(F.col("o_orderkey").cast("bigint").alias("k"),
+                F.col("o_totalprice").cast("double").alias("p"),
+                F.col("o_orderstatus").alias("s"))
+    line = F.when(F.col("k") % 7 == 0,
+                  F.concat(F.lit("BAD"), F.col("k"))) \
+            .otherwise(F.concat_ws(",", F.col("k"),
+                                   F.col("p").cast("decimal(18,2)")
+                                    .cast("string"),
+                                   F.col("s")))
+    path = _run_tmpdir("dgs_q302_in")
+    out = _run_tmpdir("dgs_q302_out")
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    good, bad = read_csv_quarantine_to(
+        spark, path, "k bigint, p decimal(18,2), s string", out,
+        header=False)
+    g = good.agg(F.count("*").cast("bigint").alias("n_good"),
+                 F.sum("p").cast("double").alias("sum_price"))
+    b = bad.agg(F.count("*").cast("bigint").alias("n_bad"),
+                F.sum(F.length("raw_line")).cast("bigint")
+                 .alias("bad_chars"))
+    res = g.crossJoin(b).select("n_good", "n_bad", "sum_price",
+                                "bad_chars")
+    res = res.localCheckpoint()
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return res
+
+
+def q303_tar_shards_bytes(spark, sf_dir):
+    """Bytes-targeted WebDataset sharding (sources.io
+    write_tar_shards target_bytes=256 KiB): shard assignment is the
+    exact cumulative tar-footprint prefix (range-partitioned
+    `_prefix_sum`, id order) bucketed so every finished tar is
+    <= target — the ~1 GB/shard rule real loaders follow, without
+    the caller-must-size-n_shards footgun. The oracle replays the
+    footprint formula (512 header + 512-padded payload), the
+    exclusive prefix sum, and the width rule (target - trailer
+    reserve - max footprint) in SQL; per-shard member rollups must
+    match the parsed tars exactly."""
+    from dask_grblas_spark.sources.io import (read_tar_members,
+                                              write_tar_shards)
+
+    shards = write_tar_shards(_doc(spark, sf_dir),
+                              target_bytes=262144)
+    members = read_tar_members(shards)
+    return (members.groupBy("shard_id")
+            .agg(F.count("*").cast("bigint").alias("n_members"),
+                 F.sum("size").cast("bigint").alias("total_bytes"),
+                 F.min("name").alias("min_name"),
+                 F.max("name").alias("max_name")))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4793,6 +4888,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q298_csv_quarantine": q298_csv_quarantine,
         "q299_tar_shards": q299_tar_shards,
         "q300_pipeline_funnel": q300_pipeline_funnel,
+        "q301_rolling_minmax": q301_rolling_minmax,
+        "q302_csv_quarantine_split": q302_csv_quarantine_split,
+        "q303_tar_shards_bytes": q303_tar_shards_bytes,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -4946,16 +5044,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_op_grid": q56_op_grid,
         "q55_isclose": q55_isclose,
     }
-    # Round-10 ROTATION (r9 verdict items 1+5): the 34 never-recorded
-    # gates q249-q282 take the head, and the 16 filler rows re-confirm
-    # the oldest-recorded SURVEY §2 core surface under the current
-    # driver — the q43-q48 descriptor cross-product (masks x accum x
-    # replace x subassign, last driver-rowed in r7) plus ten r5-era
-    # core gates (matmul/ewise/graph/apply/mask/diag idioms).
-    window = [f"q2{i:02d}" for i in range(49, 83)]  # q249..q282: never
-    window += [f"q{i}" for i in range(43, 49)]      # descriptor grid
-    window += ["q01", "q02", "q03", "q04", "q05",
-               "q09", "q12", "q13", "q17", "q26"]   # oldest core rows
+    # Round-11 ROTATION (r10 verdict item 1): the 18 never-recorded
+    # gates q283-q300 (TPC-H Q3/Q5/Q10/Q21 shapes, kendall-binned,
+    # PMI, windowed funnel, grouped AUC, WAV, k-anonymity,
+    # l-diversity, ECE, readability, stateful streaming, first-touch
+    # window, CSV quarantine, tar shards, capstone funnel) take the
+    # head; the other 32 slots are the longest-unrecorded gates —
+    # the r5-era band (q11..q56 core idioms + q61..q79 LLM-pipeline
+    # block, all last driver-rowed in round 5).
+    window = [f"q2{i:02d}" for i in range(83, 100)]  # q283..q299
+    window += ["q300"]                               # capstone funnel
+    window += ["q11", "q18", "q19", "q20", "q21", "q23", "q27",
+               "q28", "q29", "q38", "q49", "q55", "q56"]
+    window += [f"q{i}" for i in range(61, 80)]       # q61..q79
 
     bypfx = {k.split("_")[0]: k for k in base}
     head = {bypfx[p]: base[bypfx[p]] for p in window}
@@ -12214,5 +12315,50 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT '4_clean', CAST(COUNT(*) AS BIGINT) FROM d3
         UNION ALL SELECT '5_tokens', CAST(SUM(len(_t)) AS BIGINT)
                   FROM d3"""
+
+    # q301: the oracle is the NAIVE bounded sliding frame — exactly
+    # the plan the two-bucket decomposition exists to avoid at scale;
+    # min/max over raw doubles is fold-order invariant, so agreement
+    # must be bit-exact
+    sql["q301_rolling_minmax"] = """
+        SELECT event_id,
+               CAST(MIN(value) OVER w AS DOUBLE) AS roll_min,
+               CAST(MAX(value) OVER w AS DOUBLE) AS roll_max
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """
+
+    # q302: identical oracle to q298 — both quarantine variants must
+    # reproduce the deterministic corruption rule from the raw table
+    sql["q302_csv_quarantine_split"] = sql["q298_csv_quarantine"]
+
+    # q303: replay the bytes-targeted shard rule in SQL — footprint
+    # (512 header + 512-padded payload, integer div), EXCLUSIVE
+    # prefix sum in doc_id order, bucket width = target - trailer
+    # reserve (11264) - max footprint — then per-shard member rollups
+    sql["q303_tar_shards_bytes"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 strlen(COALESCE(text, '')) AS sz,
+                 512 + ((strlen(COALESCE(text, '')) + 511) // 512)
+                     * 512 AS fp
+          FROM documents
+        ), o AS (
+          SELECT doc_id, sz,
+                 COALESCE(SUM(fp) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS off,
+                 MAX(fp) OVER () AS maxfp
+          FROM d
+        )
+        SELECT CAST(off // (262144 - 11264 - maxfp) AS BIGINT)
+                 AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(sz) AS BIGINT) AS total_bytes,
+               MIN(CAST(doc_id AS VARCHAR) || '.txt') AS min_name,
+               MAX(CAST(doc_id AS VARCHAR) || '.txt') AS max_name
+        FROM o GROUP BY 1"""
 
     return sql

@@ -123,13 +123,30 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
 def rolling_agg(df: DataFrame, key: str = "user_id", ts_col: str = "ts",
                 value_col: str = "value",
                 window_seconds: int = 3600,
-                id_col: str | None = None) -> DataFrame:
-    """Per-row trailing-window aggregate: count and sum of the same
+                id_col: str | None = None,
+                agg: str = "count_sum") -> DataFrame:
+    """Per-row trailing-window aggregate: count and sum (default), or
+    min/max (``agg`` in 'min' | 'max' | 'minmax'), of the same
     key's rows in the preceding ``window_seconds`` (inclusive of the
     current row's second). The frame is defined on WHOLE SECONDS
     (``ts`` cast to epoch seconds): rows within the same second are
     frame peers, which keeps the semantics engine-independent
     (sub-second ordering is where engines disagree).
+
+    MIN/MAX cannot be prefix-differenced the way count/sum can — but
+    a bounded sliding frame hits the same O(history x in-window)
+    cliff (the r10 399-s finding). The min/max path is the van Herk /
+    Gil-Werman two-bucket plan in DataFrame form: bucket time into
+    (window+1)-second cells so every trailing window spans at most
+    TWO buckets; an INCREMENTAL forward running min/max within the
+    row's own bucket covers the window's tail, and a reverse-ordered
+    probe-row running min/max in the PREVIOUS bucket (probed at the
+    window start, the q297 idiom) covers its head; least/greatest of
+    the two partials is the exact window extreme. Cost: one plain
+    window over n rows + one window over 2n rows + one row-id join —
+    O(n log n) at any window width or key heat. Values stay raw
+    doubles (min/max are fold-order invariant; no quantization
+    needed). Output adds roll_min / roll_max per ``agg``.
 
     IMPLEMENTATION (the r10 sliding-frame finding): Spark re-evaluates
     a bounded sliding frame from scratch whenever rows exit it —
@@ -149,6 +166,8 @@ def rolling_agg(df: DataFrame, key: str = "user_id", ts_col: str = "ts",
     ``id_col`` (an existing UNIQUE column, e.g. event_id) to skip the
     synthetic-id localCheckpoint; without it a monotonic id is
     generated and pinned."""
+    if agg not in ("count_sum", "min", "max", "minmax"):
+        raise ValueError(f"unknown rolling agg: {agg!r}")
     sec = F.col(ts_col).cast("long")
     v6 = F.round(F.col(value_col).cast("double"), 6) \
           .cast("decimal(38,6)")
@@ -159,6 +178,9 @@ def rolling_agg(df: DataFrame, key: str = "user_id", ts_col: str = "ts",
                     .localCheckpoint())  # pin the synthetic _rid
     else:
         base = base.withColumn("_rid", F.col(id_col))
+    if agg != "count_sum":
+        return _rolling_minmax(base, key, value_col,
+                               int(window_seconds), agg)
     real = base.select(F.col(key).alias("_k"), "_rid",
                        (F.col("_sec") * 2).alias("_ord"), "_v6")
     probe = base.select(
@@ -192,6 +214,66 @@ def rolling_agg(df: DataFrame, key: str = "user_id", ts_col: str = "ts",
                              .cast("double"))
                 .drop("_rid", "_sec", "_v6", "_pn_r", "_ps_r",
                       "_pn_p", "_ps_p"))
+
+
+def _rolling_minmax(base: DataFrame, key: str, value_col: str,
+                    window_seconds: int, agg: str) -> DataFrame:
+    """Trailing-window min/max without a sliding frame (see
+    `rolling_agg`): van Herk / Gil-Werman two-bucket decomposition.
+    ``base`` arrives with _sec (epoch seconds) and a pinned unique
+    _rid. Bucket width P = window+1 so the inclusive window
+    [sec-W, sec] spans at most buckets {b-1, b} where b = sec div P:
+    the own-bucket prefix [bucket floor, sec] is entirely in-window
+    (bucket floor >= sec-W because sec >= b*P), and the
+    previous-bucket suffix [sec-W, bucket ceiling] is entirely
+    in-window and strictly before sec (its rows end at b*P-1 < sec).
+    Forward partials read straight off an incremental running
+    min/max per (key, bucket); the previous-bucket suffix is probed
+    in REVERSE order at ordinal -(2*(sec-W))+1, so the running
+    extreme at the probe covers exactly the rows with sec' >= sec-W
+    (the q297 probe-row idiom). Rows with an empty previous-bucket
+    suffix coalesce through least/greatest (null-skipping)."""
+    W = int(window_seconds)
+    P = W + 1
+    v = F.col(value_col).cast("double")
+    # FLOOR division, not `div` (which truncates toward zero and
+    # would mis-align buckets for negative epoch seconds): pmod is
+    # non-negative, so (_sec - pmod) is an exact multiple of P and
+    # the double division is exact
+    b = ((F.col("_sec") - F.pmod(F.col("_sec"), F.lit(P)))
+         / F.lit(P)).cast("long")
+    keyed = base.select(F.col(key).alias("_k"), b.alias("_b"),
+                        "_sec", v.alias("_v"), "_rid")
+    wf = (Window.partitionBy("_k", "_b").orderBy("_sec")
+                .rangeBetween(Window.unboundedPreceding, 0))
+    own = keyed.select("_rid",
+                       F.min("_v").over(wf).alias("_min_o"),
+                       F.max("_v").over(wf).alias("_max_o"))
+    rid_t = dict(keyed.dtypes)["_rid"]
+    real = keyed.select("_k", "_b",
+                        (-F.col("_sec") * 2).alias("_ord"), "_v",
+                        F.lit(None).cast(rid_t).alias("_rid"))
+    probe = keyed.select(
+        "_k", (F.col("_b") - 1).alias("_b"),
+        (-(F.col("_sec") - W) * 2 + 1).alias("_ord"),
+        F.lit(None).cast("double").alias("_v"), "_rid")
+    wr = (Window.partitionBy("_k", "_b").orderBy("_ord")
+                .rangeBetween(Window.unboundedPreceding, 0))
+    prev = (real.unionByName(probe)
+                .select("_rid",
+                        F.min("_v").over(wr).alias("_min_p"),
+                        F.max("_v").over(wr).alias("_max_p"))
+                .where(F.col("_rid").isNotNull()))
+    out = (base.join(own, on="_rid")
+               .join(prev, on="_rid", how="left"))
+    if agg in ("min", "minmax"):
+        out = out.withColumn(
+            "roll_min", F.least(F.col("_min_o"), F.col("_min_p")))
+    if agg in ("max", "minmax"):
+        out = out.withColumn(
+            "roll_max", F.greatest(F.col("_max_o"), F.col("_max_p")))
+    return out.drop("_rid", "_sec", "_v6",
+                    "_min_o", "_max_o", "_min_p", "_max_p")
 
 
 def json_field_agg(events_df: DataFrame, field: str = "k",

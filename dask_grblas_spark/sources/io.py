@@ -891,7 +891,8 @@ def _write_manifest(spark, man_path: str, versions: list) -> None:
     fc.rename(tmp, p, opts)
 
 
-def write_version(df, path: str) -> int:
+def write_version(df, path: str, orphan_ttl_sec: int = 3600,
+                  commit_fn=None) -> int:
     """Append an immutable snapshot VERSION of a table (poor-man's
     time travel without a table format): data lands under
     ``<path>/v=<n>/`` and a ``_versions.json`` manifest records the
@@ -905,16 +906,32 @@ def write_version(df, path: str) -> int:
     file://, hdfs://; see the S3 conditional-put caveat on
     :func:`_write_manifest`) — the manifest is the commit point. A
     crash AFTER the data write but BEFORE the manifest swap leaves an
-    orphan ``v=<n>`` dir that is invisible to readers; the next
-    writer detects it (dir exists, version absent from the manifest),
-    deletes it, and rewrites — so crashed writes block nobody. The
-    orphan is deleted rather than staged-and-renamed because a
-    directory rename on an object store is a full copy; delete+write
-    is O(orphan), not O(snapshot), and the manifest still gates
-    visibility. At 100 TB each snapshot is just another
-    partitioned-parquet write (no rewrite of history); expired
-    versions can be dropped by deleting their dir AFTER removing them
-    from the manifest."""
+    orphan ``v=<n>`` dir that is invisible to readers.
+
+    CONCURRENCY CONTRACT: one writer per table at a time. The
+    protocol is crash-safe, not lock-free — two live writers that
+    read the same manifest compute the same v, and the last manifest
+    rename would silently win. Two tripwires keep a concurrent
+    writer LOUD instead of corrupting: a pre-existing ``v=<n>`` dir
+    is only reclaimed as a crash orphan when it is OLDER than
+    ``orphan_ttl_sec`` (a fresh dir is presumed to be another
+    writer's in-flight data and raises), and the data write itself
+    stays ``errorifexists`` so simultaneous writes to the same dir
+    fail rather than interleave. Reclaim deletes + rewrites rather
+    than staging-and-renaming because a directory rename on an
+    object store is a full copy — delete is O(orphan) and the
+    manifest still gates visibility.
+
+    ``commit_fn(spark, manifest_path, versions_list)`` is the
+    pluggable commit seam (default :func:`_write_manifest`): an S3
+    deployment can wire a conditional-put committer (If-Match on the
+    manifest ETag read at the start) without forking this module —
+    that upgrade makes the manifest swap itself detect lost races.
+    At 100 TB each snapshot is just another partitioned-parquet
+    write (no rewrite of history); expired versions can be dropped
+    by deleting their dir AFTER removing them from the manifest."""
+    import time
+
     spark = df.sparkSession
     fs, root, jvm = _hadoop_fs(spark, path)
     fs.mkdirs(root)
@@ -923,12 +940,22 @@ def write_version(df, path: str) -> int:
     v = (versions[-1] + 1) if versions else 1
     vdir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/v={v}")
     if fs.exists(vdir):
-        # Orphan from a writer that crashed between the data write
-        # and the manifest swap: v is not committed (it is not in the
-        # manifest by construction), so clear it and proceed.
+        # Uncommitted v=<n> dir: either a crash orphan (stale — safe
+        # to reclaim; it is not in the manifest by construction) or
+        # another writer's IN-FLIGHT data (fresh — deleting it would
+        # silently corrupt that writer's commit; fail loudly
+        # instead, preserving the single-writer tripwire).
+        age = time.time() * 1000 \
+            - fs.getFileStatus(vdir).getModificationTime()
+        if age < orphan_ttl_sec * 1000:
+            raise RuntimeError(
+                f"uncommitted {vdir} is only {age / 1000:.0f}s old "
+                f"(< orphan_ttl_sec={orphan_ttl_sec}): refusing to "
+                "reclaim — another writer may be in flight "
+                "(write_version is single-writer; see docstring)")
         fs.delete(vdir, True)
     df.write.mode("errorifexists").parquet(f"{path.rstrip('/')}/v={v}")
-    _write_manifest(spark, man, versions + [v])
+    (commit_fn or _write_manifest)(spark, man, versions + [v])
     return v
 
 
@@ -963,6 +990,13 @@ def read_csv_quarantine(spark, path: str, schema: str,
     column alone (and the checkpoint also guarantees both streams
     come from the SAME parse pass). Returns (good_df, bad_df) where
     bad_df is (raw_line string).
+
+    MATERIALIZATION COST: the localCheckpoint writes the ENTIRE
+    parsed relation to executor-local disk before the split — fine
+    for interactive use, but at 100 TB that is a full second copy.
+    For big ingests use :func:`read_csv_quarantine_to`, which splits
+    on WRITE (good-parquet + bad-text from one scan, no intermediate
+    copy).
     """
     full = schema + ", _corrupt string"
     df = (spark.read.schema(full)
@@ -977,24 +1011,80 @@ def read_csv_quarantine(spark, path: str, schema: str,
     return good, bad
 
 
+def read_csv_quarantine_to(spark, path: str, schema: str,
+                           out_path: str, header: bool = True):
+    """`read_csv_quarantine`'s at-scale sibling: ONE parse pass that
+    writes BOTH streams simultaneously — the parsed relation lands
+    under ``out_path`` partitioned by a good/bad flag (``_ok=true``
+    holds the typed good rows, ``_ok=false`` the verbatim corrupt
+    lines), so a 100 TB ingest is scanned exactly once and never
+    materialized to an intermediate copy (the localCheckpoint the
+    interactive variant pays). Partition pruning then serves each
+    stream from its own directory without touching the other.
+
+    Returns (good_df, bad_df) reading back from ``out_path`` —
+    good_df typed and ``_corrupt``-free, bad_df (raw_line string),
+    the same shapes `read_csv_quarantine` returns."""
+    full = schema + ", _corrupt string"
+    parsed = (spark.read.schema(full)
+              .option("header", str(header).lower())
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_corrupt")
+              .csv(path)
+              .withColumn("_ok", F.col("_corrupt").isNull()))
+    # one job: every input split is parsed once and its rows fan out
+    # to the _ok=true / _ok=false directories as they stream through
+    parsed.write.mode("overwrite").partitionBy("_ok").parquet(out_path)
+    back = spark.read.parquet(out_path)
+    # partition values read back type-inferred (string unless told
+    # otherwise) — compare scheme-independently via a string cast
+    ok = F.col("_ok").cast("string") == F.lit("true")
+    good = back.where(ok).drop("_corrupt", "_ok")
+    bad = (back.where(~ok)
+               .select(F.col("_corrupt").alias("raw_line")))
+    return good, bad
+
+
+_TAR_RESERVE = 11264  # 1024 end-of-archive blocks + <=10240 RECORDSIZE pad
+
+
 def write_tar_shards(df, id_col: str = "doc_id",
                      text_col: str = "text",
-                     n_shards: int = 8):
+                     n_shards: int = 8,
+                     target_bytes: int | None = None):
     """WebDataset-style corpus sharding as a PURE transformation:
-    pack documents into ``n_shards`` tar archives (shard =
-    id % n_shards), returned as (shard_id, n_members, tar)
-    binary rows — the standard sharded-corpus interop layout of
-    multimodal/LLM training loaders (one sequential tar per worker,
-    no per-sample object-store round trips).
+    pack documents into tar archives, returned as (shard_id,
+    n_members, tar) binary rows — the standard sharded-corpus
+    interop layout of multimodal/LLM training loaders (one
+    sequential tar per worker, no per-sample object-store round
+    trips).
 
-    Determinism: members are sorted by id within a shard and carry
-    zeroed metadata (mtime/uid/gid/mode fixed), so the tar BYTES are
-    a pure function of the data — roundtrip-testable. Each shard
-    builds inside one `applyInPandas` group (shard contents must
-    be memory-bounded: size n_shards so a shard fits an executor —
-    the same rule real WebDataset pipelines follow at ~1 GB/shard).
-    Persist the blobs however the deployment likes (parquet of blobs,
-    or stream each to `<name>.tar` via the Hadoop FS API)."""
+    Sharding policy:
+
+    * default — ``shard = id % n_shards``. Caller must size
+      n_shards so a shard fits an executor; with skewed document
+      lengths that sizing is a footgun.
+    * ``target_bytes`` — cumulative-size bucketing (the rule real
+      WebDataset pipelines follow, ~1 GB/shard): each member's exact
+      tar footprint (512-byte header + payload padded to 512) is
+      prefix-summed in id order via the range-partitioned
+      `_prefix_sum` (no single-task window at any corpus size) and
+      bucketed by start offset, with headroom reserved for the
+      largest member + tar trailer so EVERY shard's final tar is
+      <= target_bytes. Requires unique ids (they are the prefix-sum
+      sort key) and raises if the largest single document cannot fit
+      the target. Shard ids are offset buckets: deterministic, but a
+      document larger than one bucket width may leave gaps in the id
+      sequence.
+
+    Determinism (both policies): members are sorted by id within a
+    shard and carry zeroed metadata (mtime/uid/gid/mode fixed), so
+    the tar BYTES are a pure function of the data — identical across
+    input partitionings, roundtrip-testable. Each shard builds inside
+    one `applyInPandas` group (memory-bounded by the sizing rule
+    above). Persist the blobs however the deployment likes (parquet
+    of blobs, or stream each to `<name>.tar` via the Hadoop FS
+    API)."""
     import io as _io
     import tarfile
 
@@ -1025,9 +1115,39 @@ def write_tar_shards(df, id_col: str = "doc_id",
                              "tar": [buf.getvalue()]})
 
     base = df.select(F.col(id_col).cast("bigint").alias("_id"),
-                     F.col(text_col).alias("_txt"),
-                     F.pmod(F.col(id_col).cast("bigint"),
-                            F.lit(n_shards)).alias("_s"))
+                     F.col(text_col).alias("_txt"))
+    if target_bytes is None:
+        base = base.withColumn(
+            "_s", F.pmod(F.col("_id"), F.lit(n_shards)))
+    else:
+        from ..functions.profiling import _prefix_sum
+
+        # exact per-member tar footprint: 512-byte header + payload
+        # padded up to a 512 multiple (0-byte payloads are header-only)
+        # — pure integer arithmetic (div), no float rounding at any size
+        base = (base.withColumn(
+                    "_oct", F.coalesce(F.octet_length(F.col("_txt")),
+                                       F.lit(0)).cast("bigint"))
+                    .withColumn(
+                    "_fp", F.expr("cast(512 + ((_oct + 511) div 512)"
+                                  " * 512 as bigint)"))
+                    .drop("_oct"))
+        max_fp = int(base.agg(F.max("_fp")).collect()[0][0] or 0)
+        width = int(target_bytes) - _TAR_RESERVE - max_fp
+        if width <= 0:
+            raise ValueError(
+                f"target_bytes={target_bytes} cannot hold the largest "
+                f"document (footprint {max_fp} B) plus the tar "
+                f"trailer reserve ({_TAR_RESERVE} B); raise the "
+                "target or pre-split oversized documents")
+        # bucket by START offset over width (target - reserve - max):
+        # a bucket's members span < width + max_fp of content, so the
+        # finished tar (content + <=11264 trailer/pad) is <= target.
+        base, _ = _prefix_sum(base, [F.col("_id")], "_fp", "_off")
+        base = (base.withColumn(
+                    "_s", F.floor(F.col("_off") / F.lit(width))
+                           .cast("bigint"))
+                    .drop("_fp", "_off"))
     return base.groupBy("_s").applyInPandas(build, out_schema)
 
 

@@ -1037,3 +1037,126 @@ def test_tar_shards_roundtrip_lossless_and_deterministic(spark):
     again = {r["shard_id"]: bytes(r["tar"])
              for r in write_tar_shards(df, n_shards=2).collect()}
     assert {k: bytes(v["tar"]) for k, v in got.items()} == again
+
+
+def test_tar_shards_bytes_targeted(spark):
+    """target_bytes sharding (r10 verdict item 5): every finished
+    shard tar is <= target, content is lossless, and the bytes are
+    identical across input partitionings (prefix-sum bucketing is
+    deterministic)."""
+    import pytest
+
+    from dask_grblas_spark.sources.io import (read_tar_members,
+                                              write_tar_shards)
+    rows = [(i, "x" * ((i * 137) % 900)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = 16384
+    shards = write_tar_shards(df, target_bytes=target).collect()
+    assert len(shards) > 1                      # actually split
+    for r in shards:
+        assert len(bytes(r["tar"])) <= target   # the hard guarantee
+    sdf = spark.createDataFrame(shards)
+    members = {r["name"]: bytes(r["payload"]).decode("utf-8")
+               for r in read_tar_members(sdf).collect()}
+    assert members == {f"{i}.txt": t for i, t in rows}  # lossless
+    # members are contiguous id runs: shard of id is non-decreasing
+    order = sorted((int(r["name"].split(".")[0]), r["shard_id"])
+                   for r in read_tar_members(sdf).collect())
+    sids = [s for _, s in order]
+    assert sids == sorted(sids)
+    # determinism across partitionings
+    for nparts in (1, 7):
+        again = {r["shard_id"]: bytes(r["tar"]) for r in
+                 write_tar_shards(df.repartition(nparts),
+                                  target_bytes=target).collect()}
+        assert again == {r["shard_id"]: bytes(r["tar"])
+                         for r in shards}
+    # a target the largest document cannot fit fails loudly
+    with pytest.raises(ValueError, match="largest"):
+        write_tar_shards(df, target_bytes=12000)
+
+
+def test_write_version_concurrent_writer_tripwire(spark, tmp_path):
+    """write_version only reclaims an uncommitted v=<n> dir when it
+    is OLDER than orphan_ttl_sec (r10 advice, medium): a fresh dir is
+    presumed to be another live writer's in-flight data and raises
+    instead of silently deleting it; orphan_ttl_sec=0 restores the
+    crash-orphan reclaim path."""
+    import os
+
+    import pytest
+
+    from dask_grblas_spark.sources.io import (read_version,
+                                              write_version)
+
+    p = str(tmp_path / "vtab")
+    df = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    assert write_version(df, p) == 1
+    # simulate a writer that crashed between data write and manifest
+    # swap: v=2 exists on disk but is absent from the manifest
+    os.makedirs(os.path.join(p, "v=2"))
+    with open(os.path.join(p, "v=2", "part-0.parquet"), "wb") as fh:
+        fh.write(b"in-flight")
+    with pytest.raises(RuntimeError, match="in flight"):
+        write_version(df, p)                    # fresh -> loud
+    assert os.path.exists(os.path.join(p, "v=2", "part-0.parquet"))
+    assert write_version(df, p, orphan_ttl_sec=0) == 2  # stale -> reclaim
+    assert [r["v"] for r in read_version(spark, p, 2).collect()] \
+        == [10.0]
+
+
+def test_write_version_commit_fn_seam(spark, tmp_path):
+    """The pluggable commit seam (r10 verdict item 8): commit_fn
+    receives (spark, manifest_path, versions) and REPLACES the
+    default manifest writer — a deployment can wire a conditional-put
+    committer without forking the module."""
+    from dask_grblas_spark.sources.io import (_write_manifest,
+                                              write_version)
+
+    calls = []
+
+    def committer(spark_, man_path, versions):
+        calls.append((man_path, list(versions)))
+        _write_manifest(spark_, man_path, versions)
+
+    p = str(tmp_path / "vtab")
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    assert write_version(df, p, commit_fn=committer) == 1
+    assert write_version(df, p, commit_fn=committer) == 2
+    assert [v for _, v in calls] == [[1], [1, 2]]
+    assert all(m.endswith("_versions.json") for m, _ in calls)
+
+
+def test_read_csv_quarantine_to_one_pass_split(spark, tmp_path):
+    """Split-on-write quarantine (r10 verdict item 4): ONE parse pass
+    lands both streams under out_path partitioned by _ok; the read
+    back matches the interactive variant's semantics exactly."""
+    import glob
+
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as fh:
+        fh.write("1,1.50,ok\n")
+        fh.write("garbage-only-one-field\n")
+        fh.write("2,2.25,ok\n")
+        fh.write("3,not-a-number,ok\n")
+    out = str(tmp_path / "split")
+    from dask_grblas_spark.sources.io import read_csv_quarantine_to
+    good, bad = read_csv_quarantine_to(
+        spark, p, "k bigint, p decimal(18,2), s string", out,
+        header=False)
+    assert {r["k"]: float(r["p"]) for r in good.collect()} \
+        == {1: 1.5, 2: 2.25}
+    assert sorted(r["raw_line"] for r in bad.collect()) \
+        == ["3,not-a-number,ok", "garbage-only-one-field"]
+    assert "_corrupt" not in good.columns and "_ok" not in good.columns
+    # both streams physically live under their own partition dir —
+    # partition pruning serves each without touching the other
+    assert glob.glob(f"{out}/_ok=true/*.parquet")
+    assert glob.glob(f"{out}/_ok=false/*.parquet")
+    # the ONE parse pass happened at write time: the returned streams
+    # read PARQUET (the split output), never the CSV again — so the
+    # raw text was scanned exactly once, by the write job
+    for df in (good, bad):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan csv" not in plan
+        assert "FileScan parquet" in plan

@@ -122,6 +122,28 @@ class TestTimeseriesProperties:
                      if pk == k and sec - 10 <= int(pts.timestamp()) <= sec]
             assert got[eid] == (len(peers), round(sum(peers), 2)), (k, eid)
 
+    @settings(**_PROP)
+    @given(rows=_events)
+    def test_rolling_minmax_matches_bruteforce(self, spark, rows):
+        """The two-bucket van Herk/Gil-Werman rolling min/max against
+        brute force: the 0..50s draw straddles the 11s bucket width
+        repeatedly, so same-bucket, cross-bucket, boundary (exactly
+        sec-10 / sec) and tied-second cases all occur."""
+        evs = [(k, _ts(s), float((s * 13 + i) % 23), 1000 + i)
+               for i, (k, s, _) in enumerate(rows)]
+        if not evs:
+            return
+        df = spark.createDataFrame(
+            evs, "user_id long, ts timestamp, value double, event_id long")
+        out = timeseries.rolling_agg(df, window_seconds=10,
+                                     id_col="event_id", agg="minmax")
+        got = {r.event_id: (r.roll_min, r.roll_max) for r in out.collect()}
+        for (k, ts, v, eid) in evs:
+            sec = int(ts.timestamp())
+            peers = [pv for (pk, pts, pv, _) in evs
+                     if pk == k and sec - 10 <= int(pts.timestamp()) <= sec]
+            assert got[eid] == (min(peers), max(peers)), (k, eid)
+
 
 # ---------------------------------------------------------------------------
 # ewma / gapfill (q98/q99)

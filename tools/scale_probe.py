@@ -1655,6 +1655,15 @@ def main() -> int:
           lambda: rolling_agg(ra_df, window_seconds=10_000)
           .select("event_id", "roll_n", "roll_sum"))
 
+    # rolling MIN/MAX on the same adversarial shape (r11): extremes
+    # cannot be prefix-differenced, so this is the two-bucket van
+    # Herk/Gil-Werman path — must stay O(n log n) where the naive
+    # bounded frame extrapolates to ~2000 s on this shape
+    probe("rolling_minmax_10m_one_key_10k_window", NRA,
+          lambda: rolling_agg(ra_df, window_seconds=10_000,
+                              agg="minmax")
+          .select("event_id", "roll_min", "roll_max"))
+
     # modularity + rich-club on a 20M-edge hashed graph over 2M nodes
     # with 50 communities (canonical edge set + two label joins; the
     # integer fold never materializes anything node-quadratic)

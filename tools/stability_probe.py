@@ -54,7 +54,22 @@ DEFAULT = ["q174_gini", "q203_cube", "q216_tpch_pricing",
            # prefix-MIN (struct-min determinism under partitioning)
            "q287_kendall_binned", "q288_pmi_bigrams",
            "q290_group_auc", "q294_ece_calibration",
-           "q297_first_touch_window"]
+           "q297_first_touch_window",
+           # r11 (r10 verdict item 7): the remaining r10 gates that
+           # were only ad-hoc probed — decimal TPC-H money sorts,
+           # grouped-count folds, readability ratios, the one-pass
+           # quarantine split, tar-shard determinism, and the
+           # capstone funnel's composed stages
+           "q283_tpch_ship_priority", "q285_tpch_returned_items",
+           "q286_tpch_waiting_supplier", "q292_k_anonymity",
+           "q293_l_diversity", "q295_readability",
+           "q298_csv_quarantine", "q299_tar_shards",
+           "q300_pipeline_funnel",
+           # r11 new gates: two-bucket rolling extremes under
+           # partition variance, split-on-write quarantine, and the
+           # prefix-sum bytes-targeted shard bucketing
+           "q301_rolling_minmax", "q302_csv_quarantine_split",
+           "q303_tar_shards_bytes"]
 
 PARTITION_GRID = (5, 32, 77, 200)
 
