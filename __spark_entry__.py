@@ -4719,6 +4719,35 @@ def q303_tar_shards_bytes(spark, sf_dir):
                  F.max("name").alias("max_name")))
 
 
+def q304_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa multi-annotator agreement (profiling.
+    fleiss_kappa): each order is an 'item' whose lineitems are
+    annotations of the returnflag category — chance-corrected
+    agreement across varying panel sizes. Per-row rational terms
+    quantized ROUND(.,12) -> DECIMAL(38,12) (partition-stable);
+    margins in DECIMAL(38,0); the oracle replays the identical
+    quantized formula."""
+    from dask_grblas_spark.functions import profiling
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profiling.fleiss_kappa(li, "l_orderkey", "l_returnflag")
+
+
+def q305_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha (nominal) over the event stream
+    (profiling.krippendorff_alpha): each user is an 'item' whose
+    events annotate an event_type — the agreement metric that
+    tolerates wildly varying raters per item (panel sizes here span
+    1..hundreds; singletons are excluded as unpairable). D_o terms
+    quantized ROUND(.,9) -> DECIMAL(38,9); D_e from exact integer
+    margins; the oracle replays both."""
+    from dask_grblas_spark.functions import profiling
+    from dask_grblas_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir)
+    return profiling.krippendorff_alpha(ev, "user_id", "event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -4891,6 +4920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q301_rolling_minmax": q301_rolling_minmax,
         "q302_csv_quarantine_split": q302_csv_quarantine_split,
         "q303_tar_shards_bytes": q303_tar_shards_bytes,
+        "q304_fleiss_kappa": q304_fleiss_kappa,
+        "q305_krippendorff": q305_krippendorff,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -12360,5 +12391,69 @@ def oracle_sql() -> dict[str, str]:
                MIN(CAST(doc_id AS VARCHAR) || '.txt') AS min_name,
                MAX(CAST(doc_id AS VARCHAR) || '.txt') AS max_name
         FROM o GROUP BY 1"""
+
+    # q304: Fleiss' kappa — identical per-row ROUND(.,12) decimal
+    # quantization, margins as exact decimal squares, one final
+    # double assembly
+    sql["q304_fleiss_kappa"] = """
+        WITH ic AS (
+          SELECT CAST(l_orderkey AS VARCHAR) AS i, l_returnflag AS c,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lineitem GROUP BY 1, 2
+        ), p AS (
+          SELECT i, c, cnt, SUM(cnt) OVER (PARTITION BY i) AS nu
+          FROM ic QUALIFY nu >= 2
+        ), agg AS (
+          SELECT COUNT(DISTINCT i) AS items,
+                 CAST(SUM(cnt) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(CAST(cnt * (cnt - 1) AS DOUBLE)
+                                / (nu * (nu - 1)), 12)
+                          AS DECIMAL(38,12))) AS posum
+          FROM p
+        ), m AS (
+          SELECT SUM(CAST(nc AS DECIMAL(38,0)) * nc) AS sq
+          FROM (SELECT c, SUM(cnt) AS nc FROM p GROUP BY 1)
+        )
+        SELECT CAST(items AS BIGINT) AS n_items, n AS n_annotations,
+               ROUND(CAST(posum AS DOUBLE) / items, 6) AS po,
+               ROUND(CAST(sq AS DOUBLE) / CAST(n * n AS DOUBLE), 6)
+                 AS pe,
+               ROUND((CAST(posum AS DOUBLE) / items
+                      - CAST(sq AS DOUBLE) / CAST(n * n AS DOUBLE))
+                     / (1 - CAST(sq AS DOUBLE)
+                            / CAST(n * n AS DOUBLE)), 6) AS kappa
+        FROM agg, m"""
+
+    # q305: Krippendorff nominal alpha — ROUND(.,9) decimal D_o
+    # terms, exact-integer D_e margins
+    sql["q305_krippendorff"] = """
+        WITH ic AS (
+          SELECT CAST(user_id AS VARCHAR) AS i, event_type AS c,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events GROUP BY 1, 2
+        ), p AS (
+          SELECT i, c, cnt, SUM(cnt) OVER (PARTITION BY i) AS nu
+          FROM ic QUALIFY nu >= 2
+        ), agg AS (
+          SELECT COUNT(DISTINCT i) AS items,
+                 CAST(SUM(cnt) AS BIGINT) AS n,
+                 SUM(CAST(ROUND(CAST(cnt * (nu - cnt) AS DOUBLE)
+                                / (nu - 1), 9)
+                          AS DECIMAL(38,9))) AS dosum
+          FROM p
+        ), m AS (
+          SELECT SUM(CAST(nc AS DECIMAL(38,0)) * nc) AS sq
+          FROM (SELECT c, SUM(cnt) AS nc FROM p GROUP BY 1)
+        )
+        SELECT CAST(items AS BIGINT) AS n_items, n AS n_annotations,
+               ROUND(CAST(dosum AS DOUBLE) / n, 6) AS d_o,
+               ROUND(CAST(CAST(n * n AS DECIMAL(38,0)) - sq AS DOUBLE)
+                     / CAST(n * (n - 1) AS DOUBLE), 6) AS d_e,
+               ROUND(1 - (CAST(dosum AS DOUBLE) / n)
+                         / (CAST(CAST(n * n AS DECIMAL(38,0)) - sq
+                                 AS DOUBLE)
+                            / CAST(n * (n - 1) AS DOUBLE)), 6)
+                 AS alpha
+        FROM agg, m"""
 
     return sql

@@ -1825,6 +1825,123 @@ def cohens_kappa(df: DataFrame, a_col, b_col) -> DataFrame:
         "n long, po double, pe double, kappa double")
 
 
+def _pairable_ic(df: DataFrame, item_col, value_col) -> DataFrame:
+    """Shared machinery of the multi-annotator agreement metrics
+    (`fleiss_kappa`, `krippendorff_alpha`): the (item, value) count
+    relation restricted to PAIRABLE items (>= 2 annotations — a
+    single annotation agrees with nothing). One grouped count, then
+    the per-item total via a window partitioned by ITEM over the
+    grouped relation — partition size is bounded by the label
+    vocabulary within one item (never the annotation count), so no
+    hot-item task. Columns: (_i, _cat, _c, _nu)."""
+    from pyspark.sql.window import Window
+
+    i = F.col(item_col) if isinstance(item_col, str) else item_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    ic = (df.select(i.cast("string").alias("_i"),
+                    v.cast("string").alias("_cat"))
+            .where(F.col("_i").isNotNull() & F.col("_cat").isNotNull())
+            .groupBy("_i", "_cat")
+            .agg(F.count("*").cast("bigint").alias("_c")))
+    w = Window.partitionBy("_i")
+    return (ic.withColumn("_nu", F.sum("_c").over(w))
+              .where(F.col("_nu") >= 2))
+
+
+def fleiss_kappa(df: DataFrame, item_col, value_col) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among MANY
+    annotators per item (the multi-rater sibling of `cohens_kappa`;
+    the labeling-QA scalar when every document gets a varying crowd
+    of raters, Fleiss 1971 generalized to unequal item sizes).
+    Input: one row per annotation (item, value).
+
+    P_u = sum_c n_uc(n_uc-1) / (n_u(n_u-1)) per pairable item;
+    Pbar_o = mean over items; Pbar_e = sum_c (n_c/n)^2 from the
+    category margins; kappa = (Po - Pe) / (1 - Pe).
+
+    Plan: the `_pairable_ic` relation, then per-ROW rational terms
+    n_uc(n_uc-1)/(n_u(n_u-1)) quantized ROUND(.,12) -> DECIMAL(38,12)
+    and summed (partition-stable; sums to Pbar_o*N exactly under the
+    quantization); margins fold distributed with DECIMAL(38,0)
+    squares (cast BEFORE the product — n_c scales with n). Bounded
+    driver collect: 2 scalar rows. Output: one row (n_items,
+    n_annotations, po, pe, kappa) rounded 6; kappa NULL when chance
+    agreement is 1 (single category) or nothing is pairable."""
+    ic = _pairable_ic(df, item_col, value_col)
+    term = (F.col("_c") * (F.col("_c") - 1)
+            / (F.col("_nu") * (F.col("_nu") - 1))).cast("double")
+    t = ic.agg(
+        F.countDistinct("_i").cast("bigint").alias("_items"),
+        F.sum("_c").cast("bigint").alias("_n"),
+        F.sum(F.round(term, 12).cast("decimal(38,12)")).alias("_posum"))
+    m = (ic.groupBy("_cat").agg(F.sum("_c").alias("_nc"))
+           .agg(F.sum(F.col("_nc").cast("decimal(38,0)")
+                      * F.col("_nc")).alias("_sq")))
+    r = t.crossJoin(F.broadcast(m)).collect()[0]
+    spark = df.sparkSession
+    items, n = int(r["_items"] or 0), int(r["_n"] or 0)
+    out_schema = ("n_items long, n_annotations long, po double, "
+                  "pe double, kappa double")
+    if items == 0:
+        return spark.createDataFrame(
+            [(0, 0, None, None, None)], out_schema)
+    po = float(r["_posum"]) / items
+    pe = int(r["_sq"]) / (n * n)
+    kappa = None if pe == 1.0 else (po - pe) / (1.0 - pe)
+    rnd = (lambda x: None if x is None else
+           (math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0
+            else -(math.floor(-x * 1e6 + 0.5) / 1e6)))
+    return spark.createDataFrame(
+        [(items, n, rnd(po), rnd(pe), rnd(kappa))], out_schema)
+
+
+def krippendorff_alpha(df: DataFrame, item_col, value_col) -> DataFrame:
+    """Krippendorff's alpha (nominal) — agreement that tolerates
+    MISSING data (any number of raters per item, any overlap): the
+    reliability scalar for crowd-labeled corpora where Fleiss'
+    equal-panel assumption is fiction. Input: one row per annotation
+    (item, value).
+
+    D_o = (1/n) sum_u sum_c n_uc(n_u - n_uc)/(n_u - 1) (within-item
+    disagreeing pairs, coincidence-normalized); D_e =
+    sum_c n_c(n - n_c) / (n(n-1)) (margin expectation);
+    alpha = 1 - D_o/D_e.
+
+    Plan: same `_pairable_ic` relation; per-row D_o terms quantized
+    ROUND(.,9) -> DECIMAL(38,9) (magnitude scales with n_u, so 9
+    fractional digits keep 38 total safe past 1e20 annotations);
+    margins fold with DECIMAL(38,0) products. Output: one row
+    (n_items, n_annotations, d_o, d_e, alpha) rounded 6; alpha NULL
+    when expected disagreement is 0 (single category)."""
+    ic = _pairable_ic(df, item_col, value_col)
+    term = (F.col("_c") * (F.col("_nu") - F.col("_c"))
+            / (F.col("_nu") - 1)).cast("double")
+    t = ic.agg(
+        F.countDistinct("_i").cast("bigint").alias("_items"),
+        F.sum("_c").cast("bigint").alias("_n"),
+        F.sum(F.round(term, 9).cast("decimal(38,9)")).alias("_dosum"))
+    m = (ic.groupBy("_cat").agg(F.sum("_c").alias("_nc"))
+           .agg(F.sum(F.col("_nc").cast("decimal(38,0)")
+                      * F.col("_nc")).alias("_sq")))
+    r = t.crossJoin(F.broadcast(m)).collect()[0]
+    spark = df.sparkSession
+    items, n = int(r["_items"] or 0), int(r["_n"] or 0)
+    out_schema = ("n_items long, n_annotations long, d_o double, "
+                  "d_e double, alpha double")
+    if items == 0:
+        return spark.createDataFrame(
+            [(0, 0, None, None, None)], out_schema)
+    d_o = float(r["_dosum"]) / n
+    # sum_c n_c(n - n_c) = n^2 - sum_c n_c^2, exact python ints
+    d_e = (n * n - int(r["_sq"])) / (n * (n - 1))
+    alpha = None if d_e == 0 else 1.0 - d_o / d_e
+    rnd = (lambda x: None if x is None else
+           (math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0
+            else -(math.floor(-x * 1e6 + 0.5) / 1e6)))
+    return spark.createDataFrame(
+        [(items, n, rnd(d_o), rnd(d_e), rnd(alpha))], out_schema)
+
+
 def theil_index(df: DataFrame, val_col: str) -> DataFrame:
     """Theil T inequality index of a positive measure:
     T = (1/n) * sum((x/mu) * ln(x/mu)) — 0 for perfect equality,

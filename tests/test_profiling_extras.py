@@ -307,3 +307,98 @@ def test_k_anonymity_and_l_diversity(spark):
     # group a has {x,y} (ok), group b has {x} (violates)
     assert d["n_groups"] == 2 and d["n_violating_groups"] == 1
     assert d["min_distinct"] == 1 and d["diverse_fraction"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# fleiss_kappa / krippendorff_alpha (r11): multi-annotator agreement
+# ---------------------------------------------------------------------------
+
+def _ann(spark, rows):
+    return spark.createDataFrame(rows, "item string, val string")
+
+
+def test_fleiss_kappa_hand_computed(spark):
+    # items: A{x,x} B{x,y} C{y,y}; P_u = 1, 0, 1 -> Po = 2/3;
+    # margins x=3, y=3, n=6 -> Pe = 0.5; kappa = (2/3-.5)/.5 = 1/3
+    df = _ann(spark, [("A", "x"), ("A", "x"), ("B", "x"),
+                      ("B", "y"), ("C", "y"), ("C", "y")])
+    r = profiling.fleiss_kappa(df, "item", "val").collect()[0]
+    assert (r["n_items"], r["n_annotations"]) == (3, 6)
+    assert r["po"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["pe"] == pytest.approx(0.5)
+    assert r["kappa"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_krippendorff_alpha_hand_computed(spark):
+    # same data: D_o = 2/6, D_e = 18/30 = .6 -> alpha = 1-5/9 = 4/9
+    df = _ann(spark, [("A", "x"), ("A", "x"), ("B", "x"),
+                      ("B", "y"), ("C", "y"), ("C", "y")])
+    r = profiling.krippendorff_alpha(df, "item", "val").collect()[0]
+    assert r["d_o"] == pytest.approx(1 / 3, abs=1e-6)
+    assert r["d_e"] == pytest.approx(0.6)
+    assert r["alpha"] == pytest.approx(4 / 9, abs=1e-6)
+
+
+def test_agreement_varying_raters_and_singletons(spark):
+    # A{x,x,x} (3 raters), B{x,y} (2), C{y} (singleton -> EXCLUDED)
+    # alpha: D_o = 2/5, D_e = (4*1+1*4)/20 = .4 -> alpha = 0
+    # fleiss: Po = .5, Pe = (16+1)/25 = .68 -> kappa = -.5625
+    df = _ann(spark, [("A", "x"), ("A", "x"), ("A", "x"),
+                      ("B", "x"), ("B", "y"), ("C", "y")])
+    ka = profiling.krippendorff_alpha(df, "item", "val").collect()[0]
+    assert (ka["n_items"], ka["n_annotations"]) == (2, 5)
+    assert ka["alpha"] == pytest.approx(0.0, abs=1e-6)
+    fk = profiling.fleiss_kappa(df, "item", "val").collect()[0]
+    assert fk["po"] == pytest.approx(0.5)
+    assert fk["pe"] == pytest.approx(0.68)
+    assert fk["kappa"] == pytest.approx(-0.5625, abs=1e-6)
+
+
+def test_agreement_perfect_and_degenerate(spark):
+    perf = _ann(spark, [("A", "x"), ("A", "x"), ("B", "y"), ("B", "y")])
+    assert profiling.fleiss_kappa(perf, "item", "val") \
+        .collect()[0]["kappa"] == 1.0
+    assert profiling.krippendorff_alpha(perf, "item", "val") \
+        .collect()[0]["alpha"] == 1.0
+    # single category everywhere: chance agreement 1 -> NULLs
+    one = _ann(spark, [("A", "x"), ("A", "x"), ("B", "x"), ("B", "x")])
+    assert profiling.fleiss_kappa(one, "item", "val") \
+        .collect()[0]["kappa"] is None
+    assert profiling.krippendorff_alpha(one, "item", "val") \
+        .collect()[0]["alpha"] is None
+    # nothing pairable (all singleton items)
+    lone = _ann(spark, [("A", "x"), ("B", "y")])
+    r = profiling.fleiss_kappa(lone, "item", "val").collect()[0]
+    assert r["n_items"] == 0 and r["kappa"] is None
+
+
+def test_agreement_brute_force_reference(spark):
+    """Randomized fixed-seed case vs a pure-Python reference of both
+    formulas (no quantization in the reference; agreement to 1e-6)."""
+    import random
+    rng = random.Random(711)
+    rows = [(f"i{rng.randrange(40)}", rng.choice("abcd"))
+            for _ in range(600)]
+    from collections import Counter, defaultdict
+    per = defaultdict(Counter)
+    for it, v in rows:
+        per[it][v] += 1
+    per = {it: c for it, c in per.items() if sum(c.values()) >= 2}
+    n = sum(sum(c.values()) for c in per.values())
+    po = sum(sum(x * (x - 1) for x in c.values())
+             / (sum(c.values()) * (sum(c.values()) - 1))
+             for c in per.values()) / len(per)
+    marg = Counter()
+    for c in per.values():
+        marg.update(c)
+    pe = sum(v * v for v in marg.values()) / (n * n)
+    kappa_ref = (po - pe) / (1 - pe)
+    do = sum(sum(x * (sum(c.values()) - x) for x in c.values())
+             / (sum(c.values()) - 1) for c in per.values()) / n
+    de = sum(v * (n - v) for v in marg.values()) / (n * (n - 1))
+    alpha_ref = 1 - do / de
+    df = _ann(spark, rows)
+    fk = profiling.fleiss_kappa(df, "item", "val").collect()[0]
+    ka = profiling.krippendorff_alpha(df, "item", "val").collect()[0]
+    assert fk["kappa"] == pytest.approx(kappa_ref, abs=1e-5)
+    assert ka["alpha"] == pytest.approx(alpha_ref, abs=1e-5)

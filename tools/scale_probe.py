@@ -1655,6 +1655,25 @@ def main() -> int:
           lambda: rolling_agg(ra_df, window_seconds=10_000)
           .select("event_id", "roll_n", "roll_sum"))
 
+    # auc_by_group with ONE hot group holding ~9M DISTINCT double
+    # scores (r10 verdict item 2): the old plan windowed
+    # partitionBy(group) over the distinct-score relation — one giant
+    # window task; the grouped _prefix_sum rewrite (global range
+    # prefix minus per-group base) must spread the hot group across
+    # range partitions
+    from dask_grblas_spark.functions.profiling import auc_by_group
+    NAUC = 10_000_000 if not QUICK else 500_000
+    auc_df = spark.range(NAUC).select(
+        F.when(F.pmod(F.col("id"), F.lit(10)) < 9, F.lit("hot"))
+         .otherwise(F.concat(F.lit("g"),
+                             F.pmod(F.col("id"), F.lit(7))
+                              .cast("string"))).alias("seg"),
+        (F.col("id") * 1.0 + F.pmod(F.xxhash64("id"), F.lit(997))
+         / 1000.0).alias("score"),           # ~all-distinct doubles
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(2)).alias("label"))
+    probe("auc_by_group_10m_one_hot_group", NAUC,
+          lambda: auc_by_group(auc_df, "score", "label", "seg"))
+
     # rolling MIN/MAX on the same adversarial shape (r11): extremes
     # cannot be prefix-differenced, so this is the two-bucket van
     # Herk/Gil-Werman path — must stay O(n log n) where the naive

@@ -69,7 +69,9 @@ DEFAULT = ["q174_gini", "q203_cube", "q216_tpch_pricing",
            # partition variance, split-on-write quarantine, and the
            # prefix-sum bytes-targeted shard bucketing
            "q301_rolling_minmax", "q302_csv_quarantine_split",
-           "q303_tar_shards_bytes"]
+           "q303_tar_shards_bytes",
+           # r11 session 2: multi-annotator agreement decimal folds
+           "q304_fleiss_kappa", "q305_krippendorff"]
 
 PARTITION_GRID = (5, 32, 77, 200)
 
