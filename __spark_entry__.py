@@ -4748,6 +4748,52 @@ def q305_krippendorff(spark, sf_dir):
     return profiling.krippendorff_alpha(ev, "user_id", "event_type")
 
 
+def q306_edit_distance_join(spark, sf_dir):
+    """Typo-tolerant near-dup join (dedup.edit_distance_pairs):
+    all part-name pairs within Levenshtein distance 2 ("red widget"
+    vs "red wedget"-class typos; ~2.7% of the n^2 pairs qualify at
+    sf0.01, so the <=D filter genuinely discriminates), found via
+    PassJoin segment blocking (D+1 even segments, verbatim-substring
+    probe with +-D shift window — complete by pigeonhole) and ONE JVM
+    levenshtein per distinct candidate. Gate runs uncapped
+    (max_bucket_size=None) so the blocked plan must reproduce the
+    oracle's brute-force O(n^2) pair set EXACTLY — a strong
+    differential: two independent algorithms, same answer."""
+    from dask_grblas_spark.functions.dedup import edit_distance_pairs
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    base = p.select(F.col("p_partkey").cast("bigint").alias("pid"),
+                    F.col("p_name").alias("name"))
+    return edit_distance_pairs(base, id_col="pid", text_col="name",
+                               max_dist=2, max_bucket_size=None)
+
+
+def q307_decayed_trending(spark, sf_dir):
+    """Exponentially time-decayed trending scores per event type
+    (timeseries.decayed_counts, half-life 1 day): recency-weighted
+    activity with T pinned to the stream's exact max timestamp (no
+    wall clock — reruns reproduce). Per-row decay terms ROUND(.,9)
+    -> DECIMAL(38,9) so the fold is partition-stable; the oracle
+    replays the identical quantized pow fold."""
+    from dask_grblas_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir)
+    return timeseries.decayed_counts(ev, "event_type", "ts", 86400)
+
+
+def q308_fd_check(spark, sf_dir):
+    """Functional-dependency violation profile (profiling.
+    fd_violations): does l_orderkey -> l_linestatus hold on lineitem?
+    (It should not — an order's lines can sit in mixed statuses; the
+    profile quantifies exactly how much.) One grouped exact
+    countDistinct + a constant fold; oracle replays the same
+    definition with the same NULL sentinel."""
+    from dask_grblas_spark.functions import profiling
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profiling.fd_violations(li, "l_orderkey", "l_linestatus")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -4922,6 +4968,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q303_tar_shards_bytes": q303_tar_shards_bytes,
         "q304_fleiss_kappa": q304_fleiss_kappa,
         "q305_krippendorff": q305_krippendorff,
+        "q306_edit_distance_join": q306_edit_distance_join,
+        "q307_decayed_trending": q307_decayed_trending,
+        "q308_fd_check": q308_fd_check,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -12455,5 +12504,50 @@ def oracle_sql() -> dict[str, str]:
                             / CAST(n * (n - 1) AS DOUBLE)), 6)
                  AS alpha
         FROM agg, m"""
+
+    # q306: brute-force O(n^2) Levenshtein replay — an INDEPENDENT
+    # algorithm from the Spark side's segment-blocked PassJoin
+    sql["q306_edit_distance_join"] = """
+        WITH s AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+                          p_name AS t FROM part)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        FROM s a JOIN s b ON a.id < b.id
+        WHERE levenshtein(a.t, b.t) <= 2"""
+
+    # q307: identical quantized decay fold — T = exact MAX second,
+    # per-row pow rounded 9 into DECIMAL(38,9), final round 6
+    sql["q307_decayed_trending"] = """
+        WITH b AS (
+          SELECT event_type AS key,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS s
+          FROM events WHERE ts IS NOT NULL
+        ), t AS (SELECT MAX(s) AS tt FROM b)
+        SELECT key, CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(CAST(SUM(CAST(ROUND(
+                         power(0.5, (tt - s) / 86400.0), 9)
+                       AS DECIMAL(38,9))) AS DOUBLE), 6) AS score,
+               CAST(MAX(s) AS BIGINT) AS last_seen_sec
+        FROM b, t GROUP BY key"""
+
+    # q308: FD violation profile — same grouped exact countDistinct
+    # with the same NULL sentinel, then the constant fold
+    sql["q308_fd_check"] = """
+        WITH per AS (
+          SELECT CAST(l_orderkey AS VARCHAR) AS g,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT COALESCE(
+                      CAST(l_linestatus AS VARCHAR),
+                      chr(0) || 'NULL')) AS BIGINT) AS k
+          FROM lineitem GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating_groups,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN k > 1 THEN n ELSE 0 END) AS BIGINT)
+                 AS n_violating_rows,
+               ROUND(CAST(SUM(CASE WHEN k > 1 THEN n ELSE 0 END)
+                          AS DOUBLE) / SUM(n), 6) AS violation_rate
+        FROM per"""
 
     return sql

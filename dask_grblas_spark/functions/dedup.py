@@ -1043,3 +1043,124 @@ def threshold_sweep(df: DataFrame, id_col: str = "doc_id",
              .cast("bigint").alias("n_pairs"))
         arms = row if arms is None else arms.unionByName(row)
     return arms
+
+
+def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        max_dist: int = 2,
+                        max_bucket_size: int | None = 1000
+                        ) -> DataFrame:
+    """Typo-tolerant near-dup join: all unordered pairs with
+    Levenshtein distance <= ``max_dist`` — the classic edit-distance
+    similarity join (PassJoin-style segment blocking; Li/Deng/Feng,
+    public literature), filling the gap the token-set family
+    (Jaccard/MinHash/SimHash/containment) cannot: character-level
+    typos, OCR noise, near-identical IDs/titles.
+
+    BLOCKING (complete by pigeonhole): split every string s into
+    D+1 even segments (D = max_dist). If ed(s, t) <= D with
+    len(s) <= len(t), at least one segment survives untouched by any
+    edit, so it appears VERBATIM in t, position-shifted by at most D
+    (the net indels before it). Index side: each string's D+1
+    segments keyed (len, seg_idx, seg). Probe side: every string
+    emits, for each candidate source length l in [len-D, len], each
+    segment index, each shift in [-D, D], the corresponding
+    substring — O((D+1)^2 (2D+1)) ~ 45 keys per string at D=2,
+    CONSTANT per row. Strings shorter than D+1 segments can't split:
+    they index under a (len, -1, '') sentinel and probes cover the
+    short lengths by length-band. Candidates then verify with ONE
+    JVM `levenshtein` per distinct pair — no Python in the loop.
+
+    ``max_bucket_size`` is the skew guard (same contract as the LSH
+    family): a hot key (a segment shared by that many strings, e.g.
+    a constant catalog prefix) keeps only its ``max_bucket_size``
+    smallest ids on BOTH the index and the probe side — per-key join
+    fan-out is capped at cap^2 instead of cap x bucket (an index-only
+    cap still explodes against a 100k-string probe bucket), at the
+    cost of recall INSIDE pathological buckets; pass None for exact
+    completeness (the oracle-gated mode). Output: (id_a, id_b, dist)
+    with id_a < id_b, dist <= max_dist (exact duplicates included at
+    dist 0)."""
+    D = int(max_dist)
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).cast("string").alias("t"))
+              .where(F.col("t").isNotNull())
+              .withColumn("l", F.length("t")))
+    seg_start = F.floor(F.col("j") * F.col("ls") / (D + 1)).cast("int")
+    seg_end = (F.floor((F.col("j") + 1) * F.col("ls") / (D + 1))
+               .cast("int"))
+
+    # ---- index side: (id, l, j, seg) ------------------------------
+    idx_long = (base.where(F.col("l") >= D + 1)
+                    .select("id", "t", F.col("l").alias("ls"),
+                            F.explode(F.sequence(F.lit(0), F.lit(D)))
+                             .alias("j"))
+                    .withColumn("_st", seg_start)
+                    .withColumn("_en", seg_end)
+                    .select("id", F.col("ls").alias("l"), "j",
+                            F.expr("substring(t, _st + 1, _en - _st)")
+                             .alias("seg")))
+    idx_short = (base.where(F.col("l") <= D)
+                     .select("id", "l", F.lit(-1).alias("j"),
+                             F.lit("").alias("seg")))
+    index = idx_long.unionByName(idx_short)
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("l", "j", "seg").orderBy("id")
+        index = (index.withColumn("_rn", F.row_number().over(wb))
+                      .where(F.col("_rn") <= max_bucket_size)
+                      .drop("_rn"))
+
+    # ---- probe side: (id_b, lt, l, j, seg) ------------------------
+    pr_long = (base.where(F.col("l") >= D + 1)
+                   .select("id", "t", F.col("l").alias("lt"),
+                           F.explode(F.sequence(
+                               F.greatest(F.col("l") - D,
+                                          F.lit(D + 1)),
+                               F.col("l"))).alias("ls"))
+                   .select("id", "t", "lt", "ls",
+                           F.explode(F.sequence(F.lit(0), F.lit(D)))
+                            .alias("j"))
+                   .withColumn("_st", seg_start)
+                   .withColumn("_en", seg_end)
+                   .select("id", "t", "lt", "ls", "j", "_st", "_en",
+                           F.explode(F.sequence(F.lit(-D), F.lit(D)))
+                            .alias("dx"))
+                   .withColumn("_p", F.col("_st") + F.col("dx"))
+                   .where((F.col("_p") >= 0)
+                          & (F.col("_p") + F.col("_en") - F.col("_st")
+                             <= F.col("lt")))
+                   .select(F.col("id").alias("id_b"), "lt",
+                           F.col("ls").alias("l"), "j",
+                           F.expr("substring(t, _p + 1, _en - _st)")
+                            .alias("seg")))
+    pr_short = (base.where(F.col("l") - D <= D)
+                    .select(F.col("id").alias("id_b"),
+                            F.col("l").alias("lt"),
+                            F.explode(F.sequence(
+                                F.greatest(F.col("l") - D, F.lit(0)),
+                                F.least(F.lit(D), F.col("l"))))
+                             .alias("l"))
+                    .withColumn("j", F.lit(-1))
+                    .withColumn("seg", F.lit("")))
+    probe = pr_long.unionByName(pr_short).distinct()
+    if max_bucket_size is not None:
+        wp = Window.partitionBy("l", "j", "seg").orderBy("id_b")
+        probe = (probe.withColumn("_rn", F.row_number().over(wp))
+                      .where(F.col("_rn") <= max_bucket_size)
+                      .drop("_rn"))
+
+    # ---- candidates -> ONE levenshtein per distinct pair ----------
+    cand = (index.join(probe, on=["l", "j", "seg"])
+                 .where((F.col("id") != F.col("id_b"))
+                        & ((F.col("l") < F.col("lt"))
+                           | (F.col("l") == F.col("lt"))))
+                 .select(F.least("id", "id_b").alias("id_a"),
+                         F.greatest("id", "id_b").alias("id_b"))
+                 .distinct())
+    ta = base.select(F.col("id").alias("id_a"), F.col("t").alias("_ta"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("t").alias("_tb"))
+    return (cand.join(ta, on="id_a").join(tb, on="id_b")
+                .withColumn("dist",
+                            F.levenshtein("_ta", "_tb").cast("int"))
+                .where(F.col("dist") <= D)
+                .select("id_a", "id_b", "dist"))

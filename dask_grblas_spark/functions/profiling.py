@@ -2441,3 +2441,38 @@ def ece_calibration(df: DataFrame, prob_col: str, label_col,
         [(n, n_bins, math.floor(ece * 1e6 + 0.5) / 1e6,
           float(row["mce"]))],
         "n long, n_bins long, ece double, mce double")
+
+
+def fd_violations(df: DataFrame, lhs_cols, rhs_col) -> DataFrame:
+    """Functional-dependency violation profile: does LHS -> RHS hold?
+    The schema-quality check every ingest should run (surrogate-key
+    sanity, denormalization drift, entity-resolution QA). A LHS group
+    'violates' when it maps to more than one distinct RHS value.
+
+    Plan: ONE grouped aggregate over the LHS (exact two-phase
+    countDistinct on RHS — map-side combined, no second shuffle),
+    then a constant fold: group counts, violating groups, rows inside
+    violating groups, and the violation RATE (violating rows / all
+    rows, round 6). NULL RHS counts as its own value (a key mapping
+    to both NULL and a value IS drift). Output: one row (n_groups,
+    n_violating_groups, n_rows, n_violating_rows, violation_rate)."""
+    lhs = [lhs_cols] if isinstance(lhs_cols, str) else list(lhs_cols)
+    rhs = F.col(rhs_col) if isinstance(rhs_col, str) else rhs_col
+    per = (df.select(*[F.col(c).cast("string").alias(f"_l{i}")
+                       for i, c in enumerate(lhs)],
+                     F.coalesce(rhs.cast("string"),
+                                F.lit("\x00NULL")).alias("_r"))
+             .groupBy(*[f"_l{i}" for i in range(len(lhs))])
+             .agg(F.count("*").cast("bigint").alias("_n"),
+                  F.countDistinct("_r").cast("bigint").alias("_k")))
+    bad = F.col("_k") > 1
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(bad.cast("bigint")).cast("bigint")
+         .alias("n_violating_groups"),
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.sum(F.when(bad, F.col("_n")).otherwise(F.lit(0)))
+         .cast("bigint").alias("n_violating_rows"),
+        F.round(F.sum(F.when(bad, F.col("_n")).otherwise(F.lit(0)))
+                 .cast("double") / F.sum("_n"), 6)
+         .alias("violation_rate"))

@@ -1446,3 +1446,37 @@ def downsample_lttb(df: DataFrame, key_col: str = "user_id",
     return sel.select(F.col("key"), F.col("_b").alias("bucket"),
                       F.col("_sel.t").alias("ts_us"),
                       F.round(F.col("_sel.v"), 6).alias("v"))
+
+
+def decayed_counts(df: DataFrame, key_col: str = "event_type",
+                   ts_col: str = "ts",
+                   half_life_seconds: int = 86400) -> DataFrame:
+    """Exponentially time-decayed activity score per key — the
+    trending/freshness fold (a click an hour ago outweighs one last
+    week): score(k) = sum over k's events of 0.5^((T - ts)/half_life)
+    with T = the stream's max timestamp (deterministic: an exact MAX,
+    broadcast back — no wall clock anywhere, so reruns reproduce).
+
+    Per-row decay terms are one fixed IEEE pow each (exponent in
+    [0, horizon/half_life], term in (0, 1]), quantized ROUND(.,9) ->
+    DECIMAL(38,9) so the per-key fold is partition-stable and exact;
+    one grouped aggregate, map-side combined. Output: (key, n_events,
+    score round 6, last_seen_ts) sorted consumers can TakeOrdered."""
+    us = F.col(ts_col).cast("timestamp").cast("long")
+    base = df.select(F.col(key_col).alias("key"), us.alias("_s")) \
+             .where(F.col("_s").isNotNull())
+    tref = base.agg(F.max("_s").alias("_t"))
+    term = F.pow(F.lit(0.5),
+                 (F.col("_t") - F.col("_s"))
+                 / F.lit(float(half_life_seconds)))
+    return (base.crossJoin(F.broadcast(tref))
+                .groupBy("key")
+                .agg(F.count("*").cast("bigint").alias("n_events"),
+                     F.sum(F.round(term, 9).cast("decimal(38,9)"))
+                      .alias("_sc"),
+                     F.max("_s").alias("_last"))
+                .select("key", "n_events",
+                        F.round(F.col("_sc").cast("double"), 6)
+                         .alias("score"),
+                        F.col("_last").cast("bigint")
+                         .alias("last_seen_sec")))

@@ -987,10 +987,13 @@ def test_snapshot_versions_isolated_and_crash_safe(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         read_version(spark, p, 3)
-    # the orphan must not BLOCK the next writer (r9 advice): writing
-    # again picks v=3, clears the crashed dir, and commits cleanly
+    # the orphan must not BLOCK the next writer (r9 advice) — but
+    # since r11 only a STALE orphan is reclaimed (a fresh dir is
+    # presumed another writer's in-flight data and raises; see
+    # test_write_version_concurrent_writer_tripwire), so reclaim
+    # explicitly: writing picks v=3, clears the dir, commits cleanly
     df3 = spark.createDataFrame([(7, 3.5)], "id long, v double")
-    assert write_version(df3, p) == 3
+    assert write_version(df3, p, orphan_ttl_sec=0) == 3
     assert [r["v"] for r in read_version(spark, p, 3).collect()] == [3.5]
     assert sorted(r["v"] for r in read_version(spark, p, 1).collect()) \
         == [1.0, 2.0]

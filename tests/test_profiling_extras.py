@@ -402,3 +402,57 @@ def test_agreement_brute_force_reference(spark):
     ka = profiling.krippendorff_alpha(df, "item", "val").collect()[0]
     assert fk["kappa"] == pytest.approx(kappa_ref, abs=1e-5)
     assert ka["alpha"] == pytest.approx(alpha_ref, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fd_violations / decayed_counts (r11)
+# ---------------------------------------------------------------------------
+
+def test_fd_violations_hand_computed(spark):
+    rows = [("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"),
+            ("c", None), ("c", "z"), ("d", None), ("d", None)]
+    df = spark.createDataFrame(rows, "k string, v string")
+    r = profiling.fd_violations(df, "k", "v").collect()[0]
+    # b maps {x,y}; c maps {NULL,z} (NULL is a value); a, d clean
+    assert (r["n_groups"], r["n_violating_groups"]) == (4, 2)
+    assert (r["n_rows"], r["n_violating_rows"]) == (8, 4)
+    assert r["violation_rate"] == pytest.approx(0.5)
+
+
+def test_fd_violations_holds(spark):
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "k int, v int")
+    r = profiling.fd_violations(df, "k", "v").collect()[0]
+    assert r["n_violating_groups"] == 0
+    assert r["violation_rate"] == 0.0
+
+
+def test_fd_violations_composite_lhs(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "y"), ("a", 2, "x"), ("b", 1, "x")],
+        "k1 string, k2 int, v string")
+    r = profiling.fd_violations(df, ["k1", "k2"], "v").collect()[0]
+    assert (r["n_groups"], r["n_violating_groups"]) == (3, 1)
+
+
+def test_decayed_counts_hand_computed(spark):
+    from datetime import datetime, timezone
+
+    from dask_grblas_spark.functions import timeseries
+
+    def ts(s):
+        return datetime.fromtimestamp(1700000000 + s, tz=timezone.utc) \
+                       .replace(tzinfo=None)
+    # T = max second; half-life 10s: terms 0.5^(dt/10)
+    rows = [("a", ts(0)), ("a", ts(10)), ("a", ts(20)),
+            ("b", ts(20)), ("b", ts(15))]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {r["key"]: r for r in
+           timeseries.decayed_counts(df, "event_type", "ts", 10)
+           .collect()}
+    assert got["a"]["n_events"] == 3
+    assert got["a"]["score"] == pytest.approx(
+        0.25 + 0.5 + 1.0, abs=1e-6)          # dt = 20, 10, 0
+    assert got["b"]["score"] == pytest.approx(
+        1.0 + 0.5 ** 0.5, abs=1e-6)          # dt = 0, 5
+    assert got["a"]["last_seen_sec"] == 1700000020

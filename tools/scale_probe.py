@@ -1655,6 +1655,23 @@ def main() -> int:
           lambda: rolling_agg(ra_df, window_seconds=10_000)
           .select("event_id", "roll_n", "roll_sum"))
 
+    # edit-distance join (PassJoin blocking) at 1M short strings with
+    # ADVERSARIAL shared prefixes (every string starts "item-", ~10%
+    # collide on their digit block too): the (len, seg, shift) index
+    # buckets go hot exactly like a constant-prefix catalog; the
+    # default max_bucket_size keeps candidates linear in buckets
+    NED = 1_000_000 if not QUICK else 100_000
+    ed_df = spark.range(NED).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("item-"),
+                 F.lpad(F.pmod(F.xxhash64("id", F.lit(55)),
+                               F.lit(100_000)).cast("string"), 5, "0"),
+                 F.lit("-"),
+                 F.pmod(F.xxhash64("id", F.lit(56)),
+                        F.lit(10)).cast("string")).alias("text"))
+    probe("edit_distance_join_1m_hot_prefix", NED,
+          lambda: dedup.edit_distance_pairs(ed_df, max_dist=1))
+
     # auc_by_group with ONE hot group holding ~9M DISTINCT double
     # scores (r10 verdict item 2): the old plan windowed
     # partitionBy(group) over the distinct-score relation — one giant

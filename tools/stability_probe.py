@@ -70,8 +70,11 @@ DEFAULT = ["q174_gini", "q203_cube", "q216_tpch_pricing",
            # prefix-sum bytes-targeted shard bucketing
            "q301_rolling_minmax", "q302_csv_quarantine_split",
            "q303_tar_shards_bytes",
-           # r11 session 2: multi-annotator agreement decimal folds
-           "q304_fleiss_kappa", "q305_krippendorff"]
+           # r11 session 2: multi-annotator agreement decimal folds +
+           # the PassJoin candidate set under partition variance
+           "q304_fleiss_kappa", "q305_krippendorff",
+           "q306_edit_distance_join", "q307_decayed_trending",
+           "q308_fd_check"]
 
 PARTITION_GRID = (5, 32, 77, 200)
 
