@@ -4794,6 +4794,84 @@ def q308_fd_check(spark, sf_dir):
     return profiling.fd_violations(li, "l_orderkey", "l_linestatus")
 
 
+def q309_image_dhash(spark, sf_dir):
+    """Image plumbing end-to-end with REAL pixels: synthesize a P6
+    PPM per embedding row from a deterministic integer pixel formula
+    (mapInPandas, pure-Python writer — multimodal.encode_ppm_p6),
+    decode it back with the pure-Python parser, and compute the
+    perceptual difference-hash (multimodal.image_dhash: integer luma,
+    nearest-sampled 9x7 grid, 56 bits packed into BIGINT — every step
+    integer arithmetic). The oracle never sees the PPM: it replays
+    the dHash straight from the pixel formula in SQL, so the gate
+    proves the image encoder/decoder/hasher roundtrip bit-exactly —
+    the visual analogue of q291's WAV gate."""
+    import pandas as pd
+
+    from dask_grblas_spark.functions.multimodal import (encode_ppm_p6,
+                                                        image_dhash)
+    from pyspark.sql import types as T
+
+    ids = _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("media_id"))
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), False)])
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for vid in pdf["media_id"]:
+                vid = int(vid)
+                w = 16 + (vid * 3) % 25
+                h = 16 + (vid * 5) % 17
+                yv, xv = np.mgrid[0:h, 0:w]
+                r = (vid * 7 + xv * 3 + yv * 5) % 256
+                g = (vid * 11 + xv + yv * 2) % 256
+                b = (vid * 13 + xv * 5 + yv) % 256
+                blobs.append(encode_ppm_p6(
+                    np.stack([r, g, b], axis=2).astype("uint8")))
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": blobs})
+
+    media = ids.mapInPandas(synth, schema)
+    return image_dhash(media)
+
+
+def q310_entity_resolution(spark, sf_dir):
+    """END-TO-END entity resolution — the typo-dedup capstone:
+    PassJoin edit-distance pairs (q306's blocked plan, d=1, uncapped)
+    feed FastSV connected components in sparse-id mode (q266's
+    composition), and each cluster rolls up to its golden record
+    (canonical name = the min-id member, which IS the cluster label
+    under min-label propagation). The oracle replays pairs by brute
+    force, closes them with a RECURSIVE transitive-closure CTE, and
+    rolls up — three independently-algorithmed stages agreeing on
+    every cluster. Output: (cluster, n_members, canonical_name)."""
+    from dask_grblas_spark.functions.dedup import edit_distance_pairs
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    base = p.select(F.col("p_partkey").cast("bigint").alias("pid"),
+                    F.col("p_name").alias("name"))
+    pairs = edit_distance_pairs(base, id_col="pid", text_col="name",
+                                max_dist=1, max_bucket_size=None)
+    edges = pairs.select(F.col("id_a").alias("i"),
+                         F.col("id_b").alias("j"),
+                         F.lit(1).cast("bigint").alias("v"))
+    g = Matrix.from_dataframe(edges, dtype="INT64")
+    comp = alg.connected_components(g, vertices="edges")
+    members = comp.df.select(F.col("i").cast("long").alias("pid"),
+                             F.col("v").cast("long").alias("cluster"))
+    rep = base.select(F.col("pid").alias("cluster"),
+                      F.col("name").alias("canonical_name"))
+    return (members.groupBy("cluster")
+            .agg(F.count("*").cast("bigint").alias("n_members"))
+            .join(rep, on="cluster")
+            .select("cluster", "n_members", "canonical_name"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -4971,6 +5049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q306_edit_distance_join": q306_edit_distance_join,
         "q307_decayed_trending": q307_decayed_trending,
         "q308_fd_check": q308_fd_check,
+        "q309_image_dhash": q309_image_dhash,
+        "q310_entity_resolution": q310_entity_resolution,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -12549,5 +12629,64 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(SUM(CASE WHEN k > 1 THEN n ELSE 0 END)
                           AS DOUBLE) / SUM(n), 6) AS violation_rate
         FROM per"""
+
+    # q309: dHash replayed from the pixel FORMULA — integer luma,
+    # nearest-sampled 9x7 grid, adjacent-comparison bits shifted into
+    # one BIGINT; the Spark side computed the same thing from DECODED
+    # PPM bytes, so encode/decode/hash must agree bit-exactly
+    sql["q309_image_dhash"] = """
+        WITH dim AS (
+          SELECT CAST(vec_id AS BIGINT) AS id,
+                 16 + (CAST(vec_id AS BIGINT) * 3) % 25 AS w,
+                 16 + (CAST(vec_id AS BIGINT) * 5) % 17 AS h
+          FROM embeddings
+        ), g AS (
+          SELECT d.id, d.w, d.h, y.y, x.x,
+                 (299 * ((d.id*7 + ((x.x*d.w)//9)*3
+                          + ((y.y*d.h)//7)*5) % 256)
+                + 587 * ((d.id*11 + ((x.x*d.w)//9)
+                          + ((y.y*d.h)//7)*2) % 256)
+                + 114 * ((d.id*13 + ((x.x*d.w)//9)*5
+                          + ((y.y*d.h)//7)) % 256)) // 1000 AS gray
+          FROM dim d, range(7) y(y), range(9) x(x)
+        ), bits AS (
+          SELECT a.id, a.w, a.h,
+                 CASE WHEN b.gray > a.gray
+                      THEN CAST(1 AS BIGINT) << (a.y * 8 + a.x)
+                      ELSE CAST(0 AS BIGINT) END AS bit
+          FROM g a JOIN g b ON a.id = b.id AND a.y = b.y
+                            AND b.x = a.x + 1
+          WHERE a.x < 8
+        )
+        SELECT id AS media_id, CAST(MAX(w) AS BIGINT) AS w,
+               CAST(MAX(h) AS BIGINT) AS h,
+               CAST(SUM(bit) AS BIGINT) AS dhash
+        FROM bits GROUP BY 1"""
+
+    # q310: brute-force pairs + RECURSIVE transitive closure +
+    # min-id rollup — every stage an independent algorithm from the
+    # Spark side's blocked-PassJoin -> FastSV -> golden-record chain
+    sql["q310_entity_resolution"] = """
+        WITH RECURSIVE s AS (
+          SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS t
+          FROM part
+        ), e AS (
+          SELECT a.id AS u, b.id AS v FROM s a JOIN s b
+          ON a.id < b.id WHERE levenshtein(a.t, b.t) <= 1
+        ), und AS (
+          SELECT u, v FROM e UNION SELECT v, u FROM e
+        ), reach (u, v) AS (
+          SELECT u, v FROM und
+          UNION
+          SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u
+        ), comp AS (
+          SELECT u AS id, LEAST(u, MIN(v)) AS cluster
+          FROM reach GROUP BY u
+        )
+        SELECT CAST(comp.cluster AS BIGINT) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               MIN(rep.t) AS canonical_name
+        FROM comp JOIN s rep ON rep.id = comp.cluster
+        GROUP BY 1"""
 
     return sql

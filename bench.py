@@ -74,6 +74,10 @@ PIPELINE = [
     # round 10: the probe-row prefix-difference window family (the
     # no-sliding-frame discipline) tracked round-over-round
     "q297_first_touch_window",
+    # round 11: the two-bucket rolling-extremes plan (the minmax
+    # sibling of the no-sliding-frame discipline) tracked
+    # round-over-round
+    "q301_rolling_minmax",
 ]
 
 

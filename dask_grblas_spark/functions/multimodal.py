@@ -321,3 +321,73 @@ def audio_features(media_df: DataFrame, id_col: str = "media_id",
             yield pd.DataFrame(rows)
 
     return media_df.mapInPandas(extract, out_schema)
+
+
+def encode_ppm_p6(pixels) -> bytes:
+    """Pure-Python binary PPM (P6, maxval 255) writer — the image
+    sibling of `encode_wav_pcm16`: header + raw RGB bytes, nothing
+    else, so `decode_pixels` round-trips it bit-exactly. ``pixels``
+    is an H x W x 3 uint8 array."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch != 3:
+        raise ValueError("expected H x W x 3 RGB")
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def image_dhash(media_df: DataFrame, id_col: str = "media_id",
+                content_col: str = "content",
+                cols: int = 9, rows: int = 7) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded pixels —
+    the image near-dup fingerprint (resize-, brightness-offset-, and
+    format-invariant up to Hamming distance): decode (pure-Python
+    PPM/PGM/BMP), integer luma gray = (299R + 587G + 114B) // 1000,
+    NEAREST-sample a ``cols`` x ``rows`` grid (sx = x*W // cols,
+    sy = y*H // rows — integer division, no interpolation, so the
+    hash is exactly replayable from a pixel formula), then one bit
+    per horizontally-adjacent comparison: bit(y,x) = gray[y,x+1] >
+    gray[y,x], packed little-endian into a BIGINT. Default 9x7 grid
+    -> 56 bits, fitting signed int64 exactly (cross-engine-safe —
+    the classic 9x8/64-bit variant overflows BIGINT).
+
+    Every step is integer arithmetic on uint8 pixels: deterministic
+    across hosts, partitionings, and engines. Pair near-dups with the
+    SimHash banding machinery (dedup.simhash_pairs' contract) or any
+    Hamming join. Output: (media_id, w, h, dhash). mapInPandas
+    per-image, no shuffle — embarrassingly parallel at any corpus
+    size."""
+    if (cols - 1) * rows > 63:
+        raise ValueError("grid packs more than 63 bits")
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("w", T.LongType(), False),
+        T.StructField("h", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), False),
+    ])
+
+    def extract(batches):
+        for pdf in batches:
+            out = {"media_id": [], "w": [], "h": [], "dhash": []}
+            for mid, c in zip(pdf[id_col], pdf[content_col]):
+                px = decode_pixels(bytes(c)).astype(np.int64)
+                hh, ww = px.shape[0], px.shape[1]
+                gray = (299 * px[:, :, 0] + 587 * px[:, :, 1]
+                        + 114 * px[:, :, 2]) // 1000
+                sx = [(x * ww) // cols for x in range(cols)]
+                sy = [(y * hh) // rows for y in range(rows)]
+                sub = gray[np.ix_(sy, sx)]
+                bits = sub[:, 1:] > sub[:, :-1]          # rows x cols-1
+                hv = 0
+                for y in range(rows):
+                    for x in range(cols - 1):
+                        if bits[y, x]:
+                            hv |= 1 << (y * (cols - 1) + x)
+                out["media_id"].append(int(mid))
+                out["w"].append(ww)
+                out["h"].append(hh)
+                out["dhash"].append(hv)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(extract, out_schema)

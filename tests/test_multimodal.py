@@ -204,3 +204,63 @@ def test_decode_wav_rejects_non_pcm16(spark):
         decode_wav(hdr)
     with pytest.raises(NotImplementedError):
         decode_wav(b"OggS junk")
+
+
+# ---------------------------------------------------------------------------
+# encode_ppm_p6 / image_dhash (r11)
+# ---------------------------------------------------------------------------
+
+def test_ppm_p6_roundtrip_bit_exact(spark):
+    import numpy as np
+
+    from dask_grblas_spark.functions.multimodal import (decode_pixels,
+                                                        encode_ppm_p6)
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(13, 17, 3)).astype("uint8")
+    assert (decode_pixels(encode_ppm_p6(px)) == px).all()
+
+
+def _dhash_of(spark, px_list):
+    import pandas as pd
+
+    from dask_grblas_spark.functions.multimodal import (encode_ppm_p6,
+                                                        image_dhash)
+    rows = [(i, bytearray(encode_ppm_p6(px)))
+            for i, px in enumerate(px_list)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    return {r["media_id"]: r["dhash"]
+            for r in image_dhash(df).collect()}
+
+
+def test_dhash_gradient_all_ones_and_flat_zero(spark):
+    import numpy as np
+
+    # strictly increasing left->right gray: every adjacent comparison
+    # fires -> all 56 bits set; a flat image sets none
+    grad = np.tile(np.arange(0, 180, 10, dtype=np.uint8), (12, 1))
+    grad = np.stack([grad] * 3, axis=2)        # 12 x 18 x 3
+    flat = np.full((12, 18, 3), 77, dtype=np.uint8)
+    got = _dhash_of(spark, [grad, flat])
+    assert got[0] == (1 << 56) - 1
+    assert got[1] == 0
+
+
+def test_dhash_brightness_offset_invariant(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(30, 200, size=(20, 25, 3)).astype("uint8")
+    brighter = (base.astype(np.int64) + 40).clip(0, 255).astype("uint8")
+    got = _dhash_of(spark, [base, brighter])
+    # luma shifts by a constant (+40 on all channels), comparisons
+    # between sampled cells are unchanged
+    assert got[0] == got[1]
+
+
+def test_dhash_grid_bit_budget(spark):
+    import pytest as _pt
+
+    from dask_grblas_spark.functions.multimodal import image_dhash
+    df = spark.createDataFrame([], "media_id long, content binary")
+    with _pt.raises(ValueError, match="63 bits"):
+        image_dhash(df, cols=9, rows=8)        # 64 bits: overflows

@@ -74,7 +74,8 @@ DEFAULT = ["q174_gini", "q203_cube", "q216_tpch_pricing",
            # the PassJoin candidate set under partition variance
            "q304_fleiss_kappa", "q305_krippendorff",
            "q306_edit_distance_join", "q307_decayed_trending",
-           "q308_fd_check"]
+           "q308_fd_check", "q309_image_dhash",
+           "q310_entity_resolution"]
 
 PARTITION_GRID = (5, 32, 77, 200)
 
