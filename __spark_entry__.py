@@ -4872,6 +4872,60 @@ def q310_entity_resolution(spark, sf_dir):
             .select("cluster", "n_members", "canonical_name"))
 
 
+def q311_image_hamming_dedup(spark, sf_dir):
+    """Image near-dup END-TO-END: synthesize each q309 formula image
+    PLUS a clip-brightened sibling (+13 on every channel, LEAST 255 —
+    dHash-close but not always identical: clipping kills contrast at
+    saturated cells), hash both populations with multimodal.
+    image_dhash, and join with dedup.hamming_pairs (pigeonhole band
+    split, one JVM bit_count(xor) per candidate; uncapped so the
+    blocked plan must match brute force exactly). The oracle replays
+    BOTH hash populations from the pixel formulas and brute-forces
+    popcount — the full synth -> encode -> decode -> hash -> join
+    chain must agree on every pair. Output: (id_a, id_b, dist)."""
+    import pandas as pd
+
+    from dask_grblas_spark.functions.dedup import hamming_pairs
+    from dask_grblas_spark.functions.multimodal import (encode_ppm_p6,
+                                                        image_dhash)
+    from pyspark.sql import types as T
+
+    ids = _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vid"))
+    both = ids.select("vid", F.explode(F.array(F.lit(0), F.lit(13)))
+                      .alias("bright"))
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), False)])
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            mids, blobs = [], []
+            for vid, br in zip(pdf["vid"], pdf["bright"]):
+                vid, br = int(vid), int(br)
+                w = 16 + (vid * 3) % 25
+                h = 16 + (vid * 5) % 17
+                yv, xv = np.mgrid[0:h, 0:w]
+                r = np.minimum(255, (vid * 7 + xv * 3 + yv * 5) % 256
+                               + br)
+                g = np.minimum(255, (vid * 11 + xv + yv * 2) % 256
+                               + br)
+                b = np.minimum(255, (vid * 13 + xv * 5 + yv) % 256
+                               + br)
+                mids.append(vid + (1000000 if br else 0))
+                blobs.append(encode_ppm_p6(
+                    np.stack([r, g, b], axis=2).astype("uint8")))
+            yield pd.DataFrame({"media_id": mids, "content": blobs})
+
+    hashes = image_dhash(both.mapInPandas(synth, schema)) \
+        .select("media_id", "dhash")
+    return hamming_pairs(hashes, bits=56, max_dist=2,
+                         max_bucket_size=None)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -5051,6 +5105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q308_fd_check": q308_fd_check,
         "q309_image_dhash": q309_image_dhash,
         "q310_entity_resolution": q310_entity_resolution,
+        "q311_image_hamming_dedup": q311_image_hamming_dedup,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -12688,5 +12743,45 @@ def oracle_sql() -> dict[str, str]:
                MIN(rep.t) AS canonical_name
         FROM comp JOIN s rep ON rep.id = comp.cluster
         GROUP BY 1"""
+
+    # q311: both hash populations replayed from the pixel formulas
+    # (base + clip-brightened sibling), then brute-force XOR popcount
+    sql["q311_image_hamming_dedup"] = """
+        WITH ids AS (
+          SELECT CAST(vec_id AS BIGINT) AS vid, 0 AS br
+          FROM embeddings
+          UNION ALL
+          SELECT CAST(vec_id AS BIGINT), 13 FROM embeddings
+        ), dim AS (
+          SELECT vid + CASE WHEN br > 0 THEN 1000000 ELSE 0 END AS id,
+                 vid, br,
+                 16 + (vid * 3) % 25 AS w, 16 + (vid * 5) % 17 AS h
+          FROM ids
+        ), g AS (
+          SELECT d.id, y.y, x.x,
+                 (299 * LEAST(255, (d.vid*7 + ((x.x*d.w)//9)*3
+                              + ((y.y*d.h)//7)*5) % 256 + d.br)
+                + 587 * LEAST(255, (d.vid*11 + ((x.x*d.w)//9)
+                              + ((y.y*d.h)//7)*2) % 256 + d.br)
+                + 114 * LEAST(255, (d.vid*13 + ((x.x*d.w)//9)*5
+                              + ((y.y*d.h)//7)) % 256 + d.br))
+                 // 1000 AS gray
+          FROM dim d, range(7) y(y), range(9) x(x)
+        ), bits AS (
+          SELECT a.id,
+                 CASE WHEN b.gray > a.gray
+                      THEN CAST(1 AS BIGINT) << (a.y * 8 + a.x)
+                      ELSE CAST(0 AS BIGINT) END AS bit
+          FROM g a JOIN g b ON a.id = b.id AND a.y = b.y
+                            AND b.x = a.x + 1
+          WHERE a.x < 8
+        ), hsh AS (
+          SELECT id, CAST(SUM(bit) AS BIGINT) AS hv
+          FROM bits GROUP BY 1
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.hv, b.hv)) AS INT) AS dist
+        FROM hsh a JOIN hsh b ON a.id < b.id
+        WHERE bit_count(xor(a.hv, b.hv)) <= 2"""
 
     return sql

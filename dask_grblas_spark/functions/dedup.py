@@ -1164,3 +1164,49 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                             F.levenshtein("_ta", "_tb").cast("int"))
                 .where(F.col("dist") <= D)
                 .select("id_a", "id_b", "dist"))
+
+
+def hamming_pairs(df: DataFrame, id_col: str = "media_id",
+                  hash_col: str = "dhash", bits: int = 56,
+                  max_dist: int = 3,
+                  max_bucket_size: int | None = 1000) -> DataFrame:
+    """Generic Hamming-distance join over packed-BIGINT fingerprints
+    (dHash, SimHash, any LSB-packed signature): all unordered pairs
+    with popcount(xor) <= ``max_dist``. Blocking is the pigeonhole
+    band split — ``max_dist + 1`` contiguous bit slices; two hashes
+    within distance d leave at least one slice untouched, so an
+    exact-match self-join per (band, slice_value) is COMPLETE.
+    Verification is ONE JVM ``bit_count(a ^ b)`` per distinct
+    candidate. Arithmetic-shift-then-mask slice extraction gives
+    identical slices for negative hash values on every engine.
+
+    ``max_bucket_size`` is the LSH-family star cap (via the shared
+    `_band_candidates`): a slice value shared by that many hashes
+    collapses to representative pairs — candidates stay linear in
+    bucket count, recall capped only inside pathological buckets;
+    pass None for exact completeness. Output: (id_a, id_b, dist)."""
+    B = int(max_dist) + 1
+    if not 1 <= B <= int(bits) <= 63:
+        raise ValueError("need 1 <= max_dist + 1 <= bits <= 63")
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(hash_col).cast("bigint").alias("_h")) \
+             .where(F.col("_h").isNotNull())
+    slices = None
+    for j in range(B):
+        start = j * bits // B
+        width = (j + 1) * bits // B - start
+        sl = base.select(
+            "id", F.lit(j).alias("band"),
+            F.shiftright(F.col("_h"), start)
+             .bitwiseAND(F.lit((1 << width) - 1)).alias("bandkey"))
+        slices = sl if slices is None else slices.unionByName(sl)
+    cand = _band_candidates(slices, max_bucket_size)
+    ha = base.select(F.col("id").alias("id_a"), F.col("_h").alias("_ha"))
+    hb = base.select(F.col("id").alias("id_b"), F.col("_h").alias("_hb"))
+    return (cand.join(ha, on="id_a").join(hb, on="id_b")
+                .withColumn("dist",
+                            F.bit_count(F.col("_ha")
+                                         .bitwiseXOR(F.col("_hb")))
+                             .cast("int"))
+                .where(F.col("dist") <= max_dist)
+                .select("id_a", "id_b", "dist"))

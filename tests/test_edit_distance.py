@@ -78,3 +78,37 @@ def test_bucket_cap_star_recall_tradeoff(spark):
     assert set(capped) <= set(full)
     for k, v in capped.items():
         assert full[k] == v
+
+
+# ---------------------------------------------------------------------------
+# hamming_pairs (r11): banded Hamming join vs brute force
+# ---------------------------------------------------------------------------
+
+def test_hamming_pairs_vs_bruteforce(spark):
+    from dask_grblas_spark.functions.dedup import hamming_pairs
+    rng = random.Random(42)
+    rows = [(i, rng.getrandbits(16)) for i in range(80)]
+    # plant near-dups: ids 100+ flip <=2 bits of their base
+    for i in range(0, 80, 7):
+        h = rows[i][1] ^ (1 << rng.randrange(16))
+        rows.append((100 + i, h))
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    for d in (1, 3):
+        got = {(r["id_a"], r["id_b"]): r["dist"]
+               for r in hamming_pairs(df, bits=16, max_dist=d,
+                                      max_bucket_size=None).collect()}
+        want = {}
+        for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+            dist = bin(ha ^ hb).count("1")
+            if dist <= d:
+                want[(min(ia, ib), max(ia, ib))] = dist
+        assert got == want, d
+
+
+def test_hamming_pairs_guards(spark):
+    from dask_grblas_spark.functions.dedup import hamming_pairs
+    df = spark.createDataFrame([(1, 5)], "media_id long, dhash long")
+    with pytest.raises(ValueError):
+        hamming_pairs(df, bits=64, max_dist=3)     # 64 > 63
+    with pytest.raises(ValueError):
+        hamming_pairs(df, bits=8, max_dist=9)      # bands > bits
