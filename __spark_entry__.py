@@ -4926,6 +4926,31 @@ def q311_image_hamming_dedup(spark, sf_dir):
                          max_bucket_size=None)
 
 
+def q312_join_cardinality(spark, sf_dir):
+    """Pre-flight exact join-cardinality profile (profiling.
+    join_cardinality): orders x lineitem on orderkey — predicted
+    output rows, matched keys, and max single-key fan-out, computed
+    from two grouped counts + one distinct-key join (orders of
+    magnitude cheaper than the join it predicts; the 'salt or
+    broadcast?' numbers a 100 TB plan needs BEFORE shuffling).
+    out_rows must equal the true join count — the oracle checks both
+    the profile formula and that identity."""
+    from dask_grblas_spark.functions import profiling
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    prof = profiling.join_cardinality(o, "o_orderkey",
+                                      li, "l_orderkey")
+    # API keeps DECIMAL(38,0) (exact past int64 at petabyte joins);
+    # the gate casts to BIGINT for the dtype-faithful driver compare
+    return prof.select("n_a", "n_b", "keys_a", "keys_b",
+                       "keys_matched",
+                       F.col("out_rows").cast("bigint")
+                        .alias("out_rows"),
+                       F.col("max_key_fanout").cast("bigint")
+                        .alias("max_key_fanout"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -5106,6 +5131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q309_image_dhash": q309_image_dhash,
         "q310_entity_resolution": q310_entity_resolution,
         "q311_image_hamming_dedup": q311_image_hamming_dedup,
+        "q312_join_cardinality": q312_join_cardinality,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -12783,5 +12809,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.hv, b.hv)) AS INT) AS dist
         FROM hsh a JOIN hsh b ON a.id < b.id
         WHERE bit_count(xor(a.hv, b.hv)) <= 2"""
+
+    # q312: the profile formula replayed — grouped counts, matched
+    # keys, sum/max of per-key products in DECIMAL(38,0)
+    sql["q312_join_cardinality"] = """
+        WITH ca AS (
+          SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS fa
+          FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1
+        ), cb AS (
+          SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS fb
+          FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+        ), m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS keys_matched,
+                 SUM(CAST(fa AS DECIMAL(38,0)) * fb) AS outr,
+                 MAX(CAST(fa AS DECIMAL(38,0)) * fb) AS maxf
+          FROM ca JOIN cb USING (k)
+        )
+        SELECT (SELECT CAST(SUM(fa) AS BIGINT) FROM ca) AS n_a,
+               (SELECT CAST(SUM(fb) AS BIGINT) FROM cb) AS n_b,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ca) AS keys_a,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS keys_b,
+               keys_matched,
+               CAST(COALESCE(outr, 0) AS BIGINT) AS out_rows,
+               CAST(COALESCE(maxf, 0) AS BIGINT) AS max_key_fanout
+        FROM m"""
 
     return sql

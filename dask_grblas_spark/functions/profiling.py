@@ -2476,3 +2476,47 @@ def fd_violations(df: DataFrame, lhs_cols, rhs_col) -> DataFrame:
         F.round(F.sum(F.when(bad, F.col("_n")).otherwise(F.lit(0)))
                  .cast("double") / F.sum("_n"), 6)
          .alias("violation_rate"))
+
+
+def join_cardinality(a: DataFrame, a_key, b: DataFrame, b_key
+                     ) -> DataFrame:
+    """Pre-flight EXACT equi-join cardinality profile — the 'will
+    this join explode at 100 TB' check run BEFORE the join: output
+    rows = sum over shared keys of count_a(k) * count_b(k), plus the
+    skew facts that decide the physical strategy (max single-key
+    fan-out -> salting; matched-key count -> broadcast viability).
+    Costs two grouped counts + one join on the (distinct-key)
+    relations — orders of magnitude cheaper than the join it
+    predicts, and exact where sampled estimators mislead under skew.
+
+    DECIMAL(38,0) products (cast BEFORE multiply — per-key counts
+    scale with table size). NULL keys never match (SQL semantics):
+    they are excluded. Output: one row (n_a, n_b, keys_a, keys_b,
+    keys_matched, out_rows, max_key_fanout)."""
+    ka = F.col(a_key) if isinstance(a_key, str) else a_key
+    kb = F.col(b_key) if isinstance(b_key, str) else b_key
+    ca = (a.select(ka.alias("_k")).where(F.col("_k").isNotNull())
+           .groupBy("_k").agg(F.count("*").cast("bigint").alias("_fa")))
+    cb = (b.select(kb.alias("_k")).where(F.col("_k").isNotNull())
+           .groupBy("_k").agg(F.count("*").cast("bigint").alias("_fb")))
+    sa = ca.agg(F.sum("_fa").alias("n_a"),
+                F.count("*").alias("keys_a"))
+    sb = cb.agg(F.sum("_fb").alias("n_b"),
+                F.count("*").alias("keys_b"))
+    m = (ca.join(cb, on="_k")
+           .agg(F.count("*").cast("bigint").alias("keys_matched"),
+                F.sum(F.col("_fa").cast("decimal(38,0)")
+                      * F.col("_fb")).alias("_out"),
+                F.max(F.col("_fa").cast("decimal(38,0)")
+                      * F.col("_fb")).alias("_maxf")))
+    return (sa.crossJoin(sb).crossJoin(F.broadcast(m))
+              .select(F.col("n_a").cast("bigint").alias("n_a"),
+                      F.col("n_b").cast("bigint").alias("n_b"),
+                      F.col("keys_a").cast("bigint").alias("keys_a"),
+                      F.col("keys_b").cast("bigint").alias("keys_b"),
+                      F.coalesce("keys_matched", F.lit(0))
+                       .cast("bigint").alias("keys_matched"),
+                      F.coalesce(F.col("_out"), F.lit(0))
+                       .cast("decimal(38,0)").alias("out_rows"),
+                      F.coalesce(F.col("_maxf"), F.lit(0))
+                       .cast("decimal(38,0)").alias("max_key_fanout")))

@@ -456,3 +456,25 @@ def test_decayed_counts_hand_computed(spark):
     assert got["b"]["score"] == pytest.approx(
         1.0 + 0.5 ** 0.5, abs=1e-6)          # dt = 0, 5
     assert got["a"]["last_seen_sec"] == 1700000020
+
+
+def test_join_cardinality_hand_computed(spark):
+    a = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (None,)], "k int")
+    b = spark.createDataFrame(
+        [(1,), (2,), (2,), (4,), (None,)], "k int")
+    r = profiling.join_cardinality(a, "k", b, "k").collect()[0]
+    # matches: k=1 (2x1), k=2 (1x2) -> 4 output rows; NULLs excluded
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert (r["keys_a"], r["keys_b"], r["keys_matched"]) == (3, 3, 2)
+    assert int(r["out_rows"]) == 4
+    assert int(r["max_key_fanout"]) == 2
+    # the profile must equal the actual join's output count
+    assert a.join(b, on="k").count() == int(r["out_rows"])
+
+
+def test_join_cardinality_disjoint(spark):
+    a = spark.createDataFrame([(1,)], "k int")
+    b = spark.createDataFrame([(2,)], "k int")
+    r = profiling.join_cardinality(a, "k", b, "k").collect()[0]
+    assert (r["keys_matched"], int(r["out_rows"])) == (0, 0)

@@ -1672,6 +1672,25 @@ def main() -> int:
     probe("edit_distance_join_1m_hot_prefix", NED,
           lambda: dedup.edit_distance_pairs(ed_df, max_dist=1))
 
+    # hamming join at 1M 56-bit fingerprints with ~10% planted
+    # 1-bit-flip near-dups (r11): 3 pigeonhole bands of ~19 bits ->
+    # ~500k slot values per band, so bucket fan-out stays tiny;
+    # verification is one JVM bit_count per candidate
+    NHAM = 1_000_000 if not QUICK else 100_000
+    hbase = spark.range(NHAM).select(
+        F.col("id").alias("media_id"),
+        F.pmod(F.xxhash64("id", F.lit(77)),
+               F.lit(1 << 56)).alias("dhash"))
+    hsib = (spark.range(0, NHAM, 10)
+            .select((F.col("id") + NHAM * 2).alias("media_id"),
+                    F.expr(f"pmod(xxhash64(id, 77), {1 << 56}) ^ "
+                           "shiftleft(cast(1 as bigint), "
+                           "cast(pmod(xxhash64(id, 78), 56) as int))")
+                    .alias("dhash")))
+    probe("hamming_pairs_1m_fingerprints", NHAM,
+          lambda: dedup.hamming_pairs(hbase.unionByName(hsib),
+                                      bits=56, max_dist=2))
+
     # auc_by_group with ONE hot group holding ~9M DISTINCT double
     # scores (r10 verdict item 2): the old plan windowed
     # partitionBy(group) over the distinct-score relation — one giant
