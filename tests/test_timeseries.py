@@ -977,3 +977,22 @@ def test_attribution_first_touch_window_brute_force(spark):
     for k in expect:
         assert got[k][0] == expect[k][0], (k, got[k], expect[k])
         assert abs(got[k][1] - expect[k][1]) < 1e-6, k
+
+
+def test_rolling_min_only_synthetic_id(spark):
+    """agg='min' without id_col: the monotonic-id localCheckpoint
+    branch feeds _rolling_minmax; output has roll_min only."""
+    from dask_grblas_spark.functions import timeseries as ts
+    rows = [(1, _ts(s), float(v))
+            for s, v in [(0, 5.0), (3, 2.0), (12, 9.0), (14, 1.0),
+                         (30, 4.0)]]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = ts.rolling_agg(df, window_seconds=10, agg="min")
+    assert "roll_min" in out.columns and "roll_max" not in out.columns
+    got = sorted((int(r["ts"].timestamp()), r["roll_min"])
+                 for r in out.collect())
+    # windows: [0]=5; [3]covers{0,3}=2; [12]covers{3,12}=2;
+    # [14]covers{12,14}=1 (3 is 11s back, out); [30]=4
+    base = got[0][0]
+    assert [(s - base, v) for s, v in got] == \
+        [(0, 5.0), (3, 2.0), (12, 2.0), (14, 1.0), (30, 4.0)]
