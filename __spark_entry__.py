@@ -4951,6 +4951,24 @@ def q312_join_cardinality(spark, sf_dir):
                         .alias("max_key_fanout"))
 
 
+def q313_stream_outer_join(spark, sf_dir):
+    """STREAM-STREAM LEFT OUTER interval join (streaming.windows.
+    stream_interval_join_outer) — the state-EVICTION semantics the
+    inner q54 never exercises: unmatched clicks emit null-extended
+    only once the query watermark (MIN of both sides' max event time
+    - 1 h) passes the end of their 30-minute window; tail clicks stay
+    unemitted exactly as they would in production. The oracle models
+    that emission rule in SQL: all matched pairs + null rows for
+    unmatched clicks whose window closed before the watermark — so
+    the gate pins Structured Streaming's outer-join eviction boundary
+    (strict <) against a batch replay."""
+    from dask_grblas_spark.streaming.windows import (
+        stream_interval_join_outer)
+
+    return stream_interval_join_outer(spark, sf_dir,
+                                      window_minutes=30)         .select("click_id", "purchase_id", "user_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -5132,6 +5150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q310_entity_resolution": q310_entity_resolution,
         "q311_image_hamming_dedup": q311_image_hamming_dedup,
         "q312_join_cardinality": q312_join_cardinality,
+        "q313_stream_outer_join": q313_stream_outer_join,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -12833,5 +12852,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(outr, 0) AS BIGINT) AS out_rows,
                CAST(COALESCE(maxf, 0) AS BIGINT) AS max_key_fanout
         FROM m"""
+
+    # q313: the outer-join emission rule modeled in SQL — matched
+    # pairs always emit; unmatched clicks emit null-extended iff
+    # their window end is STRICTLY before the final query watermark
+    # (min of both sides' max ts - 1 h), the eviction boundary
+    sql["q313_stream_outer_join"] = """
+        WITH c AS (
+          SELECT event_id AS cid, user_id, ts FROM events
+          WHERE event_type = 'click'
+        ), p AS (
+          SELECT event_id AS pid, user_id, ts FROM events
+          WHERE event_type = 'purchase'
+        ), wm AS (
+          SELECT LEAST((SELECT MAX(ts) FROM c),
+                       (SELECT MAX(ts) FROM p))
+                 - INTERVAL 1 HOUR AS w
+        ), m AS (
+          SELECT c.cid, p.pid, c.user_id
+          FROM c JOIN p ON c.user_id = p.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        )
+        SELECT cid AS click_id, pid AS purchase_id, user_id FROM m
+        UNION ALL
+        SELECT c.cid, CAST(NULL AS BIGINT), c.user_id
+        FROM c, wm
+        WHERE c.cid NOT IN (SELECT cid FROM m)
+          AND c.ts + INTERVAL 30 MINUTE < wm.w"""
 
     return sql

@@ -292,6 +292,53 @@ def stream_interval_join(spark: SparkSession, sf_dir: str,
     return spark.table(qname)
 
 
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str,
+                               window_minutes: int = 30) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join — the state-EVICTION
+    semantics the inner variant never exercises: every 'click' joins
+    the 'purchase' events landing within [click.ts, click.ts +
+    window]; a click with NO purchase in its window is emitted
+    null-extended only once the query watermark passes the end of its
+    window (its buffered state can no longer match and is evicted —
+    exactly how Structured Streaming bounds outer-join state at
+    scale). The query watermark is the MIN of the two sides' (max
+    event time - 1 hour), so the final table contains ALL matched
+    pairs plus null rows for unmatched clicks whose window closed
+    before that watermark — a deterministic set on replayed data
+    (late unmatched clicks near the stream tail stay unemitted, as
+    they would in production until more data arrives). Returns
+    (click_id, purchase_id nullable, user_id)."""
+    def side(ev_type, alias_id):
+        return (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+                .parquet(_events_stream_dir(sf_dir))
+                .filter(F.col("event_type") == ev_type)
+                .withWatermark("ts", "1 hour")
+                .select(F.col("event_id").alias(alias_id),
+                        F.col("user_id").alias(f"{alias_id}_user"),
+                        F.col("ts").alias(f"{alias_id}_ts")))
+
+    clicks = side("click", "click_id")
+    purchases = side("purchase", "purchase_id")
+    joined = clicks.join(
+        purchases,
+        (F.col("click_id_user") == F.col("purchase_id_user"))
+        & (F.col("purchase_id_ts") >= F.col("click_id_ts"))
+        & (F.col("purchase_id_ts")
+           <= F.col("click_id_ts")
+           + F.expr(f"INTERVAL {window_minutes} MINUTES")),
+        "leftOuter")
+    qname = f"ssjo_{uuid.uuid4().hex[:8]}"
+    q = (joined.select("click_id", "purchase_id",
+                       F.col("click_id_user").alias("user_id"))
+         .writeStream.outputMode("append")
+         .format("memory").queryName(qname).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
 def sessionize(spark: SparkSession, sf_dir: str,
                gap_minutes: int = 30) -> DataFrame:
     """Sessionization: batch formulation (lag + cumulative gap-count

@@ -1163,3 +1163,41 @@ def test_read_csv_quarantine_to_one_pass_split(spark, tmp_path):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "FileScan csv" not in plan
         assert "FileScan parquet" in plan
+
+
+def test_stream_outer_join_eviction_boundary(spark, tmp_path):
+    """LEFT OUTER stream-stream join (r11): unmatched clicks emit
+    null-extended ONLY once the query watermark (min of both sides'
+    max ts - 1h) strictly passes their window end — tail clicks stay
+    buffered/unemitted, exactly the production semantics."""
+    from datetime import datetime, timedelta, timezone
+
+    from dask_grblas_spark.streaming.windows import (
+        stream_interval_join_outer)
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc) \
+        .replace(tzinfo=None)
+    mins = timedelta(minutes=1)
+    rows = [
+        # click 1 matched by purchase 10 within 30 min
+        (1, t0, 1, "click", 1.0, "{}"),
+        (10, t0 + 10 * mins, 1, "purchase", 1.0, "{}"),
+        # click 2 near the stream tail: window end (t0+150m) is NOT
+        # strictly before the watermark (t0+60m) -> stays buffered
+        (2, t0 + 120 * mins, 1, "click", 1.0, "{}"),
+        # click 3 long before: window end (t0-150m) < watermark ->
+        # evicted, emits null-extended
+        (3, t0 - 180 * mins, 2, "click", 1.0, "{}"),
+        # purchase far ahead sets the purchase-side max (t0+180m);
+        # click-side max is t0+120m -> watermark = t0+120m-60m
+        (11, t0 + 180 * mins, 9, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.mode("overwrite") \
+      .parquet(str(tmp_path / "events.parquet"))
+    got = {(r["click_id"], r["purchase_id"], r["user_id"])
+           for r in stream_interval_join_outer(
+               spark, str(tmp_path), window_minutes=30).collect()}
+    assert got == {(1, 10, 1), (3, None, 2)}
