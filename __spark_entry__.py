@@ -4969,6 +4969,39 @@ def q313_stream_outer_join(spark, sf_dir):
                                       window_minutes=30)         .select("click_id", "purchase_id", "user_id")
 
 
+def q314_bloom_prune(spark, sf_dir):
+    """Deterministic Bloom-filter join pruning (sketches.bloom_build /
+    bloom_contains): the BUILDING-segment customer keys build a
+    4096-bit / 5-probe filter (md5 probe hashes — engine-pure, so
+    even the FALSE POSITIVES are reproducible); every distinct order
+    custkey tests against it. Output: one row (n_tested, n_maybe,
+    n_present, n_false_pos, n_false_neg) — n_false_neg MUST be 0 (the
+    Bloom guarantee) and every count is exact. The oracle replays the
+    identical bit math (positions, words, BIT_OR, all-bits-set fold)
+    in SQL."""
+    from dask_grblas_spark.functions.sketches import (bloom_build,
+                                                      bloom_contains)
+
+    M, K = 4096, 5
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    seg = cust.where(F.col("c_mktsegment") == "BUILDING")               .select(F.col("c_custkey").cast("bigint").alias("k"))
+    bloom = bloom_build(seg, "k", m_bits=M, k=K)
+    tests = spark.read.parquet(f"{sf_dir}/orders.parquet")         .select(F.col("o_custkey").cast("bigint").alias("k"))
+    mb = bloom_contains(bloom, tests, "k", m_bits=M, k=K)
+    actual = seg.distinct().withColumn("_in", F.lit(1))
+    j = mb.join(actual, mb.key == actual.k, "left")
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_tested"),
+        F.sum(F.col("maybe").cast("bigint")).cast("bigint")
+         .alias("n_maybe"),
+        F.sum(F.coalesce(F.col("_in"), F.lit(0))).cast("bigint")
+         .alias("n_present"),
+        F.sum(F.when(F.col("maybe") & F.col("_in").isNull(), 1)
+               .otherwise(0)).cast("bigint").alias("n_false_pos"),
+        F.sum(F.when(~F.col("maybe") & F.col("_in").isNotNull(), 1)
+               .otherwise(0)).cast("bigint").alias("n_false_neg"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -5151,6 +5184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q311_image_hamming_dedup": q311_image_hamming_dedup,
         "q312_join_cardinality": q312_join_cardinality,
         "q313_stream_outer_join": q313_stream_outer_join,
+        "q314_bloom_prune": q314_bloom_prune,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -12879,5 +12913,48 @@ def oracle_sql() -> dict[str, str]:
         FROM c, wm
         WHERE c.cid NOT IN (SELECT cid FROM m)
           AND c.ts + INTERVAL 30 MINUTE < wm.w"""
+
+    # q314: the Bloom bit math replayed — md5 probe positions, word
+    # BIT_OR build, all-bits-set membership, exact FP/FN accounting
+    sql["q314_bloom_prune"] = """
+        WITH seg AS (
+          SELECT DISTINCT CAST(c_custkey AS BIGINT) AS v
+          FROM customer WHERE c_mktsegment = 'BUILDING'
+        ), pos AS (
+          SELECT v, ('0x' || substr(md5(CAST(v AS VARCHAR)
+                     || '#' || i), 1, 15))::BIGINT % 4096 AS p
+          FROM seg, range(5) t(i)
+        ), words AS (
+          SELECT p // 32 AS word,
+                 bit_or(CAST(1 AS BIGINT)
+                        << CAST(p % 32 AS INT)) AS bits
+          FROM pos GROUP BY 1
+        ), tests AS (
+          SELECT DISTINCT CAST(o_custkey AS BIGINT) AS key
+          FROM orders WHERE o_custkey IS NOT NULL
+        ), tpos AS (
+          SELECT key, ('0x' || substr(md5(CAST(key AS VARCHAR)
+                       || '#' || i), 1, 15))::BIGINT % 4096 AS p
+          FROM tests, range(5) t(i)
+        ), hit AS (
+          SELECT key, CASE WHEN (COALESCE(bits, 0)
+                       & (CAST(1 AS BIGINT) << CAST(p % 32 AS INT)))
+                       <> 0 THEN 1 ELSE 0 END AS ok
+          FROM tpos LEFT JOIN words ON p // 32 = words.word
+        ), mb AS (
+          SELECT key, (SUM(ok) = 5) AS maybe FROM hit GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tested,
+               CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_maybe,
+               CAST(SUM(CASE WHEN s.v IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_present,
+               CAST(SUM(CASE WHEN maybe AND s.v IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_false_pos,
+               CAST(SUM(CASE WHEN NOT maybe AND s.v IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_false_neg
+        FROM mb LEFT JOIN seg s ON mb.key = s.v"""
 
     return sql

@@ -391,3 +391,73 @@ def exact_set_overlap(df: DataFrame, group_col: str, grp_a: str,
     return spark.createDataFrame(
         [(na, nb, ni, jac)],
         "n_a long, n_b long, n_inter long, jaccard double")
+
+
+def _bloom_positions(col, m_bits: int, k: int):
+    """The k deterministic bit positions of a value: independent
+    md5-derived 60-bit hashes (value + '#' + probe index) mod m —
+    engine-pure (DuckDB replay:
+    ``('0x' || substr(md5(v || '#' || i), 1, 15))::BIGINT % m``)."""
+    return [F.pmod(F.conv(F.substring(
+                F.md5(F.concat(col.cast("string"),
+                               F.lit(f"#{i}"))), 1, 15), 16, 10)
+             .cast("long"), F.lit(m_bits)) for i in range(k)]
+
+
+def bloom_build(df: DataFrame, key_col: str,
+                m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """Build a Bloom filter over a key column as a RELATION of
+    (word, bits) int64 rows — the join-pruning workhorse at 100 TB
+    (broadcast the <= m/64-row filter to the big side and drop rows
+    whose keys definitely aren't in the small side, before any
+    shuffle). Wholly deterministic (md5 probe hashes, `bloom_contains`
+    replays them), so false positives are reproducible and
+    cross-engine testable — unlike hash-seeded native bloom builds.
+
+    Plan: k probe positions per key (constant fan-out), one grouped
+    BIT_OR over 32-bit words (word = pos >> 5; 32-bit words keep the
+    per-bit shift <= 31 — a 64-bit word needs 1 << 63, which DuckDB
+    rejects as signed overflow, so 32-bit is the cross-engine-exact
+    choice) — map-side combined, output bounded by m/32 rows
+    regardless of input size. Absent words mean all-zero bits
+    (`bloom_contains` left-joins). Size m_bits for the target FPP:
+    m/n = 10 bits/key + k = 5 gives ~1 % FPP."""
+    key = F.col(key_col)
+    base = df.select(key.alias("_v")).where(F.col("_v").isNotNull())
+    pos = F.explode(F.array(*_bloom_positions(F.col("_v"),
+                                              m_bits, k)))
+    return (base.select(pos.alias("_p"))
+                .select(F.shiftright(F.col("_p"), 5).alias("word"),
+                        F.expr("shiftleft(cast(1 as bigint), "
+                               "cast(pmod(_p, 32) as int))")
+                         .alias("_m"))
+                .groupBy("word")
+                .agg(F.bit_or("_m").cast("bigint").alias("bits")))
+
+
+def bloom_contains(bloom_df: DataFrame, test_df: DataFrame,
+                   key_col: str, m_bits: int = 1 << 20,
+                   k: int = 5) -> DataFrame:
+    """Membership test against a `bloom_build` relation: a key is
+    'maybe present' iff ALL k probe bits are set (no false negatives;
+    deterministic false positives at the design FPP). Plan: k probe
+    rows per test key joined to the (broadcastable) filter relation,
+    one grouped all-bits-set fold. Output: (key, maybe boolean)."""
+    key = F.col(key_col)
+    base = (test_df.select(key.alias("key")).distinct()
+                   .where(F.col("key").isNotNull()))
+    pos = F.explode(F.array(*_bloom_positions(F.col("key"),
+                                              m_bits, k)))
+    probes = base.select("key", pos.alias("_p")) \
+                 .select("key",
+                         F.shiftright(F.col("_p"), 5).alias("word"),
+                         F.expr("shiftleft(cast(1 as bigint), "
+                                "cast(pmod(_p, 32) as int))")
+                          .alias("_m"))
+    hit = (probes.join(F.broadcast(bloom_df), on="word", how="left")
+                 .withColumn("_ok",
+                             (F.coalesce(F.col("bits"), F.lit(0))
+                              .bitwiseAND(F.col("_m"))
+                              != 0).cast("int")))
+    return (hit.groupBy("key")
+               .agg((F.sum("_ok") == F.lit(k)).alias("maybe")))

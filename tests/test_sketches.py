@@ -1244,3 +1244,36 @@ def test_kmv_set_ops_exact_small_sets(spark):
     r2 = kmv_set_ops(disj, "source", "g", "h", k=64, n=1).collect()[0]
     assert r2["jaccard_est"] == 0.0 and r2["union_est"] == 4.0
     assert r2["inter_est"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# bloom_build / bloom_contains (r11)
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_low_fpp(spark):
+    from dask_grblas_spark.functions.sketches import (bloom_build,
+                                                      bloom_contains)
+    present = spark.range(0, 500).selectExpr("id as k")
+    bloom = bloom_build(present, "k", m_bits=1 << 13, k=5)
+    # every inserted key must test positive (no false negatives)
+    got = {r["key"]: r["maybe"] for r in
+           bloom_contains(bloom, present, "k",
+                          m_bits=1 << 13, k=5).collect()}
+    assert all(got[i] for i in range(500))
+    # absent keys: ~1% FPP at 16.4 bits/key; allow generous slack
+    absent = spark.range(10_000, 12_000).selectExpr("id as k")
+    fp = sum(1 for r in bloom_contains(bloom, absent, "k",
+                                       m_bits=1 << 13, k=5).collect()
+             if r["maybe"])
+    assert fp < 100  # ~5% ceiling vs ~1% design point
+    # determinism: same build twice -> identical words/bits
+    again = bloom_build(present, "k", m_bits=1 << 13, k=5)
+    assert sorted(map(tuple, bloom.collect())) \
+        == sorted(map(tuple, again.collect()))
+
+
+def test_bloom_relation_is_bounded(spark):
+    from dask_grblas_spark.functions.sketches import bloom_build
+    big = spark.range(0, 50_000).selectExpr("id as k")
+    bloom = bloom_build(big, "k", m_bits=1 << 10, k=3)
+    assert bloom.count() <= (1 << 10) // 32   # <= m/32 words, any n

@@ -76,7 +76,8 @@ DEFAULT = ["q174_gini", "q203_cube", "q216_tpch_pricing",
            "q306_edit_distance_join", "q307_decayed_trending",
            "q308_fd_check", "q309_image_dhash",
            "q310_entity_resolution", "q311_image_hamming_dedup",
-           "q312_join_cardinality", "q313_stream_outer_join"]
+           "q312_join_cardinality", "q313_stream_outer_join",
+           "q314_bloom_prune"]
 
 PARTITION_GRID = (5, 32, 77, 200)
 
