@@ -1150,10 +1150,10 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                       .drop("_rn"))
 
     # ---- candidates -> ONE levenshtein per distinct pair ----------
+    # l <= lt holds by construction (probes only emit source lengths
+    # in [lt - D, lt]); the only live predicate is self-exclusion
     cand = (index.join(probe, on=["l", "j", "seg"])
-                 .where((F.col("id") != F.col("id_b"))
-                        & ((F.col("l") < F.col("lt"))
-                           | (F.col("l") == F.col("lt"))))
+                 .where(F.col("id") != F.col("id_b"))
                  .select(F.least("id", "id_b").alias("id_a"),
                          F.greatest("id", "id_b").alias("id_b"))
                  .distinct())

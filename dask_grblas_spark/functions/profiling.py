@@ -1825,6 +1825,17 @@ def cohens_kappa(df: DataFrame, a_col, b_col) -> DataFrame:
         "n long, po double, pe double, kappa double")
 
 
+def _round6(x):
+    """Sign-aware round-half-AWAY-FROM-ZERO to 6 decimals — the
+    oracle-parity rounding rule (mirrors DuckDB ROUND on doubles;
+    Python's round() half-to-even would flip boundary digits).
+    None passes through."""
+    if x is None:
+        return None
+    return (math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0
+            else -(math.floor(-x * 1e6 + 0.5) / 1e6))
+
+
 def _pairable_ic(df: DataFrame, item_col, value_col) -> DataFrame:
     """Shared machinery of the multi-annotator agreement metrics
     (`fleiss_kappa`, `krippendorff_alpha`): the (item, value) count
@@ -1888,11 +1899,9 @@ def fleiss_kappa(df: DataFrame, item_col, value_col) -> DataFrame:
     po = float(r["_posum"]) / items
     pe = int(r["_sq"]) / (n * n)
     kappa = None if pe == 1.0 else (po - pe) / (1.0 - pe)
-    rnd = (lambda x: None if x is None else
-           (math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0
-            else -(math.floor(-x * 1e6 + 0.5) / 1e6)))
     return spark.createDataFrame(
-        [(items, n, rnd(po), rnd(pe), rnd(kappa))], out_schema)
+        [(items, n, _round6(po), _round6(pe), _round6(kappa))],
+        out_schema)
 
 
 def krippendorff_alpha(df: DataFrame, item_col, value_col) -> DataFrame:
@@ -1935,11 +1944,9 @@ def krippendorff_alpha(df: DataFrame, item_col, value_col) -> DataFrame:
     # sum_c n_c(n - n_c) = n^2 - sum_c n_c^2, exact python ints
     d_e = (n * n - int(r["_sq"])) / (n * (n - 1))
     alpha = None if d_e == 0 else 1.0 - d_o / d_e
-    rnd = (lambda x: None if x is None else
-           (math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0
-            else -(math.floor(-x * 1e6 + 0.5) / 1e6)))
     return spark.createDataFrame(
-        [(items, n, rnd(d_o), rnd(d_e), rnd(alpha))], out_schema)
+        [(items, n, _round6(d_o), _round6(d_e), _round6(alpha))],
+        out_schema)
 
 
 def theil_index(df: DataFrame, val_col: str) -> DataFrame:
@@ -2304,11 +2311,16 @@ def auc_by_group(df: DataFrame, score_col: str, label_col,
     # exactly the negatives of all earlier groups — the base.
     pref, _ = _prefix_sum(per, [F.col("grp"), F.col("_s")],
                           "_neg", "_gpref")
-    base = pref.groupBy("grp").agg(F.min("_gpref").alias("_base"))
+    base = pref.groupBy("grp").agg(F.min("_gpref").alias("_base")) \
+               .withColumnRenamed("grp", "_bgrp")
     cum = F.col("_gpref") - F.col("_base")
     u2 = (F.col("_pos").cast("decimal(38,0)")
           * (2 * F.col("_cumneg") + F.col("_neg")))
-    agg = (pref.join(F.broadcast(base), on="grp")
+    # eqNullSafe: a NULL group is a real group (unknown segment) and
+    # must keep its row — a plain equality join would silently drop it
+    agg = (pref.join(F.broadcast(base),
+                     F.col("grp").eqNullSafe(F.col("_bgrp")))
+              .drop("_bgrp")
               .withColumn("_cumneg", cum)
               .groupBy("grp")
               .agg(F.sum("_pos").cast("bigint").alias("n_pos"),

@@ -169,9 +169,7 @@ def rolling_agg(df: DataFrame, key: str = "user_id", ts_col: str = "ts",
     if agg not in ("count_sum", "min", "max", "minmax"):
         raise ValueError(f"unknown rolling agg: {agg!r}")
     sec = F.col(ts_col).cast("long")
-    v6 = F.round(F.col(value_col).cast("double"), 6) \
-          .cast("decimal(38,6)")
-    base = df.withColumn("_sec", sec).withColumn("_v6", v6)
+    base = df.withColumn("_sec", sec)
     if id_col is None:
         base = (base.withColumn("_rid",
                                 F.monotonically_increasing_id())
@@ -181,6 +179,12 @@ def rolling_agg(df: DataFrame, key: str = "user_id", ts_col: str = "ts",
     if agg != "count_sum":
         return _rolling_minmax(base, key, value_col,
                                int(window_seconds), agg)
+    # decimal quantization only on the prefix-DIFFERENCE path (min/max
+    # are fold-order invariant and stay raw doubles); computed after
+    # the branch so the extremes path never pays (or checkpoints) it
+    base = base.withColumn(
+        "_v6", F.round(F.col(value_col).cast("double"), 6)
+                .cast("decimal(38,6)"))
     real = base.select(F.col(key).alias("_k"), "_rid",
                        (F.col("_sec") * 2).alias("_ord"), "_v6")
     probe = base.select(
@@ -272,7 +276,7 @@ def _rolling_minmax(base: DataFrame, key: str, value_col: str,
     if agg in ("max", "minmax"):
         out = out.withColumn(
             "roll_max", F.greatest(F.col("_max_o"), F.col("_max_p")))
-    return out.drop("_rid", "_sec", "_v6",
+    return out.drop("_rid", "_sec",
                     "_min_o", "_max_o", "_min_p", "_max_p")
 
 

@@ -930,8 +930,6 @@ def write_version(df, path: str, orphan_ttl_sec: int = 3600,
     At 100 TB each snapshot is just another partitioned-parquet
     write (no rewrite of history); expired versions can be dropped
     by deleting their dir AFTER removing them from the manifest."""
-    import time
-
     spark = df.sparkSession
     fs, root, jvm = _hadoop_fs(spark, path)
     fs.mkdirs(root)
@@ -944,8 +942,17 @@ def write_version(df, path: str, orphan_ttl_sec: int = 3600,
         # to reclaim; it is not in the manifest by construction) or
         # another writer's IN-FLIGHT data (fresh — deleting it would
         # silently corrupt that writer's commit; fail loudly
-        # instead, preserving the single-writer tripwire).
-        age = time.time() * 1000 \
+        # instead, preserving the single-writer tripwire). The age is
+        # measured against the STORAGE's clock (mtime of a probe file
+        # written just now), not the driver's wall clock — driver/
+        # storage skew larger than the TTL would otherwise defeat
+        # exactly the guard this implements.
+        probe = jvm.org.apache.hadoop.fs.Path(
+            f"{path.rstrip('/')}/._clock_probe_{v}")
+        fs.create(probe, True).close()
+        now_storage = fs.getFileStatus(probe).getModificationTime()
+        fs.delete(probe, False)
+        age = now_storage \
             - fs.getFileStatus(vdir).getModificationTime()
         if age < orphan_ttl_sec * 1000:
             raise RuntimeError(
@@ -1035,7 +1042,10 @@ def read_csv_quarantine_to(spark, path: str, schema: str,
     # one job: every input split is parsed once and its rows fan out
     # to the _ok=true / _ok=false directories as they stream through
     parsed.write.mode("overwrite").partitionBy("_ok").parquet(out_path)
-    back = spark.read.parquet(out_path)
+    # schema-EXPLICIT read back (partition col as string): an empty
+    # input leaves only a _SUCCESS marker, and schema inference would
+    # throw where the interactive sibling returns two empty frames
+    back = spark.read.schema(full + ", _ok string").parquet(out_path)
     # partition values read back type-inferred (string unless told
     # otherwise) — compare scheme-independently via a string cast
     ok = F.col("_ok").cast("string") == F.lit("true")
@@ -1144,9 +1154,11 @@ def write_tar_shards(df, id_col: str = "doc_id",
         # a bucket's members span < width + max_fp of content, so the
         # finished tar (content + <=11264 trailer/pad) is <= target.
         base, _ = _prefix_sum(base, [F.col("_id")], "_fp", "_off")
+        # integer div, not float floor-divide: offsets past ~2^53
+        # would round across a shard boundary and diverge from the
+        # oracle's exact integer rule
         base = (base.withColumn(
-                    "_s", F.floor(F.col("_off") / F.lit(width))
-                           .cast("bigint"))
+                    "_s", F.expr(f"cast(_off div {width} as bigint)"))
                     .drop("_fp", "_off"))
     return base.groupBy("_s").applyInPandas(build, out_schema)
 

@@ -1201,3 +1201,17 @@ def test_stream_outer_join_eviction_boundary(spark, tmp_path):
            for r in stream_interval_join_outer(
                spark, str(tmp_path), window_minutes=30).collect()}
     assert got == {(1, 10, 1), (3, None, 2)}
+
+
+def test_read_csv_quarantine_to_empty_input(spark, tmp_path):
+    """Empty input (a scheduled ingest hitting a zero-row file) must
+    return two empty frames, not crash on parquet schema inference
+    (r11 review finding)."""
+    p = str(tmp_path / "empty.csv")
+    open(p, "w").close()
+    from dask_grblas_spark.sources.io import read_csv_quarantine_to
+    good, bad = read_csv_quarantine_to(
+        spark, p, "k bigint, p decimal(18,2), s string",
+        str(tmp_path / "out"), header=False)
+    assert good.count() == 0 and bad.count() == 0
+    assert good.columns == ["k", "p", "s"]

@@ -478,3 +478,17 @@ def test_join_cardinality_disjoint(spark):
     b = spark.createDataFrame([(2,)], "k int")
     r = profiling.join_cardinality(a, "k", b, "k").collect()[0]
     assert (r["keys_matched"], int(r["out_rows"])) == (0, 0)
+
+
+def test_auc_by_group_null_group_kept(spark):
+    """A NULL group is a real group (unknown segment) — the grouped
+    prefix-sum rewrite must keep its row (r11 review finding: a plain
+    equality join on grp silently dropped it)."""
+    rows = [(None, 3.0, 1), (None, 2.0, 1), (None, 1.0, 0),
+            (None, 2.0, 0), ("a", 5.0, 1), ("a", 1.0, 0)]
+    df = spark.createDataFrame(rows, "g string, s double, y int")
+    got = {r["grp"]: r for r in
+           profiling.auc_by_group(df, "s", "y", "g").collect()}
+    assert set(got) == {None, "a"}
+    assert got[None]["auc"] == pytest.approx(0.875)  # q256's fixture
+    assert got["a"]["auc"] == 1.0
