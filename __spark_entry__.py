@@ -39,9 +39,13 @@ def _run_tmpdir(prefix: str) -> str:
     must never share a path — one run's rmtree/overwrite races
     another's deferred read (r10 advice on q298). tempfile.mkdtemp
     gives each run a unique dir; a best-effort sweep reclaims
-    same-prefix siblings untouched for 30+ minutes so repeated runs
-    don't accumulate in /tmp (no live run is that old — every gate
-    finishes in seconds)."""
+    same-prefix siblings older than 24 HOURS. Age is measured on a
+    sentinel file touched at creation, NOT the top dir's mtime —
+    nested writes (parquet inside bucket/version subdirs) never
+    refresh the top dir, so a long-running run's live scratch would
+    otherwise be swept by a concurrent run (r11 advice). The 24h TTL
+    sits far above any plausible run length; leakage is a few KB per
+    run, so the generous TTL costs nothing."""
     import glob as _glob
     import os
     import shutil
@@ -50,14 +54,23 @@ def _run_tmpdir(prefix: str) -> str:
 
     for d in _glob.glob(f"/tmp/{prefix}_*"):
         try:
-            if time.time() - os.path.getmtime(d) > 1800:
+            stamp = os.path.join(d, ".created") if os.path.isdir(d) else d
+            try:
+                age = time.time() - os.path.getmtime(stamp)
+            except OSError:
+                # pre-sentinel dir (older code) — fall back to dir mtime
+                age = time.time() - os.path.getmtime(d)
+            if age > 86400:
                 if os.path.isdir(d):
                     shutil.rmtree(d, ignore_errors=True)
                 else:
                     os.remove(d)
         except OSError:
             pass
-    return tempfile.mkdtemp(prefix=f"{prefix}_")
+    d = tempfile.mkdtemp(prefix=f"{prefix}_")
+    with open(os.path.join(d, ".created"), "w"):
+        pass
+    return d
 
 # SQL building block shared by the graph oracles
 NN_CTE = """
@@ -4915,7 +4928,10 @@ def q311_image_hamming_dedup(spark, sf_dir):
                                + br)
                 b = np.minimum(255, (vid * 13 + xv * 5 + yv) % 256
                                + br)
-                mids.append(vid + (1000000 if br else 0))
+                # collision-free sibling ids: vid*2+br_flag (vid +
+                # 1_000_000 aliases across populations once vec_id
+                # >= 1e6 — silent merge at larger SFs; r11 advice)
+                mids.append(vid * 2 + (1 if br else 0))
                 blobs.append(encode_ppm_p6(
                     np.stack([r, g, b], axis=2).astype("uint8")))
             yield pd.DataFrame({"media_id": mids, "content": blobs})
@@ -5000,6 +5016,272 @@ def q314_bloom_prune(spark, sf_dir):
                .otherwise(0)).cast("bigint").alias("n_false_pos"),
         F.sum(F.when(~F.col("maybe") & F.col("_in").isNotNull(), 1)
                .otherwise(0)).cast("bigint").alias("n_false_neg"))
+
+
+def q315_tpch_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier) adapted (no partsupp —
+    cost(part, supplier) = MIN observed l_extendedprice): for every
+    STANDARD part of size <= 10, the EUROPE supplier(s) whose cost
+    equals the per-part minimum over EUROPE, with account balance and
+    nation; top 100 by (s_acctbal DESC, p_partkey, s_suppkey). The
+    correlated MIN subquery decorrelates into a per-part aggregate
+    re-joined on the EXACT DECIMAL(27,2) cost (a double min at a tie
+    would be engine roulette). Plan: the part slice and the
+    nation⋈region lookup BROADCAST into the lineitem scan (both
+    filters push down); ONE shuffle builds the (part, supplier) cost
+    relation; the per-part min is a second partial-agg on the same
+    key prefix and re-joins partkey-to-partkey (co-partitioned, AQE
+    can keep it shuffle-local); the top-100 is a distributed
+    TakeOrdered on a TOTAL key — (p_partkey, s_suppkey) is unique so
+    no tie-cut nondeterminism at any scale."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .where((F.col("p_type") == "STANDARD")
+               & (F.col("p_size") <= 10)) \
+        .select("p_partkey")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet") \
+        .where(F.col("r_name") == "EUROPE")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nr = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .select("n_nationkey", "n_name"))
+    eu = (s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    cost = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .join(eu, li.l_suppkey == eu.s_suppkey)
+              .groupBy(F.col("l_partkey").cast("bigint")
+                        .alias("pk"),
+                       "s_suppkey", "s_name", "s_acctbal", "n_name")
+              .agg(F.min(F.col("l_extendedprice")
+                          .cast("decimal(27,2)")).alias("_cost")))
+    best = cost.groupBy("pk").agg(F.min("_cost").alias("_best"))
+    return (cost.join(best, "pk")
+                .where(F.col("_cost") == F.col("_best"))
+                .orderBy(F.col("s_acctbal").desc(), "pk", "s_suppkey")
+                .limit(100)
+                .select(F.col("s_acctbal").cast("double")
+                         .alias("s_acctbal"),
+                        "s_name", "n_name",
+                        F.col("pk").alias("p_partkey"),
+                        F.col("s_suppkey").cast("bigint")
+                         .alias("s_suppkey"),
+                        F.col("_cost").cast("double").alias("cost")))
+
+
+def q316_tpch_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification) adapted (no
+    partsupp — part value = discounted lineitem revenue): parts whose
+    ASIA-supplier revenue exceeds 0.1% of the GLOBAL ASIA total — the
+    HAVING-vs-global-scalar pattern (q267 thresholds on the per-part
+    AVERAGE; this is the spec's FRACTION-of-total form). The global
+    total is a 1-row broadcast nested-loop filter; the comparison
+    CROSS-MULTIPLIES exact decimals (value*1000 > total) so no engine
+    divides. ONE shuffle (per-part fold with map-side partial agg);
+    the supplier-region lookup broadcasts into the lineitem scan."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet") \
+        .where(F.col("r_name") == "ASIA")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    asia = (s.join(F.broadcast(
+                n.join(F.broadcast(r),
+                       n.n_regionkey == r.r_regionkey)
+                 .select("n_nationkey")),
+                s.s_nationkey == F.col("n_nationkey"))
+             .select("s_suppkey"))
+    rev = (F.col("l_extendedprice").cast("double")
+           * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
+        .cast("decimal(27,4)")
+    per = (li.join(F.broadcast(asia), li.l_suppkey == asia.s_suppkey)
+             .groupBy(F.col("l_partkey").cast("bigint")
+                       .alias("p_partkey"))
+             .agg(F.sum(rev).alias("_val")))
+    tot = per.agg(F.sum(F.col("_val").cast("decimal(38,4)"))
+                   .alias("_tot"))
+    return (per.join(F.broadcast(tot))
+               .where(F.col("_val").cast("decimal(38,4)") * 1000
+                      > F.col("_tot"))
+               .select("p_partkey",
+                       F.col("_val").cast("double").alias("value")))
+
+
+def q317_tpch_parts_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship) adapted (no
+    partsupp — supply pairs = DISTINCT (l_partkey, l_suppkey); no
+    comment column — the complaints exclusion list is the
+    deterministic s_suppkey % 10 = 3 slice): distinct supplier count
+    per (p_brand, p_type, p_size) over spec-like sizes, excluding
+    Brand#13 and PROMO parts and the NOT-IN supplier set. Plan: the
+    exclusion list broadcasts as a LEFT ANTI join; the pair relation
+    dedups with map-side partial agg; part attributes broadcast; the
+    final COUNT(DISTINCT) groups on low-cardinality keys (fan-in, no
+    skew — every stage partial-aggregates)."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .where((F.col("p_brand") != "Brand#13")
+               & (F.col("p_type") != "PROMO")
+               & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)) \
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .where(F.pmod(F.col("s_suppkey"), F.lit(10)) == 3) \
+        .select("s_suppkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (li.select(F.col("l_partkey").alias("pk"),
+                       F.col("l_suppkey").alias("sk"))
+               .distinct()
+               .join(F.broadcast(s), F.col("sk") == s.s_suppkey,
+                     "left_anti"))
+    return (pairs.join(F.broadcast(p), pairs.pk == p.p_partkey)
+                 .groupBy("p_brand", "p_type",
+                          F.col("p_size").cast("int").alias("p_size"))
+                 .agg(F.countDistinct("sk").cast("bigint")
+                       .alias("supplier_cnt")))
+
+
+def q318_tpch_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion) adapted (no
+    partsupp availqty — the nested quantity test becomes: the
+    supplier shipped MORE THAN HALF of the part's total 1996 volume):
+    AMERICA suppliers for which EXISTS a red part whose 1996 shipments
+    they dominated. The doubly-nested aggregate subquery decorrelates
+    into per-(part, supplier) and per-part DECIMAL(27,2) quantity
+    folds joined on partkey (co-partitioned after one shuffle); the
+    2*qty_sp > qty_p compare is exact decimal cross-multiplication;
+    the EXISTS collapses to DISTINCT suppkey + a broadcast semi join
+    into the supplier table. Output one row per qualifying supplier
+    (s_suppkey, s_name, n_name)."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .where(F.col("p_name").startswith("red")) \
+        .select("p_partkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+               & (F.col("l_shipdate") < F.lit("1997-01-01")))
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet") \
+        .where(F.col("r_name") == "AMERICA")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    qty = F.col("l_quantity").cast("decimal(27,2)")
+    red = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    sp = (red.groupBy(F.col("l_partkey").alias("pk"),
+                      F.col("l_suppkey").alias("sk"))
+             .agg(F.sum(qty).alias("_sp")))
+    per = (red.groupBy(F.col("l_partkey").alias("pk2"))
+              .agg(F.sum(qty).alias("_tot")))
+    dom = (sp.join(per, sp.pk == per.pk2)
+             .where(F.col("_sp") * 2 > F.col("_tot"))
+             .select("sk").distinct())
+    nr = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .select("n_nationkey", "n_name"))
+    return (s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
+             .join(dom, s.s_suppkey == dom.sk, "left_semi")
+             .select(F.col("s_suppkey").cast("bigint")
+                      .alias("s_suppkey"), "s_name", "n_name"))
+
+
+def q319_tpch_above_region_avg(spark, sf_dir):
+    """Two-level correlated scalar pattern (the TPC-H Q2/Q17 family
+    generalized across a HIERARCHY): nations whose average customer
+    balance exceeds their REGION's average. Both averages decorrelate
+    into grouped DECIMAL(27,2) sums + BIGINT counts, and the compare
+    CROSS-MULTIPLIES (sum_n * cnt_r > sum_r * cnt_n, exact
+    DECIMAL(38,2) x bigint) so neither engine ever divides — a nation
+    sitting exactly on its region's mean cannot flip. Plan: ONE
+    customer-scan shuffle to the per-nation fold (25 rows); the
+    region rollup and the join back are driver-trivial broadcasts;
+    at 100 TB only the first fold touches data, everything after is
+    dimension-sized."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    bal = F.col("c_acctbal").cast("decimal(27,2)")
+    pern = (c.groupBy(F.col("c_nationkey").alias("nk"))
+             .agg(F.sum(bal).alias("_sum"),
+                  F.count("*").alias("_cnt")))
+    pern = (pern.join(F.broadcast(n), pern.nk == n.n_nationkey)
+                .select("nk", "n_name", "n_regionkey",
+                        "_sum", "_cnt"))
+    perr = (pern.groupBy("n_regionkey")
+                .agg(F.sum(F.col("_sum").cast("decimal(38,2)"))
+                      .alias("_rsum"),
+                     F.sum("_cnt").alias("_rcnt")))
+    return (pern.join(F.broadcast(perr), "n_regionkey")
+                .join(F.broadcast(r),
+                      F.col("n_regionkey") == r.r_regionkey)
+                .where(F.col("_sum").cast("decimal(38,2)")
+                       * F.col("_rcnt")
+                       > F.col("_rsum") * F.col("_cnt"))
+                .select("r_name", "n_name",
+                        F.col("_cnt").cast("bigint")
+                         .alias("n_customers"),
+                        F.col("_sum").cast("double")
+                         .alias("nation_sum_bal")))
+
+
+def q320_tpch_never_brand(spark, sf_dir):
+    """Deep NOT-EXISTS chain (the TPC-H Q22 anti-join pattern pushed
+    through a 3-table subquery): per nation, the customers who placed
+    >= 1 order but NEVER bought any Brand#21 part — count and their
+    total order spend. The NOT EXISTS decorrelates into a DISTINCT
+    buyer set (orders⋈lineitem⋈brand-slice, the part slice BROADCAST
+    into the lineitem scan) applied as a LEFT ANTI join; the >= 1
+    order test plus the spend rollup share ONE per-customer orders
+    fold (no second orders scan); nation broadcasts at the end. All
+    money folds in DECIMAL(27,2)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .where(F.col("p_brand") == "Brand#21").select("p_partkey")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    bought = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+                .join(o, li.l_orderkey == o.o_orderkey)
+                .select(F.col("o_custkey").alias("bk"))
+                .distinct())
+    spend = (o.groupBy(F.col("o_custkey").alias("ck"))
+              .agg(F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+                    .alias("_spend")))
+    keep = spend.join(bought, spend.ck == bought.bk, "left_anti")
+    return (keep.join(c, keep.ck == c.c_custkey)
+                .join(F.broadcast(n),
+                      c.c_nationkey == n.n_nationkey)
+                .groupBy("n_name")
+                .agg(F.count("*").cast("bigint").alias("n_customers"),
+                     F.sum(F.col("_spend").cast("decimal(38,2)"))
+                      .cast("double").alias("total_spend")))
+
+
+def q321_quantile_sketch(spark, sf_dir):
+    """Mergeable deterministic quantile sketch (sketches.
+    quantile_sketch_build/query) CALIBRATED against ground truth in
+    the same gate (the q278 recall-vs-exact pattern): per-returnflag
+    extendedprice quantiles at six phis from a k=256 hash-level
+    Bernoulli sketch, each estimate carrying its TRUE exact rank so
+    the sampling error is pinned, not trusted. The sketch is ~k rows
+    per group whatever the input size (the 100 TB percentile path —
+    exact `_exact_rank` quantiles stay the oracle, not the plan);
+    the true-rank pass broadcasts the 18-row estimate table into one
+    lineitem scan. Everything (hash membership, level, index rule)
+    replays bit-for-bit in the DuckDB oracle."""
+    from dask_grblas_spark.functions.sketches import (
+        quantile_sketch_build, quantile_sketch_query)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    uid = F.concat(F.col("l_orderkey").cast("string"), F.lit(":"),
+                   F.col("l_linenumber").cast("string"))
+    df = li.select(F.col("l_returnflag").alias("g"),
+                   uid.alias("_uid"),
+                   F.col("l_extendedprice").alias("x"))
+    sk = quantile_sketch_build(df, "x", F.col("_uid"), k=256,
+                               group_cols=["g"])
+    q = quantile_sketch_query(sk, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+                              group_cols=["g"])
+    vals = df.select("g", F.col("x").cast("double").alias("_v"))
+    tr = (vals.join(F.broadcast(q), on="g")
+              .groupBy("g", "phi", "est", "n", "level", "m")
+              .agg(F.sum(F.when(F.col("_v") <= F.col("est"), 1)
+                          .otherwise(0)).cast("bigint")
+                    .alias("true_rank")))
+    return tr.select(F.col("g").alias("l_returnflag"), "phi", "est",
+                     "n", "level", "m", "true_rank")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5185,6 +5467,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q312_join_cardinality": q312_join_cardinality,
         "q313_stream_outer_join": q313_stream_outer_join,
         "q314_bloom_prune": q314_bloom_prune,
+        # round 12: the TPC-H correlated-subquery pattern bank
+        # (queue for the r13 driver window)
+        "q315_tpch_min_cost_supplier": q315_tpch_min_cost_supplier,
+        "q316_tpch_important_stock": q316_tpch_important_stock,
+        "q317_tpch_parts_supplier_cnt": q317_tpch_parts_supplier_cnt,
+        "q318_tpch_part_promotion": q318_tpch_part_promotion,
+        "q319_tpch_above_region_avg": q319_tpch_above_region_avg,
+        "q320_tpch_never_brand": q320_tpch_never_brand,
+        "q321_quantile_sketch": q321_quantile_sketch,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -5338,19 +5629,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_op_grid": q56_op_grid,
         "q55_isclose": q55_isclose,
     }
-    # Round-11 ROTATION (r10 verdict item 1): the 18 never-recorded
-    # gates q283-q300 (TPC-H Q3/Q5/Q10/Q21 shapes, kendall-binned,
-    # PMI, windowed funnel, grouped AUC, WAV, k-anonymity,
-    # l-diversity, ECE, readability, stateful streaming, first-touch
-    # window, CSV quarantine, tar shards, capstone funnel) take the
-    # head; the other 32 slots are the longest-unrecorded gates —
-    # the r5-era band (q11..q56 core idioms + q61..q79 LLM-pipeline
-    # block, all last driver-rowed in round 5).
-    window = [f"q2{i:02d}" for i in range(83, 100)]  # q283..q299
-    window += ["q300"]                               # capstone funnel
-    window += ["q11", "q18", "q19", "q20", "q21", "q23", "q27",
-               "q28", "q29", "q38", "q49", "q55", "q56"]
-    window += [f"q{i}" for i in range(61, 80)]       # q61..q79
+    # Round-12 ROTATION (r11 verdict item 1): the 14 never-recorded
+    # round-11 gates q301-q314 (rolling minmax, quarantine split,
+    # bytes tar shards, Fleiss/Krippendorff, edit-distance join,
+    # decayed trending, FD check, dHash, entity resolution, Hamming
+    # dedup, join cardinality, stream outer join, Bloom prune) take
+    # the head; the other 36 slots are the longest-unrecorded gates
+    # per the CORRECTNESS_r* ledger — the r5 cohort (q80-q84, last
+    # driver-rowed round 5) then the oldest r6 cohort in numeric
+    # order (q06-q60 band: graph/core idioms, dedup/ANN, streaming,
+    # media, io roundtrips).
+    window = [f"q3{i:02d}" for i in range(1, 15)]    # q301..q314
+    window += ["q80", "q81", "q82", "q83", "q84"]    # r5 cohort
+    window += ["q06", "q07", "q08", "q10", "q14", "q16", "q22",
+               "q24", "q25", "q30", "q31", "q32", "q33", "q34",
+               "q35", "q36", "q37", "q39", "q40", "q41", "q41b",
+               "q42", "q50", "q51", "q52", "q53", "q54", "q57",
+               "q58", "q59", "q60"]                  # r6 cohort
 
     bypfx = {k.split("_")[0]: k for k in base}
     head = {bypfx[p]: base[bypfx[p]] for p in window}
@@ -12832,7 +13127,7 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT CAST(vec_id AS BIGINT), 13 FROM embeddings
         ), dim AS (
-          SELECT vid + CASE WHEN br > 0 THEN 1000000 ELSE 0 END AS id,
+          SELECT vid * 2 + CASE WHEN br > 0 THEN 1 ELSE 0 END AS id,
                  vid, br,
                  16 + (vid * 3) % 25 AS w, 16 + (vid * 5) % 17 AS h
           FROM ids
@@ -12956,5 +13251,177 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_false_neg
         FROM mb LEFT JOIN seg s ON mb.key = s.v"""
+
+    # q315: TPC-H Q2 shape — per-part min cost over EUROPE suppliers
+    # on the exact decimal, top 100 on a total key
+    sql["q315_tpch_min_cost_supplier"] = """
+        WITH eu AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier, nation, region
+          WHERE s_nationkey = n_nationkey
+            AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        ), cost AS (
+          SELECT CAST(l_partkey AS BIGINT) AS pk, s_suppkey, s_name,
+                 s_acctbal, n_name,
+                 MIN(CAST(l_extendedprice AS DECIMAL(27,2))) AS c
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+           AND p_type = 'STANDARD' AND p_size <= 10
+          JOIN eu ON l_suppkey = eu.s_suppkey
+          GROUP BY 1, 2, 3, 4, 5
+        )
+        SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name,
+               pk AS p_partkey, CAST(s_suppkey AS BIGINT) AS s_suppkey,
+               CAST(c AS DOUBLE) AS cost
+        FROM cost a
+        WHERE c = (SELECT MIN(c) FROM cost b WHERE b.pk = a.pk)
+        ORDER BY s_acctbal DESC, pk, s_suppkey
+        LIMIT 100"""
+
+    # q316: TPC-H Q11 shape — HAVING vs the global-fraction scalar,
+    # cross-multiplied in exact decimals
+    sql["q316_tpch_important_stock"] = """
+        WITH per AS (
+          SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+                 SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                          * (1.0 - CAST(l_discount AS DOUBLE))
+                          AS DECIMAL(27,4))) AS val
+          FROM lineitem, supplier, nation, region
+          WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+          GROUP BY 1
+        )
+        SELECT p_partkey, CAST(val AS DOUBLE) AS value
+        FROM per
+        WHERE CAST(val AS DECIMAL(38,4)) * 1000
+              > (SELECT SUM(CAST(val AS DECIMAL(38,4))) FROM per)"""
+
+    # q317: TPC-H Q16 shape — distinct-supplier count per part attrs
+    # with a NOT-IN exclusion list
+    sql["q317_tpch_parts_supplier_cnt"] = """
+        SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+               CAST(COUNT(DISTINCT sk) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+              FROM lineitem) pairs
+        JOIN part ON pk = p_partkey
+        WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND sk NOT IN (SELECT s_suppkey FROM supplier
+                         WHERE s_suppkey % 10 = 3)
+        GROUP BY 1, 2, 3"""
+
+    # q318: TPC-H Q20 shape — nested aggregate EXISTS (supplier
+    # dominated a red part's 1996 volume), exact decimal compare
+    sql["q318_tpch_part_promotion"] = """
+        WITH red AS (
+          SELECT l_partkey AS pk, l_suppkey AS sk,
+                 CAST(l_quantity AS DECIMAL(27,2)) AS q
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'red%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+        ), sp AS (
+          SELECT pk, sk, SUM(q) AS qsp FROM red GROUP BY 1, 2
+        ), tot AS (
+          SELECT pk, SUM(q) AS qp FROM red GROUP BY 1
+        ), dom AS (
+          SELECT DISTINCT sk FROM sp JOIN tot USING (pk)
+          WHERE qsp * 2 > qp
+        )
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name
+        FROM supplier, nation, region
+        WHERE s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey AND r_name = 'AMERICA'
+          AND s_suppkey IN (SELECT sk FROM dom)"""
+
+    # q319: two-level correlated scalar — nation avg balance vs its
+    # region's avg, cross-multiplied exact decimals
+    sql["q319_tpch_above_region_avg"] = """
+        WITH pern AS (
+          SELECT c_nationkey AS nk,
+                 SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM customer GROUP BY 1
+        ), named AS (
+          SELECT nk, n_name, n_regionkey, s, c
+          FROM pern JOIN nation ON nk = n_nationkey
+        ), perr AS (
+          SELECT n_regionkey,
+                 SUM(CAST(s AS DECIMAL(38,2))) AS rs,
+                 SUM(c) AS rc
+          FROM named GROUP BY 1
+        )
+        SELECT r_name, n_name, c AS n_customers,
+               CAST(s AS DOUBLE) AS nation_sum_bal
+        FROM named
+        JOIN perr USING (n_regionkey)
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE CAST(s AS DECIMAL(38,2)) * rc > rs * c"""
+
+    # q320: deep NOT-EXISTS chain — per-nation customers who ordered
+    # but never bought Brand#21, with their decimal-exact spend
+    sql["q320_tpch_never_brand"] = """
+        WITH bought AS (
+          SELECT DISTINCT o_custkey AS bk
+          FROM orders, lineitem, part
+          WHERE o_orderkey = l_orderkey AND l_partkey = p_partkey
+            AND p_brand = 'Brand#21'
+        ), spend AS (
+          SELECT o_custkey AS ck,
+                 SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS sp
+          FROM orders GROUP BY 1
+        )
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(sp AS DECIMAL(38,2))) AS DOUBLE)
+                 AS total_spend
+        FROM spend
+        JOIN customer ON ck = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE ck NOT IN (SELECT bk FROM bought)
+        GROUP BY 1"""
+
+    # q321: the quantile sketch replayed bit-for-bit — md5 level
+    # membership, integer level rule, (val, hash) index rule, plus
+    # the exact true rank of each estimate
+    sql["q321_quantile_sketch"] = """
+        WITH base AS (
+          SELECT l_returnflag AS g,
+                 CAST(l_extendedprice AS DOUBLE) AS v,
+                 ('0x' || substr(md5('qsk:' || l_orderkey || ':'
+                                 || l_linenumber), 1, 15))::BIGINT
+                   AS h
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ), cnt AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1
+        ), lev AS (
+          SELECT g, n,
+                 (SELECT MIN(l) FROM range(51) t(l)
+                  WHERE (CAST(256 AS BIGINT) << l) >= n) AS lv
+          FROM cnt
+        ), kept AS (
+          SELECT b.g, b.v, b.h, l.n, l.lv
+          FROM base b JOIN lev l USING (g)
+          WHERE b.h % (CAST(1 AS BIGINT) << l.lv) = 0
+        ), sz AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS m FROM kept GROUP BY 1
+        ), rn AS (
+          SELECT g, v, row_number() OVER (PARTITION BY g
+                                          ORDER BY v, h) AS rn
+          FROM kept
+        ), phis(phi) AS (
+          VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)
+        ), pick AS (
+          SELECT l.g, p.phi, l.n, l.lv, s.m,
+                 LEAST(GREATEST(CAST(CEIL(p.phi * s.m) AS BIGINT),
+                                1), s.m) AS i
+          FROM lev l JOIN sz s USING (g), phis p
+        )
+        SELECT pick.g AS l_returnflag, CAST(pick.phi AS DOUBLE) AS phi,
+               rn.v AS est, pick.n AS n, CAST(pick.lv AS INT) AS level,
+               pick.m AS m,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM base b2
+                WHERE b2.g = pick.g AND b2.v <= rn.v) AS true_rank
+        FROM pick JOIN rn ON rn.g = pick.g AND rn.rn = pick.i"""
 
     return sql

@@ -1680,9 +1680,21 @@ def _prefix_sum(df: DataFrame, sort_cols: list, val_col,
     shuffle, one driver collect, and one window pass (pr_auc needs
     two running totals — paying the shuffle twice doubled its probe
     time). Placement is pinned via localCheckpoint so the sum pass
-    and the window pass agree. Returns (df + out_col(s), total(s));
-    totals mirror the input shape (scalar for a str, list for a
-    list)."""
+    and the window pass agree.
+
+    COST (size this at scale): the localCheckpoint MATERIALIZES the
+    full input relation to executor-local disk — unavoidable, since
+    it is what pins partition placement between the per-partition sum
+    pass and the window pass (without it the two passes could see
+    different range splits and the offsets would be wrong). Callers
+    should project to the slim (sort_cols, val_col) relation FIRST.
+    For continuous-score AUC (`roc_auc`/`auc_by_group`) the input is
+    the distinct-(group,)score relation, ~n rows when scores are
+    continuous: at 100 TB budget executor local-disk for one slim
+    copy of the score column (e.g. ~16 B/row -> ~1.6 TB across the
+    cluster for 10^11 rows) or pre-quantize scores to collapse
+    distincts. Returns (df + out_col(s), total(s)); totals mirror the
+    input shape (scalar for a str, list for a list)."""
     from pyspark.sql.window import Window as W
 
     single = isinstance(val_col, str)
@@ -1897,7 +1909,12 @@ def fleiss_kappa(df: DataFrame, item_col, value_col) -> DataFrame:
         return spark.createDataFrame(
             [(0, 0, None, None, None)], out_schema)
     po = float(r["_posum"]) / items
-    pe = int(r["_sq"]) / (n * n)
+    # Mirror the SQL oracle's CAST(.. AS DOUBLE)/CAST(.. AS DOUBLE):
+    # convert each operand to float BEFORE dividing. Python's exact
+    # big-int true division is correctly rounded from the EXACT
+    # rationals, which can differ by an ulp past 2^53 annotations and
+    # flip a round-6 boundary (the kendall_tau_binned failure class).
+    pe = float(int(r["_sq"])) / float(n * n)
     kappa = None if pe == 1.0 else (po - pe) / (1.0 - pe)
     return spark.createDataFrame(
         [(items, n, _round6(po), _round6(pe), _round6(kappa))],
@@ -1941,8 +1958,11 @@ def krippendorff_alpha(df: DataFrame, item_col, value_col) -> DataFrame:
         return spark.createDataFrame(
             [(0, 0, None, None, None)], out_schema)
     d_o = float(r["_dosum"]) / n
-    # sum_c n_c(n - n_c) = n^2 - sum_c n_c^2, exact python ints
-    d_e = (n * n - int(r["_sq"])) / (n * (n - 1))
+    # sum_c n_c(n - n_c) = n^2 - sum_c n_c^2, exact python ints —
+    # but the DIVISION mirrors the oracle's per-operand DOUBLE casts
+    # (exact big-int true division differs by an ulp past 2^53 and
+    # can flip a round-6 boundary; see fleiss_kappa).
+    d_e = float(n * n - int(r["_sq"])) / float(n * (n - 1))
     alpha = None if d_e == 0 else 1.0 - d_o / d_e
     return spark.createDataFrame(
         [(items, n, _round6(d_o), _round6(d_e), _round6(alpha))],

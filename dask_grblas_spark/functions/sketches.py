@@ -461,3 +461,137 @@ def bloom_contains(bloom_df: DataFrame, test_df: DataFrame,
                               != 0).cast("int")))
     return (hit.groupBy("key")
                .agg((F.sum("_ok") == F.lit(k)).alias("maybe")))
+
+
+def _qsk_level(k: int, cnt_col) -> F.Column:
+    """Smallest L with k * 2^L >= n — PURE INTEGER math (an
+    IEEE ceil(log2(n/k)) at an exact power-of-two boundary would be
+    engine roulette). L <= 50 covers n up to k * 2^50 (~10^18 rows
+    at k=1024); shiftleft stays far inside int64."""
+    return F.expr(
+        f"array_min(filter(sequence(0, 50), "
+        f"l -> shiftleft(cast({int(k)} as bigint), l) >= {cnt_col}))") \
+        .cast("int")
+
+
+def quantile_sketch_build(df: DataFrame, val_col: str, uid_col,
+                          k: int = 1024, group_cols=None,
+                          salt: str = "qsk") -> DataFrame:
+    """Mergeable DETERMINISTIC quantile sketch — the one-pass
+    bounded-size summary the exact range-partitioned quantiles
+    (profiling `_exact_rank`) are too expensive for at 100 TB.
+
+    Construction (hash-level Bernoulli rank sample — the geometric
+    level trick of distinct sampling [Flajolet-Martin] applied to
+    rank estimation, i.e. a coordinated bottom-k sample in the sense
+    of Cohen & Kaplan): every row gets a 60-bit md5 hash of its
+    UNIQUE id (``salt || ':' || uid`` — hashing the id, not the
+    value, keeps duplicate-heavy columns honestly sampled); the
+    per-group level L is the smallest integer with k*2^L >= n, and
+    the sketch keeps exactly the rows whose hash ≡ 0 (mod 2^L) — an
+    expected k/2..k items, each representing 2^L rows. Everything is
+    a pure function of the data (no RNG, no partition-order
+    dependence), so the whole sketch — not just its shape — replays
+    bit-for-bit in a SQL oracle, and groups with n <= k keep ALL
+    rows (the sketch degrades to exact).
+
+    Mergeability: levels NEST (hash ≡ 0 mod 2^L' implies ≡ 0 mod 2^L
+    for L <= L'), so re-thresholding a union of sketches at the
+    combined level equals the sketch built directly over the
+    combined data — EXACT equality, tested, not just same error
+    bound. Rank error is the Bernoulli sampling deviation
+    O(n/sqrt(k)) — cruder than KLL's O(n/k) for the same k, bought
+    deliberately: KLL's streaming compaction is arrival-order
+    dependent and cannot be replayed by a declarative oracle.
+
+    Plan: one grouped count + one co-partitioned join back + a
+    pushed-down modulo filter — a single shuffle over the slim
+    (group, uid-hash, val) relation; output is ~k rows per group
+    regardless of input size. Returns (group..., _n, _level, _h,
+    _val); feed to `quantile_sketch_merge` / `quantile_sketch_query`.
+    """
+    groups = list(group_cols or [])
+    base = (df.select(*groups,
+                      cross_hash60(
+                          F.concat(F.lit(f"{salt}:"),
+                                   F.col(uid_col).cast("string")
+                                   if isinstance(uid_col, str)
+                                   else uid_col.cast("string")))
+                      .alias("_h"),
+                      F.col(val_col).cast("double").alias("_val"))
+              .where(F.col("_val").isNotNull()))
+    cnt = (base.groupBy(*groups)
+               .agg(F.count("*").cast("bigint").alias("_n"))
+               .withColumn("_level", _qsk_level(k, "_n")))
+    joined = base.join(cnt, on=groups) if groups \
+        else base.crossJoin(F.broadcast(cnt))
+    return (joined.where(F.pmod(
+                F.col("_h"),
+                F.expr("shiftleft(cast(1 as bigint), _level)")) == 0)
+                  .select(*groups, "_n", "_level", "_h", "_val"))
+
+
+def quantile_sketch_merge(sketches: list, k: int = 1024,
+                          group_cols=None) -> DataFrame:
+    """Merge `quantile_sketch_build` outputs over DISJOINT row sets
+    (shards, days, partitions): total n per group = sum of the
+    shards' n, new level from the same integer rule, and the union
+    re-thresholded at the new level. Because levels nest, the result
+    EQUALS the direct sketch over the concatenated data — the
+    mergeability contract a 100 TB rollup (per-day sketches folded
+    into a month) depends on. Only sketch-sized relations are
+    touched; no re-scan of the base data."""
+    groups = list(group_cols or [])
+    tagged = None
+    for i, s in enumerate(sketches):
+        t = s.withColumn("_src", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    per_src = (tagged.groupBy(*groups, "_src")
+                     .agg(F.max("_n").alias("_sn")))
+    tot = (per_src.groupBy(*groups)
+                  .agg(F.sum("_sn").cast("bigint").alias("_tn"))
+                  .withColumn("_tl", _qsk_level(k, "_tn")))
+    j = tagged.join(tot, on=groups) if groups \
+        else tagged.crossJoin(F.broadcast(tot))
+    return (j.where(F.pmod(
+                F.col("_h"),
+                F.expr("shiftleft(cast(1 as bigint), _tl)")) == 0)
+             .select(*groups,
+                     F.col("_tn").alias("_n"),
+                     F.col("_tl").alias("_level"), "_h", "_val"))
+
+
+def quantile_sketch_query(sketch: DataFrame, phis: list,
+                          group_cols=None) -> DataFrame:
+    """Quantile estimates from a sketch relation: per group the kept
+    items are ranked by (val, hash) — a TOTAL order, so ties cannot
+    reorder across partitionings — and phi maps to the item at index
+    clamp(ceil(phi * m), 1, m) of the m kept items (each item stands
+    for 2^level rows, so kept-index i estimates global rank
+    i * 2^level). The window partitions by GROUP over ~k rows — never
+    a global single-task sort. Output: (group..., phi, est, n,
+    level, m); est NULL only for an empty group sketch."""
+    groups = list(group_cols or [])
+    w = Window.partitionBy(*groups).orderBy("_val", "_h") if groups \
+        else Window.partitionBy(F.lit(1)).orderBy("_val", "_h")
+    ranked = (sketch.withColumn("_rn", F.row_number().over(w))
+                    .withColumn("_m", F.count("*").over(
+                        Window.partitionBy(*groups) if groups
+                        else Window.partitionBy(F.lit(1)))))
+    phi_arr = F.array(*[F.lit(float(p)) for p in phis])
+    want = (ranked.select(*groups, "_n", "_level", "_m",
+                          F.explode(phi_arr).alias("phi"))
+                  .distinct()
+                  .withColumn("_i", F.least(
+                      F.greatest(F.ceil(F.col("phi") * F.col("_m")),
+                                 F.lit(1)), F.col("_m"))))
+    on = groups + ["_n", "_level", "_m"]
+    return (want.join(ranked.select(*groups, "_n", "_level", "_m",
+                                    "_rn", "_val"),
+                      on=on)
+                .where(F.col("_rn") == F.col("_i"))
+                .select(*groups, "phi",
+                        F.col("_val").alias("est"),
+                        F.col("_n").alias("n"),
+                        F.col("_level").cast("int").alias("level"),
+                        F.col("_m").cast("bigint").alias("m")))

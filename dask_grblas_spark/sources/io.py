@@ -952,8 +952,22 @@ def write_version(df, path: str, orphan_ttl_sec: int = 3600,
         fs.create(probe, True).close()
         now_storage = fs.getFileStatus(probe).getModificationTime()
         fs.delete(probe, False)
-        age = now_storage \
-            - fs.getFileStatus(vdir).getModificationTime()
+        # Age the NEWEST FILE beneath vdir, not the dir itself: on
+        # object stores (S3A) directory mtimes are synthetic (often
+        # 0), so a concurrent writer's fresh in-flight dir would look
+        # ancient and be silently reclaimed — the exact corruption
+        # this guard exists to make loud. A recursive file listing
+        # has real per-object mtimes everywhere; an empty dir (no
+        # files yet) is treated as FRESH (age 0) — refusing to
+        # reclaim an empty dir costs nothing, reclaiming a racing
+        # writer's dir corrupts its commit.
+        newest = None
+        it = fs.listFiles(vdir, True)
+        while it.hasNext():
+            mt = it.next().getModificationTime()
+            if newest is None or mt > newest:
+                newest = mt
+        age = 0 if newest is None else now_storage - newest
         if age < orphan_ttl_sec * 1000:
             raise RuntimeError(
                 f"uncommitted {vdir} is only {age / 1000:.0f}s old "
@@ -1142,7 +1156,22 @@ def write_tar_shards(df, id_col: str = "doc_id",
                     "_fp", F.expr("cast(512 + ((_oct + 511) div 512)"
                                   " * 512 as bigint)"))
                     .drop("_oct"))
-        max_fp = int(base.agg(F.max("_fp")).collect()[0][0] or 0)
+        # ONE pre-flight agg: largest footprint + the unique-id guard.
+        # Duplicate ids make the `_prefix_sum` sort key non-distinct,
+        # so tie ORDER — and hence shard assignment — could vary
+        # across partitionings, silently breaking the determinism
+        # contract; raise loudly instead (r11 verdict watch item).
+        pre = base.agg(F.max("_fp").alias("_mx"),
+                       F.count("*").alias("_n"),
+                       F.countDistinct("_id").alias("_d")).collect()[0]
+        if int(pre["_n"] or 0) != int(pre["_d"] or 0):
+            raise ValueError(
+                f"write_tar_shards(target_bytes=...) requires unique "
+                f"{id_col!r} values: got {int(pre['_n'])} rows but "
+                f"only {int(pre['_d'])} distinct ids — duplicate ids "
+                "make the prefix-sum order (and shard assignment) "
+                "partition-dependent")
+        max_fp = int(pre["_mx"] or 0)
         width = int(target_bytes) - _TAR_RESERVE - max_fp
         if width <= 0:
             raise ValueError(

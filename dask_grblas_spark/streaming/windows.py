@@ -293,21 +293,30 @@ def stream_interval_join(spark: SparkSession, sf_dir: str,
 
 
 def stream_interval_join_outer(spark: SparkSession, sf_dir: str,
-                               window_minutes: int = 30) -> DataFrame:
-    """STREAM-STREAM LEFT OUTER interval join — the state-EVICTION
-    semantics the inner variant never exercises: every 'click' joins
-    the 'purchase' events landing within [click.ts, click.ts +
-    window]; a click with NO purchase in its window is emitted
-    null-extended only once the query watermark passes the end of its
-    window (its buffered state can no longer match and is evicted —
-    exactly how Structured Streaming bounds outer-join state at
-    scale). The query watermark is the MIN of the two sides' (max
-    event time - 1 hour), so the final table contains ALL matched
-    pairs plus null rows for unmatched clicks whose window closed
-    before that watermark — a deterministic set on replayed data
-    (late unmatched clicks near the stream tail stay unemitted, as
-    they would in production until more data arrives). Returns
-    (click_id, purchase_id nullable, user_id)."""
+                               window_minutes: int = 30,
+                               how: str = "leftOuter") -> DataFrame:
+    """STREAM-STREAM OUTER interval join (left / right / full) — the
+    state-EVICTION semantics the inner variant never exercises: every
+    'click' joins the 'purchase' events landing within [click.ts,
+    click.ts + window]; an unmatched row is emitted null-extended
+    only once the query watermark proves no future row can match it
+    (its buffered state is evicted — exactly how Structured Streaming
+    bounds outer-join state at scale). The query watermark is the MIN
+    of the two sides' (max event time - 1 hour); the per-side
+    eviction boundaries follow from the join interval:
+
+    * LEFT (click): a future purchase has ts >= wm and must satisfy
+      ts <= click.ts + window, so the click is dead — and emits —
+      iff click.ts + window < wm (STRICT; pinned by q313).
+    * RIGHT (purchase): a future click has ts >= wm and must satisfy
+      click.ts <= purchase.ts, so the purchase is dead iff
+      purchase.ts < wm (STRICT).
+    * FULL: both rules at once.
+
+    Tail rows on either side stay unemitted, as they would in
+    production until more data arrives. Returns (click_id nullable
+    for right/full, purchase_id nullable for left/full, user_id —
+    COALESCEd across sides so it is never null)."""
     def side(ev_type, alias_id):
         return (spark.readStream.schema(EVENTS_RAW_SCHEMA)
                 .parquet(_events_stream_dir(sf_dir))
@@ -317,6 +326,9 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str,
                         F.col("user_id").alias(f"{alias_id}_user"),
                         F.col("ts").alias(f"{alias_id}_ts")))
 
+    if how not in ("leftOuter", "rightOuter", "fullOuter"):
+        raise ValueError(f"how={how!r}: expected leftOuter, "
+                         "rightOuter, or fullOuter")
     clicks = side("click", "click_id")
     purchases = side("purchase", "purchase_id")
     joined = clicks.join(
@@ -326,10 +338,12 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str,
         & (F.col("purchase_id_ts")
            <= F.col("click_id_ts")
            + F.expr(f"INTERVAL {window_minutes} MINUTES")),
-        "leftOuter")
+        how)
     qname = f"ssjo_{uuid.uuid4().hex[:8]}"
     q = (joined.select("click_id", "purchase_id",
-                       F.col("click_id_user").alias("user_id"))
+                       F.coalesce(F.col("click_id_user"),
+                                  F.col("purchase_id_user"))
+                        .alias("user_id"))
          .writeStream.outputMode("append")
          .format("memory").queryName(qname).start())
     try:

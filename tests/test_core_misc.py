@@ -1108,6 +1108,52 @@ def test_write_version_concurrent_writer_tripwire(spark, tmp_path):
         == [10.0]
 
 
+def test_write_version_ages_files_not_dir_mtime(spark, tmp_path):
+    """The orphan tripwire ages the NEWEST FILE beneath v=<n>, not
+    the directory mtime (r11 advice): on object stores dir mtimes
+    are synthetic (often 0), so a racing writer's fresh in-flight dir
+    would look ancient and be silently reclaimed. Simulate that: an
+    ANCIENT dir mtime hiding a JUST-written file must still raise."""
+    import os
+
+    import pytest
+
+    from dask_grblas_spark.sources.io import write_version
+
+    p = str(tmp_path / "vtab")
+    df = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    assert write_version(df, p) == 1
+    vdir = os.path.join(p, "v=2")
+    os.makedirs(vdir)
+    with open(os.path.join(vdir, "part-0.parquet"), "wb") as fh:
+        fh.write(b"in-flight")
+    os.utime(vdir, (0, 0))              # synthetic/ancient dir mtime
+    with pytest.raises(RuntimeError, match="in flight"):
+        write_version(df, p)
+    # an EMPTY uncommitted dir (no files yet) is treated as fresh too
+    os.remove(os.path.join(vdir, "part-0.parquet"))
+    os.utime(vdir, (0, 0))
+    with pytest.raises(RuntimeError, match="in flight"):
+        write_version(df, p)
+
+
+def test_tar_shards_bytes_duplicate_ids_raise(spark):
+    """target_bytes sharding requires unique ids (they are the
+    prefix-sum sort key; duplicates make shard assignment
+    partition-dependent) — r11 verdict watch item: raise loudly."""
+    import pytest
+
+    from dask_grblas_spark.sources.io import write_tar_shards
+
+    rows = [(0, "a"), (1, "b"), (1, "c"), (2, "d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="unique"):
+        write_tar_shards(df, target_bytes=1 << 20)
+    # the default modulo policy is unaffected (dup ids co-shard)
+    got = write_tar_shards(df, n_shards=2).collect()
+    assert sum(r["n_members"] for r in got) == 4
+
+
 def test_write_version_commit_fn_seam(spark, tmp_path):
     """The pluggable commit seam (r10 verdict item 8): commit_fn
     receives (spark, manifest_path, versions) and REPLACES the
@@ -1201,6 +1247,55 @@ def test_stream_outer_join_eviction_boundary(spark, tmp_path):
            for r in stream_interval_join_outer(
                spark, str(tmp_path), window_minutes=30).collect()}
     assert got == {(1, 10, 1), (3, None, 2)}
+
+
+def test_stream_outer_join_right_and_full(spark, tmp_path):
+    """The OTHER two state-eviction surfaces (r11 verdict item 7):
+    RIGHT OUTER emits an unmatched purchase iff purchase.ts <
+    watermark STRICTLY (a future click with ts >= wm could still
+    satisfy click.ts <= purchase.ts otherwise); FULL OUTER applies
+    both sides' rules at once. Same batch-replay recipe as the LEFT
+    test: watermark = min(both sides' max ts) - 1h."""
+    from datetime import datetime, timedelta, timezone
+
+    from dask_grblas_spark.streaming.windows import (
+        stream_interval_join_outer)
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0, tzinfo=timezone.utc) \
+        .replace(tzinfo=None)
+    mins = timedelta(minutes=1)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),                   # matched
+        (10, t0 + 10 * mins, 1, "purchase", 1.0, "{}"),   # matched
+        # click at the tail: window end t0+150m >= wm -> buffered
+        (2, t0 + 120 * mins, 1, "click", 1.0, "{}"),
+        # old unmatched click: window end t0-150m < wm -> left emit
+        (3, t0 - 180 * mins, 2, "click", 1.0, "{}"),
+        # old unmatched purchase: ts t0-120m < wm -> right emit
+        (12, t0 - 120 * mins, 5, "purchase", 1.0, "{}"),
+        # tail purchase sets purchase-side max (t0+180m); click max
+        # is t0+120m -> wm = t0+60m; its own ts >= wm -> buffered
+        (11, t0 + 180 * mins, 9, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.mode("overwrite") \
+      .parquet(str(tmp_path / "events.parquet"))
+
+    def run(how):
+        return {(r["click_id"], r["purchase_id"], r["user_id"])
+                for r in stream_interval_join_outer(
+                    spark, str(tmp_path), window_minutes=30,
+                    how=how).collect()}
+
+    assert run("leftOuter") == {(1, 10, 1), (3, None, 2)}
+    assert run("rightOuter") == {(1, 10, 1), (None, 12, 5)}
+    assert run("fullOuter") == {(1, 10, 1), (3, None, 2),
+                                (None, 12, 5)}
+    import pytest
+    with pytest.raises(ValueError, match="how="):
+        stream_interval_join_outer(spark, str(tmp_path), how="inner")
 
 
 def test_read_csv_quarantine_to_empty_input(spark, tmp_path):

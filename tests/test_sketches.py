@@ -1277,3 +1277,104 @@ def test_bloom_relation_is_bounded(spark):
     big = spark.range(0, 50_000).selectExpr("id as k")
     bloom = bloom_build(big, "k", m_bits=1 << 10, k=3)
     assert bloom.count() <= (1 << 10) // 32   # <= m/32 words, any n
+
+
+# ---------------------------------------------------------------------------
+# mergeable deterministic quantile sketch (round 12)
+
+
+def _qs_vals(spark, n, seed="v"):
+    rows = [(i, float(_h60(f"{seed}:{i}") % 100000) / 10.0,
+             "g%d" % (i % 3)) for i in range(n)]
+    return spark.createDataFrame(rows, "uid long, x double, g string")
+
+
+def test_quantile_sketch_exact_when_small(spark):
+    """n <= k -> level 0, every row kept, query returns the exact
+    ceil-rank quantile."""
+    df = _qs_vals(spark, 200)
+    sk = sketches.quantile_sketch_build(df, "x", "uid", k=256)
+    assert sk.count() == 200
+    assert sk.agg(F.max("_level")).collect()[0][0] == 0
+    got = {r["phi"]: r["est"] for r in
+           sketches.quantile_sketch_query(sk, [0.5, 0.9]).collect()}
+    xs = sorted(r["x"] for r in df.collect())
+    assert got[0.5] == xs[math.ceil(0.5 * 200) - 1]
+    assert got[0.9] == xs[math.ceil(0.9 * 200) - 1]
+
+
+def test_quantile_sketch_replayable_and_partition_stable(spark):
+    """The kept set is a pure function of the data: plain-Python md5
+    replay predicts EXACT membership, and a repartitioned input
+    builds the identical sketch."""
+    df = _qs_vals(spark, 3000)
+    sk = sketches.quantile_sketch_build(df, "x", "uid", k=64)
+    rows = sk.collect()
+    lev = rows[0]["_level"]
+    # smallest L with 64 << L >= 3000 -> 64*64=4096 >= 3000 -> L=6
+    assert lev == 6
+    kept = {(r["_h"], r["_val"]) for r in rows}
+    expect = {(_h60(f"qsk:{i}"),
+               float(_h60(f"v:{i}") % 100000) / 10.0)
+              for i in range(3000)
+              if _h60(f"qsk:{i}") % (1 << 6) == 0}
+    assert kept == expect
+    again = {(r["_h"], r["_val"]) for r in
+             sketches.quantile_sketch_build(
+                 df.repartition(13), "x", "uid", k=64).collect()}
+    assert again == kept
+
+
+def test_quantile_sketch_merge_equals_direct(spark):
+    """The mergeability CONTRACT: per-shard sketches merged equal the
+    direct sketch over the union — exact row-set equality, grouped
+    and ungrouped."""
+    df = _qs_vals(spark, 4000)
+    shards = [df.where(F.pmod("uid", F.lit(3)) == i) for i in range(3)]
+    for groups in (None, ["g"]):
+        direct = sketches.quantile_sketch_build(
+            df, "x", "uid", k=128, group_cols=groups)
+        merged = sketches.quantile_sketch_merge(
+            [sketches.quantile_sketch_build(s, "x", "uid", k=128,
+                                            group_cols=groups)
+             for s in shards], k=128, group_cols=groups)
+        key = (lambda r: (r["g"] if groups else "", r["_h"]))
+        d = sorted(map(tuple, direct.collect()))
+        m = sorted(map(tuple, merged.collect()))
+        assert d == m
+
+
+def test_quantile_sketch_calibration(spark):
+    """Bernoulli rank-error bound: the estimated quantile's TRUE rank
+    sits within a few sampling deviations of phi*n (sigma ~
+    sqrt(n * 2^level); 5 sigma + one item weight gives a deterministic
+    test far above noise yet far below a broken estimator)."""
+    n, k = 20000, 256
+    df = _qs_vals(spark, n)
+    sk = sketches.quantile_sketch_build(df, "x", "uid", k=k)
+    q = {r["phi"]: r for r in
+         sketches.quantile_sketch_query(
+             sk, [0.1, 0.5, 0.9, 0.99]).collect()}
+    xs = sorted(r["x"] for r in df.collect())
+    for phi, r in q.items():
+        true_rank = sum(1 for x in xs if x <= r["est"])
+        sigma = math.sqrt(n * (1 << r["level"]))
+        assert abs(true_rank - phi * n) <= 5 * sigma + (1 << r["level"]), \
+            (phi, true_rank, phi * n, sigma)
+
+
+def test_quantile_sketch_grouped_levels(spark):
+    """Per-group levels: a small group stays exact (level 0) while a
+    big one samples — in ONE build."""
+    rows = [(i, float(i), "big") for i in range(5000)] + \
+           [(10_000 + i, float(i), "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "uid long, x double, g string")
+    sk = sketches.quantile_sketch_build(df, "x", "uid", k=100,
+                                        group_cols=["g"])
+    levels = {r["g"]: r["_level"] for r in
+              sk.select("g", "_level").distinct().collect()}
+    assert levels["small"] == 0
+    assert levels["big"] == 6   # 100*2^6=6400 >= 5000
+    small = sketches.quantile_sketch_query(
+        sk.where(F.col("g") == "small"), [0.5], group_cols=["g"])
+    assert small.collect()[0]["est"] == 24.0  # ceil(.5*50)=25th of 0..49
