@@ -5284,6 +5284,118 @@ def q321_quantile_sketch(spark, sf_dir):
                      "n", "level", "m", "true_rank")
 
 
+def q322_bloom_prejoin(spark, sf_dir):
+    """Pre-flight planner CAPSTONE — the composition a 100 TB user
+    actually runs (r11 verdict item 4): (1) profiling.
+    join_cardinality profiles seg-orders x lineitem BEFORE any big
+    shuffle; (2) the profile PICKS the strategy (selective build
+    side -> Bloom-prune; otherwise direct); (3) sketches.bloom_build
+    over the BUILDING-segment orderkeys + sketches.bloom_prune
+    evaluate membership INLINE on the lineitem scan via k BROADCAST
+    word-joins — zero shuffles of the big side — so the real join's
+    Exchange only carries surviving rows; (4) the real join removes
+    the (deterministic, md5-replayable) false positives. Bloom is
+    sized from the profile by the integer rule m = 2^min{l: 2^l >=
+    16*keys_build} (~16 bits/key, FPP ~0.1%). Output pins BOTH the
+    plan economics (rows scanned vs rows kept vs false positives vs
+    predicted/actual join rows) AND the result (exact decimal
+    revenue) — the oracle replays everything including the strategy
+    choice and the bit math."""
+    from dask_grblas_spark.functions.profiling import join_cardinality
+    from dask_grblas_spark.functions.sketches import (bloom_build,
+                                                      bloom_prune)
+
+    K = 5
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    seg = (cust.where(F.col("c_mktsegment") == "BUILDING")
+               .select("c_custkey"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    so = (o.join(F.broadcast(seg), o.o_custkey == seg.c_custkey,
+                 "left_semi")
+           .select(F.col("o_orderkey").cast("bigint").alias("okey")))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    prof = join_cardinality(so, "okey", li, "l_orderkey") \
+        .collect()[0]                      # bounded: ONE profile row
+    use_bloom = 2 * int(prof["keys_matched"]) < int(prof["keys_b"])
+    m_bits = 1
+    while m_bits < 16 * int(prof["keys_a"]):
+        m_bits <<= 1
+    lk = li.withColumn("_lk", F.col("l_orderkey").cast("bigint"))
+    if use_bloom:
+        bloom = bloom_build(so, "okey", m_bits=m_bits, k=K)
+        pruned = bloom_prune(lk, "_lk", bloom, m_bits=m_bits, k=K) \
+            .where(F.col("maybe"))
+    else:
+        pruned = lk
+    rev = (F.col("l_extendedprice").cast("double")
+           * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
+        .cast("decimal(27,4)")
+    acts = (pruned.join(so, pruned._lk == so.okey, "left")
+                  .agg(F.count("*").cast("bigint").alias("n_li_kept"),
+                       F.sum(F.when(F.col("okey").isNotNull(), 1)
+                              .otherwise(0)).cast("bigint")
+                        .alias("out_rows_actual"),
+                       F.sum(F.when(F.col("okey").isNotNull(), rev))
+                        .cast("double").alias("revenue")))
+    return acts.select(
+        F.lit("bloom" if use_bloom else "direct").alias("strategy"),
+        F.lit(int(prof["n_b"])).cast("bigint").alias("n_li_total"),
+        "n_li_kept",
+        (F.col("n_li_kept") - F.col("out_rows_actual"))
+         .cast("bigint").alias("n_fp_rows"),
+        F.lit(int(prof["out_rows"])).cast("bigint")
+         .alias("out_rows_pred"),
+        "out_rows_actual", "revenue")
+
+
+def q323_quantile_sketch_merge(spark, sf_dir):
+    """The MERGE path of the quantile sketch through the driver gate
+    (q321 pins the direct build): customer balances sketched
+    per-REGION shard (5 disjoint shards, the per-day/per-partition
+    rollup shape of a 100 TB pipeline), merged with
+    quantile_sketch_merge, then queried per market segment. Because
+    hash levels NEST, the merged sketch EQUALS the direct build over
+    the whole table — so the oracle replays the DIRECT build: any
+    divergence in the merge path (wrong n totals, wrong re-threshold)
+    hash-fails. Output: (c_mktsegment, phi, est, n, level, m)."""
+    from dask_grblas_spark.functions.sketches import (
+        quantile_sketch_build, quantile_sketch_merge,
+        quantile_sketch_query)
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    base = (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .select("c_mktsegment",
+                     F.col("c_custkey").alias("_uid"),
+                     F.col("c_acctbal").alias("x"),
+                     F.col("n_regionkey").alias("_shard")))
+    shards = [quantile_sketch_build(
+                  base.where(F.col("_shard") == i), "x", "_uid",
+                  k=64, group_cols=["c_mktsegment"])
+              for i in range(5)]
+    merged = quantile_sketch_merge(shards, k=64,
+                                   group_cols=["c_mktsegment"])
+    return quantile_sketch_query(merged, [0.25, 0.5, 0.9],
+                                 group_cols=["c_mktsegment"])
+
+
+def q324_stream_quantiles(spark, sf_dir):
+    """STREAMING percentile monitor (streaming.windows.
+    stream_quantile_profile): per-event-type value quantiles where
+    the stream STATE is the mergeable quantile sketch, folded
+    incrementally in foreachBatch across forced multi-batch execution
+    (maxFilesPerTrigger=1). The sketch's kept set is a pure function
+    of the data and levels nest, so the incremental merge equals the
+    direct batch build EXACTLY — which is why this stateful streaming
+    query gets a full-strength SQL oracle (the direct replay), not a
+    rows-only check. Output: (event_type, phi, est, n, level, m)."""
+    from dask_grblas_spark.streaming.windows import (
+        stream_quantile_profile)
+
+    return stream_quantile_profile(spark, sf_dir, k=128,
+                                   phis=(0.25, 0.5, 0.9))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -5476,6 +5588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q319_tpch_above_region_avg": q319_tpch_above_region_avg,
         "q320_tpch_never_brand": q320_tpch_never_brand,
         "q321_quantile_sketch": q321_quantile_sketch,
+        "q322_bloom_prejoin": q322_bloom_prejoin,
+        "q323_quantile_sketch_merge": q323_quantile_sketch_merge,
+        "q324_stream_quantiles": q324_stream_quantiles,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -13422,6 +13537,165 @@ def oracle_sql() -> dict[str, str]:
                pick.m AS m,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM base b2
                 WHERE b2.g = pick.g AND b2.v <= rn.v) AS true_rank
+        FROM pick JOIN rn ON rn.g = pick.g AND rn.rn = pick.i"""
+
+    # q324: stateful streaming with a REPLAYABLE state — incremental
+    # sketch merge == direct build, so the oracle is the direct
+    # replay over the whole events table (not a rows-only check)
+    sql["q324_stream_quantiles"] = """
+        WITH base AS (
+          SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+                 ('0x' || substr(md5('qsk:' || event_id), 1, 15))
+                   ::BIGINT AS h
+          FROM events WHERE value IS NOT NULL
+        ), cnt AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1
+        ), lev AS (
+          SELECT g, n,
+                 (SELECT MIN(l) FROM range(51) t(l)
+                  WHERE (CAST(128 AS BIGINT) << l) >= n) AS lv
+          FROM cnt
+        ), kept AS (
+          SELECT b.g, b.v, b.h, l.n, l.lv
+          FROM base b JOIN lev l USING (g)
+          WHERE b.h % (CAST(1 AS BIGINT) << l.lv) = 0
+        ), sz AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS m FROM kept GROUP BY 1
+        ), rn AS (
+          SELECT g, v, row_number() OVER (PARTITION BY g
+                                          ORDER BY v, h) AS rn
+          FROM kept
+        ), phis(phi) AS (
+          VALUES (0.25), (0.5), (0.9)
+        ), pick AS (
+          SELECT l.g, p.phi, l.n, l.lv, s.m,
+                 LEAST(GREATEST(CAST(CEIL(p.phi * s.m) AS BIGINT),
+                                1), s.m) AS i
+          FROM lev l JOIN sz s USING (g), phis p
+        )
+        SELECT pick.g AS event_type, CAST(pick.phi AS DOUBLE) AS phi,
+               rn.v AS est, pick.n AS n, CAST(pick.lv AS INT) AS level,
+               pick.m AS m
+        FROM pick JOIN rn ON rn.g = pick.g AND rn.rn = pick.i"""
+
+    # q322: the pre-flight planner capstone replayed end-to-end —
+    # profile numbers, the strategy CASE, the integer bloom sizing
+    # rule, the md5 bit math, and the final revenue
+    sql["q322_bloom_prejoin"] = """
+        WITH so AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS okey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING')
+        ), prof AS (
+          SELECT (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT)
+                  FROM so) AS keys_a,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                  WHERE l_orderkey IS NOT NULL) AS n_b,
+                 (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                  FROM lineitem WHERE l_orderkey IS NOT NULL)
+                   AS keys_b,
+                 (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                  FROM lineitem
+                  WHERE l_orderkey IN (SELECT okey FROM so))
+                   AS keys_matched
+        ), sized AS (
+          SELECT p.*,
+                 CASE WHEN 2 * keys_matched < keys_b
+                      THEN 'bloom' ELSE 'direct' END AS strategy,
+                 (SELECT CAST(1 AS BIGINT) << MIN(l)
+                  FROM range(51) t(l)
+                  WHERE (CAST(1 AS BIGINT) << l) >= 16 * p.keys_a)
+                   AS m
+          FROM prof p
+        ), words AS (
+          SELECT (('0x' || substr(md5(CAST(okey AS VARCHAR) || '#'
+                   || i), 1, 15))::BIGINT % (SELECT m FROM sized))
+                   // 32 AS word,
+                 CAST(bit_or(CAST(1 AS BIGINT)
+                   << CAST((('0x' || substr(md5(CAST(okey AS VARCHAR)
+                        || '#' || i), 1, 15))::BIGINT
+                        % (SELECT m FROM sized)) % 32 AS INT))
+                      AS BIGINT) AS bits
+          FROM (SELECT DISTINCT okey FROM so), range(5) t(i)
+          GROUP BY 1
+        ), lkeys AS (
+          SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS lk
+          FROM lineitem WHERE l_orderkey IS NOT NULL
+        ), probes AS (
+          SELECT lk, ('0x' || substr(md5(CAST(lk AS VARCHAR) || '#'
+                      || i), 1, 15))::BIGINT
+                     % (SELECT m FROM sized) AS p
+          FROM lkeys, range(5) t(i)
+        ), mb AS (
+          SELECT lk,
+                 (SUM(CASE WHEN (COALESCE(bits, 0)
+                       & (CAST(1 AS BIGINT)
+                          << CAST(p % 32 AS INT))) <> 0
+                       THEN 1 ELSE 0 END) = 5) AS maybe
+          FROM probes LEFT JOIN words ON p // 32 = words.word
+          GROUP BY 1
+        ), acts AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                  JOIN mb ON CAST(l_orderkey AS BIGINT) = mb.lk
+                  WHERE mb.maybe) AS bloom_kept,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                  WHERE l_orderkey IN (SELECT okey FROM so))
+                   AS matched_rows,
+                 (SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE)
+                          * (1.0 - CAST(l_discount AS DOUBLE))
+                          AS DECIMAL(27,4))) AS DOUBLE)
+                  FROM lineitem
+                  WHERE l_orderkey IN (SELECT okey FROM so))
+                   AS revenue
+        )
+        SELECT s.strategy,
+               s.n_b AS n_li_total,
+               CASE WHEN s.strategy = 'bloom' THEN a.bloom_kept
+                    ELSE s.n_b END AS n_li_kept,
+               CASE WHEN s.strategy = 'bloom' THEN a.bloom_kept
+                    ELSE s.n_b END - a.matched_rows AS n_fp_rows,
+               a.matched_rows AS out_rows_pred,
+               a.matched_rows AS out_rows_actual,
+               a.revenue
+        FROM sized s, acts a"""
+
+    # q323: merge == direct (nested hash levels), so the oracle
+    # replays the DIRECT build over the whole table
+    sql["q323_quantile_sketch_merge"] = """
+        WITH base AS (
+          SELECT c_mktsegment AS g,
+                 CAST(c_acctbal AS DOUBLE) AS v,
+                 ('0x' || substr(md5('qsk:' || c_custkey), 1, 15))
+                   ::BIGINT AS h
+          FROM customer WHERE c_acctbal IS NOT NULL
+        ), cnt AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1
+        ), lev AS (
+          SELECT g, n,
+                 (SELECT MIN(l) FROM range(51) t(l)
+                  WHERE (CAST(64 AS BIGINT) << l) >= n) AS lv
+          FROM cnt
+        ), kept AS (
+          SELECT b.g, b.v, b.h, l.n, l.lv
+          FROM base b JOIN lev l USING (g)
+          WHERE b.h % (CAST(1 AS BIGINT) << l.lv) = 0
+        ), sz AS (
+          SELECT g, CAST(COUNT(*) AS BIGINT) AS m FROM kept GROUP BY 1
+        ), rn AS (
+          SELECT g, v, row_number() OVER (PARTITION BY g
+                                          ORDER BY v, h) AS rn
+          FROM kept
+        ), phis(phi) AS (
+          VALUES (0.25), (0.5), (0.9)
+        ), pick AS (
+          SELECT l.g, p.phi, l.n, l.lv, s.m,
+                 LEAST(GREATEST(CAST(CEIL(p.phi * s.m) AS BIGINT),
+                                1), s.m) AS i
+          FROM lev l JOIN sz s USING (g), phis p
+        )
+        SELECT pick.g AS c_mktsegment, CAST(pick.phi AS DOUBLE) AS phi,
+               rn.v AS est, pick.n AS n, CAST(pick.lv AS INT) AS level,
+               pick.m AS m
         FROM pick JOIN rn ON rn.g = pick.g AND rn.rn = pick.i"""
 
     return sql

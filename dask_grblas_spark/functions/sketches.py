@@ -523,7 +523,11 @@ def quantile_sketch_build(df: DataFrame, val_col: str, uid_col,
     cnt = (base.groupBy(*groups)
                .agg(F.count("*").cast("bigint").alias("_n"))
                .withColumn("_level", _qsk_level(k, "_n")))
-    joined = base.join(cnt, on=groups) if groups \
+    # BROADCAST the per-group count relation back onto the base: a
+    # plain join on the group key would shuffle the FULL input (and
+    # collapse onto one task when there is a single hot group) — the
+    # count side is one row per group, the textbook broadcast dim
+    joined = base.join(F.broadcast(cnt), on=groups) if groups \
         else base.crossJoin(F.broadcast(cnt))
     return (joined.where(F.pmod(
                 F.col("_h"),
@@ -540,7 +544,14 @@ def quantile_sketch_merge(sketches: list, k: int = 1024,
     EQUALS the direct sketch over the concatenated data — the
     mergeability contract a 100 TB rollup (per-day sketches folded
     into a month) depends on. Only sketch-sized relations are
-    touched; no re-scan of the base data."""
+    touched; no re-scan of the base data.
+
+    Caveat (bounded like RHO_CAP): a shard's per-group n rides on its
+    kept rows, so a group whose shard kept ZERO rows loses that
+    shard's count. P(zero kept) = (1-2^-L)^n <= e^(-k/2) — ~1e-14 at
+    k=64, ~1e-111 at k=512 — astronomically below any operational
+    risk; a deployment that cannot accept it can carry the (group, n)
+    relation alongside."""
     groups = list(group_cols or [])
     tagged = None
     for i, s in enumerate(sketches):
@@ -551,7 +562,7 @@ def quantile_sketch_merge(sketches: list, k: int = 1024,
     tot = (per_src.groupBy(*groups)
                   .agg(F.sum("_sn").cast("bigint").alias("_tn"))
                   .withColumn("_tl", _qsk_level(k, "_tn")))
-    j = tagged.join(tot, on=groups) if groups \
+    j = tagged.join(F.broadcast(tot), on=groups) if groups \
         else tagged.crossJoin(F.broadcast(tot))
     return (j.where(F.pmod(
                 F.col("_h"),
@@ -595,3 +606,38 @@ def quantile_sketch_query(sketch: DataFrame, phis: list,
                         F.col("_n").alias("n"),
                         F.col("_level").cast("int").alias("level"),
                         F.col("_m").cast("bigint").alias("m")))
+
+
+def bloom_prune(df: DataFrame, key_col: str, bloom_df: DataFrame,
+                m_bits: int, k: int = 5) -> DataFrame:
+    """PRE-SHUFFLE Bloom pruning of a big relation — the composition
+    `bloom_contains` is the wrong shape for: `bloom_contains`
+    DISTINCTs the probe keys (a shuffle of the big side's key set)
+    and hands back a membership relation that must be joined back
+    (another shuffle). This evaluates membership INLINE on every row
+    instead: the k probe positions become k columns and each probes
+    the (<= m/32-row, BROADCAST) word relation with its own
+    BroadcastHashJoin — ZERO shuffles of the big side, exactly the
+    row-pruning dataflow a 100 TB join wants upstream of its
+    Exchange (the manual form of Spark's runtime bloom-filter
+    pushdown, but with the deterministic md5 filter `bloom_build`
+    emits and the oracle can replay). Appends a `maybe` boolean
+    (no false negatives); follow with `.where("maybe")` BEFORE the
+    real join so the shuffle only carries surviving rows."""
+    out = df
+    key = F.col(key_col)
+    acc = None
+    for i, pos in enumerate(_bloom_positions(key, m_bits, k)):
+        w = bloom_df.select(F.col("word").alias(f"_w{i}"),
+                            F.col("bits").alias(f"_b{i}"))
+        out = out.withColumn(f"_p{i}", pos) \
+                 .join(F.broadcast(w),
+                       F.shiftright(F.col(f"_p{i}"), 5)
+                       == F.col(f"_w{i}"), "left")
+        bit = (F.coalesce(F.col(f"_b{i}"), F.lit(0))
+                .bitwiseAND(F.expr(
+                    f"shiftleft(cast(1 as bigint), "
+                    f"cast(pmod(_p{i}, 32) as int))")) != 0)
+        acc = bit if acc is None else (acc & bit)
+    drop = [c for i in range(k) for c in (f"_p{i}", f"_w{i}", f"_b{i}")]
+    return out.withColumn("maybe", acc).drop(*drop)

@@ -616,3 +616,74 @@ def stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.col("_s.sum_v6") / 1e6).alias("sum_v"),
                        F.col("_s.first_us").alias("first_us"),
                        F.col("_s.last_us").alias("last_us")))
+
+
+def stream_quantile_profile(spark: SparkSession, sf_dir: str,
+                            k: int = 128,
+                            phis=(0.25, 0.5, 0.9)) -> DataFrame:
+    """STREAMING percentile monitor whose state is the mergeable
+    quantile sketch (`functions.sketches`): each micro-batch builds
+    its own per-event-type sketch and folds it into the accumulated
+    one with `quantile_sketch_merge` inside foreachBatch — the
+    incremental-rollup deployment shape (state is ~k rows per group,
+    collected to the driver each batch: the same bounded-driver-state
+    contract as kmeans centroids). The stream is forced through
+    MULTIPLE micro-batches (maxFilesPerTrigger=1) so the merge path
+    genuinely carries state.
+
+    Why this is a HARD oracle despite being stateful streaming: the
+    sketch's kept set is a pure function of the data (md5 levels) and
+    levels NEST, so the incremental merge over any micro-batch
+    partitioning EQUALS the direct batch build — arrival order,
+    batch boundaries, and trigger timing are all invisible in the
+    final state. A batch SQL replay of the direct build is therefore
+    exact, not approximate (contrast: an order-sensitive KLL state
+    would be unreplayable). Output: (event_type, phi, est, n, level,
+    m) per `quantile_sketch_query`."""
+    from ..functions.sketches import (quantile_sketch_build,
+                                      quantile_sketch_merge,
+                                      quantile_sketch_query)
+
+    sk_schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("_n", T.LongType()),
+        T.StructField("_level", T.IntegerType()),
+        T.StructField("_h", T.LongType()),
+        T.StructField("_val", T.DoubleType()),
+    ])
+    acc: list = []
+
+    def fold(batch_df, _bid):
+        sk = quantile_sketch_build(
+            batch_df.select("event_type",
+                            F.col("event_id").alias("_uid"),
+                            F.col("value").alias("x")),
+            "x", "_uid", k=k, group_cols=["event_type"])
+        if acc:
+            prev = spark.createDataFrame(list(acc), sk_schema)
+            sk = quantile_sketch_merge([prev, sk], k=k,
+                                       group_cols=["event_type"])
+        acc[:] = sk.collect()          # bounded: ~k rows x n types
+
+    # The driver testdata ships events as ONE parquet file, which
+    # maxFilesPerTrigger=1 would run as ONE micro-batch — the merge
+    # path would never carry state. Re-land the stream as 4 part
+    # files in a fresh per-run dir first (tiny write); HOW the rows
+    # split across batches is irrelevant by construction — merge ==
+    # direct whatever the batch boundaries, which is the property
+    # under test.
+    d = tempfile.mkdtemp(prefix="dgs_squant_")
+    (load_events(spark, sf_dir).repartition(4)
+        .write.mode("overwrite").parquet(os.path.join(d, "ev")))
+    stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(d, "ev")))
+    q = (stream.writeStream.outputMode("append")
+               .foreachBatch(fold).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.createDataFrame(list(acc), sk_schema)
+    return quantile_sketch_query(final, list(phis),
+                                 group_cols=["event_type"])

@@ -1378,3 +1378,64 @@ def test_quantile_sketch_grouped_levels(spark):
     small = sketches.quantile_sketch_query(
         sk.where(F.col("g") == "small"), [0.5], group_cols=["g"])
     assert small.collect()[0]["est"] == 24.0  # ceil(.5*50)=25th of 0..49
+
+
+def test_bloom_prune_inline_no_shuffle_and_agrees(spark):
+    """`bloom_prune` (r12): membership must agree with
+    `bloom_contains` on every key (same md5 bit math), give no false
+    negatives, and — the point of its existence — add ZERO Exchanges
+    on the probe side: every word probe is a BroadcastHashJoin, so
+    the only shuffle in a downstream join is the one carrying the
+    SURVIVING rows."""
+    M, K = 4096, 5
+    keys = spark.createDataFrame([(i * 7,) for i in range(300)],
+                                 "k long")
+    big = spark.createDataFrame([(i, i % 2100) for i in range(5000)],
+                                "rid long, k long")
+    bloom = sketches.bloom_build(keys, "k", m_bits=M, k=K)
+    pruned = sketches.bloom_prune(big, "k", bloom, m_bits=M, k=K)
+    via_contains = {r["key"]: r["maybe"] for r in
+                    sketches.bloom_contains(bloom, big, "k",
+                                            m_bits=M, k=K).collect()}
+    rows = pruned.collect()
+    assert all(r["maybe"] == via_contains[r["k"]] for r in rows)
+    present = {i * 7 for i in range(300)}
+    assert all(r["maybe"] for r in rows if r["k"] in present)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # every hash Exchange in the plan belongs to the (m/32-row) bloom
+    # BUILD side's word fold — the PROBE side rows never shuffle
+    import re as _re
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert _re.search(r"hashpartitioning\(word#", ln), ln
+
+
+def test_stream_quantile_profile_equals_direct(spark, tmp_path):
+    """The streaming fold (r12): incremental per-micro-batch sketch
+    merge across FORCED multi-batch execution must equal the direct
+    batch build+query EXACTLY — batch boundaries are invisible
+    because md5 levels nest."""
+    from datetime import datetime, timedelta
+
+    from dask_grblas_spark.streaming.windows import (
+        stream_quantile_profile)
+
+    t0 = datetime(2024, 5, 1, 0, 0, 0)
+    rows = [(i, t0 + timedelta(seconds=i), i % 7,
+             "click" if i % 3 else "view",
+             float((i * 37) % 1000), "{}") for i in range(3000)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.mode("overwrite") \
+      .parquet(str(tmp_path / "events.parquet"))
+    got = sorted(map(tuple, stream_quantile_profile(
+        spark, str(tmp_path), k=64, phis=(0.5, 0.9)).collect()))
+    direct = sketches.quantile_sketch_build(
+        df.select("event_type", F.col("event_id").alias("_uid"),
+                  F.col("value").alias("x")),
+        "x", "_uid", k=64, group_cols=["event_type"])
+    want = sorted(map(tuple, sketches.quantile_sketch_query(
+        direct, [0.5, 0.9], group_cols=["event_type"]).collect()))
+    assert got == want

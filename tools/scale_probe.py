@@ -1762,6 +1762,38 @@ def main() -> int:
         return out.where(F.col("part") == "p3")
     probe("merge_into_one_of_8_partitions", NEV, _merge_probe)
 
+    # ---- r12: quantile sketch at 20M rows, ONE group (the hot-group
+    # shape: the count join-back must broadcast, the modulo filter
+    # must prune before anything wide; the query window only ever
+    # sees ~k rows) ----------------------------------------------------
+    NQS = 20_000_000 if not QUICK else 500_000
+
+    def _qsketch():
+        base = spark.range(NQS).select(
+            F.lit("g").alias("g"), F.col("id").alias("uid"),
+            (F.col("id") % 100_000).cast("double").alias("x"))
+        sk = sketches.quantile_sketch_build(base, "x", "uid", k=512,
+                                            group_cols=["g"])
+        return sketches.quantile_sketch_query(
+            sk, [0.5, 0.99], group_cols=["g"])
+    probe("quantile_sketch_20m_one_group", NQS, _qsketch)
+
+    # ---- r12: inline bloom pruning of a 20M-row probe side against
+    # 1M build keys (m=2^24) — zero probe-side shuffles; the filter
+    # output feeds a count, so the measured cost IS the prune --------
+    NBP = 20_000_000 if not QUICK else 500_000
+
+    def _bprune():
+        build = spark.range(1_000_000).select(
+            (F.col("id") * 3).alias("k"))
+        bloom = sketches.bloom_build(build, "k", m_bits=1 << 24, k=5)
+        big = spark.range(NBP).select((F.col("id") % 4_000_000)
+                                      .alias("k"))
+        return (sketches.bloom_prune(big, "k", bloom,
+                                     m_bits=1 << 24, k=5)
+                        .where(F.col("maybe")))
+    probe("bloom_prune_20m_probe_1m_keys", NBP, _bprune)
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0

@@ -77,7 +77,15 @@ DEFAULT = ["q174_gini", "q203_cube", "q216_tpch_pricing",
            "q308_fd_check", "q309_image_dhash",
            "q310_entity_resolution", "q311_image_hamming_dedup",
            "q312_join_cardinality", "q313_stream_outer_join",
-           "q314_bloom_prune"]
+           "q314_bloom_prune",
+           # r12: decimal-compare TPC-H bank, the hash-level quantile
+           # sketch (range window + ceil-index rule), the bloom
+           # pre-join capstone (md5 bit math + decimal revenue)
+           "q315_tpch_min_cost_supplier", "q316_tpch_important_stock",
+           "q317_tpch_parts_supplier_cnt", "q318_tpch_part_promotion",
+           "q319_tpch_above_region_avg", "q320_tpch_never_brand",
+           "q321_quantile_sketch", "q322_bloom_prejoin",
+           "q323_quantile_sketch_merge", "q324_stream_quantiles"]
 
 PARTITION_GRID = (5, 32, 77, 200)
 
