@@ -78,6 +78,11 @@ PIPELINE = [
     # sibling of the no-sliding-frame discipline) tracked
     # round-over-round
     "q301_rolling_minmax",
+    # round 12: the mergeable quantile sketch (hash-level sample +
+    # broadcast count join) and the bloom pre-join capstone (inline
+    # k-broadcast-probe pruning) tracked round-over-round
+    "q321_quantile_sketch",
+    "q322_bloom_prejoin",
 ]
 
 

@@ -401,3 +401,53 @@ def test_write_version_manifest_via_hadoop_fs(spark, tmp_path):
         == [10.0]
     assert [r["v"] for r in read_version(spark, uri).collect()] \
         == [20.0]
+
+
+def test_tpch_min_cost_supplier_plan(spark):
+    """q315 (Q2 shape): the part slice and the nation⋈region lookup
+    broadcast into the lineitem scan; the type/size predicates push
+    to the part parquet scan; the top-100 is a TakeOrdered, never a
+    global sort."""
+    import __spark_entry__ as em
+    plan = _physical(em.q315_tpch_min_cost_supplier(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "EqualTo(p_type,STANDARD)" in plan \
+        or "PushedFilters: [IsNotNull(p_type)" in plan, plan
+
+
+def test_tpch_important_stock_single_row_broadcast(spark):
+    """q316 (Q11 fraction shape): the global total is a 1-row
+    broadcast nested loop against the per-part rollup — no second
+    shuffle of the rollup."""
+    import __spark_entry__ as em
+    plan = _physical(em.q316_tpch_important_stock(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_tpch_part_promotion_broadcasts_slices(spark):
+    """q318 (Q20 shape): the red-part slice broadcasts into the
+    date-pruned lineitem scan (filter pushed), and the dominance
+    semi-join reaches supplier as LeftSemi."""
+    import __spark_entry__ as em
+    plan = _physical(em.q318_tpch_part_promotion(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_quantile_sketch_build_broadcasts_counts(spark):
+    """The sketch build's count relation must come back as a
+    BROADCAST join (a hash join on the group key would shuffle the
+    full input and collapse onto one task for a hot group)."""
+    from dask_grblas_spark.functions.sketches import (
+        quantile_sketch_build)
+    df = spark.range(10000).selectExpr(
+        "pmod(id, 3) as g", "id as uid",
+        "cast(id % 97 as double) as x")
+    sk = quantile_sketch_build(df, "x", "uid", k=64, group_cols=["g"])
+    plan = _physical(sk)
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly one hash exchange total — the grouped COUNT's partial-
+    # agg fold (tiny); the base itself is never repartitioned on g
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
