@@ -13524,11 +13524,13 @@ def oracle_sql() -> dict[str, str]:
           SELECT g, v, row_number() OVER (PARTITION BY g
                                           ORDER BY v, h) AS rn
           FROM kept
-        ), phis(phi) AS (
-          VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)
+        ), phis(phi, p6) AS (
+          VALUES (0.1, 100000), (0.25, 250000), (0.5, 500000),
+                 (0.75, 750000), (0.9, 900000), (0.99, 990000)
         ), pick AS (
           SELECT l.g, p.phi, l.n, l.lv, s.m,
-                 LEAST(GREATEST(CAST(CEIL(p.phi * s.m) AS BIGINT),
+                 LEAST(GREATEST((CAST(p.p6 AS BIGINT) * s.m
+                                 + 999999) // 1000000,
                                 1), s.m) AS i
           FROM lev l JOIN sz s USING (g), phis p
         )
@@ -13565,11 +13567,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT g, v, row_number() OVER (PARTITION BY g
                                           ORDER BY v, h) AS rn
           FROM kept
-        ), phis(phi) AS (
-          VALUES (0.25), (0.5), (0.9)
+        ), phis(phi, p6) AS (
+          VALUES (0.25, 250000), (0.5, 500000), (0.9, 900000)
         ), pick AS (
           SELECT l.g, p.phi, l.n, l.lv, s.m,
-                 LEAST(GREATEST(CAST(CEIL(p.phi * s.m) AS BIGINT),
+                 LEAST(GREATEST((CAST(p.p6 AS BIGINT) * s.m
+                                 + 999999) // 1000000,
                                 1), s.m) AS i
           FROM lev l JOIN sz s USING (g), phis p
         )
@@ -13685,11 +13688,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT g, v, row_number() OVER (PARTITION BY g
                                           ORDER BY v, h) AS rn
           FROM kept
-        ), phis(phi) AS (
-          VALUES (0.25), (0.5), (0.9)
+        ), phis(phi, p6) AS (
+          VALUES (0.25, 250000), (0.5, 500000), (0.9, 900000)
         ), pick AS (
           SELECT l.g, p.phi, l.n, l.lv, s.m,
-                 LEAST(GREATEST(CAST(CEIL(p.phi * s.m) AS BIGINT),
+                 LEAST(GREATEST((CAST(p.p6 AS BIGINT) * s.m
+                                 + 999999) // 1000000,
                                 1), s.m) AS i
           FROM lev l JOIN sz s USING (g), phis p
         )

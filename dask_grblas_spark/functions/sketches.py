@@ -523,16 +523,34 @@ def quantile_sketch_build(df: DataFrame, val_col: str, uid_col,
     cnt = (base.groupBy(*groups)
                .agg(F.count("*").cast("bigint").alias("_n"))
                .withColumn("_level", _qsk_level(k, "_n")))
-    # BROADCAST the per-group count relation back onto the base: a
-    # plain join on the group key would shuffle the FULL input (and
-    # collapse onto one task when there is a single hot group) — the
-    # count side is one row per group, the textbook broadcast dim
-    joined = base.join(F.broadcast(cnt), on=groups) if groups \
-        else base.crossJoin(F.broadcast(cnt))
+    joined = _qsk_join_back(base, cnt, groups)
     return (joined.where(F.pmod(
                 F.col("_h"),
                 F.expr("shiftleft(cast(1 as bigint), _level)")) == 0)
                   .select(*groups, "_n", "_level", "_h", "_val"))
+
+
+def _qsk_join_back(big: DataFrame, meta: DataFrame,
+                   groups: list) -> DataFrame:
+    """NULL-SAFE broadcast join of a one-row-per-group meta relation
+    back onto a big relation. Two disciplines live here: (1) the meta
+    side BROADCASTS — a plain join on the group key would shuffle the
+    FULL input and collapse onto one task for a hot group; (2) the
+    join is eqNullSafe per group column — groupBy keeps a NULL group,
+    so a null-unsafe equi-join would silently drop every NULL-group
+    row from the sketch (the NULL-group AUC failure class; r12 review
+    finding)."""
+    if not groups:
+        return big.crossJoin(F.broadcast(meta))
+    ren = meta
+    for i, g in enumerate(groups):
+        ren = ren.withColumnRenamed(g, f"_qg{i}")
+    cond = None
+    for i, g in enumerate(groups):
+        c = big[g].eqNullSafe(F.col(f"_qg{i}"))
+        cond = c if cond is None else cond & c
+    return (big.join(F.broadcast(ren), cond)
+               .drop(*[f"_qg{i}" for i in range(len(groups))]))
 
 
 def quantile_sketch_merge(sketches: list, k: int = 1024,
@@ -551,7 +569,15 @@ def quantile_sketch_merge(sketches: list, k: int = 1024,
     shard's count. P(zero kept) = (1-2^-L)^n <= e^(-k/2) — ~1e-14 at
     k=64, ~1e-111 at k=512 — astronomically below any operational
     risk; a deployment that cannot accept it can carry the (group, n)
-    relation alongside."""
+    relation alongside.
+
+    ``k`` MUST be the k the inputs were built with: a larger merge k
+    could put the merged level BELOW a shard's build level, and the
+    re-threshold would keep rows whose stated weight is finer than
+    the merged one — silently wrong estimates. That inversion is
+    detected in-plan and raises (the loud-contract tripwire)."""
+    if not sketches:
+        raise ValueError("quantile_sketch_merge: empty sketch list")
     groups = list(group_cols or [])
     tagged = None
     for i, s in enumerate(sketches):
@@ -562,11 +588,20 @@ def quantile_sketch_merge(sketches: list, k: int = 1024,
     tot = (per_src.groupBy(*groups)
                   .agg(F.sum("_sn").cast("bigint").alias("_tn"))
                   .withColumn("_tl", _qsk_level(k, "_tn")))
-    j = tagged.join(F.broadcast(tot), on=groups) if groups \
-        else tagged.crossJoin(F.broadcast(tot))
-    return (j.where(F.pmod(
-                F.col("_h"),
-                F.expr("shiftleft(cast(1 as bigint), _tl)")) == 0)
+    j = _qsk_join_back(tagged, tot, groups)
+    # levels must nest upward: merged level >= every input level.
+    # assert_true returns NULL when the predicate holds (so isNull()
+    # keeps the row) and RAISES when it doesn't — an in-plan tripwire
+    # Catalyst cannot prune away.
+    lv_ok = F.assert_true(
+        F.col("_level") <= F.col("_tl"),
+        F.lit("quantile_sketch_merge: input sketch level exceeds the "
+              "merged level — were the inputs built with a larger k "
+              "than merge's k?"))
+    return (j.where(lv_ok.isNull()
+                    & (F.pmod(F.col("_h"),
+                              F.expr("shiftleft(cast(1 as bigint), "
+                                     "_tl)")) == 0))
              .select(*groups,
                      F.col("_tn").alias("_n"),
                      F.col("_tl").alias("_level"), "_h", "_val"))
@@ -577,11 +612,17 @@ def quantile_sketch_query(sketch: DataFrame, phis: list,
     """Quantile estimates from a sketch relation: per group the kept
     items are ranked by (val, hash) — a TOTAL order, so ties cannot
     reorder across partitionings — and phi maps to the item at index
-    clamp(ceil(phi * m), 1, m) of the m kept items (each item stands
-    for 2^level rows, so kept-index i estimates global rank
-    i * 2^level). The window partitions by GROUP over ~k rows — never
-    a global single-task sort. Output: (group..., phi, est, n,
-    level, m); est NULL only for an empty group sketch."""
+    clamp(ceil(p6 * m / 10^6), 1, m) where p6 = round(phi * 10^6),
+    evaluated as PURE INTEGERS ((p6*m + 999999) div 10^6) on both
+    engines — an IEEE ceil(phi*m) can land an ulp above an exact
+    integer (0.07*100) and pick a different item than an exact-
+    decimal oracle (r12 review finding; same discipline as
+    `_qsk_level`). Each kept item stands for 2^level rows, so index
+    i estimates global rank i * 2^level. The window partitions by
+    GROUP over ~k rows — never a global single-task sort. Output:
+    (group..., phi, est, n, level, m); a group whose sketch kept no
+    rows is ABSENT from the output (there is nothing to estimate
+    from), not NULL-extended."""
     groups = list(group_cols or [])
     w = Window.partitionBy(*groups).orderBy("_val", "_h") if groups \
         else Window.partitionBy(F.lit(1)).orderBy("_val", "_h")
@@ -589,23 +630,27 @@ def quantile_sketch_query(sketch: DataFrame, phis: list,
                     .withColumn("_m", F.count("*").over(
                         Window.partitionBy(*groups) if groups
                         else Window.partitionBy(F.lit(1)))))
-    phi_arr = F.array(*[F.lit(float(p)) for p in phis])
-    want = (ranked.select(*groups, "_n", "_level", "_m",
-                          F.explode(phi_arr).alias("phi"))
-                  .distinct()
+    phi_arr = F.array(*[
+        F.struct(F.lit(float(p)).alias("phi"),
+                 F.lit(int(round(float(p) * 1_000_000)))
+                  .cast("bigint").alias("p6"))
+        for p in phis])
+    # explode the (tiny) phi list onto every kept row and keep the
+    # row whose rank IS that phi's index — no re-join, so NULL groups
+    # and group-key matching never enter the picture
+    return (ranked.select(*groups, "_n", "_level", "_m", "_rn",
+                          "_val", F.explode(phi_arr).alias("_s"))
                   .withColumn("_i", F.least(
-                      F.greatest(F.ceil(F.col("phi") * F.col("_m")),
-                                 F.lit(1)), F.col("_m"))))
-    on = groups + ["_n", "_level", "_m"]
-    return (want.join(ranked.select(*groups, "_n", "_level", "_m",
-                                    "_rn", "_val"),
-                      on=on)
-                .where(F.col("_rn") == F.col("_i"))
-                .select(*groups, "phi",
-                        F.col("_val").alias("est"),
-                        F.col("_n").alias("n"),
-                        F.col("_level").cast("int").alias("level"),
-                        F.col("_m").cast("bigint").alias("m")))
+                      F.greatest(
+                          F.expr("cast((_s.p6 * _m + 999999) "
+                                 "div 1000000 as bigint)"),
+                          F.lit(1)), F.col("_m")))
+                  .where(F.col("_rn") == F.col("_i"))
+                  .select(*groups, F.col("_s.phi").alias("phi"),
+                          F.col("_val").alias("est"),
+                          F.col("_n").alias("n"),
+                          F.col("_level").cast("int").alias("level"),
+                          F.col("_m").cast("bigint").alias("m")))
 
 
 def bloom_prune(df: DataFrame, key_col: str, bloom_df: DataFrame,

@@ -957,17 +957,22 @@ def write_version(df, path: str, orphan_ttl_sec: int = 3600,
         # 0), so a concurrent writer's fresh in-flight dir would look
         # ancient and be silently reclaimed — the exact corruption
         # this guard exists to make loud. A recursive file listing
-        # has real per-object mtimes everywhere; an empty dir (no
-        # files yet) is treated as FRESH (age 0) — refusing to
-        # reclaim an empty dir costs nothing, reclaiming a racing
-        # writer's dir corrupts its commit.
+        # has real per-object mtimes everywhere. An EMPTY dir (no
+        # files yet) falls back to the dir's own mtime: pinning it
+        # fresh forever would wedge the table permanently on a
+        # mkdir-then-crash orphan, and the mtime fallback is safe
+        # here — reclaiming an empty dir loses no data, and on the
+        # object stores where dir mtimes lie, a fileless "directory"
+        # rarely exists at all.
         newest = None
         it = fs.listFiles(vdir, True)
         while it.hasNext():
             mt = it.next().getModificationTime()
             if newest is None or mt > newest:
                 newest = mt
-        age = 0 if newest is None else now_storage - newest
+        if newest is None:
+            newest = fs.getFileStatus(vdir).getModificationTime()
+        age = now_storage - newest
         if age < orphan_ttl_sec * 1000:
             raise RuntimeError(
                 f"uncommitted {vdir} is only {age / 1000:.0f}s old "
@@ -1163,7 +1168,17 @@ def write_tar_shards(df, id_col: str = "doc_id",
         # contract; raise loudly instead (r11 verdict watch item).
         pre = base.agg(F.max("_fp").alias("_mx"),
                        F.count("*").alias("_n"),
-                       F.countDistinct("_id").alias("_d")).collect()[0]
+                       F.countDistinct("_id").alias("_d"),
+                       F.sum(F.col("_id").isNull().cast("bigint"))
+                        .alias("_nulls")).collect()[0]
+        if int(pre["_nulls"] or 0) > 0:
+            # countDistinct skips NULLs — without this check a NULL
+            # id would be misreported as "duplicate ids" (r12 review)
+            raise ValueError(
+                f"write_tar_shards(target_bytes=...) requires "
+                f"non-NULL {id_col!r} values: {int(pre['_nulls'])} "
+                "NULL ids found (ids are the prefix-sum sort key and "
+                "the tar member names)")
         if int(pre["_n"] or 0) != int(pre["_d"] or 0):
             raise ValueError(
                 f"write_tar_shards(target_bytes=...) requires unique "

@@ -673,17 +673,24 @@ def stream_quantile_profile(spark: SparkSession, sf_dir: str,
     # direct whatever the batch boundaries, which is the property
     # under test.
     d = tempfile.mkdtemp(prefix="dgs_squant_")
-    (load_events(spark, sf_dir).repartition(4)
-        .write.mode("overwrite").parquet(os.path.join(d, "ev")))
-    stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
-              .option("maxFilesPerTrigger", 1)
-              .parquet(os.path.join(d, "ev")))
-    q = (stream.writeStream.outputMode("append")
-               .foreachBatch(fold).start())
     try:
-        q.processAllAvailable()
+        (load_events(spark, sf_dir).repartition(4)
+            .write.mode("overwrite").parquet(os.path.join(d, "ev")))
+        stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(d, "ev")))
+        q = (stream.writeStream.outputMode("append")
+                   .foreachBatch(fold).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        # the re-landed events copy is dead once the fold finished
+        # (the final state lives in `acc`, a driver-side row list);
+        # without this every call leaks a full events copy in /tmp
+        # (r12 review finding)
+        shutil.rmtree(d, ignore_errors=True)
     final = spark.createDataFrame(list(acc), sk_schema)
     return quantile_sketch_query(final, list(phis),
                                  group_cols=["event_type"])

@@ -1130,11 +1130,15 @@ def test_write_version_ages_files_not_dir_mtime(spark, tmp_path):
     os.utime(vdir, (0, 0))              # synthetic/ancient dir mtime
     with pytest.raises(RuntimeError, match="in flight"):
         write_version(df, p)
-    # an EMPTY uncommitted dir (no files yet) is treated as fresh too
+    # an EMPTY uncommitted dir falls back to the dir's own mtime:
+    # fresh -> raises; ancient -> reclaimed (a permanent fresh pin
+    # would wedge the table on a mkdir-then-crash orphan — r12
+    # review finding; reclaiming an empty dir loses no data)
     os.remove(os.path.join(vdir, "part-0.parquet"))
-    os.utime(vdir, (0, 0))
     with pytest.raises(RuntimeError, match="in flight"):
-        write_version(df, p)
+        write_version(df, p)            # mtime is current -> fresh
+    os.utime(vdir, (0, 0))              # ancient empty orphan
+    assert write_version(df, p) == 2    # reclaimed under default TTL
 
 
 def test_tar_shards_bytes_duplicate_ids_raise(spark):

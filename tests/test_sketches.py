@@ -1439,3 +1439,91 @@ def test_stream_quantile_profile_equals_direct(spark, tmp_path):
     want = sorted(map(tuple, sketches.quantile_sketch_query(
         direct, [0.5, 0.9], group_cols=["event_type"]).collect()))
     assert got == want
+
+
+def test_quantile_sketch_null_group_kept(spark):
+    """A NULL group key must survive the build/merge joins (r12
+    review: null-unsafe equi-join silently dropped it — the
+    NULL-group AUC failure class) and come back out of query."""
+    rows = [(i, float(i), None if i % 2 else "g") for i in range(200)]
+    df = spark.createDataFrame(rows, "uid long, x double, g string")
+    sk = sketches.quantile_sketch_build(df, "x", "uid", k=256,
+                                        group_cols=["g"])
+    per = {r["g"]: r["_n"] for r in
+           sk.select("g", "_n").distinct().collect()}
+    assert per == {"g": 100, None: 100}
+    merged = sketches.quantile_sketch_merge(
+        [sketches.quantile_sketch_build(
+             df.where(F.col("uid") < 100), "x", "uid", k=256,
+             group_cols=["g"]),
+         sketches.quantile_sketch_build(
+             df.where(F.col("uid") >= 100), "x", "uid", k=256,
+             group_cols=["g"])],
+        k=256, group_cols=["g"])
+    q = {(r["g"], r["phi"]): r["est"] for r in
+         sketches.quantile_sketch_query(merged, [0.5],
+                                        group_cols=["g"]).collect()}
+    assert ("g", 0.5) in q and (None, 0.5) in q
+
+
+def test_quantile_sketch_merge_loud_contracts(spark):
+    """Empty input list raises; a merge k larger than the build k
+    (merged level BELOW an input level) trips the in-plan assert
+    instead of silently mis-weighting rows (r12 review)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        sketches.quantile_sketch_merge([], k=64)
+    df = _qs_vals(spark, 3000)
+    sk = sketches.quantile_sketch_build(df, "x", "uid", k=64)  # L=6
+    bad = sketches.quantile_sketch_merge([sk], k=100000)       # L=0
+    with pytest.raises(Exception, match="larger k"):
+        bad.collect()
+
+
+def test_quantile_sketch_exact_integer_index_rule(spark):
+    """phi=0.07, m=100: IEEE ceil(0.07*100)=ceil(7.000...01)=8, the
+    exact integer rule gives 7 — the engine must follow the exact
+    rule (r12 review: the oracle's DECIMAL arithmetic is exact)."""
+    df = _qs_vals(spark, 100)
+    sk = sketches.quantile_sketch_build(df, "x", "uid", k=128)
+    r = sketches.quantile_sketch_query(sk, [0.07]).collect()[0]
+    xs = sorted(x for _, x, _ in df.collect())
+    assert r["m"] == 100
+    assert r["est"] == xs[6]        # index 7, 1-based
+
+
+def test_tar_shards_null_ids_distinct_error(spark):
+    """NULL ids raise their own message, not 'duplicate ids' (r12
+    review: countDistinct skips NULLs and misdiagnosed)."""
+    import pytest
+
+    from dask_grblas_spark.sources.io import write_tar_shards
+    rows = [(0, "a"), (None, "b"), (2, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-NULL"):
+        write_tar_shards(df, target_bytes=1 << 20)
+
+
+def test_stream_quantile_profile_cleans_tmp(spark, tmp_path):
+    """The re-landed events copy is removed after the fold (r12
+    review: unbounded /tmp growth across sweeps)."""
+    import glob
+    from datetime import datetime, timedelta
+
+    from dask_grblas_spark.streaming.windows import (
+        stream_quantile_profile)
+
+    t0 = datetime(2024, 5, 1)
+    rows = [(i, t0 + timedelta(seconds=i), 1, "click", float(i), "{}")
+            for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.mode("overwrite") \
+      .parquet(str(tmp_path / "events.parquet"))
+    before = set(glob.glob("/tmp/dgs_squant_*"))
+    out = stream_quantile_profile(spark, str(tmp_path), k=32,
+                                  phis=(0.5,))
+    assert out.count() == 1
+    assert set(glob.glob("/tmp/dgs_squant_*")) == before
