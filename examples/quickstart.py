@@ -69,6 +69,18 @@ def main() -> None:
         "c_acctbal", F.col("c_mktsegment") == "BUILDING")
     print("balance-vs-segment AUC:", auc.collect()[0]["auc"])
 
+    # round 12: mergeable quantile sketch — per-day shards fold into
+    # the exact same sketch the whole table builds (levels nest)
+    from dask_grblas_spark.functions import sketches
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.concat_ws(":", "l_orderkey", "l_linenumber").alias("uid"),
+        F.col("l_extendedprice").alias("x"))
+    sk = sketches.quantile_sketch_build(li, "x", "uid", k=128)
+    med = sketches.quantile_sketch_query(sk, [0.5]).collect()[0]
+    print(f"price p50 ~ {med['est']} from a {med['m']}-row sketch "
+          f"of {med['n']} rows (level {med['level']})")
+
     spark.stop()
 
 
