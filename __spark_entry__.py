@@ -5396,6 +5396,113 @@ def q324_stream_quantiles(spark, sf_dir):
                                    phis=(0.25, 0.5, 0.9))
 
 
+def q325_token_heavy_hitters(spark, sf_dir):
+    """Mergeable heavy-hitters summary (sketches.heavy_hitters_build
+    — the canonical ORDER-FREE Misra-Gries reduction: exact grouped
+    counts, then ONE subtract-and-prune by the (k+1)-th largest;
+    Misra & Gries 1982, mergeability per Agarwal et al. PODS 2012)
+    over per-language token counts, CALIBRATED in-gate against the
+    exact counts (the q321 pattern): each kept token carries
+    [est_lo, est_hi] with exact_cnt alongside — for a direct build
+    est_hi == exact by construction, which the hash pins. k=8
+    against the 31-token synthetic vocab so the pruning path (err =
+    9th-largest count) actually executes. The threshold comes from
+    the TWO-PHASE top-(k+1) (`_hh_kth_largest`) — never a per-group
+    full sort — and the err join-back broadcasts one row per
+    language. Output: (lang, token, est_lo, est_hi, exact_cnt, n,
+    err)."""
+    from dask_grblas_spark.functions.sketches import (
+        heavy_hitters_build, heavy_hitters_query)
+    from dask_grblas_spark.functions.text import tokens
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = d.select(
+        "lang",
+        F.explode(F.filter(tokens(F.col("text")),
+                           lambda x: F.length(x) > 0)).alias("tok"))
+    sk = heavy_hitters_build(tok, "tok", k=8, group_cols=["lang"])
+    q = heavy_hitters_query(sk, group_cols=["lang"])
+    exact = (tok.groupBy("lang", F.col("tok").alias("key"))
+                .agg(F.count("*").cast("bigint").alias("exact_cnt")))
+    return (exact.join(F.broadcast(q), on=["lang", "key"])
+                 .select("lang", F.col("key").alias("token"),
+                         "est_lo", "est_hi", "exact_cnt", "n", "err"))
+
+
+def q326_heavy_hitters_merge(spark, sf_dir):
+    """The MERGE path of the heavy-hitters summary (q325 pins the
+    direct build): per-order-shard summaries of customer order
+    counts (4 disjoint shards by pmod(o_orderkey, 4) — the per-day
+    rollup shape) merged in ONE order-free step
+    (`heavy_hitters_merge`: meta rows sum n and accumulated err,
+    item estimates sum per key, one further subtract-and-prune).
+    Unlike the quantile sketch, the merge does NOT equal the direct
+    build — so the oracle replays the merge ARITHMETIC itself
+    (per-shard thresholds, err accumulation, final prune), and the
+    gate emits the non-trivial containment check: est_lo <= exact <=
+    est_hi where est_hi - est_lo = sum(shard errs) + final
+    subtraction. Output: (custkey, est_lo, est_hi, exact_cnt,
+    in_bounds, n, err)."""
+    from dask_grblas_spark.functions.sketches import (
+        heavy_hitters_build, heavy_hitters_merge, heavy_hitters_query)
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").cast("bigint").alias("ck"),
+        F.pmod(F.col("o_orderkey"), F.lit(4)).cast("int").alias("_sh"))
+    shards = [heavy_hitters_build(o.where(F.col("_sh") == i), "ck",
+                                  k=48) for i in range(4)]
+    m = heavy_hitters_merge(shards, k=48)
+    q = heavy_hitters_query(m)
+    exact = (o.groupBy(F.col("ck").alias("key"))
+              .agg(F.count("*").cast("bigint").alias("exact_cnt")))
+    inb = ((F.col("est_lo") <= F.col("exact_cnt"))
+           & (F.col("exact_cnt") <= F.col("est_hi")))
+    return (exact.join(F.broadcast(q), on="key")
+                 .select(F.col("key").alias("custkey"), "est_lo",
+                         "est_hi", "exact_cnt",
+                         inb.alias("in_bounds"), "n", "err"))
+
+
+def q327_stream_heavy_hitters(spark, sf_dir):
+    """STREAMING heavy hitters (streaming.windows.
+    stream_heavy_hitters): per-event-type top-user summaries built
+    per MICRO-BATCH through a real readStream (one file per
+    trigger), folded with ONE order-free multiway merge. The MG
+    merge is not batch-split invariant (unlike the quantile
+    sketch), so determinism is engineered instead of inherited: the
+    batch SETS are pinned to the data (re-landed partitioned by
+    pmod(event_id, 4), one slice per trigger in whatever order) and
+    the single merge is order-free by construction — trigger order
+    and timing are invisible, which is what earns a stateful
+    streaming query a full-strength SQL oracle (the q324 principle,
+    carried to a summary where merge != direct build). Output:
+    (event_type, key, est_lo, est_hi, n, err)."""
+    from dask_grblas_spark.streaming.windows import (
+        stream_heavy_hitters)
+
+    return stream_heavy_hitters(spark, sf_dir, k=8)
+
+
+def q328_frequent_pairs(spark, sf_dir):
+    """Apriori-style frequent pair mining (functions.itemsets.
+    frequent_pairs — Agrawal & Srikant, VLDB 1994) over order
+    baskets: l_orderkey baskets of l_partkey items, min_support=3,
+    with association-rule stats (confidences both directions, lift).
+    The scale discipline under test: items are support-pruned BEFORE
+    any pair explode (downward closure — a pair of infrequent items
+    cannot be frequent), and each basket's surviving items collect
+    into a sorted capped array so per-basket fan-out is C(cap, 2)
+    bounded. All exact grouped counting — the oracle replays
+    supports, confidences, and lifts with a plain self-join. Output:
+    (item_a, item_b, support_pair, support_a, support_b,
+    confidence_ab, confidence_ba, lift)."""
+    from dask_grblas_spark.functions.itemsets import frequent_pairs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return frequent_pairs(li, "l_orderkey", "l_partkey",
+                          min_support=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -5591,6 +5698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q322_bloom_prejoin": q322_bloom_prejoin,
         "q323_quantile_sketch_merge": q323_quantile_sketch_merge,
         "q324_stream_quantiles": q324_stream_quantiles,
+        "q325_token_heavy_hitters": q325_token_heavy_hitters,
+        "q326_heavy_hitters_merge": q326_heavy_hitters_merge,
+        "q327_stream_heavy_hitters": q327_stream_heavy_hitters,
+        "q328_frequent_pairs": q328_frequent_pairs,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -13701,5 +13812,177 @@ def oracle_sql() -> dict[str, str]:
                rn.v AS est, pick.n AS n, CAST(pick.lv AS INT) AS level,
                pick.m AS m
         FROM pick JOIN rn ON rn.g = pick.g AND rn.rn = pick.i"""
+
+    # q325/q326: the canonical Misra-Gries reduction is pure grouped
+    # arithmetic (exact counts, (k+1)-th largest, subtract, prune), so
+    # the oracle replays it exactly — including the merge path's
+    # per-shard thresholds and err accumulation in q326.
+    sql["q325_token_heavy_hitters"] = """
+        WITH tok AS (
+          SELECT lang AS g,
+                 unnest(list_filter(
+                     regexp_split_to_array(trim(text), '\\s+'),
+                     t -> len(t) > 0)) AS tk
+          FROM documents
+        ), cnt AS (
+          SELECT g, tk, CAST(COUNT(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2
+        ), meta AS (
+          SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+        ), rk AS (
+          SELECT g, c, row_number() OVER (PARTITION BY g
+                                          ORDER BY c DESC) AS r
+          FROM cnt
+        ), e AS (
+          SELECT m.g, m.n,
+                 CAST(COALESCE(s.c, 0) AS BIGINT) AS err
+          FROM meta m LEFT JOIN (SELECT g, c FROM rk WHERE r = 9) s
+            ON m.g IS NOT DISTINCT FROM s.g
+        )
+        SELECT c.g AS lang, c.tk AS token,
+               CAST(c.c - e.err AS BIGINT) AS est_lo,
+               CAST(c.c AS BIGINT) AS est_hi,
+               c.c AS exact_cnt, e.n AS n, e.err AS err
+        FROM cnt c JOIN e ON c.g IS NOT DISTINCT FROM e.g
+        WHERE c.c > e.err"""
+
+    sql["q326_heavy_hitters_merge"] = """
+        WITH base AS (
+          SELECT CAST(o_custkey AS BIGINT) AS ky,
+                 CAST(o_orderkey % 4 AS INT) AS sh
+          FROM orders
+        ), cnt AS (
+          SELECT sh, ky, CAST(COUNT(*) AS BIGINT) AS c
+          FROM base GROUP BY 1, 2
+        ), smeta AS (
+          SELECT sh, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+        ), srk AS (
+          SELECT sh, c, row_number() OVER (PARTITION BY sh
+                                           ORDER BY c DESC) AS r
+          FROM cnt
+        ), se AS (
+          SELECT m.sh, m.n, CAST(COALESCE(s.c, 0) AS BIGINT) AS err
+          FROM smeta m
+          LEFT JOIN (SELECT sh, c FROM srk WHERE r = 49) s
+            USING (sh)
+        ), sitems AS (
+          SELECT c.sh, c.ky, c.c - e.err AS chat
+          FROM cnt c JOIN se e USING (sh)
+          WHERE c.c > e.err
+        ), mmeta AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS n,
+                 CAST(SUM(err) AS BIGINT) AS e0
+          FROM se
+        ), mitems AS (
+          SELECT ky, CAST(SUM(chat) AS BIGINT) AS c
+          FROM sitems GROUP BY 1
+        ), ms AS (
+          SELECT CAST(COALESCE((
+            SELECT c FROM (
+              SELECT c, row_number() OVER (ORDER BY c DESC) AS r
+              FROM mitems) WHERE r = 49), 0) AS BIGINT) AS s
+        ), fin AS (
+          SELECT m.ky,
+                 CAST(m.c - ms.s AS BIGINT) AS est_lo,
+                 CAST(mm.e0 + ms.s AS BIGINT) AS err,
+                 mm.n AS n
+          FROM mitems m, ms, mmeta mm
+          WHERE m.c > ms.s
+        ), exact AS (
+          SELECT CAST(o_custkey AS BIGINT) AS ky,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1
+        )
+        SELECT f.ky AS custkey, f.est_lo,
+               CAST(f.est_lo + f.err AS BIGINT) AS est_hi,
+               x.c AS exact_cnt,
+               (f.est_lo <= x.c AND x.c <= f.est_lo + f.err)
+                 AS in_bounds,
+               f.n AS n, f.err AS err
+        FROM fin f JOIN exact x ON f.ky = x.ky"""
+
+    # q327: the stream's micro-batch SETS are pinned to the data
+    # (event_id % 4) and the final merge is order-free, so the oracle
+    # replays the four slice summaries + the merge arithmetic — a
+    # full-strength oracle for a stateful streaming query.
+    sql["q327_stream_heavy_hitters"] = """
+        WITH base AS (
+          SELECT event_type AS g, event_id % 4 AS b, user_id AS ky
+          FROM events
+        ), cnt AS (
+          SELECT g, b, ky, CAST(COUNT(*) AS BIGINT) AS c
+          FROM base GROUP BY 1, 2, 3
+        ), smeta AS (
+          SELECT g, b, CAST(SUM(c) AS BIGINT) AS n
+          FROM cnt GROUP BY 1, 2
+        ), srk AS (
+          SELECT g, b, c, row_number() OVER (PARTITION BY g, b
+                                             ORDER BY c DESC) AS r
+          FROM cnt
+        ), se AS (
+          SELECT m.g, m.b, m.n, CAST(COALESCE(s.c, 0) AS BIGINT) AS err
+          FROM smeta m
+          LEFT JOIN (SELECT g, b, c FROM srk WHERE r = 9) s
+            USING (g, b)
+        ), sitems AS (
+          SELECT c.g, c.ky, c.c - e.err AS chat
+          FROM cnt c JOIN se e USING (g, b)
+          WHERE c.c > e.err
+        ), mmeta AS (
+          SELECT g, CAST(SUM(n) AS BIGINT) AS n,
+                 CAST(SUM(err) AS BIGINT) AS e0
+          FROM se GROUP BY 1
+        ), mitems AS (
+          SELECT g, ky, CAST(SUM(chat) AS BIGINT) AS c
+          FROM sitems GROUP BY 1, 2
+        ), ms AS (
+          SELECT m.g, CAST(COALESCE(s.c, 0) AS BIGINT) AS s
+          FROM mmeta m
+          LEFT JOIN (SELECT g, c FROM (
+                       SELECT g, c, row_number() OVER (PARTITION BY g
+                                  ORDER BY c DESC) AS r
+                       FROM mitems) WHERE r = 9) s
+            USING (g)
+        )
+        SELECT i.g AS event_type, i.ky AS key,
+               CAST(i.c - ms.s AS BIGINT) AS est_lo,
+               CAST(i.c + mm.e0 AS BIGINT) AS est_hi,
+               mm.n AS n, CAST(mm.e0 + ms.s AS BIGINT) AS err
+        FROM mitems i JOIN ms USING (g) JOIN mmeta mm USING (g)
+        WHERE i.c > ms.s"""
+
+    # q328: exact grouped counting end-to-end — the oracle generates
+    # pairs with a plain self-join (the basket cap never binds at
+    # test SFs: max basket width ~7 << 256, so the capped Spark plan
+    # and the uncapped SQL replay agree; the cap path is unit-tested)
+    sql["q328_frequent_pairs"] = """
+        WITH b AS (
+          SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+          FROM lineitem WHERE l_partkey IS NOT NULL
+        ), isup AS (
+          SELECT it, CAST(COUNT(*) AS BIGINT) AS s
+          FROM b GROUP BY 1 HAVING COUNT(*) >= 3
+        ), pb AS (
+          SELECT b.bk, b.it FROM b JOIN isup USING (it)
+        ), pc AS (
+          SELECT a.it AS pa, c.it AS pq,
+                 CAST(COUNT(*) AS BIGINT) AS sp
+          FROM pb a JOIN pb c ON a.bk = c.bk AND a.it < c.it
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        ), nb AS (
+          SELECT CAST(COUNT(DISTINCT bk) AS DOUBLE) AS n FROM b
+        )
+        SELECT pc.pa AS item_a, pc.pq AS item_b,
+               pc.sp AS support_pair,
+               ia.s AS support_a, ib.s AS support_b,
+               ROUND(CAST(pc.sp AS DOUBLE) / CAST(ia.s AS DOUBLE), 6)
+                 AS confidence_ab,
+               ROUND(CAST(pc.sp AS DOUBLE) / CAST(ib.s AS DOUBLE), 6)
+                 AS confidence_ba,
+               ROUND(CAST(pc.sp AS DOUBLE) * nb.n
+                     / (CAST(ia.s AS DOUBLE) * CAST(ib.s AS DOUBLE)),
+                     6) AS lift
+        FROM pc JOIN isup ia ON pc.pa = ia.it
+                JOIN isup ib ON pc.pq = ib.it, nb"""
 
     return sql

@@ -83,6 +83,10 @@ PIPELINE = [
     # k-broadcast-probe pruning) tracked round-over-round
     "q321_quantile_sketch",
     "q322_bloom_prejoin",
+    # round 12 session 2: the canonical Misra-Gries merge path (exact
+    # grouped counts + two-phase top-(k+1) thresholds + order-free
+    # multiway merge) tracked round-over-round
+    "q326_heavy_hitters_merge",
 ]
 
 

@@ -686,3 +686,200 @@ def bloom_prune(df: DataFrame, key_col: str, bloom_df: DataFrame,
         acc = bit if acc is None else (acc & bit)
     drop = [c for i in range(k) for c in (f"_p{i}", f"_w{i}", f"_b{i}")]
     return out.withColumn("maybe", acc).drop(*drop)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable heavy hitters (Misra-Gries summary, canonical order-free form)
+# ---------------------------------------------------------------------------
+
+def _hh_kth_largest(counts: DataFrame, groups: list, k: int,
+                    out_col: str = "_s") -> DataFrame:
+    """The (k+1)-th largest ``_c`` VALUE per group, computed
+    scale-safe: per-shuffle-partition top-(k+1) first (any value in
+    the global top-(k+1) multiset survives its own partition's cut —
+    the standard two-phase top-k argument holds under ties), then
+    rank k+1 of the <= (k+1) * numPartitions survivors. Never a full
+    per-group sort: a hot group with 10^9 distinct keys would pin a
+    single task under a plain ``row_number() OVER (PARTITION BY
+    group ORDER BY count DESC)``. The row_number tiebreak among
+    equal counts is arbitrary (spark_partition_id is not stable
+    across partitionings), but only the count VALUE at rank k+1
+    leaves this function, and that value is partition-independent.
+    Returns (groups..., out_col) with a row ONLY for groups having
+    more than k distinct keys."""
+    part = counts.withColumn("_pid", F.spark_partition_id())
+    w1 = (Window.partitionBy(*(groups + ["_pid"])) if groups
+          else Window.partitionBy("_pid")).orderBy(F.col("_c").desc())
+    cand = (part.withColumn("_prk", F.row_number().over(w1))
+                .where(F.col("_prk") <= k + 1)
+                .drop("_pid", "_prk"))
+    w2 = (Window.partitionBy(*groups) if groups
+          else Window.partitionBy(F.lit(1))).orderBy(F.col("_c").desc())
+    return (cand.withColumn("_rk", F.row_number().over(w2))
+                .where(F.col("_rk") == k + 1)
+                .select(*groups, F.col("_c").alias(out_col)))
+
+
+def _hh_err_meta(meta: DataFrame, srel: DataFrame,
+                 groups: list) -> DataFrame:
+    """LEFT null-safe join of the one-row-per-group (k+1)-th-largest
+    relation onto the one-row-per-group meta relation (slim x slim —
+    no broadcast hint needed; a NULL group is a real group, the
+    `_qsk_join_back` discipline). Groups with <= k distinct keys get
+    ``_s = 0``."""
+    if not groups:
+        # srel has 0 or 1 rows; LEFT join on TRUE attaches it (or NULL)
+        return (meta.join(srel, F.lit(True), "left")
+                    .withColumn("_s", F.coalesce(
+                        F.col("_s"), F.lit(0).cast("bigint"))))
+    ren = srel
+    for i, g in enumerate(groups):
+        ren = ren.withColumnRenamed(g, f"_hg{i}")
+    cond = None
+    for i, g in enumerate(groups):
+        c = meta[g].eqNullSafe(F.col(f"_hg{i}"))
+        cond = c if cond is None else cond & c
+    return (meta.join(ren, cond, "left")
+                .drop(*[f"_hg{i}" for i in range(len(groups))])
+                .withColumn("_s", F.coalesce(F.col("_s"),
+                                             F.lit(0).cast("bigint"))))
+
+
+def heavy_hitters_build(df: DataFrame, key_col: str, k: int = 64,
+                        group_cols=None,
+                        weight_col: str = None) -> DataFrame:
+    """Mergeable DETERMINISTIC heavy-hitters summary — the
+    Misra-Gries `Frequent` summary [Misra & Gries 1982] in its
+    canonical ORDER-FREE form, sized <= k items per group whatever
+    the input size. The streaming MG loop is arrival-order dependent
+    (unreplayable by a declarative oracle — the KLL-compaction
+    failure class the quantile sketch also avoids); this computes
+    the same summary as a pure function of the data: EXACT grouped
+    counts (a distributed, order-free aggregate), then ONE
+    subtract-and-prune by the (k+1)-th largest count — the reduction
+    step whose mergeability is proved in Agarwal, Cormode, Huang,
+    Phillips, Wei & Yi, "Mergeable Summaries" (PODS 2012).
+
+    Contract (err is CARRIED AS DATA, so the guarantee is always
+    checkable, never trusted): for every key x of group g with true
+    (weighted) count c(x):  est(x) <= c(x) <= est(x) + err   if x is
+    in the summary, and c(x) <= err if it is not — so every key with
+    c(x) > err is guaranteed PRESENT. For a direct build err is the
+    (k+1)-th largest count, <= n/(k+1); merges add their subtracted
+    amounts into err (see `heavy_hitters_merge`).
+
+    Plan shape at 100 TB: one grouped count over the raw data (the
+    only full-data shuffle), a TWO-PHASE top-(k+1) for the pruning
+    threshold (`_hh_kth_largest` — never a per-group global sort),
+    and one broadcast join-back of the one-row-per-group err
+    relation (`_qsk_join_back`: eqNullSafe, so a NULL group
+    survives). The counts subplan feeds three consumers unchanged,
+    so Spark reuses its Exchange rather than rescanning the input.
+
+    ``weight_col`` (optional) makes it a weighted summary (e.g.
+    token counts pre-aggregated per doc); weights must be
+    NON-NEGATIVE integers — NULL weights contribute nothing. A NULL
+    key is a real key (groupBy keeps it; meta rows are told apart by
+    ``_meta``, never by key nullness).
+
+    Returns one relation holding BOTH row kinds (the merge-robust
+    encoding — a group whose items all pruned to zero, e.g. all
+    counts equal, still carries its (n, err) in the meta row):
+    (group..., _meta, _key, _c, _n, _err) where ``_meta = true``
+    rows have NULL _key/_c and item rows have est = _c. Feed to
+    `heavy_hitters_merge` / `heavy_hitters_query`."""
+    groups = list(group_cols or [])
+    wcol = (F.col(weight_col).cast("bigint") if weight_col
+            else F.lit(1).cast("bigint"))
+    counts = (df.groupBy(*groups, F.col(key_col).alias("_key"))
+                .agg(F.coalesce(F.sum(wcol), F.lit(0))
+                      .cast("bigint").alias("_c")))
+    meta = (counts.groupBy(*groups)
+                  .agg(F.sum("_c").cast("bigint").alias("_n")))
+    srel = _hh_kth_largest(counts, groups, k)
+    emeta = (_hh_err_meta(meta, srel, groups)
+             .select(*groups, "_n", F.col("_s").alias("_err")))
+    key_t = counts.schema["_key"].dataType
+    metarows = emeta.select(
+        *groups, F.lit(True).alias("_meta"),
+        F.lit(None).cast(key_t).alias("_key"),
+        F.lit(None).cast("bigint").alias("_c"), "_n", "_err")
+    items = (_qsk_join_back(counts, emeta, groups)
+             .where(F.col("_c") > F.col("_err"))
+             .select(*groups, F.lit(False).alias("_meta"), "_key",
+                     (F.col("_c") - F.col("_err")).cast("bigint")
+                      .alias("_c"), "_n", "_err"))
+    return metarows.unionByName(items)
+
+
+def heavy_hitters_merge(sketches: list, k: int = 64,
+                        group_cols=None) -> DataFrame:
+    """Merge `heavy_hitters_build` outputs over DISJOINT row sets
+    (shards, days, sources) in ONE order-free step: per-group n and
+    accumulated err sum over the shards' META rows (robust even when
+    a shard's items all pruned away), item estimates sum per key,
+    and one further subtract-and-prune by the (k+1)-th largest
+    summed estimate caps the result at k items. This is the
+    summary-merge of Agarwal et al. (PODS 2012); unlike the quantile
+    sketch the result does NOT equal the direct build — it is a
+    coarser summary — but it is a PURE FUNCTION of the input
+    summaries (no pairwise order: a multiway merge is one grouped
+    sum + one prune), so a SQL oracle replays it exactly, and the
+    [est, est + err] containment contract survives: err_out =
+    sum(shard errs) + the new subtraction <= 2n/(k+1) for a one-shot
+    multiway merge of direct builds.
+
+    ``k`` here only caps the OUTPUT size — the guarantee rides on
+    the explicit err column, so merging with a different k than the
+    builds used stays correct (no level-inversion tripwire needed,
+    unlike `quantile_sketch_merge`). Only sketch-sized relations are
+    touched; no re-scan of the base data."""
+    if not sketches:
+        raise ValueError("heavy_hitters_merge: empty sketch list")
+    groups = list(group_cols or [])
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    metas = (u.where(F.col("_meta"))
+              .groupBy(*groups)
+              .agg(F.sum("_n").cast("bigint").alias("_n"),
+                   F.sum("_err").cast("bigint").alias("_e0")))
+    items = (u.where(~F.col("_meta"))
+              .groupBy(*groups, "_key")
+              .agg(F.sum("_c").cast("bigint").alias("_c")))
+    srel = _hh_kth_largest(items, groups, k)
+    emeta = (_hh_err_meta(metas, srel, groups)
+             .select(*groups, "_n",
+                     (F.col("_e0") + F.col("_s")).cast("bigint")
+                      .alias("_err"),
+                     F.col("_s").alias("_sc")))
+    key_t = items.schema["_key"].dataType
+    metarows = emeta.select(
+        *groups, F.lit(True).alias("_meta"),
+        F.lit(None).cast(key_t).alias("_key"),
+        F.lit(None).cast("bigint").alias("_c"), "_n", "_err")
+    out_items = (_qsk_join_back(items, emeta, groups)
+                 .where(F.col("_c") > F.col("_sc"))
+                 .select(*groups, F.lit(False).alias("_meta"), "_key",
+                         (F.col("_c") - F.col("_sc")).cast("bigint")
+                          .alias("_c"), "_n", "_err"))
+    return metarows.unionByName(out_items)
+
+
+def heavy_hitters_query(sketch: DataFrame, group_cols=None) -> DataFrame:
+    """Heavy-hitter estimates from a summary relation: the <= k item
+    rows per group with their containment interval. Output
+    (group..., key, est_lo, est_hi, n, err): true count is in
+    [est_lo, est_hi] = [_c, _c + err]; any key with true count > err
+    is guaranteed present; a group whose summary kept zero items
+    (all counts equal, below the pruning threshold) contributes no
+    rows — its (n, err) lives on the meta row of the summary
+    itself."""
+    groups = list(group_cols or [])
+    return (sketch.where(~F.col("_meta"))
+                  .select(*groups, F.col("_key").alias("key"),
+                          F.col("_c").alias("est_lo"),
+                          (F.col("_c") + F.col("_err"))
+                           .cast("bigint").alias("est_hi"),
+                          F.col("_n").alias("n"),
+                          F.col("_err").alias("err")))

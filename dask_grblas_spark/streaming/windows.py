@@ -694,3 +694,73 @@ def stream_quantile_profile(spark: SparkSession, sf_dir: str,
     final = spark.createDataFrame(list(acc), sk_schema)
     return quantile_sketch_query(final, list(phis),
                                  group_cols=["event_type"])
+
+
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str,
+                         k: int = 8) -> DataFrame:
+    """STREAMING heavy-hitters monitor whose state is the mergeable
+    Misra-Gries summary (`functions.sketches.heavy_hitters_build`):
+    each micro-batch builds its own per-event-type summary of user
+    activity and appends it to the accumulated state (bounded: <=
+    (k+1) rows per type per batch, collected to the driver — the
+    stream_quantile_profile contract), and the final answer is ONE
+    order-free multiway merge over the per-batch summaries — the
+    per-window-rollup deployment shape of Agarwal et al.'s mergeable
+    summaries.
+
+    Determinism story (WHY a stateful-streaming query gets a full
+    SQL oracle): unlike the quantile sketch, an MG merge is NOT
+    invariant to how rows split into batches — so the batch SETS are
+    pinned to the data itself: the stream is re-landed partitioned
+    by ``_b = pmod(event_id, 4)`` and read one FILE per trigger,
+    making each micro-batch exactly one _b slice whatever order the
+    engine picks; and the single multiway merge is order-free by
+    construction (meta rows sum, item estimates sum, one prune), so
+    trigger order, timing, and parallelism are all invisible in the
+    result. The oracle replays the four slice summaries and the
+    merge arithmetic directly. Output per
+    `heavy_hitters_query`: (event_type, key, est_lo, est_hi, n,
+    err) — key is the user_id."""
+    from ..functions.sketches import (heavy_hitters_build,
+                                      heavy_hitters_merge,
+                                      heavy_hitters_query)
+
+    hh_schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("_meta", T.BooleanType()),
+        T.StructField("_key", T.LongType()),
+        T.StructField("_c", T.LongType()),
+        T.StructField("_n", T.LongType()),
+        T.StructField("_err", T.LongType()),
+    ])
+    acc: list = []
+
+    def fold(batch_df, _bid):
+        sk = heavy_hitters_build(
+            batch_df.select("event_type", "user_id"),
+            "user_id", k=k, group_cols=["event_type"])
+        acc.extend(sk.collect())    # bounded: <= (k+1) x types rows
+
+    d = tempfile.mkdtemp(prefix="dgs_shh_")
+    try:
+        (load_events(spark, sf_dir)
+            .withColumn("_b", F.pmod(F.col("event_id"), F.lit(4)))
+            .repartition("_b")
+            .write.mode("overwrite").partitionBy("_b")
+            .parquet(os.path.join(d, "ev")))
+        stream = (spark.readStream.schema(EVENTS_RAW_SCHEMA)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("basePath", os.path.join(d, "ev"))
+                  .parquet(os.path.join(d, "ev", "_b=*")))
+        q = (stream.writeStream.outputMode("append")
+                   .foreachBatch(fold).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    summaries = spark.createDataFrame(list(acc), hh_schema)
+    merged = heavy_hitters_merge([summaries], k=k,
+                                 group_cols=["event_type"])
+    return heavy_hitters_query(merged, group_cols=["event_type"])

@@ -1527,3 +1527,171 @@ def test_stream_quantile_profile_cleans_tmp(spark, tmp_path):
                                   phis=(0.5,))
     assert out.count() == 1
     assert set(glob.glob("/tmp/dgs_squant_*")) == before
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (canonical Misra-Gries, mergeable)
+# ---------------------------------------------------------------------------
+
+def _zipf_rows(spark, scale=1000, keys=200, shards=3):
+    rows = [(f"k{i}", j, i % shards)
+            for i in range(1, keys) for j in range(scale // i)]
+    return spark.createDataFrame(rows, "key string, j int, shard int")
+
+
+def _mg_replay(exact: dict, k: int):
+    """Plain-Python canonical MG: subtract the (k+1)-th largest count,
+    prune non-positive. Returns (items dict, err)."""
+    if len(exact) <= k:
+        return dict(exact), 0
+    s = sorted(exact.values(), reverse=True)[k]
+    return {key: c - s for key, c in exact.items() if c > s}, s
+
+
+def test_heavy_hitters_bounds_presence_and_replay(spark):
+    df = _zipf_rows(spark)
+    exact = {r["key"]: r["c"] for r in
+             df.groupBy("key").agg(F.count("*").alias("c")).collect()}
+    n = sum(exact.values())
+    out = sketches.heavy_hitters_query(
+        sketches.heavy_hitters_build(df, "key", k=10)).collect()
+    assert 0 < len(out) <= 10
+    err = out[0]["err"]
+    assert out[0]["n"] == n and err <= n // 11
+    for r in out:   # containment: true count inside [est_lo, est_hi]
+        assert r["est_lo"] <= exact[r["key"]] <= r["est_hi"]
+    present = {r["key"] for r in out}
+    for key, c in exact.items():   # presence: c > err guaranteed kept
+        if c > err:
+            assert key in present
+    # the summary IS the canonical MG reduction, bit for bit
+    items, s = _mg_replay(exact, 10)
+    assert err == s
+    assert {r["key"]: r["est_lo"] for r in out} == items
+
+
+def test_heavy_hitters_partition_stable(spark):
+    df = _zipf_rows(spark)
+    a = sketches.heavy_hitters_build(df, "key", k=7).collect()
+    b = sketches.heavy_hitters_build(df.repartition(13), "key",
+                                     k=7).collect()
+    key = lambda r: (r["_meta"], r["_key"] or "", r["_c"] or 0)
+    assert len(a) > 0
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_heavy_hitters_exact_when_small(spark):
+    df = spark.createDataFrame(
+        [(f"k{i}", j) for i in range(5) for j in range(i + 1)],
+        "key string, j int")
+    out = sketches.heavy_hitters_query(
+        sketches.heavy_hitters_build(df, "key", k=10)).collect()
+    assert {r["key"]: r["est_lo"] for r in out} == \
+        {f"k{i}": i + 1 for i in range(5)}
+    assert all(r["err"] == 0 and r["est_hi"] == r["est_lo"]
+               for r in out)
+
+
+def test_heavy_hitters_equal_counts_keeps_meta(spark):
+    """All counts equal and d > k: every item prunes away, but the
+    meta row still carries (n, err) so downstream merges stay
+    correct — the merge-robust encoding."""
+    eq = spark.createDataFrame(
+        [(f"e{i}", j) for i in range(30) for j in range(4)],
+        "key string, j int")
+    sk = sketches.heavy_hitters_build(eq, "key", k=5)
+    assert sk.where("not _meta").count() == 0
+    meta = sk.where("_meta").collect()
+    assert len(meta) == 1 and meta[0]["_n"] == 120 \
+        and meta[0]["_err"] == 4
+    merged = sketches.heavy_hitters_merge([sk, sk], k=5)
+    mm = merged.where("_meta").collect()[0]
+    assert mm["_n"] == 240 and mm["_err"] == 8
+
+
+def test_heavy_hitters_merge_bounds_and_order_free(spark):
+    df = _zipf_rows(spark)
+    exact = {r["key"]: r["c"] for r in
+             df.groupBy("key").agg(F.count("*").alias("c")).collect()}
+    n = sum(exact.values())
+    shards = [sketches.heavy_hitters_build(
+        df.where(F.col("shard") == i), "key", k=10) for i in range(3)]
+    m = sketches.heavy_hitters_merge(shards, k=10)
+    out = sketches.heavy_hitters_query(m).collect()
+    assert 0 < len(out) <= 10
+    err = out[0]["err"]
+    assert out[0]["n"] == n
+    assert err <= 2 * n // 11   # one-shot multiway merge bound
+    for r in out:
+        assert r["est_lo"] <= exact[r["key"]] <= r["est_hi"]
+    present = {r["key"] for r in out}
+    for key, c in exact.items():
+        if c > err:
+            assert key in present
+    # multiway merge is one order-free reduction: shard order is moot
+    rev = sketches.heavy_hitters_merge(shards[::-1], k=10).collect()
+    key = lambda r: (r["_meta"], r["_key"] or "", r["_c"] or 0)
+    assert sorted(m.collect(), key=key) == sorted(rev, key=key)
+
+
+def test_heavy_hitters_weighted_groups_null_key(spark):
+    g = spark.createDataFrame(
+        [("a", "x", 5), ("a", "x", 7), ("a", None, 100), ("b", "y", 2),
+         ("a", "z", 1), ("b", None, None)],
+        "grp string, key string, w int")
+    sk = sketches.heavy_hitters_build(g, "key", k=2,
+                                      group_cols=["grp"],
+                                      weight_col="w")
+    rows = sorted(((r["grp"], r["key"] or "", r["est_lo"], r["err"])
+                   for r in sketches.heavy_hitters_query(
+                       sk, group_cols=["grp"]).collect()))
+    # grp a: NULL=100, x=12, z=1; k=2 -> err = 3rd largest = 1
+    # grp b: y=2, NULL weight is NULL -> c=0 -> d=2 <= k -> err=0 and
+    # the zero-count key prunes (0 > 0 is false)
+    assert rows == [("a", "", 99, 1), ("a", "x", 11, 1),
+                    ("b", "y", 2, 0)]
+
+
+def test_heavy_hitters_merge_empty_list_raises(spark):
+    with pytest.raises(ValueError):
+        sketches.heavy_hitters_merge([])
+
+
+def test_stream_heavy_hitters_equals_batch_replay(spark, tmp_path):
+    """The streaming MG fold (r12 session 2): per-micro-batch
+    summaries (batch sets pinned to event_id % 4) merged order-free
+    must equal the batch-mode replay — build per slice, one multiway
+    merge — exactly. Also pins that the re-landed scratch dir is
+    removed."""
+    import glob as _glob
+    from datetime import datetime, timedelta
+
+    from dask_grblas_spark.streaming.windows import stream_heavy_hitters
+
+    t0 = datetime(2024, 5, 1, 0, 0, 0)
+    # user u appears ~ 40 - u times per type: a real head to find
+    rows = []
+    eid = 0
+    for u in range(30):
+        for rep in range(40 - u):
+            rows.append((eid, t0 + timedelta(seconds=eid), u,
+                         "click" if eid % 3 else "view",
+                         1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.coalesce(1).write.mode("overwrite") \
+      .parquet(str(tmp_path / "events.parquet"))
+    got = sorted(map(tuple, stream_heavy_hitters(
+        spark, str(tmp_path), k=5).collect()))
+    shards = [sketches.heavy_hitters_build(
+        df.where(F.pmod(F.col("event_id"), F.lit(4)) == b)
+          .select("event_type", "user_id"),
+        "user_id", k=5, group_cols=["event_type"]) for b in range(4)]
+    merged = sketches.heavy_hitters_merge(shards, k=5,
+                                          group_cols=["event_type"])
+    want = sorted(map(tuple, sketches.heavy_hitters_query(
+        merged, group_cols=["event_type"]).collect()))
+    assert got == want and len(got) > 0
+    assert _glob.glob("/tmp/dgs_shh_*") == []

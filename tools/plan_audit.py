@@ -33,6 +33,10 @@ CARTESIAN_OK = {
                               "the scale path is q71 (cartesian-free)"),
     "q35_cosine_topk": "blocked-GEMM tile replication (bounded fan-out)",
     "q36_ivf_ann": "corpus x broadcast centroids (n_cells-bounded)",
+    "q326_heavy_hitters_merge": (
+        "ungrouped MG path: every nested-loop is a broadcast of a "
+        "ONE-ROW meta/threshold relation (4 shard builds + the "
+        "merge), bounded at any input size"),
 }
 
 

@@ -1794,6 +1794,45 @@ def main() -> int:
                         .where(F.col("maybe")))
     probe("bloom_prune_20m_probe_1m_keys", NBP, _bprune)
 
+    # ---- r12 session 2: canonical Misra-Gries at 50M rows over ~5M
+    # distinct keys with a hot 100-key head (30% of mass). The
+    # adversarial part is the THRESHOLD: a per-group `row_number OVER
+    # (ORDER BY c DESC)` would sort 5M count rows in ONE task; the
+    # two-phase top-(k+1) keeps every sort partition-local -----------
+    NHH = 50_000_000 if not QUICK else 500_000
+
+    def _hhitters():
+        base = spark.range(NHH).select(
+            F.when(F.col("id") % 10 < 3, F.col("id") % 100)
+             .otherwise(F.col("id") % 5_000_000).alias("k"))
+        sk = sketches.heavy_hitters_build(base, "k", k=64)
+        return sketches.heavy_hitters_query(sk)
+    probe("heavy_hitters_50m_5m_distinct", NHH, _hhitters)
+
+    # ---- r12 session 2: Apriori frequent pairs at 10M (basket,item)
+    # rows — 1M normal baskets (~10 items) plus 10 MEGA-baskets of
+    # 100k items each: without the sorted cap those alone would
+    # explode to 10 * C(100k, 2) ~ 5e13 pairs; the cap bounds them at
+    # C(256, 2) each, and the support prune bounds everything else --
+    NFP = 10_000_000 if not QUICK else 200_000
+
+    def _fpairs():
+        from dask_grblas_spark.functions import itemsets
+        # basket b holds the 10-item window {37b + k mod 100k}: every
+        # consecutive-distance-d pair has support (10-d)*10, so
+        # min_support=50 keeps exactly the d<=5 pairs (~500k rows)
+        normal = spark.range(NFP).select(
+            (F.col("id") % 1_000_000).alias("bk"),
+            ((F.col("id") % 1_000_000) * 37
+             + (F.col("id") / 1_000_000).cast("bigint")).alias("it"))
+        normal = normal.withColumn("it", F.pmod("it", F.lit(100_000)))
+        mega = spark.range(10 * 100_000).select(
+            (F.lit(2_000_000) + F.col("id") % 10).alias("bk"),
+            (F.col("id") % 100_000).alias("it"))
+        return itemsets.frequent_pairs(normal.unionByName(mega),
+                                       "bk", "it", min_support=50)
+    probe("frequent_pairs_10m_megabasket", NFP, _fpairs)
+
     total = round(sum(r["sec"] for r in results), 2)
     print(json.dumps({"total_sec": total, "ops": len(results)}))
     return 0

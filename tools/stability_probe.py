@@ -85,7 +85,15 @@ DEFAULT = ["q174_gini", "q203_cube", "q216_tpch_pricing",
            "q317_tpch_parts_supplier_cnt", "q318_tpch_part_promotion",
            "q319_tpch_above_region_avg", "q320_tpch_never_brand",
            "q321_quantile_sketch", "q322_bloom_prejoin",
-           "q323_quantile_sketch_merge", "q324_stream_quantiles"]
+           "q323_quantile_sketch_merge", "q324_stream_quantiles",
+           # r12 session 2: canonical Misra-Gries — the two-phase
+           # top-(k+1) threshold under partition variance (the
+           # spark_partition_id tiebreak must never leak a value)
+           "q325_token_heavy_hitters", "q326_heavy_hitters_merge",
+           "q327_stream_heavy_hitters",
+           # r12 session 2: the Apriori pair explode (collect_set cap
+           # determinism + float confidence/lift rounds)
+           "q328_frequent_pairs"]
 
 PARTITION_GRID = (5, 32, 77, 200)
 
