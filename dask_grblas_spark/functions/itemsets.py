@@ -1,0 +1,94 @@
+"""Frequent-itemset mining (association rules) — the market-basket
+screen of retail/clickstream OLAP, Spark-first.
+
+The scale hazard is the pair fan-out: exploding C(n_b, 2) pairs per
+basket is quadratic in basket width. The classic fix is Apriori's
+downward closure [Agrawal & Srikant, VLDB 1994]: a pair can only reach
+``min_support`` if BOTH items do, so items are support-pruned FIRST
+and baskets shrink to their frequent items before any pair is
+generated. Everything here is exact grouped counting — no sampling,
+no RNG — so the whole result (supports, confidences, lifts) replays
+in a SQL oracle.
+
+Reference scope: the reference engine (dask-grblas) has no itemset
+layer; this extends the LLM/retail-pipeline surface (SURVEY.md
+extension operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(df: DataFrame, basket_col: str, item_col: str,
+                   min_support: int = 3,
+                   max_frequent_per_basket: int = 256) -> DataFrame:
+    """Frequent item PAIRS with association-rule stats, Apriori-style.
+
+    Plan shape at 100 TB: (1) basket-level presence = one DISTINCT
+    over (basket, item); (2) items below ``min_support`` are pruned
+    BEFORE pair generation (downward closure — the prune is what
+    bounds the explode: a pair of infrequent items cannot be
+    frequent, so dropping them loses nothing); (3) each basket's
+    surviving items collect into a SORTED array capped at
+    ``max_frequent_per_basket`` (deterministic lexicographic cap, the
+    `token_cooccurrence` precedent — C(cap, 2) bounds the per-basket
+    fan-out against pathological mega-baskets; the cap binding means
+    dropped pairs, so size it to your basket P100); (4) one pair
+    explode + grouped count, support-filtered map-side.
+
+    Marginal supports and the basket total are PRE-cap (the standard
+    definition — the cap only limits which pairs are generated, not
+    what support means). confidence_ab = s_ab/s_a, confidence_ba =
+    s_ab/s_b, lift = s_ab*N/(s_a*s_b), each ROUND(.,6) over DOUBLE
+    (the PMI-oracle precedent for float ulps).
+
+    Output: (item_a, item_b, support_pair, support_a, support_b,
+    confidence_ab, confidence_ba, lift) with item_a < item_b."""
+    items = (df.select(F.col(basket_col).alias("_b"),
+                       F.col(item_col).alias("_i"))
+               .where(F.col("_i").isNotNull())
+               .distinct())
+    isup = (items.groupBy("_i")
+                 .agg(F.count("*").cast("bigint").alias("_si"))
+                 .where(F.col("_si") >= min_support))
+    pruned = items.join(isup.select("_i"), on="_i")
+    baskets = (pruned.groupBy("_b")
+                     .agg(F.slice(F.array_sort(F.collect_set("_i")),
+                                  1, max_frequent_per_basket)
+                           .alias("_t"))
+                     .where(F.size("_t") >= 2))
+    pair_expr = F.expr(
+        "flatten(transform(_t, (x, i) -> "
+        "transform(slice(_t, i + 2, size(_t)), y -> "
+        "struct(x AS a, y AS b))))")
+    pairs = (baskets.select(F.explode(pair_expr).alias("_p"))
+                    .groupBy(F.col("_p.a").alias("item_a"),
+                             F.col("_p.b").alias("item_b"))
+                    .agg(F.count("*").cast("bigint")
+                          .alias("support_pair"))
+                    .where(F.col("support_pair") >= min_support))
+    nb = items.select("_b").distinct() \
+              .agg(F.count("*").cast("double").alias("_N"))
+    sa = isup.select(F.col("_i").alias("item_a"),
+                     F.col("_si").alias("support_a"))
+    sb = isup.select(F.col("_i").alias("item_b"),
+                     F.col("_si").alias("support_b"))
+    return (pairs.join(sa, on="item_a")
+                 .join(sb, on="item_b")
+                 .crossJoin(F.broadcast(nb))
+                 .select("item_a", "item_b", "support_pair",
+                         "support_a", "support_b",
+                         F.round(F.col("support_pair").cast("double")
+                                 / F.col("support_a").cast("double"),
+                                 6).alias("confidence_ab"),
+                         F.round(F.col("support_pair").cast("double")
+                                 / F.col("support_b").cast("double"),
+                                 6).alias("confidence_ba"),
+                         F.round(F.col("support_pair").cast("double")
+                                 * F.col("_N")
+                                 / (F.col("support_a").cast("double")
+                                    * F.col("support_b")
+                                       .cast("double")),
+                                 6).alias("lift")))
