@@ -5503,6 +5503,22 @@ def q328_frequent_pairs(spark, sf_dir):
                           min_support=3)
 
 
+def q329_frequent_triples(spark, sf_dir):
+    """The size-3 Apriori level (functions.itemsets.
+    frequent_triples): order-basket part triples at min_support=2
+    with the full-independence lift3 = s*N^2/(sa*sb*sc). Same
+    discipline as q328 one level up — item prune before the triple
+    explode, sorted capped baskets (C(cap,3) bound), one grouped
+    count; the oracle replays with a 3-way self-join. Output:
+    (item_a, item_b, item_c, support_triple, support_a, support_b,
+    support_c, lift3)."""
+    from dask_grblas_spark.functions.itemsets import frequent_triples
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return frequent_triples(li, "l_orderkey", "l_partkey",
+                            min_support=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -5702,6 +5718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q326_heavy_hitters_merge": q326_heavy_hitters_merge,
         "q327_stream_heavy_hitters": q327_stream_heavy_hitters,
         "q328_frequent_pairs": q328_frequent_pairs,
+        "q329_frequent_triples": q329_frequent_triples,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -13956,13 +13973,13 @@ def oracle_sql() -> dict[str, str]:
     # test SFs: max basket width ~7 << 256, so the capped Spark plan
     # and the uncapped SQL replay agree; the cap path is unit-tested)
     sql["q328_frequent_pairs"] = """
-        WITH b AS (
+        WITH b AS MATERIALIZED (
           SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
           FROM lineitem WHERE l_partkey IS NOT NULL
-        ), isup AS (
+        ), isup AS MATERIALIZED (
           SELECT it, CAST(COUNT(*) AS BIGINT) AS s
           FROM b GROUP BY 1 HAVING COUNT(*) >= 3
-        ), pb AS (
+        ), pb AS MATERIALIZED (
           SELECT b.bk, b.it FROM b JOIN isup USING (it)
         ), pc AS (
           SELECT a.it AS pa, c.it AS pq,
@@ -13984,5 +14001,34 @@ def oracle_sql() -> dict[str, str]:
                      6) AS lift
         FROM pc JOIN isup ia ON pc.pa = ia.it
                 JOIN isup ib ON pc.pq = ib.it, nb"""
+
+    sql["q329_frequent_triples"] = """
+        WITH b AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+          FROM lineitem WHERE l_partkey IS NOT NULL
+        ), isup AS MATERIALIZED (
+          SELECT it, CAST(COUNT(*) AS BIGINT) AS s
+          FROM b GROUP BY 1 HAVING COUNT(*) >= 2
+        ), pb AS MATERIALIZED (
+          SELECT b.bk, b.it FROM b JOIN isup USING (it)
+        ), tc AS (
+          SELECT a.it AS pa, c.it AS pq, d.it AS pr,
+                 CAST(COUNT(*) AS BIGINT) AS sp
+          FROM pb a
+          JOIN pb c ON a.bk = c.bk AND a.it < c.it
+          JOIN pb d ON a.bk = d.bk AND c.it < d.it
+          GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+        ), nb AS (
+          SELECT CAST(COUNT(DISTINCT bk) AS DOUBLE) AS n FROM b
+        )
+        SELECT tc.pa AS item_a, tc.pq AS item_b, tc.pr AS item_c,
+               tc.sp AS support_triple,
+               ia.s AS support_a, ib.s AS support_b, ic.s AS support_c,
+               ROUND(CAST(tc.sp AS DOUBLE) * nb.n * nb.n
+                     / (CAST(ia.s AS DOUBLE) * CAST(ib.s AS DOUBLE)
+                        * CAST(ic.s AS DOUBLE)), 6) AS lift3
+        FROM tc JOIN isup ia ON tc.pa = ia.it
+                JOIN isup ib ON tc.pq = ib.it
+                JOIN isup ic ON tc.pr = ic.it, nb"""
 
     return sql

@@ -21,6 +21,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pruned_baskets(df: DataFrame, basket_col: str, item_col: str,
+                    min_support: int, cap: int):
+    """Shared Apriori front end: basket-level presence (DISTINCT),
+    item supports, the downward-closure item prune, and the sorted
+    capped basket arrays. Returns (baskets(_b, _t), isup(_i, _si),
+    items(_b, _i)) — the three relations every itemset size builds
+    from."""
+    items = (df.select(F.col(basket_col).alias("_b"),
+                       F.col(item_col).alias("_i"))
+               .where(F.col("_i").isNotNull())
+               .distinct())
+    isup = (items.groupBy("_i")
+                 .agg(F.count("*").cast("bigint").alias("_si"))
+                 .where(F.col("_si") >= min_support))
+    baskets = (items.join(isup.select("_i"), on="_i")
+                    .groupBy("_b")
+                    .agg(F.slice(F.array_sort(F.collect_set("_i")),
+                                 1, cap).alias("_t")))
+    return baskets, isup, items
+
+
 def frequent_pairs(df: DataFrame, basket_col: str, item_col: str,
                    min_support: int = 3,
                    max_frequent_per_basket: int = 256) -> DataFrame:
@@ -46,19 +67,10 @@ def frequent_pairs(df: DataFrame, basket_col: str, item_col: str,
 
     Output: (item_a, item_b, support_pair, support_a, support_b,
     confidence_ab, confidence_ba, lift) with item_a < item_b."""
-    items = (df.select(F.col(basket_col).alias("_b"),
-                       F.col(item_col).alias("_i"))
-               .where(F.col("_i").isNotNull())
-               .distinct())
-    isup = (items.groupBy("_i")
-                 .agg(F.count("*").cast("bigint").alias("_si"))
-                 .where(F.col("_si") >= min_support))
-    pruned = items.join(isup.select("_i"), on="_i")
-    baskets = (pruned.groupBy("_b")
-                     .agg(F.slice(F.array_sort(F.collect_set("_i")),
-                                  1, max_frequent_per_basket)
-                           .alias("_t"))
-                     .where(F.size("_t") >= 2))
+    baskets, isup, items = _pruned_baskets(
+        df, basket_col, item_col, min_support,
+        max_frequent_per_basket)
+    baskets = baskets.where(F.size("_t") >= 2)
     pair_expr = F.expr(
         "flatten(transform(_t, (x, i) -> "
         "transform(slice(_t, i + 2, size(_t)), y -> "
@@ -92,3 +104,56 @@ def frequent_pairs(df: DataFrame, basket_col: str, item_col: str,
                                     * F.col("support_b")
                                        .cast("double")),
                                  6).alias("lift")))
+
+
+def frequent_triples(df: DataFrame, basket_col: str, item_col: str,
+                     min_support: int = 2,
+                     max_frequent_per_basket: int = 64) -> DataFrame:
+    """Frequent item TRIPLES — the size-3 level of the same Apriori
+    plan: item-support prune (downward closure: every item of a
+    frequent triple is itself frequent), sorted capped baskets, ONE
+    triple explode + grouped count. The default cap is tighter than
+    the pair level (C(cap, 3) grows a power faster — 64 keeps the
+    per-basket fan-out under ~42k); pipelines that need a stronger
+    prune first can pre-filter baskets to items appearing in
+    `frequent_pairs` output (pair-level closure) before calling.
+
+    lift3 = s_abc * N^2 / (s_a * s_b * s_c) — the full-independence
+    ratio, ROUND(.,6) over DOUBLE; marginals PRE-cap as in
+    `frequent_pairs`. Output: (item_a, item_b, item_c,
+    support_triple, support_a, support_b, support_c, lift3) with
+    item_a < item_b < item_c."""
+    baskets, isup, items = _pruned_baskets(
+        df, basket_col, item_col, min_support,
+        max_frequent_per_basket)
+    baskets = baskets.where(F.size("_t") >= 3)
+    triple_expr = F.expr(
+        "flatten(flatten(transform(_t, (x, i) -> "
+        "transform(slice(_t, i + 2, size(_t)), (y, j) -> "
+        "transform(slice(_t, i + j + 3, size(_t)), z -> "
+        "struct(x AS a, y AS b, z AS c))))))")
+    trip = (baskets.select(F.explode(triple_expr).alias("_p"))
+                   .groupBy(F.col("_p.a").alias("item_a"),
+                            F.col("_p.b").alias("item_b"),
+                            F.col("_p.c").alias("item_c"))
+                   .agg(F.count("*").cast("bigint")
+                         .alias("support_triple"))
+                   .where(F.col("support_triple") >= min_support))
+    nb = items.select("_b").distinct() \
+              .agg(F.count("*").cast("double").alias("_N"))
+    sup = [isup.select(F.col("_i").alias(f"item_{x}"),
+                       F.col("_si").alias(f"support_{x}"))
+           for x in ("a", "b", "c")]
+    dbl = lambda c: F.col(c).cast("double")
+    return (trip.join(sup[0], on="item_a")
+                .join(sup[1], on="item_b")
+                .join(sup[2], on="item_c")
+                .crossJoin(F.broadcast(nb))
+                .select("item_a", "item_b", "item_c",
+                        "support_triple", "support_a", "support_b",
+                        "support_c",
+                        F.round(dbl("support_triple") * F.col("_N")
+                                * F.col("_N")
+                                / (dbl("support_a") * dbl("support_b")
+                                   * dbl("support_c")),
+                                6).alias("lift3")))

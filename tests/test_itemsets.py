@@ -8,7 +8,8 @@ from collections import Counter
 import pytest
 from pyspark.sql import functions as F
 
-from dask_grblas_spark.functions.itemsets import frequent_pairs
+from dask_grblas_spark.functions.itemsets import (frequent_pairs,
+                                                  frequent_triples)
 
 
 def _baskets_df(spark, baskets):
@@ -90,3 +91,36 @@ def test_frequent_pairs_null_items_ignored(spark):
          (3, 20)], "bk long, it long")
     got = frequent_pairs(df, "bk", "it", min_support=3).collect()
     assert len(got) == 1 and got[0]["support_pair"] == 3
+
+
+def test_frequent_triples_matches_bruteforce(spark):
+    baskets = {b: [(b * 7 + i * 13) % 25 for i in range(4 + b % 4)]
+               for b in range(80)}
+    got = {(r["item_a"], r["item_b"], r["item_c"]):
+           (r["support_triple"], r["support_a"], r["support_b"],
+            r["support_c"], r["lift3"])
+           for r in frequent_triples(_baskets_df(spark, baskets),
+                                     "bk", "it",
+                                     min_support=3).collect()}
+    isup = Counter()
+    tsup = Counter()
+    for items in baskets.values():
+        s = sorted(set(items))
+        isup.update(s)
+        tsup.update(itertools.combinations(s, 3))
+    n = float(len(baskets))
+    want = {t: (sp, isup[t[0]], isup[t[1]], isup[t[2]],
+                round(sp * n * n /
+                      (isup[t[0]] * isup[t[1]] * isup[t[2]]), 6))
+            for t, sp in tsup.items() if sp >= 3}
+    assert got == want and len(want) > 5
+
+
+def test_frequent_triples_cap_and_order(spark):
+    baskets = {1: list(range(8)), 2: list(range(8)), 3: list(range(8))}
+    got = frequent_triples(_baskets_df(spark, baskets), "bk", "it",
+                           min_support=3,
+                           max_frequent_per_basket=4).collect()
+    assert {(r["item_a"], r["item_b"], r["item_c"]) for r in got} == \
+        set(itertools.combinations(range(4), 3))
+    assert all(r["item_a"] < r["item_b"] < r["item_c"] for r in got)

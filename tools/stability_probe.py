@@ -91,9 +91,9 @@ DEFAULT = ["q174_gini", "q203_cube", "q216_tpch_pricing",
            # spark_partition_id tiebreak must never leak a value)
            "q325_token_heavy_hitters", "q326_heavy_hitters_merge",
            "q327_stream_heavy_hitters",
-           # r12 session 2: the Apriori pair explode (collect_set cap
+           # r12 session 2: the Apriori explodes (collect_set cap
            # determinism + float confidence/lift rounds)
-           "q328_frequent_pairs"]
+           "q328_frequent_pairs", "q329_frequent_triples"]
 
 PARTITION_GRID = (5, 32, 77, 200)
 
