@@ -5519,6 +5519,33 @@ def q329_frequent_triples(spark, sf_dir):
                             min_support=2)
 
 
+def q330_weighted_heavy_hitters(spark, sf_dir):
+    """The WEIGHTED path of the Misra-Gries summary (q325/q326 pin
+    the unit-count paths): top parts by total shipped QUANTITY —
+    heavy_hitters_build(weight_col=) sums integer weights instead of
+    row counts, so est/err denominate in units of quantity; the MG
+    guarantee (true weighted count in [est_lo, est_hi], any part
+    with quantity > err present) holds verbatim because the
+    reduction only ever needed additive non-negative masses.
+    In-gate calibration joins the exact weighted sums (for a DIRECT
+    build est_hi == exact by construction — the hash pins that
+    identity, so no tautological boolean rides along). Output:
+    (partkey, est_lo, est_hi, exact_qty, n, err)."""
+    from dask_grblas_spark.functions.sketches import (
+        heavy_hitters_build, heavy_hitters_query)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_partkey").cast("bigint").alias("pk"),
+        F.col("l_quantity").cast("bigint").alias("qty"))
+    sk = heavy_hitters_build(li, "pk", k=24, weight_col="qty")
+    q = heavy_hitters_query(sk)
+    exact = (li.groupBy(F.col("pk").alias("key"))
+               .agg(F.sum("qty").cast("bigint").alias("exact_qty")))
+    return (exact.join(F.broadcast(q), on="key")
+                 .select(F.col("key").alias("partkey"), "est_lo",
+                         "est_hi", "exact_qty", "n", "err"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: masked semiring matmul two-hop counts."""
     return q02_twohop(spark, SF0001)
@@ -5719,6 +5746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q327_stream_heavy_hitters": q327_stream_heavy_hitters,
         "q328_frequent_pairs": q328_frequent_pairs,
         "q329_frequent_triples": q329_frequent_triples,
+        "q330_weighted_heavy_hitters": q330_weighted_heavy_hitters,
         # driver-rowed in r7 (kept registered for full sweeps)
         "q100_bpe_encode": q100_bpe_encode,
         "q102_pivot": q102_pivot,
@@ -14030,5 +14058,26 @@ def oracle_sql() -> dict[str, str]:
         FROM tc JOIN isup ia ON tc.pa = ia.it
                 JOIN isup ib ON tc.pq = ib.it
                 JOIN isup ic ON tc.pr = ic.it, nb"""
+
+    sql["q330_weighted_heavy_hitters"] = """
+        WITH cnt AS (
+          SELECT CAST(l_partkey AS BIGINT) AS ky,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1
+        ), meta AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt
+        ), rk AS (
+          SELECT c, row_number() OVER (ORDER BY c DESC) AS r FROM cnt
+        ), e AS (
+          SELECT m.n, CAST(COALESCE(
+            (SELECT c FROM rk WHERE r = 25), 0) AS BIGINT) AS err
+          FROM meta m
+        )
+        SELECT c.ky AS partkey,
+               CAST(c.c - e.err AS BIGINT) AS est_lo,
+               CAST(c.c AS BIGINT) AS est_hi,
+               c.c AS exact_qty, e.n AS n, e.err AS err
+        FROM cnt c, e
+        WHERE c.c > e.err"""
 
     return sql

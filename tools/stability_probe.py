@@ -93,7 +93,8 @@ DEFAULT = ["q174_gini", "q203_cube", "q216_tpch_pricing",
            "q327_stream_heavy_hitters",
            # r12 session 2: the Apriori explodes (collect_set cap
            # determinism + float confidence/lift rounds)
-           "q328_frequent_pairs", "q329_frequent_triples"]
+           "q328_frequent_pairs", "q329_frequent_triples",
+           "q330_weighted_heavy_hitters"]
 
 PARTITION_GRID = (5, 32, 77, 200)
 
