@@ -85,8 +85,10 @@ PIPELINE = [
     "q322_bloom_prejoin",
     # round 12 session 2: the canonical Misra-Gries merge path (exact
     # grouped counts + two-phase top-(k+1) thresholds + order-free
-    # multiway merge) tracked round-over-round
+    # multiway merge) and the Apriori pair explode tracked
+    # round-over-round
     "q326_heavy_hitters_merge",
+    "q328_frequent_pairs",
 ]
 
 

@@ -53,7 +53,7 @@ def frequent_pairs(df: DataFrame, basket_col: str, item_col: str,
     bounds the explode: a pair of infrequent items cannot be
     frequent, so dropping them loses nothing); (3) each basket's
     surviving items collect into a SORTED array capped at
-    ``max_frequent_per_basket`` (deterministic lexicographic cap, the
+    ``max_frequent_per_basket`` (deterministic smallest-first cap, the
     `token_cooccurrence` precedent — C(cap, 2) bounds the per-basket
     fan-out against pathological mega-baskets; the cap binding means
     dropped pairs, so size it to your basket P100); (4) one pair

@@ -794,6 +794,15 @@ def heavy_hitters_build(df: DataFrame, key_col: str, k: int = 64,
     counts = (df.groupBy(*groups, F.col(key_col).alias("_key"))
                 .agg(F.coalesce(F.sum(wcol), F.lit(0))
                       .cast("bigint").alias("_c")))
+    # loud contract: MG only works on additive NON-NEGATIVE masses —
+    # a negative aggregated weight would silently vanish in the
+    # `_c > _err` prune instead of failing. assert_true is NULL when
+    # the predicate holds (row kept) and RAISES when it doesn't.
+    neg_ok = F.assert_true(
+        F.col("_c") >= 0,
+        F.lit("heavy_hitters_build: negative aggregated weight — "
+              "weights must be non-negative"))
+    counts = counts.where(neg_ok.isNull())
     meta = (counts.groupBy(*groups)
                   .agg(F.sum("_c").cast("bigint").alias("_n")))
     srel = _hh_kth_largest(counts, groups, k)

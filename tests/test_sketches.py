@@ -1695,3 +1695,14 @@ def test_stream_heavy_hitters_equals_batch_replay(spark, tmp_path):
         merged, group_cols=["event_type"]).collect()))
     assert got == want and len(got) > 0
     assert _glob.glob("/tmp/dgs_shh_*") == []
+
+
+def test_heavy_hitters_negative_weight_raises(spark):
+    """MG needs additive non-negative masses; a negative aggregated
+    weight raises in-plan instead of silently vanishing in the
+    prune (r12 session-2 review finding)."""
+    g = spark.createDataFrame([("x", 5), ("y", -2)],
+                              "key string, w int")
+    with pytest.raises(Exception, match="non-negative"):
+        sketches.heavy_hitters_build(g, "key", k=4,
+                                     weight_col="w").collect()
