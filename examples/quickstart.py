@@ -81,6 +81,20 @@ def main() -> None:
     print(f"price p50 ~ {med['est']} from a {med['m']}-row sketch "
           f"of {med['n']} rows (level {med['level']})")
 
+    # round 12: mergeable heavy hitters — top parts by shipped
+    # quantity with a guaranteed containment interval (true total is
+    # always inside [est_lo, est_hi]; any part above err is present)
+    li2 = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_quantity").cast("bigint").alias("qty"))
+    hh = sketches.heavy_hitters_query(
+        sketches.heavy_hitters_build(li2, "pk", k=5,
+                                     weight_col="qty"))
+    top = hh.orderBy(F.desc("est_lo")).limit(3).collect()
+    print("top parts by qty:",
+          [(r["key"], f"{r['est_lo']}..{r['est_hi']}") for r in top],
+          "err", top[0]["err"] if top else None)
+
     spark.stop()
 
 
