@@ -27,6 +27,7 @@ from dask_grblas_spark import algorithms as alg
 from dask_grblas_spark.functions import (dedup, multimodal, retrieval,
                                          similarity, sketches, text,
                                          timeseries)
+from dask_grblas_spark.functions.materialize import materialize_if_large
 from dask_grblas_spark.sources import tpch
 from dask_grblas_spark.streaming import event_window_agg, sessionize
 
@@ -1494,10 +1495,14 @@ def q194_ks_test(spark, sf_dir):
     from dask_grblas_spark.functions import profiling
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    return profiling.ks_test(
-        o.where(F.col("o_orderdate") < F.lit("1998-01-01")),
-        o.where(F.col("o_orderdate") >= F.lit("1998-01-01")),
-        "o_totalprice").select("n_a", "n_b", "d_stat")
+    # one-scan split (r12 optimization): the two sides partition one
+    # table on a total, never-NULL date predicate, so the tagged form
+    # builds the IDENTICAL distinct-value relation with one scan +
+    # one aggregate instead of two scans + a full-outer join
+    return profiling.ks_test_tagged(
+        o, "o_totalprice",
+        F.col("o_orderdate") < F.lit("1998-01-01")) \
+        .select("n_a", "n_b", "d_stat")
 
 
 def q195_mmr(spark, sf_dir):
@@ -5310,9 +5315,18 @@ def q322_bloom_prejoin(spark, sf_dir):
     seg = (cust.where(F.col("c_mktsegment") == "BUILDING")
                .select("c_custkey"))
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # the build-side key relation feeds THREE consumers (the profile,
+    # the bloom build, the final join). Unmaterialized, each consumer
+    # re-runs the orders scan + semi-join — the r12-before plan carried
+    # 8 full copies of this subplan (one per bloom probe join, one per
+    # profile branch, one in the final join). One eager localCheckpoint
+    # computes it once; the relation is the join's build-side KEY SET
+    # (bounded — it must fit somewhere for the join to be joinable),
+    # never the fact table. (guide §2.4: remove repeated subplans)
     so = (o.join(F.broadcast(seg), o.o_custkey == seg.c_custkey,
                  "left_semi")
-           .select(F.col("o_orderkey").cast("bigint").alias("okey")))
+           .select(F.col("o_orderkey").cast("bigint").alias("okey"))
+           .localCheckpoint(eager=True))
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     prof = join_cardinality(so, "okey", li, "l_orderkey") \
         .collect()[0]                      # bounded: ONE profile row
@@ -5322,7 +5336,12 @@ def q322_bloom_prejoin(spark, sf_dir):
         m_bits <<= 1
     lk = li.withColumn("_lk", F.col("l_orderkey").cast("bigint"))
     if use_bloom:
-        bloom = bloom_build(so, "okey", m_bits=m_bits, k=K)
+        # the bloom word relation (<= m/32 rows) is probed by k=5
+        # broadcast joins in bloom_prune — materialize it once so the
+        # probes broadcast a tiny in-memory relation instead of each
+        # re-running the build aggregation
+        bloom = bloom_build(so, "okey", m_bits=m_bits, k=K) \
+            .localCheckpoint(eager=True)
         pruned = bloom_prune(lk, "_lk", bloom, m_bits=m_bits, k=K) \
             .where(F.col("maybe"))
     else:
@@ -5449,12 +5468,28 @@ def q326_heavy_hitters_merge(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_custkey").cast("bigint").alias("ck"),
         F.pmod(F.col("o_orderkey"), F.lit(4)).cast("int").alias("_sh"))
-    shards = [heavy_hitters_build(o.where(F.col("_sh") == i), "ck",
-                                  k=48) for i in range(4)]
+    # ONE scan + ONE map-side-combined aggregation of orders, then
+    # every downstream consumer (4 shard builds, the exact counts)
+    # works off the cached per-(shard, custkey) counts — the r12-before
+    # plan re-scanned orders 33 times (each shard build expands the
+    # counts subplan into its meta/threshold/join-back branches).
+    # heavy_hitters_build(weight_col=) sums the pre-aggregated counts,
+    # so every shard summary is BIT-IDENTICAL to the unaggregated
+    # build (guide §2.3: aggregate before fan-out; the weighted path
+    # exists exactly for pre-counted inputs). The materialization is
+    # SIZE-GATED (materialize.py): below the gate the lazy plan's
+    # re-scans are cheaper than a blocking checkpoint job, above it
+    # the checkpoint is what keeps the input scanned once.
+    pre = materialize_if_large(
+        o.groupBy("_sh", "ck")
+         .agg(F.count("*").cast("bigint").alias("_w")))
+    shards = [heavy_hitters_build(pre.where(F.col("_sh") == i), "ck",
+                                  k=48, weight_col="_w")
+              for i in range(4)]
     m = heavy_hitters_merge(shards, k=48)
     q = heavy_hitters_query(m)
-    exact = (o.groupBy(F.col("ck").alias("key"))
-              .agg(F.count("*").cast("bigint").alias("exact_cnt")))
+    exact = (pre.groupBy(F.col("ck").alias("key"))
+                .agg(F.sum("_w").cast("bigint").alias("exact_cnt")))
     inb = ((F.col("est_lo") <= F.col("exact_cnt"))
            & (F.col("exact_cnt") <= F.col("est_hi")))
     return (exact.join(F.broadcast(q), on="key")

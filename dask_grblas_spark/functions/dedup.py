@@ -290,17 +290,26 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     sh2 = sets.select("id", F.explode("hs").alias("h"))
     if max_doc_freq is not None:
         # stop-shingle cap: keep only shingles appearing in <= cap docs
-        # (count agg + semi-join — both whole-stage-codegen'd; the
+        # (count agg + join — both whole-stage-codegen'd; the
         # self-join below is then bounded to cap^2/2 rows per shingle).
         # NOT a window over (h): measured 0.4 s SLOWER at sf0.1 — the
         # map-side-combined agg collapses to |vocabulary| rows before
-        # any shuffle and the semi-join broadcasts, where a window
-        # sort-shuffles the full posting relation. (The LSH band caps
-        # DO use the window shape: there the side relation carries the
-        # wide band keys and the self-join already needs that shuffle.)
-        ok = (sh2.groupBy("h").agg(F.count("*").alias("_df"))
-                 .filter(F.col("_df") <= max_doc_freq).select("h"))
-        sh2 = sh2.join(ok, on="h", how="left_semi")
+        # any shuffle, where a window sort-shuffles the full posting
+        # relation. (The LSH band caps DO use the window shape: there
+        # the side relation carries the wide band keys and the
+        # self-join already needs that shuffle.)
+        # ANTI-join against the OVER-cap shingles (r12 optimization):
+        # identical result to the old keep-side semi-join (every h has
+        # exactly one count row, so keep df<=cap == drop df>cap), but
+        # the join's build side is now the handful of ultra-common
+        # shingles instead of the whole sub-cap vocabulary — it stays
+        # broadcastable at ANY corpus size (hot shingles are few by
+        # definition), where the semi-join's vocabulary side outgrows
+        # the broadcast threshold and forces a second full shuffle of
+        # the posting relation (guide §3.1: pick the build side).
+        hot = (sh2.groupBy("h").agg(F.count("*").alias("_df"))
+                  .filter(F.col("_df") > max_doc_freq).select("h"))
+        sh2 = sh2.join(F.broadcast(hot), on="h", how="left_anti")
     # inverted-index self-join for candidates; exact Jaccard verified
     # against the per-doc hash sets (NOT from the capped join counts, so
     # the reported similarity is exact even with the cap active)
@@ -968,9 +977,11 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
     sets = _doc_shingle_sets(df, id_col, text_col, n)
     sh2 = sets.select("id", F.explode("hs").alias("h"))
     if max_doc_freq is not None:
-        ok = (sh2.groupBy("h").agg(F.count("*").alias("_df"))
-                 .filter(F.col("_df") <= max_doc_freq).select("h"))
-        sh2 = sh2.join(ok, on="h", how="left_semi")
+        # anti-join on the over-cap shingles — same result, bounded
+        # broadcast build side (see ngram_jaccard_pairs)
+        hot = (sh2.groupBy("h").agg(F.count("*").alias("_df"))
+                  .filter(F.col("_df") > max_doc_freq).select("h"))
+        sh2 = sh2.join(F.broadcast(hot), on="h", how="left_anti")
     a = sh2.alias("a")
     b = sh2.alias("b")
     pairs = (a.join(b, (F.col("a.h") == F.col("b.h"))

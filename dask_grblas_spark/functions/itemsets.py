@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import materialize_if_large
+
 
 def _pruned_baskets(df: DataFrame, basket_col: str, item_col: str,
                     min_support: int, cap: int):
@@ -32,9 +34,22 @@ def _pruned_baskets(df: DataFrame, basket_col: str, item_col: str,
                        F.col(item_col).alias("_i"))
                .where(F.col("_i").isNotNull())
                .distinct())
+    # consumed by item supports, the basket collect AND the
+    # basket-universe count (plus the support join-backs a level up) —
+    # without materialization each consumer re-runs the full DISTINCT
+    # shuffle (the r12-before q328 plan executed it 4x). The
+    # materialization is SIZE-GATED (materialize.py): at bench scale
+    # the four recomputes are cheaper than one blocking checkpoint
+    # job (measured +2.2 s at sf0.1 for the unconditional form), at
+    # 100 TB the checkpoint is the difference between 1 and 4 full
+    # input shuffles. Result identical either way.
+    items = materialize_if_large(items)
     isup = (items.groupBy("_i")
                  .agg(F.count("*").cast("bigint").alias("_si"))
                  .where(F.col("_si") >= min_support))
+    # bounded by the frequent-item vocabulary; read three times
+    # (prune join + both marginal join-backs) — same size gate
+    isup = materialize_if_large(isup)
     baskets = (items.join(isup.select("_i"), on="_i")
                     .groupBy("_b")
                     .agg(F.slice(F.array_sort(F.collect_set("_i")),

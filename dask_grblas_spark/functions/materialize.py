@@ -1,0 +1,67 @@
+"""Size-gated shared-subplan materialization (optimization round 12).
+
+A relation consumed by several downstream plan branches is re-executed
+once PER BRANCH unless materialized (Spark dedupes identical Exchange
+subtrees only when schemas/pushdowns line up, which per-branch column
+pruning routinely defeats — guide §2.4). But an eager
+``localCheckpoint`` is itself a blocking job plus an executor-disk
+write and an RDD-backed re-read; at small scale that fixed cost
+exceeds the recomputes it saves (measured in this round: +1.4-2.2 s
+per query at sf0.1 for unconditional checkpoints in the Apriori and
+heavy-hitters paths, while the SAME checkpoints are the difference
+between 1 and 33 input scans at scale).
+
+So the decision is made the way AQE makes its runtime decisions: from
+a size estimate, not a constant tuned for either local mode or a
+cluster (guide §2: "make partitioning scale-adaptive"). The gate reads
+the optimizer's OWN statistics off the logical plan — no job, no
+scan — and keeps the lazy recompute-per-branch plan below the
+threshold, materializing above it. Results are identical either way
+(the gated relation is deterministic; only the physical sharing
+changes).
+
+Threshold: ``$SPARK_GRAFT_MATERIALIZE_BYTES`` (default 64 MB) —
+comfortably above every sf<=1 intermediate in the test grid, orders of
+magnitude below any 100 TB intermediate, and parameterised so a
+cluster profile can tune it without code edits.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+_DEFAULT_THRESHOLD = 64 << 20
+
+
+def _size_threshold() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_MATERIALIZE_BYTES",
+                                  _DEFAULT_THRESHOLD))
+    except (TypeError, ValueError):
+        return _DEFAULT_THRESHOLD
+
+
+def estimated_bytes(df: DataFrame) -> int | None:
+    """The optimizer's sizeInBytes estimate for ``df``'s logical plan
+    (heuristic upper bound without CBO — fine for an order-of-magnitude
+    gate). None when the estimate is unavailable."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(stats.sizeInBytes())  # py4j maps scala BigInt -> int
+    except Exception:
+        return None
+
+
+def materialize_if_large(df: DataFrame,
+                         threshold_bytes: int | None = None) -> DataFrame:
+    """``df.localCheckpoint(eager=True)`` when the plan's estimated
+    output exceeds the threshold, ``df`` unchanged otherwise. An
+    unavailable estimate materializes (the safe side at scale: the
+    only cost of a false positive is one small checkpoint job)."""
+    thr = _size_threshold() if threshold_bytes is None else threshold_bytes
+    est = estimated_bytes(df)
+    if est is None or est > thr:
+        return df.localCheckpoint(eager=True)
+    return df

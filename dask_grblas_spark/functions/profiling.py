@@ -756,13 +756,25 @@ def rfm_segments(orders_df: DataFrame, key_col: str = "o_custkey",
                 F.count("*").cast("bigint").alias("frequency"),
                 F.round(F.sum(F.col(amount_col).cast("double")), 4)
                  .alias("monetary")))
-    anchor = orders_df.agg(F.max(F.col(date_col)).alias("_anchor"))
+    per = per.localCheckpoint()  # shared by the anchor + the tile tail
+    # the recency anchor is max(date) over ALL rows == max over keys of
+    # the per-key max — read it off the checkpointed per-key relation
+    # instead of a SECOND full scan+aggregate of the orders table
+    # (guide §2.3: aggregate once, derive downstream facts from the
+    # aggregate). Result is identical by the max-of-max identity.
+    anchor = per.agg(F.max(F.col("_last")).alias("_anchor"))
     per = (per.crossJoin(F.broadcast(anchor))
               .withColumn("recency_days",
                           F.datediff(F.col("_anchor"), F.col("_last"))
                            .cast("bigint"))
               .drop("_anchor", "_last"))
-    per = per.localCheckpoint()  # shared by 3 rank passes + output
+    # second (cheap, per-key-sized) checkpoint: the three chained
+    # _exact_ntile passes re-execute their input lineage several times
+    # (per-partition count collects + ranked output), so the broadcast
+    # crossJoin tail must be a materialized fact, not a recipe — this
+    # is the exact truncation point the pre-r12 code checkpointed; the
+    # derived anchor only moved the SCAN out, not the truncation
+    per = per.localCheckpoint()
     per = _exact_ntile(per, "recency_days", True, n_tiles, "r")
     per = _exact_ntile(per, "frequency", False, n_tiles, "f")
     per = _exact_ntile(per, "monetary", False, n_tiles, "m")
@@ -1393,6 +1405,36 @@ def ks_test(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
                                     on="v", how="full_outer")
            .select("v", F.coalesce("ca", F.lit(0)).alias("ca"),
                    F.coalesce("cb", F.lit(0)).alias("cb")))
+    return _ks_from_rel(rel)
+
+
+def ks_test_tagged(df: DataFrame, col: str, a_cond) -> DataFrame:
+    """One-scan form of `ks_test` for the common split-one-table
+    case: rows where ``a_cond`` is TRUE are sample A, rows where it
+    is FALSE are sample B (NULL-condition rows belong to neither,
+    exactly like the two-filter form). Output is identical to
+    ``ks_test(df.where(a_cond), df.where(~a_cond), col)`` — the
+    per-distinct-value (ca, cb) relation is the same multiset — but
+    built with ONE scan + ONE grouped aggregate instead of two
+    filtered scans + two aggregates + a full-outer join
+    (guide §2.3 aggregate-before-shuffle / §2.4 shared exchange)."""
+    v = F.col(col).cast("double")
+    rel = (df.where(v.isNotNull() & a_cond.isNotNull())
+             .groupBy(v.alias("v"))
+             .agg(F.sum(F.when(a_cond, 1).otherwise(0))
+                   .cast("bigint").alias("ca"),
+                  F.sum(F.when(a_cond, 0).otherwise(1))
+                   .cast("bigint").alias("cb")))
+    # a value seen only on one side still gets a row with the other
+    # side's count 0 — same relation the full-outer+coalesce builds
+    return _ks_from_rel(rel)
+
+
+def _ks_from_rel(rel: DataFrame) -> DataFrame:
+    """Shared KS tail: range-partitioned cumulative sums over the
+    distinct-value (v, ca, cb) relation, D read off in one pass."""
+    from pyspark.sql.window import Window as W
+
     spark = rel.sparkSession
     nparts = _shuffle_parts(spark)
     tagged = (rel.repartitionByRange(nparts, F.col("v"))

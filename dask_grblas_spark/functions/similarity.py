@@ -881,10 +881,15 @@ def semantic_dedup_pairs(emb_df: DataFrame, threshold: float = 0.2,
                      F.col("b.vid").alias("id_b")))
     if star is not None:
         cand = cand.unionByName(star).distinct()
-    va = nrm.select(F.col("vid").alias("id_a"), F.col("v").alias("_va"),
-                    F.col("n").alias("_na"))
-    vb = nrm.select(F.col("vid").alias("id_b"), F.col("v").alias("_vb"),
-                    F.col("n").alias("_nb"))
+    # verification vectors come from the CHECKPOINTED members relation,
+    # not from nrm: members = asg ⋈ nrm carries the same (vid, v, n)
+    # rows (kmeans assigns every vid), and reading the materialized
+    # blocks avoids two further parquet scans + norm recomputations
+    # that the nrm lineage would re-run per join side (guide §2.4)
+    va = members.select(F.col("vid").alias("id_a"),
+                        F.col("v").alias("_va"), F.col("n").alias("_na"))
+    vb = members.select(F.col("vid").alias("id_b"),
+                        F.col("v").alias("_vb"), F.col("n").alias("_nb"))
     cos = F.round(dot_expr(F.col("_va"), F.col("_vb"))
                   / (F.col("_na") * F.col("_nb")), 6)
     return (cand.join(va, on="id_a").join(vb, on="id_b")
