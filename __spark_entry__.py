@@ -3960,10 +3960,15 @@ def q77_kcore(spark, sf_dir):
     no-ops and 8 is 4× the observed convergence depth at both SFs."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # NO .distinct() here (r12 optimization, §2.4): k_core symmetrizes
+    # and then dedups its edge relation internally, so a caller-side
+    # distinct is a redundant full shuffle of the fact-derived pair
+    # relation — distinct∘symmetrize∘distinct ≡ distinct∘symmetrize
+    # (set semantics), and k_core's degrees/output read only the
+    # deduped edges, so the result is identical.
     e = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
           .select(F.col("o_custkey").cast("bigint").alias("i"),
                   (F.col("l_suppkey").cast("bigint") + 1000000).alias("j"))
-          .distinct()
           .withColumn("v", F.lit(1).cast("bigint")))
     A = Matrix.from_dataframe(e, 2000000, 2000000, dtype="INT64")
     core = alg.k_core(A, k=10)
@@ -5052,15 +5057,26 @@ def q315_tpch_min_cost_supplier(spark, sf_dir):
            .select("n_nationkey", "n_name"))
     eu = (s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey)
            .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    # r12 optimization (§2.4/§3.1): the EUROPE supplier lookup is
+    # dimension-sized at any SF — hint the broadcast (the planner's
+    # join-size estimate inflated past the threshold and fell back to
+    # a SortMergeJoin that exchanged the whole fact side by suppkey);
+    # and the per-part minimum rides a WINDOW over the same (pk)
+    # partitioning instead of a second aggregate + self-join, which
+    # re-planned the entire lineitem⋈part⋈eu pipeline a second time
+    # (before-plan: 2 lineitem scans, 2 SMJs; after: 1 scan, 0 SMJs).
+    # min-over-window == groupBy-min re-joined, row for row.
+    from pyspark.sql.window import Window as W
+
     cost = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-              .join(eu, li.l_suppkey == eu.s_suppkey)
+              .join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
               .groupBy(F.col("l_partkey").cast("bigint")
                         .alias("pk"),
                        "s_suppkey", "s_name", "s_acctbal", "n_name")
               .agg(F.min(F.col("l_extendedprice")
                           .cast("decimal(27,2)")).alias("_cost")))
-    best = cost.groupBy("pk").agg(F.min("_cost").alias("_best"))
-    return (cost.join(best, "pk")
+    best = F.min("_cost").over(W.partitionBy("pk"))
+    return (cost.withColumn("_best", best)
                 .where(F.col("_cost") == F.col("_best"))
                 .orderBy(F.col("s_acctbal").desc(), "pk", "s_suppkey")
                 .limit(100)
@@ -5101,6 +5117,14 @@ def q316_tpch_important_stock(spark, sf_dir):
              .groupBy(F.col("l_partkey").cast("bigint")
                        .alias("p_partkey"))
              .agg(F.sum(rev).alias("_val")))
+    # r12 optimization (§2.4): `per` feeds both the global total and
+    # the final comparison — unshared, the lineitem⋈asia fold was
+    # planned twice (before-plan: 2 lineitem scans). Size-gated
+    # materialization (materialize.py): lazy at bench scale, one scan
+    # + a slim per-part checkpoint at 100 TB. (A global-total window
+    # would be a single-partition straggler — the 1-row broadcast
+    # total is the right shape; only the sharing changes.)
+    per = materialize_if_large(per)
     tot = per.agg(F.sum(F.col("_val").cast("decimal(38,4)"))
                    .alias("_tot"))
     return (per.join(F.broadcast(tot))
@@ -5169,9 +5193,16 @@ def q318_tpch_part_promotion(spark, sf_dir):
     sp = (red.groupBy(F.col("l_partkey").alias("pk"),
                       F.col("l_suppkey").alias("sk"))
              .agg(F.sum(qty).alias("_sp")))
-    per = (red.groupBy(F.col("l_partkey").alias("pk2"))
-              .agg(F.sum(qty).alias("_tot")))
-    dom = (sp.join(per, sp.pk == per.pk2)
+    # r12 optimization (§2.3): the per-part total is the sum of the
+    # per-(part, supplier) partial sums — a WINDOW over the (pk)
+    # prefix of sp's own grouping key, not a SECOND scan+join+fold of
+    # the red lineitem slice (before-plan: 2 lineitem scans + an SMJ
+    # of the two aggregates; after: 1 scan, no join). Exact-decimal
+    # addition is associative, so the total is identical bit for bit.
+    from pyspark.sql.window import Window as W
+
+    tot = F.sum("_sp").over(W.partitionBy("pk"))
+    dom = (sp.withColumn("_tot", tot)
              .where(F.col("_sp") * 2 > F.col("_tot"))
              .select("sk").distinct())
     nr = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
