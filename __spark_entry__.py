@@ -4629,18 +4629,29 @@ def q300_pipeline_funnel(spark, sf_dir):
     boundary must agree exactly — the end-to-end proof the
     independently-oracled pieces compose."""
     docs = _doc(spark, sf_dir)
-    surv = text.quality_quantile_filter(docs, keep_top=0.5) \
-        .select(F.col("id").alias("doc_id"))
+    # r12 optimization (§2.4): each funnel stage's SLIM id set feeds
+    # several downstream consumers (its own count, the next stage's
+    # join, and — for d2 — the decontamination pass); unshared, the
+    # md5 dedup re-ran once per consumer (~4x) and the 13-gram
+    # decontamination twice. Size-gated materialization of the id
+    # sets (never the text payload) computes each stage once at
+    # scale; below the gate the plan stays the single lazy funnel
+    # (both branches produce identical stage counts — only physical
+    # sharing changes).
+    surv = materialize_if_large(
+        text.quality_quantile_filter(docs, keep_top=0.5)
+            .select(F.col("id").alias("doc_id")))
     d1 = docs.join(surv, on="doc_id")
-    keep = dedup.exact_dedup(d1) \
-        .select(F.col("keep_id").alias("doc_id"))
+    keep = materialize_if_large(
+        dedup.exact_dedup(d1).select(F.col("keep_id").alias("doc_id")))
     d2 = d1.join(keep, on="doc_id")
     bench = [r["text"]
              for r in docs.filter(F.col("doc_id").isin(7, 23))
                           .orderBy("doc_id").collect()]
     flags = retrieval.ngram_decontaminate(d2, bench, n=13)
-    d3 = d2.join(flags.where(~F.col("contaminated"))
-                      .select("doc_id"), on="doc_id")
+    clean = materialize_if_large(
+        flags.where(~F.col("contaminated")).select("doc_id"))
+    d3 = d2.join(clean, on="doc_id")
     ntok = F.size(F.filter(text.tokens(F.col("text")),
                            lambda x: F.length(x) > 0))
 
@@ -5419,6 +5430,13 @@ def q323_quantile_sketch_merge(spark, sf_dir):
                      F.col("c_custkey").alias("_uid"),
                      F.col("c_acctbal").alias("x"),
                      F.col("n_regionkey").alias("_shard")))
+    # r12 optimization (§2.4): `_shard` is born in the nation JOIN, so
+    # the per-shard filters cannot push down to the customer scan —
+    # each of the 5 shard builds re-scanned ALL of customer twice
+    # (count pass + sample pass; 10 full scans). Size-gated
+    # materialization shares the slim 4-column base: one scan + 10
+    # cheap re-reads at scale, the unchanged lazy plan below the gate.
+    base = materialize_if_large(base)
     shards = [quantile_sketch_build(
                   base.where(F.col("_shard") == i), "x", "_uid",
                   k=64, group_cols=["c_mktsegment"])

@@ -100,6 +100,16 @@ def main() -> int:
     spark = (SparkSession.builder.master(f"local[{CPUS}]")
              .config("spark.sql.shuffle.partitions", str(CPUS))
              .config("spark.sql.adaptive.enabled", "true")
+             # r12 (guide section 3.1): let AQE rewrite sort-merge to
+             # shuffled-hash AT RUNTIME when every post-shuffle build
+             # partition is <= 64 MB (upstream default 0 = never).
+             # Runtime-size-gated, so it is scale-adaptive by
+             # construction: at 100 TB partitions exceed the bound and
+             # the plan stays SMJ; measured 0.89x overall on 6
+             # interleaved bench reps with no query above 1.06x
+             # (OPTIMIZATION_r12.md).
+             .config("spark.sql.adaptive."
+                     "maxShuffledHashJoinLocalMapThreshold", "64m")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.driver.memory", "48g")
              .config("spark.ui.enabled", "false")

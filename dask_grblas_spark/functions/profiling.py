@@ -1087,7 +1087,8 @@ def user_growth(df: DataFrame, key_col: str = "user_id",
                        "dau", "new_users", "cum_users"))
 
 
-def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+def chi2_independence(df: DataFrame, col_a: str, col_b: str,
+                      weight_col: str | None = None) -> DataFrame:
     """Chi-square test of independence between two categorical columns:
     one contingency groupBy, marginals + expected counts + the statistic
     all on the bounded |A| x |B| cell relation. EMPTY cells (observed 0,
@@ -1095,9 +1096,17 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     (0 - e)^2 / e = e folds in closed form as N - sum(e over observed
     cells). Output: one row (n, card_a, card_b, dof, chi2 rounded 6) —
     compare chi2 against the chi-square(dof) critical value of your
-    chosen alpha."""
+    chosen alpha.
+
+    ``weight_col``: treat each input row as ``weight`` occurrences
+    (an integer pre-count). Summing pre-counts is bit-identical to
+    counting rows (exact integer addition), so a caller holding a
+    shared pre-aggregated contingency (``cramers_v``) gets the same
+    statistic from one input pass."""
+    agg = (F.count("*") if weight_col is None
+           else F.sum(weight_col))
     cells = (df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
-               .agg(F.count("*").cast("double").alias("n")))
+               .agg(agg.cast("double").alias("n")))
     cells = cells.localCheckpoint()  # shared: marginals + statistic
     ra = cells.groupBy("a").agg(F.sum("n").alias("ra"))
     cb = cells.groupBy("b").agg(F.sum("n").alias("cb"))
@@ -1570,19 +1579,31 @@ def cramers_v(df: DataFrame, cols: list[str]) -> DataFrame:
     - 1))), with chi2 from ``chi2_independence``'s closed form (empty
     contingency cells fold as N - sum(e); never materialized).
 
-    Plan: one chi2 aggregate per pair over its bounded contingency
-    relation, unioned — the pair count is len(cols) choose 2 (a
-    driver-side loop over the column LIST, never over data). V is NULL
-    when a column is constant (min(r, c) = 1: dof 0, engines disagree
-    on 0/0). Output: (col_a, col_b, n, chi2, v rounded 6) with
-    col_a < col_b lexicographically."""
+    Plan (r12, guide §2.3 "aggregate before you shuffle"): ONE joint
+    contingency pass over the input — ``groupBy(*cols).count()``, a
+    relation bounded by the distinct combinations present — then every
+    pairwise chi2 re-aggregates that bounded relation through
+    ``chi2_independence(weight_col=...)`` (summing the joint
+    pre-counts is bit-identical to counting rows). Before r12 each of
+    the len(cols)-choose-2 pairs re-scanned and re-shuffled the full
+    input; now the input is read once and the joint relation is
+    size-gate materialized (lazy below the threshold, one shuffle +
+    N cheap re-reads at scale). The pair loop runs over the column
+    LIST, never over data. V is NULL when a column is constant
+    (min(r, c) = 1: dof 0, engines disagree on 0/0). Output:
+    (col_a, col_b, n, chi2, v rounded 6) with col_a < col_b
+    lexicographically."""
     if len(cols) < 2:
         raise ValueError("cramers_v needs at least two columns")
+    from .materialize import materialize_if_large
+    joint = materialize_if_large(
+        df.groupBy(*[F.col(c) for c in cols])
+          .agg(F.count("*").cast("bigint").alias("_w")))
     parts = []
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
             a, b = sorted((cols[i], cols[j]))
-            one = chi2_independence(df, a, b).select(
+            one = chi2_independence(joint, a, b, weight_col="_w").select(
                 F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
                 "n", "chi2",
                 F.when(F.least("card_a", "card_b") > 1,

@@ -1085,7 +1085,12 @@ def autocorrelation(events_df: DataFrame, ts_col: str = "ts",
         denom_num.append(F.sum(F.col("e") * F.col(f"_e{k}"))
                           .alias(f"_num{k}"))
         denom_num.append(F.count(F.col(f"_e{k}")).alias(f"_n{k}"))
-    one = lagged.agg(*denom_num)
+    # r12 optimization (guide §2.4): this ONE-ROW aggregate feeds one
+    # union branch per lag — unshared, the whole events→daily→grid→
+    # window pipeline re-planned max_lag times (8 input scans for the
+    # default 7 lags). An eager checkpoint of the single row computes
+    # the pipeline once; the branches read the materialized row.
+    one = lagged.agg(*denom_num).localCheckpoint(eager=True)
     outs = [one.select(F.lit(k).cast("bigint").alias("lag"),
                        F.col(f"_n{k}").cast("bigint").alias("n_terms"),
                        F.when(F.col("_den") > 0,

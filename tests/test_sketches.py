@@ -671,6 +671,36 @@ def test_chi2_independence_independent_and_dependent(spark):
     assert r2["chi2"] == 10.0
 
 
+def test_chi2_weight_col_matches_row_counting(spark):
+    """r12: cramers_v feeds chi2_independence a pre-aggregated joint
+    contingency via weight_col — summing integer pre-counts must be
+    bit-identical to counting raw rows, including NULL categories."""
+    from dask_grblas_spark.functions.profiling import (chi2_independence,
+                                                       cramers_v)
+
+    rows = ([("x", "u", "p")] * 4 + [("x", "v", "q")] * 3
+            + [("y", "u", "q")] * 2 + [("y", "v", "p")] * 6
+            + [(None, "u", "p")] * 2 + [("y", None, "q")])
+    df = spark.createDataFrame(rows, "a string, b string, c string")
+    direct = chi2_independence(df, "a", "b").collect()[0]
+    joint = (df.groupBy("a", "b", "c")
+               .agg(F.count("*").cast("bigint").alias("_w")))
+    weighted = chi2_independence(joint, "a", "b",
+                                 weight_col="_w").collect()[0]
+    assert direct.asDict() == weighted.asDict()
+    # cramers_v end to end: lazy gate vs forced materialization agree
+    lazy = {(r["col_a"], r["col_b"]): r.asDict()
+            for r in cramers_v(df, ["a", "b", "c"]).collect()}
+    import os
+    os.environ["SPARK_GRAFT_MATERIALIZE_BYTES"] = "0"
+    try:
+        forced = {(r["col_a"], r["col_b"]): r.asDict()
+                  for r in cramers_v(df, ["a", "b", "c"]).collect()}
+    finally:
+        del os.environ["SPARK_GRAFT_MATERIALIZE_BYTES"]
+    assert lazy == forced
+
+
 def test_gini_extremes(spark):
     from dask_grblas_spark.functions.profiling import gini_coefficient
 

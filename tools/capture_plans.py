@@ -36,6 +36,8 @@ def main() -> int:
     spark = (SparkSession.builder.master(f"local[{CPUS}]")
              .config("spark.sql.shuffle.partitions", str(CPUS))
              .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive."
+                     "maxShuffledHashJoinLocalMapThreshold", "64m")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.driver.memory", "48g")
              .config("spark.ui.enabled", "false")
