@@ -791,14 +791,23 @@ def adamic_adar(A: GrMatrix, max_degree: int | None = 4096) -> DataFrame:
 
     Output: (u, v, n_common, score) with u < v, score rounded to 6.
     """
-    edges = (A.df.select(F.col("i").cast("bigint").alias("z"),
-                         F.col("j").cast("bigint").alias("nbr"))
-                 .where(F.col("z") != F.col("nbr"))
-                 .distinct())
+    # r12 optimization (guide §2.4): `edges` (a full distinct) feeds
+    # THREE consumers (degrees, pair generation, the closing
+    # anti-join) and `gen` feeds BOTH self-join sides — unshared, the
+    # distinct + degree join re-ran per branch. Size-gated
+    # materialization computes each once at scale; lazy below.
+    from .functions.materialize import materialize_if_large
+
+    edges = materialize_if_large(
+        A.df.select(F.col("i").cast("bigint").alias("z"),
+                    F.col("j").cast("bigint").alias("nbr"))
+            .where(F.col("z") != F.col("nbr"))
+            .distinct())
     deg = edges.groupBy("z").agg(F.count("*").alias("deg"))
     gen = edges.join(deg, on="z")
     if max_degree is not None:
         gen = gen.where(F.col("deg") <= max_degree)
+    gen = materialize_if_large(gen)
     e1 = gen.select("z", F.col("nbr").alias("u"), "deg")
     e2 = gen.select("z", F.col("nbr").alias("v"))
     pairs = (e1.join(e2, on="z")
@@ -831,19 +840,28 @@ def clustering_coefficient(A: GrMatrix) -> DataFrame:
     Output: (v, deg, tri, coeff) for every vertex with deg >= 1,
     coeff rounded to 6.
     """
-    und = (A.df.select(F.col("i").cast("bigint").alias("i"),
-                       F.col("j").cast("bigint").alias("j"))
-               .where(F.col("i") != F.col("j"))
-               .distinct())
+    # r12 optimization (guide §2.4): `und` (a full distinct) feeds the
+    # degree aggregate + two degree joins, and the oriented relation
+    # `o` feeds THREE branches (both wedge sides + the closing edge
+    # set) — unshared, each branch re-ran the distinct + degree-join
+    # pipeline. Size-gated materialization; lazy below the gate.
+    from .functions.materialize import materialize_if_large
+
+    und = materialize_if_large(
+        A.df.select(F.col("i").cast("bigint").alias("i"),
+                    F.col("j").cast("bigint").alias("j"))
+            .where(F.col("i") != F.col("j"))
+            .distinct())
     deg = und.groupBy(F.col("i").alias("v")) \
              .agg(F.count("*").alias("deg"))
     ed = (und.join(deg.select(F.col("v").alias("i"),
                               F.col("deg").alias("di")), on="i")
              .join(deg.select(F.col("v").alias("j"),
                               F.col("deg").alias("dj")), on="j"))
-    o = (ed.where(F.struct("di", "i") < F.struct("dj", "j"))
-           .select(F.col("i").alias("a"), F.col("j").alias("b"),
-                   F.col("dj").alias("db")))
+    o = materialize_if_large(
+        ed.where(F.struct("di", "i") < F.struct("dj", "j"))
+          .select(F.col("i").alias("a"), F.col("j").alias("b"),
+                  F.col("dj").alias("db")))
     w1 = o.select(F.col("a"), F.col("b"), F.col("db"))
     w2 = o.select(F.col("a"), F.col("b").alias("c"),
                   F.col("db").alias("dc"))
@@ -876,14 +894,19 @@ def _edge_support(und: DataFrame) -> DataFrame:
                               F.col("deg").alias("da")), on="a")
              .join(deg.select(F.col("v").alias("b"),
                               F.col("deg").alias("db")), on="b"))
-    # orient each edge from its lower (deg, id) endpoint
+    # orient each edge from its lower (deg, id) endpoint.
+    # r12 optimization (guide §2.4): `o` feeds THREE branches (both
+    # wedge sides + the closing edge set) — size-gated
+    # materialization shares the orientation join at scale.
+    from .functions.materialize import materialize_if_large
     fwd = F.struct("da", "a") < F.struct("db", "b")
-    o = ed.select(F.when(fwd, F.col("a")).otherwise(F.col("b"))
+    o = materialize_if_large(
+        ed.select(F.when(fwd, F.col("a")).otherwise(F.col("b"))
                    .alias("s"),
                   F.when(fwd, F.col("b")).otherwise(F.col("a"))
                    .alias("t"),
                   F.when(fwd, F.col("db")).otherwise(F.col("da"))
-                   .alias("dt"))
+                   .alias("dt")))
     w1 = o.select(F.col("s"), F.col("t").alias("x"),
                   F.col("dt").alias("dx"))
     w2 = o.select(F.col("s"), F.col("t").alias("y"),
@@ -983,9 +1006,14 @@ def neighborhood_jaccard(A: GrMatrix,
                .withColumnRenamed("nbr", "_n")
     gen = edges
     if max_degree is not None:
+        from .functions.materialize import materialize_if_large
+
         zdeg = edges.groupBy("z").agg(F.count("*").alias("zd"))
-        gen = (edges.join(zdeg, on="z")
-                    .where(F.col("zd") <= max_degree).drop("zd"))
+        # r12 (guide §2.4): both self-join sides consume `gen` —
+        # size-gate the cap join so it runs once at scale.
+        gen = materialize_if_large(
+            edges.join(zdeg, on="z")
+                 .where(F.col("zd") <= max_degree).drop("zd"))
     e1 = gen.select("z", F.col("nbr").alias("u"))
     e2 = gen.select("z", F.col("nbr").alias("v"))
     pairs = (e1.join(e2, on="z")

@@ -391,6 +391,13 @@ def basket_pairs(df: DataFrame, basket_col: str, item_col: str,
         items = (items.withColumn("_rn", F.row_number().over(w))
                       .where(F.col("_rn") <= max_basket_items)
                       .drop("_rn"))
+    # r12 optimization (guide §2.4): `items` feeds FOUR subplan
+    # instances (basket-count aggregate, item counts, both self-join
+    # sides) — unshared, the distinct + hub-cap window re-ran per
+    # instance. Size-gated materialization computes it once at scale;
+    # lazy below the gate.
+    from .materialize import materialize_if_large
+    items = materialize_if_large(items)
     # n_baskets stays IN the plan (1-row aggregate, broadcast by the
     # cross join) — no eager driver job at call time
     n_baskets = items.agg(
@@ -1919,8 +1926,18 @@ def _pairable_ic(df: DataFrame, item_col, value_col) -> DataFrame:
     the per-item total via a window partitioned by ITEM over the
     grouped relation — partition size is bounded by the label
     vocabulary within one item (never the annotation count), so no
-    hot-item task. Columns: (_i, _cat, _c, _nu)."""
+    hot-item task. Columns: (_i, _cat, _c, _nu).
+
+    r12 optimization (guide §2.4): both metrics consume this relation
+    from TWO aggregate branches (the per-row term fold and the
+    category margins) — unshared, the full input scan + grouped count
+    + window pipeline ran twice per metric. Size-gated
+    materialization computes it once at scale; below the gate the
+    lazy two-branch plan stays (cheaper than a blocking checkpoint
+    job at small SF, measured in the r12 batch-1/2 precedents)."""
     from pyspark.sql.window import Window
+
+    from .materialize import materialize_if_large
 
     i = F.col(item_col) if isinstance(item_col, str) else item_col
     v = F.col(value_col) if isinstance(value_col, str) else value_col
@@ -1930,8 +1947,9 @@ def _pairable_ic(df: DataFrame, item_col, value_col) -> DataFrame:
             .groupBy("_i", "_cat")
             .agg(F.count("*").cast("bigint").alias("_c")))
     w = Window.partitionBy("_i")
-    return (ic.withColumn("_nu", F.sum("_c").over(w))
-              .where(F.col("_nu") >= 2))
+    return materialize_if_large(
+        ic.withColumn("_nu", F.sum("_c").over(w))
+          .where(F.col("_nu") >= 2))
 
 
 def fleiss_kappa(df: DataFrame, item_col, value_col) -> DataFrame:

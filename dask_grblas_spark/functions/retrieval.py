@@ -480,6 +480,14 @@ def prf_expansion(df: DataFrame, queries: list[tuple[int, str]],
     Output: (query_id, term, weight, rank <= n_terms)."""
     top = bm25_topk(df, queries, id_col=id_col, text_col=text_col,
                     k=k, k1=k1, b=b)
+    # r12 optimization (guide §2.4): `top` feeds TWO consumers (the
+    # corpus-pruning semi-join and the scoring join) — unshared, the
+    # whole full-corpus BM25 pipeline ran twice. Size-gated
+    # materialization (the estimate rides the un-filtered corpus
+    # size, so the gate fires at scale) computes it once; the
+    # |queries|*k-row checkpoint is trivially small.
+    from .materialize import materialize_if_large
+    top = materialize_if_large(top)
     toks_arr = F.filter(tokens(F.col(text_col)),
                         lambda x: F.length(x) > 0)
     base = (df.select(F.col(id_col).alias("doc_id"),

@@ -212,20 +212,33 @@ def hyperplane_lsh_pairs(emb_df: DataFrame, id_col: str = "vec_id",
     minhash_lsh_pairs). Pass None for exact all-pairs candidates.
     Implemented as window aggregates over the bucket relation, not
     groupBy+join-back: the (table, bucket) shuffle the window pays is
-    the one the self-join below needs anyway."""
+    the one the self-join below needs anyway.
+
+    r12 optimization (guide §2.4): the bucket assignment computes
+    n_tables x n_planes array-dot products per row, and the relation
+    feeds THREE plan branches (both self-join sides + the star
+    branch) — unshared, the whole assignment pipeline re-ran per
+    branch (the r12 before-plan: 28 scans, 0 reused exchanges).
+    Size-gated materialization computes the tagged relation once at
+    scale; below the gate the lazy plan stays."""
+    from .materialize import materialize_if_large
+
     buckets = hyperplane_lsh_buckets(emb_df, id_col, vec_col, n_planes,
                                      n_tables, dim, seed)
     star = None
     if max_bucket_size is not None:
         wb = Window.partitionBy("table", "bucket")
-        tagged = (buckets.withColumn("_f", F.count("*").over(wb))
-                         .withColumn("_rep", F.min("id").over(wb)))
+        tagged = materialize_if_large(
+            buckets.withColumn("_f", F.count("*").over(wb))
+                   .withColumn("_rep", F.min("id").over(wb)))
         buckets = (tagged.filter(F.col("_f") <= max_bucket_size)
                          .select("id", "table", "bucket"))
         star = (tagged.filter((F.col("_f") > max_bucket_size)
                               & (F.col("id") != F.col("_rep")))
                       .select(F.col("_rep").alias("id_a"),
                               F.col("id").alias("id_b")))
+    else:
+        buckets = materialize_if_large(buckets)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (a.join(b, (F.col("a.table") == F.col("b.table"))
@@ -1222,6 +1235,15 @@ def item_cf_topk(df: DataFrame, user_col: str, item_col: str,
                              F.col("n").alias("nb")), on="ib")
              .withColumn("sim", F.round(
                  F.col("co") / F.sqrt(F.col("na") * F.col("nb")), 6)))
+    # r12 optimization (guide §2.4): both direction branches of the
+    # union below consume `sim` — unshared, the u^2/2-fan-out co-pair
+    # self-join + aggregation re-ran per branch (r12 before-plan: 15
+    # Exchanges, 12 SortMergeJoins, 0 reused). Size-gated
+    # materialization of the slim (>= min_co) pair relation computes
+    # the heavy stage once at scale; lazy below the gate.
+    from .materialize import materialize_if_large
+    sim = materialize_if_large(
+        sim.select("ia", "ib", "co", "sim"))
     both = (sim.select(F.col("ia").alias("item"),
                        F.col("ib").alias("neighbor"), "co", "sim")
                .unionByName(

@@ -253,8 +253,15 @@ def kmv_distinct(df: DataFrame, group_col: str = "source",
                .filter(F.col("_r") <= k)
                .select("grp", "h"))
     w2 = Window.partitionBy("grp").orderBy("h")
-    sk = (pre.withColumn("rank", F.row_number().over(w2))
-             .filter(F.col("rank") <= k))
+    # r12 optimization (guide §2.4): `sk` feeds both the per-group
+    # branch and the merged-union re-rank — unshared, the tokenize +
+    # distinct + two-phase top-k pipeline ran twice. Size-gated
+    # materialization of the <= groups*k sketch computes it once at
+    # scale (the sibling kmv_set_ops already checkpoints its sketch).
+    from .materialize import materialize_if_large
+    sk = materialize_if_large(
+        pre.withColumn("rank", F.row_number().over(w2))
+           .filter(F.col("rank") <= k))
     merged = (sk.select(F.lit("__union__").alias("grp"), "h").distinct()
                 .withColumn("rank", F.row_number().over(w2))
                 .filter(F.col("rank") <= k))

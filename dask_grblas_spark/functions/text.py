@@ -840,6 +840,12 @@ def cluster_terms(df: DataFrame, cluster_col: str, text_col: str = "text",
                       F.explode(tokens(F.col(text_col))).alias("t"))
               .filter(F.length("t") > 0))
     tf = toks.groupBy("c", "t").agg(F.count("*").alias("tf"))
+    # r12 optimization (guide §2.4): `tf` feeds THREE branches (f(t),
+    # the average cluster size A, and the scored join) — unshared,
+    # each branch re-tokenized the corpus (the token_js_divergence
+    # lesson, size-gated here). Once at scale; lazy below the gate.
+    from .materialize import materialize_if_large
+    tf = materialize_if_large(tf)
     ft = tf.groupBy("t").agg(F.sum("tf").alias("ft"))
     a = (tf.groupBy("c").agg(F.sum("tf").alias("_ct"))
            .agg(F.avg("_ct").alias("a")))

@@ -404,6 +404,12 @@ def gapfill(events_df: DataFrame, key_col: str = "user_id",
                        .alias("_s"))
               .groupBy("key", "slot")
               .agg(F.max("_s").alias("_last")))
+    # r12 optimization (guide §2.4): `binned` feeds TWO consumers (the
+    # span aggregate and the grid left join) — unshared, the events
+    # scan + slot groupBy ran twice. Size-gated materialization of the
+    # slot relation (slots, not events) computes it once at scale.
+    from .materialize import materialize_if_large
+    binned = materialize_if_large(binned)
     span = (binned.groupBy("key")
                   .agg(F.min("slot").alias("_lo"), F.max("slot").alias("_hi")))
     grid = span.select(
@@ -492,6 +498,11 @@ def cohort_retention(events_df: DataFrame, key_col: str = "user_id",
     per = (events_df
            .select(F.col(key_col).alias("key"), slot.alias("b"))
            .distinct())
+    # r12 optimization (guide §2.4): `per` feeds TWO consumers (the
+    # first-bucket aggregate and the activity join) — unshared, the
+    # full-events distinct ran twice. Size-gated materialization.
+    from .materialize import materialize_if_large
+    per = materialize_if_large(per)
     first = per.groupBy("key").agg(F.min("b").alias("b0"))
     width = {"day": 86400, "week": 604800, "hour": 3600}[bucket]
     # round-to-nearest, not truncate: under a DST-shifting session
