@@ -27,7 +27,8 @@ from dask_grblas_spark import algorithms as alg
 from dask_grblas_spark.functions import (dedup, multimodal, retrieval,
                                          similarity, sketches, text,
                                          timeseries)
-from dask_grblas_spark.functions.materialize import materialize_if_large
+from dask_grblas_spark.functions.materialize import (broadcast_if_small,
+                                                     materialize_if_large)
 from dask_grblas_spark.sources import tpch
 from dask_grblas_spark.streaming import event_window_agg, sessionize
 
@@ -1830,7 +1831,7 @@ def q218_tpch_shipping(spark, sf_dir):
     return (li.where(F.col("l_shipdate") > F.lit(cut))
               .join(o.where(F.col("o_orderdate") < F.lit(cut)),
                     F.col("l_orderkey") == F.col("o_orderkey"))
-              .join(F.broadcast(
+              .join(broadcast_if_small(
                   c.where(F.col("c_mktsegment") == "BUILDING")
                    .select("c_custkey")),
                   F.col("o_custkey") == F.col("c_custkey"))
@@ -2474,7 +2475,7 @@ def q252_tpch_market_share(spark, sf_dir):
                      .select(F.col("n_nationkey").alias("cnk")))
     supp_nation = n.select(F.col("n_nationkey").alias("snk"),
                            F.col("n_name").alias("supp_nation"))
-    return (li.join(F.broadcast(
+    return (li.join(broadcast_if_small(
                   p.where(F.col("p_type") == "ECONOMY")
                    .select("p_partkey")),
                   li.l_partkey == F.col("p_partkey"))
@@ -2512,7 +2513,7 @@ def q253_tpch_promo(spark, sf_dir):
     zero = F.lit(0).cast("decimal(27,4)")
     return (li.where((F.col("l_shipdate") >= F.lit("1996-09-01"))
                      & (F.col("l_shipdate") < F.lit("1996-10-01")))
-              .join(F.broadcast(p.select("p_partkey", "p_type")),
+              .join(broadcast_if_small(p.select("p_partkey", "p_type")),
                     li.l_partkey == p.p_partkey)
               .agg(F.round(F.lit(100.0)
                            * F.sum(F.when(F.col("p_type") == "PROMO",
@@ -2562,15 +2563,17 @@ def q255_tpch_small_qty(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
     qty_d = F.col("l_quantity").cast("decimal(27,2)")
-    brand = (li.join(F.broadcast(
-                  p.where(F.col("p_brand") == "Brand#23")
-                   .select("p_partkey")),
+    bp = p.where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    brand = (li.join(broadcast_if_small(bp),
                   li.l_partkey == F.col("p_partkey"))
                .select("l_partkey", "l_quantity", "l_extendedprice"))
     stats = (brand.groupBy(F.col("l_partkey").alias("pk"))
                   .agg(F.sum(qty_d).alias("sum_qty"),
                        F.count("*").alias("cnt")))
-    small = (brand.join(F.broadcast(stats),
+    # stats is one row per Brand#23 part: join-fed, so gate on the
+    # scan-fed part slice as the linear size proxy (see
+    # broadcast_if_small's size_of contract)
+    small = (brand.join(broadcast_if_small(stats, size_of=bp),
                         brand.l_partkey == F.col("pk"))
                   .where(F.lit(5) * qty_d * F.col("cnt")
                          < F.col("sum_qty")))
@@ -2795,8 +2798,9 @@ def q268_tpch_profit_shape(spark, sf_dir):
     rev = (F.col("l_extendedprice").cast("double")
            * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
         .cast("decimal(27,4)")
-    return (li.join(F.broadcast(p.where(F.col("p_name").like("%red%"))
-                                 .select("p_partkey")),
+    return (li.join(broadcast_if_small(
+                        p.where(F.col("p_name").like("%red%"))
+                         .select("p_partkey")),
                     li.l_partkey == F.col("p_partkey"))
               .join(s, li.l_suppkey == s.s_suppkey)
               .join(F.broadcast(n.select("n_nationkey", "n_name")),
@@ -4241,7 +4245,7 @@ def q283_tpch_ship_priority(spark, sf_dir):
            * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
         .cast("decimal(27,4)")
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
               .groupBy(F.col("o_orderkey").cast("bigint")
                         .alias("o_orderkey"),
                        F.unix_micros(F.col("o_orderdate")
@@ -5076,11 +5080,14 @@ def q315_tpch_min_cost_supplier(spark, sf_dir):
     # partitioning instead of a second aggregate + self-join, which
     # re-planned the entire lineitem⋈part⋈eu pipeline a second time
     # (before-plan: 2 lineitem scans, 2 SMJs; after: 1 scan, 0 SMJs).
-    # min-over-window == groupBy-min re-joined, row for row.
+    # min-over-window == groupBy-min re-joined, row for row. Both
+    # hints size-gated (slice scans grow with SF; eu is join-fed so
+    # its gate reads the supplier scan as the linear proxy).
     from pyspark.sql.window import Window as W
 
-    cost = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-              .join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
+    cost = (li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
+              .join(broadcast_if_small(eu, size_of=s),
+                    li.l_suppkey == eu.s_suppkey)
               .groupBy(F.col("l_partkey").cast("bigint")
                         .alias("pk"),
                        "s_suppkey", "s_name", "s_acctbal", "n_name")
@@ -5124,7 +5131,10 @@ def q316_tpch_important_stock(spark, sf_dir):
     rev = (F.col("l_extendedprice").cast("double")
            * (F.lit(1.0) - F.col("l_discount").cast("double"))) \
         .cast("decimal(27,4)")
-    per = (li.join(F.broadcast(asia), li.l_suppkey == asia.s_suppkey)
+    # asia is join-fed (supplier ⋈ 5-nation lookup): gate its
+    # broadcast on the supplier scan's linear estimate
+    per = (li.join(broadcast_if_small(asia, size_of=s),
+                   li.l_suppkey == asia.s_suppkey)
              .groupBy(F.col("l_partkey").cast("bigint")
                        .alias("p_partkey"))
              .agg(F.sum(rev).alias("_val")))
@@ -5168,9 +5178,9 @@ def q317_tpch_parts_supplier_cnt(spark, sf_dir):
     pairs = (li.select(F.col("l_partkey").alias("pk"),
                        F.col("l_suppkey").alias("sk"))
                .distinct()
-               .join(F.broadcast(s), F.col("sk") == s.s_suppkey,
+               .join(broadcast_if_small(s), F.col("sk") == s.s_suppkey,
                      "left_anti"))
-    return (pairs.join(F.broadcast(p), pairs.pk == p.p_partkey)
+    return (pairs.join(broadcast_if_small(p), pairs.pk == p.p_partkey)
                  .groupBy("p_brand", "p_type",
                           F.col("p_size").cast("int").alias("p_size"))
                  .agg(F.countDistinct("sk").cast("bigint")
@@ -5200,7 +5210,7 @@ def q318_tpch_part_promotion(spark, sf_dir):
         .where(F.col("r_name") == "AMERICA")
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     qty = F.col("l_quantity").cast("decimal(27,2)")
-    red = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    red = li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
     sp = (red.groupBy(F.col("l_partkey").alias("pk"),
                       F.col("l_suppkey").alias("sk"))
              .agg(F.sum(qty).alias("_sp")))
@@ -5279,7 +5289,7 @@ def q320_tpch_never_brand(spark, sf_dir):
     p = spark.read.parquet(f"{sf_dir}/part.parquet") \
         .where(F.col("p_brand") == "Brand#21").select("p_partkey")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    bought = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    bought = (li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
                 .join(o, li.l_orderkey == o.o_orderkey)
                 .select(F.col("o_custkey").alias("bk"))
                 .distinct())
@@ -5365,7 +5375,7 @@ def q322_bloom_prejoin(spark, sf_dir):
     # computes it once; the relation is the join's build-side KEY SET
     # (bounded — it must fit somewhere for the join to be joinable),
     # never the fact table. (guide §2.4: remove repeated subplans)
-    so = (o.join(F.broadcast(seg), o.o_custkey == seg.c_custkey,
+    so = (o.join(broadcast_if_small(seg), o.o_custkey == seg.c_custkey,
                  "left_semi")
            .select(F.col("o_orderkey").cast("bigint").alias("okey"))
            .localCheckpoint(eager=True))

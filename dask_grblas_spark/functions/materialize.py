@@ -65,3 +65,55 @@ def materialize_if_large(df: DataFrame,
     if est is None or est > thr:
         return df.localCheckpoint(eager=True)
     return df
+
+
+_DEFAULT_BROADCAST_THRESHOLD = 256 << 20
+
+
+def _broadcast_threshold() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_BROADCAST_BYTES",
+                                  _DEFAULT_BROADCAST_THRESHOLD))
+    except (TypeError, ValueError):
+        return _DEFAULT_BROADCAST_THRESHOLD
+
+
+def broadcast_if_small(df: DataFrame,
+                       threshold_bytes: int | None = None,
+                       size_of: DataFrame | None = None) -> DataFrame:
+    """``F.broadcast(df)`` when the plan's estimated output is at or
+    below the threshold, ``df`` un-hinted otherwise (the planner then
+    falls back to SMJ / runtime-SHJ). The size-gate discipline of
+    ``materialize_if_large`` applied to join-strategy hints (guide
+    §3.1): an unconditional broadcast hint on an INPUT-PROPORTIONAL
+    relation (a customer segment, a part slice, a regional supplier
+    lookup) is correct at bench scale but a scale hazard — broadcast
+    relations are hard-capped at 8 GB / 512M rows, and long before the
+    cap every executor pays the build's memory. The safe side here is
+    the OPPOSITE of ``materialize_if_large``: an unavailable estimate
+    drops the hint (a wrongly-dropped hint costs one shuffle; a
+    wrongly-kept hint can OOM the driver at scale).
+
+    Threshold: ``$SPARK_GRAFT_BROADCAST_BYTES`` (default 256 MB —
+    guide §3.1's "a few hundred MB is usually fine"; tune down on
+    memory-tight executors, up toward the 8 GB cap on fat drivers).
+    Structurally-bounded relations (1-row aggregates, fixed 25-row
+    nation / 5-row region dims, k-row sketches) keep their plain
+    ``F.broadcast`` hints — their bound does not need a gate.
+
+    ``size_of``: a scan-fed relation whose estimate linearly bounds
+    ``df``'s true size, for gating JOIN-FED lookups. Without CBO a
+    join's sizeInBytes is the product of its children's (measured at
+    sf0.1: a supplier⋈nation lookup estimates 30 GB for a 1 MB
+    relation), so the gate would always drop the hint; an inner join
+    against a key-unique dimension cannot exceed its fact-side scan,
+    so that scan's linear estimate is the meaningful proxy.
+    """
+    from pyspark.sql import functions as F
+
+    thr = (_broadcast_threshold() if threshold_bytes is None
+           else threshold_bytes)
+    est = estimated_bytes(df if size_of is None else size_of)
+    if est is not None and est <= thr:
+        return F.broadcast(df)
+    return df

@@ -1046,17 +1046,30 @@ def pq_codes(emb_df: DataFrame, n_sub: int = 8, k: int = 16,
                           F.col(vec_col).cast("array<double>")
                            .alias("_v"))
                   .localCheckpoint(eager=True))
-    outs = []
-    for s in range(n_sub):
+    def _train(s: int) -> DataFrame:
         sl = base.select(
             F.col(id_col),
             F.slice(F.col("_v"), s * d_sub + 1, d_sub)
              .alias("embedding"))
         asg = kmeans_assign(sl, k=k, iters=iters, id_col=id_col,
                             vec_col="embedding", seed=seed)
-        outs.append(asg.select(F.col(id_col), F.lit(s).alias("sub"),
-                               F.col("cluster").cast("int")
-                                .alias("code")))
+        return asg.select(F.col(id_col), F.lit(s).alias("sub"),
+                          F.col("cluster").cast("int").alias("code"))
+
+    # guide §2.6 (overlap independent jobs): the n_sub trainings are
+    # fully independent — each clusters its own slice of the ONE
+    # checkpointed base — but each training is a chain of small
+    # BLOCKING driver-sync jobs (init collect + per-iteration centroid
+    # collect), so running them sequentially leaves the cluster idle
+    # during every sync. A small thread pool overlaps the chains (one
+    # subspace's collect overlaps another's scan; FIFO scheduling
+    # back-fills the tail). Per-subspace lineage, seeds, and the
+    # subspace-ordered union are byte-identical to the sequential
+    # form — only job submission overlaps.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, n_sub)) as pool:
+        outs = list(pool.map(_train, range(n_sub)))
     res = outs[0]
     for o in outs[1:]:
         res = res.unionByName(o)

@@ -761,9 +761,13 @@ def refresh_keyed_agg(path: str, batch_df, key: str,
     deltas = (batch_df.groupBy(F.col(key))
               .agg(F.count("*").cast("bigint").alias("_dn"),
                    F.sum(F.col(value_col).cast("double")).alias("_ds")))
+    # the touched-key set is batch-proportional: size-gate the hint on
+    # the batch's own scan estimate (guide §3.1 — a huge backfill batch
+    # must fall back to the shuffle semi-join, not broadcast)
+    from ..functions.materialize import broadcast_if_small
     cur = (read_keyed(path)
-           .join(F.broadcast(deltas.select(key)), on=key,
-                 how="left_semi"))
+           .join(broadcast_if_small(deltas.select(key), size_of=batch_df),
+                 on=key, how="left_semi"))
     merged = (deltas.join(cur, on=key, how="left")
               .select(F.col(key),
                       (F.coalesce(F.col("n"), F.lit(0)) + F.col("_dn"))

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core import GrMatrix, GrVector
+from ..functions.materialize import broadcast_if_small
 
 __all__ = ["load_table", "customer_supplier_matrix", "nation_matrix",
            "customer_acctbal_vector", "customer_order_count_vector"]
@@ -72,11 +73,13 @@ def nation_matrix(spark: SparkSession, sf_dir: str) -> GrMatrix:
         lineitem = load_table(spark, sf_dir, "lineitem")
         customer = load_table(spark, sf_dir, "customer")
         supplier = load_table(spark, sf_dir, "supplier")
+        # customer/supplier scans grow with SF: size-gate the hints
+        # (guide §3.1 — past the gate the planner's SMJ/SHJ takes over)
         return (orders
                 .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-                .join(F.broadcast(customer),
+                .join(broadcast_if_small(customer),
                       orders.o_custkey == customer.c_custkey)
-                .join(F.broadcast(supplier),
+                .join(broadcast_if_small(supplier),
                       lineitem.l_suppkey == supplier.s_suppkey)
                 .groupBy(customer.c_nationkey.cast("bigint").alias("i"),
                          supplier.s_nationkey.cast("bigint").alias("j"))

@@ -6,7 +6,8 @@ exercised under both branches as the integration proof."""
 from pyspark.sql import functions as F
 
 from dask_grblas_spark.functions.itemsets import frequent_pairs
-from dask_grblas_spark.functions.materialize import (estimated_bytes,
+from dask_grblas_spark.functions.materialize import (broadcast_if_small,
+                                                     estimated_bytes,
                                                      materialize_if_large)
 
 
@@ -36,6 +37,50 @@ def test_large_threshold_forces_checkpoint(spark):
 def test_estimate_is_positive_for_range(spark):
     est = estimated_bytes(spark.range(1000))
     assert est is not None and est > 0
+
+
+def _has_broadcast_hint(df) -> bool:
+    return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString() \
+        or "broadcast" in df._jdf.queryExecution().optimizedPlan() \
+                            .toString().lower()
+
+
+def test_broadcast_gate_keeps_hint_below_threshold(spark):
+    dim = spark.range(50).select(F.col("id").alias("k"))
+    out = broadcast_if_small(dim)
+    assert _has_broadcast_hint(out)
+
+
+def test_broadcast_gate_drops_hint_above_threshold(spark):
+    dim = spark.range(50).select(F.col("id").alias("k"))
+    out = broadcast_if_small(dim, threshold_bytes=0)
+    assert out is dim
+
+
+def test_broadcast_gate_size_of_proxy(spark):
+    """A join-fed lookup whose own estimate is inflated keeps its hint
+    when the scan-fed proxy is below the threshold, and drops it when
+    the proxy exceeds it."""
+    a = spark.range(50).select(F.col("id").alias("k"))
+    b = spark.range(50).select(F.col("id").alias("k"),
+                               (F.col("id") % 3).alias("g"))
+    lookup = a.join(b, on="k")
+    kept = broadcast_if_small(lookup, size_of=a)
+    assert _has_broadcast_hint(kept)
+    dropped = broadcast_if_small(lookup, threshold_bytes=0, size_of=a)
+    assert dropped is lookup
+
+
+def test_broadcast_gate_result_identical_both_branches(spark):
+    fact = spark.range(200).select((F.col("id") % 40).alias("k"),
+                                   F.col("id").alias("v"))
+    dim = spark.range(40).select(F.col("id").alias("k"),
+                                 (F.col("id") * 10).alias("w"))
+    hinted = fact.join(broadcast_if_small(dim), on="k") \
+                 .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+    plain = fact.join(broadcast_if_small(dim, threshold_bytes=0), on="k") \
+                .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+    assert hinted.collect() == plain.collect()
 
 
 def test_itemsets_identical_under_both_branches(spark, monkeypatch):
