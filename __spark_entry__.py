@@ -5524,31 +5524,47 @@ def q326_heavy_hitters_merge(spark, sf_dir):
     from dask_grblas_spark.functions.sketches import (
         heavy_hitters_build, heavy_hitters_merge, heavy_hitters_query)
 
+    from dask_grblas_spark.functions.materialize import should_materialize
+
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_custkey").cast("bigint").alias("ck"),
         F.pmod(F.col("o_orderkey"), F.lit(4)).cast("int").alias("_sh"))
     # ONE scan + ONE map-side-combined aggregation of orders, then
     # every downstream consumer (4 shard builds, the exact counts)
-    # works off the cached per-(shard, custkey) counts — the r12-before
-    # plan re-scanned orders 33 times (each shard build expands the
-    # counts subplan into its meta/threshold/join-back branches).
-    # heavy_hitters_build(weight_col=) sums the pre-aggregated counts,
-    # so every shard summary is BIT-IDENTICAL to the unaggregated
-    # build (guide §2.3: aggregate before fan-out; the weighted path
-    # exists exactly for pre-counted inputs). The materialization is
-    # SIZE-GATED (materialize.py): below the gate the lazy plan's
-    # re-scans are cheaper than a blocking checkpoint job, above it
-    # the checkpoint is what keeps the input scanned once.
-    pre = materialize_if_large(
-        o.groupBy("_sh", "ck")
-         .agg(F.count("*").cast("bigint").alias("_w")))
-    shards = [heavy_hitters_build(pre.where(F.col("_sh") == i), "ck",
-                                  k=48, weight_col="_w")
-              for i in range(4)]
+    # works off the MATERIALIZED per-(shard, custkey) counts — the
+    # r12-before plan re-scanned orders 33 times (each shard build
+    # expands the counts subplan into its meta/threshold/join-back
+    # branches). heavy_hitters_build(weight_col=) sums the
+    # pre-aggregated counts, so every shard summary is BIT-IDENTICAL
+    # to the unaggregated build (guide §2.3: aggregate before
+    # fan-out; the weighted path exists exactly for pre-counted
+    # inputs). The pre-aggregation only pays for itself once shared:
+    # left lazy it would ADD a shuffle under every branch (each
+    # consumer re-plans scan -> groupBy(_sh, ck) -> groupBy(ck) where
+    # the direct build does scan -> groupBy(ck)), so the gate picks
+    # the ALGORITHM, not just the checkpoint (materialize.
+    # should_materialize): above the size threshold the pre-counts
+    # are built once and checkpointed (1 input scan at scale), below
+    # it the plan is exactly the pre-r12 direct-build shape (zero
+    # local cost by construction). Both branches oracle-green; the
+    # weighted==row-counted equivalence is pinned by
+    # tests/test_sketches.py.
+    pre_agg = (o.groupBy("_sh", "ck")
+                .agg(F.count("*").cast("bigint").alias("_w")))
+    if should_materialize(pre_agg):
+        pre = pre_agg.localCheckpoint(eager=True)
+        shards = [heavy_hitters_build(pre.where(F.col("_sh") == i), "ck",
+                                      k=48, weight_col="_w")
+                  for i in range(4)]
+        exact = (pre.groupBy(F.col("ck").alias("key"))
+                    .agg(F.sum("_w").cast("bigint").alias("exact_cnt")))
+    else:
+        shards = [heavy_hitters_build(o.where(F.col("_sh") == i), "ck",
+                                      k=48) for i in range(4)]
+        exact = (o.groupBy(F.col("ck").alias("key"))
+                  .agg(F.count("*").cast("bigint").alias("exact_cnt")))
     m = heavy_hitters_merge(shards, k=48)
     q = heavy_hitters_query(m)
-    exact = (pre.groupBy(F.col("ck").alias("key"))
-                .agg(F.sum("_w").cast("bigint").alias("exact_cnt")))
     inb = ((F.col("est_lo") <= F.col("exact_cnt"))
            & (F.col("exact_cnt") <= F.col("est_hi")))
     return (exact.join(F.broadcast(q), on="key")

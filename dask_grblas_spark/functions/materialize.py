@@ -54,15 +54,26 @@ def estimated_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def should_materialize(df: DataFrame,
+                       threshold_bytes: int | None = None) -> bool:
+    """The gate's decision alone: True when the plan's estimated output
+    exceeds the threshold (or no estimate exists — the safe side at
+    scale). For call sites where the BELOW-gate fallback is a different
+    (cheaper-locally, equivalent) plan shape rather than simply the
+    un-checkpointed relation — e.g. skipping a pre-aggregation that
+    only pays for itself once it is materialized and shared."""
+    thr = _size_threshold() if threshold_bytes is None else threshold_bytes
+    est = estimated_bytes(df)
+    return est is None or est > thr
+
+
 def materialize_if_large(df: DataFrame,
                          threshold_bytes: int | None = None) -> DataFrame:
     """``df.localCheckpoint(eager=True)`` when the plan's estimated
     output exceeds the threshold, ``df`` unchanged otherwise. An
     unavailable estimate materializes (the safe side at scale: the
     only cost of a false positive is one small checkpoint job)."""
-    thr = _size_threshold() if threshold_bytes is None else threshold_bytes
-    est = estimated_bytes(df)
-    if est is None or est > thr:
+    if should_materialize(df, threshold_bytes):
         return df.localCheckpoint(eager=True)
     return df
 

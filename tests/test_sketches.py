@@ -1736,3 +1736,31 @@ def test_heavy_hitters_negative_weight_raises(spark):
     with pytest.raises(Exception, match="non-negative"):
         sketches.heavy_hitters_build(g, "key", k=4,
                                      weight_col="w").collect()
+
+
+def test_heavy_hitters_weighted_equals_row_counted(spark):
+    """The q326 gate equivalence (optimization r12): building the MG
+    summary from per-key PRE-COUNTS via weight_col must equal the
+    build over the raw rows bit for bit — summing integer pre-counts
+    is the same aggregate as counting rows, and everything downstream
+    (threshold, err, prune) sees identical counts. This is what lets
+    the gate switch between the direct build (below the size gate)
+    and the shared pre-aggregated build (above it) without changing
+    the result."""
+    from pyspark.sql import functions as F
+
+    raw = spark.createDataFrame(
+        [(i % 4, f"k{i % 7}") for i in range(200)]
+        + [(0, "hot")] * 40 + [(1, "hot")] * 3 + [(2, None)] * 9,
+        "sh int, key string")
+    pre = raw.groupBy("sh", "key").agg(
+        F.count("*").cast("bigint").alias("w"))
+    key = lambda r: (r["_meta"], r["_key"] or "", r["_c"] or 0,
+                     r["_n"], r["_err"])
+    for sh in range(4):
+        direct = sketches.heavy_hitters_build(
+            raw.where(F.col("sh") == sh), "key", k=3)
+        weighted = sketches.heavy_hitters_build(
+            pre.where(F.col("sh") == sh), "key", k=3, weight_col="w")
+        assert sorted(direct.collect(), key=key) \
+            == sorted(weighted.collect(), key=key)
