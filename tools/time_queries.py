@@ -32,7 +32,7 @@ def main() -> int:
              .config("spark.sql.shuffle.partitions", str(CPUS))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.adaptive."
-                     "maxShuffledHashJoinLocalMapThreshold", "64m")
+                     "maxShuffledHashJoinLocalMapThreshold", os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.driver.memory", "48g")
              .config("spark.ui.enabled", "false")
