@@ -5318,8 +5318,11 @@ def q321_quantile_sketch(spark, sf_dir):
     the true-rank pass broadcasts the 18-row estimate table into one
     lineitem scan. Everything (hash membership, level, index rule)
     replays bit-for-bit in the DuckDB oracle."""
+    from dask_grblas_spark.functions.materialize import (
+        materialize_if_large)
     from dask_grblas_spark.functions.sketches import (
-        quantile_sketch_build, quantile_sketch_query)
+        quantile_sketch_base, quantile_sketch_from_base,
+        quantile_sketch_query)
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     uid = F.concat(F.col("l_orderkey").cast("string"), F.lit(":"),
@@ -5327,12 +5330,21 @@ def q321_quantile_sketch(spark, sf_dir):
     df = li.select(F.col("l_returnflag").alias("g"),
                    uid.alias("_uid"),
                    F.col("l_extendedprice").alias("x"))
-    sk = quantile_sketch_build(df, "x", F.col("_uid"), k=256,
-                               group_cols=["g"])
+    # r13 (r12 verdict item 4): the sketch's count pass, its sample
+    # pass, and the true-rank calibration all reduce the SAME slim
+    # (g, hash, value) projection — share it size-gated so the three
+    # lineitem scans collapse to one at scale (guide §2.4). The
+    # calibration reading the NULL-value-free base is exact: a NULL
+    # value contributed 0 to the conditional sum either way, and
+    # group presence rides on the sketch side of the join.
+    base = materialize_if_large(
+        quantile_sketch_base(df, "x", F.col("_uid"),
+                             group_cols=["g"]))
+    sk = quantile_sketch_from_base(base, k=256, group_cols=["g"])
     q = quantile_sketch_query(sk, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
                               group_cols=["g"])
-    vals = df.select("g", F.col("x").cast("double").alias("_v"))
-    tr = (vals.join(F.broadcast(q), on="g")
+    tr = (base.select("g", F.col("_val").alias("_v"))
+              .join(F.broadcast(q), on="g")
               .groupBy("g", "phi", "est", "n", "level", "m")
               .agg(F.sum(F.when(F.col("_v") <= F.col("est"), 1)
                           .otherwise(0)).cast("bigint")
@@ -5524,7 +5536,8 @@ def q326_heavy_hitters_merge(spark, sf_dir):
     from dask_grblas_spark.functions.sketches import (
         heavy_hitters_build, heavy_hitters_merge, heavy_hitters_query)
 
-    from dask_grblas_spark.functions.materialize import should_materialize
+    from dask_grblas_spark.functions.materialize import (
+        materialize, should_materialize)
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_custkey").cast("bigint").alias("ck"),
@@ -5552,7 +5565,7 @@ def q326_heavy_hitters_merge(spark, sf_dir):
     pre_agg = (o.groupBy("_sh", "ck")
                 .agg(F.count("*").cast("bigint").alias("_w")))
     if should_materialize(pre_agg):
-        pre = pre_agg.localCheckpoint(eager=True)
+        pre = materialize(pre_agg)
         shards = [heavy_hitters_build(pre.where(F.col("_sh") == i), "ck",
                                       k=48, weight_col="_w")
                   for i in range(4)]

@@ -139,12 +139,45 @@ def main() -> int:
     timings = time_set(HEADLINE)
     pipeline = time_set(PIPELINE)
     total = round(sum(timings.values()), 3)
+
+    # r13 (r12 verdict item 3): the session-scoped _DERIVED_CACHE in
+    # sources/tpch.py means no timed sample of the graph family above
+    # pays the derived fact-join build (the warm-up primes it). Time
+    # ONE COLD BUILD of each cached derived relation as its own line
+    # (additions-only: existing query timings/methodology unchanged,
+    # so round-over-round comparison stays clean) — the honest cost
+    # the cache amortizes in a real session.
+    from dask_grblas_spark.sources import tpch as _tpch
+    derived = {}
+    for key, fn in (
+            ("q00_derived_build_cs", _tpch.customer_supplier_matrix),
+            ("q00_derived_build_nn", _tpch.nation_matrix),
+            ("q00_derived_build_vec", _tpch.customer_order_count_vector)):
+        samples = []
+        for _ in range(RUNS):
+            _tpch.evict_derived(spark, SF_DIR)
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR)  # _cached_build materializes eagerly
+            samples.append(time.perf_counter() - t0)
+        derived[key] = round(statistics.median(samples), 3)
+    # re-prime so a --baseline-proxy pass below sees the normal state
+    _tpch.customer_supplier_matrix(spark, SF_DIR)
+    _tpch.nation_matrix(spark, SF_DIR)
+    _tpch.customer_order_count_vector(spark, SF_DIR)
+
     if "--baseline-proxy" in sys.argv:
         _write_baseline_proxy(spark, qs, {**timings, **pipeline}, sf)
     print(json.dumps({"metric": "headline_total_median_sec", "value": total,
-                      "unit": "sec", "queries": {**timings, **pipeline},
+                      "unit": "sec",
+                      "queries": {**timings, **pipeline, **derived},
                       "pipeline_total_median_sec":
                           round(sum(pipeline.values()), 3),
+                      "derived_build_total_sec":
+                          round(sum(derived.values()), 3),
+                      "note": ("q00_derived_build_* time the COLD build "
+                               "of each session-cached derived relation "
+                               "(r12 verdict item 3); all other lines "
+                               "keep the r12 methodology unchanged"),
                       "sf": sf}))
     return 0
 

@@ -97,6 +97,18 @@ _EDGE_ROWS_PER_PARTITION = 1_000_000
 _MIN_EDGE_ROWS_PER_PARTITION = 65_536
 
 
+def _vertex_range(spark, n: int) -> DataFrame:
+    """``spark.range(n)`` with a ROW-COUNT-SIZED split count instead of
+    the default ``defaultParallelism`` splits (r13, guide §2 scale-
+    adaptive partitioning): a 25-vertex frame on local[32] otherwise
+    carries 32 near-empty splits through EVERY loop round (AQE cannot
+    coalesce a leaf Range, and the per-round persists pin whatever
+    partitioning they inherit), while a 10^9-vertex frame still fans
+    out by the same ~rows-per-partition rule as `_prep_adjacency`."""
+    return spark.range(0, n, 1,
+                       numPartitions=_adjacency_partitions(int(n)))
+
+
 def _adjacency_partitions(nvals: int) -> int:
     """Partition count for a measured edge count.
 
@@ -279,8 +291,9 @@ def connected_components(A: GrMatrix, vertices: str = "all") -> GrVector:
         labels_df = adj.select("i").distinct().select(
             "i", F.col("i").cast("bigint").alias("v"))
     else:
-        labels_df = spark.range(n).select(F.col("id").alias("i"),
-                                          F.col("id").cast("bigint").alias("v"))
+        labels_df = _vertex_range(spark, n).select(
+            F.col("id").alias("i"),
+            F.col("id").cast("bigint").alias("v"))
     labels = GrVector(labels_df, INT64, n)
     pool = _PersistPool()
     pool.persist(labels)
@@ -487,7 +500,7 @@ def pagerank(A: GrMatrix, damping: float = 0.85, max_iters: int = 20,
             .select("i", "j", (F.lit(1.0) / F.col("d")).alias("v")))
     P = P.repartition(k, "i").persist()
     P.count()
-    nodes = spark.range(n).select(F.col("id").alias("i"))
+    nodes = _vertex_range(spark, n).select(F.col("id").alias("i"))
     has_out = outdeg.select("i").persist()
     has_out.count()
     base = (1.0 - damping) / n
@@ -579,7 +592,7 @@ def katz_centrality(A: GrMatrix, alpha: float = 0.1, beta: float = 1.0,
     k = _adjacency_partitions(edges.count())
     edges_i = edges.repartition(k, "i").persist()
     edges_i.count()
-    nodes = spark.range(n).select(F.col("id").alias("i"))
+    nodes = _vertex_range(spark, n).select(F.col("id").alias("i"))
     x = nodes.select("i", F.lit(float(beta)).alias("x"))
     for step in range(iters):
         contrib = (edges_i.join(x, on="i")
@@ -632,7 +645,7 @@ def hits(A: GrMatrix, iters: int = 5) -> DataFrame:
     edges_j = edges.repartition(k, "j").persist()
     edges_i.count()
     edges_j.count()
-    nodes = spark.range(n).select(F.col("id").alias("i"))
+    nodes = _vertex_range(spark, n).select(F.col("id").alias("i"))
     h = nodes.select("i", F.lit(1.0 / n).alias("h"))
 
     def _norm(df, col):
@@ -1058,7 +1071,7 @@ def personalized_pagerank(A: GrMatrix, seeds: list[int],
             .select("i", "j", (F.lit(1.0) / F.col("d")).alias("v")))
     P = P.repartition(k, "i").persist()
     P.count()
-    nodes = spark.range(n).select(F.col("id").alias("i"))
+    nodes = _vertex_range(spark, n).select(F.col("id").alias("i"))
     has_out = outdeg.select("i").persist()
     has_out.count()
     s_val = 1.0 / len(seeds)

@@ -67,14 +67,25 @@ def should_materialize(df: DataFrame,
     return est is None or est > thr
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """The checkpoint mechanics in ONE place (r12 advice item): every
+    gated site — including call sites that already made the gate
+    decision themselves via ``should_materialize`` (q326 picks an
+    ALGORITHM, not just a checkpoint) — materializes through this
+    helper, so a future change of mechanism (reliable checkpoint on a
+    cluster profile, storage level) cannot silently diverge per
+    site."""
+    return df.localCheckpoint(eager=True)
+
+
 def materialize_if_large(df: DataFrame,
                          threshold_bytes: int | None = None) -> DataFrame:
-    """``df.localCheckpoint(eager=True)`` when the plan's estimated
-    output exceeds the threshold, ``df`` unchanged otherwise. An
-    unavailable estimate materializes (the safe side at scale: the
-    only cost of a false positive is one small checkpoint job)."""
+    """``materialize(df)`` when the plan's estimated output exceeds
+    the threshold, ``df`` unchanged otherwise. An unavailable estimate
+    materializes (the safe side at scale: the only cost of a false
+    positive is one small checkpoint job)."""
     if should_materialize(df, threshold_bytes):
-        return df.localCheckpoint(eager=True)
+        return materialize(df)
     return df
 
 

@@ -1742,29 +1742,38 @@ def _prefix_sum(df: DataFrame, sort_cols: list, val_col,
     over the total order given by ``sort_cols`` (a DISTINCT composite
     key) — the running-total sibling of `_exact_rank`, same
     discipline: no single-task global window. repartitionByRange on
-    the full sort key makes each partition a contiguous interval; the
-    numPartitions per-partition sums come to the driver (bounded),
-    accumulate as PYTHON ints (arbitrary precision — no bigint
-    overflow at any n), and each row's prefix = partition offset + an
+    the full sort key makes each partition a contiguous interval of
+    the order; each row's prefix = partition offset + an
     intra-partition running window. Multiple columns share ONE range
-    shuffle, one driver collect, and one window pass (pr_auc needs
-    two running totals — paying the shuffle twice doubled its probe
-    time). Placement is pinned via localCheckpoint so the sum pass
-    and the window pass agree.
+    shuffle and one window pass (pr_auc needs two running totals —
+    paying the shuffle twice doubled its probe time).
 
-    COST (size this at scale): the localCheckpoint MATERIALIZES the
-    full input relation to executor-local disk — unavoidable, since
-    it is what pins partition placement between the per-partition sum
-    pass and the window pass (without it the two passes could see
-    different range splits and the offsets would be wrong). Callers
-    should project to the slim (sort_cols, val_col) relation FIRST.
-    For continuous-score AUC (`roc_auc`/`auc_by_group`) the input is
-    the distinct-(group,)score relation, ~n rows when scores are
-    continuous: at 100 TB budget executor local-disk for one slim
-    copy of the score column (e.g. ~16 B/row -> ~1.6 TB across the
-    cluster for 10^11 rows) or pre-quantize scores to collapse
-    distincts. Returns (df + out_col(s), total(s)); totals mirror the
-    input shape (scalar for a str, list for a list)."""
+    SINGLE-PLAN dataflow (r12 verdict item 6 — the pre-r13 version
+    eagerly localCheckpointed the FULL input relation to executor
+    disk to pin partition placement between a driver-collected sum
+    pass and the window pass; for continuous-score AUC that is ~one
+    slim copy of the distinct-score relation on executor disk at
+    100 TB). Now the per-partition sums are a sums/count-only
+    aggregate BRANCH of the same range exchange inside ONE plan: the
+    nparts-row branch turns into exclusive offsets via one bounded
+    window (nparts rows, single task by design) and broadcast-joins
+    back on the partition id. No materialization, no driver collect,
+    no second execution of the input.
+
+    Placement consistency: both branches hang off the SAME
+    repartitionByRange exchange, so within one execution Spark's
+    exchange reuse gives them identical row->partition placement.
+    Catalyst's per-branch column pruning can defeat that reuse (the
+    sums branch needs fewer columns), so (a) the sums branch
+    references EVERY input column (count aggregates threaded through
+    the guard below) to keep both subtrees canonically identical, and
+    (b) an in-plan tripwire (`assert_true`, the
+    quantile_sketch_merge discipline) verifies per-partition row
+    counts from the two branches agree and that every partition id
+    resolved an offset row — a divergent placement raises loudly
+    instead of returning silently wrong prefixes. Returns
+    (df + out_col(s), None); no caller consumed the old driver-side
+    totals (they all re-aggregate in their own fold)."""
     from pyspark.sql.window import Window as W
 
     single = isinstance(val_col, str)
@@ -1774,34 +1783,58 @@ def _prefix_sum(df: DataFrame, sort_cols: list, val_col,
     spark = df.sparkSession
     nparts = _shuffle_parts(spark)
     tagged = (df.repartitionByRange(nparts, *sort_cols)
-                .withColumn("_p", F.spark_partition_id())
-                .localCheckpoint())
-    rows = (tagged.groupBy("_p")
-                  .agg(*[F.sum(F.col(c).cast("bigint")).alias(f"_s{i}")
-                         for i, c in enumerate(cols)])
-                  .collect())
-    sums = {r["_p"]: [int(r[f"_s{i}"] or 0) for i in range(len(cols))]
-            for r in rows}
-    offsets, cum = {}, [0] * len(cols)
-    for p in sorted(sums):
-        offsets[p] = list(cum)
-        cum = [a + b for a, b in zip(cum, sums[p])]
-    if not offsets:
-        for o in outs:
-            tagged = tagged.withColumn(o, F.lit(0).cast("bigint"))
-        tagged = tagged.drop("_p")
-        return (tagged, 0) if single else (tagged, cum)
+                .withColumn("_p", F.spark_partition_id()))
+    extras = [c for c in df.columns]
+    psums = (tagged.groupBy("_p")
+                   .agg(F.count(F.lit(1)).alias("_pcnt"),
+                        *[F.sum(F.col(c).cast("bigint")).alias(f"_s{i}")
+                          for i, c in enumerate(cols)],
+                        # reference every input column so this branch
+                        # prunes to the same schema as the main one —
+                        # the canonical-equality condition for
+                        # exchange reuse (consumed by the guard)
+                        *[F.count(F.col(c)).alias(f"_u{i}")
+                          for i, c in enumerate(extras)]))
+    # nparts rows, single task — bounded by construction, never the
+    # input relation
+    woff = W.orderBy("_p").rowsBetween(W.unboundedPreceding, -1)
+    offs = psums.select(
+        "_p", "_pcnt",
+        *[F.coalesce(F.sum(F.coalesce(F.col(f"_s{i}"), F.lit(0)))
+                      .over(woff), F.lit(0)).cast("bigint")
+           .alias(f"_o{i}") for i in range(len(cols))],
+        *[F.col(f"_u{i}") for i in range(len(extras))])
+    out = tagged.join(F.broadcast(offs), on="_p", how="left")
+    # tripwire: the window's view of each partition must match the
+    # sums branch's (same row count, offset row present). The _u*
+    # terms are tautological (count >= 0) but keep the pruning
+    # alignment above live through the optimizer.
+    chk = F.count(F.lit(1)).over(W.partitionBy("_p"))
+    ucond = None
+    for i in range(len(extras)):
+        c = F.coalesce(F.col(f"_u{i}"), F.lit(-1)) >= F.lit(-1)
+        ucond = c if ucond is None else (ucond & c)
+    guard_cond = F.col("_pcnt").isNotNull() & (chk == F.col("_pcnt"))
+    if ucond is not None:
+        guard_cond = guard_cond & ucond
+    out = out.withColumn(
+        "_chk",
+        F.assert_true(guard_cond,
+                      F.lit("_prefix_sum: partition placement diverged "
+                            "between the sums branch and the window "
+                            "branch")))
+    out = out.where(F.col("_chk").isNull()).drop("_chk", "_pcnt",
+                                                 *[f"_u{i}" for i in
+                                                   range(len(extras))])
     w = (W.partitionBy("_p").orderBy(*sort_cols)
           .rowsBetween(W.unboundedPreceding, -1))
     for i, (c, o) in enumerate(zip(cols, outs)):
-        off = F.create_map(*[F.lit(x) for p, v in offsets.items()
-                             for x in (p, v[i])])
         run = F.coalesce(F.sum(F.col(c).cast("bigint")).over(w),
                          F.lit(0))
-        tagged = tagged.withColumn(
-            o, (off[F.col("_p")] + run).cast("bigint"))
-    tagged = tagged.drop("_p")
-    return (tagged, cum[0]) if single else (tagged, cum)
+        out = out.withColumn(
+            o, (F.col(f"_o{i}") + run).cast("bigint"))
+    out = out.drop("_p", *[f"_o{i}" for i in range(len(cols))])
+    return (out, None)
 
 
 def roc_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
@@ -2412,6 +2445,12 @@ def auc_by_group(df: DataFrame, score_col: str, label_col,
     # exactly the negatives of all earlier groups — the base.
     pref, _ = _prefix_sum(per, [F.col("grp"), F.col("_s")],
                           "_neg", "_gpref")
+    # pref feeds TWO branches (the per-group base aggregate and the
+    # final join) — with _prefix_sum no longer checkpointing (r13),
+    # size-gate the sharing here so the double consumption does not
+    # re-run the whole prefix pipeline at scale (guide §2.4)
+    from .materialize import materialize_if_large
+    pref = materialize_if_large(pref)
     base = pref.groupBy("grp").agg(F.min("_gpref").alias("_base")) \
                .withColumnRenamed("grp", "_bgrp")
     cum = F.col("_gpref") - F.col("_base")

@@ -517,8 +517,23 @@ def quantile_sketch_build(df: DataFrame, val_col: str, uid_col,
     regardless of input size. Returns (group..., _n, _level, _h,
     _val); feed to `quantile_sketch_merge` / `quantile_sketch_query`.
     """
+    base = quantile_sketch_base(df, val_col, uid_col, group_cols,
+                                salt)
+    return quantile_sketch_from_base(base, k, group_cols)
+
+
+def quantile_sketch_base(df: DataFrame, val_col: str, uid_col,
+                         group_cols=None,
+                         salt: str = "qsk") -> DataFrame:
+    """The slim hashed base relation `quantile_sketch_build` samples
+    from: (group..., _h, _val) with NULL values dropped. Split out
+    (r13) so a gate that ALSO needs a full pass over the same values
+    (q321's true-rank calibration) can share ONE scan of the slim
+    projection between the sketch's count pass, its sample pass, and
+    the calibration aggregate — three input scans collapse to one
+    when the base is materialized (guide §2.4)."""
     groups = list(group_cols or [])
-    base = (df.select(*groups,
+    return (df.select(*groups,
                       cross_hash60(
                           F.concat(F.lit(f"{salt}:"),
                                    F.col(uid_col).cast("string")
@@ -527,6 +542,13 @@ def quantile_sketch_build(df: DataFrame, val_col: str, uid_col,
                       .alias("_h"),
                       F.col(val_col).cast("double").alias("_val"))
               .where(F.col("_val").isNotNull()))
+
+
+def quantile_sketch_from_base(base: DataFrame, k: int = 1024,
+                              group_cols=None) -> DataFrame:
+    """`quantile_sketch_build`'s tail over a prebuilt base relation
+    (see `quantile_sketch_base`)."""
+    groups = list(group_cols or [])
     cnt = (base.groupBy(*groups)
                .agg(F.count("*").cast("bigint").alias("_n"))
                .withColumn("_level", _qsk_level(k, "_n")))

@@ -35,14 +35,59 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _DERIVED_CACHE: dict[tuple, DataFrame] = {}
 
 
+_CACHE_ROWS_PER_PARTITION = 65_536
+
+
 def _cached_build(spark: SparkSession, sf_dir: str, name: str, build):
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _DERIVED_CACHE.get(key)
     if df is None:
         df = build().persist()
-        df.count()  # materialize NOW, at the session's full parallelism
+        n = df.count()  # materialize NOW, at full parallelism
+        # r13 (guide §2, scale-adaptive partitioning): a cached plan
+        # is materialized at the PRE-AQE shuffle partition count —
+        # the 625-row nation graph otherwise sits in 32 near-empty
+        # partitions and every one of its many consumers (incl. every
+        # round of the iterative loops) pays 32 task launches per
+        # read. Re-cache at a row-count-derived width (~64k rows per
+        # partition, floor 1, cap defaultParallelism — the
+        # _prep_adjacency sizing rule); the narrow coalesce costs one
+        # cheap pass over the already-cached aggregate and is a no-op
+        # decision at sizes that already fill the cores.
+        par = spark.sparkContext.defaultParallelism
+        k = max(1,
+                min(par, -(-int(n) // _CACHE_ROWS_PER_PARTITION)),
+                -(-int(n) // 1_000_000))  # never > ~1M rows/partition
+        try:
+            cur = df.rdd.getNumPartitions()
+        except Exception:
+            cur = None
+        if cur is not None and k < cur:
+            slim = df.coalesce(k).persist()
+            slim.count()  # reads the still-cached wide copy
+            df.unpersist()
+            df = slim
         _DERIVED_CACHE[key] = df
     return df
+
+
+def evict_derived(spark: SparkSession, sf_dir: str,
+                  name: str | None = None) -> None:
+    """Drop (and unpersist) cached derived relations for ``sf_dir`` —
+    all of them, or just ``name`` ("mat_cs" / "mat_nn" /
+    "vec_orders"). Exists so a benchmark can time the COLD build of a
+    derived matrix as its own line (r12 verdict item 3: the session
+    cache must not silently hide the fact-join cost from every timed
+    sample); library consumers normally never call this."""
+    app = spark.sparkContext.applicationId
+    for key in [k for k in list(_DERIVED_CACHE)
+                if k[0] == app and k[1] == sf_dir
+                and (name is None or k[2] == name)]:
+        try:
+            _DERIVED_CACHE[key].unpersist()
+        except Exception:
+            pass
+        del _DERIVED_CACHE[key]
 
 
 def customer_supplier_matrix(spark: SparkSession, sf_dir: str) -> GrMatrix:

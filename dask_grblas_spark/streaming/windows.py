@@ -454,9 +454,18 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str,
                         F.col("_w.last_id").alias("last_id"),
                         F.col("_w.last_val").alias("last_val"),
                         F.col("_w.is_del").alias("is_del")))
+        # r13 (r12 verdict item 5): the candidate-key broadcast is
+        # trigger-bounded but was unconditional — gate it on the
+        # batch's own scan estimate like io.refresh_keyed_agg (guide
+        # §3.1; the gated aggregate's own join-fed estimate would be
+        # useless, the raw batch scan linearly bounds the key set).
+        # Past the gate the planner's SMJ/runtime-SHJ semi-join takes
+        # over — same rows either way.
+        from ..functions.materialize import broadcast_if_small
         cur = (gio.read_keyed(path)
-               .join(F.broadcast(cand.select("user_id")), on="user_id",
-                     how="left_semi")
+               .join(broadcast_if_small(cand.select("user_id"),
+                                        size_of=batch_df),
+                     on="user_id", how="left_semi")
                .select("user_id", F.col("last_ts").alias("_cts"),
                        F.col("last_id").alias("_cid"),
                        F.col("last_val").alias("_cval"),

@@ -89,12 +89,36 @@ def test_prefix_sum_matches_serial(spark):
     df = spark.createDataFrame([(i, i % 7) for i in range(500)],
                                "k long, v long")
     out, tot = profiling._prefix_sum(df, [F.col("k")], "v", "_ps")
-    assert tot == sum(i % 7 for i in range(500))
+    # r13: the driver-side total is gone with the checkpoint+collect
+    # (single-plan dataflow; no caller consumed it)
+    assert tot is None
     got = {r["k"]: r["_ps"] for r in out.collect()}
     run = 0
     for i in range(500):
         assert got[i] == run
         run += i % 7
+
+
+def test_prefix_sum_multicol_and_extra_columns(spark):
+    # extra (non-sort, non-val) columns exercise the pruning-alignment
+    # path that keeps both branches on ONE range exchange; two val
+    # columns share that exchange and the window pass
+    from pyspark.sql import functions as F
+    rows = [(float(i), i % 5, i % 3, f"x{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "k double, a long, b long, s string")
+    out, _ = profiling._prefix_sum(df, [F.col("k")], ["a", "b"],
+                                   ["pa", "pb"])
+    got = sorted(out.collect(), key=lambda r: r["k"])
+    ra = rb = 0
+    for i, r in enumerate(got):
+        assert r["pa"] == ra and r["pb"] == rb
+        assert r["s"] == f"x{i}"  # extra column survives untouched
+        ra += i % 5
+        rb += i % 3
+    # single-plan shape: no localCheckpoint, exactly one range exchange
+    # subtree reused by the sums branch
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
 
 
 def test_pr_auc_known_value(spark):

@@ -31,8 +31,12 @@ def main() -> int:
     spark = (SparkSession.builder.master(f"local[{CPUS}]")
              .config("spark.sql.shuffle.partitions", str(CPUS))
              .config("spark.sql.adaptive.enabled", "true")
+             # hard-coded to match bench.py (r12 advice item: an env
+             # override here silently timed queries under a different
+             # join strategy than the benchmark this tool predicts;
+             # config experiments use separate checkouts instead)
              .config("spark.sql.adaptive."
-                     "maxShuffledHashJoinLocalMapThreshold", os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"))
+                     "maxShuffledHashJoinLocalMapThreshold", "64m")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.driver.memory", "48g")
              .config("spark.ui.enabled", "false")
