@@ -5319,7 +5319,7 @@ def q321_quantile_sketch(spark, sf_dir):
     lineitem scan. Everything (hash membership, level, index rule)
     replays bit-for-bit in the DuckDB oracle."""
     from dask_grblas_spark.functions.materialize import (
-        materialize_if_large)
+        materialize, should_materialize)
     from dask_grblas_spark.functions.sketches import (
         quantile_sketch_base, quantile_sketch_from_base,
         quantile_sketch_query)
@@ -5332,19 +5332,27 @@ def q321_quantile_sketch(spark, sf_dir):
                    F.col("l_extendedprice").alias("x"))
     # r13 (r12 verdict item 4): the sketch's count pass, its sample
     # pass, and the true-rank calibration all reduce the SAME slim
-    # (g, hash, value) projection — share it size-gated so the three
-    # lineitem scans collapse to one at scale (guide §2.4). The
-    # calibration reading the NULL-value-free base is exact: a NULL
-    # value contributed 0 to the conditional sum either way, and
+    # (g, hash, value) projection. The gate picks the ALGORITHM (the
+    # q326 discipline): above the size threshold the hashed base is
+    # built once, checkpointed, and shared by all three consumers
+    # (3 lineitem scans -> 1 at scale, guide §2.4); below it the plan
+    # is EXACTLY the pre-r13 shape — the calibration reads a plain
+    # hash-free (g, x) projection, because a shared lazy base would
+    # recompute the md5 uid hash per consumer (measured +25% at
+    # sf0.1). Calibration over the NULL-value-free base is exact: a
+    # NULL value contributed 0 to the conditional sum either way, and
     # group presence rides on the sketch side of the join.
-    base = materialize_if_large(
-        quantile_sketch_base(df, "x", F.col("_uid"),
-                             group_cols=["g"]))
+    base = quantile_sketch_base(df, "x", F.col("_uid"),
+                                group_cols=["g"])
+    if should_materialize(base):
+        base = materialize(base)
+        vals = base.select("g", F.col("_val").alias("_v"))
+    else:
+        vals = df.select("g", F.col("x").cast("double").alias("_v"))
     sk = quantile_sketch_from_base(base, k=256, group_cols=["g"])
     q = quantile_sketch_query(sk, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
                               group_cols=["g"])
-    tr = (base.select("g", F.col("_val").alias("_v"))
-              .join(F.broadcast(q), on="g")
+    tr = (vals.join(F.broadcast(q), on="g")
               .groupBy("g", "phi", "est", "n", "level", "m")
               .agg(F.sum(F.when(F.col("_v") <= F.col("est"), 1)
                           .otherwise(0)).cast("bigint")

@@ -197,11 +197,30 @@ def _prep_adjacency(A: GrMatrix) -> tuple[DataFrame, bool]:
     return adj, True
 
 
+def _loop_parts(adj: DataFrame) -> int:
+    """Partition count for PER-ROUND loop state (frontier / labels /
+    changed-set persists). A `persist()` pins whatever pre-AQE
+    partitioning the plan has — on local[32] a 25-row frontier cached
+    at 32 near-empty partitions costs 32 task launches per read, per
+    round (r13; the same pathology `_cached_build` fixes for the
+    derived inputs). Loop state is bounded by the vertex set, which is
+    bounded by ~2x the measured edge count, so the adjacency's own
+    row-sized partition count (already computed by `_prep_adjacency`)
+    is the right order for every per-round relation: tiny graphs
+    coalesce to 1, huge graphs keep their fan-out (`coalesce` only
+    ever narrows)."""
+    try:
+        return max(1, adj.rdd.getNumPartitions())
+    except Exception:
+        return 1
+
+
 def bfs_level(A: GrMatrix, source: int) -> GrVector:
     """Level-synchronous BFS: frontier vxm with the any_pair semiring,
     complement-mask pushdown keeps visited vertices out of the join."""
     n = A.nrows
     adj, own_adj = _prep_adjacency(A)
+    kparts = _loop_parts(adj)
     Aprep = GrMatrix(adj, A.dtype, A.nrows, A.ncols)
     levels = GrVector.from_values([source], [0], size=n, dtype=INT64)
     frontier = levels.dup()
@@ -215,7 +234,8 @@ def bfs_level(A: GrMatrix, source: int) -> GrVector:
         new_df = new_frontier.df.select(
             "i", F.lit(level).cast("bigint").alias("v"))
         levels = GrVector(levels.df.unionByName(new_df), INT64, n)
-        frontier = pool.persist(GrVector(new_df, INT64, n))
+        frontier = pool.persist(GrVector(new_df.coalesce(kparts),
+                                         INT64, n))
         if level % _CHECKPOINT_EVERY == 0:
             # cut BOTH lineages: levels grows by union, and the
             # frontier plan nests every previous level's plan —
@@ -236,6 +256,7 @@ def sssp(A: GrMatrix, source: int) -> GrVector:
     improved last round (delta-relaxation)."""
     n = A.nrows
     adj, own_adj = _prep_adjacency(A)
+    kparts = _loop_parts(adj)
     Aprep = GrMatrix(adj, A.dtype, A.nrows, A.ncols)
     dist = GrVector.from_values([source], [0.0], size=n, dtype=FP64)
     frontier = dist.dup()
@@ -245,7 +266,8 @@ def sssp(A: GrMatrix, source: int) -> GrVector:
         it += 1
         cand = frontier.vxm(Aprep, semiring.min_plus).new()
         imp_df = _improved(cand.df, dist.df)
-        frontier = pool.persist(GrVector(imp_df, FP64, n))
+        frontier = pool.persist(GrVector(imp_df.coalesce(kparts),
+                                         FP64, n))
         if frontier.nvals == 0:
             break
         dist = GrVector(_merge_min(dist.df, frontier.df), FP64, n)
@@ -284,6 +306,7 @@ def connected_components(A: GrMatrix, vertices: str = "all") -> GrVector:
     adj, own_adj = _prep_adjacency(Asym)
     if own_raw:
         raw.unpersist()
+    kparts = _loop_parts(adj)
     Aprep = GrMatrix(adj, Asym.dtype, n, n)
     if vertices == "edges":
         # symmetrized adjacency: every endpoint appears as a row id, so
@@ -294,7 +317,7 @@ def connected_components(A: GrMatrix, vertices: str = "all") -> GrVector:
         labels_df = _vertex_range(spark, n).select(
             F.col("id").alias("i"),
             F.col("id").cast("bigint").alias("v"))
-    labels = GrVector(labels_df, INT64, n)
+    labels = GrVector(labels_df.coalesce(kparts), INT64, n)
     pool = _PersistPool()
     pool.persist(labels)
     changed = labels
@@ -306,12 +329,14 @@ def connected_components(A: GrMatrix, vertices: str = "all") -> GrVector:
         imp_df = _improved(cand.df, labels.df)
         if it % _JUMP_EVERY:
             # cheap frontier round: only the improved entries move
-            changed = pool.persist(GrVector(imp_df, INT64, n))
+            changed = pool.persist(GrVector(imp_df.coalesce(kparts),
+                                            INT64, n))
             if changed.nvals == 0:
                 break
             old = labels
             labels = pool.persist(
-                GrVector(_merge_min(labels.df, changed.df), INT64, n))
+                GrVector(_merge_min(labels.df, changed.df)
+                         .coalesce(kparts), INT64, n))
             if it % _CHECKPOINT_EVERY == 0:
                 labels.checkpoint(compact=True)
                 changed.checkpoint()
@@ -327,7 +352,8 @@ def connected_components(A: GrMatrix, vertices: str = "all") -> GrVector:
         # Small-diameter graphs finish before paying for many jumps.
         # Cost: two n-row self-joins, so not done every round.
         merged = pool.persist(
-            GrVector(_merge_min(labels.df, imp_df), INT64, n))
+            GrVector(_merge_min(labels.df, imp_df).coalesce(kparts),
+                     INT64, n))
         m = merged.df.alias("m")
         p = merged.df.alias("p")
         jumped_df = (m.join(p, F.col("m.v") == F.col("p.i"), "left_outer")
@@ -336,7 +362,8 @@ def connected_components(A: GrMatrix, vertices: str = "all") -> GrVector:
                                       F.coalesce(F.col("p.v"),
                                                  F.col("m.v"))).alias("v")))
         old = labels
-        labels = pool.persist(GrVector(jumped_df, INT64, n))
+        labels = pool.persist(GrVector(jumped_df.coalesce(kparts),
+                                       INT64, n))
         # re-propagate every vertex whose label moved this round (by
         # neighbor min OR by shortcut — a shortcut move must still be
         # announced to neighbors)
@@ -345,7 +372,8 @@ def connected_components(A: GrMatrix, vertices: str = "all") -> GrVector:
                   .filter(F.col("nw.v") < F.col("od.v"))
                   .select(F.col("nw.i").alias("i"),
                           F.col("nw.v").alias("v")))
-        changed = pool.persist(GrVector(chg_df, INT64, n))
+        changed = pool.persist(GrVector(chg_df.coalesce(kparts),
+                                        INT64, n))
         changed.nvals  # materialize labels+changed BEFORE the unpersists
         if it % _CHECKPOINT_EVERY == 0:
             labels.checkpoint(compact=True)

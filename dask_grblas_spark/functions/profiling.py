@@ -1748,43 +1748,104 @@ def _prefix_sum(df: DataFrame, sort_cols: list, val_col,
     shuffle and one window pass (pr_auc needs two running totals —
     paying the shuffle twice doubled its probe time).
 
-    SINGLE-PLAN dataflow (r12 verdict item 6 — the pre-r13 version
-    eagerly localCheckpointed the FULL input relation to executor
-    disk to pin partition placement between a driver-collected sum
-    pass and the window pass; for continuous-score AUC that is ~one
-    slim copy of the distinct-score relation on executor disk at
-    100 TB). Now the per-partition sums are a sums/count-only
-    aggregate BRANCH of the same range exchange inside ONE plan: the
-    nparts-row branch turns into exclusive offsets via one bounded
-    window (nparts rows, single task by design) and broadcast-joins
-    back on the partition id. No materialization, no driver collect,
-    no second execution of the input.
+    TWO ALGORITHMS behind one size gate (r12 verdict item 6; the
+    q326 "gate picks the algorithm" discipline — both branches return
+    identical rows, only the physical dataflow differs):
 
-    Placement consistency: both branches hang off the SAME
-    repartitionByRange exchange, so within one execution Spark's
-    exchange reuse gives them identical row->partition placement.
-    Catalyst's per-branch column pruning can defeat that reuse (the
-    sums branch needs fewer columns), so (a) the sums branch
-    references EVERY input column (count aggregates threaded through
-    the guard below) to keep both subtrees canonically identical, and
-    (b) an in-plan tripwire (`assert_true`, the
-    quantile_sketch_merge discipline) verifies per-partition row
-    counts from the two branches agree and that every partition id
-    resolved an offset row — a divergent placement raises loudly
-    instead of returning silently wrong prefixes. Returns
-    (df + out_col(s), None); no caller consumed the old driver-side
-    totals (they all re-aggregate in their own fold)."""
-    from pyspark.sql.window import Window as W
+    - BELOW the gate (small input): the pre-r13 shape — the tagged
+      relation is localCheckpointed (cheap at this size), the
+      per-partition sums come to the driver (Python ints), and the
+      window pass reads the pinned placement. The checkpoint is what
+      makes the two passes agree; at small scale it costs less than
+      the single-plan overhead below (measured: +0.2-0.5 s fixed per
+      call at sf0.1).
+    - ABOVE the gate (the 100 TB shape): the pre-r13 checkpoint
+      would MATERIALIZE the full slim relation to executor disk
+      (~one copy of the distinct-score relation for continuous-score
+      AUC). Instead the per-partition sums become a sums/count-only
+      aggregate BRANCH of the same range exchange inside ONE plan:
+      the nparts-row branch turns into exclusive offsets via one
+      bounded window (nparts rows, single task by design) and
+      broadcast-joins back on the partition id. No materialization,
+      no driver collect, no second execution of the input.
+
+    Placement consistency of the single-plan branch: both branches
+    hang off the SAME repartitionByRange exchange, so within one
+    execution Spark's exchange reuse gives them identical
+    row->partition placement. Catalyst's per-branch column pruning
+    can defeat that reuse (the sums branch needs fewer columns), so
+    (a) the sums branch references EVERY input column (count
+    aggregates threaded through the guard below) to keep both
+    subtrees canonically identical, and (b) an in-plan tripwire
+    (`assert_true`, the quantile_sketch_merge discipline) verifies
+    per-partition row counts from the two branches agree and that
+    every partition id resolved an offset row — a divergent
+    placement raises loudly instead of returning silently wrong
+    prefixes.
+
+    Returns (df + out_col(s), None); no caller consumed the old
+    driver-side totals (they all re-aggregate in their own fold)."""
+    from .materialize import should_materialize
 
     single = isinstance(val_col, str)
     cols = [val_col] if single else list(val_col)
     outs = [out_col] if single else list(out_col)
     assert len(cols) == len(outs)
+    if should_materialize(df):
+        return _prefix_sum_single_plan(df, sort_cols, cols, outs)
+    return _prefix_sum_checkpointed(df, sort_cols, cols, outs)
+
+
+def _prefix_sum_checkpointed(df: DataFrame, sort_cols: list,
+                             cols: list, outs: list):
+    """The small-input prefix-sum branch: placement pinned by an
+    (at this size, cheap) localCheckpoint, offsets via one driver
+    collect of the nparts per-partition sums (see _prefix_sum)."""
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    nparts = _shuffle_parts(spark)
+    tagged = (df.repartitionByRange(nparts, *sort_cols)
+                .withColumn("_p", F.spark_partition_id())
+                .localCheckpoint())
+    rows = (tagged.groupBy("_p")
+                  .agg(*[F.sum(F.col(c).cast("bigint")).alias(f"_s{i}")
+                         for i, c in enumerate(cols)])
+                  .collect())
+    sums = {r["_p"]: [int(r[f"_s{i}"] or 0) for i in range(len(cols))]
+            for r in rows}
+    offsets, cum = {}, [0] * len(cols)
+    for p in sorted(sums):
+        offsets[p] = list(cum)
+        cum = [a + b for a, b in zip(cum, sums[p])]
+    if not offsets:
+        for o in outs:
+            tagged = tagged.withColumn(o, F.lit(0).cast("bigint"))
+        return tagged.drop("_p"), None
+    w = (W.partitionBy("_p").orderBy(*sort_cols)
+          .rowsBetween(W.unboundedPreceding, -1))
+    for i, (c, o) in enumerate(zip(cols, outs)):
+        off = F.create_map(*[F.lit(x) for p, v in offsets.items()
+                             for x in (p, v[i])])
+        run = F.coalesce(F.sum(F.col(c).cast("bigint")).over(w),
+                         F.lit(0))
+        tagged = tagged.withColumn(
+            o, (off[F.col("_p")] + run).cast("bigint"))
+    return tagged.drop("_p"), None
+
+
+def _prefix_sum_single_plan(df: DataFrame, sort_cols: list,
+                            cols: list, outs: list):
+    """The at-scale prefix-sum branch: no materialization, offsets as
+    an in-plan aggregate branch of the shared range exchange with a
+    placement tripwire (see _prefix_sum)."""
+    from pyspark.sql.window import Window as W
+
     spark = df.sparkSession
     nparts = _shuffle_parts(spark)
     tagged = (df.repartitionByRange(nparts, *sort_cols)
                 .withColumn("_p", F.spark_partition_id()))
-    extras = [c for c in df.columns]
+    extras = list(df.columns)
     psums = (tagged.groupBy("_p")
                    .agg(F.count(F.lit(1)).alias("_pcnt"),
                         *[F.sum(F.col(c).cast("bigint")).alias(f"_s{i}")
@@ -1805,36 +1866,45 @@ def _prefix_sum(df: DataFrame, sort_cols: list, val_col,
            .alias(f"_o{i}") for i in range(len(cols))],
         *[F.col(f"_u{i}") for i in range(len(extras))])
     out = tagged.join(F.broadcast(offs), on="_p", how="left")
+    # ONE WindowExec: the guard count and every running sum share the
+    # same (partition, order) spec, only frames differ
+    wfull = W.partitionBy("_p").orderBy(*sort_cols)
+    chk = F.count(F.lit(1)).over(
+        wfull.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    wrun = wfull.rowsBetween(W.unboundedPreceding, -1)
+    sel = [out[c] for c in out.columns]
+    sel.append(chk.alias("_chk_cnt"))
+    for i, c in enumerate(cols):
+        sel.append(F.coalesce(F.sum(F.col(c).cast("bigint")).over(wrun),
+                              F.lit(0)).alias(f"_run{i}"))
+    out = out.select(*sel)
     # tripwire: the window's view of each partition must match the
     # sums branch's (same row count, offset row present). The _u*
     # terms are tautological (count >= 0) but keep the pruning
     # alignment above live through the optimizer.
-    chk = F.count(F.lit(1)).over(W.partitionBy("_p"))
     ucond = None
     for i in range(len(extras)):
         c = F.coalesce(F.col(f"_u{i}"), F.lit(-1)) >= F.lit(-1)
         ucond = c if ucond is None else (ucond & c)
-    guard_cond = F.col("_pcnt").isNotNull() & (chk == F.col("_pcnt"))
+    guard_cond = (F.col("_pcnt").isNotNull()
+                  & (F.col("_chk_cnt") == F.col("_pcnt")))
     if ucond is not None:
         guard_cond = guard_cond & ucond
-    out = out.withColumn(
-        "_chk",
-        F.assert_true(guard_cond,
-                      F.lit("_prefix_sum: partition placement diverged "
-                            "between the sums branch and the window "
-                            "branch")))
-    out = out.where(F.col("_chk").isNull()).drop("_chk", "_pcnt",
-                                                 *[f"_u{i}" for i in
-                                                   range(len(extras))])
-    w = (W.partitionBy("_p").orderBy(*sort_cols)
-          .rowsBetween(W.unboundedPreceding, -1))
-    for i, (c, o) in enumerate(zip(cols, outs)):
-        run = F.coalesce(F.sum(F.col(c).cast("bigint")).over(w),
-                         F.lit(0))
+    out = (out.withColumn(
+               "_chk",
+               F.assert_true(guard_cond,
+                             F.lit("_prefix_sum: partition placement "
+                                   "diverged between the sums branch "
+                                   "and the window branch")))
+              .where(F.col("_chk").isNull()))
+    for i, o in enumerate(outs):
         out = out.withColumn(
-            o, (F.col(f"_o{i}") + run).cast("bigint"))
-    out = out.drop("_p", *[f"_o{i}" for i in range(len(cols))])
-    return (out, None)
+            o, (F.col(f"_o{i}") + F.col(f"_run{i}")).cast("bigint"))
+    drop = (["_chk", "_chk_cnt", "_pcnt", "_p"]
+            + [f"_u{i}" for i in range(len(extras))]
+            + [f"_o{i}" for i in range(len(cols))]
+            + [f"_run{i}" for i in range(len(cols))])
+    return out.drop(*drop), None
 
 
 def roc_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:

@@ -99,25 +99,37 @@ def test_prefix_sum_matches_serial(spark):
         run += i % 7
 
 
-def test_prefix_sum_multicol_and_extra_columns(spark):
-    # extra (non-sort, non-val) columns exercise the pruning-alignment
-    # path that keeps both branches on ONE range exchange; two val
-    # columns share that exchange and the window pass
+def test_prefix_sum_multicol_and_extra_columns(spark, monkeypatch):
+    # both gate branches (r13: the gate picks the algorithm — small
+    # inputs keep the checkpoint-pinned shape, large ones the
+    # single-plan shape) must return identical prefixes; extra
+    # (non-sort, non-val) columns exercise the pruning-alignment path
+    # that keeps the single-plan branches on ONE range exchange
     from pyspark.sql import functions as F
     rows = [(float(i), i % 5, i % 3, f"x{i}") for i in range(300)]
     df = spark.createDataFrame(rows, "k double, a long, b long, s string")
-    out, _ = profiling._prefix_sum(df, [F.col("k")], ["a", "b"],
-                                   ["pa", "pb"])
-    got = sorted(out.collect(), key=lambda r: r["k"])
-    ra = rb = 0
-    for i, r in enumerate(got):
-        assert r["pa"] == ra and r["pb"] == rb
-        assert r["s"] == f"x{i}"  # extra column survives untouched
-        ra += i % 5
-        rb += i % 3
-    # single-plan shape: no localCheckpoint, exactly one range exchange
-    # subtree reused by the sums branch
-    plan = out._jdf.queryExecution().executedPlan().toString()
+
+    def check(out):
+        got = sorted(out.collect(), key=lambda r: r["k"])
+        ra = rb = 0
+        for i, r in enumerate(got):
+            assert r["pa"] == ra and r["pb"] == rb
+            assert r["s"] == f"x{i}"  # extra column survives untouched
+            ra += i % 5
+            rb += i % 3
+
+    # below the gate: checkpoint branch
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_BYTES", str(1 << 60))
+    out_small, _ = profiling._prefix_sum(df, [F.col("k")], ["a", "b"],
+                                         ["pa", "pb"])
+    check(out_small)
+    # above the gate: single-plan branch — no localCheckpoint, exactly
+    # one range exchange subtree reused by the sums branch
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_BYTES", "0")
+    out_big, _ = profiling._prefix_sum(df, [F.col("k")], ["a", "b"],
+                                       ["pa", "pb"])
+    check(out_big)
+    plan = out_big._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
 
 
